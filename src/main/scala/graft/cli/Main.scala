@@ -1,0 +1,215 @@
+package graft.cli
+
+import graft.engine.Runner
+import graft.sources.Resolver
+import graft.spec._
+import org.apache.spark.sql.SparkSession
+
+/** CLI front-end over the JobSpec API — the engine-side equivalent of
+  * the reference's `etl.etl` console script (etl_cli/setup.py:24; flags
+  * of etl_cli/etl.py:27-75 and etl_cli/base.py:110-146). Parsing is a
+  * thin layer: every flag compiles into the same `JobSpec` a library
+  * caller would build (SURVEY §3.2), then the Runner executes it.
+  *
+  * Behaviors preserved from the reference:
+  *   - no target → preview the filtered source (base.py:640-644)
+  *   - `--dry` → print the plan, no writes (base.py:241-246)
+  *   - `-o op:pk` fuses op and key (etl.py:203-206)
+  *   - `--st` source=target shorthand (etl.py:88-98)
+  *   - wildcard source fan-out (etl.py:364-377)
+  *   - env-var flag defaults `GRAFT__<FLAG>` (O7, base.py:158-185)
+  */
+object Main {
+
+  final case class CliError(msg: String) extends RuntimeException(msg)
+
+  def main(rawArgs: Array[String]): Unit = {
+    val exit = try { run(rawArgs); 0 } catch {
+      case CliError(msg) => System.err.println(s"error: $msg"); 2
+      case e: IllegalArgumentException =>
+        System.err.println(s"error: ${e.getMessage}"); 2
+    }
+    if (exit != 0) sys.exit(exit)
+  }
+
+  def run(rawArgs: Array[String]): Unit = {
+    if (rawArgs.isEmpty || rawArgs.contains("--help") || rawArgs.contains("-h")) {
+      println(usage); return
+    }
+    val (job, opts) = parse(rawArgs)
+    val spark = session(opts)
+    try execute(spark, job, opts) finally spark.stop()
+  }
+
+  final case class Opts(
+      drop: Boolean = false, dry: Boolean = false, count: Boolean = false,
+      limitlessPreview: Boolean = false, cpus: String =
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+
+  /** Env-var default for a flag (reference: MODULE__FLAG, base.py:158-185). */
+  private def envDefault(flag: String): Option[String] =
+    sys.env.get("GRAFT__" + flag.dropWhile(_ == '-').toUpperCase.replace('-', '_'))
+
+  def parse(rawArgs: Array[String]): (JobSpec, Opts) = {
+    var source: Option[String] = None
+    var target: Option[String] = None
+    var merger: Option[String] = None
+    var q = Vector.empty[(String, String)]
+    var mq = Vector.empty[(String, String)]
+    var tq = Vector.empty[(String, String)]
+    var str = ""; var mtr = ""; var mtrPost = ""
+    var op: Option[String] = None; var pk = ""; var tf = ""
+    var overwrite = ""; var skipBy = ""
+    var mkeys = ""; var mmd: Option[String] = None; var mma: Option[String] = None
+    var mrm = false; var mrnm = false; var munwind = false; var mstrict = false
+    var mmo = true
+    var skipTs = false; var dry = false; var drop = false; var count = false
+    var workers: Option[Int] = None; var contid: Option[String] = None
+
+    def kv(v: String): (String, String) = v.split("=", 2) match {
+      case Array(k, value) => (k, value)
+      case _ => throw CliError(s"expected key=value, got: $v")
+    }
+    val it = rawArgs.iterator
+    def next(flag: String): String =
+      if (it.hasNext) it.next() else throw CliError(s"$flag requires a value")
+    while (it.hasNext) it.next() match {
+      case "-s" | "--source" => source = Some(next("-s"))
+      case "-t" | "--target" => target = Some(next("-t"))
+      case "-m" | "--merger" => merger = Some(next("-m"))
+      case "--st"  => val d = next("--st"); source = Some(d); target = Some(d)
+      case "--mt"  => val d = next("--mt"); merger = Some(d); target = Some(d)
+      case "--smt" => val d = next("--smt"); source = Some(d); merger = Some(d); target = Some(d)
+      case "-q" | "--query" => q :+= kv(next("-q"))
+      case "--mq" => mq :+= kv(next("--mq"))
+      case "--tq" => tq :+= kv(next("--tq"))
+      case "--str" => str = next("--str")
+      case "--mtr" => mtr = next("--mtr")
+      case "--mtr-post-merge" => mtrPost = next("--mtr-post-merge")
+      case "-o" | "--op" => op = Some(next("-o"))
+      case "--pk" => pk = next("--pk")
+      case "--tf" => tf = next("--tf")
+      case "--overwrite" => overwrite = next("--overwrite")
+      case "--skip_by" | "--skip-by" => skipBy = next("--skip_by")
+      case "--skip-timestamp" => skipTs = true
+      case "--mkeys" => mkeys = next("--mkeys")
+      case "--mmd" => mmd = Some(next("--mmd"))
+      case "--mma" => mma = Some(next("--mma"))
+      case "--mrm" => mrm = true
+      case "--mrnm" => mrnm = true
+      case "--mmo" => mmo = true
+      case "--munwind" => munwind = true; mmo = false
+      case "--mstrict" => mstrict = true
+      case "--workers" => workers = Some(next("--workers").toInt)
+      case "--contid" => contid = Some(next("--contid"))
+      case "--dry" => dry = true
+      case "--drop" => drop = true
+      case "--count" => count = true
+      case other => throw CliError(s"unknown flag: $other (see --help)")
+    }
+
+    val srcUri = source.orElse(envDefault("--source"))
+      .getOrElse(throw CliError("-s/--source is required"))
+    // `-o op:pk` fuses the write op and key (etl_cli/etl.py:203-206).
+    val (opName, opPk) = op.map(_.split(":", 2) match {
+      case Array(o, k) => (Some(o), k)
+      case Array(o)    => (Some(o), "")
+    }).getOrElse((None, ""))
+    def csv(s: String): Seq[String] =
+      s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+    val mergerSpec = merger.map { m =>
+      val corr = csv(mkeys).map(k => k -> s"#$k#")
+      MergerSpec(DatasetRef.parse(m),
+        query = corr ++ mq,
+        direction = mmd.map(MergeDirection.parse).getOrElse(MergeDirection.M2S),
+        requireMatch = mrm, requireNoMatch = mrnm, matchOne = mmo,
+        unwind = munwind, strictMatch = mstrict, mergeAs = mma,
+        postRead = TransformStage.parseChain(mtr),
+        postMerge = TransformStage.parseChain(mtrPost))
+    }
+    if (merger.nonEmpty && mergerSpec.exists(_.query.isEmpty))
+      throw CliError("merger needs --mkeys or --mq")
+    val targetSpec = target.map { t =>
+      TargetSpec(DatasetRef.parse(t),
+        op = opName.map(WriteOp.parse).getOrElse(WriteOp.Create),
+        pk = if (pk.nonEmpty) csv(pk) else csv(opPk),
+        query = tq, fields = csv(tf), overwrite = csv(overwrite),
+        skipBy = csv(skipBy), skipTimestamp = skipTs)
+    }
+    val job = JobSpec(
+      SourceSpec(DatasetRef.parse(srcUri), q, TransformStage.parseChain(str)),
+      merger = mergerSpec, target = targetSpec,
+      workers = workers, dryRun = dry, contid = contid)
+    (job, Opts(drop = drop, dry = dry, count = count))
+  }
+
+  private def session(opts: Opts): SparkSession = {
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[${opts.cpus}]"))
+      .appName("graft-etl")
+      .config("spark.sql.shuffle.partitions", opts.cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def execute(spark: SparkSession, job: JobSpec, opts: Opts): Unit = {
+    if (opts.drop) job.target.foreach { t =>
+      println(s"dropping ${t.ref.uri}")
+      Resolver.drop(spark, t.ref)
+    }
+    if (opts.count) {
+      println(Runner.count(spark, job.source)); return
+    }
+    if (opts.dry) { // W12: plan + sample, no writes (base.py:241-246)
+      val planned = graft.engine.Planner.plan(spark, job)
+      planned.explain("formatted")
+      planned.show(5, truncate = false)
+      return
+    }
+    job.target match {
+      case None => // S11 preview (base.py:640-644): default one row
+        val hasLimit = job.source.query.exists(_._1 == "_limit")
+        val hasAgg = job.source.query.exists(p => p._1 == "_group" || p._1 == "_agg")
+        val preview = graft.engine.Planner.plan(spark,
+          if (hasLimit || hasAgg) job
+          else job.copy(source = job.source.copy(query = job.source.query :+ ("_limit" -> "1"))))
+        preview.show(100, truncate = false)
+      case Some(_) =>
+        val isWildcard = job.source.ref.name.contains("*")
+        if (isWildcard) {
+          val results = Runner.runWildcard(spark, job)
+          results.foreach(r => println(
+            s"${r.job.source.ref.uri} -> ${r.job.target.get.ref.uri}: ${r.written} rows"))
+        } else if (job.contid.nonEmpty || job.target.exists(_.ref == job.source.ref)) {
+          val r = Runner.runLoop(spark, job)
+          println(s"done: ${r.written} rows written over ${r.iterations} iteration(s)")
+        } else {
+          val r = Runner.execute(spark, job)
+          println(s"done: ${r.written} rows written")
+        }
+    }
+  }
+
+  private val usage: String =
+    """graft-etl — Spark-native declarative ETL (reference-parity CLI)
+      |
+      |usage: graft.cli.Main -s BACKEND/NS/NAME [options]
+      |
+      |datasets       -s SOURCE  -t TARGET  -m MERGER
+      |               --st DS (source=target)  --mt DS  --smt DS
+      |query          -q key=value (repeatable; ops: field__gte etc.;
+      |               controls: _limit,_sort,_fields,_group,_agg)
+      |merger         --mkeys k1,k2  --mq key=value  --mmd s2m|m2s
+      |               --mrm --mrnm --mmo --munwind --mstrict --mma FIELD
+      |               --mtr CHAIN  --mtr-post-merge CHAIN
+      |target         -o create|index|update|upsert|delete|insert[:pk]
+      |               --pk k1,k2  --tq key=value  --tf f1,-f2
+      |               --overwrite f1,f2  --skip_by k  --skip-timestamp
+      |transformers   --str CHAIN   (chain: name:arg1;arg2,name2,...)
+      |run            --workers N  --contid ID  --dry  --drop  --count
+      |""".stripMargin
+}

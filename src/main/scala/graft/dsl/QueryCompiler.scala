@@ -1,0 +1,177 @@
+package graft.dsl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Compiler for the dotted-key query DSL (SURVEY §2.2; reference:
+  * `qlsit2query`, etl_cli/base.py:216-230).
+  *
+  * Grammar of one `key=value` pair:
+  *   - `_limit=N`, `_sort=[-]f1,[-]f2`, `_fields=a,b,-c`, `_count=1`,
+  *     `_flat=1` — control keys (reference: base.py:221-228,482-490,545).
+  *   - `_group=a,b` + `_agg=sum:x,avg:y,count:*` — [EXT] aggregation
+  *     extension (SURVEY §2.6; not in the reference surface).
+  *   - `field=value` — equality on a (possibly dotted/nested) path.
+  *   - `field__op=value` — operator suffix (double underscore), e.g.
+  *     `l_quantity__gte=30`, `logs.job.contid__ne=x` (etl_cli/etl.py:327).
+  *
+  * Literals are typed against the DataFrame schema before comparison so
+  * predicates stay fold-able and push down into the parquet scan
+  * (check with `.explain`: `PushedFilters: [GreaterThanOrEqual(...)]`).
+  */
+object QueryCompiler {
+
+  final case class Compiled(
+      predicates: Seq[Column],
+      fields: Seq[String],        // raw _fields entries incl. `-` exclusions
+      sort: Seq[String],          // raw _sort entries incl. `-` prefix
+      limit: Option[Int],
+      count: Boolean,
+      flat: Boolean,
+      group: Seq[String],
+      aggs: Seq[(String, String)]) // (func, field)
+
+  private val ControlKeys =
+    Set("_limit", "_sort", "_fields", "_count", "_flat", "_group", "_agg",
+        "_url", "_pagination") // _url/_pagination handled by the resolver / no-op
+
+  /** Split `field__op` into (field, op); default op is `eq`. */
+  def splitOp(key: String): (String, String) = {
+    val i = key.lastIndexOf("__")
+    if (i > 0) (key.substring(0, i), key.substring(i + 2)) else (key, "eq")
+  }
+
+  /** Resolve the Spark type of a dotted path, descending nested structs. */
+  def pathType(schema: StructType, path: String): Option[DataType] = {
+    def go(dt: DataType, parts: List[String]): Option[DataType] = (dt, parts) match {
+      case (t, Nil) => Some(t)
+      case (st: StructType, p :: rest) =>
+        st.fields.find(_.name.equalsIgnoreCase(p)).flatMap(f => go(f.dataType, rest))
+      case _ => None
+    }
+    go(schema, path.split('.').toList)
+  }
+
+  /** Type a string literal against the column's schema type so Catalyst
+    * sees a constant of the right type (pushdown-friendly).
+    */
+  def typed(value: String, dt: Option[DataType]): Column = dt match {
+    case Some(t: NumericType)  => lit(value).cast(t)
+    case Some(BooleanType)     => lit(value.toBoolean)
+    case Some(TimestampType)   => lit(value).cast(TimestampType)
+    case Some(DateType)        => lit(value).cast(DateType)
+    case _                     => lit(value)
+  }
+
+  /** One `field__op=value` → a Column predicate. */
+  def predicate(df: DataFrame, field: String, op: String, value: String): Column = {
+    lazy val dt = pathType(df.schema, field)
+    // Schema-free tolerance (SURVEY §7.4.3): a missing field behaves as a
+    // null column (mongo semantics) instead of an AnalysisException —
+    // `__exists=0` then matches every row, equality matches none.
+    val c = if (dt.isDefined) col(field) else lit(null)
+    def v = typed(value, dt)
+    def vs = value.split(",").map(x => typed(x.trim, dt))
+    op match {
+      case "eq"   => c === v
+      case "ne"   => c =!= v
+      case "nse"  => c <=> v          // null-safe equal
+      case "nsne" => !(c <=> v)       // null-safe not-equal (nulls match)
+      case "gt"   => c > v
+      case "gte"  => c >= v
+      case "lt"   => c < v
+      case "lte"  => c <= v
+      case "in"   => c.isin(vs.toIndexedSeq: _*)
+      case "nin"  => !c.isin(vs.toIndexedSeq: _*)
+      case "exists" =>
+        if (value == "0" || value.equalsIgnoreCase("false")) c.isNull else c.isNotNull
+      case "regex"      => c.rlike(value)
+      case "contains"   => c.contains(value)
+      case "startswith" => c.startsWith(value)
+      case "endswith"   => c.endsWith(value)
+      case "between" =>
+        val Array(lo, hi) = value.split(",", 2)
+        c.between(typed(lo.trim, dt), typed(hi.trim, dt))
+      case other => throw new IllegalArgumentException(s"unknown query op: __$other")
+    }
+  }
+
+  /** Compile an ordered query param list against a frame's schema. */
+  def compile(df: DataFrame, query: Seq[(String, String)]): Compiled = {
+    // repeated _fields/_sort accumulate comma-joined (etl_cli/base.py:221-228)
+    def gather(k: String): Seq[String] =
+      query.collect { case (`k`, v) => v }.flatMap(_.split(","))
+        .map(_.trim).filter(_.nonEmpty)
+    val preds = query.collect {
+      case (k, v) if !ControlKeys.contains(k) =>
+        val (field, op) = splitOp(k)
+        predicate(df, field, op, v)
+    }
+    Compiled(
+      predicates = preds,
+      fields = gather("_fields"),
+      sort = gather("_sort"),
+      limit = query.collectFirst { case ("_limit", v) => v.toInt },
+      count = query.collectFirst { case ("_count", v) => v == "1" }.getOrElse(false),
+      flat = query.collectFirst { case ("_flat", v) => v == "1" }.getOrElse(false),
+      group = gather("_group"),
+      aggs = gather("_agg").map { a =>
+        a.split(":", 2) match {
+          case Array(f, fld) => (f.trim, fld.trim)
+          case Array(f)      => (f.trim, "*")
+        }
+      })
+  }
+
+  /** `_sort=-f` → descending (reference: base.py:353-354). */
+  def sortColumns(sort: Seq[String]): Seq[Column] = sort.map {
+    case s if s.startsWith("-") => col(s.drop(1)).desc
+    case s                      => col(s).asc
+  }
+
+  /** Apply a `_fields` list with `-` exclusions (F5; etl_cli/base.py:122,265):
+    * inclusions → select, exclusions → drop; both may appear.
+    */
+  def project(df: DataFrame, fields: Seq[String]): DataFrame = {
+    val (excl, incl) = fields.partition(_.startsWith("-"))
+    val afterIncl =
+      if (incl.isEmpty) df
+      else df.select(incl.map(f => col(f).as(f)).toIndexedSeq: _*)
+    if (excl.isEmpty) afterIncl else afterIncl.drop(excl.map(_.drop(1)).toIndexedSeq: _*)
+  }
+
+  /** [EXT] `_group`/`_agg` → groupBy().agg(); output columns named
+    * `<func>_<field>` (`count_all` for `count:*`).
+    */
+  def aggregate(df: DataFrame, group: Seq[String], aggs: Seq[(String, String)]): DataFrame = {
+    val exprs = aggs.map {
+      case ("count", "*")   => count(lit(1)).as("count_all")
+      case ("count", f)     => count(col(f)).as(s"count_$f")
+      case ("countd", f)    => countDistinct(col(f)).as(s"countd_$f")
+      case ("sum", f)       => sum(col(f)).as(s"sum_$f")
+      case ("avg", f)       => avg(col(f)).as(s"avg_$f")
+      case ("min", f)       => min(col(f)).as(s"min_$f")
+      case ("max", f)       => max(col(f)).as(s"max_$f")
+      case ("stddev", f)    => stddev_samp(col(f)).as(s"stddev_$f")
+      case (fn, f) => throw new IllegalArgumentException(s"unknown agg: $fn:$f")
+    }
+    require(exprs.nonEmpty, "_agg required when _group is set")
+    df.groupBy(group.map(col).toIndexedSeq: _*)
+      .agg(exprs.head, exprs.tail.toIndexedSeq: _*)
+  }
+
+  /** Full application order: filter → group/agg → sort → limit → project.
+    * (Reference applies source.query at scan; sort/limit/projection ride
+    * along the same dict — SURVEY §2.2.)
+    */
+  def apply(df: DataFrame, query: Seq[(String, String)]): DataFrame = {
+    val q = compile(df, query)
+    var out = q.predicates.foldLeft(df)(_ filter _)
+    if (q.group.nonEmpty || q.aggs.nonEmpty) out = aggregate(out, q.group, q.aggs)
+    if (q.sort.nonEmpty) out = out.orderBy(sortColumns(q.sort).toIndexedSeq: _*)
+    q.limit.foreach(n => out = out.limit(n))
+    if (q.fields.nonEmpty) out = project(out, q.fields)
+    out
+  }
+}

@@ -1,0 +1,57 @@
+package graft.engine
+
+import graft.dsl.QueryCompiler
+import graft.functions.Transformers
+import graft.operators.MergePlanner
+import graft.sources.Resolver
+import graft.spec._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Spec → DataFrame. The declarative heart of the engine: everything the
+  * reference CLI compiles into its nested job dict (SURVEY §3.1 steps
+  * 1-4) becomes one lazily-built Spark logical plan, so Catalyst gets
+  * the whole job at once — predicate pushdown into the scan, column
+  * pruning, join strategy selection, AQE — with no engine-side
+  * scheduling (SURVEY §4).
+  */
+object Planner {
+
+  /** Source stage: scan → query DSL (filter/agg/sort/limit/projection)
+    * → post-read transformers (reference: `setup_source`,
+    * etl_cli/etl.py:135-146).
+    */
+  def sourceFrame(spark: SparkSession, s: SourceSpec): DataFrame = {
+    val raw = Resolver.read(spark, s.ref)
+    val queried = QueryCompiler.apply(raw, s.query)
+    Transformers.apply(queried, s.postRead)
+  }
+
+  /** Merger stage: resolve the merger dataset, apply its post-read
+    * transformers, run the correlated join, then post-merge transformers
+    * (reference: `setup_merger`, etl_cli/etl.py:148-187).
+    */
+  def withMerger(spark: SparkSession, src: DataFrame, m: MergerSpec): DataFrame = {
+    val mrgRaw = Transformers.apply(Resolver.read(spark, m.ref), m.postRead)
+    val merged = MergePlanner.merge(src, mrgRaw, m)
+    Transformers.apply(merged, m.postMerge)
+  }
+
+  /** Full read-side plan: source → merger. Target ops are applied by the
+    * Runner (they need the current target state).
+    */
+  def plan(spark: SparkSession, job: JobSpec): DataFrame = {
+    val src = sourceFrame(spark, job.source)
+    val df = job.merger.fold(src) { m =>
+      val merged = withMerger(spark, src, m)
+      // A shuffle join does not preserve the source's `_sort` order —
+      // re-apply it so downstream consumers see the requested ordering.
+      val sortKeys = QueryCompiler
+        .compile(src, job.source.query).sort
+        .filter(k => merged.columns.contains(k.stripPrefix("-")))
+      if (sortKeys.nonEmpty)
+        merged.orderBy(QueryCompiler.sortColumns(sortKeys).toIndexedSeq: _*)
+      else merged
+    }
+    job.workers.fold(df)(n => df.repartition(n))
+  }
+}

@@ -1,0 +1,155 @@
+package graft.engine
+
+import graft.dsl.QueryCompiler
+import graft.operators.WriteOps
+import graft.sources.Resolver
+import graft.spec._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Job execution: count/preview gates, keyed writes, wildcard fan-out
+  * and the continuation/fixpoint loop (SURVEY §2.8, §3.1 steps 5-8).
+  * The reference's HTTP POST + poll orchestration collapses into
+  * synchronous Spark actions; its N-workers×1000-row-batches physical
+  * model is replaced by Spark's DAG scheduler (SURVEY §4).
+  */
+object Runner {
+
+  final case class RunResult(job: JobSpec, sourceCount: Long, written: Long, iterations: Int)
+
+  /** S12/F6 count of the filtered source, capped by `_limit`
+    * (reference: `get_source_total`, min rule, etl_cli/base.py:481-499).
+    */
+  def count(spark: SparkSession, s: SourceSpec): Long = {
+    val raw = Resolver.read(spark, s.ref)
+    val q = QueryCompiler.compile(raw, s.query)
+    val filtered = q.predicates.foldLeft(raw)(_ filter _)
+    val total = filtered.count()
+    q.limit.fold(total)(l => math.min(l.toLong, total))
+  }
+
+  /** S11 preview: no target → first rows of the planned frame
+    * (reference defaults `_limit:1`, etl_cli/base.py:640-644).
+    */
+  def preview(spark: SparkSession, job: JobSpec, n: Int = 1): Array[org.apache.spark.sql.Row] =
+    Planner.plan(spark, job).limit(n).collect()
+
+  /** O2 auto-parallelism heuristic retained from the reference
+    * (`ceil(total/1000)` capped at 100, etl_cli/base.py:646-681) — used
+    * only as a repartition hint when the caller asks for it; AQE
+    * otherwise owns runtime parallelism.
+    */
+  def autoWorkers(total: Long): Int =
+    math.min(100L, math.max(1L, (total + 999) / 1000)).toInt
+
+  /** Read current target state; empty-but-typed frame if absent. */
+  def targetState(spark: SparkSession, t: TargetSpec, like: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(Resolver.path(t.ref))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Resolver.read(spark, t.ref) else like.limit(0)
+  }
+
+  /** Execute one job: plan the read side, apply the write op against the
+    * current target state, atomically rewrite the target. Appends a row
+    * to the `<ns>/_logs` job-log dataset (W13) unless disabled.
+    */
+  def execute(spark: SparkSession, job: JobSpec, log: Boolean = true): RunResult = {
+    val planned = Planner.plan(spark, job)
+    job.target match {
+      case None => RunResult(job, planned.count(), 0, 1)
+      case Some(t) =>
+        val batch = if (t.skipTimestamp) planned
+          else planned.withColumn("_etl_ts", current_timestamp())
+        val current = targetState(spark, t, batch)
+        val newState = WriteOps.applyOp(current, batch, t)
+        // Break lineage before rewriting the files we are reading from.
+        val materialized = newState.localCheckpoint(eager = true)
+        WriteOps.atomicOverwrite(spark, materialized, Resolver.path(t.ref))
+        val written = materialized.count()
+        if (log) jobLog(spark, job, written)
+        RunResult(job, written, written, 1)
+    }
+  }
+
+  /** W13: append a job-metrics record to `<target ns>/_logs.parquet`
+    * (reference: log dataset `logs.<target-slug>`, etl_cli/base.py:260-265).
+    */
+  private def jobLog(spark: SparkSession, job: JobSpec, written: Long): Unit = {
+    import spark.implicits._
+    val t = job.target.get
+    val row = Seq((java.util.UUID.randomUUID().toString,
+      job.source.ref.uri, t.ref.uri, t.op.name, written,
+      new java.sql.Timestamp(System.currentTimeMillis())))
+      .toDF("uid", "source", "target", "op", "written", "ts")
+    val logPath = (if (t.ref.ns.isEmpty) "" else t.ref.ns + "/") + "_logs.parquet"
+    row.write.mode("append").parquet(logPath)
+  }
+
+  /** S7/S8 wildcard fan-out: expand `prefix*` sources, derive per-source
+    * targets (`*` segments copy from the source,
+    * `build_target_from_source`, etl_cli/etl.py:300-312), run each.
+    */
+  def runWildcard(spark: SparkSession, job: JobSpec): Seq[RunResult] =
+    Resolver.expandWildcard(spark, job.source.ref).map { srcRef =>
+      val tgt = job.target.map { t =>
+        t.copy(ref = t.ref.copy(
+          ns = if (t.ref.ns == "*") srcRef.ns else t.ref.ns,
+          name = if (t.ref.name == "*") srcRef.name.stripSuffix(".csv") else t.ref.name))
+      }
+      execute(spark, job.copy(source = job.source.copy(ref = srcRef), target = tgt))
+    }
+
+  /** O4 continuation / J11 self-update fixpoint loop: re-run the job
+    * until the filtered source count is 0 or unchanged twice (reference
+    * termination rule, etl_cli/etl.py:331-334).
+    *
+    * The reference excludes already-processed records via a server-side
+    * job log (`-q logs.job.contid__ne=<uid>`, etl_cli/etl.py:326-339);
+    * our equivalent for self-update jobs (source == target,
+    * `detect_self_updates`, etl_cli/etl.py:281-295) is a `_contid` mark
+    * column stamped on every written batch and anti-filtered
+    * (null-safe `__nsne`) on the next read. Each iteration's write
+    * checkpoints before the rewrite, breaking lineage (SURVEY §7.4.4).
+    */
+  def runLoop(spark: SparkSession, job: JobSpec, maxIter: Int = 100): RunResult = {
+    val selfUpdate = job.target.exists(_.ref == job.source.ref)
+    val uid = job.contid.getOrElse(java.util.UUID.randomUUID().toString)
+    var last = -1L; var unchanged = 0; var iters = 0; var written = 0L
+    var done = false
+    while (!done && iters < maxIter) {
+      val hasMark = selfUpdate &&
+        Resolver.read(spark, job.source.ref).columns.contains("_contid")
+      val contFilter: Seq[(String, String)] =
+        if (hasMark) Seq("_contid__nsne" -> uid) else Nil
+      val stamp: Seq[TransformStage] =
+        if (selfUpdate) Seq(TransformStage("set", Seq("_contid", uid))) else Nil
+      val effJob = job.copy(source = job.source.copy(
+        query = job.source.query ++ contFilter,
+        postRead = job.source.postRead ++ stamp))
+      val n = count(spark, effJob.source)
+      if (n == 0) done = true
+      else {
+        if (n == last) unchanged += 1 else unchanged = 0
+        last = n
+        if (unchanged >= 2) done = true
+        else {
+          written += execute(spark, effJob, log = false).written
+          iters += 1
+        }
+      }
+    }
+    RunResult(job, math.max(last, 0), written, iters)
+  }
+
+  /** §2.7 diff: symmetric difference of two datasets keyed by pk, with
+    * `context` selecting reported columns (reference declares --diff /
+    * --diff-context but never wired them, etl_cli/etl.py:55-56 — we
+    * implement the documented intent).
+    */
+  def diff(a: DataFrame, b: DataFrame, context: Seq[String] = Nil): DataFrame = {
+    val cols: DataFrame => DataFrame = df =>
+      if (context.nonEmpty) df.select(context.map(col).toIndexedSeq: _*) else df
+    cols(a).exceptAll(cols(b)).withColumn("_side", lit("a"))
+      .unionByName(cols(b).exceptAll(cols(a)).withColumn("_side", lit("b")))
+  }
+}

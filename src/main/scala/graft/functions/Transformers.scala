@@ -1,0 +1,78 @@
+package graft.functions
+
+import graft.spec.TransformStage
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Named transformer registry (SURVEY §2.5; reference resolves names in
+  * its server-side `smurfs` module — MORPHER_MODULE, etl_cli/base.py:85,
+  * syntax `name:args`, etl_cli/base.py:87-94).
+  *
+  * A transformer is `Seq[String] => (DataFrame => DataFrame)`: args are
+  * bound at plan time, the resulting stage is a pure relational
+  * transform. All built-ins compile to Catalyst expressions (codegen'd,
+  * no UDF/serialization cost); users register custom stages with
+  * [[register]].
+  */
+object Transformers {
+
+  type Stage = DataFrame => DataFrame
+  type Factory = Seq[String] => Stage
+
+  private val registry = scala.collection.concurrent.TrieMap[String, Factory](
+    // field surgery
+    "drop"   -> (args => df => df.drop(args.toIndexedSeq: _*)),
+    "keep"   -> (args => df => df.select(args.map(col).toIndexedSeq: _*)),
+    "rename" -> (args => df => { // rename:old;new
+      val Seq(from, to) = args.take(2)
+      df.withColumnRenamed(from, to)
+    }),
+    "cast"   -> (args => df => { // cast:field;type
+      val Seq(f, t) = args.take(2)
+      df.withColumn(f, col(f).cast(t))
+    }),
+    "set"    -> (args => df => { // set:field;literal
+      val Seq(f, v) = args.take(2)
+      df.withColumn(f, lit(v))
+    }),
+    "set_expr" -> (args => df => { // set_expr:field;sql-expression
+      val Seq(f, e) = args.take(2)
+      df.withColumn(f, expr(e))
+    }),
+    // strings
+    "upper"  -> (args => df => df.withColumn(args.head, upper(col(args.head)))),
+    "lower"  -> (args => df => df.withColumn(args.head, lower(col(args.head)))),
+    "trim"   -> (args => df => df.withColumn(args.head, trim(col(args.head)))),
+    "concat" -> (args => df => { // concat:out;sep;f1;f2...
+      val out +: sep +: fields = args: @unchecked
+      df.withColumn(out, concat_ws(sep, fields.map(col).toIndexedSeq: _*))
+    }),
+    "urlify" -> (args => df => // reference's name slugging (etl_cli/base.py:556-557 intent)
+      df.withColumn(args.head,
+        regexp_replace(lower(trim(col(args.head))), "[^a-z0-9]+", "_"))),
+    // structure
+    "flatten" -> (_ => StructUtils.flatten _),
+    "explode_field" -> (args => df => df.withColumn(args.head, explode(col(args.head)))),
+    "json_extract" -> (args => df => { // json_extract:src;path;out
+      val Seq(src, path, out) = args.take(3)
+      df.withColumn(out, get_json_object(col(src), path))
+    }),
+    // rows
+    "distinct" -> (_ => df => df.dropDuplicates()),
+    "sample"   -> (args => df => df.sample(args.head.toDouble, args.lift(1).map(_.toLong).getOrElse(42L))),
+    // stamping (W10 counterpart)
+    "timestamp" -> (args => df =>
+      df.withColumn(args.headOption.getOrElse("_etl_ts"), current_timestamp()))
+  )
+
+  def register(name: String, f: Factory): Unit = registry.update(name, f)
+  def names: Seq[String] = registry.keys.toSeq.sorted
+
+  def resolve(stage: TransformStage): Stage =
+    registry.getOrElse(stage.name,
+      throw new IllegalArgumentException(
+        s"unknown transformer: ${stage.name} (known: ${names.mkString(",")})"))(stage.args)
+
+  def apply(df: DataFrame, stages: Seq[TransformStage]): DataFrame =
+    stages.foldLeft(df)((d, s) => resolve(s)(d))
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.dsl.QueryCompiler
+import graft.spec.{MergeDirection, MergerSpec}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, MapType, StructType}
+
+/** The merger: a correlated equi-lookup join with modifier flags
+  * (SURVEY §2.3; reference: `setup_merger`, etl_cli/etl.py:148-187).
+  *
+  * `query` values shaped `#field#` are correlated keys — "look the merger
+  * up where merger.<key> equals the current source record's <field>"
+  * (etl_cli/etl.py:182-183). Literal values pre-filter the merger side.
+  * All modes compile to ONE Spark join + select-list post-processing, so
+  * Catalyst/AQE pick the physical strategy (broadcast vs sort-merge);
+  * we add a broadcast hint when the merger is a small dimension.
+  */
+object MergePlanner {
+
+  private val MPrefix = "__m_"
+  private val Marker  = "__m_matched__"
+
+  /** Scalar, sort-friendly types usable as deterministic tiebreakers. */
+  private[operators] def sortable(dt: DataType): Boolean = dt match {
+    case _: ArrayType | _: MapType | _: StructType | BinaryType => false
+    case _ => true
+  }
+
+  /** Split the merger query into correlated (mergerKey → sourceField)
+    * pairs and literal filter params.
+    */
+  def splitQuery(query: Seq[(String, String)]): (Seq[(String, String)], Seq[(String, String)]) = {
+    val corr = query.collect {
+      case (k, v) if v.length > 2 && v.startsWith("#") && v.endsWith("#") =>
+        (k, v.substring(1, v.length - 1))
+    }
+    val corrKeys = corr.map(_._1).toSet
+    (corr, query.filterNot { case (k, v) =>
+      corrKeys.contains(k) && v.startsWith("#") && v.endsWith("#")
+    })
+  }
+
+  /** Deterministic "first match" for match_one (J5; etl_cli/etl.py:47,164):
+    * row_number over the join keys ordered by the merger's sortable
+    * columns, keep rn = 1.
+    */
+  private def dedupeOne(m: DataFrame, keys: Seq[String]): DataFrame = {
+    val orderCols = m.schema.fields.toSeq
+      .filter(f => !keys.contains(f.name) && sortable(f.dataType))
+      .map(f => col(f.name).asc)
+    val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
+      .orderBy((if (orderCols.isEmpty) Seq(lit(1).asc) else orderCols).toIndexedSeq: _*)
+    m.withColumn("__rn__", row_number().over(w)).filter(col("__rn__") === 1).drop("__rn__")
+  }
+
+  def merge(src: DataFrame, mergerRaw: DataFrame, spec: MergerSpec,
+            broadcastMerger: Boolean = true): DataFrame = {
+    val (corr, literals) = splitQuery(spec.query)
+    require(corr.nonEmpty, "merger requires at least one #field# correlated key (--mkeys)")
+
+    // Literal params filter the merger side with the same query DSL.
+    val filtered = QueryCompiler.apply(mergerRaw, literals)
+
+    val mKeys = corr.map(_._1)
+    val deduped =
+      if (spec.unwind || !spec.matchOne) filtered else dedupeOne(filtered, mKeys)
+
+    // Rename merger columns so the join output has no ambiguity.
+    val renamed0 = deduped.columns.foldLeft(deduped)((d, c) => d.withColumnRenamed(c, MPrefix + c))
+    val renamed = renamed0.withColumn(Marker, lit(true))
+    val m = if (broadcastMerger) broadcast(renamed) else renamed
+
+    // J7 strict_match: null-rejecting === ; default tolerant <=> (null keys
+    // match null keys — mongo missing-field tolerance, SURVEY §2.3).
+    val cond: Column = corr.map { case (mk, sf) =>
+      if (spec.strictMatch) src(sf) === m(MPrefix + mk) else src(sf) <=> m(MPrefix + mk)
+    }.reduce(_ && _)
+
+    // J4 require_no_match → anti; J3 require_match → inner; else left outer.
+    if (spec.requireNoMatch) return src.join(m, cond, "left_anti")
+    val joined = src.join(m, cond, if (spec.requireMatch) "inner" else "left_outer")
+
+    val srcCols  = src.columns.toSeq
+    val mrgCols  = deduped.columns.toSeq
+    val shared   = mrgCols.filter(srcCols.contains)
+    val mrgOnly  = mrgCols.filterNot(srcCols.contains)
+    val matched  = col(Marker).isNotNull && col(Marker)
+
+    val out = spec.mergeAs match {
+      case Some(nestField) =>
+        // J8 merge_as: nest the whole matched merger record under one field.
+        val nested = when(matched,
+          struct(mrgCols.map(c => col(MPrefix + c).as(c)).toIndexedSeq: _*))
+        joined.select((srcCols.map(col) :+ nested.as(nestField)).toIndexedSeq: _*)
+      case None =>
+        // J2 merge direction: which side's value wins on shared columns.
+        val overlaid = srcCols.map { c =>
+          if (shared.contains(c)) spec.direction match {
+            case MergeDirection.M2S => coalesce(col(MPrefix + c), col(c)).as(c)
+            case MergeDirection.S2M => coalesce(col(c), col(MPrefix + c)).as(c)
+          } else col(c)
+        }
+        val extras = mrgOnly.map(c => col(MPrefix + c).as(c))
+        joined.select((overlaid ++ extras).toIndexedSeq: _*)
+    }
+    out
+  }
+}

@@ -1,0 +1,184 @@
+package graft.operators
+
+import graft.dsl.QueryCompiler
+import graft.spec.{TargetSpec, WriteOp}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed target write operations (SURVEY §2.4; reference: OPS,
+  * etl_cli/etl.py:13 and `setup_target`, etl_cli/etl.py:189-248).
+  *
+  * Each op is expressed as a pure `(target, source) => newTarget`
+  * DataFrame transform (the MERGE family emulated with anti-join +
+  * overlay + union — SURVEY §7.4.1), plus an atomic temp-swap writer.
+  * Keeping the transform pure makes every op oracle-testable in SQL and
+  * lets callers compose (e.g. fixpoint loops) without touching storage.
+  *
+  * Source columns are prefix-renamed before the pk join so the ops are
+  * safe even when source and target share lineage (self-update,
+  * etl_cli/etl.py:281-295) — no ambiguous-attribute self-join pitfalls.
+  *
+  * Scale notes: the pk join is the only shuffle; when the source batch
+  * is small relative to the target (the common incremental case) AQE
+  * broadcasts it. The full-rewrite model matches the reference's
+  * backend-agnostic semantics; on a real lake you'd swap the writer for
+  * Delta/Iceberg MERGE while keeping these transforms as the spec.
+  */
+object WriteOps {
+
+  private val SPrefix = "__s_"
+
+  /** Dedupe a batch on pk, keeping a deterministic first row per key —
+    * the engine-side analog of the reference's unique-index dup guard
+    * (etl_cli/etl.py:230-235).
+    */
+  def dedupeByPk(df: DataFrame, pk: Seq[String]): DataFrame = {
+    if (pk.isEmpty) return df
+    val others = df.schema.fields.toSeq
+      .filter(f => !pk.contains(f.name) && MergePlanner.sortable(f.dataType))
+      .map(f => col(f.name).asc)
+    val w = Window.partitionBy(pk.map(col).toIndexedSeq: _*)
+      .orderBy((if (others.isEmpty) Seq(lit(1).asc) else others).toIndexedSeq: _*)
+    df.withColumn("__rn__", row_number().over(w)).filter(col("__rn__") === 1).drop("__rn__")
+  }
+
+  /** Align a source batch to the target schema: keep target columns only,
+    * cast, null-fill the missing — schema-free write tolerance
+    * (SURVEY §7.4.3).
+    */
+  def align(src: DataFrame, target: DataFrame): DataFrame =
+    src.select(target.schema.fields.toSeq.map { f =>
+      if (src.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+
+  /** Rename all columns with the source prefix (fresh attribute ids →
+    * self-join safe).
+    */
+  private def renameSrc(src: DataFrame): DataFrame =
+    src.select(src.columns.toSeq.map(c => col(c).as(SPrefix + c)).toIndexedSeq: _*)
+
+  private def pkCond(t: DataFrame, pk: Seq[String]): Column =
+    pk.map(k => t(k) <=> col(SPrefix + k)).reduce(_ && _)
+
+  /** Restrict which target rows the op may touch (`--tq`, F10). */
+  private def tqSplit(target: DataFrame, tq: Seq[(String, String)]): (DataFrame, DataFrame) = {
+    if (tq.isEmpty) return (target, target.limit(0))
+    val preds = QueryCompiler.compile(target, tq).predicates
+    val touchable = preds.foldLeft(target)(_ filter _)
+    val untouchable = target.filter(!preds.reduce(_ && _))
+    (touchable, untouchable)
+  }
+
+  /** W1 create: append. With a pk the reference auto-requests a unique
+    * mongo index (etl_cli/etl.py:230-235), so duplicate keys can never
+    * land in the target — re-running the same create is a no-op, which
+    * makes create-with-pk coincide with insert (skip-if-exists), the
+    * same collapse the reference performs for its insert op.
+    */
+  def create(target: DataFrame, src: DataFrame, pk: Seq[String]): DataFrame =
+    if (pk.isEmpty) target.unionByName(align(src, target))
+    else insert(target, src, pk)
+
+  /** W6/W7 insert = create + skip-if-exists on pk (reference compiles
+    * insert to create + target.skip_by, etl_cli/etl.py:208-210).
+    */
+  def insert(target: DataFrame, src: DataFrame, pk: Seq[String]): DataFrame = {
+    val s = renameSrc(dedupeByPk(align(src, target), pk))
+    val fresh = s.join(target.select(pk.map(col).toIndexedSeq: _*),
+        pk.map(k => col(SPrefix + k) <=> col(k)).reduce(_ && _), "left_anti")
+      .select(target.columns.toSeq.map(c => col(SPrefix + c).as(c)).toIndexedSeq: _*)
+    target.unionByName(fresh)
+  }
+
+  /** W3 update: overlay source onto MATCHING target rows only; rows
+    * outside `tq` are never touched. With an explicit `overwrite` list
+    * (W9) ONLY listed fields take the source value; otherwise the source
+    * value wins where non-null (schema-free overlay tolerance).
+    */
+  def update(target: DataFrame, src: DataFrame, pk: Seq[String],
+             tq: Seq[(String, String)] = Nil, overwrite: Seq[String] = Nil): DataFrame = {
+    val s = renameSrc(dedupeByPk(src, pk)).withColumn(SPrefix + "__matched", lit(true))
+    val (touchable, untouchable) = tqSplit(target, tq)
+    val joined = touchable.join(s, pkCond(touchable, pk), "left_outer")
+    val matched = col(SPrefix + "__matched").isNotNull
+    val outCols = target.columns.toSeq.map { c =>
+      val sc = SPrefix + c
+      if (pk.contains(c) || !src.columns.contains(c)) col(c).as(c)
+      else {
+        val srcVal = col(sc).cast(target.schema(c).dataType)
+        val pick =
+          if (overwrite.nonEmpty) { if (overwrite.contains(c)) srcVal else col(c) }
+          else coalesce(srcVal, col(c))
+        when(matched, pick).otherwise(col(c)).as(c)
+      }
+    }
+    // Schema-free update semantics: fields new to the target extend its
+    // schema (mongo $set idiom, SURVEY §7.4.3) — null where unmatched.
+    val newCols = src.columns.toSeq.filterNot(target.columns.contains).map { c =>
+      when(matched, col(SPrefix + c)).otherwise(lit(null)).as(c)
+    }
+    joined.select((outCols ++ newCols).toIndexedSeq: _*)
+      .unionByName(untouchable, allowMissingColumns = true)
+  }
+
+  /** W4 upsert: update where matched, insert where not. */
+  def upsert(target: DataFrame, src: DataFrame, pk: Seq[String],
+             tq: Seq[(String, String)] = Nil, overwrite: Seq[String] = Nil): DataFrame = {
+    val updated = update(target, src, pk, tq, overwrite)
+    insert(updated, src, pk)
+  }
+
+  /** W2 index: keyed overwrite — the ES "write with doc id = pk" idiom:
+    * the incoming record fully replaces any record with the same pk.
+    */
+  def index(target: DataFrame, src: DataFrame, pk: Seq[String]): DataFrame =
+    insert(delete(target, src, pk), src, pk)
+
+  /** W5 delete: remove target rows whose pk appears in the source
+    * (restricted by `tq` if given).
+    */
+  def delete(target: DataFrame, src: DataFrame, pk: Seq[String],
+             tq: Seq[(String, String)] = Nil): DataFrame = {
+    val keys = renameSrc(src.select(pk.map(col).toIndexedSeq: _*))
+    val (touchable, untouchable) = tqSplit(target, tq)
+    touchable.join(keys, pkCond(touchable, pk), "left_anti")
+      .unionByName(untouchable)
+  }
+
+  /** Dispatch on the op. `--tf` projection (W8) applies to the batch
+    * before the op; `_etl_ts` stamping (W10) happens at write time.
+    */
+  def applyOp(target: DataFrame, src: DataFrame, spec: TargetSpec): DataFrame = {
+    val pk = if (spec.pk.nonEmpty) spec.pk else spec.skipBy
+    require(pk.nonEmpty || spec.op == WriteOp.Create,
+      s"op ${spec.op.name} requires a pk (--pk / -o op:pk)")
+    val batch = if (spec.fields.nonEmpty) QueryCompiler.project(src, spec.fields) else src
+    spec.op match {
+      case WriteOp.Create if spec.skipBy.nonEmpty => insert(target, batch, spec.skipBy)
+      case WriteOp.Create if pk.nonEmpty => create(target, batch, pk)
+      case WriteOp.Create => target.unionByName(align(batch, target))
+      case WriteOp.Insert => insert(target, batch, pk)
+      case WriteOp.Index  => index(target, batch, pk)
+      case WriteOp.Update => update(target, batch, pk, spec.query, spec.overwrite)
+      case WriteOp.Upsert => upsert(target, batch, pk, spec.query, spec.overwrite)
+      case WriteOp.Delete => delete(target, batch, pk, spec.query)
+    }
+  }
+
+  /** Atomic full-rewrite: write to a temp dir next to the target, then
+    * swap (SURVEY §7.4.1 — rewrite atomicity without a table format).
+    */
+  def atomicOverwrite(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "._tmp_" + System.nanoTime())
+    val bak = new org.apache.hadoop.fs.Path(path + "._bak")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(hPath)) fs.rename(hPath, bak)
+    fs.rename(tmp, hPath)
+    fs.delete(bak, true)
+  }
+}

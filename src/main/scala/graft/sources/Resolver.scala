@@ -1,0 +1,154 @@
+package graft.sources
+
+import graft.spec.DatasetRef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** DatasetRef → DataFrame (SURVEY §2.1). The reference addresses
+  * backend/ns/name where backend is a connector (mongo/es/http/s3/csv,
+  * etl_cli/etl.py:230-261); in this engine a backend is a Spark data
+  * source format and `ns` is a directory (or URL for http).
+  *
+  *   parquet/ns/name → spark.read.parquet("ns/name.parquet")
+  *   csv/ns/name     → header csv with optional explicit schema
+  *   json/ns/name    → json lines
+  *   http/url-ns/x   → driver-side fetch, single-record semantics
+  *                     (reference forces _limit=1, etl_cli/etl.py:127)
+  *
+  * Paths never assume a local filesystem: "ns" may be s3a://… or
+  * hdfs://… — Spark's Hadoop FS layer resolves it, so the same code
+  * runs on a cluster. Scans are distributed and partition-pruned by
+  * Spark; the reference's per-backend pagination hints
+  * (etl_cli/etl.py:250-261) are intentionally dropped (SURVEY §4).
+  */
+object Resolver {
+
+  def path(ref: DatasetRef): String = {
+    val ext = ref.backend match {
+      case "parquet" => ".parquet"
+      case "csv"     => ".csv"
+      case "json"    => ".json"
+      case _         => ""
+    }
+    val base = if (ref.ns.isEmpty) ref.name else s"${ref.ns}/${ref.name}"
+    base + ext
+  }
+
+  def read(spark: SparkSession, ref: DatasetRef, schema: Option[StructType] = None): DataFrame =
+    ref.backend match {
+      case "parquet" =>
+        readParquet(spark, path(ref))
+      case "csv" =>
+        val r = spark.read.option("header", "true")
+        schema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path(ref))
+      case "json" =>
+        val r = spark.read
+        schema.fold(r)(s => r.schema(s)).json(path(ref))
+      case "http" =>
+        // S4: fetch one document on the driver; single-row semantics.
+        import spark.implicits._
+        val url = s"${ref.ns}/${ref.name}"
+        val body = scala.io.Source.fromURL(url).mkString
+        spark.read.json(Seq(body).toDS()).limit(1)
+      case other =>
+        throw new IllegalArgumentException(s"unknown backend: $other")
+    }
+
+  /** Parquet files written with nanosecond TIMESTAMP(NANOS) columns
+    * (the pyarrow/pandas default) are illegal for Spark's parquet reader
+    * ([PARQUET_TYPE_ILLEGAL]). We detect them from one file footer
+    * (driver-side, O(1) — no data scan), read them as raw long nanos via
+    * `spark.sql.legacy.parquet.nanosAsLong`, and convert to
+    * TimestampType at microsecond precision. Integer `div` (not `/`)
+    * avoids double-precision loss on epoch-nanos > 2^53.
+    */
+  def readParquet(spark: SparkSession, pathStr: String): DataFrame = {
+    val nanos = nanoTimestampCols(spark, pathStr)
+    if (nanos.isEmpty) spark.read.parquet(pathStr)
+    else {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      nanos.foldLeft(spark.read.parquet(pathStr)) { (df, c) =>
+        df.withColumn(c, org.apache.spark.sql.functions.expr(
+          s"timestamp_micros(`$c` div 1000)"))
+      }
+    }
+  }
+
+  /** Top-level TIMESTAMP(NANOS) columns per the parquet footer of the
+    * first data file under `pathStr` (files of one dataset share a
+    * writer schema).
+    */
+  private def nanoTimestampCols(spark: SparkSession, pathStr: String): Seq[String] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(pathStr)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Nil
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.map(_.getPath)
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      else Some(p)
+    file.toSeq.flatMap { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        reader.getFooter.getFileMetaData.getSchema.getFields.asScala.toSeq.collect {
+          case t if t.getLogicalTypeAnnotation != null &&
+            t.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] &&
+            t.getLogicalTypeAnnotation.asInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]
+              .getUnit == LogicalTypeAnnotation.TimeUnit.NANOS =>
+            t.getName
+        }
+      } finally reader.close()
+    }
+  }
+
+  /** S7: wildcard fan-out `prefix*suffix` over datasets in a namespace
+    * (reference: `ls_sources`, etl_cli/etl.py:364-377). Lists the ns
+    * directory through the Hadoop FS API so it works on any scheme.
+    */
+  def expandWildcard(spark: SparkSession, ref: DatasetRef): Seq[DatasetRef] = {
+    if (!ref.name.contains("*")) return Seq(ref)
+    val ext = ref.backend match {
+      case "parquet" => ".parquet"
+      case "csv" => ".csv"
+      case "json" => ".json"
+      case _ => ""
+    }
+    val dir = new org.apache.hadoop.fs.Path(if (ref.ns.isEmpty) "." else ref.ns)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Nil
+    val pat = java.util.regex.Pattern.compile(
+      ref.name.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString(".*"))
+    fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(n => ext.isEmpty || n.endsWith(ext))
+      .map(n => if (ext.nonEmpty) n.stripSuffix(ext) else n)
+      .filter(n => pat.matcher(n).matches())
+      .sorted
+      .map(n => ref.copy(name = n))
+  }
+
+  /** S9: list dataset names in a namespace (reference: `ls_ns`,
+    * etl_cli/base.py:541-561).
+    */
+  def listDatasets(spark: SparkSession, backend: String, ns: String): Seq[String] =
+    expandWildcard(spark, DatasetRef(backend, ns, "*")).map(_.name)
+
+  /** S10: drop a dataset (reference: `drop_ds`, etl_cli/base.py:506-519). */
+  def drop(spark: SparkSession, ref: DatasetRef): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path(ref))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+  }
+
+  /** S10: drop a whole namespace (`--drop-ns`, etl_cli/base.py:114-115). */
+  def dropNamespace(spark: SparkSession, backend: String, ns: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(ns)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+  }
+}

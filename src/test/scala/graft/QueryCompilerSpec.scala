@@ -1,0 +1,78 @@
+package graft
+
+import graft.dsl.QueryCompiler
+import graft.spec.DatasetRef
+
+class QueryCompilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val df = Seq(
+    (1L, "US", 10.0, "alpha"),
+    (2L, "DE", 20.0, "beta"),
+    (3L, "US", 30.0, "gamma"),
+    (4L, "FR", 40.0, null),
+    (5L, "US", 50.0, "delta")
+  ).toDF("id", "country", "amount", "tag")
+
+  test("splitOp: default eq, double-underscore suffix, dotted paths") {
+    assert(QueryCompiler.splitOp("country") == ("country", "eq"))
+    assert(QueryCompiler.splitOp("amount__gte") == ("amount", "gte"))
+    assert(QueryCompiler.splitOp("logs.job.contid__ne") == ("logs.job.contid", "ne"))
+  }
+
+  test("F1 equality + F2 operator family") {
+    def ids(q: (String, String)*): Seq[Long] =
+      QueryCompiler.apply(df, q.toSeq :+ ("_sort" -> "id"))
+        .select("id").as[Long].collect().toSeq
+    assert(ids("country" -> "US") == Seq(1L, 3L, 5L))
+    assert(ids("amount__gt" -> "20") == Seq(3L, 4L, 5L))
+    assert(ids("amount__lte" -> "20") == Seq(1L, 2L))
+    assert(ids("country__ne" -> "US") == Seq(2L, 4L))
+    assert(ids("country__in" -> "DE,FR") == Seq(2L, 4L))
+    assert(ids("country__nin" -> "DE,FR") == Seq(1L, 3L, 5L))
+    assert(ids("tag__exists" -> "1") == Seq(1L, 2L, 3L, 5L))
+    assert(ids("tag__exists" -> "0") == Seq(4L))
+    assert(ids("tag__regex" -> "^[ab]") == Seq(1L, 2L))
+    assert(ids("tag__contains" -> "lt") == Seq(5L))
+    assert(ids("tag__startswith" -> "de") == Seq(5L))
+    assert(ids("tag__endswith" -> "a") == Seq(1L, 2L, 3L, 5L))
+    assert(ids("amount__between" -> "15,35") == Seq(2L, 3L))
+    assert(ids("tag__nsne" -> "alpha") == Seq(2L, 3L, 4L, 5L))
+  }
+
+  test("F3/F4 limit + sort desc") {
+    val got = QueryCompiler.apply(df,
+      Seq("_sort" -> "-amount", "_limit" -> "2")).select("id").as[Long].collect().toSeq
+    assert(got == Seq(5L, 4L))
+  }
+
+  test("F5 projection with exclusion, repeated _fields accumulate") {
+    val inc = QueryCompiler.apply(df, Seq("_fields" -> "id", "_fields" -> "tag"))
+    assert(inc.columns.toSeq == Seq("id", "tag"))
+    val exc = QueryCompiler.apply(df, Seq("_fields" -> "-tag,-country"))
+    assert(exc.columns.toSeq == Seq("id", "amount"))
+  }
+
+  test("[EXT] _group/_agg DSL") {
+    val got = QueryCompiler.apply(df, Seq(
+      "_group" -> "country", "_agg" -> "count:*,sum:amount", "_sort" -> "country"))
+    assert(got.columns.toSeq == Seq("country", "count_all", "sum_amount"))
+    assert(rows(got) == Seq(Seq("DE", 1L, 20.0), Seq("FR", 1L, 40.0), Seq("US", 3L, 90.0)))
+  }
+
+  test("typed literals resolve nested dotted paths") {
+    val nested = df.selectExpr("id", "struct(country as code, amount as amt) as geo")
+    val got = QueryCompiler.apply(nested,
+      Seq("geo.code" -> "US", "geo.amt__gte" -> "30", "_sort" -> "id"))
+    assert(got.select("id").as[Long].collect().toSeq == Seq(3L, 5L))
+  }
+
+  test("DatasetRef parse + %TODAY%") {
+    assert(DatasetRef.parse("mongo/standards/regions") ==
+      DatasetRef("mongo", "standards", "regions"))
+    assert(DatasetRef.parse("parquet/a/b/c/t") == DatasetRef("parquet", "a/b/c", "t"))
+    assert(DatasetRef.parse("es/idx") == DatasetRef("es", "", "idx"))
+    val today = DatasetRef.parse("mongo/ns/snap_%TODAY%")
+    assert(today.name == s"snap_${DatasetRef.today()}")
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.engine.Runner
+import graft.functions.StructUtils
+import graft.sources.Resolver
+import graft.spec._
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class RunnerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("S12 count honors the _limit cap (min rule, base.py:486-490)") {
+    val s = SourceSpec(DatasetRef("parquet", "/root/testdata/sf0.001", "lineitem"),
+      Seq("l_returnflag" -> "R", "_limit" -> "10"))
+    assert(Runner.count(spark, s) == 10L)
+    val noLimit = s.copy(query = Seq("l_returnflag" -> "R"))
+    assert(Runner.count(spark, noLimit) > 10L)
+  }
+
+  test("O2 auto worker sizing: ceil(total/1000) capped at 100") {
+    assert(Runner.autoWorkers(0) == 1)
+    assert(Runner.autoWorkers(999) == 1)
+    assert(Runner.autoWorkers(1001) == 2)
+    assert(Runner.autoWorkers(1000000) == 100)
+  }
+
+  test("S7 wildcard expansion lists matching datasets") {
+    val refs = Resolver.expandWildcard(spark,
+      DatasetRef("parquet", "/root/testdata/sf0.001", "*"))
+    assert(refs.map(_.name).contains("lineitem"))
+    assert(refs.size == 10)
+    val some = Resolver.expandWildcard(spark,
+      DatasetRef("parquet", "/root/testdata/sf0.001", "*ion"))
+    assert(some.map(_.name).toSet == Set("nation", "region"))
+  }
+
+  test("execute writes a target atomically and logs the job") {
+    val dir = Files.createTempDirectory("graft_exec").toString
+    val job = JobSpec(
+      SourceSpec(DatasetRef("parquet", "/root/testdata/sf0.001", "region")),
+      target = Some(TargetSpec(DatasetRef("parquet", dir, "region_copy"),
+        op = WriteOp.Create)))
+    val res = Runner.execute(spark, job)
+    assert(res.written == 5)
+    val written = spark.read.parquet(s"$dir/region_copy.parquet")
+    assert(written.columns.contains("_etl_ts"))
+    assert(written.count() == 5)
+    val logs = spark.read.parquet(s"$dir/_logs.parquet")
+    assert(logs.count() == 1 && logs.select("op").as[String].head() == "create")
+  }
+
+  test("O4 fixpoint loop terminates and processes all pending rows") {
+    val dir = Files.createTempDirectory("graft_loop").toString
+    sf("events").limit(50).write.parquet(s"$dir/ev.parquet")
+    val ref = DatasetRef("parquet", dir, "ev")
+    // self-update: mark all rows processed via upsert on event_id
+    val job = JobSpec(
+      SourceSpec(ref, Seq("_contid__exists" -> "0")),
+      target = Some(TargetSpec(ref, op = WriteOp.Upsert, pk = Seq("event_id"))),
+      contid = Some("run-1"))
+    val res = Runner.runLoop(spark, job)
+    assert(res.iterations >= 1)
+    val after = spark.read.parquet(s"$dir/ev.parquet")
+    assert(after.filter(col("_contid") === "run-1").count() == 50)
+    // loop again: nothing pending, 0 iterations
+    val res2 = Runner.runLoop(spark, job)
+    assert(res2.iterations == 0)
+  }
+
+  test("§2.7 diff: symmetric difference with context columns") {
+    val a = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val b = Seq((2L, "y"), (3L, "z")).toDF("id", "v")
+    val d = Runner.diff(a, b)
+    assert(rows(d.orderBy("id")) == Seq(Seq(1L, "x", "a"), Seq(3L, "z", "b")))
+  }
+
+  test("flat↔nest roundtrip (base.py:298 flat/unflat analog)") {
+    val df = Seq((1L, "us", 2.0)).toDF("id", "code", "amt")
+      .selectExpr("id", "struct(code, amt) as geo")
+    val flat = StructUtils.flatten(df)
+    assert(flat.columns.toSeq == Seq("id", "geo_code", "geo_amt"))
+    val back = StructUtils.nest(flat)
+    assert(back.columns.toSeq == Seq("id", "geo"))
+    assert(rows(back.select("geo.code")) == Seq(Seq("us")))
+  }
+
+  test("S10 drop dataset") {
+    val dir = Files.createTempDirectory("graft_drop").toString
+    sf("region").write.parquet(s"$dir/r.parquet")
+    val ref = DatasetRef("parquet", dir, "r")
+    assert(Resolver.drop(spark, ref))
+    assert(Resolver.expandWildcard(spark, ref.copy(name = "*")).isEmpty)
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.WriteOps
+
+class WriteOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val target = Seq(
+    (1L, "a", 10.0, "keep"),
+    (2L, "b", 20.0, "keep"),
+    (3L, "c", 30.0, "keep")
+  ).toDF("id", "name", "price", "status")
+
+  lazy val batch = Seq(
+    (2L, "B2", 200.0),
+    (4L, "d", 40.0)
+  ).toDF("id", "name", "price")
+
+  private def state(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    rows(df.orderBy("id"))
+
+  test("W1 create with pk is dup-safe (unique-index semantics): idempotent") {
+    val dup = batch.union(batch)
+    val out = WriteOps.create(target, dup, Seq("id"))
+    // batch-internal dup removed AND existing id=2 not duplicated
+    assert(out.count() == 4)
+    assert(WriteOps.create(out, batch, Seq("id")).count() == 4)
+    // no pk → plain append keeps everything
+    assert(WriteOps.create(target, batch, Nil).count() == 5)
+  }
+
+  test("W6 insert skips existing keys") {
+    val out = WriteOps.insert(target, batch, Seq("id"))
+    assert(state(out.select("id", "name")) ==
+      Seq(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c"), Seq(4L, "d")))
+  }
+
+  test("W3 update touches matching keys only; missing cols null-filled") {
+    val out = WriteOps.update(target, batch, Seq("id"))
+    assert(state(out.select("id", "name", "price", "status")) == Seq(
+      Seq(1L, "a", 10.0, "keep"),
+      Seq(2L, "B2", 200.0, "keep"), // status survives (not in batch)
+      Seq(3L, "c", 30.0, "keep")))
+  }
+
+  test("W9 overwrite list: only listed fields take source values") {
+    val out = WriteOps.update(target, batch, Seq("id"), overwrite = Seq("price"))
+    assert(state(out.select("id", "name", "price")) == Seq(
+      Seq(1L, "a", 10.0),
+      Seq(2L, "b", 200.0), // name NOT overwritten
+      Seq(3L, "c", 30.0)))
+  }
+
+  test("F10 tq restricts updatable rows") {
+    val t2 = target.withColumn("status",
+      org.apache.spark.sql.functions.when($"id" === 2L, "frozen").otherwise($"status"))
+    val out = WriteOps.update(t2, batch, Seq("id"), tq = Seq("status" -> "keep"))
+    assert(out.filter($"id" === 2L).select("name").as[String].head() == "b")
+  }
+
+  test("W4 upsert = update ∪ insert") {
+    val out = WriteOps.upsert(target, batch, Seq("id"))
+    assert(state(out.select("id", "name", "status")) == Seq(
+      Seq(1L, "a", "keep"),
+      Seq(2L, "B2", "keep"),
+      Seq(3L, "c", "keep"),
+      Seq(4L, "d", null)))
+  }
+
+  test("W4 upsert idempotence: upsert∘upsert = upsert") {
+    val once = WriteOps.upsert(target, batch, Seq("id"))
+    val twice = WriteOps.upsert(once, batch, Seq("id"))
+    assert(state(twice) == state(once))
+  }
+
+  test("W2 index fully replaces the record (no coalesce)") {
+    val b = Seq((2L, "B2", null.asInstanceOf[java.lang.Double]))
+      .toDF("id", "name", "price")
+    val out = WriteOps.index(target, b, Seq("id"))
+    val r2 = out.filter($"id" === 2L).select("price", "status").collect()(0)
+    assert(r2.get(0) == null && r2.get(1) == null) // full replace, not overlay
+  }
+
+  test("W5 delete removes matching pk rows") {
+    val out = WriteOps.delete(target, batch, Seq("id"))
+    assert(out.select("id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
+  test("update extends schema with new source columns (mongo $set)") {
+    val b = Seq((2L, "x-new")).toDF("id", "extra")
+    val out = WriteOps.update(target, b, Seq("id"))
+    assert(out.columns.contains("extra"))
+    assert(out.filter($"id" === 2L).select("extra").as[String].head() == "x-new")
+    assert(out.filter($"id" === 1L).select("extra").collect()(0).get(0) == null)
+  }
+}
