@@ -20,7 +20,7 @@ object SparkEntry {
   private def src(dir: String, name: String, query: (String, String)*) =
     SourceSpec(ds(dir, name), query.toSeq)
   private def read(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.sources.Resolver.readParquet(s, s"$dir/$name.parquet")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -191,6 +191,79 @@ object SparkEntry {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).drop("rn")
         .orderBy("doc_id")
+    }),
+
+    // ── [EXT] §2.10 exact n-gram Jaccard near-dup pairs ───────────────
+    "q_dedup_jaccard" -> ((s, dir) =>
+      graft.ext.TextDedup.jaccardPairs(read(s, dir, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.8).orderBy("id_a", "id_b")),
+
+    // ── [EXT] §2.10 MinHash+LSH near-dup pairs (exact-verified) ───────
+    "q_dedup_minhash" -> ((s, dir) =>
+      graft.ext.TextDedup.minhashPairs(read(s, dir, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.8).orderBy("id_a", "id_b")),
+
+    // ── [EXT] §2.10 SimHash near-dup pairs (hash-based; rows-only) ────
+    "q_dedup_simhash" -> ((s, dir) =>
+      graft.ext.TextDedup.simhashPairs(read(s, dir, "documents"),
+        "doc_id", "text", maxDist = 3).orderBy("id_a", "id_b")),
+
+    // ── [EXT] §2.10 text analysis: counts/ratios/langid/quality ───────
+    "q_text_stats" -> ((s, dir) =>
+      graft.ext.TextAnalysis.analyze(read(s, dir, "documents"))
+        .withColumn("quality", graft.ext.TextAnalysis.qualityScore(col("text"), col("n_chars")))
+        .select("doc_id", "ws_tokens", "bpe_tokens", "punct_ratio",
+          "avg_word_len", "stopword_ratio", "lang_id", "quality")
+        .orderBy("doc_id")),
+
+    // ── [EXT] §2.10 doc fingerprints (hash-based; rows-only) ──────────
+    "q_fingerprint" -> ((s, dir) =>
+      read(s, dir, "documents").select(col("doc_id"),
+        graft.ext.TextAnalysis.contentFingerprint(col("text")).as("content_fp"),
+        graft.ext.TextAnalysis.minShingleFingerprint(col("text")).as("minshingle_fp"))
+        .orderBy("doc_id")),
+
+    // ── [EXT] §2.10 brute-force cosine top-k (ANN baseline) ───────────
+    "q_ann_topk" -> ((s, dir) => {
+      val e = read(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      graft.ext.Similarity.bruteTopK(q, e, 5).orderBy("q_id", "rank")
+    }),
+
+    // ── [EXT] §2.10 embedding near-dup pairs (exact cosine) ───────────
+    "q_embed_pairs" -> ((s, dir) =>
+      graft.ext.Similarity.cosinePairs(read(s, dir, "embeddings"), 0.35)
+        .orderBy("id_a", "id_b")),
+
+    // ── [EXT] §2.10 hyperplane-LSH neighbor pairs (rows-only) ─────────
+    "q_embed_lsh" -> ((s, dir) =>
+      graft.ext.Similarity.lshPairs(read(s, dir, "embeddings"), 0.35)
+        .orderBy("id_a", "id_b")),
+
+    // ── [EXT] §2.9 event-time tumbling window agg ─────────────────────
+    "q_window_tumbling" -> ((s, dir) =>
+      graft.ext.EventWindows.tumbling(read(s, dir, "events"), "10 minutes")
+        .orderBy("window_start", "event_type")),
+
+    // ── [EXT] §2.9 sliding windows ────────────────────────────────────
+    "q_window_sliding" -> ((s, dir) =>
+      graft.ext.EventWindows.sliding(read(s, dir, "events"), "10 minutes", "5 minutes")
+        .orderBy("window_start")),
+
+    // ── [EXT] §2.9 session windows per user ───────────────────────────
+    "q_window_session" -> ((s, dir) =>
+      graft.ext.EventWindows.sessions(read(s, dir, "events"), "30 minutes")
+        .orderBy("user_id", "session_start")),
+
+    // ── [EXT] §2.10 multimodal plumbing: stub features (rows-only) ────
+    "q_media_features" -> ((s, dir) => {
+      val media = graft.ext.Multimodal.asMedia(
+        read(s, dir, "documents"), "doc_id", "text", kind = "image")
+      graft.ext.Multimodal.extractFeatures(s, media)
+        .select(col("media_id"), col("meta.width").as("width"),
+          element_at(col("features"), 1).as("f0"))
+        .orderBy("media_id")
     })
   )
 
@@ -297,6 +370,132 @@ object SparkEntry {
       """SELECT doc_id, text, lang, source, n_chars FROM (
            SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
            FROM documents)
-         WHERE rn = 1 ORDER BY doc_id"""
+         WHERE rn = 1 ORDER BY doc_id""",
+    "q_dedup_jaccard" -> JaccardOracle,
+    "q_dedup_minhash" -> JaccardOracle, // LSH recall ≈ 1 at j ≥ 0.8 ⇒ same result
+    "q_text_stats" -> TextStatsOracle,
+    "q_ann_topk" ->
+      """SELECT q_id, vec_id, sim, rank FROM (
+           SELECT q.vec_id AS q_id, e.vec_id,
+                  round(list_cosine_similarity(q.embedding, e.embedding), 4) AS sim,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                             e.vec_id) AS rank
+           FROM embeddings q JOIN embeddings e ON q.vec_id < 5 AND q.vec_id <> e.vec_id)
+         WHERE rank <= 5 ORDER BY q_id, rank""",
+    "q_embed_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+         ORDER BY id_a, id_b""",
+    "q_window_tumbling" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start, event_type,
+                count(*) AS n, round(sum(value), 4) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_window_sliding" ->
+      """SELECT ws AS window_start, count(*) AS n, round(sum(value), 4) AS sum_value
+         FROM (SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                              time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS ws,
+                      value
+               FROM events)
+         GROUP BY ws ORDER BY ws""",
+    "q_window_session" ->
+      """WITH o AS (
+           SELECT user_id, ts, value,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+           FROM events),
+         m AS (
+           SELECT *, CASE WHEN prev IS NULL
+                            OR ts - prev >= INTERVAL '30 minutes'
+                          THEN 1 ELSE 0 END AS new_s
+           FROM o),
+         s AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+           FROM m)
+         SELECT min(ts) AS session_start, user_id, count(*) AS n,
+                round(sum(value), 4) AS sum_value
+         FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
   )
+
+  /** Exact 3-gram Jaccard near-dup pairs ≥ 0.8 — shared by the exact
+    * and the MinHash+LSH (exact-verified) queries.
+    */
+  private val JaccardOracle: String =
+    """WITH toks AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                            x -> x <> '') AS t
+         FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id,
+                unnest(CASE WHEN len(t) >= 3
+                  THEN [t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                        FOR i IN range(len(t) - 2)]
+                  ELSE [] END) AS s
+         FROM toks),
+       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       common AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT id_a, id_b,
+              round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+       FROM common
+       JOIN sizes sa ON id_a = sa.doc_id
+       JOIN sizes sb ON id_b = sb.doc_id
+       WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+       ORDER BY id_a, id_b"""
+
+  /** DuckDB replica of TextAnalysis.analyze + qualityScore. */
+  private val TextStatsOracle: String =
+    """WITH t AS (
+         SELECT doc_id, text, n_chars,
+                list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                            x -> x <> '') AS toks
+         FROM documents),
+       r AS (
+         SELECT doc_id, text, n_chars, toks,
+           len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS ws_tokens,
+           len(regexp_extract_all(text, '\w+|[^\w\s]')) AS bpe_tokens,
+           CASE WHEN len(regexp_replace(text, '\s', '', 'g')) > 0
+                THEN len(regexp_replace(text, '[\w\s]', '', 'g')) * 1.0
+                     / len(regexp_replace(text, '\s', '', 'g'))
+                ELSE 0.0 END AS praw,
+           CASE WHEN len(toks) > 0
+                THEN list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks)
+                ELSE 0.0 END AS wraw,
+           CASE WHEN len(toks) > 0
+                THEN len(list_filter(toks, x -> list_contains(
+                  ['the','a','an','and','of','to','in','is','on','for','with',
+                   'that','it','as','at','by','this','be','are','was'], x))) * 1.0 / len(toks)
+                ELSE 0.0 END AS sraw,
+           len(list_filter(toks, x -> list_contains(
+             ['the','and','of','to','is','with','that','for'], x))) AS s_en,
+           len(list_filter(toks, x -> list_contains(
+             ['der','die','das','und','ist','nicht','mit','ein'], x))) AS s_de,
+           len(list_filter(toks, x -> list_contains(
+             ['le','les','et','est','une','pour','que','dans'], x))) AS s_fr,
+           len(list_filter(toks, x -> list_contains(
+             ['el','los','y','es','una','por','como','para'], x))) AS s_es,
+           len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk
+         FROM t)
+       SELECT doc_id, ws_tokens, bpe_tokens,
+         round(praw, 4) AS punct_ratio,
+         round(wraw, 4) AS avg_word_len,
+         round(sraw, 4) AS stopword_ratio,
+         CASE WHEN cjk * 1.0 / greatest(length(text), 1) >= 0.3 THEN 'zh'
+              WHEN s_en = greatest(s_en, s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+              WHEN s_de = greatest(s_en, s_de, s_fr, s_es) AND s_de > 0 THEN 'de'
+              WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) AND s_fr > 0 THEN 'fr'
+              WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND s_es > 0 THEN 'es'
+              ELSE 'en' END AS lang_id,
+         round(
+           (CASE WHEN n_chars BETWEEN 100 AND 10000 THEN 1.0
+                 WHEN n_chars BETWEEN 20 AND 99 THEN 0.5 ELSE 0.1 END) * 0.3 +
+           (CASE WHEN wraw BETWEEN 3 AND 12 THEN 1.0 ELSE 0.3 END) * 0.3 +
+           (CASE WHEN sraw >= 0.05 THEN 1.0 ELSE 0.5 END) * 0.2 +
+           (CASE WHEN praw <= 0.2 THEN 1.0 ELSE 0.2 END) * 0.2, 4)::DOUBLE AS quality
+       FROM r ORDER BY doc_id"""
 }

@@ -1,0 +1,99 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search ([EXT], SURVEY §2.10) over
+  * `array<float>` columns. Dot products / norms are zip_with+aggregate
+  * expressions (codegen'd, no UDF).
+  *
+  * Scale design:
+  *   - bruteTopK broadcasts the (small) query set against the corpus —
+  *     one scan, no shuffle of the corpus, a partial top-k per partition
+  *     via the window. Right answer for "a handful of queries vs 100 TB
+  *     of vectors".
+  *   - cosinePairs is the inverted variant of dedup: all-pairs above a
+  *     threshold. The hyperplane-LSH bucket join bounds candidates; the
+  *     brute path exists as the oracle-checkable baseline.
+  *   - hyperplane LSH: deterministic pseudo-random planes derived from
+  *     xxhash64(dim, plane) — no stored model, reproducible across runs
+  *     and engines.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns (computed in double).
+    * A codegen'd custom expression — the zip_with/aggregate HOF
+    * formulation is interpreted per element and was ~50× slower on the
+    * 2M-pair brute-force path.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.vecCosine(a, b)
+
+  /** Brute-force top-k by cosine: every query vector against the whole
+    * corpus. `queries` is broadcast (must be small); ties broken by
+    * corpus id for determinism.
+    */
+  def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                qId: String = "q_id", qVec: String = "q_vec",
+                cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = corpus.join(broadcast(queries))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("sim", cosine(col(qVec), col(cVec)))
+    val w = Window.partitionBy(qId).orderBy(col("sim").desc, col(cId).asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qId), col(cId), round(col("sim"), 4).as("sim"), col("rank"))
+  }
+
+  /** All corpus pairs with cosine ≥ threshold (embedding near-dup).
+    * Brute O(n²) variant — the exact baseline; use [[lshPairs]] at scale.
+    */
+  def cosinePairs(df: DataFrame, threshold: Double,
+                  id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val a = df.select(col(id).as("id_a"), col(vec).as("va"))
+    val b = df.select(col(id).as("id_b"), col(vec).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** Signed random-hyperplane sketch: `planes` sign bits packed into a
+    * long. Plane coefficients are a deterministic pseudo-random lattice
+    * (chained XXH64 of (plane, dim)); the sign of each dot product
+    * gives one bit. Cosine-similar vectors agree on most bits (SimHash
+    * for real vectors). Custom-expression loop, no stored model.
+    */
+  def hyperplaneSketch(vec: Column, planes: Int = 16): Column =
+    graft.functions.VectorExprs.hyperplaneSketch(vec, planes)
+
+  /** LSH near-neighbor pairs: bucket by hyperplane sketch chunks
+    * (pigeonhole, like SimHash blocking), exact-verify candidates with
+    * true cosine. Scale path for cosinePairs.
+    */
+  def lshPairs(df: DataFrame, threshold: Double, maxHamming: Int = 3,
+               planes: Int = 16,
+               id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val chunks = maxHamming + 1
+    val width = planes / chunks
+    val sk = df.select(col(id).as("id"), col(vec).as("v"),
+      hyperplaneSketch(col(vec), planes).as("sk"))
+    // separate chunk exprs (multi-reference) keep the sketch staged —
+    // a transform-over-sequence would let CollapseProject inline the
+    // whole sketch into the lambda, recomputing it per chunk
+    val chunkCols = (0 until chunks).map { j =>
+      shiftright(col("sk"), j * width).bitwiseAND(lit((1L << width) - 1))
+    }
+    val blocked = sk.select(col("id"), col("v"), col("sk"), posexplode(array(chunkCols: _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ck")
+    blocked.as("x").join(blocked.as("y"), Seq("chunk", "ck"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.v").as("va"), col("y.v").as("vb"))
+      .distinct()
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+  }
+}

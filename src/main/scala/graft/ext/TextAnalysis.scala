@@ -1,0 +1,117 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines ([EXT], SURVEY §2.10):
+  * token counting, quality scoring, language ID, fingerprinting. All
+  * pure built-in expressions — per-row, embarrassingly parallel, no
+  * shuffle; at 100 TB these run at scan speed inside whole-stage
+  * codegen. Every formula is also expressible in ANSI-ish SQL so the
+  * DuckDB oracle can replicate it bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    size(filter(split(trim(text), "\\s+"), t => t =!= ""))
+
+  /** BPE-ish token count: word pieces + individual punctuation marks
+    * (`\w+|[^\w\s]`), the usual cheap proxy for subword token counts.
+    */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
+
+  /** Punctuation ratio (punctuation chars / all non-space chars). */
+  def punctRatio(text: Column): Column = {
+    val nonSpace = length(regexp_replace(text, "\\s", ""))
+    val punct = length(regexp_replace(text, "[\\w\\s]", ""))
+    when(nonSpace > 0, punct.cast("double") / nonSpace).otherwise(0.0)
+  }
+
+  /** Mean word length over `\W+` tokens. */
+  def avgWordLen(text: Column): Column = {
+    val toks = TextDedup.tokens(text)
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+      .otherwise(0.0)
+  }
+
+  /** Fraction of tokens found in `words` (e.g. a stopword list). */
+  def listRatio(text: Column, words: Seq[String]): Column = {
+    val toks = TextDedup.tokens(text)
+    when(size(toks) > 0,
+      size(filter(toks, t => t.isin(words.map(lit): _*))).cast("double") / size(toks))
+      .otherwise(0.0)
+  }
+
+  val EnStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "of", "to", "in", "is", "on", "for", "with",
+    "that", "it", "as", "at", "by", "this", "be", "are", "was")
+
+  /** Heuristic quality score in [0,1]: rewards mid-length docs, normal
+    * word lengths, some stopwords; penalizes punctuation soup. The
+    * usual first-pass filter for web-scale corpora (C4-style rules).
+    */
+  def qualityScore(text: Column, nChars: Column): Column = {
+    val lenScore = when(nChars.between(100, 10000), 1.0)
+      .when(nChars.between(20, 99), 0.5).otherwise(0.1)
+    val wordScore = when(avgWordLen(text).between(3, 12), 1.0).otherwise(0.3)
+    val stopScore = when(listRatio(text, EnStopwords) >= 0.05, 1.0).otherwise(0.5)
+    val punctScore = when(punctRatio(text) <= 0.2, 1.0).otherwise(0.2)
+    round((lenScore * 0.3 + wordScore * 0.3 + stopScore * 0.2 + punctScore * 0.2), 4)
+  }
+
+  /** Per-language marker words for the n-gram/stopword language-ID
+    * heuristic. Deliberately small and disjoint enough to be stable.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "with", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "pour", "que", "dans"),
+    "es" -> Seq("el", "los", "y", "es", "una", "por", "como", "para"))
+
+  /** Language ID: CJK character ratio ≥ 0.3 → zh; otherwise the
+    * language with the highest marker-word hit count (ties resolved in
+    * [[LangMarkers]] order, 'en' as the no-signal default).
+    */
+  def langId(text: Column): Column = {
+    val toks = TextDedup.tokens(text)
+    val cjk = size(regexp_extract_all(text, lit("[\\u4e00-\\u9fff]"), lit(0)))
+    val scores = LangMarkers.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words.map(lit): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.reverse.foldLeft(lit("en")) { case (acc, (lang, s)) =>
+      when(s === best && best > 0, lang).otherwise(acc)
+    }
+    when(cjk.cast("double") / greatest(length(text), lit(1)) >= 0.3, "zh")
+      .otherwise(pick)
+  }
+
+  /** 64-bit document fingerprints: `content` hashes the normalized token
+    * stream (robust to whitespace/case/punctuation churn); `minshingle`
+    * is the smallest shingle hash (a 1-perm MinHash — equal for docs
+    * sharing their "rarest" shingle ordering, cheap pre-cluster key).
+    */
+  def contentFingerprint(text: Column): Column =
+    xxhash64(array_join(TextDedup.tokens(text), " "))
+
+  def minShingleFingerprint(text: Column, n: Int = 3): Column = {
+    val sh = TextDedup.shingles(text, n)
+    when(size(sh) > 0, array_min(transform(sh, x => xxhash64(x)))).otherwise(null)
+  }
+
+  /** One-stop analysis frame: doc_id + all stats (the `documents` table
+    * contract: text + n_chars columns exist).
+    */
+  def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("ws_tokens", wsTokenCount(t))
+      .withColumn("bpe_tokens", tokenCount(t))
+      .withColumn("punct_ratio", round(punctRatio(t), 4))
+      .withColumn("avg_word_len", round(avgWordLen(t), 4))
+      .withColumn("stopword_ratio", round(listRatio(t, EnStopwords), 4))
+      .withColumn("lang_id", langId(t))
+  }
+}

@@ -1,0 +1,229 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text deduplication operators ([EXT], SURVEY §2.10): exact, n-gram
+  * Jaccard, MinHash+LSH, and SimHash. Everything compiles to built-in
+  * Catalyst expressions (array/lambda higher-order functions + xxhash64)
+  * — no UDFs, so the whole pipeline stays inside whole-stage codegen and
+  * the only shuffles are the ones the algorithms fundamentally need.
+  *
+  * Scale design (the point of each variant):
+  *   - exact: one hash-aggregate shuffle on the text hash. O(n).
+  *   - jaccardPairs: exact pairwise similarity via an inverted-index
+  *     self-join on shingles — never materializes the O(n²) pair space,
+  *     only pairs sharing ≥1 shingle. High-document-frequency shingles
+  *     are the skew risk at 100 TB; `maxShingleDf` drops them (standard
+  *     stop-shingle trick) before the join.
+  *   - minhashPairs: LSH banding → candidate pairs → exact verify on the
+  *     (small) candidate set. This is the 100 TB path: cost is
+  *     O(n · bands) + candidates, not O(pairs-sharing-a-shingle).
+  *   - simhashPairs: 64-bit fingerprints; pigeonhole-blocked join on
+  *     16-bit chunks finds all pairs within hamming distance ≤ 3 without
+  *     a cross join.
+  */
+object TextDedup {
+
+  /** `\W+`-tokenize (lowercased, trimmed) — mirrors DuckDB
+    * `string_split_regex(lower(trim(x)), '\W+')` so oracle SQL can
+    * reproduce results exactly.
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\W+"), t => t =!= "")
+
+  /** Distinct word n-gram shingles as an array column (empty if the doc
+    * has fewer than n tokens).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    array_distinct(
+      when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+      .otherwise(array()))
+  }
+
+  /** Exact dedup: keep the first row (smallest `idCol`) per normalized
+    * text. One shuffle, map-side combinable.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(lower(trim(col(textCol)))).orderBy(col(idCol).asc)
+    df.withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") === 1).drop("__rn__")
+  }
+
+  /** Per-doc sorted shingle-hash arrays: the verified join side for
+    * both the exact and the LSH pair finders. 64-bit hashes stand in
+    * for the string shingles (same set semantics, collision odds
+    * ~n²/2⁶⁵); sorting enables the O(n+m) codegen'd merge intersect.
+    */
+  private def hashedDocs(df: DataFrame, idCol: String, textCol: String,
+                         n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.VectorExprs.shingleSortedHashes(
+        tokens(col(textCol)), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Exact verify of candidate (id_a, id_b) pairs against the sorted
+    * shingle arrays; emits pairs with Jaccard ≥ threshold.
+    */
+  private def verifyPairs(cand: DataFrame, docs: DataFrame,
+                          threshold: Double): DataFrame = {
+    import graft.functions.VectorExprs.sortedIntersectSize
+    cand
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("c", sortedIntersectSize(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard",
+        col("c").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** EXACT n-gram Jaccard pairs with similarity ≥ threshold, via prefix
+    * filtering (Bayardo et al., "Scaling Up All Pairs Similarity
+    * Search", WWW'07). Output: (id_a, id_b, jaccard), id_a < id_b.
+    *
+    * A naive inverted-index self-join costs O(Σ_s df(s)²) — quadratic
+    * in document frequency, catastrophic on corpora with shared
+    * boilerplate. Prefix filtering is lossless: two sets with
+    * J ≥ t must share a shingle within their (|d| − ⌈t·|d|⌉ + 1)-length
+    * prefixes under any fixed global order; ordering by ascending df
+    * makes those prefixes the rarest shingles, so the candidate join
+    * touches only low-frequency posting lists. Candidates are then
+    * exact-verified with one merge-intersect per pair.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = hashedDocs(df, idCol, textCol, n)
+    val sh = docs.select(col("id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("s"))
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("dfc"))
+    // global order: ascending document frequency, hash as tiebreak
+    val w = Window.partitionBy("id").orderBy(col("dfc").asc, col("s").asc)
+    val prefix = sh.join(dfreq, "s")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select(col("id"), col("s"))
+    val cand = prefix.as("x").join(prefix.as("y"), Seq("s"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    verifyPairs(cand, docs, threshold)
+  }
+
+  /** k MinHash values from a STAGED base-hash array attribute, as k
+    * separate columns. Each string shingle is hashed once (xxhash64);
+    * the k "permutations" are odd-multiplier linear maps over Z/2⁶⁴ (a
+    * bijective family), so per doc the cost is |shingles| string hashes
+    * + k·|shingles| long mul/adds — not k string-hash passes.
+    *
+    * Returned as separate columns (not one transform-over-sequence) so
+    * the base-hash projection is multi-referenced and CollapseProject
+    * cannot inline it into a lambda that would re-evaluate it k times.
+    */
+  def minhashCols(baseHashes: Column, k: Int = 128): Seq[Column] =
+    Seq(graft.functions.VectorExprs.minhashSig(baseHashes, k))
+
+  /** Single-column MinHash signature (array of k): one codegen'd loop
+    * over the base hashes (xor+rotate permutation family — bijective
+    * and overflow-free; ANSI mode rejects wrapping multiply-add). */
+  def minhashSignature(shingleCol: Column, k: Int = 128): Column =
+    graft.functions.VectorExprs.minhashSig(
+      transform(shingleCol, x => xxhash64(x)), k)
+
+  /** LSH band buckets: (band index, band hash) per doc. Docs sharing a
+    * bucket in ANY band become candidates. bands*rows must equal k.
+    */
+  def lshBuckets(df: DataFrame, idCol: String, textCol: String,
+                 n: Int = 3, k: Int = 128, bands: Int = 32): DataFrame =
+    lshBucketsFromHashes(
+      df.select(col(idCol).as("id"),
+        transform(shingles(col(textCol), n), x => xxhash64(x)).as("sh"))
+        .filter(size(col("sh")) > 0), // docs with no shingles can't match
+      k, bands)
+
+  /** LSH bands from a prepared (id, sh: array<long>) frame. The sig is
+    * staged as its own projection and the band hashes are separate
+    * multi-referenced expressions, so each stage evaluates once per row
+    * (CollapseProject would inline a single-referenced alias into a
+    * lambda, re-evaluating it per iteration — measured ~300× slower).
+    */
+  def lshBucketsFromHashes(docs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    require(bands * rows == k, s"bands ($bands) must divide k ($k)")
+    val bandCols = (0 until bands).map { j =>
+      xxhash64(lit(j), array_join(
+        transform(slice(col("sig"), j * rows + 1, rows),
+          x => x.cast("string")), ","))
+    }
+    docs.select(col("id"),
+        graft.functions.VectorExprs.minhashSig(col("sh"), k).as("sig"))
+      .select(col("id"), posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
+  /** MinHash+LSH near-dup pairs, exact-verified: candidates from shared
+    * LSH buckets, then true Jaccard per candidate via one codegen'd
+    * merge-intersect — no shingle self-join at all. This is the 100 TB
+    * path: O(n·bands + candidates).
+    *
+    * Banding 16×8 targets high thresholds: detection probability
+    * 1-(1-j⁸)¹⁶ is ≈1 for j ≥ 0.95, 0.95 at j = 0.8, while random
+    * background pairs (this corpus: j ≈ 0.3) collide with p ≈ 10⁻⁴ —
+    * candidate volume stays linear instead of quadratic.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.8,
+                   k: Int = 128, bands: Int = 16): DataFrame = {
+    // One persisted (id, sorted shingle-hash array) table feeds both
+    // the LSH bucketing and the exact-verify joins; otherwise the
+    // tokenize/shingle/hash pipeline re-evaluates on every branch.
+    val docs = hashedDocs(df, idCol, textCol, n)
+    val buckets = lshBucketsFromHashes(docs, k, bands)
+    val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    verifyPairs(cand, docs, threshold)
+  }
+
+  /** 64-bit SimHash fingerprint of the token multiset: per-bit ±1
+    * votes over xxhash64(token), sign → bit. One codegen'd loop. */
+  def simhash(text: Column): Column =
+    graft.functions.VectorExprs.simhashFp(
+      transform(tokens(text), x => xxhash64(x)))
+
+  /** (id, fp) frame of SimHash fingerprints. */
+  def simhashFrame(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+
+  /** SimHash near-dup pairs within hamming distance ≤ maxDist.
+    * Pigeonhole blocking: fingerprints are split into (maxDist+1)
+    * 64/(maxDist+1)-bit chunks; any pair within maxDist must agree on at
+    * least one chunk, so the join is on (chunk index, chunk value) —
+    * never a cross join.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1
+    val width = 64 / chunks
+    val fp = simhashFrame(df, idCol, textCol)
+    // separate chunk exprs (multi-reference) — keeps fp staged
+    val chunkCols = (0 until chunks).map { j =>
+      shiftright(col("fp"), j * width).bitwiseAND(lit((1L << width) - 1))
+    }
+    val blocked = fp.select(col("id"), col("fp"), posexplode(array(chunkCols: _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ck")
+    blocked.as("x").join(blocked.as("y"), Seq("chunk", "ck"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

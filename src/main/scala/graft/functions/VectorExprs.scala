@@ -1,0 +1,335 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ExprShim
+import org.apache.spark.sql.types._
+
+/** Custom codegen'd Catalyst expressions for the [EXT] vector/hash hot
+  * loops (SURVEY §4's deliberate custom-Expression candidates).
+  *
+  * Spark's higher-order functions (transform/aggregate/zip_with) are
+  * CodegenFallback — every lambda step is an interpreted expression
+  * eval with boxing. For O(pairs·dim) inner loops that overhead is the
+  * whole runtime (measured ~50× on brute-force cosine at 2M pairs).
+  * These expressions generate tight primitive Java loops instead, while
+  * keeping semantics EXACTLY equal to the HOF formulations they replace
+  * (same operation order, so bit-identical results and unchanged
+  * DuckDB-oracle matches).
+  */
+object VectorExprs {
+
+  /** Cosine similarity over two array<float> columns, accumulated in
+    * double: dot/(√(a·a)·√(b·b)) with in-order summation.
+    */
+  case class VecCosine(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_cosine"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = x.getFloat(i).toDouble
+        val yv = y.getFloat(i).toDouble
+        dot += xv * yv; na += xv * xv; nb += yv * yv
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        s"""
+           |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double dot = 0.0, na = 0.0, nb = 0.0;
+           |for (int i = 0; i < n; i++) {
+           |  double x = (double) $a.getFloat(i);
+           |  double y = (double) $b.getFloat(i);
+           |  dot += x * y; na += x * x; nb += y * y;
+           |}
+           |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** k-permutation MinHash signature over an array<long> of base
+    * hashes. Permutation s: rotl(h ⊕ c_s, r_s) with
+    * c_s = (s+1)·golden, r_s = s % 63 + 1 — bit-identical to the
+    * xor+rotate column formulation in TextDedup.minhashCols.
+    */
+  case class MinHashSig(child: Expression, k: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_sig"
+
+    override def nullSafeEval(input: Any): Any = {
+      val h = input.asInstanceOf[ArrayData]
+      val n = h.numElements()
+      val out = new Array[Long](k)
+      var s = 0
+      while (s < k) {
+        val c = (s + 1) * 0x9E3779B97F4A7C15L
+        val r = s % 63 + 1
+        var min = Long.MaxValue
+        var i = 0
+        while (i < n) {
+          val x = h.getLong(i) ^ c
+          val v = (x << r) | (x >>> (64 - r))
+          if (v < min) min = v
+          i += 1
+        }
+        out(s) = min
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, h => {
+        val out = ctx.freshName("out")
+        s"""
+           |long[] $out = new long[$k];
+           |int n = $h.numElements();
+           |for (int s = 0; s < $k; s++) {
+           |  long c = (s + 1) * ${0x9E3779B97F4A7C15L}L;
+           |  int r = s % 63 + 1;
+           |  long min = Long.MAX_VALUE;
+           |  for (int i = 0; i < n; i++) {
+           |    long x = $h.getLong(i) ^ c;
+           |    long v = (x << r) | (x >>> (64 - r));
+           |    if (v < min) min = v;
+           |  }
+           |  $out[s] = min;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** 64-bit SimHash fingerprint from an array<long> of token hashes:
+    * per-bit ±1 votes, sign → bit. Bit-identical to the
+    * simhashVotes/simhashFromVotes column formulation.
+    */
+  case class SimHashFp(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash_fp"
+
+    override def nullSafeEval(input: Any): Any = {
+      val h = input.asInstanceOf[ArrayData]
+      val n = h.numElements()
+      val votes = new Array[Int](64)
+      var i = 0
+      while (i < n) {
+        val x = h.getLong(i)
+        var b = 0
+        while (b < 64) {
+          if (((x >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var fp = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+      fp
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, h => {
+        val votes = ctx.freshName("votes")
+        s"""
+           |int[] $votes = new int[64];
+           |int n = $h.numElements();
+           |for (int i = 0; i < n; i++) {
+           |  long x = $h.getLong(i);
+           |  for (int b = 0; b < 64; b++) {
+           |    if (((x >>> b) & 1L) == 1L) $votes[b]++; else $votes[b]--;
+           |  }
+           |}
+           |long fp = 0L;
+           |for (int b = 0; b < 64; b++) if ($votes[b] > 0) fp |= (1L << b);
+           |${ev.value} = fp;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Signed random-hyperplane sketch of an array<float> vector: bit p =
+    * sign of Σ_d v[d]·coeff(d,p), coefficients a deterministic
+    * pseudo-random ±[0,500) lattice from chained XXH64 — reproducible
+    * across runs with no stored model. Interpreted loop (codegen
+    * fallback): the per-row cost is already primitive-loop bound.
+    */
+  case class HyperplaneSketch(child: Expression, planes: Int)
+      extends UnaryExpression with ExpectsInputTypes
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "hyperplane_sketch"
+
+    @transient private var coeffs: Array[Array[Double]] = _
+    @transient private var coeffDim: Int = -1
+
+    private def coefficients(dim: Int): Array[Array[Double]] = {
+      if (coeffs == null || coeffDim != dim) {
+        coeffs = Array.tabulate(planes, dim) { (p, d) =>
+          val h = XXH64.hashInt(d, XXH64.hashInt(p, 42L))
+          (java.lang.Math.floorMod(h, 1000L) - 500L).toDouble
+        }
+        coeffDim = dim
+      }
+      coeffs
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val dim = v.numElements()
+      val cs = coefficients(dim)
+      var sk = 0L
+      var p = 0
+      while (p < planes) {
+        val row = cs(p)
+        var dot = 0.0
+        var d = 0
+        while (d < dim) { dot += v.getFloat(d).toDouble * row(d); d += 1 }
+        if (dot > 0) sk |= (1L << p)
+        p += 1
+      }
+      sk
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Sorted distinct 64-bit hashes of the word n-gram shingles of a
+    * token array: one pass — space-joined n-gram bytes → XXH64 →
+    * dedupe + sort. Replaces the interpreted
+    * transform(slice+concat_ws) → xxhash64 → array_distinct →
+    * array_sort chain (measured ~20× on the shingle pipeline). The
+    * output feeds set-similarity (any injective hash works — only set
+    * identity matters) and the O(n+m) merge intersect.
+    */
+  case class ShingleSortedHashes(child: Expression, n: Int)
+      extends UnaryExpression with ExpectsInputTypes
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "shingle_sorted_hashes"
+
+    override def nullSafeEval(input: Any): Any = {
+      import org.apache.spark.unsafe.types.UTF8String
+      val arr = input.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      if (m < n) return new GenericArrayData(Array.emptyLongArray)
+      val toks = new Array[UTF8String](m)
+      var i = 0
+      while (i < m) { toks(i) = arr.getUTF8String(i); i += 1 }
+      val space = UTF8String.fromString(" ")
+      val out = new Array[Long](m - n + 1)
+      i = 0
+      while (i <= m - n) {
+        val parts = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) { parts(j) = toks(i + j); j += 1 }
+        val sh = UTF8String.concatWs(space, parts: _*)
+        out(i) = XXH64.hashUnsafeBytes(sh.getBaseObject, sh.getBaseOffset, sh.numBytes, 42L)
+        i += 1
+      }
+      java.util.Arrays.sort(out)
+      // in-place dedupe of the sorted array
+      var w = 0
+      i = 0
+      while (i < out.length) {
+        if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+        i += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(out, w))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** |A ∩ B| of two SORTED array<long> columns — one O(n+m) merge pass
+    * in generated code. The workhorse of exact near-dup verification:
+    * per candidate pair this replaces array_intersect's hash-set build.
+    */
+  case class SortedIntersectSize(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "sorted_intersect_size"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements(); val m = y.numElements()
+      var i = 0; var j = 0; var c = 0
+      while (i < n && j < m) {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv == yv) { c += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
+      c
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        s"""
+           |int n = $a.numElements(), m = $b.numElements();
+           |int i = 0, j = 0, c = 0;
+           |while (i < n && j < m) {
+           |  long x = $a.getLong(i), y = $b.getLong(j);
+           |  if (x == y) { c++; i++; j++; }
+           |  else if (x < y) i++;
+           |  else j++;
+           |}
+           |${ev.value} = c;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  // ── Column wrappers ────────────────────────────────────────────────
+  def vecCosine(a: Column, b: Column): Column =
+    ExprShim.column(VecCosine(ExprShim.expression(a), ExprShim.expression(b)))
+  def minhashSig(hashes: Column, k: Int): Column =
+    ExprShim.column(MinHashSig(ExprShim.expression(hashes), k))
+  def simhashFp(hashes: Column): Column =
+    ExprShim.column(SimHashFp(ExprShim.expression(hashes)))
+  def hyperplaneSketch(vec: Column, planes: Int): Column =
+    ExprShim.column(HyperplaneSketch(ExprShim.expression(vec), planes))
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    ExprShim.column(SortedIntersectSize(ExprShim.expression(a), ExprShim.expression(b)))
+  def shingleSortedHashes(tokens: Column, n: Int): Column =
+    ExprShim.column(ShingleSortedHashes(ExprShim.expression(tokens), n))
+}

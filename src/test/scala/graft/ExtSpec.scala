@@ -1,0 +1,142 @@
+package graft
+
+import graft.ext._
+import org.apache.spark.sql.functions._
+
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+    (3L, "completely different content about spark engines and query planners here"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today")
+  ).toDF("doc_id", "text")
+
+  test("tokens + shingles") {
+    val sh = docs.filter($"doc_id" === 1L)
+      .select(TextDedup.shingles($"text", 3).as("sh"))
+      .as[Seq[String]].head()
+    assert(sh.contains("the quick brown") && sh.contains("river bank today"))
+    assert(sh.size == 12) // 14 tokens -> 12 shingles, all distinct
+    val empty = Seq(Tuple1("a b")).toDF("text")
+      .select(TextDedup.shingles($"text", 3)).as[Seq[String]].head()
+    assert(empty.isEmpty)
+  }
+
+  test("exact dedup keeps first doc per text") {
+    val out = TextDedup.exact(docs, "text", "doc_id")
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
+  test("jaccardPairs finds near-dups, not unrelated docs") {
+    val pairs = TextDedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .orderBy("id_a", "id_b")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L), (1L, 4L), (2L, 4L)))
+    val j14 = TextDedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .filter($"id_a" === 1 && $"id_b" === 4)
+      .select("jaccard").as[Double].head()
+    assert(j14 == 1.0) // identical docs
+  }
+
+  test("minhashPairs == jaccardPairs on the documents table (LSH recall)") {
+    val d = sf("documents")
+    val exact = TextDedup.jaccardPairs(d, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b", "jaccard").collect().toSet
+    val lsh = TextDedup.minhashPairs(d, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b", "jaccard").collect().toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    assert(lsh == exact)
+  }
+
+  test("simhashPairs: near-identical docs collide, different don't") {
+    val pairs = TextDedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // identical -> hamming 0
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("cosine + bruteTopK: self-similarity 1, ranks ordered") {
+    val e = sf("embeddings")
+    val q = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val out = Similarity.bruteTopK(q, e, 5)
+    val ranks = out.groupBy("q_id").agg(count(lit(1)).as("n"), max("rank").as("mr"))
+      .select("n", "mr").as[(Long, Int)].collect()
+    assert(ranks.forall(_ == (5L, 5)))
+    // self-cosine check
+    val self = e.limit(1)
+      .select(Similarity.cosine($"embedding", $"embedding")).as[Double].head()
+    assert(math.abs(self - 1.0) < 1e-9)
+  }
+
+  test("lshPairs is a subset of cosinePairs and catches planted dups") {
+    val e = sf("embeddings").limit(100)
+    // plant an exact duplicate vector with a new id
+    val dup = e.filter($"vec_id" === 0)
+      .select(lit(99999L).as("vec_id"), $"embedding", $"label")
+    val withDup = e.unionByName(dup)
+    val brute = Similarity.cosinePairs(withDup, 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshPairs(withDup, 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute.contains((0L, 99999L)))
+    assert(lsh.subsetOf(brute) && lsh.contains((0L, 99999L)))
+  }
+
+  test("text analysis: counts, ratios, langid") {
+    val t = Seq(
+      (1L, "The quick brown fox, it jumps!"),
+      (2L, "der hund und die katze sind nicht da"),
+      (3L, "el gato y los perros es una casa por aqui"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.analyze(t).orderBy("doc_id")
+      .select("ws_tokens", "bpe_tokens", "lang_id")
+      .collect().map(_.toSeq)
+    assert(out(0) == Seq(6, 8, "en"))  // 6 words + comma + bang
+    assert(out(1)(2) == "de")
+    assert(out(2)(2) == "es")
+    assert(out(3) == Seq(0, 0, "en")) // empty text defaults
+  }
+
+  test("fingerprints: equal for normalized-equal docs") {
+    val t = Seq((1L, "Hello,   World!"), (2L, "hello world"), (3L, "other text"))
+      .toDF("doc_id", "text")
+    val fp = t.select(TextAnalysis.contentFingerprint($"text")).as[Long].collect()
+    assert(fp(0) == fp(1) && fp(0) != fp(2))
+  }
+
+  test("event windows: tumbling counts sum to total; sessions split on gap") {
+    val ev = sf("events").limit(200)
+    val total = ev.count()
+    val tw = EventWindows.tumbling(ev, "10 minutes")
+    assert(tw.agg(sum("n")).as[Long].head() == total)
+    // synthetic session check: 3 events, gap splits at 30 min
+    val s = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 1.0)
+    ).toDF("user_id", "ts", "value")
+    val sess = EventWindows.sessions(s, "30 minutes")
+    assert(sess.count() == 2)
+    assert(sess.orderBy("session_start").select("n").as[Long].collect().toSeq == Seq(2L, 1L))
+  }
+
+  test("multimodal: media schema, deterministic stub features, frame sampling") {
+    val media = Multimodal.asMedia(
+      sf("documents").limit(20), "doc_id", "text", kind = "video")
+    assert(media.schema.fieldNames.toSeq ==
+      Seq("media_id", "kind", "bytes", "meta"))
+    val f1 = Multimodal.extractFeatures(spark, media)
+    assert(f1.schema("features").dataType.simpleString == "array<float>")
+    val a = f1.orderBy("media_id").select("features").as[Seq[Float]].collect()
+    val b = Multimodal.extractFeatures(spark, media)
+      .orderBy("media_id").select("features").as[Seq[Float]].collect()
+    assert(a.toSeq == b.toSeq) // deterministic
+    assert(a.forall(_.size == Multimodal.FeatureDim))
+    val frames = Multimodal.sampleFrames(media, frameMs = 500L)
+    assert(frames.count() > media.count()) // exploded
+  }
+}
