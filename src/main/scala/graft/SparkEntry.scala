@@ -241,6 +241,14 @@ object SparkEntry {
       graft.ext.Similarity.lshPairs(read(s, dir, "embeddings"), 0.35)
         .orderBy("id_a", "id_b")),
 
+    // ── [EXT] §2.10 LSH-bucketed approximate top-k (rows-only) ────────
+    "q_ann_lsh_topk" -> ((s, dir) => {
+      val e = read(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      graft.ext.Similarity.lshTopK(q, e, 5).orderBy("q_id", "rank")
+    }),
+
     // ── [EXT] §2.9 event-time tumbling window agg ─────────────────────
     "q_window_tumbling" -> ((s, dir) =>
       graft.ext.EventWindows.tumbling(read(s, dir, "events"), "10 minutes")

@@ -43,7 +43,7 @@ object Main {
 
   final case class Opts(
       drop: Boolean = false, dry: Boolean = false, count: Boolean = false,
-      limitlessPreview: Boolean = false, cpus: String =
+      stream: Boolean = false, cpus: String =
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
   /** Env-var default for a flag (reference: MODULE__FLAG, base.py:158-185). */
@@ -64,6 +64,7 @@ object Main {
     var mrm = false; var mrnm = false; var munwind = false; var mstrict = false
     var mmo = true
     var skipTs = false; var dry = false; var drop = false; var count = false
+    var stream = false
     var workers: Option[Int] = None; var contid: Option[String] = None
 
     def kv(v: String): (String, String) = v.split("=", 2) match {
@@ -105,6 +106,7 @@ object Main {
       case "--dry" => dry = true
       case "--drop" => drop = true
       case "--count" => count = true
+      case "--stream" => stream = true
       case other => throw CliError(s"unknown flag: $other (see --help)")
     }
 
@@ -141,7 +143,7 @@ object Main {
       SourceSpec(DatasetRef.parse(srcUri), q, TransformStage.parseChain(str)),
       merger = mergerSpec, target = targetSpec,
       workers = workers, dryRun = dry, contid = contid)
-    (job, Opts(drop = drop, dry = dry, count = count))
+    (job, Opts(drop = drop, dry = dry, count = count, stream = stream))
   }
 
   private def session(opts: Opts): SparkSession = {
@@ -168,6 +170,25 @@ object Main {
       val planned = graft.engine.Planner.plan(spark, job)
       planned.explain("formatted")
       planned.show(5, truncate = false)
+      return
+    }
+    if (opts.stream) {
+      // O4 continuation as Structured Streaming (Trigger.AvailableNow):
+      // incremental file discovery + checkpoint replace the contid loop.
+      val t = job.target.getOrElse(throw CliError("--stream needs a target"))
+      val q = graft.dsl.QueryCompiler.compile(
+        graft.engine.Planner.sourceFrame(spark, job.source.copy(query = Nil)),
+        job.source.query)
+      val tgtPath = Resolver.path(t.ref).stripSuffix(".parquet")
+      graft.streaming.StreamRunner.runAvailableNow(spark,
+        graft.streaming.StreamRunner.readStream(spark, job.source.ref),
+        df => {
+          val filtered = q.predicates.foldLeft(df)(_ filter _)
+          if (q.fields.nonEmpty) graft.dsl.QueryCompiler.project(filtered, q.fields)
+          else filtered
+        },
+        tgtPath, tgtPath + "._checkpoint")
+      println(s"stream done: ${spark.read.parquet(tgtPath).count()} rows in target")
       return
     }
     job.target match {
@@ -211,5 +232,6 @@ object Main {
       |               --overwrite f1,f2  --skip_by k  --skip-timestamp
       |transformers   --str CHAIN   (chain: name:arg1;arg2,name2,...)
       |run            --workers N  --contid ID  --dry  --drop  --count
+      |               --stream (incremental AvailableNow continuation)
       |""".stripMargin
 }

@@ -68,6 +68,43 @@ object Similarity {
   def hyperplaneSketch(vec: Column, planes: Int = 16): Column =
     graft.functions.VectorExprs.hyperplaneSketch(vec, planes)
 
+  /** LSH-bucketed approximate top-k: the scale path for similarity
+    * SEARCH. Corpus and queries are sketched once; a query's candidates
+    * are corpus vectors sharing at least one sketch chunk (pigeonhole:
+    * every neighbor within `maxHamming` sketch bits is retained), then
+    * exact cosine ranks the candidates. Per query the work is
+    * O(|bucket|) instead of O(|corpus|); the corpus sketch table is
+    * what you'd precompute and store at 100 TB.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              maxHamming: Int = 3, planes: Int = 16,
+              qId: String = "q_id", qVec: String = "q_vec",
+              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = maxHamming + 1
+    val width = planes / chunks
+    def blocked(df: DataFrame, id: String, vec: String): DataFrame = {
+      val sk = df.select(col(id).as("id"), col(vec).as("v"),
+        hyperplaneSketch(col(vec), planes).as("sk"))
+      val chunkCols = (0 until chunks).map { j =>
+        shiftright(col("sk"), j * width).bitwiseAND(lit((1L << width) - 1))
+      }
+      sk.select(col("id"), col("v"), posexplode(array(chunkCols: _*)))
+        .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ck")
+    }
+    val cand = blocked(broadcast(queries), qId, qVec).as("q")
+      .join(blocked(corpus, cId, cVec).as("c"), Seq("chunk", "ck"))
+      .filter(col("q.id") =!= col("c.id"))
+      .select(col("q.id").as(qId), col("c.id").as(cId),
+        col("q.v").as("qv"), col("c.v").as("cv"))
+      .distinct()
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(qId).orderBy(col("sim").desc, col(cId).asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qId), col(cId), round(col("sim"), 4).as("sim"), col("rank"))
+  }
+
   /** LSH near-neighbor pairs: bucket by hyperplane sketch chunks
     * (pigeonhole, like SimHash blocking), exact-verify candidates with
     * true cosine. Scale path for cosinePairs.

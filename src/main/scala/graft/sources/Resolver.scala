@@ -67,18 +67,22 @@ object Resolver {
     if (nanos.isEmpty) spark.read.parquet(pathStr)
     else {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      nanos.foldLeft(spark.read.parquet(pathStr)) { (df, c) =>
-        df.withColumn(c, org.apache.spark.sql.functions.expr(
-          s"timestamp_micros(`$c` div 1000)"))
-      }
+      convertNanoCols(spark.read.parquet(pathStr), nanos)
     }
   }
+
+  /** long-nanos columns → TimestampType at microsecond precision. */
+  def convertNanoCols(df: DataFrame, nanos: Seq[String]): DataFrame =
+    nanos.foldLeft(df) { (d, c) =>
+      d.withColumn(c, org.apache.spark.sql.functions.expr(
+        s"timestamp_micros(`$c` div 1000)"))
+    }
 
   /** Top-level TIMESTAMP(NANOS) columns per the parquet footer of the
     * first data file under `pathStr` (files of one dataset share a
     * writer schema).
     */
-  private def nanoTimestampCols(spark: SparkSession, pathStr: String): Seq[String] = {
+  def nanoTimestampCols(spark: SparkSession, pathStr: String): Seq[String] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.LogicalTypeAnnotation

@@ -1,0 +1,123 @@
+package graft.streaming
+
+import graft.spec._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface ([EXT], SURVEY §2.9). The reference's
+  * only incremental behavior is the continuation loop — re-run the
+  * batch job until the excluded-source count stops changing
+  * (etl_cli/etl.py:326-339). Its Spark-idiomatic upgrade is
+  * `Trigger.AvailableNow`: the same declarative plan, incremental file
+  * discovery, exactly-once sink + checkpoint — no driver-side fixpoint
+  * bookkeeping. Event-time windows reuse EventWindows expressions with
+  * a watermark bound on state.
+  *
+  * Scale notes: file-stream sources list incrementally
+  * (maxFilesPerTrigger bounds a micro-batch); stateful aggs are keyed
+  * by (window, key) and watermarks cap the state store; session state
+  * in [[sessionize]] is one small case class per active (user) key.
+  */
+object StreamRunner {
+
+  /** Streaming scan of a dataset ref (parquet/csv/json file streams).
+    * Schema must be supplied or inferrable from existing files.
+    */
+  def readStream(spark: SparkSession, ref: DatasetRef,
+                 schema: Option[StructType] = None): DataFrame = {
+    import graft.sources.Resolver
+    val path = Resolver.path(ref)
+    // TIMESTAMP(NANOS) columns must be read as raw longs (the stream
+    // scan matches the physical schema) and converted after load —
+    // mirror of Resolver.readParquet.
+    val nanos =
+      if (ref.backend == "parquet" && schema.isEmpty)
+        Resolver.nanoTimestampCols(spark, path)
+      else Nil
+    if (nanos.nonEmpty)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val s = schema.getOrElse(spark.read.format(ref.backend match {
+      case "csv" => "csv"; case "json" => "json"; case _ => "parquet"
+    }).load(path).schema)
+    val raw = spark.readStream.schema(s).format(ref.backend match {
+      case "csv" => "csv"
+      case "json" => "json"
+      case _ => "parquet"
+    }).load(path)
+    Resolver.convertNanoCols(raw, nanos)
+  }
+
+  /** O4-as-a-stream: process everything currently available, write to
+    * the target in append mode, remember progress in a checkpoint, and
+    * stop — re-invoking later picks up only new files. This replaces
+    * the contid/anti-filter fixpoint loop for append-shaped jobs.
+    */
+  def runAvailableNow(spark: SparkSession, source: DataFrame,
+                      transform: DataFrame => DataFrame,
+                      targetDir: String, checkpointDir: String): StreamingQuery = {
+    val q = transform(source).writeStream
+      .format("parquet")
+      .option("path", targetDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Watermarked tumbling-window aggregation over an event stream —
+    * the streaming twin of EventWindows.tumbling; late events beyond
+    * `lateness` are dropped and their window state reclaimed.
+    */
+  def windowedCounts(events: DataFrame, duration: String = "10 minutes",
+                     lateness: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), duration), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  final case class SessionOut(userId: Long, start: java.sql.Timestamp,
+                              n: Long, sumValue: Double)
+
+  /** Custom sessionization via flatMapGroupsWithState: per-user session
+    * accumulates until `gapMs` of event-time silence, then emits one
+    * row (processing-time timeout drives emission between batches).
+    * Demonstrates the KeyValueGroupedDataset custom-state surface the
+    * engine exposes for logic windows can't express.
+    */
+  def sessionize(spark: SparkSession, events: DataFrame,
+                 gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    import spark.implicits._
+    val typed = events.select(col("user_id").cast("long"),
+      col("ts").cast("long").as("ts_s"), col("value").cast("double"))
+      .as[(Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          val evs = rows.toSeq.sortBy(_._2)
+          var cur = state.getOption
+          val out = Seq.newBuilder[SessionOut]
+          for ((_, ts, v) <- evs) {
+            val tsMs = ts * 1000L
+            cur match {
+              case Some(s) if tsMs - s.last * 1000L >= gapMs =>
+                out += SessionOut(user, new java.sql.Timestamp(s.start * 1000L), s.n, s.sum)
+                cur = Some(SessionState(ts, ts, 1, v))
+              case Some(s) =>
+                cur = Some(s.copy(last = ts, n = s.n + 1, sum = s.sum + v))
+              case None =>
+                cur = Some(SessionState(ts, ts, 1, v))
+            }
+          }
+          cur.foreach(state.update)
+          state.setTimeoutDuration(gapMs)
+          out.result().iterator
+      }.toDF("userId", "start", "n", "sumValue")
+  }
+}

@@ -85,6 +85,22 @@ class ExtSpec extends SparkSpec {
     assert(lsh.subsetOf(brute) && lsh.contains((0L, 99999L)))
   }
 
+  test("lshTopK: approximate results are a subset of brute-force ranks") {
+    val e = sf("embeddings")
+    val q = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val brute = Similarity.bruteTopK(q, e, 20)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(q, e, 5)
+      .select("q_id", "vec_id", "rank").as[(Long, Long, Int)].collect()
+    assert(approx.nonEmpty)
+    assert(approx.forall(_._3 <= 5))
+    // every LSH hit at rank<=5 must be a genuinely similar vector:
+    // check against the top-20 brute-force set (loose recall bound)
+    val hits = approx.map(a => (a._1, a._2)).toSet
+    assert(hits.intersect(brute).size >= hits.size / 2)
+  }
+
   test("text analysis: counts, ratios, langid") {
     val t = Seq(
       (1L, "The quick brown fox, it jumps!"),
