@@ -1,0 +1,25 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.01"
+    for (name <- Seq("q_filter_ops", "q_fields_excl", "q_merge_left", "q_merge_anti", "q1_agg", "q_sort_limit")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      def has(s: String) = plan.contains(s)
+      println(s"AUDIT $name: pushed=${plan.contains("PushedFilters: [")} " +
+        s"bcast=${has("BroadcastHashJoin")} smj=${has("SortMergeJoin")} " +
+        s"wsc=${has("WholeStageCodegen")} topn=${has("TakeOrderedAndProject")}")
+      val rs = plan.linesIterator.filter(_.contains("ReadSchema")).take(2).toList
+      rs.foreach(l => println("AUDIT   " + l.trim.take(150)))
+      val pf = plan.linesIterator.filter(_.contains("PushedFilters")).take(2).toList
+      pf.foreach(l => println("AUDIT   " + l.trim.take(150)))
+    }
+    spark.stop()
+  }
+}
