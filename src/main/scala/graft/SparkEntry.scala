@@ -264,6 +264,17 @@ object SparkEntry {
       graft.ext.EventWindows.sessions(read(s, dir, "events"), "30 minutes")
         .orderBy("user_id", "session_start")),
 
+    // ── [EXT] as-of join: latest purchase at or before each event ─────
+    "q_asof" -> ((s, dir) => {
+      val ev = read(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("value").as("pvalue"))
+      graft.ext.AsOfJoin.backward(
+        ev.select("event_id", "user_id", "ts", "event_type", "value"),
+        purchases, Seq("user_id"), "ts", "pts", "p_")
+        .orderBy("event_id")
+    }),
+
     // ── [EXT] §2.10 multimodal plumbing: stub features (rows-only) ────
     "q_media_features" -> ((s, dir) => {
       val media = graft.ext.Multimodal.asMedia(
@@ -408,6 +419,14 @@ object SparkEntry {
                       value
                FROM events)
          GROUP BY ws ORDER BY ws""",
+    "q_asof" ->
+      """SELECT e.event_id, e.user_id, e.ts, e.event_type, e.value,
+                p.pts AS p_pts, p.pvalue AS p_pvalue
+         FROM events e ASOF LEFT JOIN
+           (SELECT user_id, ts AS pts, value AS pvalue
+            FROM events WHERE event_type = 'purchase') p
+           ON e.user_id = p.user_id AND e.ts >= p.pts
+         ORDER BY e.event_id""",
     "q_window_session" ->
       """WITH o AS (
            SELECT user_id, ts, value,

@@ -1,0 +1,78 @@
+package graft
+
+import graft.ext.AsOfJoin
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  lazy val quotes = Seq(
+    (1L, ts("2024-01-01 00:00:00"), 10.0),
+    (1L, ts("2024-01-01 00:10:00"), 11.0),
+    (1L, ts("2024-01-01 00:20:00"), 12.0),
+    (2L, ts("2024-01-01 00:05:00"), 20.0)
+  ).toDF("k", "qts", "price")
+
+  lazy val trades = Seq(
+    (1L, ts("2024-01-01 00:09:59"), "a"), // -> 10.0
+    (1L, ts("2024-01-01 00:10:00"), "b"), // inclusive -> 11.0
+    (1L, ts("2024-01-01 00:30:00"), "c"), // -> 12.0
+    (2L, ts("2024-01-01 00:00:00"), "d"), // before any quote -> null
+    (3L, ts("2024-01-01 00:00:00"), "e")  // unknown key -> null
+  ).toDF("k", "tts", "tag")
+
+  test("as-of backward: greatest right ts <= left ts, inclusive, per key") {
+    val out = AsOfJoin.backward(trades, quotes, Seq("k"), "tts", "qts", "q_")
+      .orderBy("k", "tts")
+    val got = out.select("tag", "q_price").collect().map(r => (r.getString(0), r.get(1)))
+    assert(got.toSeq == Seq(("a", 10.0), ("b", 11.0), ("c", 12.0), ("d", null), ("e", null)))
+    assert(out.columns.toSeq == Seq("k", "tts", "tag", "q_qts", "q_price"))
+  }
+
+  test("as-of forward: smallest right ts >= left ts") {
+    val out = AsOfJoin.forward(trades, quotes, Seq("k"), "tts", "qts", "q_")
+      .orderBy("k", "tts")
+    val got = out.select("tag", "q_price").collect().map(r => (r.getString(0), r.get(1)))
+    assert(got.toSeq == Seq(("a", 11.0), ("b", 11.0), ("c", null), ("d", 20.0), ("e", null)))
+  }
+
+  test("as-of backward on events matches a per-row subquery oracle") {
+    val ev = sf("events").limit(300).cache()
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("pts"), $"value".as("pvalue"))
+    val out = AsOfJoin.backward(
+      ev.select("event_id", "user_id", "ts"), purchases,
+      Seq("user_id"), "ts", "pts", "p_")
+    // brute-force oracle: max(pts) per row via join+group
+    val brute = ev.select($"event_id", $"user_id", $"ts").as("e")
+      .join(purchases.as("p"), $"e.user_id" === $"p.user_id" && $"p.pts" <= $"e.ts", "left_outer")
+      .groupBy($"e.event_id").agg(max($"p.pts").as("best"))
+    val cmp = out.join(brute, "event_id")
+      .filter(!($"p_pts" <=> $"best"))
+    assert(cmp.count() == 0)
+  }
+
+  test("salted join equals plain join") {
+    val l = sf("lineitem").limit(2000).select("l_orderkey", "l_quantity")
+    val r = sf("orders").select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = l.join(r, Seq("l_orderkey")).agg(
+      count(lit(1)), round(sum("o_totalprice"), 2)).collect()(0)
+    val salted = Skew.saltedJoin(l, r, Seq("l_orderkey"), salt = 7).agg(
+      count(lit(1)), round(sum("o_totalprice"), 2)).collect()(0)
+    assert(plain == salted)
+  }
+
+  test("salted two-phase aggregation equals direct groupBy") {
+    val df = sf("lineitem").limit(5000)
+    val direct = df.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_l_quantity"))
+      .orderBy("l_returnflag").collect().toSeq
+    val salted = Skew.saltedCountSum(df, Seq("l_returnflag"), "l_quantity", salt = 5)
+      .orderBy("l_returnflag").collect().toSeq
+    assert(direct.map(_.toSeq) == salted.map(_.toSeq))
+  }
+}
