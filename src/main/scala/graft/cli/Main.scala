@@ -43,8 +43,9 @@ object Main {
 
   final case class Opts(
       drop: Boolean = false, dry: Boolean = false, count: Boolean = false,
-      stream: Boolean = false, cpus: String =
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      stream: Boolean = false,
+      jobPoll: Option[String] = None, jq: Seq[(String, String)] = Nil,
+      cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
   /** Env-var default for a flag (reference: MODULE__FLAG, base.py:158-185). */
   private def envDefault(flag: String): Option[String] =
@@ -65,6 +66,8 @@ object Main {
     var mmo = true
     var skipTs = false; var dry = false; var drop = false; var count = false
     var stream = false
+    var partitionBy = ""; var maxRecords = 0L
+    var jobPoll: Option[String] = None; var jq = Vector.empty[(String, String)]
     var workers: Option[Int] = None; var contid: Option[String] = None
 
     def kv(v: String): (String, String) = v.split("=", 2) match {
@@ -107,11 +110,17 @@ object Main {
       case "--drop" => drop = true
       case "--count" => count = true
       case "--stream" => stream = true
+      case "--partition-by" => partitionBy = next("--partition-by")
+      case "--max-records-per-file" => maxRecords = next("--max-records-per-file").toLong
+      case "--job-poll" => jobPoll = Some(next("--job-poll"))
+      case "--jq" => jq :+= kv(next("--jq"))
       case other => throw CliError(s"unknown flag: $other (see --help)")
     }
 
     val srcUri = source.orElse(envDefault("--source"))
-      .getOrElse(throw CliError("-s/--source is required"))
+      .getOrElse(
+        if (jobPoll.nonEmpty) "parquet/_unused_/_unused_"
+        else throw CliError("-s/--source is required"))
     // `-o op:pk` fuses the write op and key (etl_cli/etl.py:203-206).
     val (opName, opPk) = op.map(_.split(":", 2) match {
       case Array(o, k) => (Some(o), k)
@@ -137,13 +146,15 @@ object Main {
         op = opName.map(WriteOp.parse).getOrElse(WriteOp.Create),
         pk = if (pk.nonEmpty) csv(pk) else csv(opPk),
         query = tq, fields = csv(tf), overwrite = csv(overwrite),
-        skipBy = csv(skipBy), skipTimestamp = skipTs)
+        skipBy = csv(skipBy), skipTimestamp = skipTs,
+        partitionBy = csv(partitionBy), maxRecordsPerFile = maxRecords)
     }
     val job = JobSpec(
       SourceSpec(DatasetRef.parse(srcUri), q, TransformStage.parseChain(str)),
       merger = mergerSpec, target = targetSpec,
       workers = workers, dryRun = dry, contid = contid)
-    (job, Opts(drop = drop, dry = dry, count = count, stream = stream))
+    (job, Opts(drop = drop, dry = dry, count = count, stream = stream,
+      jobPoll = jobPoll, jq = jq))
   }
 
   private def session(opts: Opts): SparkSession = {
@@ -159,6 +170,12 @@ object Main {
   }
 
   def execute(spark: SparkSession, job: JobSpec, opts: Opts): Unit = {
+    if (opts.jobPoll.nonEmpty) { // O3: query the job log with the DSL
+      Runner.jobStatus(spark, opts.jobPoll.get,
+        if (opts.jq.isEmpty) Seq("uid" -> "last") else opts.jq)
+        .show(50, truncate = false)
+      return
+    }
     if (opts.drop) job.target.foreach { t =>
       println(s"dropping ${t.ref.uri}")
       Resolver.drop(spark, t.ref)
@@ -230,6 +247,8 @@ object Main {
       |target         -o create|index|update|upsert|delete|insert[:pk]
       |               --pk k1,k2  --tq key=value  --tf f1,-f2
       |               --overwrite f1,f2  --skip_by k  --skip-timestamp
+      |               --partition-by c1,c2  --max-records-per-file N
+      |jobs           --job-poll NS  --jq key=value (default uid=last)
       |transformers   --str CHAIN   (chain: name:arg1;arg2,name2,...)
       |run            --workers N  --contid ID  --dry  --drop  --count
       |               --stream (incremental AvailableNow continuation)

@@ -64,7 +64,8 @@ object Runner {
         val newState = WriteOps.applyOp(current, batch, t)
         // Break lineage before rewriting the files we are reading from.
         val materialized = newState.localCheckpoint(eager = true)
-        WriteOps.atomicOverwrite(spark, materialized, Resolver.path(t.ref))
+        WriteOps.atomicOverwrite(spark, materialized, Resolver.path(t.ref),
+          t.partitionBy, t.maxRecordsPerFile)
         val written = materialized.count()
         if (log) jobLog(spark, job, written)
         RunResult(job, written, written, 1)
@@ -139,6 +140,20 @@ object Runner {
       }
     }
     RunResult(job, math.max(last, 0), written, iters)
+  }
+
+  /** O3/§3.3: query the job log with the engine's own query DSL
+    * (dogfooding — reference: `get_job_status`, etl_cli/base.py:349-364;
+    * `uid='last'` means the most recent job, base.py:353-354).
+    */
+  def jobStatus(spark: SparkSession, ns: String,
+                query: Seq[(String, String)] = Nil): DataFrame = {
+    val logs = Resolver.read(spark, graft.spec.DatasetRef("parquet", ns, "_logs"))
+    val q =
+      if (query.exists(p => p._1 == "uid" && p._2 == "last"))
+        query.filterNot(_._1 == "uid") ++ Seq("_sort" -> "-ts", "_limit" -> "1")
+      else query
+    QueryCompiler.apply(logs, q)
   }
 
   /** §2.7 diff: symmetric difference of two datasets keyed by pk, with

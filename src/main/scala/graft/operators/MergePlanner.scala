@@ -28,17 +28,23 @@ object MergePlanner {
     case _ => true
   }
 
-  /** Split the merger query into correlated (mergerKey → sourceField)
-    * pairs and literal filter params.
+  /** Split the merger query into correlated (mergerKey, op, sourceField)
+    * triples and literal filter params. Correlated keys accept the same
+    * `__op` suffixes as filters (`ts__lte=#ev_ts#` → merger.ts ≤
+    * src.ev_ts), turning the lookup into a range join.
     */
-  def splitQuery(query: Seq[(String, String)]): (Seq[(String, String)], Seq[(String, String)]) = {
+  def splitQuery(query: Seq[(String, String)])
+      : (Seq[(String, String, String)], Seq[(String, String)]) = {
     val corr = query.collect {
       case (k, v) if v.length > 2 && v.startsWith("#") && v.endsWith("#") =>
-        (k, v.substring(1, v.length - 1))
+        val (field, op) = QueryCompiler.splitOp(k)
+        (field, op, v.substring(1, v.length - 1))
     }
-    val corrKeys = corr.map(_._1).toSet
+    val corrRaw = query.collect {
+      case (k, v) if v.length > 2 && v.startsWith("#") && v.endsWith("#") => k
+    }.toSet
     (corr, query.filterNot { case (k, v) =>
-      corrKeys.contains(k) && v.startsWith("#") && v.endsWith("#")
+      corrRaw.contains(k) && v.startsWith("#") && v.endsWith("#")
     })
   }
 
@@ -63,9 +69,14 @@ object MergePlanner {
     // Literal params filter the merger side with the same query DSL.
     val filtered = QueryCompiler.apply(mergerRaw, literals)
 
-    val mKeys = corr.map(_._1)
+    val eqKeys = corr.collect { case (mk, "eq", _) => mk }
+    val allEq = corr.forall(_._2 == "eq")
+    // match_one can pre-dedupe the merger only for pure equi-lookups;
+    // with range ops the winning match depends on the source row, so
+    // dedupe happens after the join (row_number per source row).
     val deduped =
-      if (spec.unwind || !spec.matchOne) filtered else dedupeOne(filtered, mKeys)
+      if (spec.unwind || !spec.matchOne || !allEq) filtered
+      else dedupeOne(filtered, eqKeys)
 
     // Rename merger columns so the join output has no ambiguity.
     val renamed0 = deduped.columns.foldLeft(deduped)((d, c) => d.withColumnRenamed(c, MPrefix + c))
@@ -74,13 +85,37 @@ object MergePlanner {
 
     // J7 strict_match: null-rejecting === ; default tolerant <=> (null keys
     // match null keys — mongo missing-field tolerance, SURVEY §2.3).
-    val cond: Column = corr.map { case (mk, sf) =>
-      if (spec.strictMatch) src(sf) === m(MPrefix + mk) else src(sf) <=> m(MPrefix + mk)
+    val cond: Column = corr.map { case (mk, op, sf) =>
+      val mc = m(MPrefix + mk)
+      op match {
+        case "eq"  => if (spec.strictMatch) src(sf) === mc else src(sf) <=> mc
+        case "ne"  => mc =!= src(sf)
+        case "gt"  => mc > src(sf)
+        case "gte" => mc >= src(sf)
+        case "lt"  => mc < src(sf)
+        case "lte" => mc <= src(sf)
+        case other => throw new IllegalArgumentException(
+          s"correlated merger key supports eq/ne/gt/gte/lt/lte, got __$other")
+      }
     }.reduce(_ && _)
 
     // J4 require_no_match → anti; J3 require_match → inner; else left outer.
     if (spec.requireNoMatch) return src.join(m, cond, "left_anti")
-    val joined = src.join(m, cond, if (spec.requireMatch) "inner" else "left_outer")
+    val joined0 = src.join(m, cond, if (spec.requireMatch) "inner" else "left_outer")
+    val joined =
+      if (spec.unwind || !spec.matchOne || allEq) joined0
+      else {
+        // range lookup + match_one: keep the first match per SOURCE row
+        // (deterministic: merger's sortable columns ascending).
+        val srcKey = src.columns.toSeq.map(col)
+        val ord = deduped.columns.toSeq
+          .filter(c => sortable(deduped.schema(c).dataType))
+          .map(c => col(MPrefix + c).asc_nulls_last)
+        val w = Window.partitionBy(srcKey.toIndexedSeq: _*)
+          .orderBy((if (ord.isEmpty) Seq(lit(1).asc) else ord).toIndexedSeq: _*)
+        joined0.withColumn("__rn__", row_number().over(w))
+          .filter(col("__rn__") === 1).drop("__rn__")
+      }
 
     val srcCols  = src.columns.toSeq
     val mrgCols  = deduped.columns.toSeq

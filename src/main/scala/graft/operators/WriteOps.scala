@@ -169,13 +169,24 @@ object WriteOps {
 
   /** Atomic full-rewrite: write to a temp dir next to the target, then
     * swap (SURVEY §7.4.1 — rewrite atomicity without a table format).
+    * `partitionBy` lays the files out hive-style (partition pruning on
+    * read); `maxRecordsPerFile` bounds file sizes (the engine analog of
+    * the reference's s3 write-buffer sizing, etl_cli/etl.py:129-133).
+    * On a real lake this writer is the piece you swap for
+    * Delta/Iceberg MERGE; the op transforms above stay the spec.
     */
-  def atomicOverwrite(spark: SparkSession, df: DataFrame, path: String): Unit = {
+  def atomicOverwrite(spark: SparkSession, df: DataFrame, path: String,
+                      partitionBy: Seq[String] = Nil,
+                      maxRecordsPerFile: Long = 0): Unit = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path + "._tmp_" + System.nanoTime())
     val bak = new org.apache.hadoop.fs.Path(path + "._bak")
-    df.write.mode("overwrite").parquet(tmp.toString)
+    var w = df.write.mode("overwrite")
+    if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
+    if (maxRecordsPerFile > 0)
+      w = w.option("maxRecordsPerFile", maxRecordsPerFile.toString)
+    w.parquet(tmp.toString)
     if (fs.exists(bak)) fs.delete(bak, true)
     if (fs.exists(hPath)) fs.rename(hPath, bak)
     fs.rename(tmp, hPath)

@@ -131,7 +131,9 @@ final case class TargetSpec(
     overwrite: Seq[String] = Nil,           // --overwrite per-field policy
     skipBy: Seq[String] = Nil,              // --skip_by insert-if-absent key
     skipTimestamp: Boolean = false,         // --skip-timestamp
-    failOnError: Boolean = true)            // base.py:135,267
+    failOnError: Boolean = true,            // base.py:135,267
+    partitionBy: Seq[String] = Nil,         // [EXT] hive-style partition cols
+    maxRecordsPerFile: Long = 0)            // [EXT] file sizing (s3 batch analog, etl.py:129-133)
 
 /** A full job: the IR the planner executes. Replaces the reference's
   * flat dotted params dict (etl_cli/base.py:236-298) — see SURVEY §3.1.

@@ -27,6 +27,23 @@ class MergePlannerSpec extends SparkSpec {
   private def spec(f: MergerSpec => MergerSpec = identity): MergerSpec =
     f(MergerSpec(dummy, query = Seq("city" -> "#city#")))
 
+  test("correlated range key: __lte=#field# range lookup, match_one per source row") {
+    val amounts = Seq((1L, 5.0), (2L, 25.0), (3L, -1.0)).toDF("id", "amt")
+    val tiers = Seq(("t_low", 0.0), ("t_mid", 10.0), ("t_high", 20.0)).toDF("tier", "lo")
+    val rangeSpec = MergerSpec(dummy, query = Seq("lo__lte" -> "#amt#"))
+    // unwind: one row per qualifying tier
+    val all = MergePlanner.merge(amounts, tiers,
+      rangeSpec.copy(unwind = true, matchOne = false)).orderBy("id", "lo")
+    assert(all.groupBy("id").count().orderBy("id")
+      .select("count").as[Long].collect().toSeq == Seq(1L, 3L, 1L))
+    // match_one with a range op dedupes AFTER the join (per source row,
+    // deterministic first by merger sortables asc in column order:
+    // (tier asc, lo asc) → "t_high" sorts first alphabetically for id=2)
+    val one = MergePlanner.merge(amounts, tiers, rangeSpec).orderBy("id")
+    assert(rows(one.select("id", "tier")) ==
+      Seq(Seq(1L, "t_low"), Seq(2L, "t_high"), Seq(3L, null)))
+  }
+
   test("J1 base lookup: left outer, match_one keeps first match") {
     val out = MergePlanner.merge(src, mrg, spec()).orderBy("id")
     // match_one picks deterministic first paris row (pop asc => 2)

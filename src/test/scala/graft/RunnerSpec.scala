@@ -68,6 +68,39 @@ class RunnerSpec extends SparkSpec {
     assert(res2.iterations == 0)
   }
 
+  test("[EXT] partitioned target write: hive layout + partition pruning") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    val job = JobSpec(
+      SourceSpec(DatasetRef("parquet", "/root/testdata/sf0.001", "orders")),
+      target = Some(TargetSpec(DatasetRef("parquet", dir, "orders_p"),
+        op = WriteOp.Create, partitionBy = Seq("o_orderstatus"),
+        maxRecordsPerFile = 200)))
+    Runner.execute(spark, job, log = false)
+    val root = new java.io.File(s"$dir/orders_p.parquet")
+    assert(root.listFiles().exists(_.getName.startsWith("o_orderstatus=")))
+    val back = spark.read.parquet(root.toString)
+    val plan = back.filter(col("o_orderstatus") === "F")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"))
+    assert(back.count() == sf("orders").count())
+  }
+
+  test("O3 jobStatus queries the job log with the DSL; uid=last") {
+    val dir = Files.createTempDirectory("graft_jobs").toString
+    val job = JobSpec(
+      SourceSpec(DatasetRef("parquet", "/root/testdata/sf0.001", "region")),
+      target = Some(TargetSpec(DatasetRef("parquet", dir, "r1"), op = WriteOp.Create)))
+    Runner.execute(spark, job)
+    Runner.execute(spark, job.copy(target = Some(
+      TargetSpec(DatasetRef("parquet", dir, "r2"), op = WriteOp.Create))))
+    assert(Runner.jobStatus(spark, dir).count() == 2)
+    val last = Runner.jobStatus(spark, dir, Seq("uid" -> "last"))
+    assert(last.count() == 1)
+    assert(last.select("target").as[String].head().endsWith("r2"))
+    val filtered = Runner.jobStatus(spark, dir, Seq("op" -> "create", "written__gte" -> "5"))
+    assert(filtered.count() == 2)
+  }
+
   test("§2.7 diff: symmetric difference with context columns") {
     val a = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
     val b = Seq((2L, "y"), (3L, "z")).toDF("id", "v")
