@@ -264,6 +264,17 @@ object SparkEntry {
       graft.ext.EventWindows.sessions(read(s, dir, "events"), "30 minutes")
         .orderBy("user_id", "session_start")),
 
+    // ── [EXT] §2.10 IVF approximate top-k (rows-only) ─────────────────
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = read(s, dir, "embeddings")
+      val centroids = graft.ext.IvfIndex.train(s, e, k = 16, iters = 2)
+      val index = graft.ext.IvfIndex.assign(e, centroids)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      graft.ext.IvfIndex.search(q, index, centroids, k = 5, nprobe = 4)
+        .orderBy("q_id", "rank")
+    }),
+
     // ── [EXT] as-of join: latest purchase at or before each event ─────
     "q_asof" -> ((s, dir) => {
       val ev = read(s, dir, "events")

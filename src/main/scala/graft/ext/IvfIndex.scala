@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor ([EXT], SURVEY
+  * §2.10): k-means-style centroids partition the corpus into lists;
+  * a query probes only the `nprobe` nearest lists and ranks those
+  * candidates exactly. The classic trade: index once (train + assign),
+  * then every search touches corpus/nlist·nprobe vectors instead of
+  * the whole corpus.
+  *
+  * Spark shape: assignment is a broadcast-centroids crossJoin + window
+  * argmax (distributed, no driver loop over vectors); the Lloyd update
+  * aggregates per-dimension means in one groupBy — only the k×dim
+  * centroid matrix ever reaches the driver (same shape as MLlib's
+  * k-means). Training is deterministic: initial centroids are the k
+  * vectors with the smallest xxhash64(id).
+  */
+object IvfIndex {
+
+  import Similarity.cosine
+
+  /** Train `k` centroids with `iters` Lloyd iterations. Returns
+    * (centroid_id, centroid: array<float>).
+    */
+  def train(spark: SparkSession, corpus: DataFrame, k: Int, iters: Int = 3,
+            id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    // deterministic seed pick: k smallest hashes
+    var centroids = corpus
+      .withColumn("__h", xxhash64(col(id)))
+      .orderBy("__h").limit(k)
+      .select(monotonically_increasing_id().as("centroid_id"), col(vec).as("centroid"))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Float](1)) }
+    for (_ <- 1 to iters) {
+      val cdf = spark.createDataset(centroids.toSeq).toDF("centroid_id", "centroid")
+        .withColumn("centroid", col("centroid").cast("array<float>"))
+      val assigned = assign(corpus, cdf, id, vec)
+      // per-dimension mean of each cluster's vectors → new centroids
+      val newC = assigned
+        .select(col("centroid_id"), posexplode(col(vec)))
+        .groupBy("centroid_id", "pos").agg(avg("col").as("m"))
+        .groupBy("centroid_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m").cast("float")).as("centroid"))
+        .as[(Long, Seq[Float])].collect()
+      if (newC.nonEmpty) centroids = newC
+    }
+    spark.createDataset(centroids.toSeq).toDF("centroid_id", "centroid")
+      .withColumn("centroid", col("centroid").cast("array<float>"))
+  }
+
+  /** Assign every corpus vector to its nearest centroid (max cosine). */
+  def assign(corpus: DataFrame, centroids: DataFrame,
+             id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val w = Window.partitionBy(id).orderBy(col("__sim").desc, col("centroid_id").asc)
+    corpus.join(broadcast(centroids))
+      .withColumn("__sim", cosine(col(vec), col("centroid")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__sim", "centroid")
+  }
+
+  /** Search: probe the `nprobe` nearest inverted lists per query, rank
+    * candidates by exact cosine, return top k.
+    */
+  def search(queries: DataFrame, index: DataFrame, centroids: DataFrame,
+             k: Int, nprobe: Int = 4,
+             qId: String = "q_id", qVec: String = "q_vec",
+             cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val pw = Window.partitionBy(qId).orderBy(col("__csim").desc, col("centroid_id").asc)
+    val probes = broadcast(queries).join(broadcast(centroids))
+      .withColumn("__csim", cosine(col(qVec), col("centroid")))
+      .withColumn("__rn", row_number().over(pw))
+      .filter(col("__rn") <= nprobe)
+      .select(col(qId), col(qVec), col("centroid_id"))
+    val w = Window.partitionBy(qId).orderBy(col("sim").desc, col(cId).asc)
+    index.join(broadcast(probes), "centroid_id")
+      .filter(col(qId) =!= col(cId))
+      .withColumn("sim", cosine(col(qVec), col(cVec)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qId), col(cId), round(col("sim"), 4).as("sim"), col("rank"))
+  }
+}

@@ -101,6 +101,25 @@ class ExtSpec extends SparkSpec {
     assert(hits.intersect(brute).size >= hits.size / 2)
   }
 
+  test("IVF index: train/assign/search, planted dup found at rank 1") {
+    val e = sf("embeddings").limit(200)
+    // plant an exact duplicate of vec 0 so recall is testable
+    val dup = e.filter($"vec_id" === 0)
+      .select(lit(90001L).as("vec_id"), $"embedding", $"label")
+    val corpus = e.unionByName(dup)
+    val centroids = IvfIndex.train(spark, corpus, k = 8, iters = 2)
+    assert(centroids.count() == 8)
+    val index = IvfIndex.assign(corpus, centroids)
+    assert(index.count() == corpus.count())
+    assert(index.select("centroid_id").distinct().count() > 1)
+    val q = corpus.filter($"vec_id" === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val hits = IvfIndex.search(q, index, centroids, k = 3)
+      .select("vec_id", "rank").as[(Long, Int)].collect().toSeq
+    // the exact duplicate shares vec 0's centroid, so it must be rank 1
+    assert(hits.contains((90001L, 1)))
+  }
+
   test("text analysis: counts, ratios, langid") {
     val t = Seq(
       (1L, "The quick brown fox, it jumps!"),

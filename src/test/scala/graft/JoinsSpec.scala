@@ -55,6 +55,25 @@ class JoinsSpec extends SparkSpec {
     assert(cmp.count() == 0)
   }
 
+  test("bucketed tables make the equi-join shuffle-free") {
+    import graft.operators.Bucketing
+    Bucketing.bucketWrite(sf("orders"), "b_orders", Seq("o_custkey"), 4)
+    Bucketing.bucketWrite(
+      sf("customer").withColumnRenamed("c_custkey", "o_custkey"),
+      "b_customer", Seq("o_custkey"), 4)
+    val bj = Bucketing.bucketRead(spark, "b_orders")
+      .join(Bucketing.bucketRead(spark, "b_customer"), "o_custkey")
+    assert(!Bucketing.hasShuffle(bj), "bucketed join must not shuffle")
+    // same join on raw frames DOES shuffle (or broadcasts) — and equal results
+    val plain = sf("orders").join(
+      sf("customer").withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
+    assert(bj.count() == plain.count())
+    // bucketed group-by on the bucket key is also exchange-free
+    val agg = Bucketing.bucketRead(spark, "b_orders")
+      .groupBy("o_custkey").count()
+    assert(!Bucketing.hasShuffle(agg), "bucketed agg must not shuffle")
+  }
+
   test("salted join equals plain join") {
     val l = sf("lineitem").limit(2000).select("l_orderkey", "l_quantity")
     val r = sf("orders").select("o_orderkey", "o_totalprice")
