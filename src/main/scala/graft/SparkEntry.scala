@@ -203,6 +203,11 @@ object SparkEntry {
       graft.ext.TextDedup.minhashPairs(read(s, dir, "documents"),
         "doc_id", "text", n = 3, threshold = 0.8).orderBy("id_a", "id_b")),
 
+    // ── [EXT] §2.10 end-to-end corpus dedup (pairs → components) ─────
+    "q_dedup_corpus" -> ((s, dir) =>
+      graft.ext.TextDedup.dedupCorpus(read(s, dir, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.8).orderBy("doc_id")),
+
     // ── [EXT] §2.10 SimHash near-dup pairs (hash-based; rows-only) ────
     "q_dedup_simhash" -> ((s, dir) =>
       graft.ext.TextDedup.simhashPairs(read(s, dir, "documents"),
@@ -403,6 +408,36 @@ object SparkEntry {
          WHERE rn = 1 ORDER BY doc_id""",
     "q_dedup_jaccard" -> JaccardOracle,
     "q_dedup_minhash" -> JaccardOracle, // LSH recall ≈ 1 at j ≥ 0.8 ⇒ same result
+    "q_dedup_corpus" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                                      x -> x <> '') AS t
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, unnest(CASE WHEN len(t) >= 3
+             THEN [t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                   FOR i IN range(len(t) - 2)]
+             ELSE [] END) AS s
+           FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b FROM common
+           JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+           WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+         minl AS (SELECT a AS id, least(a, min(b)) AS label FROM reach GROUP BY a)
+         SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+         FROM documents d LEFT JOIN minl ON d.doc_id = minl.id
+         WHERE minl.id IS NULL OR minl.label = d.doc_id
+         ORDER BY d.doc_id""",
     "q_text_stats" -> TextStatsOracle,
     "q_ann_topk" ->
       """SELECT q_id, vec_id, sim, rank FROM (

@@ -202,6 +202,52 @@ object TextDedup {
   def simhashFrame(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
 
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation: every doc starts as its own label; each round, a doc
+    * adopts the smallest label among itself and its neighbors; stop at
+    * fixpoint. Components here are near-dup chains (a~b, b~c ⇒ one
+    * group even when a≁c). Rounds needed = graph diameter — tiny for
+    * dedup graphs; each round is one join + one aggregate, and
+    * localCheckpoint breaks the growing lineage (SURVEY §7.4.4).
+    */
+  def components(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "id_b"), Seq("id_b"))
+        .select(col("id_a").as("id"), col("label"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+    }
+    labels
+  }
+
+  /** End-to-end corpus dedup: find near-dup pairs (MinHash+LSH, exact
+    * verify), group them into components, keep the smallest id of each
+    * component plus every unpaired doc. Returns the deduplicated
+    * corpus.
+    */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, n, threshold)
+    val comps = components(pairs)
+    // min-label propagation converges to the component's smallest id,
+    // so the keeper of each component is exactly the row id == label
+    val losers = comps.filter(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-dup pairs within hamming distance ≤ maxDist.
     * Pigeonhole blocking: fingerprints are split into (maxDist+1)
     * 64/(maxDist+1)-bit chunks; any pair within maxDist must agree on at

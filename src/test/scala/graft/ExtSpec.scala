@@ -50,6 +50,24 @@ class ExtSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("components + dedupCorpus: transitive chains collapse to min id") {
+    // chain: 1~2, 2~4 (all near-identical); 3 unrelated
+    val comps = TextDedup.components(
+      Seq((1L, 2L), (2L, 4L)).toDF("id_a", "id_b"))
+    assert(comps.orderBy("id").as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 1L), (2L, 1L), (4L, 1L)))
+    val kept = TextDedup.dedupCorpus(docs, "doc_id", "text", 3, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L)) // 2 and 4 are near-dups of 1; 3 survives
+    // corpus-level: dedup removes exactly one doc per pair-component
+    val d = sf("documents")
+    val pairs = TextDedup.minhashPairs(d, "doc_id", "text", 3, 0.8)
+    val nCompsLosers = TextDedup.components(pairs)
+      .filter($"id" =!= $"label").count()
+    assert(TextDedup.dedupCorpus(d, "doc_id", "text", 3, 0.8).count() ==
+      d.count() - nCompsLosers)
+  }
+
   test("simhashPairs: near-identical docs collide, different don't") {
     val pairs = TextDedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

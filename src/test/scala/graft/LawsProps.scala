@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.{MergePlanner, WriteOps}
+import graft.spec.{DatasetRef, MergerSpec}
+import org.apache.spark.sql.DataFrame
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Property-based laws (SURVEY §5.3): upsert idempotence, insert
+  * uniqueness, match/no-match partition, count-cap min rule — checked
+  * over randomly generated small frames.
+  */
+object LawsProps extends Properties("graft.laws") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8) // each case spins Spark jobs; keep tight
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val rowsGen: Gen[List[(Long, String, Double)]] =
+    Gen.listOfN(12, for {
+      k <- Gen.chooseNum(0L, 7L)
+      s <- Gen.oneOf("a", "b", "c", null)
+      v <- Gen.chooseNum(-5.0, 5.0)
+    } yield (k, s, v))
+
+  private def df(rows: List[(Long, String, Double)]): DataFrame =
+    rows.toDF("id", "tag", "amt")
+
+  private def canon(d: DataFrame): Set[Seq[Any]] =
+    d.collect().toSet.map((r: org.apache.spark.sql.Row) => r.toSeq)
+
+  property("upsert idempotence: upsert∘upsert = upsert") =
+    forAll(rowsGen, rowsGen) { (t, b) =>
+      val target = df(t); val batch = df(b)
+      val once = WriteOps.upsert(target, batch, Seq("id"))
+      val twice = WriteOps.upsert(once, batch, Seq("id"))
+      canon(once) == canon(twice)
+    }
+
+  property("insert never duplicates a pk") =
+    forAll(rowsGen, rowsGen) { (t, b) =>
+      val target = df(t).dropDuplicates("id")
+      val out = WriteOps.insert(target, df(b), Seq("id"))
+      out.groupBy("id").count().filter($"count" > 1).count() == 0
+    }
+
+  property("delete ∘ insert of same keys = original target") =
+    forAll(rowsGen, rowsGen) { (t, b) =>
+      val target = df(t).dropDuplicates("id")
+      // keys disjoint from target so insert adds them all
+      val batch = df(b).withColumn("id", $"id" + 100L).dropDuplicates("id")
+      val inserted = WriteOps.insert(target, batch, Seq("id"))
+      val deleted = WriteOps.delete(inserted, batch, Seq("id"))
+      canon(deleted) == canon(target)
+    }
+
+  property("require_match ∪ require_no_match partitions the source") =
+    forAll(rowsGen, rowsGen) { (s, m) =>
+      val src = df(s)
+      val mrg = df(m).toDF("id", "mtag", "mamt")
+      val ref = DatasetRef("parquet", "", "x")
+      val spec = MergerSpec(ref, query = Seq("id" -> "#id#"))
+      val matched = MergePlanner.merge(src, mrg, spec.copy(requireMatch = true))
+      val unmatched = MergePlanner.merge(src, mrg, spec.copy(requireNoMatch = true))
+      matched.count() + unmatched.count() == src.count()
+    }
+
+  property("count cap: min(limit, total)") =
+    forAll(rowsGen, Gen.chooseNum(0, 20)) { (t, lim) =>
+      val d = df(t)
+      val total = d.count()
+      val capped = math.min(lim.toLong, total)
+      // mirror Runner.count's min rule on an in-memory frame
+      val q = graft.dsl.QueryCompiler.compile(d, Seq("_limit" -> lim.toString))
+      q.limit.map(l => math.min(l.toLong, total)).getOrElse(total) == capped
+    }
+}
