@@ -45,6 +45,7 @@ object Main {
       drop: Boolean = false, dry: Boolean = false, count: Boolean = false,
       stream: Boolean = false,
       jobPoll: Option[String] = None, jq: Seq[(String, String)] = Nil,
+      silent: Boolean = false,
       cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
   /** Env-var default for a flag (reference: MODULE__FLAG, base.py:158-185). */
@@ -65,7 +66,7 @@ object Main {
     var mrm = false; var mrnm = false; var munwind = false; var mstrict = false
     var mmo = true
     var skipTs = false; var dry = false; var drop = false; var count = false
-    var stream = false
+    var stream = false; var silent = false
     var partitionBy = ""; var maxRecords = 0L
     var jobPoll: Option[String] = None; var jq = Vector.empty[(String, String)]
     var workers: Option[Int] = None; var contid: Option[String] = None
@@ -108,6 +109,7 @@ object Main {
       case "--contid" => contid = Some(next("--contid"))
       case "--dry" => dry = true
       case "--drop" => drop = true
+      case "-y" | "--silent" => silent = true
       case "--count" => count = true
       case "--stream" => stream = true
       case "--partition-by" => partitionBy = next("--partition-by")
@@ -154,7 +156,7 @@ object Main {
       merger = mergerSpec, target = targetSpec,
       workers = workers, dryRun = dry, contid = contid)
     (job, Opts(drop = drop, dry = dry, count = count, stream = stream,
-      jobPoll = jobPoll, jq = jq))
+      jobPoll = jobPoll, jq = jq, silent = silent))
   }
 
   private def session(opts: Opts): SparkSession = {
@@ -177,8 +179,14 @@ object Main {
       return
     }
     if (opts.drop) job.target.foreach { t =>
-      println(s"dropping ${t.ref.uri}")
-      Resolver.drop(spark, t.ref)
+      // O10 confirm gate (reference: might_drop_target + ask_input,
+      // etl_cli/base.py:612-630): destructive ops prompt unless --silent.
+      val ok = opts.silent || {
+        print(s"drop ${t.ref.uri}? [y/N] ")
+        Option(scala.io.StdIn.readLine()).exists(_.trim.equalsIgnoreCase("y"))
+      }
+      if (ok) { println(s"dropping ${t.ref.uri}"); Resolver.drop(spark, t.ref) }
+      else println(s"skipped drop of ${t.ref.uri}")
     }
     if (opts.count) {
       println(Runner.count(spark, job.source)); return
@@ -251,6 +259,7 @@ object Main {
       |jobs           --job-poll NS  --jq key=value (default uid=last)
       |transformers   --str CHAIN   (chain: name:arg1;arg2,name2,...)
       |run            --workers N  --contid ID  --dry  --drop  --count
+      |               -y/--silent (skip confirmations)
       |               --stream (incremental AvailableNow continuation)
       |""".stripMargin
 }

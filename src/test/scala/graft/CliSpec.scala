@@ -1,0 +1,75 @@
+package graft
+
+import graft.cli.Main
+import graft.spec._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CLI flag-surface parse tests — no Spark session needed. */
+class CliSpec extends AnyFunSuite {
+
+  private def parse(args: String*): (JobSpec, Main.Opts) =
+    Main.parse(args.toArray)
+
+  test("source/query/sort/limit flags") {
+    val (job, _) = parse("-s", "parquet//data/sf/lineitem",
+      "-q", "l_quantity__gte=30", "-q", "_sort=-l_extendedprice", "-q", "_limit=5")
+    assert(job.source.ref == DatasetRef("parquet", "/data/sf", "lineitem"))
+    assert(job.source.query == Seq(
+      "l_quantity__gte" -> "30", "_sort" -> "-l_extendedprice", "_limit" -> "5"))
+  }
+
+  test("-o op:pk fuses op and key; --pk overrides") {
+    val (j1, _) = parse("-s", "parquet/a/b", "-t", "parquet/c/d", "-o", "upsert:city")
+    assert(j1.target.get.op == WriteOp.Upsert && j1.target.get.pk == Seq("city"))
+    val (j2, _) = parse("-s", "parquet/a/b", "-t", "parquet/c/d",
+      "-o", "update:x", "--pk", "k1,k2")
+    assert(j2.target.get.pk == Seq("k1", "k2"))
+  }
+
+  test("--st shorthand sets source and target; self-update detected shape") {
+    val (job, _) = parse("--st", "parquet/a/t", "-o", "update", "--pk", "id")
+    assert(job.source.ref == job.target.get.ref)
+  }
+
+  test("--mkeys emits correlated #field# pairs; modifiers parsed") {
+    val (job, _) = parse("-s", "parquet/a/b", "-m", "parquet/a/m",
+      "--mkeys", "city", "--mq", "pop__gte=100", "--mmd", "s2m",
+      "--mrm", "--munwind", "--mma", "geo")
+    val m = job.merger.get
+    assert(m.query == Seq("city" -> "#city#", "pop__gte" -> "100"))
+    assert(m.direction == MergeDirection.S2M)
+    assert(m.requireMatch && m.unwind && !m.matchOne)
+    assert(m.mergeAs.contains("geo"))
+  }
+
+  test("transformer chains parse name:a;b syntax") {
+    val (job, _) = parse("-s", "parquet/a/b",
+      "--str", "upper:name,set_expr:flag;x > 1")
+    assert(job.source.postRead == Seq(
+      TransformStage("upper", Seq("name")),
+      TransformStage("set_expr", Seq("flag", "x > 1"))))
+  }
+
+  test("target partitioning, file sizing, stream, silent flags") {
+    val (job, opts) = parse("-s", "parquet/a/b", "-t", "parquet/c/d",
+      "--partition-by", "dt,country", "--max-records-per-file", "5000",
+      "--stream", "-y")
+    assert(job.target.get.partitionBy == Seq("dt", "country"))
+    assert(job.target.get.maxRecordsPerFile == 5000L)
+    assert(opts.stream && opts.silent)
+  }
+
+  test("--job-poll requires no source; --jq collected") {
+    val (_, opts) = parse("--job-poll", "/tmp/ns", "--jq", "op=create")
+    assert(opts.jobPoll.contains("/tmp/ns"))
+    assert(opts.jq == Seq("op" -> "create"))
+  }
+
+  test("errors: unknown flag, missing source, bad op, merger sans keys") {
+    intercept[Main.CliError](parse("-s", "parquet/a/b", "--bogus"))
+    intercept[Main.CliError](parse("-q", "a=b"))
+    intercept[IllegalArgumentException](
+      parse("-s", "parquet/a/b", "-t", "parquet/c/d", "-o", "smash"))
+    intercept[Main.CliError](parse("-s", "parquet/a/b", "-m", "parquet/a/m"))
+  }
+}
