@@ -204,7 +204,9 @@ object Main {
       val q = graft.dsl.QueryCompiler.compile(
         graft.engine.Planner.sourceFrame(spark, job.source.copy(query = Nil)),
         job.source.query)
-      val tgtPath = Resolver.path(t.ref).stripSuffix(".parquet")
+      // keep the resolver's addressing (<ns>/<name>.parquet directory)
+      // so the streamed target is readable as a normal dataset ref
+      val tgtPath = Resolver.path(t.ref)
       graft.streaming.StreamRunner.runAvailableNow(spark,
         graft.streaming.StreamRunner.readStream(spark, job.source.ref),
         df => {

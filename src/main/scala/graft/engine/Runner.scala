@@ -62,11 +62,16 @@ object Runner {
           else planned.withColumn("_etl_ts", current_timestamp())
         val current = targetState(spark, t, batch)
         val newState = WriteOps.applyOp(current, batch, t)
+        // `written` = rows processed from the source batch this run —
+        // NOT the post-op target total (an upsert of 10 rows into a 1M
+        // table writes 10, and loop/fan-out sums must not re-count the
+        // whole table each iteration). Counted BEFORE the rewrite: on
+        // self-update jobs the batch reads the files the swap replaces.
+        val written = batch.count()
         // Break lineage before rewriting the files we are reading from.
         val materialized = newState.localCheckpoint(eager = true)
         WriteOps.atomicOverwrite(spark, materialized, Resolver.path(t.ref),
           t.partitionBy, t.maxRecordsPerFile)
-        val written = materialized.count()
         if (log) jobLog(spark, job, written)
         RunResult(job, written, written, 1)
     }
@@ -114,6 +119,16 @@ object Runner {
     */
   def runLoop(spark: SparkSession, job: JobSpec, maxIter: Int = 100): RunResult = {
     val selfUpdate = job.target.exists(_.ref == job.source.ref)
+    // Only self-update jobs have an exclusion mark (_contid) to make
+    // re-execution converge; for any other job a second pass would
+    // reprocess the identical source (duplicating appends), so the
+    // "loop" is a single run. (The reference excluded processed records
+    // via its server-side job log, etl_cli/etl.py:326-339 — state we do
+    // not have outside the self-update case.)
+    if (!selfUpdate) {
+      val r = execute(spark, job)
+      return r.copy(iterations = 1)
+    }
     val uid = job.contid.getOrElse(java.util.UUID.randomUUID().toString)
     var last = -1L; var unchanged = 0; var iters = 0; var written = 0L
     var done = false

@@ -113,7 +113,11 @@ object TextDedup {
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    verifyPairs(cand, docs, threshold)
+    // materialize the (small) verified pair set, then release the
+    // cached corpus — otherwise every invocation leaks a pinned copy
+    val out = verifyPairs(cand, docs, threshold).localCheckpoint(eager = true)
+    docs.unpersist()
+    out
   }
 
   /** k MinHash values from a STAGED base-hash array attribute, as k
@@ -189,7 +193,11 @@ object TextDedup {
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    verifyPairs(cand, docs, threshold)
+    // materialize the (small) verified pair set, then release the
+    // cached corpus — otherwise every invocation leaks a pinned copy
+    val out = verifyPairs(cand, docs, threshold).localCheckpoint(eager = true)
+    docs.unpersist()
+    out
   }
 
   /** 64-bit SimHash fingerprint of the token multiset: per-bit ±1
@@ -229,6 +237,7 @@ object TextDedup {
         .filter(col("label") =!= col("old")).count()
       labels = next
     }
+    edges.unpersist()
     labels
   }
 

@@ -42,15 +42,20 @@ object StructUtils {
     df.columns.foreach { c =>
       val parts = c.split(sep).toList
       var cur = root
+      var collided = false
       parts.init.foreach { p =>
-        cur = cur.children.getOrElseUpdate(p, Branch(scala.collection.mutable.LinkedHashMap())) match {
-          case b: Branch => b
-          case _: Leaf   => // name collision: a leaf already exists; keep flat
-            val b = Branch(scala.collection.mutable.LinkedHashMap())
-            cur.children.update(p, b); b
+        if (!collided) cur.children.getOrElseUpdate(
+            p, Branch(scala.collection.mutable.LinkedHashMap())) match {
+          case b: Branch => cur = b
+          case _: Leaf   => collided = true // "a" exists flat; "a_b" stays flat
         }
       }
-      cur.children.getOrElseUpdate(parts.last, Leaf(c))
+      // reverse collision: a Branch "a" already exists when flat column
+      // "a" arrives — it must also stay flat under its full name
+      if (!collided && cur.children.get(parts.last).exists(_.isInstanceOf[Branch]))
+        collided = true
+      if (collided) root.children.getOrElseUpdate(c, Leaf(c))
+      else cur.children.getOrElseUpdate(parts.last, Leaf(c))
     }
     def build(name: String, node: Node): Column = node match {
       case Leaf(c)   => col(c).as(name)

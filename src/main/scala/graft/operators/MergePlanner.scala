@@ -61,8 +61,14 @@ object MergePlanner {
     m.withColumn("__rn__", row_number().over(w)).filter(col("__rn__") === 1).drop("__rn__")
   }
 
+  /** `broadcastMerger` forces a broadcast hint for callers that KNOW
+    * the merger is a small dimension; the default leaves the physical
+    * join choice to Catalyst/AQE's size-based planning (a forced hint
+    * on a large merger would override the 8GB broadcast limit guard
+    * and OOM the driver at scale).
+    */
   def merge(src: DataFrame, mergerRaw: DataFrame, spec: MergerSpec,
-            broadcastMerger: Boolean = true): DataFrame = {
+            broadcastMerger: Boolean = false): DataFrame = {
     val (corr, literals) = splitQuery(spec.query)
     require(corr.nonEmpty, "merger requires at least one #field# correlated key (--mkeys)")
 
@@ -101,20 +107,25 @@ object MergePlanner {
 
     // J4 require_no_match → anti; J3 require_match → inner; else left outer.
     if (spec.requireNoMatch) return src.join(m, cond, "left_anti")
-    val joined0 = src.join(m, cond, if (spec.requireMatch) "inner" else "left_outer")
+    val rangeOne = !spec.unwind && spec.matchOne && !allEq
+    // range lookup + match_one needs a unique per-source-row partition
+    // key: partitioning by the source's columns would collapse
+    // duplicate source rows into one output row.
+    val srcTagged = if (rangeOne)
+      src.withColumn("__srcrow__", monotonically_increasing_id()) else src
+    val joined0 = srcTagged.join(m, cond, if (spec.requireMatch) "inner" else "left_outer")
     val joined =
-      if (spec.unwind || !spec.matchOne || allEq) joined0
+      if (!rangeOne) joined0
       else {
-        // range lookup + match_one: keep the first match per SOURCE row
-        // (deterministic: merger's sortable columns ascending).
-        val srcKey = src.columns.toSeq.map(col)
+        // keep the first match per SOURCE row (deterministic: merger's
+        // sortable columns ascending).
         val ord = deduped.columns.toSeq
           .filter(c => sortable(deduped.schema(c).dataType))
           .map(c => col(MPrefix + c).asc_nulls_last)
-        val w = Window.partitionBy(srcKey.toIndexedSeq: _*)
+        val w = Window.partitionBy(col("__srcrow__"))
           .orderBy((if (ord.isEmpty) Seq(lit(1).asc) else ord).toIndexedSeq: _*)
         joined0.withColumn("__rn__", row_number().over(w))
-          .filter(col("__rn__") === 1).drop("__rn__")
+          .filter(col("__rn__") === 1).drop("__rn__", "__srcrow__")
       }
 
     val srcCols  = src.columns.toSeq

@@ -62,12 +62,17 @@ object WriteOps {
   private def pkCond(t: DataFrame, pk: Seq[String]): Column =
     pk.map(k => t(k) <=> col(SPrefix + k)).reduce(_ && _)
 
-  /** Restrict which target rows the op may touch (`--tq`, F10). */
+  /** Restrict which target rows the op may touch (`--tq`, F10).
+    * Rows where the predicate is NULL (e.g. a null column compared with
+    * `=`) are NOT touchable — and must still be kept: `!pred` is also
+    * NULL for them, so the untouchable side coalesces NULL→true or the
+    * row would vanish from the rewritten target entirely.
+    */
   private def tqSplit(target: DataFrame, tq: Seq[(String, String)]): (DataFrame, DataFrame) = {
     if (tq.isEmpty) return (target, target.limit(0))
     val preds = QueryCompiler.compile(target, tq).predicates
     val touchable = preds.foldLeft(target)(_ filter _)
-    val untouchable = target.filter(!preds.reduce(_ && _))
+    val untouchable = target.filter(coalesce(!preds.reduce(_ && _), lit(true)))
     (touchable, untouchable)
   }
 

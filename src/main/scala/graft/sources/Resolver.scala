@@ -61,6 +61,12 @@ object Resolver {
     * `spark.sql.legacy.parquet.nanosAsLong`, and convert to
     * TimestampType at microsecond precision. Integer `div` (not `/`)
     * avoids double-precision loss on epoch-nanos > 2^53.
+    *
+    * NOTE: the conf is session-global and stays set once a nano dataset
+    * has been read — a deliberate trade-off. Reads routed through this
+    * resolver always convert; a bare `spark.read.parquet` of a nano
+    * file in the same session would then yield long columns instead of
+    * the loud error. Route reads through the Resolver.
     */
   def readParquet(spark: SparkSession, pathStr: String): DataFrame = {
     val nanos = nanoTimestampCols(spark, pathStr)

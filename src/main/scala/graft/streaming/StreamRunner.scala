@@ -38,14 +38,15 @@ object StreamRunner {
       else Nil
     if (nanos.nonEmpty)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val s = schema.getOrElse(spark.read.format(ref.backend match {
+    val fmt = ref.backend match {
       case "csv" => "csv"; case "json" => "json"; case _ => "parquet"
-    }).load(path).schema)
-    val raw = spark.readStream.schema(s).format(ref.backend match {
-      case "csv" => "csv"
-      case "json" => "json"
-      case _ => "parquet"
-    }).load(path)
+    }
+    def opts(r: org.apache.spark.sql.DataFrameReader) =
+      if (fmt == "csv") r.option("header", "true") else r
+    def sopts(r: org.apache.spark.sql.streaming.DataStreamReader) =
+      if (fmt == "csv") r.option("header", "true") else r
+    val s = schema.getOrElse(opts(spark.read.format(fmt)).load(path).schema)
+    val raw = sopts(spark.readStream.schema(s).format(fmt)).load(path)
     Resolver.convertNanoCols(raw, nanos)
   }
 

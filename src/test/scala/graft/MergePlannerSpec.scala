@@ -42,6 +42,10 @@ class MergePlannerSpec extends SparkSpec {
     val one = MergePlanner.merge(amounts, tiers, rangeSpec).orderBy("id")
     assert(rows(one.select("id", "tier")) ==
       Seq(Seq(1L, "t_low"), Seq(2L, "t_high"), Seq(3L, null)))
+    // duplicate source rows must each keep their own match (left-outer
+    // cardinality preserved — regression for per-source-row windowing)
+    val dupSrc = Seq((1L, 25.0), (1L, 25.0)).toDF("id", "amt")
+    assert(MergePlanner.merge(dupSrc, tiers, rangeSpec).count() == 2)
   }
 
   test("J1 base lookup: left outer, match_one keeps first match") {

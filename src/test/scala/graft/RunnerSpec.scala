@@ -101,6 +101,31 @@ class RunnerSpec extends SparkSpec {
     assert(filtered.count() == 2)
   }
 
+  test("O4 non-self-update contid job runs exactly once (no duplicate appends)") {
+    val dir = Files.createTempDirectory("graft_once").toString
+    val job = JobSpec(
+      SourceSpec(DatasetRef("parquet", "/root/testdata/sf0.001", "region")),
+      target = Some(TargetSpec(DatasetRef("parquet", dir, "r"), op = WriteOp.Create)),
+      contid = Some("run-x"))
+    val res = Runner.runLoop(spark, job)
+    assert(res.iterations == 1)
+    assert(spark.read.parquet(s"$dir/r.parquet").count() == 5)
+  }
+
+  test("execute reports batch rows written, not the post-op target total") {
+    val dir = Files.createTempDirectory("graft_written").toString
+    val all = JobSpec(
+      SourceSpec(DatasetRef("parquet", "/root/testdata/sf0.001", "orders")),
+      target = Some(TargetSpec(DatasetRef("parquet", dir, "t"),
+        op = WriteOp.Upsert, pk = Seq("o_orderkey"))))
+    assert(Runner.execute(spark, all, log = false).written == 1500)
+    val small = all.copy(source = all.source.copy(
+      query = Seq("o_orderkey__lt" -> "100")))
+    // upsert of a 24-row batch into the 1500-row target reports 24
+    assert(Runner.execute(spark, small, log = false).written ==
+      sf("orders").filter(col("o_orderkey") < 100).count())
+  }
+
   test("§2.7 diff: symmetric difference with context columns") {
     val a = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
     val b = Seq((2L, "y"), (3L, "z")).toDF("id", "v")
@@ -116,6 +141,10 @@ class RunnerSpec extends SparkSpec {
     val back = StructUtils.nest(flat)
     assert(back.columns.toSeq == Seq("id", "geo"))
     assert(rows(back.select("geo.code")) == Seq(Seq("us")))
+    // name collisions keep both columns flat instead of dropping one
+    val clash = Seq((1L, 2L, 3L)).toDF("a", "a_b", "a_b_c")
+    val nested = StructUtils.nest(clash)
+    assert(nested.columns.toSet == Set("a", "a_b", "a_b_c"))
   }
 
   test("S10 drop dataset") {

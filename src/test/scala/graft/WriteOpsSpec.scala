@@ -58,6 +58,17 @@ class WriteOpsSpec extends SparkSpec {
     assert(out.filter($"id" === 2L).select("name").as[String].head() == "b")
   }
 
+  test("F10 tq: rows with NULL predicate are kept untouched (no data loss)") {
+    val t2 = target.withColumn("status",
+      org.apache.spark.sql.functions.when($"id" === 3L, null).otherwise($"status"))
+    val out = WriteOps.update(t2, batch, Seq("id"), tq = Seq("status" -> "keep"))
+    // id=3 has NULL status: not touchable, but MUST survive the rewrite
+    assert(out.count() == 3)
+    assert(out.filter($"id" === 3L).count() == 1)
+    val del = WriteOps.delete(t2, batch, Seq("id"), tq = Seq("status" -> "keep"))
+    assert(del.filter($"id" === 3L).count() == 1)
+  }
+
   test("W4 upsert = update ∪ insert") {
     val out = WriteOps.upsert(target, batch, Seq("id"))
     assert(state(out.select("id", "name", "status")) == Seq(
