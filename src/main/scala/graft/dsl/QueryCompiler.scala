@@ -161,9 +161,10 @@ object QueryCompiler {
       .agg(exprs.head, exprs.tail.toIndexedSeq: _*)
   }
 
-  /** Full application order: filter → group/agg → sort → limit → project.
-    * (Reference applies source.query at scan; sort/limit/projection ride
-    * along the same dict — SURVEY §2.2.)
+  /** Full application order: filter → group/agg → sort → limit →
+    * project → flatten. (Reference applies source.query at scan;
+    * sort/limit/projection ride along the same dict — SURVEY §2.2;
+    * `_flat=1` flattens nested structs, base.py:545-546.)
     */
   def apply(df: DataFrame, query: Seq[(String, String)]): DataFrame = {
     val q = compile(df, query)
@@ -172,6 +173,7 @@ object QueryCompiler {
     if (q.sort.nonEmpty) out = out.orderBy(sortColumns(q.sort).toIndexedSeq: _*)
     q.limit.foreach(n => out = out.limit(n))
     if (q.fields.nonEmpty) out = project(out, q.fields)
+    if (q.flat) out = graft.functions.StructUtils.flatten(out)
     out
   }
 }

@@ -41,16 +41,20 @@ object Planner {
     */
   def plan(spark: SparkSession, job: JobSpec): DataFrame = {
     val src = sourceFrame(spark, job.source)
+    val compiled = QueryCompiler.compile(src, job.source.query)
     val df = job.merger.fold(src) { m =>
-      val merged = withMerger(spark, src, m)
+      val merged0 = withMerger(spark, src, m)
       // A shuffle join does not preserve the source's `_sort` order —
       // re-apply it so downstream consumers see the requested ordering.
-      val sortKeys = QueryCompiler
-        .compile(src, job.source.query).sort
-        .filter(k => merged.columns.contains(k.stripPrefix("-")))
-      if (sortKeys.nonEmpty)
-        merged.orderBy(QueryCompiler.sortColumns(sortKeys).toIndexedSeq: _*)
-      else merged
+      val sortKeys = compiled.sort
+        .filter(k => merged0.columns.contains(k.stripPrefix("-")))
+      val merged =
+        if (sortKeys.nonEmpty)
+          merged0.orderBy(QueryCompiler.sortColumns(sortKeys).toIndexedSeq: _*)
+        else merged0
+      // `_flat=1` flattens the FINAL record — including structs the
+      // merger nested (merge_as) — not just the source scan (F7).
+      if (compiled.flat) graft.functions.StructUtils.flatten(merged) else merged
     }
     job.workers.fold(df)(n => df.repartition(n))
   }

@@ -130,12 +130,10 @@ object TextDedup {
     * the base-hash projection is multi-referenced and CollapseProject
     * cannot inline it into a lambda that would re-evaluate it k times.
     */
-  def minhashCols(baseHashes: Column, k: Int = 128): Seq[Column] =
-    Seq(graft.functions.VectorExprs.minhashSig(baseHashes, k))
-
-  /** Single-column MinHash signature (array of k): one codegen'd loop
-    * over the base hashes (xor+rotate permutation family — bijective
-    * and overflow-free; ANSI mode rejects wrapping multiply-add). */
+  /** MinHash signature (array of k) over string shingles: one codegen'd
+    * loop over their xxhash64 base hashes (xor+rotate permutation
+    * family — bijective and overflow-free; ANSI mode rejects wrapping
+    * multiply-add). */
   def minhashSignature(shingleCol: Column, k: Int = 128): Column =
     graft.functions.VectorExprs.minhashSig(
       transform(shingleCol, x => xxhash64(x)), k)

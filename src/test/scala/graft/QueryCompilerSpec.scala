@@ -67,6 +67,13 @@ class QueryCompilerSpec extends SparkSpec {
     assert(got.select("id").as[Long].collect().toSeq == Seq(3L, 5L))
   }
 
+  test("F7 _flat=1 flattens nested structs in the query output") {
+    val nested = df.selectExpr("id", "struct(country as code, amount as amt) as geo")
+    val flat = QueryCompiler.apply(nested, Seq("_flat" -> "1", "_sort" -> "id"))
+    assert(flat.columns.toSeq == Seq("id", "geo_code", "geo_amt"))
+    assert(flat.count() == 5)
+  }
+
   test("DatasetRef parse + %TODAY%") {
     assert(DatasetRef.parse("mongo/standards/regions") ==
       DatasetRef("mongo", "standards", "regions"))
