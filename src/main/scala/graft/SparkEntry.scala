@@ -161,6 +161,15 @@ object SparkEntry {
         "_group" -> "o_orderstatus", "_agg" -> "count:*,max:o_totalprice",
         "_sort" -> "o_orderstatus")))),
 
+    // ── [EXT] §2.6 percentile aggregates via the _agg DSL ─────────────
+    "q_group_pctl" -> ((s, dir) => Planner.plan(s, JobSpec(
+      src(dir, "lineitem",
+        "_group" -> "l_returnflag",
+        "_agg" -> "p50:l_extendedprice,p95:l_extendedprice,count:*",
+        "_sort" -> "l_returnflag")))
+      .withColumn("p50_l_extendedprice", round(col("p50_l_extendedprice"), 4))
+      .withColumn("p95_l_extendedprice", round(col("p95_l_extendedprice"), 4))),
+
     // ── [EXT] §2.6 TPC-H Q1-style pricing summary ─────────────────────
     "q1_agg" -> ((s, dir) =>
       read(s, dir, "lineitem")
@@ -384,6 +393,12 @@ object SparkEntry {
     "q_group_dsl" ->
       """SELECT o_orderstatus, count(*) AS count_all, max(o_totalprice) AS max_o_totalprice
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_group_pctl" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_extendedprice, 0.50), 4) AS p50_l_extendedprice,
+                round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_l_extendedprice,
+                count(*) AS count_all
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
                 round(sum(l_quantity), 2) AS sum_qty,

@@ -154,6 +154,13 @@ object QueryCompiler {
       case ("min", f)       => min(col(f)).as(s"min_$f")
       case ("max", f)       => max(col(f)).as(s"max_$f")
       case ("stddev", f)    => stddev_samp(col(f)).as(s"stddev_$f")
+      // exact interpolated percentiles (p50/p90/p95/p99); the approx_*
+      // variants are the sketch-based scale path (no exact oracle)
+      case (p, f) if p.matches("p\\d{1,2}") =>
+        val q = p.drop(1).toDouble / 100.0
+        expr(s"percentile(`$f`, $q)").as(s"${p}_$f")
+      case ("approx_countd", f) =>
+        approx_count_distinct(col(f)).as(s"approx_countd_$f")
       case (fn, f) => throw new IllegalArgumentException(s"unknown agg: $fn:$f")
     }
     require(exprs.nonEmpty, "_agg required when _group is set")

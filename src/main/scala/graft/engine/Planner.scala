@@ -22,8 +22,17 @@ object Planner {
     */
   def sourceFrame(spark: SparkSession, s: SourceSpec): DataFrame = {
     val raw = Resolver.read(spark, s.ref)
-    val queried = QueryCompiler.apply(raw, s.query)
-    Transformers.apply(queried, s.postRead)
+    // `_fields` projects AFTER the post-read transformers so it can
+    // select transformer-created columns; filters/sort/limit still
+    // compile at the scan (and Catalyst prunes the read schema through
+    // the projection either way).
+    val (fieldParams, rest) = s.query.partition(_._1 == "_fields")
+    val queried = QueryCompiler.apply(raw, rest)
+    val transformed = Transformers.apply(queried, s.postRead)
+    val fields = fieldParams.flatMap(_._2.split(","))
+      .map(_.trim).filter(_.nonEmpty)
+    if (fields.nonEmpty) QueryCompiler.project(transformed, fields)
+    else transformed
   }
 
   /** Merger stage: resolve the merger dataset, apply its post-read

@@ -62,7 +62,36 @@ object Transformers {
     "sample"   -> (args => df => df.sample(args.head.toDouble, args.lift(1).map(_.toLong).getOrElse(42L))),
     // stamping (W10 counterpart)
     "timestamp" -> (args => df =>
-      df.withColumn(args.headOption.getOrElse("_etl_ts"), current_timestamp()))
+      df.withColumn(args.headOption.getOrElse("_etl_ts"), current_timestamp())),
+    // rows / predicates
+    "filter"  -> (args => df => df.filter(expr(args.head))), // filter:sql-predicate
+    "limit"   -> (args => df => df.limit(args.head.toInt)),
+    // dates
+    "date_trunc" -> (args => df => { // date_trunc:field;unit;out
+      val Seq(f, unit, out) = args.take(3)
+      df.withColumn(out, date_trunc(unit, col(f)))
+    }),
+    "extract" -> (args => df => { // extract:field;part;out  (year/month/dow/hour…)
+      val Seq(f, part, out) = args.take(3)
+      df.withColumn(out, expr(s"extract($part FROM `$f`)"))
+    }),
+    // strings & hashing
+    "normalize_ws" -> (args => df => // collapse runs of whitespace, trim
+      df.withColumn(args.head, regexp_replace(trim(col(args.head)), "\\s+", " "))),
+    "hash64" -> (args => df => { // hash64:field;out
+      val Seq(f, out) = args.take(2)
+      df.withColumn(out, xxhash64(col(f)))
+    }),
+    "split_field" -> (args => df => { // split_field:field;regex;out
+      val Seq(f, re, out) = args.take(3)
+      df.withColumn(out, split(col(f), re))
+    }),
+    "coalesce_fields" -> (args => df => { // coalesce_fields:out;f1;f2...
+      val out +: fields = args: @unchecked
+      df.withColumn(out, coalesce(fields.map(col).toIndexedSeq: _*))
+    }),
+    "mask" -> (args => df => // mask:field — constant-length redaction
+      df.withColumn(args.head, lit("***")))
   )
 
   def register(name: String, f: Factory): Unit = registry.update(name, f)
@@ -74,5 +103,14 @@ object Transformers {
         s"unknown transformer: ${stage.name} (known: ${names.mkString(",")})"))(stage.args)
 
   def apply(df: DataFrame, stages: Seq[TransformStage]): DataFrame =
-    stages.foldLeft(df)((d, s) => resolve(s)(d))
+    stages.foldLeft(df) { (d, s) =>
+      // arg destructuring happens inside the stage closure — surface a
+      // usable error instead of a bare MatchError on wrong arity
+      try resolve(s)(d) catch {
+        case _: MatchError | _: IndexOutOfBoundsException | _: NoSuchElementException =>
+          throw new IllegalArgumentException(
+            s"transformer ${s.name}: wrong arguments ${s.args.mkString("[", ";", "]")} " +
+              "(syntax: name:arg1;arg2)")
+      }
+    }
 }

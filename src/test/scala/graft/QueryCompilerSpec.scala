@@ -67,6 +67,40 @@ class QueryCompilerSpec extends SparkSpec {
     assert(got.select("id").as[Long].collect().toSeq == Seq(3L, 5L))
   }
 
+  test("§2.5 new transformer built-ins: filter, dates, hashing, coalesce") {
+    import graft.functions.Transformers
+    import graft.spec.TransformStage
+    val t = Seq((1L, "  a   b  ", "2024-03-15 10:30:00", null.asInstanceOf[String]),
+      (2L, "xy", "2024-07-01 00:00:00", "z"))
+      .toDF("id", "txt", "when_s", "alt")
+      .withColumn("when_ts", $"when_s".cast("timestamp"))
+    val out = Transformers.apply(t, Seq(
+      TransformStage("filter", Seq("id >= 1")),
+      TransformStage("normalize_ws", Seq("txt")),
+      TransformStage("date_trunc", Seq("when_ts", "month", "mon")),
+      TransformStage("extract", Seq("when_ts", "year", "yr")),
+      TransformStage("hash64", Seq("txt", "h")),
+      TransformStage("coalesce_fields", Seq("best", "alt", "txt")),
+      TransformStage("mask", Seq("when_s"))))
+    val r1 = out.filter($"id" === 1L).head()
+    assert(r1.getAs[String]("txt") == "a b")
+    assert(r1.getAs[java.sql.Timestamp]("mon").toString.startsWith("2024-03-01"))
+    assert(r1.getAs[Any]("yr").toString == "2024")
+    assert(r1.getAs[String]("best") == "a b") // alt null -> txt
+    assert(r1.getAs[String]("when_s") == "***")
+    assert(out.filter($"id" === 2L).head().getAs[String]("best") == "z")
+  }
+
+  test("[EXT] _agg percentiles and approx count-distinct") {
+    val got = QueryCompiler.apply(df, Seq(
+      "_group" -> "country", "_agg" -> "p50:amount,approx_countd:tag",
+      "_sort" -> "country"))
+    assert(got.columns.toSeq ==
+      Seq("country", "p50_amount", "approx_countd_tag"))
+    assert(got.filter($"country" === "US")
+      .select("p50_amount").as[Double].head() == 30.0)
+  }
+
   test("F7 _flat=1 flattens nested structs in the query output") {
     val nested = df.selectExpr("id", "struct(country as code, amount as amt) as geo")
     val flat = QueryCompiler.apply(nested, Seq("_flat" -> "1", "_sort" -> "id"))
