@@ -300,6 +300,22 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ── [EXT] capstone: training-corpus prep pipeline ─────────────────
+    // langId=='en' → quality ≥ 0.7 → near-dup removal → token counts
+    "q_corpus_prep" -> ((s, dir) => {
+      import graft.ext.{TextAnalysis, TextDedup}
+      val docs = read(s, dir, "documents")
+      val scored = docs
+        .withColumn("lang_id", TextAnalysis.langId(col("text")))
+        .withColumn("quality", TextAnalysis.qualityScore(col("text"), col("n_chars")))
+        .filter(col("lang_id") === "en" && col("quality") >= 0.7)
+      val deduped = TextDedup.dedupCorpus(scored, "doc_id", "text", 3, 0.8)
+      deduped
+        .withColumn("bpe_tokens", TextAnalysis.tokenCount(col("text")))
+        .select("doc_id", "lang_id", "quality", "bpe_tokens", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // ── [EXT] §2.10 multimodal plumbing: stub features (rows-only) ────
     "q_media_features" -> ((s, dir) => {
       val media = graft.ext.Multimodal.asMedia(
@@ -454,6 +470,80 @@ object SparkEntry {
          WHERE minl.id IS NULL OR minl.label = d.doc_id
          ORDER BY d.doc_id""",
     "q_text_stats" -> TextStatsOracle,
+    "q_corpus_prep" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, text, n_chars,
+                  list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+         r AS (
+           SELECT doc_id, text, n_chars, toks,
+             CASE WHEN len(toks) > 0
+                  THEN list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks)
+                  ELSE 0.0 END AS wraw,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_filter(toks, x -> list_contains(
+                    ['the','a','an','and','of','to','in','is','on','for','with',
+                     'that','it','as','at','by','this','be','are','was'], x))) * 1.0 / len(toks)
+                  ELSE 0.0 END AS sraw,
+             CASE WHEN len(regexp_replace(text, '\s', '', 'g')) > 0
+                  THEN len(regexp_replace(text, '[\w\s]', '', 'g')) * 1.0
+                       / len(regexp_replace(text, '\s', '', 'g'))
+                  ELSE 0.0 END AS praw,
+             len(list_filter(toks, x -> list_contains(
+               ['the','and','of','to','is','with','that','for'], x))) AS s_en,
+             len(list_filter(toks, x -> list_contains(
+               ['der','die','das','und','ist','nicht','mit','ein'], x))) AS s_de,
+             len(list_filter(toks, x -> list_contains(
+               ['le','les','et','est','une','pour','que','dans'], x))) AS s_fr,
+             len(list_filter(toks, x -> list_contains(
+               ['el','los','y','es','una','por','como','para'], x))) AS s_es,
+             len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk
+           FROM t),
+         scored AS (
+           SELECT doc_id, text, n_chars, toks,
+             CASE WHEN cjk * 1.0 / greatest(length(text), 1) >= 0.3 THEN 'zh'
+                  WHEN s_en = greatest(s_en, s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+                  WHEN s_de = greatest(s_en, s_de, s_fr, s_es) AND s_de > 0 THEN 'de'
+                  WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) AND s_fr > 0 THEN 'fr'
+                  WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND s_es > 0 THEN 'es'
+                  ELSE 'en' END AS lang_id,
+             round(
+               (CASE WHEN n_chars BETWEEN 100 AND 10000 THEN 1.0
+                     WHEN n_chars BETWEEN 20 AND 99 THEN 0.5 ELSE 0.1 END) * 0.3 +
+               (CASE WHEN wraw BETWEEN 3 AND 12 THEN 1.0 ELSE 0.3 END) * 0.3 +
+               (CASE WHEN sraw >= 0.05 THEN 1.0 ELSE 0.5 END) * 0.2 +
+               (CASE WHEN praw <= 0.2 THEN 1.0 ELSE 0.2 END) * 0.2, 4)::DOUBLE AS quality
+           FROM r),
+         filtered AS (
+           SELECT * FROM scored WHERE lang_id = 'en' AND quality >= 0.7),
+         sh AS (
+           SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) >= 3
+             THEN [toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                   FOR i IN range(len(toks) - 2)]
+             ELSE [] END) AS s
+           FROM filtered),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b FROM common
+           JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+           WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r2.a, e.b FROM reach r2 JOIN edges e ON r2.b = e.a WHERE e.b <> r2.a),
+         minl AS (SELECT a AS id, least(a, min(b)) AS label FROM reach GROUP BY a)
+         SELECT f.doc_id, f.lang_id, f.quality,
+                len(regexp_extract_all(f.text, '\w+|[^\w\s]')) AS bpe_tokens,
+                f.n_chars
+         FROM filtered f LEFT JOIN minl ON f.doc_id = minl.id
+         WHERE minl.id IS NULL OR minl.label = f.doc_id
+         ORDER BY f.doc_id""",
     "q_ann_topk" ->
       """SELECT q_id, vec_id, sim, rank FROM (
            SELECT q.vec_id AS q_id, e.vec_id,
