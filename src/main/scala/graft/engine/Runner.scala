@@ -71,7 +71,7 @@ object Runner {
         // Break lineage before rewriting the files we are reading from.
         val materialized = newState.localCheckpoint(eager = true)
         WriteOps.atomicOverwrite(spark, materialized, Resolver.path(t.ref),
-          t.partitionBy, t.maxRecordsPerFile)
+          t.partitionBy, t.maxRecordsPerFile, t.ref.backend)
         if (log) jobLog(spark, job, written)
         RunResult(job, written, written, 1)
     }

@@ -182,7 +182,8 @@ object WriteOps {
     */
   def atomicOverwrite(spark: SparkSession, df: DataFrame, path: String,
                       partitionBy: Seq[String] = Nil,
-                      maxRecordsPerFile: Long = 0): Unit = {
+                      maxRecordsPerFile: Long = 0,
+                      format: String = "parquet"): Unit = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path + "._tmp_" + System.nanoTime())
@@ -191,7 +192,11 @@ object WriteOps {
     if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
     if (maxRecordsPerFile > 0)
       w = w.option("maxRecordsPerFile", maxRecordsPerFile.toString)
-    w.parquet(tmp.toString)
+    format match {
+      case "csv"  => w.option("header", "true").csv(tmp.toString)
+      case "json" => w.json(tmp.toString)
+      case _      => w.parquet(tmp.toString)
+    }
     if (fs.exists(bak)) fs.delete(bak, true)
     if (fs.exists(hPath)) fs.rename(hPath, bak)
     fs.rename(tmp, hPath)

@@ -27,6 +27,22 @@ class SourcesSpec extends SparkSpec {
     assert(back.schema("r_regionkey").dataType == StringType)
   }
 
+  test("S5 csv/json TARGETS write in their own format (roundtrip via engine)") {
+    import graft.engine.Runner
+    import graft.spec._
+    val dir = Files.createTempDirectory("graft_tgt_fmt").toString
+    for (backend <- Seq("csv", "json")) {
+      val job = JobSpec(
+        SourceSpec(DatasetRef("parquet", "/root/testdata/sf0.001", "region")),
+        target = Some(TargetSpec(DatasetRef(backend, dir, s"region_$backend"),
+          op = WriteOp.Create, skipTimestamp = true)))
+      Runner.execute(spark, job, log = false)
+      val back = Resolver.read(spark, DatasetRef(backend, dir, s"region_$backend"))
+      assert(back.count() == 5, s"backend $backend")
+      assert(back.columns.contains("r_name"))
+    }
+  }
+
   test("json source") {
     val dir = Files.createTempDirectory("graft_json").toString
     sf("nation").write.json(s"$dir/nation.json")
