@@ -50,15 +50,23 @@ object VectorExprs {
 
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
+        // Every local through freshName: CollapseProject can inline this
+        // expression twice into one codegen function (e.g. a projection
+        // and a filter both consuming it) — fixed names collide at the
+        // Janino level and silently drop the stage to interpreted.
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val x = ctx.freshName("x"); val y = ctx.freshName("y")
         s"""
-           |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double dot = 0.0, na = 0.0, nb = 0.0;
-           |for (int i = 0; i < n; i++) {
-           |  double x = (double) $a.getFloat(i);
-           |  double y = (double) $b.getFloat(i);
-           |  dot += x * y; na += x * x; nb += y * y;
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $x = (double) $a.getFloat($i);
+           |  double $y = (double) $b.getFloat($i);
+           |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
            |}
-           |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+           |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          """.stripMargin
       })
 
@@ -103,19 +111,23 @@ object VectorExprs {
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, h => {
         val out = ctx.freshName("out")
+        val n = ctx.freshName("n"); val s = ctx.freshName("s")
+        val c = ctx.freshName("c"); val r = ctx.freshName("r")
+        val min = ctx.freshName("min"); val i = ctx.freshName("i")
+        val x = ctx.freshName("x"); val v = ctx.freshName("v")
         s"""
            |long[] $out = new long[$k];
-           |int n = $h.numElements();
-           |for (int s = 0; s < $k; s++) {
-           |  long c = (s + 1) * ${0x9E3779B97F4A7C15L}L;
-           |  int r = s % 63 + 1;
-           |  long min = Long.MAX_VALUE;
-           |  for (int i = 0; i < n; i++) {
-           |    long x = $h.getLong(i) ^ c;
-           |    long v = (x << r) | (x >>> (64 - r));
-           |    if (v < min) min = v;
+           |int $n = $h.numElements();
+           |for (int $s = 0; $s < $k; $s++) {
+           |  long $c = ($s + 1) * ${0x9E3779B97F4A7C15L}L;
+           |  int $r = $s % 63 + 1;
+           |  long $min = Long.MAX_VALUE;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    long $x = $h.getLong($i) ^ $c;
+           |    long $v = ($x << $r) | ($x >>> (64 - $r));
+           |    if ($v < $min) $min = $v;
            |  }
-           |  $out[s] = min;
+           |  $out[$s] = $min;
            |}
            |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          """.stripMargin
@@ -158,18 +170,21 @@ object VectorExprs {
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, h => {
         val votes = ctx.freshName("votes")
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val x = ctx.freshName("x"); val b = ctx.freshName("b")
+        val fp = ctx.freshName("fp"); val b2 = ctx.freshName("b2")
         s"""
            |int[] $votes = new int[64];
-           |int n = $h.numElements();
-           |for (int i = 0; i < n; i++) {
-           |  long x = $h.getLong(i);
-           |  for (int b = 0; b < 64; b++) {
-           |    if (((x >>> b) & 1L) == 1L) $votes[b]++; else $votes[b]--;
+           |int $n = $h.numElements();
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long $x = $h.getLong($i);
+           |  for (int $b = 0; $b < 64; $b++) {
+           |    if ((($x >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
            |  }
            |}
-           |long fp = 0L;
-           |for (int b = 0; b < 64; b++) if ($votes[b] > 0) fp |= (1L << b);
-           |${ev.value} = fp;
+           |long $fp = 0L;
+           |for (int $b2 = 0; $b2 < 64; $b2++) if ($votes[$b2] > 0) $fp |= (1L << $b2);
+           |${ev.value} = $fp;
          """.stripMargin
       })
 
@@ -301,16 +316,20 @@ object VectorExprs {
 
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val m = ctx.freshName("m")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val c = ctx.freshName("c")
+        val x = ctx.freshName("x"); val y = ctx.freshName("y")
         s"""
-           |int n = $a.numElements(), m = $b.numElements();
-           |int i = 0, j = 0, c = 0;
-           |while (i < n && j < m) {
-           |  long x = $a.getLong(i), y = $b.getLong(j);
-           |  if (x == y) { c++; i++; j++; }
-           |  else if (x < y) i++;
-           |  else j++;
+           |int $n = $a.numElements(), $m = $b.numElements();
+           |int $i = 0, $j = 0, $c = 0;
+           |while ($i < $n && $j < $m) {
+           |  long $x = $a.getLong($i), $y = $b.getLong($j);
+           |  if ($x == $y) { $c++; $i++; $j++; }
+           |  else if ($x < $y) $i++;
+           |  else $j++;
            |}
-           |${ev.value} = c;
+           |${ev.value} = $c;
          """.stripMargin
       })
 
