@@ -224,8 +224,7 @@ object SparkEntry {
 
     // ── [EXT] §2.10 text analysis: counts/ratios/langid/quality ───────
     "q_text_stats" -> ((s, dir) =>
-      graft.ext.TextAnalysis.analyze(read(s, dir, "documents"))
-        .withColumn("quality", graft.ext.TextAnalysis.qualityScore(col("text"), col("n_chars")))
+      graft.ext.TextAnalysis.analyzeWithQuality(read(s, dir, "documents"))
         .select("doc_id", "ws_tokens", "bpe_tokens", "punct_ratio",
           "avg_word_len", "stopword_ratio", "lang_id", "quality")
         .orderBy("doc_id")),

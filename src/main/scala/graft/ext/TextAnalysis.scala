@@ -95,23 +95,69 @@ object TextAnalysis {
     * sharing their "rarest" shingle ordering, cheap pre-cluster key).
     */
   def contentFingerprint(text: Column): Column =
-    xxhash64(array_join(TextDedup.tokens(text), " "))
+    graft.functions.TextExprs.normalizedTokenHash(text)
 
   def minShingleFingerprint(text: Column, n: Int = 3): Column = {
-    val sh = TextDedup.shingles(text, n)
-    when(size(sh) > 0, array_min(transform(sh, x => xxhash64(x)))).otherwise(null)
+    // sorted ascending ⇒ element 1 IS the min; same xxhash64(seed 42)
+    // over the space-joined n-gram as the transform+array_min chain,
+    // minus the per-shingle interpreted lambdas.
+    val sh = graft.functions.VectorExprs.shingleSortedHashes(
+      TextDedup.tokens(text), n)
+    when(size(sh) > 0, element_at(sh, 1)).otherwise(null)
   }
 
   /** One-stop analysis frame: doc_id + all stats (the `documents` table
-    * contract: text + n_chars columns exist).
+    * contract: text + n_chars columns exist). One pass over the text
+    * via [[graft.functions.TextExprs.TextStatsRaw]]; ratios, rounding
+    * and the lang/quality CASEs stay codegen'd built-ins over the raw
+    * counts so float semantics match the column formulas (and the
+    * DuckDB oracle) exactly.
     */
-  def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
-    df.withColumn("ws_tokens", wsTokenCount(t))
-      .withColumn("bpe_tokens", tokenCount(t))
-      .withColumn("punct_ratio", round(punctRatio(t), 4))
-      .withColumn("avg_word_len", round(avgWordLen(t), 4))
-      .withColumn("stopword_ratio", round(listRatio(t, EnStopwords), 4))
-      .withColumn("lang_id", langId(t))
+  private def withStats(df: DataFrame, textCol: String,
+                        quality: Option[String]): DataFrame = {
+    val s = col("__ts__")
+    val praw = when(s("n_nonspace") > 0,
+      s("n_punct").cast("double") / s("n_nonspace")).otherwise(0.0)
+    val wraw = when(s("tok_count") > 0,
+      s("tok_len_sum").cast("double") / s("tok_count")).otherwise(0.0)
+    val sraw = when(s("tok_count") > 0,
+      s("stop_hits").cast("double") / s("tok_count")).otherwise(0.0)
+    val best = Seq("s_en", "s_de", "s_fr", "s_es").map(s(_)).reduce(greatest(_, _))
+    val pick = LangMarkers.map(_._1).reverse.foldLeft(lit("en")) {
+      case (acc, lang) => when(s(s"s_$lang") === best && best > 0, lang).otherwise(acc)
+    }
+    val lang = when(
+      s("cjk").cast("double") / greatest(s("n_cp"), lit(1)) >= 0.3, "zh")
+      .otherwise(pick)
+    val base = df
+      .withColumn("__ts__",
+        graft.functions.TextExprs.textStatsRaw(col(textCol), EnStopwords, LangMarkers))
+      .withColumn("ws_tokens", s("ws_tokens"))
+      .withColumn("bpe_tokens", s("bpe_tokens"))
+      .withColumn("punct_ratio", round(praw, 4))
+      .withColumn("avg_word_len", round(wraw, 4))
+      .withColumn("stopword_ratio", round(sraw, 4))
+      .withColumn("lang_id", lang)
+    val withQ = quality.fold(base) { nCharsCol =>
+      val lenScore = when(col(nCharsCol).between(100, 10000), 1.0)
+        .when(col(nCharsCol).between(20, 99), 0.5).otherwise(0.1)
+      val wordScore = when(wraw.between(3, 12), 1.0).otherwise(0.3)
+      val stopScore = when(sraw >= 0.05, 1.0).otherwise(0.5)
+      val punctScore = when(praw <= 0.2, 1.0).otherwise(0.2)
+      base.withColumn("quality",
+        round(lenScore * 0.3 + wordScore * 0.3 + stopScore * 0.2 + punctScore * 0.2, 4))
+    }
+    withQ.drop("__ts__")
   }
+
+  def analyze(df: DataFrame, textCol: String = "text"): DataFrame =
+    withStats(df, textCol, quality = None)
+
+  /** [[analyze]] plus the composite quality score, from the same
+    * single-pass raw counts (`nCharsCol` is the documents table's
+    * n_chars column).
+    */
+  def analyzeWithQuality(df: DataFrame, textCol: String = "text",
+                         nCharsCol: String = "n_chars"): DataFrame =
+    withStats(df, textCol, quality = Some(nCharsCol))
 }

@@ -1,0 +1,168 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.graftshim.ExprShim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass text-analysis expressions for the [EXT] §2.10 path.
+  *
+  * The column formulation of the text stats (7 regex passes + 6
+  * interpreted higher-order-function lambdas per row, with the token
+  * array recomputed per stat) measured ~1.3 ms/doc — HOF lambdas are
+  * CodegenFallback, so every per-token step is an interpreted
+  * expression eval. These expressions make ONE pass over the text per
+  * row in plain Java loops (interpreted-expression overhead is paid
+  * once per row, not once per token — the HyperplaneSketch argument).
+  * Semantics are BIT-IDENTICAL to the HOF formulations (same \w / \s
+  * ASCII classes as Java+RE2 regex, same lowercase, same operation
+  * order) so the DuckDB oracle matches are unchanged.
+  */
+object TextExprs {
+
+  private def isWordCp(cp: Int): Boolean =
+    (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
+      (cp >= '0' && cp <= '9') || cp == '_'
+  // Java regex \s (default flags) = [ \t\n\x0B\f\r]; RE2 adds \v which
+  // is the same 0x0B. Identical ASCII set.
+  private def isSpaceCp(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+
+  /** All raw counts the text-stats surface needs, one pass:
+    * struct(ws_tokens, bpe_tokens, n_nonspace, n_punct, tok_count,
+    * tok_len_sum, stop_hits, s_en, s_de, s_fr, s_es, cjk, n_cp).
+    * Ratios/rounding/lang-pick happen OUTSIDE in codegen'd built-ins so
+    * float semantics match the old column formulas exactly.
+    */
+  case class TextStatsRaw(child: Expression,
+                          stopwords: Seq[String],
+                          markers: Seq[(String, Seq[String])])
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = StructType(Seq(
+      StructField("ws_tokens", IntegerType, nullable = false),
+      StructField("bpe_tokens", IntegerType, nullable = false),
+      StructField("n_nonspace", IntegerType, nullable = false),
+      StructField("n_punct", IntegerType, nullable = false),
+      StructField("tok_count", IntegerType, nullable = false),
+      StructField("tok_len_sum", LongType, nullable = false),
+      StructField("stop_hits", IntegerType, nullable = false),
+      StructField("s_en", IntegerType, nullable = false),
+      StructField("s_de", IntegerType, nullable = false),
+      StructField("s_fr", IntegerType, nullable = false),
+      StructField("s_es", IntegerType, nullable = false),
+      StructField("cjk", IntegerType, nullable = false),
+      StructField("n_cp", IntegerType, nullable = false)))
+    override def prettyName: String = "text_stats_raw"
+
+    @transient private lazy val stopSet: java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String]()
+      stopwords.foreach(s.add); s
+    }
+    @transient private lazy val markerSets: Array[java.util.HashSet[String]] =
+      markers.map { case (_, ws) =>
+        val s = new java.util.HashSet[String]()
+        ws.foreach(s.add); s
+      }.toArray
+
+    override def nullSafeEval(input: Any): Any = {
+      val raw = input.asInstanceOf[UTF8String].toString
+      val n = raw.length
+      // pass 1: original text — ws/bpe/punct/cjk/codepoint counts
+      var ws = 0; var bpe = 0; var nonSpace = 0; var punct = 0
+      var cjk = 0; var nCp = 0
+      var inWs = false; var inW = false
+      var i = 0
+      while (i < n) {
+        val cp = raw.codePointAt(i)
+        nCp += 1
+        val sp = cp < 128 && isSpaceCp(cp)
+        val w = cp < 128 && isWordCp(cp)
+        if (!sp) {
+          nonSpace += 1
+          if (!inWs) ws += 1            // run of non-\s chars
+          if (!w) { punct += 1; bpe += 1 }  // [^\w\s] is its own token
+          else if (!inW) bpe += 1       // start of a \w+ run
+        }
+        inWs = !sp; inW = w && !sp
+        if (cp >= 0x4e00 && cp <= 0x9fff) cjk += 1
+        i += Character.charCount(cp)
+      }
+      // pass 2: lowercased text — \w-run tokens, lengths, list hits
+      val low = input.asInstanceOf[UTF8String].toLowerCase.toString
+      val m = low.length
+      var tokCount = 0; var tokLenSum = 0L; var stopHits = 0
+      val mh = new Array[Int](markerSets.length)
+      val sb = new java.lang.StringBuilder(32)
+      def closeTok(): Unit = if (sb.length > 0) {
+        tokCount += 1
+        // token length in code points (Spark length() semantics)
+        tokLenSum += sb.codePointCount(0, sb.length)
+        val t = sb.toString
+        if (stopSet.contains(t)) stopHits += 1
+        var k = 0
+        while (k < markerSets.length) {
+          if (markerSets(k).contains(t)) mh(k) += 1
+          k += 1
+        }
+        sb.setLength(0)
+      }
+      i = 0
+      while (i < m) {
+        val cp = low.codePointAt(i)
+        if (cp < 128 && isWordCp(cp)) sb.appendCodePoint(cp) else closeTok()
+        i += Character.charCount(cp)
+      }
+      closeTok()
+      InternalRow(ws, bpe, nonSpace, punct, tokCount, tokLenSum, stopHits,
+        mh(0), mh(1), mh(2), mh(3), cjk, nCp)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** XXH64(seed 42) of the space-joined lowercased `\w+` token stream —
+    * bit-identical to xxhash64(array_join(tokens(text), " ")) with the
+    * tokens(text) HOF, in one pass with no regex or per-token lambda.
+    */
+  case class NormalizedTokenHash(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "normalized_token_hash"
+
+    override def nullSafeEval(input: Any): Any = {
+      val low = input.asInstanceOf[UTF8String].toLowerCase.toString
+      val n = low.length
+      val sb = new java.lang.StringBuilder(low.length)
+      var pendingSep = false; var inTok = false
+      var i = 0
+      while (i < n) {
+        val cp = low.codePointAt(i)
+        if (cp < 128 && isWordCp(cp)) {
+          if (!inTok && pendingSep) sb.append(' ')
+          sb.appendCodePoint(cp); inTok = true
+        } else if (inTok) { pendingSep = true; inTok = false }
+        i += Character.charCount(cp)
+      }
+      val joined = UTF8String.fromString(sb.toString)
+      XXH64.hashUnsafeBytes(joined.getBaseObject, joined.getBaseOffset,
+        joined.numBytes, 42L)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  // ── Column wrappers ────────────────────────────────────────────────
+  def textStatsRaw(text: Column, stopwords: Seq[String],
+                   markers: Seq[(String, Seq[String])]): Column =
+    ExprShim.column(TextStatsRaw(ExprShim.expression(text), stopwords, markers))
+  def normalizedTokenHash(text: Column): Column =
+    ExprShim.column(NormalizedTokenHash(ExprShim.expression(text)))
+}
