@@ -304,13 +304,10 @@ object SparkEntry {
     "q_corpus_prep" -> ((s, dir) => {
       import graft.ext.{TextAnalysis, TextDedup}
       val docs = read(s, dir, "documents")
-      val scored = docs
-        .withColumn("lang_id", TextAnalysis.langId(col("text")))
-        .withColumn("quality", TextAnalysis.qualityScore(col("text"), col("n_chars")))
+      val scored = TextAnalysis.analyzeWithQuality(docs)
         .filter(col("lang_id") === "en" && col("quality") >= 0.7)
       val deduped = TextDedup.dedupCorpus(scored, "doc_id", "text", 3, 0.8)
       deduped
-        .withColumn("bpe_tokens", TextAnalysis.tokenCount(col("text")))
         .select("doc_id", "lang_id", "quality", "bpe_tokens", "n_chars")
         .orderBy("doc_id")
     }),

@@ -11,12 +11,13 @@ import org.apache.spark.sql.functions._
   * then every search touches corpus/nlist·nprobe vectors instead of
   * the whole corpus.
   *
-  * Spark shape: assignment is a broadcast-centroids crossJoin + window
-  * argmax (distributed, no driver loop over vectors); the Lloyd update
-  * aggregates per-dimension means in one groupBy — only the k×dim
-  * centroid matrix ever reaches the driver (same shape as MLlib's
-  * k-means). Training is deterministic: initial centroids are the k
-  * vectors with the smallest xxhash64(id).
+  * Spark shape: assignment is a pure map — an argmax-cosine expression
+  * over the (tiny, k×dim) centroid matrix, no per-row amplification or
+  * shuffle; the Lloyd update aggregates per-dimension means in one
+  * map-side-combinable groupBy — only the k×dim centroid matrix ever
+  * reaches the driver (same shape as MLlib's k-means). Training is
+  * deterministic: initial centroids are the k vectors with the
+  * smallest xxhash64(id).
   */
 object IvfIndex {
 
@@ -48,21 +49,30 @@ object IvfIndex {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x.getField("m").cast("float")).as("centroid"))
         .as[(Long, Seq[Float])].collect()
-      if (newC.nonEmpty) centroids = newC
+      // a cluster that emptied out keeps its previous centroid, so the
+      // trained index always has exactly k lists
+      val byId = newC.toMap
+      centroids = centroids.map { case (i, c) => (i, byId.getOrElse(i, c)) }
     }
     spark.createDataset(centroids.toSeq).toDF("centroid_id", "centroid")
       .withColumn("centroid", col("centroid").cast("array<float>"))
   }
 
-  /** Assign every corpus vector to its nearest centroid (max cosine). */
+  /** Assign every corpus vector to its nearest centroid (max cosine).
+    * A pure map: argmax over the (tiny, k×dim) centroid matrix inside
+    * one expression — no corpus×k row amplification, no exchange, no
+    * sort. (The previous broadcast-join + window-argmax shape pushed
+    * n×k rows through a shuffle — a 1000× data explosion at a real
+    * nlist.) Ties/NaNs match the window formulation bit-for-bit.
+    */
   def assign(corpus: DataFrame, centroids: DataFrame,
              id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val w = Window.partitionBy(id).orderBy(col("__sim").desc, col("centroid_id").asc)
-    corpus.join(broadcast(centroids))
-      .withColumn("__sim", cosine(col(vec), col("centroid")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__sim", "centroid")
+    val cents = centroids.select("centroid_id", "centroid").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1) // ascending id ⇒ strict > keeps the smallest id on ties
+    corpus.withColumn("centroid_id",
+      graft.functions.VectorExprs.nearestCentroid(
+        col(vec), cents.map(_._1), cents.map(_._2)))
   }
 
   /** Search: probe the `nprobe` nearest inverted lists per query, rank

@@ -225,15 +225,19 @@ object TextDedup {
       .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
-      val viaNeighbor = edges
+      val nbrMin = edges
         .join(labels.withColumnRenamed("id", "id_b"), Seq("id_b"))
-        .select(col("id_a").as("id"), col("label"))
-      val next = labels.unionByName(viaNeighbor)
-        .groupBy("id").agg(min("label").as("label"))
+        .groupBy(col("id_a").as("id")).agg(min("label").as("nl"))
+      // carry the old label so detecting the fixpoint is a filter over
+      // the checkpointed frame, not another join against the previous
+      // round
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+          col("label").as("old"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select("id", "label")
     }
     edges.unpersist()
     labels

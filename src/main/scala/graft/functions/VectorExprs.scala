@@ -240,6 +240,51 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** Argmax-cosine centroid id for an array<float> vector over a small
+    * in-plan centroid matrix — IVF assignment as a PURE MAP. The
+    * alternative (corpus × broadcast(centroids) join + window argmax)
+    * amplifies the corpus k× through an exchange+sort; this touches
+    * each row once and shuffles nothing. Ties and NaNs follow Spark's
+    * descending-double window order (NaN > +Inf, tie → smallest id),
+    * so results are bit-identical to the join+row_number formulation.
+    */
+  case class NearestCentroid(child: Expression, ids: Array[Long],
+                             cents: Array[Array[Float]])
+      extends UnaryExpression with ExpectsInputTypes
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "nearest_centroid"
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      var best = java.lang.Double.NEGATIVE_INFINITY
+      var bestId = Long.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val row = cents(c)
+        val n = math.min(v.numElements(), row.length)
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < n) {
+          val x = v.getFloat(i).toDouble; val y = row(i).toDouble
+          dot += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+        // Double.compare ranks NaN above +Inf — Spark's sort order
+        if (c == 0 || java.lang.Double.compare(sim, best) > 0) {
+          best = sim; bestId = ids(c)
+        }
+        c += 1
+      }
+      bestId
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Sorted distinct 64-bit hashes of the word n-gram shingles of a
     * token array: one pass — space-joined n-gram bytes → XXH64 →
     * dedupe + sort. Replaces the interpreted
@@ -349,6 +394,9 @@ object VectorExprs {
     ExprShim.column(HyperplaneSketch(ExprShim.expression(vec), planes))
   def sortedIntersectSize(a: Column, b: Column): Column =
     ExprShim.column(SortedIntersectSize(ExprShim.expression(a), ExprShim.expression(b)))
+  def nearestCentroid(vec: Column, ids: Array[Long],
+                      cents: Array[Array[Float]]): Column =
+    ExprShim.column(NearestCentroid(ExprShim.expression(vec), ids, cents))
   def shingleSortedHashes(tokens: Column, n: Int): Column =
     ExprShim.column(ShingleSortedHashes(ExprShim.expression(tokens), n))
 }

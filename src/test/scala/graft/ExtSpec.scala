@@ -136,6 +136,12 @@ class ExtSpec extends SparkSpec {
       .select("vec_id", "rank").as[(Long, Int)].collect().toSeq
     // the exact duplicate shares vec 0's centroid, so it must be rank 1
     assert(hits.contains((90001L, 1)))
+    // assignment is a pure map — over a plain scan its whole plan is
+    // Project+FileScan: no join, no exchange, no n×k amplification
+    val assignPlan =
+      IvfIndex.assign(sf("embeddings"), centroids).queryExecution.executedPlan.toString
+    assert(!assignPlan.contains("Exchange"), s"IVF assign shuffles:\n$assignPlan")
+    assert(!assignPlan.contains("Join"), s"IVF assign joins:\n$assignPlan")
   }
 
   test("text analysis: counts, ratios, langid") {
