@@ -72,6 +72,14 @@ object SparkEntry {
       merger = Some(MergerSpec(ds(dir, "customer"),
         query = Seq("c_custkey" -> "#o_custkey#")))))),
 
+    // ── J9 named merge rule: sum a shared column on match ─────────────
+    "q_merge_rule" -> ((s, dir) => Planner.plan(s, JobSpec(
+      src(dir, "orders", "_sort" -> "o_orderkey"),
+      merger = Some(MergerSpec(ds(dir, "customer"),
+        query = Seq("c_custkey" -> "#o_custkey#"),
+        postRead = Seq(TransformStage("rename", Seq("c_acctbal", "o_totalprice"))),
+        mergeRule = Some(TransformStage("sum", Seq("o_totalprice")))))))),
+
     // ── J3+J5 require_match + match_one (first order per customer) ────
     "q_merge_inner" -> ((s, dir) => Planner.plan(s, JobSpec(
       src(dir, "customer", "_sort" -> "c_custkey"),
@@ -343,6 +351,15 @@ object SparkEntry {
       "SELECT least(100, count(*)) AS cnt FROM lineitem WHERE l_returnflag = 'R'",
     "q_merge_left" ->
       """SELECT o.*, c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+         FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+         ORDER BY o.o_orderkey""",
+    "q_merge_rule" ->
+      """SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+                CASE WHEN c.c_acctbal IS NOT NULL AND o.o_totalprice IS NOT NULL
+                     THEN o.o_totalprice + c.c_acctbal
+                     ELSE coalesce(o.o_totalprice, c.c_acctbal) END AS o_totalprice,
+                o.o_orderdate, o.o_orderpriority,
+                c.c_custkey, c.c_name, c.c_nationkey, c.c_mktsegment
          FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
          ORDER BY o.o_orderkey""",
     "q_merge_inner" ->

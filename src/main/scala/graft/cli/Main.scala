@@ -52,6 +52,14 @@ object Main {
   private def envDefault(flag: String): Option[String] =
     sys.env.get("GRAFT__" + flag.dropWhile(_ == '-').toUpperCase.replace('-', '_'))
 
+  /** Reference `Args.asbool` truthiness (base.py): 1/true/yes/on vs
+    * 0/false/no/off, case-insensitive. */
+  private def asBool(v: String): Boolean = v.trim.toLowerCase match {
+    case "1" | "true" | "yes" | "on" | "y" => true
+    case "0" | "false" | "no" | "off" | "n" => false
+    case other => throw CliError(s"expected a boolean, got: $other")
+  }
+
   def parse(rawArgs: Array[String]): (JobSpec, Opts) = {
     var source: Option[String] = None
     var target: Option[String] = None
@@ -65,9 +73,11 @@ object Main {
     var mkeys = ""; var mmd: Option[String] = None; var mma: Option[String] = None
     var mrm = false; var mrnm = false; var munwind = false; var mstrict = false
     var mmo = true
+    var mrules = ""; var mrulesScm = ""
     var skipTs = false; var dry = false; var drop = false; var count = false
     var stream = false; var silent = false
     var partitionBy = ""; var maxRecords = 0L
+    var failOnError = envDefault("--fail-on-error").forall(asBool)
     var jobPoll: Option[String] = None; var jq = Vector.empty[(String, String)]
     var workers: Option[Int] = None; var contid: Option[String] = None
 
@@ -105,6 +115,9 @@ object Main {
       case "--mmo" => mmo = true
       case "--munwind" => munwind = true; mmo = false
       case "--mstrict" => mstrict = true
+      // J9 named merge rule + column scope (etl.py:51-52,178-180)
+      case "--mrules" => mrules = next("--mrules")
+      case "--mrules-scm" => mrulesScm = next("--mrules-scm")
       case "--workers" => workers = Some(next("--workers").toInt)
       case "--contid" => contid = Some(next("--contid"))
       case "--dry" => dry = true
@@ -114,6 +127,8 @@ object Main {
       case "--stream" => stream = true
       case "--partition-by" => partitionBy = next("--partition-by")
       case "--max-records-per-file" => maxRecords = next("--max-records-per-file").toLong
+      // W14 (reference --fail-on-error, default True, base.py:135,267)
+      case "--fail-on-error" => failOnError = asBool(next("--fail-on-error"))
       case "--job-poll" => jobPoll = Some(next("--job-poll"))
       case "--jq" => jq :+= kv(next("--jq"))
       case other => throw CliError(s"unknown flag: $other (see --help)")
@@ -138,6 +153,9 @@ object Main {
         direction = mmd.map(MergeDirection.parse).getOrElse(MergeDirection.M2S),
         requireMatch = mrm, requireNoMatch = mrnm, matchOne = mmo,
         unwind = munwind, strictMatch = mstrict, mergeAs = mma,
+        mergeRule =
+          if (mrules.isEmpty) None
+          else Some(TransformStage(mrules, csv(mrulesScm))),
         postRead = TransformStage.parseChain(mtr),
         postMerge = TransformStage.parseChain(mtrPost))
     }
@@ -149,6 +167,7 @@ object Main {
         pk = if (pk.nonEmpty) csv(pk) else csv(opPk),
         query = tq, fields = csv(tf), overwrite = csv(overwrite),
         skipBy = csv(skipBy), skipTimestamp = skipTs,
+        failOnError = failOnError,
         partitionBy = csv(partitionBy), maxRecordsPerFile = maxRecords)
     }
     val job = JobSpec(
@@ -189,7 +208,8 @@ object Main {
       else println(s"skipped drop of ${t.ref.uri}")
     }
     if (opts.count) {
-      println(Runner.count(spark, job.source)); return
+      println(Runner.count(spark, job.source, job.target.forall(_.failOnError)))
+      return
     }
     if (opts.dry) { // W12: plan + sample, no writes (base.py:241-246)
       val planned = graft.engine.Planner.plan(spark, job)
@@ -253,6 +273,8 @@ object Main {
       |               controls: _limit,_sort,_fields,_group,_agg)
       |merger         --mkeys k1,k2  --mq key=value  --mmd s2m|m2s
       |               --mrm --mrnm --mmo --munwind --mstrict --mma FIELD
+      |               --mrules RULE (prefer_merger|prefer_source|sum|min|max|concat)
+      |               --mrules-scm c1,c2 (limit rule to these shared columns)
       |               --mtr CHAIN  --mtr-post-merge CHAIN
       |target         -o create|index|update|upsert|delete|insert[:pk]
       |               --pk k1,k2  --tq key=value  --tf f1,-f2
@@ -261,6 +283,8 @@ object Main {
       |jobs           --job-poll NS  --jq key=value (default uid=last)
       |transformers   --str CHAIN   (chain: name:arg1;arg2,name2,...)
       |run            --workers N  --contid ID  --dry  --drop  --count
+      |               --fail-on-error BOOL (true: first malformed record
+      |               fails the job; false: skip bad records; default true)
       |               -y/--silent (skip confirmations)
       |               --stream (incremental AvailableNow continuation)
       |""".stripMargin

@@ -20,8 +20,9 @@ object Planner {
     * → post-read transformers (reference: `setup_source`,
     * etl_cli/etl.py:135-146).
     */
-  def sourceFrame(spark: SparkSession, s: SourceSpec): DataFrame = {
-    val raw = Resolver.read(spark, s.ref)
+  def sourceFrame(spark: SparkSession, s: SourceSpec,
+                  failOnError: Boolean = true): DataFrame = {
+    val raw = Resolver.read(spark, s.ref, failOnError = failOnError)
     // `_fields` projects AFTER the post-read transformers so it can
     // select transformer-created columns; filters/sort/limit still
     // compile at the scan (and Catalyst prunes the read schema through
@@ -39,8 +40,10 @@ object Planner {
     * transformers, run the correlated join, then post-merge transformers
     * (reference: `setup_merger`, etl_cli/etl.py:148-187).
     */
-  def withMerger(spark: SparkSession, src: DataFrame, m: MergerSpec): DataFrame = {
-    val mrgRaw = Transformers.apply(Resolver.read(spark, m.ref), m.postRead)
+  def withMerger(spark: SparkSession, src: DataFrame, m: MergerSpec,
+                 failOnError: Boolean = true): DataFrame = {
+    val mrgRaw = Transformers.apply(
+      Resolver.read(spark, m.ref, failOnError = failOnError), m.postRead)
     val merged = MergePlanner.merge(src, mrgRaw, m)
     Transformers.apply(merged, m.postMerge)
   }
@@ -49,10 +52,13 @@ object Planner {
     * Runner (they need the current target state).
     */
   def plan(spark: SparkSession, job: JobSpec): DataFrame = {
-    val src = sourceFrame(spark, job.source)
+    // W14: target.fail_on_error governs the whole job's read policy
+    // (reference stores the global flag under target.*, base.py:267)
+    val foe = job.target.forall(_.failOnError)
+    val src = sourceFrame(spark, job.source, foe)
     val compiled = QueryCompiler.compile(src, job.source.query)
     val df = job.merger.fold(src) { m =>
-      val merged0 = withMerger(spark, src, m)
+      val merged0 = withMerger(spark, src, m, foe)
       // A shuffle join does not preserve the source's `_sort` order —
       // re-apply it so downstream consumers see the requested ordering.
       val sortKeys = compiled.sort

@@ -20,8 +20,9 @@ object Runner {
   /** S12/F6 count of the filtered source, capped by `_limit`
     * (reference: `get_source_total`, min rule, etl_cli/base.py:481-499).
     */
-  def count(spark: SparkSession, s: SourceSpec): Long = {
-    val raw = Resolver.read(spark, s.ref)
+  def count(spark: SparkSession, s: SourceSpec,
+            failOnError: Boolean = true): Long = {
+    val raw = Resolver.read(spark, s.ref, failOnError = failOnError)
     val q = QueryCompiler.compile(raw, s.query)
     val filtered = q.predicates.foldLeft(raw)(_ filter _)
     val total = filtered.count()
@@ -46,7 +47,8 @@ object Runner {
   def targetState(spark: SparkSession, t: TargetSpec, like: DataFrame): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(Resolver.path(t.ref))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Resolver.read(spark, t.ref) else like.limit(0)
+    if (fs.exists(p)) Resolver.read(spark, t.ref, failOnError = t.failOnError)
+    else like.limit(0)
   }
 
   /** Execute one job: plan the read side, apply the write op against the
@@ -142,7 +144,7 @@ object Runner {
       val effJob = job.copy(source = job.source.copy(
         query = job.source.query ++ contFilter,
         postRead = job.source.postRead ++ stamp))
-      val n = count(spark, effJob.source)
+      val n = count(spark, effJob.source, job.target.forall(_.failOnError))
       if (n == 0) done = true
       else {
         if (n == last) unchanged += 1 else unchanged = 0

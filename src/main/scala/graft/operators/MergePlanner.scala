@@ -141,11 +141,17 @@ object MergePlanner {
           struct(mrgCols.map(c => col(MPrefix + c).as(c)).toIndexedSeq: _*))
         joined.select((srcCols.map(col) :+ nested.as(nestField)).toIndexedSeq: _*)
       case None =>
-        // J2 merge direction: which side's value wins on shared columns.
+        // J9 named merge rule for shared columns in scope; J2 merge
+        // direction (which side wins) for the rest.
+        val rule = spec.mergeRule.map(MergeRules.resolve)
         val overlaid = srcCols.map { c =>
-          if (shared.contains(c)) spec.direction match {
-            case MergeDirection.M2S => coalesce(col(MPrefix + c), col(c)).as(c)
-            case MergeDirection.S2M => coalesce(col(c), col(MPrefix + c)).as(c)
+          if (shared.contains(c)) rule match {
+            case Some((fn, scope)) if scope.isEmpty || scope.contains(c) =>
+              fn(col(c), col(MPrefix + c)).as(c)
+            case _ => spec.direction match {
+              case MergeDirection.M2S => coalesce(col(MPrefix + c), col(c)).as(c)
+              case MergeDirection.S2M => coalesce(col(c), col(MPrefix + c)).as(c)
+            }
           } else col(c)
         }
         val extras = mrgOnly.map(c => col(MPrefix + c).as(c))

@@ -34,15 +34,26 @@ object Resolver {
     base + ext
   }
 
-  def read(spark: SparkSession, ref: DatasetRef, schema: Option[StructType] = None): DataFrame =
+  /** W14 `fail_on_error` (reference: `--fail-on-error`, default True,
+    * etl_cli/base.py:135,267): `true` → FAILFAST, the first malformed
+    * csv/json record fails the job loudly; `false` → DROPMALFORMED,
+    * bad records are skipped and the job continues — the reference's
+    * continue-past-record-errors behavior. (PERMISSIVE + filtering on
+    * `_corrupt_record` is disallowed by Spark without caching the
+    * frame, so DROPMALFORMED is the skip policy.) Parquet is
+    * self-describing — per-record malformedness doesn't apply.
+    */
+  def read(spark: SparkSession, ref: DatasetRef, schema: Option[StructType] = None,
+           failOnError: Boolean = true): DataFrame = {
+    val mode = if (failOnError) "FAILFAST" else "DROPMALFORMED"
     ref.backend match {
       case "parquet" =>
         readParquet(spark, path(ref))
       case "csv" =>
-        val r = spark.read.option("header", "true")
+        val r = spark.read.option("header", "true").option("mode", mode)
         schema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path(ref))
       case "json" =>
-        val r = spark.read
+        val r = spark.read.option("mode", mode)
         schema.fold(r)(s => r.schema(s)).json(path(ref))
       case "http" =>
         // S4: fetch one document on the driver; single-row semantics.
@@ -53,6 +64,7 @@ object Resolver {
       case other =>
         throw new IllegalArgumentException(s"unknown backend: $other")
     }
+  }
 
   /** Parquet files written with nanosecond TIMESTAMP(NANOS) columns
     * (the pyarrow/pandas default) are illegal for Spark's parquet reader

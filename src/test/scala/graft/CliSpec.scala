@@ -42,6 +42,14 @@ class CliSpec extends AnyFunSuite {
     assert(m.mergeAs.contains("geo"))
   }
 
+  test("--mrules/--mrules-scm parse into the merge-rule stage") {
+    val (job, _) = parse("-s", "parquet/a/b", "-m", "parquet/a/m",
+      "--mkeys", "city", "--mrules", "sum", "--mrules-scm", "pop,area")
+    val r = job.merger.get.mergeRule.get
+    assert(r.name == "sum" && r.args == Seq("pop", "area"))
+    assert(job.merger.get.mergeRule.nonEmpty)
+  }
+
   test("transformer chains parse name:a;b syntax") {
     val (job, _) = parse("-s", "parquet/a/b",
       "--str", "upper:name,set_expr:flag;x > 1")

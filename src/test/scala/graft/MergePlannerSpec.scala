@@ -104,6 +104,28 @@ class MergePlannerSpec extends SparkSpec {
       Seq(8L, 3L, null, null))
   }
 
+  test("J9 merge rule: scoped concat on shared column, unmatched keeps source") {
+    import graft.spec.TransformStage
+    val out = MergePlanner.merge(src, mrg,
+      spec(_.copy(mergeRule = Some(TransformStage("concat", Seq("tag"))))))
+      .orderBy("id")
+    // matched rows concat src.tag + merger.tag (null city matches null
+    // city under the default tolerant <=>); unmatched keep src.tag
+    assert(out.select("tag").as[String].collect().toSeq ==
+      Seq("am-nyc", "bm-paris1", "c", "dm-null"))
+    // out-of-scope rule on a different column leaves `tag` on direction
+    val scoped = MergePlanner.merge(src, mrg,
+      spec(_.copy(mergeRule = Some(TransformStage("concat", Seq("other"))))))
+      .orderBy("id")
+    assert(scoped.select("tag").as[String].collect().toSeq ==
+      Seq("m-nyc", "m-paris1", "c", "m-null")) // default m2s overlay
+    // unknown rule fails loudly
+    intercept[IllegalArgumentException] {
+      MergePlanner.merge(src, mrg,
+        spec(_.copy(mergeRule = Some(TransformStage("nope", Nil))))).collect()
+    }
+  }
+
   test("J3 ∪ J4 partition: require_match + require_no_match = all") {
     val m = MergePlanner.merge(src, mrg, spec(_.copy(requireMatch = true)))
     val a = MergePlanner.merge(src, mrg, spec(_.copy(requireNoMatch = true)))

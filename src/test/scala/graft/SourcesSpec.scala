@@ -43,6 +43,63 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("W14 fail_on_error: FAILFAST vs skip on malformed csv") {
+    val dir = Files.createTempDirectory("graft_foe_csv").toString
+    Files.createDirectory(java.nio.file.Paths.get(dir, "bad.csv"))
+    Files.write(java.nio.file.Paths.get(dir, "bad.csv", "part-0.csv"),
+      "a,b\n1,2\nnot_a_number,also_bad\n3,4\n".getBytes)
+    val schema = StructType(Seq(
+      StructField("a", IntegerType), StructField("b", IntegerType)))
+    val ref = DatasetRef("csv", dir, "bad")
+    // default (true): the malformed record fails the job loudly
+    intercept[org.apache.spark.SparkException] {
+      Resolver.read(spark, ref, Some(schema)).collect()
+    }
+    // false: bad record skipped, the job continues (reference behavior)
+    val kept = Resolver.read(spark, ref, Some(schema), failOnError = false)
+    assert(rows(kept.orderBy("a")) == Seq(Seq(1, 2), Seq(3, 4)))
+  }
+
+  test("W14 fail_on_error: FAILFAST vs skip on malformed json") {
+    val dir = Files.createTempDirectory("graft_foe_json").toString
+    Files.createDirectory(java.nio.file.Paths.get(dir, "bad.json"))
+    Files.write(java.nio.file.Paths.get(dir, "bad.json", "part-0.json"),
+      """{"a": 1}
+        |{broken json!!
+        |{"a": 3}
+        |""".stripMargin.getBytes)
+    val schema = StructType(Seq(StructField("a", IntegerType)))
+    val ref = DatasetRef("json", dir, "bad")
+    intercept[org.apache.spark.SparkException] {
+      Resolver.read(spark, ref, Some(schema)).collect()
+    }
+    val kept = Resolver.read(spark, ref, Some(schema), failOnError = false)
+    assert(rows(kept.orderBy("a")) == Seq(Seq(1), Seq(3)))
+  }
+
+  test("W14 fail_on_error wired end-to-end: --fail-on-error false skips bad rows") {
+    import graft.engine.Runner
+    import graft.spec._
+    val dir = Files.createTempDirectory("graft_foe_e2e").toString
+    Files.createDirectory(java.nio.file.Paths.get(dir, "src.json"))
+    Files.write(java.nio.file.Paths.get(dir, "src.json", "part-0.json"),
+      "{\"k\": 1}\nnot json\n{\"k\": 2}\n".getBytes)
+    val (job, _) = graft.cli.Main.parse(Array(
+      "-s", s"json/$dir/src", "-t", s"parquet/$dir/out",
+      "-o", "create", "--skip-timestamp", "--fail-on-error", "false"))
+    assert(job.target.exists(!_.failOnError))
+    val r = Runner.execute(spark, job, log = false)
+    assert(r.written == 2)
+    // and the default job (no flag) FAILFASTs on the same source
+    val (strict, _) = graft.cli.Main.parse(Array(
+      "-s", s"json/$dir/src", "-t", s"parquet/$dir/out2",
+      "-o", "create", "--skip-timestamp"))
+    assert(strict.target.exists(_.failOnError))
+    intercept[org.apache.spark.SparkException] {
+      Runner.execute(spark, strict, log = false)
+    }
+  }
+
   test("json source") {
     val dir = Files.createTempDirectory("graft_json").toString
     sf("nation").write.json(s"$dir/nation.json")
