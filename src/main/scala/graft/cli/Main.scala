@@ -46,6 +46,7 @@ object Main {
       stream: Boolean = false,
       jobPoll: Option[String] = None, jq: Seq[(String, String)] = Nil,
       silent: Boolean = false,
+      noCount: Boolean = false, info: Option[String] = None,
       cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
   /** Env-var default for a flag (reference: MODULE__FLAG, base.py:158-185). */
@@ -80,6 +81,7 @@ object Main {
     var failOnError = envDefault("--fail-on-error").forall(asBool)
     var jobPoll: Option[String] = None; var jq = Vector.empty[(String, String)]
     var workers: Option[Int] = None; var contid: Option[String] = None
+    var noCount = false; var info: Option[String] = None
 
     def kv(v: String): (String, String) = v.split("=", 2) match {
       case Array(k, value) => (k, value)
@@ -88,48 +90,65 @@ object Main {
     val it = rawArgs.iterator
     def next(flag: String): String =
       if (it.hasNext) it.next() else throw CliError(s"$flag requires a value")
+    // O8 write-once args (reference Args guard, base.py:41-72): a
+    // single-value flag set twice — including through the --st/--mt/
+    // --smt shorthands sharing a slot — is an error, not a silent
+    // clobber. Repeatable query flags and the reference's MUTABLE_OPS
+    // (fail_on_error, silent; base.py:76-84) are exempt, as are
+    // idempotent boolean switches.
+    val seen = scala.collection.mutable.Set.empty[String]
+    def once(slot: String): Unit =
+      if (!seen.add(slot))
+        throw CliError(s"`$slot` is already set (args are write-once)")
     while (it.hasNext) it.next() match {
-      case "-s" | "--source" => source = Some(next("-s"))
-      case "-t" | "--target" => target = Some(next("-t"))
-      case "-m" | "--merger" => merger = Some(next("-m"))
-      case "--st"  => val d = next("--st"); source = Some(d); target = Some(d)
-      case "--mt"  => val d = next("--mt"); merger = Some(d); target = Some(d)
-      case "--smt" => val d = next("--smt"); source = Some(d); merger = Some(d); target = Some(d)
+      case "-s" | "--source" => once("source"); source = Some(next("-s"))
+      case "-t" | "--target" => once("target"); target = Some(next("-t"))
+      case "-m" | "--merger" => once("merger"); merger = Some(next("-m"))
+      case "--st"  => once("source"); once("target")
+        val d = next("--st"); source = Some(d); target = Some(d)
+      case "--mt"  => once("merger"); once("target")
+        val d = next("--mt"); merger = Some(d); target = Some(d)
+      case "--smt" => once("source"); once("merger"); once("target")
+        val d = next("--smt"); source = Some(d); merger = Some(d); target = Some(d)
       case "-q" | "--query" => q :+= kv(next("-q"))
       case "--mq" => mq :+= kv(next("--mq"))
       case "--tq" => tq :+= kv(next("--tq"))
-      case "--str" => str = next("--str")
-      case "--mtr" => mtr = next("--mtr")
-      case "--mtr-post-merge" => mtrPost = next("--mtr-post-merge")
-      case "-o" | "--op" => op = Some(next("-o"))
-      case "--pk" => pk = next("--pk")
-      case "--tf" => tf = next("--tf")
-      case "--overwrite" => overwrite = next("--overwrite")
-      case "--skip_by" | "--skip-by" => skipBy = next("--skip_by")
+      case "--str" => once("--str"); str = next("--str")
+      case "--mtr" => once("--mtr"); mtr = next("--mtr")
+      case "--mtr-post-merge" => once("--mtr-post-merge"); mtrPost = next("--mtr-post-merge")
+      case "-o" | "--op" => once("op"); op = Some(next("-o"))
+      case "--pk" => once("--pk"); pk = next("--pk")
+      case "--tf" => once("--tf"); tf = next("--tf")
+      case "--overwrite" => once("--overwrite"); overwrite = next("--overwrite")
+      case "--skip_by" | "--skip-by" => once("--skip_by"); skipBy = next("--skip_by")
       case "--skip-timestamp" => skipTs = true
-      case "--mkeys" => mkeys = next("--mkeys")
-      case "--mmd" => mmd = Some(next("--mmd"))
-      case "--mma" => mma = Some(next("--mma"))
+      case "--mkeys" => once("--mkeys"); mkeys = next("--mkeys")
+      case "--mmd" => once("--mmd"); mmd = Some(next("--mmd"))
+      case "--mma" => once("--mma"); mma = Some(next("--mma"))
       case "--mrm" => mrm = true
       case "--mrnm" => mrnm = true
       case "--mmo" => mmo = true
       case "--munwind" => munwind = true; mmo = false
       case "--mstrict" => mstrict = true
       // J9 named merge rule + column scope (etl.py:51-52,178-180)
-      case "--mrules" => mrules = next("--mrules")
-      case "--mrules-scm" => mrulesScm = next("--mrules-scm")
-      case "--workers" => workers = Some(next("--workers").toInt)
-      case "--contid" => contid = Some(next("--contid"))
+      case "--mrules" => once("--mrules"); mrules = next("--mrules")
+      case "--mrules-scm" => once("--mrules-scm"); mrulesScm = next("--mrules-scm")
+      case "--workers" => once("--workers"); workers = Some(next("--workers").toInt)
+      case "--contid" => once("--contid"); contid = Some(next("--contid"))
       case "--dry" => dry = true
       case "--drop" => drop = true
-      case "-y" | "--silent" => silent = true
+      case "-y" | "--silent" => silent = true // MUTABLE_OPS: silent
       case "--count" => count = true
+      case "--no-count" => noCount = true
+      case "--info" => once("--info"); info = Some(next("--info"))
       case "--stream" => stream = true
-      case "--partition-by" => partitionBy = next("--partition-by")
-      case "--max-records-per-file" => maxRecords = next("--max-records-per-file").toLong
-      // W14 (reference --fail-on-error, default True, base.py:135,267)
+      case "--partition-by" => once("--partition-by"); partitionBy = next("--partition-by")
+      case "--max-records-per-file" =>
+        once("--max-records-per-file"); maxRecords = next("--max-records-per-file").toLong
+      // W14 (reference --fail-on-error, default True, base.py:135,267;
+      // MUTABLE_OPS: fail_on_error)
       case "--fail-on-error" => failOnError = asBool(next("--fail-on-error"))
-      case "--job-poll" => jobPoll = Some(next("--job-poll"))
+      case "--job-poll" => once("--job-poll"); jobPoll = Some(next("--job-poll"))
       case "--jq" => jq :+= kv(next("--jq"))
       case other => throw CliError(s"unknown flag: $other (see --help)")
     }
@@ -175,7 +194,8 @@ object Main {
       merger = mergerSpec, target = targetSpec,
       workers = workers, dryRun = dry, contid = contid)
     (job, Opts(drop = drop, dry = dry, count = count, stream = stream,
-      jobPoll = jobPoll, jq = jq, silent = silent))
+      jobPoll = jobPoll, jq = jq, silent = silent,
+      noCount = noCount, info = info))
   }
 
   private def session(opts: Opts): SparkSession = {
@@ -221,6 +241,20 @@ object Main {
       // O4 continuation as Structured Streaming (Trigger.AvailableNow):
       // incremental file discovery + checkpoint replace the contid loop.
       val t = job.target.getOrElse(throw CliError("--stream needs a target"))
+      // The streaming path applies only filters and _fields; anything
+      // else would be silently dropped — reject it loudly instead.
+      val unsupported = job.source.query.collect {
+        case (k, _) if Set("_sort", "_limit", "_group", "_agg").contains(k) => k
+      }
+      if (unsupported.nonEmpty)
+        throw CliError(s"--stream does not support ${unsupported.mkString("/")}" +
+          " (filters and _fields only)")
+      if (job.source.postRead.nonEmpty)
+        throw CliError("--stream does not support --str transformer chains")
+      if (job.merger.nonEmpty)
+        throw CliError("--stream does not support a merger")
+      if (t.ref.backend != "parquet")
+        throw CliError(s"--stream writes parquet targets only, got ${t.ref.backend}")
       val q = graft.dsl.QueryCompiler.compile(
         graft.engine.Planner.sourceFrame(spark, job.source.copy(query = Nil)),
         job.source.query)
@@ -247,6 +281,16 @@ object Main {
           else job.copy(source = job.source.copy(query = job.source.query :+ ("_limit" -> "1"))))
         preview.show(100, truncate = false)
       case Some(_) =>
+        // O10 pre-flight summary + confirm gate (reference show_info +
+        // `RUN COMMAND` ask_input, base.py:411-479,683-692): print
+        // datasets/op/total and ask before any write, unless --silent.
+        val total = showInfo(spark, job, opts)
+        if (total.contains(0L)) { println("Empty Source"); return }
+        val proceed = opts.silent || {
+          print("RUN COMMAND? [y/N] ")
+          Option(scala.io.StdIn.readLine()).exists(_.trim.equalsIgnoreCase("y"))
+        }
+        if (!proceed) { println("Skipped"); return }
         val isWildcard = job.source.ref.name.contains("*")
         if (isWildcard) {
           val results = Runner.runWildcard(spark, job)
@@ -260,6 +304,33 @@ object Main {
           println(s"done: ${r.written} rows written")
         }
     }
+  }
+
+  /** O10 show_info (reference base.py:411-479): one-screen job summary
+    * — datasets, op, mode flags, filtered source total (skipped for
+    * wildcard sources and under --no-count, reference's `no_count`).
+    * Returns the computed total so the caller can refuse empty sources.
+    */
+  def showInfo(spark: SparkSession, job: JobSpec, opts: Opts): Option[Long] = {
+    println(s"SOURCE: ${job.source.ref.uri}")
+    job.merger.foreach { m =>
+      println(s"MERGER: ${m.ref.uri}")
+      println(s"M-DIRECTION: ${m.direction}")
+    }
+    job.target.foreach { t =>
+      println(s"TARGET: ${t.ref.uri}")
+      println(s"OP: ${t.op.name}${if (t.pk.nonEmpty) ":" + t.pk.mkString(",") else ""}")
+    }
+    val mode = Seq(
+      if (opts.dry) Some("DRY") else None,
+      if (opts.drop) Some("DROP") else None).flatten
+    if (mode.nonEmpty) println(s"MODE: ${mode.mkString(" ")}")
+    opts.info.foreach(i => println(s"INFO: $i"))
+    val total =
+      if (opts.noCount || job.source.ref.name.contains("*")) None
+      else Some(Runner.count(spark, job.source, job.target.forall(_.failOnError)))
+    println(s"TOTAL: ${total.map(_.toString).getOrElse("NA")}")
+    total
   }
 
   private val usage: String =
@@ -283,8 +354,14 @@ object Main {
       |jobs           --job-poll NS  --jq key=value (default uid=last)
       |transformers   --str CHAIN   (chain: name:arg1;arg2,name2,...)
       |run            --workers N  --contid ID  --dry  --drop  --count
+      |               --no-count (skip the pre-run source total)
+      |               --info MSG (annotate the pre-run summary)
       |               --fail-on-error BOOL (true: first malformed record
       |               fails the job; false: skip bad records; default true)
+      |
+      |write jobs print a summary and ask `RUN COMMAND?` first; -y runs
+      |without prompting. Args are write-once: repeating a single-value
+      |flag is an error.
       |               -y/--silent (skip confirmations)
       |               --stream (incremental AvailableNow continuation)
       |""".stripMargin

@@ -90,9 +90,11 @@ object QueryCompiler {
       case "contains"   => c.contains(value)
       case "startswith" => c.startsWith(value)
       case "endswith"   => c.endsWith(value)
-      case "between" =>
-        val Array(lo, hi) = value.split(",", 2)
-        c.between(typed(lo.trim, dt), typed(hi.trim, dt))
+      case "between" => value.split(",", 2) match {
+        case Array(lo, hi) => c.between(typed(lo.trim, dt), typed(hi.trim, dt))
+        case _ => throw new IllegalArgumentException(
+          s"__between needs lo,hi — got: $value")
+      }
       case other => throw new IllegalArgumentException(s"unknown query op: __$other")
     }
   }

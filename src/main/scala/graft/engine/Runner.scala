@@ -60,19 +60,28 @@ object Runner {
     job.target match {
       case None => RunResult(job, planned.count(), 0, 1)
       case Some(t) =>
-        val batch = if (t.skipTimestamp) planned
-          else planned.withColumn("_etl_ts", current_timestamp())
-        val current = targetState(spark, t, batch)
-        val newState = WriteOps.applyOp(current, batch, t)
+        // ONE pass over the source→merge plan: the stamped batch is
+        // checkpointed eagerly, so the bookkeeping count below is a
+        // cache read (not a second full computation, which at 100 TB
+        // was an extra full pass per job) and on self-update jobs the
+        // batch is safely materialized before the swap replaces the
+        // files it was read from. (An observe() metric can't do this
+        // bookkeeping: upsert/index reference the batch subtree twice
+        // in one plan, which double-fires the CollectMetrics node.)
+        val batch = (if (t.skipTimestamp) planned
+          else planned.withColumn("_etl_ts", current_timestamp()))
+          .localCheckpoint(eager = true)
         // `written` = rows processed from the source batch this run —
         // NOT the post-op target total (an upsert of 10 rows into a 1M
         // table writes 10, and loop/fan-out sums must not re-count the
-        // whole table each iteration). Counted BEFORE the rewrite: on
-        // self-update jobs the batch reads the files the swap replaces.
+        // whole table each iteration).
         val written = batch.count()
-        // Break lineage before rewriting the files we are reading from.
-        val materialized = newState.localCheckpoint(eager = true)
-        WriteOps.atomicOverwrite(spark, materialized, Resolver.path(t.ref),
+        val current = targetState(spark, t, batch)
+        val newState = WriteOps.applyOp(current, batch, t)
+        // No checkpoint of newState: atomicOverwrite materializes it
+        // into the temp dir BEFORE swapping, so the current target
+        // files are still in place while they are being read.
+        WriteOps.atomicOverwrite(spark, newState, Resolver.path(t.ref),
           t.partitionBy, t.maxRecordsPerFile, t.ref.backend)
         if (log) jobLog(spark, job, written)
         RunResult(job, written, written, 1)

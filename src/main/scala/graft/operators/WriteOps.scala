@@ -197,9 +197,19 @@ object WriteOps {
       case "json" => w.json(tmp.toString)
       case _      => w.parquet(tmp.toString)
     }
-    if (fs.exists(bak)) fs.delete(bak, true)
-    if (fs.exists(hPath)) fs.rename(hPath, bak)
-    fs.rename(tmp, hPath)
-    fs.delete(bak, true)
+    // HDFS/object-store renames report failure by returning false, not
+    // throwing — every step is checked so a failed swap can never
+    // delete the only remaining copy of the target.
+    if (fs.exists(bak) && !fs.delete(bak, true))
+      throw new java.io.IOException(s"atomic swap: cannot clear stale $bak")
+    val hadTarget = fs.exists(hPath)
+    if (hadTarget && !fs.rename(hPath, bak))
+      throw new java.io.IOException(s"atomic swap: cannot move $hPath aside")
+    if (!fs.rename(tmp, hPath)) {
+      // roll back: restore the previous target before failing
+      if (hadTarget) fs.rename(bak, hPath)
+      throw new java.io.IOException(s"atomic swap: cannot move $tmp into place")
+    }
+    if (hadTarget && fs.exists(hPath)) fs.delete(bak, true)
   }
 }

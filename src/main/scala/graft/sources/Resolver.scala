@@ -74,18 +74,29 @@ object Resolver {
     * TimestampType at microsecond precision. Integer `div` (not `/`)
     * avoids double-precision loss on epoch-nanos > 2^53.
     *
-    * NOTE: the conf is session-global and stays set once a nano dataset
-    * has been read — a deliberate trade-off. Reads routed through this
-    * resolver always convert; a bare `spark.read.parquet` of a nano
-    * file in the same session would then yield long columns instead of
-    * the loud error. Route reads through the Resolver.
+    * The conf is set only for the duration of the `load` (the scan
+    * snapshots its hadoop conf there) and restored immediately after,
+    * so a bare `spark.read.parquet` of a nano file elsewhere in the
+    * session still fails with the loud PARQUET_TYPE_ILLEGAL error
+    * instead of silently yielding long columns.
     */
   def readParquet(spark: SparkSession, pathStr: String): DataFrame = {
     val nanos = nanoTimestampCols(spark, pathStr)
     if (nanos.isEmpty) spark.read.parquet(pathStr)
-    else {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      convertNanoCols(spark.read.parquet(pathStr), nanos)
+    else convertNanoCols(withNanosAsLong(spark)(spark.read.parquet(pathStr)), nanos)
+  }
+
+  /** Run `load` with spark.sql.legacy.parquet.nanosAsLong set, restoring
+    * the previous value after the DataFrame's schema is resolved.
+    */
+  def withNanosAsLong[A](spark: SparkSession)(load: => A): A = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try load
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
     }
   }
 

@@ -36,8 +36,6 @@ object StreamRunner {
       if (ref.backend == "parquet" && schema.isEmpty)
         Resolver.nanoTimestampCols(spark, path)
       else Nil
-    if (nanos.nonEmpty)
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fmt = ref.backend match {
       case "csv" => "csv"; case "json" => "json"; case _ => "parquet"
     }
@@ -45,8 +43,14 @@ object StreamRunner {
       if (fmt == "csv") r.option("header", "true") else r
     def sopts(r: org.apache.spark.sql.streaming.DataStreamReader) =
       if (fmt == "csv") r.option("header", "true") else r
-    val s = schema.getOrElse(opts(spark.read.format(fmt)).load(path).schema)
-    val raw = sopts(spark.readStream.schema(s).format(fmt)).load(path)
+    def loadBoth() = {
+      val s = schema.getOrElse(opts(spark.read.format(fmt)).load(path).schema)
+      sopts(spark.readStream.schema(s).format(fmt)).load(path)
+    }
+    // conf scoped to the loads; restored so bare reads stay loud
+    val raw =
+      if (nanos.isEmpty) loadBoth()
+      else Resolver.withNanosAsLong(spark)(loadBoth())
     Resolver.convertNanoCols(raw, nanos)
   }
 

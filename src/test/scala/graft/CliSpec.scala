@@ -73,6 +73,26 @@ class CliSpec extends AnyFunSuite {
     assert(opts.jq == Seq("op" -> "create"))
   }
 
+  test("O8 write-once args: repeated single-value flags error; query/mutables repeat") {
+    // plain repeat
+    intercept[Main.CliError] { parse("-s", "parquet/a/b", "-s", "parquet/a/c") }
+    // shorthand sharing the slot
+    intercept[Main.CliError] { parse("--st", "parquet/a/b", "-t", "parquet/a/c") }
+    intercept[Main.CliError] { parse("-s", "parquet/a/b", "--pk", "k1", "--pk", "k2") }
+    // repeatable query flags accumulate
+    val (job, _) = parse("-s", "parquet/a/b", "-q", "x=1", "-q", "y=2")
+    assert(job.source.query.size == 2)
+    // MUTABLE_OPS repeat freely (fail_on_error, silent; base.py:76-84)
+    val (job2, opts2) = parse("-s", "parquet/a/b", "-t", "parquet/a/t",
+      "--fail-on-error", "false", "--fail-on-error", "true", "-y", "-y")
+    assert(job2.target.exists(_.failOnError) && opts2.silent)
+  }
+
+  test("O10 --no-count and --info parse into opts") {
+    val (_, opts) = parse("-s", "parquet/a/b", "--no-count", "--info", "backfill")
+    assert(opts.noCount && opts.info.contains("backfill"))
+  }
+
   test("errors: unknown flag, missing source, bad op, merger sans keys") {
     intercept[Main.CliError](parse("-s", "parquet/a/b", "--bogus"))
     intercept[Main.CliError](parse("-q", "a=b"))

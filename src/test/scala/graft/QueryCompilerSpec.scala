@@ -38,6 +38,9 @@ class QueryCompilerSpec extends SparkSpec {
     assert(ids("tag__endswith" -> "a") == Seq(1L, 2L, 3L, 5L))
     assert(ids("amount__between" -> "15,35") == Seq(2L, 3L))
     assert(ids("tag__nsne" -> "alpha") == Seq(2L, 3L, 4L, 5L))
+    // arity mismatch is an IllegalArgumentException (CLI `error: ...`),
+    // not a raw MatchError stack trace
+    intercept[IllegalArgumentException] { ids("amount__between" -> "15") }
   }
 
   test("F3/F4 limit + sort desc") {
