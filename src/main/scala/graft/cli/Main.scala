@@ -300,7 +300,10 @@ object Main {
           val r = Runner.runLoop(spark, job)
           println(s"done: ${r.written} rows written over ${r.iterations} iteration(s)")
         } else {
-          val r = Runner.execute(spark, job)
+          // O3: stage/row progress during the run (reference poll_job,
+          // base.py:366-392); quiet under -y/--silent.
+          val r = Runner.execute(spark, job,
+            progress = if (opts.silent) None else Some(println(_: String)))
           println(s"done: ${r.written} rows written")
         }
     }

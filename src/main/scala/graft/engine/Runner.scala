@@ -55,7 +55,13 @@ object Runner {
     * current target state, atomically rewrite the target. Appends a row
     * to the `<ns>/_logs` job-log dataset (W13) unless disabled.
     */
-  def execute(spark: SparkSession, job: JobSpec, log: Boolean = true): RunResult = {
+  def execute(spark: SparkSession, job: JobSpec, log: Boolean = true,
+              progress: Option[String => Unit] = None): RunResult =
+    progress.fold(executeInner(spark, job, log)) { report =>
+      Progress.withProgress(spark, report)(executeInner(spark, job, log))
+    }
+
+  private def executeInner(spark: SparkSession, job: JobSpec, log: Boolean): RunResult = {
     val planned = Planner.plan(spark, job)
     job.target match {
       case None => RunResult(job, planned.count(), 0, 1)
@@ -180,6 +186,21 @@ object Runner {
         query.filterNot(_._1 == "uid") ++ Seq("_sort" -> "-ts", "_limit" -> "1")
       else query
     QueryCompiler.apply(logs, q)
+  }
+
+  /** O12 settings fetch (reference: `get_etl_setting`,
+    * etl_cli/base.py:563-566 — GET /settings/<name>?_flat=name →
+    * data[name]). Engine analog: the `_settings` dataset in `ns` holds
+    * config records; the value is extracted with the engine's own
+    * flatten + projection (dogfooding the `_flat` DSL — dotted setting
+    * names reach nested struct fields).
+    */
+  def etlSetting(spark: SparkSession, ns: String, name: String): Option[Any] = {
+    val df = Resolver.read(spark, graft.spec.DatasetRef("parquet", ns, "_settings"))
+    val flat = graft.functions.StructUtils.flatten(df)
+    val flatName = name.replace('.', '_') // flatten() joins paths with '_'
+    if (!flat.columns.contains(flatName)) return None
+    flat.select(flatName).limit(1).collect().headOption.flatMap(r => Option(r.get(0)))
   }
 
   /** §2.7 diff: symmetric difference of two datasets keyed by pk, with

@@ -46,11 +46,26 @@ object Similarity {
       .select(col(qId), col(cId), round(col("sim"), 4).as("sim"), col("rank"))
   }
 
+  /** Hard ceiling for [[cosinePairs]]' brute O(n²) join: above this
+    * corpus size the call refuses and points at [[lshPairs]] — on a
+    * real corpus the cartesian-shaped join is a scale-killer, and a
+    * 30-minute-in "it's slow" discovery is worse than an upfront error.
+    * Override consciously via `maxRows` for oracle/baseline runs.
+    */
+  val CosinePairsDefaultMaxRows: Long = 1000000L
+
   /** All corpus pairs with cosine ≥ threshold (embedding near-dup).
-    * Brute O(n²) variant — the exact baseline; use [[lshPairs]] at scale.
+    * Brute O(n²) variant — the EXACT-BASELINE path, guarded by
+    * `maxRows`; [[lshPairs]] is the scale path (bucketed candidates +
+    * exact verify, no all-pairs join).
     */
   def cosinePairs(df: DataFrame, threshold: Double,
-                  id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+                  id: String = "vec_id", vec: String = "embedding",
+                  maxRows: Long = CosinePairsDefaultMaxRows): DataFrame = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"cosinePairs is brute O(n²) and the corpus has $n rows (max $maxRows): " +
+        "use lshPairs (bucketed, scale-safe) or raise maxRows deliberately")
     val a = df.select(col(id).as("id_a"), col(vec).as("va"))
     val b = df.select(col(id).as("id_b"), col(vec).as("vb"))
     a.join(b, col("id_a") < col("id_b"))

@@ -89,6 +89,14 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(self - 1.0) < 1e-9)
   }
 
+  test("cosinePairs refuses brute O(n²) above the row ceiling") {
+    val e = sf("embeddings")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.cosinePairs(e, 0.5, maxRows = 10)
+    }
+    assert(ex.getMessage.contains("lshPairs"))
+  }
+
   test("lshPairs is a subset of cosinePairs and catches planted dups") {
     val e = sf("embeddings").limit(100)
     // plant an exact duplicate vector with a new id

@@ -90,6 +90,35 @@ class RunnerSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("O12 etlSetting: flat + nested lookup from the _settings dataset") {
+    val ns = Files.createTempDirectory("graft_settings").toString
+    Seq(("prod", 1000L, ("on", 7)))
+      .toDF("env", "batch_size", "limits")
+      .select($"env", $"batch_size", $"limits".cast("struct<mode:string,max:int>"))
+      .write.parquet(s"$ns/_settings.parquet")
+    assert(Runner.etlSetting(spark, ns, "env").contains("prod"))
+    assert(Runner.etlSetting(spark, ns, "batch_size").contains(1000L))
+    // dotted names reach nested struct fields via the _flat DSL
+    assert(Runner.etlSetting(spark, ns, "limits.max").contains(7))
+    assert(Runner.etlSetting(spark, ns, "nope").isEmpty)
+  }
+
+  test("O3 progress: stage/record events reported during execute") {
+    val dir = Files.createTempDirectory("graft_prog").toString
+    val job = JobSpec(
+      SourceSpec(DatasetRef("parquet", "/root/testdata/sf0.001", "region")),
+      target = Some(TargetSpec(DatasetRef("parquet", dir, "prog"),
+        op = WriteOp.Create)))
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val res = Runner.execute(spark, job, log = false,
+      progress = Some(events.add(_: String)))
+    assert(res.written == 5)
+    val lines = events.toArray(Array.empty[String])
+    assert(lines.nonEmpty, "no progress events observed")
+    assert(lines.forall(_.startsWith("progress: stage ")))
+    assert(lines.exists(_.contains("records read")))
+  }
+
   test("--stream rejects spec elements the streaming path would drop") {
     import graft.cli.Main
     def run(args: String*): Unit = {
