@@ -10,10 +10,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM/codegen/FS paths so the first measured query isn't
-    // charged the session startup cost
+    // Warm the JVM/codegen/FS paths so measurements reflect steady
+    // state: a dry pass of every query at the smallest SF compiles the
+    // same generated classes the measured run will hit (codegen cache
+    // keys on generated source, which is data-size independent).
+    // First-run codegen+JIT otherwise dominates at bench scale (e.g.
+    // 8.7 s cold vs 2.0 s warm on the dedup pipeline).
     try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()
     catch { case _: Throwable => }
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => } // warmup failures surface in the timed run
+      }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

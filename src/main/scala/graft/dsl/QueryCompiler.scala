@@ -147,27 +147,57 @@ object QueryCompiler {
     * `<func>_<field>` (`count_all` for `count:*`).
     */
   def aggregate(df: DataFrame, group: Seq[String], aggs: Seq[(String, String)]): DataFrame = {
-    val exprs = aggs.map {
-      case ("count", "*")   => count(lit(1)).as("count_all")
-      case ("count", f)     => count(col(f)).as(s"count_$f")
-      case ("countd", f)    => countDistinct(col(f)).as(s"countd_$f")
-      case ("sum", f)       => sum(col(f)).as(s"sum_$f")
-      case ("avg", f)       => avg(col(f)).as(s"avg_$f")
-      case ("min", f)       => min(col(f)).as(s"min_$f")
-      case ("max", f)       => max(col(f)).as(s"max_$f")
-      case ("stddev", f)    => stddev_samp(col(f)).as(s"stddev_$f")
+    // All pNN requests for one field share ONE percentile(field,
+    // array(q1,…)) aggregate — one counts-map buffer per group instead
+    // of one per requested percentile (exact same algorithm and
+    // interpolation, so results are bit-identical). The array column is
+    // unpacked into the `<p>_<field>` names after the agg.
+    val pctlByField: Map[String, Seq[String]] = aggs.collect {
+      case (p, f) if p.matches("p\\d{1,2}") => (f, p)
+    }.groupBy(_._1).map { case (f, ps) => f -> ps.map(_._2) }
+    var unpack = Vector.empty[(String, Column)] // output name -> element
+    val exprs = aggs.flatMap {
+      case ("count", "*")   => Some(count(lit(1)).as("count_all"))
+      case ("count", f)     => Some(count(col(f)).as(s"count_$f"))
+      case ("countd", f)    => Some(countDistinct(col(f)).as(s"countd_$f"))
+      case ("sum", f)       => Some(sum(col(f)).as(s"sum_$f"))
+      case ("avg", f)       => Some(avg(col(f)).as(s"avg_$f"))
+      case ("min", f)       => Some(min(col(f)).as(s"min_$f"))
+      case ("max", f)       => Some(max(col(f)).as(s"max_$f"))
+      case ("stddev", f)    => Some(stddev_samp(col(f)).as(s"stddev_$f"))
       // exact interpolated percentiles (p50/p90/p95/p99); the approx_*
       // variants are the sketch-based scale path (no exact oracle)
       case (p, f) if p.matches("p\\d{1,2}") =>
-        val q = p.drop(1).toDouble / 100.0
-        expr(s"percentile(`$f`, $q)").as(s"${p}_$f")
+        val ps = pctlByField(f)
+        if (ps.head != p) None // only the first request emits the agg
+        else if (ps.size == 1) {
+          val q = p.drop(1).toDouble / 100.0
+          Some(expr(s"percentile(`$f`, $q)").as(s"${p}_$f"))
+        } else {
+          val qs = ps.map(_.drop(1).toDouble / 100.0).mkString(", ")
+          unpack ++= ps.zipWithIndex.map { case (pp, i) =>
+            s"${pp}_$f" -> element_at(col(s"__pctl_$f"), i + 1)
+          }
+          Some(expr(s"percentile(`$f`, array($qs))").as(s"__pctl_$f"))
+        }
       case ("approx_countd", f) =>
-        approx_count_distinct(col(f)).as(s"approx_countd_$f")
+        Some(approx_count_distinct(col(f)).as(s"approx_countd_$f"))
       case (fn, f) => throw new IllegalArgumentException(s"unknown agg: $fn:$f")
     }
     require(exprs.nonEmpty, "_agg required when _group is set")
-    df.groupBy(group.map(col).toIndexedSeq: _*)
+    val agged = df.groupBy(group.map(col).toIndexedSeq: _*)
       .agg(exprs.head, exprs.tail.toIndexedSeq: _*)
+    if (unpack.isEmpty) agged
+    else {
+      // splice each percentile into its requested position
+      val outCols = group.map(col) ++ aggs.map {
+        case (p, f) if p.matches("p\\d{1,2}") && pctlByField(f).size > 1 =>
+          unpack.find(_._1 == s"${p}_$f").get._2.as(s"${p}_$f")
+        case ("count", "*") => col("count_all")
+        case (fn, f)        => col(s"${fn}_$f")
+      }
+      agged.select(outCols.toIndexedSeq: _*)
+    }
   }
 
   /** Full application order: filter → group/agg → sort → limit →
