@@ -78,6 +78,7 @@ object Main {
     var skipTs = false; var dry = false; var drop = false; var count = false
     var stream = false; var silent = false
     var partitionBy = ""; var maxRecords = 0L
+    var indexBy = Vector.empty[String]; var skipIndex = false
     var failOnError = envDefault("--fail-on-error").forall(asBool)
     var jobPoll: Option[String] = None; var jq = Vector.empty[(String, String)]
     var workers: Option[Int] = None; var contid: Option[String] = None
@@ -142,6 +143,11 @@ object Main {
       case "--no-count" => noCount = true
       case "--info" => once("--info"); info = Some(next("--info"))
       case "--stream" => stream = true
+      // O6 (reference --mongo-index/--skip-index, base.py:138-139;
+      // MUTABLE_OPS: mongo_index — repeatable). Engine analog: lay the
+      // target files out range-partitioned + sorted on the index keys.
+      case "--mongo-index" | "--index-by" => indexBy :+= next("--mongo-index")
+      case "--skip-index" => skipIndex = true
       case "--partition-by" => once("--partition-by"); partitionBy = next("--partition-by")
       case "--max-records-per-file" =>
         once("--max-records-per-file"); maxRecords = next("--max-records-per-file").toLong
@@ -187,6 +193,7 @@ object Main {
         query = tq, fields = csv(tf), overwrite = csv(overwrite),
         skipBy = csv(skipBy), skipTimestamp = skipTs,
         failOnError = failOnError,
+        indexBy = if (skipIndex) Nil else indexBy.flatMap(v => csv(v)),
         partitionBy = csv(partitionBy), maxRecordsPerFile = maxRecords)
     }
     val job = JobSpec(
@@ -354,6 +361,9 @@ object Main {
       |               --pk k1,k2  --tq key=value  --tf f1,-f2
       |               --overwrite f1,f2  --skip_by k  --skip-timestamp
       |               --partition-by c1,c2  --max-records-per-file N
+      |               --mongo-index k1,k2 (range-sorted file layout on the
+      |               keys: parquet min/max stats prune like an index)
+      |               --skip-index (drop requested index layouts)
       |jobs           --job-poll NS  --jq key=value (default uid=last)
       |transformers   --str CHAIN   (chain: name:arg1;arg2,name2,...)
       |run            --workers N  --contid ID  --dry  --drop  --count

@@ -88,7 +88,7 @@ object Runner {
         // into the temp dir BEFORE swapping, so the current target
         // files are still in place while they are being read.
         WriteOps.atomicOverwrite(spark, newState, Resolver.path(t.ref),
-          t.partitionBy, t.maxRecordsPerFile, t.ref.backend)
+          t.partitionBy, t.maxRecordsPerFile, t.ref.backend, t.indexBy)
         if (log) jobLog(spark, job, written)
         RunResult(job, written, written, 1)
     }

@@ -183,12 +183,22 @@ object WriteOps {
   def atomicOverwrite(spark: SparkSession, df: DataFrame, path: String,
                       partitionBy: Seq[String] = Nil,
                       maxRecordsPerFile: Long = 0,
-                      format: String = "parquet"): Unit = {
+                      format: String = "parquet",
+                      indexBy: Seq[String] = Nil): Unit = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path + "._tmp_" + System.nanoTime())
     val bak = new org.apache.hadoop.fs.Path(path + "._bak")
-    var w = df.write.mode("overwrite")
+    // O6 "index" analog (reference builds `prf.mongo_index` commands,
+    // base.py:568-610): range-partition + sort the files by the index
+    // keys, so parquet min/max row-group stats become the index —
+    // point/range reads on those keys prune most files/row groups at
+    // scan time. The Spark-native equivalent of a b-tree on a lake.
+    val laid =
+      if (indexBy.isEmpty) df
+      else df.repartitionByRange(indexBy.map(col).toIndexedSeq: _*)
+        .sortWithinPartitions(indexBy.map(col).toIndexedSeq: _*)
+    var w = laid.write.mode("overwrite")
     if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
     if (maxRecordsPerFile > 0)
       w = w.option("maxRecordsPerFile", maxRecordsPerFile.toString)

@@ -132,6 +132,7 @@ final case class TargetSpec(
     skipBy: Seq[String] = Nil,              // --skip_by insert-if-absent key
     skipTimestamp: Boolean = false,         // --skip-timestamp
     failOnError: Boolean = true,            // base.py:135,267
+    indexBy: Seq[String] = Nil,             // O6 --mongo-index → range-sorted file layout
     partitionBy: Seq[String] = Nil,         // [EXT] hive-style partition cols
     maxRecordsPerFile: Long = 0)            // [EXT] file sizing (s3 batch analog, etl.py:129-133)
 

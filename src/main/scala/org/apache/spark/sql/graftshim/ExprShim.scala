@@ -12,4 +12,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ExprShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a SQL function on a LIVE session (sessionState is
+    * private[sql], hence this shim). The SparkSessionExtensions path
+    * (graft.GraftExtensions) covers `spark.sql.extensions` users; this
+    * covers sessions that already exist.
+    */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.functions", name),
+      builder)
 }

@@ -97,6 +97,37 @@ class WriteOpsSpec extends SparkSpec {
     assert(out.select("id").as[Long].collect().toSet == Set(1L, 3L))
   }
 
+  test("O6 indexBy lays files out range-partitioned + sorted (pruning stats)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    val df = sf("lineitem")
+    // sf0.001 is small enough that AQE folds the range shuffle into one
+    // partition (the right call at scale); pin it off to see the layout
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try WriteOps.atomicOverwrite(spark, df, s"$dir/li.parquet",
+      indexBy = Seq("l_extendedprice"))
+    finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    val files = new java.io.File(s"$dir/li.parquet").listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      .map(_.toString).sorted.toSeq
+    assert(files.size > 1, "expected multiple range partitions")
+    // each file is internally sorted and file ranges are disjoint
+    val ranges = files.map { f =>
+      val vals = spark.read.parquet(f)
+        .select("l_extendedprice").as[Double].collect().toSeq
+      assert(vals == vals.sorted, s"file $f not sorted")
+      (vals.min, vals.max)
+    }
+    val byMin = ranges.sortBy(_._1)
+    byMin.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, "file ranges overlap")
+      case _ =>
+    }
+    // and a point filter on the indexed key reads back correctly
+    val probe = spark.read.parquet(s"$dir/li.parquet")
+      .filter($"l_extendedprice" > 100000.0)
+    assert(probe.count() == df.filter($"l_extendedprice" > 100000.0).count())
+  }
+
   test("update extends schema with new source columns (mongo $set)") {
     val b = Seq((2L, "x-new")).toDF("id", "extra")
     val out = WriteOps.update(target, b, Seq("id"))
