@@ -237,6 +237,12 @@ object SparkEntry {
           "avg_word_len", "stopword_ratio", "lang_id", "quality")
         .orderBy("doc_id")),
 
+    // ── [EXT] §2.10 corpus vocabulary: token count + doc frequency ────
+    "q_vocab_topk" -> ((s, dir) =>
+      graft.ext.TextAnalysis.vocabulary(read(s, dir, "documents"))
+        .orderBy(col("cnt").desc, col("token").asc)
+        .limit(20)),
+
     // ── [EXT] §2.10 doc fingerprints (hash-based; rows-only) ──────────
     "q_fingerprint" -> ((s, dir) =>
       read(s, dir, "documents").select(col("doc_id"),
@@ -483,6 +489,13 @@ object SparkEntry {
          WHERE minl.id IS NULL OR minl.label = d.doc_id
          ORDER BY d.doc_id""",
     "q_text_stats" -> TextStatsOracle,
+    "q_vocab_topk" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(list_filter(
+             string_split_regex(lower(trim(text)), '\W+'), x -> x <> '')) AS token
+           FROM documents)
+         SELECT token, count(*) AS cnt, count(DISTINCT doc_id) AS docs
+         FROM t GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
     "q_corpus_prep" ->
       """WITH RECURSIVE t AS (
            SELECT doc_id, text, n_chars,

@@ -153,6 +153,20 @@ object TextAnalysis {
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame =
     withStats(df, textCol, quality = None)
 
+  /** Corpus vocabulary stats: per-token total count and document
+    * frequency. One explode + one map-side-combinable aggregation —
+    * the standard "what's in this corpus" pass before tokenizer/vocab
+    * decisions. `docFreq` uses count(distinct id) which Spark executes
+    * as a two-phase partial-distinct aggregate (no row explosion
+    * beyond the token stream itself).
+    */
+  def vocabulary(df: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(TextDedup.tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("id")).as("docs"))
+
   /** [[analyze]] plus the composite quality score, from the same
     * single-pass raw counts (`nCharsCol` is the documents table's
     * n_chars column).

@@ -168,6 +168,13 @@ class ExtSpec extends SparkSpec {
     assert(out(3) == Seq(0, 0, "en")) // empty text defaults
   }
 
+  test("vocabulary: token counts and doc frequency") {
+    val t = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val v = TextAnalysis.vocabulary(t).orderBy($"cnt".desc, $"token")
+      .collect().map(_.toSeq).toSeq
+    assert(v == Seq(Seq("a", 3L, 2L), Seq("b", 1L, 1L), Seq("c", 1L, 1L)))
+  }
+
   test("fingerprints: equal for normalized-equal docs") {
     val t = Seq((1L, "Hello,   World!"), (2L, "hello world"), (3L, "other text"))
       .toDF("doc_id", "text")
