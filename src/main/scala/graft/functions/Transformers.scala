@@ -91,7 +91,26 @@ object Transformers {
       df.withColumn(out, coalesce(fields.map(col).toIndexedSeq: _*))
     }),
     "mask" -> (args => df => // mask:field — constant-length redaction
-      df.withColumn(args.head, lit("***")))
+      df.withColumn(args.head, lit("***"))),
+    // corpus cleaning (C4/RefinedWeb-style web-text prep; all pure
+    // regexp_replace/array built-ins — codegen'd, scan-speed)
+    "redact_email" -> (args => df => // redact_email:field[;token]
+      df.withColumn(args.head, regexp_replace(col(args.head),
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+        args.lift(1).getOrElse("<EMAIL>")))),
+    "redact_url" -> (args => df => // redact_url:field[;token]
+      df.withColumn(args.head, regexp_replace(col(args.head),
+        "(?i)\\bhttps?://[^\\s<>\"]+", args.lift(1).getOrElse("<URL>")))),
+    "redact_phone" -> (args => df => // redact_phone:field[;token] (intl-ish)
+      df.withColumn(args.head, regexp_replace(col(args.head),
+        "\\+?\\d[\\d\\s().-]{7,}\\d", args.lift(1).getOrElse("<PHONE>")))),
+    "strip_html" -> (args => df => // strip_html:field — drop tags, unescape basics
+      df.withColumn(args.head,
+        regexp_replace(regexp_replace(col(args.head), "<[^>]*>", " "),
+          "\\s+", " "))),
+    "dedup_lines" -> (args => df => // dedup_lines:field — drop repeated lines, keep order
+      df.withColumn(args.head, array_join(array_distinct(
+        split(col(args.head), "\\n")), "\n")))
   )
 
   def register(name: String, f: Factory): Unit = registry.update(name, f)

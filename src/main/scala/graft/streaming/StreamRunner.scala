@@ -84,6 +84,16 @@ object StreamRunner {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup — the streaming twin of TextDedup.exact:
+    * drop rows whose `keys` were already seen, with state reclaimed
+    * once the watermark passes (without the watermark bound, "seen
+    * keys" state would grow forever — the 100 TB streaming constraint).
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  tsCol: String = "ts", lateness: String = "30 minutes"): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class SessionOut(userId: Long, start: java.sql.Timestamp,
                               n: Long, sumValue: Double)

@@ -94,6 +94,29 @@ class QueryCompilerSpec extends SparkSpec {
     assert(out.filter($"id" === 2L).head().getAs[String]("best") == "z")
   }
 
+  test("§2.5 corpus-cleaning transformers: redact, strip_html, dedup_lines") {
+    import graft.functions.Transformers
+    import graft.spec.TransformStage
+    val t = Seq((1L,
+      "mail me at a.b+c@ex-ample.org or visit https://x.io/p?q=1 " +
+        "call +1 (415) 555-0199 <b>bold</b>  text\nline\nline\nother"))
+      .toDF("id", "txt")
+    val out = Transformers.apply(t, Seq(
+      TransformStage("redact_email", Seq("txt")),
+      TransformStage("redact_url", Seq("txt")),
+      TransformStage("redact_phone", Seq("txt")),
+      TransformStage("dedup_lines", Seq("txt"))))
+    val s = out.head().getAs[String]("txt")
+    assert(s.contains("<EMAIL>") && !s.contains("@"))
+    assert(s.contains("<URL>") && !s.contains("https://"))
+    assert(s.contains("<PHONE>") && !s.contains("555"))
+    assert(s.linesIterator.count(_ == "line") == 1)
+    val html = Transformers.apply(
+      Seq((1L, "<p>Hello <b>world</b></p>")).toDF("id", "txt"),
+      Seq(TransformStage("strip_html", Seq("txt"))))
+    assert(html.head().getAs[String]("txt").trim == "Hello world")
+  }
+
   test("[EXT] _agg percentiles and approx count-distinct") {
     val got = QueryCompiler.apply(df, Seq(
       "_group" -> "country", "_agg" -> "p50:amount,approx_countd:tag",

@@ -55,6 +55,21 @@ class StreamSpec extends SparkSpec {
     assert(emitted > 100L && emitted <= 200L)
   }
 
+  test("streaming exact dedup drops duplicate keys within the watermark") {
+    val dir = Files.createTempDirectory("graft_dstream").toString
+    val src = s"$dir/ev.parquet"; val tgt = s"$dir/dedup"; val ckp = s"$dir/ckp3"
+    // duplicate every event id: the stream must emit each id once
+    val base = sf("events").limit(100).select($"event_id", $"ts", $"value")
+    base.unionByName(base).write.parquet(src)
+    val ref = DatasetRef("parquet", dir, "ev")
+    StreamRunner.runAvailableNow(spark,
+      StreamRunner.readStream(spark, ref),
+      df => StreamRunner.dedupStream(df, Seq("event_id")), tgt, ckp)
+    val out = spark.read.parquet(tgt)
+    assert(out.count() == out.select("event_id").distinct().count())
+    assert(out.count() == 100)
+  }
+
   test("sessionize (flatMapGroupsWithState) emits closed sessions") {
     val ev = Seq(
       (7L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
