@@ -8,12 +8,16 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.01"
-    for (name <- Seq("q_filter_ops", "q_fields_excl", "q_merge_left", "q_merge_anti", "q1_agg", "q_sort_limit")) {
+    for (name <- Seq("q_filter_ops", "q_fields_excl", "q_merge_left", "q_merge_anti",
+      "q1_agg", "q_sort_limit", "q_dedup_jaccard", "q_dedup_minhash",
+      "q_dedup_corpus", "q_ann_topk", "q_ann_ivf", "q_embed_lsh",
+      "q_corpus_prep", "q_vocab_topk", "q_asof")) {
       val df = SparkEntry.queries(name)(spark, dir)
       val plan = df.queryExecution.executedPlan.toString
       def has(s: String) = plan.contains(s)
       println(s"AUDIT $name: pushed=${plan.contains("PushedFilters: [")} " +
         s"bcast=${has("BroadcastHashJoin")} smj=${has("SortMergeJoin")} " +
+        s"cartesian=${has("CartesianProduct")} bnlj=${has("BroadcastNestedLoopJoin")} " +
         s"wsc=${has("WholeStageCodegen")} topn=${has("TakeOrderedAndProject")}")
       val rs = plan.linesIterator.filter(_.contains("ReadSchema")).take(2).toList
       rs.foreach(l => println("AUDIT   " + l.trim.take(150)))
