@@ -36,8 +36,16 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ") + "\""
+    def jstr(s: String): String = {
+      val b = new StringBuilder("\"")
+      s.foreach {
+        case '"'           => b.append("\\\"")
+        case '\\'          => b.append("\\\\")
+        case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+        case c             => b.append(c)
+      }
+      b.append("\"").toString
+    }
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val errJson =

@@ -262,6 +262,16 @@ object Main {
         throw CliError("--stream does not support a merger")
       if (t.ref.backend != "parquet")
         throw CliError(s"--stream writes parquet targets only, got ${t.ref.backend}")
+      // target-side spec elements the append-only sink would drop
+      if (t.op != WriteOp.Create)
+        throw CliError(s"--stream appends only (-o create); got -o ${t.op.name}")
+      val tgtUnsupported = Seq(
+        "--tq" -> t.query.nonEmpty, "--tf" -> t.fields.nonEmpty,
+        "--overwrite" -> t.overwrite.nonEmpty, "--skip_by" -> t.skipBy.nonEmpty,
+        "--pk" -> t.pk.nonEmpty, "--mongo-index" -> t.indexBy.nonEmpty,
+        "--partition-by" -> t.partitionBy.nonEmpty).collect { case (f, true) => f }
+      if (tgtUnsupported.nonEmpty)
+        throw CliError(s"--stream does not support ${tgtUnsupported.mkString("/")}")
       val q = graft.dsl.QueryCompiler.compile(
         graft.engine.Planner.sourceFrame(spark, job.source.copy(query = Nil)),
         job.source.query)
@@ -293,9 +303,15 @@ object Main {
         // datasets/op/total and ask before any write, unless --silent.
         val total = showInfo(spark, job, opts)
         if (total.contains(0L)) { println("Empty Source"); return }
+        // Gate only when someone can actually answer: EOF/no stdin
+        // (scripts, cron, pipes) proceeds — otherwise every scripted
+        // write would silently no-op with exit 0. Interactive answers
+        // follow the reference's ask_input (base.py:194-214): y* runs,
+        // anything else — including plain enter — skips.
         val proceed = opts.silent || {
           print("RUN COMMAND? [y/N] ")
-          Option(scala.io.StdIn.readLine()).exists(_.trim.equalsIgnoreCase("y"))
+          Option(scala.io.StdIn.readLine())
+            .forall(_.trim.toLowerCase.startsWith("y"))
         }
         if (!proceed) { println("Skipped"); return }
         val isWildcard = job.source.ref.name.contains("*")

@@ -154,7 +154,10 @@ object QueryCompiler {
     // unpacked into the `<p>_<field>` names after the agg.
     val pctlByField: Map[String, Seq[String]] = aggs.collect {
       case (p, f) if p.matches("p\\d{1,2}") => (f, p)
-    }.groupBy(_._1).map { case (f, ps) => f -> ps.map(_._2) }
+    }.groupBy(_._1).map { case (f, ps) => f -> ps.map(_._2).distinct }
+    // one shared aggregate per FIELD — an occurrence set, not a
+    // head-comparison, so a repeated p50:x doesn't emit twice
+    val pctlEmitted = scala.collection.mutable.Set.empty[String]
     var unpack = Vector.empty[(String, Column)] // output name -> element
     val exprs = aggs.flatMap {
       case ("count", "*")   => Some(count(lit(1)).as("count_all"))
@@ -169,7 +172,7 @@ object QueryCompiler {
       // variants are the sketch-based scale path (no exact oracle)
       case (p, f) if p.matches("p\\d{1,2}") =>
         val ps = pctlByField(f)
-        if (ps.head != p) None // only the first request emits the agg
+        if (!pctlEmitted.add(f)) None // one aggregate per field
         else if (ps.size == 1) {
           val q = p.drop(1).toDouble / 100.0
           Some(expr(s"percentile(`$f`, $q)").as(s"${p}_$f"))

@@ -70,6 +70,7 @@ object IvfIndex {
     val cents = centroids.select("centroid_id", "centroid").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1) // ascending id ⇒ strict > keeps the smallest id on ties
+    require(cents.nonEmpty, "IVF assign needs at least one centroid")
     corpus.withColumn("centroid_id",
       graft.functions.VectorExprs.nearestCentroid(
         col(vec), cents.map(_._1), cents.map(_._2)))

@@ -62,9 +62,11 @@ object Similarity {
   def cosinePairs(df: DataFrame, threshold: Double,
                   id: String = "vec_id", vec: String = "embedding",
                   maxRows: Long = CosinePairsDefaultMaxRows): DataFrame = {
-    val n = df.count()
-    require(n <= maxRows,
-      s"cosinePairs is brute O(n²) and the corpus has $n rows (max $maxRows): " +
+    // bounded guard: scan at most maxRows+1 rows, never the full plan
+    val cap = math.min(maxRows, Int.MaxValue - 1L).toInt
+    val over = df.select(col(id)).limit(cap + 1).count() > cap
+    require(!over,
+      s"cosinePairs is brute O(n²) and the corpus exceeds $maxRows rows: " +
         "use lshPairs (bucketed, scale-safe) or raise maxRows deliberately")
     val a = df.select(col(id).as("id_a"), col(vec).as("va"))
     val b = df.select(col(id).as("id_b"), col(vec).as("vb"))

@@ -122,7 +122,8 @@ object TextAnalysis {
       s("tok_len_sum").cast("double") / s("tok_count")).otherwise(0.0)
     val sraw = when(s("tok_count") > 0,
       s("stop_hits").cast("double") / s("tok_count")).otherwise(0.0)
-    val best = Seq("s_en", "s_de", "s_fr", "s_es").map(s(_)).reduce(greatest(_, _))
+    val best = LangMarkers.map { case (lang, _) => s(s"s_$lang") }
+      .reduce(greatest(_, _))
     val pick = LangMarkers.map(_._1).reverse.foldLeft(lit("en")) {
       case (acc, lang) => when(s(s"s_$lang") === best && best > 0, lang).otherwise(acc)
     }

@@ -43,20 +43,23 @@ object TextExprs {
                           markers: Seq[(String, Seq[String])])
       extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
     override def inputTypes: Seq[DataType] = Seq(StringType)
-    override def dataType: DataType = StructType(Seq(
-      StructField("ws_tokens", IntegerType, nullable = false),
-      StructField("bpe_tokens", IntegerType, nullable = false),
-      StructField("n_nonspace", IntegerType, nullable = false),
-      StructField("n_punct", IntegerType, nullable = false),
-      StructField("tok_count", IntegerType, nullable = false),
-      StructField("tok_len_sum", LongType, nullable = false),
-      StructField("stop_hits", IntegerType, nullable = false),
-      StructField("s_en", IntegerType, nullable = false),
-      StructField("s_de", IntegerType, nullable = false),
-      StructField("s_fr", IntegerType, nullable = false),
-      StructField("s_es", IntegerType, nullable = false),
-      StructField("cjk", IntegerType, nullable = false),
-      StructField("n_cp", IntegerType, nullable = false)))
+    // marker-count fields follow the `markers` parameter (one `s_<lang>`
+    // per entry, in order), so adding/reordering languages cannot
+    // silently bind counts to the wrong field
+    override def dataType: DataType = StructType(
+      Seq(
+        StructField("ws_tokens", IntegerType, nullable = false),
+        StructField("bpe_tokens", IntegerType, nullable = false),
+        StructField("n_nonspace", IntegerType, nullable = false),
+        StructField("n_punct", IntegerType, nullable = false),
+        StructField("tok_count", IntegerType, nullable = false),
+        StructField("tok_len_sum", LongType, nullable = false),
+        StructField("stop_hits", IntegerType, nullable = false)) ++
+      markers.map { case (lang, _) =>
+        StructField(s"s_$lang", IntegerType, nullable = false) } ++
+      Seq(
+        StructField("cjk", IntegerType, nullable = false),
+        StructField("n_cp", IntegerType, nullable = false)))
     override def prettyName: String = "text_stats_raw"
 
     @transient private lazy val stopSet: java.util.HashSet[String] = {
@@ -118,8 +121,11 @@ object TextExprs {
         i += Character.charCount(cp)
       }
       closeTok()
-      InternalRow(ws, bpe, nonSpace, punct, tokCount, tokLenSum, stopHits,
-        mh(0), mh(1), mh(2), mh(3), cjk, nCp)
+      val fields = Array.newBuilder[Any]
+      fields += ws += bpe += nonSpace += punct += tokCount += tokLenSum += stopHits
+      mh.foreach(fields += _)
+      fields += cjk += nCp
+      InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(fields.result()))
     }
 
     override protected def withNewChildInternal(newChild: Expression): Expression =

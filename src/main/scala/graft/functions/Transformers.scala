@@ -101,9 +101,15 @@ object Transformers {
     "redact_url" -> (args => df => // redact_url:field[;token]
       df.withColumn(args.head, regexp_replace(col(args.head),
         "(?i)\\bhttps?://[^\\s<>\"]+", args.lift(1).getOrElse("<URL>")))),
-    "redact_phone" -> (args => df => // redact_phone:field[;token] (intl-ish)
+    "redact_phone" -> (args => df => // redact_phone:field[;token]
+      // Heuristic: requires a phone-shaped anchor (+country, (area), or
+      // dash/dot-separated groups) so digit runs in tables/dates/ids
+      // aren't gutted; ISO dates are explicitly excluded.
       df.withColumn(args.head, regexp_replace(col(args.head),
-        "\\+?\\d[\\d\\s().-]{7,}\\d", args.lift(1).getOrElse("<PHONE>")))),
+        "\\+\\d[\\d\\s().-]{6,}\\d" +                      // +1 415 555 0199
+          "|\\(\\d{2,4}\\)[\\s.-]?\\d[\\d\\s.-]{4,}\\d" +  // (415) 555-0199
+          "|(?<!\\d)(?!\\d{4}-\\d{2}-\\d{2}(?![\\d-]))\\d{2,4}([.-]\\d{2,4}){2,}", // 415-555-0199, not 2024-01-01
+        args.lift(1).getOrElse("<PHONE>")))),
     "strip_html" -> (args => df => // strip_html:field — drop tags, unescape basics
       df.withColumn(args.head,
         regexp_replace(regexp_replace(col(args.head), "<[^>]*>", " "),

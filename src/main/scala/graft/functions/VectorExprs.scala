@@ -245,8 +245,10 @@ object VectorExprs {
     * alternative (corpus × broadcast(centroids) join + window argmax)
     * amplifies the corpus k× through an exchange+sort; this touches
     * each row once and shuffles nothing. Ties and NaNs follow Spark's
-    * descending-double window order (NaN > +Inf, tie → smallest id),
-    * so results are bit-identical to the join+row_number formulation.
+    * descending-double window order (NaN > +Inf, tie → smallest id).
+    * One deliberate divergence from the old join formulation: a NULL
+    * vector assigns NULL (null-safe eval) instead of an arbitrary
+    * centroid — null vectors don't belong in an inverted list.
     */
   case class NearestCentroid(child: Expression, ids: Array[Long],
                              cents: Array[Array[Float]])

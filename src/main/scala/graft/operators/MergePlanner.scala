@@ -71,6 +71,8 @@ object MergePlanner {
             broadcastMerger: Boolean = false): DataFrame = {
     val (corr, literals) = splitQuery(spec.query)
     require(corr.nonEmpty, "merger requires at least one #field# correlated key (--mkeys)")
+    require(spec.mergeAs.isEmpty || spec.mergeRule.isEmpty,
+      "--mrules has no effect with --mma (merge_as nests the whole record); pick one")
 
     // Literal params filter the merger side with the same query DSL.
     val filtered = QueryCompiler.apply(mergerRaw, literals)
@@ -144,6 +146,14 @@ object MergePlanner {
         // J9 named merge rule for shared columns in scope; J2 merge
         // direction (which side wins) for the rest.
         val rule = spec.mergeRule.map(MergeRules.resolve)
+        rule.foreach { case (_, scope) =>
+          // a scoped column that isn't actually shared means the rule
+          // would silently never apply — fail loudly instead
+          val bad = scope -- shared.toSet
+          require(bad.isEmpty,
+            s"--mrules-scm columns not shared between source and merger: " +
+              s"${bad.mkString(", ")} (shared: ${shared.mkString(", ")})")
+        }
         val overlaid = srcCols.map { c =>
           if (shared.contains(c)) rule match {
             case Some((fn, scope)) if scope.isEmpty || scope.contains(c) =>

@@ -113,12 +113,25 @@ class MergePlannerSpec extends SparkSpec {
     // city under the default tolerant <=>); unmatched keep src.tag
     assert(out.select("tag").as[String].collect().toSeq ==
       Seq("am-nyc", "bm-paris1", "c", "dm-null"))
-    // out-of-scope rule on a different column leaves `tag` on direction
+    // scoping to `city` (shared, but a join key the rule skips? no —
+    // city IS shared and non-pk here, so the rule applies only to it
+    // and `tag` stays on the direction overlay)
     val scoped = MergePlanner.merge(src, mrg,
-      spec(_.copy(mergeRule = Some(TransformStage("concat", Seq("other"))))))
+      spec(_.copy(mergeRule = Some(TransformStage("concat", Seq("city"))))))
       .orderBy("id")
     assert(scoped.select("tag").as[String].collect().toSeq ==
       Seq("m-nyc", "m-paris1", "c", "m-null")) // default m2s overlay
+    // a scope column that isn't shared is a loud error, not a silent
+    // fallback to the overlay
+    intercept[IllegalArgumentException] {
+      MergePlanner.merge(src, mrg,
+        spec(_.copy(mergeRule = Some(TransformStage("concat", Seq("other"))))))
+    }
+    // --mma + --mrules is contradictory
+    intercept[IllegalArgumentException] {
+      MergePlanner.merge(src, mrg, spec(_.copy(
+        mergeAs = Some("m"), mergeRule = Some(TransformStage("sum", Nil)))))
+    }
     // unknown rule fails loudly
     intercept[IllegalArgumentException] {
       MergePlanner.merge(src, mrg,

@@ -111,6 +111,14 @@ class QueryCompilerSpec extends SparkSpec {
     assert(s.contains("<URL>") && !s.contains("https://"))
     assert(s.contains("<PHONE>") && !s.contains("555"))
     assert(s.linesIterator.count(_ == "line") == 1)
+    // digit tables / ISO dates / timestamps survive phone redaction
+    val keep = Transformers.apply(
+      Seq((1L, "revenue 10 20 30 40 50 on 2024-01-01 at 12:30:45 v1.2.3 " +
+        "but 415-555-0199 goes")).toDF("id", "txt"),
+      Seq(TransformStage("redact_phone", Seq("txt")))
+    ).head().getAs[String]("txt")
+    assert(keep.contains("10 20 30 40 50") && keep.contains("2024-01-01"))
+    assert(keep.contains("<PHONE>") && !keep.contains("415-555-0199"))
     val html = Transformers.apply(
       Seq((1L, "<p>Hello <b>world</b></p>")).toDF("id", "txt"),
       Seq(TransformStage("strip_html", Seq("txt"))))
@@ -125,6 +133,22 @@ class QueryCompilerSpec extends SparkSpec {
       Seq("country", "p50_amount", "approx_countd_tag"))
     assert(got.filter($"country" === "US")
       .select("p50_amount").as[Double].head() == 30.0)
+  }
+
+  test("[EXT] _agg duplicate/multi percentile requests share one buffer") {
+    val t = Seq(("a", 10.0), ("a", 20.0), ("a", 30.0), ("b", 5.0))
+      .toDF("k", "amount")
+    val out = QueryCompiler.apply(t, Seq(
+      "_group" -> "k",
+      "_agg" -> "p50:amount,p90:amount,p50:amount,count:*",
+      "_sort" -> "k"))
+    assert(out.columns.toSeq ==
+      Seq("k", "p50_amount", "p90_amount", "p50_amount", "count_all"))
+    val a = out.filter($"k" === "a").head()
+    assert(a.getDouble(1) == 20.0 && a.getDouble(3) == 20.0)
+    // exactly one percentile aggregate in the plan
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert("percentile\\(".r.findAllIn(plan).size == 1, plan)
   }
 
   test("F7 _flat=1 flattens nested structs in the query output") {

@@ -57,6 +57,11 @@ class RunnerSpec extends SparkSpec {
     // --silent → no prompt
     Main.execute(spark, job("g3"), Main.Opts(silent = true))
     assert(exists("g3"))
+    // EOF / no stdin (scripted run) → proceeds, no silent no-op
+    Console.withIn(new java.io.StringReader("")) {
+      Main.execute(spark, job("g5"), Main.Opts())
+    }
+    assert(exists("g5"))
     // empty source (filter matches nothing) → refused before the gate
     val empty = job("g4").copy(source = SourceSpec(
       DatasetRef("parquet", "/root/testdata/sf0.001", "region"),
