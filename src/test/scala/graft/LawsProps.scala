@@ -67,6 +67,43 @@ object LawsProps extends Properties("graft.laws") {
       matched.count() + unmatched.count() == src.count()
     }
 
+  property("exact dedup is idempotent and key-unique") =
+    forAll(rowsGen) { rows =>
+      val d = df(rows).withColumn("text",
+        org.apache.spark.sql.functions.concat_ws(" ", $"tag", $"tag"))
+      val once = graft.ext.TextDedup.exact(d, "text", "id")
+      val twice = graft.ext.TextDedup.exact(once, "text", "id")
+      canon(once) == canon(twice) &&
+        once.groupBy(org.apache.spark.sql.functions.lower(
+          org.apache.spark.sql.functions.trim($"text"))).count()
+          .filter($"count" > 1).count() == 0
+    }
+
+  property("merge rule sum: unmatched rows keep source values") =
+    forAll(rowsGen) { s =>
+      val src = df(s)
+      // merger with keys guaranteed disjoint → nothing matches
+      val mrg = df(s).toDF("id", "tag", "amt")
+        .withColumn("id", $"id" + 1000L)
+      val spec = MergerSpec(DatasetRef("parquet", "", "x"),
+        query = Seq("id" -> "#id#"),
+        mergeRule = Some(graft.spec.TransformStage("sum", Seq("amt"))))
+      val out = MergePlanner.merge(src, mrg, spec)
+      canon(out.select("id", "amt")) == canon(src.select("id", "amt"))
+    }
+
+  property("components: every label is ≤ its id and present in the pair set") =
+    forAll(Gen.listOfN(8, Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(0L, 5L)))) { ps =>
+      val pairs = ps.filter(p => p._1 != p._2)
+      pairs.isEmpty || {
+        val comps = graft.ext.TextDedup.components(
+          pairs.toDF("id_a", "id_b"))
+        val ok = comps.filter($"label" > $"id").count() == 0
+        val ids = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+        ok && canon(comps.select("id")).map(_.head) == ids.map(_.asInstanceOf[Any])
+      }
+    }
+
   property("count cap: min(limit, total)") =
     forAll(rowsGen, Gen.chooseNum(0, 20)) { (t, lim) =>
       val d = df(t)
