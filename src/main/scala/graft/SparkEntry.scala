@@ -318,8 +318,12 @@ object SparkEntry {
     "q_corpus_prep" -> ((s, dir) => {
       import graft.ext.{TextAnalysis, TextDedup}
       val docs = read(s, dir, "documents")
+      // persist: the scored+filtered frame feeds the shingle pipeline,
+      // AND the final keep-side anti-join — without it the single-pass
+      // text-stats expression re-evaluates per branch
       val scored = TextAnalysis.analyzeWithQuality(docs)
         .filter(col("lang_id") === "en" && col("quality") >= 0.7)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deduped = TextDedup.dedupCorpus(scored, "doc_id", "text", 3, 0.8)
       deduped
         .select("doc_id", "lang_id", "quality", "bpe_tokens", "n_chars")

@@ -116,7 +116,27 @@ object Transformers {
           "\\s+", " "))),
     "dedup_lines" -> (args => df => // dedup_lines:field — drop repeated lines, keep order
       df.withColumn(args.head, array_join(array_distinct(
-        split(col(args.head), "\\n")), "\n")))
+        split(col(args.head), "\\n")), "\n"))),
+    // hash_split:key;out;train:0.9;val:0.05;test:0.05 — deterministic
+    // train/val/test assignment by key hash: stable across runs and
+    // cluster sizes (no RNG, no shuffle), the standard corpus-split op.
+    "hash_split" -> (args => df => {
+      val (key, out) = (args.head, args(1))
+      val splits = args.drop(2).map { a =>
+        val Array(n, w) = a.split(":", 2)
+        n -> w.toDouble
+      }
+      require(splits.nonEmpty, "hash_split needs name:weight parts")
+      val totalW = splits.map(_._2).sum
+      val buckets = 1000000L
+      val h = pmod(xxhash64(col(key)), lit(buckets))
+      val cuts = splits.scanLeft(0.0)(_ + _._2).tail
+        .map(c => (c / totalW * buckets).toLong)
+      val expr0 = splits.zip(cuts).reverse.foldLeft(lit(splits.last._1)) {
+        case (acc, ((name, _), cut)) => when(h < cut, name).otherwise(acc)
+      }
+      df.withColumn(out, expr0)
+    })
   )
 
   def register(name: String, f: Factory): Unit = registry.update(name, f)

@@ -135,6 +135,23 @@ class QueryCompilerSpec extends SparkSpec {
       .select("p50_amount").as[Double].head() == 30.0)
   }
 
+  test("§2.5 hash_split: deterministic, exhaustive, roughly weighted") {
+    import graft.functions.Transformers
+    import graft.spec.TransformStage
+    val d = spark.range(2000).toDF("id")
+    val stage = TransformStage.parseChain(
+      "hash_split:id;split;train:0.9;val:0.05;test:0.05")
+    val once = Transformers.apply(d, stage)
+    val counts = once.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 2000)
+    assert(counts("train") > 1600 && counts("train") < 1990) // ~90%
+    // deterministic: same assignment on re-run
+    assert(Transformers.apply(d, stage).collect().toSeq ==
+      once.collect().toSeq)
+  }
+
   test("[EXT] _agg duplicate/multi percentile requests share one buffer") {
     val t = Seq(("a", 10.0), ("a", 20.0), ("a", 30.0), ("b", 5.0))
       .toDF("k", "amount")
