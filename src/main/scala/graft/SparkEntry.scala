@@ -243,6 +243,14 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("token").asc)
         .limit(20)),
 
+    // ── [EXT] §2.10 corpus split sizes (hash-based; rows-only) ────────
+    "q_split_sizes" -> ((s, dir) =>
+      graft.functions.Transformers.apply(read(s, dir, "documents"),
+        graft.spec.TransformStage.parseChain(
+          "hash_split:doc_id;split;train:0.9;val:0.05;test:0.05"))
+        .groupBy("split").agg(count(lit(1)).as("n"))
+        .orderBy("split")),
+
     // ── [EXT] §2.10 doc fingerprints (hash-based; rows-only) ──────────
     "q_fingerprint" -> ((s, dir) =>
       read(s, dir, "documents").select(col("doc_id"),
