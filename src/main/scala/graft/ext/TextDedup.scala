@@ -216,7 +216,36 @@ object TextDedup {
     * dedup graphs; each round is one join + one aggregate, and
     * localCheckpoint breaks the growing lineage (SURVEY §7.4.4).
     */
-  def components(pairs: DataFrame): DataFrame = {
+  def components(pairs: DataFrame, driverMaxPairs: Long = 1000000L): DataFrame = {
+    // Near-dup pair sets are tiny relative to the corpus (they're the
+    // output of banding + exact verify). Below the threshold, a
+    // driver-side union-find is exact, one collect, zero shuffle
+    // rounds — the same size-based cutover logic as a broadcast join.
+    // Above it, fall through to the distributed min-label propagation.
+    val cap = math.min(driverMaxPairs, Int.MaxValue - 1L).toInt
+    if (pairs.limit(cap + 1).count() <= cap) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .as[(Long, Long)].collect()
+      // union by min id ⇒ every root is its component's smallest id,
+      // matching the propagation fixpoint exactly
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val labels = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      return spark.createDataset(labels).toDF("id", "label")
+    }
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

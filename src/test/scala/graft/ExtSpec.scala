@@ -56,6 +56,11 @@ class ExtSpec extends SparkSpec {
       Seq((1L, 2L), (2L, 4L)).toDF("id_a", "id_b"))
     assert(comps.orderBy("id").as[(Long, Long)].collect().toSeq ==
       Seq((1L, 1L), (2L, 1L), (4L, 1L)))
+    // the distributed propagation path (forced) agrees with union-find
+    val dist = TextDedup.components(
+      Seq((1L, 2L), (2L, 4L), (7L, 6L)).toDF("id_a", "id_b"), driverMaxPairs = 0L)
+    assert(dist.orderBy("id").as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 1L), (2L, 1L), (4L, 1L), (6L, 6L), (7L, 6L)))
     val kept = TextDedup.dedupCorpus(docs, "doc_id", "text", 3, 0.5)
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L)) // 2 and 4 are near-dups of 1; 3 survives
