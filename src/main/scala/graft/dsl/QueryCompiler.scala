@@ -169,7 +169,12 @@ object QueryCompiler {
       case ("max", f)       => Some(max(col(f)).as(s"max_$f"))
       case ("stddev", f)    => Some(stddev_samp(col(f)).as(s"stddev_$f"))
       // exact interpolated percentiles (p50/p90/p95/p99); the approx_*
-      // variants are the sketch-based scale path (no exact oracle)
+      // variants are the sketch-based scale path (no exact oracle).
+      // Scale note: Spark's exact percentile accumulates a per-group
+      // counts map (memory ∝ distinct values) — prefer approx_* on
+      // 100 TB columns. A window-sort exact formulation spills safely
+      // but diverges from percentile() in the last ulp (measured), so
+      // the oracle-aligned aggregate stays the exact path here.
       case (p, f) if p.matches("p\\d{1,2}") =>
         val ps = pctlByField(f)
         if (!pctlEmitted.add(f)) None // one aggregate per field
