@@ -333,9 +333,14 @@ object SparkEntry {
         .filter(col("lang_id") === "en" && col("quality") >= 0.7)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deduped = TextDedup.dedupCorpus(scored, "doc_id", "text", 3, 0.8)
-      deduped
+      // materialize the (small) final corpus, then release the pinned
+      // scored frame — otherwise every invocation leaks a cached copy
+      val out = deduped
         .select("doc_id", "lang_id", "quality", "bpe_tokens", "n_chars")
         .orderBy("doc_id")
+        .localCheckpoint(true)
+      scored.unpersist()
+      out
     }),
 
     // ── [EXT] §2.10 multimodal plumbing: stub features (rows-only) ────

@@ -199,7 +199,8 @@ object Main {
     val job = JobSpec(
       SourceSpec(DatasetRef.parse(srcUri), q, TransformStage.parseChain(str)),
       merger = mergerSpec, target = targetSpec,
-      workers = workers, dryRun = dry, contid = contid)
+      workers = workers, dryRun = dry, contid = contid,
+      failOnError = failOnError) // job-wide too: holds for target-less jobs
     (job, Opts(drop = drop, dry = dry, count = count, stream = stream,
       jobPoll = jobPoll, jq = jq, silent = silent,
       noCount = noCount, info = info))
@@ -235,7 +236,7 @@ object Main {
       else println(s"skipped drop of ${t.ref.uri}")
     }
     if (opts.count) {
-      println(Runner.count(spark, job.source, job.target.forall(_.failOnError)))
+      println(Runner.count(spark, job.source, job.effectiveFailOnError))
       return
     }
     if (opts.dry) { // W12: plan + sample, no writes (base.py:241-246)
@@ -251,7 +252,8 @@ object Main {
       // The streaming path applies only filters and _fields; anything
       // else would be silently dropped — reject it loudly instead.
       val unsupported = job.source.query.collect {
-        case (k, _) if Set("_sort", "_limit", "_group", "_agg").contains(k) => k
+        case (k, _) if Set("_sort", "_limit", "_group", "_agg",
+          "_flat", "_count").contains(k) => k
       }
       if (unsupported.nonEmpty)
         throw CliError(s"--stream does not support ${unsupported.mkString("/")}" +
@@ -354,7 +356,7 @@ object Main {
     opts.info.foreach(i => println(s"INFO: $i"))
     val total =
       if (opts.noCount || job.source.ref.name.contains("*")) None
-      else Some(Runner.count(spark, job.source, job.target.forall(_.failOnError)))
+      else Some(Runner.count(spark, job.source, job.effectiveFailOnError))
     println(s"TOTAL: ${total.map(_.toString).getOrElse("NA")}")
     total
   }

@@ -54,7 +54,7 @@ object Planner {
   def plan(spark: SparkSession, job: JobSpec): DataFrame = {
     // W14: target.fail_on_error governs the whole job's read policy
     // (reference stores the global flag under target.*, base.py:267)
-    val foe = job.target.forall(_.failOnError)
+    val foe = job.effectiveFailOnError
     val src = sourceFrame(spark, job.source, foe)
     val compiled = QueryCompiler.compile(src, job.source.query)
     val df = job.merger.fold(src) { m =>

@@ -159,7 +159,7 @@ object Runner {
       val effJob = job.copy(source = job.source.copy(
         query = job.source.query ++ contFilter,
         postRead = job.source.postRead ++ stamp))
-      val n = count(spark, effJob.source, job.target.forall(_.failOnError))
+      val n = count(spark, effJob.source, job.effectiveFailOnError)
       if (n == 0) done = true
       else {
         if (n == last) unchanged += 1 else unchanged = 0

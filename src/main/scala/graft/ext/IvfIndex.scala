@@ -30,17 +30,19 @@ object IvfIndex {
             id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     import spark.implicits._
     // deterministic seed pick: k smallest hashes
+    // centroid ids are assigned by collect order of the deterministic
+    // hash-sorted seed pick (0..k-1)
     var centroids = corpus
       .withColumn("__h", xxhash64(col(id)))
       .orderBy("__h").limit(k)
-      .select(monotonically_increasing_id().as("centroid_id"), col(vec).as("centroid"))
+      .select(col(vec).as("centroid"))
       .collect()
       .zipWithIndex
-      .map { case (r, i) => (i.toLong, r.getSeq[Float](1)) }
+      .map { case (r, i) => (i.toLong, r.getSeq[Float](0)) }
     for (_ <- 1 to iters) {
       val cdf = spark.createDataset(centroids.toSeq).toDF("centroid_id", "centroid")
         .withColumn("centroid", col("centroid").cast("array<float>"))
-      val assigned = assign(corpus, cdf, id, vec)
+      val assigned = assign(corpus, cdf, vec)
       // per-dimension mean of each cluster's vectors → new centroids
       val newC = assigned
         .select(col("centroid_id"), posexplode(col(vec)))
@@ -66,7 +68,7 @@ object IvfIndex {
     * nlist.) Ties/NaNs match the window formulation bit-for-bit.
     */
   def assign(corpus: DataFrame, centroids: DataFrame,
-             id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+             vec: String = "embedding"): DataFrame = {
     val cents = centroids.select("centroid_id", "centroid").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1) // ascending id ⇒ strict > keeps the smallest id on ties

@@ -22,6 +22,14 @@ object Skew {
   def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
                  salt: Int = 8, joinType: String = "inner"): DataFrame = {
     require(salt > 0, "salt must be positive")
+    // replication is only transparent when every OTHER-side row must
+    // match to appear: an unmatched right row would survive a
+    // right/full outer join once per salt value
+    require(Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
+      .contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/left_semi/left_anti joins; " +
+        s"$joinType would duplicate unmatched replicated-side rows")
     val l = skewed.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
     val r = other.withColumn("__salt",

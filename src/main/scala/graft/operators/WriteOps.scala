@@ -71,6 +71,11 @@ object WriteOps {
   private def tqSplit(target: DataFrame, tq: Seq[(String, String)]): (DataFrame, DataFrame) = {
     if (tq.isEmpty) return (target, target.limit(0))
     val preds = QueryCompiler.compile(target, tq).predicates
+    // a tq of only control keys (e.g. --tq _limit=5) has no predicate
+    // semantics for a keyed write — reject instead of crashing on the
+    // empty reduce or silently touching everything
+    require(preds.nonEmpty,
+      s"--tq supports filter predicates only, got: ${tq.map(_._1).mkString(", ")}")
     val touchable = preds.foldLeft(target)(_ filter _)
     val untouchable = target.filter(coalesce(!preds.reduce(_ && _), lit(true)))
     (touchable, untouchable)
@@ -202,10 +207,15 @@ object WriteOps {
     if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
     if (maxRecordsPerFile > 0)
       w = w.option("maxRecordsPerFile", maxRecordsPerFile.toString)
-    format match {
+    try format match {
       case "csv"  => w.option("header", "true").csv(tmp.toString)
       case "json" => w.json(tmp.toString)
       case _      => w.parquet(tmp.toString)
+    } catch {
+      case e: Throwable =>
+        // don't strand a partially-written temp dir next to the target
+        try fs.delete(tmp, true) catch { case _: Throwable => () }
+        throw e
     }
     // HDFS/object-store renames report failure by returning false, not
     // throwing — every step is checked so a failed swap can never

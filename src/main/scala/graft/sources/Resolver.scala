@@ -57,9 +57,17 @@ object Resolver {
         schema.fold(r)(s => r.schema(s)).json(path(ref))
       case "http" =>
         // S4: fetch one document on the driver; single-row semantics.
+        // Bounded connect/read timeouts and a closed stream — a hung
+        // server must not block the driver forever or leak sockets.
         import spark.implicits._
-        val url = s"${ref.ns}/${ref.name}"
-        val body = scala.io.Source.fromURL(url).mkString
+        val conn = new java.net.URI(s"${ref.ns}/${ref.name}").toURL
+          .openConnection()
+        conn.setConnectTimeout(10000)
+        conn.setReadTimeout(30000)
+        val in = conn.getInputStream
+        val body =
+          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
         spark.read.json(Seq(body).toDS()).limit(1)
       case other =>
         throw new IllegalArgumentException(s"unknown backend: $other")

@@ -145,4 +145,13 @@ final case class JobSpec(
     target: Option[TargetSpec] = None,
     workers: Option[Int] = None,   // O2: parallelism hint → repartition
     dryRun: Boolean = false,
-    contid: Option[String] = None) // O4 continuation loop id
+    contid: Option[String] = None, // O4 continuation loop id
+    failOnError: Boolean = true) { // W14 — job-wide read policy; also
+                                   // mirrored on TargetSpec (reference
+                                   // stores it under target.*)
+  /** Effective W14 policy: false if EITHER the job-wide flag or the
+    * target's says so — covers target-less jobs (preview/count).
+    */
+  def effectiveFailOnError: Boolean =
+    failOnError && target.forall(_.failOnError)
+}

@@ -114,6 +114,15 @@ object StreamRunner {
       .flatMapGroupsWithState[SessionState, SessionOut](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (user, rows, state: GroupState[SessionState]) if state.hasTimedOut =>
+          // the processing-time timeout fired with no new events: the
+          // open session is final — emit it and reclaim the state
+          // (without this branch the last session per user would never
+          // emit and inactive users' state would grow forever)
+          val out = state.getOption.map(s =>
+            SessionOut(user, new java.sql.Timestamp(s.start * 1000L), s.n, s.sum))
+          state.remove()
+          out.iterator
         case (user, rows, state: GroupState[SessionState]) =>
           val evs = rows.toSeq.sortBy(_._2)
           var cur = state.getOption

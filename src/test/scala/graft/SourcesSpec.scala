@@ -98,6 +98,12 @@ class SourcesSpec extends SparkSpec {
     intercept[org.apache.spark.SparkException] {
       Runner.execute(spark, strict, log = false)
     }
+    // target-less jobs honor the flag too (count/preview path)
+    val (noTgt, _) = graft.cli.Main.parse(Array(
+      "-s", s"json/$dir/src", "--fail-on-error", "false"))
+    assert(!noTgt.effectiveFailOnError)
+    assert(Runner.count(spark, noTgt.source, noTgt.effectiveFailOnError) == 2)
+    assert(graft.engine.Planner.plan(spark, noTgt).count() == 2)
   }
 
   test("json source") {
