@@ -47,6 +47,8 @@ object Main {
       jobPoll: Option[String] = None, jq: Seq[(String, String)] = Nil,
       silent: Boolean = false,
       noCount: Boolean = false, info: Option[String] = None,
+      diff: Option[String] = None, diffContext: Seq[String] = Nil,
+      msg: Option[String] = None,
       cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
   /** Env-var default for a flag (reference: MODULE__FLAG, base.py:158-185). */
@@ -83,6 +85,8 @@ object Main {
     var jobPoll: Option[String] = None; var jq = Vector.empty[(String, String)]
     var workers: Option[Int] = None; var contid: Option[String] = None
     var noCount = false; var info: Option[String] = None
+    var diff: Option[String] = None; var diffContext = ""
+    var msg: Option[String] = None
 
     def kv(v: String): (String, String) = v.split("=", 2) match {
       case Array(k, value) => (k, value)
@@ -142,6 +146,11 @@ object Main {
       case "--count" => count = true
       case "--no-count" => noCount = true
       case "--info" => once("--info"); info = Some(next("--info"))
+      case "--msg" => once("--msg"); msg = Some(next("--msg"))
+      // §2.7 diff (reference declares --diff/--diff-context but never
+      // wired them, etl.py:55-56 — we implement the documented intent)
+      case "--diff" => once("--diff"); diff = Some(next("--diff"))
+      case "--diff-context" => once("--diff-context"); diffContext = next("--diff-context")
       case "--stream" => stream = true
       // O6 (reference --mongo-index/--skip-index, base.py:138-139;
       // MUTABLE_OPS: mongo_index — repeatable). Engine analog: lay the
@@ -203,7 +212,8 @@ object Main {
       failOnError = failOnError) // job-wide too: holds for target-less jobs
     (job, Opts(drop = drop, dry = dry, count = count, stream = stream,
       jobPoll = jobPoll, jq = jq, silent = silent,
-      noCount = noCount, info = info))
+      noCount = noCount, info = info,
+      diff = diff, diffContext = csv(diffContext), msg = msg))
   }
 
   private def session(opts: Opts): SparkSession = {
@@ -237,6 +247,14 @@ object Main {
     }
     if (opts.count) {
       println(Runner.count(spark, job.source, job.effectiveFailOnError))
+      return
+    }
+    opts.diff.foreach { other => // §2.7: symmetric difference vs another dataset
+      val a = graft.engine.Planner.sourceFrame(spark, job.source,
+        job.effectiveFailOnError)
+      val b = Resolver.read(spark, DatasetRef.parse(other),
+        failOnError = job.effectiveFailOnError)
+      Runner.diff(a, b, opts.diffContext).show(100, truncate = false)
       return
     }
     if (opts.dry) { // W12: plan + sample, no writes (base.py:241-246)
@@ -328,7 +346,8 @@ object Main {
           // O3: stage/row progress during the run (reference poll_job,
           // base.py:366-392); quiet under -y/--silent.
           val r = Runner.execute(spark, job,
-            progress = if (opts.silent) None else Some(println(_: String)))
+            progress = if (opts.silent) None else Some(println(_: String)),
+            comment = opts.msg)
           println(s"done: ${r.written} rows written")
         }
     }
@@ -383,6 +402,9 @@ object Main {
       |               keys: parquet min/max stats prune like an index)
       |               --skip-index (drop requested index layouts)
       |jobs           --job-poll NS  --jq key=value (default uid=last)
+      |               --msg COMMENT (recorded in the job log)
+      |diff           --diff OTHER_DS  --diff-context c1,c2 (symmetric
+      |               difference between the filtered source and OTHER_DS)
       |transformers   --str CHAIN   (chain: name:arg1;arg2,name2,...)
       |run            --workers N  --contid ID  --dry  --drop  --count
       |               --no-count (skip the pre-run source total)

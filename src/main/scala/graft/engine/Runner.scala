@@ -56,12 +56,14 @@ object Runner {
     * to the `<ns>/_logs` job-log dataset (W13) unless disabled.
     */
   def execute(spark: SparkSession, job: JobSpec, log: Boolean = true,
-              progress: Option[String => Unit] = None): RunResult =
-    progress.fold(executeInner(spark, job, log)) { report =>
-      Progress.withProgress(spark, report)(executeInner(spark, job, log))
+              progress: Option[String => Unit] = None,
+              comment: Option[String] = None): RunResult =
+    progress.fold(executeInner(spark, job, log, comment)) { report =>
+      Progress.withProgress(spark, report)(executeInner(spark, job, log, comment))
     }
 
-  private def executeInner(spark: SparkSession, job: JobSpec, log: Boolean): RunResult = {
+  private def executeInner(spark: SparkSession, job: JobSpec, log: Boolean,
+                           comment: Option[String] = None): RunResult = {
     val planned = Planner.plan(spark, job)
     job.target match {
       case None => RunResult(job, planned.count(), 0, 1)
@@ -89,7 +91,7 @@ object Runner {
         // files are still in place while they are being read.
         WriteOps.atomicOverwrite(spark, newState, Resolver.path(t.ref),
           t.partitionBy, t.maxRecordsPerFile, t.ref.backend, t.indexBy)
-        if (log) jobLog(spark, job, written)
+        if (log) jobLog(spark, job, written, comment)
         RunResult(job, written, written, 1)
     }
   }
@@ -97,13 +99,15 @@ object Runner {
   /** W13: append a job-metrics record to `<target ns>/_logs.parquet`
     * (reference: log dataset `logs.<target-slug>`, etl_cli/base.py:260-265).
     */
-  private def jobLog(spark: SparkSession, job: JobSpec, written: Long): Unit = {
+  private def jobLog(spark: SparkSession, job: JobSpec, written: Long,
+                     comment: Option[String] = None): Unit = {
     import spark.implicits._
     val t = job.target.get
     val row = Seq((java.util.UUID.randomUUID().toString,
       job.source.ref.uri, t.ref.uri, t.op.name, written,
+      comment.getOrElse(""), // --msg (reference `comment`, base.py:273)
       new java.sql.Timestamp(System.currentTimeMillis())))
-      .toDF("uid", "source", "target", "op", "written", "ts")
+      .toDF("uid", "source", "target", "op", "written", "msg", "ts")
     val logPath = (if (t.ref.ns.isEmpty) "" else t.ref.ns + "/") + "_logs.parquet"
     row.write.mode("append").parquet(logPath)
   }
@@ -209,6 +213,14 @@ object Runner {
     * implement the documented intent).
     */
   def diff(a: DataFrame, b: DataFrame, context: Seq[String] = Nil): DataFrame = {
+    val missing = context.filterNot(c =>
+      a.columns.contains(c) && b.columns.contains(c))
+    require(missing.isEmpty,
+      s"--diff-context columns missing from one side: ${missing.mkString(", ")}")
+    if (context.isEmpty)
+      require(a.columns.toSeq == b.columns.toSeq,
+        s"--diff needs matching schemas (or --diff-context): " +
+          s"[${a.columns.mkString(",")}] vs [${b.columns.mkString(",")}]")
     val cols: DataFrame => DataFrame = df =>
       if (context.nonEmpty) df.select(context.map(col).toIndexedSeq: _*) else df
     cols(a).exceptAll(cols(b)).withColumn("_side", lit("a"))

@@ -93,6 +93,14 @@ class CliSpec extends AnyFunSuite {
     assert(opts.noCount && opts.info.contains("backfill"))
   }
 
+  test("--diff/--diff-context/--msg parse into opts") {
+    val (_, opts) = parse("-s", "parquet/a/b", "--diff", "parquet/a/c",
+      "--diff-context", "id,name", "--msg", "nightly refresh")
+    assert(opts.diff.contains("parquet/a/c"))
+    assert(opts.diffContext == Seq("id", "name"))
+    assert(opts.msg.contains("nightly refresh"))
+  }
+
   test("errors: unknown flag, missing source, bad op, merger sans keys") {
     intercept[Main.CliError](parse("-s", "parquet/a/b", "--bogus"))
     intercept[Main.CliError](parse("-q", "a=b"))
