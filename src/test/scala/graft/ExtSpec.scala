@@ -173,6 +173,49 @@ class ExtSpec extends SparkSpec {
     assert(out(3) == Seq(0, 0, "en")) // empty text defaults
   }
 
+  test("single-pass text stats ≡ HOF column formulas on edge-case text") {
+    import graft.ext.TextAnalysis._
+    val cases = Seq(
+      "",                                   // empty
+      "   ",                                // whitespace only
+      "plain ascii words here",
+      "CaSe MiXeD and_underscored 123 mix3d",
+      "punct!!! ... ??? ,,,",
+      "tabs\tand\nnewlines\r\nmixed",
+      "汉字中文字符测试汉字中文字符测试",  // CJK (zh path)
+      "mixed 汉字 with english the and of", // mixed CJK/latin
+      "éàüñ çœß accented wörds",           // non-ASCII letters
+      "ℤ∀x∃y emoji 🎉🎊 symbols",          // surrogates + symbols
+      "İstanbul DİACRITIC dotted-I",       // lowercasing edge (tr dotted I)
+      "a", "ab", "the the the the")
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val viaExpr = analyze(df).orderBy("doc_id")
+      .select("doc_id", "ws_tokens", "bpe_tokens", "punct_ratio",
+        "avg_word_len", "stopword_ratio", "lang_id")
+      .collect().map(_.toSeq).toSeq
+    val t = col("text")
+    val viaHof = df
+      .withColumn("ws_tokens", wsTokenCount(t))
+      .withColumn("bpe_tokens", tokenCount(t))
+      .withColumn("punct_ratio", round(punctRatio(t), 4))
+      .withColumn("avg_word_len", round(avgWordLen(t), 4))
+      .withColumn("stopword_ratio", round(listRatio(t, EnStopwords), 4))
+      .withColumn("lang_id", langId(t))
+      .orderBy("doc_id")
+      .select("doc_id", "ws_tokens", "bpe_tokens", "punct_ratio",
+        "avg_word_len", "stopword_ratio", "lang_id")
+      .collect().map(_.toSeq).toSeq
+    viaExpr.zip(viaHof).zipWithIndex.foreach { case ((e, h), i) =>
+      assert(e == h, s"case ${cases(i)}: expr=$e hof=$h")
+    }
+    // fingerprints too
+    val fpExpr = df.select(contentFingerprint(t)).as[Long].collect().toSeq
+    val fpHof = df.select(
+      xxhash64(array_join(graft.ext.TextDedup.tokens(t), " "))).as[Long].collect().toSeq
+    assert(fpExpr == fpHof)
+  }
+
   test("vocabulary: token counts and doc frequency") {
     val t = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
     val v = TextAnalysis.vocabulary(t).orderBy($"cnt".desc, $"token")
