@@ -336,7 +336,7 @@ object Main {
         if (!proceed) { println("Skipped"); return }
         val isWildcard = job.source.ref.name.contains("*")
         if (isWildcard) {
-          val results = Runner.runWildcard(spark, job)
+          val results = Runner.runWildcard(spark, job, comment = opts.msg)
           results.foreach(r => println(
             s"${r.job.source.ref.uri} -> ${r.job.target.get.ref.uri}: ${r.written} rows"))
         } else if (job.contid.nonEmpty || job.target.exists(_.ref == job.source.ref)) {

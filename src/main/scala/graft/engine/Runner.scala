@@ -116,14 +116,16 @@ object Runner {
     * targets (`*` segments copy from the source,
     * `build_target_from_source`, etl_cli/etl.py:300-312), run each.
     */
-  def runWildcard(spark: SparkSession, job: JobSpec): Seq[RunResult] =
+  def runWildcard(spark: SparkSession, job: JobSpec,
+                  comment: Option[String] = None): Seq[RunResult] =
     Resolver.expandWildcard(spark, job.source.ref).map { srcRef =>
       val tgt = job.target.map { t =>
         t.copy(ref = t.ref.copy(
           ns = if (t.ref.ns == "*") srcRef.ns else t.ref.ns,
           name = if (t.ref.name == "*") srcRef.name.stripSuffix(".csv") else t.ref.name))
       }
-      execute(spark, job.copy(source = job.source.copy(ref = srcRef), target = tgt))
+      execute(spark, job.copy(source = job.source.copy(ref = srcRef), target = tgt),
+        comment = comment)
     }
 
   /** O4 continuation / J11 self-update fixpoint loop: re-run the job
