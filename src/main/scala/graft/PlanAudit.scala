@@ -13,12 +13,18 @@ object PlanAudit {
       "q_dedup_corpus", "q_ann_topk", "q_ann_ivf", "q_embed_lsh",
       "q_corpus_prep", "q_vocab_topk", "q_asof")) {
       val df = SparkEntry.queries(name)(spark, dir)
-      val plan = df.queryExecution.executedPlan.toString
+      // execute first: under AQE the pre-execution plan prints
+      // isFinalPlan=false with no WholeStageCodegen spans — only the
+      // final plan shows what actually ran
+      val qe = df.queryExecution
+      qe.executedPlan.executeCollect()
+      val plan = qe.executedPlan.toString
       def has(s: String) = plan.contains(s)
       println(s"AUDIT $name: pushed=${plan.contains("PushedFilters: [")} " +
         s"bcast=${has("BroadcastHashJoin")} smj=${has("SortMergeJoin")} " +
         s"cartesian=${has("CartesianProduct")} bnlj=${has("BroadcastNestedLoopJoin")} " +
-        s"wsc=${has("WholeStageCodegen")} topn=${has("TakeOrderedAndProject")}")
+        // codegen'd nodes print as `*(stageId)` prefixes in the simple plan
+        s"wsc=${has("*(")} topn=${has("TakeOrderedAndProject")}")
       val rs = plan.linesIterator.filter(_.contains("ReadSchema")).take(2).toList
       rs.foreach(l => println("AUDIT   " + l.trim.take(150)))
       val pf = plan.linesIterator.filter(_.contains("PushedFilters")).take(2).toList
