@@ -1,0 +1,281 @@
+package graft
+
+import graft.ext.{IvfIndex, Multimodal, Similarity, TextAnalysis, TextDedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Differential oracles for the operators whose outputs DuckDB cannot
+  * reproduce (xxhash64- or sketch-based). Each check is a HARD
+  * pass/fail law computed against an independently-derived reference:
+  *
+  *   - approximate results (LSH pairs / LSH top-k / IVF top-k) are
+  *     checked for zero false positives (the exact-verify step makes
+  *     any returned pair provably correct) AND recall ≥ a stated bound
+  *     against the brute-force twin that IS oracle-checked in DuckDB;
+  *   - simhash blocking is checked for EXACT set equality with an
+  *     all-pairs hamming scan (pigeonhole blocking is lossless ≤ maxDist
+  *     — any difference is a bug, not approximation);
+  *   - xxhash64 fingerprints are checked for bijection with the
+  *     md5 digests that ARE oracle-checked, plus equality with an
+  *     independent built-in-HOF formulation of the same definition;
+  *   - the xxhash64 hash-split is checked against binomial bounds;
+  *   - media features are checked for determinism, an independent
+  *     driver-side re-computation, and a real-PNG decode law;
+  *   - approx percentiles are checked against the Greenwald-Khanna
+  *     rank-error guarantee vs exact group ranks.
+  *
+  * `Verify` runs these at sf0.01 and writes `diffcheck.json` next to
+  * the parquet dumps; `VerifyChecksSpec` enforces them in `sbt test`.
+  */
+object DiffChecks {
+
+  final case class Check(pass: Boolean, detail: String)
+
+  /** One check per rows-only query (keys match SparkEntry.queries). */
+  def all: Map[String, (SparkSession, String) => Check] = Map(
+    "q_embed_lsh" -> (lshPairsRecall(_, _)),
+    "q_ann_lsh_topk" -> (lshTopKRecall(_, _)),
+    "q_ann_ivf" -> (ivfRecall(_, _)),
+    "q_dedup_simhash" -> (simhashExact(_, _)),
+    "q_fingerprint" -> (fingerprintLaws(_, _)),
+    "q_split_sizes" -> (splitBinomial(_, _)),
+    "q_media_features" -> (mediaFeatureLaws(_, _)),
+    "q_group_pctl_approx" -> (approxPctlRankBound(_, _)))
+
+  private def read(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Resolver.readParquet(s, s"$dir/$name.parquet")
+
+  /** q_embed_lsh vs the oracle-checked brute cosinePairs: every LSH
+    * pair must be a true pair (exact verify ⇒ 0 false positives) and
+    * recall must clear the stated bound. 64 planes / 16×4-bit bands:
+    * a boundary pair (cos = 0.35 ⇒ bit-agreement .614) collides in ≥1
+    * band w.p. ~0.91, higher-similarity pairs more.
+    */
+  def lshPairsRecall(s: SparkSession, dir: String,
+                     minRecall: Double = 0.85): Check = {
+    val e = read(s, dir, "embeddings")
+    val brute = Similarity.cosinePairs(e, 0.35).select("id_a", "id_b")
+      .localCheckpoint(true)
+    val lsh = Similarity.lshPairs(e, 0.35, maxHamming = 15, planes = 64)
+      .select("id_a", "id_b").localCheckpoint(true)
+    val nBrute = brute.count(); val nLsh = lsh.count()
+    val falsePos = lsh.join(brute, Seq("id_a", "id_b"), "left_anti").count()
+    val hit = nLsh - falsePos
+    val recall = if (nBrute == 0) 1.0 else hit.toDouble / nBrute
+    Check(falsePos == 0 && recall >= minRecall,
+      f"recall=$recall%.4f ($hit/$nBrute, bound $minRecall%.2f), " +
+        s"false_positives=$falsePos (exact-verify => must be 0)")
+  }
+
+  /** q_ann_lsh_topk vs the oracle-checked exact bruteTopK: recall@k. */
+  def lshTopKRecall(s: SparkSession, dir: String,
+                    minRecall: Double = 0.8): Check = {
+    val e = read(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val exact = Similarity.bruteTopK(q, e, 5).select("q_id", "vec_id")
+      .localCheckpoint(true)
+    val approx = Similarity.lshTopK(q, e, 5, maxHamming = 15, planes = 64)
+      .select("q_id", "vec_id").localCheckpoint(true)
+    val nExact = exact.count()
+    val hit = approx.join(exact, Seq("q_id", "vec_id")).count()
+    val recall = if (nExact == 0) 1.0 else hit.toDouble / nExact
+    Check(recall >= minRecall,
+      f"recall@5=$recall%.4f ($hit/$nExact, bound $minRecall%.2f)")
+  }
+
+  /** q_ann_ivf, two laws: (1) EXACTNESS — probing every list
+    * (nprobe = nlist) must reproduce the brute top-k exactly: the
+    * index machinery (assign + probe + rank) may lose nothing, any
+    * difference is a bug, not approximation; (2) recall@5 at the
+    * contract's nprobe=8/16 must clear the bound. (These synthetic
+    * embeddings cluster weakly, so IVF recall tracks the probed
+    * fraction — measured 0.72–0.88 at half the lists; on corpus data
+    * with real cluster structure the same index recalls far more per
+    * probe. The check bounds what the data supports.)
+    */
+  def ivfRecall(s: SparkSession, dir: String,
+                minRecall: Double = 0.6): Check = {
+    val e = read(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val exact = Similarity.bruteTopK(q, e, 5).select("q_id", "vec_id")
+      .localCheckpoint(true)
+    val centroids = IvfIndex.train(s, e, k = 16, iters = 2)
+    val index = IvfIndex.assign(e, centroids)
+    def run(np: Int) = IvfIndex.search(q, index, centroids, k = 5, nprobe = np)
+      .select("q_id", "vec_id").localCheckpoint(true)
+    val nExact = exact.count()
+    val full = run(16)
+    val fullMiss = exact.join(full, Seq("q_id", "vec_id"), "left_anti").count() +
+      full.join(exact, Seq("q_id", "vec_id"), "left_anti").count()
+    val approx = run(8)
+    val hit = approx.join(exact, Seq("q_id", "vec_id")).count()
+    val recall = if (nExact == 0) 1.0 else hit.toDouble / nExact
+    Check(fullMiss == 0 && recall >= minRecall,
+      f"nprobe=nlist diff=$fullMiss (must be 0); " +
+        f"recall@5=$recall%.4f ($hit/$nExact, bound $minRecall%.2f, nprobe 8/16)")
+  }
+
+  /** q_dedup_simhash: pigeonhole blocking is LOSSLESS for hamming ≤
+    * maxDist (a 64-bit fp split into maxDist+1 chunks — any pair within
+    * maxDist agrees on ≥1 chunk), so the blocked join must equal the
+    * all-pairs hamming scan EXACTLY.
+    */
+  def simhashExact(s: SparkSession, dir: String): Check = {
+    val docs = read(s, dir, "documents")
+    val blocked = TextDedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .select("id_a", "id_b").localCheckpoint(true)
+    val fp = TextDedup.simhashFrame(docs, "doc_id", "text")
+    val a = fp.select(col("id").as("id_a"), col("fp").as("fa"))
+    val b = fp.select(col("id").as("id_b"), col("fp").as("fb"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .filter(bit_count(col("fa").bitwiseXOR(col("fb"))) <= 3)
+      .select("id_a", "id_b").localCheckpoint(true)
+    val missed = brute.join(blocked, Seq("id_a", "id_b"), "left_anti").count()
+    val extra = blocked.join(brute, Seq("id_a", "id_b"), "left_anti").count()
+    Check(missed == 0 && extra == 0,
+      s"blocked=${blocked.count()} brute=${brute.count()} " +
+        s"missed=$missed extra=$extra (pigeonhole is lossless => both must be 0)")
+  }
+
+  /** xxhash64 fingerprint laws (the md5 digest twins are DuckDB-checked
+    * in the main oracle): (1) content_fp(xx) and contentDigest(md5) are
+    * both functions of the same normalized string — their equality
+    * partitions must coincide (bijection, no collisions at this scale);
+    * (2) minShingleFingerprint equals an INDEPENDENT built-in-HOF
+    * formulation (array_min over per-shingle xxhash64) — custom
+    * expression vs built-ins computing the same definition.
+    */
+  def fingerprintLaws(s: SparkSession, dir: String): Check = {
+    val d = read(s, dir, "documents").select(
+      TextAnalysis.contentFingerprint(col("text")).as("xx"),
+      TextAnalysis.contentDigest(col("text")).as("m5"),
+      TextAnalysis.minShingleFingerprint(col("text")).as("xs"),
+      array_min(transform(TextDedup.shingles(col("text"), 3),
+        sh => xxhash64(sh))).as("xs_alt")).localCheckpoint(true)
+    val nXx = d.select("xx").distinct().count()
+    val nM5 = d.select("m5").distinct().count()
+    val nBoth = d.select("xx", "m5").distinct().count()
+    val minMismatch = d.filter(!(col("xs") <=> col("xs_alt"))).count()
+    Check(nXx == nM5 && nM5 == nBoth && minMismatch == 0,
+      s"content partitions: xx=$nXx md5=$nM5 joint=$nBoth (must be equal); " +
+        s"minshingle custom-vs-HOF mismatches=$minMismatch (must be 0)")
+  }
+
+  /** xxhash64 hash_split (the md5 method is DuckDB-checked): the three
+    * split sizes must sit within 4σ binomial bounds of 0.9/0.05/0.05,
+    * and partition the corpus exactly.
+    */
+  def splitBinomial(s: SparkSession, dir: String): Check = {
+    val docs = read(s, dir, "documents")
+    val n = docs.count()
+    val split = graft.functions.Transformers.apply(docs,
+      graft.spec.TransformStage.parseChain(
+        "hash_split:doc_id;split;train:0.9;val:0.05;test:0.05"))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val offenders = want.flatMap { case (name, p) =>
+      val got = split.getOrElse(name, 0L)
+      val bound = 4 * math.sqrt(n * p * (1 - p)) + 1
+      if (math.abs(got - p * n) > bound)
+        Some(f"$name=$got (expect ${p * n}%.0f ± $bound%.0f)")
+      else None
+    }
+    val total = split.values.sum
+    Check(offenders.isEmpty && total == n,
+      s"sizes=$split n=$n partition_total=$total " +
+        (if (offenders.isEmpty) "(all within 4-sigma)"
+         else s"out-of-bounds: ${offenders.mkString(", ")}"))
+  }
+
+  /** Media feature laws: (1) the mapPartitions pipeline is
+    * deterministic (two runs agree exactly); (2) stub features match an
+    * independent driver-side re-computation on a sample; (3) a REAL
+    * PNG decodes to its true dimensions and mime via the JDK codec.
+    */
+  def mediaFeatureLaws(s: SparkSession, dir: String): Check = {
+    val media = Multimodal.asMedia(read(s, dir, "documents"),
+      "doc_id", "text", kind = "image").localCheckpoint(true)
+    def run() = Multimodal.extractFeatures(s, media)
+      .select("media_id", "features")
+    val r1 = run().localCheckpoint(true)
+    val nondet = r1.withColumnRenamed("features", "f1")
+      .join(run().withColumnRenamed("features", "f2"), "media_id")
+      .filter(!(col("f1") <=> col("f2"))).count()
+    // independent re-computation (functional fold, not the while-loop)
+    val sample = media.select("media_id", "bytes").limit(50).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bytes")).toMap
+    val got = r1.filter(col("media_id").isin(sample.keys.toSeq: _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val reMismatch = sample.count { case (id, bytes) =>
+      val buckets = bytes.zipWithIndex
+        .groupBy(_._2 % Multimodal.FeatureDim)
+        .map { case (k, vs) => k -> vs.map(v => (v._1 & 0xff).toLong).sum }
+      val expect = (0 until Multimodal.FeatureDim)
+        .map(i => (buckets.getOrElse(i, 0L) % 1000) / 1000f)
+      got.get(id).forall(_ != expect)
+    }
+    // real-PNG law: a generated 13×7 image round-trips with true meta
+    val img = new java.awt.image.BufferedImage(13, 7,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 7).foreach(y => (0 until 13).foreach(x =>
+      img.setRGB(x, y, (x * 20 << 16) | (y * 30 << 8) | 128)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val pngOk = Multimodal.decodeImage(bos.toByteArray) match {
+      case Some((mime, w, h, feats)) =>
+        mime == "image/png" && w == 13 && h == 7 &&
+          feats.length == Multimodal.FeatureDim
+      case None => false
+    }
+    Check(nondet == 0 && reMismatch == 0 && pngOk,
+      s"nondeterministic_rows=$nondet recompute_mismatches=$reMismatch " +
+        s"(of ${sample.size}) real_png_decode=$pngOk")
+  }
+
+  /** approx_pNN vs exact ranks: approx_percentile(q, acc) must return
+    * an element whose rank is within n/acc of q·n per group
+    * (Greenwald-Khanna guarantee). Tie-safe: the value's [count(<v),
+    * count(≤v)] rank interval must overlap [q·n − n/acc − 1, q·n +
+    * n/acc + 1].
+    */
+  def approxPctlRankBound(s: SparkSession, dir: String): Check = {
+    val li = read(s, dir, "lineitem")
+    val approx = SparkEntry.queries("q_group_pctl_approx")(s, dir)
+      .select("l_returnflag", "approx_p50_l_extendedprice",
+        "approx_p95_l_extendedprice")
+    val eps = 1.0 / graft.dsl.QueryCompiler.PctlAccuracy
+    val joined = li.select("l_returnflag", "l_extendedprice")
+      .join(broadcast(approx), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") < col("approx_p50_l_extendedprice"), 1)
+          .otherwise(0)).as("lt50"),
+        sum(when(col("l_extendedprice") <= col("approx_p50_l_extendedprice"), 1)
+          .otherwise(0)).as("le50"),
+        sum(when(col("l_extendedprice") < col("approx_p95_l_extendedprice"), 1)
+          .otherwise(0)).as("lt95"),
+        sum(when(col("l_extendedprice") <= col("approx_p95_l_extendedprice"), 1)
+          .otherwise(0)).as("le95"))
+      .collect()
+    val offenders = joined.flatMap { r =>
+      val n = r.getAs[Long]("n").toDouble
+      def bad(q: Double, lt: Long, le: Long): Boolean = {
+        val lo = q * n - eps * n - 1; val hi = q * n + eps * n + 1
+        lt > hi || le < lo // rank interval [lt, le] misses [lo, hi]
+      }
+      val g = r.getString(0)
+      Seq(
+        if (bad(0.50, r.getAs[Long]("lt50"), r.getAs[Long]("le50")))
+          Some(s"$g:p50") else None,
+        if (bad(0.95, r.getAs[Long]("lt95"), r.getAs[Long]("le95")))
+          Some(s"$g:p95") else None).flatten
+    }
+    Check(offenders.isEmpty,
+      if (offenders.isEmpty)
+        s"all ${joined.length} groups within rank error n*$eps"
+      else s"rank bound violated: ${offenders.mkString(", ")}")
+  }
+}

@@ -178,6 +178,14 @@ object SparkEntry {
       .withColumn("p50_l_extendedprice", round(col("p50_l_extendedprice"), 4))
       .withColumn("p95_l_extendedprice", round(col("p95_l_extendedprice"), 4))),
 
+    // ── [EXT] §2.6 approx percentiles — the documented scale default
+    // (GK sketch, bounded memory; rank-error law checked in diffcheck) ─
+    "q_group_pctl_approx" -> ((s, dir) => Planner.plan(s, JobSpec(
+      src(dir, "lineitem",
+        "_group" -> "l_returnflag",
+        "_agg" -> "approx_p50:l_extendedprice,approx_p95:l_extendedprice,count:*",
+        "_sort" -> "l_returnflag")))),
+
     // ── [EXT] §2.6 TPC-H Q1-style pricing summary ─────────────────────
     "q1_agg" -> ((s, dir) =>
       read(s, dir, "lineitem")
@@ -243,19 +251,20 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("token").asc)
         .limit(20)),
 
-    // ── [EXT] §2.10 corpus split sizes (hash-based; rows-only) ────────
+    // ── [EXT] §2.10 corpus split sizes (md5 method → exact oracle) ────
     "q_split_sizes" -> ((s, dir) =>
       graft.functions.Transformers.apply(read(s, dir, "documents"),
         graft.spec.TransformStage.parseChain(
-          "hash_split:doc_id;split;train:0.9;val:0.05;test:0.05"))
+          "hash_split:doc_id;split;md5;train:0.9;val:0.05;test:0.05"))
         .groupBy("split").agg(count(lit(1)).as("n"))
         .orderBy("split")),
 
-    // ── [EXT] §2.10 doc fingerprints (hash-based; rows-only) ──────────
+    // ── [EXT] §2.10 doc fingerprints (md5 digests → exact oracle; the
+    // xxhash64 twins are law-checked in Verify's diffcheck) ───────────
     "q_fingerprint" -> ((s, dir) =>
       read(s, dir, "documents").select(col("doc_id"),
-        graft.ext.TextAnalysis.contentFingerprint(col("text")).as("content_fp"),
-        graft.ext.TextAnalysis.minShingleFingerprint(col("text")).as("minshingle_fp"))
+        graft.ext.TextAnalysis.contentDigest(col("text")).as("content_fp"),
+        graft.ext.TextAnalysis.minShingleDigest(col("text")).as("minshingle_fp"))
         .orderBy("doc_id")),
 
     // ── [EXT] §2.10 brute-force cosine top-k (ANN baseline) ───────────
@@ -271,17 +280,24 @@ object SparkEntry {
       graft.ext.Similarity.cosinePairs(read(s, dir, "embeddings"), 0.35)
         .orderBy("id_a", "id_b")),
 
-    // ── [EXT] §2.10 hyperplane-LSH neighbor pairs (rows-only) ─────────
+    // ── [EXT] §2.10 hyperplane-LSH neighbor pairs (recall vs the
+    // oracle-checked brute pairs is asserted in Verify's diffcheck).
+    // 64 planes / 16 bands of 4 bits: at this moderate threshold (0.35
+    // ⇒ ~69° angle) the 16-plane near-dup sketch recalls <0.5; the
+    // wider band-OR sketch holds recall ≥0.9 at the boundary. ─────────
     "q_embed_lsh" -> ((s, dir) =>
-      graft.ext.Similarity.lshPairs(read(s, dir, "embeddings"), 0.35)
+      graft.ext.Similarity.lshPairs(read(s, dir, "embeddings"), 0.35,
+        maxHamming = 15, planes = 64)
         .orderBy("id_a", "id_b")),
 
-    // ── [EXT] §2.10 LSH-bucketed approximate top-k (rows-only) ────────
+    // ── [EXT] §2.10 LSH-bucketed approximate top-k (recall@k vs the
+    // exact brute top-k is asserted in Verify's diffcheck) ────────────
     "q_ann_lsh_topk" -> ((s, dir) => {
       val e = read(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      graft.ext.Similarity.lshTopK(q, e, 5).orderBy("q_id", "rank")
+      graft.ext.Similarity.lshTopK(q, e, 5, maxHamming = 15, planes = 64)
+        .orderBy("q_id", "rank")
     }),
 
     // ── [EXT] §2.9 event-time tumbling window agg ─────────────────────
@@ -299,14 +315,16 @@ object SparkEntry {
       graft.ext.EventWindows.sessions(read(s, dir, "events"), "30 minutes")
         .orderBy("user_id", "session_start")),
 
-    // ── [EXT] §2.10 IVF approximate top-k (rows-only) ─────────────────
+    // ── [EXT] §2.10 IVF approximate top-k (diffcheck: exactness at
+    // nprobe=nlist + recall@5 bound; nprobe=8 because these synthetic
+    // embeddings cluster weakly — recall tracks the probed fraction) ──
     "q_ann_ivf" -> ((s, dir) => {
       val e = read(s, dir, "embeddings")
       val centroids = graft.ext.IvfIndex.train(s, e, k = 16, iters = 2)
       val index = graft.ext.IvfIndex.assign(e, centroids)
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      graft.ext.IvfIndex.search(q, index, centroids, k = 5, nprobe = 4)
+      graft.ext.IvfIndex.search(q, index, centroids, k = 5, nprobe = 8)
         .orderBy("q_id", "rank")
     }),
 
@@ -343,13 +361,17 @@ object SparkEntry {
       out
     }),
 
-    // ── [EXT] §2.10 multimodal plumbing: stub features (rows-only) ────
+    // ── [EXT] §2.10 multimodal plumbing: decode + meta (meta is
+    // oracle-checkable; the feature vectors are law-checked in Verify's
+    // diffcheck — text payloads aren't decodable images, so the
+    // deterministic fallback meta passes through unchanged) ───────────
     "q_media_features" -> ((s, dir) => {
       val media = graft.ext.Multimodal.asMedia(
         read(s, dir, "documents"), "doc_id", "text", kind = "image")
       graft.ext.Multimodal.extractFeatures(s, media)
-        .select(col("media_id"), col("meta.width").as("width"),
-          element_at(col("features"), 1).as("f0"))
+        .select(col("media_id"), col("meta.mime").as("mime"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.duration_ms").as("duration_ms"))
         .orderBy("media_id")
     })
   )
@@ -506,6 +528,43 @@ object SparkEntry {
          WHERE minl.id IS NULL OR minl.label = d.doc_id
          ORDER BY d.doc_id""",
     "q_text_stats" -> TextStatsOracle,
+    // md5 split: bucket = first 8 hex digits of md5(key) — hex string
+    // order == numeric order, so thresholds are the 8-digit hex of
+    // floor(cum_weight * 16^8): 0.9 → e6666666, 0.95 → f3333333.
+    "q_split_sizes" ->
+      """SELECT split, count(*) AS n FROM (
+           SELECT CASE
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train'
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val'
+             ELSE 'test' END AS split
+           FROM documents)
+         GROUP BY split ORDER BY split""",
+    "q_fingerprint" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, toks,
+                  CASE WHEN len(toks) >= 3
+                    THEN list_distinct([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                                        FOR i IN range(len(toks) - 2)])
+                    ELSE [] END AS shs
+           FROM t)
+         SELECT doc_id,
+                md5(array_to_string(toks, ' ')) AS content_fp,
+                CASE WHEN len(shs) > 0
+                     THEN list_aggregate(list_transform(shs, x -> md5(x)), 'min')
+                     ELSE NULL END AS minshingle_fp
+         FROM sh ORDER BY doc_id""",
+    "q_media_features" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+                'application/x-fake-image' AS mime,
+                CAST(length(text) % 1920 AS INTEGER) AS width,
+                CAST(length(text) % 1080 AS INTEGER) AS height,
+                CAST(length(text) * 10 AS BIGINT) AS duration_ms
+         FROM documents ORDER BY media_id""",
     "q_vocab_topk" ->
       """WITH t AS (
            SELECT doc_id, unnest(list_filter(
@@ -639,6 +698,16 @@ object SparkEntry {
                 round(sum(value), 4) AS sum_value
          FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
   )
+
+  /** Differential oracles for the queries whose outputs DuckDB cannot
+    * reproduce (sketch/xxhash64-based): hard pass/fail laws — recall
+    * vs the oracle-checked brute twins, lossless-blocking equality,
+    * fingerprint bijection, binomial split bounds, GK rank bounds.
+    * Run by [[Verify]] (→ `diffcheck.json` next to the parquet dumps)
+    * and enforced in `sbt test` (`VerifyChecksSpec`).
+    */
+  def diffChecks: Map[String, (SparkSession, String) => DiffChecks.Check] =
+    DiffChecks.all
 
   /** Exact 3-gram Jaccard near-dup pairs ≥ 0.8 — shared by the exact
     * and the MinHash+LSH (exact-verified) queries.

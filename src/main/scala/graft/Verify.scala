@@ -37,6 +37,23 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Differential oracles for the non-DuckDB-expressible queries:
+    // hard pass/fail per query, written next to the parquet dumps.
+    val checks = SparkEntry.diffChecks.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val c = try fn(spark, sfDir) catch { case e: Throwable =>
+        DiffChecks.Check(pass = false, s"threw: ${e.getMessage}")
+      }
+      val tag = if (c.pass) "PASS" else "FAIL"
+      System.err.println(s"[verify] diffcheck $tag $name: ${c.detail}")
+      name -> c
+    }
+    Files.writeString(Paths.get(s"$outDir/diffcheck.json"),
+      checks.map { case (n, c) =>
+        s"${q(n)}: {${q("pass")}: ${c.pass}, ${q("detail")}: ${q(c.detail)}}"
+      }.mkString("{", ",", "}"))
     spark.stop()
+    // (No non-zero exit: the parquet dumps + oracle compare must still
+    // be consumable; diffcheck.json carries the binary verdicts and
+    // VerifyChecksSpec enforces them in sbt test.)
   }
 }

@@ -49,6 +49,7 @@ object Main {
       noCount: Boolean = false, info: Option[String] = None,
       diff: Option[String] = None, diffContext: Seq[String] = Nil,
       msg: Option[String] = None,
+      lsflat: Option[String] = None, dropNs: Option[String] = None,
       cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
   /** Env-var default for a flag (reference: MODULE__FLAG, base.py:158-185). */
@@ -87,6 +88,7 @@ object Main {
     var noCount = false; var info: Option[String] = None
     var diff: Option[String] = None; var diffContext = ""
     var msg: Option[String] = None
+    var lsflat: Option[String] = None; var dropNs: Option[String] = None
 
     def kv(v: String): (String, String) = v.split("=", 2) match {
       case Array(k, value) => (k, value)
@@ -165,12 +167,18 @@ object Main {
       case "--fail-on-error" => failOnError = asBool(next("--fail-on-error"))
       case "--job-poll" => once("--job-poll"); jobPoll = Some(next("--job-poll"))
       case "--jq" => jq :+= kv(next("--jq"))
+      // S9 flat dataset listing (reference --lsflat, etl.py:75) and
+      // S10 namespace drop (reference --drop-ns, base.py:114-115);
+      // both take `backend/ns` and need no -s/--source.
+      case "--lsflat" => once("--lsflat"); lsflat = Some(next("--lsflat"))
+      case "--drop-ns" => once("--drop-ns"); dropNs = Some(next("--drop-ns"))
       case other => throw CliError(s"unknown flag: $other (see --help)")
     }
 
     val srcUri = source.orElse(envDefault("--source"))
       .getOrElse(
-        if (jobPoll.nonEmpty) "parquet/_unused_/_unused_"
+        if (jobPoll.nonEmpty || lsflat.nonEmpty || dropNs.nonEmpty)
+          "parquet/_unused_/_unused_"
         else throw CliError("-s/--source is required"))
     // `-o op:pk` fuses the write op and key (etl_cli/etl.py:203-206).
     val (opName, opPk) = op.map(_.split(":", 2) match {
@@ -213,7 +221,8 @@ object Main {
     (job, Opts(drop = drop, dry = dry, count = count, stream = stream,
       jobPoll = jobPoll, jq = jq, silent = silent,
       noCount = noCount, info = info,
-      diff = diff, diffContext = csv(diffContext), msg = msg))
+      diff = diff, diffContext = csv(diffContext), msg = msg,
+      lsflat = lsflat, dropNs = dropNs))
   }
 
   private def session(opts: Opts): SparkSession = {
@@ -228,7 +237,32 @@ object Main {
     s
   }
 
+  /** `backend/ns[/more/ns]` for the ns-level flags (no name segment). */
+  private def parseNsRef(raw: String): (String, String) = {
+    val slash = raw.indexOf('/')
+    if (slash <= 0 || slash == raw.length - 1)
+      throw CliError(s"expected backend/ns, got: $raw")
+    (raw.substring(0, slash), raw.substring(slash + 1))
+  }
+
   def execute(spark: SparkSession, job: JobSpec, opts: Opts): Unit = {
+    opts.lsflat.foreach { ref => // S9: flat dataset listing (etl.py:75)
+      val (backend, ns) = parseNsRef(ref)
+      Resolver.listDatasets(spark, backend, ns).foreach(println)
+      return
+    }
+    opts.dropNs.foreach { ref => // S10: whole-namespace drop, gated
+      val (backend, ns) = parseNsRef(ref)
+      val names = Resolver.listDatasets(spark, backend, ns)
+      val ok = opts.silent || {
+        print(s"drop namespace $ns (${names.size} dataset(s))? [y/N] ")
+        Option(scala.io.StdIn.readLine()).exists(_.trim.equalsIgnoreCase("y"))
+      }
+      if (ok) { println(s"dropping namespace $ns")
+        Resolver.dropNamespace(spark, backend, ns) }
+      else println(s"skipped drop of namespace $ns")
+      return
+    }
     if (opts.jobPoll.nonEmpty) { // O3: query the job log with the DSL
       Runner.jobStatus(spark, opts.jobPoll.get,
         if (opts.jq.isEmpty) Seq("uid" -> "last") else opts.jq)
@@ -401,6 +435,8 @@ object Main {
       |               --mongo-index k1,k2 (range-sorted file layout on the
       |               keys: parquet min/max stats prune like an index)
       |               --skip-index (drop requested index layouts)
+      |namespaces     --lsflat BACKEND/NS (list datasets, one per line)
+      |               --drop-ns BACKEND/NS (drop every dataset; confirms)
       |jobs           --job-poll NS  --jq key=value (default uid=last)
       |               --msg COMMENT (recorded in the job log)
       |diff           --diff OTHER_DS  --diff-context c1,c2 (symmetric

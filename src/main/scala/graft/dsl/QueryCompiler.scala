@@ -143,6 +143,9 @@ object QueryCompiler {
     if (excl.isEmpty) afterIncl else afterIncl.drop(excl.map(_.drop(1)).toIndexedSeq: _*)
   }
 
+  /** approx_pNN sketch accuracy: rank error ≤ group-size / accuracy. */
+  val PctlAccuracy = 10000
+
   /** [EXT] `_group`/`_agg` → groupBy().agg(); output columns named
     * `<func>_<field>` (`count_all` for `count:*`).
     */
@@ -168,13 +171,15 @@ object QueryCompiler {
       case ("min", f)       => Some(min(col(f)).as(s"min_$f"))
       case ("max", f)       => Some(max(col(f)).as(s"max_$f"))
       case ("stddev", f)    => Some(stddev_samp(col(f)).as(s"stddev_$f"))
-      // exact interpolated percentiles (p50/p90/p95/p99); the approx_*
-      // variants are the sketch-based scale path (no exact oracle).
-      // Scale note: Spark's exact percentile accumulates a per-group
-      // counts map (memory ∝ distinct values) — prefer approx_* on
-      // 100 TB columns. A window-sort exact formulation spills safely
-      // but diverges from percentile() in the last ulp (measured), so
-      // the oracle-aligned aggregate stays the exact path here.
+      // exact interpolated percentiles (p50/p90/p95/p99); approx_pNN
+      // below is the sketch-based scale path. Scale note: Spark's exact
+      // percentile accumulates a per-group counts map (memory ∝ distinct
+      // values) — on 100 TB / high-cardinality columns prefer
+      // `approx_pNN` (bounded-memory GK sketch, rank error ≤ n/accuracy)
+      // and keep exact pNN for small groups or bit-identical oracles.
+      // A window-sort exact formulation spills safely but diverges from
+      // percentile() in the last ulp (measured), so the oracle-aligned
+      // aggregate stays the exact path here.
       case (p, f) if p.matches("p\\d{1,2}") =>
         val ps = pctlByField(f)
         if (!pctlEmitted.add(f)) None // one aggregate per field
@@ -190,6 +195,13 @@ object QueryCompiler {
         }
       case ("approx_countd", f) =>
         Some(approx_count_distinct(col(f)).as(s"approx_countd_$f"))
+      // approx_pNN: Greenwald-Khanna sketch percentile — the documented
+      // scale default for percentiles (memory bounded by the accuracy
+      // parameter, not by distinct values; returns an actual element
+      // with rank within n/accuracy of the target rank).
+      case (p, f) if p.matches("approx_p\\d{1,2}") =>
+        val q = p.stripPrefix("approx_p").toDouble / 100.0
+        Some(expr(s"approx_percentile(`$f`, $q, $PctlAccuracy)").as(s"${p}_$f"))
       case (fn, f) => throw new IllegalArgumentException(s"unknown agg: $fn:$f")
     }
     require(exprs.nonEmpty, "_agg required when _group is set")

@@ -7,9 +7,11 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing ([EXT], SURVEY §2.10): image/audio/video
   * travel as opaque `binary` columns with a typed metadata struct. The
   * Spark-side machinery — schema, partition sizing, per-partition
-  * batched processing, feature schema — is real and tested; the codec
-  * itself is a clearly marked STUB (this container ships no image/audio
-  * libraries), producing deterministic fake features so the pipeline is
+  * batched processing, feature schema — is real and tested. IMAGE
+  * decode is real too (`javax.imageio` ships in the JDK: png/jpeg/gif/
+  * bmp mime + true dimensions + pixel features); audio/video decode is
+  * a clearly marked STUB (this container ships no audio codecs),
+  * producing deterministic fake features so the pipeline stays
   * end-to-end verifiable.
   *
   * Scale notes: rows carry megabyte blobs, so the knobs that matter are
@@ -46,13 +48,15 @@ object Multimodal {
         (length(col(payloadCol)) % 1080).cast("int").as("height"),
         (length(col(payloadCol)) * 10L).cast("long").as("duration_ms")).as("meta"))
 
-  /** Number of feature dimensions the stub decoder emits. */
+  /** Number of feature dimensions the decoders emit. */
   val FeatureDim = 8
 
   /** STUB decoder ???: a real implementation would decode the blob with
-    * an image/audio codec and run a feature extractor. Deliberately
+    * an audio/video codec and run a feature extractor. Deliberately
     * deterministic — features are byte-statistics of the payload — so
     * tests and oracles can verify the distributed plumbing end-to-end.
+    * (Images are NOT stubbed: [[decodeImage]] is a real JDK decoder;
+    * this fallback covers audio/video and non-decodable image bytes.)
     */
   def decodeStub(bytes: Array[Byte]): Array[Float] = {
     if (bytes == null || bytes.isEmpty) return Array.fill(FeatureDim)(0f)
@@ -65,25 +69,90 @@ object Multimodal {
     buckets.map(b => (b % 1000) / 1000f)
   }
 
-  /** Per-partition init hook — where a real codec/model would be loaded
-    * once per partition (NOT per row).
+  /** REAL image decode via `javax.imageio` (ships in the JDK — no
+    * external codec needed for png/jpeg/gif/bmp): mime + true pixel
+    * dimensions + an 8-dim feature vector (per-channel means, luma
+    * mean/spread, aspect, bright/dark fractions) over a bounded pixel
+    * grid (≤ ~4096 samples, so a 100-MP scan costs the same as a
+    * thumbnail). Returns None when the bytes aren't a decodable image —
+    * callers fall back to [[decodeStub]].
     */
-  private def decodeInit(): Array[Byte] => Array[Float] = decodeStub
+  def decodeImage(bytes: Array[Byte]): Option[(String, Int, Int, Array[Float])] = {
+    if (bytes == null || bytes.length < 8) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (readers == null || !readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val fmt = reader.getFormatName.toLowerCase
+          val img = reader.read(0)
+          val w = img.getWidth; val h = img.getHeight
+          val step = math.max(1, math.sqrt(w.toLong * h / 4096.0).toInt)
+          var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L; var sl2 = 0L
+          var bright = 0L; var dark = 0L; var cnt = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+              val l = (r + g + b) / 3
+              sr += r; sg += g; sb += b; sl += l; sl2 += l.toLong * l
+              if (l > 191) bright += 1
+              if (l < 64) dark += 1
+              cnt += 1
+              x += step
+            }
+            y += step
+          }
+          val n = math.max(cnt, 1L).toDouble
+          val meanL = sl / n
+          val varL = math.max(0.0, sl2 / n - meanL * meanL)
+          Some((s"image/$fmt", w, h, Array(
+            (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat,
+            (sb / n / 255.0).toFloat, (meanL / 255.0).toFloat,
+            (math.sqrt(varL) / 255.0).toFloat,
+            (w.toDouble / math.max(h, 1)).toFloat,
+            (bright / n).toFloat, (dark / n).toFloat)))
+        } finally reader.dispose()
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** Feature extraction over the binary column via mapPartitions:
     * batched iterator shape, init-per-partition, no shuffle. Output
-    * appends `features array<float>`.
+    * appends `features array<float>`. `image` rows that decode with the
+    * JDK codec get REAL features and their meta replaced with the
+    * decoded mime/width/height; everything else (audio/video, fake
+    * image bytes) flows through the deterministic stub with meta
+    * untouched.
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     val outSchema = StructType(media.schema.fields :+
       StructField("features", ArrayType(FloatType), nullable = false))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     val bytesIdx = media.schema.fieldIndex("bytes")
+    val kindIdx = media.schema.fieldIndex("kind")
+    val metaIdx = media.schema.fieldIndex("meta")
     val ds: Dataset[Row] = media.mapPartitions { rows =>
-      val decode = decodeInit() // once per partition
+      // per-partition init hook — where a heavier codec/model would be
+      // loaded once per partition (NOT per row)
+      val fallback: Array[Byte] => Array[Float] = decodeStub
       rows.map { r =>
-        val feats = decode(r.get(bytesIdx).asInstanceOf[Array[Byte]])
-        Row.fromSeq(r.toSeq :+ feats.toSeq)
+        val bytes = r.get(bytesIdx).asInstanceOf[Array[Byte]]
+        val real =
+          if (r.getString(kindIdx) == "image") decodeImage(bytes) else None
+        real match {
+          case Some((mime, w, h, feats)) =>
+            val meta = Row(mime, w, h, null) // images have no duration
+            Row.fromSeq(r.toSeq.updated(metaIdx, meta) :+ feats.toSeq)
+          case None =>
+            Row.fromSeq(r.toSeq :+ fallback(bytes).toSeq)
+        }
       }
     }(enc)
     ds.toDF()

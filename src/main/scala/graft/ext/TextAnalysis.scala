@@ -97,6 +97,24 @@ object TextAnalysis {
   def contentFingerprint(text: Column): Column =
     graft.functions.TextExprs.normalizedTokenHash(text)
 
+  /** md5 hex digest of the normalized token stream — the same content
+    * identity as [[contentFingerprint]] but bit-reproducible in any
+    * engine with md5 (so the DuckDB oracle can check it exactly). Use
+    * the xxhash64 variant in hot paths; this one where a portable,
+    * auditable digest matters (provenance manifests, cross-engine
+    * equality).
+    */
+  def contentDigest(text: Column): Column =
+    md5(array_join(TextDedup.tokens(text), " "))
+
+  /** md5-based min-shingle digest: the lexicographically smallest
+    * md5(shingle) — the portable twin of [[minShingleFingerprint]]
+    * (hex order == numeric order, so `min` is a valid 1-perm MinHash).
+    * NULL for docs with fewer than n tokens.
+    */
+  def minShingleDigest(text: Column, n: Int = 3): Column =
+    array_min(transform(TextDedup.shingles(text, n), s => md5(s)))
+
   def minShingleFingerprint(text: Column, n: Int = 3): Column = {
     // sorted ascending ⇒ element 1 IS the min; same xxhash64(seed 42)
     // over the space-joined n-gram as the transform+array_min chain,

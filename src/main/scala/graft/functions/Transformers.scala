@@ -117,19 +117,32 @@ object Transformers {
     "dedup_lines" -> (args => df => // dedup_lines:field — drop repeated lines, keep order
       df.withColumn(args.head, array_join(array_distinct(
         split(col(args.head), "\\n")), "\n"))),
-    // hash_split:key;out;train:0.9;val:0.05;test:0.05 — deterministic
-    // train/val/test assignment by key hash: stable across runs and
-    // cluster sizes (no RNG, no shuffle), the standard corpus-split op.
+    // hash_split:key;out[;method];train:0.9;val:0.05;test:0.05 —
+    // deterministic train/val/test assignment by key hash: stable across
+    // runs and cluster sizes (no RNG, no shuffle), the standard corpus
+    // split op. `method` is `xxhash64` (default — fastest, one codegen'd
+    // hash) or `md5` (the key is stringified and the first 8 hex digits
+    // of its md5 become the bucket — bit-reproducible in any engine with
+    // md5, e.g. the DuckDB oracle).
     "hash_split" -> (args => df => {
       val (key, out) = (args.head, args(1))
-      val splits = args.drop(2).map { a =>
+      val rest = args.drop(2)
+      val (method, splitArgs) =
+        if (rest.headOption.exists(a => !a.contains(":"))) (rest.head, rest.tail)
+        else ("xxhash64", rest)
+      val splits = splitArgs.map { a =>
         val Array(n, w) = a.split(":", 2)
         n -> w.toDouble
       }
       require(splits.nonEmpty, "hash_split needs name:weight parts")
       val totalW = splits.map(_._2).sum
-      val buckets = 1000000L
-      val h = pmod(xxhash64(col(key)), lit(buckets))
+      val (h, buckets) = method match {
+        case "xxhash64" => (pmod(xxhash64(col(key)), lit(1000000L)), 1000000L)
+        case "md5" => (conv(substring(md5(col(key).cast("string")), 1, 8), 16, 10)
+          .cast("long"), 4294967296L) // 16^8 buckets
+        case other => throw new IllegalArgumentException(
+          s"hash_split: unknown method $other (xxhash64|md5)")
+      }
       val cuts = splits.scanLeft(0.0)(_ + _._2).tail
         .map(c => (c / totalW * buckets).toLong)
       val expr0 = splits.zip(cuts).reverse.foldLeft(lit(splits.last._1)) {

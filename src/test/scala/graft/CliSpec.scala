@@ -101,6 +101,16 @@ class CliSpec extends AnyFunSuite {
     assert(opts.msg.contains("nightly refresh"))
   }
 
+  test("--lsflat/--drop-ns parse, need no source, and are write-once") {
+    val (_, o1) = parse("--lsflat", "parquet//data/sf")
+    assert(o1.lsflat.contains("parquet//data/sf"))
+    val (_, o2) = parse("--drop-ns", "parquet//tmp/x", "-y")
+    assert(o2.dropNs.contains("parquet//tmp/x") && o2.silent)
+    intercept[Main.CliError] {
+      parse("--lsflat", "parquet/a", "--lsflat", "parquet/b")
+    }
+  }
+
   test("errors: unknown flag, missing source, bad op, merger sans keys") {
     intercept[Main.CliError](parse("-s", "parquet/a/b", "--bogus"))
     intercept[Main.CliError](parse("-q", "a=b"))
