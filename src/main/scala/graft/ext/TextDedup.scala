@@ -208,13 +208,11 @@ object TextDedup {
   def simhashFrame(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
 
-  /** Connected components over near-dup pairs by iterative min-label
-    * propagation: every doc starts as its own label; each round, a doc
-    * adopts the smallest label among itself and its neighbors; stop at
-    * fixpoint. Components here are near-dup chains (a~b, b~c ⇒ one
-    * group even when a≁c). Rounds needed = graph diameter — tiny for
-    * dedup graphs; each round is one join + one aggregate, and
-    * localCheckpoint breaks the growing lineage (SURVEY §7.4.4).
+  /** Connected components over near-dup pairs. Components here are
+    * near-dup chains (a~b, b~c ⇒ one group even when a≁c). Small pair
+    * sets resolve on the driver (exact union-find, one collect); large
+    * ones run distributed star contraction — O(log n) rounds regardless
+    * of graph diameter (vs diameter-many for label propagation).
     */
   def components(pairs: DataFrame, driverMaxPairs: Long = 1000000L): DataFrame = {
     // Near-dup pair sets are tiny relative to the corpus (they're the
@@ -246,30 +244,68 @@ object TextDedup {
       val labels = parent.keys.toSeq.sorted.map(id => (id, find(id)))
       return spark.createDataset(labels).toDF("id", "label")
     }
-    val edges = pairs.select(col("id_a"), col("id_b"))
-      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("id_a").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
-    var changed = 1L
-    while (changed > 0) {
-      val nbrMin = edges
-        .join(labels.withColumnRenamed("id", "id_b"), Seq("id_b"))
-        .groupBy(col("id_a").as("id")).agg(min("label").as("nl"))
-      // carry the old label so detecting the fixpoint is a filter over
-      // the checkpointed frame, not another join against the previous
-      // round
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
-          col("label").as("old"))
-        .localCheckpoint(true)
-      changed = next.filter(col("label") =!= col("old")).count()
-      labels = next.select("id", "label")
+    componentsStar(pairs)._1
+  }
+
+  /** Distributed connected components by alternating large-star /
+    * small-star contraction (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14):
+    *
+    *   - large-star(u): every neighbor LARGER than u re-attaches to
+    *     m = min(N(u) ∪ {u}) — long chains collapse toward small ids;
+    *   - small-star(u): u and its smaller neighbors all attach to the
+    *     minimum of the closed neighborhood — stars flatten.
+    *
+    * Each half-round is one self-symmetrizing groupBy-min + one join —
+    * the same shuffle primitives as label propagation — but the round
+    * count is O(log n) in the component size instead of O(diameter):
+    * a 255-hop chain converges in ~6 rounds, not 255. At fixpoint every
+    * non-root points directly at its component's minimum id.
+    *
+    * Returns (labels: id → smallest id in component, rounds taken).
+    * Exposed for the chain-graph round-bound test; callers use
+    * [[components]].
+    */
+  private[graft] def componentsStar(pairs: DataFrame): (DataFrame, Int) = {
+    import org.apache.spark.sql.DataFrame
+    val ids = pairs.select(col("id_a").cast("long").as("id"))
+      .union(pairs.select(col("id_b").cast("long").as("id")))
+      .distinct().localCheckpoint(true)
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
+      sym.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
     }
-    edges.unpersist()
-    labels
+    def smallStar(e: DataFrame): DataFrame = {
+      // point every edge large→small, then attach each hub and its
+      // smaller neighbors to the minimum of the closed neighborhood.
+      // (No collect_set: a mega-hub's neighbor list must never have to
+      // fit in one aggregation buffer — join + union keeps it flat.)
+      val dir = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val m = dir.groupBy("u").agg(min(col("v")).as("m"))
+      val nbr = dir.join(m, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val self = m.select(col("u"), col("m").as("v")) // hub → its min (< u)
+      nbr.union(self).distinct()
+    }
+    var edges = pairs
+      .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .localCheckpoint(true)
+    var rounds = 0
+    var stable = edges.isEmpty
+    while (!stable) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      rounds += 1
+      stable = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+    }
+    // fixpoint edges are (child, component-min); roots label themselves
+    val labels = ids.join(edges.withColumnRenamed("u", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("v"), col("id")).as("label"))
+    (labels, rounds)
   }
 
   /** End-to-end corpus dedup: find near-dup pairs (MinHash+LSH, exact

@@ -73,6 +73,16 @@ class ExtSpec extends SparkSpec {
       d.count() - nCompsLosers)
   }
 
+  test("componentsStar: worst-case chain converges in O(log n) rounds") {
+    // a 255-hop path is label propagation's worst case (255 rounds);
+    // star contraction must close it in logarithmically many
+    val chain = (0L until 255L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = TextDedup.componentsStar(chain)
+    assert(labels.filter($"label" =!= 0L).count() == 0) // one component, min 0
+    assert(labels.count() == 256)
+    assert(rounds <= 12, s"chain-256 took $rounds rounds (want O(log n), not O(diameter))")
+  }
+
   test("simhashPairs: near-identical docs collide, different don't") {
     val pairs = TextDedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -104,6 +104,17 @@ object LawsProps extends Properties("graft.laws") {
       }
     }
 
+  property("components: star contraction equals driver union-find") =
+    forAll(Gen.listOfN(20, Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 30L)))) { ps =>
+      val pairs = ps.filter(p => p._1 != p._2)
+      pairs.isEmpty || {
+        val df = pairs.toDF("id_a", "id_b")
+        val uf = canon(graft.ext.TextDedup.components(df))
+        val star = canon(graft.ext.TextDedup.components(df, driverMaxPairs = 0L))
+        uf == star
+      }
+    }
+
   property("count cap: min(limit, total)") =
     forAll(rowsGen, Gen.chooseNum(0, 20)) { (t, lim) =>
       val d = df(t)
