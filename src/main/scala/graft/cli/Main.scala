@@ -80,7 +80,7 @@ object Main {
     var mrules = ""; var mrulesScm = ""
     var skipTs = false; var dry = false; var drop = false; var count = false
     var stream = false; var silent = false
-    var partitionBy = ""; var maxRecords = 0L
+    var partitionBy = ""; var maxRecords = 0L; var commitMode = "rename"
     var indexBy = Vector.empty[String]; var skipIndex = false
     var failOnError = envDefault("--fail-on-error").forall(asBool)
     var jobPoll: Option[String] = None; var jq = Vector.empty[(String, String)]
@@ -160,6 +160,14 @@ object Main {
       case "--mongo-index" | "--index-by" => indexBy :+= next("--mongo-index")
       case "--skip-index" => skipIndex = true
       case "--partition-by" => once("--partition-by"); partitionBy = next("--partition-by")
+      // [EXT] commit protocol: rename swap (HDFS/local-atomic) vs
+      // versioned marker commit (object-store-atomic, keeps one
+      // prior generation for in-flight readers)
+      case "--commit" => once("--commit")
+        commitMode = next("--commit") match {
+          case m @ ("rename" | "versioned") => m
+          case other => throw CliError(s"--commit must be rename|versioned, got: $other")
+        }
       case "--max-records-per-file" =>
         once("--max-records-per-file"); maxRecords = next("--max-records-per-file").toLong
       // W14 (reference --fail-on-error, default True, base.py:135,267;
@@ -211,7 +219,8 @@ object Main {
         skipBy = csv(skipBy), skipTimestamp = skipTs,
         failOnError = failOnError,
         indexBy = if (skipIndex) Nil else indexBy.flatMap(v => csv(v)),
-        partitionBy = csv(partitionBy), maxRecordsPerFile = maxRecords)
+        partitionBy = csv(partitionBy), maxRecordsPerFile = maxRecords,
+        commitMode = commitMode)
     }
     val job = JobSpec(
       SourceSpec(DatasetRef.parse(srcUri), q, TransformStage.parseChain(str)),
@@ -432,6 +441,8 @@ object Main {
       |               --pk k1,k2  --tq key=value  --tf f1,-f2
       |               --overwrite f1,f2  --skip_by k  --skip-timestamp
       |               --partition-by c1,c2  --max-records-per-file N
+      |               --commit rename|versioned (versioned = marker-file
+      |               commit, atomic on object stores; keeps 1 prior gen)
       |               --mongo-index k1,k2 (range-sorted file layout on the
       |               keys: parquet min/max stats prune like an index)
       |               --skip-index (drop requested index layouts)

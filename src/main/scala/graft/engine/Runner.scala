@@ -90,7 +90,8 @@ object Runner {
         // into the temp dir BEFORE swapping, so the current target
         // files are still in place while they are being read.
         WriteOps.atomicOverwrite(spark, newState, Resolver.path(t.ref),
-          t.partitionBy, t.maxRecordsPerFile, t.ref.backend, t.indexBy)
+          t.partitionBy, t.maxRecordsPerFile, t.ref.backend, t.indexBy,
+          t.commitMode)
         if (log) jobLog(spark, job, written, comment)
         RunResult(job, written, written, 1)
     }

@@ -177,8 +177,24 @@ object WriteOps {
     }
   }
 
-  /** Atomic full-rewrite: write to a temp dir next to the target, then
-    * swap (SURVEY §7.4.1 — rewrite atomicity without a table format).
+  /** Atomic full-rewrite (SURVEY §7.4.1 — rewrite atomicity without a
+    * table format). Two commit modes:
+    *
+    *   - `rename` (default): write to a temp dir next to the target,
+    *     swap via directory renames. Atomic on HDFS/local where dir
+    *     rename is a metadata op; on object stores rename is copy +
+    *     delete — NOT atomic there.
+    *   - `versioned`: object-store-atomic. Data lands in a fresh
+    *     `_v_<n>` dir UNDER the target path; the commit point is
+    *     creating the empty `_COMMITTED` marker inside it — a single
+    *     object PUT, atomic on strongly-consistent S3 and an atomic
+    *     create on HDFS. Readers ([[graft.sources.Resolver]]) resolve
+    *     to the highest committed version; the PREVIOUS committed
+    *     version is retained one generation so in-flight readers keep
+    *     a consistent snapshot while a commit lands (older versions
+    *     and uncommitted stray dirs are vacuumed). Single writer at a
+    *     time, like the reference's job model.
+    *
     * `partitionBy` lays the files out hive-style (partition pruning on
     * read); `maxRecordsPerFile` bounds file sizes (the engine analog of
     * the reference's s3 write-buffer sizing, etl_cli/etl.py:129-133).
@@ -189,11 +205,10 @@ object WriteOps {
                       partitionBy: Seq[String] = Nil,
                       maxRecordsPerFile: Long = 0,
                       format: String = "parquet",
-                      indexBy: Seq[String] = Nil): Unit = {
+                      indexBy: Seq[String] = Nil,
+                      commitMode: String = "rename"): Unit = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + "._tmp_" + System.nanoTime())
-    val bak = new org.apache.hadoop.fs.Path(path + "._bak")
     // O6 "index" analog (reference builds `prf.mongo_index` commands,
     // base.py:568-610): range-partition + sort the files by the index
     // keys, so parquet min/max row-group stats become the index —
@@ -203,33 +218,93 @@ object WriteOps {
       if (indexBy.isEmpty) df
       else df.repartitionByRange(indexBy.map(col).toIndexedSeq: _*)
         .sortWithinPartitions(indexBy.map(col).toIndexedSeq: _*)
-    var w = laid.write.mode("overwrite")
-    if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
-    if (maxRecordsPerFile > 0)
-      w = w.option("maxRecordsPerFile", maxRecordsPerFile.toString)
-    try format match {
-      case "csv"  => w.option("header", "true").csv(tmp.toString)
-      case "json" => w.json(tmp.toString)
-      case _      => w.parquet(tmp.toString)
-    } catch {
-      case e: Throwable =>
-        // don't strand a partially-written temp dir next to the target
-        try fs.delete(tmp, true) catch { case _: Throwable => () }
-        throw e
+    def writeTo(dir: org.apache.hadoop.fs.Path): Unit = {
+      var w = laid.write.mode("overwrite")
+      if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
+      if (maxRecordsPerFile > 0)
+        w = w.option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      try format match {
+        case "csv"  => w.option("header", "true").csv(dir.toString)
+        case "json" => w.json(dir.toString)
+        case _      => w.parquet(dir.toString)
+      } catch {
+        case e: Throwable =>
+          // don't strand a partially-written dir next to/under the target
+          try fs.delete(dir, true) catch { case _: Throwable => () }
+          throw e
+      }
     }
-    // HDFS/object-store renames report failure by returning false, not
-    // throwing — every step is checked so a failed swap can never
-    // delete the only remaining copy of the target.
-    if (fs.exists(bak) && !fs.delete(bak, true))
-      throw new java.io.IOException(s"atomic swap: cannot clear stale $bak")
-    val hadTarget = fs.exists(hPath)
-    if (hadTarget && !fs.rename(hPath, bak))
-      throw new java.io.IOException(s"atomic swap: cannot move $hPath aside")
-    if (!fs.rename(tmp, hPath)) {
-      // roll back: restore the previous target before failing
-      if (hadTarget) fs.rename(bak, hPath)
-      throw new java.io.IOException(s"atomic swap: cannot move $tmp into place")
+    commitMode match {
+      case "versioned" | "manifest" => // object-store-atomic commit
+        fs.mkdirs(hPath)
+        val before = Versioned.list(fs, hPath)
+        val next = before.map(_._1).maxOption.getOrElse(0L) + 1
+        val vdir = new org.apache.hadoop.fs.Path(hPath, f"_v_$next%020d")
+        writeTo(vdir)
+        // COMMIT POINT: one atomic object create — no reader can see a
+        // half-written version (the marker lands after all data files)
+        fs.create(new org.apache.hadoop.fs.Path(vdir, Versioned.Marker),
+          false).close()
+        // vacuum: keep the previous committed generation for in-flight
+        // readers; drop older generations and uncommitted strays
+        val keep = before.filter(_._3).map(_._1).maxOption.toSet
+        before.foreach { case (n, p, _) =>
+          if (!keep.contains(n)) fs.delete(p, true)
+        }
+      case _ => // rename swap (HDFS/local)
+        val tmp = new org.apache.hadoop.fs.Path(path + "._tmp_" + System.nanoTime())
+        val bak = new org.apache.hadoop.fs.Path(path + "._bak")
+        writeTo(tmp)
+        // HDFS/object-store renames report failure by returning false,
+        // not throwing — every step is checked so a failed swap can
+        // never delete the only remaining copy of the target.
+        if (fs.exists(bak) && !fs.delete(bak, true))
+          throw new java.io.IOException(s"atomic swap: cannot clear stale $bak")
+        val hadTarget = fs.exists(hPath)
+        if (hadTarget && !fs.rename(hPath, bak))
+          throw new java.io.IOException(s"atomic swap: cannot move $hPath aside")
+        if (!fs.rename(tmp, hPath)) {
+          // roll back: restore the previous target before failing
+          if (hadTarget) fs.rename(bak, hPath)
+          throw new java.io.IOException(s"atomic swap: cannot move $tmp into place")
+        }
+        if (hadTarget && fs.exists(hPath)) fs.delete(bak, true)
     }
-    if (hadTarget && fs.exists(hPath)) fs.delete(bak, true)
+  }
+}
+
+/** Shared constants/helpers for the `versioned` commit protocol —
+  * [[graft.sources.Resolver]] resolves reads with the same rules.
+  */
+object Versioned {
+  /** Empty marker file whose atomic creation IS the commit. */
+  val Marker = "_COMMITTED"
+
+  private val VDir = "_v_(\\d{20})".r
+
+  /** (version number, path, committed?) for every version dir. */
+  def list(fs: org.apache.hadoop.fs.FileSystem,
+           dir: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path, Boolean)] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.collect {
+      case s if s.isDirectory =>
+        s.getPath.getName match {
+          // toLongOption: a malformed or overflowing dir name is not a
+          // version, never a crash
+          case VDir(n) => n.toLongOption.map(v => (v, s.getPath,
+            fs.exists(new org.apache.hadoop.fs.Path(s.getPath, Marker))))
+          case _ => None
+        }
+    }.flatten
+
+  /** Resolve a dataset path: versioned datasets read their highest
+    * COMMITTED version dir; plain datasets pass through. One driver-side
+    * listStatus — O(1) relative to any scan.
+    */
+  def resolve(fs: org.apache.hadoop.fs.FileSystem, pathStr: String): String = {
+    val p = new org.apache.hadoop.fs.Path(pathStr)
+    val versions = list(fs, p).filter(_._3)
+    if (versions.isEmpty) pathStr
+    else versions.maxBy(_._1)._2.toString
   }
 }

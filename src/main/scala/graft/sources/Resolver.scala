@@ -51,10 +51,11 @@ object Resolver {
         readParquet(spark, path(ref))
       case "csv" =>
         val r = spark.read.option("header", "true").option("mode", mode)
-        schema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path(ref))
+        schema.fold(r.option("inferSchema", "true"))(s => r.schema(s))
+          .csv(resolveVersioned(spark, path(ref)))
       case "json" =>
         val r = spark.read.option("mode", mode)
-        schema.fold(r)(s => r.schema(s)).json(path(ref))
+        schema.fold(r)(s => r.schema(s)).json(resolveVersioned(spark, path(ref)))
       case "http" =>
         // S4: fetch one document on the driver; single-row semantics.
         // Bounded connect/read timeouts and a closed stream — a hung
@@ -89,9 +90,20 @@ object Resolver {
     * instead of silently yielding long columns.
     */
   def readParquet(spark: SparkSession, pathStr: String): DataFrame = {
-    val nanos = nanoTimestampCols(spark, pathStr)
-    if (nanos.isEmpty) spark.read.parquet(pathStr)
-    else convertNanoCols(withNanosAsLong(spark)(spark.read.parquet(pathStr)), nanos)
+    val p = resolveVersioned(spark, pathStr)
+    val nanos = nanoTimestampCols(spark, p)
+    if (nanos.isEmpty) spark.read.parquet(p)
+    else convertNanoCols(withNanosAsLong(spark)(spark.read.parquet(p)), nanos)
+  }
+
+  /** Datasets written with the `versioned` commit protocol read their
+    * highest COMMITTED `_v_<n>` dir (object-store-atomic commit — see
+    * [[graft.operators.Versioned]]); plain datasets pass through.
+    */
+  def resolveVersioned(spark: SparkSession, pathStr: String): String = {
+    val p = new org.apache.hadoop.fs.Path(pathStr)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.operators.Versioned.resolve(fs, pathStr)
   }
 
   /** Run `load` with spark.sql.legacy.parquet.nanosAsLong set, restoring

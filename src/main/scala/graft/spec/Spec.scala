@@ -134,7 +134,8 @@ final case class TargetSpec(
     failOnError: Boolean = true,            // base.py:135,267
     indexBy: Seq[String] = Nil,             // O6 --mongo-index → range-sorted file layout
     partitionBy: Seq[String] = Nil,         // [EXT] hive-style partition cols
-    maxRecordsPerFile: Long = 0)            // [EXT] file sizing (s3 batch analog, etl.py:129-133)
+    maxRecordsPerFile: Long = 0,            // [EXT] file sizing (s3 batch analog, etl.py:129-133)
+    commitMode: String = "rename")          // [EXT] --commit rename|versioned (S3-atomic)
 
 /** A full job: the IR the planner executes. Replaces the reference's
   * flat dotted params dict (etl_cli/base.py:236-298) — see SURVEY §3.1.

@@ -128,6 +128,50 @@ class WriteOpsSpec extends SparkSpec {
     assert(probe.count() == df.filter($"l_extendedprice" > 100000.0).count())
   }
 
+  test("versioned commit: atomic marker, generation retention, reader resolution") {
+    import graft.operators.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_vc").toString
+    val path = s"$dir/t.parquet"
+    def write(tag: String) = WriteOps.atomicOverwrite(spark,
+      Seq((1L, tag)).toDF("id", "tag"), path, commitMode = "versioned")
+    def readTag() = graft.sources.Resolver.readParquet(spark, path)
+      .select("tag").as[String].head()
+    write("v1")
+    assert(readTag() == "v1")
+    write("v2")
+    assert(readTag() == "v2")
+    // one prior generation retained (in-flight reader safety), 2 total
+    val vdirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("_v_")).map(_.getName).sorted
+    assert(vdirs.length == 2, s"want current+previous, got: ${vdirs.toSeq}")
+    write("v3") // vacuums v1
+    val vdirs3 = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("_v_")).map(_.getName).sorted
+    assert(vdirs3.length == 2 && readTag() == "v3")
+    // an UNCOMMITTED version dir (crashed writer) is never resolved
+    val stray = new java.io.File(s"$path/_v_99999999999999999999")
+    assert(stray.mkdir())
+    assert(readTag() == "v3")
+  }
+
+  test("versioned commit: a reader holding the previous snapshot survives a concurrent commit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vc2").toString
+    val path = s"$dir/t.parquet"
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+    WriteOps.atomicOverwrite(spark, v1, path, commitMode = "versioned")
+    // reader resolves NOW (plans against the v1 files)...
+    val reader = graft.sources.Resolver.readParquet(spark, path)
+    assert(reader.count() == 2)
+    // ...a writer commits v2 while the reader is still in flight...
+    WriteOps.atomicOverwrite(spark,
+      Seq((9L, "z")).toDF("id", "tag"), path, commitMode = "versioned")
+    // ...and the reader still sees its full, consistent v1 snapshot
+    // (rename-swap would have moved the files out from under it)
+    assert(rows(reader.orderBy("id")) == Seq(Seq(1L, "a"), Seq(2L, "b")))
+    // while a NEW read resolves to v2
+    assert(graft.sources.Resolver.readParquet(spark, path).count() == 1)
+  }
+
   test("update extends schema with new source columns (mongo $set)") {
     val b = Seq((2L, "x-new")).toDF("id", "extra")
     val out = WriteOps.update(target, b, Seq("id"))
