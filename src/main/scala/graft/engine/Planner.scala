@@ -22,7 +22,8 @@ object Planner {
     */
   def sourceFrame(spark: SparkSession, s: SourceSpec,
                   failOnError: Boolean = true): DataFrame = {
-    val raw = Resolver.read(spark, s.ref, failOnError = failOnError)
+    val raw = Resolver.read(spark, s.ref, failOnError = failOnError,
+      query = s.query) // connector backends push the filters server-side
     // `_fields` projects AFTER the post-read transformers so it can
     // select transformer-created columns; filters/sort/limit still
     // compile at the scan (and Catalyst prunes the read schema through
@@ -42,8 +43,12 @@ object Planner {
     */
   def withMerger(spark: SparkSession, src: DataFrame, m: MergerSpec,
                  failOnError: Boolean = true): DataFrame = {
+    // only LITERAL merger filters can push to a connector; correlated
+    // `#field#` keys resolve per source row inside the join
+    val literals = m.query.filterNot(_._2.matches("#.*#"))
     val mrgRaw = Transformers.apply(
-      Resolver.read(spark, m.ref, failOnError = failOnError), m.postRead)
+      Resolver.read(spark, m.ref, failOnError = failOnError,
+        query = literals), m.postRead)
     val merged = MergePlanner.merge(src, mrgRaw, m)
     Transformers.apply(merged, m.postMerge)
   }

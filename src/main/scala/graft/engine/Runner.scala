@@ -89,9 +89,14 @@ object Runner {
         // No checkpoint of newState: atomicOverwrite materializes it
         // into the temp dir BEFORE swapping, so the current target
         // files are still in place while they are being read.
-        WriteOps.atomicOverwrite(spark, newState, Resolver.path(t.ref),
-          t.partitionBy, t.maxRecordsPerFile, t.ref.backend, t.indexBy,
-          t.commitMode)
+        // Partitioned targets take the partition-scoped path when it
+        // applies — only partitions with touched pks are rewritten.
+        val scoped = WriteOps.partitionScopedRewrite(
+          spark, newState, current, batch, t, Resolver.path(t.ref))
+        if (!scoped)
+          WriteOps.atomicOverwrite(spark, newState, Resolver.path(t.ref),
+            t.partitionBy, t.maxRecordsPerFile, t.ref.backend, t.indexBy,
+            t.commitMode)
         if (log) jobLog(spark, job, written, comment)
         RunResult(job, written, written, 1)
     }

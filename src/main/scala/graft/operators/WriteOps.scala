@@ -177,6 +177,91 @@ object WriteOps {
     }
   }
 
+  /** Partition-scoped rewrite for partitioned targets: instead of
+    * rewriting the whole dataset, overwrite ONLY the hive partitions
+    * that can contain changed rows — the partitions of the batch's own
+    * rows plus the partitions of target rows whose pk the batch
+    * touches. Untouched partition dirs keep their files byte-identical
+    * (at 100 TB an incremental upsert touching one day must not
+    * rewrite three years of history). Partitions the op emptied are
+    * deleted explicitly (dynamic overwrite only replaces partitions
+    * present in the written data).
+    *
+    * Returns false — caller falls back to [[atomicOverwrite]] — when
+    * scoping doesn't apply: first write, schema change (old files
+    * would disagree with the new reader schema), versioned commit
+    * mode, or a degenerate touched-set (scoping would rewrite
+    * everything anyway).
+    */
+  def partitionScopedRewrite(spark: SparkSession, newState: DataFrame,
+                             current: DataFrame, batch: DataFrame,
+                             t: TargetSpec, path: String): Boolean = {
+    val pcols = t.partitionBy
+    if (pcols.isEmpty || t.commitMode != "rename") return false
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) return false // first write → plain full write
+    // schema extension ⇒ untouched old files would lack the new
+    // columns and parquet footer-sampling reads become inconsistent
+    if (newState.columns.toSeq != current.columns.toSeq) return false
+    if (!pcols.forall(newState.columns.contains)) return false
+    val pk = if (t.pk.nonEmpty) t.pk else t.skipBy
+    val pCols = pcols.map(col).toIndexedSeq
+    val fromBatch = align(batch, current).select(pCols: _*).distinct()
+    val touchedDf = (if (pk.isEmpty) fromBatch else {
+      val keys = renameSrc(dedupeByPk(align(batch, current), pk)
+        .select(pk.map(col).toIndexedSeq: _*))
+      val matched = current.join(keys, pkCond(current, pk), "left_semi")
+        .select(pCols: _*).distinct()
+      fromBatch.union(matched).distinct()
+    }).localCheckpoint(true)
+    val touched = touchedDf.collect()
+    if (touched.length > 10000) return false // degenerate → full rewrite
+    // null-safe semi-join: scope newState to the touched partitions,
+    // then MATERIALIZE before writing — the write overwrites partition
+    // dirs the plan would otherwise still be reading from (Spark
+    // rejects overwrite-from-self), and the materialized size is
+    // bounded by the touched partitions, not the dataset
+    val tv = broadcast(touchedDf.toDF(pcols.map("__t_" + _): _*))
+    val cond = pcols.map(c => col(c) <=> col("__t_" + c)).reduce(_ && _)
+    val scoped = newState.join(tv, cond, "left_semi").localCheckpoint(true)
+    val laid =
+      if (t.indexBy.isEmpty) scoped
+      else scoped.repartitionByRange(t.indexBy.map(col).toIndexedSeq: _*)
+        .sortWithinPartitions(t.indexBy.map(col).toIndexedSeq: _*)
+    var w = laid.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(pcols: _*)
+    if (t.maxRecordsPerFile > 0)
+      w = w.option("maxRecordsPerFile", t.maxRecordsPerFile.toString)
+    t.ref.backend match {
+      case "csv"  => w.option("header", "true").csv(path)
+      case "json" => w.json(path)
+      case _      => w.parquet(path)
+    }
+    // partitions the op emptied: touched but absent from the rewrite
+    val present = scoped.select(pCols: _*).distinct().collect()
+      .map(partitionDir(pcols, _)).toSet
+    touched.map(partitionDir(pcols, _)).filterNot(present).foreach { rel =>
+      fs.delete(new org.apache.hadoop.fs.Path(hPath, rel), true)
+    }
+    true
+  }
+
+  /** Hive-style relative partition path `p1=v1/p2=v2` with Spark's own
+    * escaping rules (so the dir we delete is the dir Spark wrote).
+    */
+  private def partitionDir(pcols: Seq[String], r: org.apache.spark.sql.Row): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    pcols.zipWithIndex.map { case (c, i) =>
+      val v = r.get(i)
+      val s =
+        if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+        else ExternalCatalogUtils.escapePathName(v.toString)
+      s"${ExternalCatalogUtils.escapePathName(c)}=$s"
+    }.mkString("/")
+  }
+
   /** Atomic full-rewrite (SURVEY §7.4.1 — rewrite atomicity without a
     * table format). Two commit modes:
     *

@@ -42,13 +42,34 @@ object Resolver {
     * `_corrupt_record` is disallowed by Spark without caching the
     * frame, so DROPMALFORMED is the skip policy.) Parquet is
     * self-describing — per-record malformedness doesn't apply.
+    *
+    * `query` is a pushdown HINT for connector backends (mongo/es): the
+    * compiled DSL predicates are mapped into the connector's native
+    * filter language so the database prunes server-side. Correctness
+    * never depends on it — the engine re-applies every predicate on
+    * the returned frame.
     */
   def read(spark: SparkSession, ref: DatasetRef, schema: Option[StructType] = None,
-           failOnError: Boolean = true): DataFrame = {
+           failOnError: Boolean = true,
+           query: Seq[(String, String)] = Nil): DataFrame = {
     val mode = if (failOnError) "FAILFAST" else "DROPMALFORMED"
     ref.backend match {
       case "parquet" =>
         readParquet(spark, path(ref))
+      case "mongodb" | "mongo" | "es" | "elasticsearch" =>
+        // S2/S3: real connector pass-through behind the same DatasetRef
+        // (reference backends, etl_cli/etl.py:252-257); parquet
+        // stand-in (SURVEY §1.2) when the connector jar is absent.
+        val (fmt, opts) = connectorOptions(ref, query)
+        try {
+          val r = spark.read.format(fmt).options(opts)
+          schema.fold(r)(s => r.schema(s)).load()
+        } catch {
+          case e: Throwable if missingDataSource(e) =>
+            System.err.println(s"[graft] ${ref.backend} connector not on " +
+              s"the classpath; using the parquet stand-in for ${ref.uri}")
+            readParquet(spark, path(ref.copy(backend = "parquet")))
+        }
       case "csv" =>
         val r = spark.read.option("header", "true").option("mode", mode)
         schema.fold(r.option("inferSchema", "true"))(s => r.schema(s))
@@ -156,6 +177,125 @@ object Resolver {
             t.getName
         }
       } finally reader.close()
+    }
+  }
+
+  /** True when the failure means "this data-source format isn't on the
+    * classpath" (connector jar absent) rather than a read error.
+    */
+  private def missingDataSource(e: Throwable): Boolean = e match {
+    case null => false
+    case _: ClassNotFoundException => true
+    case _ =>
+      val m = Option(e.getMessage).getOrElse("")
+      m.contains("DATA_SOURCE_NOT_FOUND") || m.contains("Failed to find") ||
+        missingDataSource(e.getCause)
+  }
+
+  /** Connector format + options for a mongo/es DatasetRef, with the
+    * query DSL mapped into the connector's native pushdown language.
+    * Pure — unit-testable without the connector jars. Connection
+    * endpoints come from `GRAFT_MONGO_URI` / `GRAFT_ES_NODES` env vars
+    * (the reference reads its backend endpoints from settings the same
+    * way, etl_cli/base.py:158-185).
+    */
+  def connectorOptions(ref: DatasetRef,
+                       query: Seq[(String, String)] = Nil): (String, Map[String, String]) =
+    ref.backend match {
+      case "mongodb" | "mongo" =>
+        ("mongodb", Map(
+          "connection.uri" ->
+            sys.env.getOrElse("GRAFT_MONGO_URI", "mongodb://localhost:27017"),
+          "database" -> ref.ns,
+          "collection" -> ref.name,
+          "aggregation.pipeline" -> mongoPipeline(query)))
+      case "es" | "elasticsearch" =>
+        ("org.elasticsearch.spark.sql", Map(
+          "es.nodes" -> sys.env.getOrElse("GRAFT_ES_NODES", "localhost:9200"),
+          "es.resource" ->
+            (if (ref.ns.isEmpty) ref.name else s"${ref.ns}.${ref.name}"),
+          "es.query" -> esQuery(query)))
+      case other =>
+        throw new IllegalArgumentException(s"not a connector backend: $other")
+    }
+
+  /** JSON literal: numbers/booleans unquoted, everything else escaped.
+    * (Connector pushdown is schemaless at this point — the engine
+    * re-applies typed predicates on the frame either way.)
+    */
+  private def jsonVal(v: String): String =
+    if (v.matches("-?\\d+") || v.matches("-?\\d*\\.\\d+") ||
+      v == "true" || v == "false") v
+    else "\"" + v.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c => c.toString
+    } + "\""
+
+  /** `field__op` DSL pairs → a mongo `[{"$match": …}]` aggregation
+    * pipeline (the connector ships it server-side). Ops without a
+    * mongo analog are simply not pushed.
+    */
+  def mongoPipeline(query: Seq[(String, String)]): String = {
+    val clauses = query.filterNot(_._1.startsWith("_")).flatMap { case (k, v) =>
+      val (f, op) = graft.dsl.QueryCompiler.splitOp(k)
+      val body = op match {
+        case "eq" => Some(jsonVal(v))
+        case "ne" | "gt" | "gte" | "lt" | "lte" =>
+          Some(s"""{"$$$op": ${jsonVal(v)}}""")
+        case "in" | "nin" =>
+          Some(s"""{"$$$op": [${v.split(",").map(x => jsonVal(x.trim)).mkString(", ")}]}""")
+        case "exists" =>
+          Some(s"""{"$$exists": ${v != "0" && !v.equalsIgnoreCase("false")}}""")
+        case "regex" => Some(s"""{"$$regex": ${jsonVal(v)}}""")
+        case "between" => v.split(",", 2) match {
+          case Array(lo, hi) =>
+            Some(s"""{"$$gte": ${jsonVal(lo.trim)}, "$$lte": ${jsonVal(hi.trim)}}""")
+          case _ => None
+        }
+        case _ => None // contains/startswith/nse/… stay engine-side
+      }
+      body.map(b => s""""$f": $b""")
+    }
+    if (clauses.isEmpty) "[]"
+    else s"""[{"$$match": {${clauses.mkString(", ")}}}]"""
+  }
+
+  /** `field__op` DSL pairs → an elasticsearch bool-filter query DSL
+    * document for `es.query`.
+    */
+  def esQuery(query: Seq[(String, String)]): String = {
+    var filters = Vector.empty[String]
+    var mustNot = Vector.empty[String]
+    query.filterNot(_._1.startsWith("_")).foreach { case (k, v) =>
+      val (f, op) = graft.dsl.QueryCompiler.splitOp(k)
+      op match {
+        case "eq" => filters :+= s"""{"term": {"$f": ${jsonVal(v)}}}"""
+        case "ne" => mustNot :+= s"""{"term": {"$f": ${jsonVal(v)}}}"""
+        case "gt" | "gte" | "lt" | "lte" =>
+          filters :+= s"""{"range": {"$f": {"$op": ${jsonVal(v)}}}}"""
+        case "in" => filters :+=
+          s"""{"terms": {"$f": [${v.split(",").map(x => jsonVal(x.trim)).mkString(", ")}]}}"""
+        case "nin" => mustNot :+=
+          s"""{"terms": {"$f": [${v.split(",").map(x => jsonVal(x.trim)).mkString(", ")}]}}"""
+        case "exists" =>
+          if (v != "0" && !v.equalsIgnoreCase("false"))
+            filters :+= s"""{"exists": {"field": "$f"}}"""
+          else mustNot :+= s"""{"exists": {"field": "$f"}}"""
+        case "between" => v.split(",", 2) match {
+          case Array(lo, hi) => filters :+=
+            s"""{"range": {"$f": {"gte": ${jsonVal(lo.trim)}, "lte": ${jsonVal(hi.trim)}}}}"""
+          case _ => ()
+        }
+        case _ => () // not pushed; engine-side predicate covers it
+      }
+    }
+    if (filters.isEmpty && mustNot.isEmpty) """{"query": {"match_all": {}}}"""
+    else {
+      val parts = Seq(
+        if (filters.nonEmpty) Some(s""""filter": [${filters.mkString(", ")}]""") else None,
+        if (mustNot.nonEmpty) Some(s""""must_not": [${mustNot.mkString(", ")}]""") else None).flatten
+      s"""{"query": {"bool": {${parts.mkString(", ")}}}}"""
     }
   }
 

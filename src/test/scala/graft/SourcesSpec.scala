@@ -122,4 +122,46 @@ class SourcesSpec extends SparkSpec {
     assert(df.count() == 1)
     assert(df.select("city").as[String].head() == "x")
   }
+
+  test("S2 mongo connector options: format dispatch + $match pipeline mapping") {
+    val (fmt, opts) = Resolver.connectorOptions(
+      graft.spec.DatasetRef("mongodb", "appdb", "users"),
+      Seq("age__gte" -> "30", "city" -> "rome", "tag__in" -> "a,b",
+        "score__between" -> "1.5,2", "name__contains" -> "x", // not pushable
+        "_limit" -> "5")) // control keys never push
+    assert(fmt == "mongodb")
+    assert(opts("database") == "appdb" && opts("collection") == "users")
+    assert(opts("aggregation.pipeline") ==
+      """[{"$match": {"age": {"$gte": 30}, "city": "rome", """ +
+        """"tag": {"$in": ["a", "b"]}, "score": {"$gte": 1.5, "$lte": 2}}}]""")
+  }
+
+  test("S3 es connector options: bool filter/must_not query mapping") {
+    val (fmt, opts) = Resolver.connectorOptions(
+      graft.spec.DatasetRef("es", "logs", "events"),
+      Seq("level" -> "warn", "code__ne" -> "200", "ts__gte" -> "2024",
+        "user__exists" -> "0"))
+    assert(fmt == "org.elasticsearch.spark.sql")
+    assert(opts("es.resource") == "logs.events")
+    assert(opts("es.query") ==
+      """{"query": {"bool": {"filter": [{"term": {"level": "warn"}}, """ +
+        """{"range": {"ts": {"gte": 2024}}}], """ +
+        """"must_not": [{"term": {"code": 200}}, {"exists": {"field": "user"}}]}}}""")
+  }
+
+  test("S2/S3 connector absent: read falls back to the parquet stand-in") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_conn").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+      .write.parquet(s"$dir/users.parquet")
+    // no mongo connector jar on this classpath → stand-in read
+    val df = Resolver.read(spark,
+      graft.spec.DatasetRef("mongodb", dir, "users"),
+      query = Seq("tag" -> "a"))
+    assert(df.count() == 2) // raw stand-in; predicates re-apply in Planner
+    // the full engine path applies the DSL on top of the fallback
+    val planned = graft.engine.Planner.plan(spark, graft.spec.JobSpec(
+      graft.spec.SourceSpec(graft.spec.DatasetRef("mongodb", dir, "users"),
+        query = Seq("tag" -> "a"))))
+    assert(planned.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
 }

@@ -172,6 +172,50 @@ class WriteOpsSpec extends SparkSpec {
     assert(graft.sources.Resolver.readParquet(spark, path).count() == 1)
   }
 
+  test("partition-scoped rewrite: untouched partition dirs stay byte-identical; emptied ones vanish") {
+    import graft.spec._
+    val dir = java.nio.file.Files.createTempDirectory("graft_psr").toString
+    val tgtPath = s"$dir/t.parquet"
+    val seed = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0), (4L, "c", 40.0))
+      .toDF("id", "part", "price")
+    WriteOps.atomicOverwrite(spark, seed, tgtPath, partitionBy = Seq("part"))
+    def dirState(p: String): Map[String, Long] = {
+      val d = new java.io.File(s"$tgtPath/part=$p")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val aBefore = dirState("a"); val cBefore = dirState("c")
+    assert(aBefore.nonEmpty && cBefore.nonEmpty)
+    Thread.sleep(1100) // cross mtime granularity
+    // upsert touching part=b (update) and part=d (new partition)
+    Seq((3L, "b", 333.0), (9L, "d", 90.0)).toDF("id", "part", "price")
+      .write.parquet(s"$dir/up.parquet")
+    graft.engine.Runner.execute(spark, JobSpec(
+      SourceSpec(DatasetRef("parquet", dir, "up")),
+      target = Some(TargetSpec(DatasetRef("parquet", dir, "t"),
+        op = WriteOp.Upsert, pk = Seq("id"), partitionBy = Seq("part"),
+        skipTimestamp = true))), log = false)
+    assert(dirState("a") == aBefore, "part=a was rewritten")
+    assert(dirState("c") == cBefore, "part=c was rewritten")
+    assert(rows(graft.sources.Resolver.readParquet(spark, tgtPath)
+      .select("id", "part", "price").orderBy("id")) == Seq(
+      Seq(1L, "a", 10.0), Seq(2L, "a", 20.0), Seq(3L, "b", 333.0),
+      Seq(4L, "c", 40.0), Seq(9L, "d", 90.0)))
+    // delete every part=a row → its dir must disappear, others untouched
+    Seq(1L, 2L).toDF("id").write.parquet(s"$dir/del.parquet")
+    val cAfter = dirState("c")
+    graft.engine.Runner.execute(spark, JobSpec(
+      SourceSpec(DatasetRef("parquet", dir, "del")),
+      target = Some(TargetSpec(DatasetRef("parquet", dir, "t"),
+        op = WriteOp.Delete, pk = Seq("id"), partitionBy = Seq("part"),
+        skipTimestamp = true))), log = false)
+    assert(dirState("a").isEmpty, "emptied part=a dir must be deleted")
+    assert(dirState("c") == cAfter)
+    assert(graft.sources.Resolver.readParquet(spark, tgtPath)
+      .select("id").as[Long].collect().toSet == Set(3L, 4L, 9L))
+  }
+
   test("update extends schema with new source columns (mongo $set)") {
     val b = Seq((2L, "x-new")).toDF("id", "extra")
     val out = WriteOps.update(target, b, Seq("id"))
