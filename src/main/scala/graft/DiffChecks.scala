@@ -153,14 +153,23 @@ object DiffChecks {
       TextAnalysis.contentDigest(col("text")).as("m5"),
       TextAnalysis.minShingleFingerprint(col("text")).as("xs"),
       array_min(transform(TextDedup.shingles(col("text"), 3),
-        sh => xxhash64(sh))).as("xs_alt")).localCheckpoint(true)
+        sh => xxhash64(sh))).as("xs_alt"),
+      // fast single-pass formulations vs their slow HOF definitions
+      md5(array_join(TextDedup.tokens(col("text")), " ")).as("m5_alt"),
+      graft.functions.TextExprs.minShingle(col("text"), 3).as("msh"),
+      array_min(TextDedup.shingles(col("text"), 3)).as("msh_alt"))
+      .localCheckpoint(true)
     val nXx = d.select("xx").distinct().count()
     val nM5 = d.select("m5").distinct().count()
     val nBoth = d.select("xx", "m5").distinct().count()
     val minMismatch = d.filter(!(col("xs") <=> col("xs_alt"))).count()
-    Check(nXx == nM5 && nM5 == nBoth && minMismatch == 0,
+    val cdMismatch = d.filter(!(col("m5") <=> col("m5_alt"))).count()
+    val mshMismatch = d.filter(!(col("msh") <=> col("msh_alt"))).count()
+    Check(nXx == nM5 && nM5 == nBoth && minMismatch == 0 &&
+        cdMismatch == 0 && mshMismatch == 0,
       s"content partitions: xx=$nXx md5=$nM5 joint=$nBoth (must be equal); " +
-        s"minshingle custom-vs-HOF mismatches=$minMismatch (must be 0)")
+        s"custom-vs-HOF mismatches: minshingle-xx=$minMismatch " +
+        s"content-digest=$cdMismatch minshingle-str=$mshMismatch (all must be 0)")
   }
 
   /** xxhash64 hash_split (the md5 method is DuckDB-checked): the three

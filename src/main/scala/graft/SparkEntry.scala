@@ -31,8 +31,14 @@ object SparkEntry {
       merger = Some(MergerSpec(ds("/root/testdata/sf0.001", "orders"),
         query = Seq("o_orderkey" -> "#l_orderkey#")))))
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One entry per implemented operator from SURVEY.md §2. ListMap:
+    * iteration order == declaration order, so bench/verify runs are
+    * reproducible across rounds (a HashMap reshuffles execution order
+    * whenever an entry is added, which moves cold-cache costs between
+    * queries and muddies round-over-round comparisons).
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    scala.collection.immutable.ListMap(
 
     // ── F1 equality filter ────────────────────────────────────────────
     "q_filter_eq" -> ((s, dir) => Planner.plan(s, JobSpec(
@@ -555,7 +561,7 @@ object SparkEntry {
          SELECT doc_id,
                 md5(array_to_string(toks, ' ')) AS content_fp,
                 CASE WHEN len(shs) > 0
-                     THEN list_aggregate(list_transform(shs, x -> md5(x)), 'min')
+                     THEN md5(list_aggregate(shs, 'min'))
                      ELSE NULL END AS minshingle_fp
          FROM sh ORDER BY doc_id""",
     "q_media_features" ->

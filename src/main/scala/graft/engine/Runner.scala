@@ -69,36 +69,50 @@ object Runner {
       case None => RunResult(job, planned.count(), 0, 1)
       case Some(t) =>
         // ONE pass over the source→merge plan: the stamped batch is
-        // checkpointed eagerly, so the bookkeeping count below is a
-        // cache read (not a second full computation, which at 100 TB
-        // was an extra full pass per job) and on self-update jobs the
-        // batch is safely materialized before the swap replaces the
-        // files it was read from. (An observe() metric can't do this
+        // materialized into a STAGING parquet dir next to the target,
+        // then read back. This (a) makes the bookkeeping count a
+        // metadata read, not a second full computation; (b) makes
+        // self-update jobs safe — the staged copy is independent of
+        // the target files the swap will replace; (c) survives
+        // executor loss, unlike localCheckpoint, whose blocks pin
+        // executor block-manager storage and die with the executor —
+        // at 100 TB the durable staging write is the only reliable
+        // materialization point. (An observe() metric can't do this
         // bookkeeping: upsert/index reference the batch subtree twice
         // in one plan, which double-fires the CollectMetrics node.)
-        val batch = (if (t.skipTimestamp) planned
-          else planned.withColumn("_etl_ts", current_timestamp()))
-          .localCheckpoint(eager = true)
-        // `written` = rows processed from the source batch this run —
-        // NOT the post-op target total (an upsert of 10 rows into a 1M
-        // table writes 10, and loop/fan-out sums must not re-count the
-        // whole table each iteration).
-        val written = batch.count()
-        val current = targetState(spark, t, batch)
-        val newState = WriteOps.applyOp(current, batch, t)
-        // No checkpoint of newState: atomicOverwrite materializes it
-        // into the temp dir BEFORE swapping, so the current target
-        // files are still in place while they are being read.
-        // Partitioned targets take the partition-scoped path when it
-        // applies — only partitions with touched pks are rewritten.
-        val scoped = WriteOps.partitionScopedRewrite(
-          spark, newState, current, batch, t, Resolver.path(t.ref))
-        if (!scoped)
-          WriteOps.atomicOverwrite(spark, newState, Resolver.path(t.ref),
-            t.partitionBy, t.maxRecordsPerFile, t.ref.backend, t.indexBy,
-            t.commitMode)
-        if (log) jobLog(spark, job, written, comment)
-        RunResult(job, written, written, 1)
+        val tgtPath = Resolver.path(t.ref)
+        val stagePath = new org.apache.hadoop.fs.Path(
+          tgtPath + "._stage_" + System.nanoTime())
+        val fs = stagePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        try {
+          (if (t.skipTimestamp) planned
+           else planned.withColumn("_etl_ts", current_timestamp()))
+            .write.parquet(stagePath.toString)
+          val batch = spark.read.parquet(stagePath.toString)
+          // `written` = rows processed from the source batch this run —
+          // NOT the post-op target total (an upsert of 10 rows into a
+          // 1M table writes 10, and loop/fan-out sums must not
+          // re-count the whole table each iteration). Counting the
+          // staged parquet is a footer-metadata read.
+          val written = batch.count()
+          val current = targetState(spark, t, batch)
+          val newState = WriteOps.applyOp(current, batch, t)
+          // No checkpoint of newState: atomicOverwrite materializes it
+          // into the temp dir BEFORE swapping, so the current target
+          // files are still in place while they are being read.
+          // Partitioned targets take the partition-scoped path when it
+          // applies — only partitions with touched pks are rewritten.
+          val scoped = WriteOps.partitionScopedRewrite(
+            spark, newState, current, batch, t, tgtPath)
+          if (!scoped)
+            WriteOps.atomicOverwrite(spark, newState, tgtPath,
+              t.partitionBy, t.maxRecordsPerFile, t.ref.backend, t.indexBy,
+              t.commitMode)
+          if (log) jobLog(spark, job, written, comment)
+          RunResult(job, written, written, 1)
+        } finally {
+          try fs.delete(stagePath, true) catch { case _: Throwable => () }
+        }
     }
   }
 
@@ -115,7 +129,19 @@ object Runner {
       new java.sql.Timestamp(System.currentTimeMillis())))
       .toDF("uid", "source", "target", "op", "written", "msg", "ts")
     val logPath = (if (t.ref.ns.isEmpty) "" else t.ref.ns + "/") + "_logs.parquet"
-    row.write.mode("append").parquet(logPath)
+    row.coalesce(1).write.mode("append").parquet(logPath)
+    // Opportunistic compaction: appending one file per job grows a
+    // busy _logs dataset into a small-files swamp; past 64 parts, fold
+    // the log into a single file (atomicOverwrite stages to a temp dir
+    // first, so the read of the old parts races nothing).
+    val p = new org.apache.hadoop.fs.Path(logPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts =
+      try fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+      catch { case _: java.io.FileNotFoundException => 0 }
+    if (parts > 64)
+      WriteOps.atomicOverwrite(spark,
+        spark.read.parquet(logPath).coalesce(1), logPath)
   }
 
   /** S7/S8 wildcard fan-out: expand `prefix*` sources, derive per-source

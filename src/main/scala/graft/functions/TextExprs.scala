@@ -165,10 +165,67 @@ object TextExprs {
       copy(child = newChild)
   }
 
+  /** The lexicographically smallest word n-gram of the lowercased
+    * `\w+` token stream, space-joined — bit-identical to
+    * `array_min(shingles(text, n))` with the tokens/transform HOF
+    * chain, in ONE pass over the string (no per-token or per-shingle
+    * interpreted lambda; the HOF formulation measured ~8 s on 5k docs,
+    * this ~0.3 s). NULL when the doc has fewer than n tokens.
+    * UTF8String binary comparison == Spark's array_min string order ==
+    * DuckDB's min over VARCHAR, so the md5-digest oracle reproduces it.
+    */
+  case class MinShingle(child: Expression, n: Int)
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    require(n >= 1, "shingle width must be >= 1")
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def prettyName: String = "min_shingle"
+
+    override def nullSafeEval(input: Any): Any = {
+      val low = input.asInstanceOf[UTF8String].toLowerCase.toString
+      val len = low.length
+      // token boundaries in one pass
+      val starts = new java.util.ArrayList[Integer]()
+      val ends = new java.util.ArrayList[Integer]()
+      var i = 0; var inTok = false
+      while (i < len) {
+        val cp = low.codePointAt(i)
+        if (cp < 128 && isWordCp(cp)) {
+          if (!inTok) { starts.add(i); inTok = true }
+        } else if (inTok) { ends.add(i); inTok = false }
+        i += Character.charCount(cp)
+      }
+      if (inTok) ends.add(len)
+      val cnt = starts.size()
+      if (cnt < n) return null
+      var best: String = null
+      val sb = new java.lang.StringBuilder(64)
+      var w = 0
+      while (w <= cnt - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(low, starts.get(w + j), ends.get(w + j))
+          j += 1
+        }
+        val cur = sb.toString
+        if (best == null || cur.compareTo(best) < 0) best = cur
+        w += 1
+      }
+      UTF8String.fromString(best)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ── Column wrappers ────────────────────────────────────────────────
   def textStatsRaw(text: Column, stopwords: Seq[String],
                    markers: Seq[(String, Seq[String])]): Column =
     ExprShim.column(TextStatsRaw(ExprShim.expression(text), stopwords, markers))
   def normalizedTokenHash(text: Column): Column =
     ExprShim.column(NormalizedTokenHash(ExprShim.expression(text)))
+  def minShingle(text: Column, n: Int): Column =
+    ExprShim.column(MinShingle(ExprShim.expression(text), n))
 }
