@@ -218,7 +218,9 @@ object DiffChecks {
       .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bytes")).toMap
     val got = r1.filter(col("media_id").isin(sample.keys.toSeq: _*))
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
-    val reMismatch = sample.count { case (id, bytes) =>
+    val reMismatch = sample.count { case (id, bytesOrNull) =>
+      // null payload is defined as all-zero features by the stub
+      val bytes = Option(bytesOrNull).getOrElse(Array.empty[Byte])
       val buckets = bytes.zipWithIndex
         .groupBy(_._2 % Multimodal.FeatureDim)
         .map { case (k, vs) => k -> vs.map(v => (v._1 & 0xff).toLong).sum }

@@ -132,16 +132,23 @@ object Runner {
     row.coalesce(1).write.mode("append").parquet(logPath)
     // Opportunistic compaction: appending one file per job grows a
     // busy _logs dataset into a small-files swamp; past 64 parts, fold
-    // the log into a single file (atomicOverwrite stages to a temp dir
-    // first, so the read of the old parts races nothing).
+    // them. Concurrent-writer safe by construction: only the files in
+    // THIS listing are folded (append) and then deleted one by one — a
+    // row appended by another process meanwhile is not in the listing
+    // and survives. A crash between the append and the deletes leaves
+    // duplicate rows, which jobStatus dedupes by uid (duplicates are
+    // recoverable; lost rows are not).
     val p = new org.apache.hadoop.fs.Path(logPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts =
-      try fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
-      catch { case _: java.io.FileNotFoundException => 0 }
-    if (parts > 64)
-      WriteOps.atomicOverwrite(spark,
-        spark.read.parquet(logPath).coalesce(1), logPath)
+      try fs.listStatus(p).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    if (parts.size > 64) {
+      spark.read.parquet(parts.map(_.toString): _*)
+        .coalesce(1).write.mode("append").parquet(logPath)
+      parts.foreach(f => try fs.delete(f, false) catch { case _: Throwable => () })
+    }
   }
 
   /** S7/S8 wildcard fan-out: expand `prefix*` sources, derive per-source
@@ -218,7 +225,10 @@ object Runner {
     */
   def jobStatus(spark: SparkSession, ns: String,
                 query: Seq[(String, String)] = Nil): DataFrame = {
+    // dropDuplicates(uid): a compaction that crashed between its
+    // append and its deletes leaves benign duplicate rows
     val logs = Resolver.read(spark, graft.spec.DatasetRef("parquet", ns, "_logs"))
+      .dropDuplicates("uid")
     val q =
       if (query.exists(p => p._1 == "uid" && p._2 == "last"))
         query.filterNot(_._1 == "uid") ++ Seq("_sort" -> "-ts", "_limit" -> "1")

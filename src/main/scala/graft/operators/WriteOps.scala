@@ -177,6 +177,18 @@ object WriteOps {
     }
   }
 
+  /** O6 "index" analog (reference builds `prf.mongo_index` commands,
+    * base.py:568-610): range-partition + sort the files by the index
+    * keys, so parquet min/max row-group stats become the index —
+    * point/range reads on those keys prune most files/row groups at
+    * scan time. The Spark-native equivalent of a b-tree on a lake.
+    * Shared by the full-rewrite and partition-scoped writers.
+    */
+  private def indexLayout(df: DataFrame, indexBy: Seq[String]): DataFrame =
+    if (indexBy.isEmpty) df
+    else df.repartitionByRange(indexBy.map(col).toIndexedSeq: _*)
+      .sortWithinPartitions(indexBy.map(col).toIndexedSeq: _*)
+
   /** Partition-scoped rewrite for partitioned targets: instead of
     * rewriting the whole dataset, overwrite ONLY the hive partitions
     * that can contain changed rows — the partitions of the batch's own
@@ -187,11 +199,20 @@ object WriteOps {
     * deleted explicitly (dynamic overwrite only replaces partitions
     * present in the written data).
     *
+    * ATOMICITY is per partition, not across partitions (the nature of
+    * in-place partition updates, as with Hive/Spark INSERT OVERWRITE):
+    * each partition swaps via the commit protocol, but a crash
+    * mid-job can leave some partitions new and some old, and the
+    * emptied-partition deletes land after the overwrite commits. Jobs
+    * needing all-or-nothing semantics use the full rewrite
+    * ([[atomicOverwrite]], which this falls back to) or the versioned
+    * commit protocol.
+    *
     * Returns false — caller falls back to [[atomicOverwrite]] — when
     * scoping doesn't apply: first write, schema change (old files
-    * would disagree with the new reader schema), versioned commit
-    * mode, or a degenerate touched-set (scoping would rewrite
-    * everything anyway).
+    * would disagree with the new reader schema), versioned layout or
+    * commit mode, non-path-stable partition value types, or a
+    * degenerate touched-set (scoping would rewrite everything anyway).
     */
   def partitionScopedRewrite(spark: SparkSession, newState: DataFrame,
                              current: DataFrame, batch: DataFrame,
@@ -201,10 +222,27 @@ object WriteOps {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hPath)) return false // first write → plain full write
+    // a dataset laid out by the versioned protocol must keep committing
+    // versions — dynamic overwrite at the dataset root would write data
+    // the version resolver never reads (silent lost update)
+    if (Versioned.list(fs, hPath).exists(_._3)) return false
     // schema extension ⇒ untouched old files would lack the new
     // columns and parquet footer-sampling reads become inconsistent
     if (newState.columns.toSeq != current.columns.toSeq) return false
     if (!pcols.forall(newState.columns.contains)) return false
+    // partition VALUES are rendered into dir paths via toString for the
+    // emptied-dir deletion; only types whose toString provably matches
+    // Spark's partition-path rendering are eligible (timestamps render
+    // differently — `00:00:00.0` vs `00%3A00%3A00` — which would make
+    // the delete miss and resurrect deleted rows)
+    val pathSafe: org.apache.spark.sql.types.DataType => Boolean = {
+      case org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.BooleanType | org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (!pcols.forall(c => pathSafe(newState.schema(c).dataType))) return false
     val pk = if (t.pk.nonEmpty) t.pk else t.skipBy
     val pCols = pcols.map(col).toIndexedSeq
     val fromBatch = align(batch, current).select(pCols: _*).distinct()
@@ -225,11 +263,7 @@ object WriteOps {
     val tv = broadcast(touchedDf.toDF(pcols.map("__t_" + _): _*))
     val cond = pcols.map(c => col(c) <=> col("__t_" + c)).reduce(_ && _)
     val scoped = newState.join(tv, cond, "left_semi").localCheckpoint(true)
-    val laid =
-      if (t.indexBy.isEmpty) scoped
-      else scoped.repartitionByRange(t.indexBy.map(col).toIndexedSeq: _*)
-        .sortWithinPartitions(t.indexBy.map(col).toIndexedSeq: _*)
-    var w = laid.write.mode("overwrite")
+    var w = indexLayout(scoped, t.indexBy).write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(pcols: _*)
     if (t.maxRecordsPerFile > 0)
@@ -294,15 +328,7 @@ object WriteOps {
                       commitMode: String = "rename"): Unit = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // O6 "index" analog (reference builds `prf.mongo_index` commands,
-    // base.py:568-610): range-partition + sort the files by the index
-    // keys, so parquet min/max row-group stats become the index —
-    // point/range reads on those keys prune most files/row groups at
-    // scan time. The Spark-native equivalent of a b-tree on a lake.
-    val laid =
-      if (indexBy.isEmpty) df
-      else df.repartitionByRange(indexBy.map(col).toIndexedSeq: _*)
-        .sortWithinPartitions(indexBy.map(col).toIndexedSeq: _*)
+    val laid = indexLayout(df, indexBy)
     def writeTo(dir: org.apache.hadoop.fs.Path): Unit = {
       var w = laid.write.mode("overwrite")
       if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
@@ -319,13 +345,28 @@ object WriteOps {
           throw e
       }
     }
-    commitMode match {
-      case "versioned" | "manifest" => // object-store-atomic commit
+    // a dataset already laid out by the versioned protocol stays
+    // versioned regardless of the flag — a rename-swap over it would
+    // put data where the version resolver never looks (lost update),
+    // exactly like un-formatting a Delta table with a CLI switch
+    val layoutVersioned = Versioned.list(fs, hPath).exists(_._3)
+    val effMode = if (layoutVersioned) "versioned" else commitMode
+    effMode match {
+      case "versioned" => // object-store-atomic commit
         fs.mkdirs(hPath)
         val before = Versioned.list(fs, hPath)
         val next = before.map(_._1).maxOption.getOrElse(0L) + 1
         val vdir = new org.apache.hadoop.fs.Path(hPath, f"_v_$next%020d")
-        writeTo(vdir)
+        try writeTo(vdir) catch {
+          case e: Throwable =>
+            // a failed FIRST write must not leave an empty dataset dir
+            // behind — targetState would see it exists, then the read
+            // of zero committed versions errors on every retry
+            if (before.isEmpty &&
+              (try fs.listStatus(hPath).isEmpty catch { case _: Throwable => false }))
+              fs.delete(hPath, true)
+            throw e
+        }
         // COMMIT POINT: one atomic object create — no reader can see a
         // half-written version (the marker lands after all data files)
         fs.create(new org.apache.hadoop.fs.Path(vdir, Versioned.Marker),

@@ -180,16 +180,15 @@ object Resolver {
     }
   }
 
-  /** True when the failure means "this data-source format isn't on the
-    * classpath" (connector jar absent) rather than a read error.
+  /** True ONLY for Spark's format-lookup failure (the connector jar is
+    * absent). Deliberately narrow: a connector that IS present but
+    * fails to initialize or read must surface its error, not silently
+    * substitute the local stand-in for the real database.
     */
-  private def missingDataSource(e: Throwable): Boolean = e match {
-    case null => false
-    case _: ClassNotFoundException => true
-    case _ =>
-      val m = Option(e.getMessage).getOrElse("")
-      m.contains("DATA_SOURCE_NOT_FOUND") || m.contains("Failed to find") ||
-        missingDataSource(e.getCause)
+  private def missingDataSource(e: Throwable): Boolean = {
+    val m = Option(e.getMessage).getOrElse("")
+    m.contains("DATA_SOURCE_NOT_FOUND") ||
+      m.contains("Failed to find the data source")
   }
 
   /** Connector format + options for a mongo/es DatasetRef, with the
@@ -198,26 +197,43 @@ object Resolver {
     * endpoints come from `GRAFT_MONGO_URI` / `GRAFT_ES_NODES` env vars
     * (the reference reads its backend endpoints from settings the same
     * way, etl_cli/base.py:158-185).
+    *
+    * Pushdown caveats (the engine re-applies every predicate, so OVER-
+    * inclusion is always safe; the mappings below avoid known UNDER-
+    * inclusion where possible): literals are typed by JSON guess —
+    * `age=30` pushes a number, so a collection storing age as the
+    * STRING "30" would be pruned server-side. That matches how the
+    * reference's query dicts behave against the same stores, but if a
+    * store mixes types in one field, set `GRAFT_CONNECTOR_PUSHDOWN=0`
+    * to disable predicate pushdown entirely (the scan still narrows by
+    * database/collection/index). `__exists=0` and negations over
+    * missing fields are never pushed — mongo/es "field absent" vs
+    * "field null" semantics differ from the engine's isNull.
     */
   def connectorOptions(ref: DatasetRef,
                        query: Seq[(String, String)] = Nil): (String, Map[String, String]) =
     ref.backend match {
       case "mongodb" | "mongo" =>
+        val push = if (pushdownEnabled) query else Nil
         ("mongodb", Map(
           "connection.uri" ->
             sys.env.getOrElse("GRAFT_MONGO_URI", "mongodb://localhost:27017"),
           "database" -> ref.ns,
           "collection" -> ref.name,
-          "aggregation.pipeline" -> mongoPipeline(query)))
+          "aggregation.pipeline" -> mongoPipeline(push)))
       case "es" | "elasticsearch" =>
+        val push = if (pushdownEnabled) query else Nil
         ("org.elasticsearch.spark.sql", Map(
           "es.nodes" -> sys.env.getOrElse("GRAFT_ES_NODES", "localhost:9200"),
           "es.resource" ->
             (if (ref.ns.isEmpty) ref.name else s"${ref.ns}.${ref.name}"),
-          "es.query" -> esQuery(query)))
+          "es.query" -> esQuery(push)))
       case other =>
         throw new IllegalArgumentException(s"not a connector backend: $other")
     }
+
+  private def pushdownEnabled: Boolean =
+    !sys.env.get("GRAFT_CONNECTOR_PUSHDOWN").contains("0")
 
   /** JSON literal: numbers/booleans unquoted, everything else escaped.
     * (Connector pushdown is schemaless at this point — the engine
@@ -245,8 +261,10 @@ object Resolver {
           Some(s"""{"$$$op": ${jsonVal(v)}}""")
         case "in" | "nin" =>
           Some(s"""{"$$$op": [${v.split(",").map(x => jsonVal(x.trim)).mkString(", ")}]}""")
-        case "exists" =>
-          Some(s"""{"$$exists": ${v != "0" && !v.equalsIgnoreCase("false")}}""")
+        case "exists" if v != "0" && !v.equalsIgnoreCase("false") =>
+          // only the POSITIVE direction is pushed: mongo's $exists:false
+          // excludes explicit-null fields the engine's isNull keeps
+          Some(s"""{"$$exists": true}""")
         case "regex" => Some(s"""{"$$regex": ${jsonVal(v)}}""")
         case "between" => v.split(",", 2) match {
           case Array(lo, hi) =>
@@ -278,10 +296,10 @@ object Resolver {
           s"""{"terms": {"$f": [${v.split(",").map(x => jsonVal(x.trim)).mkString(", ")}]}}"""
         case "nin" => mustNot :+=
           s"""{"terms": {"$f": [${v.split(",").map(x => jsonVal(x.trim)).mkString(", ")}]}}"""
-        case "exists" =>
-          if (v != "0" && !v.equalsIgnoreCase("false"))
-            filters :+= s"""{"exists": {"field": "$f"}}"""
-          else mustNot :+= s"""{"exists": {"field": "$f"}}"""
+        case "exists" if v != "0" && !v.equalsIgnoreCase("false") =>
+          // positive direction only — es "missing" vs engine isNull
+          // semantics diverge on explicit nulls
+          filters :+= s"""{"exists": {"field": "$f"}}"""
         case "between" => v.split(",", 2) match {
           case Array(lo, hi) => filters :+=
             s"""{"range": {"$f": {"gte": ${jsonVal(lo.trim)}, "lte": ${jsonVal(hi.trim)}}}}"""
@@ -325,14 +343,31 @@ object Resolver {
       .map(n => ref.copy(name = n))
   }
 
+  /** The backends whose ns is a filesystem directory. Listing/dropping
+    * for connector backends (mongo/es) would silently operate on LOCAL
+    * paths that happen to share the database's name — worst case
+    * recursively deleting an unrelated directory — so every ns-level
+    * op requires a file-backed ref.
+    */
+  private val FileBackends = Set("parquet", "csv", "json")
+
+  private def requireFileBackend(backend: String, op: String): Unit =
+    require(FileBackends.contains(backend),
+      s"$op supports file-backed backends (${FileBackends.mkString("/")}) " +
+        s"only, got: $backend — connector namespaces live in the database, " +
+        "not on this filesystem")
+
   /** S9: list dataset names in a namespace (reference: `ls_ns`,
     * etl_cli/base.py:541-561).
     */
-  def listDatasets(spark: SparkSession, backend: String, ns: String): Seq[String] =
+  def listDatasets(spark: SparkSession, backend: String, ns: String): Seq[String] = {
+    requireFileBackend(backend, "--lsflat")
     expandWildcard(spark, DatasetRef(backend, ns, "*")).map(_.name)
+  }
 
   /** S10: drop a dataset (reference: `drop_ds`, etl_cli/base.py:506-519). */
   def drop(spark: SparkSession, ref: DatasetRef): Boolean = {
+    requireFileBackend(ref.backend, "--drop")
     val p = new org.apache.hadoop.fs.Path(path(ref))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
@@ -340,6 +375,7 @@ object Resolver {
 
   /** S10: drop a whole namespace (`--drop-ns`, etl_cli/base.py:114-115). */
   def dropNamespace(spark: SparkSession, backend: String, ns: String): Boolean = {
+    requireFileBackend(backend, "--drop-ns")
     val p = new org.apache.hadoop.fs.Path(ns)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)

@@ -160,6 +160,31 @@ class RunnerSpec extends SparkSpec {
     assert(logs.count() == 1 && logs.select("op").as[String].head() == "create")
   }
 
+  test("job-log compaction folds small files without losing concurrent appends") {
+    val dir = Files.createTempDirectory("graft_logc").toString
+    val logPath = s"$dir/_logs.parquet"
+    // simulate 70 prior jobs' one-file appends
+    import spark.implicits._
+    (1 to 70).foreach { i =>
+      Seq((s"uid-$i", "s", "t", "create", 1L, "", new java.sql.Timestamp(i.toLong)))
+        .toDF("uid", "source", "target", "op", "written", "msg", "ts")
+        .coalesce(1).write.mode("append").parquet(logPath)
+    }
+    // one real job in the same ns triggers the compaction
+    val job = JobSpec(
+      SourceSpec(DatasetRef("parquet", "/root/testdata/sf0.001", "region")),
+      target = Some(TargetSpec(DatasetRef("parquet", dir, "r2"), op = WriteOp.Create)))
+    Runner.execute(spark, job)
+    val logs = spark.read.parquet(logPath)
+    assert(logs.count() == 71, "compaction lost log rows")
+    assert(logs.select("uid").distinct().count() == 71)
+    val partFiles = new java.io.File(logPath).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(partFiles <= 4, s"expected folded log, still $partFiles part files")
+    // jobStatus still answers over the compacted log
+    assert(Runner.jobStatus(spark, dir, Seq("uid" -> "last")).count() == 1)
+  }
+
   test("O4 fixpoint loop terminates and processes all pending rows") {
     val dir = Files.createTempDirectory("graft_loop").toString
     sf("events").limit(50).write.parquet(s"$dir/ev.parquet")

@@ -140,13 +140,13 @@ class SourcesSpec extends SparkSpec {
     val (fmt, opts) = Resolver.connectorOptions(
       graft.spec.DatasetRef("es", "logs", "events"),
       Seq("level" -> "warn", "code__ne" -> "200", "ts__gte" -> "2024",
-        "user__exists" -> "0"))
+        "user__exists" -> "0")) // exists=0 must NOT push (null-vs-missing)
     assert(fmt == "org.elasticsearch.spark.sql")
     assert(opts("es.resource") == "logs.events")
     assert(opts("es.query") ==
       """{"query": {"bool": {"filter": [{"term": {"level": "warn"}}, """ +
         """{"range": {"ts": {"gte": 2024}}}], """ +
-        """"must_not": [{"term": {"code": 200}}, {"exists": {"field": "user"}}]}}}""")
+        """"must_not": [{"term": {"code": 200}}]}}}""")
   }
 
   test("S2/S3 connector absent: read falls back to the parquet stand-in") {

@@ -216,6 +216,49 @@ class WriteOpsSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet == Set(3L, 4L, 9L))
   }
 
+  test("versioned layout is sticky: a later rename-mode write still commits a version") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vst").toString
+    val path = s"$dir/t.parquet"
+    WriteOps.atomicOverwrite(spark, Seq((1L, "v1")).toDF("id", "tag"),
+      path, commitMode = "versioned")
+    // default rename mode against the versioned dataset must NOT write
+    // to the dataset root (the resolver would never see it)
+    WriteOps.atomicOverwrite(spark, Seq((1L, "v2")).toDF("id", "tag"), path)
+    assert(graft.sources.Resolver.readParquet(spark, path)
+      .select("tag").as[String].head() == "v2")
+    assert(new java.io.File(path).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("_v_")) == 2)
+  }
+
+  test("partition-scoped rewrite declines timestamp partition columns (path rendering)") {
+    import graft.spec._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pts").toString
+    val path = s"$dir/t.parquet"
+    val seed = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+      .toDF("id", "ts", "v")
+    WriteOps.atomicOverwrite(spark, seed, path, partitionBy = Seq("ts"))
+    val t = TargetSpec(DatasetRef("parquet", dir, "t"), op = WriteOp.Upsert,
+      pk = Seq("id"), partitionBy = Seq("ts"), skipTimestamp = true)
+    val cur = graft.sources.Resolver.readParquet(spark, path)
+    val batch = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 2.0))
+      .toDF("id", "ts", "v")
+    assert(!WriteOps.partitionScopedRewrite(spark,
+      WriteOps.upsert(cur, batch, Seq("id")), cur, batch, t, path))
+  }
+
+  test("ns ops refuse connector backends (would hit local paths, not the database)") {
+    intercept[IllegalArgumentException] {
+      graft.sources.Resolver.drop(spark,
+        graft.spec.DatasetRef("mongodb", "appdb", "users"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.Resolver.dropNamespace(spark, "es", "logs")
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.Resolver.listDatasets(spark, "mongodb", "appdb")
+    }
+  }
+
   test("update extends schema with new source columns (mongo $set)") {
     val b = Seq((2L, "x-new")).toDF("id", "extra")
     val out = WriteOps.update(target, b, Seq("id"))
