@@ -11,7 +11,9 @@ object PlanAudit {
     for (name <- Seq("q_filter_ops", "q_fields_excl", "q_merge_left", "q_merge_anti",
       "q1_agg", "q_sort_limit", "q_dedup_jaccard", "q_dedup_minhash",
       "q_dedup_corpus", "q_ann_topk", "q_ann_ivf", "q_embed_lsh",
-      "q_corpus_prep", "q_vocab_topk", "q_asof")) {
+      "q_corpus_prep", "q_vocab_topk", "q_asof",
+      "q_fingerprint", "q_split_sizes", "q_group_pctl_approx",
+      "q_ann_lsh_topk", "q_dedup_simhash")) {
       val df = SparkEntry.queries(name)(spark, dir)
       // execute first: under AQE the pre-execution plan prints
       // isFinalPlan=false with no WholeStageCodegen spans — only the

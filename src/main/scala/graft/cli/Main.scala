@@ -341,6 +341,16 @@ object Main {
       // keep the resolver's addressing (<ns>/<name>.parquet directory)
       // so the streamed target is readable as a normal dataset ref
       val tgtPath = Resolver.path(t.ref)
+      // a versioned-layout target would swallow streamed appends (the
+      // resolver reads only the committed _v_ dir) — reject loudly
+      val tgtHPath = new org.apache.hadoop.fs.Path(tgtPath)
+      val tgtFs = tgtHPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (graft.operators.Versioned.list(tgtFs, tgtHPath).exists(_._3))
+        throw CliError("--stream appends to the dataset dir and cannot " +
+          "target a versioned-commit dataset (its reads resolve to the " +
+          "committed _v_ snapshot, not appended files)")
+      if (t.commitMode == "versioned")
+        throw CliError("--stream does not support --commit versioned")
       graft.streaming.StreamRunner.runAvailableNow(spark,
         graft.streaming.StreamRunner.readStream(spark, job.source.ref),
         df => {
