@@ -85,6 +85,7 @@ object Main {
     var failOnError = envDefault("--fail-on-error").forall(asBool)
     var jobPoll: Option[String] = None; var jq = Vector.empty[(String, String)]
     var workers: Option[Int] = None; var contid: Option[String] = None
+    var cron: Option[String] = None
     var noCount = false; var info: Option[String] = None
     var diff: Option[String] = None; var diffContext = ""
     var msg: Option[String] = None
@@ -142,6 +143,10 @@ object Main {
       case "--mrules-scm" => once("--mrules-scm"); mrulesScm = next("--mrules-scm")
       case "--workers" => once("--workers"); workers = Some(next("--workers").toInt)
       case "--contid" => once("--contid"); contid = Some(next("--contid"))
+      // O5 cron passthrough (reference base.py:134,276): the expression
+      // is recorded in the job spec/log for an external scheduler —
+      // neither the reference nor this engine runs a timer.
+      case "--cron" => once("--cron"); cron = Some(next("--cron"))
       case "--dry" => dry = true
       case "--drop" => drop = true
       case "-y" | "--silent" => silent = true // MUTABLE_OPS: silent
@@ -225,7 +230,7 @@ object Main {
     val job = JobSpec(
       SourceSpec(DatasetRef.parse(srcUri), q, TransformStage.parseChain(str)),
       merger = mergerSpec, target = targetSpec,
-      workers = workers, dryRun = dry, contid = contid,
+      workers = workers, dryRun = dry, contid = contid, cron = cron,
       failOnError = failOnError) // job-wide too: holds for target-less jobs
     (job, Opts(drop = drop, dry = dry, count = count, stream = stream,
       jobPoll = jobPoll, jq = jq, silent = silent,
@@ -426,6 +431,7 @@ object Main {
       if (opts.drop) Some("DROP") else None).flatten
     if (mode.nonEmpty) println(s"MODE: ${mode.mkString(" ")}")
     opts.info.foreach(i => println(s"INFO: $i"))
+    job.cron.foreach(c => println(s"CRON: $c (recorded for an external scheduler)"))
     val total =
       if (opts.noCount || job.source.ref.name.contains("*")) None
       else Some(Runner.count(spark, job.source, job.effectiveFailOnError))
@@ -464,6 +470,8 @@ object Main {
       |               difference between the filtered source and OTHER_DS)
       |transformers   --str CHAIN   (chain: name:arg1;arg2,name2,...)
       |run            --workers N  --contid ID  --dry  --drop  --count
+      |               --cron EXPR (recorded in the job spec/log for an
+      |               external scheduler; no in-engine timer)
       |               --no-count (skip the pre-run source total)
       |               --info MSG (annotate the pre-run summary)
       |               --fail-on-error BOOL (true: first malformed record

@@ -126,8 +126,9 @@ object Runner {
     val row = Seq((java.util.UUID.randomUUID().toString,
       job.source.ref.uri, t.ref.uri, t.op.name, written,
       comment.getOrElse(""), // --msg (reference `comment`, base.py:273)
+      job.cron.getOrElse(""), // O5 --cron passthrough (base.py:134,276)
       new java.sql.Timestamp(System.currentTimeMillis())))
-      .toDF("uid", "source", "target", "op", "written", "msg", "ts")
+      .toDF("uid", "source", "target", "op", "written", "msg", "cron", "ts")
     val logPath = (if (t.ref.ns.isEmpty) "" else t.ref.ns + "/") + "_logs.parquet"
     row.coalesce(1).write.mode("append").parquet(logPath)
     // Opportunistic compaction: appending one file per job grows a

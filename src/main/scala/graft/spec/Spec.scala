@@ -147,6 +147,11 @@ final case class JobSpec(
     workers: Option[Int] = None,   // O2: parallelism hint → repartition
     dryRun: Boolean = false,
     contid: Option[String] = None, // O4 continuation loop id
+    cron: Option[String] = None,   // O5: schedule expression, RECORDED
+                                   // for an external scheduler (the
+                                   // reference also only passes it
+                                   // through, base.py:134,276 — no
+                                   // in-engine timer)
     failOnError: Boolean = true) { // W14 — job-wide read policy; also
                                    // mirrored on TargetSpec (reference
                                    // stores it under target.*)

@@ -88,6 +88,15 @@ class CliSpec extends AnyFunSuite {
     assert(job2.target.exists(_.failOnError) && opts2.silent)
   }
 
+  test("O5 --cron records the schedule expression on the job spec") {
+    val (job, _) = parse("-s", "parquet/a/b", "-t", "parquet/c/d",
+      "--cron", "0 3 * * *")
+    assert(job.cron.contains("0 3 * * *"))
+    intercept[Main.CliError] {
+      parse("-s", "parquet/a/b", "--cron", "x", "--cron", "y")
+    }
+  }
+
   test("O10 --no-count and --info parse into opts") {
     val (_, opts) = parse("-s", "parquet/a/b", "--no-count", "--info", "backfill")
     assert(opts.noCount && opts.info.contains("backfill"))

@@ -166,8 +166,8 @@ class RunnerSpec extends SparkSpec {
     // simulate 70 prior jobs' one-file appends
     import spark.implicits._
     (1 to 70).foreach { i =>
-      Seq((s"uid-$i", "s", "t", "create", 1L, "", new java.sql.Timestamp(i.toLong)))
-        .toDF("uid", "source", "target", "op", "written", "msg", "ts")
+      Seq((s"uid-$i", "s", "t", "create", 1L, "", "", new java.sql.Timestamp(i.toLong)))
+        .toDF("uid", "source", "target", "op", "written", "msg", "cron", "ts")
         .coalesce(1).write.mode("append").parquet(logPath)
     }
     // one real job in the same ns triggers the compaction
