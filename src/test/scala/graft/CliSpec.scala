@@ -88,6 +88,17 @@ class CliSpec extends AnyFunSuite {
     assert(job2.target.exists(_.failOnError) && opts2.silent)
   }
 
+  test("--commit parses rename|versioned and rejects anything else") {
+    val (j1, _) = parse("-s", "parquet/a/b", "-t", "parquet/c/d",
+      "--commit", "versioned")
+    assert(j1.target.get.commitMode == "versioned")
+    val (j2, _) = parse("-s", "parquet/a/b", "-t", "parquet/c/d")
+    assert(j2.target.get.commitMode == "rename")
+    intercept[Main.CliError] {
+      parse("-s", "parquet/a/b", "-t", "parquet/c/d", "--commit", "manifest")
+    }
+  }
+
   test("O5 --cron records the schedule expression on the job spec") {
     val (job, _) = parse("-s", "parquet/a/b", "-t", "parquet/c/d",
       "--cron", "0 3 * * *")

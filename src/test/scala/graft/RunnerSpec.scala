@@ -143,6 +143,33 @@ class RunnerSpec extends SparkSpec {
       run("-s", "parquet//root/testdata/sf0.001/events",
         "-t", "csv//tmp/graft_stream_rej/out", "--stream")
     }
+    // versioned commit mode / versioned-layout target: streamed
+    // appends would be invisible to the version resolver
+    intercept[Main.CliError] { run(base ++ Seq("--commit", "versioned"): _*) }
+    val vdir = Files.createTempDirectory("graft_stream_v").toString
+    graft.operators.WriteOps.atomicOverwrite(spark,
+      sf("region"), s"$vdir/out.parquet", commitMode = "versioned")
+    intercept[Main.CliError] {
+      run("-s", "parquet//root/testdata/sf0.001/events",
+        "-t", s"parquet/$vdir/out", "--stream")
+    }
+  }
+
+  test("versioned commit end-to-end through Runner.execute") {
+    val dir = Files.createTempDirectory("graft_vexe").toString
+    val t = TargetSpec(DatasetRef("parquet", dir, "r"), op = WriteOp.Create,
+      commitMode = "versioned", skipTimestamp = true)
+    val job = JobSpec(
+      SourceSpec(DatasetRef("parquet", "/root/testdata/sf0.001", "region")), target = Some(t))
+    Runner.execute(spark, job, log = false)
+    // second run: upsert through the SAME versioned protocol
+    Runner.execute(spark, JobSpec(
+      SourceSpec(DatasetRef("parquet", "/root/testdata/sf0.001", "region")),
+      target = Some(t.copy(op = WriteOp.Upsert, pk = Seq("r_regionkey")))), log = false)
+    val out = graft.sources.Resolver.readParquet(spark, s"$dir/r.parquet")
+    assert(out.count() == 5)
+    assert(new java.io.File(s"$dir/r.parquet").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("_v_")) == 2)
   }
 
   test("execute writes a target atomically and logs the job") {
