@@ -84,6 +84,10 @@ object Runner {
         val stagePath = new org.apache.hadoop.fs.Path(
           tgtPath + "._stage_" + System.nanoTime())
         val fs = stagePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // sweep stale staging/temp dirs a crashed prior run left next
+        // to the target (single-writer model: anything matching is
+        // dead weight — at scale each orphan is a full batch copy)
+        sweepStale(fs, tgtPath)
         try {
           (if (t.skipTimestamp) planned
            else planned.withColumn("_etl_ts", current_timestamp()))
@@ -116,6 +120,21 @@ object Runner {
     }
   }
 
+  /** Delete `._stage_*` / `._tmp_*` siblings a crashed run stranded
+    * next to the target (each holds a full batch/rewrite copy).
+    */
+  private def sweepStale(fs: org.apache.hadoop.fs.FileSystem,
+                         tgtPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(tgtPath)
+    val parent = p.getParent
+    val name = p.getName
+    try fs.listStatus(parent).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith(name + "._stage_") || n.startsWith(name + "._tmp_"))
+        try fs.delete(s.getPath, true) catch { case _: Throwable => () }
+    } catch { case _: Throwable => () } // sweep is best-effort
+  }
+
   /** W13: append a job-metrics record to `<target ns>/_logs.parquet`
     * (reference: log dataset `logs.<target-slug>`, etl_cli/base.py:260-265).
     */
@@ -145,10 +164,20 @@ object Runner {
       try fs.listStatus(p).toSeq.map(_.getPath)
         .filter(_.getName.endsWith(".parquet"))
       catch { case _: java.io.FileNotFoundException => Seq.empty }
-    if (parts.size > 64) {
-      spark.read.parquet(parts.map(_.toString): _*)
+    if (parts.size > 64) try {
+      // mergeSchema: older log files may predate newer columns (e.g.
+      // `cron`); sampling one old footer would silently drop them from
+      // the fold and erase the values for good
+      spark.read.option("mergeSchema", "true")
+        .parquet(parts.map(_.toString): _*)
         .coalesce(1).write.mode("append").parquet(logPath)
       parts.foreach(f => try fs.delete(f, false) catch { case _: Throwable => () })
+    } catch {
+      // compaction is OPPORTUNISTIC: losing a race with a concurrent
+      // compactor/reader must never fail a job whose target write
+      // already committed — the next job simply retries the fold
+      case e: Throwable =>
+        System.err.println(s"[graft] log compaction skipped: ${e.getMessage}")
     }
   }
 
@@ -227,8 +256,10 @@ object Runner {
   def jobStatus(spark: SparkSession, ns: String,
                 query: Seq[(String, String)] = Nil): DataFrame = {
     // dropDuplicates(uid): a compaction that crashed between its
-    // append and its deletes leaves benign duplicate rows
-    val logs = Resolver.read(spark, graft.spec.DatasetRef("parquet", ns, "_logs"))
+    // append and its deletes leaves benign duplicate rows.
+    // mergeSchema: files may predate newer log columns (e.g. `cron`).
+    val logs = spark.read.option("mergeSchema", "true")
+      .parquet((if (ns.isEmpty) "" else ns + "/") + "_logs.parquet")
       .dropDuplicates("uid")
     val q =
       if (query.exists(p => p._1 == "uid" && p._2 == "last"))

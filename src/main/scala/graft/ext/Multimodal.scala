@@ -80,14 +80,20 @@ object Multimodal {
   /** Magic-byte signatures of the formats the JDK's ImageIO ships
     * readers for — checked BEFORE touching ImageIO, because the
     * reader-registry scan + stream wrapper cost ~0.1 ms per call and
-    * at corpus scale most blobs are not images.
+    * at corpus scale most blobs are not images. (WBMP is the one JDK
+    * reader deliberately NOT pre-matched: its "magic" is 0x00 0x00,
+    * which matches arbitrary binary and would defeat the filter.)
     */
   private def looksLikeImage(b: Array[Byte]): Boolean =
     b.length >= 4 && (
       (b(0) == 0x89.toByte && b(1) == 'P'.toByte) ||        // png
       (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||       // jpeg
       (b(0) == 'G'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte) || // gif
-      (b(0) == 'B'.toByte && b(1) == 'M'.toByte))           // bmp
+      (b(0) == 'B'.toByte && b(1) == 'M'.toByte) ||         // bmp
+      (b(0) == 'I'.toByte && b(1) == 'I'.toByte && b(2) == 0x2A.toByte &&
+        b(3) == 0x00.toByte) ||                             // tiff LE
+      (b(0) == 'M'.toByte && b(1) == 'M'.toByte && b(2) == 0x00.toByte &&
+        b(3) == 0x2A.toByte))                               // tiff BE
 
   def decodeImage(bytes: Array[Byte]): Option[(String, Int, Int, Array[Float])] = {
     if (bytes == null || bytes.length < 8 || !looksLikeImage(bytes)) return None

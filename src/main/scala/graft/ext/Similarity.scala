@@ -118,9 +118,12 @@ object Similarity {
       .filter(col("q.id") =!= col("c.id"))
       .select(col("q.id").as(qId), col("c.id").as(cId))
       .distinct()
+    // dropDuplicates(id) on the join-back sides: a corpus carrying the
+    // same id twice would re-multiply each deduped candidate into two
+    // scored rows (double-filling top-k ranks)
     val scored = cand
-      .join(broadcast(queries.select(col(qId), col(qVec))), qId)
-      .join(corpus.select(col(cId), col(cVec)), cId)
+      .join(broadcast(queries.select(col(qId), col(qVec)).dropDuplicates(qId)), qId)
+      .join(corpus.select(col(cId), col(cVec)).dropDuplicates(cId), cId)
       .withColumn("sim", cosine(col(qVec), col(cVec)))
     val w = Window.partitionBy(qId).orderBy(col("sim").desc, col(cId).asc)
     scored.withColumn("rank", row_number().over(w))
@@ -166,7 +169,9 @@ object Similarity {
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    val vecs = df.select(col(id).as("id"), col(vec).as("v"))
+    // dropDuplicates(id): duplicate corpus ids must not re-multiply a
+    // deduped candidate pair into duplicate output rows
+    val vecs = df.select(col(id).as("id"), col(vec).as("v")).dropDuplicates("id")
     cand
       .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")

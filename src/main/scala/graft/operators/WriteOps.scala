@@ -349,8 +349,13 @@ object WriteOps {
     // versioned regardless of the flag — a rename-swap over it would
     // put data where the version resolver never looks (lost update),
     // exactly like un-formatting a Delta table with a CLI switch
+    require(commitMode == "rename" || commitMode == "versioned" ||
+      commitMode == "manifest", // legacy alias for versioned
+      s"unknown commitMode: $commitMode (rename|versioned) — an " +
+        "unrecognized mode must never silently downgrade atomicity")
     val layoutVersioned = Versioned.list(fs, hPath).exists(_._3)
-    val effMode = if (layoutVersioned) "versioned" else commitMode
+    val effMode =
+      if (layoutVersioned || commitMode == "manifest") "versioned" else commitMode
     effMode match {
       case "versioned" => // object-store-atomic commit
         fs.mkdirs(hPath)

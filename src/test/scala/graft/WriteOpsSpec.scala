@@ -259,6 +259,44 @@ class WriteOpsSpec extends SparkSpec {
     }
   }
 
+  test("property: partition-scoped result == full-rewrite result across ops") {
+    import graft.spec._
+    val rnd = new scala.util.Random(7) // deterministic
+    for (op <- Seq(WriteOp.Upsert, WriteOp.Delete, WriteOp.Insert, WriteOp.Update);
+         trial <- 1 to 2) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_psp").toString
+      val parts = Seq("a", "b", "c", "d")
+      def randRows(n: Int, idBase: Int) = (1 to n).map { i =>
+        (idBase + rnd.nextInt(30).toLong, parts(rnd.nextInt(parts.size)),
+          rnd.nextInt(100).toDouble)
+      }
+      val seed = randRows(25, 0).distinctBy(_._1).toDF("id", "part", "v")
+      val batch = randRows(8, if (op == WriteOp.Insert) 20 else 0)
+        .distinctBy(_._1).toDF("id", "part", "v")
+      // scoped path: seed, then apply op through Runner's write path
+      val scopedPath = s"$dir/scoped.parquet"
+      WriteOps.atomicOverwrite(spark, seed, scopedPath, partitionBy = Seq("part"))
+      val t = TargetSpec(DatasetRef("parquet", dir, "scoped"), op = op,
+        pk = Seq("id"), partitionBy = Seq("part"), skipTimestamp = true)
+      val cur = graft.sources.Resolver.readParquet(spark, scopedPath)
+      val newState = WriteOps.applyOp(cur, batch, t)
+      val used = WriteOps.partitionScopedRewrite(spark, newState, cur, batch,
+        t, scopedPath)
+      assert(used, s"scoped path unexpectedly declined for $op trial $trial")
+      // reference path: same op, plain full rewrite
+      val fullPath = s"$dir/full.parquet"
+      WriteOps.atomicOverwrite(spark, seed, fullPath, partitionBy = Seq("part"))
+      val cur2 = graft.sources.Resolver.readParquet(spark, fullPath)
+      WriteOps.atomicOverwrite(spark, WriteOps.applyOp(cur2, batch, t),
+        fullPath, partitionBy = Seq("part"))
+      val a = rows(graft.sources.Resolver.readParquet(spark, scopedPath)
+        .select("id", "part", "v").orderBy("id"))
+      val b = rows(graft.sources.Resolver.readParquet(spark, fullPath)
+        .select("id", "part", "v").orderBy("id"))
+      assert(a == b, s"scoped != full for $op trial $trial")
+    }
+  }
+
   test("update extends schema with new source columns (mongo $set)") {
     val b = Seq((2L, "x-new")).toDF("id", "extra")
     val out = WriteOps.update(target, b, Seq("id"))
