@@ -118,13 +118,15 @@ object Similarity {
       .filter(col("q.id") =!= col("c.id"))
       .select(col("q.id").as(qId), col("c.id").as(cId))
       .distinct()
-    // dropDuplicates(id) on the join-back sides: a corpus carrying the
-    // same id twice would re-multiply each deduped candidate into two
-    // scored rows (double-filling top-k ranks)
+    // duplicate ids on a join-back side would re-multiply a deduped
+    // candidate into several scored rows (double-filling top-k ranks);
+    // dedup the SMALL scored set on the pair key — deduping the corpus
+    // side instead would shuffle every vector payload
     val scored = cand
-      .join(broadcast(queries.select(col(qId), col(qVec)).dropDuplicates(qId)), qId)
-      .join(corpus.select(col(cId), col(cVec)).dropDuplicates(cId), cId)
+      .join(broadcast(queries.select(col(qId), col(qVec))), qId)
+      .join(corpus.select(col(cId), col(cVec)), cId)
       .withColumn("sim", cosine(col(qVec), col(cVec)))
+      .dropDuplicates(qId, cId)
     val w = Window.partitionBy(qId).orderBy(col("sim").desc, col(cId).asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -169,14 +171,16 @@ object Similarity {
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    // dropDuplicates(id): duplicate corpus ids must not re-multiply a
-    // deduped candidate pair into duplicate output rows
-    val vecs = df.select(col(id).as("id"), col(vec).as("v")).dropDuplicates("id")
+    val vecs = df.select(col(id).as("id"), col(vec).as("v"))
     cand
       .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
       .withColumn("sim", cosine(col("va"), col("vb")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+      // duplicate corpus ids must not re-multiply a deduped candidate
+      // pair into duplicate rows; dedup the small PAIR set, not the
+      // corpus (that would shuffle every vector payload)
+      .dropDuplicates("id_a", "id_b")
   }
 }
