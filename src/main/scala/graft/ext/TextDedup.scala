@@ -25,11 +25,19 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
-  /** `\W+`-tokenize (lowercased, trimmed) — mirrors DuckDB
+  /** `\W+`-tokenize (lowercased) — mirrors DuckDB
     * `string_split_regex(lower(trim(x)), '\W+')` so oracle SQL can
-    * reproduce results exactly.
+    * reproduce results exactly. Single-pass custom expression; the HOF
+    * formulation ([[tokensHof]], kept for the equivalence spec) pays
+    * an interpreted filter lambda per token.
     */
   def tokens(text: Column): Column =
+    graft.functions.TextExprs.wordTokens(text)
+
+  /** The built-in-HOF definition of [[tokens]] — the equivalence spec
+    * asserts the two agree on every row.
+    */
+  def tokensHof(text: Column): Column =
     filter(split(lower(trim(text)), "\\W+"), t => t =!= "")
 
   /** Distinct word n-gram shingles as an array column (empty if the doc

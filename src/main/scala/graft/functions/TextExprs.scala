@@ -165,6 +165,40 @@ object TextExprs {
       copy(child = newChild)
   }
 
+  /** Lowercased `\w+` tokens as an array — bit-identical to
+    * `filter(split(lower(trim(text)), "\\W+"), t => t =!= "")` (the HOF
+    * chain evaluates its filter lambda interpreted per token; this is
+    * one pass per row). Backs [[graft.ext.TextDedup.tokens]], so every
+    * shingle/vocab/simhash pipeline tokenizes at scan speed.
+    */
+  case class Tokens(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "word_tokens"
+
+    override def nullSafeEval(input: Any): Any = {
+      val low = input.asInstanceOf[UTF8String].toLowerCase.toString
+      val len = low.length
+      val out = new java.util.ArrayList[UTF8String]()
+      var i = 0; var start = -1
+      while (i < len) {
+        val cp = low.codePointAt(i)
+        if (cp < 128 && isWordCp(cp)) {
+          if (start < 0) start = i
+        } else if (start >= 0) {
+          out.add(UTF8String.fromString(low.substring(start, i))); start = -1
+        }
+        i += Character.charCount(cp)
+      }
+      if (start >= 0) out.add(UTF8String.fromString(low.substring(start)))
+      new GenericArrayData(out.toArray)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** The lexicographically smallest word n-gram of the lowercased
     * `\w+` token stream, space-joined — bit-identical to
     * `array_min(shingles(text, n))` with the tokens/transform HOF
@@ -228,4 +262,6 @@ object TextExprs {
     ExprShim.column(NormalizedTokenHash(ExprShim.expression(text)))
   def minShingle(text: Column, n: Int): Column =
     ExprShim.column(MinShingle(ExprShim.expression(text), n))
+  def wordTokens(text: Column): Column =
+    ExprShim.column(Tokens(ExprShim.expression(text)))
 }

@@ -219,11 +219,29 @@ class ExtSpec extends SparkSpec {
     viaExpr.zip(viaHof).zipWithIndex.foreach { case ((e, h), i) =>
       assert(e == h, s"case ${cases(i)}: expr=$e hof=$h")
     }
-    // fingerprints too
+    // fingerprints too — against the genuinely-HOF tokenizer
     val fpExpr = df.select(contentFingerprint(t)).as[Long].collect().toSeq
     val fpHof = df.select(
-      xxhash64(array_join(graft.ext.TextDedup.tokens(t), " "))).as[Long].collect().toSeq
+      xxhash64(array_join(graft.ext.TextDedup.tokensHof(t), " "))).as[Long].collect().toSeq
     assert(fpExpr == fpHof)
+    // single-pass tokenizer ≡ the filter/split HOF chain, per row
+    val tokMismatch = df.filter(
+      !(graft.ext.TextDedup.tokens(t) <=> graft.ext.TextDedup.tokensHof(t))).count()
+    assert(tokMismatch == 0)
+    // min-shingle expression ≡ array_min over HOF shingles (tokensHof-based)
+    val shHof = array_min(array_distinct(
+      when(size(graft.ext.TextDedup.tokensHof(t)) >= 3,
+        transform(sequence(lit(0), size(graft.ext.TextDedup.tokensHof(t)) - 3),
+          i => concat_ws(" ", slice(graft.ext.TextDedup.tokensHof(t), i + 1, lit(3)))))
+        .otherwise(array())))
+    val mshMismatch = df.filter(
+      !(graft.functions.TextExprs.minShingle(t, 3) <=> shHof)).count()
+    assert(mshMismatch == 0)
+    // content digest regexp formulation ≡ md5 of HOF token join
+    val cdMismatch = df.filter(
+      !(contentDigest(t) <=> md5(array_join(graft.ext.TextDedup.tokensHof(t), " "))))
+      .count()
+    assert(cdMismatch == 0)
   }
 
   test("vocabulary: token counts and doc frequency") {
