@@ -239,6 +239,16 @@ object SparkEntry {
       graft.ext.TextDedup.dedupCorpus(read(s, dir, "documents"),
         "doc_id", "text", n = 3, threshold = 0.8).orderBy("doc_id")),
 
+    // ── [EXT] §2.10 benchmark decontamination: drop corpus docs that
+    // share 5-gram shingles with the (broadcast) benchmark set ────────
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      graft.ext.TextDedup.decontaminate(
+        docs.filter(col("doc_id") >= 20),
+        docs.filter(col("doc_id") < 20), "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    }),
+
     // ── [EXT] §2.10 SimHash near-dup pairs (hash-based; rows-only) ────
     "q_dedup_simhash" -> ((s, dir) =>
       graft.ext.TextDedup.simhashPairs(read(s, dir, "documents"),
@@ -502,6 +512,31 @@ object SparkEntry {
            FROM documents)
          WHERE rn = 1 ORDER BY doc_id""",
     "q_dedup_jaccard" -> JaccardOracle,
+    // decontamination: corpus docs (id ≥ 20) sharing any distinct
+    // 5-gram with a benchmark doc (id < 20) are dropped
+    "q_decontaminate" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id,
+                  unnest(CASE WHEN len(toks) >= 5
+                    THEN [toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                          || ' ' || toks[i+4] || ' ' || toks[i+5]
+                          FOR i IN range(len(toks) - 4)]
+                    ELSE [] END) AS s
+           FROM t),
+         bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
+         hits AS (
+           SELECT doc_id FROM sh
+           WHERE doc_id >= 20 AND s IN (SELECT s FROM bench)
+           GROUP BY doc_id HAVING count(DISTINCT s) >= 1)
+         SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+         FROM documents d
+         WHERE d.doc_id >= 20 AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+         ORDER BY d.doc_id""",
     "q_dedup_minhash" -> JaccardOracle, // LSH recall ≈ 1 at j ≥ 0.8 ⇒ same result
     "q_dedup_corpus" ->
       """WITH RECURSIVE toks AS (

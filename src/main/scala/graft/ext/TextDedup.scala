@@ -332,6 +332,42 @@ object TextDedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Benchmark decontamination ([EXT]): corpus docs sharing at least
+    * `minHits` distinct word n-gram shingles with ANY benchmark doc
+    * are contaminated — the standard guard against eval data leaking
+    * into a training corpus. Returns (id, hits).
+    *
+    * Scale shape: the benchmark is tiny relative to the corpus (eval
+    * sets vs 100 TB), so its distinct shingle hashes BROADCAST to the
+    * corpus scan — the corpus-side cost is one explode + broadcast
+    * semi-join + one map-side-combinable count, no corpus shuffle of
+    * text payloads.
+    */
+  def contaminated(corpus: DataFrame, benchmark: DataFrame,
+                   idCol: String, textCol: String,
+                   n: Int = 5, minHits: Int = 1): DataFrame = {
+    val benchShingles = benchmark.select(
+      explode(graft.functions.VectorExprs.shingleSortedHashes(
+        tokens(col(textCol)), n)).as("s")).distinct()
+    corpus.select(col(idCol).as("id"),
+        explode(graft.functions.VectorExprs.shingleSortedHashes(
+          tokens(col(textCol)), n)).as("s"))
+      .join(broadcast(benchShingles), "s")
+      .groupBy("id").agg(countDistinct(col("s")).as("hits"))
+      .filter(col("hits") >= minHits)
+  }
+
+  /** Drop contaminated docs from the corpus (anti-join on the flagged
+    * ids); the complement of [[contaminated]].
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String,
+                    n: Int = 5, minHits: Int = 1): DataFrame =
+    corpus.join(
+      contaminated(corpus, benchmark, idCol, textCol, n, minHits)
+        .select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** SimHash near-dup pairs within hamming distance ≤ maxDist.
     * Pigeonhole blocking: fingerprints are split into (maxDist+1)
     * 64/(maxDist+1)-bit chunks; any pair within maxDist must agree on at

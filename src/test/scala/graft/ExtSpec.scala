@@ -73,6 +73,20 @@ class ExtSpec extends SparkSpec {
       d.count() - nCompsLosers)
   }
 
+  test("decontamination: benchmark n-gram overlap flags docs, others survive") {
+    val bench = docs.filter($"doc_id" === 1L)
+    val corpus = docs.filter($"doc_id" =!= 1L)
+    val flagged = TextDedup.contaminated(corpus, bench, "doc_id", "text", n = 3)
+      .select("id").as[Long].collect().toSet
+    assert(flagged == Set(2L, 4L)) // share the benchmark's shingles; 3 is clean
+    val kept = TextDedup.decontaminate(corpus, bench, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L))
+    // minHits above total overlap keeps everything
+    assert(TextDedup.decontaminate(corpus, bench, "doc_id", "text",
+      n = 3, minHits = 1000).count() == 3)
+  }
+
   test("componentsStar: worst-case chain converges in O(log n) rounds") {
     // a 255-hop path is label propagation's worst case (255 rounds);
     // star contraction must close it in logarithmically many
