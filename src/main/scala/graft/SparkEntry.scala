@@ -261,6 +261,12 @@ object SparkEntry {
           "avg_word_len", "stopword_ratio", "lang_id", "quality")
         .orderBy("doc_id")),
 
+    // ── [EXT] §2.10 Gopher repetition filters: dup-line/dup-ngram ─────
+    "q_repetition" -> ((s, dir) =>
+      graft.ext.TextAnalysis.repetitionStats(read(s, dir, "documents"))
+        .select("doc_id", "dup_line_frac", "dup_3gram_frac")
+        .orderBy("doc_id")),
+
     // ── [EXT] §2.10 corpus vocabulary: token count + doc frequency ────
     "q_vocab_topk" -> ((s, dir) =>
       graft.ext.TextAnalysis.vocabulary(read(s, dir, "documents"))
@@ -569,6 +575,28 @@ object SparkEntry {
          WHERE minl.id IS NULL OR minl.label = d.doc_id
          ORDER BY d.doc_id""",
     "q_text_stats" -> TextStatsOracle,
+    "q_repetition" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split(text, chr(10)), x -> x <> '') AS ls,
+                  list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, ls, toks,
+                  CASE WHEN len(toks) >= 3
+                    THEN list_distinct([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                                        FOR i IN range(len(toks) - 2)])
+                    ELSE [] END AS shs
+           FROM t)
+         SELECT doc_id,
+           round(CASE WHEN len(ls) > 0
+                 THEN 1.0 - len(list_distinct(ls)) * 1.0 / len(ls)
+                 ELSE 0.0 END, 4)::DOUBLE AS dup_line_frac,
+           round(CASE WHEN len(toks) >= 3
+                 THEN 1.0 - len(shs) * 1.0 / (len(toks) - 2)
+                 ELSE 0.0 END, 4)::DOUBLE AS dup_3gram_frac
+         FROM sh ORDER BY doc_id""",
     // md5 split: bucket = first 8 hex digits of md5(key) — hex string
     // order == numeric order, so thresholds are the 8-digit hex of
     // floor(cum_weight * 16^8): 0.9 → e6666666, 0.95 → f3333333.

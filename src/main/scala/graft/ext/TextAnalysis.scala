@@ -130,6 +130,34 @@ object TextAnalysis {
     when(size(sh) > 0, element_at(sh, 1)).otherwise(null)
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): documents
+    * dominated by repeated lines or repeated n-grams are boilerplate /
+    * spam and get filtered before training. Pure codegen'd builtins
+    * (split/array_distinct/size — no interpreted lambdas), per-row, no
+    * shuffle:
+    *   - `dup_line_frac`: fraction of non-empty lines that are repeats
+    *     of an earlier line (0 when the doc has no lines);
+    *   - `dup_3gram_frac`: fraction of word-3-gram OCCURRENCES that
+    *     are repeats of an earlier 3-gram (0 when fewer than 3 tokens).
+    */
+  def repetitionStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val lines = array_remove(split(col(textCol), "\n"), "")
+    val nLines = size(lines)
+    val dupLine = when(nLines > 0,
+      lit(1.0) - size(array_distinct(lines)).cast("double") / nLines)
+      .otherwise(0.0)
+    val toks = TextDedup.tokens(col(textCol))
+    val total3 = greatest(size(toks) - 2, lit(0))
+    // distinct-3-gram count via the single-pass sorted-hash expression
+    // (the transform-HOF shingle array is interpreted per shingle)
+    val distinct3 = size(
+      graft.functions.VectorExprs.shingleSortedHashes(toks, 3))
+    val dup3 = when(total3 > 0,
+      lit(1.0) - distinct3.cast("double") / total3).otherwise(0.0)
+    df.withColumn("dup_line_frac", round(dupLine, 4))
+      .withColumn("dup_3gram_frac", round(dup3, 4))
+  }
+
   /** One-stop analysis frame: doc_id + all stats (the `documents` table
     * contract: text + n_chars columns exist). One pass over the text
     * via [[graft.functions.TextExprs.TextStatsRaw]]; ratios, rounding

@@ -73,6 +73,23 @@ class ExtSpec extends SparkSpec {
       d.count() - nCompsLosers)
   }
 
+  test("repetition stats: duplicate lines and repeated 3-grams measured") {
+    val t = Seq(
+      (1L, "alpha beta\nalpha beta\ngamma delta"),          // 1 of 3 lines repeats
+      (2L, "one two three one two three one two three"),    // 9 toks, 7 grams, 2 distinct... compute
+      (3L, "all lines unique\nno repeats here"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(t).orderBy("doc_id")
+      .select("dup_line_frac", "dup_3gram_frac")
+      .as[(Double, Double)].collect().toSeq
+    assert(r(0)._1 == 0.3333) // 3 lines, 2 distinct
+    // doc 2: 9 tokens -> 7 3-gram occurrences, 3 distinct -> 1 - 3/7
+    assert(r(1)._2 == 0.5714)
+    assert(r(2) == (0.0, 0.0))
+    assert(r(3) == (0.0, 0.0)) // empty doc: both zero, no NaN
+  }
+
   test("decontamination: benchmark n-gram overlap flags docs, others survive") {
     val bench = docs.filter($"doc_id" === 1L)
     val corpus = docs.filter($"doc_id" =!= 1L)
