@@ -395,6 +395,53 @@ object SparkEntry {
           col("meta.width").as("width"), col("meta.height").as("height"),
           col("meta.duration_ms").as("duration_ms"))
         .orderBy("media_id")
+    }),
+
+    // ── [EXT] §2.10 token chunking with overlap (embedding prep) ──────
+    "q_chunk" -> ((s, dir) =>
+      graft.ext.CorpusOps.chunkTokens(read(s, dir, "documents"),
+        "doc_id", "text", chunkSize = 30, overlap = 10)
+        .orderBy("doc_id", "chunk_id")),
+
+    // ── [EXT] §2.10 sequence packing: concat-and-split at 64 tokens
+    // via the distributed prefix-sum (no single-partition window) ─────
+    "q_pack" -> ((s, dir) =>
+      graft.ext.CorpusOps.packSequences(read(s, dir, "documents"),
+        "doc_id", "text", seqLen = 64)
+        .orderBy("seq_id", "doc_id")),
+
+    // ── [EXT] §2.10 weighted mixture sampling: src0 ×2.5 (oversample),
+    // src1 ×0.25 (downsample), src3 dropped, everything else ×1 ───────
+    "q_mix_sample" -> ((s, dir) =>
+      graft.ext.CorpusOps.mixtureSample(read(s, dir, "documents"),
+        "doc_id", "source", Map("src0" -> 2.5, "src1" -> 0.25, "src3" -> 0.0))
+        .select("doc_id", "source", "copy")
+        .orderBy("doc_id", "copy")),
+
+    // ── [EXT] §2.10 deterministic training-order shuffle ──────────────
+    "q_shuffle" -> ((s, dir) =>
+      graft.ext.CorpusOps.shuffleRank(read(s, dir, "documents"), "doc_id")
+        .select("doc_id", "shuffle_rank").orderBy("doc_id")),
+
+    // ── [EXT] §2.10 PII scan. The synthetic docs carry no PII, so the
+    // scan runs over a deterministic augmentation (mirrored verbatim in
+    // the oracle SQL) that plants email/url/ip/phone tokens on varying
+    // subsets of docs — the operator itself sees only the text column ──
+    "q_pii" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val idS = col("doc_id").cast("string")
+      val email = when(col("doc_id") % 2 === 0, concat(lit(" contact user"),
+        idS, lit("@"), col("source"), lit(".org"))).otherwise(lit(""))
+      val url = when(col("doc_id") % 3 === 0, concat(lit(" see https://"),
+        col("source"), lit(".example.com/d"), idS)).otherwise(lit(""))
+      val ip = when(col("doc_id") % 5 === 0, concat(lit(" host 10.1."),
+        (col("doc_id") % 200).cast("string"), lit(".7"))).otherwise(lit(""))
+      val phone = when(col("doc_id") % 7 === 0, concat(lit(" call +1 415 555 0"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"))).otherwise(lit(""))
+      graft.ext.CorpusOps.piiStats(
+        docs.withColumn("text", concat(col("text"), email, url, ip, phone)))
+        .select("doc_id", "n_emails", "n_urls", "n_ips", "n_phones", "has_pii")
+        .orderBy("doc_id")
     })
   )
 

@@ -1,0 +1,195 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators for LLM training-data pipelines ([EXT],
+  * SURVEY §2.10): chunking, sequence packing, weighted source mixing,
+  * deterministic training-order shuffle, and PII scanning. The
+  * reference stops at generic ETL (etl_cli/base.py's transform chain);
+  * these are the operations a pretraining data pipeline layers on top.
+  *
+  * Scale design:
+  *   - [[chunkTokens]] and [[piiStats]] are pure per-row expressions —
+  *     scan speed, whole-stage codegen, no shuffle.
+  *   - [[mixtureSample]] is a per-row hash decision + bounded explode —
+  *     no shuffle, no RNG state, reproducible on any cluster size.
+  *   - [[packSequences]] and [[shuffleRank]] need a GLOBAL order, which
+  *     naively means a single-partition window. [[withGlobalOffset]]
+  *     instead does the classic distributed prefix-sum: range-partition
+  *     by the order key, cumsum within partitions in parallel, then add
+  *     per-partition base offsets computed from a tiny (numPartitions
+  *     rows) aggregate that Catalyst dedupes into the same shuffle via
+  *     ReusedExchange. Every stage is O(n/p) per executor.
+  */
+object CorpusOps {
+
+  /** Exclusive running total of `weightCol` in global `orderCol` order,
+    * as column `outCol` — without ever collapsing to one partition.
+    * Range-partition on the key keeps global order across partitions;
+    * the per-partition bases come from a broadcast join against the
+    * partition-totals aggregate (tiny: one row per shuffle partition).
+    * The offsets depend only on the global order, not on where the
+    * range boundaries fall, so the result is partitioning-independent.
+    */
+  def withGlobalOffset(df: DataFrame, orderCol: String, weightCol: String,
+                       outCol: String, numParts: Int = 0): DataFrame = {
+    val p = if (numParts > 0) numParts
+            else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(p, col(orderCol))
+      .withColumn("__pid__", spark_partition_id())
+    // per-partition totals → exclusive prefix over partition ids. The
+    // window runs on ≤ p rows (one per partition), so the global-order
+    // window here is cheap by construction.
+    val bases = ranged.groupBy("__pid__")
+      .agg(sum(col(weightCol)).cast("long").as("__t__"))
+      .withColumn("__base__", coalesce(
+        sum(col("__t__")).over(
+          Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)).cast("long"))
+      .select("__pid__", "__base__")
+    val local = Window.partitionBy("__pid__").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged.join(broadcast(bases), "__pid__")
+      .withColumn(outCol,
+        col("__base__") + coalesce(sum(col(weightCol)).over(local), lit(0L)).cast("long"))
+      .drop("__pid__", "__base__")
+  }
+
+  /** Split each document into fixed-size token windows with overlap —
+    * the chunking step in front of embedding / retrieval indexing.
+    * Tokenization matches [[TextDedup.tokens]] (lowercased `\W+`) so
+    * the DuckDB oracle reproduces chunks exactly. Pure per-row explode:
+    * no shuffle, codegen'd, embarrassingly parallel at any scale.
+    * Docs with zero tokens yield zero chunks; the last chunk of a doc
+    * may be shorter than `size`.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"chunkTokens: need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val step = chunkSize - overlap
+    val toks = TextDedup.tokens(col(textCol))
+    val n = size(toks).cast("long")
+    // windows start at 0, step, 2·step …; the last must reach n:
+    // ceil((n-overlap)/step) = (n + step - overlap - 1) div step, min 1.
+    // Exact in double up to 2^52 tokens — far past any single document.
+    val nChunks = when(n <= 0L, 0L).otherwise(
+      greatest(floor((n + (step - overlap - 1)) / lit(step.toDouble)).cast("long"), lit(1L)))
+    df.withColumn("__toks__", toks)
+      .withColumn("__n__", n)
+      .withColumn("chunk_id",
+        explode(when(nChunks > 0L, sequence(lit(0L), nChunks - 1))
+          .otherwise(array().cast("array<bigint>"))))
+      .select(col(idCol), col("chunk_id"),
+        array_join(slice(col("__toks__"),
+          (col("chunk_id") * step + 1).cast("int"), chunkSize), " ").as("chunk_text"),
+        least(col("__n__") - col("chunk_id") * step, lit(chunkSize.toLong)).as("n_tokens"))
+  }
+
+  /** Pretraining sequence packing: concatenate all documents in stable
+    * `idCol` order into one global token stream and cut it into
+    * sequences of exactly `seqLen` tokens (the standard
+    * concat-and-split packing — no padding waste, documents may span a
+    * sequence boundary). Emits one row per (sequence, document)
+    * overlap: `seq_id`, the document, `doc_start` (0-based offset of
+    * the contributed span within the document) and `n_toks`
+    * contributed. Token counts use [[TextDedup.tokens]].
+    *
+    * The only global step is the prefix-sum of document lengths
+    * ([[withGlobalOffset]] — distributed); everything after is a
+    * per-row explode over the ≤ (n/seqLen + 1) sequences a document
+    * touches.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    seqLen: Int, numParts: Int = 0): DataFrame = {
+    require(seqLen > 0, s"packSequences: seqLen must be positive, got $seqLen")
+    val n = size(TextDedup.tokens(col(textCol))).cast("long")
+    val t = df.select(col(idCol), n.as("__n__")).filter(col("__n__") > 0L)
+    val off = withGlobalOffset(t, idCol, "__n__", "__off__", numParts)
+    off
+      .withColumn("seq_id",
+        explode(sequence(expr(s"__off__ div $seqLen"),
+          expr(s"(__off__ + __n__ - 1) div $seqLen"))))
+      .select(col("seq_id"), col(idCol),
+        greatest(col("seq_id") * seqLen - col("__off__"), lit(0L)).as("doc_start"),
+        (least(col("__off__") + col("__n__"), (col("seq_id") + 1) * seqLen)
+          - greatest(col("__off__"), col("seq_id") * seqLen)).as("n_toks"))
+  }
+
+  /** Deterministic weighted source mixing (Pile/Dolma-style mixture
+    * weights): each row is kept `floor(w)` times plus one more with
+    * probability `frac(w)`, where `w` is its source's weight — so
+    * w=0.25 downsamples to a quarter, w=2.5 emits 2–3 epochs. The
+    * "coin flip" is the first 8 hex digits of md5(key) compared to a
+    * fixed hex cutoff: no RNG, reproducible across runs, cluster
+    * sizes, AND engines (the DuckDB oracle replays it bit-for-bit).
+    * Per-row decision + bounded explode — no shuffle.
+    */
+  def mixtureSample(df: DataFrame, keyCol: String, sourceCol: String,
+                    weights: Map[String, Double],
+                    defaultWeight: Double = 1.0): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0),
+      "mixtureSample: weights must be non-negative")
+    val hex = substring(md5(col(keyCol).cast("string")), 1, 8)
+    def copiesFor(w: Double): Column = {
+      val base = math.floor(w).toLong
+      val frac = w - base
+      if (frac == 0.0) lit(base)
+      else lit(base) + when(hex < lit(f"${(frac * 4294967296d).toLong}%08x"), 1L)
+        .otherwise(0L)
+    }
+    val copies = weights.toSeq.sortBy(_._1).foldLeft(copiesFor(defaultWeight)) {
+      case (acc, (s, w)) => when(col(sourceCol) === s, copiesFor(w)).otherwise(acc)
+    }
+    df.withColumn("copy",
+      explode(when(copies >= 1L, sequence(lit(1L), copies))
+        .otherwise(array().cast("array<bigint>"))))
+  }
+
+  /** Deterministic global training-order shuffle: rank every row by
+    * md5(seed:key) — a reproducible random permutation (change `seed`
+    * for a new epoch order). Ranks come from the distributed
+    * prefix-sum over the hash order, not a single-partition
+    * row_number, so this holds at any corpus size.
+    */
+  def shuffleRank(df: DataFrame, keyCol: String, seed: String = "graft",
+                  outCol: String = "shuffle_rank", numParts: Int = 0): DataFrame = {
+    val keyed = df
+      .withColumn("__h__", md5(concat(lit(seed + ":"), col(keyCol).cast("string"))))
+      .withColumn("__one__", lit(1L))
+    withGlobalOffset(keyed, "__h__", "__one__", outCol, numParts)
+      .withColumn(outCol, col(outCol) + 1L)
+      .drop("__h__", "__one__")
+  }
+
+  /** PII patterns — the RE2-compatible subset (no lookaround), so the
+    * same pattern runs identically under Java regex (Spark codegen)
+    * and RE2 (DuckDB oracle). The richer lookaround-based phone
+    * heuristic lives in the `redact_phone` transformer; this scanner
+    * trades a little precision for cross-engine verifiability.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "(?i)\\bhttps?://[^\\s<>\"]+"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d[\\d\\s().-]{6,}\\d|\\(\\d{2,4}\\)[\\s.-]?\\d[\\d\\s.-]{4,}\\d"
+
+  /** Per-document PII scan: counts of emails / URLs / IPv4s / phone
+    * numbers plus a `has_pii` flag (emails|phones|ips — URLs are
+    * counted but not PII by themselves). Counting, not redacting: the
+    * audit pass that decides whether a shard needs the redact
+    * transformers (`redact_email`/`redact_url`/`redact_phone`). Pure
+    * per-row regexes — scan speed, no shuffle.
+    */
+  def piiStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    def cnt(re: String) =
+      size(regexp_extract_all(col(textCol), lit(re), lit(0))).cast("long")
+    df.withColumn("n_emails", cnt(EmailRe))
+      .withColumn("n_urls", cnt(UrlRe))
+      .withColumn("n_ips", cnt(Ipv4Re))
+      .withColumn("n_phones", cnt(PhoneRe))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_ips") + col("n_phones") > 0L)
+  }
+}
