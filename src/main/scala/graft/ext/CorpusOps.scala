@@ -84,7 +84,7 @@ object CorpusOps {
           .otherwise(array().cast("array<bigint>"))))
       .select(col(idCol), col("chunk_id"),
         array_join(slice(col("__toks__"),
-          (col("chunk_id") * step + 1).cast("int"), chunkSize), " ").as("chunk_text"),
+          (col("chunk_id") * step + 1).cast("int"), lit(chunkSize)), " ").as("chunk_text"),
         least(col("__n__") - col("chunk_id") * step, lit(chunkSize.toLong)).as("n_tokens"))
   }
 
