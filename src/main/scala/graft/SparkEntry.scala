@@ -812,7 +812,92 @@ object SparkEntry {
            FROM m)
          SELECT min(ts) AS session_start, user_id, count(*) AS n,
                 round(sum(value), 4) AS sum_value
-         FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
+         FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
+
+    // ── CorpusOps oracles: every operator was designed DuckDB-replayable
+    // (md5 determinism, RE2-safe regexes, the shared \W+ tokenizer) ────
+    "q_chunk" ->                       // chunkSize=30 overlap=10 → step=20
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+         n AS (
+           SELECT doc_id, toks, len(toks)::BIGINT AS n
+           FROM t WHERE len(toks) > 0),
+         c AS (
+           SELECT doc_id, toks, n,
+                  unnest(range(greatest((n + 9) // 20, 1))) AS chunk_id
+           FROM n)
+         SELECT doc_id, chunk_id,
+                array_to_string(list_slice(toks, chunk_id*20 + 1, chunk_id*20 + 30),
+                                ' ') AS chunk_text,
+                least(n - chunk_id*20, 30)::BIGINT AS n_tokens
+         FROM c ORDER BY doc_id, chunk_id""",
+    "q_pack" ->                        // seqLen=64, doc_id order
+      """WITH t AS (
+           SELECT doc_id,
+                  len(list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                                  x -> x <> ''))::BIGINT AS n
+           FROM documents),
+         p AS (
+           SELECT doc_id, n,
+                  coalesce(sum(n) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+           FROM t WHERE n > 0),
+         e AS (
+           SELECT doc_id, n, off,
+                  unnest(range(off // 64, (off + n - 1) // 64 + 1)) AS seq_id
+           FROM p)
+         SELECT seq_id, doc_id,
+                greatest(seq_id*64 - off, 0)::BIGINT AS doc_start,
+                (least(off + n, (seq_id + 1)*64)
+                 - greatest(off, seq_id*64))::BIGINT AS n_toks
+         FROM e ORDER BY seq_id, doc_id""",
+    "q_mix_sample" ->                  // src0 ×2.5, src1 ×0.25, src3 ×0, else ×1;
+                                       // coin = first 8 md5 hex digits vs cutoff
+      """WITH h AS (
+           SELECT doc_id, source,
+                  substring(md5(cast(doc_id AS VARCHAR)), 1, 8) AS hex
+           FROM documents),
+         c AS (
+           SELECT doc_id, source,
+                  (CASE source
+                     WHEN 'src0' THEN 2 + CASE WHEN hex < '80000000' THEN 1 ELSE 0 END
+                     WHEN 'src1' THEN CASE WHEN hex < '40000000' THEN 1 ELSE 0 END
+                     WHEN 'src3' THEN 0
+                     ELSE 1 END)::BIGINT AS copies
+           FROM h)
+         SELECT doc_id, source, unnest(range(1, copies + 1)) AS "copy"
+         FROM c ORDER BY doc_id, "copy"""",
+    "q_shuffle" ->                     // rank in md5('graft:'||id) order, 1-based
+      """SELECT doc_id,
+                cast(row_number() OVER (
+                  ORDER BY md5('graft:' || cast(doc_id AS VARCHAR))) AS BIGINT)
+                  AS shuffle_rank
+         FROM documents ORDER BY doc_id""",
+    "q_pii" -> raw"""
+         WITH aug AS (
+           SELECT doc_id, text
+             || CASE WHEN doc_id % 2 = 0 THEN ' contact user' || cast(doc_id AS VARCHAR)
+                  || '@' || source || '.org' ELSE '' END
+             || CASE WHEN doc_id % 3 = 0 THEN ' see https://' || source
+                  || '.example.com/d' || cast(doc_id AS VARCHAR) ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN ' host 10.1.'
+                  || cast(doc_id % 200 AS VARCHAR) || '.7' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0 THEN ' call +1 415 555 0'
+                  || lpad(cast(doc_id % 1000 AS VARCHAR), 3, '0') ELSE '' END AS text
+           FROM documents),
+         cnt AS (
+           SELECT doc_id,
+                  len(regexp_extract_all(text, '${graft.ext.CorpusOps.EmailRe}'))::BIGINT AS n_emails,
+                  len(regexp_extract_all(text, '${graft.ext.CorpusOps.UrlRe}'))::BIGINT AS n_urls,
+                  len(regexp_extract_all(text, '${graft.ext.CorpusOps.Ipv4Re}'))::BIGINT AS n_ips,
+                  len(regexp_extract_all(text, '${graft.ext.CorpusOps.PhoneRe}'))::BIGINT AS n_phones
+           FROM aug)
+         SELECT doc_id, n_emails, n_urls, n_ips, n_phones,
+                (n_emails + n_ips + n_phones > 0) AS has_pii
+         FROM cnt ORDER BY doc_id"""
   )
 
   /** Differential oracles for the queries whose outputs DuckDB cannot

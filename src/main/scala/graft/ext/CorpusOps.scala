@@ -27,22 +27,58 @@ object CorpusOps {
 
   /** Exclusive running total of `weightCol` in global `orderCol` order,
     * as column `outCol` — without ever collapsing to one partition.
-    * Range-partition on the key keeps global order across partitions;
-    * the per-partition bases come from a broadcast join against the
-    * partition-totals aggregate (tiny: one row per shuffle partition).
-    * The offsets depend only on the global order, not on where the
-    * range boundaries fall, so the result is partitioning-independent.
+    * Classic distributed prefix-sum: bucket rows by order-preserving
+    * boundaries, cumsum within buckets in parallel, then add
+    * per-bucket base offsets from a tiny (≤ numParts rows) aggregate.
+    *
+    * The bucket id is a PURE FUNCTION of the row — boundaries are
+    * approximate quantiles of a monotone numeric proxy of the key,
+    * collected once on the driver and folded into a literal
+    * expression. The plan evaluates `df` on both the bases and the
+    * probe side; because the bucket derives from data (not
+    * `spark_partition_id()`), the two evaluations agree by
+    * construction, with no dependence on ReusedExchange firing.
+    * Offsets depend only on the global order, not on where the
+    * boundaries fall, so the result is also partitioning-independent
+    * (skewed or duplicate boundaries cost parallelism, never
+    * correctness).
+    *
+    * REQUIRES: `orderCol` non-null and UNIQUE per row — the local
+    * cumsum uses a row frame ordered by `orderCol` alone, so duplicate
+    * keys would get nondeterministic relative offsets. Callers here
+    * order by primary keys or md5 hashes, which satisfy this.
     */
   def withGlobalOffset(df: DataFrame, orderCol: String, weightCol: String,
                        outCol: String, numParts: Int = 0): DataFrame = {
     val p = if (numParts > 0) numParts
             else df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(p, col(orderCol))
-      .withColumn("__pid__", spark_partition_id())
-    // per-partition totals → exclusive prefix over partition ids. The
-    // window runs on ≤ p rows (one per partition), so the global-order
-    // window here is cheap by construction.
-    val bases = ranged.groupBy("__pid__")
+    import org.apache.spark.sql.types.StringType
+    // Monotone proxy: double cast for numerics; for strings, the first
+    // three codepoints as a base-0x110000 polynomial (UTF-8 binary
+    // order == codepoint order, and IEEE rounding is monotone, so
+    // proxy(x) < proxy(y) ⟹ x < y; ties are allowed — they only merge
+    // buckets).
+    val proxy: Column = df.schema(orderCol).dataType match {
+      case StringType =>
+        val B = 1114112L
+        ((ascii(col(orderCol)) * B + ascii(substring(col(orderCol), 2, 1))) * B
+          + ascii(substring(col(orderCol), 3, 1))).cast("double")
+      case _ => col(orderCol).cast("double")
+    }
+    val keyed = df.withColumn("__proxy__", proxy)
+    val bnds: Array[Double] =
+      if (p <= 1) Array.empty
+      else keyed.stat.approxQuantile(
+        "__proxy__", (1 until p).map(_.toDouble / p).toArray, 0.001)
+        .distinct.sorted
+    val bucket = bnds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("__proxy__") > lit(b), 1).otherwise(0)
+    }
+    val bucketed = keyed.withColumn("__pid__", bucket).drop("__proxy__")
+    // per-bucket totals → exclusive prefix over bucket ids; bucket ids
+    // ascend with the global order by construction. The global-order
+    // window here runs on ≤ p rows, so it is cheap by construction.
+    val bases = bucketed.groupBy("__pid__")
       .agg(sum(col(weightCol)).cast("long").as("__t__"))
       .withColumn("__base__", coalesce(
         sum(col("__t__")).over(
@@ -51,7 +87,7 @@ object CorpusOps {
       .select("__pid__", "__base__")
     val local = Window.partitionBy("__pid__").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, -1)
-    ranged.join(broadcast(bases), "__pid__")
+    bucketed.join(broadcast(bases), "__pid__")
       .withColumn(outCol,
         col("__base__") + coalesce(sum(col(weightCol)).over(local), lit(0L)).cast("long"))
       .drop("__pid__", "__base__")
@@ -172,7 +208,14 @@ object CorpusOps {
     */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val UrlRe = "(?i)\\bhttps?://[^\\s<>\"]+"
-  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Octets constrained to 0-255 (longest-alternative-first, so Java's
+    * leftmost-first and RE2's agree), which rejects `999.999.999.999`.
+    * Version-like strings (`1.2.3.4`) still match — indistinguishable
+    * from an IP without context; counted as the documented tradeoff.
+    */
+  val Ipv4Re = "\\b(?:25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)" +
+    "(?:\\.(?:25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)){3}\\b"
   val PhoneRe = "\\+\\d[\\d\\s().-]{6,}\\d|\\(\\d{2,4}\\)[\\s.-]?\\d[\\d\\s.-]{4,}\\d"
 
   /** Per-document PII scan: counts of emails / URLs / IPv4s / phone

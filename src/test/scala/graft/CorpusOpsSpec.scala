@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{CorpusOps, TextDedup}
+
+/** Laws for the corpus-assembly operators. The value-level oracle is
+  * the DuckDB replay in `oracleSql` (q_chunk/q_pack/q_mix_sample/
+  * q_shuffle/q_pii); these specs pin the invariants that make those
+  * oracles meaningful — token conservation, permutation-ness,
+  * partitioning-independence of the distributed prefix-sum — on data
+  * shapes the sf tables don't exercise (duplicates, empties, skew).
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = sf("documents")
+
+  // ── withGlobalOffset ──────────────────────────────────────────────
+
+  test("withGlobalOffset equals the single-partition exclusive cumsum") {
+    val df = docs.select($"doc_id", length($"text").cast("long").as("w"))
+    val got = CorpusOps.withGlobalOffset(df, "doc_id", "w", "off")
+      .select("doc_id", "off")
+    val exp = df.withColumn("off", coalesce(
+        sum($"w").over(org.apache.spark.sql.expressions.Window
+          .orderBy("doc_id").rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select("doc_id", "off")
+    assert(got.except(exp).isEmpty && exp.except(got).isEmpty)
+  }
+
+  test("withGlobalOffset is independent of the bucket count") {
+    val df = docs.select($"doc_id", lit(1L).as("w"))
+    val a = CorpusOps.withGlobalOffset(df, "doc_id", "w", "off", numParts = 1)
+    val b = CorpusOps.withGlobalOffset(df, "doc_id", "w", "off", numParts = 7)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
+  test("withGlobalOffset orders by string keys (md5 order)") {
+    val df = docs.select(md5($"doc_id".cast("string")).as("h"), lit(1L).as("w"))
+    val got = CorpusOps.withGlobalOffset(df, "h", "w", "r", numParts = 5)
+    // offsets of weight-1 rows in hash order are exactly 0..n-1
+    val n = df.count()
+    assert(got.agg(min("r"), max("r"), countDistinct("r")).as[(Long, Long, Long)]
+      .head() == ((0L, n - 1, n)))
+  }
+
+  // ── chunkTokens ───────────────────────────────────────────────────
+
+  test("chunkTokens: chunks tile the token stream with the given overlap") {
+    val out = CorpusOps.chunkTokens(docs, "doc_id", "text", 30, 10)
+    val toks = docs.select($"doc_id", size(TextDedup.tokens($"text")).cast("long").as("n"))
+      .filter($"n" > 0)
+    // per-doc: chunk_id dense 0..k-1, every chunk ≤30 tokens, the sum of
+    // (n_tokens - overlap·[not last]) reconstructs the doc token count
+    val agg = out.groupBy("doc_id").agg(
+      count("*").as("k"), max("chunk_id").as("maxc"),
+      sum("n_tokens").as("s"), max("n_tokens").as("mx"), min("n_tokens").as("mn"))
+    val j = agg.join(toks, "doc_id")
+    assert(j.filter($"maxc" =!= $"k" - 1).isEmpty, "chunk ids not dense")
+    assert(j.filter($"mx" > 30 || $"mn" < 1).isEmpty, "chunk size out of range")
+    assert(j.filter($"s" - ($"k" - 1) * 10 =!= $"n").isEmpty,
+      "token conservation with overlap failed")
+    // chunk_text token count matches n_tokens
+    val bad = out.filter(
+      size(split($"chunk_text", " ")) =!= $"n_tokens" && $"chunk_text" =!= "")
+    assert(bad.isEmpty, "chunk_text token count mismatch")
+  }
+
+  test("chunkTokens rejects bad parameters and drops empty docs") {
+    intercept[IllegalArgumentException] {
+      CorpusOps.chunkTokens(docs, "doc_id", "text", 10, 10)
+    }
+    val empty = Seq((1L, ""), (2L, "   "), (3L, "one two")).toDF("doc_id", "text")
+    val out = CorpusOps.chunkTokens(empty, "doc_id", "text", 5, 1)
+    assert(rows(out.orderBy("doc_id")) == Seq(Seq(3L, 0L, "one two", 2L)))
+  }
+
+  // ── packSequences ─────────────────────────────────────────────────
+
+  test("packSequences: every sequence is exactly seqLen except the last") {
+    val out = CorpusOps.packSequences(docs, "doc_id", "text", 64).cache()
+    val total = docs.select(sum(size(TextDedup.tokens($"text"))).cast("long")).head().getLong(0)
+    val perSeq = out.groupBy("seq_id").agg(sum("n_toks").as("t"))
+    val lastSeq = (total - 1) / 64
+    assert(perSeq.filter($"seq_id" < lastSeq && $"t" =!= 64L).isEmpty,
+      "non-final sequence not exactly seqLen")
+    assert(perSeq.agg(sum("t")).head().getLong(0) == total, "token total not conserved")
+    // per-doc contributions are contiguous and complete
+    val perDoc = out.groupBy("doc_id").agg(
+      sum("n_toks").as("t"), min("doc_start").as("st"))
+    val toks = docs.select($"doc_id", size(TextDedup.tokens($"text")).cast("long").as("n"))
+      .filter($"n" > 0)
+    assert(perDoc.join(toks, "doc_id").filter($"t" =!= $"n" || $"st" =!= 0L).isEmpty,
+      "doc span not fully packed")
+    out.unpersist()
+  }
+
+  // ── mixtureSample ─────────────────────────────────────────────────
+
+  test("mixtureSample: integer weights exact, fractional within binomial bounds") {
+    val n = docs.count()
+    val bySrc = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    val out = CorpusOps.mixtureSample(docs, "doc_id", "source",
+      Map("src0" -> 2.5, "src1" -> 0.25, "src3" -> 0.0))
+    val got = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(!got.contains("src3"), "weight-0 source must vanish")
+    for ((s, c) <- bySrc if s != "src0" && s != "src1" && s != "src3")
+      assert(got(s) == c, s"default-weight source $s resampled")
+    // fractional parts: mean w·n, 4-sigma binomial tolerance
+    def within(s: String, w: Double): Unit = {
+      val base = bySrc(s); val mean = w * base
+      val sd = math.sqrt(base * 0.5) // p(1-p) ≤ .25; be generous
+      assert(math.abs(got.getOrElse(s, 0L) - mean) <= 4 * sd + 1,
+        s"$s: got ${got.getOrElse(s, 0L)} want ~$mean")
+    }
+    within("src0", 2.5); within("src1", 0.25)
+    // determinism: same call twice → identical rows
+    val again = CorpusOps.mixtureSample(docs, "doc_id", "source",
+      Map("src0" -> 2.5, "src1" -> 0.25, "src3" -> 0.0))
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+  }
+
+  // ── shuffleRank ───────────────────────────────────────────────────
+
+  test("shuffleRank is a deterministic permutation of 1..n") {
+    val out = CorpusOps.shuffleRank(docs, "doc_id").cache()
+    val n = docs.count()
+    assert(out.agg(min("shuffle_rank"), max("shuffle_rank"),
+      countDistinct("shuffle_rank")).as[(Long, Long, Long)].head() == ((1L, n, n)))
+    // a different seed produces a different order (overwhelmingly)
+    val other = CorpusOps.shuffleRank(docs, "doc_id", seed = "epoch2")
+    val same = out.join(other.withColumnRenamed("shuffle_rank", "r2"), "doc_id")
+      .filter($"shuffle_rank" === $"r2").count()
+    assert(same < n / 10, s"seeds nearly agree: $same/$n fixed points")
+    out.unpersist()
+  }
+
+  // ── piiStats ──────────────────────────────────────────────────────
+
+  test("piiStats counts emails/urls/ips/phones and flags has_pii") {
+    val df = Seq(
+      (1L, "write a@b.io or c.d+x@e-f.org, see https://x.y/z?q=1 HTTP://up.example"),
+      (2L, "host 10.0.0.7 and 255.255.255.255 but not 999.999.999.999 nor 1.2.3.456"),
+      (3L, "call +1 415 555 0133 or (020) 7946-0958"),
+      (4L, "nothing here"),
+      (5L, "release 1.2.3.4 is out")).toDF("doc_id", "text")
+    val got = CorpusOps.piiStats(df)
+      .select("doc_id", "n_emails", "n_urls", "n_ips", "n_phones", "has_pii")
+      .orderBy("doc_id")
+    assert(rows(got) == Seq(
+      Seq(1L, 2L, 2L, 0L, 0L, true),
+      Seq(2L, 0L, 0L, 2L, 0L, true),   // 999.* and 1.2.3.456 rejected
+      Seq(3L, 0L, 0L, 0L, 2L, true),
+      Seq(4L, 0L, 0L, 0L, 0L, false),
+      Seq(5L, 0L, 0L, 1L, 0L, true)))  // version strings: documented tradeoff
+  }
+}
