@@ -762,20 +762,26 @@ object SparkEntry {
          FROM filtered f LEFT JOIN minl ON f.doc_id = minl.id
          WHERE minl.id IS NULL OR minl.label = f.doc_id
          ORDER BY f.doc_id""",
+    // cosine oracles cast to DOUBLE[] so DuckDB accumulates in double
+    // like the engine's cosine expression — float32 accumulation sits
+    // on the other side of the 4-decimal rounding boundary for pairs
+    // within one float-ulp of it (observed at sf0.1)
     "q_ann_topk" ->
-      """SELECT q_id, vec_id, sim, rank FROM (
+      """WITH d AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS emb FROM embeddings)
+         SELECT q_id, vec_id, sim, rank FROM (
            SELECT q.vec_id AS q_id, e.vec_id,
-                  round(list_cosine_similarity(q.embedding, e.embedding), 4) AS sim,
+                  round(list_cosine_similarity(q.emb, e.emb), 4) AS sim,
                   row_number() OVER (PARTITION BY q.vec_id
-                    ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                    ORDER BY list_cosine_similarity(q.emb, e.emb) DESC,
                              e.vec_id) AS rank
-           FROM embeddings q JOIN embeddings e ON q.vec_id < 5 AND q.vec_id <> e.vec_id)
+           FROM d q JOIN d e ON q.vec_id < 5 AND q.vec_id <> e.vec_id)
          WHERE rank <= 5 ORDER BY q_id, rank""",
     "q_embed_pairs" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim
-         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+      """WITH d AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS emb FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_cosine_similarity(a.emb, b.emb), 4) AS sim
+         FROM d a JOIN d b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35
          ORDER BY id_a, id_b""",
     "q_window_tumbling" ->
       """SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start, event_type,
