@@ -423,6 +423,13 @@ object SparkEntry {
       graft.ext.CorpusOps.shuffleRank(read(s, dir, "documents"), "doc_id")
         .select("doc_id", "shuffle_rank").orderBy("doc_id")),
 
+    // ── [EXT] §2.10 training shards: epoch-shuffle → pack at 64 →
+    // round-robin onto 8 shards; the whole row set is DuckDB-replayed ─
+    "q_shards" -> ((s, dir) =>
+      graft.ext.CorpusOps.trainingShards(read(s, dir, "documents"),
+        "doc_id", "text", seqLen = 64, numShards = 8)
+        .orderBy("seq_id", "doc_id")),
+
     // ── [EXT] §2.10 PII scan. The synthetic docs carry no PII, so the
     // scan runs over a deterministic augmentation (mirrored verbatim in
     // the oracle SQL) that plants email/url/ip/phone tokens on varying
@@ -882,6 +889,28 @@ object SparkEntry {
                   ORDER BY md5('graft:' || cast(doc_id AS VARCHAR))) AS BIGINT)
                   AS shuffle_rank
          FROM documents ORDER BY doc_id""",
+    "q_shards" ->                      // seqLen=64, 8 shards, seed 'graft'
+      """WITH t AS (
+           SELECT doc_id,
+                  md5('graft:' || cast(doc_id AS VARCHAR)) AS h,
+                  len(list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                                  x -> x <> ''))::BIGINT AS n
+           FROM documents),
+         p AS (
+           SELECT doc_id, n,
+                  coalesce(sum(n) OVER (ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+           FROM t WHERE n > 0),
+         e AS (
+           SELECT doc_id, n, off,
+                  unnest(range(off // 64, (off + n - 1) // 64 + 1)) AS seq_id
+           FROM p)
+         SELECT seq_id, doc_id,
+                greatest(seq_id*64 - off, 0)::BIGINT AS doc_start,
+                (least(off + n, (seq_id + 1)*64)
+                 - greatest(off, seq_id*64))::BIGINT AS n_toks,
+                (seq_id % 8)::BIGINT AS shard_id
+         FROM e ORDER BY seq_id, doc_id""",
     "q_pii" -> raw"""
          WITH aug AS (
            SELECT doc_id, text

@@ -139,11 +139,17 @@ object CorpusOps {
     * touches.
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-                    seqLen: Int, numParts: Int = 0): DataFrame = {
+                    seqLen: Int, numParts: Int = 0,
+                    orderCol: String = ""): DataFrame = {
     require(seqLen > 0, s"packSequences: seqLen must be positive, got $seqLen")
+    // pack in `orderCol` order when given (e.g. an epoch-shuffle rank),
+    // in stable `idCol` order otherwise
+    val ord = if (orderCol.nonEmpty) orderCol else idCol
     val n = size(TextDedup.tokens(col(textCol))).cast("long")
-    val t = df.select(col(idCol), n.as("__n__")).filter(col("__n__") > 0L)
-    val off = withGlobalOffset(t, idCol, "__n__", "__off__", numParts)
+    val base = if (ord == idCol) df.select(col(idCol), n.as("__n__"))
+               else df.select(col(idCol), col(ord), n.as("__n__"))
+    val t = base.filter(col("__n__") > 0L)
+    val off = withGlobalOffset(t, ord, "__n__", "__off__", numParts)
     off
       .withColumn("seq_id",
         explode(sequence(expr(s"__off__ div $seqLen"),
@@ -225,6 +231,44 @@ object CorpusOps {
     * transformers (`redact_email`/`redact_url`/`redact_phone`). Pure
     * per-row regexes — scan speed, no shuffle.
     */
+  /** The last mile of the pretraining pipeline: epoch-shuffle the
+    * corpus ([[shuffleRank]] with `seed` — a new seed is a new epoch
+    * order), pack the token stream in that order ([[packSequences]]),
+    * and deal sequences round-robin onto `numShards` shards.
+    * Round-robin on `seq_id` makes shard sizes exact (±1 sequence) and
+    * keeps each shard a uniform sample of the global order; a worker
+    * reading shard k in `seq_id` order replays its slice of the epoch
+    * order. Emits (shard_id, seq_id, id, doc_start, n_toks).
+    * Deterministic end-to-end: no RNG state, bit-reproducible on any
+    * cluster size AND in the DuckDB oracle.
+    */
+  def trainingShards(df: DataFrame, idCol: String, textCol: String,
+                     seqLen: Int, numShards: Int,
+                     seed: String = "graft", numParts: Int = 0): DataFrame = {
+    require(numShards > 0, s"trainingShards: numShards must be positive, got $numShards")
+    // packing in [[shuffleRank]] order == packing in md5 order (the
+    // rank is monotone in the hash), so order by the hash directly and
+    // skip the rank's own prefix-sum pass entirely
+    val hashed = df.select(col(idCol), col(textCol))
+      .withColumn("__h__", md5(concat(lit(seed + ":"), col(idCol).cast("string"))))
+    packSequences(hashed, idCol, textCol, seqLen, numParts, orderCol = "__h__")
+      .withColumn("shard_id", pmod(col("seq_id"), lit(numShards.toLong)))
+  }
+
+  /** Write [[trainingShards]] output as one hive-partitioned dataset:
+    * `path/shard_id=K/part-*.parquet`, each shard's rows sorted by
+    * (seq_id, doc_start) so a shard file replays its slice of the
+    * epoch order with a plain sequential read. One shuffle (hash on
+    * shard_id), sort within partitions — no global sort.
+    */
+  def writeTrainingShards(df: DataFrame, idCol: String, textCol: String,
+                          seqLen: Int, numShards: Int, path: String,
+                          seed: String = "graft"): Unit =
+    trainingShards(df, idCol, textCol, seqLen, numShards, seed)
+      .repartition(numShards, col("shard_id"))
+      .sortWithinPartitions("shard_id", "seq_id", "doc_start")
+      .write.mode("overwrite").partitionBy("shard_id").parquet(path)
+
   def piiStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     def cnt(re: String) =
       size(regexp_extract_all(col(textCol), lit(re), lit(0))).cast("long")

@@ -135,6 +135,49 @@ class CorpusOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  // ── trainingShards / writeTrainingShards ──────────────────────────
+
+  test("trainingShards: round-robin shards are exact and partition the epoch") {
+    val out = CorpusOps.trainingShards(docs, "doc_id", "text", 64, 8).cache()
+    // every sequence lands on exactly one shard, shard = seq % 8
+    assert(out.filter(pmod($"seq_id", lit(8L)) =!= $"shard_id").isEmpty)
+    val sizes = out.select("seq_id", "shard_id").distinct()
+      .groupBy("shard_id").count().select("count").as[Long].collect()
+    assert(sizes.length == 8 && sizes.max - sizes.min <= 1,
+      s"round-robin shards not balanced: ${sizes.toSeq}")
+    // packing follows the epoch order: same doc set as packSequences,
+    // token totals conserved
+    val total = docs.select(sum(size(graft.ext.TextDedup.tokens($"text")))
+      .cast("long")).head().getLong(0)
+    assert(out.agg(sum("n_toks")).head().getLong(0) == total)
+    out.unpersist()
+  }
+
+  test("writeTrainingShards lays out hive shards replaying the epoch order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    try {
+      CorpusOps.writeTrainingShards(docs, "doc_id", "text", 64, 4, dir)
+      val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+        .map(_.getName).toSet
+      assert(dirs == Set("shard_id=0", "shard_id=1", "shard_id=2", "shard_id=3"))
+      val back = spark.read.parquet(dir)
+      val direct = CorpusOps.trainingShards(docs, "doc_id", "text", 64, 4)
+      assert(back.count() == direct.count())
+      assert(back.select("seq_id", "doc_id", "doc_start", "n_toks", "shard_id")
+        .except(direct.select("seq_id", "doc_id", "doc_start", "n_toks", "shard_id"))
+        .isEmpty)
+      // each shard file is sorted: a sequential read replays seq order
+      for (f <- new java.io.File(dir, "shard_id=0").listFiles()
+             if f.getName.endsWith(".parquet")) {
+        val seqs = spark.read.parquet(f.getPath).select("seq_id").as[Long]
+          .collect()
+        assert(seqs.sameElements(seqs.sorted), s"${f.getName} not in seq order")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   // ── piiStats ──────────────────────────────────────────────────────
 
   test("piiStats counts emails/urls/ips/phones and flags has_pii") {
