@@ -273,6 +273,16 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("token").asc)
         .limit(20)),
 
+    // ── [EXT] §2.10 TF-IDF: (doc, token) agg → vocab-join → smoothed
+    // idf; tf≥2 keeps the contract row set discriminating but compact ─
+    "q_tfidf" -> ((s, dir) =>
+      graft.ext.TextAnalysis.tfidf(read(s, dir, "documents"),
+        "doc_id", "text", minDocFreq = 2)
+        .filter(col("tf") >= 2)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          round(col("tfidf"), 4).as("tfidf"))
+        .orderBy("doc_id", "token")),
+
     // ── [EXT] §2.10 corpus split sizes (md5 method → exact oracle) ────
     "q_split_sizes" -> ((s, dir) =>
       graft.functions.Transformers.apply(read(s, dir, "documents"),
@@ -889,6 +899,22 @@ object SparkEntry {
                   ORDER BY md5('graft:' || cast(doc_id AS VARCHAR))) AS BIGINT)
                   AS shuffle_rank
          FROM documents ORDER BY doc_id""",
+    "q_tfidf" ->                       // minDocFreq=2, tf>=2, smoothed idf
+      """WITH p AS (
+           SELECT doc_id,
+                  unnest(list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                                     x -> x <> '')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM p GROUP BY 1, 2),
+         dfreq AS (SELECT token, count(*)::BIGINT AS df FROM tf
+                   GROUP BY 1 HAVING count(*) >= 2),
+         n AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+         SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+                round(tf.tf * (ln((n.n_docs + 1)::DOUBLE / (dfreq.df + 1)) + 1), 4)
+                  AS tfidf
+         FROM tf JOIN dfreq USING (token) CROSS JOIN n
+         WHERE tf.tf >= 2
+         ORDER BY doc_id, token""",
     "q_shards" ->                      // seqLen=64, 8 shards, seed 'graft'
       """WITH t AS (
            SELECT doc_id,

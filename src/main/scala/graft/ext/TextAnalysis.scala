@@ -227,4 +227,33 @@ object TextAnalysis {
   def analyzeWithQuality(df: DataFrame, textCol: String = "text",
                          nCharsCol: String = "n_chars"): DataFrame =
     withStats(df, textCol, quality = Some(nCharsCol))
+
+  /** Per-document TF-IDF over the shared `\W+` tokenizer: one row per
+    * (doc, token) with the in-doc term count `tf`, corpus document
+    * frequency `df`, and `tfidf = tf · (ln((N+1)/(df+1)) + 1)` (the
+    * smoothed-idf formulation, so unseen-token idf is finite and
+    * every-doc tokens still score > 0). `minDocFreq` drops hapax/noise
+    * tokens from the output.
+    *
+    * Shape at 100 TB: explode → (doc, token) hash-agg (map-side
+    * combinable), doc frequency derived FROM the tf table (its
+    * (id, token) exchange is identical on both sides, so Catalyst
+    * reuses one shuffle), then a token-keyed join against the
+    * vocab-sized frequency table and a 1-row broadcast of N. Hot
+    * stopword tokens have a single build row each — high probe
+    * fan-in, no row explosion, no skew salting needed.
+    */
+  def tfidf(df: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text", minDocFreq: Int = 1): DataFrame = {
+    val pairs = df.select(col(idCol), explode(TextDedup.tokens(col(textCol))).as("token"))
+    val tf = pairs.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocFreq)
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1))
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("tfidf"))
+  }
 }

@@ -178,6 +178,27 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  // ── tfidf ─────────────────────────────────────────────────────────
+
+  test("tfidf matches the brute-force definition on a toy corpus") {
+    val toy = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "apple date date date")).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.tfidf(toy, "doc_id", "text")
+      .orderBy("doc_id", "token")
+    def idf(df: Long) = math.log(4.0 / (df + 1)) + 1 // N=3
+    val exp = Seq(
+      (1L, "apple", 2L, 2L, 2 * idf(2)), (1L, "banana", 1L, 2L, idf(2)),
+      (2L, "banana", 1L, 2L, idf(2)), (2L, "cherry", 1L, 1L, idf(1)),
+      (3L, "apple", 1L, 2L, idf(2)), (3L, "date", 3L, 1L, 3 * idf(1)))
+    assert(rows(got) == exp.map(t => Seq(t._1, t._2, t._3, t._4, t._5)))
+    // minDocFreq drops the df=1 tail
+    val pruned = graft.ext.TextAnalysis.tfidf(toy, "doc_id", "text", minDocFreq = 2)
+    assert(pruned.select("token").distinct().as[String].collect().toSet ==
+      Set("apple", "banana"))
+  }
+
   // ── piiStats ──────────────────────────────────────────────────────
 
   test("piiStats counts emails/urls/ips/phones and flags has_pii") {
