@@ -40,7 +40,8 @@ object DiffChecks {
     "q_fingerprint" -> (fingerprintLaws(_, _)),
     "q_split_sizes" -> (splitBinomial(_, _)),
     "q_media_features" -> (mediaFeatureLaws(_, _)),
-    "q_group_pctl_approx" -> (approxPctlRankBound(_, _)))
+    "q_group_pctl_approx" -> (approxPctlRankBound(_, _)),
+    "q_vocab_approx" -> (vocabApproxBound(_, _)))
 
   private def read(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Resolver.readParquet(s, s"$dir/$name.parquet")
@@ -288,5 +289,30 @@ object DiffChecks {
       if (offenders.isEmpty)
         s"all ${joined.length} groups within rank error n*$eps"
       else s"rank bound violated: ${offenders.mkString(", ")}")
+  }
+
+  /** q_vocab_approx vs the exact vocabulary twin: per-token HLL++ doc
+    * frequency within 5σ of exact (rsd = 0.01 ⇒ 5% relative), total
+    * counts (`cnt`) bit-identical — the sketch only touches `docs`.
+    * Checked over the FULL vocabulary, not just the top-20 the
+    * contract query returns.
+    */
+  def vocabApproxBound(s: SparkSession, dir: String,
+                       maxRelErr: Double = 0.05): Check = {
+    val docs = read(s, dir, "documents")
+    val exact = TextAnalysis.vocabulary(docs)
+      .withColumnRenamed("docs", "d_exact").withColumnRenamed("cnt", "c_exact")
+    val approx = TextAnalysis.vocabulary(docs, approxDocs = true)
+    val j = exact.join(approx, "token")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cnt") =!= col("c_exact"), 1).otherwise(0)).as("cnt_diffs"),
+        max(abs(col("docs") - col("d_exact")).cast("double")
+          / greatest(col("d_exact"), lit(1L))).as("max_rel"))
+      .head()
+    val (n, cntDiffs, maxRel) =
+      (j.getAs[Long]("n_tokens"), j.getAs[Long]("cnt_diffs"), j.getAs[Double]("max_rel"))
+    Check(cntDiffs == 0 && maxRel <= maxRelErr,
+      f"$n%d tokens: cnt_diffs=$cntDiffs (must be 0), " +
+        f"max_docs_rel_err=$maxRel%.4f (bound $maxRelErr%.2f)")
   }
 }

@@ -273,6 +273,15 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("token").asc)
         .limit(20)),
 
+    // ── [EXT] §2.10 vocabulary with HLL++ doc frequency — the scale
+    // default (fixed sketch per token vs a distinct-set buffer); error
+    // vs the exact twin is diffchecked, so rows-only here ─────────────
+    "q_vocab_approx" -> ((s, dir) =>
+      graft.ext.TextAnalysis.vocabulary(read(s, dir, "documents"),
+        approxDocs = true)
+        .orderBy(col("cnt").desc, col("token").asc)
+        .limit(20)),
+
     // ── [EXT] §2.10 TF-IDF: (doc, token) agg → vocab-join → smoothed
     // idf; tf≥2 keeps the contract row set discriminating but compact ─
     "q_tfidf" -> ((s, dir) =>
