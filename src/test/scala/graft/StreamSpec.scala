@@ -55,6 +55,34 @@ class StreamSpec extends SparkSpec {
     assert(emitted > 100L && emitted <= 200L)
   }
 
+  test("stateless corpus ops (pii scan, chunking) run unchanged on streams") {
+    val dir = Files.createTempDirectory("graft_cstream").toString
+    val src = s"$dir/docs.parquet"
+    sf("documents").limit(30).write.parquet(src)
+    val ref = DatasetRef("parquet", dir, "docs")
+    // pii: per-row regex counts — no state, append mode, batch parity
+    val piiT = s"$dir/pii";
+    StreamRunner.runAvailableNow(spark,
+      StreamRunner.readStream(spark, ref),
+      df => graft.ext.CorpusOps.piiStats(df)
+        .select("doc_id", "n_emails", "n_urls", "n_ips", "n_phones", "has_pii"),
+      piiT, s"$dir/ckp_pii")
+    val batchPii = graft.ext.CorpusOps.piiStats(spark.read.parquet(src))
+      .select("doc_id", "n_emails", "n_urls", "n_ips", "n_phones", "has_pii")
+    assert(spark.read.parquet(piiT).except(batchPii).isEmpty &&
+      batchPii.except(spark.read.parquet(piiT)).isEmpty)
+    // chunking: pure per-row explode — same parity law
+    val chT = s"$dir/chunks"
+    StreamRunner.runAvailableNow(spark,
+      StreamRunner.readStream(spark, ref),
+      df => graft.ext.CorpusOps.chunkTokens(df, "doc_id", "text", 20, 5),
+      chT, s"$dir/ckp_ch")
+    val batchCh = graft.ext.CorpusOps.chunkTokens(
+      spark.read.parquet(src), "doc_id", "text", 20, 5)
+    assert(spark.read.parquet(chT).except(batchCh).isEmpty &&
+      batchCh.except(spark.read.parquet(chT)).isEmpty)
+  }
+
   test("streaming exact dedup drops duplicate keys within the watermark") {
     val dir = Files.createTempDirectory("graft_dstream").toString
     val src = s"$dir/ev.parquet"; val tgt = s"$dir/dedup"; val ckp = s"$dir/ckp3"
