@@ -107,7 +107,10 @@ object CorpusOps {
       s"chunkTokens: need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
     val step = chunkSize - overlap
     val toks = TextDedup.tokens(col(textCol))
-    val n = size(toks).cast("long")
+    // coalesce: NULL text must mean 0 tokens — the greatest(…, 1) in
+    // nChunks below IGNORES nulls (greatest(null, 1) = 1), which would
+    // otherwise fabricate one empty chunk per NULL document
+    val n = coalesce(size(toks).cast("long"), lit(0L))
     // windows start at 0, step, 2·step …; the last must reach n:
     // ceil((n-overlap)/step) = (n + step - overlap - 1) div step, min 1.
     // Exact in double up to 2^52 tokens — far past any single document.
@@ -270,8 +273,10 @@ object CorpusOps {
       .write.mode("overwrite").partitionBy("shard_id").parquet(path)
 
   def piiStats(df: DataFrame, textCol: String = "text"): DataFrame = {
-    def cnt(re: String) =
-      size(regexp_extract_all(col(textCol), lit(re), lit(0))).cast("long")
+    // coalesce: a NULL text must audit as zero findings, not NULL
+    // counts (which would also make has_pii NULL and break filters)
+    def cnt(re: String) = coalesce(
+      size(regexp_extract_all(col(textCol), lit(re), lit(0))).cast("long"), lit(0L))
     df.withColumn("n_emails", cnt(EmailRe))
       .withColumn("n_urls", cnt(UrlRe))
       .withColumn("n_ips", cnt(Ipv4Re))

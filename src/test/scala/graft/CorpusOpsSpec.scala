@@ -201,6 +201,16 @@ class CorpusOpsSpec extends SparkSpec {
 
   // ── piiStats ──────────────────────────────────────────────────────
 
+  test("piiStats and chunkTokens treat NULL text as empty") {
+    val df = Seq((1L, Option.empty[String]), (2L, Some("a@b.io")))
+      .toDF("doc_id", "text")
+    val pii = CorpusOps.piiStats(df)
+      .select("doc_id", "n_emails", "has_pii").orderBy("doc_id")
+    assert(rows(pii) == Seq(Seq(1L, 0L, false), Seq(2L, 1L, true)))
+    assert(CorpusOps.chunkTokens(df, "doc_id", "text", 5, 1)
+      .filter($"doc_id" === 1L).isEmpty)
+  }
+
   test("piiStats counts emails/urls/ips/phones and flags has_pii") {
     val df = Seq(
       (1L, "write a@b.io or c.d+x@e-f.org, see https://x.y/z?q=1 HTTP://up.example"),
