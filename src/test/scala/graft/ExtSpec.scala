@@ -320,4 +320,41 @@ class ExtSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(media, frameMs = 500L)
     assert(frames.count() > media.count()) // exploded
   }
+
+  test("multimodal: real JDK resize scales big images, passes the rest through") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, "image", png(100, 60)),   // downscale → 50×30
+      (2L, "image", png(10, 6)),     // fits → byte-identical passthrough
+      (3L, "image", "not an image".getBytes("UTF-8")), // undecodable → passthrough
+      (4L, "video", png(100, 60)))   // wrong kind → passthrough
+      .toDF("media_id", "kind", "bytes")
+      .withColumn("meta", struct(lit("application/x-fake").as("mime"),
+        lit(0).as("width"), lit(0).as("height"), lit(0L).as("duration_ms")))
+    val out = Multimodal.resizeImages(spark, rows, maxDim = 50)
+      .orderBy("media_id")
+      .select("media_id", "bytes", "meta.mime", "meta.width", "meta.height")
+      .collect()
+    val big = out(0)
+    assert(big.getString(2) == "image/png" &&
+      big.getInt(3) == 50 && big.getInt(4) == 30)
+    // the re-encoded payload really is a 50×30 png
+    val dec = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(big.getAs[Array[Byte]](1)))
+    assert(dec.getWidth == 50 && dec.getHeight == 30)
+    // everything else byte-identical, meta untouched
+    for ((r, orig) <- Seq(out(1) -> png(10, 6),
+                          out(2) -> "not an image".getBytes("UTF-8"),
+                          out(3) -> png(100, 60))) {
+      assert(r.getAs[Array[Byte]](1).sameElements(orig))
+      assert(r.getString(2) == "application/x-fake")
+    }
+  }
 }
