@@ -149,6 +149,31 @@ object Transformers {
         case (acc, ((name, _), cut)) => when(h < cut, name).otherwise(acc)
       }
       df.withColumn(out, expr0)
+    }),
+    // corpus-assembly stages (CLI surface for ext.CorpusOps — the same
+    // operators the q_* contract queries run)
+    "pii_stats" -> (args => df => // pii_stats[:field]
+      graft.ext.CorpusOps.piiStats(df, args.headOption.getOrElse("text"))),
+    "chunk" -> (args => df => { // chunk:id;text;size[;overlap]
+      val Seq(id, text, size) = args.take(3)
+      graft.ext.CorpusOps.chunkTokens(df, id, text, size.toInt,
+        args.lift(3).map(_.toInt).getOrElse(0))
+    }),
+    "shuffle_rank" -> (args => df => // shuffle_rank:key[;seed[;out]]
+      graft.ext.CorpusOps.shuffleRank(df, args.head,
+        args.lift(1).getOrElse("graft"),
+        args.lift(2).getOrElse("shuffle_rank"))),
+    // mix_sample:key;source[;default=w];src0:2.5;src1:0.25…
+    "mix_sample" -> (args => df => {
+      val Seq(key, source) = args.take(2)
+      val rest = args.drop(2)
+      val (dflt, wParts) = rest.partition(_.startsWith("default="))
+      val weights = wParts.map { a =>
+        val Array(s, w) = a.split(":", 2)
+        s -> w.toDouble
+      }.toMap
+      graft.ext.CorpusOps.mixtureSample(df, key, source, weights,
+        dflt.headOption.map(_.stripPrefix("default=").toDouble).getOrElse(1.0))
     })
   )
 

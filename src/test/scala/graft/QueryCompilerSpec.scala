@@ -152,6 +152,28 @@ class QueryCompilerSpec extends SparkSpec {
       once.collect().toSeq)
   }
 
+  test("§2.5 corpus stages are CLI-reachable through the transform chain") {
+    import graft.functions.Transformers
+    import graft.spec.TransformStage
+    val d = Seq((1L, "alpha beta gamma delta", "src0"),
+                (2L, "epsilon a@b.io zeta", "src1")).toDF("doc_id", "text", "source")
+    val pii = Transformers.apply(d, TransformStage.parseChain("pii_stats:text"))
+    assert(pii.filter($"doc_id" === 2L).select("n_emails").as[Long].head() == 1L)
+    val chunks = Transformers.apply(d,
+      TransformStage.parseChain("chunk:doc_id;text;3;1"))
+    assert(chunks.columns.toSeq ==
+      Seq("doc_id", "chunk_id", "chunk_text", "n_tokens"))
+    assert(chunks.filter($"doc_id" === 1L).count() == 2)
+    val ranked = Transformers.apply(d,
+      TransformStage.parseChain("shuffle_rank:doc_id"))
+    assert(ranked.select("shuffle_rank").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L))
+    val mixed = Transformers.apply(d, TransformStage.parseChain(
+      "mix_sample:doc_id;source;default=1.0;src0:3.0"))
+    assert(mixed.filter($"doc_id" === 1L).count() == 3)
+    assert(mixed.filter($"doc_id" === 2L).count() == 1)
+  }
+
   test("[EXT] _agg duplicate/multi percentile requests share one buffer") {
     val t = Seq(("a", 10.0), ("a", 20.0), ("a", 30.0), ("b", 5.0))
       .toDF("k", "amount")
