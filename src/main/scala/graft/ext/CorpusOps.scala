@@ -49,7 +49,8 @@ object CorpusOps {
     * order by primary keys or md5 hashes, which satisfy this.
     */
   def withGlobalOffset(df: DataFrame, orderCol: String, weightCol: String,
-                       outCol: String, numParts: Int = 0): DataFrame = {
+                       outCol: String, numParts: Int = 0,
+                       materializeInput: Boolean = false): DataFrame = {
     val p = if (numParts > 0) numParts
             else df.sparkSession.sessionState.conf.numShufflePartitions
     import org.apache.spark.sql.types.StringType
@@ -74,7 +75,16 @@ object CorpusOps {
     val bucket = bnds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(col("__proxy__") > lit(b), 1).otherwise(0)
     }
-    val bucketed = keyed.withColumn("__pid__", bucket).drop("__proxy__")
+    // The plan below evaluates `bucketed` twice (bases aggregate +
+    // probe). That is CORRECT either way — the bucket id is a pure row
+    // function — but when the weight column is expensive to compute
+    // (packSequences tokenizes the whole corpus for it), callers set
+    // `materializeInput` to checkpoint the NARROW projection once and
+    // read it back twice instead of re-running the scan. Lazy, so it
+    // materializes inside the consuming job, not as an extra action.
+    val bucketed0 = keyed.withColumn("__pid__", bucket).drop("__proxy__")
+    val bucketed = if (materializeInput) bucketed0.localCheckpoint(eager = false)
+                   else bucketed0
     // per-bucket totals → exclusive prefix over bucket ids; bucket ids
     // ascend with the global order by construction. The global-order
     // window here runs on ≤ p rows, so it is cheap by construction.
@@ -152,7 +162,10 @@ object CorpusOps {
     val base = if (ord == idCol) df.select(col(idCol), n.as("__n__"))
                else df.select(col(idCol), col(ord), n.as("__n__"))
     val t = base.filter(col("__n__") > 0L)
-    val off = withGlobalOffset(t, ord, "__n__", "__off__", numParts)
+    // materialize the (id, order, token-count) projection: the weight
+    // here costs a full tokenize of the corpus — one scan, not two
+    val off = withGlobalOffset(t, ord, "__n__", "__off__", numParts,
+      materializeInput = true)
     off
       .withColumn("seq_id",
         explode(sequence(expr(s"__off__ div $seqLen"),
