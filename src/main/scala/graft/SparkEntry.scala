@@ -468,7 +468,24 @@ object SparkEntry {
         docs.withColumn("text", concat(col("text"), email, url, ip, phone)))
         .select("doc_id", "n_emails", "n_urls", "n_ips", "n_phones", "has_pii")
         .orderBy("doc_id")
-    })
+    }),
+
+    // ── [EXT] §2.10 unigram-LM quality scoring (CCNet-style): the
+    // corpus scored against its own add-0.5-smoothed LM, vocab pruned
+    // at minCount=2 (rare tokens fall into the shared OOV bucket) ─────
+    "q_lm_score" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      graft.ext.TextAnalysis.lmScore(docs, docs, "doc_id", "text",
+        addK = 0.5, minCount = 2L)
+        .orderBy("doc_id")
+    }),
+
+    // ── [EXT] §2.10 exact duplicate-substring spans (ACL'22
+    // ExactSubstr as a distributed 10-gram inverted index) ────────────
+    "q_dup_spans" -> ((s, dir) =>
+      graft.ext.TextDedup.dupSpans(read(s, dir, "documents"),
+        "doc_id", "text", n = 10, minOccur = 2L)
+        .orderBy("doc_id", "span_start"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -967,7 +984,51 @@ object SparkEntry {
            FROM aug)
          SELECT doc_id, n_emails, n_urls, n_ips, n_phones,
                 (n_emails + n_ips + n_phones > 0) AS has_pii
-         FROM cnt ORDER BY doc_id"""
+         FROM cnt ORDER BY doc_id""",
+    "q_lm_score" ->                    // addK=0.5, minCount=2, self-scored
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                                     x -> x <> '')) AS token
+           FROM documents),
+         c AS (SELECT token, count(*)::BIGINT AS cnt FROM tok
+               GROUP BY 1 HAVING count(*) >= 2),
+         tot AS (SELECT sum(cnt)::DOUBLE AS n, count(*)::DOUBLE AS v FROM c),
+         s AS (
+           SELECT t.doc_id, count(*)::BIGINT AS n_toks,
+                  -avg(ln((coalesce(c.cnt, 0) + 0.5) / (tot.n + 0.5*(tot.v + 1)))) AS ce
+           FROM tok t LEFT JOIN c USING (token) CROSS JOIN tot
+           GROUP BY 1)
+         SELECT d.doc_id, coalesce(s.n_toks, 0)::BIGINT AS n_toks,
+                round(s.ce, 4) AS cross_entropy,
+                round(exp(s.ce), 4) AS perplexity
+         FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""",
+    "q_dup_spans" ->                   // n=10, minOccur=2, 0-based [start,end)
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+         p AS (SELECT doc_id, unnest(range(0, len(toks) - 9)) AS pos, toks
+               FROM t WHERE len(toks) >= 10),
+         g AS (SELECT doc_id, pos::BIGINT AS pos,
+                      md5(array_to_string(toks[pos+1:pos+10], ' ')) AS g
+               FROM p),
+         d AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+         h AS (SELECT doc_id, pos FROM g JOIN d USING (g)),
+         m AS (SELECT doc_id, pos,
+                      CASE WHEN pos > coalesce(max(pos + 10) OVER (
+                             PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                           THEN 1 ELSE 0 END AS ns
+               FROM h),
+         s AS (SELECT doc_id, pos,
+                      sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+               FROM m)
+         SELECT doc_id, min(pos)::BIGINT AS span_start,
+                (max(pos) + 10)::BIGINT AS span_end,
+                (max(pos) + 10 - min(pos))::BIGINT AS n_tokens
+         FROM s GROUP BY doc_id, span ORDER BY doc_id, span_start"""
   )
 
   /** Differential oracles for the queries whose outputs DuckDB cannot

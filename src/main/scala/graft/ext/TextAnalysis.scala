@@ -265,4 +265,52 @@ object TextAnalysis {
         col("tf") * (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1))
       .select(col(idCol), col("token"), col("tf"), col("df"), col("tfidf"))
   }
+
+  /** CCNet-style unigram language-model quality scoring (Wenzek et al.,
+    * LREC'20 trains a Wikipedia LM and keeps low-perplexity web docs;
+    * the reference pipeline has no analog — this is the [EXT] quality
+    * gate in front of it). Token unigram probabilities are estimated on
+    * `train` with add-k smoothing over the kept vocabulary:
+    *
+    *   p(t) = (cnt(t) + k) / (N + k·(V+1))
+    *
+    * where `N` is the kept-token mass, `V` the kept-vocabulary size,
+    * and every out-of-vocabulary token (unseen, or below `minCount`)
+    * shares the single +1 bucket: p(oov) = k / (N + k·(V+1)).
+    * Each `target` doc scores `cross_entropy` = −mean ln p(tᵢ)
+    * (nats/token) and `perplexity` = exp(cross_entropy); docs with
+    * zero tokens emit NULL scores and n_toks = 0.
+    *
+    * Shape at 100 TB: one explode + token hash-agg over `train`
+    * (map-side combinable), a 1-row (N, V) aggregate broadcast by
+    * crossJoin, a token-keyed join of the target token stream against
+    * the vocab-sized count table (hot stopwords are single build rows —
+    * high fan-in, no explosion), then a doc-keyed hash-agg. No window,
+    * no collect; `minCount` bounds the vocab table.
+    */
+  def lmScore(train: DataFrame, target: DataFrame,
+              idCol: String = "doc_id", textCol: String = "text",
+              addK: Double = 0.5, minCount: Long = 1L): DataFrame = {
+    require(addK > 0, s"lmScore: addK must be positive, got $addK")
+    val toks = (d: DataFrame) =>
+      d.select(col(idCol), explode(TextDedup.tokens(col(textCol))).as("token"))
+    val counts = toks(train).groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val totals = counts.agg(
+      sum(col("cnt")).cast("double").as("__n__"),
+      count(lit(1)).cast("double").as("__v__"))
+    val scored = toks(target)
+      .join(counts, Seq("token"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__logp__",
+        log((coalesce(col("cnt"), lit(0L)) + addK) /
+          (col("__n__") + (col("__v__") + 1) * addK)))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_toks"), (-avg(col("__logp__"))).as("__ce__"))
+    target.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        round(col("__ce__"), 4).as("cross_entropy"),
+        round(exp(col("__ce__")), 4).as("perplexity"))
+  }
 }

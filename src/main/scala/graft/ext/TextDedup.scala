@@ -368,6 +368,63 @@ object TextDedup {
         .select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Exact duplicate-substring spans (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL'22 — their
+    * suffix-array ExactSubstr pass, re-expressed as a distributed
+    * n-gram inverted index). A token position is DUPLICATED when the
+    * word n-gram starting there occurs at least `minOccur` times in
+    * the whole corpus (any document, including repeats within the same
+    * doc); runs of duplicated positions merge into maximal spans.
+    * Emits one row per span: (id, span_start, span_end, n_tokens) in
+    * 0-based token offsets, end exclusive — the spans a
+    * remove-duplicate-text pass would cut.
+    *
+    * Shape at 100 TB: explode the token stream into (pos, md5(gram))
+    * rows — pure per-row projection; one hash-agg on the digest
+    * (map-side combinable) for occurrence counts; join the positions
+    * back on the digest (dup grams are the small side after the
+    * `minOccur` filter); then a per-document window to merge
+    * overlapping hits. No all-pairs joins, no driver state; the
+    * window partitions by doc so its span is bounded by document
+    * length. The md5 digest (vs grouping raw gram strings) cuts the
+    * shuffle payload to 16 bytes/row and is replayable in the DuckDB
+    * oracle.
+    */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+               n: Int = 10, minOccur: Long = 2L): DataFrame = {
+    require(n > 0 && minOccur >= 2,
+      s"dupSpans: need n > 0 and minOccur >= 2, got n=$n minOccur=$minOccur")
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__toks__"))
+      .filter(size(col("__toks__")) >= n)
+    val grams = base
+      .select(col("id"),
+        explode(sequence(lit(0), size(col("__toks__")) - n)).as("pos"),
+        col("__toks__"))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        md5(array_join(slice(col("__toks__"), col("pos") + 1, lit(n)), " ")).as("g"))
+    val dupG = grams.groupBy("g").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOccur).select("g")
+    val hits = grams.join(dupG, "g").select(col("id"), col("pos"))
+    // interval merge: a hit covers [pos, pos+n); a new span starts when
+    // the gap to everything before is positive (pos == prev end means
+    // contiguous text, so adjacent hits merge too)
+    val prev = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upto = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hits
+      .withColumn("__ns__",
+        when(col("pos") > coalesce(max(col("pos") + n).over(prev), lit(-1L)), 1L)
+          .otherwise(0L))
+      .withColumn("__span__", sum(col("__ns__")).over(upto))
+      .groupBy("id", "__span__")
+      .agg(min(col("pos")).as("span_start"), (max(col("pos")) + n).as("span_end"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("n_tokens"))
+  }
+
   /** SimHash near-dup pairs within hamming distance ≤ maxDist.
     * Pigeonhole blocking: fingerprints are split into (maxDist+1)
     * 64/(maxDist+1)-bit chunks; any pair within maxDist must agree on at

@@ -24,6 +24,61 @@ class ExtSpec extends SparkSpec {
     assert(empty.isEmpty)
   }
 
+  test("lmScore: hand-computed add-k probabilities, OOV bucket, empty doc") {
+    val train = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    // minCount=1: vocab {a:3, b:1, c:1}, N=5, V=3, denom = 5 + 0.5*4 = 7
+    val full = TextAnalysis.lmScore(train, train, addK = 0.5, minCount = 1L)
+      .orderBy("doc_id")
+      .select("n_toks", "cross_entropy", "perplexity")
+      .as[(Long, Double, Double)].collect().toSeq
+    val ce1 = -(math.log(3.5 / 7) * 2 + math.log(1.5 / 7)) / 3
+    val ce2 = -(math.log(3.5 / 7) + math.log(1.5 / 7)) / 2
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(full == Seq((3L, r4(ce1), r4(math.exp(ce1))),
+                       (2L, r4(ce2), r4(math.exp(ce2)))))
+    // minCount=2 prunes b and c into the shared OOV bucket:
+    // vocab {a:3}, N=3, V=1, denom = 3 + 0.5*2 = 4
+    val pruned = TextAnalysis.lmScore(train, train, addK = 0.5, minCount = 2L)
+      .orderBy("doc_id").select("cross_entropy").as[Double].collect().toSeq
+    val oov = math.log(0.5 / 4)
+    assert(pruned == Seq(r4(-(math.log(3.5 / 4) * 2 + oov) / 3),
+                         r4(-(math.log(3.5 / 4) + oov) / 2)))
+    // zero-token target doc: n_toks 0, NULL scores (never dropped)
+    val tgt = Seq((9L, "a unseen"), (10L, "  ")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(train, tgt, addK = 0.5, minCount = 1L)
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(1) == 2L &&
+      out(0).getDouble(2) == r4(-(math.log(3.5 / 7) + math.log(0.5 / 7)) / 2))
+    assert(out(1).getLong(1) == 0L && out(1).isNullAt(2) && out(1).isNullAt(3))
+  }
+
+  test("dupSpans: cross-doc hits, overlap + adjacency merge, short docs skipped") {
+    val d = Seq(
+      (1L, "a b c d e"),               // "a b c","b c d" shared with doc 2
+      (2L, "a b c d z"),
+      (3L, "m n o m n o m n o"),       // self-repeat: every 3-gram duplicated
+      (4L, "p q"),                     // shorter than n -> no grams
+      (5L, "totally unique words only here")
+    ).toDF("doc_id", "text")
+    val spans = TextDedup.dupSpans(d, "doc_id", "text", n = 3, minOccur = 2L)
+      .orderBy("doc_id", "span_start")
+      .select("doc_id", "span_start", "span_end", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // docs 1,2: hits at pos 0,1 merge into [0,4); doc 3: "m n o" at
+    // 0,3,6 plus the rotations at 1,2,4,5 all duplicated -> one [0,9)
+    assert(spans == Seq((1L, 0L, 4L, 4L), (2L, 0L, 4L, 4L),
+                        (3L, 0L, 9L, 9L)))
+    // gap between duplicated grams splits spans: the shared 3-gram
+    // sits at pos 0 and pos 4 of doc 7 (gap > 0 after [0,3))
+    val d2 = Seq((6L, "a b c"), (7L, "a b c q a b c")).toDF("doc_id", "text")
+    val s2 = TextDedup.dupSpans(d2, "doc_id", "text", n = 3, minOccur = 2L)
+      .orderBy("doc_id", "span_start")
+      .select("doc_id", "span_start", "span_end").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(s2 == Seq((6L, 0L, 3L), (7L, 0L, 3L), (7L, 4L, 7L)))
+  }
+
   test("exact dedup keeps first doc per text") {
     val out = TextDedup.exact(docs, "text", "doc_id")
     assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
