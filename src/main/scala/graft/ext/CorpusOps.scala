@@ -286,15 +286,21 @@ object CorpusOps {
       .write.mode("overwrite").partitionBy("shard_id").parquet(path)
 
   def piiStats(df: DataFrame, textCol: String = "text"): DataFrame = {
-    // coalesce: a NULL text must audit as zero findings, not NULL
-    // counts (which would also make has_pii NULL and break filters)
-    def cnt(re: String) = coalesce(
-      size(regexp_extract_all(col(textCol), lit(re), lit(0))).cast("long"), lit(0L))
-    df.withColumn("n_emails", cnt(EmailRe))
-      .withColumn("n_urls", cnt(UrlRe))
-      .withColumn("n_ips", cnt(Ipv4Re))
-      .withColumn("n_phones", cnt(PhoneRe))
+    // one RegexCounts pass (count-only — no per-pattern match-array
+    // materialization); the four size(regexp_extract_all(…)) columns
+    // this replaces are law-checked equal in CorpusOpsSpec. coalesce:
+    // a NULL text must audit as zero findings, not NULL counts (which
+    // would also make has_pii NULL and break filters)
+    val counts = graft.functions.TextExprs.regexCounts(
+      col(textCol), Seq(EmailRe, UrlRe, Ipv4Re, PhoneRe))
+    def cnt(i: Int) = coalesce(element_at(col("__pc__"), i), lit(0L))
+    df.withColumn("__pc__", counts)
+      .withColumn("n_emails", cnt(1))
+      .withColumn("n_urls", cnt(2))
+      .withColumn("n_ips", cnt(3))
+      .withColumn("n_phones", cnt(4))
       .withColumn("has_pii",
         col("n_emails") + col("n_ips") + col("n_phones") > 0L)
+      .drop("__pc__")
   }
 }

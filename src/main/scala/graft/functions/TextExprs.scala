@@ -254,6 +254,43 @@ object TextExprs {
       copy(child = newChild)
   }
 
+  /** Count of non-overlapping matches of each pattern, one row pass:
+    * array<long> aligned with `patterns`. Bit-identical to
+    * `size(regexp_extract_all(text, p, 0))` per pattern (same Java
+    * regex engine, same left-to-right find loop) without materializing
+    * an array of matched substrings per pattern per row — the PII scan
+    * needs only the counts, and on scan-speed paths the allocation of
+    * match arrays (plus one UTF8String→String conversion per pattern)
+    * is the dominant cost.
+    */
+  case class RegexCounts(child: Expression, patterns: Seq[String])
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    require(patterns.nonEmpty, "regex_counts: need at least one pattern")
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "regex_counts"
+
+    @transient private lazy val compiled: Array[java.util.regex.Pattern] =
+      patterns.map(java.util.regex.Pattern.compile).toArray
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val out = new Array[Any](compiled.length)
+      var i = 0
+      while (i < compiled.length) {
+        val m = compiled(i).matcher(s)
+        var c = 0L
+        while (m.find()) c += 1
+        out(i) = c
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ── Column wrappers ────────────────────────────────────────────────
   def textStatsRaw(text: Column, stopwords: Seq[String],
                    markers: Seq[(String, Seq[String])]): Column =
@@ -264,4 +301,6 @@ object TextExprs {
     ExprShim.column(MinShingle(ExprShim.expression(text), n))
   def wordTokens(text: Column): Column =
     ExprShim.column(Tokens(ExprShim.expression(text)))
+  def regexCounts(text: Column, patterns: Seq[String]): Column =
+    ExprShim.column(RegexCounts(ExprShim.expression(text), patterns))
 }

@@ -174,6 +174,20 @@ object Transformers {
       }.toMap
       graft.ext.CorpusOps.mixtureSample(df, key, source, weights,
         dflt.headOption.map(_.stripPrefix("default=").toDouble).getOrElse(1.0))
+    }),
+    // lm_score:id;text[;addK[;minCount]] — self-scored (train == the
+    // incoming frame); cross-corpus training stays a library call
+    "lm_score" -> (args => df => {
+      val Seq(id, text) = args.take(2)
+      graft.ext.TextAnalysis.lmScore(df, df, id, text,
+        args.lift(2).map(_.toDouble).getOrElse(0.5),
+        args.lift(3).map(_.toLong).getOrElse(1L))
+    }),
+    "dup_spans" -> (args => df => { // dup_spans:id;text[;n[;minOccur]]
+      val Seq(id, text) = args.take(2)
+      graft.ext.TextDedup.dupSpans(df, id, text,
+        args.lift(2).map(_.toInt).getOrElse(10),
+        args.lift(3).map(_.toLong).getOrElse(2L))
     })
   )
 

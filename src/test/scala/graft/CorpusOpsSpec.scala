@@ -228,4 +228,21 @@ class CorpusOpsSpec extends SparkSpec {
       Seq(4L, 0L, 0L, 0L, 0L, false),
       Seq(5L, 0L, 0L, 1L, 0L, true)))  // version strings: documented tradeoff
   }
+
+  test("RegexCounts ≡ size(regexp_extract_all) on the documents table") {
+    import org.apache.spark.sql.functions.{coalesce, element_at, lit, size, regexp_extract_all}
+    val res = Seq(CorpusOps.EmailRe, CorpusOps.UrlRe,
+      CorpusOps.Ipv4Re, CorpusOps.PhoneRe)
+    // augment real docs so every pattern actually fires somewhere
+    val docs = sf("documents").withColumn("text",
+      org.apache.spark.sql.functions.concat($"text",
+        org.apache.spark.sql.functions.when($"doc_id" % 3 === 0,
+          lit(" x@y.io https://a.b 10.0.0.1 +1 415 555 0100")).otherwise(lit(""))))
+    val counts = graft.functions.TextExprs.regexCounts($"text", res)
+    val anyMismatch = res.zipWithIndex.map { case (re, i) =>
+      coalesce(element_at($"__pc__", i + 1), lit(0L)) =!=
+        coalesce(size(regexp_extract_all($"text", lit(re), lit(0))).cast("long"), lit(0L))
+    }.reduce(_ || _)
+    assert(docs.withColumn("__pc__", counts).filter(anyMismatch).count() == 0)
+  }
 }

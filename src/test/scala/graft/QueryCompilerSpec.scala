@@ -172,6 +172,17 @@ class QueryCompilerSpec extends SparkSpec {
       "mix_sample:doc_id;source;default=1.0;src0:3.0"))
     assert(mixed.filter($"doc_id" === 1L).count() == 3)
     assert(mixed.filter($"doc_id" === 2L).count() == 1)
+    val lm = Transformers.apply(d,
+      TransformStage.parseChain("lm_score:doc_id;text"))
+    assert(lm.columns.toSeq ==
+      Seq("doc_id", "n_toks", "cross_entropy", "perplexity"))
+    assert(lm.count() == 2 && lm.filter($"cross_entropy".isNull).count() == 0)
+    val dup = Transformers.apply(
+      Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text"),
+      TransformStage.parseChain("dup_spans:doc_id;text;3"))
+    assert(dup.select("doc_id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect().toSet ==
+      Set((1L, 0L, 3L), (2L, 0L, 3L)))
   }
 
   test("[EXT] _agg duplicate/multi percentile requests share one buffer") {
