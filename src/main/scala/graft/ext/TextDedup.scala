@@ -379,31 +379,32 @@ object TextDedup {
     * 0-based token offsets, end exclusive — the spans a
     * remove-duplicate-text pass would cut.
     *
-    * Shape at 100 TB: explode the token stream into (pos, md5(gram))
-    * rows — pure per-row projection; one hash-agg on the digest
-    * (map-side combinable) for occurrence counts; join the positions
-    * back on the digest (dup grams are the small side after the
-    * `minOccur` filter); then a per-document window to merge
-    * overlapping hits. No all-pairs joins, no driver state; the
-    * window partitions by doc so its span is bounded by document
-    * length. The md5 digest (vs grouping raw gram strings) cuts the
-    * shuffle payload to 16 bytes/row and is replayable in the DuckDB
-    * oracle.
+    * Shape at 100 TB: one [[graft.functions.VectorExprs.ShingleHashes]]
+    * pass turns each doc into positional 64-bit gram hashes (no gram
+    * strings, no regex — single custom-expression loop), posexplode
+    * gives (pos, hash) rows; one hash-agg on the 8-byte hash (map-side
+    * combinable) for occurrence counts; join the positions back on the
+    * hash (dup grams are the small side after the `minOccur` filter);
+    * then a per-document window to merge overlapping hits. No
+    * all-pairs joins, no driver state; the window partitions by doc
+    * so its span is bounded by document length. The gram subtree is
+    * evaluated twice (agg + probe) by design — re-running a scan-speed
+    * projection beats materializing a corpus-sized intermediate.
+    * XXH64 collisions could merge two distinct grams (rate ~g²/2⁶⁴ —
+    * negligible below ~10⁹ distinct grams; the DuckDB oracle, which
+    * groups raw gram text, doubles as the collision canary at test
+    * scale).
     */
   def dupSpans(df: DataFrame, idCol: String, textCol: String,
                n: Int = 10, minOccur: Long = 2L): DataFrame = {
     require(n > 0 && minOccur >= 2,
       s"dupSpans: need n > 0 and minOccur >= 2, got n=$n minOccur=$minOccur")
     import org.apache.spark.sql.expressions.Window
-    val base = df
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("__toks__"))
-      .filter(size(col("__toks__")) >= n)
-    val grams = base
-      .select(col("id"),
-        explode(sequence(lit(0), size(col("__toks__")) - n)).as("pos"),
-        col("__toks__"))
-      .select(col("id"), col("pos").cast("long").as("pos"),
-        md5(array_join(slice(col("__toks__"), col("pos") + 1, lit(n)), " ")).as("g"))
+    val grams = df
+      .select(col(idCol).as("id"),
+        posexplode(graft.functions.VectorExprs.shingleHashes(
+          tokens(col(textCol)), n)))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("col").as("g"))
     val dupG = grams.groupBy("g").agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= minOccur).select("g")
     val hits = grams.join(dupG, "g").select(col("id"), col("pos"))

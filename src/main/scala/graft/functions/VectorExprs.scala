@@ -336,6 +336,44 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** POSITIONAL word-n-gram hashes: element i is XXH64(seed 42) of the
+    * space-joined n-gram starting at token i (no sort, no dedup —
+    * [[ShingleSortedHashes]] minus both, for consumers that need the
+    * position, e.g. duplicate-span detection). Empty below n tokens.
+    */
+  case class ShingleHashes(child: Expression, n: Int)
+      extends UnaryExpression with ExpectsInputTypes
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "shingle_hashes"
+
+    override def nullSafeEval(input: Any): Any = {
+      import org.apache.spark.unsafe.types.UTF8String
+      val arr = input.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      if (m < n) return new GenericArrayData(Array.emptyLongArray)
+      val toks = new Array[UTF8String](m)
+      var i = 0
+      while (i < m) { toks(i) = arr.getUTF8String(i); i += 1 }
+      val space = UTF8String.fromString(" ")
+      val out = new Array[Long](m - n + 1)
+      i = 0
+      while (i <= m - n) {
+        val parts = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) { parts(j) = toks(i + j); j += 1 }
+        val sh = UTF8String.concatWs(space, parts: _*)
+        out(i) = XXH64.hashUnsafeBytes(sh.getBaseObject, sh.getBaseOffset, sh.numBytes, 42L)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** |A ∩ B| of two SORTED array<long> columns — one O(n+m) merge pass
     * in generated code. The workhorse of exact near-dup verification:
     * per candidate pair this replaces array_intersect's hash-set build.
@@ -401,4 +439,6 @@ object VectorExprs {
     ExprShim.column(NearestCentroid(ExprShim.expression(vec), ids, cents))
   def shingleSortedHashes(tokens: Column, n: Int): Column =
     ExprShim.column(ShingleSortedHashes(ExprShim.expression(tokens), n))
+  def shingleHashes(tokens: Column, n: Int): Column =
+    ExprShim.column(ShingleHashes(ExprShim.expression(tokens), n))
 }
