@@ -77,6 +77,35 @@ object MergePlanner {
     // Literal params filter the merger side with the same query DSL.
     val filtered = QueryCompiler.apply(mergerRaw, literals)
 
+    // J4 require_no_match → anti join. Handled before match_one dedupe:
+    // the anti join only asks whether ANY match exists, so deduping is
+    // a semantic no-op — and dedupeOne's row_number window (ordered by
+    // every sortable merger column) would drag the full merger schema
+    // through the scan. Projecting to the condition columns instead
+    // keeps the merger side a key-only scan (at 100 TB: one column read
+    // off parquet, not sixteen).
+    if (spec.requireNoMatch) {
+      val keyCols = corr.map(_._1).distinct
+      val pruned = keyCols.foldLeft(filtered.select(keyCols.map(col).toIndexedSeq: _*)) {
+        (d, c) => d.withColumnRenamed(c, MPrefix + c)
+      }
+      val m = if (broadcastMerger) broadcast(pruned) else pruned
+      val cond = corr.map { case (mk, op, sf) =>
+        val mc = m(MPrefix + mk)
+        op match {
+          case "eq"  => if (spec.strictMatch) src(sf) === mc else src(sf) <=> mc
+          case "ne"  => mc =!= src(sf)
+          case "gt"  => mc > src(sf)
+          case "gte" => mc >= src(sf)
+          case "lt"  => mc < src(sf)
+          case "lte" => mc <= src(sf)
+          case other => throw new IllegalArgumentException(
+            s"correlated merger key supports eq/ne/gt/gte/lt/lte, got __$other")
+        }
+      }.reduce(_ && _)
+      return src.join(m, cond, "left_anti")
+    }
+
     val eqKeys = corr.collect { case (mk, "eq", _) => mk }
     val allEq = corr.forall(_._2 == "eq")
     // match_one can pre-dedupe the merger only for pure equi-lookups;
@@ -107,8 +136,7 @@ object MergePlanner {
       }
     }.reduce(_ && _)
 
-    // J4 require_no_match → anti; J3 require_match → inner; else left outer.
-    if (spec.requireNoMatch) return src.join(m, cond, "left_anti")
+    // J3 require_match → inner; else left outer (anti handled above).
     val rangeOne = !spec.unwind && spec.matchOne && !allEq
     // range lookup + match_one needs a unique per-source-row partition
     // key: partitioning by the source's columns would collapse
