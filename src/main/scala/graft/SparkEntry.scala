@@ -485,7 +485,28 @@ object SparkEntry {
     "q_dup_spans" -> ((s, dir) =>
       graft.ext.TextDedup.dupSpans(read(s, dir, "documents"),
         "doc_id", "text", n = 10, minOccur = 2L)
-        .orderBy("doc_id", "span_start"))
+        .orderBy("doc_id", "span_start")),
+
+    // ── [EXT] §2.10 ExactSubstr dedup: cut every duplicated 10-gram
+    // span out of the corpus text (all copies — Lee et al. semantics) ─
+    "q_dedup_substr" -> ((s, dir) =>
+      graft.ext.TextDedup.removeDupSpans(read(s, dir, "documents"),
+        "doc_id", "text", n = 10, minOccur = 2L)
+        .orderBy("doc_id")),
+
+    // ── [EXT] §2.10 deterministic exact-k sample: the 100 smallest
+    // md5(seed:id) — planned as TakeOrderedAndProject (no global sort) ─
+    "q_sample_topk" -> ((s, dir) =>
+      graft.ext.Sampling.sampleK(read(s, dir, "documents"), "doc_id", 100)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
+    // ── [EXT] §2.10 exact per-stratum sample: 20 docs per source ──────
+    "q_sample_stratum" -> ((s, dir) =>
+      graft.ext.Sampling.samplePerStratum(read(s, dir, "documents"),
+        "source", "doc_id", 20)
+        .select("doc_id", "source")
+        .orderBy("doc_id"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1028,7 +1049,58 @@ object SparkEntry {
          SELECT doc_id, min(pos)::BIGINT AS span_start,
                 (max(pos) + 10)::BIGINT AS span_end,
                 (max(pos) + 10 - min(pos))::BIGINT AS n_tokens
-         FROM s GROUP BY doc_id, span ORDER BY doc_id, span_start"""
+         FROM s GROUP BY doc_id, span ORDER BY doc_id, span_start""",
+    "q_dedup_substr" ->                // n=10, all copies of dup spans cut
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+         p AS (SELECT doc_id, unnest(range(0, len(toks) - 9)) AS pos, toks
+               FROM t WHERE len(toks) >= 10),
+         g AS (SELECT doc_id, pos::BIGINT AS pos,
+                      md5(array_to_string(toks[pos+1:pos+10], ' ')) AS g
+               FROM p),
+         d AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+         h AS (SELECT doc_id, pos FROM g JOIN d USING (g)),
+         m AS (SELECT doc_id, pos,
+                      CASE WHEN pos > coalesce(max(pos + 10) OVER (
+                             PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                           THEN 1 ELSE 0 END AS ns
+               FROM h),
+         s AS (SELECT doc_id, pos,
+                      sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+               FROM m),
+         spans AS (SELECT doc_id, min(pos) AS a, max(pos) + 10 AS b
+                   FROM s GROUP BY doc_id, span),
+         tok AS (SELECT doc_id, unnest(toks) AS token,
+                        unnest(range(0, len(toks))) AS pos
+                 FROM t),
+         keep AS (
+           SELECT k.doc_id, k.pos, k.token FROM tok k
+           WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                             WHERE sp.doc_id = k.doc_id
+                               AND k.pos >= sp.a AND k.pos < sp.b)),
+         agg AS (SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS clean_text,
+                        count(*) AS n_kept
+                 FROM keep GROUP BY doc_id),
+         tot AS (SELECT doc_id, len(toks)::BIGINT AS n FROM t)
+         SELECT tot.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+                (tot.n - coalesce(agg.n_kept, 0))::BIGINT AS n_removed
+         FROM tot LEFT JOIN agg USING (doc_id) ORDER BY tot.doc_id""",
+    "q_sample_topk" ->                 // k=100, seed 'graft'
+      """WITH s AS (
+           SELECT doc_id, source FROM documents
+           ORDER BY md5('graft:' || cast(doc_id AS VARCHAR)) LIMIT 100)
+         SELECT doc_id, source FROM s ORDER BY doc_id""",
+    "q_sample_stratum" ->              // n=20 per source, seed 'graft'
+      """WITH r AS (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY md5('graft:' || cast(doc_id AS VARCHAR))) AS rn
+           FROM documents)
+         SELECT doc_id, source FROM r WHERE rn <= 20 ORDER BY doc_id"""
   )
 
   /** Differential oracles for the queries whose outputs DuckDB cannot

@@ -290,27 +290,54 @@ object TextAnalysis {
     */
   def lmScore(train: DataFrame, target: DataFrame,
               idCol: String = "doc_id", textCol: String = "text",
-              addK: Double = 0.5, minCount: Long = 1L): DataFrame = {
-    require(addK > 0, s"lmScore: addK must be positive, got $addK")
-    val toks = (d: DataFrame) =>
-      d.select(col(idCol), explode(TextDedup.tokens(col(textCol))).as("token"))
-    val counts = toks(train).groupBy("token").agg(count(lit(1)).as("cnt"))
+              addK: Double = 0.5, minCount: Long = 1L): DataFrame =
+    lmScoreWith(lmModel(train, idCol, textCol, minCount), target,
+      idCol, textCol, addK)
+
+  /** The trained model of [[lmScore]]: the kept (token, cnt) unigram
+    * table. Persist it once (it's just a DataFrame — write it as
+    * parquet) and score any number of corpora or streams with
+    * [[lmScoreWith]]; that split is the actual CCNet deployment shape
+    * (train on a reference corpus, score everything else).
+    */
+  def lmModel(train: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text", minCount: Long = 1L): DataFrame =
+    train.select(explode(TextDedup.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
-    val totals = counts.agg(
-      sum(col("cnt")).cast("double").as("__n__"),
-      count(lit(1)).cast("double").as("__v__"))
-    val scored = toks(target)
-      .join(counts, Seq("token"), "left")
-      .crossJoin(broadcast(totals))
+
+  /** Score `target` against a trained (STATIC) [[lmModel]]. The model
+    * totals (N, V) fold into literals via one driver action over the
+    * vocab-sized model — so the plan is a plain token-keyed join plus
+    * one doc aggregation, no 1-row broadcast join. That shape also
+    * runs on a STREAMING target (stream-static token join + one
+    * complete/update-mode doc aggregation; law-checked in StreamSpec)
+    * — with the one caveat that zero-token docs are absent from
+    * streaming output (the batch path left-joins them back with
+    * n_toks = 0, which needs a second pass over the target that a
+    * stream cannot make).
+    */
+  def lmScoreWith(model: DataFrame, target: DataFrame,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  addK: Double = 0.5): DataFrame = {
+    require(addK > 0, s"lmScoreWith: addK must be positive, got $addK")
+    val t = model.agg(
+      coalesce(sum(col("cnt")), lit(0L)).cast("double"),
+      count(lit(1)).cast("double")).head()
+    val denom = t.getDouble(0) + (t.getDouble(1) + 1) * addK
+    val scored = target
+      .select(col(idCol), explode(TextDedup.tokens(col(textCol))).as("token"))
+      .join(model, Seq("token"), "left")
       .withColumn("__logp__",
-        log((coalesce(col("cnt"), lit(0L)) + addK) /
-          (col("__n__") + (col("__v__") + 1) * addK)))
+        log((coalesce(col("cnt"), lit(0L)) + addK) / lit(denom)))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_toks"), (-avg(col("__logp__"))).as("__ce__"))
-    target.select(col(idCol))
-      .join(scored, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("n_toks"), lit(0L)).as("n_toks"),
-        round(col("__ce__"), 4).as("cross_entropy"),
-        round(exp(col("__ce__")), 4).as("perplexity"))
+    val finish = (d: DataFrame) => d.select(col(idCol), col("n_toks"),
+      round(col("__ce__"), 4).as("cross_entropy"),
+      round(exp(col("__ce__")), 4).as("perplexity"))
+    if (target.isStreaming) finish(scored)
+    else finish(
+      target.select(col(idCol)).join(scored, Seq(idCol), "left")
+        .withColumn("n_toks", coalesce(col("n_toks"), lit(0L))))
   }
 }

@@ -426,6 +426,38 @@ object TextDedup {
         (col("span_end") - col("span_start")).as("n_tokens"))
   }
 
+  /** Cut every duplicated span found by [[dupSpans]] out of the token
+    * stream and re-emit the cleaned text (plus `n_removed`, the count
+    * of dropped tokens). ALL occurrences of a duplicated span are
+    * removed — matching Lee et al.'s ExactSubstr tool, which notes
+    * that dropping every copy (rather than electing a survivor, which
+    * would need global coordination) is what their dedup does.
+    *
+    * Shape at 100 TB: [[dupSpans]]' cost plus one doc-keyed
+    * collect_list of span structs (bounded by spans-per-doc, not
+    * corpus size), a left join back to the corpus, and a per-row
+    * filter-by-position over the token array. Docs without spans pass
+    * through the HOF untouched via the NULL fast path.
+    */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 10, minOccur: Long = 2L,
+                     outCol: String = "clean_text"): DataFrame = {
+    val spans = dupSpans(df, idCol, textCol, n, minOccur)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans__"))
+    // NULL text cleans to the empty string (zero tokens), not NULL
+    val toks = tokens(coalesce(col(textCol), lit("")))
+    val kept = filter(toks, (t, i) =>
+      !exists(col("__spans__"), s =>
+        i.cast("long") >= s("span_start") && i.cast("long") < s("span_end")))
+    df.join(spans, Seq(idCol), "left")
+      .withColumn("__kept__",
+        when(col("__spans__").isNull, toks).otherwise(kept))
+      .select(col(idCol),
+        array_join(col("__kept__"), " ").as(outCol),
+        (size(toks) - size(col("__kept__"))).cast("long").as("n_removed"))
+  }
+
   /** SimHash near-dup pairs within hamming distance ≤ maxDist.
     * Pigeonhole blocking: fingerprints are split into (maxDist+1)
     * 64/(maxDist+1)-bit chunks; any pair within maxDist must agree on at

@@ -79,6 +79,63 @@ class ExtSpec extends SparkSpec {
     assert(s2 == Seq((6L, 0L, 3L), (7L, 0L, 3L), (7L, 4L, 7L)))
   }
 
+  test("lmModel + lmScoreWith ≡ lmScore; empty model has a defined floor") {
+    val train = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val split = TextAnalysis.lmScoreWith(
+      TextAnalysis.lmModel(train, minCount = 2L), train, addK = 0.5)
+    val direct = TextAnalysis.lmScore(train, train, addK = 0.5, minCount = 2L)
+    assert(split.orderBy("doc_id").collect().toSeq ==
+      direct.orderBy("doc_id").collect().toSeq)
+    // empty model (minCount too high): every token is OOV at p = k/k = 1
+    val empty = TextAnalysis.lmScoreWith(
+      TextAnalysis.lmModel(train, minCount = 99L), train)
+    assert(empty.select("cross_entropy").as[Double].collect().toSeq ==
+      Seq(0.0, 0.0))
+  }
+
+  test("removeDupSpans cuts all copies, passes unique text through") {
+    val d = Seq(
+      (1L, "a b c d e"),               // spans [0,4) shared with doc 2
+      (2L, "a b c d z"),
+      (3L, "m n o m n o m n o"),       // fully duplicated -> empty
+      (4L, "totally unique words only here"),
+      (5L, null.asInstanceOf[String])  // NULL cleans to ""
+    ).toDF("doc_id", "text")
+    val out = TextDedup.removeDupSpans(d, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "clean_text", "n_removed")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "e", 4L), (2L, "z", 4L), (3L, "", 9L),
+      (4L, "totally unique words only here", 0L), (5L, "", 0L)))
+  }
+
+  test("sampleK: deterministic subset of exact size, planned as top-k") {
+    val d = sf("documents")
+    val s1 = Sampling.sampleK(d, "doc_id", 10)
+    val s2 = Sampling.sampleK(d, "doc_id", 10)
+    val ids1 = s1.select("doc_id").as[Long].collect().toSet
+    assert(ids1.size == 10 && ids1 == s2.select("doc_id").as[Long].collect().toSet)
+    // a different seed is an independent draw
+    assert(Sampling.sampleK(d, "doc_id", 10, seed = "other")
+      .select("doc_id").as[Long].collect().toSet != ids1)
+    // k >= corpus: everything survives
+    assert(Sampling.sampleK(d, "doc_id", 1000000).count() == d.count())
+    // scale shape: per-partition heap + k-row merge, not a global sort
+    assert(s1.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
+  test("samplePerStratum: exactly n per stratum, deterministic") {
+    val d = sf("documents")
+    val out = Sampling.samplePerStratum(d, "source", "doc_id", 3)
+    val sizes = out.groupBy("source").count()
+      .select("count").as[Long].collect().toSeq
+    assert(sizes.nonEmpty && sizes.forall(_ == 3))
+    assert(out.orderBy("doc_id").collect().toSeq ==
+      Sampling.samplePerStratum(d, "source", "doc_id", 3)
+        .orderBy("doc_id").collect().toSeq)
+  }
+
   test("exact dedup keeps first doc per text") {
     val out = TextDedup.exact(docs, "text", "doc_id")
     assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))

@@ -110,4 +110,25 @@ class StreamSpec extends SparkSpec {
     val rows = out.select("userId", "n", "sumValue").as[(Long, Long, Double)].collect()
     assert(rows.toSeq == Seq((7L, 2L, 3.0)))
   }
+
+  test("streaming lm scoring against a static trained model ≡ batch") {
+    val dir = Files.createTempDirectory("graft_lmstream").toString
+    val src = s"$dir/docs.parquet"
+    sf("documents").limit(30).write.parquet(src)
+    val batchDocs = spark.read.parquet(src)
+    val model = graft.ext.TextAnalysis.lmModel(batchDocs, minCount = 2L)
+    // stream-static token join + one complete-mode doc aggregation
+    val stream = StreamRunner.readStream(spark, DatasetRef("parquet", dir, "docs"))
+    val q = graft.ext.TextAnalysis.lmScoreWith(model, stream)
+      .writeStream.format("memory").queryName("lm_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("lm_stream")
+    val want = graft.ext.TextAnalysis.lmScoreWith(model, batchDocs)
+      .filter($"n_toks" > 0) // zero-token docs absent on streams (documented)
+    assert(got.count() == want.count() &&
+      got.except(want).isEmpty && want.except(got).isEmpty)
+  }
 }
