@@ -15,7 +15,9 @@ object PlanAudit {
       "q_fingerprint", "q_split_sizes", "q_group_pctl_approx",
       "q_ann_lsh_topk", "q_dedup_simhash", "q_decontaminate",
       "q_chunk", "q_pack", "q_mix_sample", "q_shuffle", "q_pii",
-      "q_shards", "q_tfidf", "q_lm_score", "q_dup_spans")) {
+      "q_shards", "q_tfidf", "q_lm_score", "q_dup_spans",
+      "q_dedup_substr", "q_sample_topk", "q_sample_stratum",
+      "q_token_budget")) {
       val df = SparkEntry.queries(name)(spark, dir)
       // execute first: under AQE the pre-execution plan prints
       // isFinalPlan=false with no WholeStageCodegen spans — only the

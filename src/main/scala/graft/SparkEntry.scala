@@ -506,6 +506,14 @@ object SparkEntry {
       graft.ext.Sampling.samplePerStratum(read(s, dir, "documents"),
         "source", "doc_id", 20)
         .select("doc_id", "source")
+        .orderBy("doc_id")),
+
+    // ── [EXT] §2.10 token-budget cut: keep docs in epoch order until
+    // 50k tokens (distributed prefix-sum, ≤1 doc overshoot) ───────────
+    "q_token_budget" -> ((s, dir) =>
+      graft.ext.CorpusOps.takeTokenBudget(read(s, dir, "documents"),
+        "doc_id", "text", budget = 50000L)
+        .select("doc_id", "tok_offset", "n_toks")
         .orderBy("doc_id"))
   )
 
@@ -1100,7 +1108,21 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY source
                     ORDER BY md5('graft:' || cast(doc_id AS VARCHAR))) AS rn
            FROM documents)
-         SELECT doc_id, source FROM r WHERE rn <= 20 ORDER BY doc_id"""
+         SELECT doc_id, source FROM r WHERE rn <= 20 ORDER BY doc_id""",
+    "q_token_budget" ->                // budget=50000, seed 'graft'
+      """WITH t AS (
+           SELECT doc_id,
+                  md5('graft:' || cast(doc_id AS VARCHAR)) AS h,
+                  len(list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                                  x -> x <> ''))::BIGINT AS n
+           FROM documents),
+         p AS (
+           SELECT doc_id, n,
+                  coalesce(sum(n) OVER (ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+           FROM t)
+         SELECT doc_id, off AS tok_offset, n AS n_toks
+         FROM p WHERE off < 50000 ORDER BY doc_id"""
   )
 
   /** Differential oracles for the queries whose outputs DuckDB cannot

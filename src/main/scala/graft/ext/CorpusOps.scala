@@ -285,6 +285,31 @@ object CorpusOps {
       .sortWithinPartitions("shard_id", "seq_id", "doc_start")
       .write.mode("overwrite").partitionBy("shard_id").parquet(path)
 
+  /** Keep documents, in the deterministic md5(seed:id) epoch order,
+    * until a global token budget is reached: every doc whose exclusive
+    * running token total is still below `budget` survives (so the kept
+    * set overshoots by at most one document — the standard "sample
+    * exactly ~B tokens for this run" cut). Emits the surviving docs
+    * with `tok_offset` (exclusive prefix total) and `n_toks`.
+    * One [[withGlobalOffset]] prefix-sum — distributed, no
+    * single-partition window; deterministic across runs, cluster
+    * sizes, and engines.
+    */
+  def takeTokenBudget(df: DataFrame, idCol: String, textCol: String,
+                      budget: Long, seed: String = "graft",
+                      numParts: Int = 0): DataFrame = {
+    require(budget > 0, s"takeTokenBudget: budget must be positive, got $budget")
+    val n = coalesce(size(TextDedup.tokens(col(textCol))).cast("long"), lit(0L))
+    val keyed = df
+      .withColumn("__h__", md5(concat(lit(seed + ":"), col(idCol).cast("string"))))
+      .withColumn("__n__", n)
+    withGlobalOffset(keyed, "__h__", "__n__", "tok_offset", numParts,
+      materializeInput = true)
+      .filter(col("tok_offset") < budget)
+      .withColumn("n_toks", col("__n__"))
+      .drop("__h__", "__n__")
+  }
+
   def piiStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     // one RegexCounts pass (count-only — no per-pattern match-array
     // materialization); the four size(regexp_extract_all(…)) columns

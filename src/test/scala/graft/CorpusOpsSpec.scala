@@ -229,6 +229,29 @@ class CorpusOpsSpec extends SparkSpec {
       Seq(5L, 0L, 0L, 1L, 0L, true)))  // version strings: documented tradeoff
   }
 
+  test("takeTokenBudget keeps the epoch-order prefix, overshoots ≤ 1 doc") {
+    val d = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i"), (4L, "j"))
+      .toDF("doc_id", "text")
+    // replay the op's own order: md5("graft:"+id) ascending
+    val order = d.select($"doc_id",
+        md5(concat(lit("graft:"), $"doc_id".cast("string"))).as("h"))
+      .orderBy("h").select("doc_id").as[Long].collect().toSeq
+    val lens = Map(1L -> 3L, 2L -> 2L, 3L -> 4L, 4L -> 1L)
+    val budget = 5L
+    // expected: docs whose exclusive running total is < budget
+    var run = 0L
+    val want = order.flatMap { id =>
+      val keep = run < budget; run += lens(id); if (keep) Some(id) else None
+    }.toSet
+    val got = CorpusOps.takeTokenBudget(d, "doc_id", "text", budget)
+    assert(got.select("doc_id").as[Long].collect().toSet == want)
+    // kept token mass reaches the budget but overshoots by < one doc
+    val kept = got.agg(sum("n_toks")).as[Long].head()
+    assert(kept >= budget && kept - budget < lens.values.max)
+    // budget beyond the corpus keeps everything
+    assert(CorpusOps.takeTokenBudget(d, "doc_id", "text", 1000L).count() == 4)
+  }
+
   test("RegexCounts ≡ size(regexp_extract_all) on the documents table") {
     import org.apache.spark.sql.functions.{coalesce, element_at, lit, size, regexp_extract_all}
     val res = Seq(CorpusOps.EmailRe, CorpusOps.UrlRe,
