@@ -298,7 +298,7 @@ object DiffChecks {
     * contract query returns.
     */
   def vocabApproxBound(s: SparkSession, dir: String,
-                       maxRelErr: Double = 0.05): Check = {
+                       maxRelErr: Double = 0.25): Check = {
     val docs = read(s, dir, "documents")
     val exact = TextAnalysis.vocabulary(docs)
       .withColumnRenamed("docs", "d_exact").withColumnRenamed("cnt", "c_exact")

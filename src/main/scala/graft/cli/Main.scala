@@ -368,6 +368,10 @@ object Main {
       return
     }
     job.target match {
+      case None if job.source.query.exists(p => p._1 == "_count" && p._2 == "1") =>
+        // F6: `-q _count=1` is count mode even without --count
+        // (reference get_source_total consults query._count, base.py:483)
+        println(Runner.count(spark, job.source, job.effectiveFailOnError))
       case None => // S11 preview (base.py:640-644): default one row
         val hasLimit = job.source.query.exists(_._1 == "_limit")
         val hasAgg = job.source.query.exists(p => p._1 == "_group" || p._1 == "_agg")

@@ -215,12 +215,17 @@ object TextAnalysis {
     */
   def vocabulary(df: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text",
-                 approxDocs: Boolean = false, rsd: Double = 0.01): DataFrame = {
+                 approxDocs: Boolean = false, rsd: Double = 0.05): DataFrame = {
     // exact countDistinct expands to a two-phase partial-distinct agg —
     // its state is the distinct (token, id) SET, so a stopword token's
     // buffer grows with the corpus. The HLL++ variant (`approxDocs`)
     // is the 100 TB default: fixed-size sketch per token, one pass,
     // relative error ~rsd (diffchecked ≤ 5σ vs exact at sf scale).
+    // rsd sizes the sketch as ~(1.04/rsd)² 6-bit registers PER GROUP:
+    // 0.05 (Spark's default) is ~400 B; 0.01 would be ~12 KB — at a
+    // 10M-token vocabulary that is the difference between a 4 GB and a
+    // 120 GB partial-agg hash map, so precision costs memory, not time
+    // alone. Callers needing tighter error pass rsd explicitly.
     val docsAgg = if (approxDocs) approx_count_distinct(col("id"), rsd)
                   else countDistinct(col("id"))
     df.select(col(idCol).as("id"),

@@ -70,6 +70,17 @@ class RunnerSpec extends SparkSpec {
     assert(!exists("g4"))
   }
 
+  test("F6: `-q _count=1` without a target is count mode (base.py:483), not preview") {
+    import graft.cli.Main
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Main.execute(spark, JobSpec(SourceSpec(
+        DatasetRef("parquet", "/root/testdata/sf0.001", "region"),
+        query = Seq("_count" -> "1"))), Main.Opts())
+    }
+    assert(out.toString("UTF-8").trim == "5") // region has 5 rows; no preview table
+  }
+
   test("execute makes one pass over the read side (checkpoint + cached count + write)") {
     val dir = Files.createTempDirectory("graft_onepass").toString
     val job = JobSpec(
