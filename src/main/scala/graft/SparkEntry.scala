@@ -321,6 +321,15 @@ object SparkEntry {
       graft.ext.Similarity.cosinePairs(read(s, dir, "embeddings"), 0.35)
         .orderBy("id_a", "id_b")),
 
+    // ── [EXT] §2.10 embedding-cosine near-dup DEDUP (SemDeDup shape):
+    // exact pairs → connected components → cluster label + keep flag.
+    // Exact pair step here (oracle baseline); lshPairs is the 100 TB
+    // path via cosineClusters(exact = false) ──────────────────────────
+    "q_dedup_embed" -> ((s, dir) =>
+      graft.ext.Similarity.cosineClusters(read(s, dir, "embeddings"), 0.4)
+        .select("vec_id", "cluster", "keep")
+        .orderBy("vec_id")),
+
     // ── [EXT] §2.10 hyperplane-LSH neighbor pairs (recall vs the
     // oracle-checked brute pairs is asserted in Verify's diffcheck).
     // 64 planes / 16 bands of 4 bits: at this moderate threshold (0.35
@@ -855,6 +864,25 @@ object SparkEntry {
          FROM d a JOIN d b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35
          ORDER BY id_a, id_b""",
+    "q_dedup_embed" ->
+      """WITH RECURSIVE d AS (
+           SELECT vec_id, cast(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM d a JOIN d b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+         minl AS (SELECT a AS id, least(a, min(b)) AS label FROM reach GROUP BY a)
+         SELECT e.vec_id,
+                coalesce(minl.label, e.vec_id) AS cluster,
+                e.vec_id = coalesce(minl.label, e.vec_id) AS keep
+         FROM embeddings e LEFT JOIN minl ON e.vec_id = minl.id
+         ORDER BY e.vec_id""",
     "q_window_tumbling" ->
       """SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start, event_type,
                 count(*) AS n, round(sum(value), 4) AS sum_value

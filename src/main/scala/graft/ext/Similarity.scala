@@ -76,6 +76,48 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Embedding-cosine near-dup clusters (the SemDeDup shape: Abbas et
+    * al. 2023 dedup semantically, not lexically): pair rows whose
+    * cosine clears `threshold`, group pairs into connected components,
+    * label EVERY row with its component's smallest id (`cluster`), and
+    * flag the representative (`keep` = id == cluster; unpaired rows
+    * keep themselves).
+    *
+    * `exact = true` uses the brute pair join — the oracle baseline,
+    * guarded by [[CosinePairsDefaultMaxRows]]. `exact = false` is the
+    * scale path: [[lshPairs]] bucketed candidates + exact verify, so at
+    * 100 TB the pair step is banding + bucket join, never all-pairs.
+    * Components reuse [[TextDedup.components]] (driver union-find below
+    * 1M pairs, star contraction above).
+    */
+  def cosineClusters(df: DataFrame, threshold: Double,
+                     id: String = "vec_id", vec: String = "embedding",
+                     exact: Boolean = true,
+                     maxHamming: Int = 15, planes: Int = 64): DataFrame = {
+    val pairs =
+      if (exact) cosinePairs(df, threshold, id, vec)
+      else lshPairs(df, threshold, maxHamming, planes, id, vec)
+    // "__cl__", not "label": the input is free to carry a column named
+    // label (the embeddings table does) and must not collide
+    val comps = TextDedup.components(pairs.select("id_a", "id_b"))
+      .select(col("id").as(id), col("label").as("__cl__"))
+    df.join(comps, Seq(id), "left")
+      .withColumn("cluster", coalesce(col("__cl__"), col(id)).cast("long"))
+      .withColumn("keep", col(id).cast("long") === col("cluster"))
+      .drop("__cl__")
+  }
+
+  /** Embedding-cosine near-dup DEDUP: one representative (smallest id)
+    * per [[cosineClusters]] cluster — the corpus rows a semantic-dedup
+    * pass keeps. Same exact/LSH switch as [[cosineClusters]].
+    */
+  def dedupByCosine(df: DataFrame, threshold: Double,
+                    id: String = "vec_id", vec: String = "embedding",
+                    exact: Boolean = true,
+                    maxHamming: Int = 15, planes: Int = 64): DataFrame =
+    cosineClusters(df, threshold, id, vec, exact, maxHamming, planes)
+      .filter(col("keep")).drop("cluster", "keep")
+
   /** Signed random-hyperplane sketch: `planes` sign bits packed into a
     * long. Plane coefficients are a deterministic pseudo-random lattice
     * (chained XXH64 of (plane, dim)); the sign of each dot product

@@ -269,6 +269,34 @@ class ExtSpec extends SparkSpec {
     assert(lsh.subsetOf(brute) && lsh.contains((0L, 99999L)))
   }
 
+  test("cosineClusters/dedupByCosine: one representative per near-dup cluster") {
+    val e = sf("embeddings").limit(100)
+    // plant two exact duplicates of vec 0 — {0, 99998, 99999} must form
+    // one cluster labeled by the smallest id, with only 0 kept
+    val dups = e.filter($"vec_id" === 0)
+      .select(explode(array(lit(99998L), lit(99999L))).as("vec_id"),
+        $"embedding", $"label")
+    val withDups = e.unionByName(dups)
+    val cl = Similarity.cosineClusters(withDups, 0.999)
+      .select("vec_id", "cluster", "keep")
+      .as[(Long, Long, Boolean)].collect()
+    val byId = cl.map(r => r._1 -> r).toMap
+    assert(Seq(0L, 99998L, 99999L).forall(id => byId(id)._2 == 0L))
+    assert(byId(0L)._3 && !byId(99998L)._3 && !byId(99999L)._3)
+    // every cluster keeps exactly its smallest member
+    cl.groupBy(_._2).foreach { case (label, rows) =>
+      assert(rows.filter(_._3).map(_._1).toSeq == Seq(label))
+    }
+    // dedup = the kept rows, original schema
+    val kept = Similarity.dedupByCosine(withDups, 0.999)
+    assert(kept.columns.toSeq == withDups.columns.toSeq)
+    assert(kept.count() == cl.count(_._3))
+    // the LSH scale path agrees on the planted exact-dup cluster
+    val lshKept = Similarity.dedupByCosine(withDups, 0.999, exact = false)
+      .select("vec_id").as[Long].collect().toSet
+    assert(lshKept.contains(0L) && !lshKept.contains(99998L) && !lshKept.contains(99999L))
+  }
+
   test("lshTopK: approximate results are a subset of brute-force ranks") {
     val e = sf("embeddings")
     val q = e.filter($"vec_id" < 3)
