@@ -267,6 +267,15 @@ object SparkEntry {
         .select("doc_id", "dup_line_frac", "dup_3gram_frac")
         .orderBy("doc_id")),
 
+    // ── [EXT] §2.10 Gopher quality filter: rule verdict per doc.
+    // minWords=10 (not the paper's 50) so the synthetic ~25-word docs
+    // exercise the whole rule chain instead of all failing rule 1 ─────
+    "q_quality_filter" -> ((s, dir) =>
+      graft.ext.TextAnalysis.gopherFilter(read(s, dir, "documents"),
+        minWords = 10)
+        .select("doc_id", "gopher_keep", "gopher_reason")
+        .orderBy("doc_id")),
+
     // ── [EXT] §2.10 corpus vocabulary: token count + doc frequency ────
     "q_vocab_topk" -> ((s, dir) =>
       graft.ext.TextAnalysis.vocabulary(read(s, dir, "documents"))
@@ -703,6 +712,50 @@ object SparkEntry {
          WHERE minl.id IS NULL OR minl.label = d.doc_id
          ORDER BY d.doc_id""",
     "q_text_stats" -> TextStatsOracle,
+    "q_quality_filter" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+                  list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                              x -> x <> '') AS toks,
+                  list_filter(string_split(text, chr(10)), x -> x <> '') AS ls
+           FROM documents),
+         r AS (
+           SELECT doc_id,
+             coalesce(len(toks), 0) AS n,
+             CASE WHEN len(toks) > 0
+                  THEN list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks)
+                  ELSE 0.0 END AS wlen,
+             CASE WHEN len(toks) > 0
+                  THEN len(regexp_extract_all(text, '#|\.{3}|…')) * 1.0 / len(toks)
+                  ELSE 0.0 END AS symr,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) * 1.0 / len(toks)
+                  ELSE 0.0 END AS alphar,
+             coalesce(len(list_filter(toks, x -> list_contains(
+               ['the','a','an','and','of','to','in','is','on','for','with',
+                'that','it','as','at','by','this','be','are','was'], x))), 0) AS stops,
+             round(CASE WHEN len(ls) > 0
+                   THEN 1.0 - len(list_distinct(ls)) * 1.0 / len(ls)
+                   ELSE 0.0 END, 4) AS dupl,
+             round(CASE WHEN len(toks) >= 3
+                   THEN 1.0 - len(list_distinct(
+                          [toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                           FOR i IN range(len(toks) - 2)])) * 1.0 / (len(toks) - 2)
+                   ELSE 0.0 END, 4) AS dup3
+           FROM t),
+         f AS (
+           SELECT doc_id,
+             CASE WHEN n < 10 OR n > 100000 THEN 'n_words'
+                  WHEN wlen < 3 OR wlen > 10 THEN 'word_len'
+                  WHEN symr > 0.1 THEN 'symbol_ratio'
+                  WHEN alphar < 0.8 THEN 'alpha_ratio'
+                  WHEN stops < 2 THEN 'stopwords'
+                  WHEN dupl > 0.3 THEN 'dup_lines'
+                  WHEN dup3 > 0.5 THEN 'dup_3grams'
+                  ELSE NULL END AS gopher_reason
+           FROM r)
+         SELECT doc_id, gopher_reason IS NULL AS gopher_keep, gopher_reason
+         FROM f ORDER BY doc_id""",
     "q_repetition" ->
       """WITH t AS (
            SELECT doc_id,

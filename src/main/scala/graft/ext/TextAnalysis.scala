@@ -158,6 +158,65 @@ object TextAnalysis {
       .withColumn("dup_3gram_frac", round(dup3, 4))
   }
 
+  /** Gopher quality-filter rules (Rae et al. 2021 Table A1, the subset
+    * our per-row signals support; occurrence-fraction 3-grams stand in
+    * for the paper's character-fraction n-gram family, and total
+    * stopword hits for its 2-distinct-of-8 rule — both documented
+    * deviations). Adds `gopher_reason` (FIRST failing rule, null when
+    * the doc passes) and `gopher_keep`.
+    *
+    * Rule order: n_words → word_len → symbol_ratio → alpha_ratio →
+    * stopwords → dup_lines → dup_3grams.
+    *
+    * Shape at 100 TB: one [[graft.functions.TextExprs.textStatsRaw]]
+    * pass + two codegen'd regex counts + the repetition builtins — all
+    * per-row at scan speed, no shuffle, no interpreted lambdas (the
+    * alpha-word count is a lookaround regex over the text, not a
+    * filter-HOF over the token array).
+    */
+  def gopherFilter(df: DataFrame, textCol: String = "text",
+                   minWords: Long = 50, maxWords: Long = 100000,
+                   minWordLen: Double = 3.0, maxWordLen: Double = 10.0,
+                   maxSymbolRatio: Double = 0.1, minAlphaRatio: Double = 0.8,
+                   minStopHits: Long = 2, maxDupLineFrac: Double = 0.3,
+                   maxDup3gramFrac: Double = 0.5): DataFrame = {
+    val s = col("__gs__")
+    val n = s("tok_count").cast("double")
+    val wlen = when(s("tok_count") > 0,
+      s("tok_len_sum").cast("double") / n).otherwise(0.0)
+    // Gopher's "symbol" family: '#' and ellipses ('...' or '…')
+    val symCount = size(regexp_extract_all(col(textCol),
+      lit("#|\\.{3}|…"), lit(0)))
+    // words containing at least one letter = maximal \w+ runs of the
+    // lowered text with an [a-z] inside (≡ the \W+ token split)
+    val alphaCount = size(regexp_extract_all(lower(col(textCol)),
+      lit("(?<!\\w)\\w*[a-z]\\w*(?!\\w)"), lit(0)))
+    val symRatio = when(s("tok_count") > 0, symCount.cast("double") / n)
+      .otherwise(0.0)
+    val alphaRatio = when(s("tok_count") > 0, alphaCount.cast("double") / n)
+      .otherwise(0.0)
+    val reason =
+      when(coalesce(s("tok_count"), lit(0)) < minWords ||
+        s("tok_count") > maxWords, "n_words")
+        .when(wlen < minWordLen || wlen > maxWordLen, "word_len")
+        .when(symRatio > maxSymbolRatio, "symbol_ratio")
+        .when(alphaRatio < minAlphaRatio, "alpha_ratio")
+        .when(coalesce(s("stop_hits"), lit(0)) < minStopHits, "stopwords")
+        .when(col("dup_line_frac") > maxDupLineFrac, "dup_lines")
+        .when(col("dup_3gram_frac") > maxDup3gramFrac, "dup_3grams")
+    repetitionStats(df, textCol)
+      .withColumn("__gs__", graft.functions.TextExprs.textStatsRaw(
+        col(textCol), EnStopwords, LangMarkers))
+      .withColumn("gopher_reason", reason)
+      .withColumn("gopher_keep", col("gopher_reason").isNull)
+      .drop("__gs__", "dup_line_frac", "dup_3gram_frac")
+  }
+
+  /** [[gopherFilter]] applied: only the passing rows, original schema. */
+  def gopherKeep(df: DataFrame, textCol: String = "text"): DataFrame =
+    gopherFilter(df, textCol).filter(col("gopher_keep"))
+      .drop("gopher_reason", "gopher_keep")
+
   /** One-stop analysis frame: doc_id + all stats (the `documents` table
     * contract: text + n_chars columns exist). One pass over the text
     * via [[graft.functions.TextExprs.TextStatsRaw]]; ratios, rounding

@@ -202,6 +202,31 @@ class ExtSpec extends SparkSpec {
     assert(r(3) == (0.0, 0.0)) // empty doc: both zero, no NaN
   }
 
+  test("gopher filter: each rule fires on its crafted doc, clean doc passes") {
+    val good = "the quick brown fox jumps over the lazy dog and then runs " +
+      "far away to find some food for the long cold winter season ahead"
+    val t = Seq(
+      (1L, good),                                           // passes all rules
+      (2L, "too short"),                                    // n_words
+      (3L, ("pneumonoultramicroscopics " * 15).trim),       // word_len (avg > 10)
+      (4L, good + " # # # # # # # # # # # # # # # #"),      // symbol_ratio
+      (5L, good + " " + ("421 175 993 777 388 119 222 555 666 888 " * 2).trim), // alpha_ratio
+      (6L, "cat dog bird fish horse cow sheep goat pig duck hen owl"), // stopwords
+      (7L, (good + "\n") * 8 + good),                       // dup_lines
+      (8L, "the big red cat and " * 12)                     // dup_3grams
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherFilter(t, minWords = 10)
+      .select("doc_id", "gopher_keep", "gopher_reason")
+      .as[(Long, Boolean, Option[String])].collect().sortBy(_._1)
+    assert(r(0) == ((1L, true, None)))
+    assert(r.tail.forall(!_._2))
+    assert(r.tail.map(_._3.get).toSeq == Seq("n_words", "word_len",
+      "symbol_ratio", "alpha_ratio", "stopwords", "dup_lines", "dup_3grams"))
+    // gopherKeep returns the passing rows with the original schema
+    val kept = TextAnalysis.gopherKeep(t.withColumn("extra", lit(1)))
+    assert(kept.columns.toSeq == Seq("doc_id", "text", "extra"))
+  }
+
   test("decontamination: benchmark n-gram overlap flags docs, others survive") {
     val bench = docs.filter($"doc_id" === 1L)
     val corpus = docs.filter($"doc_id" =!= 1L)
