@@ -330,6 +330,17 @@ object SparkEntry {
       graft.ext.Similarity.cosinePairs(read(s, dir, "embeddings"), 0.35)
         .orderBy("id_a", "id_b")),
 
+    // ── [EXT] §2.10 semantic decontamination: corpus rows whose max
+    // cosine vs the (broadcast) benchmark set clears the threshold —
+    // the embedding twin of q_decontaminate's n-gram check ────────────
+    "q_decontaminate_embed" -> ((s, dir) => {
+      val e = read(s, dir, "embeddings")
+      graft.ext.Similarity.semanticContaminated(
+        e.filter(col("vec_id") >= 20),
+        e.filter(col("vec_id") < 20), 0.4)
+        .orderBy("id")
+    }),
+
     // ── [EXT] §2.10 embedding-cosine near-dup DEDUP (SemDeDup shape):
     // exact pairs → connected components → cluster label + keep flag.
     // Exact pair step here (oracle baseline); lshPairs is the 100 TB
@@ -917,6 +928,14 @@ object SparkEntry {
          FROM d a JOIN d b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35
          ORDER BY id_a, id_b""",
+    "q_decontaminate_embed" ->
+      """WITH d AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         c AS (SELECT * FROM d WHERE vec_id >= 20),
+         b AS (SELECT * FROM d WHERE vec_id < 20),
+         m AS (SELECT c.vec_id AS id,
+                      round(max(list_cosine_similarity(c.emb, b.emb)), 4) AS max_sim
+               FROM c JOIN b ON c.vec_id <> b.vec_id GROUP BY 1)
+         SELECT id, max_sim FROM m WHERE max_sim >= 0.4 ORDER BY id""",
     "q_dedup_embed" ->
       """WITH RECURSIVE d AS (
            SELECT vec_id, cast(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -107,6 +107,42 @@ object Similarity {
       .drop("__cl__")
   }
 
+  /** Semantic decontamination — the embedding twin of
+    * [[TextDedup.contaminated]]: a corpus row is contaminated when its
+    * max cosine against ANY benchmark row clears `threshold` (train/
+    * eval overlap that paraphrasing hides from the n-gram check).
+    * Returns (id, max_sim) for the flagged rows.
+    *
+    * Scale shape: eval sets are tiny next to a 100 TB corpus, so the
+    * benchmark BROADCASTS to the corpus scan — one pass, a per-row
+    * max over the broadcast rows, one map-side-combinable agg, no
+    * corpus shuffle (the same plan as [[bruteTopK]] with k folded into
+    * a max).
+    */
+  def semanticContaminated(corpus: DataFrame, benchmark: DataFrame,
+                           threshold: Double,
+                           id: String = "vec_id",
+                           vec: String = "embedding"): DataFrame = {
+    val b = benchmark.select(col(id).as("__bid__"), col(vec).as("__bv__"))
+    corpus.select(col(id).as("id"), col(vec).as("__v__"))
+      .join(broadcast(b), col("id") =!= col("__bid__"))
+      .groupBy("id")
+      .agg(round(max(cosine(col("__v__"), col("__bv__"))), 4).as("max_sim"))
+      .filter(col("max_sim") >= threshold)
+  }
+
+  /** Drop semantically contaminated rows (anti-join on the flagged
+    * ids); the complement of [[semanticContaminated]].
+    */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                            threshold: Double,
+                            id: String = "vec_id",
+                            vec: String = "embedding"): DataFrame =
+    corpus.join(
+      semanticContaminated(corpus, benchmark, threshold, id, vec)
+        .select(col("id").as(id)),
+      Seq(id), "left_anti")
+
   /** Embedding-cosine near-dup DEDUP: one representative (smallest id)
     * per [[cosineClusters]] cluster — the corpus rows a semantic-dedup
     * pass keeps. Same exact/LSH switch as [[cosineClusters]].

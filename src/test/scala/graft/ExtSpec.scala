@@ -322,6 +322,23 @@ class ExtSpec extends SparkSpec {
     assert(lshKept.contains(0L) && !lshKept.contains(99998L) && !lshKept.contains(99999L))
   }
 
+  test("semantic decontamination: planted benchmark copy is flagged and dropped") {
+    val e = sf("embeddings").limit(100)
+    val bench = e.filter($"vec_id" < 3)
+    // corpus with an exact copy of benchmark vec 0 under a fresh id
+    val copy = e.filter($"vec_id" === 0)
+      .select(lit(7777L).as("vec_id"), $"embedding", $"label")
+    val corpus = e.filter($"vec_id" >= 3).unionByName(copy)
+    val flagged = Similarity.semanticContaminated(corpus, bench, 0.999)
+      .select("id").as[Long].collect().toSet
+    assert(flagged.contains(7777L))
+    val kept = Similarity.semanticDecontaminate(corpus, bench, 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!kept.contains(7777L))
+    assert(flagged.union(kept) == corpus.select("vec_id").as[Long].collect().toSet)
+    assert(flagged.intersect(kept).isEmpty)
+  }
+
   test("lshTopK: approximate results are a subset of brute-force ranks") {
     val e = sf("embeddings")
     val q = e.filter($"vec_id" < 3)

@@ -81,6 +81,18 @@ class StreamSpec extends SparkSpec {
       spark.read.parquet(src), "doc_id", "text", 20, 5)
     assert(spark.read.parquet(chT).except(batchCh).isEmpty &&
       batchCh.except(spark.read.parquet(chT)).isEmpty)
+    // gopher quality filter: per-row rule chain — same parity law
+    val gT = s"$dir/gopher"
+    StreamRunner.runAvailableNow(spark,
+      StreamRunner.readStream(spark, ref),
+      df => graft.ext.TextAnalysis.gopherFilter(df, minWords = 10)
+        .select("doc_id", "gopher_keep", "gopher_reason"),
+      gT, s"$dir/ckp_g")
+    val batchG = graft.ext.TextAnalysis.gopherFilter(
+      spark.read.parquet(src), minWords = 10)
+      .select("doc_id", "gopher_keep", "gopher_reason")
+    assert(spark.read.parquet(gT).except(batchG).isEmpty &&
+      batchG.except(spark.read.parquet(gT)).isEmpty)
   }
 
   test("streaming exact dedup drops duplicate keys within the watermark") {
