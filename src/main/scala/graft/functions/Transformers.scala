@@ -188,6 +188,18 @@ object Transformers {
       graft.ext.TextDedup.dupSpans(df, id, text,
         args.lift(2).map(_.toInt).getOrElse(10),
         args.lift(3).map(_.toLong).getOrElse(2L))
+    }),
+    // gopher_filter[:field[;minWords]] — verdict columns; gopher_keep
+    // applies the filter and drops the verdict columns
+    "gopher_filter" -> (args => df =>
+      graft.ext.TextAnalysis.gopherFilter(df,
+        args.headOption.getOrElse("text"),
+        minWords = args.lift(1).map(_.toLong).getOrElse(50L))),
+    "gopher_keep" -> (args => df => {
+      val t = args.headOption.getOrElse("text")
+      graft.ext.TextAnalysis.gopherFilter(df, t,
+        minWords = args.lift(1).map(_.toLong).getOrElse(50L))
+        .filter(col("gopher_keep")).drop("gopher_reason", "gopher_keep")
     })
   )
 

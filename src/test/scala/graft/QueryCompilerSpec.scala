@@ -183,6 +183,15 @@ class QueryCompilerSpec extends SparkSpec {
     assert(dup.select("doc_id", "span_start", "span_end")
       .as[(Long, Long, Long)].collect().toSet ==
       Set((1L, 0L, 3L), (2L, 0L, 3L)))
+    // gopher_filter adds the verdict; gopher_keep applies it (doc 1 has
+    // 4 words < minWords 4? use minWords 3: doc 1 passes words but has
+    // no stopwords -> dropped; both stages dispatch through the chain)
+    val gf = Transformers.apply(d,
+      TransformStage.parseChain("gopher_filter:text;3"))
+    assert(gf.columns.contains("gopher_keep") && gf.count() == 2)
+    val gk = Transformers.apply(d, TransformStage.parseChain("gopher_keep:text;3"))
+    assert(gk.columns.toSeq == d.columns.toSeq)
+    assert(gk.count() == 0) // no stopwords in either toy doc
   }
 
   test("[EXT] _agg duplicate/multi percentile requests share one buffer") {
