@@ -458,6 +458,13 @@ object SparkEntry {
         "doc_id", "text", seqLen = 64)
         .orderBy("seq_id", "doc_id")),
 
+    // ── [EXT] §2.10 packed-sequence attention boundaries: per-sequence
+    // aligned span arrays for the block-diagonal mask ─────────────────
+    "q_pack_spans" -> ((s, dir) =>
+      graft.ext.CorpusOps.packAttentionSpans(read(s, dir, "documents"),
+        "doc_id", "text", seqLen = 64)
+        .orderBy("seq_id")),
+
     // ── [EXT] §2.10 weighted mixture sampling: src0 ×2.5 (oversample),
     // src1 ×0.25 (downsample), src3 dropped, everything else ×1 ───────
     "q_mix_sample" -> ((s, dir) =>
@@ -1032,6 +1039,34 @@ object SparkEntry {
                 (least(off + n, (seq_id + 1)*64)
                  - greatest(off, seq_id*64))::BIGINT AS n_toks
          FROM e ORDER BY seq_id, doc_id""",
+    "q_pack_spans" ->                  // seqLen=64; spans ordered by seq_start
+      """WITH t AS (
+           SELECT doc_id,
+                  len(list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                                  x -> x <> ''))::BIGINT AS n
+           FROM documents),
+         p AS (
+           SELECT doc_id, n,
+                  coalesce(sum(n) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+           FROM t WHERE n > 0),
+         e AS (
+           SELECT doc_id, n, off,
+                  unnest(range(off // 64, (off + n - 1) // 64 + 1)) AS seq_id
+           FROM p),
+         s AS (
+           SELECT seq_id, cast(doc_id AS VARCHAR) AS doc_id,
+                  (greatest(off, seq_id*64) - seq_id*64)::BIGINT AS seq_start,
+                  (least(off + n, (seq_id + 1)*64)
+                   - greatest(off, seq_id*64))::BIGINT AS span_toks
+           FROM e)
+         SELECT seq_id,
+                list(doc_id ORDER BY seq_start) AS doc_ids,
+                list(seq_start ORDER BY seq_start) AS seq_starts,
+                list(span_toks ORDER BY seq_start) AS span_toks,
+                count(*)::BIGINT AS n_docs,
+                sum(span_toks)::BIGINT AS n_toks
+         FROM s GROUP BY seq_id ORDER BY seq_id""",
     "q_mix_sample" ->                  // src0 ×2.5, src1 ×0.25, src3 ×0, else ×1;
                                        // coin = first 8 md5 hex digits vs cutoff
       """WITH h AS (

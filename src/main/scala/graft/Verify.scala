@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: sfDir outDir [comma-separated query-name filter — dev-only
+    // fast path; the driver always runs the full set]
+    val (sfDir, outDir) = (args(0), args(1))
+    val only: Set[String] =
+      if (args.length > 2) args(2).split(",").map(_.trim).toSet else Set.empty
+    def keep(n: String) = only.isEmpty || only(n)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,7 +20,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -34,12 +39,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Differential oracles for the non-DuckDB-expressible queries:
     // hard pass/fail per query, written next to the parquet dumps.
-    val checks = SparkEntry.diffChecks.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val checks = SparkEntry.diffChecks.toSeq.filter(kv => keep(kv._1))
+      .sortBy(_._1).map { case (name, fn) =>
       val c = try fn(spark, sfDir) catch { case e: Throwable =>
         DiffChecks.Check(pass = false, s"threw: ${e.getMessage}")
       }

@@ -153,7 +153,20 @@ object CorpusOps {
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
                     seqLen: Int, numParts: Int = 0,
-                    orderCol: String = ""): DataFrame = {
+                    orderCol: String = ""): DataFrame =
+    packedOverlaps(df, idCol, textCol, seqLen, numParts, orderCol)
+      .select(col("seq_id"), col(idCol),
+        greatest(col("seq_id") * seqLen - col("__off__"), lit(0L)).as("doc_start"),
+        col("__sp_toks__").as("n_toks"))
+
+  /** Shared core of [[packSequences]] / [[packAttentionSpans]]: one row
+    * per (sequence, document) overlap with the document's global token
+    * offset (`__off__`), its span start WITHIN the sequence
+    * (`__sp_start__`) and span length (`__sp_toks__`) still attached.
+    */
+  private def packedOverlaps(df: DataFrame, idCol: String, textCol: String,
+                             seqLen: Int, numParts: Int,
+                             orderCol: String): DataFrame = {
     require(seqLen > 0, s"packSequences: seqLen must be positive, got $seqLen")
     // pack in `orderCol` order when given (e.g. an epoch-shuffle rank),
     // in stable `idCol` order otherwise
@@ -170,11 +183,46 @@ object CorpusOps {
       .withColumn("seq_id",
         explode(sequence(expr(s"__off__ div $seqLen"),
           expr(s"(__off__ + __n__ - 1) div $seqLen"))))
-      .select(col("seq_id"), col(idCol),
-        greatest(col("seq_id") * seqLen - col("__off__"), lit(0L)).as("doc_start"),
-        (least(col("__off__") + col("__n__"), (col("seq_id") + 1) * seqLen)
-          - greatest(col("__off__"), col("seq_id") * seqLen)).as("n_toks"))
+      .withColumn("__sp_start__",
+        greatest(col("__off__"), col("seq_id") * seqLen)
+          - col("seq_id") * seqLen)
+      .withColumn("__sp_toks__",
+        least(col("__off__") + col("__n__"), (col("seq_id") + 1) * seqLen)
+          - greatest(col("__off__"), col("seq_id") * seqLen))
   }
+
+  /** Attention-mask boundaries for packed sequences: one row per
+    * `seq_id` with the ordered document spans it contains as three
+    * ALIGNED arrays — `doc_ids`, `seq_starts` (0-based token offset of
+    * each span within the sequence) and `span_toks` — plus `n_docs`
+    * and `n_toks` totals. This is exactly what a trainer needs to
+    * build the block-diagonal attention mask (and position-id resets)
+    * for concat-and-split packing: tokens [seq_starts(i),
+    * seq_starts(i)+span_toks(i)) attend only within document
+    * doc_ids(i).
+    *
+    * Scale shape: [[packedOverlaps]] (prefix-sum + bounded explode)
+    * followed by ONE hash-agg keyed by `seq_id`. Each group holds at
+    * most seqLen spans (a span is ≥ 1 token), so collect_list state is
+    * bounded by seqLen per group regardless of corpus size. Spans sort
+    * by `seq_starts` inside the group — positional order, valid for
+    * any `orderCol`.
+    */
+  def packAttentionSpans(df: DataFrame, idCol: String, textCol: String,
+                         seqLen: Int, numParts: Int = 0,
+                         orderCol: String = ""): DataFrame =
+    packedOverlaps(df, idCol, textCol, seqLen, numParts, orderCol)
+      .groupBy("seq_id")
+      .agg(sort_array(collect_list(
+          struct(col("__sp_start__").as("s"), col("__sp_toks__").as("t"),
+            col(idCol).cast("string").as("d")))).as("__spans__"))
+      .select(col("seq_id"),
+        transform(col("__spans__"), _.getField("d")).as("doc_ids"),
+        transform(col("__spans__"), _.getField("s")).as("seq_starts"),
+        transform(col("__spans__"), _.getField("t")).as("span_toks"),
+        size(col("__spans__")).cast("long").as("n_docs"),
+        aggregate(col("__spans__"), lit(0L),
+          (a, s) => a + s.getField("t")).as("n_toks"))
 
   /** Deterministic weighted source mixing (Pile/Dolma-style mixture
     * weights): each row is kept `floor(w)` times plus one more with

@@ -95,6 +95,28 @@ class CorpusOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("packAttentionSpans: spans tile each sequence and agree with packSequences") {
+    val spans = CorpusOps.packAttentionSpans(docs, "doc_id", "text", 64).cache()
+    // tiling law: spans start at 0 and seq_starts(i) == running sum of
+    // span_toks before i (each span begins where the previous ended)
+    assert(spans.filter($"seq_starts"(0) =!= 0L).isEmpty,
+      "first span must start at 0")
+    val bad = spans.filter(!forall(
+      zip_with($"seq_starts",
+        transform($"span_toks", (_, i) =>
+          aggregate(slice($"span_toks", lit(1), i), lit(0L), (a, x) => a + x)),
+        (s, c) => s === c), identity))
+    assert(bad.isEmpty, "seq_starts must equal the running sum of span_toks")
+    // totals agree with packSequences per sequence
+    val flat = CorpusOps.packSequences(docs, "doc_id", "text", 64)
+      .groupBy("seq_id").agg(count("*").as("k"), sum("n_toks").as("t"))
+    val j = spans.select($"seq_id", $"n_docs", $"n_toks").join(flat, "seq_id")
+    assert(j.filter($"n_docs" =!= $"k" || $"n_toks" =!= $"t").isEmpty,
+      "span totals disagree with packSequences")
+    assert(spans.count() == flat.count(), "sequence sets differ")
+    spans.unpersist()
+  }
+
   // ── mixtureSample ─────────────────────────────────────────────────
 
   test("mixtureSample: integer weights exact, fractional within binomial bounds") {
