@@ -276,6 +276,18 @@ object SparkEntry {
         .select("doc_id", "gopher_keep", "gopher_reason")
         .orderBy("doc_id")),
 
+    // ── [EXT] §2.10 C4 line-level cleaning. The synthetic docs have no
+    // newlines, so the query first derives lines deterministically
+    // (every " the "/" a " becomes ".\n") — both engines replay the
+    // same rewrite, and the punct/min-words/reassembly rules all fire ─
+    "q_c4_clean" -> ((s, dir) =>
+      graft.ext.TextAnalysis.c4Clean(
+        read(s, dir, "documents").withColumn("text",
+          regexp_replace(col("text"), " (the|a) ", ".\n")),
+        minWordsPerLine = 3, minLinesPerDoc = 2)
+        .select("doc_id", "text", "n_lines", "n_dropped")
+        .orderBy("doc_id")),
+
     // ── [EXT] §2.10 corpus vocabulary: token count + doc frequency ────
     "q_vocab_topk" -> ((s, dir) =>
       graft.ext.TextAnalysis.vocabulary(read(s, dir, "documents"))
@@ -774,6 +786,31 @@ object SparkEntry {
            FROM r)
          SELECT doc_id, gopher_reason IS NULL AS gopher_keep, gopher_reason
          FROM f ORDER BY doc_id""",
+    "q_c4_clean" ->                    // minWordsPerLine=3 minLinesPerDoc=2;
+                                       // lines derived: " the "/" a " → ".\n"
+      """WITH src AS (
+           SELECT doc_id,
+                  regexp_replace(text, ' (the|a) ', '.' || chr(10), 'g') AS t
+           FROM documents),
+         d AS (
+           SELECT doc_id, t FROM src
+           WHERE NOT contains(lower(t), 'lorem ipsum')
+             AND NOT contains(t, '{')),
+         k AS (
+           SELECT doc_id,
+                  len(string_split(t, chr(10)))::BIGINT AS n_all,
+                  list_transform(
+                    list_filter(string_split(t, chr(10)), x ->
+                      regexp_matches(trim(x), '[.!?"]$')
+                      AND len(list_filter(string_split_regex(trim(x), '\s+'),
+                                          w -> w <> '')) >= 3
+                      AND NOT contains(lower(trim(x)), 'javascript')),
+                    x -> trim(x)) AS keptl
+           FROM d)
+         SELECT doc_id, array_to_string(keptl, chr(10)) AS text,
+                len(keptl)::BIGINT AS n_lines,
+                (n_all - len(keptl))::BIGINT AS n_dropped
+         FROM k WHERE len(keptl) >= 2 ORDER BY doc_id""",
     "q_repetition" ->
       """WITH t AS (
            SELECT doc_id,

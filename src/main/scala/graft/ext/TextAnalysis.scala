@@ -217,6 +217,55 @@ object TextAnalysis {
     gopherFilter(df, textCol).filter(col("gopher_keep"))
       .drop("gopher_reason", "gopher_keep")
 
+  /** C4-style line-level cleaning (Raffel et al., JMLR 2020 §2.2 — the
+    * heuristics that built the C4 corpus):
+    *   - keep only lines that, trimmed, end in terminal punctuation
+    *     (`.` `!` `?` `"`),
+    *   - keep only lines with ≥ `minWordsPerLine` whitespace words,
+    *   - drop lines containing any of `badLinePhrases`
+    *     (case-insensitive; C4's "javascript" rule),
+    *   - drop the whole document when its raw text contains any of
+    *     `badDocPhrases` (C4's "lorem ipsum" and curly-brace rules),
+    *   - drop the document when fewer than `minLinesPerDoc` lines
+    *     survive (C4 uses ≥ 3 sentences; lines here).
+    * Rewrites `textCol` to the trimmed surviving lines joined with
+    * '\n' and adds `n_lines` (kept) / `n_dropped` (removed).
+    *
+    * Shape at 100 TB: pure per-row filter + lambda chain — scan speed,
+    * no shuffle, no state. The per-LINE lambdas are interpreted (HOF),
+    * but a document has few lines vs shingles, so the cost profile is
+    * regex-dominated either way; every rule is RE2-safe and replayed
+    * value-for-value by the DuckDB oracle (q_c4_clean).
+    */
+  def c4Clean(df: DataFrame, textCol: String = "text",
+              minWordsPerLine: Int = 3, minLinesPerDoc: Int = 1,
+              badLinePhrases: Seq[String] = Seq("javascript"),
+              badDocPhrases: Seq[String] = Seq("lorem ipsum", "{")): DataFrame = {
+    require(minWordsPerLine >= 0 && minLinesPerDoc >= 0,
+      "c4Clean: thresholds must be non-negative")
+    val docBad = badDocPhrases
+      .map(p => lower(col(textCol)).contains(p.toLowerCase))
+      .foldLeft(lit(false))(_ || _)
+    val lineOk = (l: Column) => {
+      val t = trim(l)
+      val words = size(filter(split(t, "\\s+"), w => w =!= ""))
+      val phraseHit = badLinePhrases
+        .map(p => lower(t).contains(p.toLowerCase))
+        .foldLeft(lit(false))(_ || _)
+      t.rlike("[.!?\"]$") && words >= minWordsPerLine && !phraseHit
+    }
+    val allLines = split(col(textCol), "\n")
+    val kept = transform(filter(allLines, lineOk), l => trim(l))
+    df.filter(!docBad)
+      .withColumn("__c4__", kept)
+      .withColumn("n_dropped",
+        (size(allLines) - size(col("__c4__"))).cast("long"))
+      .filter(size(col("__c4__")) >= minLinesPerDoc)
+      .withColumn(textCol, array_join(col("__c4__"), "\n"))
+      .withColumn("n_lines", size(col("__c4__")).cast("long"))
+      .drop("__c4__")
+  }
+
   /** One-stop analysis frame: doc_id + all stats (the `documents` table
     * contract: text + n_chars columns exist). One pass over the text
     * via [[graft.functions.TextExprs.TextStatsRaw]]; ratios, rounding

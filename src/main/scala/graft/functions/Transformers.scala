@@ -200,7 +200,15 @@ object Transformers {
       graft.ext.TextAnalysis.gopherFilter(df, t,
         minWords = args.lift(1).map(_.toLong).getOrElse(50L))
         .filter(col("gopher_keep")).drop("gopher_reason", "gopher_keep")
-    })
+    }),
+    // c4_clean:text;minWordsPerLine;minLinesPerDoc — C4 line-level
+    // cleaning (terminal punct + min words + boilerplate phrases)
+    "c4_clean" -> (args => df =>
+      graft.ext.TextAnalysis.c4Clean(df,
+        textCol = args.headOption.getOrElse("text"),
+        minWordsPerLine = args.lift(1).map(_.toInt).getOrElse(3),
+        minLinesPerDoc = args.lift(2).map(_.toInt).getOrElse(1))
+        .drop("n_lines", "n_dropped"))
   )
 
   def register(name: String, f: Factory): Unit = registry.update(name, f)

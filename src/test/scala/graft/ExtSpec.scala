@@ -227,6 +227,32 @@ class ExtSpec extends SparkSpec {
     assert(kept.columns.toSeq == Seq("doc_id", "text", "extra"))
   }
 
+  test("c4 clean: every line and doc rule fires on its crafted fixture") {
+    val t = Seq(
+      (1L, "Good first sentence here.\nAnother fine line follows!\nno punct line\nShort one.\n  A trimmed quote line. "),
+      (2L, "Uses javascript for tracking.\nOnly one surviving line here."),
+      (3L, "This page contains lorem ipsum filler.\nOtherwise fine text here."),
+      (4L, "A config snippet { appears here.\nOtherwise fine text here."),
+      (5L, "No terminal punctuation anywhere\nnot even here"),
+      (6L, "One good line survives alone.")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.c4Clean(t, minWordsPerLine = 3, minLinesPerDoc = 2)
+      .select("doc_id", "text", "n_lines", "n_dropped")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    // doc 1: "no punct line" fails punct, "Short one." fails min-words,
+    // the trailing line survives trimmed; docs 3/4 die to doc-phrases,
+    // doc 5 keeps nothing, docs 2 and 6 keep 1 line < minLinesPerDoc=2
+    assert(r == Seq((1L,
+      "Good first sentence here.\nAnother fine line follows!\nA trimmed quote line.",
+      3L, 2L)))
+    // minLinesPerDoc=1 lets the single-surviving-line docs through, and
+    // the javascript line is gone from doc 2
+    val loose = TextAnalysis.c4Clean(t, minWordsPerLine = 3, minLinesPerDoc = 1)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(loose.map(_._1) == Seq(1L, 2L, 6L))
+    assert(loose(1)._2 == "Only one surviving line here.")
+  }
+
   test("decontamination: benchmark n-gram overlap flags docs, others survive") {
     val bench = docs.filter($"doc_id" === 1L)
     val corpus = docs.filter($"doc_id" =!= 1L)
