@@ -224,6 +224,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ── [EXT] §2.10 corpus-level exact line dedup (CCNet/RefinedWeb
+    // paragraph pass): first occurrence of each line wins globally.
+    // Lines derived deterministically (filler words become '\n') so
+    // the synthetic one-line docs exercise the cross-doc dedup ────────
+    "q_line_dedup" -> ((s, dir) =>
+      graft.ext.TextDedup.dedupLines(
+        read(s, dir, "documents").withColumn("text",
+          regexp_replace(col("text"), " (the|a|table|query|value) ", "\n")),
+        "text", "doc_id")
+        .orderBy("doc_id")),
+
     // ── [EXT] §2.10 exact n-gram Jaccard near-dup pairs ───────────────
     "q_dedup_jaccard" -> ((s, dir) =>
       graft.ext.TextDedup.jaccardPairs(read(s, dir, "documents"),
@@ -684,6 +695,34 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
            FROM documents)
          WHERE rn = 1 ORDER BY doc_id""",
+    "q_line_dedup" ->                  // first (doc_id, pos) wins per line
+      """WITH src AS (
+           SELECT doc_id,
+                  regexp_replace(text, ' (the|a|table|query|value) ',
+                                 chr(10), 'g') AS t
+           FROM documents),
+         e0 AS (
+           SELECT doc_id,
+                  unnest([{'p': i, 'l': string_split(t, chr(10))[i+1]}
+                          FOR i IN range(len(string_split(t, chr(10))))]) AS u
+           FROM src),
+         e AS (
+           SELECT doc_id, u.p AS pos, u.l AS line FROM e0
+           WHERE trim(u.l) <> ''),
+         k AS (
+           SELECT doc_id, pos, line,
+                  row_number() OVER (PARTITION BY line
+                                     ORDER BY doc_id, pos) AS rn
+           FROM e),
+         g AS (
+           SELECT doc_id,
+                  list(line ORDER BY pos) FILTER (WHERE rn = 1) AS keptl,
+                  count(*)::BIGINT AS tot
+           FROM k GROUP BY doc_id)
+         SELECT doc_id, array_to_string(keptl, chr(10)) AS text,
+                len(keptl)::BIGINT AS n_lines,
+                (tot - len(keptl))::BIGINT AS n_dropped
+         FROM g WHERE len(keptl) > 0 ORDER BY doc_id""",
     "q_dedup_jaccard" -> JaccardOracle,
     // decontamination: corpus docs (id ≥ 20) sharing any distinct
     // 5-gram with a benchmark doc (id < 20) are dropped

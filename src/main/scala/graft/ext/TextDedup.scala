@@ -62,6 +62,53 @@ object TextDedup {
       .filter(col("__rn__") === 1).drop("__rn__")
   }
 
+  /** Corpus-level exact LINE dedup (the CCNet/RefinedWeb paragraph
+    * pass): every distinct non-empty line keeps only its FIRST
+    * occurrence across the whole corpus — first = smallest (id, line
+    * position) — and every other copy is cut; documents are then
+    * reassembled from their surviving lines in original order.
+    * Documents left with no lines drop out. Emits (id, text,
+    * n_lines kept, n_dropped).
+    *
+    * Shape at 100 TB: posexplode lines, then ONE shuffle keyed by the
+    * line's xxhash64 — an 8-byte key instead of the line text — for
+    * both the per-line argmin (map-side combinable min(struct)) and
+    * the winner probe; Catalyst reuses the same Exchange for both
+    * sides of the self-join. Reassembly is one groupBy(id) whose
+    * collect_list state is bounded by document size. Hash collisions
+    * could wrongly cut a line (~lines²/2⁶⁴ odds — negligible below
+    * ~10⁹ distinct lines); the DuckDB oracle groups raw line text and
+    * doubles as the collision canary at test scale.
+    *
+    * REQUIRES an orderable, unique `idCol` (the "first occurrence"
+    * tie-break).
+    */
+  def dedupLines(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val ex = df
+      .select(col(idCol).as("__id__"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos__", "__line__")))
+      .filter(trim(col("__line__")) =!= "")
+      .withColumn("__h__", xxhash64(col("__line__")))
+    val winners = ex.groupBy("__h__")
+      .agg(min(struct(col("__id__"), col("__pos__"))).as("__w__"))
+    ex.join(winners, "__h__")
+      .withColumn("__keep__",
+        col("__w__.__id__") === col("__id__") &&
+          col("__w__.__pos__") === col("__pos__"))
+      .groupBy("__id__")
+      .agg(
+        sort_array(collect_list(
+          when(col("__keep__"),
+            struct(col("__pos__"), col("__line__"))))).as("__ls__"),
+        count(lit(1)).as("__tot__"))
+      .filter(size(col("__ls__")) > 0)
+      .select(col("__id__").as(idCol),
+        array_join(transform(col("__ls__"), _.getField("__line__")), "\n")
+          .as(textCol),
+        size(col("__ls__")).cast("long").as("n_lines"),
+        (col("__tot__") - size(col("__ls__"))).cast("long").as("n_dropped"))
+  }
+
   /** Per-doc sorted shingle-hash arrays: the verified join side for
     * both the exact and the LSH pair finders. 64-bit hashes stand in
     * for the string shingles (same set semantics, collision odds

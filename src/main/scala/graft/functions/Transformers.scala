@@ -117,6 +117,13 @@ object Transformers {
     "dedup_lines" -> (args => df => // dedup_lines:field — drop repeated lines, keep order
       df.withColumn(args.head, array_join(array_distinct(
         split(col(args.head), "\\n")), "\n"))),
+    // dedup_lines_global:text;id — CORPUS-level first-occurrence line
+    // dedup (CCNet/RefinedWeb paragraph pass); reassembles (id, text)
+    // plus n_lines/n_dropped, other columns are dropped
+    "dedup_lines_global" -> (args => df =>
+      graft.ext.TextDedup.dedupLines(df,
+        textCol = args.headOption.getOrElse("text"),
+        idCol = args.lift(1).getOrElse("doc_id"))),
     // hash_split:key;out[;method];train:0.9;val:0.05;test:0.05 —
     // deterministic train/val/test assignment by key hash: stable across
     // runs and cluster sizes (no RNG, no shuffle), the standard corpus

@@ -227,6 +227,35 @@ class ExtSpec extends SparkSpec {
     assert(kept.columns.toSeq == Seq("doc_id", "text", "extra"))
   }
 
+  test("global line dedup: first occurrence wins, order kept, no line twice") {
+    val t = Seq(
+      (1L, "shared header\nunique one\nshared footer"),
+      (2L, "shared header\nunique two\nshared footer\nunique two b"),
+      (3L, "shared header\nshared footer"),                // loses every line
+      (4L, "  \nunique four\n\nshared header")             // blanks ignored
+    ).toDF("doc_id", "text")
+    val r = TextDedup.dedupLines(t, "text", "doc_id")
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (1L, "shared header\nunique one\nshared footer", 3L, 0L),
+      (2L, "unique two\nunique two b", 2L, 2L),
+      (4L, "unique four", 1L, 1L)))
+    // law on the sf table: across the whole output, every line is unique
+    val lines = TextDedup.dedupLines(docs, "text", "doc_id")
+      .select(explode(split($"text", "\n")).as("l"))
+    assert(lines.count() == lines.distinct().count(),
+      "a duplicate line survived global dedup")
+    // and surviving line multisets are a subset of the originals per doc
+    val before = docs.select($"doc_id",
+      explode(split($"text", "\n")).as("l")).groupBy("doc_id", "l").count()
+    val after = TextDedup.dedupLines(docs, "text", "doc_id")
+      .select($"doc_id", explode(split($"text", "\n")).as("l"))
+      .groupBy("doc_id", "l").count()
+    assert(after.join(before, Seq("doc_id", "l"), "left_anti").isEmpty,
+      "dedup invented a line")
+  }
+
   test("c4 clean: every line and doc rule fires on its crafted fixture") {
     val t = Seq(
       (1L, "Good first sentence here.\nAnother fine line follows!\nno punct line\nShort one.\n  A trimmed quote line. "),
