@@ -287,6 +287,18 @@ object SparkEntry {
         .select("doc_id", "gopher_keep", "gopher_reason")
         .orderBy("doc_id")),
 
+    // ── [EXT] §2.10 linear quality classifier: exported (token, weight)
+    // model scored over the corpus; dyadic weights keep sums exact ────
+    "q_quality_score" -> ((s, dir) => {
+      import s.implicits._
+      val model = Seq(("data", 0.5), ("fast", 0.25), ("slow", -0.5),
+        ("row", 0.125), ("scan", -0.25), ("spark", 0.75))
+        .toDF("token", "weight")
+      graft.ext.TextAnalysis.linearScore(read(s, dir, "documents"), model,
+        bias = -0.125, threshold = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // ── [EXT] §2.10 C4 line-level cleaning. The synthetic docs have no
     // newlines, so the query first derives lines deterministically
     // (every " the "/" a " becomes ".\n") — both engines replay the
@@ -825,6 +837,25 @@ object SparkEntry {
            FROM r)
          SELECT doc_id, gopher_reason IS NULL AS gopher_keep, gopher_reason
          FROM f ORDER BY doc_id""",
+    "q_quality_score" ->               // bias=-0.125, threshold=0.5
+      """WITH w(token, weight) AS (VALUES
+           ('data', 0.5), ('fast', 0.25), ('slow', -0.5),
+           ('row', 0.125), ('scan', -0.25), ('spark', 0.75)),
+         t AS (
+           SELECT doc_id,
+                  unnest(list_filter(string_split_regex(lower(trim(text)),
+                    '\W+'), x -> x <> '')) AS token
+           FROM documents),
+         s AS (
+           SELECT t.doc_id, count(*)::BIGINT AS n_toks,
+                  sum(coalesce(w.weight, 0)) AS ws
+           FROM t LEFT JOIN w USING (token) GROUP BY t.doc_id)
+         SELECT d.doc_id, coalesce(s.n_toks, 0) AS n_toks,
+                round(1/(1 + exp(-(-0.125 + coalesce(ws/n_toks, 0)))), 4)
+                  AS score,
+                round(1/(1 + exp(-(-0.125 + coalesce(ws/n_toks, 0)))), 4)
+                  >= 0.5 AS quality_keep
+         FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""",
     "q_c4_clean" ->                    // minWordsPerLine=3 minLinesPerDoc=2;
                                        // lines derived: " the "/" a " → ".\n"
       """WITH src AS (

@@ -453,4 +453,38 @@ object TextAnalysis {
       target.select(col(idCol)).join(scored, Seq(idCol), "left")
         .withColumn("n_toks", coalesce(col("n_toks"), lit(0L))))
   }
+
+  /** fastText-shaped linear quality scoring (Joulin et al. 2016 — the
+    * bag-of-tokens linear classifier that GPT-3/LLaMA-style pipelines
+    * deploy as a "quality classifier"): `score = sigmoid(bias + mean
+    * token weight)`, with the model supplied as a small (token,
+    * weight) TABLE — the deployment shape for any exported linear
+    * model. Adds `n_toks`, `score` (round 4) and `quality_keep`
+    * (score ≥ threshold). Tokens absent from the model weigh 0;
+    * zero-token docs score sigmoid(bias).
+    *
+    * Shape at 100 TB: the model is vocab-sized → BROADCAST to the
+    * exploded token stream (no corpus shuffle of text payloads), then
+    * one map-side-combinable doc hash-agg. Dyadic test weights keep
+    * the sum order-independent; `round(4)` absorbs libm exp()
+    * differences (same discipline as [[lmScoreWith]], which holds
+    * cross-engine at both gate scales).
+    */
+  def linearScore(target: DataFrame, model: DataFrame,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  bias: Double = 0.0, threshold: Double = 0.5): DataFrame = {
+    val scored = target
+      .select(col(idCol), explode(TextDedup.tokens(col(textCol))).as("token"))
+      .join(broadcast(model.select(col("token"), col("weight"))),
+        Seq("token"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_toks"),
+        sum(coalesce(col("weight"), lit(0.0))).as("__ws__"))
+    val raw = lit(bias) + coalesce(col("__ws__") / col("n_toks"), lit(0.0))
+    target.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .withColumn("n_toks", coalesce(col("n_toks"), lit(0L)))
+      .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-raw)), 4))
+      .withColumn("quality_keep", col("score") >= threshold)
+      .drop("__ws__")
+  }
 }

@@ -227,6 +227,29 @@ class ExtSpec extends SparkSpec {
     assert(kept.columns.toSeq == Seq("doc_id", "text", "extra"))
   }
 
+  test("linear score: sigmoid of mean weight, unknown tokens 0, empty doc = bias") {
+    val model = Seq(("good", 2.0), ("bad", -2.0)).toDF("token", "weight")
+    val t = Seq(
+      (1L, "good good good good"),   // mean 2.0  -> sigmoid(2)
+      (2L, "bad bad"),               // mean -2.0 -> sigmoid(-2)
+      (3L, "good bad"),              // mean 0    -> 0.5
+      (4L, "unseen words only here"),// mean 0    -> 0.5
+      (5L, "")                       // no toks   -> sigmoid(bias)=0.5
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.linearScore(t, model)
+      .orderBy("doc_id").select("doc_id", "n_toks", "score", "quality_keep")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    def sig(x: Double) = BigDecimal(1.0 / (1.0 + math.exp(-x)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r == Seq(
+      (1L, 4L, sig(2), true), (2L, 2L, sig(-2), false), (3L, 2L, 0.5, true),
+      (4L, 4L, 0.5, true), (5L, 0L, 0.5, true)))
+    // nonzero bias shifts the empty/unseen docs
+    val b = TextAnalysis.linearScore(t, model, bias = -1.0)
+      .filter($"doc_id" === 5L).select("score").as[Double].head()
+    assert(b == sig(-1))
+  }
+
   test("global line dedup: first occurrence wins, order kept, no line twice") {
     val t = Seq(
       (1L, "shared header\nunique one\nshared footer"),
