@@ -336,6 +336,31 @@ object SparkEntry {
           round(col("tfidf"), 4).as("tfidf"))
         .orderBy("doc_id", "token")),
 
+    // ── [EXT] §2.10 DSIR data selection (Xie et al. '23): hashed
+    // unigram+bigram importance weights vs the src0 target slice ──────
+    "q_dsir_score" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      graft.ext.Dsir.score(docs, docs.filter(col("source") === "src0"),
+        "doc_id", "text", hexDigits = 2)
+        .select(col("doc_id"), col("n_feats"), round(col("logw"), 4).as("logw"))
+        .orderBy("doc_id")
+    }),
+    "q_dsir_select" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      graft.ext.Dsir.resample(docs, docs.filter(col("source") === "src0"),
+        k = 100, "doc_id", "text", hexDigits = 2)
+        .select(col("doc_id"), round(col("logw"), 4).as("logw"),
+          round(col("key"), 4).as("key"))
+        .orderBy("doc_id")
+    }),
+
+    // ── [EXT] §2.10 vocab encode: ids 1..V by corpus frequency
+    // (ties token-asc), 0 = OOV; one row per (doc, pos) ───────────────
+    "q_encode" -> ((s, dir) =>
+      graft.ext.TextAnalysis.encodeTokens(read(s, dir, "documents"),
+        "doc_id", "text", vocabSize = 25)
+        .orderBy("doc_id", "pos")),
+
     // ── [EXT] §2.10 corpus split sizes (md5 method → exact oracle) ────
     "q_split_sizes" -> ((s, dir) =>
       graft.functions.Transformers.apply(read(s, dir, "documents"),
@@ -442,6 +467,23 @@ object SparkEntry {
         ev.select("event_id", "user_id", "ts", "event_type", "value"),
         purchases, Seq("user_id"), "ts", "pts", "p_")
         .orderBy("event_id")
+    }),
+
+    // ── [EXT] §2.10 bucketed range join: every event inside ±60 s of
+    // each error (incident-context extraction). Intervals are a
+    // filtered handful → broadcast: no shuffle of the points side ─────
+    "q_range_join" -> ((s, dir) => {
+      val ev = read(s, dir, "events")
+      val incidents = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"),
+          (col("ts") - expr("INTERVAL 60 SECONDS")).as("lo"),
+          (col("ts") + expr("INTERVAL 60 SECONDS")).as("hi"))
+      graft.ext.RangeJoin.rangeJoin(
+        ev.select("event_id", "ts", "event_type", "user_id"),
+        incidents, "ts", "lo", "hi", bucketWidth = 120.0,
+        broadcastIntervals = true)
+        .select("err_id", "event_id", "ts", "event_type", "user_id")
+        .orderBy("err_id", "event_id")
     }),
 
     // ── [EXT] capstone: training-corpus prep pipeline ─────────────────
@@ -906,6 +948,77 @@ object SparkEntry {
     // md5 split: bucket = first 8 hex digits of md5(key) — hex string
     // order == numeric order, so thresholds are the 8-digit hex of
     // floor(cum_weight * 16^8): 0.9 → e6666666, 0.95 → f3333333.
+    "q_dsir_score" ->                  // hexDigits=2 (256 buckets), λ=1
+      """WITH t AS (
+           SELECT doc_id, source,
+                  list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+         f AS (
+           SELECT doc_id, source, unnest(list_concat(toks,
+             list_transform(range(len(toks) - 1),
+               i -> toks[(i + 1)::INT] || ' ' || toks[(i + 2)::INT]))) AS feat
+           FROM t),
+         b AS (SELECT doc_id, source, substr(md5(feat), 31, 2) AS bucket FROM f),
+         tc AS (SELECT bucket, count(*)::DOUBLE AS c FROM b
+                WHERE source = 'src0' GROUP BY bucket),
+         rc AS (SELECT bucket, count(*)::DOUBLE AS c FROM b GROUP BY bucket),
+         lr AS (SELECT rc.bucket,
+                       ln((coalesce(tc.c, 0) + 1.0) /
+                          ((SELECT sum(c) FROM tc) + 256.0)) -
+                       ln((rc.c + 1.0) /
+                          ((SELECT sum(c) FROM rc) + 256.0)) AS logr
+                FROM rc LEFT JOIN tc USING (bucket))
+         SELECT b.doc_id, count(*) AS n_feats, round(sum(lr.logr), 4) AS logw
+         FROM b JOIN lr USING (bucket)
+         GROUP BY b.doc_id ORDER BY b.doc_id""",
+    "q_dsir_select" ->                 // k=100, T=1, seed 'graft'
+      """WITH t AS (
+           SELECT doc_id, source,
+                  list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+         f AS (
+           SELECT doc_id, source, unnest(list_concat(toks,
+             list_transform(range(len(toks) - 1),
+               i -> toks[(i + 1)::INT] || ' ' || toks[(i + 2)::INT]))) AS feat
+           FROM t),
+         b AS (SELECT doc_id, source, substr(md5(feat), 31, 2) AS bucket FROM f),
+         tc AS (SELECT bucket, count(*)::DOUBLE AS c FROM b
+                WHERE source = 'src0' GROUP BY bucket),
+         rc AS (SELECT bucket, count(*)::DOUBLE AS c FROM b GROUP BY bucket),
+         lr AS (SELECT rc.bucket,
+                       ln((coalesce(tc.c, 0) + 1.0) /
+                          ((SELECT sum(c) FROM tc) + 256.0)) -
+                       ln((rc.c + 1.0) /
+                          ((SELECT sum(c) FROM rc) + 256.0)) AS logr
+                FROM rc LEFT JOIN tc USING (bucket)),
+         s AS (SELECT b.doc_id, sum(lr.logr) AS logw
+               FROM b JOIN lr USING (bucket) GROUP BY b.doc_id),
+         g AS (SELECT doc_id, logw,
+                      logw - ln(-ln((CAST('0x' || substr(md5('graft:' || doc_id), 1, 6)
+                                     AS BIGINT) + 0.5) / 16777216.0)) AS key
+               FROM s)
+         SELECT doc_id, round(logw, 4) AS logw, round(key, 4) AS key
+         FROM g ORDER BY key DESC, doc_id LIMIT 100""",
+    "q_encode" ->                      // vocabSize=25; ids by (cnt DESC, token)
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                                      x -> x <> '') AS toks
+           FROM documents),
+         p AS (SELECT doc_id, toks, unnest(range(len(toks))) AS pos
+               FROM t WHERE len(toks) > 0),
+         tk AS (SELECT doc_id, pos::BIGINT AS pos, toks[(pos + 1)::INT] AS token
+                FROM p),
+         v AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token),
+         r AS (SELECT token,
+                      row_number() OVER (ORDER BY cnt DESC, token) AS token_id
+               FROM v),
+         vocab AS (SELECT token, token_id::BIGINT AS token_id
+                   FROM r WHERE token_id <= 25)
+         SELECT tk.doc_id, tk.pos, coalesce(vocab.token_id, 0) AS token_id
+         FROM tk LEFT JOIN vocab USING (token)
+         ORDER BY tk.doc_id, tk.pos""",
     "q_split_sizes" ->
       """SELECT split, count(*) AS n FROM (
            SELECT CASE
@@ -1088,6 +1201,13 @@ object SparkEntry {
             FROM events WHERE event_type = 'purchase') p
            ON e.user_id = p.user_id AND e.ts >= p.pts
          ORDER BY e.event_id""",
+    "q_range_join" ->                  // ±60 s context around each error
+      """SELECT i.err_id, e.event_id, e.ts, e.event_type, e.user_id
+         FROM (SELECT event_id AS err_id, ts - INTERVAL 60 SECOND AS lo,
+                      ts + INTERVAL 60 SECOND AS hi
+               FROM events WHERE event_type = 'error') i
+         JOIN events e ON e.ts >= i.lo AND e.ts < i.hi
+         ORDER BY i.err_id, e.event_id""",
     "q_window_session" ->
       """WITH o AS (
            SELECT user_id, ts, value,

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines ([EXT], SURVEY §2.10):
@@ -341,6 +342,55 @@ object TextAnalysis {
       .groupBy("token")
       .agg(count(lit(1)).as("cnt"), docsAgg.as("docs"))
   }
+
+  /** Vocabulary encoder — the map-tokens-to-ids step between corpus
+    * prep and sequence packing: token ids 1..vocabSize go to the
+    * corpus's most frequent tokens (ties broken token-ascending, so
+    * the assignment is a deterministic total order any engine
+    * reproduces), 0 is the shared OOV/unk id. Emits the encoded token
+    * stream, one row per (doc, pos).
+    *
+    * Shape at 100 TB: one token hash-agg (map-side combinable) for the
+    * counts; the rank window runs AFTER `.limit(vocabSize)`, so its
+    * single-partition sort touches vocabSize rows, never the corpus;
+    * then a token-keyed join of the token stream against the vocab.
+    * With `broadcastVocab` (default) the join is map-side — the token
+    * stream is never shuffled. A 10M-row vocab still broadcasts at
+    * ~200 MB; beyond that pass false and let AQE pick a shuffled hash
+    * join (hot stopword tokens are single build rows — high probe
+    * fan-in, no explosion).
+    */
+  def encodeTokens(df: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", vocabSize: Int = 65536,
+                   broadcastVocab: Boolean = true): DataFrame = {
+    require(vocabSize > 0, s"encodeTokens: vocabSize must be positive, got $vocabSize")
+    val tk = df.select(col(idCol), posexplode(TextDedup.tokens(col(textCol)))
+      .as(Seq("pos", "token")))
+    val top = tk.groupBy("token").agg(count(lit(1)).as("__cnt__"))
+      .orderBy(col("__cnt__").desc, col("token")).limit(vocabSize)
+    val vocab0 = top.withColumn("token_id",
+        row_number().over(Window.orderBy(col("__cnt__").desc, col("token")))
+          .cast("long"))
+      .select("token", "token_id")
+    val vocab = if (broadcastVocab) broadcast(vocab0) else vocab0
+    tk.join(vocab, Seq("token"), "left")
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        coalesce(col("token_id"), lit(0L)).as("token_id"))
+  }
+
+  /** [[encodeTokens]] re-assembled per document: one row per doc with
+    * the position-ordered `token_ids` array and its length. One
+    * doc-keyed hash-agg over the encoded stream; group state is the
+    * document's own ids, bounded by the longest document.
+    */
+  def encodeDocs(df: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", vocabSize: Int = 65536,
+                 broadcastVocab: Boolean = true): DataFrame =
+    encodeTokens(df, idCol, textCol, vocabSize, broadcastVocab)
+      .groupBy(idCol)
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("token_id")))),
+          _.getField("token_id")).as("token_ids"),
+        count(lit(1)).as("n_toks"))
 
   /** [[analyze]] plus the composite quality score, from the same
     * single-pass raw counts (`nCharsCol` is the documents table's

@@ -542,6 +542,84 @@ class ExtSpec extends SparkSpec {
     assert(v == Seq(Seq("a", 3L, 2L), Seq("b", 1L, 1L), Seq("c", 1L, 1L)))
   }
 
+  test("encodeTokens: frequency-ranked ids, deterministic ties, OOV=0") {
+    // counts: a=4, b=2, c=1, d=1 → ids a=1, b=2, then ties c/d break
+    // token-ascending → c=3; with vocabSize=3, d is OOV → 0
+    val t = Seq((1L, "a b a c"), (2L, "a d b a")).toDF("doc_id", "text")
+    val e = TextAnalysis.encodeTokens(t, "doc_id", "text", vocabSize = 3)
+      .orderBy("doc_id", "pos").collect().map(_.toSeq).toSeq
+    assert(e == Seq(
+      Seq(1L, 0L, 1L), Seq(1L, 1L, 2L), Seq(1L, 2L, 1L), Seq(1L, 3L, 3L),
+      Seq(2L, 0L, 1L), Seq(2L, 1L, 0L), Seq(2L, 2L, 2L), Seq(2L, 3L, 1L)))
+    // packed variant re-assembles the same stream in position order
+    val d = TextAnalysis.encodeDocs(t, "doc_id", "text", vocabSize = 3)
+      .orderBy("doc_id").collect()
+    assert(d.map(_.getSeq[Long](d.head.fieldIndex("token_ids")).toList).toSeq ==
+      Seq(List(1L, 2L, 1L, 3L), List(1L, 0L, 2L, 1L)))
+    assert(d.map(_.getAs[Long]("n_toks")).toSeq == Seq(4L, 4L))
+    // empty/null docs contribute no rows
+    val z = Seq((1L, ""), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(TextAnalysis.encodeTokens(z, "doc_id", "text", 5).count() == 0)
+  }
+
+  test("quality classifier: trained weights replay through linearScore") {
+    import graft.ext.QualityClassifier
+    val pos = Seq("clean prose words here", "prose words flow clean",
+      "here flow clean words", "words prose here flow").toDF("text")
+    val neg = Seq("spam casino junk buy", "casino buy junk spam",
+      "junk spam buy casino", "buy casino spam junk").toDF("text")
+    val m = QualityClassifier.train(pos, neg, "text", vocabSize = 64)
+    val w = m.weights.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // learned direction: positive-class tokens outweigh negative-class
+    assert(w("clean") > w("spam") && w("prose") > w("casino"))
+    // held-out docs classify correctly through the broadcast scorer
+    val target = Seq((1L, "clean words prose"), (2L, "casino spam buy"))
+      .toDF("doc_id", "text")
+    val scored = graft.ext.TextAnalysis
+      .linearScore(target, m.weights, "doc_id", "text", bias = m.bias)
+      .orderBy("doc_id").collect()
+    assert(scored(0).getAs[Boolean]("quality_keep"))
+    assert(!scored(1).getAs[Boolean]("quality_keep"))
+    // margin equivalence: scorer sigmoid == MLlib formulation
+    assert(scored(0).getAs[Double]("score") > 0.5 &&
+      scored(1).getAs[Double]("score") < 0.5)
+    // one-call convenience path agrees
+    val ts = QualityClassifier.trainAndScore(pos, neg, target)
+      .orderBy("doc_id").collect()
+    assert(ts.map(_.getAs[Boolean]("quality_keep")).toSeq == Seq(true, false))
+  }
+
+  test("dsir: unigram+bigram features; target-like docs outscore noise") {
+    import graft.ext.Dsir
+    // "a b c" → features a, b, c, "a b", "b c"
+    val one = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(one.select(explode(Dsir.bucketKeys($"text", 2))).count() == 5)
+    assert(Dsir.bucketCounts(one, "text", 2)
+      .agg(sum("cnt")).head.getLong(0) == 5)
+    // raw = 4 target-looking docs + 4 noise docs; target = the first 4
+    val raw = Seq(
+      (1L, "wiki style words wiki style"), (2L, "wiki style words"),
+      (3L, "words wiki style wiki"), (4L, "wiki words style"),
+      (5L, "spam junk casino spam"), (6L, "casino junk spam"),
+      (7L, "junk casino spam junk"), (8L, "casino spam junk")
+    ).toDF("doc_id", "text")
+    val target = raw.filter($"doc_id" <= 4)
+    val s = Dsir.score(raw, target, "doc_id", "text", hexDigits = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s.size == 8)
+    val tMin = (1L to 4L).map(s).min
+    val nMax = (5L to 8L).map(s).max
+    assert(tMin > nMax, s"target-like docs must outscore noise: $s")
+    // resample: deterministic, k rows, drawn from the scored set
+    val r1 = Dsir.resample(raw, target, k = 3).collect()
+    val r2 = Dsir.resample(raw, target, k = 3).collect()
+    assert(r1.map(_.getLong(0)).toSeq == r2.map(_.getLong(0)).toSeq)
+    assert(r1.length == 3)
+    // empty docs emit no score row
+    val z = raw.union(Seq((9L, "")).toDF("doc_id", "text"))
+    assert(Dsir.score(z, target, "doc_id", "text", 2).count() == 8)
+  }
+
   test("fingerprints: equal for normalized-equal docs") {
     val t = Seq((1L, "Hello,   World!"), (2L, "hello world"), (3L, "other text"))
       .toDF("doc_id", "text")

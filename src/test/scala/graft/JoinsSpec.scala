@@ -85,6 +85,62 @@ class JoinsSpec extends SparkSpec {
     assert(plain == salted)
   }
 
+  test("range join matches naive cross+filter, with exact edge semantics") {
+    import graft.ext.RangeJoin
+    val points = Seq((1L, 0.0), (2L, 5.0), (3L, 10.0), (4L, 15.0), (5L, 17.5))
+      .toDF("pid", "x")
+    val ivs = Seq((10L, 0.0, 10.0), (20L, 10.0, 20.0), (30L, 4.0, 6.0))
+      .toDF("iid", "lo", "hi")
+    // exclusive hi: x=10 goes to [10,20) only; x=0 is in [0,10)
+    val got = RangeJoin.rangeJoin(points, ivs, "x", "lo", "hi", bucketWidth = 3.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.crossJoin(ivs)
+      .filter(col("x") >= col("lo") && col("x") < col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive)
+    assert(got.contains((1L, 10L)) && !got.contains((3L, 10L)) && got.contains((3L, 20L)))
+    // inclusive hi picks up the boundary point
+    val incl = RangeJoin.rangeJoin(points, ivs, "x", "lo", "hi",
+      bucketWidth = 3.0, inclusiveHi = true)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incl == naive ++ Set((3L, 10L)))
+  }
+
+  test("range join on timestamps matches per-row oracle; bucket width immaterial") {
+    import graft.ext.RangeJoin
+    val ev = sf("events").limit(500).cache()
+    val iv = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"),
+        (col("ts") - expr("INTERVAL 60 SECONDS")).as("lo"),
+        (col("ts") + expr("INTERVAL 60 SECONDS")).as("hi"))
+    val pts = ev.select(col("event_id"), col("ts"))
+    def run(w: Double, bc: Boolean) =
+      RangeJoin.rangeJoin(pts, iv, "ts", "lo", "hi", w, broadcastIntervals = bc)
+        .select("err_id", "event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = pts.crossJoin(iv)
+      .filter(col("ts") >= col("lo") && col("ts") < col("hi"))
+      .select("err_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(120.0, bc = true) == naive)
+    assert(run(7.0, bc = false) == naive)   // width changes cost, never results
+    ev.unpersist()
+  }
+
+  test("range join rejects overlapping column names and null rows drop out") {
+    import graft.ext.RangeJoin
+    val p = Seq((1L, 5.0), (2L, Double.NaN)).toDF("pid", "x")
+    intercept[IllegalArgumentException] {
+      RangeJoin.rangeJoin(p, p, "x", "x", "x", 1.0)
+    }
+    val pts = Seq(Tuple2(1L, Some(5.0)), Tuple2(2L, None)).toDF("pid", "x")
+    val ivs = Seq((10L, Some(0.0), Some(10.0)), (20L, None, Some(3.0)))
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoin.rangeJoin(pts, ivs, "x", "lo", "hi", 2.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L)))
+  }
+
   test("salted two-phase aggregation equals direct groupBy") {
     val df = sf("lineitem").limit(5000)
     val direct = df.groupBy("l_returnflag")
