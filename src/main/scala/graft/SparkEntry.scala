@@ -245,6 +245,20 @@ object SparkEntry {
       graft.ext.TextDedup.minhashPairs(read(s, dir, "documents"),
         "doc_id", "text", n = 3, threshold = 0.8).orderBy("id_a", "id_b")),
 
+    // ── [EXT] §2.10 incremental dedup: batch (doc_id >= 400) vs the
+    // persisted signature index of the first 400 docs + earlier
+    // in-batch docs; old-vs-old pairs never re-mined ──────────────────
+    "q_dedup_incr" -> ((s, dir) => {
+      import graft.ext.TextDedup
+      val docs = read(s, dir, "documents")
+      val oldSh = TextDedup.shingleTable(docs.filter(col("doc_id") < 400),
+        "doc_id", "text", 3)
+      TextDedup.incrementMatches(docs.filter(col("doc_id") >= 400),
+        oldSh, TextDedup.bucketTable(oldSh), "doc_id", "text",
+        n = 3, threshold = 0.8)
+        .orderBy("id")
+    }),
+
     // ── [EXT] §2.10 end-to-end corpus dedup (pairs → components) ─────
     "q_dedup_corpus" -> ((s, dir) =>
       graft.ext.TextDedup.dedupCorpus(read(s, dir, "documents"),
@@ -338,21 +352,17 @@ object SparkEntry {
 
     // ── [EXT] §2.10 DSIR data selection (Xie et al. '23): hashed
     // unigram+bigram importance weights vs the src0 target slice ──────
-    "q_dsir_score" -> ((s, dir) => {
-      val docs = read(s, dir, "documents")
-      graft.ext.Dsir.score(docs, docs.filter(col("source") === "src0"),
-        "doc_id", "text", hexDigits = 2)
+    "q_dsir_score" -> ((s, dir) =>
+      graft.ext.Dsir.scoreWithin(read(s, dir, "documents"),
+        col("source") === "src0", "doc_id", "text", hexDigits = 2)
         .select(col("doc_id"), col("n_feats"), round(col("logw"), 4).as("logw"))
-        .orderBy("doc_id")
-    }),
-    "q_dsir_select" -> ((s, dir) => {
-      val docs = read(s, dir, "documents")
-      graft.ext.Dsir.resample(docs, docs.filter(col("source") === "src0"),
-        k = 100, "doc_id", "text", hexDigits = 2)
+        .orderBy("doc_id")),
+    "q_dsir_select" -> ((s, dir) =>
+      graft.ext.Dsir.resampleWithin(read(s, dir, "documents"),
+        col("source") === "src0", k = 100, "doc_id", "text", hexDigits = 2)
         .select(col("doc_id"), round(col("logw"), 4).as("logw"),
           round(col("key"), 4).as("key"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // ── [EXT] §2.10 vocab encode: ids 1..V by corpus frequency
     // (ties token-asc), 0 = OOV; one row per (doc, pos) ───────────────
@@ -804,6 +814,32 @@ object SparkEntry {
          WHERE d.doc_id >= 20 AND d.doc_id NOT IN (SELECT doc_id FROM hits)
          ORDER BY d.doc_id""",
     "q_dedup_minhash" -> JaccardOracle, // LSH recall ≈ 1 at j ≥ 0.8 ⇒ same result
+    "q_dedup_incr" ->                  // batch = doc_id >= 400 vs seen (old ∪ earlier batch)
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                              x -> x <> '') AS t
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id,
+                  unnest(CASE WHEN len(t) >= 3
+                    THEN [t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                          FOR i IN range(len(t) - 2)]
+                    ELSE [] END) AS s
+           FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         j AS (
+           SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+           FROM common
+           JOIN sizes sa ON id_a = sa.doc_id
+           JOIN sizes sb ON id_b = sb.doc_id
+           WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8)
+         SELECT id_b AS id, min(id_a) AS dup_of, arg_min(jaccard, id_a) AS jaccard
+         FROM j WHERE id_b >= 400 GROUP BY id_b ORDER BY id""",
     "q_dedup_corpus" ->
       """WITH RECURSIVE toks AS (
            SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\W+'),

@@ -65,14 +65,52 @@ object Dsir {
   def score(raw: DataFrame, target: DataFrame, idCol: String = "doc_id",
             textCol: String = "text", hexDigits: Int = 3,
             lambda: Double = 1.0): DataFrame = {
-    require(hexDigits >= 1 && hexDigits <= 8,
-      s"dsir: hexDigits must be in [1,8], got $hexDigits")
-    require(lambda > 0, s"dsir: smoothing lambda must be positive, got $lambda")
-    val b = math.pow(16.0, hexDigits.toDouble)
+    checkParams(hexDigits, lambda)
     val tc = bucketCounts(target, textCol, hexDigits)
       .withColumnRenamed("cnt", "__tc__")
     val rc = bucketCounts(raw, textCol, hexDigits)
       .withColumnRenamed("cnt", "__rc__")
+    val docBuckets = raw.select(col(idCol),
+      explode(bucketKeys(col(textCol), hexDigits)).as("bucket"))
+    scoreFrom(docBuckets, rc, tc, idCol, hexDigits, lambda)
+  }
+
+  /** [[score]] when the target is a SLICE of the raw corpus — the
+    * usual setup (score the crawl against its own curated subset).
+    * `score(raw, raw.filter(cond))` computes the identical result but
+    * runs the tokenize+md5 feature pipeline three times (raw
+    * histogram, target histogram, per-doc scoring); this variant
+    * materializes the narrow (id, is_target, bucket) stream once,
+    * lazily, and derives all three from it.
+    */
+  def scoreWithin(raw: DataFrame, targetCond: Column,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  hexDigits: Int = 3, lambda: Double = 1.0): DataFrame = {
+    checkParams(hexDigits, lambda)
+    val ex = raw.select(col(idCol), targetCond.as("__t__"),
+        explode(bucketKeys(col(textCol), hexDigits)).as("bucket"))
+      .localCheckpoint(eager = false)
+    val rc = ex.groupBy("bucket").agg(count(lit(1)).as("__rc__"))
+    val tc = ex.filter(col("__t__")).groupBy("bucket")
+      .agg(count(lit(1)).as("__tc__"))
+    scoreFrom(ex.select(col(idCol), col("bucket")), rc, tc,
+      idCol, hexDigits, lambda)
+  }
+
+  private def checkParams(hexDigits: Int, lambda: Double): Unit = {
+    require(hexDigits >= 1 && hexDigits <= 8,
+      s"dsir: hexDigits must be in [1,8], got $hexDigits")
+    require(lambda > 0, s"dsir: smoothing lambda must be positive, got $lambda")
+  }
+
+  /** Shared scoring tail: smooth the two histograms into a ≤ B-row
+    * log-ratio table, broadcast it onto the per-doc bucket stream, one
+    * doc-keyed hash-agg.
+    */
+  private def scoreFrom(docBuckets: DataFrame, rc: DataFrame, tc: DataFrame,
+                        idCol: String, hexDigits: Int,
+                        lambda: Double): DataFrame = {
+    val b = math.pow(16.0, hexDigits.toDouble)
     // every bucket a raw doc can hit is in rc, so left join from rc;
     // totals ride along as 1-row broadcast cross joins
     val tTot = tc.agg(sum(col("__tc__")).cast("double").as("__nt__"))
@@ -84,8 +122,7 @@ object Dsir {
              (coalesce(col("__nt__"), lit(0.0)) + lambda * b)) -
          log((col("__rc__").cast("double") + lambda) /
              (col("__nr__") + lambda * b))).as("__logr__"))
-    raw.select(col(idCol),
-        explode(bucketKeys(col(textCol), hexDigits)).as("bucket"))
+    docBuckets
       .join(broadcast(logRatio), "bucket")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_feats"), sum(col("__logr__")).as("logw"))
@@ -102,10 +139,25 @@ object Dsir {
   def resample(raw: DataFrame, target: DataFrame, k: Int,
                idCol: String = "doc_id", textCol: String = "text",
                hexDigits: Int = 3, lambda: Double = 1.0,
-               temperature: Double = 1.0, seed: String = "graft"): DataFrame = {
+               temperature: Double = 1.0, seed: String = "graft"): DataFrame =
+    gumbelTopK(score(raw, target, idCol, textCol, hexDigits, lambda),
+      k, idCol, temperature, seed)
+
+  /** [[resample]] over [[scoreWithin]] — single feature pass when the
+    * target is a slice of the raw corpus.
+    */
+  def resampleWithin(raw: DataFrame, targetCond: Column, k: Int,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     hexDigits: Int = 3, lambda: Double = 1.0,
+                     temperature: Double = 1.0,
+                     seed: String = "graft"): DataFrame =
+    gumbelTopK(scoreWithin(raw, targetCond, idCol, textCol, hexDigits, lambda),
+      k, idCol, temperature, seed)
+
+  private def gumbelTopK(scored: DataFrame, k: Int, idCol: String,
+                         temperature: Double, seed: String): DataFrame = {
     require(k > 0, s"dsir: k must be positive, got $k")
     require(temperature > 0, s"dsir: temperature must be positive, got $temperature")
-    val scored = score(raw, target, idCol, textCol, hexDigits, lambda)
     val u = (conv(substring(md5(concat(lit(seed + ":"), col(idCol).cast("string"))),
         1, 6), 16, 10).cast("double") + 0.5) / lit(16777216.0)
     scored

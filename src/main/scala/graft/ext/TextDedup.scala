@@ -253,6 +253,76 @@ object TextDedup {
     out
   }
 
+  /** Signature tables for INCREMENTAL dedup — the production shape for
+    * a corpus that grows in batches: persist these two frames next to
+    * the corpus, and each new batch joins against them instead of
+    * re-mining old-vs-old pairs. `shingleTable` is (id, sh) with the
+    * sorted 64-bit shingle hashes (the exact-verify side);
+    * [[bucketTable]] is (id, band, bucket) (the LSH candidate side).
+    * Append the same tables computed over each batch's SURVIVORS to
+    * keep the index current.
+    */
+  def shingleTable(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.functions.VectorExprs.shingleSortedHashes(
+          tokens(col(textCol)), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** LSH bucket table from a persisted [[shingleTable]]. */
+  def bucketTable(shingles: DataFrame, k: Int = 128, bands: Int = 16): DataFrame =
+    lshBucketsFromHashes(shingles, k, bands)
+
+  /** Flag each NEW doc that near-duplicates anything already SEEN —
+    * an indexed old doc, or an earlier (smaller-id) doc of the same
+    * batch (without the in-batch check, two copies arriving together
+    * would both pass). Ids must be distinct across old and new.
+    * Emits (id, dup_of, jaccard): the smallest matching seen id and
+    * the exact similarity to it. Matching is LSH candidates + exact
+    * verify, identical to [[minhashPairs]]; docs shorter than one
+    * shingle never flag (and never index).
+    *
+    * Shape at 100 TB: the batch's buckets hash-join the index's bucket
+    * table on (band, bucket) — shuffle proportional to the BATCH plus
+    * matching index buckets, never the full corpus; exact verify then
+    * touches only candidate ids. Old-vs-old pairs are never revisited.
+    */
+  def incrementMatches(newDocs: DataFrame, oldShingles: DataFrame,
+                       oldBuckets: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.8,
+                       k: Int = 128, bands: Int = 16): DataFrame = {
+    val nh = hashedDocs(newDocs, idCol, textCol, n)
+    val nb = lshBucketsFromHashes(nh, k, bands)
+    val candOld = nb.as("x").join(oldBuckets.as("y"), Seq("band", "bucket"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    val candNew = nb.as("x").join(nb.as("y"), Seq("band", "bucket"))
+      .filter(col("x.id") > col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    val seen = nh.select(col("id"), col("sh")).unionByName(
+      oldShingles.select(col("id"), col("sh")))
+    val verified = verifyPairs(candOld.unionByName(candNew), seen, threshold)
+    // smallest matching seen id wins; struct min orders by id first
+    val out = verified.groupBy(col("id_a").as("id"))
+      .agg(min(struct(col("id_b"), col("jaccard"))).as("__m__"))
+      .select(col("id"), col("__m__.id_b").as("dup_of"),
+        col("__m__.jaccard").as("jaccard"))
+      .localCheckpoint(eager = true)
+    nh.unpersist()
+    out
+  }
+
+  /** The kept side of [[incrementMatches]]: the new batch minus
+    * everything flagged as already seen (anti-join on the id).
+    */
+  def dedupIncrement(newDocs: DataFrame, oldShingles: DataFrame,
+                     oldBuckets: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, threshold: Double = 0.8,
+                     k: Int = 128, bands: Int = 16): DataFrame =
+    newDocs.join(
+      incrementMatches(newDocs, oldShingles, oldBuckets, idCol, textCol,
+        n, threshold, k, bands).select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** 64-bit SimHash fingerprint of the token multiset: per-bit ±1
     * votes over xxhash64(token), sign → bit. One codegen'd loop. */
   def simhash(text: Column): Column =

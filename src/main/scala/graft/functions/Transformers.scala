@@ -215,7 +215,44 @@ object Transformers {
         textCol = args.headOption.getOrElse("text"),
         minWordsPerLine = args.lift(1).map(_.toInt).getOrElse(3),
         minLinesPerDoc = args.lift(2).map(_.toInt).getOrElse(1))
-        .drop("n_lines", "n_dropped"))
+        .drop("n_lines", "n_dropped")),
+    // compression_ratio:field[;out] — deflate-size/utf8-size quality
+    // signal (repetitive text ≪ prose)
+    "compression_ratio" -> (args => df =>
+      df.withColumn(args.lift(1).getOrElse("compression_ratio"),
+        graft.ext.TextAnalysis.compressionRatio(
+          col(args.headOption.getOrElse("text"))))),
+    // encode:id;text;vocabSize — frequency-ranked token ids, one row
+    // per (doc, pos), OOV → 0
+    "encode" -> (args => df =>
+      graft.ext.TextAnalysis.encodeTokens(df,
+        idCol = args.headOption.getOrElse("doc_id"),
+        textCol = args.lift(1).getOrElse("text"),
+        vocabSize = args.lift(2).map(_.toInt).getOrElse(65536))),
+    // dsir_score:targetField;targetValue[;hexDigits[;id[;text]]] —
+    // attach DSIR logw/n_feats scored against the rows where
+    // targetField == targetValue (docs with no features score null)
+    "dsir_score" -> (args => df => {
+      require(args.length >= 2,
+        "dsir_score needs targetField;targetValue[;hexDigits[;id[;text]]]")
+      val id = args.lift(3).getOrElse("doc_id")
+      df.join(graft.ext.Dsir.scoreWithin(df,
+          col(args.head) === args(1), id,
+          args.lift(4).getOrElse("text"),
+          hexDigits = args.lift(2).map(_.toInt).getOrElse(3)),
+        Seq(id), "left")
+    }),
+    // dsir_select:k;targetField;targetValue[;hexDigits[;seed]] — keep
+    // only the Gumbel-top-k docs by DSIR importance (deterministic)
+    "dsir_select" -> (args => df => {
+      require(args.length >= 3,
+        "dsir_select needs k;targetField;targetValue[;hexDigits[;seed]]")
+      val picked = graft.ext.Dsir.resampleWithin(df,
+        col(args(1)) === args(2), k = args.head.toInt,
+        hexDigits = args.lift(3).map(_.toInt).getOrElse(3),
+        seed = args.lift(4).getOrElse("graft"))
+      df.join(picked.select(col("doc_id"), col("logw"), col("key")), Seq("doc_id"))
+    })
   )
 
   def register(name: String, f: Factory): Unit = registry.update(name, f)

@@ -562,6 +562,54 @@ class ExtSpec extends SparkSpec {
     assert(TextAnalysis.encodeTokens(z, "doc_id", "text", 5).count() == 0)
   }
 
+  test("incremental dedup: new batch flags vs index and earlier in-batch docs") {
+    import graft.ext.TextDedup
+    val old = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "an entirely different document about spark engines")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // dup of old 1
+      (11L, "novel content with no match anywhere in the corpus yet"),
+      (12L, "novel content with no match anywhere in the corpus yet"), // dup of 11
+      (13L, "completely fresh and unrelated text about databases")
+    ).toDF("doc_id", "text")
+    val oldSh = TextDedup.shingleTable(old, "doc_id", "text", 3)
+    val oldBk = TextDedup.bucketTable(oldSh)
+    val m = TextDedup.incrementMatches(batch, oldSh, oldBk, "doc_id", "text",
+      n = 3, threshold = 0.8)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(m == Seq((10L, 1L), (12L, 11L)))
+    // kept side: survivors only, old never touched
+    val kept = TextDedup.dedupIncrement(batch, oldSh, oldBk, "doc_id", "text",
+      n = 3, threshold = 0.8).select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(11L, 13L))
+    // batch against an empty index: only in-batch dedup applies
+    val none = TextDedup.shingleTable(old.limit(0), "doc_id", "text", 3)
+    val m2 = TextDedup.incrementMatches(batch, none, TextDedup.bucketTable(none),
+      "doc_id", "text", n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(m2 == Seq((12L, 11L)))
+  }
+
+  test("compression ratio: repetitive text compresses below prose; edges") {
+    val t = Seq(
+      (1L, "spam " * 200),                                   // highly repetitive
+      (2L, (1 to 200).map(i => s"w${i * 7919 % 1000}x$i").mkString(" ")), // high-entropy
+      (3L, ""), (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val r = t.select($"doc_id", TextAnalysis.compressionRatio($"text").as("cr"))
+      .orderBy("doc_id").collect()
+    val rep = r(0).getDouble(1); val rnd = r(1).getDouble(1)
+    assert(rep < 0.1 && rnd > 0.3 && rep < rnd,
+      s"expected repetitive << random, got $rep vs $rnd")
+    assert(r(2).getDouble(1) == 1.0 && r(3).isNullAt(1))
+    // deterministic across evaluations
+    val again = t.select(TextAnalysis.compressionRatio($"text")).collect()
+    assert(again(0).getDouble(0) == rep && again(1).getDouble(0) == rnd)
+  }
+
   test("quality classifier: trained weights replay through linearScore") {
     import graft.ext.QualityClassifier
     val pos = Seq("clean prose words here", "prose words flow clean",
@@ -618,6 +666,14 @@ class ExtSpec extends SparkSpec {
     // empty docs emit no score row
     val z = raw.union(Seq((9L, "")).toDF("doc_id", "text"))
     assert(Dsir.score(z, target, "doc_id", "text", 2).count() == 8)
+    // single-pass slice variant ≡ the generic two-frame path
+    val sw = Dsir.scoreWithin(raw, $"doc_id" <= 4, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(sw.keySet == s.keySet &&
+      sw.forall { case (k2, v) => math.abs(v - s(k2)) < 1e-9 })
+    val rw = Dsir.resampleWithin(raw, $"doc_id" <= 4, k = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(rw == r1.map(_.getLong(0)).toSeq)
   }
 
   test("fingerprints: equal for normalized-equal docs") {

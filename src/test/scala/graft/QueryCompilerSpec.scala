@@ -192,6 +192,21 @@ class QueryCompilerSpec extends SparkSpec {
     val gk = Transformers.apply(d, TransformStage.parseChain("gopher_keep:text;3"))
     assert(gk.columns.toSeq == d.columns.toSeq)
     assert(gk.count() == 0) // no stopwords in either toy doc
+    // encode / dsir stages dispatch through the chain
+    val docs = Seq((1L, "a b a", "t"), (2L, "c d", "r")).toDF("doc_id", "text", "src")
+    val enc = Transformers.apply(docs,
+      TransformStage.parseChain("encode:doc_id;text;2"))
+    assert(enc.columns.toSeq == Seq("doc_id", "pos", "token_id"))
+    // vocab=2 keeps a(cnt 2) and b (tie with c,d broken token-asc);
+    // doc2's c and d are both OOV
+    assert(enc.count() == 5 && enc.filter($"token_id" === 0).count() == 2)
+    val ds = Transformers.apply(docs,
+      TransformStage.parseChain("dsir_score:src;t;2"))
+    assert(ds.columns.toSeq == Seq("doc_id", "text", "src", "n_feats", "logw"))
+    assert(ds.count() == 2)
+    val sel = Transformers.apply(docs,
+      TransformStage.parseChain("dsir_select:1;src;t;2"))
+    assert(sel.count() == 1 && sel.columns.contains("key"))
   }
 
   test("[EXT] _agg duplicate/multi percentile requests share one buffer") {
