@@ -603,6 +603,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ── [EXT] §2.10 bigram LM perplexity (CCNet shape, one order up
+    // from q_lm_score's unigram), self-trained on the corpus ──────────
+    "q_lm2_score" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      graft.ext.TextAnalysis.lmScore2(docs, docs, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ── [EXT] §2.10 exact duplicate-substring spans (ACL'22
     // ExactSubstr as a distributed 10-gram inverted index) ────────────
     "q_dup_spans" -> ((s, dir) =>
@@ -1412,6 +1420,29 @@ object SparkEntry {
          SELECT doc_id, n_emails, n_urls, n_ips, n_phones,
                 (n_emails + n_ips + n_phones > 0) AS has_pii
          FROM cnt ORDER BY doc_id""",
+    "q_lm2_score" ->                   // bigram LM, addK=0.5, self-scored
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+         bg AS (
+           SELECT doc_id, toks[(i + 1)::INT] AS t1, toks[(i + 2)::INT] AS t2
+           FROM (SELECT doc_id, toks, unnest(range(len(toks) - 1)) AS i
+                 FROM t WHERE len(toks) >= 2)),
+         m AS (SELECT t1, t2, count(*)::BIGINT AS cnt FROM bg GROUP BY 1, 2),
+         c AS (SELECT t1, sum(cnt) AS c1 FROM m GROUP BY 1),
+         v AS (SELECT count(DISTINCT u.tok) AS vs
+               FROM (SELECT unnest(toks) AS tok FROM t) u),
+         s AS (
+           SELECT bg.doc_id, count(*) AS n_bigrams,
+                  -avg(ln((coalesce(m.cnt, 0) + 0.5) /
+                          (coalesce(c.c1, 0) + 0.5 * ((SELECT vs FROM v) + 1)))) AS ce
+           FROM bg LEFT JOIN m USING (t1, t2) LEFT JOIN c USING (t1)
+           GROUP BY bg.doc_id)
+         SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+                round(s.ce, 4) AS cross_entropy, round(exp(s.ce), 4) AS perplexity
+         FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""",
     "q_lm_score" ->                    // addK=0.5, minCount=2, self-scored
       """WITH tok AS (
            SELECT doc_id,

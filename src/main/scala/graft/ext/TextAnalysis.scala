@@ -502,6 +502,80 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
 
+  /** Bigram LM counts: one row per adjacent token pair in `train`
+    * with its corpus count. One explode + hash-agg, map-side
+    * combinable; `minCount` bounds the table like [[lmModel]]'s.
+    */
+  def lmModel2(train: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text", minCount: Long = 1L): DataFrame =
+    train.select(explode(bigramPairs(col(textCol))).as("bg"))
+      .select(col("bg.t1").as("t1"), col("bg.t2").as("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+
+  /** Adjacent-token pairs of one document as an array of (t1, t2)
+    * structs — pure per-row expression. */
+  private def bigramPairs(text: Column): Column = {
+    val toks = TextDedup.tokens(text)
+    val m = greatest(size(toks) - 1, lit(0))
+    zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
+      (a, b) => struct(a.as("t1"), b.as("t2")))
+  }
+
+  /** Bigram language-model scoring — one step closer to CCNet's
+    * KenLM quality gate than the unigram [[lmScore]]: per-doc
+    * cross-entropy of
+    *
+    *   p(t_i | t_{i-1}) = (c(t_{i-1}, t_i) + k) / (c1(t_{i-1}) + k·(V+1))
+    *
+    * add-k smoothed, where c1 is the context's count as a bigram left
+    * side and V the training unigram vocabulary (unseen context ⇒
+    * p = 1/(V+1)). Docs with fewer than two tokens emit NULL scores
+    * and n_bigrams = 0.
+    *
+    * Shape at 100 TB: the model is (bigram table + its derived context
+    * table) — both vocab-sized; (V, totals) fold into literals via one
+    * driver action; the target's bigram stream joins the two tables on
+    * their token keys (hot contexts are single build rows — high
+    * fan-in, no explosion) and one doc-keyed hash-agg finishes. Same
+    * plan family as [[lmScoreWith]].
+    */
+  def lmScore2With(model2: DataFrame, vocabSize: Long, target: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   addK: Double = 0.5): DataFrame = {
+    require(addK > 0, s"lmScore2With: addK must be positive, got $addK")
+    require(vocabSize >= 0, s"lmScore2With: vocabSize must be >= 0, got $vocabSize")
+    val ctx = model2.groupBy("t1").agg(sum(col("cnt")).as("__c1__"))
+    val kv = addK * (vocabSize + 1)
+    val scored = target
+      .select(col(idCol), explode(bigramPairs(col(textCol))).as("bg"))
+      .select(col(idCol), col("bg.t1").as("t1"), col("bg.t2").as("t2"))
+      .join(model2, Seq("t1", "t2"), "left")
+      .join(ctx, Seq("t1"), "left")
+      .withColumn("__logp__",
+        log((coalesce(col("cnt"), lit(0L)) + addK) /
+            (coalesce(col("__c1__"), lit(0L)) + kv)))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), (-avg(col("__logp__"))).as("__ce__"))
+    target.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__ce__"), 4).as("cross_entropy"),
+        round(exp(col("__ce__")), 4).as("perplexity"))
+  }
+
+  /** Train-and-score convenience for [[lmScore2With]]; the vocabulary
+    * size comes from one distinct-count over the training tokens.
+    */
+  def lmScore2(train: DataFrame, target: DataFrame,
+               idCol: String = "doc_id", textCol: String = "text",
+               minCount: Long = 1L, addK: Double = 0.5): DataFrame = {
+    val v = train.select(explode(TextDedup.tokens(col(textCol))).as("t"))
+      .agg(countDistinct(col("t"))).head().getLong(0)
+    lmScore2With(lmModel2(train, idCol, textCol, minCount), v, target,
+      idCol, textCol, addK)
+  }
+
   /** Score `target` against a trained (STATIC) [[lmModel]]. The model
     * totals (N, V) fold into literals via one driver action over the
     * vocab-sized model — so the plan is a plain token-keyed join plus

@@ -79,6 +79,26 @@ class ExtSpec extends SparkSpec {
     assert(s2 == Seq((6L, 0L, 3L), (7L, 0L, 3L), (7L, 4L, 7L)))
   }
 
+  test("lmScore2: hand-computed bigram probabilities, unseen context, short docs") {
+    val train = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    // bigrams: (a,b):3, (b,a):1, (b,c):1; contexts: a→3, b→2; V=3 (a,b,c)
+    // denom(a) = 3 + 0.5*4 = 5; denom(b) = 2 + 0.5*4 = 4
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val out = TextAnalysis.lmScore2(train, train, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("n_bigrams", "cross_entropy").as[(Long, Double)].collect().toSeq
+    val ce1 = -(math.log(3.5 / 5) * 2 + math.log(1.5 / 4)) / 3
+    val ce2 = -(math.log(3.5 / 5) + math.log(1.5 / 4)) / 2
+    assert(out == Seq((3L, r4(ce1)), (2L, r4(ce2))))
+    // unseen context c → p = k/(0 + k*(V+1)) = 1/4; 1-token doc → nulls
+    val tgt = Seq((8L, "c a"), (9L, "a")).toDF("doc_id", "text")
+    val o2 = TextAnalysis.lmScore2(train, tgt, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(o2(0).getLong(1) == 1L &&
+      o2(0).getDouble(2) == r4(-math.log(0.25)))
+    assert(o2(1).getLong(1) == 0L && o2(1).isNullAt(2) && o2(1).isNullAt(3))
+  }
+
   test("lmModel + lmScoreWith ≡ lmScore; empty model has a defined floor") {
     val train = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
     val split = TextAnalysis.lmScoreWith(
