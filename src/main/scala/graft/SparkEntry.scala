@@ -603,6 +603,10 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ── [EXT] §2.10 one-row corpus health report ──────────────────────
+    "q_report" -> ((s, dir) =>
+      graft.ext.TextAnalysis.corpusReport(read(s, dir, "documents"))),
+
     // ── [EXT] §2.10 bigram LM perplexity (CCNet shape, one order up
     // from q_lm_score's unigram), self-trained on the corpus ──────────
     "q_lm2_score" -> ((s, dir) => {
@@ -1420,6 +1424,22 @@ object SparkEntry {
          SELECT doc_id, n_emails, n_urls, n_ips, n_phones,
                 (n_emails + n_ips + n_phones > 0) AS has_pii
          FROM cnt ORDER BY doc_id""",
+    "q_report" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+                  list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+         d AS (
+           SELECT count(*) AS n_docs,
+                  sum(coalesce(len(toks), 0))::BIGINT AS n_tokens,
+                  sum(length(coalesce(text, '')))::BIGINT AS n_chars,
+                  round(avg(coalesce(len(toks), 0)), 4) AS avg_tokens,
+                  count(DISTINCT md5(coalesce(text, ''))) AS distinct_texts
+           FROM t),
+         v AS (SELECT count(DISTINCT tok) AS vocab
+               FROM (SELECT unnest(toks) AS tok FROM t))
+         SELECT * FROM d, v""",
     "q_lm2_score" ->                   // bigram LM, addK=0.5, self-scored
       """WITH t AS (
            SELECT doc_id,

@@ -425,6 +425,30 @@ object TextAnalysis {
           _.getField("token_id")).as("token_ids"),
         count(lit(1)).as("n_toks"))
 
+  /** One-row corpus health report — the first command anyone runs on
+    * a new snapshot: doc/token/char totals, mean doc length, distinct
+    * text count (1 − distinct/n = exact-dup rate) and vocabulary size.
+    * Two aggregations: a doc-level single pass and the token explode
+    * for the vocabulary (both map-side combinable, output is 1 row).
+    */
+  def corpusReport(df: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val toks = TextDedup.tokens(col(textCol))
+    val base = df.select(col(idCol),
+      coalesce(size(toks), lit(0)).cast("long").as("__nt__"),
+      coalesce(length(col(textCol)), lit(0)).cast("long").as("__nc__"),
+      md5(coalesce(col(textCol), lit(""))).as("__h__"))
+    val doc = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("__nt__")).as("n_tokens"),
+      sum(col("__nc__")).as("n_chars"),
+      round(avg(col("__nt__")), 4).as("avg_tokens"),
+      countDistinct(col("__h__")).as("distinct_texts"))
+    val voc = df.select(explode(toks).as("t"))
+      .agg(countDistinct(col("t")).as("vocab"))
+    doc.crossJoin(voc)
+  }
+
   /** [[analyze]] plus the composite quality score, from the same
     * single-pass raw counts (`nCharsCol` is the documents table's
     * n_chars column).

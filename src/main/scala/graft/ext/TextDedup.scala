@@ -210,7 +210,15 @@ object TextDedup {
     * (CollapseProject would inline a single-referenced alias into a
     * lambda, re-evaluating it per iteration — measured ~300× slower).
     */
-  def lshBucketsFromHashes(docs: DataFrame, k: Int, bands: Int): DataFrame = {
+  def lshBucketsFromHashes(docs: DataFrame, k: Int, bands: Int): DataFrame =
+    lshBucketsCarry(docs, k, bands, Nil)
+
+  /** [[lshBucketsFromHashes]] with extra columns carried through the
+    * band explode — the streaming path needs the shingle array and the
+    * event time to survive to the verify join.
+    */
+  private[graft] def lshBucketsCarry(docs: DataFrame, k: Int, bands: Int,
+                                     carry: Seq[String]): DataFrame = {
     val rows = k / bands
     require(bands * rows == k, s"bands ($bands) must divide k ($k)")
     val bandCols = (0 until bands).map { j =>
@@ -218,9 +226,10 @@ object TextDedup {
         transform(slice(col("sig"), j * rows + 1, rows),
           x => x.cast("string")), ","))
     }
-    docs.select(col("id"),
-        graft.functions.VectorExprs.minhashSig(col("sh"), k).as("sig"))
-      .select(col("id"), posexplode(array(bandCols: _*)))
+    val kept = (Seq("id") ++ carry).map(col)
+    docs.select(kept :+
+        graft.functions.VectorExprs.minhashSig(col("sh"), k).as("sig"): _*)
+      .select(kept :+ posexplode(array(bandCols: _*)): _*)
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
   }
 
@@ -272,6 +281,28 @@ object TextDedup {
   /** LSH bucket table from a persisted [[shingleTable]]. */
   def bucketTable(shingles: DataFrame, k: Int = 128, bands: Int = 16): DataFrame =
     lshBucketsFromHashes(shingles, k, bands)
+
+  /** Persist the two signature tables as one index directory
+    * (`path/shingles`, `path/buckets`) — buckets bucketed-by-write on
+    * (band, bucket)-friendly layout is unnecessary: the incremental
+    * join shuffles only the BATCH side, and parquet min/max stats on
+    * `band` prune scans. Append mode extends an existing index with a
+    * batch's survivors.
+    */
+  def writeSignatureIndex(df: DataFrame, idCol: String, textCol: String,
+                          path: String, n: Int = 3, k: Int = 128,
+                          bands: Int = 16, append: Boolean = false): Unit = {
+    val mode = if (append) "append" else "overwrite"
+    val sh = shingleTable(df, idCol, textCol, n)
+    sh.write.mode(mode).parquet(path + "/shingles")
+    bucketTable(sh, k, bands).write.mode(mode).parquet(path + "/buckets")
+  }
+
+  /** Load a [[writeSignatureIndex]] directory → (shingles, buckets). */
+  def readSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(path + "/shingles"),
+      spark.read.parquet(path + "/buckets"))
 
   /** Flag each NEW doc that near-duplicates anything already SEEN —
     * an indexed old doc, or an earlier (smaller-id) doc of the same

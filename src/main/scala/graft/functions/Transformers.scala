@@ -216,6 +216,12 @@ object Transformers {
         minWordsPerLine = args.lift(1).map(_.toInt).getOrElse(3),
         minLinesPerDoc = args.lift(2).map(_.toInt).getOrElse(1))
         .drop("n_lines", "n_dropped")),
+    // report[:id[;text]] — collapse the corpus to its one-row health
+    // report (totals, dup rate, vocabulary)
+    "report" -> (args => df =>
+      graft.ext.TextAnalysis.corpusReport(df,
+        idCol = args.headOption.getOrElse("doc_id"),
+        textCol = args.lift(1).getOrElse("text"))),
     // compression_ratio:field[;out] — deflate-size/utf8-size quality
     // signal (repetitive text ≪ prose)
     "compression_ratio" -> (args => df =>
@@ -241,6 +247,28 @@ object Transformers {
           args.lift(4).getOrElse("text"),
           hexDigits = args.lift(2).map(_.toInt).getOrElse(3)),
         Seq(id), "left")
+    }),
+    // dedup_incr:indexPath[;id[;text[;n[;threshold]]]] — drop rows
+    // near-duplicating a persisted signature index (or an earlier row
+    // of this batch); the survivors' signatures can then extend the
+    // index via write_index
+    "dedup_incr" -> (args => df => {
+      require(args.nonEmpty, "dedup_incr needs indexPath[;id[;text[;n[;threshold]]]]")
+      val (sh, bk) = graft.ext.TextDedup.readSignatureIndex(df.sparkSession, args.head)
+      graft.ext.TextDedup.dedupIncrement(df, sh, bk,
+        args.lift(1).getOrElse("doc_id"), args.lift(2).getOrElse("text"),
+        n = args.lift(3).map(_.toInt).getOrElse(3),
+        threshold = args.lift(4).map(_.toDouble).getOrElse(0.8))
+    }),
+    // write_index:indexPath[;id[;text[;n[;append]]]] — persist (or
+    // extend) the signature index for dedup_incr; passes rows through
+    "write_index" -> (args => df => {
+      require(args.nonEmpty, "write_index needs indexPath[;id[;text[;n[;append]]]]")
+      graft.ext.TextDedup.writeSignatureIndex(df,
+        args.lift(1).getOrElse("doc_id"), args.lift(2).getOrElse("text"),
+        args.head, n = args.lift(3).map(_.toInt).getOrElse(3),
+        append = args.lift(4).contains("append"))
+      df
     }),
     // dsir_select:k;targetField;targetValue[;hexDigits[;seed]] — keep
     // only the Gumbel-top-k docs by DSIR importance (deterministic)

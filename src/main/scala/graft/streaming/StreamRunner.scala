@@ -94,6 +94,50 @@ object StreamRunner {
     events.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Streaming near-dup flagging against a STATIC signature index —
+    * the continuous-ingestion twin of `TextDedup.incrementMatches`:
+    * each arriving document is shingled and LSH-banded statelessly,
+    * its buckets stream-static join the persisted index's bucket
+    * table, candidates verify by exact Jaccard against the index's
+    * shingle table, and matches emit (id, dup_of, jaccard, ts).
+    *
+    * State discipline (the 100 TB streaming constraint): every join is
+    * stream-static — zero join state; the single stateful step is the
+    * per-doc dedup of multi-band/multi-match hits
+    * (`dropDuplicatesWithinWatermark` on the id), whose state reclaims
+    * as the watermark passes. Which matching indexed doc reports as
+    * `dup_of` is arbitrary when several match (a flag, not a ranking);
+    * in-batch new-vs-new matching needs a cross-stream join — run the
+    * batch `incrementMatches` per micro-batch via foreachBatch when
+    * that matters.
+    */
+  def nearDupStream(stream: DataFrame, oldShingles: DataFrame,
+                    oldBuckets: DataFrame, idCol: String, textCol: String,
+                    tsCol: String = "ts", n: Int = 3, threshold: Double = 0.8,
+                    k: Int = 128, bands: Int = 16,
+                    lateness: String = "30 minutes"): DataFrame = {
+    import graft.ext.TextDedup
+    import graft.functions.VectorExprs.{shingleSortedHashes, sortedIntersectSize}
+    val sh = stream.select(col(idCol).as("id"), col(tsCol).as("__ts__"),
+        shingleSortedHashes(TextDedup.tokens(col(textCol)), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val buckets = TextDedup.lshBucketsCarry(sh, k, bands, Seq("__ts__", "sh"))
+    val cand = buckets.join(
+      oldBuckets.select(col("id").as("dup_of"), col("band"), col("bucket")),
+      Seq("band", "bucket"))
+    cand
+      .join(oldShingles.select(col("id").as("dup_of"), col("sh").as("__shb__")),
+        Seq("dup_of"))
+      .withColumn("__c__", sortedIntersectSize(col("sh"), col("__shb__")))
+      .withColumn("jaccard", col("__c__").cast("double") /
+        (size(col("sh")) + size(col("__shb__")) - col("__c__")))
+      .filter(col("jaccard") >= threshold)
+      .withWatermark("__ts__", lateness)
+      .dropDuplicatesWithinWatermark("id")
+      .select(col("id"), col("dup_of"), round(col("jaccard"), 4).as("jaccard"),
+        col("__ts__").as(tsCol))
+  }
+
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class SessionOut(userId: Long, start: java.sql.Timestamp,
                               n: Long, sumValue: Double)

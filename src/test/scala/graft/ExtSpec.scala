@@ -582,6 +582,50 @@ class ExtSpec extends SparkSpec {
     assert(TextAnalysis.encodeTokens(z, "doc_id", "text", 5).count() == 0)
   }
 
+  test("signature index round-trips through parquet; CLI stages chain it") {
+    import graft.functions.Transformers
+    import graft.spec.TransformStage
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigidx").toString
+    val old = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "an entirely different document about spark engines")
+    ).toDF("doc_id", "text")
+    // write_index passes rows through while persisting the index
+    val passed = Transformers.apply(old,
+      TransformStage.parseChain(s"write_index:$dir/idx"))
+    assert(passed.count() == 2)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "fresh unseen content that matches nothing indexed here")
+    ).toDF("doc_id", "text")
+    val kept = Transformers.apply(batch,
+      TransformStage.parseChain(s"dedup_incr:$dir/idx"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(11L))
+    // append survivors, then a re-arrival of the survivor is caught
+    Transformers.apply(batch.filter($"doc_id" === 11L),
+      TransformStage.parseChain(s"write_index:$dir/idx;doc_id;text;3;append"))
+      .count()
+    val again = Transformers.apply(
+      Seq((20L, "fresh unseen content that matches nothing indexed here"))
+        .toDF("doc_id", "text"),
+      TransformStage.parseChain(s"dedup_incr:$dir/idx"))
+    assert(again.count() == 0)
+  }
+
+  test("corpusReport: one-row totals, dup rate via distinct texts, null-safe") {
+    val t = Seq((1L, "a b a"), (2L, "a b a"), (3L, "c d"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val r = TextAnalysis.corpusReport(t).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_docs") == 4L)
+    assert(row.getAs[Long]("n_tokens") == 8L)      // 3 + 3 + 2 + 0
+    assert(row.getAs[Long]("distinct_texts") == 3L) // dup text + "" for null
+    assert(row.getAs[Long]("vocab") == 4L)          // a b c d
+    assert(row.getAs[Double]("avg_tokens") == 2.0)
+  }
+
   test("incremental dedup: new batch flags vs index and earlier in-batch docs") {
     import graft.ext.TextDedup
     val old = Seq(

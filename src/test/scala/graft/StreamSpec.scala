@@ -95,6 +95,29 @@ class StreamSpec extends SparkSpec {
       batchG.except(spark.read.parquet(gT)).isEmpty)
   }
 
+  test("streaming near-dup flags arrivals against a static signature index") {
+    import graft.ext.TextDedup
+    val dir = Files.createTempDirectory("graft_ndstream").toString
+    val old = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "some other totally unrelated reference document here")
+    ).toDF("doc_id", "text")
+    val oldSh = TextDedup.shingleTable(old, "doc_id", "text", 3)
+    val oldBk = TextDedup.bucketTable(oldSh)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today", ts("2024-01-01 00:00:01")),
+      (11L, "fresh new content with no match in the index at all", ts("2024-01-01 00:00:02"))
+    ).toDF("doc_id", "text", "ts").write.parquet(s"$dir/docs.parquet")
+    StreamRunner.runAvailableNow(spark,
+      StreamRunner.readStream(spark, DatasetRef("parquet", dir, "docs")),
+      df => StreamRunner.nearDupStream(df, oldSh, oldBk, "doc_id", "text", "ts"),
+      s"$dir/out", s"$dir/ckp")
+    val out = spark.read.parquet(s"$dir/out").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((10L, 1L)))
+    assert(out.head.getDouble(2) == 1.0) // identical text → jaccard 1
+  }
+
   test("streaming exact dedup drops duplicate keys within the watermark") {
     val dir = Files.createTempDirectory("graft_dstream").toString
     val src = s"$dir/ev.parquet"; val tgt = s"$dir/dedup"; val ckp = s"$dir/ckp3"
