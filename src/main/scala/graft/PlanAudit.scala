@@ -18,7 +18,8 @@ object PlanAudit {
       "q_shards", "q_tfidf", "q_lm_score", "q_dup_spans",
       "q_dedup_substr", "q_sample_topk", "q_sample_stratum",
       "q_token_budget", "q_dedup_embed", "q_quality_filter",
-      "q_range_join", "q_encode", "q_dsir_select")) {
+      "q_range_join", "q_encode", "q_dsir_select",
+      "q_dedup_incr", "q_lm2_score", "q_report")) {
       val df = SparkEntry.queries(name)(spark, dir)
       // execute first: under AQE the pre-execution plan prints
       // isFinalPlan=false with no WholeStageCodegen spans — only the

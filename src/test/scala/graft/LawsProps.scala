@@ -115,6 +115,58 @@ object LawsProps extends Properties("graft.laws") {
       }
     }
 
+  property("range join ≡ cross-filter for any bucket width") =
+    forAll(
+      Gen.listOfN(10, Gen.chooseNum(-20.0, 20.0)),
+      Gen.listOfN(6, Gen.zip(Gen.chooseNum(-20.0, 20.0), Gen.chooseNum(0.0, 15.0))),
+      Gen.oneOf(0.7, 3.0, 11.0)
+    ) { (xs, ivs, w) =>
+      val pts = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+        .toDF("pid", "x")
+      val intervals = ivs.zipWithIndex
+        .map { case ((lo, len), i) => (i.toLong + 100L, lo, lo + len) }
+        .toDF("iid", "lo", "hi")
+      val got = canon(graft.ext.RangeJoin
+        .rangeJoin(pts, intervals, "x", "lo", "hi", w).select("pid", "iid"))
+      val naive = canon(pts.crossJoin(intervals)
+        .filter($"x" >= $"lo" && $"x" < $"hi").select("pid", "iid"))
+      got == naive
+    }
+
+  property("dsir: scoreWithin ≡ score on the filtered slice") =
+    forAll(Gen.listOfN(6, Gen.listOfN(5, Gen.oneOf("a", "b", "c", "d", "e")))) { docs =>
+      val d = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val cond = $"doc_id" % 2 === 0
+      val a = graft.ext.Dsir.score(d, d.filter(cond), "doc_id", "text", 2)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val b = graft.ext.Dsir.scoreWithin(d, cond, "doc_id", "text", 2)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      a.keySet == b.keySet && a.forall { case (k, v) => math.abs(v - b(k)) < 1e-9 }
+    }
+
+  property("encode: ids are a bijection on the kept vocab; stream length preserved") =
+    forAll(Gen.listOfN(6, Gen.listOfN(4, Gen.oneOf("a", "b", "c", "d", "e", "f")))) { docs =>
+      val d = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val enc = graft.ext.TextAnalysis.encodeTokens(d, "doc_id", "text", 4)
+      val total = docs.map(_.length).sum
+      val idsPerTok = enc.count() == total.toLong && {
+        // joining tokens back: each nonzero id maps to exactly one token
+        val tk = d.select($"doc_id", org.apache.spark.sql.functions.posexplode(
+          graft.ext.TextDedup.tokens($"text")))
+          .toDF("doc_id", "pos", "token")
+        val joined = enc.join(tk, Seq("doc_id", "pos"))
+        joined.filter($"token_id" =!= 0L)
+          .groupBy("token_id")
+          .agg(org.apache.spark.sql.functions.countDistinct($"token").as("nt"))
+          .filter($"nt" > 1).count() == 0
+      }
+      idsPerTok
+    }
+
   property("count cap: min(limit, total)") =
     forAll(rowsGen, Gen.chooseNum(0, 20)) { (t, lim) =>
       val d = df(t)
