@@ -479,6 +479,17 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ── [EXT] forward as-of: next purchase at-or-after each event ─────
+    "q_asof_fwd" -> ((s, dir) => {
+      val ev = read(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("value").as("pvalue"))
+      graft.ext.AsOfJoin.forward(
+        ev.select("event_id", "user_id", "ts", "event_type", "value"),
+        purchases, Seq("user_id"), "ts", "pts", "p_")
+        .orderBy("event_id")
+    }),
+
     // ── [EXT] §2.10 bucketed range join: every event inside ±60 s of
     // each error (incident-context extraction). Intervals are a
     // filtered handful → broadcast: no shuffle of the points side ─────
@@ -1248,6 +1259,14 @@ object SparkEntry {
            (SELECT user_id, ts AS pts, value AS pvalue
             FROM events WHERE event_type = 'purchase') p
            ON e.user_id = p.user_id AND e.ts >= p.pts
+         ORDER BY e.event_id""",
+    "q_asof_fwd" ->                    // smallest pts >= ts per user
+      """SELECT e.event_id, e.user_id, e.ts, e.event_type, e.value,
+                p.pts AS p_pts, p.pvalue AS p_pvalue
+         FROM events e ASOF LEFT JOIN
+           (SELECT user_id, ts AS pts, value AS pvalue
+            FROM events WHERE event_type = 'purchase') p
+           ON e.user_id = p.user_id AND e.ts <= p.pts
          ORDER BY e.event_id""",
     "q_range_join" ->                  // ±60 s context around each error
       """SELECT i.err_id, e.event_id, e.ts, e.event_type, e.user_id

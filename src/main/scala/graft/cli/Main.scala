@@ -50,6 +50,8 @@ object Main {
       diff: Option[String] = None, diffContext: Seq[String] = Nil,
       msg: Option[String] = None,
       lsflat: Option[String] = None, dropNs: Option[String] = None,
+      showArgs: Boolean = false, jobRun: Boolean = false,
+      logLevel: Option[String] = None,
       cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
   /** Env-var default for a flag (reference: MODULE__FLAG, base.py:158-185). */
@@ -90,6 +92,11 @@ object Main {
     var diff: Option[String] = None; var diffContext = ""
     var msg: Option[String] = None
     var lsflat: Option[String] = None; var dropNs: Option[String] = None
+    var surl: Option[String] = None; var murl: Option[String] = None
+    var nsDefault = ""; var tmap = ""
+    var stra = Vector.empty[String]; var mtra = Vector.empty[String]
+    var showArgs = false; var jobRun = false
+    var logLevel: Option[String] = None; var extraArgs = Vector.empty[String]
 
     def kv(v: String): (String, String) = v.split("=", 2) match {
       case Array(k, value) => (k, value)
@@ -185,12 +192,68 @@ object Main {
       // both take `backend/ns` and need no -s/--source.
       case "--lsflat" => once("--lsflat"); lsflat = Some(next("--lsflat"))
       case "--drop-ns" => once("--drop-ns"); dropNs = Some(next("--drop-ns"))
+      // S4/F8 http datasets (reference --surl/--murl/--turl,
+      // etl.py:35-37,81-86): the URL flag flips the dataset to the
+      // http backend and lands in its query as `_url`
+      case "--surl" => once("--surl"); surl = Some(next("--surl"))
+      case "--murl" => once("--murl"); murl = Some(next("--murl"))
+      case "--turl" => throw CliError(
+        "--turl (http target) posts to the reference's remote job server — " +
+        "out of scope here; write to a file-backed target instead")
+      case "--ns" => once("--ns"); nsDefault = next("--ns")
+      // W11 target mapping (reference --tmap names an ES mapping,
+      // etl.py:71,236-238): here a DDL schema string the batch is cast
+      // to before the write (the lake-native analog)
+      case "--tmap" => once("--tmap"); tmap = next("--tmap")
+      // §2.5 transformer args (reference declares --stra/--mtra but
+      // its process_transformers drops them, etl.py:33,44 +
+      // base.py:97-108 — documented intent: extra args for the last
+      // transformer stage)
+      case "--stra" => stra :+= next("--stra")
+      case "--mtra" => mtra :+= next("--mtra")
+      // reference batch_size (base.py:119): the lake analog of a write
+      // batch is records per output file — alias of --max-records-per-file
+      case "--batch" => once("--max-records-per-file")
+        maxRecords = next("--batch").toLong
+      // O3 (base.py:132): jobs here run synchronously and the log is
+      // terminal state, so one status read is complete — the interval
+      // is accepted for flag parity and validated only
+      case "--poll-interval" =>
+        once("--poll-interval")
+        val v = next("--poll-interval").toDouble
+        if (v <= 0) throw CliError(s"--poll-interval must be positive, got $v")
+      case "--show-args" => showArgs = true
+      case "--job-run" => jobRun = true
+      case "--log-level" => once("--log-level"); logLevel = Some(next("--log-level"))
+      case "--verbose" => logLevel = Some("INFO") // base.py:141 analog
+      case "-a" | "--arg" => extraArgs :+= next("-a") // base.py:125-126
       case other => throw CliError(s"unknown flag: $other (see --help)")
     }
 
+    // --surl/--murl flip the dataset to http with the URL in its query
+    // (reference etl.py:81-86,119-127; source keeps its forced-limit-1
+    // semantics inside the http Resolver)
+    surl.foreach { u => source = Some("http/NA/NA"); q :+= ("_url" -> u) }
+    murl.foreach { u => merger = Some("http/NA/NA"); mq :+= ("_url" -> u) }
+    // --ns default: fill the ns segment of 2-part refs (base.py:146)
+    def withNs(uri: String): String = {
+      val r = DatasetRef.parse(uri)
+      if (r.ns.isEmpty && nsDefault.nonEmpty)
+        s"${r.backend}/$nsDefault/${r.name}" else uri
+    }
+    source = source.map(withNs); merger = merger.map(withNs)
+    target = target.map(withNs)
+    // --stra/--mtra attach to the last stage of the respective chain
+    def chainWith(chain: String, extra: Seq[String], flag: String): Seq[TransformStage] = {
+      val stages = TransformStage.parseChain(chain)
+      if (extra.isEmpty) stages
+      else if (stages.isEmpty)
+        throw CliError(s"$flag given but no transformer to apply it to")
+      else stages.init :+ stages.last.copy(args = stages.last.args ++ extra)
+    }
     val srcUri = source.orElse(envDefault("--source"))
       .getOrElse(
-        if (jobPoll.nonEmpty || lsflat.nonEmpty || dropNs.nonEmpty)
+        if (jobPoll.nonEmpty || lsflat.nonEmpty || dropNs.nonEmpty || jobRun)
           "parquet/_unused_/_unused_"
         else throw CliError("-s/--source is required"))
     // `-o op:pk` fuses the write op and key (etl_cli/etl.py:203-206).
@@ -211,7 +274,7 @@ object Main {
         mergeRule =
           if (mrules.isEmpty) None
           else Some(TransformStage(mrules, csv(mrulesScm))),
-        postRead = TransformStage.parseChain(mtr),
+        postRead = chainWith(mtr, mtra, "--mtra"),
         postMerge = TransformStage.parseChain(mtrPost))
     }
     if (merger.nonEmpty && mergerSpec.exists(_.query.isEmpty))
@@ -225,18 +288,25 @@ object Main {
         failOnError = failOnError,
         indexBy = if (skipIndex) Nil else indexBy.flatMap(v => csv(v)),
         partitionBy = csv(partitionBy), maxRecordsPerFile = maxRecords,
-        commitMode = commitMode)
+        commitMode = commitMode,
+        tmap = if (tmap.isEmpty) None else Some(tmap))
     }
     val job = JobSpec(
-      SourceSpec(DatasetRef.parse(srcUri), q, TransformStage.parseChain(str)),
+      SourceSpec(DatasetRef.parse(srcUri), q, chainWith(str, stra, "--stra")),
       merger = mergerSpec, target = targetSpec,
       workers = workers, dryRun = dry, contid = contid, cron = cron,
       failOnError = failOnError) // job-wide too: holds for target-less jobs
+    // -a extra args ride along in the job-log comment (the reference
+    // forwards them opaquely to its server, base.py:125-126)
+    val msgAll =
+      if (extraArgs.isEmpty) msg
+      else Some((msg.toSeq ++ extraArgs).mkString(" "))
     (job, Opts(drop = drop, dry = dry, count = count, stream = stream,
       jobPoll = jobPoll, jq = jq, silent = silent,
       noCount = noCount, info = info,
-      diff = diff, diffContext = csv(diffContext), msg = msg,
-      lsflat = lsflat, dropNs = dropNs))
+      diff = diff, diffContext = csv(diffContext), msg = msgAll,
+      lsflat = lsflat, dropNs = dropNs,
+      showArgs = showArgs, jobRun = jobRun, logLevel = logLevel))
   }
 
   private def session(opts: Opts): SparkSession = {
@@ -247,7 +317,7 @@ object Main {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
+    s.sparkContext.setLogLevel(opts.logLevel.getOrElse("WARN"))
     s
   }
 
@@ -260,6 +330,14 @@ object Main {
   }
 
   def execute(spark: SparkSession, job: JobSpec, opts: Opts): Unit = {
+    // --show-args: non-blocking spec echo (reference base.py:133)
+    if (opts.showArgs) println(job)
+    if (opts.jobRun) { // O3 --job-run (etl.py:68,269): the reference
+      // kicks its server's queued jobs; this engine runs jobs
+      // synchronously, so there is never a queue to kick
+      println("job-run: jobs run synchronously in this engine; nothing queued")
+      return
+    }
     opts.lsflat.foreach { ref => // S9: flat dataset listing (etl.py:75)
       val (backend, ns) = parseNsRef(ref)
       Resolver.listDatasets(spark, backend, ns).foreach(println)
@@ -486,5 +564,14 @@ object Main {
       |flag is an error.
       |               -y/--silent (skip confirmations)
       |               --stream (incremental AvailableNow continuation)
+      |               --surl/--murl URL (http source/merger; --turl is
+      |               out of scope — file-backed targets only)
+      |               --ns NS (default ns for 2-part dataset refs)
+      |               --tmap DDL (cast written dataset to this schema)
+      |               --stra/--mtra ARG (extra args for the last --str/
+      |               --mtr stage; repeatable)
+      |               --batch N (alias of --max-records-per-file)
+      |               --show-args  --job-run  --log-level LVL  --verbose
+      |               -a/--arg K=V (recorded in the job log msg)
       |""".stripMargin
 }

@@ -165,7 +165,12 @@ object WriteOps {
     require(pk.nonEmpty || spec.op == WriteOp.Create,
       s"op ${spec.op.name} requires a pk (--pk / -o op:pk)")
     val batch = if (spec.fields.nonEmpty) QueryCompiler.project(src, spec.fields) else src
-    spec.op match {
+    // W11 --tmap: the written dataset conforms to the declared mapping
+    // (the reference's ES index mapping analog, etl.py:236-238) — cast
+    // the op's RESULT, so it wins over schema drift on either side
+    def mapped(out: DataFrame): DataFrame = spec.tmap.fold(out)(ddl =>
+      out.to(org.apache.spark.sql.types.StructType.fromDDL(ddl)))
+    mapped(spec.op match {
       case WriteOp.Create if spec.skipBy.nonEmpty => insert(target, batch, spec.skipBy)
       case WriteOp.Create if pk.nonEmpty => create(target, batch, pk)
       case WriteOp.Create => target.unionByName(align(batch, target))
@@ -174,7 +179,7 @@ object WriteOps {
       case WriteOp.Update => update(target, batch, pk, spec.query, spec.overwrite)
       case WriteOp.Upsert => upsert(target, batch, pk, spec.query, spec.overwrite)
       case WriteOp.Delete => delete(target, batch, pk, spec.query)
-    }
+    })
   }
 
   /** O6 "index" analog (reference builds `prf.mongo_index` commands,

@@ -135,7 +135,11 @@ final case class TargetSpec(
     indexBy: Seq[String] = Nil,             // O6 --mongo-index → range-sorted file layout
     partitionBy: Seq[String] = Nil,         // [EXT] hive-style partition cols
     maxRecordsPerFile: Long = 0,            // [EXT] file sizing (s3 batch analog, etl.py:129-133)
-    commitMode: String = "rename")          // [EXT] --commit rename|versioned (S3-atomic)
+    commitMode: String = "rename",          // [EXT] --commit rename|versioned (S3-atomic)
+    tmap: Option[String] = None)            // W11 --tmap: DDL schema the batch
+                                            // is cast to before writing (the
+                                            // lake analog of the reference's
+                                            // named ES mapping, etl.py:236-238)
 
 /** A full job: the IR the planner executes. Replaces the reference's
   * flat dotted params dict (etl_cli/base.py:236-298) — see SURVEY §3.1.

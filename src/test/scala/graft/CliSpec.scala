@@ -131,6 +131,51 @@ class CliSpec extends AnyFunSuite {
     }
   }
 
+  test("--surl/--murl flip datasets to http with _url in the query; --turl rejects") {
+    val (j, _) = parse("--surl", "https://x.test/data.json",
+      "-m", "parquet/a/m", "--mkeys", "id", "--murl", "https://x.test/m.json")
+    assert(j.source.ref.backend == "http")
+    assert(j.source.query == Seq("_url" -> "https://x.test/data.json"))
+    assert(j.merger.get.ref.backend == "http")
+    assert(j.merger.get.query.contains("_url" -> "https://x.test/m.json"))
+    intercept[Main.CliError](
+      parse("-s", "parquet/a/b", "--turl", "https://x.test/t"))
+  }
+
+  test("--ns fills missing ns segments; explicit ns wins") {
+    val (j, _) = parse("-s", "parquet/src", "-t", "parquet//tmp/out",
+      "--ns", "/data/sf")
+    assert(j.source.ref == DatasetRef("parquet", "/data/sf", "src"))
+    assert(j.target.get.ref == DatasetRef("parquet", "/tmp", "out"))
+  }
+
+  test("--stra/--mtra append args to the last transformer stage") {
+    val (j, _) = parse("-s", "parquet/a/b", "--str", "rename:a;b",
+      "--stra", "x", "--stra", "y",
+      "-m", "parquet/a/m", "--mkeys", "id", "--mtr", "mask:f", "--mtra", "z")
+    assert(j.source.postRead.last.args == Seq("a", "b", "x", "y"))
+    assert(j.merger.get.postRead.last.args == Seq("f", "z"))
+    intercept[Main.CliError](parse("-s", "parquet/a/b", "--stra", "x"))
+  }
+
+  test("--tmap lands on the target; --batch aliases file sizing; misc flags") {
+    val (j, o) = parse("-s", "parquet/a/b", "-t", "parquet/c/d",
+      "--tmap", "id BIGINT, name STRING", "--batch", "5000",
+      "--show-args", "--log-level", "ERROR", "-a", "k=v", "-a", "w=2",
+      "--msg", "note", "--poll-interval", "5")
+    assert(j.target.get.tmap.contains("id BIGINT, name STRING"))
+    assert(j.target.get.maxRecordsPerFile == 5000L)
+    assert(o.showArgs && o.logLevel.contains("ERROR"))
+    assert(o.msg.contains("note k=v w=2"))
+    // --batch shares the write-once slot with --max-records-per-file
+    intercept[Main.CliError](parse("-s", "parquet/a/b", "-t", "parquet/c/d",
+      "--batch", "10", "--max-records-per-file", "20"))
+    intercept[Main.CliError](parse("-s", "parquet/a/b", "--poll-interval", "-1"))
+    // --job-run needs no source
+    val (_, o2) = parse("--job-run")
+    assert(o2.jobRun)
+  }
+
   test("errors: unknown flag, missing source, bad op, merger sans keys") {
     intercept[Main.CliError](parse("-s", "parquet/a/b", "--bogus"))
     intercept[Main.CliError](parse("-q", "a=b"))

@@ -29,6 +29,17 @@ class WriteOpsSpec extends SparkSpec {
     assert(WriteOps.create(target, batch, Nil).count() == 5)
   }
 
+  test("W11 --tmap casts the batch to the declared schema inside applyOp") {
+    import graft.spec.{DatasetRef, TargetSpec, WriteOp}
+    val spec = TargetSpec(DatasetRef("parquet", "", "t"), op = WriteOp.Create,
+      tmap = Some("id BIGINT, name STRING, price INT"))
+    val out = WriteOps.applyOp(target.limit(0).select("id", "name", "price"),
+      batch, spec)
+    assert(out.schema("price").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(rows(out.orderBy("id")).map(_.last) == Seq(200, 40))
+  }
+
   test("W6 insert skips existing keys") {
     val out = WriteOps.insert(target, batch, Seq("id"))
     assert(state(out.select("id", "name")) ==
