@@ -41,7 +41,9 @@ object DiffChecks {
     "q_split_sizes" -> (splitBinomial(_, _)),
     "q_media_features" -> (mediaFeatureLaws(_, _)),
     "q_group_pctl_approx" -> (approxPctlRankBound(_, _)),
-    "q_vocab_approx" -> (vocabApproxBound(_, _)))
+    "q_vocab_approx" -> (vocabApproxBound(_, _)),
+    "q_ann_pq" -> (pqRecall(_, _)),
+    "classifier_train" -> (classifierTrainLaw(_, _)))
 
   private def read(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Resolver.readParquet(s, s"$dir/$name.parquet")
@@ -314,5 +316,59 @@ object DiffChecks {
     Check(cntDiffs == 0 && maxRel <= maxRelErr,
       f"$n%d tokens: cnt_diffs=$cntDiffs (must be 0), " +
         f"max_docs_rel_err=$maxRel%.4f (bound $maxRelErr%.2f)")
+  }
+
+  /** q_ann_pq vs the oracle-checked exact bruteTopK: recall@k of the
+    * ADC-shortlist + exact-refine search over 16-byte PQ codes.
+    * Random synthetic embeddings are PQ's worst case (no cluster
+    * structure), so the bound is calibrated for that; the refine step
+    * guarantees every returned pair's similarity is EXACT.
+    */
+  def pqRecall(s: SparkSession, dir: String, minRecall: Double = 0.6): Check = {
+    import graft.ext.{PqIndex, Similarity}
+    val e = read(s, dir, "embeddings")
+    val books = PqIndex.train(s, e, m = 16, ksub = 16, iters = 2)
+    val coded = PqIndex.encode(e, books).select("vec_id", "codes")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val exact = Similarity.bruteTopK(q, e, 5).select("q_id", "vec_id")
+      .localCheckpoint(true)
+    val approx = PqIndex.searchRefined(q, coded, e, books, k = 5, shortlist = 4)
+      .select("q_id", "vec_id").localCheckpoint(true)
+    val n = exact.count()
+    val hit = approx.join(exact, Seq("q_id", "vec_id")).count()
+    val recall = if (n == 0) 1.0 else hit.toDouble / n
+    Check(recall >= minRecall,
+      f"refined ADC recall@5=$recall%.4f ($hit/$n, bound $minRecall%.2f)")
+  }
+
+  /** Quality-classifier TRAINING end-to-end on corpus data (the
+    * iterative fit has no SQL oracle): plant a perfectly learnable
+    * label (presence of the token `key` — ~75/25 at sf0.01, linearly
+    * separable in the mean-bag feature space), train on a
+    * deterministic md5 75% split, score the held-out 25% through the
+    * broadcast (token, weight) export, and require ≥ `minAcc`
+    * accuracy. Verifies convergence, the export path, and
+    * linearScore's replay of the MLlib margin in one law.
+    */
+  def classifierTrainLaw(s: SparkSession, dir: String,
+                         minAcc: Double = 0.9): Check = {
+    import graft.ext.QualityClassifier
+    val docs = read(s, dir, "documents")
+    val labeled = docs.withColumn("__y__",
+      array_contains(TextDedup.tokens(col("text")), "key"))
+    val isTrain = substring(md5(concat(lit("qc:"), col("doc_id"))), 1, 1) < "c"
+    val train = labeled.filter(isTrain)
+    val hold = labeled.filter(!isTrain)
+    val m = QualityClassifier.train(
+      train.filter(col("__y__")), train.filter(!col("__y__")),
+      "text", vocabSize = 64)
+    val scored = TextAnalysis.linearScore(hold, m.weights, "doc_id", "text", m.bias)
+      .join(hold.select(col("doc_id"), col("__y__")), "doc_id")
+    val n = scored.count()
+    val correct = scored.filter(col("quality_keep") === col("__y__")).count()
+    val acc = if (n == 0) 0.0 else correct.toDouble / n
+    Check(n > 20 && acc >= minAcc,
+      f"holdout accuracy=$acc%.4f ($correct/$n, bound $minAcc%.2f)")
   }
 }

@@ -479,6 +479,19 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ── [EXT] §2.10 PQ-compressed ANN: 16-byte codes + ADC shortlist
+    // + exact refine (recall law in diffcheck vs the oracled brute) ────
+    "q_ann_pq" -> ((s, dir) => {
+      import graft.ext.PqIndex
+      val e = read(s, dir, "embeddings")
+      val books = PqIndex.train(s, e, m = 16, ksub = 16, iters = 2)
+      val coded = PqIndex.encode(e, books).select("vec_id", "codes")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      PqIndex.searchRefined(q, coded, e, books, k = 5, shortlist = 4)
+        .orderBy("q_id", "rank")
+    }),
+
     // ── [EXT] forward as-of: next purchase at-or-after each event ─────
     "q_asof_fwd" -> ((s, dir) => {
       val ev = read(s, dir, "events")

@@ -287,6 +287,46 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** L2 twin of [[NearestCentroid]]: argmin squared distance — the
+    * product-quantization assignment metric (PQ subvectors are not
+    * normalized, so cosine would discard magnitude). Ties → smallest
+    * id (ids are passed ascending); NULL vector → NULL.
+    */
+  case class NearestCentroidL2(child: Expression, ids: Array[Long],
+                               cents: Array[Array[Float]])
+      extends UnaryExpression with ExpectsInputTypes
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "nearest_centroid_l2"
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      var best = java.lang.Double.POSITIVE_INFINITY
+      var bestId = Long.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val row = cents(c)
+        val n = math.min(v.numElements(), row.length)
+        var d2 = 0.0
+        var i = 0
+        while (i < n) {
+          val diff = v.getFloat(i).toDouble - row(i).toDouble
+          d2 += diff * diff
+          i += 1
+        }
+        if (c == 0 || java.lang.Double.compare(d2, best) < 0) {
+          best = d2; bestId = ids(c)
+        }
+        c += 1
+      }
+      bestId
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Sorted distinct 64-bit hashes of the word n-gram shingles of a
     * token array: one pass — space-joined n-gram bytes → XXH64 →
     * dedupe + sort. Replaces the interpreted
@@ -437,6 +477,9 @@ object VectorExprs {
   def nearestCentroid(vec: Column, ids: Array[Long],
                       cents: Array[Array[Float]]): Column =
     ExprShim.column(NearestCentroid(ExprShim.expression(vec), ids, cents))
+  def nearestCentroidL2(vec: Column, ids: Array[Long],
+                        cents: Array[Array[Float]]): Column =
+    ExprShim.column(NearestCentroidL2(ExprShim.expression(vec), ids, cents))
   def shingleSortedHashes(tokens: Column, n: Int): Column =
     ExprShim.column(ShingleSortedHashes(ExprShim.expression(tokens), n))
   def shingleHashes(tokens: Column, n: Int): Column =

@@ -582,6 +582,40 @@ class ExtSpec extends SparkSpec {
     assert(TextAnalysis.encodeTokens(z, "doc_id", "text", 5).count() == 0)
   }
 
+  test("pq: codes compress the corpus; ADC top-k recalls brute top-k") {
+    import graft.ext.{PqIndex, Similarity}
+    val e = sf("embeddings").limit(300).cache()
+    val books = PqIndex.train(spark, e, m = 16, ksub = 16, iters = 4)
+    assert(books.count() == 16 * 16)
+    // every subspace codebook holds dsub = 64/16 = 4 dims
+    assert(books.select(size(col("centroid"))).distinct().head().getInt(0) == 4)
+    val coded = PqIndex.encode(e, books).select("vec_id", "codes").cache()
+    // codes are m entries in [0, ksub)
+    assert(coded.filter(size(col("codes")) =!= 16).count() == 0)
+    assert(coded.select(explode(col("codes"))).filter(
+      col("col") < 0 || col("col") >= 16).count() == 0)
+    // deterministic encode
+    val again = PqIndex.encode(e, books).select("vec_id", "codes")
+    assert(coded.except(again).isEmpty && again.except(coded).isEmpty)
+    // ADC recall@10 vs the exact brute twin (random synthetic vectors
+    // are PQ's worst case — no cluster structure to exploit)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val exact = Similarity.bruteTopK(q, e, 10).select("q_id", "vec_id")
+    val approx = PqIndex.search(q, coded, books, k = 10).select("q_id", "vec_id")
+    val hit = approx.join(exact, Seq("q_id", "vec_id")).count()
+    val recall = hit.toDouble / exact.count()
+    assert(recall >= 0.4, s"ADC recall@10 = $recall (16 B codes vs 256 B floats)")
+    // ADC shortlist + exact refine: near-exact at 4x shortlist
+    val refined = PqIndex.searchRefined(q, coded, e, books, k = 10, shortlist = 4)
+      .select("q_id", "vec_id")
+    val rHit = refined.join(exact, Seq("q_id", "vec_id")).count()
+    val rRecall = rHit.toDouble / exact.count()
+    assert(rRecall >= 0.7, s"refined recall@10 = $rRecall (floats read only for the shortlist)")
+    assert(rRecall >= recall, "refine must not lose recall")
+    e.unpersist(); coded.unpersist()
+  }
+
   test("signature index round-trips through parquet; CLI stages chain it") {
     import graft.functions.Transformers
     import graft.spec.TransformStage
