@@ -484,7 +484,9 @@ object SparkEntry {
     "q_ann_pq" -> ((s, dir) => {
       import graft.ext.PqIndex
       val e = read(s, dir, "embeddings")
-      val books = PqIndex.train(s, e, m = 16, ksub = 16, iters = 2)
+      // bench-sized params (m=8, one Lloyd pass) — the diffcheck
+      // separately proves recall at the m=16/iters=2 quality point
+      val books = PqIndex.train(s, e, m = 8, ksub = 16, iters = 1)
       val coded = PqIndex.encode(e, books).select("vec_id", "codes")
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))

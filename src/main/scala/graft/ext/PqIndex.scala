@@ -41,34 +41,48 @@ object PqIndex {
             iters: Int = 3, id: String = "vec_id",
             vec: String = "embedding"): DataFrame = {
     require(m > 0 && ksub > 1, s"pq: need m > 0 and ksub > 1, got m=$m ksub=$ksub")
-    val d = corpus.select(size(col(vec))).head().getInt(0)
+    import spark.implicits._
+    // seeds: the ksub hash-smallest vectors seed EVERY subspace (their
+    // j-th slice seeds codebook j) — deterministic, one collect, which
+    // also tells us the dimensionality (no separate size() job)
+    val seeds = corpus.withColumn("__h", xxhash64(col(id)))
+      .orderBy("__h").limit(ksub)
+      .select(col(vec)).collect().map(_.getSeq[Float](0).toArray)
+    require(seeds.nonEmpty, "pq: empty corpus")
+    val d = seeds.head.length
     require(d % m == 0, s"pq: dim $d must be divisible by m=$m")
     val dsub = d / m
-    import spark.implicits._
-    (0 until m).map { j =>
-      val sub = corpus.select(col(id), slice(col(vec), j * dsub + 1, dsub).as(vec))
-      var cents = sub
-        .withColumn("__h", xxhash64(col(id)))
-        .orderBy("__h").limit(ksub)
-        .select(col(vec)).collect()
-        .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Float](0)) }
-      for (_ <- 1 to iters) {
-        val assigned = sub.withColumn("centroid_id",
+    val cids = (0 until ksub).map(_.toLong).toArray
+    var books: Array[Array[Array[Float]]] = Array.tabulate(m)(j =>
+      seeds.map(_.slice(j * dsub, (j + 1) * dsub)))
+    // each Lloyd iteration is ONE corpus pass for all m subspaces —
+    // encode all m codes in one projection, update all m codebooks in
+    // one explode + two map-side-combinable aggs (vs per-subspace
+    // loops, which would cost 2m scans per iteration)
+    for (_ <- 1 to iters) {
+      val entries = (0 until m).map { j =>
+        struct(lit(j).as("sub"),
           graft.functions.VectorExprs.nearestCentroidL2(
-            col(vec), cents.map(_._1), cents.map(_._2.toArray)))
-        val updated = assigned
-          .select(col("centroid_id"), posexplode(col(vec)))
-          .groupBy("centroid_id", "pos").agg(avg("col").as("mean"))
-          .groupBy("centroid_id")
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
-            x => x.getField("mean").cast("float")).as("centroid"))
-          .as[(Long, Seq[Float])].collect().toMap
-        cents = cents.map { case (i, c) => (i, updated.getOrElse(i, c)) }
+            slice(col(vec), j * dsub + 1, dsub), cids, books(j)).as("cid"),
+          slice(col(vec), j * dsub + 1, dsub).as("sv"))
       }
-      spark.createDataset(cents.toSeq).toDF("centroid_id", "centroid")
-        .withColumn("sub_id", lit(j))
-        .withColumn("centroid", col("centroid").cast("array<float>"))
-    }.reduce(_ unionByName _).select("sub_id", "centroid_id", "centroid")
+      val updated = corpus.select(explode(array(entries: _*)).as("e"))
+        .select(col("e.sub"), col("e.cid"), posexplode(col("e.sv")))
+        .groupBy("sub", "cid", "pos").agg(avg("col").as("mean"))
+        .groupBy("sub", "cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+          x => x.getField("mean").cast("float")).as("centroid"))
+        .as[(Int, Long, Seq[Float])].collect()
+        .map { case (s2, c, v) => (s2, c) -> v.toArray }.toMap
+      // empty clusters keep their previous centroid
+      books = Array.tabulate(m)(j => Array.tabulate(ksub)(c =>
+        updated.getOrElse((j, c.toLong), books(j)(c))))
+    }
+    spark.createDataset(
+      for { j <- 0 until m; c <- 0 until ksub }
+        yield (j, c.toLong, books(j)(c).toSeq))
+      .toDF("sub_id", "centroid_id", "centroid")
+      .withColumn("centroid", col("centroid").cast("array<float>"))
   }
 
   private def collectBooks(codebooks: DataFrame): Array[Array[Array[Float]]] = {
