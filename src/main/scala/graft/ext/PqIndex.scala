@@ -117,17 +117,15 @@ object PqIndex {
     * once per query against the literal codebooks); the coded corpus
     * is scanned once, never shuffled on a key.
     */
-  def search(queries: DataFrame, coded: DataFrame, codebooks: DataFrame,
-             k: Int, qId: String = "q_id", qVec: String = "q_vec",
-             cId: String = "vec_id"): DataFrame = {
-    require(k > 0, s"pq: k must be positive, got $k")
-    val books = collectBooks(codebooks)
+  /** Queries + their per-subspace ADC dot tables (`__dotT__`,
+    * m×ksub doubles per query) and norm (`__qn__`) — computed once per
+    * query row against the literal codebooks.
+    */
+  private def withAdcTables(queries: DataFrame,
+                            books: Array[Array[Array[Float]]],
+                            qId: String, qVec: String): DataFrame = {
     val m = books.length
     val dsub = books.head.head.length
-    // per-query ADC tables: dotT[j][c] = dot(q_j, books[j][c]); the
-    // centroid norms are query-independent literals
-    val normT = typedLit(books.map(_.map(c =>
-      c.map(x => x.toDouble * x).sum).toSeq).toSeq)
     val bookLit = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
     val dotT = transform(sequence(lit(0), lit(m - 1)), j =>
       transform(element_at(bookLit, j + 1), c =>
@@ -135,8 +133,16 @@ object PqIndex {
           (a, b) => a.cast("double") * b.cast("double")), lit(0.0), (acc, v) => acc + v)))
     val qNorm = sqrt(aggregate(transform(col(qVec),
       x => x.cast("double") * x.cast("double")), lit(0.0), (acc, v) => acc + v))
-    val q = queries.select(col(qId), dotT.as("__dotT__"), qNorm.as("__qn__"))
-    // score a coded row: m lookups for the dot, m for the recon norm
+    queries.select(col(qId), dotT.as("__dotT__"), qNorm.as("__qn__"))
+  }
+
+  /** ADC cosine of a coded row vs the tables riding on the joined
+    * query: m lookups for the dot, m for the reconstruction norm.
+    */
+  private def adcSim(books: Array[Array[Array[Float]]]): org.apache.spark.sql.Column = {
+    val m = books.length
+    val normT = typedLit(books.map(_.map(c =>
+      c.map(x => x.toDouble * x).sum).toSeq).toSeq)
     val idx = sequence(lit(0), lit(m - 1))
     val dot = aggregate(idx, lit(0.0), (acc, j) => acc +
       element_at(element_at(col("__dotT__"), j + 1),
@@ -144,10 +150,60 @@ object PqIndex {
     val rnorm = sqrt(aggregate(idx, lit(0.0), (acc, j) => acc +
       element_at(element_at(normT, j + 1),
         (element_at(col("codes"), j + 1) + 1).cast("int"))))
+    dot / (col("__qn__") * rnorm)
+  }
+
+  def search(queries: DataFrame, coded: DataFrame, codebooks: DataFrame,
+             k: Int, qId: String = "q_id", qVec: String = "q_vec",
+             cId: String = "vec_id"): DataFrame = {
+    require(k > 0, s"pq: k must be positive, got $k")
+    val books = collectBooks(codebooks)
+    val q = withAdcTables(queries, books, qId, qVec)
     val w = Window.partitionBy(qId).orderBy(col("sim").desc, col(cId).asc)
     coded.join(broadcast(q))
       .filter(col(qId) =!= col(cId))
-      .withColumn("sim", dot / (col("__qn__") * rnorm))
+      .withColumn("sim", adcSim(books))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qId), col(cId), round(col("sim"), 4).as("sim"), col("rank"))
+  }
+
+  /** Full IVF-PQ (the faiss `IVFx,PQy` shape): probe the `nprobe`
+    * nearest IVF lists per query, ADC-score ONLY those lists' coded
+    * rows, exact-refine the shortlist. At a real deployment this is
+    * the compounding of the two prunes — corpus/nlist·nprobe rows
+    * touched, m bytes each, floats read only for the final shortlist.
+    * `coded` must carry the `centroid_id` column from
+    * [[IvfIndex.assign]] alongside `codes`.
+    */
+  def searchIvfPq(queries: DataFrame, coded: DataFrame, corpus: DataFrame,
+                  codebooks: DataFrame, centroids: DataFrame, k: Int,
+                  nprobe: Int = 4, shortlist: Int = 4,
+                  qId: String = "q_id", qVec: String = "q_vec",
+                  cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    require(nprobe >= 1 && k > 0 && shortlist >= 1,
+      s"pq: need nprobe >= 1, k > 0, shortlist >= 1; got $nprobe/$k/$shortlist")
+    val books = collectBooks(codebooks)
+    val pw = Window.partitionBy(qId).orderBy(col("__csim").desc, col("centroid_id").asc)
+    val probes = broadcast(queries).join(broadcast(centroids))
+      .withColumn("__csim", Similarity.cosine(col(qVec), col("centroid")))
+      .withColumn("__rn", row_number().over(pw))
+      .filter(col("__rn") <= nprobe)
+      .select(col(qId), col("centroid_id"))
+    val q = withAdcTables(queries, books, qId, qVec)
+    // each query ADC-scores only ITS probed lists' coded rows
+    val w = Window.partitionBy(qId).orderBy(col("sim").desc, col(cId).asc)
+    val short = coded.join(broadcast(probes), "centroid_id")
+      .join(broadcast(q), qId)
+      .filter(col(qId) =!= col(cId))
+      .withColumn("sim", adcSim(books))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k * shortlist)
+      .select(col(qId), col(cId))
+    short
+      .join(corpus.select(col(cId), col(cVec)), cId)
+      .join(broadcast(queries.select(col(qId), col(qVec))), qId)
+      .withColumn("sim", Similarity.cosine(col(qVec), col(cVec)))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(qId), col(cId), round(col("sim"), 4).as("sim"), col("rank"))

@@ -613,6 +613,23 @@ class ExtSpec extends SparkSpec {
     val rRecall = rHit.toDouble / exact.count()
     assert(rRecall >= 0.7, s"refined recall@10 = $rRecall (floats read only for the shortlist)")
     assert(rRecall >= recall, "refine must not lose recall")
+    // IVF-PQ: at nprobe = nlist no list is pruned, so the composed
+    // search must equal the unpruned refined search exactly
+    val cents = graft.ext.IvfIndex.train(spark, e, k = 8, iters = 2)
+    val codedLists = graft.ext.IvfIndex.assign(coded.join(e, "vec_id"), cents)
+      .select("vec_id", "codes", "centroid_id")
+    val full = PqIndex.searchIvfPq(q, codedLists, e, books, cents,
+      k = 10, nprobe = 8, shortlist = 4).select("q_id", "vec_id", "sim", "rank")
+    val unpruned = PqIndex.searchRefined(q, coded, e, books, k = 10, shortlist = 4)
+      .select("q_id", "vec_id", "sim", "rank")
+    assert(full.except(unpruned).isEmpty && unpruned.except(full).isEmpty,
+      "nprobe=nlist IVF-PQ must equal the unpruned refined search")
+    // pruned probing still recalls most of the exact top-k
+    val pruned = PqIndex.searchIvfPq(q, codedLists, e, books, cents,
+      k = 10, nprobe = 4, shortlist = 4).select("q_id", "vec_id")
+    val pHit = pruned.join(exact, Seq("q_id", "vec_id")).count()
+    assert(pHit.toDouble / exact.count() >= 0.3,
+      s"IVF-PQ recall@10 at nprobe=4/8 = ${pHit.toDouble / exact.count()}")
     e.unpersist(); coded.unpersist()
   }
 
