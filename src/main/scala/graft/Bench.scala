@@ -53,7 +53,20 @@ object Bench {
       else "," + "\"errors\":" + errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
         .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
+    println(json)
+    // The driver captures stdout with a tail that can truncate one long
+    // line (BENCH_r04 recorded `parsed: null`) — persist the JSON to a
+    // file as the robust secondary channel.
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"bench: could not write target/bench.json: $e")
+    }
     if (errors.nonEmpty)
       System.err.println(s"bench: ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()

@@ -279,6 +279,16 @@ object SparkEntry {
       graft.ext.TextDedup.simhashPairs(read(s, dir, "documents"),
         "doc_id", "text", maxDist = 3).orderBy("id_a", "id_b")),
 
+    // ── [EXT] §2.10 SimHash, driver-oracled: md5-portable per-token
+    // hash makes the fingerprint reproducible in DuckDB, so the blocked
+    // pair-mine is checked against a brute-force SQL twin (pigeonhole
+    // blocking is provably exact — same law as q_dedup_simhash) ───────
+    "q_dedup_simhash_port" -> ((s, dir) =>
+      graft.ext.TextDedup.simhashPairsPortable(read(s, dir, "documents"),
+        "doc_id", "text", maxDist = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")),
+
     // ── [EXT] §2.10 text analysis: counts/ratios/langid/quality ───────
     "q_text_stats" -> ((s, dir) =>
       graft.ext.TextAnalysis.analyzeWithQuality(read(s, dir, "documents"))
@@ -468,6 +478,20 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // ── [EXT] §2.10 IVF exactness witness, driver-visible: probing all
+    // nlist lists must reproduce the brute top-k bit-for-bit, so this
+    // row shares q_ann_topk's brute oracle SQL (the sbt-test law checks
+    // the same identity; this surfaces it in CORRECTNESS_r{N}) ─────────
+    "q_ann_ivf_exact" -> ((s, dir) => {
+      val e = read(s, dir, "embeddings")
+      val centroids = graft.ext.IvfIndex.train(s, e, k = 16, iters = 2)
+      val index = graft.ext.IvfIndex.assign(e, centroids)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      graft.ext.IvfIndex.search(q, index, centroids, k = 5, nprobe = 16)
+        .orderBy("q_id", "rank")
+    }),
+
     // ── [EXT] as-of join: latest purchase at or before each event ─────
     "q_asof" -> ((s, dir) => {
       val ev = read(s, dir, "events")
@@ -491,6 +515,21 @@ object SparkEntry {
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       PqIndex.searchRefined(q, coded, e, books, k = 5, shortlist = 4)
+        .orderBy("q_id", "rank")
+    }),
+
+    // ── [EXT] §2.10 PQ exactness witness, driver-visible: a refine
+    // pool covering the whole corpus (shortlist·k ≥ rows at sf0.1's
+    // 2000) makes the exact re-rank ≡ brute, so this row shares
+    // q_ann_topk's brute oracle SQL ────────────────────────────────────
+    "q_ann_pq_refined_exact" -> ((s, dir) => {
+      import graft.ext.PqIndex
+      val e = read(s, dir, "embeddings")
+      val books = PqIndex.train(s, e, m = 8, ksub = 16, iters = 1)
+      val coded = PqIndex.encode(e, books).select("vec_id", "codes")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      PqIndex.searchRefined(q, coded, e, books, k = 5, shortlist = 400)
         .orderBy("q_id", "rank")
     }),
 
@@ -572,10 +611,18 @@ object SparkEntry {
         .orderBy("seq_id", "doc_id")),
 
     // ── [EXT] §2.10 packed-sequence attention boundaries: per-sequence
-    // aligned span arrays for the block-diagonal mask ─────────────────
+    // aligned span arrays for the block-diagonal mask. The driver's
+    // pandas-based verifier can't sort array cells, so the arrays are
+    // serialized to deterministic comma-joined strings for the gate;
+    // packAttentionSpans itself still returns the typed arrays ────────
     "q_pack_spans" -> ((s, dir) =>
       graft.ext.CorpusOps.packAttentionSpans(read(s, dir, "documents"),
         "doc_id", "text", seqLen = 64)
+        .select(col("seq_id"),
+          array_join(col("doc_ids"), ",").as("doc_ids"),
+          array_join(col("seq_starts").cast("array<string>"), ",").as("seq_starts"),
+          array_join(col("span_toks").cast("array<string>"), ",").as("span_toks"),
+          col("n_docs"), col("n_toks"))
         .orderBy("seq_id")),
 
     // ── [EXT] §2.10 weighted mixture sampling: src0 ×2.5 (oversample),
@@ -852,6 +899,40 @@ object SparkEntry {
          WHERE d.doc_id >= 20 AND d.doc_id NOT IN (SELECT doc_id FROM hits)
          ORDER BY d.doc_id""",
     "q_dedup_minhash" -> JaccardOracle, // LSH recall ≈ 1 at j ≥ 0.8 ⇒ same result
+    // brute-force 60-bit md5-portable SimHash: per-token hash =
+    // first 15 md5 hex digits; per-bit ±1 votes, sign → bit — the
+    // exact mirror of TextDedup.simhashPortable. Blocked Spark mine
+    // ≡ this brute twin by the pigeonhole exactness law.
+    "q_dedup_simhash_port" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  unnest(list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                                     x -> x <> '')) AS tok
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+                  CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hv
+           FROM t),
+         v AS (
+           SELECT doc_id, r.b AS b,
+                  sum(CASE WHEN (hv >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+           FROM h, range(60) r(b) GROUP BY doc_id, r.b),
+         fp AS (
+           SELECT doc_id,
+                  sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS fp
+           FROM v GROUP BY doc_id)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 3
+         ORDER BY id_a, id_b""",
+    // NOTE recall assumption (same caveat as q_dedup_minhash): the
+    // engine verifies only LSH-candidate pairs (k=128/16 bands ⇒ ~95%
+    // band-collision odds at jaccard exactly 0.8) while this oracle
+    // mines exact all-pairs Jaccard — a pair sitting right at the
+    // threshold that misses all 16 bands would diff. Green at both
+    // test scales; at the threshold the comparison is probabilistic
+    // by design.
     "q_dedup_incr" ->                  // batch = doc_id >= 400 vs seen (old ∪ earlier batch)
       """WITH toks AS (
            SELECT doc_id,
@@ -1222,6 +1303,28 @@ object SparkEntry {
                              e.vec_id) AS rank
            FROM d q JOIN d e ON q.vec_id < 5 AND q.vec_id <> e.vec_id)
          WHERE rank <= 5 ORDER BY q_id, rank""",
+    // exactness witnesses: full-probe IVF and full-pool PQ refine must
+    // equal the brute top-k, so they share its oracle verbatim
+    "q_ann_ivf_exact" ->
+      """WITH d AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS emb FROM embeddings)
+         SELECT q_id, vec_id, sim, rank FROM (
+           SELECT q.vec_id AS q_id, e.vec_id,
+                  round(list_cosine_similarity(q.emb, e.emb), 4) AS sim,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(q.emb, e.emb) DESC,
+                             e.vec_id) AS rank
+           FROM d q JOIN d e ON q.vec_id < 5 AND q.vec_id <> e.vec_id)
+         WHERE rank <= 5 ORDER BY q_id, rank""",
+    "q_ann_pq_refined_exact" ->
+      """WITH d AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS emb FROM embeddings)
+         SELECT q_id, vec_id, sim, rank FROM (
+           SELECT q.vec_id AS q_id, e.vec_id,
+                  round(list_cosine_similarity(q.emb, e.emb), 4) AS sim,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(q.emb, e.emb) DESC,
+                             e.vec_id) AS rank
+           FROM d q JOIN d e ON q.vec_id < 5 AND q.vec_id <> e.vec_id)
+         WHERE rank <= 5 ORDER BY q_id, rank""",
     "q_embed_pairs" ->
       """WITH d AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS emb FROM embeddings)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1370,9 +1473,9 @@ object SparkEntry {
                    - greatest(off, seq_id*64))::BIGINT AS span_toks
            FROM e)
          SELECT seq_id,
-                list(doc_id ORDER BY seq_start) AS doc_ids,
-                list(seq_start ORDER BY seq_start) AS seq_starts,
-                list(span_toks ORDER BY seq_start) AS span_toks,
+                string_agg(doc_id, ',' ORDER BY seq_start) AS doc_ids,
+                string_agg(cast(seq_start AS VARCHAR), ',' ORDER BY seq_start) AS seq_starts,
+                string_agg(cast(span_toks AS VARCHAR), ',' ORDER BY seq_start) AS span_toks,
                 count(*)::BIGINT AS n_docs,
                 sum(span_toks)::BIGINT AS n_toks
          FROM s GROUP BY seq_id ORDER BY seq_id""",

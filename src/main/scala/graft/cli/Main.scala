@@ -38,7 +38,14 @@ object Main {
     }
     val (job, opts) = parse(rawArgs)
     val spark = session(opts)
-    try execute(spark, job, opts) finally spark.stop()
+    val t0 = System.nanoTime()
+    try execute(spark, job, opts) finally {
+      // O11 --profile (reference base.py:141 runs cProfile around the
+      // request): the in-process analog is the end-to-end wall clock
+      if (opts.profile)
+        println(f"profile: ${(System.nanoTime() - t0) / 1e9}%.3f s wall-clock")
+      spark.stop()
+    }
   }
 
   final case class Opts(
@@ -52,6 +59,7 @@ object Main {
       lsflat: Option[String] = None, dropNs: Option[String] = None,
       showArgs: Boolean = false, jobRun: Boolean = false,
       logLevel: Option[String] = None,
+      profile: Boolean = false, // O11: wall-clock report after the run
       cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
   /** Env-var default for a flag (reference: MODULE__FLAG, base.py:158-185). */
@@ -97,6 +105,8 @@ object Main {
     var stra = Vector.empty[String]; var mtra = Vector.empty[String]
     var showArgs = false; var jobRun = false
     var logLevel: Option[String] = None; var extraArgs = Vector.empty[String]
+    var logFields: Option[String] = None; var logDs: Option[String] = None
+    var pretty = false; var dev = false; var profile = false
 
     def kv(v: String): (String, String) = v.split("=", 2) match {
       case Array(k, value) => (k, value)
@@ -226,6 +236,29 @@ object Main {
       case "--job-run" => jobRun = true
       case "--log-level" => once("--log-level"); logLevel = Some(next("--log-level"))
       case "--verbose" => logLevel = Some("INFO") // base.py:141 analog
+      // W13 log-record controls (reference base.py:122-123,143,251-265):
+      // --log FIELDS projects the job-log record (same `-excl` grammar
+      // as --tf), --log_ds NS relocates the `_logs` dataset, --pretty
+      // echoes the record as JSON
+      case "--log" => once("--log"); logFields = Some(next("--log"))
+      case "--log_ds" | "--log-ds" => once("--log_ds"); logDs = Some(next("--log_ds"))
+      case "--pretty" => pretty = true
+      // F9 fast pagination (reference etl.py:251-259): forwarded into
+      // the source query as `_pagination` — a documented no-op here
+      // (Spark partitioned scans replace server-side cursors)
+      case "--paginate" => once("--paginate"); q :+= ("_pagination" -> next("--paginate"))
+      // O11 --profile (reference base.py:141,287-288 runs cProfile):
+      // in-engine analog is a wall-clock report after the run
+      case "--profile" => profile = true
+      // reference --dev (base.py:120,257-262): flips its server to
+      // sync mode — this engine is always synchronous; keep the side
+      // effect that matters (pretty log echo, as dry-run mode does)
+      case "--dev" => dev = true; pretty = true
+      // reference --etl_api (base.py:112): remote job-server address.
+      // Accepted for muscle-memory parity; jobs execute in-process.
+      case "--etl_api" | "--etl-api" => once("--etl_api")
+        val api = next("--etl_api")
+        System.err.println(s"notice: --etl_api $api ignored — jobs run in-process, not via a job server")
       case "-a" | "--arg" => extraArgs :+= next("-a") // base.py:125-126
       case other => throw CliError(s"unknown flag: $other (see --help)")
     }
@@ -295,6 +328,8 @@ object Main {
       SourceSpec(DatasetRef.parse(srcUri), q, chainWith(str, stra, "--stra")),
       merger = mergerSpec, target = targetSpec,
       workers = workers, dryRun = dry, contid = contid, cron = cron,
+      logDs = logDs, logFields = csv(logFields.getOrElse("")),
+      logPretty = pretty || dev,
       failOnError = failOnError) // job-wide too: holds for target-less jobs
     // -a extra args ride along in the job-log comment (the reference
     // forwards them opaquely to its server, base.py:125-126)
@@ -306,7 +341,8 @@ object Main {
       noCount = noCount, info = info,
       diff = diff, diffContext = csv(diffContext), msg = msgAll,
       lsflat = lsflat, dropNs = dropNs,
-      showArgs = showArgs, jobRun = jobRun, logLevel = logLevel))
+      showArgs = showArgs, jobRun = jobRun, logLevel = logLevel,
+      profile = profile))
   }
 
   private def session(opts: Opts): SparkSession = {
@@ -573,5 +609,12 @@ object Main {
       |               --batch N (alias of --max-records-per-file)
       |               --show-args  --job-run  --log-level LVL  --verbose
       |               -a/--arg K=V (recorded in the job log msg)
+      |               --log FIELDS (project the _logs record; -f excludes)
+      |               --log_ds NS (namespace the _logs dataset lives in)
+      |               --pretty (echo the log record as JSON)
+      |               --paginate V (accepted; Spark scans need no cursor)
+      |               --profile (wall-clock report after the run)
+      |               --dev (sync-mode parity flag; implies --pretty)
+      |               --etl_api HOST (accepted; jobs run in-process)
       |""".stripMargin
 }

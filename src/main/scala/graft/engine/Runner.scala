@@ -142,13 +142,28 @@ object Runner {
                      comment: Option[String] = None): Unit = {
     import spark.implicits._
     val t = job.target.get
-    val row = Seq((java.util.UUID.randomUUID().toString,
+    val full = Seq((java.util.UUID.randomUUID().toString,
       job.source.ref.uri, t.ref.uri, t.op.name, written,
       comment.getOrElse(""), // --msg (reference `comment`, base.py:273)
       job.cron.getOrElse(""), // O5 --cron passthrough (base.py:134,276)
       new java.sql.Timestamp(System.currentTimeMillis())))
       .toDF("uid", "source", "target", "op", "written", "msg", "cron", "ts")
-    val logPath = (if (t.ref.ns.isEmpty) "" else t.ref.ns + "/") + "_logs.parquet"
+    // --log FIELDS projection (reference log_fields, base.py:122,262-265);
+    // same `-exclusion` grammar as --tf. `uid` always survives — it is
+    // the jobStatus dedup key (compaction-crash recovery relies on it).
+    val row =
+      if (job.logFields.isEmpty) full
+      else {
+        val keep = QueryCompiler.project(full, job.logFields).columns
+        val cols = if (keep.contains("uid")) keep else keep :+ "uid"
+        full.select(cols.map(col).toIndexedSeq: _*)
+      }
+    // --pretty (base.py:251-252): echo the record as pretty JSON
+    if (job.logPretty) row.toJSON.collect().foreach(println)
+    // --log_ds (base.py:143, etl.py:193-195): override the namespace
+    // the `_logs` dataset lives under; default is the target's ns
+    val logNs = job.logDs.getOrElse(t.ref.ns)
+    val logPath = (if (logNs.isEmpty) "" else logNs + "/") + "_logs.parquet"
     row.coalesce(1).write.mode("append").parquet(logPath)
     // Opportunistic compaction: appending one file per job grows a
     // busy _logs dataset into a small-files swamp; past 64 parts, fold

@@ -48,7 +48,8 @@ object PqIndex {
     val seeds = corpus.withColumn("__h", xxhash64(col(id)))
       .orderBy("__h").limit(ksub)
       .select(col(vec)).collect().map(_.getSeq[Float](0).toArray)
-    require(seeds.nonEmpty, "pq: empty corpus")
+    require(seeds.length == ksub,
+      s"pq: corpus has only ${seeds.length} rows, need >= ksub=$ksub")
     val d = seeds.head.length
     require(d % m == 0, s"pq: dim $d must be divisible by m=$m")
     val dsub = d / m

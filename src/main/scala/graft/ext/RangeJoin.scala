@@ -38,9 +38,11 @@ object RangeJoin {
   /** Inner range join. `pointCol` (on `points`) and `loCol`/`hiCol`
     * (on `intervals`) must be mutually comparable — numeric, date or
     * timestamp (timestamps quantize via their epoch-seconds double, so
-    * `bucketWidth` is in seconds). Column sets of the two inputs must
-    * be disjoint; rows with a null point or null bound drop out, as in
-    * any inner inequality join.
+    * `bucketWidth` is in seconds; dates via epoch DAYS, so for date
+    * columns `bucketWidth` is in days — Spark disallows a direct
+    * DateType→numeric cast, hence the `unix_date` route). Column sets
+    * of the two inputs must be disjoint; rows with a null point or
+    * null bound drop out, as in any inner inequality join.
     */
   def rangeJoin(points: DataFrame, intervals: DataFrame, pointCol: String,
                 loCol: String, hiCol: String, bucketWidth: Double,
@@ -50,15 +52,22 @@ object RangeJoin {
     val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
     require(overlap.isEmpty,
       s"rangeJoin: column names must be disjoint; both sides have ${overlap.mkString(", ")}")
-    // epoch-seconds double for time types, plain double for numerics —
-    // used ONLY for bucketing; the residual compares the original
-    // typed columns, so quantization can never change the result
-    def proxy(c: String) = col(c).cast("double")
+    // epoch-seconds double for timestamps, epoch-days for dates (a
+    // DateType→numeric cast is an AnalysisException in Spark 3+),
+    // plain double for numerics — used ONLY for bucketing; the
+    // residual compares the original typed columns, so quantization
+    // can never change the result
+    def proxy(frame: DataFrame, c: String) =
+      frame.schema(c).dataType match {
+        case org.apache.spark.sql.types.DateType => unix_date(col(c)).cast("double")
+        case _ => col(c).cast("double")
+      }
     val w = lit(bucketWidth)
-    val p = points.withColumn("__bkt__", floor(proxy(pointCol) / w).cast("long"))
+    val p = points.withColumn("__bkt__",
+      floor(proxy(points, pointCol) / w).cast("long"))
     val iv0 = intervals.withColumn("__bkt__",
-      explode(sequence(floor(proxy(loCol) / w).cast("long"),
-        floor(proxy(hiCol) / w).cast("long"))))
+      explode(sequence(floor(proxy(intervals, loCol) / w).cast("long"),
+        floor(proxy(intervals, hiCol) / w).cast("long"))))
     val iv = if (broadcastIntervals) broadcast(iv0) else iv0
     val residual = col(pointCol) >= col(loCol) &&
       (if (inclusiveHi) col(pointCol) <= col(hiCol) else col(pointCol) < col(hiCol))

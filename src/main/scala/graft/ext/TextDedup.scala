@@ -613,10 +613,36 @@ object TextDedup {
     * never a cross join.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3): DataFrame = {
+                   maxDist: Int = 3): DataFrame =
+    simhashPairsFrom(simhashFrame(df, idCol, textCol), maxDist)
+
+  /** Portable SimHash twin: same vote/sign pipeline as [[simhash]] but
+    * the per-token hash is the first 15 md5 hex digits (60 bits), which
+    * DuckDB reproduces exactly (`CAST('0x'||substr(md5(tok),1,15) AS
+    * BIGINT)`) — so the whole blocked pair-mine gets a driver-visible
+    * brute-force oracle. The pigeonhole blocking is identical, hence
+    * the blocked ≡ brute law covers this path too. Production path
+    * stays on xxhash64 (one codegen'd pass, no md5 cost).
+    */
+  def simhashPortable(text: Column): Column =
+    graft.functions.VectorExprs.simhashFp(
+      transform(tokens(text), x =>
+        conv(substring(md5(x), 1, 15), 16, 10).cast("long")))
+
+  /** [[simhashPairs]] over the portable fingerprint. Docs with zero
+    * tokens are excluded (the SQL oracle's unnest drops them; an empty
+    * doc's fp would otherwise be the degenerate all-zeros value).
+    */
+  def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+                           maxDist: Int = 3): DataFrame =
+    simhashPairsFrom(
+      df.filter(size(tokens(col(textCol))) > 0)
+        .select(col(idCol).as("id"), simhashPortable(col(textCol)).as("fp")),
+      maxDist)
+
+  private def simhashPairsFrom(fp: DataFrame, maxDist: Int): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
-    val fp = simhashFrame(df, idCol, textCol)
     // separate chunk exprs (multi-reference) — keeps fp staged
     val chunkCols = (0 until chunks).map { j =>
       shiftright(col("fp"), j * width).bitwiseAND(lit((1L << width) - 1))

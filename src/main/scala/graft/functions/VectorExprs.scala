@@ -291,6 +291,13 @@ object VectorExprs {
     * product-quantization assignment metric (PQ subvectors are not
     * normalized, so cosine would discard magnitude). Ties → smallest
     * id (ids are passed ascending); NULL vector → NULL.
+    *
+    * Dimension mismatch: compares only the first min(|v|, |centroid|)
+    * components (consistent with [[NearestCentroid]]). A row whose
+    * embedding dim differs from the trained d therefore gets the
+    * nearest centroid on the shared prefix, not an error — callers
+    * that need strictness must validate dims upstream (PqIndex.train
+    * checks the seed dimensionality only).
     */
   case class NearestCentroidL2(child: Expression, ids: Array[Long],
                                cents: Array[Array[Float]])

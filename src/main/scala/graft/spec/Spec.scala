@@ -156,6 +156,15 @@ final case class JobSpec(
                                    // reference also only passes it
                                    // through, base.py:134,276 — no
                                    // in-engine timer)
+    logDs: Option[String] = None,  // W13 --log_ds (base.py:143,
+                                   // etl.py:193-195): namespace the
+                                   // `_logs` dataset is written under
+                                   // (default: the target's ns)
+    logFields: Seq[String] = Nil,  // W13 --log FIELDS (base.py:122):
+                                   // projection of the job-log record,
+                                   // `-field` excludes like --tf
+    logPretty: Boolean = false,    // W13 --pretty (base.py:123,251-252):
+                                   // echo the log record as pretty JSON
     failOnError: Boolean = true) { // W14 — job-wide read policy; also
                                    // mirrored on TargetSpec (reference
                                    // stores it under target.*)

@@ -176,6 +176,28 @@ class CliSpec extends AnyFunSuite {
     assert(o2.jobRun)
   }
 
+  test("reference parity flags: --log/--log_ds/--pretty/--paginate/--profile/--dev/--etl_api") {
+    // none of the seven remaining reference flags may throw (base.py:111-143)
+    val (j, o) = parse("-s", "parquet/a/b", "-t", "parquet/c/d",
+      "--log", "op,written,-msg", "--log_ds", "/tmp/joblogs",
+      "--pretty", "--paginate", "keyset", "--profile", "--etl_api",
+      "localhost:6544/api")
+    // --log changes the _logs projection; --log_ds relocates the dataset
+    assert(j.logFields == Seq("op", "written", "-msg"))
+    assert(j.logDs.contains("/tmp/joblogs"))
+    assert(j.logPretty)
+    assert(o.profile)
+    // --paginate forwards into the source query as the `_pagination`
+    // control (etl.py:251-259), which the compiler treats as a no-op
+    assert(j.source.query.contains("_pagination" -> "keyset"))
+    // --dev implies pretty log echo (base.py:257-262's dry-run analog)
+    val (j2, _) = parse("-s", "parquet/a/b", "-t", "parquet/c/d", "--dev")
+    assert(j2.logPretty)
+    // write-once slots still enforced
+    intercept[Main.CliError](parse("-s", "parquet/a/b",
+      "--log_ds", "x", "--log_ds", "y"))
+  }
+
   test("errors: unknown flag, missing source, bad op, merger sans keys") {
     intercept[Main.CliError](parse("-s", "parquet/a/b", "--bogus"))
     intercept[Main.CliError](parse("-q", "a=b"))

@@ -356,6 +356,30 @@ class ExtSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("simhashPairsPortable: blocked mine equals brute over the portable fp") {
+    val d = sf("documents").limit(200)
+    val blocked = TextDedup.simhashPairsPortable(d, "doc_id", "text", maxDist = 3)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    // brute twin over the same md5-portable fingerprints
+    val fp = d.filter(size(TextDedup.tokens($"text")) > 0)
+      .select($"doc_id".as("id"), TextDedup.simhashPortable($"text").as("fp"))
+    val brute = fp.as("a").join(fp.as("b"), $"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"),
+        bit_count($"a.fp".bitwiseXOR($"b.fp")).as("hamming"))
+      .filter($"hamming" <= 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(blocked == brute) // pigeonhole blocking is exact
+  }
+
+  test("pq train requires ksub seed rows") {
+    val e = sf("embeddings").limit(7)
+    val ex = intercept[IllegalArgumentException] {
+      PqIndex.train(spark, e, m = 8, ksub = 16, iters = 1)
+    }
+    assert(ex.getMessage.contains("ksub"))
+  }
+
   test("cosine + bruteTopK: self-similarity 1, ranks ordered") {
     val e = sf("embeddings")
     val q = e.filter($"vec_id" < 3)

@@ -127,6 +127,21 @@ class JoinsSpec extends SparkSpec {
     ev.unpersist()
   }
 
+  test("range join on DATE columns (unix_date route; width in days)") {
+    import graft.ext.RangeJoin
+    val pts = Seq((1L, "2024-01-01"), (2L, "2024-01-15"), (3L, "2024-02-10"))
+      .toDF("pid", "d").select(col("pid"), to_date(col("d")).as("d"))
+    val ivs = Seq((10L, "2024-01-01", "2024-01-20"), (20L, "2024-02-01", "2024-03-01"))
+      .toDF("iid", "lo", "hi")
+      .select(col("iid"), to_date(col("lo")).as("lo"), to_date(col("hi")).as("hi"))
+    val got = RangeJoin.rangeJoin(pts, ivs, "d", "lo", "hi", bucketWidth = 7.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = pts.crossJoin(ivs)
+      .filter(col("d") >= col("lo") && col("d") < col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive && got == Set((1L, 10L), (2L, 10L), (3L, 20L)))
+  }
+
   test("range join rejects overlapping column names and null rows drop out") {
     import graft.ext.RangeJoin
     val p = Seq((1L, 5.0), (2L, Double.NaN)).toDF("pid", "x")

@@ -198,6 +198,23 @@ class RunnerSpec extends SparkSpec {
     assert(logs.count() == 1 && logs.select("op").as[String].head() == "create")
   }
 
+  test("--log projects the _logs record; --log_ds relocates it (W13)") {
+    val dir = Files.createTempDirectory("graft_logp").toString
+    val logDir = Files.createTempDirectory("graft_logp_ds").toString
+    val job = JobSpec(
+      SourceSpec(DatasetRef("parquet", "/root/testdata/sf0.001", "region")),
+      target = Some(TargetSpec(DatasetRef("parquet", dir, "rl"),
+        op = WriteOp.Create)),
+      logDs = Some(logDir), logFields = Seq("op", "written"))
+    Runner.execute(spark, job)
+    // relocated by --log_ds: nothing in the target ns, record in logDs
+    assert(!new java.io.File(s"$dir/_logs.parquet").exists())
+    val logs = spark.read.parquet(s"$logDir/_logs.parquet")
+    // --log projection applied; uid survives (jobStatus dedup key)
+    assert(logs.columns.sorted.toSeq == Seq("op", "uid", "written"))
+    assert(logs.select("op").as[String].head() == "create")
+  }
+
   test("job-log compaction folds small files without losing concurrent appends") {
     val dir = Files.createTempDirectory("graft_logc").toString
     val logPath = s"$dir/_logs.parquet"
