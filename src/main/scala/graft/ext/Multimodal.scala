@@ -8,11 +8,13 @@ import org.apache.spark.sql.types._
   * travel as opaque `binary` columns with a typed metadata struct. The
   * Spark-side machinery — schema, partition sizing, per-partition
   * batched processing, feature schema — is real and tested. IMAGE
-  * decode is real too (`javax.imageio` ships in the JDK: png/jpeg/gif/
-  * bmp mime + true dimensions + pixel features); audio/video decode is
-  * a clearly marked STUB (this container ships no audio codecs),
-  * producing deterministic fake features so the pipeline stays
-  * end-to-end verifiable.
+  * decode is real (`javax.imageio` ships in the JDK: png/jpeg/gif/
+  * bmp mime + true dimensions + pixel features); AUDIO decode is real
+  * for RIFF/WAVE payloads ([[decodeWav]]: header metadata + PCM16
+  * sample features — the container ships no compressed-audio codecs,
+  * and none are needed for the canonical training-data format); VIDEO
+  * decode is a clearly marked STUB producing deterministic fake
+  * features so the pipeline stays end-to-end verifiable.
   *
   * Scale notes: rows carry megabyte blobs, so the knobs that matter are
   * `spark.sql.files.maxPartitionBytes` (keep partitions ≲ a few hundred
@@ -52,11 +54,12 @@ object Multimodal {
   val FeatureDim = 8
 
   /** STUB decoder ???: a real implementation would decode the blob with
-    * an audio/video codec and run a feature extractor. Deliberately
+    * a video codec and run a feature extractor. Deliberately
     * deterministic — features are byte-statistics of the payload — so
     * tests and oracles can verify the distributed plumbing end-to-end.
-    * (Images are NOT stubbed: [[decodeImage]] is a real JDK decoder;
-    * this fallback covers audio/video and non-decodable image bytes.)
+    * (Images are NOT stubbed — [[decodeImage]] is a real JDK decoder —
+    * and neither is WAV audio — [[decodeWav]]; this fallback covers
+    * video, compressed audio, and non-decodable image bytes.)
     */
   def decodeStub(bytes: Array[Byte]): Array[Float] = {
     if (bytes == null || bytes.isEmpty) return Array.fill(FeatureDim)(0f)
@@ -94,6 +97,73 @@ object Multimodal {
         b(3) == 0x00.toByte) ||                             // tiff LE
       (b(0) == 'M'.toByte && b(1) == 'M'.toByte && b(2) == 0x00.toByte &&
         b(3) == 0x2A.toByte))                               // tiff BE
+
+  /** REAL audio decode for RIFF/WAVE payloads (the canonical PCM
+    * container; header layout is public knowledge — RIFF tag, `fmt `
+    * chunk with format/channels/rate/bits, `data` chunk with the
+    * payload size). Returns (mime, channels, sampleRate, durationMs,
+    * features): duration is exact (`dataLen / byteRate`); the 8-dim
+    * features come from a bounded sweep (≤ ~4096 samples) of PCM16
+    * data — mean |amplitude|, RMS, zero-crossing rate, peak, loud/
+    * quiet fractions, channel count, capped duration. Non-PCM16
+    * encodings keep the real header metadata with byte-statistic
+    * features. None for anything that is not a WAV — callers fall
+    * back to [[decodeStub]].
+    */
+  def decodeWav(bytes: Array[Byte]): Option[(String, Int, Int, Long, Array[Float])] = {
+    if (bytes == null || bytes.length < 44) return None
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    def u32(o: Int): Long = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmt = Option.empty[(Int, Int, Int, Int)] // format, channels, rate, bits
+    var dataOff = -1; var dataLen = 0L
+    while (off + 8 <= bytes.length) {
+      val id = tag(off); val sz = u32(off + 4)
+      if (id == "fmt " && off + 24 <= bytes.length)
+        fmt = Some((u16(off + 8), u16(off + 10), u32(off + 12).toInt, u16(off + 22)))
+      else if (id == "data") { dataOff = off + 8; dataLen = sz }
+      off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    fmt match {
+      case Some((af, ch, rate, bits)) if ch > 0 && rate > 0 && bits > 0 && dataOff >= 0 =>
+        val byteRate = rate.toLong * ch * math.max(bits / 8, 1)
+        val durMs = if (byteRate > 0) dataLen * 1000L / byteRate else 0L
+        val avail = math.min(dataLen, (bytes.length - dataOff).toLong).toInt
+        val feats =
+          if (af == 1 && bits == 16 && avail >= 2) {
+            val nSamples = avail / 2
+            val step = math.max(1, nSamples / 4096)
+            var sAbs = 0.0; var s2 = 0.0; var peak = 0.0
+            var zc = 0L; var loud = 0L; var quiet = 0L; var cnt = 0L
+            var prevSign = 0
+            var i = 0
+            while (i < nSamples) {
+              val o = dataOff + i * 2
+              val s = ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort / 32768.0
+              val a = math.abs(s)
+              sAbs += a; s2 += s * s; if (a > peak) peak = a
+              val sign = java.lang.Double.compare(s, 0.0)
+              if (sign != 0 && prevSign != 0 && sign != prevSign) zc += 1
+              if (sign != 0) prevSign = sign
+              if (a > 0.5) loud += 1
+              if (a < 0.05) quiet += 1
+              cnt += 1
+              i += step
+            }
+            val n = math.max(cnt, 1L).toDouble
+            Array((sAbs / n).toFloat, math.sqrt(s2 / n).toFloat,
+              (zc / n).toFloat, peak.toFloat,
+              (loud / n).toFloat, (quiet / n).toFloat,
+              math.min(ch / 8f, 1f), math.min(durMs / 60000f, 1f))
+          } else decodeStub(java.util.Arrays.copyOfRange(
+            bytes, dataOff, dataOff + math.max(avail, 0)))
+        Some(("audio/wav", ch, rate, durMs, feats))
+      case _ => None
+    }
+  }
 
   def decodeImage(bytes: Array[Byte]): Option[(String, Int, Int, Array[Float])] = {
     if (bytes == null || bytes.length < 8 || !looksLikeImage(bytes)) return None
@@ -145,9 +215,12 @@ object Multimodal {
     * batched iterator shape, init-per-partition, no shuffle. Output
     * appends `features array<float>`. `image` rows that decode with the
     * JDK codec get REAL features and their meta replaced with the
-    * decoded mime/width/height; everything else (audio/video, fake
-    * image bytes) flows through the deterministic stub with meta
-    * untouched.
+    * decoded mime/width/height; `audio` rows that parse as RIFF/WAVE
+    * get REAL features and meta — `width` carries the channel count,
+    * `height` the sample rate, `duration_ms` the exact duration (the
+    * meta struct is modality-generic by design); everything else
+    * (video, compressed audio, fake image bytes) flows through the
+    * deterministic stub with meta untouched.
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     val outSchema = StructType(media.schema.fields :+
@@ -162,11 +235,15 @@ object Multimodal {
       val fallback: Array[Byte] => Array[Float] = decodeStub
       rows.map { r =>
         val bytes = r.get(bytesIdx).asInstanceOf[Array[Byte]]
-        val real =
-          if (r.getString(kindIdx) == "image") decodeImage(bytes) else None
+        val real = r.getString(kindIdx) match {
+          case "image" => decodeImage(bytes).map { case (mime, w, h, f) =>
+            (Row(mime, w, h, null), f) } // images have no duration
+          case "audio" => decodeWav(bytes).map { case (mime, ch, rate, ms, f) =>
+            (Row(mime, ch, rate, ms), f) }
+          case _ => None
+        }
         real match {
-          case Some((mime, w, h, feats)) =>
-            val meta = Row(mime, w, h, null) // images have no duration
+          case Some((meta, feats)) =>
             Row.fromSeq(r.toSeq.updated(metaIdx, meta) :+ feats.toSeq)
           case None =>
             Row.fromSeq(r.toSeq :+ fallback(bytes).toSeq)

@@ -325,6 +325,29 @@ object WriteOps {
     * On a real lake this writer is the piece you swap for
     * Delta/Iceberg MERGE; the op transforms above stay the spec.
     */
+  /** Object-store URI schemes where a directory rename is NOT atomic
+    * (s3a "rename" is copy+delete per object — a reader can observe a
+    * half-renamed target). The reference's s3 sink (etl_cli/etl.py:
+    * 129-133) has the same problem class; here those schemes are
+    * pinned to the marker-file protocol regardless of the flag.
+    */
+  private val NonAtomicRenameSchemes = Set(
+    "s3", "s3a", "s3n", "gs", "oss", "cos",
+    "wasb", "wasbs", "abfs", "abfss")
+
+  /** Commit-mode resolution, factored out so the object-store pin is
+    * unit-testable without the (absent-in-sandbox) connector jars:
+    * a versioned layout stays versioned; object-store schemes force
+    * versioned; otherwise the flag decides ("manifest" = legacy alias).
+    */
+  private[graft] def effectiveCommitMode(scheme: Option[String],
+                                         layoutVersioned: Boolean,
+                                         commitMode: String): String =
+    if (layoutVersioned || commitMode == "manifest" ||
+      scheme.exists(s => NonAtomicRenameSchemes.contains(s.toLowerCase)))
+      "versioned"
+    else commitMode
+
   def atomicOverwrite(spark: SparkSession, df: DataFrame, path: String,
                       partitionBy: Seq[String] = Nil,
                       maxRecordsPerFile: Long = 0,
@@ -359,8 +382,8 @@ object WriteOps {
       s"unknown commitMode: $commitMode (rename|versioned) — an " +
         "unrecognized mode must never silently downgrade atomicity")
     val layoutVersioned = Versioned.list(fs, hPath).exists(_._3)
-    val effMode =
-      if (layoutVersioned || commitMode == "manifest") "versioned" else commitMode
+    val effMode = effectiveCommitMode(
+      Option(hPath.toUri.getScheme), layoutVersioned, commitMode)
     effMode match {
       case "versioned" => // object-store-atomic commit
         fs.mkdirs(hPath)

@@ -854,6 +854,55 @@ class ExtSpec extends SparkSpec {
     assert(frames.count() > media.count()) // exploded
   }
 
+  test("multimodal: real WAV decode — header metadata exact, PCM16 features real") {
+    // synthesize a canonical 44-byte-header WAV: PCM16 mono 8 kHz,
+    // 0.5 s of a 440 Hz sine at half scale
+    def wav(rate: Int, channels: Int, seconds: Double, hz: Double): Array[Byte] = {
+      val n = (rate * seconds).toInt
+      val dataLen = n * channels * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort).putInt(rate)
+        .putInt(rate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      for (i <- 0 until n; _ <- 0 until channels)
+        bb.putShort((16384 * math.sin(2 * math.Pi * hz * i / rate)).toShort)
+      bb.array()
+    }
+    val Some((mime, ch, rate, durMs, feats)) =
+      Multimodal.decodeWav(wav(8000, 1, 0.5, 440.0))
+    assert(mime == "audio/wav" && ch == 1 && rate == 8000)
+    assert(durMs == 500L)
+    assert(feats.length == Multimodal.FeatureDim)
+    // a half-scale sine: mean |amp| ≈ 2/π · 0.5, RMS ≈ 0.5/√2, real
+    // zero crossings, peak ≈ 0.5 — the features came from the samples
+    assert(math.abs(feats(0) - 2 / math.Pi * 0.5) < 0.02, s"meanAbs ${feats(0)}")
+    assert(math.abs(feats(1) - 0.5 / math.sqrt(2)) < 0.02, s"rms ${feats(1)}")
+    assert(feats(2) > 0.05f && feats(3) > 0.45f && feats(3) <= 0.51f)
+    // stereo/rate variants round-trip the header
+    val Some((_, ch2, rate2, dur2, _)) = Multimodal.decodeWav(wav(44100, 2, 0.25, 1000.0))
+    assert(ch2 == 2 && rate2 == 44100 && math.abs(dur2 - 250L) <= 1L)
+    // non-WAV bytes refuse
+    assert(Multimodal.decodeWav("RIFFxxxxJUNK".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodeWav(Array.fill[Byte](100)(7)).isEmpty)
+    // end-to-end through extractFeatures: audio meta replaced with the
+    // decoded channels/rate/duration, features from the PCM path
+    val rows = Seq((1L, "audio", wav(8000, 1, 0.5, 440.0)),
+      (2L, "audio", "not audio at all".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "bytes")
+      .withColumn("meta", struct(lit("application/x-fake").as("mime"),
+        lit(0).as("width"), lit(0).as("height"), lit(0L).as("duration_ms")))
+    val out = Multimodal.extractFeatures(spark, rows).orderBy("media_id")
+      .select("meta.mime", "meta.width", "meta.height", "meta.duration_ms")
+      .collect()
+    assert(out(0).getString(0) == "audio/wav" && out(0).getInt(1) == 1 &&
+      out(0).getInt(2) == 8000 && out(0).getLong(3) == 500L)
+    assert(out(1).getString(0) == "application/x-fake") // stub fallback, meta untouched
+  }
+
   test("multimodal: real JDK resize scales big images, passes the rest through") {
     def png(w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h,

@@ -136,6 +136,58 @@ class SourcesSpec extends SparkSpec {
         """"tag": {"$in": ["a", "b"]}, "score": {"$gte": 1.5, "$lte": 2}}}]""")
   }
 
+  test("connector pushdown: the full F2 suffix table compiles per documented mapping") {
+    // one row per query-DSL op: (query pair, expected mongo $match
+    // fragment or None = engine-side only, expected es bool fragment
+    // or None). Over-inclusion is safe (the engine re-applies every
+    // predicate); the Nones document deliberate non-pushes.
+    val table: Seq[((String, String), Option[String], Option[String])] = Seq(
+      ("f" -> "x", Some(""""f": "x""""), Some("""{"term": {"f": "x"}}""")),
+      ("f__eq" -> "1", Some(""""f": 1"""), Some("""{"term": {"f": 1}}""")),
+      ("f__ne" -> "x", Some(""""f": {"$ne": "x"}"""),
+        Some("""{"term": {"f": "x"}}""")), // lands in must_not
+      ("f__gt" -> "3", Some(""""f": {"$gt": 3}"""), Some("""{"range": {"f": {"gt": 3}}}""")),
+      ("f__gte" -> "3", Some(""""f": {"$gte": 3}"""), Some("""{"range": {"f": {"gte": 3}}}""")),
+      ("f__lt" -> "3", Some(""""f": {"$lt": 3}"""), Some("""{"range": {"f": {"lt": 3}}}""")),
+      ("f__lte" -> "3", Some(""""f": {"$lte": 3}"""), Some("""{"range": {"f": {"lte": 3}}}""")),
+      ("f__in" -> "a,b", Some(""""f": {"$in": ["a", "b"]}"""),
+        Some("""{"terms": {"f": ["a", "b"]}}""")),
+      ("f__nin" -> "a,b", Some(""""f": {"$nin": ["a", "b"]}"""),
+        Some("""{"terms": {"f": ["a", "b"]}}""")), // must_not
+      ("f__exists" -> "1", Some(""""f": {"$exists": true}"""),
+        Some("""{"exists": {"field": "f"}}""")),
+      // negative exists NEVER pushes: store "missing" ≠ engine isNull
+      ("f__exists" -> "0", None, None),
+      ("f__regex" -> "^a.*b$", Some(""""f": {"$regex": "^a.*b$"}"""), None),
+      ("f__between" -> "1,9", Some(""""f": {"$gte": 1, "$lte": 9}"""),
+        Some("""{"range": {"f": {"gte": 1, "lte": 9}}}""")),
+      // string ops + null-safe eq variants stay engine-side everywhere
+      ("f__contains" -> "x", None, None),
+      ("f__startswith" -> "x", None, None),
+      ("f__endswith" -> "x", None, None),
+      ("f__nse" -> "x", None, None),
+      ("f__nsne" -> "x", None, None),
+      // control keys never push
+      ("_limit" -> "5", None, None),
+      ("_sort" -> "f", None, None))
+    for ((pair, mongoFrag, esFrag) <- table) {
+      val mp = Resolver.mongoPipeline(Seq(pair))
+      mongoFrag match {
+        case Some(frag) => assert(mp.contains(frag), s"mongo $pair: $mp")
+        case None => assert(mp == "[]", s"mongo $pair must not push: $mp")
+      }
+      val eq = Resolver.esQuery(Seq(pair))
+      esFrag match {
+        case Some(frag) => assert(eq.contains(frag), s"es $pair: $eq")
+        case None => assert(eq == """{"query": {"match_all": {}}}""",
+          s"es $pair must not push: $eq")
+      }
+    }
+    // direction check: ne/nin sit in must_not, not filter
+    val neq = Resolver.esQuery(Seq("f__ne" -> "x"))
+    assert(neq.contains("must_not") && !neq.contains("filter"))
+  }
+
   test("S3 es connector options: bool filter/must_not query mapping") {
     val (fmt, opts) = Resolver.connectorOptions(
       graft.spec.DatasetRef("es", "logs", "events"),

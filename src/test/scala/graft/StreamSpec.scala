@@ -118,6 +118,38 @@ class StreamSpec extends SparkSpec {
     assert(out.head.getDouble(2) == 1.0) // identical text → jaccard 1
   }
 
+  test("law: streaming near-dup vs static index ≡ batch incrementMatches at sf0.01") {
+    import graft.ext.TextDedup
+    val dir = Files.createTempDirectory("graft_ndlaw").toString
+    val docs = sf("documents")
+    val old = docs.filter($"doc_id" < 400)
+    // batch = the sf0.01 tail + one guaranteed index near-dup (doc 0's
+    // text under a fresh id) so the law can never pass vacuously
+    val batch = docs.filter($"doc_id" >= 400).unionByName(
+      docs.filter($"doc_id" === 0).withColumn("doc_id", lit(99999L)))
+    val oldSh = TextDedup.shingleTable(old, "doc_id", "text", 3)
+    val oldBk = TextDedup.bucketTable(oldSh)
+    // batch twin, restricted to index matches: old ids sort below new
+    // ones, and incrementMatches reports the SMALLEST matching seen id,
+    // so "matches the index at all" ⟺ dup_of < 400
+    val batchIds = TextDedup.incrementMatches(batch, oldSh, oldBk,
+      "doc_id", "text").filter($"dup_of" < 400)
+      .select("id").as[Long].collect().toSet
+    batch.withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .write.parquet(s"$dir/docs.parquet")
+    StreamRunner.runAvailableNow(spark,
+      StreamRunner.readStream(spark, DatasetRef("parquet", dir, "docs")),
+      df => StreamRunner.nearDupStream(df, oldSh, oldBk, "doc_id", "text", "ts"),
+      s"$dir/out", s"$dir/ckp")
+    val out = spark.read.parquet(s"$dir/out")
+    val streamIds = out.select("id").as[Long].collect().toSet
+    assert(streamIds == batchIds, // the law: same flagged-id set
+      s"stream-only=${(streamIds -- batchIds).take(5)} batch-only=${(batchIds -- streamIds).take(5)}")
+    assert(streamIds.contains(99999L) && streamIds.nonEmpty)
+    // every streamed match is exact-verified at the threshold
+    assert(out.agg(min("jaccard")).as[Double].head() >= 0.8)
+  }
+
   test("streaming exact dedup drops duplicate keys within the watermark") {
     val dir = Files.createTempDirectory("graft_dstream").toString
     val src = s"$dir/ev.parquet"; val tgt = s"$dir/dedup"; val ckp = s"$dir/ckp3"

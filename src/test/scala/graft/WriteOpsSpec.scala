@@ -308,6 +308,22 @@ class WriteOpsSpec extends SparkSpec {
     }
   }
 
+  test("object-store schemes force the versioned commit protocol") {
+    // s3/s3a & friends: dir rename is copy+delete, not atomic — the
+    // marker protocol must be selected regardless of the flag
+    for (s <- Seq("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "oss"))
+      assert(WriteOps.effectiveCommitMode(Some(s), layoutVersioned = false,
+        commitMode = "rename") == "versioned", s"scheme $s must pin versioned")
+    assert(WriteOps.effectiveCommitMode(Some("S3A"), false, "rename") == "versioned")
+    // local/HDFS schemes honor the flag
+    assert(WriteOps.effectiveCommitMode(Some("file"), false, "rename") == "rename")
+    assert(WriteOps.effectiveCommitMode(None, false, "rename") == "rename")
+    assert(WriteOps.effectiveCommitMode(Some("hdfs"), false, "versioned") == "versioned")
+    // versioned layout is sticky; "manifest" is the legacy alias
+    assert(WriteOps.effectiveCommitMode(Some("file"), true, "rename") == "versioned")
+    assert(WriteOps.effectiveCommitMode(None, false, "manifest") == "versioned")
+  }
+
   test("update extends schema with new source columns (mongo $set)") {
     val b = Seq((2L, "x-new")).toDF("id", "extra")
     val out = WriteOps.update(target, b, Seq("id"))
