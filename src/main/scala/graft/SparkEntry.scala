@@ -566,21 +566,21 @@ object SparkEntry {
     "q_corpus_prep" -> ((s, dir) => {
       import graft.ext.{TextAnalysis, TextDedup}
       val docs = read(s, dir, "documents")
-      // persist: the scored+filtered frame feeds the shingle pipeline,
-      // AND the final keep-side anti-join — without it the single-pass
-      // text-stats expression re-evaluates per branch
+      // checkpoint the scored+filtered frame ONCE: it feeds the shingle
+      // pipeline AND the final keep-side anti-join — without a
+      // materialization point the single-pass text-stats expression
+      // re-evaluates per branch. localCheckpoint (not persist) keeps
+      // the returned plan LAZY: the runner's noop write computes only
+      // the anti-join from the checkpointed blocks instead of a second
+      // full materialization of an eagerly-checkpointed result (blocks
+      // release with the RDD on GC; nothing stays pinned per call)
       val scored = TextAnalysis.analyzeWithQuality(docs)
         .filter(col("lang_id") === "en" && col("quality") >= 0.7)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val deduped = TextDedup.dedupCorpus(scored, "doc_id", "text", 3, 0.8)
-      // materialize the (small) final corpus, then release the pinned
-      // scored frame — otherwise every invocation leaks a cached copy
-      val out = deduped
+      deduped
         .select("doc_id", "lang_id", "quality", "bpe_tokens", "n_chars")
         .orderBy("doc_id")
-        .localCheckpoint(true)
-      scored.unpersist()
-      out
     }),
 
     // ── [EXT] §2.10 multimodal plumbing: decode + meta (meta is
