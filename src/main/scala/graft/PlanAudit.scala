@@ -19,7 +19,9 @@ object PlanAudit {
       "q_dedup_substr", "q_sample_topk", "q_sample_stratum",
       "q_token_budget", "q_dedup_embed", "q_quality_filter",
       "q_range_join", "q_encode", "q_dsir_select",
-      "q_dedup_incr", "q_lm2_score", "q_report")) {
+      "q_dedup_incr", "q_lm2_score", "q_report",
+      "q_mix_temperature", "q_embed_quant", "q_dedup_keep_best",
+      "q_dedup_simhash_port", "q_ann_ivf_exact", "q_ann_pq_refined_exact")) {
       val df = SparkEntry.queries(name)(spark, dir)
       // execute first: under AQE the pre-execution plan prints
       // isFinalPlan=false with no WholeStageCodegen spans — only the

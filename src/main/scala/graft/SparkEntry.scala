@@ -264,6 +264,22 @@ object SparkEntry {
       graft.ext.TextDedup.dedupCorpus(read(s, dir, "documents"),
         "doc_id", "text", n = 3, threshold = 0.8).orderBy("doc_id")),
 
+    // ── [EXT] §2.10 corpus dedup keeping the BEST copy per cluster
+    // (here: longest by n_chars, ties → smallest id) ───────────────────
+    "q_dedup_keep_best" -> ((s, dir) =>
+      graft.ext.TextDedup.dedupCorpusKeepBest(read(s, dir, "documents"),
+        "doc_id", "text", scoreCol = "n_chars", n = 3, threshold = 0.8)
+        .orderBy("doc_id")),
+
+    // ── [EXT] §2.10 int8 embedding quantization (codes serialized for
+    // the array-blind verifier; scale rounded for float portability) ──
+    "q_embed_quant" -> ((s, dir) =>
+      graft.ext.Similarity.quantizeEmbeddings(read(s, dir, "embeddings"),
+        "vec_id", "embedding")
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          array_join(col("codes").cast("array<string>"), ",").as("codes"))
+        .orderBy("vec_id")),
+
     // ── [EXT] §2.10 benchmark decontamination: drop corpus docs that
     // share 5-gram shingles with the (broadcast) benchmark set ────────
     "q_decontaminate" -> ((s, dir) => {
@@ -633,6 +649,21 @@ object SparkEntry {
         .select("doc_id", "source", "copy")
         .orderBy("doc_id", "copy")),
 
+    // ── [EXT] §2.10 temperature resampling: alpha=0.5 source
+    // re-balance (multiplier = p^α-normalized share / natural share,
+    // md5-coin fractional copies) ─────────────────────────────────────
+    // (the synthetic corpus is source-uniform, where alpha is a no-op —
+    // the filter manufactures a 25-vs-5 docs/source skew so both the
+    // upsample and downsample coin paths actually run)
+    "q_mix_temperature" -> ((s, dir) =>
+      graft.ext.CorpusOps.temperatureSample(
+        read(s, dir, "documents").filter(
+          col("source").isin("src0", "src1", "src2", "src3", "src4") ||
+            col("doc_id") % 5 === 0),
+        "doc_id", "source", alpha = 0.5)
+        .select("doc_id", "source", "copy")
+        .orderBy("doc_id", "copy")),
+
     // ── [EXT] §2.10 deterministic training-order shuffle ──────────────
     "q_shuffle" -> ((s, dir) =>
       graft.ext.CorpusOps.shuffleRank(read(s, dir, "documents"), "doc_id")
@@ -989,6 +1020,45 @@ object SparkEntry {
          FROM documents d LEFT JOIN minl ON d.doc_id = minl.id
          WHERE minl.id IS NULL OR minl.label = d.doc_id
          ORDER BY d.doc_id""",
+    // keep-best dedup: q_dedup_corpus's closure + per-cluster argmax
+    // (n_chars DESC, doc_id ASC) instead of min-id keeper
+    "q_dedup_keep_best" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                                      x -> x <> '') AS t
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, unnest(CASE WHEN len(t) >= 3
+             THEN [t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                   FOR i IN range(len(t) - 2)]
+             ELSE [] END) AS s
+           FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b FROM common
+           JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+           WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+         minl AS (SELECT a AS id, least(a, min(b)) AS label FROM reach GROUP BY a),
+         lab AS (
+           SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
+                  coalesce(minl.label, d.doc_id) AS label
+           FROM documents d LEFT JOIN minl ON d.doc_id = minl.id),
+         win AS (
+           SELECT doc_id, row_number() OVER (PARTITION BY label
+                    ORDER BY n_chars DESC, doc_id) AS rk
+           FROM lab)
+         SELECT l.doc_id, l.text, l.lang, l.source, l.n_chars
+         FROM lab l JOIN win ON l.doc_id = win.doc_id AND win.rk = 1
+         ORDER BY l.doc_id""",
     "q_text_stats" -> TextStatsOracle,
     "q_quality_filter" ->
       """WITH t AS (
@@ -1495,6 +1565,46 @@ object SparkEntry {
            FROM h)
          SELECT doc_id, source, unnest(range(1, copies + 1)) AS "copy"
          FROM c ORDER BY doc_id, "copy"""",
+    // temperature resampling, alpha=0.5: multiplier per source =
+    // (p^α/Σp^α)/p capped at 100; same md5-coin fractional copies as
+    // q_mix_sample. z sums in sorted-source order (list_sum of an
+    // ordered list) to mirror the engine's deterministic fold; pow/
+    // last-ulp divergence could only flip a coin whose 32-bit hash
+    // equals the cutoff boundary (~1e-7 odds — q_dedup_minhash-class
+    // caveat), green at both test scales.
+    "q_mix_temperature" ->
+      """WITH docs AS (
+           SELECT * FROM documents
+           WHERE source IN ('src0','src1','src2','src3','src4') OR doc_id % 5 = 0),
+         c AS (SELECT source, count(*)::BIGINT AS cnt FROM docs GROUP BY source),
+         t AS (SELECT sum(cnt)::DOUBLE AS n FROM c),
+         w AS (SELECT source, cnt / n AS p, pow(cnt / n, 0.5) AS pa FROM c, t),
+         z AS (SELECT list_sum(list(pa ORDER BY source)) AS z FROM w),
+         m AS (SELECT source, least(pa / z / p, 100.0) AS mult FROM w, z),
+         d AS (SELECT doc_id, dd.source, mult,
+                      CAST(('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS coin
+               FROM docs dd JOIN m USING (source)),
+         e AS (SELECT doc_id, source,
+                      CAST(floor(mult) AS BIGINT) +
+                      CASE WHEN coin < CAST(floor((mult - floor(mult)) * 4294967296) AS BIGINT)
+                           THEN 1 ELSE 0 END AS copies
+               FROM d)
+         SELECT doc_id, source, unnest(range(1, copies + 1)) AS "copy"
+         FROM e WHERE copies >= 1 ORDER BY doc_id, "copy"""",
+    // int8 quantization: floor(x/s + 0.5) is bit-identical across
+    // engines (exact IEEE division/addition; floor, not round)
+    "q_embed_quant" ->
+      """WITH d AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         s AS (SELECT vec_id, emb,
+                 CASE WHEN list_max(list_transform(emb, x -> abs(x))) > 0
+                      THEN list_max(list_transform(emb, x -> abs(x))) / 127.0
+                      ELSE 1.0 END AS sc
+               FROM d)
+         SELECT vec_id, round(sc, 6) AS scale,
+                list_aggr(list_transform(emb, x ->
+                  CAST(CAST(greatest(-127.0, least(127.0, floor(x / sc + 0.5))) AS BIGINT) AS VARCHAR)),
+                  'string_agg', ',') AS codes
+         FROM s ORDER BY vec_id""",
     "q_shuffle" ->                     // rank in md5('graft:'||id) order, 1-based
       """SELECT doc_id,
                 cast(row_number() OVER (

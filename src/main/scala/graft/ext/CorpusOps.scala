@@ -254,6 +254,38 @@ object CorpusOps {
         .otherwise(array().cast("array<bigint>"))))
   }
 
+  /** Temperature-based source re-balancing — the multilingual LLM data
+    * recipe (alpha-scaled sampling, e.g. XLM-R's alpha 0.3): source s
+    * with natural share p_s gets target share q_s = p_s^alpha / Σp^alpha,
+    * so each row of s carries multiplier m_s = q_s / p_s (expected
+    * corpus size is preserved: Σ p_s·m_s = 1). alpha = 1 is the
+    * identity; alpha → 0 flattens toward uniform shares, upsampling
+    * rare sources — `maxMultiplier` caps the duplication blow-up.
+    * Fractional multipliers resolve through [[mixtureSample]]'s
+    * deterministic md5 coins.
+    *
+    * Scale shape: ONE map-side-combinable count agg collected to the
+    * driver (bounded by the number of sources, not rows), then the
+    * stateless mixtureSample projection. The share math sums in sorted
+    * source order so the oracle can replicate it bit-for-bit.
+    */
+  def temperatureSample(df: DataFrame, keyCol: String, sourceCol: String,
+                        alpha: Double, maxMultiplier: Double = 100.0): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"temperatureSample: need 0 < alpha <= 1, got $alpha")
+    require(maxMultiplier >= 1, s"temperatureSample: maxMultiplier must be >= 1")
+    val counts = df.groupBy(col(sourceCol).cast("string").as("__s__"))
+      .agg(count(lit(1)).as("__n__"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1) // deterministic float-sum order (oracle replicates)
+    val n = counts.map(_._2).sum.toDouble
+    val pa = counts.map { case (s, c) => s -> math.pow(c / n, alpha) }
+    val z = pa.map(_._2).sum
+    val weights = counts.zip(pa).map { case ((s, c), (_, a)) =>
+      s -> math.min(a / z / (c / n), maxMultiplier)
+    }.toMap
+    mixtureSample(df, keyCol, sourceCol, weights, defaultWeight = 0.0)
+  }
+
   /** Deterministic global training-order shuffle: rank every row by
     * md5(seed:key) — a reproducible random permutation (change `seed`
     * for a new epoch order). Ranks come from the distributed

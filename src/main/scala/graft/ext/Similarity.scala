@@ -29,6 +29,35 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorExprs.vecCosine(a, b)
 
+  /** Scalar int8 embedding quantization — the standard 4× memory/IO
+    * compression before ANN serving (float32 → int8 + one float scale
+    * per vector). Symmetric per-vector scale s = max|x| / 127; codes
+    * are floor(x/s + 0.5) clamped to ±127. floor(+0.5) rather than
+    * round(): floor is bit-identical across Spark and DuckDB, so the
+    * whole code table is oracle-checkable (x/s and +0.5 are exact IEEE
+    * ops on both engines). The all-zero vector gets scale 1 (all-zero
+    * codes). Output: (idCol, scale double, codes array<int>); pure
+    * projection, no shuffle — at 100 TB this runs as a scan.
+    */
+  def quantizeEmbeddings(df: DataFrame, idCol: String,
+                         vecCol: String): DataFrame = {
+    val absMax = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    val scale = when(absMax > 0, absMax / 127.0).otherwise(lit(1.0))
+    df.select(col(idCol), scale.as("scale"),
+      transform(col(vecCol), x =>
+        greatest(lit(-127L), least(lit(127L),
+          floor(x.cast("double") / scale + 0.5))).cast("int")).as("codes"))
+  }
+
+  /** Inverse of [[quantizeEmbeddings]]: codes·scale as array<float>.
+    * Lossy by design; the spec law bounds cosine(dequant, original).
+    */
+  def dequantizeEmbeddings(df: DataFrame, codesCol: String = "codes",
+                           scaleCol: String = "scale",
+                           outCol: String = "embedding"): DataFrame =
+    df.withColumn(outCol,
+      transform(col(codesCol), c => (c * col(scaleCol)).cast("float")))
+
   /** Brute-force top-k by cosine: every query vector against the whole
     * corpus. `queries` is broadcast (must be small); ties broken by
     * corpus id for determinism.

@@ -480,6 +480,30 @@ object TextDedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[dedupCorpus]] keeping the BEST row per near-dup cluster — by a
+    * caller-chosen score column (descending; ties → smallest id) —
+    * instead of the smallest id. The production choice when near-dups
+    * differ in quality: keep the longest / cleanest / highest-scored
+    * copy. Same pairs → connected-components machinery; the winner
+    * select is one window over cluster labels (clusters are tiny — the
+    * window partitions by label, never globally).
+    */
+  def dedupCorpusKeepBest(df: DataFrame, idCol: String, textCol: String,
+                          scoreCol: String, n: Int = 3,
+                          threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minhashPairs(df, idCol, textCol, n, threshold)
+    val comps = components(pairs).withColumnRenamed("id", "__cid__")
+    // singletons (never in any pair) are their own cluster
+    val labeled = df.join(comps, col(idCol) === col("__cid__"), "left")
+      .withColumn("__label__", coalesce(col("label"), col(idCol)))
+    val w = Window.partitionBy("__label__")
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    labeled.withColumn("__rk__", row_number().over(w))
+      .filter(col("__rk__") === 1)
+      .drop("__cid__", "label", "__label__", "__rk__")
+  }
+
   /** Benchmark decontamination ([EXT]): corpus docs sharing at least
     * `minHits` distinct word n-gram shingles with ANY benchmark doc
     * are contaminated — the standard guard against eval data leaking

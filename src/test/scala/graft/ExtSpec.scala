@@ -380,6 +380,75 @@ class ExtSpec extends SparkSpec {
     assert(ex.getMessage.contains("ksub"))
   }
 
+  test("temperatureSample: alpha=1 identity; alpha<1 flattens source shares") {
+    import graft.ext.CorpusOps
+    // skewed corpus: src_big 200 docs, src_small 10
+    val d = ((0 until 200).map(i => (i.toLong, "src_big")) ++
+      (200 until 210).map(i => (i.toLong, "src_small")))
+      .toDF("doc_id", "source")
+    // alpha = 1: every multiplier is exactly 1 → identity with copy=1
+    val id = CorpusOps.temperatureSample(d, "doc_id", "source", alpha = 1.0)
+    assert(id.count() == 210 && id.agg(max("copy")).as[Long].head() == 1L)
+    // alpha = 0.3: rare source upsampled, dominant source downsampled
+    val t = CorpusOps.temperatureSample(d, "doc_id", "source", alpha = 0.3)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(t("src_small") > 10, s"rare source not upsampled: $t")
+    assert(t("src_big") < 200, s"dominant source not downsampled: $t")
+    // expected total preserved (md5 coins ⇒ near, not exact)
+    val total = t.values.sum
+    assert(math.abs(total - 210L) < 60, s"total drifted: $total")
+    // deterministic
+    val t2 = CorpusOps.temperatureSample(d, "doc_id", "source", alpha = 0.3)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(t == t2)
+    intercept[IllegalArgumentException](
+      CorpusOps.temperatureSample(d, "doc_id", "source", alpha = 0.0))
+  }
+
+  test("int8 quantization: codes bounded, round-trip cosine ≈ 1, zero vector safe") {
+    val e = sf("embeddings").limit(100)
+    val q = Similarity.quantizeEmbeddings(e, "vec_id", "embedding")
+    assert(q.columns.toSeq == Seq("vec_id", "scale", "codes"))
+    val bounds = q.select(array_max(col("codes")).as("mx"), array_min(col("codes")).as("mn"))
+      .agg(max("mx"), min("mn")).as[(Int, Int)].head()
+    assert(bounds._1 <= 127 && bounds._2 >= -127)
+    // every vector's max |code| is exactly 127 (symmetric scale is tight)
+    assert(q.filter(greatest(array_max(col("codes")), -array_min(col("codes"))) =!= 127)
+      .count() == 0)
+    // dequantized cosine vs the original ≥ 0.999 for every row
+    val back = Similarity.dequantizeEmbeddings(q, outCol = "deq")
+      .join(e, "vec_id")
+      .select(Similarity.cosine(col("deq"), col("embedding")).as("c"))
+    assert(back.agg(min("c")).as[Double].head() >= 0.999)
+    // all-zero vector: scale 1, all-zero codes (no div-by-zero)
+    val z = Seq((1L, Array.fill(8)(0f))).toDF("vec_id", "embedding")
+    val zq = Similarity.quantizeEmbeddings(z, "vec_id", "embedding")
+      .select("scale", "codes").as[(Double, Seq[Int])].head()
+    assert(zq._1 == 1.0 && zq._2.forall(_ == 0))
+  }
+
+  test("dedupCorpusKeepBest: keeps the highest-scored copy per cluster") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today", 10L),
+      (2L, "the quick brown fox jumps over the lazy dog today", 99L), // best dup
+      (3L, "the quick brown fox jumps over the lazy dog today", 50L),
+      (4L, "completely different content about entirely other things", 5L))
+      .toDF("doc_id", "text", "score")
+    val kept = TextDedup.dedupCorpusKeepBest(d, "doc_id", "text", "score")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L)) // highest score wins; singleton survives
+    // tie on score → smallest id
+    val tied = d.withColumn("score", lit(7L))
+    assert(TextDedup.dedupCorpusKeepBest(tied, "doc_id", "text", "score")
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 4L))
+    // min-id semantics recovered with score = -id
+    val asMin = TextDedup.dedupCorpusKeepBest(
+      d.withColumn("score", -col("doc_id")), "doc_id", "text", "score")
+      .select("doc_id").as[Long].collect().toSet
+    assert(asMin == TextDedup.dedupCorpus(d, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet)
+  }
+
   test("cosine + bruteTopK: self-similarity 1, ranks ordered") {
     val e = sf("embeddings")
     val q = e.filter($"vec_id" < 3)
