@@ -21,7 +21,8 @@ object PlanAudit {
       "q_range_join", "q_encode", "q_dsir_select",
       "q_dedup_incr", "q_lm2_score", "q_report",
       "q_mix_temperature", "q_embed_quant", "q_dedup_keep_best",
-      "q_dedup_simhash_port", "q_ann_ivf_exact", "q_ann_pq_refined_exact")) {
+      "q_dedup_simhash_port", "q_ann_ivf_exact", "q_ann_pq_refined_exact",
+      "q_dedup_containment", "q_ann_quant")) {
       val df = SparkEntry.queries(name)(spark, dir)
       // execute first: under AQE the pre-execution plan prints
       // isFinalPlan=false with no WholeStageCodegen spans — only the

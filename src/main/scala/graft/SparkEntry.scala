@@ -240,6 +240,12 @@ object SparkEntry {
       graft.ext.TextDedup.jaccardPairs(read(s, dir, "documents"),
         "doc_id", "text", n = 3, threshold = 0.8).orderBy("id_a", "id_b")),
 
+    // ── [EXT] §2.10 near-SUBSET pairs: max containment ≥ 0.8 —
+    // catches excerpt/boilerplate copies Jaccard under-scores ─────────
+    "q_dedup_containment" -> ((s, dir) =>
+      graft.ext.TextDedup.containmentPairs(read(s, dir, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.8).orderBy("id_a", "id_b")),
+
     // ── [EXT] §2.10 MinHash+LSH near-dup pairs (exact-verified) ───────
     "q_dedup_minhash" -> ((s, dir) =>
       graft.ext.TextDedup.minhashPairs(read(s, dir, "documents"),
@@ -279,6 +285,16 @@ object SparkEntry {
         .select(col("vec_id"), round(col("scale"), 6).as("scale"),
           array_join(col("codes").cast("array<string>"), ",").as("codes"))
         .orderBy("vec_id")),
+
+    // ── [EXT] §2.10 ANN over the int8-quantized corpus: scales cancel
+    // in cosine, so search runs on the 4×-smaller code table ──────────
+    "q_ann_quant" -> ((s, dir) => {
+      val e = read(s, dir, "embeddings")
+      val coded = graft.ext.Similarity.quantizeEmbeddings(e, "vec_id", "embedding")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      graft.ext.Similarity.bruteTopKQuantized(q, coded, 5).orderBy("q_id", "rank")
+    }),
 
     // ── [EXT] §2.10 benchmark decontamination: drop corpus docs that
     // share 5-gram shingles with the (broadcast) benchmark set ────────
@@ -930,6 +946,33 @@ object SparkEntry {
          WHERE d.doc_id >= 20 AND d.doc_id NOT IN (SELECT doc_id FROM hits)
          ORDER BY d.doc_id""",
     "q_dedup_minhash" -> JaccardOracle, // LSH recall ≈ 1 at j ≥ 0.8 ⇒ same result
+    // containment twin of JaccardOracle: same shingle CTEs, the
+    // denominator is min(|A|,|B|) instead of the union
+    "q_dedup_containment" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                              x -> x <> '') AS t
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id,
+                  unnest(CASE WHEN len(t) >= 3
+                    THEN [t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                          FOR i IN range(len(t) - 2)]
+                    ELSE [] END) AS s
+           FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                round(c * 1.0 / least(sa.n, sb.n), 4) AS containment
+         FROM common
+         JOIN sizes sa ON id_a = sa.doc_id
+         JOIN sizes sb ON id_b = sb.doc_id
+         WHERE c * 1.0 / least(sa.n, sb.n) >= 0.8
+         ORDER BY id_a, id_b""",
     // brute-force 60-bit md5-portable SimHash: per-token hash =
     // first 15 md5 hex digits; per-bit ±1 votes, sign → bit — the
     // exact mirror of TextDedup.simhashPortable. Blocked Spark mine
@@ -1591,6 +1634,27 @@ object SparkEntry {
                FROM d)
          SELECT doc_id, source, unnest(range(1, copies + 1)) AS "copy"
          FROM e WHERE copies >= 1 ORDER BY doc_id, "copy"""",
+    // quantized ANN: the code table (bit-identical, see q_embed_quant)
+    // replaces the float corpus inside the q_ann_topk shape
+    "q_ann_quant" ->
+      """WITH d AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         s AS (SELECT vec_id, emb,
+                 CASE WHEN list_max(list_transform(emb, x -> abs(x))) > 0
+                      THEN list_max(list_transform(emb, x -> abs(x))) / 127.0
+                      ELSE 1.0 END AS sc
+               FROM d),
+         c AS (SELECT vec_id,
+                 list_transform(emb, x -> greatest(-127.0, least(127.0, floor(x / sc + 0.5)))) AS codes
+               FROM s),
+         q AS (SELECT vec_id, emb FROM d WHERE vec_id < 5)
+         SELECT q_id, vec_id, sim, rank FROM (
+           SELECT q.vec_id AS q_id, c.vec_id,
+                  round(list_cosine_similarity(q.emb, c.codes), 4) AS sim,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(q.emb, c.codes) DESC,
+                             c.vec_id) AS rank
+           FROM q JOIN c ON q.vec_id <> c.vec_id)
+         WHERE rank <= 5 ORDER BY q_id, rank""",
     // int8 quantization: floor(x/s + 0.5) is bit-identical across
     // engines (exact IEEE division/addition; floor, not round)
     "q_embed_quant" ->

@@ -58,6 +58,21 @@ object Similarity {
     df.withColumn(outCol,
       transform(col(codesCol), c => (c * col(scaleCol)).cast("float")))
 
+  /** Top-k by cosine over an int8-QUANTIZED corpus
+    * ([[quantizeEmbeddings]] output): cosine is per-vector
+    * scale-invariant, so the corpus scales cancel and the whole search
+    * runs on the 4×-smaller code table — float queries join int codes
+    * directly, no dequantization pass. The spec law bounds recall@k vs
+    * the float brute; sim values carry the (tiny) quantization error.
+    */
+  def bruteTopKQuantized(queries: DataFrame, coded: DataFrame, k: Int,
+                         qId: String = "q_id", qVec: String = "q_vec",
+                         cId: String = "vec_id",
+                         codesCol: String = "codes"): DataFrame =
+    bruteTopK(queries,
+      coded.withColumn("__fc__", col(codesCol).cast("array<float>")),
+      k, qId, qVec, cId, "__fc__")
+
   /** Brute-force top-k by cosine: every query vector against the whole
     * corpus. `queries` is broadcast (must be small); ties broken by
     * corpus id for determinism.

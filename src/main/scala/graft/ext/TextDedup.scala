@@ -175,6 +175,51 @@ object TextDedup {
     out
   }
 
+  /** Near-SUBSET detection: pairs whose max containment
+    * max(|A∩B|/|A|, |A∩B|/|B|) = |A∩B| / min(|A|,|B|) clears the
+    * threshold — catches boilerplate-padded or excerpted copies whose
+    * Jaccard dives below threshold because one side is much larger
+    * (containment ≥ Jaccard always). Candidates come from probing each
+    * doc's prefix (the Bayardo bound is valid only on the PROBING
+    * side, so the prefix joins the FULL posting list, not the other
+    * prefix: if C(A→B) ≥ t then ≥ t·|A| of A's shingles are in B, and
+    * A's (|A|−⌈t·|A|⌉+1)-prefix must hit one of them); exact
+    * merge-intersect verify. Output (id_a, id_b, containment),
+    * id_a < id_b. Same stop-shingle skew caveat as [[jaccardPairs]].
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorExprs.sortedIntersectSize
+    val docs = hashedDocs(df, idCol, textCol, n)
+    val sh = docs.select(col("id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("s"))
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("dfc"))
+    val w = Window.partitionBy("id").orderBy(col("dfc").asc, col("s").asc)
+    val prefix = sh.join(dfreq, "s")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select(col("id"), col("s"))
+    val cand = prefix.as("x")
+      .join(sh.select(col("id"), col("s")).as("y"), Seq("s"))
+      .filter(col("x.id") =!= col("y.id"))
+      .select(least(col("x.id"), col("y.id")).as("id_a"),
+        greatest(col("x.id"), col("y.id")).as("id_b"))
+      .distinct()
+    val out = cand
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("c", sortedIntersectSize(col("sh_a"), col("sh_b")))
+      .withColumn("containment",
+        col("c").cast("double") / least(size(col("sh_a")), size(col("sh_b"))))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 4).as("containment"))
+      .localCheckpoint(eager = true)
+    docs.unpersist()
+    out
+  }
+
   /** k MinHash values from a STAGED base-hash array attribute, as k
     * separate columns. Each string shingle is hashed once (xxhash64);
     * the k "permutations" are odd-multiplier linear maps over Z/2⁶⁴ (a

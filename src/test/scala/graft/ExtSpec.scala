@@ -380,6 +380,48 @@ class ExtSpec extends SparkSpec {
     assert(ex.getMessage.contains("ksub"))
   }
 
+  test("containmentPairs: near-subset found where Jaccard misses; superset of jaccard ids") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val d = Seq(
+      (1L, base),                                   // the excerpt source
+      (2L, base + " " + ("pad%d word ".format(0) * 1) +
+        "uniform victor whiskey xray yankee zulu one two three four five six " +
+        "seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+      (3L, "entirely unrelated content speaking about other matters entirely " +
+        "with many different words and no overlap at all in any shingle"))
+      .toDF("doc_id", "text")
+    val cont = TextDedup.containmentPairs(d, "doc_id", "text", n = 3, threshold = 0.8)
+      .as[(Long, Long, Double)].collect()
+    // doc 1 is fully contained in doc 2 → containment 1.0
+    assert(cont.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
+    assert(cont.head._3 == 1.0)
+    // ...but Jaccard misses it (union is ~2× the excerpt)
+    assert(TextDedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.8)
+      .count() == 0)
+    // on the corpus: containment pairs ⊇ jaccard pairs (c/min ≥ c/union)
+    val docs = sf("documents").limit(300)
+    val cIds = TextDedup.containmentPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val jIds = TextDedup.jaccardPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(jIds.subsetOf(cIds))
+  }
+
+  test("bruteTopKQuantized: int8 search recalls the float brute top-k") {
+    val e = sf("embeddings")
+    val coded = Similarity.quantizeEmbeddings(e, "vec_id", "embedding")
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val exact = Similarity.bruteTopK(q, e, 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val quant = Similarity.bruteTopKQuantized(q, coded, 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.9, f"int8 recall@5 $recall%.3f < 0.9")
+    assert(quant.size == exact.size)
+  }
+
   test("temperatureSample: alpha=1 identity; alpha<1 flattens source shares") {
     import graft.ext.CorpusOps
     // skewed corpus: src_big 200 docs, src_small 10
