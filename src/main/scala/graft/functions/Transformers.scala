@@ -270,6 +270,41 @@ object Transformers {
         append = args.lift(4).contains("append"))
       df
     }),
+    // temperature_sample:key;source;alpha[;maxMult] — α-flattened
+    // source re-balancing (rare sources up, dominant down; adds `copy`)
+    "temperature_sample" -> (args => df => {
+      require(args.length >= 3, "temperature_sample needs key;source;alpha[;maxMult]")
+      graft.ext.CorpusOps.temperatureSample(df, args.head, args(1),
+        alpha = args(2).toDouble,
+        maxMultiplier = args.lift(3).map(_.toDouble).getOrElse(100.0))
+    }),
+    // quantize:id;vec — int8-quantize an embedding column to
+    // (id, scale, codes); dequantize reverses it
+    "quantize" -> (args => df =>
+      graft.ext.Similarity.quantizeEmbeddings(df,
+        args.headOption.getOrElse("vec_id"), args.lift(1).getOrElse("embedding"))),
+    "dequantize" -> (args => df =>
+      graft.ext.Similarity.dequantizeEmbeddings(df,
+        codesCol = args.headOption.getOrElse("codes"),
+        scaleCol = args.lift(1).getOrElse("scale"),
+        outCol = args.lift(2).getOrElse("embedding"))),
+    // dedup_keep_best:score[;id[;text[;n[;threshold]]]] — near-dup
+    // clusters keep the highest-`score` row (ties → smallest id)
+    "dedup_keep_best" -> (args => df => {
+      require(args.nonEmpty, "dedup_keep_best needs score[;id[;text[;n[;threshold]]]]")
+      graft.ext.TextDedup.dedupCorpusKeepBest(df,
+        args.lift(1).getOrElse("doc_id"), args.lift(2).getOrElse("text"),
+        scoreCol = args.head,
+        n = args.lift(3).map(_.toInt).getOrElse(3),
+        threshold = args.lift(4).map(_.toDouble).getOrElse(0.8))
+    }),
+    // containment_pairs[:id[;text[;n[;threshold]]]] — near-subset
+    // (excerpt/boilerplate-padded) pair report
+    "containment_pairs" -> (args => df =>
+      graft.ext.TextDedup.containmentPairs(df,
+        args.headOption.getOrElse("doc_id"), args.lift(1).getOrElse("text"),
+        n = args.lift(2).map(_.toInt).getOrElse(3),
+        threshold = args.lift(3).map(_.toDouble).getOrElse(0.8))),
     // dsir_select:k;targetField;targetValue[;hexDigits[;seed]] — keep
     // only the Gumbel-top-k docs by DSIR importance (deterministic)
     "dsir_select" -> (args => df => {

@@ -207,6 +207,28 @@ class QueryCompilerSpec extends SparkSpec {
     val sel = Transformers.apply(docs,
       TransformStage.parseChain("dsir_select:1;src;t;2"))
     assert(sel.count() == 1 && sel.columns.contains("key"))
+    // r5 stages dispatch through the chain
+    val skew = Seq.tabulate(40)(i => (i.toLong, if (i < 36) "big" else "rare"))
+      .toDF("doc_id", "source")
+    val temp = Transformers.apply(skew,
+      TransformStage.parseChain("temperature_sample:doc_id;source;0.3"))
+    assert(temp.columns.contains("copy"))
+    assert(temp.filter($"source" === "rare").count() > 4) // upsampled
+    val emb = Seq((1L, Array(1f, -2f, 3f))).toDF("vec_id", "embedding")
+    val qz = Transformers.apply(emb, TransformStage.parseChain("quantize"))
+    assert(qz.columns.toSeq == Seq("vec_id", "scale", "codes"))
+    val dq = Transformers.apply(qz, TransformStage.parseChain("dequantize"))
+    assert(dq.columns.contains("embedding"))
+    val dups = Seq((1L, "the quick brown fox jumps over the lazy dog", 1L),
+      (2L, "the quick brown fox jumps over the lazy dog", 9L))
+      .toDF("doc_id", "text", "score")
+    val best = Transformers.apply(dups,
+      TransformStage.parseChain("dedup_keep_best:score"))
+    assert(best.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+    val cont = Transformers.apply(dups,
+      TransformStage.parseChain("containment_pairs"))
+    assert(cont.columns.toSeq == Seq("id_a", "id_b", "containment"))
+    assert(cont.count() == 1)
   }
 
   test("[EXT] _agg duplicate/multi percentile requests share one buffer") {
