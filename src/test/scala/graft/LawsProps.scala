@@ -167,6 +167,44 @@ object LawsProps extends Properties("graft.laws") {
       idsPerTok
     }
 
+  property("int8 quantization: codes in ±127, dequant error ≤ scale/2 per component") =
+    forAll(Gen.listOfN(5, Gen.listOfN(8,
+      Gen.chooseNum(-10.0, 10.0).map(_.toFloat)))) { vecs =>
+      val d = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("vec_id", "embedding")
+      val q = graft.ext.Similarity.quantizeEmbeddings(d, "vec_id", "embedding")
+      val rows = q.join(d, "vec_id")
+        .select($"scale", $"codes", $"embedding")
+        .as[(Double, Seq[Int], Seq[Float])].collect()
+      rows.forall { case (s, codes, orig) =>
+        codes.forall(c => c >= -127 && c <= 127) &&
+          codes.zip(orig).forall { case (c, x) =>
+            math.abs(c * s - x) <= s / 2 + 1e-9 }
+      }
+    }
+
+  property("temperature: alpha=1 is the identity; expected size preserved") =
+    forAll(Gen.listOfN(30, Gen.oneOf("x", "y", "z"))) { srcs =>
+      val d = srcs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "source")
+      val id = graft.ext.CorpusOps.temperatureSample(d, "doc_id", "source", 1.0)
+      // every multiplier is exactly 1 → one copy per row
+      id.count() == srcs.length.toLong &&
+        id.select(org.apache.spark.sql.functions.max($"copy")).as[Long].head() == 1L
+    }
+
+  property("containment pairs ⊇ jaccard pairs at the same threshold") =
+    forAll(Gen.listOfN(6, Gen.listOfN(6,
+      Gen.oneOf("a", "b", "c", "d", "e")))) { docs =>
+      val d = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val c = graft.ext.TextDedup.containmentPairs(d, "doc_id", "text", 2, 0.8)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val j = graft.ext.TextDedup.jaccardPairs(d, "doc_id", "text", 2, 0.8)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      j.subsetOf(c)
+    }
+
   property("count cap: min(limit, total)") =
     forAll(rowsGen, Gen.chooseNum(0, 20)) { (t, lim) =>
       val d = df(t)
