@@ -472,6 +472,20 @@ object SparkEntry {
         maxHamming = 15, planes = 64)
         .orderBy("id_a", "id_b")),
 
+    // ── [EXT] §2.10 hyperplane-LSH exactness witness, driver-visible:
+    // maxHamming = planes−1 makes the pigeonhole blocking pass every
+    // pair (64 one-bit chunks; hamming ≤ 63 ⇒ some chunk agrees), so
+    // the exact-verify output ≡ brute cosinePairs — shares
+    // q_embed_pairs' oracle shape. Scoped to a 500-vector slice: the
+    // witness costs Θ(chunks·n²/2) candidates by construction (the
+    // point is proving the machinery, not running it at corpus scale —
+    // production blocking uses width-4 chunks, q_embed_lsh) ───────────
+    "q_embed_lsh_exact" -> ((s, dir) =>
+      graft.ext.Similarity.lshPairs(
+        read(s, dir, "embeddings").filter(col("vec_id") < 500), 0.35,
+        maxHamming = 63, planes = 64)
+        .orderBy("id_a", "id_b")),
+
     // ── [EXT] §2.10 LSH-bucketed approximate top-k (recall@k vs the
     // exact brute top-k is asserted in Verify's diffcheck) ────────────
     "q_ann_lsh_topk" -> ((s, dir) => {
@@ -479,6 +493,17 @@ object SparkEntry {
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       graft.ext.Similarity.lshTopK(q, e, 5, maxHamming = 15, planes = 64)
+        .orderBy("q_id", "rank")
+    }),
+
+    // ── [EXT] §2.10 LSH top-k exactness witness: same full-width
+    // blocking argument as q_embed_lsh_exact ⇒ ≡ brute top-k; shares
+    // q_ann_topk's oracle SQL ─────────────────────────────────────────
+    "q_ann_lsh_exact" -> ((s, dir) => {
+      val e = read(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      graft.ext.Similarity.lshTopK(q, e, 5, maxHamming = 63, planes = 64)
         .orderBy("q_id", "rank")
     }),
 
@@ -1407,6 +1432,26 @@ object SparkEntry {
     // on the other side of the 4-decimal rounding boundary for pairs
     // within one float-ulp of it (observed at sf0.1)
     "q_ann_topk" ->
+      """WITH d AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS emb FROM embeddings)
+         SELECT q_id, vec_id, sim, rank FROM (
+           SELECT q.vec_id AS q_id, e.vec_id,
+                  round(list_cosine_similarity(q.emb, e.emb), 4) AS sim,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(q.emb, e.emb) DESC,
+                             e.vec_id) AS rank
+           FROM d q JOIN d e ON q.vec_id < 5 AND q.vec_id <> e.vec_id)
+         WHERE rank <= 5 ORDER BY q_id, rank""",
+    // full-width LSH blocking passes every pair (pigeonhole at
+    // width 1) ⇒ ≡ the brute twins; shares their oracle SQL
+    "q_embed_lsh_exact" ->
+      """WITH d AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS emb
+                    FROM embeddings WHERE vec_id < 500)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_cosine_similarity(a.emb, b.emb), 4) AS sim
+         FROM d a JOIN d b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35
+         ORDER BY id_a, id_b""",
+    "q_ann_lsh_exact" ->
       """WITH d AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS emb FROM embeddings)
          SELECT q_id, vec_id, sim, rank FROM (
            SELECT q.vec_id AS q_id, e.vec_id,
