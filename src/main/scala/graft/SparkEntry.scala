@@ -334,6 +334,12 @@ object SparkEntry {
         .select("doc_id", "dup_line_frac", "dup_3gram_frac")
         .orderBy("doc_id")),
 
+    // ── [EXT] §2.10 Gopher char-fraction repetition: most common
+    // 2-gram per doc + fraction of characters it covers ───────────────
+    "q_top_ngram" -> ((s, dir) =>
+      graft.ext.TextAnalysis.topNgramCoverage(read(s, dir, "documents"),
+        "doc_id", "text", n = 2).orderBy("doc_id")),
+
     // ── [EXT] §2.10 Gopher quality filter: rule verdict per doc.
     // minWords=10 (not the paper's 50) so the synthetic ~25-word docs
     // exercise the whole rule chain instead of all failing rule 1 ─────
@@ -1128,6 +1134,27 @@ object SparkEntry {
          FROM lab l JOIN win ON l.doc_id = win.doc_id AND win.rk = 1
          ORDER BY l.doc_id""",
     "q_text_stats" -> TextStatsOracle,
+    // most frequent 2-gram per doc (ties → smallest gram); coverage =
+    // cnt·len(gram) / len(tokens joined by spaces)
+    "q_top_ngram" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, len(array_to_string(toks, ' ')) AS total,
+                  unnest([toks[i+1] || ' ' || toks[i+2]
+                          FOR i IN range(len(toks) - 1)]) AS gram
+           FROM t WHERE len(toks) >= 2),
+         c AS (SELECT doc_id, total, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+         r AS (SELECT doc_id, gram, cnt, total,
+                      row_number() OVER (PARTITION BY doc_id
+                        ORDER BY cnt DESC, gram) AS rk
+               FROM c)
+         SELECT doc_id, gram AS top_ngram,
+                round(cnt * len(gram) * 1.0 / total, 4) AS coverage
+         FROM r WHERE rk = 1 ORDER BY doc_id""",
     "q_quality_filter" ->
       """WITH t AS (
            SELECT doc_id, text,

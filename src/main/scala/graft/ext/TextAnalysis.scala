@@ -159,6 +159,42 @@ object TextAnalysis {
       .withColumn("dup_3gram_frac", round(dup3, 4))
   }
 
+  /** Gopher's CHARACTER-fraction repetition signal (Rae et al. 2021
+    * Table A1's "fraction of characters in the most common n-gram"
+    * family — the exact rule the occurrence-fraction stand-in in
+    * [[repetitionStats]] approximates): per doc, the most frequent
+    * word n-gram (ties → lexicographically smallest) and the fraction
+    * of normalized characters its (overlapping) occurrences cover,
+    * cnt·len(gram) / len(tokens joined by single spaces). Docs with
+    * fewer than n tokens emit no row.
+    *
+    * Shape at 100 TB: explode → map-side-combinable (doc, gram) count
+    * → per-DOC window (never global). The gram space is the shuffle;
+    * at the paper's n ∈ {2,3,4} that is ≈ the token stream, same class
+    * as the TF-IDF shuffle.
+    */
+  def topNgramCoverage(df: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", n: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"topNgramCoverage: n must be >= 1, got $n")
+    val toks = TextDedup.tokens(col(textCol))
+    val grams = df
+      .select(col(idCol), toks.as("__t__"))
+      .withColumn("__total__", length(array_join(col("__t__"), " ")))
+      .filter(size(col("__t__")) >= n)
+      .select(col(idCol), col("__total__"),
+        explode(transform(sequence(lit(0), size(col("__t__")) - n),
+          i => concat_ws(" ", slice(col("__t__"), i + 1, lit(n))))).as("gram"))
+    val counts = grams.groupBy(col(idCol), col("__total__"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("cnt").desc, col("gram").asc)
+    counts.withColumn("__rk__", row_number().over(w))
+      .filter(col("__rk__") === 1)
+      .select(col(idCol), col("gram").as("top_ngram"),
+        round(col("cnt") * length(col("gram")).cast("double") / col("__total__"), 4)
+          .as("coverage"))
+  }
+
   /** Gopher quality-filter rules (Rae et al. 2021 Table A1, the subset
     * our per-row signals support; occurrence-fraction 3-grams stand in
     * for the paper's character-fraction n-gram family, and total

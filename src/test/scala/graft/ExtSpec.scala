@@ -380,6 +380,23 @@ class ExtSpec extends SparkSpec {
     assert(ex.getMessage.contains("ksub"))
   }
 
+  test("topNgramCoverage: most common n-gram, char fraction, overlap counted") {
+    val d = Seq(
+      (1L, "spam spam spam spam eggs"),        // "spam spam" ×3 (overlapping)
+      (2L, "alpha beta gamma delta"),          // all 2-grams unique
+      (3L, "one"),                             // < n tokens → no row
+      (4L, "Go go GO stop")).toDF("doc_id", "text") // case-folded "go go" ×2
+    val out = TextAnalysis.topNgramCoverage(d, "doc_id", "text", n = 2)
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 4L)) // doc 3 dropped
+    val d1 = out(0)
+    // joined text "spam spam spam spam eggs" = 24 chars; gram len 9, cnt 3
+    assert(d1._2 == "spam spam" && d1._3 == math.rint(3 * 9 / 24.0 * 1e4) / 1e4)
+    // unique grams: tie broken to the lexicographically smallest
+    assert(out(1)._2 == "alpha beta")
+    assert(out(2)._2 == "go go")
+  }
+
   test("containmentPairs: near-subset found where Jaccard misses; superset of jaccard ids") {
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
       "kilo lima mike november oscar papa quebec romeo sierra tango"
