@@ -165,6 +165,32 @@ class StreamSpec extends SparkSpec {
     assert(out.count() == 100)
   }
 
+  test("law: batch sessionize ≡ session_window minus each user's open session") {
+    import graft.ext.EventWindows
+    // second-truncated timestamps so both paths see identical instants
+    // (sessionize keys state on epoch seconds; session_window on the
+    // exact timestamp — sub-second parts would misalign gap boundaries)
+    val ev = sf("events").limit(2000)
+      .select($"user_id", date_trunc("second", $"ts").as("ts"), $"value")
+    // batch flatMapGroupsWithState: every group processed once, no
+    // timeouts fire → exactly the CLOSED sessions emit (each user's
+    // final session stays in state) — that is the documented contract
+    val streamed = StreamRunner.sessionize(spark, ev)
+      .select($"userId", $"start", $"n")
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    // window twin: all sessions, then drop each user's LAST (the open
+    // one sessionize holds back)
+    val all = EventWindows.sessions(ev, "30 minutes")
+      .select($"user_id", $"session_start", $"n")
+      .as[(Long, java.sql.Timestamp, Long)].collect()
+    val closed = all.groupBy(_._1).toSeq.flatMap { case (_, ss) =>
+      ss.sortBy(_._2.getTime).dropRight(1).toSeq
+    }.toSet
+    assert(streamed == closed,
+      s"stream-only=${(streamed -- closed).take(3)} window-only=${(closed -- streamed).take(3)}")
+    assert(streamed.nonEmpty) // non-vacuous at this slice
+  }
+
   test("sessionize (flatMapGroupsWithState) emits closed sessions") {
     val ev = Seq(
       (7L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
