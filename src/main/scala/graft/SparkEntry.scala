@@ -296,6 +296,21 @@ object SparkEntry {
       graft.ext.Similarity.bruteTopKQuantized(q, coded, 5).orderBy("q_id", "rank")
     }),
 
+    // ── [EXT] §2.10 chunk→doc mean pooling: 50 synthetic "documents"
+    // of ~40 chunk embeddings each; means rounded for float
+    // portability, vector serialized for the array-blind verifier ─────
+    "q_embed_pool" -> ((s, dir) => {
+      val e = read(s, dir, "embeddings")
+        .withColumn("doc_id", col("vec_id") % 50)
+      // %.6f on both engines: bare double→string is scientific for
+      // small values in Spark but decimal in DuckDB
+      graft.ext.Similarity.meanPool(e, "doc_id", "embedding")
+        .select(col("doc_id"),
+          array_join(transform(col("embedding"),
+            x => format_string("%.6f", x.cast("double"))), ",").as("pooled"))
+        .orderBy("doc_id")
+    }),
+
     // ── [EXT] §2.10 benchmark decontamination: drop corpus docs that
     // share 5-gram shingles with the (broadcast) benchmark set ────────
     "q_decontaminate" -> ((s, dir) => {
@@ -1706,6 +1721,17 @@ object SparkEntry {
                FROM d)
          SELECT doc_id, source, unnest(range(1, copies + 1)) AS "copy"
          FROM e WHERE copies >= 1 ORDER BY doc_id, "copy"""",
+    // chunk→doc mean pooling: positional explode + grouped avg +
+    // ordered re-list; %.6f fixed formatting on both engines
+    "q_embed_pool" ->
+      """WITH d AS (SELECT vec_id % 50 AS doc_id, cast(embedding AS DOUBLE[]) AS emb
+                    FROM embeddings),
+         u AS (SELECT doc_id, r.i AS i, emb[r.i + 1] AS x FROM d, range(64) r(i)),
+         a AS (SELECT doc_id, i, avg(x) AS m FROM u GROUP BY 1, 2)
+         SELECT doc_id,
+                string_agg(printf('%.6f', CAST(CAST(m AS FLOAT) AS DOUBLE)),
+                           ',' ORDER BY i) AS pooled
+         FROM a GROUP BY doc_id ORDER BY doc_id""",
     // quantized ANN: the code table (bit-identical, see q_embed_quant)
     // replaces the float corpus inside the q_ann_topk shape
     "q_ann_quant" ->

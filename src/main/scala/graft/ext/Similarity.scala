@@ -29,6 +29,34 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorExprs.vecCosine(a, b)
 
+  /** Element-wise mean pooling of embeddings per group — the standard
+    * chunk→document aggregation before doc-level similarity/ANN.
+    * posexplode → map-side-combinable (group, pos) avg → ordered
+    * re-assembly (sorted-struct transform, same trick as the IVF
+    * centroid update) — never a collect, never a full-vector shuffle
+    * beyond the one the agg needs. Output: (groupCol, embedding
+    * array<float>). Rows with null vectors drop out.
+    */
+  def meanPool(df: DataFrame, groupCol: String, vecCol: String,
+               outCol: String = "embedding"): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(avg(col("col").cast("double")).as("m"))
+      .groupBy(col(groupCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m").cast("float")).as(outCol))
+
+  /** L2-normalize an embedding column (null-safe: the all-zero vector
+    * passes through unchanged rather than dividing by zero).
+    */
+  def l2Normalize(vec: Column): Column = {
+    val norm = sqrt(aggregate(transform(vec,
+      x => x.cast("double") * x.cast("double")), lit(0.0), (a, v) => a + v))
+    when(norm > 0, transform(vec, x => (x.cast("double") / norm).cast("float")))
+      .otherwise(vec)
+  }
+
   /** Scalar int8 embedding quantization — the standard 4× memory/IO
     * compression before ANN serving (float32 → int8 + one float scale
     * per vector). Symmetric per-vector scale s = max|x| / 127; codes

@@ -425,6 +425,29 @@ class ExtSpec extends SparkSpec {
     assert(jIds.subsetOf(cIds))
   }
 
+  test("meanPool + l2Normalize: element-wise means, order preserved, unit norms") {
+    val d = Seq(
+      (1L, Array(1f, 2f, 3f)), (1L, Array(3f, 4f, 5f)),   // doc 1: mean (2,3,4)
+      (2L, Array(10f, 0f, -2f)))                           // doc 2: itself
+      .toDF("doc_id", "embedding")
+    val pooled = Similarity.meanPool(d, "doc_id", "embedding")
+      .orderBy("doc_id").as[(Long, Seq[Float])].collect()
+    assert(pooled.toSeq == Seq((1L, Seq(2f, 3f, 4f)), (2L, Seq(10f, 0f, -2f))))
+    // normalized vectors have unit L2 norm; zero vector passes through
+    val z = Seq((1L, Array(3f, 4f)), (2L, Array(0f, 0f))).toDF("id", "v")
+      .select($"id", Similarity.l2Normalize($"v").as("nv"))
+      .orderBy("id").as[(Long, Seq[Float])].collect()
+    assert(z(0)._2 == Seq(0.6f, 0.8f))
+    assert(z(1)._2 == Seq(0f, 0f))
+    // pooling then normalizing a doc's chunks = standard doc embedding
+    val doc = Similarity.meanPool(d, "doc_id", "embedding")
+      .select($"doc_id", Similarity.l2Normalize($"embedding").as("e"))
+    val norms = doc.select(aggregate(transform($"e",
+      x => x.cast("double") * x.cast("double")), lit(0.0), (a, v) => a + v))
+      .as[Double].collect()
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-6))
+  }
+
   test("bruteTopKQuantized: int8 search recalls the float brute top-k") {
     val e = sf("embeddings")
     val coded = Similarity.quantizeEmbeddings(e, "vec_id", "embedding")
