@@ -336,6 +336,18 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy("id_a", "id_b")),
 
+    // ── [EXT] §2.10 Unicode NFC normalization: the synthetic docs are
+    // ASCII (identity), so a decomposed `cafe`+U+0301 marker is
+    // appended (mirrored in the oracle) to prove real composition ─────
+    "q_normalize" -> ((s, dir) => {
+      val aug = concat(col("text"), lit(" café"))
+      val norm = graft.functions.TextExprs.nfcNormalize(aug)
+      read(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), norm.as("norm_text"),
+          (norm =!= aug).as("changed"))
+        .orderBy("doc_id")
+    }),
+
     // ── [EXT] §2.10 text analysis: counts/ratios/langid/quality ───────
     "q_text_stats" -> ((s, dir) =>
       graft.ext.TextAnalysis.analyzeWithQuality(read(s, dir, "documents"))
@@ -1149,6 +1161,14 @@ object SparkEntry {
          FROM lab l JOIN win ON l.doc_id = win.doc_id AND win.rk = 1
          ORDER BY l.doc_id""",
     "q_text_stats" -> TextStatsOracle,
+    // NFC composition: chr(769) = the combining acute the engine
+    // appends as "́"
+    "q_normalize" ->
+      """SELECT doc_id,
+                nfc_normalize(text || ' cafe' || chr(769)) AS norm_text,
+                nfc_normalize(text || ' cafe' || chr(769))
+                  <> (text || ' cafe' || chr(769)) AS changed
+         FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
     // most frequent 2-gram per doc (ties → smallest gram); coverage =
     // cnt·len(gram) / len(tokens joined by spaces)
     "q_top_ngram" ->

@@ -165,6 +165,32 @@ object TextExprs {
       copy(child = newChild)
   }
 
+  /** Unicode NFC normalization (canonical composition) — the standard
+    * first step of LLM text preprocessing: composes decomposed accents
+    * (e.g. `e` + U+0301 → `é`) so visually-identical strings hash/dedup
+    * identically. Backed by the JDK's `java.text.Normalizer` (public
+    * Unicode algorithm; DuckDB's `nfc_normalize` is the oracle twin).
+    * Already-normalized ASCII short-circuits via the quick-check — the
+    * overwhelmingly common case at corpus scale costs one scan, no
+    * allocation.
+    */
+  case class NfcNormalize(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def prettyName: String = "nfc_normalize"
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) input
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Lowercased `\w+` tokens as an array — bit-identical to
     * `filter(split(lower(trim(text)), "\\W+"), t => t =!= "")` (the HOF
     * chain evaluates its filter lambda interpreted per token; this is
@@ -303,4 +329,6 @@ object TextExprs {
     ExprShim.column(Tokens(ExprShim.expression(text)))
   def regexCounts(text: Column, patterns: Seq[String]): Column =
     ExprShim.column(RegexCounts(ExprShim.expression(text), patterns))
+  def nfcNormalize(text: Column): Column =
+    ExprShim.column(NfcNormalize(ExprShim.expression(text)))
 }

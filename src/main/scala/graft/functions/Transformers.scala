@@ -270,6 +270,11 @@ object Transformers {
         append = args.lift(4).contains("append"))
       df
     }),
+    // nfc_normalize[:field] — Unicode canonical composition in place
+    "nfc_normalize" -> (args => df => {
+      val f = args.headOption.getOrElse("text")
+      df.withColumn(f, graft.functions.TextExprs.nfcNormalize(col(f)))
+    }),
     // temperature_sample:key;source;alpha[;maxMult] — α-flattened
     // source re-balancing (rare sources up, dominant down; adds `copy`)
     "temperature_sample" -> (args => df => {

@@ -380,6 +380,28 @@ class ExtSpec extends SparkSpec {
     assert(ex.getMessage.contains("ksub"))
   }
 
+  test("nfcNormalize: composes decomposed accents; ASCII and null pass through") {
+    import graft.functions.TextExprs
+    val d = Seq(
+      (1L, "café"),          // decomposed → é
+      (2L, "plain ascii text"),    // already NFC
+      (3L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+      .select($"id", TextExprs.nfcNormalize($"t").as("n"))
+      .orderBy("id").as[(Long, String)].collect()
+    assert(d(0)._2 == "café" && d(0)._2.length == 4)
+    assert(d(1)._2 == "plain ascii text")
+    assert(d(2)._2 == null)
+    // normalized twins now dedup together (the motivating property)
+    val docs = Seq((1L, "café story"), (2L, "café story"))
+      .toDF("doc_id", "text")
+    import graft.spec.TransformStage
+    val normed = graft.functions.Transformers.apply(docs,
+      TransformStage.parseChain("nfc_normalize"))
+    assert(TextDedup.exact(normed, "text", "doc_id").count() == 1)
+    assert(TextDedup.exact(docs, "text", "doc_id").count() == 2) // without it
+  }
+
   test("topNgramCoverage: most common n-gram, char fraction, overlap counted") {
     val d = Seq(
       (1L, "spam spam spam spam eggs"),        // "spam spam" ×3 (overlapping)
