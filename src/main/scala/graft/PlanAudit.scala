@@ -24,7 +24,7 @@ object PlanAudit {
       "q_dedup_simhash_port", "q_ann_ivf_exact", "q_ann_pq_refined_exact",
       "q_dedup_containment", "q_ann_quant",
       "q_embed_lsh_exact", "q_ann_lsh_exact", "q_top_ngram",
-      "q_embed_pool", "q_normalize")) {
+      "q_embed_pool", "q_normalize", "q_entropy")) {
       val df = SparkEntry.queries(name)(spark, dir)
       // execute first: under AQE the pre-execution plan prints
       // isFinalPlan=false with no WholeStageCodegen spans — only the

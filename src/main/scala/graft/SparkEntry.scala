@@ -367,6 +367,11 @@ object SparkEntry {
       graft.ext.TextAnalysis.topNgramCoverage(read(s, dir, "documents"),
         "doc_id", "text", n = 2).orderBy("doc_id")),
 
+    // ── [EXT] §2.10 token-entropy diversity signal ────────────────────
+    "q_entropy" -> ((s, dir) =>
+      graft.ext.TextAnalysis.tokenEntropy(read(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     // ── [EXT] §2.10 Gopher quality filter: rule verdict per doc.
     // minWords=10 (not the paper's 50) so the synthetic ~25-word docs
     // exercise the whole rule chain instead of all failing rule 1 ─────
@@ -1169,6 +1174,17 @@ object SparkEntry {
                 nfc_normalize(text || ' cafe' || chr(769))
                   <> (text || ' cafe' || chr(769)) AS changed
          FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+    // Shannon entropy over per-token counts: H = ln(N) − Σc·ln(c)/N
+    "q_entropy" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  unnest(list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                                     x -> x <> '')) AS tok
+           FROM documents),
+         c AS (SELECT doc_id, tok, count(*)::DOUBLE AS c FROM t GROUP BY 1, 2)
+         SELECT doc_id,
+                round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS token_entropy
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
     // most frequent 2-gram per doc (ties → smallest gram); coverage =
     // cnt·len(gram) / len(tokens joined by spaces)
     "q_top_ngram" ->

@@ -195,6 +195,25 @@ object TextAnalysis {
           .as("coverage"))
   }
 
+  /** Per-doc token (Shannon) entropy in nats — the standard
+    * repetitiveness/diversity signal (low entropy ⇒ the doc is a few
+    * tokens repeated; complements the n-gram fraction rules). Uses the
+    * algebraic identity H = ln(N) − (Σ c·ln c)/N over per-token counts
+    * c, so ONE (doc, token) count agg + ONE per-doc sum — both
+    * map-side-combinable, no window, no p-vector materialization.
+    * Docs with no tokens emit no row; a single repeated token is
+    * exactly 0.
+    */
+  def tokenEntropy(df: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    df.select(col(idCol), explode(TextDedup.tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(round(
+        log(sum(col("c"))) -
+          sum(col("c") * log(col("c"))) / sum(col("c")), 4).as("token_entropy"))
+
   /** Gopher quality-filter rules (Rae et al. 2021 Table A1, the subset
     * our per-row signals support; occurrence-fraction 3-grams stand in
     * for the paper's character-fraction n-gram family, and total

@@ -380,6 +380,22 @@ class ExtSpec extends SparkSpec {
     assert(ex.getMessage.contains("ksub"))
   }
 
+  test("tokenEntropy: uniform > skewed > constant = 0; empty docs drop") {
+    val d = Seq(
+      (1L, "a b c d"),        // uniform over 4 → ln 4
+      (2L, "a a a b"),        // skewed
+      (3L, "spam spam spam"), // constant → 0
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(d)
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L)) // empty doc dropped
+    assert(out(0)._2 == math.rint(math.log(4) * 1e4) / 1e4)
+    val hSkew = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert(math.abs(out(1)._2 - hSkew) < 1e-4)
+    assert(out(2)._2 == 0.0)
+    assert(out(0)._2 > out(1)._2 && out(1)._2 > out(2)._2)
+  }
+
   test("nfcNormalize: composes decomposed accents; ASCII and null pass through") {
     import graft.functions.TextExprs
     val d = Seq(
