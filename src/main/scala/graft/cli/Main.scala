@@ -259,6 +259,11 @@ object Main {
       case "--etl_api" | "--etl-api" => once("--etl_api")
         val api = next("--etl_api")
         System.err.println(s"notice: --etl_api $api ignored — jobs run in-process, not via a job server")
+      // O11 --pylog2es (reference base.py:142 ships python logging to
+      // an ES sink): the engine's logs go to the _logs dataset (W13) —
+      // accepted for parity, with a notice pointing at the analog
+      case "--pylog2es" =>
+        System.err.println("notice: --pylog2es accepted — job metrics land in the _logs dataset (use --log/--log_ds)")
       case "-a" | "--arg" => extraArgs :+= next("-a") // base.py:125-126
       case other => throw CliError(s"unknown flag: $other (see --help)")
     }
@@ -616,5 +621,6 @@ object Main {
       |               --profile (wall-clock report after the run)
       |               --dev (sync-mode parity flag; implies --pretty)
       |               --etl_api HOST (accepted; jobs run in-process)
+      |               --pylog2es (accepted; metrics land in _logs)
       |""".stripMargin
 }

@@ -112,7 +112,15 @@ object Runner {
             WriteOps.atomicOverwrite(spark, newState, tgtPath,
               t.partitionBy, t.maxRecordsPerFile, t.ref.backend, t.indexBy,
               t.commitMode)
-          if (log) jobLog(spark, job, written, comment)
+          // Logging runs AFTER the target write committed, and its
+          // inputs are user-controlled (--log field names, --log_ds
+          // namespace): a bad field or unwritable namespace must
+          // degrade to a stderr notice, never fail the committed run.
+          if (log) try jobLog(spark, job, written, comment)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[graft] job log skipped: ${e.getMessage}")
+          }
           RunResult(job, written, written, 1)
         } finally {
           try fs.delete(stagePath, true) catch { case _: Throwable => () }

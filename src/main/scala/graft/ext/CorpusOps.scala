@@ -50,7 +50,8 @@ object CorpusOps {
     */
   def withGlobalOffset(df: DataFrame, orderCol: String, weightCol: String,
                        outCol: String, numParts: Int = 0,
-                       materializeInput: Boolean = false): DataFrame = {
+                       materializeInput: Boolean = false,
+                       uniformHexKey: Boolean = false): DataFrame = {
     val p = if (numParts > 0) numParts
             else df.sparkSession.sessionState.conf.numShufflePartitions
     import org.apache.spark.sql.types.StringType
@@ -67,10 +68,24 @@ object CorpusOps {
       case _ => col(orderCol).cast("double")
     }
     val keyed = df.withColumn("__proxy__", proxy)
+    // Boundaries only affect PARALLELISM, never correctness (see the
+    // contract above), so they never justify an extra full pass:
+    //   - md5-hex order keys (`uniformHexKey` — shuffleRank, shards,
+    //     token budget) are uniform over hex strings by construction,
+    //     so the boundaries are ANALYTIC: exact quantiles of the 16³
+    //     equally-likely 3-hex-char proxies, computed on the driver
+    //     with ZERO Spark actions (this was an eager whole-corpus
+    //     approxQuantile job per call before).
+    //   - other keys estimate boundaries from a 5% sample (coarse
+    //     relativeError — a skewed estimate merely skews bucket sizes).
     val bnds: Array[Double] =
       if (p <= 1) Array.empty
-      else keyed.stat.approxQuantile(
-        "__proxy__", (1 until p).map(_.toDouble / p).toArray, 0.001)
+      else if (uniformHexKey) hexProxyBoundaries(p)
+      else scala.util.Try(
+        keyed.sample(withReplacement = false, 0.05, seed = 42L)
+          .stat.approxQuantile(
+            "__proxy__", (1 until p).map(_.toDouble / p).toArray, 0.01))
+        .getOrElse(Array.empty) // empty sample (tiny input) → one bucket
         .distinct.sorted
     val bucket = bnds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(col("__proxy__") > lit(b), 1).otherwise(0)
@@ -101,6 +116,21 @@ object CorpusOps {
       .withColumn(outCol,
         col("__base__") + coalesce(sum(col(weightCol)).over(local), lit(0L)).cast("long"))
       .drop("__pid__", "__base__")
+  }
+
+  /** Exact bucket boundaries for a key whose first three characters
+    * are uniform lowercase hex (any md5 output): the proxy value of
+    * each of the 16³ = 4096 equally likely 3-char prefixes, sorted,
+    * sampled at the p-quantile points. Pure driver arithmetic — the
+    * whole point is that no Spark job runs.
+    */
+  private def hexProxyBoundaries(p: Int): Array[Double] = {
+    val B = 1114112L
+    val hex = "0123456789abcdef".map(_.toLong)
+    val proxies = (for { a <- hex; b <- hex; c <- hex }
+      yield ((a * B + b) * B + c).toDouble).sorted.toArray
+    (1 until p).map(i => proxies(math.max(0, i * proxies.length / p - 1)))
+      .distinct.sorted.toArray
   }
 
   /** Split each document into fixed-size token windows with overlap —
@@ -153,8 +183,9 @@ object CorpusOps {
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
                     seqLen: Int, numParts: Int = 0,
-                    orderCol: String = ""): DataFrame =
-    packedOverlaps(df, idCol, textCol, seqLen, numParts, orderCol)
+                    orderCol: String = "",
+                    uniformHexOrder: Boolean = false): DataFrame =
+    packedOverlaps(df, idCol, textCol, seqLen, numParts, orderCol, uniformHexOrder)
       .select(col("seq_id"), col(idCol),
         greatest(col("seq_id") * seqLen - col("__off__"), lit(0L)).as("doc_start"),
         col("__sp_toks__").as("n_toks"))
@@ -166,7 +197,8 @@ object CorpusOps {
     */
   private def packedOverlaps(df: DataFrame, idCol: String, textCol: String,
                              seqLen: Int, numParts: Int,
-                             orderCol: String): DataFrame = {
+                             orderCol: String,
+                             uniformHexOrder: Boolean = false): DataFrame = {
     require(seqLen > 0, s"packSequences: seqLen must be positive, got $seqLen")
     // pack in `orderCol` order when given (e.g. an epoch-shuffle rank),
     // in stable `idCol` order otherwise
@@ -178,7 +210,7 @@ object CorpusOps {
     // materialize the (id, order, token-count) projection: the weight
     // here costs a full tokenize of the corpus — one scan, not two
     val off = withGlobalOffset(t, ord, "__n__", "__off__", numParts,
-      materializeInput = true)
+      materializeInput = true, uniformHexKey = uniformHexOrder)
     off
       .withColumn("seq_id",
         explode(sequence(expr(s"__off__ div $seqLen"),
@@ -273,10 +305,17 @@ object CorpusOps {
                         alpha: Double, maxMultiplier: Double = 100.0): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"temperatureSample: need 0 < alpha <= 1, got $alpha")
     require(maxMultiplier >= 1, s"temperatureSample: maxMultiplier must be >= 1")
+    // NULL sources carry weight 0 (dropped) — mixtureSample's
+    // `=== source` test is never true for NULL anyway, so excluding
+    // them from the share math keeps semantics consistent AND avoids a
+    // null key in the driver-side sortBy (String ordering NPEs).
     val counts = df.groupBy(col(sourceCol).cast("string").as("__s__"))
       .agg(count(lit(1)).as("__n__"))
+      .filter(col("__s__").isNotNull)
       .collect().map(r => r.getString(0) -> r.getLong(1))
       .sortBy(_._1) // deterministic float-sum order (oracle replicates)
+    if (counts.isEmpty) // empty or all-NULL sources: nothing to weight
+      return mixtureSample(df, keyCol, sourceCol, Map.empty, defaultWeight = 0.0)
     val n = counts.map(_._2).sum.toDouble
     val pa = counts.map { case (s, c) => s -> math.pow(c / n, alpha) }
     val z = pa.map(_._2).sum
@@ -297,7 +336,8 @@ object CorpusOps {
     val keyed = df
       .withColumn("__h__", md5(concat(lit(seed + ":"), col(keyCol).cast("string"))))
       .withColumn("__one__", lit(1L))
-    withGlobalOffset(keyed, "__h__", "__one__", outCol, numParts)
+    withGlobalOffset(keyed, "__h__", "__one__", outCol, numParts,
+      uniformHexKey = true)
       .withColumn(outCol, col(outCol) + 1L)
       .drop("__h__", "__one__")
   }
@@ -347,7 +387,8 @@ object CorpusOps {
     // skip the rank's own prefix-sum pass entirely
     val hashed = df.select(col(idCol), col(textCol))
       .withColumn("__h__", md5(concat(lit(seed + ":"), col(idCol).cast("string"))))
-    packSequences(hashed, idCol, textCol, seqLen, numParts, orderCol = "__h__")
+    packSequences(hashed, idCol, textCol, seqLen, numParts, orderCol = "__h__",
+      uniformHexOrder = true)
       .withColumn("shard_id", pmod(col("seq_id"), lit(numShards.toLong)))
   }
 
@@ -384,7 +425,7 @@ object CorpusOps {
       .withColumn("__h__", md5(concat(lit(seed + ":"), col(idCol).cast("string"))))
       .withColumn("__n__", n)
     withGlobalOffset(keyed, "__h__", "__n__", "tok_offset", numParts,
-      materializeInput = true)
+      materializeInput = true, uniformHexKey = true)
       .filter(col("tok_offset") < budget)
       .withColumn("n_toks", col("__n__"))
       .drop("__h__", "__n__")

@@ -13,8 +13,10 @@ import org.apache.spark.sql.types._
   * for RIFF/WAVE payloads ([[decodeWav]]: header metadata + PCM16
   * sample features — the container ships no compressed-audio codecs,
   * and none are needed for the canonical training-data format); VIDEO
-  * decode is a clearly marked STUB producing deterministic fake
-  * features so the pipeline stays end-to-end verifiable.
+  * metadata is real for ISO-BMFF/MP4 payloads ([[decodeMp4]]: box walk
+  * to mvhd/tkhd for exact duration + track dimensions) while frame
+  * features remain deterministic byte statistics (no video codec in
+  * the JDK), keeping the pipeline end-to-end verifiable.
   *
   * Scale notes: rows carry megabyte blobs, so the knobs that matter are
   * `spark.sql.files.maxPartitionBytes` (keep partitions ≲ a few hundred
@@ -53,13 +55,13 @@ object Multimodal {
   /** Number of feature dimensions the decoders emit. */
   val FeatureDim = 8
 
-  /** STUB decoder ???: a real implementation would decode the blob with
-    * a video codec and run a feature extractor. Deliberately
-    * deterministic — features are byte-statistics of the payload — so
-    * tests and oracles can verify the distributed plumbing end-to-end.
-    * (Images are NOT stubbed — [[decodeImage]] is a real JDK decoder —
-    * and neither is WAV audio — [[decodeWav]]; this fallback covers
-    * video, compressed audio, and non-decodable image bytes.)
+  /** Fallback feature extractor: deterministic byte statistics of the
+    * payload, so tests and oracles can verify the distributed plumbing
+    * end-to-end. Real decoders cover images ([[decodeImage]], JDK
+    * ImageIO), WAV audio ([[decodeWav]]), and MP4 video metadata
+    * ([[decodeMp4]]); this covers compressed audio, non-ISO-BMFF
+    * video, non-decodable image bytes — and supplies the frame
+    * features for video, whose codecs the JDK doesn't ship.
     */
   def decodeStub(bytes: Array[Byte]): Array[Float] = {
     if (bytes == null || bytes.isEmpty) return Array.fill(FeatureDim)(0f)
@@ -117,15 +119,21 @@ object Multimodal {
       ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
     def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
     if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var off = 12
+    // Chunk sizes are UNSIGNED 32-bit and the bytes are untrusted web
+    // content: keep the advance in Long arithmetic so a crafted size
+    // near 2^32 can neither wrap the offset negative nor stall the
+    // walk at zero progress — either condition ends the scan with
+    // whatever chunks were already found.
+    var off = 12L
     var fmt = Option.empty[(Int, Int, Int, Int)] // format, channels, rate, bits
     var dataOff = -1; var dataLen = 0L
     while (off + 8 <= bytes.length) {
-      val id = tag(off); val sz = u32(off + 4)
+      val o = off.toInt
+      val id = tag(o); val sz = u32(o + 4)
       if (id == "fmt " && off + 24 <= bytes.length)
-        fmt = Some((u16(off + 8), u16(off + 10), u32(off + 12).toInt, u16(off + 22)))
-      else if (id == "data") { dataOff = off + 8; dataLen = sz }
-      off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+        fmt = Some((u16(o + 8), u16(o + 10), u32(o + 12).toInt, u16(o + 22)))
+      else if (id == "data") { dataOff = o + 8; dataLen = sz }
+      off += 8L + sz + (sz & 1L) // chunks are word-aligned; always advances ≥ 8
     }
     fmt match {
       case Some((af, ch, rate, bits)) if ch > 0 && rate > 0 && bits > 0 && dataOff >= 0 =>
@@ -163,6 +171,69 @@ object Multimodal {
         Some(("audio/wav", ch, rate, durMs, feats))
       case _ => None
     }
+  }
+
+  /** REAL video metadata decode for ISO-BMFF (MP4/MOV) payloads. The
+    * box layout is public knowledge (ISO/IEC 14496-12): each box is
+    * `[u32 big-endian size][4-char type]`, `size==1` means a u64
+    * largesize follows, `size==0` means to-end-of-file; `moov` and
+    * `trak` are pure containers whose payload is again boxes. We walk
+    * to `moov/mvhd` for timescale+duration (v0: u32s at payload+12;
+    * v1: u64 duration at payload+20) and to each `moov/trak/tkhd` for
+    * the 16.16 fixed-point width/height, taking the max across tracks
+    * (audio tracks carry 0×0). Frame decode needs a codec the
+    * container doesn't ship, so features remain byte statistics — the
+    * metadata (mime, dimensions, exact duration) is real. None when
+    * the bytes are not ISO-BMFF — callers fall back to [[decodeStub]].
+    */
+  def decodeMp4(bytes: Array[Byte]): Option[(String, Int, Int, Long)] = {
+    if (bytes == null || bytes.length < 16) return None
+    def be32(o: Int): Long = ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+      ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+    def typ(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    if (typ(4) != "ftyp") return None
+    var timescale = 0L; var duration = -1L; var w = 0; var h = 0
+    // Walk boxes in [start,end); depth-limit the recursion — box sizes
+    // are untrusted and must always advance, never overflow Int range.
+    def walk(start: Long, end: Long, depth: Int): Unit = {
+      var off = start
+      while (off + 8 <= end && depth < 4) {
+        val o = off.toInt
+        val sz0 = be32(o)
+        val t = typ(o + 4)
+        var hdr = 8L
+        val sz: Long =
+          if (sz0 == 1L && off + 16 <= end) { hdr = 16L; be64(o + 8) }
+          else if (sz0 == 0L) end - off
+          else sz0
+        if (sz < hdr) return // malformed: would not advance
+        val payload = off + hdr
+        val boxEnd = math.min(off + sz, end)
+        t match {
+          case "moov" | "trak" => walk(payload, boxEnd, depth + 1)
+          case "mvhd" if payload + 4 <= boxEnd =>
+            val ver = bytes(payload.toInt) & 0xff
+            if (ver == 1 && payload + 32 <= boxEnd) {
+              timescale = be32(payload.toInt + 20); duration = be64(payload.toInt + 24)
+            } else if (ver == 0 && payload + 20 <= boxEnd) {
+              timescale = be32(payload.toInt + 12); duration = be32(payload.toInt + 16)
+            }
+          case "tkhd" if payload + 4 <= boxEnd =>
+            val ver = bytes(payload.toInt) & 0xff
+            val dimOff = payload + 4 + (if (ver == 1) 84 else 72) // through matrix
+            if (dimOff + 8 <= boxEnd) {
+              w = math.max(w, (be32(dimOff.toInt) >> 16).toInt)   // 16.16 fixed
+              h = math.max(h, (be32(dimOff.toInt + 4) >> 16).toInt)
+            }
+          case _ => ()
+        }
+        off += sz
+      }
+    }
+    walk(0L, bytes.length.toLong, 0)
+    if (timescale <= 0L || duration < 0L) None
+    else Some(("video/mp4", w, h, duration * 1000L / timescale))
   }
 
   def decodeImage(bytes: Array[Byte]): Option[(String, Int, Int, Array[Float])] = {
@@ -235,13 +306,19 @@ object Multimodal {
       val fallback: Array[Byte] => Array[Float] = decodeStub
       rows.map { r =>
         val bytes = r.get(bytesIdx).asInstanceOf[Array[Byte]]
-        val real = r.getString(kindIdx) match {
-          case "image" => decodeImage(bytes).map { case (mime, w, h, f) =>
-            (Row(mime, w, h, null), f) } // images have no duration
-          case "audio" => decodeWav(bytes).map { case (mime, ch, rate, ms, f) =>
-            (Row(mime, ch, rate, ms), f) }
-          case _ => None
-        }
+        // Blobs are untrusted web content: any decoder failure on one
+        // row degrades to the stub instead of failing the task.
+        val real = try {
+          r.getString(kindIdx) match {
+            case "image" => decodeImage(bytes).map { case (mime, w, h, f) =>
+              (Row(mime, w, h, null), f) } // images have no duration
+            case "audio" => decodeWav(bytes).map { case (mime, ch, rate, ms, f) =>
+              (Row(mime, ch, rate, ms), f) }
+            case "video" => decodeMp4(bytes).map { case (mime, w, h, ms) =>
+              (Row(mime, w, h, ms), decodeStub(bytes)) } // real meta, stat features
+            case _ => None
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
         real match {
           case Some((meta, feats)) =>
             Row.fromSeq(r.toSeq.updated(metaIdx, meta) :+ feats.toSeq)

@@ -193,6 +193,9 @@ class CliSpec extends AnyFunSuite {
     // --dev implies pretty log echo (base.py:257-262's dry-run analog)
     val (j2, _) = parse("-s", "parquet/a/b", "-t", "parquet/c/d", "--dev")
     assert(j2.logPretty)
+    // --pylog2es (base.py:142) accepted with a notice — O11 complete
+    val (j3, _) = parse("-s", "parquet/a/b", "-t", "parquet/c/d", "--pylog2es")
+    assert(j3.source.ref.uri.nonEmpty)
     // write-once slots still enforced
     intercept[Main.CliError](parse("-s", "parquet/a/b",
       "--log_ds", "x", "--log_ds", "y"))

@@ -44,6 +44,30 @@ class CorpusOpsSpec extends SparkSpec {
       .head() == ((0L, n - 1, n)))
   }
 
+  test("withGlobalOffset: analytic hex boundaries ≡ sampled boundaries") {
+    // md5-keyed offsets must be identical whether the bucket
+    // boundaries come from the zero-action analytic hex quantiles or
+    // the sampled approxQuantile — boundaries affect parallelism only
+    val df = docs.select(md5($"doc_id".cast("string")).as("h"), lit(1L).as("w"))
+    val a = CorpusOps.withGlobalOffset(df, "h", "w", "r", uniformHexKey = true)
+    val b = CorpusOps.withGlobalOffset(df, "h", "w", "r", uniformHexKey = false)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
+  // ── temperatureSample ─────────────────────────────────────────────
+
+  test("temperatureSample drops NULL-source rows instead of NPEing") {
+    val d = docs.limit(40).withColumn("src",
+      when($"doc_id" % 4 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("s"), ($"doc_id" % 3).cast("string"))))
+    val out = CorpusOps.temperatureSample(d, "doc_id", "src", alpha = 0.5)
+    assert(out.filter($"src".isNull).isEmpty) // nulls carry weight 0
+    assert(out.count() > 0)
+    // all-null degenerate: empty result, no crash
+    val allNull = d.withColumn("src", lit(null).cast("string"))
+    assert(CorpusOps.temperatureSample(allNull, "doc_id", "src", 0.5).isEmpty)
+  }
+
   // ── chunkTokens ───────────────────────────────────────────────────
 
   test("chunkTokens: chunks tile the token stream with the given overlap") {

@@ -1092,6 +1092,70 @@ class ExtSpec extends SparkSpec {
     assert(out(1).getString(0) == "application/x-fake") // stub fallback, meta untouched
   }
 
+  test("multimodal: hostile WAV sizes terminate; ISO-BMFF video metadata is real") {
+    // a crafted RIFF chunk size near 2^32 used to truncate to a
+    // negative Int and either loop forever or throw — now the Long
+    // walk just runs off the end and reports not-a-WAV
+    val evil = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil.put("RIFF".getBytes("US-ASCII")).putInt(56)
+      .put("WAVE".getBytes("US-ASCII"))
+    evil.put("JUNK".getBytes("US-ASCII")).putInt(0xFFFFFFF8) // unsigned 4294967288
+    assert(Multimodal.decodeWav(evil.array()).isEmpty)
+    // zero-size chunks still advance (8 bytes each), never stall
+    val zeros = java.nio.ByteBuffer.allocate(60)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    zeros.put("RIFF".getBytes("US-ASCII")).putInt(52)
+      .put("WAVE".getBytes("US-ASCII"))
+    for (_ <- 0 until 6) zeros.put("JUNK".getBytes("US-ASCII")).putInt(0)
+    assert(Multimodal.decodeWav(zeros.array()).isEmpty)
+
+    // crafted ISO-BMFF: ftyp + moov{mvhd v0, trak{tkhd v0}} (public
+    // layout, ISO/IEC 14496-12)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length) // BE default
+      bb.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    def mvhdV0(timescale: Int, duration: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(20)
+      bb.putInt(0).putInt(0).putInt(0).putInt(timescale).putInt(duration)
+      box("mvhd", bb.array())
+    }
+    def tkhdV0(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(84)
+      bb.position(76) // ver/flags + times/ids/duration/reserved + matrix
+      bb.putInt(w << 16).putInt(h << 16) // 16.16 fixed point
+      box("tkhd", bb.array())
+    }
+    val mp4 = box("ftyp", "isomiso2avc1".getBytes("US-ASCII")) ++
+      box("moov", mvhdV0(1000, 5000) ++ box("trak", tkhdV0(640, 360)) ++
+        box("trak", tkhdV0(0, 0))) // audio track: 0×0, must not win the max
+    val Some((mime, w, h, ms)) = Multimodal.decodeMp4(mp4)
+    assert(mime == "video/mp4" && w == 640 && h == 360 && ms == 5000L)
+    // v1 mvhd: 64-bit duration at payload+24
+    val mvhd1 = {
+      val bb = java.nio.ByteBuffer.allocate(36)
+      bb.put(1.toByte).position(20); bb.putInt(90000).putLong(270000L)
+      box("mvhd", bb.array())
+    }
+    val mp4v1 = box("ftyp", "isom".getBytes("US-ASCII")) ++ box("moov", mvhd1)
+    assert(Multimodal.decodeMp4(mp4v1).map(_._4).contains(3000L))
+    // non-BMFF refuses → stub path
+    assert(Multimodal.decodeMp4("nowhere near an mp4".getBytes).isEmpty)
+    // end-to-end: video rows get real meta, stat features
+    val rows = Seq((1L, "video", mp4), (2L, "video", "plain text".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "bytes")
+      .withColumn("meta", struct(lit("application/x-fake").as("mime"),
+        lit(0).as("width"), lit(0).as("height"), lit(0L).as("duration_ms")))
+    val out = Multimodal.extractFeatures(spark, rows).orderBy("media_id")
+      .select("meta.mime", "meta.width", "meta.height", "meta.duration_ms")
+      .collect()
+    assert(out(0).getString(0) == "video/mp4" && out(0).getInt(1) == 640 &&
+      out(0).getInt(2) == 360 && out(0).getLong(3) == 5000L)
+    assert(out(1).getString(0) == "application/x-fake") // stub fallback
+  }
+
   test("multimodal: real JDK resize scales big images, passes the rest through") {
     def png(w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h,
