@@ -587,6 +587,23 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // ── [EXT] §2.10 persisted-index serving: train IVF once, write the
+    // index (centroids + hive-partitioned inverted lists), reload from
+    // disk, search with nprobe=nlist — exact, so it shares the brute
+    // oracle SQL; the round-trip law in VectorExprsSpec pins persisted
+    // ≡ in-memory at partial nprobe too ────────────────────────────────
+    "q_ann_persisted" -> ((s, dir) => {
+      val e = read(s, dir, "embeddings")
+      val centroids = graft.ext.IvfIndex.train(s, e, k = 16, iters = 2)
+      val path = java.nio.file.Files.createTempDirectory("graft_ann_ivf").toString
+      graft.ext.IvfIndex.writeIndex(e, centroids, path)
+      val (index, cents) = graft.ext.IvfIndex.readIndex(s, path)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      graft.ext.IvfIndex.search(q, index, cents, k = 5, nprobe = 16)
+        .orderBy("q_id", "rank")
+    }),
+
     // ── [EXT] as-of join: latest purchase at or before each event ─────
     "q_asof" -> ((s, dir) => {
       val ev = read(s, dir, "events")
@@ -1542,6 +1559,19 @@ object SparkEntry {
     // exactness witnesses: full-probe IVF and full-pool PQ refine must
     // equal the brute top-k, so they share its oracle verbatim
     "q_ann_ivf_exact" ->
+      """WITH d AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS emb FROM embeddings)
+         SELECT q_id, vec_id, sim, rank FROM (
+           SELECT q.vec_id AS q_id, e.vec_id,
+                  round(list_cosine_similarity(q.emb, e.emb), 4) AS sim,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(q.emb, e.emb) DESC,
+                             e.vec_id) AS rank
+           FROM d q JOIN d e ON q.vec_id < 5 AND q.vec_id <> e.vec_id)
+         WHERE rank <= 5 ORDER BY q_id, rank""",
+    // persisted-index serving at nprobe=nlist ≡ brute (same witness
+    // argument as q_ann_ivf_exact, but searching from the reloaded
+    // on-disk index)
+    "q_ann_persisted" ->
       """WITH d AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS emb FROM embeddings)
          SELECT q_id, vec_id, sim, rank FROM (
            SELECT q.vec_id AS q_id, e.vec_id,

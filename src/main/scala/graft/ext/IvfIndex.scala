@@ -78,6 +78,35 @@ object IvfIndex {
         col(vec), cents.map(_._1), cents.map(_._2)))
   }
 
+  /** Persist a trained index as one directory: `path/centroids` (the
+    * k×dim matrix) plus the assigned corpus at `path/lists`,
+    * hive-partitioned by `centroid_id` — the on-disk inverted-list
+    * layout. Train once, serve many query batches: a search probing
+    * `nprobe` lists reads `nprobe` directories of the corpus (the
+    * probes ride in as a broadcast join key, so partition pruning
+    * keeps the scan at corpus/nlist·nprobe rows), and IVF retraining
+    * stops being a per-call cost. Same persistence shape as
+    * [[TextDedup.writeSignatureIndex]] and the reference's managed
+    * mongo indexes (etl_cli/base.py:568-593).
+    */
+  def writeIndex(corpus: DataFrame, centroids: DataFrame, path: String,
+                 vec: String = "embedding"): Unit = {
+    centroids.write.mode("overwrite").parquet(path + "/centroids")
+    assign(corpus, centroids, vec)
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(path + "/lists")
+  }
+
+  /** Load a [[writeIndex]] directory → (index, centroids). The
+    * partition column comes back as the inferred integer type; restore
+    * the trained long ids so downstream joins/tie-breaks see the exact
+    * schema [[assign]] produced.
+    */
+  def readIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(path + "/lists")
+       .withColumn("centroid_id", col("centroid_id").cast("long")),
+     spark.read.parquet(path + "/centroids"))
+
   /** Search: probe the `nprobe` nearest inverted lists per query, rank
     * candidates by exact cosine, return top k.
     */

@@ -112,6 +112,24 @@ object PqIndex {
     corpus.withColumn("codes", array(codeCols: _*))
   }
 
+  /** Persist a trained PQ index: `path/codebooks` (m×ksub×dsub — the
+    * only training state) plus the coded corpus at `path/codes`
+    * (id + m small codes, the 256×-compressed table ADC search scans).
+    * Train the codebooks once, encode/serve any number of batches —
+    * retraining per call is exactly what a real deployment never does.
+    */
+  def writeIndex(corpus: DataFrame, codebooks: DataFrame, path: String,
+                 id: String = "vec_id", vec: String = "embedding"): Unit = {
+    codebooks.write.mode("overwrite").parquet(path + "/codebooks")
+    encode(corpus, codebooks, vec).select(col(id), col("codes"))
+      .write.mode("overwrite").parquet(path + "/codes")
+  }
+
+  /** Load a [[writeIndex]] directory → (coded, codebooks). */
+  def readIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(path + "/codes"),
+     spark.read.parquet(path + "/codebooks"))
+
   /** ADC top-k: approximate cosine of each query against every coded
     * vector from table lookups alone, rank per query. Queries ride as
     * a broadcast WITH their per-subspace dot tables attached (computed

@@ -270,6 +270,50 @@ object Transformers {
         append = args.lift(4).contains("append"))
       df
     }),
+    // ann_index:path;ivf|pq[;k|m[;iters[;id[;vec]]]] — train an ANN
+    // index over the flowing vectors and persist it (IVF: centroids +
+    // hive-partitioned inverted lists; PQ: codebooks + coded corpus);
+    // rows pass through, like write_index
+    "ann_index" -> (args => df => {
+      require(args.length >= 2, "ann_index needs path;ivf|pq[;k|m[;iters[;id[;vec]]]]")
+      val (path, kind) = (args.head, args(1))
+      val iters = args.lift(3).map(_.toInt).getOrElse(2)
+      val id = args.lift(4).getOrElse("vec_id")
+      val vec = args.lift(5).getOrElse("embedding")
+      kind match {
+        case "ivf" =>
+          val k = args.lift(2).map(_.toInt).getOrElse(16)
+          val cents = graft.ext.IvfIndex.train(df.sparkSession, df, k, iters, id, vec)
+          graft.ext.IvfIndex.writeIndex(df, cents, path, vec)
+        case "pq" =>
+          val m = args.lift(2).map(_.toInt).getOrElse(8)
+          val books = graft.ext.PqIndex.train(df.sparkSession, df, m,
+            iters = iters, id = id, vec = vec)
+          graft.ext.PqIndex.writeIndex(df, books, path, id, vec)
+        case other => throw new IllegalArgumentException(
+          s"ann_index: kind must be ivf or pq, got $other")
+      }
+      df
+    }),
+    // ann_search:path;ivf|pq;k[;nprobe[;qId[;qVec]]] — the flowing rows
+    // are the QUERIES (qId, qVec); search the persisted index
+    "ann_search" -> (args => df => {
+      require(args.length >= 3, "ann_search needs path;ivf|pq;k[;nprobe[;qId[;qVec]]]")
+      val (path, kind, k) = (args.head, args(1), args(2).toInt)
+      val qId = args.lift(4).getOrElse("q_id")
+      val qVec = args.lift(5).getOrElse("q_vec")
+      kind match {
+        case "ivf" =>
+          val (index, cents) = graft.ext.IvfIndex.readIndex(df.sparkSession, path)
+          graft.ext.IvfIndex.search(df, index, cents, k,
+            nprobe = args.lift(3).map(_.toInt).getOrElse(4), qId = qId, qVec = qVec)
+        case "pq" =>
+          val (coded, books) = graft.ext.PqIndex.readIndex(df.sparkSession, path)
+          graft.ext.PqIndex.search(df, coded, books, k, qId = qId, qVec = qVec)
+        case other => throw new IllegalArgumentException(
+          s"ann_search: kind must be ivf or pq, got $other")
+      }
+    }),
     // nfc_normalize[:field] — Unicode canonical composition in place
     "nfc_normalize" -> (args => df => {
       val f = args.headOption.getOrElse("text")

@@ -691,6 +691,48 @@ class ExtSpec extends SparkSpec {
     assert(!assignPlan.contains("Join"), s"IVF assign joins:\n$assignPlan")
   }
 
+  test("ANN index persistence: search from the reloaded index ≡ in-memory") {
+    import graft.ext.{IvfIndex, PqIndex}
+    val e = sf("embeddings").limit(300)
+    val q = e.filter($"vec_id" < 4)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_rt")
+
+    // IVF: train once, persist, reload — results identical at PARTIAL
+    // nprobe too (persisted lists are the same assignment), and the
+    // on-disk layout is one directory per inverted list
+    val cents = IvfIndex.train(spark, e, k = 8, iters = 2)
+    val ivfPath = tmp.resolve("ivf").toString
+    IvfIndex.writeIndex(e, cents, ivfPath)
+    assert(new java.io.File(ivfPath + "/lists").listFiles()
+      .count(_.getName.startsWith("centroid_id=")) > 1, "not hive-partitioned by list")
+    val (index, cents2) = IvfIndex.readIndex(spark, ivfPath)
+    val mem = IvfIndex.search(q, IvfIndex.assign(e, cents), cents, k = 5, nprobe = 3)
+    val disk = IvfIndex.search(q, index, cents2, k = 5, nprobe = 3)
+    assert(disk.except(mem).isEmpty && mem.except(disk).isEmpty)
+
+    // PQ: codebooks + codes round-trip; ADC search identical
+    val books = PqIndex.train(spark, e, m = 8, ksub = 16, iters = 1)
+    val pqPath = tmp.resolve("pq").toString
+    PqIndex.writeIndex(e, books, pqPath)
+    val (coded, books2) = PqIndex.readIndex(spark, pqPath)
+    val memPq = PqIndex.search(q, PqIndex.encode(e, books).select("vec_id", "codes"),
+      books, k = 5)
+    val diskPq = PqIndex.search(q, coded, books2, k = 5)
+    assert(diskPq.except(memPq).isEmpty && memPq.except(diskPq).isEmpty)
+
+    // CLI stages drive the same path: ann_index passes rows through,
+    // ann_search serves the persisted index
+    import graft.spec.TransformStage
+    val staged = graft.functions.Transformers.resolve(TransformStage("ann_index",
+      Seq(tmp.resolve("cli").toString, "ivf", "8")))(e)
+    assert(staged.count() == e.count())
+    val served = graft.functions.Transformers.resolve(TransformStage("ann_search",
+      Seq(tmp.resolve("cli").toString, "ivf", "5", "8")))(q)
+    val exact = graft.ext.Similarity.bruteTopK(q, e, 5)
+    assert(served.except(exact).isEmpty && exact.except(served).isEmpty)
+  }
+
   test("text analysis: counts, ratios, langid") {
     val t = Seq(
       (1L, "The quick brown fox, it jumps!"),
