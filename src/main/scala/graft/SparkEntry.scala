@@ -160,6 +160,40 @@ object SparkEntry {
       WriteOps.index(orders, batch, Seq("o_orderkey")).orderBy("o_orderkey")
     }),
 
+    // ── J11/O4 self-update fixpoint, driver-visible: chunked
+    // processing of a scratch copy of `orders` to convergence. Each
+    // iteration reads the _contid-unmarked rows capped at ~40% of the
+    // table, uppercases o_orderpriority, and upserts back — the cap is
+    // sized so the pending counts (0.4n, 0.4n, 0.2n, 0) never repeat
+    // twice-then-again, exercising ≥ 3 REAL loop iterations of the
+    // engine's one iterative control-flow feature before the
+    // count-unchanged-twice termination rule (etl.py:331-334) fires.
+    // The converged table is closed-form: every row marked + transformed.
+    "q_fixpoint" -> ((s, dir) => {
+      val scratch = java.nio.file.Files.createTempDirectory("graft_fixpoint").toString
+      // deterministic 1/10 subset (mirrored in the oracle) — the loop
+      // mechanics are iteration-count-shaped, not data-shaped, so the
+      // fixpoint witness doesn't need the full table's write cost
+      read(s, dir, "orders").filter(col("o_orderkey") % 10 === 0)
+        .coalesce(4).write.parquet(s"$scratch/orders_fp.parquet")
+      val ref = ds(scratch, "orders_fp")
+      val n = s.read.parquet(s"$scratch/orders_fp.parquet").count()
+      val cap = math.ceil(n * 0.4).toLong
+      val job = JobSpec(
+        SourceSpec(ref, Seq("_limit" -> cap.toString),
+          postRead = Seq(TransformStage("set_expr",
+            Seq("o_orderpriority", "lower(o_orderpriority)")))),
+        target = Some(TargetSpec(ref, op = WriteOp.Upsert, pk = Seq("o_orderkey"))),
+        contid = Some("fixpoint-1"))
+      val res = Runner.runLoop(s, job)
+      require(res.iterations >= 3,
+        s"fixpoint should take >= 3 chunked iterations, took ${res.iterations}")
+      s.read.parquet(s"$scratch/orders_fp.parquet")
+        .select(col("o_orderkey"), col("o_orderpriority").as("pri"),
+          (col("_contid") === "fixpoint-1").as("processed"))
+        .orderBy("o_orderkey")
+    }),
+
     // ── §2.5 transformer chain ────────────────────────────────────────
     "q_transform_chain" -> ((s, dir) => Planner.plan(s, JobSpec(
       SourceSpec(ds(dir, "customer"),
@@ -936,6 +970,11 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
                 CASE WHEN o_orderkey < 1000 THEN NULL ELSE o_orderpriority END AS o_orderpriority
          FROM orders ORDER BY o_orderkey""",
+    // fixpoint convergence is closed-form: EVERY row ends processed
+    // with the per-iteration transform applied exactly once
+    "q_fixpoint" ->
+      """SELECT o_orderkey, lower(o_orderpriority) AS pri, TRUE AS processed
+         FROM orders WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""",
     "q_transform_chain" ->
       """SELECT c_custkey, upper(c_name) AS c_name, c_nationkey, c_acctbal, c_mktsegment,
                 CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS bal_band

@@ -291,6 +291,27 @@ class RunnerSpec extends SparkSpec {
     assert(filtered.count() == 2)
   }
 
+  test("O4 chunked fixpoint: a 40%-of-pending cap converges in 3 real iterations") {
+    val dir = Files.createTempDirectory("graft_chunked").toString
+    sf("orders").limit(1000).write.parquet(s"$dir/o.parquet")
+    val ref = DatasetRef("parquet", dir, "o")
+    // counts 400, 400, 200, 0 — the cap repeats only twice, so the
+    // unchanged-twice termination rule never fires early
+    val job = JobSpec(
+      SourceSpec(ref, Seq("_limit" -> "400"),
+        postRead = Seq(graft.spec.TransformStage("set_expr",
+          Seq("o_orderpriority", "lower(o_orderpriority)")))),
+      target = Some(TargetSpec(ref, op = WriteOp.Upsert, pk = Seq("o_orderkey"))),
+      contid = Some("chunk-1"))
+    val res = Runner.runLoop(spark, job)
+    assert(res.iterations == 3, s"expected 3 iterations, got ${res.iterations}")
+    val after = spark.read.parquet(s"$dir/o.parquet")
+    assert(after.filter(col("_contid") === "chunk-1").count() == 1000)
+    assert(after.filter(col("o_orderpriority") =!= lower(col("o_orderpriority"))).count() == 0)
+    // idempotent: nothing pending on a re-run with the same contid
+    assert(Runner.runLoop(spark, job).iterations == 0)
+  }
+
   test("O4 non-self-update contid job runs exactly once (no duplicate appends)") {
     val dir = Files.createTempDirectory("graft_once").toString
     val job = JobSpec(
