@@ -8,6 +8,9 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.01"
+    // tee everything to target/plan_audit.txt — stdout tails truncate
+    val sb = new StringBuilder
+    def emit(s: String): Unit = { println(s); sb.append(s).append('\n') }
     for (name <- Seq("q_filter_ops", "q_fields_excl", "q_merge_left", "q_merge_anti",
       "q1_agg", "q_sort_limit", "q_dedup_jaccard", "q_dedup_minhash",
       "q_dedup_corpus", "q_ann_topk", "q_ann_ivf", "q_embed_lsh",
@@ -24,7 +27,8 @@ object PlanAudit {
       "q_dedup_simhash_port", "q_ann_ivf_exact", "q_ann_pq_refined_exact",
       "q_dedup_containment", "q_ann_quant",
       "q_embed_lsh_exact", "q_ann_lsh_exact", "q_top_ngram",
-      "q_embed_pool", "q_normalize", "q_entropy")) {
+      "q_embed_pool", "q_normalize", "q_entropy",
+      "q_ann_persisted", "q_fixpoint")) {
       val df = SparkEntry.queries(name)(spark, dir)
       // execute first: under AQE the pre-execution plan prints
       // isFinalPlan=false with no WholeStageCodegen spans — only the
@@ -33,15 +37,22 @@ object PlanAudit {
       qe.executedPlan.executeCollect()
       val plan = qe.executedPlan.toString
       def has(s: String) = plan.contains(s)
-      println(s"AUDIT $name: pushed=${plan.contains("PushedFilters: [")} " +
+      emit(s"AUDIT $name: pushed=${plan.contains("PushedFilters: [")} " +
         s"bcast=${has("BroadcastHashJoin")} smj=${has("SortMergeJoin")} " +
         s"cartesian=${has("CartesianProduct")} bnlj=${has("BroadcastNestedLoopJoin")} " +
         // codegen'd nodes print as `*(stageId)` prefixes in the simple plan
         s"wsc=${has("*(")} topn=${has("TakeOrderedAndProject")}")
       val rs = plan.linesIterator.filter(_.contains("ReadSchema")).take(2).toList
-      rs.foreach(l => println("AUDIT   " + l.trim.take(150)))
+      rs.foreach(l => emit("AUDIT   " + l.trim.take(150)))
       val pf = plan.linesIterator.filter(_.contains("PushedFilters")).take(2).toList
-      pf.foreach(l => println("AUDIT   " + l.trim.take(150)))
+      pf.foreach(l => emit("AUDIT   " + l.trim.take(150)))
+    }
+    try {
+      val out = java.nio.file.Paths.get("target/plan_audit.txt")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, sb.toString)
+    } catch { case e: Throwable =>
+      System.err.println(s"plan audit: could not write target/plan_audit.txt: $e")
     }
     spark.stop()
   }

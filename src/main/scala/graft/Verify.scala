@@ -20,11 +20,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val dumpStatus = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        dumpStatus(name) = "ok"
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        dumpStatus(name) = s"failed: ${e.getMessage}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -57,6 +61,22 @@ object Verify {
       checks.map { case (n, c) =>
         s"${q(n)}: {${q("pass")}: ${c.pass}, ${q("detail")}: ${q(c.detail)}}"
       }.mkString("{", ",", "}"))
+    // Robust secondary channel (stdout tails truncate): one summary
+    // file under target/ with per-query dump status + diffcheck
+    // verdicts, same role as Bench's target/bench.json.
+    try {
+      val out = Paths.get("target/verify.json")
+      Files.createDirectories(out.getParent)
+      val dumps = dumpStatus.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}")
+      val dcs = checks.map { case (n, c) =>
+        s"${q(n)}: {${q("pass")}: ${c.pass}, ${q("detail")}: ${q(c.detail)}}"
+      }.mkString("{", ",", "}")
+      Files.writeString(out,
+        s"""{"sf": ${q(sfDir)}, "dumps": $dumps, "diffchecks": $dcs}""")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] could not write target/verify.json: $e")
+    }
     spark.stop()
     // (No non-zero exit: the parquet dumps + oracle compare must still
     // be consumable; diffcheck.json carries the binary verdicts and
