@@ -299,6 +299,23 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ── [EXT] §2.10 Bloom-gated incremental EXACT dedup: batch
+    // (doc_id >= 400) probes a persisted membership filter of the
+    // first 400 docs' texts; positives exact-confirm, so the result
+    // equals the plain anti-join exactly ──────────────────────────────
+    "q_dedup_bloom" -> ((s, dir) => {
+      import graft.ext.BloomDedup
+      val docs = read(s, dir, "documents")
+      val seen = docs.filter(col("doc_id") < 400)
+      val batch = docs.filter(col("doc_id") >= 400)
+      val path = java.nio.file.Files.createTempDirectory("graft_bloom")
+        .toString + "/seen.bloom"
+      BloomDedup.writeFilter(s, BloomDedup.train(seen, "text", 100000L), path)
+      BloomDedup.dedupAgainst(batch, seen,
+        BloomDedup.readFilter(s, path), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ── [EXT] §2.10 end-to-end corpus dedup (pairs → components) ─────
     "q_dedup_corpus" -> ((s, dir) =>
       graft.ext.TextDedup.dedupCorpus(read(s, dir, "documents"),
@@ -1010,6 +1027,18 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
            FROM documents)
          WHERE rn = 1 ORDER BY doc_id""",
+    "q_dedup_bloom" ->                 // batch firsts minus already-seen texts
+      """WITH seen AS (
+           SELECT DISTINCT lower(trim(text)) AS k
+           FROM documents WHERE doc_id < 400),
+         firsts AS (
+           SELECT *, row_number() OVER (PARTITION BY lower(trim(text))
+                                        ORDER BY doc_id) AS rn
+           FROM documents WHERE doc_id >= 400)
+         SELECT doc_id, text, lang, source, n_chars FROM firsts
+         WHERE rn = 1
+           AND lower(trim(text)) NOT IN (SELECT k FROM seen)
+         ORDER BY doc_id""",
     "q_line_dedup" ->                  // first (doc_id, pos) wins per line
       """WITH src AS (
            SELECT doc_id,
