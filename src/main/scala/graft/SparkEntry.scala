@@ -399,6 +399,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ── [EXT] §2.10 URL curation: host parse → registered domain →
+    // blocklist → salted per-domain cap. URLs are manufactured
+    // deterministically from (source, doc_id) — the test corpus has no
+    // url column — with subdomain/ccTLD variety so the registered-
+    // domain CASE and the subdomain-blind blocklist both bite ─────────
+    "q_url_curate" -> ((s, dir) => {
+      import graft.ext.UrlOps
+      val url = concat(lit("https://"),
+        when(col("doc_id") % 3 === 0, lit("www."))
+          .when(col("doc_id") % 7 === 0, lit("cdn.media."))
+          .otherwise(lit("")),
+        col("source"),
+        when(col("doc_id") % 5 === 0, lit(".co.uk")).otherwise(lit(".com")),
+        lit("/doc/"), col("doc_id").cast("string"))
+      val parts = UrlOps.withUrlParts(
+        read(s, dir, "documents").withColumn("url", url), "url")
+      UrlOps.capPerDomain(
+        UrlOps.filterBlockedDomains(parts, "domain",
+          Seq("src3.com", "src7.co.uk")),
+        "domain", "doc_id", cap = 10)
+        .select("doc_id", "host", "domain").orderBy("doc_id")
+    }),
+
     // ── [EXT] §2.10 text analysis: counts/ratios/langid/quality ───────
     "q_text_stats" -> ((s, dir) =>
       graft.ext.TextAnalysis.analyzeWithQuality(read(s, dir, "documents"))
@@ -1039,6 +1062,43 @@ object SparkEntry {
          WHERE rn = 1
            AND lower(trim(text)) NOT IN (SELECT k FROM seen)
          ORDER BY doc_id""",
+    "q_url_curate" ->                  // host → registered domain → blocklist → cap 10/domain
+      """WITH u AS (
+           SELECT doc_id,
+                  'https://' ||
+                  CASE WHEN doc_id % 3 = 0 THEN 'www.'
+                       WHEN doc_id % 7 = 0 THEN 'cdn.media.'
+                       ELSE '' END ||
+                  source ||
+                  CASE WHEN doc_id % 5 = 0 THEN '.co.uk' ELSE '.com' END ||
+                  '/doc/' || CAST(doc_id AS VARCHAR) AS url
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+                  lower(regexp_extract(url,
+                    '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)',
+                    1)) AS host
+           FROM u),
+         d AS (
+           SELECT doc_id, host, string_split(host, '.') AS p FROM h),
+         r AS (
+           SELECT doc_id, host,
+                  CASE WHEN len(p) <= 2 THEN host
+                       WHEN p[-2] || '.' || p[-1] IN
+                            ('co.uk','ac.uk','gov.uk','org.uk','co.jp',
+                             'ne.jp','or.jp','com.au','net.au','org.au',
+                             'com.br','com.cn','com.tw','co.in','co.kr',
+                             'com.mx','co.za','com.sg','com.ar')
+                         THEN p[-3] || '.' || p[-2] || '.' || p[-1]
+                       ELSE p[-2] || '.' || p[-1] END AS domain
+           FROM d),
+         f AS (
+           SELECT * FROM r WHERE domain NOT IN ('src3.com','src7.co.uk')),
+         c AS (
+           SELECT *, row_number() OVER (PARTITION BY domain
+                                        ORDER BY doc_id) AS rn
+           FROM f)
+         SELECT doc_id, host, domain FROM c WHERE rn <= 10 ORDER BY doc_id""",
     "q_line_dedup" ->                  // first (doc_id, pos) wins per line
       """WITH src AS (
            SELECT doc_id,
