@@ -269,6 +269,21 @@ object SparkEntry {
         "text", "doc_id")
         .orderBy("doc_id")),
 
+    // ── [EXT] §2.10 corpus paragraph dedup: normalized-key twin of the
+    // line pass; paragraph breaks manufactured from connective words,
+    // plus case noise (upper on doc_id%4=0) the normalized key must
+    // see through ─────────────────────────────────────────────────────
+    "q_para_dedup" -> ((s, dir) =>
+      graft.ext.TextDedup.dedupParagraphs(
+        read(s, dir, "documents")
+          .withColumn("text",
+            regexp_replace(col("text"), " (of|and|to|in) ", "\n\n"))
+          .withColumn("text",
+            when(col("doc_id") % 4 === 0, upper(col("text")))
+              .otherwise(col("text"))),
+        "text", "doc_id")
+        .orderBy("doc_id")),
+
     // ── [EXT] §2.10 exact n-gram Jaccard near-dup pairs ───────────────
     "q_dedup_jaccard" -> ((s, dir) =>
       graft.ext.TextDedup.jaccardPairs(read(s, dir, "documents"),
@@ -1127,6 +1142,40 @@ object SparkEntry {
                 len(keptl)::BIGINT AS n_lines,
                 (tot - len(keptl))::BIGINT AS n_dropped
          FROM g WHERE len(keptl) > 0 ORDER BY doc_id""",
+    "q_para_dedup" ->                  // normalized-key paragraph pass, first (doc_id, pos) wins
+      """WITH src AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 4 = 0 THEN upper(t) ELSE t END AS t
+           FROM (SELECT doc_id,
+                        regexp_replace(text, ' (of|and|to|in) ',
+                                       chr(10)||chr(10), 'g') AS t
+                 FROM documents)),
+         e0 AS (
+           SELECT doc_id,
+                  unnest([{'p': i,
+                           'para': string_split(t, chr(10)||chr(10))[i+1]}
+                          FOR i IN range(len(string_split(t,
+                                                chr(10)||chr(10))))]) AS u
+           FROM src),
+         e AS (
+           SELECT doc_id, u.p AS pos, u.para AS para,
+                  lower(trim(regexp_replace(u.para, '\s+', ' ', 'g'))) AS k
+           FROM e0 WHERE trim(u.para) <> ''),
+         w AS (
+           SELECT doc_id, pos, para,
+                  row_number() OVER (PARTITION BY k
+                                     ORDER BY doc_id, pos) AS rn
+           FROM e),
+         g AS (
+           SELECT doc_id,
+                  list(para ORDER BY pos) FILTER (WHERE rn = 1) AS keptp,
+                  count(*)::BIGINT AS tot
+           FROM w GROUP BY doc_id)
+         SELECT doc_id,
+                array_to_string(keptp, chr(10)||chr(10)) AS text,
+                len(keptp)::BIGINT AS n_paras,
+                (tot - len(keptp))::BIGINT AS n_dropped
+         FROM g WHERE len(keptp) > 0 ORDER BY doc_id""",
     "q_dedup_jaccard" -> JaccardOracle,
     // decontamination: corpus docs (id ≥ 20) sharing any distinct
     // 5-gram with a benchmark doc (id < 20) are dropped

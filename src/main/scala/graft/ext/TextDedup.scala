@@ -109,6 +109,47 @@ object TextDedup {
         (col("__tot__") - size(col("__ls__"))).cast("long").as("n_dropped"))
   }
 
+  /** Corpus-level exact PARAGRAPH dedup: [[dedupLines]] at paragraph
+    * granularity (split on blank lines, `\n{2,}`) with a NORMALIZED
+    * key — paragraphs match after lowercasing and collapsing internal
+    * whitespace, so a re-wrapped or re-indented copy of a boilerplate
+    * paragraph (cookie banners, license blocks, nav footers) still
+    * dedups while the surviving copy keeps its original text. First
+    * occurrence = smallest (id, position). Documents are reassembled
+    * from surviving paragraphs with `\n\n`; empty ones drop out.
+    * Emits (id, text, n_paras kept, n_dropped).
+    *
+    * Same 100 TB shape as [[dedupLines]]: one shuffle keyed by the
+    * 8-byte xxhash64 of the normalized paragraph, Exchange reused for
+    * the winner probe, reassembly state bounded by document size.
+    */
+  def dedupParagraphs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val norm = lower(trim(regexp_replace(col("__para__"), "\\s+", " ")))
+    val ex = df
+      .select(col(idCol).as("__id__"),
+        posexplode(split(col(textCol), "\n{2,}")).as(Seq("__pos__", "__para__")))
+      .filter(trim(col("__para__")) =!= "")
+      .withColumn("__h__", xxhash64(norm))
+    val winners = ex.groupBy("__h__")
+      .agg(min(struct(col("__id__"), col("__pos__"))).as("__w__"))
+    ex.join(winners, "__h__")
+      .withColumn("__keep__",
+        col("__w__.__id__") === col("__id__") &&
+          col("__w__.__pos__") === col("__pos__"))
+      .groupBy("__id__")
+      .agg(
+        sort_array(collect_list(
+          when(col("__keep__"),
+            struct(col("__pos__"), col("__para__"))))).as("__ps__"),
+        count(lit(1)).as("__tot__"))
+      .filter(size(col("__ps__")) > 0)
+      .select(col("__id__").as(idCol),
+        array_join(transform(col("__ps__"), _.getField("__para__")), "\n\n")
+          .as(textCol),
+        size(col("__ps__")).cast("long").as("n_paras"),
+        (col("__tot__") - size(col("__ps__"))).cast("long").as("n_dropped"))
+  }
+
   /** Per-doc sorted shingle-hash arrays: the verified join side for
     * both the exact and the LSH pair finders. 64-bit hashes stand in
     * for the string shingles (same set semantics, collision odds

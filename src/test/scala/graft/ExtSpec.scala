@@ -299,6 +299,31 @@ class ExtSpec extends SparkSpec {
       "dedup invented a line")
   }
 
+  test("paragraph dedup: normalized key, first wins, original text kept") {
+    val t = Seq(
+      (1L, "Cookie  banner text\n\nunique body one"),
+      (2L, "cookie banner TEXT\n\nunique body two"),  // same para, case/ws noise
+      (3L, "COOKIE BANNER TEXT"),                     // loses its only para
+      (4L, "unique body four\n\n\n\nunique body four b") // \n{2,} one break
+    ).toDF("doc_id", "text")
+    val r = TextDedup.dedupParagraphs(t, "text", "doc_id")
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (1L, "Cookie  banner text\n\nunique body one", 2L, 0L),
+      (2L, "unique body two", 1L, 1L),
+      (4L, "unique body four\n\nunique body four b", 2L, 0L)))
+    // law on the sf table: surviving normalized paragraphs are unique
+    val paras = TextDedup.dedupParagraphs(
+      docs.withColumn("text",
+        regexp_replace($"text", " (of|and|to|in) ", "\n\n")),
+      "text", "doc_id")
+      .select(explode(split($"text", "\n{2,}")).as("p"))
+      .select(lower(trim(regexp_replace($"p", "\\s+", " "))).as("k"))
+    assert(paras.count() == paras.distinct().count(),
+      "a duplicate normalized paragraph survived")
+  }
+
   test("c4 clean: every line and doc rule fires on its crafted fixture") {
     val t = Seq(
       (1L, "Good first sentence here.\nAnother fine line follows!\nno punct line\nShort one.\n  A trimmed quote line. "),
