@@ -444,6 +444,20 @@ object SparkEntry {
           "avg_word_len", "stopword_ratio", "lang_id", "quality")
         .orderBy("doc_id")),
 
+    // ── [EXT] §2.10 Unicode script-mix ratios: corpus is all-ASCII, so
+    // multi-script suffixes are injected deterministically by doc_id%5
+    // to exercise every script class both sides ───────────────────────
+    "q_script_ratio" -> ((s, dir) =>
+      graft.ext.TextAnalysis.scriptRatios(
+        read(s, dir, "documents").withColumn("text",
+          concat(col("text"),
+            when(col("doc_id") % 5 === 0, lit(" привет мир 42"))
+              .when(col("doc_id") % 5 === 1, lit(" 你好，世界"))
+              .when(col("doc_id") % 5 === 2, lit(" สวัสดีครับ"))
+              .when(col("doc_id") % 5 === 3, lit(" مرحبا بالعالم"))
+              .otherwise(lit("")))))
+        .orderBy("doc_id")),
+
     // ── [EXT] §2.10 Gopher repetition filters: dup-line/dup-ngram ─────
     "q_repetition" -> ((s, dir) =>
       graft.ext.TextAnalysis.repetitionStats(read(s, dir, "documents"))
@@ -1488,6 +1502,38 @@ object SparkEntry {
                 len(keptl)::BIGINT AS n_lines,
                 (n_all - len(keptl))::BIGINT AS n_dropped
          FROM k WHERE len(keptl) >= 2 ORDER BY doc_id""",
+    "q_script_ratio" ->                // per-script codepoint fractions, ws stripped
+      """WITH src AS (
+           SELECT doc_id,
+                  regexp_replace(
+                    text || CASE doc_id % 5
+                              WHEN 0 THEN ' привет мир 42'
+                              WHEN 1 THEN ' 你好，世界'
+                              WHEN 2 THEN ' สวัสดีครับ'
+                              WHEN 3 THEN ' مرحبا بالعالم'
+                              ELSE '' END,
+                    '\s+', '', 'g') AS t
+           FROM documents),
+         c AS (
+           SELECT doc_id, length(t) AS total,
+             length(t) - length(regexp_replace(t, '[\p{Latin}]', '', 'g')) AS latin,
+             length(t) - length(regexp_replace(t, '[\p{Han}]', '', 'g')) AS han,
+             length(t) - length(regexp_replace(t, '[\p{Cyrillic}]', '', 'g')) AS cyr,
+             length(t) - length(regexp_replace(t, '[\p{Arabic}]', '', 'g')) AS arab,
+             length(t) - length(regexp_replace(t, '[\p{Thai}]', '', 'g')) AS thai,
+             length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS digit
+           FROM src)
+         SELECT doc_id, total::BIGINT AS n_cp,
+                CASE WHEN total = 0 THEN 0.0 ELSE round(latin / total, 4) END AS latin_ratio,
+                CASE WHEN total = 0 THEN 0.0 ELSE round(han / total, 4) END AS han_ratio,
+                CASE WHEN total = 0 THEN 0.0 ELSE round(cyr / total, 4) END AS cyrillic_ratio,
+                CASE WHEN total = 0 THEN 0.0 ELSE round(arab / total, 4) END AS arabic_ratio,
+                CASE WHEN total = 0 THEN 0.0 ELSE round(thai / total, 4) END AS thai_ratio,
+                CASE WHEN total = 0 THEN 0.0 ELSE round(digit / total, 4) END AS digit_ratio,
+                CASE WHEN total = 0 THEN 0.0
+                     ELSE round((total - latin - han - cyr - arab - thai - digit)
+                                / total, 4) END AS other_ratio
+         FROM c ORDER BY doc_id""",
     "q_repetition" ->
       """WITH t AS (
            SELECT doc_id,

@@ -407,6 +407,42 @@ object TextAnalysis {
         new java.util.zip.Deflater(6, true)
     }
 
+  /** Unicode SCRIPT-ratio signals: per document, the fraction of
+    * non-whitespace codepoints in each major script (Latin, Han,
+    * Cyrillic, Arabic, Thai), plus ASCII digits and a residual
+    * "other" bucket (punctuation, symbols, unlisted scripts). The
+    * language-MIX counterpart of the n-gram langid: a "English" page
+    * that is 40% Han codepoints is boilerplate-wrapped CJK, mojibake,
+    * or spam — scripts don't lie the way n-gram models can be fooled.
+    *
+    * Pure codegen'd projection: each count is
+    * `len − len(regexp_replace(t, cls, ""))`, so the whole row stays
+    * inside one whole-stage-codegen pass; zero shuffle at any scale.
+    * Script classes are Java `\p{IsXxx}` here and RE2 `\p{Xxx}` in the
+    * DuckDB oracle — same Unicode script property both ways. Empty/
+    * whitespace-only docs report 0.0 everywhere.
+    */
+  def scriptRatios(df: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val t = regexp_replace(col(textCol), "\\s+", "")
+    val total = length(t)
+    def cnt(cls: String): Column = total - length(regexp_replace(t, cls, ""))
+    def ratio(c: Column): Column =
+      when(total === 0, lit(0.0)).otherwise(round(c / total, 4))
+    val latin = cnt("[\\p{IsLatin}]")
+    val han = cnt("[\\p{IsHan}]")
+    val cyr = cnt("[\\p{IsCyrillic}]")
+    val arab = cnt("[\\p{IsArabic}]")
+    val thai = cnt("[\\p{IsThai}]")
+    val digit = cnt("[0-9]")
+    df.select(col(idCol), total.cast("long").as("n_cp"),
+      ratio(latin).as("latin_ratio"), ratio(han).as("han_ratio"),
+      ratio(cyr).as("cyrillic_ratio"), ratio(arab).as("arabic_ratio"),
+      ratio(thai).as("thai_ratio"), ratio(digit).as("digit_ratio"),
+      ratio(total - latin - han - cyr - arab - thai - digit)
+        .as("other_ratio"))
+  }
+
   /** Compression-ratio quality signal: deflate(level 6) size over
     * UTF-8 size. Templated/repetitive machine text compresses far
     * below natural prose (ratios ~0.1 vs ~0.4+), which makes this one

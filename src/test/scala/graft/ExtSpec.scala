@@ -324,6 +324,31 @@ class ExtSpec extends SparkSpec {
       "a duplicate normalized paragraph survived")
   }
 
+  test("scriptRatios: known mixes, residual bucket, empty doc") {
+    val t = Seq(
+      (1L, "hello world"),          // pure latin
+      (2L, "привет 99"),            // cyrillic + digits
+      (3L, "你好 hello!"),          // han + latin + punct residual
+      (4L, "   "),                  // whitespace-only → all zeros
+      (5L, "สวัสดี")                // pure thai
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.scriptRatios(t).orderBy("doc_id")
+      .as[(Long, Long, Double, Double, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(r(0) == (1L, 10L, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    assert(r(1) == (2L, 8L, 0.0, 0.0, 0.75, 0.0, 0.0, 0.25, 0.0))
+    assert(r(2) == (3L, 8L, 0.625, 0.25, 0.0, 0.0, 0.0, 0.0, 0.125))
+    assert(r(3) == (4L, 0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    assert(r(4) == (5L, 6L, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0))
+    // law: ratios sum to ~1 on every non-empty sf doc
+    val sums = TextAnalysis.scriptRatios(docs).filter($"n_cp" > 0)
+      .select(($"latin_ratio" + $"han_ratio" + $"cyrillic_ratio" +
+        $"arabic_ratio" + $"thai_ratio" + $"digit_ratio" +
+        $"other_ratio").as("s"))
+      .agg(min($"s"), max($"s")).as[(Double, Double)].head()
+    assert(sums._1 > 0.998 && sums._2 < 1.002, s"ratio sum out of band: $sums")
+  }
+
   test("c4 clean: every line and doc rule fires on its crafted fixture") {
     val t = Seq(
       (1L, "Good first sentence here.\nAnother fine line follows!\nno punct line\nShort one.\n  A trimmed quote line. "),
