@@ -284,6 +284,12 @@ object SparkEntry {
         "text", "doc_id")
         .orderBy("doc_id")),
 
+    // ── [EXT] §2.10 winnowing fingerprint overlap pairs (MOSS) ────────
+    "q_winnow" -> ((s, dir) =>
+      graft.ext.TextDedup.winnowPairs(read(s, dir, "documents"),
+        "doc_id", "text", k = 12, w = 12, minShared = 3, maxDf = 30)
+        .orderBy("id_a", "id_b")),
+
     // ── [EXT] §2.10 exact n-gram Jaccard near-dup pairs ───────────────
     "q_dedup_jaccard" -> ((s, dir) =>
       graft.ext.TextDedup.jaccardPairs(read(s, dir, "documents"),
@@ -1156,6 +1162,31 @@ object SparkEntry {
                 len(keptl)::BIGINT AS n_lines,
                 (tot - len(keptl))::BIGINT AS n_dropped
          FROM g WHERE len(keptl) > 0 ORDER BY doc_id""",
+    "q_winnow" ->                      // MOSS fingerprint overlap pairs (k=12, w=12, df<=30)
+      """WITH n AS (
+           SELECT doc_id, lower(regexp_replace(text, '\W+', '', 'g')) AS s
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+                  [CAST('0x' || substr(md5(substr(s, i+1, 12)), 1, 15)
+                        AS BIGINT)
+                   FOR i IN range(len(s) - 12 + 1)] AS hs
+           FROM n WHERE len(s) >= 23),
+         f AS (
+           SELECT doc_id,
+                  list_distinct([list_min(hs[i+1:i+12])
+                                 FOR i IN range(len(hs) - 12 + 1)]) AS fps
+           FROM h),
+         e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+         r AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= 30),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  count(*)::BIGINT AS n_shared
+           FROM e a JOIN r USING (fp) JOIN e b USING (fp)
+           WHERE a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b, n_shared FROM p
+         WHERE n_shared >= 3 ORDER BY id_a, id_b""",
     "q_para_dedup" ->                  // normalized-key paragraph pass, first (doc_id, pos) wins
       """WITH src AS (
            SELECT doc_id,

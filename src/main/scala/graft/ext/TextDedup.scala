@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text deduplication operators ([EXT], SURVEY §2.10): exact, n-gram
@@ -148,6 +149,92 @@ object TextDedup {
           .as(textCol),
         size(col("__ps__")).cast("long").as("n_paras"),
         (col("__tot__") - size(col("__ps__"))).cast("long").as("n_dropped"))
+  }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03 — the MOSS algorithm). Characters are normalized
+    * (lowercase, all non-word chars stripped — winnowing is
+    * whitespace/punctuation-insensitive by design), hashed as char
+    * k-grams, and each sliding window of `w` consecutive hashes
+    * contributes its MINIMUM hash to the document's fingerprint set.
+    * The guarantee: any shared substring of length ≥ k + w − 1
+    * produces at least one shared fingerprint, while only a ~2/(w+1)
+    * fraction of positions is kept — a contract MinHash cannot make
+    * (MinHash bounds only the EXPECTED overlap).
+    *
+    * The k-gram hash is the first 15 hex digits of md5 (< 2⁶⁰, so it
+    * fits a signed 64-bit int in every engine) — chosen over xxhash64
+    * so the DuckDB oracle replicates it bit-for-bit. Whole pipeline is
+    * codegen'd array expressions; per-row state is O(doc length).
+    *
+    * Emits one (id, fp) row per DISTINCT selected hash per doc. Docs
+    * shorter than k + w − 1 normalized chars have no complete window
+    * and drop out.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, w: Int = 10): DataFrame = {
+    require(k > 0 && w > 0, "k and w must be positive")
+    val norm = lower(regexp_replace(col(textCol), "\\W+", ""))
+    // Deliberately EXPLODE-then-window rather than nested array
+    // higher-order functions: HOFs don't codegen, and worse,
+    // CollapseProject inlines a referenced projection INTO the lambda
+    // body, re-evaluating the whole upstream expression once per array
+    // element — the array formulation measured O(n²) regex+md5 per doc
+    // (337 s for 500 tiny docs). Exploded, each gram hashes exactly
+    // once inside whole-stage codegen; the generator is a collapse
+    // barrier by construction.
+    val grams = df
+      .select(col(idCol).as("id"), norm.as("__s__"))
+      .filter(length(col("__s__")) >= k + w - 1)
+      .select(col("id"), col("__s__"),
+        posexplode(sequence(lit(0), length(col("__s__")) - k))
+          .as(Seq("__i__", "__z__")))
+      .select(col("id"), col("__i__"),
+        conv(substring(md5(col("__s__").substr(col("__i__") + 1, lit(k))
+          .cast("binary")), 1, 15), 16, 10).cast("long").as("__h__"))
+    // Robust-winnowing selection: each length-w window of consecutive
+    // gram hashes contributes its min. ONE shuffle, keyed by doc id;
+    // the per-doc window frame is O(w) per row and doc-bounded. The
+    // trailing w−1 positions open no complete window and are cut by
+    // the __nw__ filter. collect_set rides the window's id-clustering
+    // (no second exchange); its state is the fingerprint set — a
+    // ~2/(w+1) fraction of doc length.
+    val win = Window.partitionBy("id").orderBy("__i__")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("__wmin__", min(col("__h__")).over(win))
+      .withColumn("__nw__", count(lit(1)).over(win))
+      .filter(col("__nw__") === w)
+      .groupBy("id").agg(collect_set(col("__wmin__")).as("__fps__"))
+      .select(col("id"), explode(col("__fps__")).as("fp"))
+  }
+
+  /** Plagiarism-style overlap pairs over winnowing fingerprints:
+    * (id_a, id_b, n_shared) for every pair sharing ≥ `minShared`
+    * selected hashes, id_a < id_b.
+    *
+    * Shape at 100 TB: an inverted-index self-join on the fingerprint —
+    * never all-pairs — with a document-frequency cap (`maxDf`) that
+    * drops ubiquitous-boilerplate fingerprints BEFORE the join, so the
+    * candidate count is bounded by Σ min(df, maxDf)² over fingerprints
+    * rather than the quadratic hot-key blowup. The cap is exact and
+    * deterministic (a plain count), so the oracle replicates it.
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 8, w: Int = 10, minShared: Int = 2,
+                  maxDf: Int = 50): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("__df__"))
+      .filter(col("__df__") <= maxDf).select("fp")
+    val pruned = fps.join(rare, "fp")
+    pruned.as("a").join(pruned.as("b"), "fp")
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select("id_a", "id_b", "n_shared")
   }
 
   /** Per-doc sorted shingle-hash arrays: the verified join side for

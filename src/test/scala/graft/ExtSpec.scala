@@ -349,6 +349,62 @@ class ExtSpec extends SparkSpec {
     assert(sums._1 > 0.998 && sums._2 < 1.002, s"ratio sum out of band: $sums")
   }
 
+  test("winnowing: shared-substring guarantee, density, punct-insensitivity") {
+    val k = 8; val w = 10
+    // deterministic pseudo-random letter strings with a planted shared run
+    def randStr(seed: Int, n: Int): String = {
+      val r = new scala.util.Random(seed)
+      (1 to n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    val shared = randStr(1, k + w - 1)   // exactly the guarantee length
+    val t = Seq(
+      (1L, randStr(2, 120) + shared + randStr(3, 120)),
+      (2L, randStr(4, 120) + shared + randStr(5, 120)),
+      (3L, randStr(6, 260)))
+    val fps = TextDedup.winnowFingerprints(t.toDF("doc_id", "text"),
+      "doc_id", "text", k, w)
+    val byDoc = fps.groupBy("id").count().as[(Long, Long)].collect().toMap
+    // guarantee: docs 1,2 share >= 1 fingerprint
+    val sharedFps = fps.filter($"id" === 1).select("fp")
+      .intersect(fps.filter($"id" === 2).select("fp"))
+    assert(sharedFps.count() >= 1, "winnowing guarantee violated")
+    // density: each window min covers at most w windows
+    val nWindows = 260 - k + 1 - w + 1
+    assert(byDoc(3L) >= nWindows / w, s"too few fingerprints: ${byDoc(3L)}")
+    // punctuation/case/whitespace-insensitive: same fingerprint set
+    val noisy = Seq((1L, "Hello, World! This is Fine."),
+      (2L, "helloworldthisisfine")).toDF("doc_id", "text")
+    val nf = TextDedup.winnowFingerprints(noisy, "doc_id", "text", k, w)
+    assert(rows(nf.filter($"id" === 1).select("fp").orderBy("fp")) ==
+      rows(nf.filter($"id" === 2).select("fp").orderBy("fp")))
+  }
+
+  test("winnowPairs: planted excerpt found, df cap drops boilerplate") {
+    def randStr(seed: Int, n: Int): String = {
+      val r = new scala.util.Random(seed)
+      (1 to n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    val excerpt = randStr(10, 60)
+    val boiler = randStr(11, 60)
+    // docs 1 & 2 share a rare excerpt; EVERY doc carries the boilerplate
+    val docs = Seq(
+      (1L, excerpt + randStr(12, 100) + boiler),
+      (2L, randStr(13, 100) + excerpt + boiler),
+      (3L, randStr(14, 160) + boiler),
+      (4L, randStr(15, 160) + boiler)).toDF("doc_id", "text")
+    val pairs = TextDedup.winnowPairs(docs, "doc_id", "text",
+      minShared = 2, maxDf = 50)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(p => (p._1, p._2))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L),
+      "planted excerpt pair not found")
+    // with the boilerplate df-capped out (df=4 > 3), only 1-2 survives
+    val capped = TextDedup.winnowPairs(docs, "doc_id", "text",
+      minShared = 2, maxDf = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(capped.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"df cap failed: $capped")
+  }
+
   test("c4 clean: every line and doc rule fires on its crafted fixture") {
     val t = Seq(
       (1L, "Good first sentence here.\nAnother fine line follows!\nno punct line\nShort one.\n  A trimmed quote line. "),
