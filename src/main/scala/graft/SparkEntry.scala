@@ -284,6 +284,13 @@ object SparkEntry {
         "text", "doc_id")
         .orderBy("doc_id")),
 
+    // ── [EXT] §2.10 BM25 sparse retrieval: query mixes the corpus's
+    // one rare term (dup, df≈5%) with common terms, so idf spread is
+    // real; top-25 by score ─────────────────────────────────────────
+    "q_bm25" -> ((s, dir) =>
+      graft.ext.TextAnalysis.bm25TopK(read(s, dir, "documents"),
+        "fast hash join dup", topK = 25)),
+
     // ── [EXT] §2.10 winnowing fingerprint overlap pairs (MOSS) ────────
     "q_winnow" -> ((s, dir) =>
       graft.ext.TextDedup.winnowPairs(read(s, dir, "documents"),
@@ -1162,6 +1169,33 @@ object SparkEntry {
                 len(keptl)::BIGINT AS n_lines,
                 (tot - len(keptl))::BIGINT AS n_dropped
          FROM g WHERE len(keptl) > 0 ORDER BY doc_id""",
+    "q_bm25" ->                        // top-25 by BM25(k1=1.2, b=0.75), Lucene idf
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                              x -> x <> '') AS ts
+           FROM documents),
+         s AS (
+           SELECT count(*)::DOUBLE AS n, avg(len(ts))::DOUBLE AS avgdl
+           FROM t),
+         e AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS tok FROM t),
+         tf AS (
+           SELECT doc_id, dl, tok, count(*)::DOUBLE AS tf
+           FROM e WHERE tok IN ('fast', 'hash', 'join', 'dup')
+           GROUP BY 1, 2, 3),
+         dfr AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+         c AS (
+           SELECT tf.doc_id, tf.tok,
+                  ln((s.n - dfr.df + 0.5) / (dfr.df + 0.5) + 1.0) *
+                  (tf.tf * (1.2 + 1)) /
+                  (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))
+                    AS contrib
+           FROM tf, dfr, s WHERE tf.tok = dfr.tok),
+         g AS (
+           SELECT doc_id,
+                  round(list_sum(list(contrib ORDER BY tok)), 4) AS score
+           FROM c GROUP BY doc_id)
+         SELECT doc_id, score FROM g ORDER BY score DESC, doc_id LIMIT 25""",
     "q_winnow" ->                      // MOSS fingerprint overlap pairs (k=12, w=12, df<=30)
       """WITH n AS (
            SELECT doc_id, lower(regexp_replace(text, '\W+', '', 'g')) AS s

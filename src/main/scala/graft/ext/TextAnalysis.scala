@@ -563,6 +563,60 @@ object TextAnalysis {
     * stopword tokens have a single build row each — high probe
     * fan-in, no row explosion, no skew salting needed.
     */
+  /** BM25 sparse retrieval (Robertson & Zaragoza, "The Probabilistic
+    * Relevance Framework: BM25 and Beyond", FnTIR'09; idf in the
+    * Lucene `ln(1 + (N−df+0.5)/(df+0.5))` always-positive form): score
+    * every document against a query string and return the top `topK`
+    * as (id, score), ties broken by id.
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
+    *
+    * Shape at 100 TB: the query-term `isin` prune lands map-side on
+    * the exploded token stream BEFORE any shuffle, so the (id, term)
+    * hash-agg only ever sees query-term postings (|q| ≈ 10 of them) —
+    * corpus-size-independent state per doc. Document frequencies and
+    * the (N, avgdl) row are broadcast. Per-doc contributions are
+    * summed over a TERM-SORTED array so the float result is
+    * deterministic and engine-portable; top-k compiles to
+    * TakeOrderedAndProject (no global sort).
+    */
+  def bm25TopK(docs: DataFrame, query: String, topK: Int = 25,
+               idCol: String = "doc_id", textCol: String = "text",
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qTerms =
+      query.toLowerCase.split("\\W+").filter(_.nonEmpty).distinct.toSeq
+    require(qTerms.nonEmpty, "query has no tokens")
+    val base = docs.select(col(idCol).as("__id__"),
+      TextDedup.tokens(col(textCol)).as("__ts__"))
+    val stats = base.agg(count(lit(1)).cast("double").as("__n__"),
+      avg(size(col("__ts__"))).as("__avgdl__"))
+    val tf = base
+      .select(col("__id__"), size(col("__ts__")).as("__dl__"),
+        explode(col("__ts__")).as("__t__"))
+      .filter(col("__t__").isin(qTerms: _*))
+      .groupBy("__id__", "__dl__", "__t__")
+      .agg(count(lit(1)).cast("double").as("__tf__"))
+    val dfreq = tf.groupBy("__t__")
+      .agg(count(lit(1)).cast("double").as("__df__"))
+    tf.join(broadcast(dfreq), "__t__")
+      .crossJoin(broadcast(stats))
+      .withColumn("__c__",
+        log((col("__n__") - col("__df__") + 0.5) / (col("__df__") + 0.5)
+          + 1.0) *
+          (col("__tf__") * (k1 + 1)) /
+          (col("__tf__") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl__") / col("__avgdl__"))))
+      .groupBy("__id__")
+      .agg(sort_array(collect_list(struct(col("__t__"), col("__c__"))))
+        .as("__cs__"))
+      .withColumn("score",
+        round(aggregate(col("__cs__"), lit(0.0),
+          (acc, x) => acc + x.getField("__c__")), 4))
+      .select(col("__id__").as(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
+
   def tfidf(df: DataFrame, idCol: String = "doc_id",
             textCol: String = "text", minDocFreq: Int = 1): DataFrame = {
     val pairs = df.select(col(idCol), explode(TextDedup.tokens(col(textCol))).as("token"))

@@ -379,6 +379,28 @@ class ExtSpec extends SparkSpec {
       rows(nf.filter($"id" === 2).select("fp").orderBy("fp")))
   }
 
+  test("bm25TopK: rare-term ranking, absence, query-dup invariance") {
+    val t = Seq(
+      (1L, "dup dup fast"),                 // rare term twice, short doc
+      (2L, "fast join join hash slow"),     // common terms only
+      (3L, "slow scan nothing relevant")    // no query terms
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bm25TopK(t, "fast dup", topK = 10)
+      .as[(Long, Double)].collect().toSeq
+    // doc 3 has no query term — absent; doc 1 wins on the rare term
+    assert(r.map(_._1) == Seq(1L, 2L))
+    assert(r.forall(_._2 > 0))
+    // repeated query terms are deduped — identical scores
+    val r2 = TextAnalysis.bm25TopK(t, "fast fast dup dup", topK = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(r == r2)
+    // sf corpus: every top-25 hit for a rare-term query contains it
+    val hits = TextAnalysis.bm25TopK(docs, "dup", topK = 25)
+      .join(docs, "doc_id")
+      .filter(!array_contains(TextDedup.tokens($"text"), "dup"))
+    assert(hits.isEmpty, "a doc without the only query term scored")
+  }
+
   test("winnowPairs: planted excerpt found, df cap drops boilerplate") {
     def randStr(seed: Int, n: Int): String = {
       val r = new scala.util.Random(seed)
