@@ -28,7 +28,9 @@ object PlanAudit {
       "q_dedup_containment", "q_ann_quant",
       "q_embed_lsh_exact", "q_ann_lsh_exact", "q_top_ngram",
       "q_embed_pool", "q_normalize", "q_entropy",
-      "q_ann_persisted", "q_fixpoint")) {
+      "q_ann_persisted", "q_fixpoint",
+      "q_dedup_bloom", "q_url_curate", "q_para_dedup",
+      "q_script_ratio", "q_winnow", "q_bm25")) {
       val df = SparkEntry.queries(name)(spark, dir)
       // execute first: under AQE the pre-execution plan prints
       // isFinalPlan=false with no WholeStageCodegen spans — only the
