@@ -30,7 +30,9 @@ object PlanAudit {
       "q_embed_pool", "q_normalize", "q_entropy",
       "q_ann_persisted", "q_fixpoint",
       "q_dedup_bloom", "q_url_curate", "q_para_dedup",
-      "q_script_ratio", "q_winnow", "q_bm25")) {
+      "q_script_ratio", "q_winnow", "q_bm25",
+      "q_weighted_sample", "q_zorder",
+      "q_funnel", "q_source_overlap")) {
       val df = SparkEntry.queries(name)(spark, dir)
       // execute first: under AQE the pre-execution plan prints
       // isFinalPlan=false with no WholeStageCodegen spans — only the

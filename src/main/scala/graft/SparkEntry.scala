@@ -965,7 +965,59 @@ object SparkEntry {
       graft.ext.CorpusOps.takeTokenBudget(read(s, dir, "documents"),
         "doc_id", "text", budget = 50000L)
         .select("doc_id", "tok_offset", "n_toks")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ── [EXT] §2.9 ordered conversion funnel view→click→purchase:
+    // per-user step timestamps, strictly increasing; one Exchange on
+    // user_id reused by every stage ───────────────────────────────────
+    "q_funnel" -> ((s, dir) =>
+      graft.ext.EventWindows.funnel(read(s, dir, "events"),
+        Seq("view", "click", "purchase"))),
+
+    // ── [EXT] §2.10 cross-source paragraph overlap (contamination
+    // between corpus components); testdata sources share nothing, so
+    // boilerplate banners keyed on doc_id mod 4/6 are injected
+    // deterministically on both sides — residue classes give the pair
+    // matrix real structure to count ──────────────────────────────────
+    "q_source_overlap" -> ((s, dir) =>
+      graft.ext.TextAnalysis.sourceOverlap(
+        read(s, dir, "documents").withColumn("text",
+          concat(col("text"),
+            lit("\n\nSubscribe to the newsletter v"),
+            (col("doc_id") % 4).cast("string"),
+            lit("\n\nFollow the project w"),
+            (col("doc_id") % 6).cast("string"))))
+        .orderBy("src_a", "src_b")),
+
+    // ── [EXT] §2.10 weighted sample without replacement (Efraimidis–
+    // Spirtakis): k=25 docs ∝ n_chars, md5-derived uniforms, planned
+    // as TakeOrderedAndProject ────────────────────────────────────────
+    "q_weighted_sample" -> ((s, dir) =>
+      graft.ext.Sampling.weightedSampleK(read(s, dir, "documents"),
+        "n_chars", "doc_id", k = 25)
+        .select("doc_id", "n_chars", "source")
+        .orderBy("doc_id")),
+
+    // ── [EXT] §2.10 Z-order (Morton) clustering key: exact integer
+    // bucket + bit-interleave over (l_partkey, l_suppkey); bounds come
+    // from a broadcast one-row aggregate, no eager driver action ──────
+    "q_zorder" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val b = li.agg(
+        min(col("l_partkey")).cast("long").as("__mn1__"),
+        max(col("l_partkey")).cast("long").as("__mx1__"),
+        min(col("l_suppkey")).cast("long").as("__mn2__"),
+        max(col("l_suppkey")).cast("long").as("__mx2__"))
+      li.crossJoin(broadcast(b))
+        .withColumn("zval", graft.operators.ZOrder.zvalue(
+          Seq(col("l_partkey"), col("l_suppkey")),
+          Seq(col("__mn1__"), col("__mn2__")),
+          Seq(col("__mx1__"), col("__mx2__")), bits = 8))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("zval"))
+        .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
+        .limit(50)
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2334,7 +2386,68 @@ object SparkEntry {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
            FROM t)
          SELECT doc_id, off AS tok_offset, n AS n_toks
-         FROM p WHERE off < 50000 ORDER BY doc_id"""
+         FROM p WHERE off < 50000 ORDER BY doc_id""",
+    "q_funnel" ->                      // strictly-ordered view→click→purchase funnel
+      """WITH s1 AS (
+           SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t0
+           FROM events GROUP BY 1),
+         s2 AS (
+           SELECT e.user_id, t0,
+                  min(CASE WHEN e.event_type = 'click' AND e.ts > t0
+                           THEN e.ts END) AS t1
+           FROM events e JOIN s1 USING (user_id) GROUP BY 1, 2),
+         s3 AS (
+           SELECT e.user_id, t0, t1,
+                  min(CASE WHEN e.event_type = 'purchase' AND e.ts > t1
+                           THEN e.ts END) AS t2
+           FROM events e JOIN s2 USING (user_id) GROUP BY 1, 2, 3)
+         SELECT count(t0)::BIGINT AS n_s1, count(t1)::BIGINT AS n_s2,
+                count(t2)::BIGINT AS n_s3
+         FROM s3""",
+    "q_source_overlap" ->              // shared normalized paragraphs per source pair
+      """WITH d AS (
+           SELECT source,
+                  text || chr(10) || chr(10) || 'Subscribe to the newsletter v'
+                       || (doc_id % 4)
+                       || chr(10) || chr(10) || 'Follow the project w'
+                       || (doc_id % 6) AS text
+           FROM documents),
+         p AS (
+           SELECT DISTINCT
+                  md5(lower(trim(regexp_replace(para, '\s+', ' ', 'g')))) AS h,
+                  source
+           FROM (SELECT source,
+                        unnest(string_split_regex(text, '\n{2,}')) AS para
+                 FROM d)
+           WHERE lower(trim(regexp_replace(para, '\s+', ' ', 'g'))) <> '')
+         SELECT a.source AS src_a, b.source AS src_b,
+                count(*)::BIGINT AS n_shared
+         FROM p a JOIN p b ON a.h = b.h AND a.source < b.source
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_weighted_sample" ->             // A-ES keys: ln(u)/w, u = 52-bit md5 uniform
+      """WITH w AS (
+           SELECT doc_id, n_chars, source,
+                  ln((CAST('0x' || substr(md5('graft:' || cast(doc_id AS VARCHAR)),
+                                          1, 13) AS BIGINT) + 0.5)
+                     / 4503599627370496.0) / n_chars AS wk
+           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+           ORDER BY wk DESC, doc_id LIMIT 25)
+         SELECT doc_id, n_chars, source FROM w ORDER BY doc_id""",
+    "q_zorder" ->                      // 8-bit × 2-dim Morton interleave, exact integer arithmetic
+      s"""WITH b AS (
+           SELECT min(l_partkey) AS mn1, max(l_partkey) AS mx1,
+                  min(l_suppkey) AS mn2, max(l_suppkey) AS mx2 FROM lineitem),
+         z AS (
+           SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                  ((l_partkey::BIGINT - mn1) * 256) // (mx1 - mn1 + 1) AS b1,
+                  ((l_suppkey::BIGINT - mn2) * 256) // (mx2 - mn2 + 1) AS b2
+           FROM lineitem, b)
+         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                (${(0 until 8).flatMap(bb => Seq(
+                    s"(((b1 >> $bb) & 1) << ${2 * bb})",
+                    s"(((b2 >> $bb) & 1) << ${2 * bb + 1})")).mkString(" + ")}
+                )::BIGINT AS zval
+         FROM z ORDER BY zval, l_orderkey, l_linenumber LIMIT 50"""
   )
 
   /** Differential oracles for the queries whose outputs DuckDB cannot

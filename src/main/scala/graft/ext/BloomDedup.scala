@@ -90,6 +90,16 @@ object BloomDedup {
     batch.filter(might(key(textCol)))
   }
 
+  /** Rows of `batch` the filter PROVES unseen (no false negatives ⇒ a
+    * negative probe is definitive). The fast accept path: these rows
+    * can skip the confirm join entirely. Complement of [[candidates]].
+    */
+  def novel(batch: DataFrame, bf: BloomFilter, textCol: String): DataFrame = {
+    val b = batch.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((h: Long) => b.value.mightContainLong(h))
+    batch.filter(!might(key(textCol)))
+  }
+
   /** Incremental exact dedup of `batch` against an already-ingested
     * corpus: keep the first (smallest `idCol`) copy of each normalized
     * text within the batch, minus every text the corpus has already

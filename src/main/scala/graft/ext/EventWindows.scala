@@ -36,4 +36,37 @@ object EventWindows {
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
       .select(col("session_window.start").as("session_start"), col("user_id"),
         col("n"), col("sum_value"))
+
+  /** Ordered funnel: one row with the count of users who reached each
+    * step of `steps` IN ORDER (each step's event strictly after the
+    * previous step's earliest qualifying event — the standard
+    * product-analytics funnel; conversion between stages is
+    * n_s(i+1)/n_s(i)). Output columns n_s1..n_sK.
+    *
+    * Shape: one aggregate per step, all keyed on the user column, so
+    * after the first Exchange every later groupBy/join reuses the same
+    * hash partitioning — per-user state is K timestamps, never the
+    * event list, and the final count is a one-row global agg. At
+    * 100 TB of events the cost is one shuffle of (user, K stamps), not
+    * K shuffles of the raw stream.
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+             userCol: String = "user_id", typeCol: String = "event_type",
+             tsCol: String = "ts"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val base = events.select(col(userCol).as("__u__"),
+      col(typeCol).as("__e__"), col(tsCol).as("__t__"))
+    var acc = base.groupBy(col("__u__"))
+      .agg(min(when(col("__e__") === steps.head, col("__t__"))).as("t0"))
+    for (i <- 1 until steps.size) {
+      val carried = (0 until i).map(j => col(s"t$j"))
+      acc = base.join(acc, "__u__")
+        .groupBy((col("__u__") +: carried): _*)
+        .agg(min(when(col("__e__") === steps(i)
+          && col("__t__") > col(s"t${i - 1}"), col("__t__"))).as(s"t$i"))
+    }
+    acc.agg(
+      count(col("t0")).as("n_s1"),
+      (1 until steps.size).map(i => count(col(s"t$i")).as(s"n_s${i + 1}")): _*)
+  }
 }

@@ -40,6 +40,34 @@ object Sampling {
       .drop("__h__")
   }
 
+  /** Exactly `k` rows drawn WITHOUT replacement with probability
+    * proportional to `weightCol` (Efraimidis & Spirtakis, IPL 2006,
+    * "Weighted random sampling with a reservoir"): each row gets the
+    * key ln(u)/w with u uniform in (0,1), and the k LARGEST keys are
+    * the sample — distributionally identical to sequential weighted
+    * draws. u comes from the first 52 bits of md5(seed:key), so u is
+    * exact in a double ((h+0.5)/2^52, never 0 or 1) and the whole
+    * draw replays bit-identically in any engine with md5 + ln —
+    * the DuckDB oracle replicates it term for term.
+    *
+    * Rows with NULL or non-positive weight are dropped (they have
+    * probability 0 by definition; a negative weight is a caller bug
+    * surfaced by the documented filter rather than a NaN key).
+    * Same 100 TB shape as [[sampleK]]: TakeOrderedAndProject, no
+    * global sort, no shuffle of the corpus.
+    */
+  def weightedSampleK(df: DataFrame, weightCol: String, keyCol: String,
+                      k: Int, seed: String = "graft"): DataFrame = {
+    require(k > 0, s"weightedSampleK: k must be positive, got $k")
+    val u = (conv(substring(h(keyCol, seed), 1, 13), 16, 10).cast("double")
+      + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__wk__", log(u) / col(weightCol).cast("double"))
+      .orderBy(col("__wk__").desc, col(keyCol))
+      .limit(k)
+      .drop("__wk__")
+  }
+
   /** Exactly `n` rows per stratum (fewer for smaller strata): the n
     * smallest md5(seed:key) within each `stratumCol` group. The usual
     * balanced-eval-set constructor (n docs per language/source/split).

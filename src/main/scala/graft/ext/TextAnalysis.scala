@@ -424,23 +424,56 @@ object TextAnalysis {
     */
   def scriptRatios(df: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
-    val t = regexp_replace(col(textCol), "\\s+", "")
-    val total = length(t)
-    def cnt(cls: String): Column = total - length(regexp_replace(t, cls, ""))
-    def ratio(c: Column): Column =
-      when(total === 0, lit(0.0)).otherwise(round(c / total, 4))
-    val latin = cnt("[\\p{IsLatin}]")
-    val han = cnt("[\\p{IsHan}]")
-    val cyr = cnt("[\\p{IsCyrillic}]")
-    val arab = cnt("[\\p{IsArabic}]")
-    val thai = cnt("[\\p{IsThai}]")
-    val digit = cnt("[0-9]")
-    df.select(col(idCol), total.cast("long").as("n_cp"),
-      ratio(latin).as("latin_ratio"), ratio(han).as("han_ratio"),
-      ratio(cyr).as("cyrillic_ratio"), ratio(arab).as("arabic_ratio"),
-      ratio(thai).as("thai_ratio"), ratio(digit).as("digit_ratio"),
-      ratio(total - latin - han - cyr - arab - thai - digit)
-        .as("other_ratio"))
+    // One codepoint walk per row (ScriptCountsRaw) instead of eight
+    // regex traversals each materializing a stripped copy of the
+    // document — semantics bit-identical to the regex formulation (see
+    // the expression's scaladoc); ratio arithmetic stays in codegen'd
+    // built-ins so float rounding matches the oracle exactly.
+    val c = graft.functions.TextExprs.scriptCounts(col(textCol))
+    val total = col("__sc__").getField("n_cp")
+    def f(name: String): Column = col("__sc__").getField(name)
+    def ratio(x: Column): Column =
+      when(total === 0, lit(0.0)).otherwise(round(x / total, 4))
+    df.withColumn("__sc__", c)
+      .select(col(idCol), total.as("n_cp"),
+        ratio(f("latin")).as("latin_ratio"), ratio(f("han")).as("han_ratio"),
+        ratio(f("cyrillic")).as("cyrillic_ratio"),
+        ratio(f("arabic")).as("arabic_ratio"),
+        ratio(f("thai")).as("thai_ratio"), ratio(f("digit")).as("digit_ratio"),
+        ratio(total - f("latin") - f("han") - f("cyrillic") - f("arabic")
+          - f("thai") - f("digit")).as("other_ratio"))
+  }
+
+  /** Cross-source paragraph overlap: for every source pair (a < b),
+    * how many distinct normalized paragraphs both contain — the
+    * "contamination between corpus components" report that should be
+    * read before mixing weights are chosen (two sources sharing
+    * boilerplate double-count it at whatever combined weight they
+    * get). Normalization matches [[TextDedup.dedupParagraphs]]
+    * (lowercase + whitespace-collapse), so re-wrapped copies count.
+    *
+    * Shape: distinct (md5(para), source) is one hash-agg shuffle
+    * bounded by the corpus paragraph count; the self-join fans out at
+    * most #sources rows per hash (a paragraph's source-df is capped by
+    * S, so no quadratic hot key); the result is ≤ S² rows. md5 rather
+    * than xxhash64 so the DuckDB oracle replays the exact key.
+    */
+  def sourceOverlap(df: DataFrame, textCol: String = "text",
+                    srcCol: String = "source"): DataFrame = {
+    val para = df
+      .select(col(srcCol).as("__src__"),
+        explode(split(col(textCol), "\n{2,}")).as("__para__"))
+      .withColumn("__norm__",
+        lower(trim(regexp_replace(col("__para__"), "\\s+", " "))))
+      .filter(col("__norm__") =!= "")
+      .select(md5(col("__norm__")).as("__h__"), col("__src__"))
+      .distinct()
+    val a = para.toDF("__h__", "src_a")
+    val b = para.toDF("__h__", "src_b")
+    a.join(b, "__h__")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"))
   }
 
   /** Compression-ratio quality signal: deflate(level 6) size over

@@ -184,15 +184,27 @@ object TextDedup {
     // (337 s for 500 tiny docs). Exploded, each gram hashes exactly
     // once inside whole-stage codegen; the generator is a collapse
     // barrier by construction.
+    // Repartition the DOC frame (one row per doc) by id before the
+    // explode: Generate and Project preserve the hash partitioning, so
+    // the window below consumes the grams where they were produced —
+    // the Exchange moves doc-count rows, not doc-length × doc-count
+    // gram rows (25M+ at sf0.1, any shuffle of which dominated the
+    // query). The per-partition sort the window needs is near-free:
+    // grams arrive doc-clustered and position-ordered by construction.
     val grams = df
       .select(col(idCol).as("id"), norm.as("__s__"))
       .filter(length(col("__s__")) >= k + w - 1)
+      .repartition(col("id"))
       .select(col("id"), col("__s__"),
         posexplode(sequence(lit(0), length(col("__s__")) - k))
           .as(Seq("__i__", "__z__")))
       .select(col("id"), col("__i__"),
-        conv(substring(md5(col("__s__").substr(col("__i__") + 1, lit(k))
-          .cast("binary")), 1, 15), 16, 10).cast("long").as("__h__"))
+        // = conv(substring(md5(gram),1,15),16,10) — same 60-bit value
+        // the DuckDB oracle computes — minus the per-gram hex-string
+        // round-trip (law-checked in ExtSpec)
+        graft.functions.TextExprs.md5Prefix64(
+          col("__s__").substr(col("__i__") + 1, lit(k)).cast("binary"), 15)
+          .as("__h__"))
     // Robust-winnowing selection: each length-w window of consecutive
     // gram hashes contributes its min. ONE shuffle, keyed by doc id;
     // the per-doc window frame is O(w) per row and doc-bounded. The

@@ -317,6 +317,93 @@ object TextExprs {
       copy(child = newChild)
   }
 
+  /** Per-script codepoint counts, one walk: struct(n_cp, latin, han,
+    * cyrillic, arabic, thai, digit) over the ASCII-whitespace-stripped
+    * text. Bit-identical to the regex formulation
+    * `length(t) - length(regexp_replace(t, "[\p{IsX}]", ""))` with
+    * `t = regexp_replace(text, "\s+", "")` — Java `\p{IsX}` is the
+    * script property (`Character.UnicodeScript.of`), Java `\s` is the
+    * ASCII set ([[isSpaceCp]]), and both engines' `length()` counts
+    * codepoints — but a single pass instead of eight full regex
+    * traversals each allocating a replaced copy of the document.
+    */
+  case class ScriptCountsRaw(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_cp", LongType, nullable = false),
+      StructField("latin", LongType, nullable = false),
+      StructField("han", LongType, nullable = false),
+      StructField("cyrillic", LongType, nullable = false),
+      StructField("arabic", LongType, nullable = false),
+      StructField("thai", LongType, nullable = false),
+      StructField("digit", LongType, nullable = false)))
+    override def prettyName: String = "script_counts_raw"
+
+    override def nullSafeEval(input: Any): Any = {
+      val raw = input.asInstanceOf[UTF8String].toString
+      val n = raw.length
+      var tot = 0L; var lat = 0L; var han = 0L; var cyr = 0L
+      var ara = 0L; var tha = 0L; var dig = 0L
+      var i = 0
+      while (i < n) {
+        val cp = raw.codePointAt(i)
+        if (!(cp < 128 && isSpaceCp(cp))) {
+          tot += 1
+          if (cp >= '0' && cp <= '9') dig += 1
+          else Character.UnicodeScript.of(cp) match {
+            case Character.UnicodeScript.LATIN    => lat += 1
+            case Character.UnicodeScript.HAN      => han += 1
+            case Character.UnicodeScript.CYRILLIC => cyr += 1
+            case Character.UnicodeScript.ARABIC   => ara += 1
+            case Character.UnicodeScript.THAI     => tha += 1
+            case _                                =>
+          }
+        }
+        i += Character.charCount(cp)
+      }
+      InternalRow(tot, lat, han, cyr, ara, tha, dig)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** First `hexDigits` hex digits of md5 as an unsigned Long —
+    * bit-identical to `conv(substring(md5(x), 1, hexDigits), 16, 10)`
+    * (≤ 15 digits < 2⁶⁰ always fits signed 64-bit, and the identical
+    * DuckDB expression replays it), but computed straight from the
+    * digest bytes: no 32-char hex string, no substring copy, no
+    * base-16 string parse per value. The winnowing gram hash calls
+    * this once per character position of the corpus, so the
+    * allocation-free path is worth a custom expression.
+    */
+  case class Md5Prefix64(child: Expression, hexDigits: Int)
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    require(hexDigits > 0 && hexDigits <= 15,
+      s"hexDigits must be in [1,15], got $hexDigits")
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "md5_prefix64"
+
+    @transient private lazy val digest =
+      new ThreadLocal[java.security.MessageDigest] {
+        override def initialValue(): java.security.MessageDigest =
+          java.security.MessageDigest.getInstance("MD5")
+      }
+
+    override def nullSafeEval(input: Any): Any = {
+      val d = digest.get(); d.reset()
+      val out = d.digest(input.asInstanceOf[Array[Byte]])
+      var v = 0L; var i = 0
+      while (i < 8) { v = (v << 8) | (out(i) & 0xffL); i += 1 }
+      java.lang.Long.valueOf(v >>> (64 - 4 * hexDigits))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ── Column wrappers ────────────────────────────────────────────────
   def textStatsRaw(text: Column, stopwords: Seq[String],
                    markers: Seq[(String, Seq[String])]): Column =
@@ -331,4 +418,8 @@ object TextExprs {
     ExprShim.column(RegexCounts(ExprShim.expression(text), patterns))
   def nfcNormalize(text: Column): Column =
     ExprShim.column(NfcNormalize(ExprShim.expression(text)))
+  def scriptCounts(text: Column): Column =
+    ExprShim.column(ScriptCountsRaw(ExprShim.expression(text)))
+  def md5Prefix64(bytes: Column, hexDigits: Int): Column =
+    ExprShim.column(Md5Prefix64(ExprShim.expression(bytes), hexDigits))
 }

@@ -354,6 +354,73 @@ object Transformers {
         args.headOption.getOrElse("doc_id"), args.lift(1).getOrElse("text"),
         n = args.lift(2).map(_.toInt).getOrElse(3),
         threshold = args.lift(3).map(_.toDouble).getOrElse(0.8))),
+    // ── r6 corpus stages ──
+    // url_parts:urlField[;hostOut[;domainOut]] — host + registered
+    // domain as pure codegen'd projections
+    "url_parts" -> (args => df =>
+      graft.ext.UrlOps.withUrlParts(df, args.headOption.getOrElse("url"),
+        args.lift(1).getOrElse("host"), args.lift(2).getOrElse("domain"))),
+    // block_domains:domainField;d1,d2,... — drop blocklisted
+    // registered domains (comma-separated; folds to an IN predicate)
+    "block_domains" -> (args => df => {
+      require(args.length >= 2, "block_domains needs domainField;d1,d2,...")
+      graft.ext.UrlOps.filterBlockedDomains(df, args.head,
+        args(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    }),
+    // cap_domain:domainField;orderField;cap[;salt] — keep at most
+    // `cap` rows per domain (salted two-phase window, skew-proof)
+    "cap_domain" -> (args => df => {
+      require(args.length >= 3, "cap_domain needs domain;order;cap[;salt]")
+      graft.ext.UrlOps.capPerDomain(df, args.head, args(1), args(2).toInt,
+        salt = args.lift(3).map(_.toInt).getOrElse(16))
+    }),
+    // dedup_paragraphs_global:text;id — corpus-level first-occurrence
+    // paragraph dedup (the \n\n analog of dedup_lines_global)
+    "dedup_paragraphs_global" -> (args => df =>
+      graft.ext.TextDedup.dedupParagraphs(df,
+        textCol = args.headOption.getOrElse("text"),
+        idCol = args.lift(1).getOrElse("doc_id"))),
+    // script_ratios[:text[;id]] — per-doc Unicode script-mix fractions
+    "script_ratios" -> (args => df =>
+      graft.ext.TextAnalysis.scriptRatios(df,
+        args.headOption.getOrElse("text"), args.lift(1).getOrElse("doc_id"))),
+    // winnow:id;text[;k[;w]] — winnowing fingerprints (id, pos, fp)
+    "winnow" -> (args => df =>
+      graft.ext.TextDedup.winnowFingerprints(df,
+        args.headOption.getOrElse("doc_id"), args.lift(1).getOrElse("text"),
+        k = args.lift(2).map(_.toInt).getOrElse(8),
+        w = args.lift(3).map(_.toInt).getOrElse(10))),
+    // winnow_pairs:id;text[;k[;w[;minShared[;maxDf]]]] — overlap pairs
+    "winnow_pairs" -> (args => df =>
+      graft.ext.TextDedup.winnowPairs(df,
+        args.headOption.getOrElse("doc_id"), args.lift(1).getOrElse("text"),
+        k = args.lift(2).map(_.toInt).getOrElse(8),
+        w = args.lift(3).map(_.toInt).getOrElse(10),
+        minShared = args.lift(4).map(_.toInt).getOrElse(2),
+        maxDf = args.lift(5).map(_.toInt).getOrElse(50))),
+    // bm25:query;k[;id[;text]] — sparse-retrieval top-k for one query
+    // (the query string itself must not contain ';')
+    "bm25" -> (args => df => {
+      require(args.nonEmpty, "bm25 needs query[;k[;id[;text]]]")
+      graft.ext.TextAnalysis.bm25TopK(df, args.head,
+        topK = args.lift(1).map(_.toInt).getOrElse(25),
+        idCol = args.lift(2).getOrElse("doc_id"),
+        textCol = args.lift(3).getOrElse("text"))
+    }),
+    // bloom_probe:path[;text[;dup|new]] — probe a persisted corpus
+    // membership filter map-side: `dup` keeps possible-dups (candidates
+    // for a confirm join), `new` keeps rows the filter PROVES unseen
+    "bloom_probe" -> (args => df => {
+      require(args.nonEmpty, "bloom_probe needs path[;text[;dup|new]]")
+      val bf = graft.ext.BloomDedup.readFilter(df.sparkSession, args.head)
+      val textCol = args.lift(1).getOrElse("text")
+      args.lift(2).getOrElse("dup") match {
+        case "dup" => graft.ext.BloomDedup.candidates(df, bf, textCol)
+        case "new" => graft.ext.BloomDedup.novel(df, bf, textCol)
+        case other => throw new IllegalArgumentException(
+          s"bloom_probe: mode must be dup or new, got $other")
+      }
+    }),
     // dsir_select:k;targetField;targetValue[;hexDigits[;seed]] — keep
     // only the Gumbel-top-k docs by DSIR importance (deterministic)
     "dsir_select" -> (args => df => {

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) clustering for multi-dimensional data
+  * skipping ([EXT], SURVEY §2.10).
+  *
+  * Parquet readers prune files and row groups from footer min/max
+  * statistics. A layout sorted by ONE column gives tight envelopes on
+  * that column only; interleaving the bits of several columns' bucket
+  * ranks gives every file a tight envelope on ALL of them, so a range
+  * predicate on ANY clustered dimension — not just the leading sort
+  * key — skips most files. This is the `OPTIMIZE ZORDER BY` pattern of
+  * the open lakehouse formats (Morton 1966; the curve preserves
+  * locality in every dimension at once).
+  *
+  * [[zvalue]] maps each dimension to a `bits`-bit bucket with EXACT
+  * integer arithmetic — bucket = (x−min)·2^bits div (max−min+1), all
+  * in Long — then interleaves bucket bits round-robin. The result is a
+  * fixed sum of bits×dims shift/mask terms: pure codegen'd Long
+  * arithmetic, no UDF, no HOF lambda, and each term replays verbatim
+  * in the DuckDB oracle (`>> & <<` + `//`).
+  *
+  * Scale shape: min/max come from one map-side-combinable aggregate
+  * (2·dims Longs of driver state); the write is a single
+  * repartitionByRange on the z-value — the same one range shuffle a
+  * single-column ORDER BY layout pays — plus sortWithinPartitions so
+  * row groups inside each file are tight too.
+  */
+object ZOrder {
+
+  /** Interleaved-bit Morton key over `dims`, each normalized to
+    * [0, 2^bits) via its [min, max]. `dims.size * bits` must fit in a
+    * signed 64-bit key. Inputs must be integral (cast yours first);
+    * the +1 in the divisor keeps x = max inside bucket 2^bits − 1
+    * without a clamp.
+    */
+  def zvalue(dims: Seq[Column], mins: Seq[Column], maxs: Seq[Column],
+             bits: Int): Column = {
+    require(dims.nonEmpty, "zvalue needs at least one dimension")
+    require(bits > 0 && dims.size * bits <= 63,
+      s"${dims.size} dims × $bits bits exceeds a 63-bit key")
+    require(mins.size == dims.size && maxs.size == dims.size,
+      "mins/maxs must match dims")
+    val d = dims.size
+    val buckets = dims.zip(mins.zip(maxs)).map { case (x, (mn, mx)) =>
+      val shifted = (x.cast("long") - mn.cast("long")) * lit(1L << bits)
+      call_function("div", shifted, mx.cast("long") - mn.cast("long") + lit(1L))
+    }
+    val terms = for {
+      b <- 0 until bits
+      (v, i) <- buckets.zipWithIndex
+    } yield shiftleft(shiftright(v, b).bitwiseAND(lit(1L)), b * d + i)
+    terms.reduce(_ + _)
+  }
+
+  /** Literal-bounds overload (for a write where bounds were already
+    * collected by [[bounds]]).
+    */
+  def zvalue(dims: Seq[Column], mins: Seq[Long], maxs: Seq[Long],
+             bits: Int = 16)(implicit d: DummyImplicit): Column = {
+    mins.zip(maxs).foreach { case (mn, mx) =>
+      require(mx >= mn, s"max $mx < min $mn") }
+    zvalue(dims, mins.map(lit(_).cast("long")), maxs.map(lit(_).cast("long")), bits)
+  }
+
+  /** Exact per-dimension min/max in one aggregate pass. */
+  def bounds(df: DataFrame, cols: Seq[String]): (Seq[Long], Seq[Long]) = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    (cols.indices.map(i => row.getLong(2 * i)),
+      cols.indices.map(i => row.getLong(2 * i + 1)))
+  }
+
+  /** Rewrite `df` as `numFiles` parquet files clustered on the Morton
+    * key of `cols`: range-partition by z-value (one shuffle), sort
+    * within each partition, drop the key, write. Every output file
+    * then carries a tight min/max envelope on every clustered column.
+    */
+  def zorderWrite(df: DataFrame, cols: Seq[String], path: String,
+                  numFiles: Int, bits: Int = 16): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    val (mins, maxs) = bounds(df, cols)
+    df.withColumn("__z__", zvalue(cols.map(col), mins, maxs, bits))
+      .repartitionByRange(numFiles, col("__z__"))
+      .sortWithinPartitions("__z__")
+      .drop("__z__")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Per-file [min, max] envelope of `c` for a written dataset — the
+    * skipping analysis a reader's footer pruning performs. Returns
+    * (file, min, max) rows; a range predicate [lo, hi] must read only
+    * files whose envelope intersects it.
+    */
+  def fileEnvelopes(spark: SparkSession, path: String, c: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
+
+  /** How many files of the layout at `path` a reader must touch for
+    * the predicate `c BETWEEN lo AND hi` (by the envelopes above).
+    */
+  def filesTouched(spark: SparkSession, path: String, c: String,
+                   lo: Long, hi: Long): Long =
+    fileEnvelopes(spark, path, c)
+      .filter(col("lo") <= hi && col("hi") >= lo)
+      .count()
+}

@@ -138,6 +138,49 @@ object StreamRunner {
         col("__ts__").as(tsCol))
   }
 
+  final case class FunnelState(times: Seq[Double])
+  final case class FunnelOut(userId: Long, reached: Long)
+
+  /** Streaming twin of [[graft.ext.EventWindows.funnel]]: per-user
+    * first-reach timestamps in mapGroupsWithState. Within a
+    * micro-batch the group's events are event-time-sorted; across
+    * batches the state carries the reach vector, so an
+    * event-time-ordered stream (file streams of time-partitioned
+    * logs) reproduces the batch funnel exactly — law-checked in
+    * StreamSpec. State per active user is ≤ `steps.size` doubles;
+    * output is one Update row per user per batch with the stage count
+    * reached so far.
+    *
+    * Greedy-in-order equals the batch min-after-previous definition:
+    * processing sorted events, the first step-i event seen with a
+    * complete prefix is exactly min{ts > t(i−1)}.
+    */
+  def funnelStream(spark: SparkSession, events: DataFrame,
+                   steps: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(steps.nonEmpty && steps.distinct == steps,
+      "funnelStream needs distinct, non-empty steps")
+    val idx = steps.zipWithIndex.toMap
+    val typed = events.select(col("user_id").cast("long"),
+        col("event_type").cast("string"),
+        // seconds-with-micros double: exact for modern epochs (22
+        // fraction bits available, µs needs 20), keeps strict-> ties
+        // identical to the batch comparison on raw timestamps
+        col("ts").cast("double").as("ts_d"))
+      .as[(Long, String, Double)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[FunnelState, FunnelOut](
+        GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[FunnelState]) =>
+          val cur = scala.collection.mutable.ArrayBuffer(
+            state.getOption.map(_.times).getOrElse(Seq.empty): _*)
+          for ((_, e, t) <- rows.toSeq.sortBy(_._3); i <- idx.get(e))
+            if (i == cur.length && (i == 0 || t > cur(i - 1))) cur += t
+          state.update(FunnelState(cur.toSeq))
+          FunnelOut(user, cur.length.toLong)
+      }.toDF("userId", "reached")
+  }
+
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class SessionOut(userId: Long, start: java.sql.Timestamp,
                               n: Long, sumValue: Double)

@@ -156,6 +156,82 @@ class ExtSpec extends SparkSpec {
         .orderBy("doc_id").collect().toSeq)
   }
 
+  test("funnel: strictly-ordered stages, per-user, order matters") {
+    val ev = Seq(
+      (1L, "view", 1L), (1L, "click", 2L), (1L, "purchase", 3L),
+      (2L, "click", 1L), (2L, "view", 2L),              // click BEFORE view
+      (3L, "view", 1L), (3L, "purchase", 2L),           // skips click
+      (4L, "error", 1L)                                 // never enters
+    ).toDF("user_id", "event_type", "sec")
+      .withColumn("ts", timestamp_seconds($"sec")).drop("sec")
+    val out = graft.ext.EventWindows.funnel(ev,
+      Seq("view", "click", "purchase")).head()
+    assert((out.getLong(0), out.getLong(1), out.getLong(2)) == ((3L, 1L, 1L)))
+    // same-timestamp events do NOT advance the funnel (strict >)
+    val tie = Seq((1L, "view", 5L), (1L, "click", 5L))
+      .toDF("user_id", "event_type", "sec")
+      .withColumn("ts", timestamp_seconds($"sec")).drop("sec")
+    val t = graft.ext.EventWindows.funnel(tie, Seq("view", "click")).head()
+    assert((t.getLong(0), t.getLong(1)) == ((1L, 0L)))
+  }
+
+  test("sourceOverlap: normalized paragraph sharing across source pairs") {
+    val d = Seq(
+      ("s1", "Unique lead.\n\nShared   BOILERPLATE here."),
+      ("s2", "shared boilerplate here.\n\nOther body."),   // re-wrapped copy
+      ("s3", "Nothing in common."),
+      ("s4", "Shared boilerplate here.\n\nOther body.")    // shares with both
+    ).toDF("source", "text")
+    val out = graft.ext.TextAnalysis.sourceOverlap(d)
+      .orderBy("src_a", "src_b")
+      .as[(String, String, Long)].collect().toSeq
+    assert(out == Seq(("s1", "s2", 1L), ("s1", "s4", 1L), ("s2", "s4", 2L)))
+  }
+
+  test("md5Prefix64 ≡ conv(substring(md5(x),1,15),16,10) on arbitrary bytes") {
+    val d = sf("documents").limit(200)
+      .select(col("doc_id"), col("text").cast("binary").as("b"))
+    val cmp = d.select(
+        graft.functions.TextExprs.md5Prefix64(col("b"), 15).as("fast"),
+        conv(substring(md5(col("b")), 1, 15), 16, 10).cast("long").as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(cmp.count() == 0)
+    // short inputs and the full 15-digit range
+    val edge = Seq(Array[Byte](), Array[Byte](0), "gram8chr".getBytes("UTF-8"))
+      .toDF("b")
+    val ec = edge.select(
+        graft.functions.TextExprs.md5Prefix64(col("b"), 15).as("fast"),
+        conv(substring(md5(col("b")), 1, 15), 16, 10).cast("long").as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(ec.count() == 0)
+  }
+
+  test("weightedSampleK: deterministic, weight-proportional, top-k plan") {
+    val d = (1 to 200).map(i =>
+      (i.toLong, if (i <= 100) 9L else 1L)).toDF("doc_id", "w")
+    val s1 = Sampling.weightedSampleK(d, "w", "doc_id", 50)
+    val ids1 = s1.select("doc_id").as[Long].collect().toSet
+    assert(ids1.size == 50)
+    assert(ids1 == Sampling.weightedSampleK(d, "w", "doc_id", 50)
+      .select("doc_id").as[Long].collect().toSet)
+    // 9:1 weights on half the corpus: the heavy half must dominate
+    assert(ids1.count(_ <= 100) > 30, s"heavy picks: ${ids1.count(_ <= 100)}")
+    // one overwhelming weight is effectively always drawn
+    val heavy = d.withColumn("w",
+      when($"doc_id" === 7L, lit(100000L)).otherwise(lit(1L)))
+    assert(Sampling.weightedSampleK(heavy, "w", "doc_id", 10)
+      .select("doc_id").as[Long].collect().toSet.contains(7L))
+    // NULL / non-positive weights are dropped, never sampled
+    val mixed = Seq((1L, java.lang.Long.valueOf(5L)),
+      (2L, java.lang.Long.valueOf(0L)), (3L, java.lang.Long.valueOf(-4L)),
+      (4L, null.asInstanceOf[java.lang.Long])).toDF("doc_id", "w")
+    assert(Sampling.weightedSampleK(mixed, "w", "doc_id", 10)
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    // scale shape: per-partition heap + k-row merge, not a global sort
+    assert(s1.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+  }
+
   test("exact dedup keeps first doc per text") {
     val out = TextDedup.exact(docs, "text", "doc_id")
     assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))

@@ -231,6 +231,55 @@ class QueryCompilerSpec extends SparkSpec {
     assert(cont.count() == 1)
   }
 
+  test("[EXT] r6 stages dispatch through the chain") {
+    import graft.functions.Transformers
+    import graft.spec.TransformStage
+    val urls = Seq((1L, "https://sub.example.co.uk/p?x=1"),
+      (2L, "http://spam.example.com/"), (3L, "https://spam.example.com/2"))
+      .toDF("doc_id", "url")
+    val parts = Transformers.apply(urls, TransformStage.parseChain("url_parts:url"))
+    assert(parts.columns.toSeq == Seq("doc_id", "url", "host", "domain"))
+    assert(parts.filter($"doc_id" === 1L).select("domain")
+      .as[String].head() == "example.co.uk")
+    val blocked = Transformers.apply(parts,
+      TransformStage.parseChain("block_domains:domain;example.co.uk"))
+    assert(blocked.count() == 2)
+    val capped = Transformers.apply(parts,
+      TransformStage.parseChain("cap_domain:domain;doc_id;1;4"))
+    assert(capped.filter($"domain" === "example.com").count() == 1)
+    val docs = Seq(
+      (1L, "Intro para.\n\nShared boilerplate here.\n\nBody one."),
+      (2L, "shared   BOILERPLATE here.\n\nBody two."))
+      .toDF("doc_id", "text")
+    val para = Transformers.apply(docs,
+      TransformStage.parseChain("dedup_paragraphs_global:text;doc_id"))
+    assert(para.filter($"doc_id" === 2L).select("n_dropped")
+      .as[Long].head() == 1L)
+    val sr = Transformers.apply(docs, TransformStage.parseChain("script_ratios"))
+    assert(sr.columns.contains("latin_ratio"))
+    val long = Seq((1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again"))
+      .toDF("doc_id", "text")
+    val fps = Transformers.apply(long, TransformStage.parseChain("winnow:doc_id;text;4;3"))
+    assert(fps.columns.toSeq == Seq("id", "fp") && fps.count() > 0)
+    val wp = Transformers.apply(long,
+      TransformStage.parseChain("winnow_pairs:doc_id;text;4;3;1"))
+    assert(wp.count() == 1)
+    val hits = Transformers.apply(long, TransformStage.parseChain("bm25:quick fox;1"))
+    assert(hits.columns.contains("score") && hits.count() == 1)
+    val tmp = java.nio.file.Files.createTempDirectory("bloomstage").toString
+    val bf = graft.ext.BloomDedup.train(docs, "text", expectedItems = 100L)
+    graft.ext.BloomDedup.writeFilter(spark, bf, s"$tmp/f.bloom")
+    val probeDup = Transformers.apply(docs,
+      TransformStage.parseChain(s"bloom_probe:$tmp/f.bloom;text;dup"))
+    assert(probeDup.count() == 2) // trained on these exact texts
+    val fresh = Seq((9L, "a genuinely unseen document body"))
+      .toDF("doc_id", "text")
+    val probeNew = Transformers.apply(fresh,
+      TransformStage.parseChain(s"bloom_probe:$tmp/f.bloom;text;new"))
+    assert(probeNew.count() == 1)
+  }
+
   test("[EXT] _agg duplicate/multi percentile requests share one buffer") {
     val t = Seq(("a", 10.0), ("a", 20.0), ("a", 30.0), ("b", 5.0))
       .toDF("k", "amount")

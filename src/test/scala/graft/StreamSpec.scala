@@ -191,6 +191,34 @@ class StreamSpec extends SparkSpec {
     assert(streamed.nonEmpty) // non-vacuous at this slice
   }
 
+  test("law: batch funnelStream ≡ EventWindows.funnel stage counts") {
+    val ev = sf("events").limit(3000)
+      .select($"user_id", $"event_type", $"ts")
+    val steps = Seq("view", "click", "purchase")
+    val reached = StreamRunner.funnelStream(spark, ev, steps)
+      .select($"reached").as[Long].collect()
+    val streamed = (1 to steps.size).map(k =>
+      reached.count(_ >= k).toLong)
+    val b = graft.ext.EventWindows.funnel(ev, steps).head()
+    val batch = (0 until steps.size).map(b.getLong)
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(batch.head > 0) // non-vacuous at this slice
+  }
+
+  test("funnelStream: order respected, state advances one stage at a time") {
+    val ev = Seq(
+      (1L, "view", "2024-01-01 00:00:01"), (1L, "click", "2024-01-01 00:00:02"),
+      (1L, "purchase", "2024-01-01 00:00:03"),
+      (2L, "click", "2024-01-01 00:00:01"), (2L, "view", "2024-01-01 00:00:02"),
+      (3L, "purchase", "2024-01-01 00:00:01")
+    ).map { case (u, e, t) => (u, e, java.sql.Timestamp.valueOf(t)) }
+      .toDF("user_id", "event_type", "ts")
+    val out = StreamRunner.funnelStream(spark, ev,
+        Seq("view", "click", "purchase"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 0L))
+  }
+
   test("sessionize (flatMapGroupsWithState) emits closed sessions") {
     val ev = Seq(
       (7L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
