@@ -32,7 +32,8 @@ object PlanAudit {
       "q_dedup_bloom", "q_url_curate", "q_para_dedup",
       "q_script_ratio", "q_winnow", "q_bm25",
       "q_weighted_sample", "q_zorder",
-      "q_funnel", "q_source_overlap")) {
+      "q_funnel", "q_source_overlap",
+      "q_histogram", "q_rolling", "q_embed_quant")) {
       val df = SparkEntry.queries(name)(spark, dir)
       // execute first: under AQE the pre-execution plan prints
       // isFinalPlan=false with no WholeStageCodegen spans — only the

@@ -967,6 +967,19 @@ object SparkEntry {
         .select("doc_id", "tok_offset", "n_toks")
         .orderBy("doc_id")),
 
+    // ── [EXT] §2.10 equi-width histogram: pure-projection bucketing
+    // off a broadcast min/max row, hash-agg on ≤ bins keys ────────────
+    "q_histogram" -> ((s, dir) =>
+      graft.ext.Profile.histogram(read(s, dir, "lineitem"),
+        "l_extendedprice", 16)
+        .orderBy("bucket")),
+
+    // ── [EXT] §2.9 trailing 1-hour rolling count/sum per user (RANGE
+    // frame on floor-second epoch; same-second peers included) ────────
+    "q_rolling" -> ((s, dir) =>
+      graft.ext.EventWindows.rolling(read(s, dir, "events"), 3600L)
+        .orderBy("event_id")),
+
     // ── [EXT] §2.9 ordered conversion funnel view→click→purchase:
     // per-user step timestamps, strictly increasing; one Exchange on
     // user_id reused by every stage ───────────────────────────────────
@@ -2387,6 +2400,29 @@ object SparkEntry {
            FROM t)
          SELECT doc_id, off AS tok_offset, n AS n_toks
          FROM p WHERE off < 50000 ORDER BY doc_id""",
+    "q_histogram" ->                   // 16 equi-width buckets over l_extendedprice
+      """WITH b AS (
+           SELECT min(l_extendedprice::DOUBLE) AS mn,
+                  max(l_extendedprice::DOUBLE) AS mx FROM lineitem),
+         x AS (
+           SELECT CASE WHEN mx = mn THEN 0
+                       ELSE least(15, floor((l_extendedprice::DOUBLE - mn)
+                                            / (mx - mn) * 16)) END::BIGINT AS bucket,
+                  mn, mx
+           FROM lineitem, b)
+         SELECT bucket, count(*)::BIGINT AS n,
+                round(any_value(mn) + bucket * (any_value(mx) - any_value(mn)) / 16, 4) AS lo,
+                round(any_value(mn) + (bucket + 1) * (any_value(mx) - any_value(mn)) / 16, 4) AS hi
+         FROM x GROUP BY bucket ORDER BY bucket""",
+    "q_rolling" ->                     // trailing 3600 s count/sum per user, floor-second epoch
+      """SELECT event_id, user_id, ts,
+                count(*) OVER w AS n_window,
+                round(sum(value) OVER w, 4) AS sum_window
+         FROM events
+         WINDOW w AS (PARTITION BY user_id
+                      ORDER BY (epoch_ns(ts) // 1000000000)
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
     "q_funnel" ->                      // strictly-ordered view→click→purchase funnel
       """WITH s1 AS (
            SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t0

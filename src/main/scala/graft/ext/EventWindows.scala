@@ -37,6 +37,26 @@ object EventWindows {
       .select(col("session_window.start").as("session_start"), col("user_id"),
         col("n"), col("sum_value"))
 
+  /** Per-key rolling count/sum over a trailing event-time range frame
+    * (`windowSec` seconds up to and including each event): the
+    * "requests in the last hour per user" feature. RANGE (not ROWS)
+    * framing on floor-second epoch, so same-second peers count in both
+    * engines identically. One shuffle keyed by `keyCol`; per-row frame
+    * state is bounded by the window's event count.
+    */
+  def rolling(events: DataFrame, windowSec: Long,
+              keyCol: String = "user_id", tsCol: String = "ts",
+              valCol: String = "value"): DataFrame = {
+    require(windowSec > 0, "rolling: windowSec must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(tsCol).cast("long"))
+      .rangeBetween(-windowSec, 0)
+    events.select(col("event_id"), col(keyCol), col(tsCol),
+      count(lit(1)).over(w).as("n_window"),
+      round(sum(col(valCol)).over(w), 4).as("sum_window"))
+  }
+
   /** Ordered funnel: one row with the count of users who reached each
     * step of `steps` IN ORDER (each step's event strictly after the
     * previous step's earliest qualifying event — the standard

@@ -50,12 +50,11 @@ object Similarity {
   /** L2-normalize an embedding column (null-safe: the all-zero vector
     * passes through unchanged rather than dividing by zero).
     */
-  def l2Normalize(vec: Column): Column = {
-    val norm = sqrt(aggregate(transform(vec,
-      x => x.cast("double") * x.cast("double")), lit(0.0), (a, v) => a + v))
-    when(norm > 0, transform(vec, x => (x.cast("double") / norm).cast("float")))
-      .otherwise(vec)
-  }
+  def l2Normalize(vec: Column): Column =
+    // one-pass expression: the aggregate/transform chain captured the
+    // norm inside the division lambda (recomputed per element after
+    // CollapseProject inlining) — see VectorExprs.L2NormalizeVec
+    graft.functions.VectorExprs.l2NormalizeVec(vec)
 
   /** Scalar int8 embedding quantization — the standard 4× memory/IO
     * compression before ANN serving (float32 → int8 + one float scale
@@ -69,12 +68,15 @@ object Similarity {
     */
   def quantizeEmbeddings(df: DataFrame, idCol: String,
                          vecCol: String): DataFrame = {
-    val absMax = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
-    val scale = when(absMax > 0, absMax / 127.0).otherwise(lit(1.0))
-    df.select(col(idCol), scale.as("scale"),
-      transform(col(vecCol), x =>
-        greatest(lit(-127L), least(lit(127L),
-          floor(x.cast("double") / scale + 0.5))).cast("int")).as("codes"))
+    // One-pass QuantizeVec expression: the HOF formulation
+    // (array_max(transform) feeding a per-element transform lambda)
+    // re-evaluated the row maximum per ELEMENT after CollapseProject
+    // inlining — O(d²)/row. Bit-identical output (same max/div/floor
+    // order), law-checked in VectorExprsSpec.
+    val q = graft.functions.VectorExprs.quantizeVec(col(vecCol))
+    df.withColumn("__q__", q)
+      .select(col(idCol), col("__q__").getField("scale").as("scale"),
+        col("__q__").getField("codes").as("codes"))
   }
 
   /** Inverse of [[quantizeEmbeddings]]: codes·scale as array<float>.

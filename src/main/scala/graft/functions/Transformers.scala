@@ -360,12 +360,13 @@ object Transformers {
     "url_parts" -> (args => df =>
       graft.ext.UrlOps.withUrlParts(df, args.headOption.getOrElse("url"),
         args.lift(1).getOrElse("host"), args.lift(2).getOrElse("domain"))),
-    // block_domains:domainField;d1,d2,... — drop blocklisted
-    // registered domains (comma-separated; folds to an IN predicate)
+    // block_domains:domainField;d1+d2+... — drop blocklisted
+    // registered domains ('+'-separated — ',' splits chain stages —
+    // folds to an IN predicate)
     "block_domains" -> (args => df => {
-      require(args.length >= 2, "block_domains needs domainField;d1,d2,...")
+      require(args.length >= 2, "block_domains needs domainField;d1+d2+...")
       graft.ext.UrlOps.filterBlockedDomains(df, args.head,
-        args(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        args(1).split("\\+").map(_.trim).filter(_.nonEmpty).toSeq)
     }),
     // cap_domain:domainField;orderField;cap[;salt] — keep at most
     // `cap` rows per domain (salted two-phase window, skew-proof)
@@ -421,6 +422,43 @@ object Transformers {
           s"bloom_probe: mode must be dup or new, got $other")
       }
     }),
+    // histogram:col;bins — equi-width distribution profile
+    "histogram" -> (args => df => {
+      require(args.length >= 2, "histogram needs col;bins")
+      graft.ext.Profile.histogram(df, args.head, args(1).toInt)
+    }),
+    // rolling:windowSec[;key[;ts[;val]]] — trailing range-frame
+    // count/sum per key
+    "rolling" -> (args => df => {
+      require(args.nonEmpty, "rolling needs windowSec[;key[;ts[;val]]]")
+      graft.ext.EventWindows.rolling(df, args.head.toLong,
+        keyCol = args.lift(1).getOrElse("user_id"),
+        tsCol = args.lift(2).getOrElse("ts"),
+        valCol = args.lift(3).getOrElse("value"))
+    }),
+    // funnel:step1+step2+...[;key[;type[;ts]]] — ordered conversion
+    // funnel stage counts (one row, n_s1..n_sK); '+' separates steps
+    // because ',' splits chain stages and ';' splits args
+    "funnel" -> (args => df => {
+      require(args.nonEmpty, "funnel needs step1+step2+...")
+      graft.ext.EventWindows.funnel(df,
+        args.head.split("\\+").map(_.trim).filter(_.nonEmpty).toSeq,
+        userCol = args.lift(1).getOrElse("user_id"),
+        typeCol = args.lift(2).getOrElse("event_type"),
+        tsCol = args.lift(3).getOrElse("ts"))
+    }),
+    // weighted_sample:weight;key;k[;seed] — Efraimidis–Spirtakis
+    // k-sample without replacement ∝ weight
+    "weighted_sample" -> (args => df => {
+      require(args.length >= 3, "weighted_sample needs weight;key;k[;seed]")
+      graft.ext.Sampling.weightedSampleK(df, args.head, args(1),
+        args(2).toInt, seed = args.lift(3).getOrElse("graft"))
+    }),
+    // source_overlap[:text[;source]] — shared-paragraph counts per
+    // source pair
+    "source_overlap" -> (args => df =>
+      graft.ext.TextAnalysis.sourceOverlap(df,
+        args.headOption.getOrElse("text"), args.lift(1).getOrElse("source"))),
     // dsir_select:k;targetField;targetValue[;hexDigits[;seed]] — keep
     // only the Gumbel-top-k docs by DSIR importance (deterministic)
     "dsir_select" -> (args => df => {

@@ -156,6 +156,35 @@ class ExtSpec extends SparkSpec {
         .orderBy("doc_id").collect().toSeq)
   }
 
+  test("histogram: equi-width buckets, max in top bucket, degenerate input") {
+    val d = (0 until 16).map(_.toDouble).toDF("v")
+    val h = graft.ext.Profile.histogram(d, "v", 4)
+      .orderBy("bucket")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(h.map(r => (r._1, r._2)) ==
+      Seq((0L, 4L), (1L, 4L), (2L, 4L), (3L, 4L))) // v=15 (max) clamps into bucket 3
+    assert(h.head._3 == 0.0 && h.last._4 == 15.0)
+    // min == max: everything in bucket 0
+    val one = Seq(7.0, 7.0).toDF("v")
+    assert(graft.ext.Profile.histogram(one, "v", 4)
+      .as[(Long, Long, Double, Double)].collect().toSeq == Seq((0L, 2L, 7.0, 7.0)))
+  }
+
+  test("rolling: trailing range frame counts same-second peers, drops old") {
+    val ev = Seq(
+      (1L, 7L, 0L, 1.0), (2L, 7L, 1800L, 2.0), (3L, 7L, 3600L, 4.0),
+      (4L, 7L, 3601L, 8.0),    // event 1 (t=0) now outside [1, 3601]
+      (5L, 9L, 3600L, 16.0)    // other user unaffected
+    ).toDF("event_id", "user_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds($"sec")).drop("sec")
+    val out = graft.ext.EventWindows.rolling(ev, 3600L)
+      .orderBy("event_id")
+      .select("event_id", "n_window", "sum_window")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 1L, 1.0), (2L, 2L, 3.0), (3L, 3L, 7.0),
+      (4L, 3L, 14.0), (5L, 1L, 16.0)))
+  }
+
   test("funnel: strictly-ordered stages, per-user, order matters") {
     val ev = Seq(
       (1L, "view", 1L), (1L, "click", 2L), (1L, "purchase", 3L),

@@ -242,7 +242,7 @@ class QueryCompilerSpec extends SparkSpec {
     assert(parts.filter($"doc_id" === 1L).select("domain")
       .as[String].head() == "example.co.uk")
     val blocked = Transformers.apply(parts,
-      TransformStage.parseChain("block_domains:domain;example.co.uk"))
+      TransformStage.parseChain("block_domains:domain;example.co.uk+other.net"))
     assert(blocked.count() == 2)
     val capped = Transformers.apply(parts,
       TransformStage.parseChain("cap_domain:domain;doc_id;1;4"))
@@ -278,6 +278,26 @@ class QueryCompilerSpec extends SparkSpec {
     val probeNew = Transformers.apply(fresh,
       TransformStage.parseChain(s"bloom_probe:$tmp/f.bloom;text;new"))
     assert(probeNew.count() == 1)
+    // profiling + event + sampling stages
+    val nums = (0 until 16).map(_.toDouble).toDF("v")
+    val h = Transformers.apply(nums, TransformStage.parseChain("histogram:v;4"))
+    assert(h.count() == 4)
+    val ev = Seq((1L, 10L, "view", 0L, 1.0), (2L, 10L, "click", 5L, 2.0))
+      .toDF("event_id", "user_id", "event_type", "sec", "value")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_seconds($"sec")).drop("sec")
+    val ro = Transformers.apply(ev, TransformStage.parseChain("rolling:3600"))
+    assert(ro.columns.contains("n_window") && ro.count() == 2)
+    val fu = Transformers.apply(ev, TransformStage.parseChain("funnel:view+click"))
+    assert(fu.columns.toSeq == Seq("n_s1", "n_s2") && fu.count() == 1)
+    val wdf = (1 to 50).map(i => (i.toLong, i.toLong)).toDF("doc_id", "w")
+    val ws = Transformers.apply(wdf,
+      TransformStage.parseChain("weighted_sample:w;doc_id;5"))
+    assert(ws.count() == 5)
+    val so = Transformers.apply(
+      Seq(("s1", "Common para."), ("s2", "common  para.")).toDF("source", "text"),
+      TransformStage.parseChain("source_overlap"))
+    assert(so.count() == 1)
   }
 
   test("[EXT] _agg duplicate/multi percentile requests share one buffer") {

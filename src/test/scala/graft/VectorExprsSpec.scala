@@ -98,4 +98,22 @@ class VectorExprsSpec extends SparkSpec {
       }
     assert(gen == interp)
   }
+
+  test("QuantizeVec ≡ the HOF array_max/transform formulation, bit-exact") {
+    import spark.implicits._
+    val e = sf("embeddings").limit(200)
+    val absMax = array_max(transform($"embedding", x => abs(x.cast("double"))))
+    val scale = when(absMax > 0, absMax / 127.0).otherwise(lit(1.0))
+    val hof = e.select($"vec_id", scale.as("scale"),
+      transform($"embedding", x =>
+        greatest(lit(-127L), least(lit(127L),
+          floor(x.cast("double") / scale + 0.5))).cast("int")).as("codes"))
+    val fast = graft.ext.Similarity.quantizeEmbeddings(e, "vec_id", "embedding")
+    assert(fast.exceptAll(hof).count() == 0 && hof.exceptAll(fast).count() == 0)
+    // all-zero vector: scale 1.0, zero codes
+    val z = Seq((1L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val zq = graft.ext.Similarity.quantizeEmbeddings(z, "vec_id", "embedding")
+      .as[(Long, Double, Seq[Int])].head()
+    assert(zq == ((1L, 1.0, Seq(0, 0, 0))))
+  }
 }
