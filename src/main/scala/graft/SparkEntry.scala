@@ -22,6 +22,13 @@ object SparkEntry {
   private def read(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Resolver.readParquet(s, s"$dir/$name.parquet")
 
+  /** Fixed merge list for `q_bpe_encode` (a LITERAL parameter, not a
+    * trained artifact, so the DuckDB oracle can replay the identical
+    * replace chain; training itself is law-checked in ExtSpec).
+    */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "e" -> "r", "an" -> "d")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Planner.plan(spark, JobSpec(
@@ -929,6 +936,56 @@ object SparkEntry {
       val docs = read(s, dir, "documents")
       graft.ext.TextAnalysis.lmScore2(docs, docs, "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // ── [EXT] §2.10 CCNet head/middle/tail perplexity buckets:
+    // exact tertile cut points over the rounded LM cross-entropy,
+    // broadcast back — no global sort, no window ──────────────────────
+    "q_ppl_buckets" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      graft.ext.TextAnalysis.perplexityBuckets(docs, docs, "doc_id", "text",
+        addK = 0.5, minCount = 2L)
+        .orderBy("doc_id")
+    }),
+
+    // ── [EXT] §2.10 BPE training statistics: the corpus-weighted
+    // adjacent-symbol pair counts the first merge chooses from ────────
+    "q_bpe_pairs" -> ((s, dir) => {
+      val types = graft.ext.Bpe.wordCounts(read(s, dir, "documents"))
+        .select(graft.ext.Bpe.symbolize(col("word")).as("sym"), col("cnt"))
+      graft.ext.Bpe.pairCounts(types)
+        .orderBy(desc("cnt"), asc("lhs"), asc("rhs")).limit(30)
+    }),
+
+    // ── [EXT] §2.10 BPE segmentation with a fixed merge list: the
+    // induced corpus token vocabulary (merge chain = pure projection,
+    // the oracle replays the identical replace chain) ─────────────────
+    "q_bpe_encode" -> ((s, dir) =>
+      graft.ext.Bpe.encode(read(s, dir, "documents"), "text", BpeMerges)
+        .orderBy(desc("cnt"), asc("token")).limit(40)),
+
+    // ── [EXT] §2.10 per-domain curation stats (FineWeb-style: decide
+    // per-domain weights/caps from counts, dup rate, size) — composes
+    // the URL ops with corpus aggregates; one domain-keyed hash-agg ───
+    "q_domain_stats" -> ((s, dir) => {
+      import graft.ext.UrlOps
+      val url = concat(lit("https://"),
+        when(col("doc_id") % 3 === 0, lit("www."))
+          .when(col("doc_id") % 7 === 0, lit("cdn.media."))
+          .otherwise(lit("")),
+        col("source"),
+        when(col("doc_id") % 5 === 0, lit(".co.uk")).otherwise(lit(".com")),
+        lit("/doc/"), col("doc_id").cast("string"))
+      UrlOps.withUrlParts(
+        read(s, dir, "documents").withColumn("url", url), "url")
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_uniq"),
+          round(avg(length(col("text"))), 2).as("mean_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+        .withColumn("dup_rate",
+          round(lit(1.0) - col("n_uniq").cast("double") / col("n_docs"), 4))
+        .orderBy("domain")
     }),
 
     // ── [EXT] §2.10 exact duplicate-substring spans (ACL'22
@@ -2309,6 +2366,100 @@ object SparkEntry {
                 round(s.ce, 4) AS cross_entropy,
                 round(exp(s.ce), 4) AS perplexity
          FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""",
+    "q_ppl_buckets" ->                 // CCNet tertiles over rounded ce
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                                     x -> x <> '')) AS token
+           FROM documents),
+         c AS (SELECT token, count(*)::BIGINT AS cnt FROM tok
+               GROUP BY 1 HAVING count(*) >= 2),
+         tot AS (SELECT sum(cnt)::DOUBLE AS n, count(*)::DOUBLE AS v FROM c),
+         s AS (
+           SELECT t.doc_id, count(*)::BIGINT AS n_toks,
+                  -avg(ln((coalesce(c.cnt, 0) + 0.5) / (tot.n + 0.5*(tot.v + 1)))) AS ce
+           FROM tok t LEFT JOIN c USING (token) CROSS JOIN tot
+           GROUP BY 1),
+         sc AS (
+           SELECT d.doc_id, coalesce(s.n_toks, 0)::BIGINT AS n_toks,
+                  round(s.ce, 4) AS cross_entropy,
+                  round(exp(s.ce), 4) AS perplexity
+           FROM documents d LEFT JOIN s USING (doc_id)),
+         th AS (SELECT quantile_cont(cross_entropy, [1.0/3, 2.0/3]) AS q FROM sc)
+         SELECT doc_id, n_toks, cross_entropy, perplexity,
+                CASE WHEN cross_entropy IS NULL THEN NULL
+                     ELSE 1 + (CASE WHEN cross_entropy > q[1] THEN 1 ELSE 0 END)
+                            + (CASE WHEN cross_entropy > q[2] THEN 1 ELSE 0 END)
+                END AS bucket,
+                CASE WHEN cross_entropy IS NULL THEN NULL
+                     WHEN cross_entropy <= q[1] THEN 'head'
+                     WHEN cross_entropy <= q[2] THEN 'middle'
+                     ELSE 'tail' END AS label
+         FROM sc CROSS JOIN th ORDER BY doc_id""",
+    "q_bpe_pairs" ->                   // corpus-weighted adjacent char pairs
+      """WITH tok AS (
+           SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                                     x -> x <> '')) AS w
+           FROM documents),
+         t AS (SELECT w, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+         p AS (SELECT unnest([{'l': w[i+1], 'r': w[i+2]}
+                              FOR i IN range(length(w) - 1)]) AS pr, cnt
+               FROM t WHERE length(w) >= 2),
+         g AS (SELECT pr.l AS lhs, pr.r AS rhs, sum(cnt)::BIGINT AS cnt
+               FROM p GROUP BY 1, 2)
+         SELECT lhs, rhs, cnt FROM g ORDER BY cnt DESC, lhs, rhs LIMIT 30""",
+    "q_bpe_encode" ->                  // fixed merges (t,h)(th,e)(i,n)(a,n)(e,r)(an,d)
+      """WITH tok AS (
+           SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                                     x -> x <> '')) AS w
+           FROM documents),
+         s0 AS (SELECT ' ' || trim(regexp_replace(w, '(.)', '\1 ', 'g')) || ' ' AS s
+                FROM tok),
+         m1 AS (SELECT replace(replace(s, ' t h ', ' th '), ' t h ', ' th ') AS s FROM s0),
+         m2 AS (SELECT replace(replace(s, ' th e ', ' the '), ' th e ', ' the ') AS s FROM m1),
+         m3 AS (SELECT replace(replace(s, ' i n ', ' in '), ' i n ', ' in ') AS s FROM m2),
+         m4 AS (SELECT replace(replace(s, ' a n ', ' an '), ' a n ', ' an ') AS s FROM m3),
+         m5 AS (SELECT replace(replace(s, ' e r ', ' er '), ' e r ', ' er ') AS s FROM m4),
+         m6 AS (SELECT replace(replace(s, ' an d ', ' and '), ' an d ', ' and ') AS s FROM m5),
+         fin AS (SELECT unnest(string_split(trim(s), ' ')) AS token FROM m6)
+         SELECT token, count(*)::BIGINT AS cnt FROM fin
+         GROUP BY 1 ORDER BY cnt DESC, token LIMIT 40""",
+    "q_domain_stats" ->                // per-registered-domain curation stats
+      """WITH u AS (
+           SELECT doc_id, text, lang,
+                  'https://' ||
+                  CASE WHEN doc_id % 3 = 0 THEN 'www.'
+                       WHEN doc_id % 7 = 0 THEN 'cdn.media.'
+                       ELSE '' END ||
+                  source ||
+                  CASE WHEN doc_id % 5 = 0 THEN '.co.uk' ELSE '.com' END ||
+                  '/doc/' || CAST(doc_id AS VARCHAR) AS url
+           FROM documents),
+         h AS (
+           SELECT doc_id, text, lang,
+                  lower(regexp_extract(url,
+                    '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)',
+                    1)) AS host
+           FROM u),
+         d AS (
+           SELECT doc_id, text, lang, host, string_split(host, '.') AS p FROM h),
+         r AS (
+           SELECT doc_id, text, lang,
+                  CASE WHEN len(p) <= 2 THEN host
+                       WHEN p[-2] || '.' || p[-1] IN
+                            ('co.uk','ac.uk','gov.uk','org.uk','co.jp',
+                             'ne.jp','or.jp','com.au','net.au','org.au',
+                             'com.br','com.cn','com.tw','co.in','co.kr',
+                             'com.mx','co.za','com.sg','com.ar')
+                         THEN p[-3] || '.' || p[-2] || '.' || p[-1]
+                       ELSE p[-2] || '.' || p[-1] END AS domain
+           FROM d)
+         SELECT domain, count(*)::BIGINT AS n_docs,
+                count(DISTINCT md5(text))::BIGINT AS n_uniq,
+                round(avg(length(text)), 2) AS mean_chars,
+                count(DISTINCT lang)::BIGINT AS n_langs,
+                round(1.0 - count(DISTINCT md5(text))::DOUBLE / count(*), 4) AS dup_rate
+         FROM r GROUP BY 1 ORDER BY 1""",
     "q_dup_spans" ->                   // n=10, minOccur=2, 0-based [start,end)
       """WITH t AS (
            SELECT doc_id,

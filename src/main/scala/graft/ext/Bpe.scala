@@ -1,0 +1,133 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING and application ([EXT],
+  * SURVEY §2.10) — Sennrich et al., ACL'16: start from characters,
+  * repeatedly merge the most frequent adjacent symbol pair. This is
+  * the "train a tokenizer on the corpus" step of an LLM data pipeline,
+  * upstream of the vocab-id encoding (`q_encode`) and token counting
+  * the engine already has.
+  *
+  * Representation: a word's segmentation is a SPACE-JOINED symbol
+  * string (`"there"` → `"t h e r e"`, after merging (t,h) →
+  * `"th e r e"`). Merging pair (a,b) is then a plain string
+  * replacement of `" a b "` with `" ab "` on the space-padded symbol
+  * string — run TWICE, because left-to-right replacement consumes the
+  * shared boundary space of back-to-back occurrences (`a b a b`) and
+  * leaves every survivor isolated for the second pass (law-checked
+  * against a sequential reference in ExtSpec). Symbols come from
+  * [[TextDedup.tokens]] (lowercased, `\W+`-split → `[a-z0-9_]`), so
+  * replacement never meets a regex metacharacter and the same
+  * `replace` chain runs verbatim in any SQL engine — that is what
+  * makes the encode step DuckDB-oracle-able.
+  *
+  * Scale shape: training iterates on the word-TYPE table (`word`,
+  * `cnt`) — vocabulary-sized (sublinear in corpus size: ~10⁷ types at
+  * 100 TB), cached once; each merge is one map-side-combinable
+  * pair-count aggregate + a TakeOrderedAndProject top-1 (the only
+  * driver state is the merge list itself, `numMerges` pairs) + one
+  * projection appended to the cached frame's lineage. The corpus is
+  * read exactly once. Encoding is a pure per-row projection.
+  */
+object Bpe {
+
+  /** Space-joined character symbols of one (already `[a-z0-9_]`)
+    * word: `"there"` → `"t h e r e"`. Pure codegen'd projection.
+    */
+  def symbolize(word: Column): Column =
+    trim(regexp_replace(word, "(.)", "$1 "))
+
+  /** Word-type table (`word`, `cnt`) of the corpus — the frame BPE
+    * training iterates on. One explode + combinable hash-agg.
+    */
+  def wordCounts(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(explode(TextDedup.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Adjacent symbol-pair counts over a (`sym`, `cnt`) word-type
+    * frame: one row per (lhs, rhs) pair with its corpus-weighted
+    * count. Explode of per-word adjacent pairs (words are short — the
+    * explode is bounded by word length) + combinable hash-agg.
+    */
+  def pairCounts(types: DataFrame, symCol: String = "sym",
+                 cntCol: String = "cnt"): DataFrame = {
+    // trim first: [[train]] keeps its symbol strings space-PADDED for
+    // the replace chain, and splitting the pad would mint "" symbols
+    val syms = split(trim(col(symCol)), " ")
+    val m = greatest(size(syms) - 1, lit(0))
+    val pairs = zip_with(slice(syms, lit(1), m), slice(syms, lit(2), m),
+      (a, b) => struct(a.as("lhs"), b.as("rhs")))
+    types.select(explode(pairs).as("p"), col(cntCol))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum(col(cntCol)).as("cnt"))
+  }
+
+  /** Merge pair (a, b) → `ab` everywhere in a space-padded symbol
+    * string (see class doc for why the replacement runs twice).
+    */
+  def applyMerge(padded: Column, a: String, b: String): Column = {
+    val pat = lit(s" $a $b "); val rep = lit(s" $a$b ")
+    val once = call_function("replace", padded, pat, rep)
+    call_function("replace", once, pat, rep)
+  }
+
+  /** Apply a learned merge list, in order, to one word column;
+    * returns the word's BPE tokens as an array.
+    */
+  def segmentWord(word: Column, merges: Seq[(String, String)]): Column = {
+    val padded = concat(lit(" "), symbolize(word), lit(" "))
+    val merged = merges.foldLeft(padded) { case (c, (a, b)) =>
+      applyMerge(c, a, b)
+    }
+    split(trim(merged), " ")
+  }
+
+  /** Train `numMerges` BPE merges on the corpus. Ties on the pair
+    * count break lexicographically (lhs, then rhs) so the merge list
+    * is deterministic and engine-reproducible. Stops early when no
+    * pair reaches `minPairCount`. The word-type table is cached once;
+    * each iteration appends one projection to its lineage (fine for
+    * the ≤ tens-of-thousands of merges real tokenizers use — GPT-2's
+    * 50k would warrant a re-materialize every few hundred rounds).
+    */
+  def train(df: DataFrame, textCol: String = "text", numMerges: Int = 10,
+            minPairCount: Long = 2L): Seq[(String, String)] = {
+    require(numMerges >= 0, s"Bpe.train: numMerges must be >= 0, got $numMerges")
+    val base = wordCounts(df, textCol)
+      .select(concat(lit(" "), symbolize(col("word")), lit(" ")).as("sym"),
+        col("cnt"))
+      .persist()
+    try {
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var types = base
+      var done = false
+      while (merges.size < numMerges && !done) {
+        val top = pairCounts(types)
+          .orderBy(desc("cnt"), asc("lhs"), asc("rhs")).limit(1).collect()
+        if (top.isEmpty || top(0).getLong(2) < minPairCount) done = true
+        else {
+          val (a, b) = (top(0).getString(0), top(0).getString(1))
+          merges += ((a, b))
+          types = types.withColumn("sym", applyMerge(col("sym"), a, b))
+        }
+      }
+      merges.toSeq
+    } finally { base.unpersist(); () }
+  }
+
+  /** Segment every doc with a merge list and return the corpus BPE
+    * token frequency table (`token`, `cnt`) — the vocabulary the
+    * trained tokenizer induces. Pure per-row projection (the merge
+    * chain is a fixed expression tree), then one combinable hash-agg;
+    * the text column never shuffles.
+    */
+  def encode(df: DataFrame, textCol: String = "text",
+             merges: Seq[(String, String)] = Seq.empty): DataFrame = {
+    val words = TextDedup.tokens(col(textCol))
+    val toks = flatten(transform(words, w => segmentWord(w, merges)))
+    df.select(explode(toks).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+  }
+}

@@ -813,6 +813,48 @@ object TextAnalysis {
         .withColumn("n_toks", coalesce(col("n_toks"), lit(0L))))
   }
 
+  /** CCNet's head/middle/tail perplexity bucketing (Wenzek et al.
+    * LREC'20 §4.3 splits the scored web corpus into three equal-mass
+    * groups by LM perplexity; "head" feeds the highest-quality training
+    * mix). Scores `target` with the [[lmScore]] unigram LM, then
+    * assigns each doc the bucket its cross-entropy falls in between
+    * the exact j/`buckets` quantiles (linear interpolation over the
+    * ROUNDED scores — the type-7 definition DuckDB/NumPy share, so
+    * the cut points reproduce bit-for-bit across engines). Zero-token
+    * docs carry NULL scores and a NULL bucket (CCNet drops them
+    * before bucketing).
+    *
+    * Shape at 100 TB: [[lmScore]]'s plan (vocab join + doc hash-agg),
+    * then ONE (buckets−1)-value percentile aggregate broadcast back
+    * by crossJoin and a per-row CASE — no global sort, no window.
+    * The exact percentile buffers the scored column per partition;
+    * past ~10⁹ scored docs swap `percentile_approx` in — the cut
+    * points move within sketch error, the semantics don't.
+    */
+  def perplexityBuckets(train: DataFrame, target: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        addK: Double = 0.5, minCount: Long = 1L,
+                        buckets: Int = 3): DataFrame = {
+    require(buckets >= 2, s"perplexityBuckets: need >= 2 buckets, got $buckets")
+    val scored = lmScore(train, target, idCol, textCol, addK, minCount)
+    val ps = (1 until buckets).map(_.toDouble / buckets)
+    val th = scored.agg(
+      percentile(col("cross_entropy"), typedLit(ps)).as("__th__"))
+    val idx = (1 to buckets - 1).foldLeft(lit(1)) { (acc, j) =>
+      acc + when(col("cross_entropy") > element_at(col("__th__"), j), 1)
+        .otherwise(0)
+    }
+    val labeled = scored.crossJoin(broadcast(th))
+      .withColumn("bucket", when(col("cross_entropy").isNotNull, idx))
+    val label =
+      if (buckets == 3)
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === 2, "middle")
+          .when(col("bucket") === 3, "tail")
+      else col("bucket").cast("string")
+    labeled.withColumn("label", label).drop("__th__")
+  }
+
   /** fastText-shaped linear quality scoring (Joulin et al. 2016 — the
     * bag-of-tokens linear classifier that GPT-3/LLaMA-style pipelines
     * deploy as a "quality classifier"): `score = sigmoid(bias + mean

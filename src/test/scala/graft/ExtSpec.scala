@@ -1467,4 +1467,89 @@ class ExtSpec extends SparkSpec {
       assert(r.getString(2) == "application/x-fake")
     }
   }
+
+  // ── BPE tokenizer training/application ─────────────────────────────
+
+  /** Sequential reference BPE (Sennrich ACL'16 learn_bpe shape):
+    * overlapping pair counts, greedy left-to-right merge application,
+    * ties broken (count desc, lhs asc, rhs asc).
+    */
+  private def refBpeMergeList(s: List[String], a: String, b: String): List[String] = {
+    val buf = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { buf += (a + b); i += 2 }
+      else { buf += s(i); i += 1 }
+    }
+    buf.toList
+  }
+
+  private def refBpeTrain(words: Map[String, Long], k: Int,
+                          minCnt: Long): Seq[(String, String)] = {
+    var syms: Seq[(List[String], Long)] =
+      words.toSeq.map { case (w, c) => w.toList.map(_.toString) -> c }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var stop = false
+    while (out.size < k && !stop) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((s, c) <- syms; Seq(a, b) <- s.sliding(2) if s.size >= 2)
+        pc((a, b)) += c
+      if (pc.isEmpty) stop = true
+      else {
+        val ((a, b), cnt) = pc.minBy { case ((a, b), c) => (-c, a, b) }
+        if (cnt < minCnt) stop = true
+        else {
+          out += ((a, b))
+          syms = syms.map { case (s, c) => refBpeMergeList(s, a, b) -> c }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpe: segmentWord applies merges in order, incl. back-to-back runs") {
+    val merges = Seq("t" -> "h", "th" -> "e", "a" -> "b")
+    val out = Seq("there", "ababab", "bath")
+      .toDF("w").select(Bpe.segmentWord($"w", merges).as("t"))
+      .as[Seq[String]].collect().toSeq
+    assert(out(0) == Seq("the", "r", "e"))   // t+h, then th+e; (e,r) never merged
+    assert(out(1) == Seq("ab", "ab", "ab"))  // the overlap case double-replace exists for
+    assert(out(2) == Seq("b", "a", "th"))    // a+b does NOT fire across the a|t boundary
+  }
+
+  test("bpe: distributed train == sequential reference on word counts") {
+    val corpus = docs.union(Seq(
+      (5L, "banana bandana cabana and and and another antenna"),
+      (6L, "thinking things through the thorough theory")).toDF("doc_id", "text"))
+    val wc = Bpe.wordCounts(corpus).as[(String, Long)].collect().toMap
+    val expect = refBpeTrain(wc, k = 12, minCnt = 2L)
+    val got = Bpe.train(corpus, "text", numMerges = 12, minPairCount = 2L)
+    assert(got == expect)
+    assert(got.nonEmpty && got.size <= 12)
+    // encode with the trained merges: token mass is conserved per char
+    val enc = Bpe.encode(corpus, "text", got)
+      .as[(String, Long)].collect().toMap
+    val charMass = wc.toSeq.map { case (w, c) => w.length * c }.sum
+    assert(enc.toSeq.map { case (t, c) => t.length * c }.sum == charMass)
+    // early stop: an impossible floor yields no merges
+    assert(Bpe.train(corpus, "text", 5, minPairCount = 1000000L).isEmpty)
+  }
+
+  test("perplexityBuckets: equal-mass tertiles over ce, NULL for empty docs") {
+    val corpus = Seq(
+      (1L, "a a a a a a"), (2L, "a a a a a b"), (3L, "a a a a b b"),
+      (4L, "a a a b b b"), (5L, "a a b b b c"), (6L, "a b b c c c"),
+      (7L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityBuckets(corpus, corpus, minCount = 1L)
+      .orderBy("doc_id")
+      .select("doc_id", "cross_entropy", "bucket", "label").collect()
+    // ce increases doc 1 → 6 by construction (more rare tokens)
+    val ces = out.take(6).map(_.getDouble(1))
+    assert(ces.sameElements(ces.sorted))
+    assert(out.take(6).map(_.getInt(2)).toSeq == Seq(1, 1, 2, 2, 3, 3))
+    assert(out.take(6).map(_.getString(3)).toSeq ==
+      Seq("head", "head", "middle", "middle", "tail", "tail"))
+    assert(out(6).isNullAt(1) && out(6).isNullAt(2) && out(6).isNullAt(3))
+  }
 }
