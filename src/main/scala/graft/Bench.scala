@@ -23,6 +23,8 @@ object Bench {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => } // warmup failures surface in the timed run
+        try spark.sharedState.cacheManager.clearCache()
+        catch { case _: Throwable => }
       }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
@@ -34,7 +36,15 @@ object Bench {
         case e: Throwable =>
           errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Queries are independent jobs: drop any intra-query persist()
+      // AFTER the timed region so one query's working cache can't
+      // occupy unified memory and starve the next query's execution
+      // side (a real pipeline owns its persist lifecycle; a bench of
+      // 100+ back-to-back queries must do it here).
+      try spark.sharedState.cacheManager.clearCache()
+      catch { case _: Throwable => }
+      name -> dt
     }
     def jstr(s: String): String = {
       val b = new StringBuilder("\"")

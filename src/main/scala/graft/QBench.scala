@@ -10,6 +10,7 @@ object QBench {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"QBENCH $name ${(System.nanoTime()-t0)/1e9}%.2f s")
+      spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()
   }

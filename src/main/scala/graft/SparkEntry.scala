@@ -2413,15 +2413,15 @@ object SparkEntry {
            SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\W+'),
                                      x -> x <> '')) AS w
            FROM documents),
-         s0 AS (SELECT ' ' || trim(regexp_replace(w, '(.)', '\1 ', 'g')) || ' ' AS s
+         s0 AS (SELECT ' ' || trim(regexp_replace(w, '(.)', '\1  ', 'g')) || ' ' AS s
                 FROM tok),
-         m1 AS (SELECT replace(replace(s, ' t h ', ' th '), ' t h ', ' th ') AS s FROM s0),
-         m2 AS (SELECT replace(replace(s, ' th e ', ' the '), ' th e ', ' the ') AS s FROM m1),
-         m3 AS (SELECT replace(replace(s, ' i n ', ' in '), ' i n ', ' in ') AS s FROM m2),
-         m4 AS (SELECT replace(replace(s, ' a n ', ' an '), ' a n ', ' an ') AS s FROM m3),
-         m5 AS (SELECT replace(replace(s, ' e r ', ' er '), ' e r ', ' er ') AS s FROM m4),
-         m6 AS (SELECT replace(replace(s, ' an d ', ' and '), ' an d ', ' and ') AS s FROM m5),
-         fin AS (SELECT unnest(string_split(trim(s), ' ')) AS token FROM m6)
+         m1 AS (SELECT replace(s, ' t  h ', ' th ') AS s FROM s0),
+         m2 AS (SELECT replace(s, ' th  e ', ' the ') AS s FROM m1),
+         m3 AS (SELECT replace(s, ' i  n ', ' in ') AS s FROM m2),
+         m4 AS (SELECT replace(s, ' a  n ', ' an ') AS s FROM m3),
+         m5 AS (SELECT replace(s, ' e  r ', ' er ') AS s FROM m4),
+         m6 AS (SELECT replace(s, ' an  d ', ' and ') AS s FROM m5),
+         fin AS (SELECT unnest(string_split_regex(trim(s), ' +')) AS token FROM m6)
          SELECT token, count(*)::BIGINT AS cnt FROM fin
          GROUP BY 1 ORDER BY cnt DESC, token LIMIT 40""",
     "q_domain_stats" ->                // per-registered-domain curation stats

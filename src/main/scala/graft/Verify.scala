@@ -30,6 +30,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         dumpStatus(name) = s"failed: ${e.getMessage}"
       }
+      // independent jobs: release any intra-query persist (see Bench)
+      try spark.sharedState.cacheManager.clearCache()
+      catch { case _: Throwable => }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

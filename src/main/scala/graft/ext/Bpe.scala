@@ -10,14 +10,19 @@ import org.apache.spark.sql.functions._
   * upstream of the vocab-id encoding (`q_encode`) and token counting
   * the engine already has.
   *
-  * Representation: a word's segmentation is a SPACE-JOINED symbol
-  * string (`"there"` → `"t h e r e"`, after merging (t,h) →
-  * `"th e r e"`). Merging pair (a,b) is then a plain string
-  * replacement of `" a b "` with `" ab "` on the space-padded symbol
-  * string — run TWICE, because left-to-right replacement consumes the
-  * shared boundary space of back-to-back occurrences (`a b a b`) and
-  * leaves every survivor isolated for the second pass (law-checked
-  * against a sequential reference in ExtSpec). Symbols come from
+  * Representation: a word's segmentation is a symbol string joined by
+  * TWO spaces and padded with one space at each end (`"there"` →
+  * `" t  h  e  r  e "`). Merging pair (a, b) is then ONE plain string
+  * replacement of `" a  b "` with `" ab "`: the match consumes one
+  * space of each two-space separator, so back-to-back occurrences
+  * (`a a a a` under merge (a,a)) still each have a boundary space to
+  * match on — plain left-to-right replacement becomes EXACTLY the
+  * greedy pairing reference BPE uses (a single-space scheme gets runs
+  * wrong: its first match eats the space the next one needs). A match
+  * can never start or end inside a symbol: symbols contain no spaces,
+  * and a pattern aligned anywhere but a symbol boundary demands a
+  * space where the symbol has a character (law-checked against a
+  * sequential reference in ExtSpec + LawsProps). Symbols come from
   * [[TextDedup.tokens]] (lowercased, `\W+`-split → `[a-z0-9_]`), so
   * replacement never meets a regex metacharacter and the same
   * `replace` chain runs verbatim in any SQL engine — that is what
@@ -34,10 +39,18 @@ import org.apache.spark.sql.functions._
 object Bpe {
 
   /** Space-joined character symbols of one (already `[a-z0-9_]`)
-    * word: `"there"` → `"t h e r e"`. Pure codegen'd projection.
+    * word: `"there"` → `"t h e r e"` — the display/statistics form.
+    * Pure codegen'd projection.
     */
   def symbolize(word: Column): Column =
     trim(regexp_replace(word, "(.)", "$1 "))
+
+  /** The merge-ready form: characters joined by two spaces, one pad
+    * space each end (`"the"` → `" t  h  e "`). See class doc for why
+    * the double separator makes one `replace` pass exactly greedy.
+    */
+  def padSymbols(word: Column): Column =
+    concat(lit(" "), trim(regexp_replace(word, "(.)", "$1  ")), lit(" "))
 
   /** Word-type table (`word`, `cnt`) of the corpus — the frame BPE
     * training iterates on. One explode + combinable hash-agg.
@@ -48,14 +61,13 @@ object Bpe {
 
   /** Adjacent symbol-pair counts over a (`sym`, `cnt`) word-type
     * frame: one row per (lhs, rhs) pair with its corpus-weighted
-    * count. Explode of per-word adjacent pairs (words are short — the
-    * explode is bounded by word length) + combinable hash-agg.
+    * count. Accepts both the single-space display form and the padded
+    * two-space merge form (split on space runs). Explode of per-word
+    * adjacent pairs (bounded by word length) + combinable hash-agg.
     */
   def pairCounts(types: DataFrame, symCol: String = "sym",
                  cntCol: String = "cnt"): DataFrame = {
-    // trim first: [[train]] keeps its symbol strings space-PADDED for
-    // the replace chain, and splitting the pad would mint "" symbols
-    val syms = split(trim(col(symCol)), " ")
+    val syms = split(trim(col(symCol)), " +")
     val m = greatest(size(syms) - 1, lit(0))
     val pairs = zip_with(slice(syms, lit(1), m), slice(syms, lit(2), m),
       (a, b) => struct(a.as("lhs"), b.as("rhs")))
@@ -64,24 +76,24 @@ object Bpe {
       .agg(sum(col(cntCol)).as("cnt"))
   }
 
-  /** Merge pair (a, b) → `ab` everywhere in a space-padded symbol
-    * string (see class doc for why the replacement runs twice).
+  /** Merge pair (a, b) → `ab` everywhere in a two-space-separated,
+    * space-padded symbol string — one replacement pass IS greedy
+    * left-to-right pairing under the double-separator invariant
+    * (each side of the pattern consumes one space of a separator,
+    * leaving one for the neighboring match; the result restores the
+    * invariant by construction).
     */
-  def applyMerge(padded: Column, a: String, b: String): Column = {
-    val pat = lit(s" $a $b "); val rep = lit(s" $a$b ")
-    val once = call_function("replace", padded, pat, rep)
-    call_function("replace", once, pat, rep)
-  }
+  def applyMerge(padded: Column, a: String, b: String): Column =
+    call_function("replace", padded, lit(s" $a  $b "), lit(s" $a$b "))
 
   /** Apply a learned merge list, in order, to one word column;
     * returns the word's BPE tokens as an array.
     */
   def segmentWord(word: Column, merges: Seq[(String, String)]): Column = {
-    val padded = concat(lit(" "), symbolize(word), lit(" "))
-    val merged = merges.foldLeft(padded) { case (c, (a, b)) =>
+    val merged = merges.foldLeft(padSymbols(word)) { case (c, (a, b)) =>
       applyMerge(c, a, b)
     }
-    split(trim(merged), " ")
+    split(trim(merged), " +")
   }
 
   /** Train `numMerges` BPE merges on the corpus. Ties on the pair
@@ -96,8 +108,7 @@ object Bpe {
             minPairCount: Long = 2L): Seq[(String, String)] = {
     require(numMerges >= 0, s"Bpe.train: numMerges must be >= 0, got $numMerges")
     val base = wordCounts(df, textCol)
-      .select(concat(lit(" "), symbolize(col("word")), lit(" ")).as("sym"),
-        col("cnt"))
+      .select(padSymbols(col("word")).as("sym"), col("cnt"))
       .persist()
     try {
       val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]

@@ -199,6 +199,10 @@ object TextDedup {
         posexplode(sequence(lit(0), length(col("__s__")) - k))
           .as(Seq("__i__", "__z__")))
       .select(col("id"), col("__i__"),
+        // last position that still opens a COMPLETE w-window — a pure
+        // per-row computation, so the trailing-position cut below is a
+        // plain filter instead of a second count() window aggregate
+        (length(col("__s__")) - k + 1 - w).as("__last__"),
         // = conv(substring(md5(gram),1,15),16,10) — same 60-bit value
         // the DuckDB oracle computes — minus the per-gram hex-string
         // round-trip (law-checked in ExtSpec)
@@ -209,15 +213,14 @@ object TextDedup {
     // gram hashes contributes its min. ONE shuffle, keyed by doc id;
     // the per-doc window frame is O(w) per row and doc-bounded. The
     // trailing w−1 positions open no complete window and are cut by
-    // the __nw__ filter. collect_set rides the window's id-clustering
+    // the precomputed __last__ bound. collect_set rides the window's id-clustering
     // (no second exchange); its state is the fingerprint set — a
     // ~2/(w+1) fraction of doc length.
     val win = Window.partitionBy("id").orderBy("__i__")
       .rowsBetween(Window.currentRow, w - 1)
     grams
       .withColumn("__wmin__", min(col("__h__")).over(win))
-      .withColumn("__nw__", count(lit(1)).over(win))
-      .filter(col("__nw__") === w)
+      .filter(col("__i__") <= col("__last__"))
       .groupBy("id").agg(collect_set(col("__wmin__")).as("__fps__"))
       .select(col("id"), explode(col("__fps__")).as("fp"))
   }
@@ -236,14 +239,26 @@ object TextDedup {
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 8, w: Int = 10, minShared: Int = 2,
                   maxDf: Int = 50): DataFrame = {
+    // Postings-list formulation: ONE pass over the fingerprint stream
+    // (groupBy fp → sorted id list, df cap applied to the list size),
+    // then pairs generated per posting by a bounded nested transform
+    // (≤ C(maxDf, 2) structs per fingerprint — the lambda references
+    // only the collected array attribute, so no CollapseProject
+    // re-evaluation hazard). Replaces an earlier fps-self-join that
+    // had to PERSIST the fingerprint frame to avoid recomputing it
+    // three times — a cache a one-shot query can never unpersist,
+    // which at bench scale starved every later query's execution
+    // memory. Here the fingerprint pipeline runs exactly once and
+    // nothing is cached.
     val fps = winnowFingerprints(df, idCol, textCol, k, w)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rare = fps.groupBy("fp").agg(count(lit(1)).as("__df__"))
-      .filter(col("__df__") <= maxDf).select("fp")
-    val pruned = fps.join(rare, "fp")
-    pruned.as("a").join(pruned.as("b"), "fp")
-      .filter(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val postings = fps.groupBy("fp")
+      .agg(sort_array(collect_list(col("id"))).as("__ids__"))
+      .filter(size(col("__ids__")).between(2, maxDf))
+    val pairs = flatten(transform(col("__ids__"), (x, i) =>
+      transform(slice(col("__ids__"), i + 2, size(col("__ids__"))),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+    postings.select(explode(pairs).as("__p__"))
+      .groupBy(col("__p__.id_a").as("id_a"), col("__p__.id_b").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .select("id_a", "id_b", "n_shared")

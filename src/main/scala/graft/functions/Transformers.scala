@@ -469,7 +469,40 @@ object Transformers {
         hexDigits = args.lift(3).map(_.toInt).getOrElse(3),
         seed = args.lift(4).getOrElse("graft"))
       df.join(picked.select(col("doc_id"), col("logw"), col("key")), Seq("doc_id"))
-    })
+    }),
+    // bpe_train:numMerges[;text[;minPair]] — learn a BPE merge list on
+    // this frame and REPLACE it with the (merge_rank, lhs, rhs) table
+    "bpe_train" -> (args => df => {
+      require(args.nonEmpty, "bpe_train needs numMerges[;text[;minPair]]")
+      val merges = graft.ext.Bpe.train(df,
+        args.lift(1).getOrElse("text"), args.head.toInt,
+        minPairCount = args.lift(2).map(_.toLong).getOrElse(2L))
+      val s = df.sparkSession
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((a, b), i) => (i + 1, a, b) }
+        .toDF("merge_rank", "lhs", "rhs")
+    }),
+    // bpe_encode:merges[;text] — segment with a fixed merge list
+    // ("t+h,th+e,...") and replace the frame with its (token, cnt)
+    // BPE vocabulary
+    "bpe_encode" -> (args => df => {
+      require(args.nonEmpty, "bpe_encode needs merges(t+h,th+e,...)[;text]")
+      val merges = args.head.split(",").toSeq.filter(_.nonEmpty).map { m =>
+        val p = m.split("\\+")
+        require(p.length == 2, s"bpe_encode: bad merge '$m' (want lhs+rhs)")
+        (p(0), p(1))
+      }
+      graft.ext.Bpe.encode(df, args.lift(1).getOrElse("text"), merges)
+    }),
+    // ppl_buckets[:addK[;minCount[;buckets[;id[;text]]]]] — CCNet
+    // head/middle/tail perplexity bucketing, self-trained on the frame
+    "ppl_buckets" -> (args => df =>
+      graft.ext.TextAnalysis.perplexityBuckets(df, df,
+        args.lift(3).getOrElse("doc_id"), args.lift(4).getOrElse("text"),
+        addK = args.headOption.map(_.toDouble).getOrElse(0.5),
+        minCount = args.lift(1).map(_.toLong).getOrElse(1L),
+        buckets = args.lift(2).map(_.toInt).getOrElse(3)))
   )
 
   def register(name: String, f: Factory): Unit = registry.update(name, f)

@@ -1514,8 +1514,17 @@ class ExtSpec extends SparkSpec {
       .toDF("w").select(Bpe.segmentWord($"w", merges).as("t"))
       .as[Seq[String]].collect().toSeq
     assert(out(0) == Seq("the", "r", "e"))   // t+h, then th+e; (e,r) never merged
-    assert(out(1) == Seq("ab", "ab", "ab"))  // the overlap case double-replace exists for
+    assert(out(1) == Seq("ab", "ab", "ab"))  // back-to-back pairs all merge
     assert(out(2) == Seq("b", "a", "th"))    // a+b does NOT fire across the a|t boundary
+    // runs of the SAME symbol pair greedily left-to-right — the case
+    // the double-space separator exists for (a single-space scheme's
+    // first match eats the boundary space the second match needs)
+    val runs = Seq("aaaaaa", "aaaaa", "aa")
+      .toDF("w").select(Bpe.segmentWord($"w", Seq("a" -> "a")).as("t"))
+      .as[Seq[String]].collect().toSeq
+    assert(runs(0) == Seq("aa", "aa", "aa"))
+    assert(runs(1) == Seq("aa", "aa", "a"))
+    assert(runs(2) == Seq("aa"))
   }
 
   test("bpe: distributed train == sequential reference on word counts") {
@@ -1534,6 +1543,22 @@ class ExtSpec extends SparkSpec {
     assert(enc.toSeq.map { case (t, c) => t.length * c }.sum == charMass)
     // early stop: an impossible floor yields no merges
     assert(Bpe.train(corpus, "text", 5, minPairCount = 1000000L).isEmpty)
+  }
+
+  test("bpe/ppl CLI stages: train table, encode round-trip, bucket labels") {
+    import graft.spec.TransformStage
+    val t = graft.functions.Transformers
+    val trained = t.resolve(TransformStage("bpe_train", Seq("5", "text", "2")))(docs)
+      .orderBy("merge_rank").as[(Int, String, String)].collect().toSeq
+    assert(trained.size == 5 && trained.map(_._1) == Seq(1, 2, 3, 4, 5))
+    val mergesArg = trained.map { case (_, a, b) => s"$a+$b" }.mkString(",")
+    val vocab = t.resolve(TransformStage("bpe_encode", Seq(mergesArg)))(docs)
+    assert(vocab.columns.toSeq == Seq("token", "cnt"))
+    assert(vocab.agg(sum(length($"token") * $"cnt")).as[Long].head() ==
+      Bpe.wordCounts(docs).agg(sum(length($"word") * $"cnt")).as[Long].head())
+    val buckets = t.resolve(TransformStage("ppl_buckets", Seq()))(docs)
+    assert(buckets.select("label").distinct().as[String].collect().toSet
+      .subsetOf(Set("head", "middle", "tail")))
   }
 
   test("perplexityBuckets: equal-mass tertiles over ce, NULL for empty docs") {

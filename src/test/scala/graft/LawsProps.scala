@@ -205,6 +205,37 @@ object LawsProps extends Properties("graft.laws") {
       j.subsetOf(c)
     }
 
+  property("bpe: double-replace segmentation == sequential greedy merge") =
+    forAll(
+      Gen.listOfN(6, Gen.listOfN(8, Gen.oneOf("a", "b", "c")).map(_.mkString)),
+      Gen.listOfN(3, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.oneOf("a", "b", "c")))
+    ) { (words, m1) =>
+      // merge list grows like real BPE: later merges may reference the
+      // token minted by an earlier one
+      val merges = m1 match {
+        case (a, b) :: rest => (a, b) :: rest.zipWithIndex.map {
+          case ((x, _), 0) => (a + b, x)
+          case (p, _) => p
+        }
+        case Nil => Nil
+      }
+      def seqSegment(w: String): List[String] =
+        merges.foldLeft(w.toList.map(_.toString)) { case (s, (a, b)) =>
+          val buf = scala.collection.mutable.ListBuffer.empty[String]
+          var i = 0
+          while (i < s.length) {
+            if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+              buf += (a + b); i += 2
+            } else { buf += s(i); i += 1 }
+          }
+          buf.toList
+        }
+      val got = words.toDF("w")
+        .select(graft.ext.Bpe.segmentWord($"w", merges).as("t"))
+        .as[Seq[String]].collect().toSeq
+      got == words.map(w => seqSegment(w).toSeq)
+    }
+
   property("count cap: min(limit, total)") =
     forAll(rowsGen, Gen.chooseNum(0, 20)) { (t, lim) =>
       val d = df(t)
