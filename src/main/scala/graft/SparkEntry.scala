@@ -298,6 +298,42 @@ object SparkEntry {
       graft.ext.TextAnalysis.bm25TopK(read(s, dir, "documents"),
         "fast hash join dup", topK = 25)),
 
+    // ── [EXT] §2.10 persisted BM25 inverted index: postings/dfreq/
+    // stats written once, search reads |q| term-pruned inverted lists
+    // — identical math/ties to q_bm25, so it shares that oracle ───────
+    "q_bm25_persisted" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_bm25").toString
+      graft.ext.Retrieval.writeBm25Index(read(s, dir, "documents"), path)
+      graft.ext.Retrieval.searchBm25Index(s, path, "fast hash join dup",
+        topK = 25)
+    }),
+
+    // ── [EXT] §2.10 hybrid retrieval: dense brute-cosine top-50 for
+    // query vec 0 fused with sparse BM25 top-50 by reciprocal rank ────
+    "q_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = read(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val dense = graft.ext.Similarity.bruteTopK(q, e, 50)
+        .select(col("vec_id").as("id"), col("rank"))
+      val sparse = graft.ext.TextAnalysis.bm25TopK(
+          read(s, dir, "documents"), "fast hash join dup", topK = 50)
+        // rank over the already-limited 50 rows — not a corpus sort
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id").as("id"), col("rank"))
+      graft.ext.Retrieval.rrfFuse(Seq(dense, sparse), topK = 25)
+    }),
+
+    // ── [EXT] §2.10 C4-style bad-word filter (word-level exact match,
+    // so substring false positives are impossible) ────────────────────
+    "q_blocklist" -> ((s, dir) =>
+      graft.ext.TextAnalysis.blocklistFilter(read(s, dir, "documents"),
+        Seq("casino", "dup", "fast", "hash"))
+        .select("doc_id", "n_blocked", "n_blocked_types", "blocked")
+        .orderBy("doc_id")),
+
     // ── [EXT] §2.10 winnowing fingerprint overlap pairs (MOSS) ────────
     "q_winnow" -> ((s, dir) =>
       graft.ext.TextDedup.winnowPairs(read(s, dir, "documents"),
@@ -916,6 +952,47 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ── [EXT] §2.10 PII redaction: the same augmented corpus as q_pii
+    // with every email/URL/IP/phone match replaced by its token — the
+    // fixed chain order is the contract the oracle replays ────────────
+    "q_pii_redact" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val idS = col("doc_id").cast("string")
+      val email = when(col("doc_id") % 2 === 0, concat(lit(" contact user"),
+        idS, lit("@"), col("source"), lit(".org"))).otherwise(lit(""))
+      val url = when(col("doc_id") % 3 === 0, concat(lit(" see https://"),
+        col("source"), lit(".example.com/d"), idS)).otherwise(lit(""))
+      val ip = when(col("doc_id") % 5 === 0, concat(lit(" host 10.1."),
+        (col("doc_id") % 200).cast("string"), lit(".7"))).otherwise(lit(""))
+      val phone = when(col("doc_id") % 7 === 0, concat(lit(" call +1 415 555 0"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"))).otherwise(lit(""))
+      graft.ext.CorpusOps.piiRedact(
+        docs.withColumn("text", concat(col("text"), email, url, ip, phone)))
+        .select(col("doc_id"), col("text").as("red_text"))
+        .orderBy("doc_id")
+    }),
+
+    // ── [EXT] §2.10 URL canonicalization: synthetic messy URLs
+    // (mixed case, default/explicit ports, tracking params, unsorted
+    // params, trailing slashes, fragments) → canonical dedup keys ─────
+    "q_url_canon" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val idS = col("doc_id").cast("string")
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("http://")),
+        lit("WWW."), col("source"), lit(".Example.COM"),
+        when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit(":8080")),
+        lit("/Docs/"), idS,
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("?utm_source=feed&b=2&a="), idS, lit("&fbclid=x")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("#sec")).otherwise(lit("")))
+      docs.select(col("doc_id"), url.as("url"))
+        .withColumn("canon_url", graft.ext.UrlOps.canonicalize(col("url")))
+        .orderBy("doc_id")
+    }),
+
     // ── [EXT] §2.10 unigram-LM quality scoring (CCNet-style): the
     // corpus scored against its own add-0.5-smoothed LM, vocab pruned
     // at minCount=2 (rare tokens fall into the shared OOV bucket) ─────
@@ -1318,6 +1395,101 @@ object SparkEntry {
                   round(list_sum(list(contrib ORDER BY tok)), 4) AS score
            FROM c GROUP BY doc_id)
          SELECT doc_id, score FROM g ORDER BY score DESC, doc_id LIMIT 25""",
+    // identical scoring math from the persisted index ⇒ shares the
+    // from-scratch BM25 oracle verbatim
+    "q_bm25_persisted" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                              x -> x <> '') AS ts
+           FROM documents),
+         s AS (
+           SELECT count(*)::DOUBLE AS n, avg(len(ts))::DOUBLE AS avgdl
+           FROM t),
+         e AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS tok FROM t),
+         tf AS (
+           SELECT doc_id, dl, tok, count(*)::DOUBLE AS tf
+           FROM e WHERE tok IN ('fast', 'hash', 'join', 'dup')
+           GROUP BY 1, 2, 3),
+         dfr AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+         c AS (
+           SELECT tf.doc_id, tf.tok,
+                  ln((s.n - dfr.df + 0.5) / (dfr.df + 0.5) + 1.0) *
+                  (tf.tf * (1.2 + 1)) /
+                  (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))
+                    AS contrib
+           FROM tf, dfr, s WHERE tf.tok = dfr.tok),
+         g AS (
+           SELECT doc_id,
+                  round(list_sum(list(contrib ORDER BY tok)), 4) AS score
+           FROM c GROUP BY doc_id)
+         SELECT doc_id, score FROM g ORDER BY score DESC, doc_id LIMIT 25""",
+    "q_hybrid_rrf" ->                  // RRF c=60: dense top-50 + sparse top-50
+      """WITH d AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         dense AS (
+           SELECT vec_id AS id, rank FROM (
+             SELECT e.vec_id,
+                    row_number() OVER (
+                      ORDER BY list_cosine_similarity(q.emb, e.emb) DESC,
+                               e.vec_id) AS rank
+             FROM d q JOIN d e ON q.vec_id = 0 AND q.vec_id <> e.vec_id)
+           WHERE rank <= 50),
+         t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                              x -> x <> '') AS ts
+           FROM documents),
+         s AS (
+           SELECT count(*)::DOUBLE AS n, avg(len(ts))::DOUBLE AS avgdl
+           FROM t),
+         e AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS tok FROM t),
+         tf AS (
+           SELECT doc_id, dl, tok, count(*)::DOUBLE AS tf
+           FROM e WHERE tok IN ('fast', 'hash', 'join', 'dup')
+           GROUP BY 1, 2, 3),
+         dfr AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+         c AS (
+           SELECT tf.doc_id, tf.tok,
+                  ln((s.n - dfr.df + 0.5) / (dfr.df + 0.5) + 1.0) *
+                  (tf.tf * (1.2 + 1)) /
+                  (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))
+                    AS contrib
+           FROM tf, dfr, s WHERE tf.tok = dfr.tok),
+         g AS (
+           SELECT doc_id,
+                  round(list_sum(list(contrib ORDER BY tok)), 4) AS score
+           FROM c GROUP BY doc_id),
+         sparse AS (
+           SELECT doc_id AS id,
+                  row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+           FROM (SELECT doc_id, score FROM g
+                 ORDER BY score DESC, doc_id LIMIT 50)),
+         fused AS (
+           SELECT coalesce(dn.id, sp.id) AS id,
+                  round(coalesce(1.0::DOUBLE / (60 + dn.rank), 0.0)
+                      + coalesce(1.0::DOUBLE / (60 + sp.rank), 0.0), 6)
+                    AS rrf_score,
+                  ((CASE WHEN dn.id IS NULL THEN 0 ELSE 1 END)
+                 + (CASE WHEN sp.id IS NULL THEN 0 ELSE 1 END))::BIGINT
+                    AS n_lists
+           FROM dense dn FULL OUTER JOIN sparse sp ON dn.id = sp.id)
+         SELECT id, rrf_score, n_lists FROM fused
+         ORDER BY rrf_score DESC, id LIMIT 25""",
+    "q_blocklist" ->                   // word-level bad-word filter
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                              x -> x <> '') AS ts
+           FROM documents),
+         b AS (
+           SELECT doc_id,
+                  list_filter(ts, x ->
+                    list_contains(['casino', 'dup', 'fast', 'hash'], x)) AS bad
+           FROM t)
+         SELECT doc_id, len(bad)::BIGINT AS n_blocked,
+                len(list_distinct(bad))::BIGINT AS n_blocked_types,
+                len(bad) > 0 AS blocked
+         FROM b ORDER BY doc_id""",
     "q_winnow" ->                      // MOSS fingerprint overlap pairs (k=12, w=12, df<=30)
       """WITH n AS (
            SELECT doc_id, lower(regexp_replace(text, '\W+', '', 'g')) AS s
@@ -2309,6 +2481,68 @@ object SparkEntry {
          SELECT doc_id, n_emails, n_urls, n_ips, n_phones,
                 (n_emails + n_ips + n_phones > 0) AS has_pii
          FROM cnt ORDER BY doc_id""",
+    // same augmentation as q_pii; the redaction chain order
+    // (email → URL → IP → phone) is part of the contract
+    "q_pii_redact" -> raw"""
+         WITH aug AS (
+           SELECT doc_id, text
+             || CASE WHEN doc_id % 2 = 0 THEN ' contact user' || cast(doc_id AS VARCHAR)
+                  || '@' || source || '.org' ELSE '' END
+             || CASE WHEN doc_id % 3 = 0 THEN ' see https://' || source
+                  || '.example.com/d' || cast(doc_id AS VARCHAR) ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN ' host 10.1.'
+                  || cast(doc_id % 200 AS VARCHAR) || '.7' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0 THEN ' call +1 415 555 0'
+                  || lpad(cast(doc_id % 1000 AS VARCHAR), 3, '0') ELSE '' END AS text
+           FROM documents)
+         SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                  text,
+                  '${graft.ext.CorpusOps.EmailRe}', '<EMAIL>', 'g'),
+                  '${graft.ext.CorpusOps.UrlRe}', '<URL>', 'g'),
+                  '${graft.ext.CorpusOps.Ipv4Re}', '<IP>', 'g'),
+                  '${graft.ext.CorpusOps.PhoneRe}', '<PHONE>', 'g') AS red_text
+         FROM aug ORDER BY doc_id""",
+    "q_url_canon" -> raw"""
+         WITH u AS (
+           SELECT doc_id,
+                  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END)
+                  || 'WWW.' || source || '.Example.COM'
+                  || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':8080' END)
+                  || '/Docs/' || cast(doc_id AS VARCHAR)
+                  || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+                  || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a='
+                       || cast(doc_id AS VARCHAR) || '&fbclid=x' ELSE '' END)
+                  || (CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END) AS url
+           FROM documents),
+         p AS (
+           SELECT doc_id, url,
+                  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/?#]+)', 1) AS hostport,
+                  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+                  regexp_extract(url, '\?([^#]*)', 1) AS rawq
+           FROM u),
+         q AS (
+           SELECT doc_id, url, scheme,
+                  lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+                  regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
+                  regexp_replace(rawpath, '/+$$', '') AS path0,
+                  list_sort(list_filter(string_split(rawq, '&'), x ->
+                    x <> '' AND NOT regexp_matches(x,
+                      '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_eid|igshid|ref_src|spm)(=.*)?$$')))
+                    AS params
+           FROM p)
+         SELECT doc_id, url,
+                CASE WHEN scheme = '' THEN trim(url) ELSE
+                  scheme || '://' || host
+                  || (CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                        OR (scheme = 'https' AND port = '443'))
+                       THEN ':' || port ELSE '' END)
+                  || (CASE WHEN path0 = '' THEN '/' ELSE path0 END)
+                  || (CASE WHEN len(params) > 0
+                       THEN '?' || array_to_string(params, '&') ELSE '' END)
+                END AS canon_url
+         FROM q ORDER BY doc_id""",
     "q_report" ->
       """WITH t AS (
            SELECT doc_id, text,

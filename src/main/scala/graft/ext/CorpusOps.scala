@@ -449,4 +449,26 @@ object CorpusOps {
         col("n_emails") + col("n_ips") + col("n_phones") > 0L)
       .drop("__pc__")
   }
+
+  /** One-pass PII redaction: replace every email / URL / IPv4 / phone
+    * match with its placeholder token, in that fixed order (the order
+    * is part of the contract — the oracle replays the identical chain,
+    * so overlap resolution can never diverge between engines). The
+    * same RE2-compatible patterns as [[piiStats]]: scan first to
+    * decide WHICH shards need this, then redact — both passes are pure
+    * per-row regex projections, scan speed, no shuffle.
+    *
+    * NULL text stays NULL (a redactor must not invent content).
+    */
+  def piiRedact(df: DataFrame, textCol: String = "text",
+                emailToken: String = "<EMAIL>", urlToken: String = "<URL>",
+                ipToken: String = "<IP>",
+                phoneToken: String = "<PHONE>"): DataFrame = {
+    val red = Seq(EmailRe -> emailToken, UrlRe -> urlToken,
+      Ipv4Re -> ipToken, PhoneRe -> phoneToken)
+      .foldLeft(col(textCol)) { case (c, (pat, tok)) =>
+        regexp_replace(c, pat, tok)
+      }
+    df.withColumn(textCol, red)
+  }
 }

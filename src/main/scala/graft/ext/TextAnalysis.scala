@@ -888,4 +888,32 @@ object TextAnalysis {
       .withColumn("quality_keep", col("score") >= threshold)
       .drop("__ws__")
   }
+
+  /** C4-style bad-word filtering (the public C4 pipeline drops any
+    * page containing a banned word; RefinedWeb keeps a soft count):
+    * per-doc distinct blocklisted tokens (`n_blocked_types`), total
+    * blocklisted occurrences (`n_blocked`), and the drop verdict
+    * (`blocked`). Word-level exact matching over the shared `\W+`
+    * tokenizer — substring false positives ("class" for "ass") are
+    * deliberately impossible.
+    *
+    * Shape at 100 TB: the blocklist folds into the projection as an
+    * array literal (real lists are ~1e2–1e4 words — kilobytes); both
+    * counts are per-row array expressions. Pure projection, zero
+    * shuffle, no join — the scan-speed shape a per-doc verdict should
+    * have.
+    */
+  def blocklistFilter(df: DataFrame, words: Seq[String],
+                      textCol: String = "text"): DataFrame = {
+    require(words.nonEmpty, "blocklistFilter needs at least one word")
+    val bad = array(words.distinct.sorted.map(w => lit(w.toLowerCase)): _*)
+    val toks = TextDedup.tokens(col(textCol))
+    df.withColumn("__bad__", filter(toks, t => array_contains(bad, t)))
+      .withColumn("n_blocked",
+        coalesce(size(col("__bad__")), lit(0)).cast("long"))
+      .withColumn("n_blocked_types",
+        coalesce(size(array_distinct(col("__bad__"))), lit(0)).cast("long"))
+      .withColumn("blocked", col("n_blocked") > 0L)
+      .drop("__bad__")
+  }
 }

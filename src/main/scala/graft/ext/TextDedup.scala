@@ -239,26 +239,27 @@ object TextDedup {
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 8, w: Int = 10, minShared: Int = 2,
                   maxDf: Int = 50): DataFrame = {
-    // Postings-list formulation: ONE pass over the fingerprint stream
-    // (groupBy fp → sorted id list, df cap applied to the list size),
-    // then pairs generated per posting by a bounded nested transform
-    // (≤ C(maxDf, 2) structs per fingerprint — the lambda references
-    // only the collected array attribute, so no CollapseProject
-    // re-evaluation hazard). Replaces an earlier fps-self-join that
-    // had to PERSIST the fingerprint frame to avoid recomputing it
-    // three times — a cache a one-shot query can never unpersist,
-    // which at bench scale starved every later query's execution
-    // memory. Here the fingerprint pipeline runs exactly once and
-    // nothing is cached.
+    // The fingerprint stream feeds THREE plan legs (the df-cap count
+    // plus both self-join sides), so it is persisted: computed once,
+    // read back columnar by every leg. The caller (or harness) owns
+    // the cache lifecycle — Bench/Verify/QBench clear the cache
+    // manager after every query, and a library user embedding this in
+    // a longer session should `spark.catalog.clearCache()` when done.
+    // Two alternatives measured SLOWER on the sf0.1 A/B probe: a
+    // postings-list formulation (collect_list per fp + nested
+    // transform pair expansion, nothing materialized) at 2-20x — the
+    // nested-array lambda expansion resists codegen and the wide
+    // postings rows thrash the aggregate — and a lazy localCheckpoint
+    // at ~2.7x, because its row-serialized blocks lose to the
+    // compressed columnar cache on every re-read.
     val fps = winnowFingerprints(df, idCol, textCol, k, w)
-    val postings = fps.groupBy("fp")
-      .agg(sort_array(collect_list(col("id"))).as("__ids__"))
-      .filter(size(col("__ids__")).between(2, maxDf))
-    val pairs = flatten(transform(col("__ids__"), (x, i) =>
-      transform(slice(col("__ids__"), i + 2, size(col("__ids__"))),
-        y => struct(x.as("id_a"), y.as("id_b")))))
-    postings.select(explode(pairs).as("__p__"))
-      .groupBy(col("__p__.id_a").as("id_a"), col("__p__.id_b").as("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("__df__"))
+      .filter(col("__df__") <= maxDf).select("fp")
+    val pruned = fps.join(rare, "fp")
+    pruned.as("a").join(pruned.as("b"), "fp")
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .select("id_a", "id_b", "n_shared")

@@ -109,4 +109,62 @@ object UrlOps {
       .withColumn("__r__", row_number().over(global))
       .filter(col("__r__") <= cap).drop("__r__")
   }
+
+  /** Query parameters stripped by [[canonicalize]]: per-click tracking
+    * identifiers that make byte-identical pages look like distinct
+    * URLs (the #1 cause of URL-level dedup misses in web corpora).
+    * Matched against the full `key=value` chunk, anchored at the key.
+    */
+  val TrackingParamRe: String =
+    "^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_eid|igshid|ref_src|spm)(=.*)?$"
+
+  /** Canonical URL form for URL-level dedup — two page fetches that
+    * differ only in case of scheme/host, a default port, tracking
+    * params, param order, trailing slashes, or the fragment collapse
+    * to one key:
+    *
+    *   - scheme and host lowercased (path case is significant and
+    *     kept)
+    *   - default ports stripped (`:80` for http, `:443` for https)
+    *   - fragment dropped
+    *   - tracking params dropped ([[TrackingParamRe]]); survivors
+    *     sorted byte-wise and re-joined, `?` dropped when none remain
+    *   - path: trailing `/` runs stripped, empty path → `/`
+    *
+    * Values that do not parse as `scheme://…` pass through trimmed and
+    * unchanged (canonicalization must never invent structure).
+    *
+    * Pure codegen'd projection — regexp_extract / array ops only, no
+    * UDF, no shuffle — and every step is replicated verbatim by the
+    * DuckDB oracle (binary string sort in both engines).
+    */
+  def canonicalize(url: Column): Column = {
+    val u = trim(url)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = regexp_extract(u,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/?#]+)", 1)
+    val h = lower(regexp_extract(hostport, "^([^:]*)", 1))
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val keepPort = port =!= "" &&
+      !((scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"))
+    val rawPath = regexp_extract(u,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path0 = regexp_replace(rawPath, "/+$", "")
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val rawQ = regexp_extract(u, "\\?([^#]*)", 1)
+    val params = array_sort(filter(split(rawQ, "&"),
+      p => p =!= "" && !p.rlike(TrackingParamRe)))
+    val query = when(size(params) > 0,
+      concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
+    when(scheme === "", u).otherwise(concat(
+      scheme, lit("://"), h,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path, query))
+  }
+
+  /** Add the canonical form of `urlCol` as `outCol`. */
+  def withCanonicalUrl(df: DataFrame, urlCol: String,
+                       outCol: String = "canon_url"): DataFrame =
+    df.withColumn(outCol, canonicalize(col(urlCol)))
 }

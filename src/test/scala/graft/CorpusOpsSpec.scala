@@ -314,4 +314,24 @@ class CorpusOpsSpec extends SparkSpec {
     }.reduce(_ || _)
     assert(docs.withColumn("__pc__", counts).filter(anyMismatch).count() == 0)
   }
+
+  test("piiRedact: all four kinds redacted, chain order, NULL passthrough") {
+    val d = Seq(
+      (1L, "mail a.b@x.io or see https://h.io/p?x=1 now"),
+      (2L, "host 10.0.0.1 call +1 415 555 0100 end"),
+      // the URL pattern runs BEFORE the IP pattern, so an IP inside a
+      // URL is consumed by <URL> and never double-redacted
+      (3L, "fetch http://10.0.0.1/secret then ping 10.0.0.2"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.piiRedact(d).orderBy("doc_id")
+      .select("text").as[String].collect().toSeq
+    assert(got(0) == "mail <EMAIL> or see <URL> now")
+    assert(got(1) == "host <IP> call <PHONE> end")
+    assert(got(2) == "fetch <URL> then ping <IP>")
+    assert(got(3) == null)
+    // redacted output carries no residual PII
+    val rescan = CorpusOps.piiStats(CorpusOps.piiRedact(d))
+    assert(rescan.filter($"has_pii").count() == 0)
+  }
 }

@@ -69,4 +69,42 @@ class UrlOpsSpec extends SparkSpec {
       .collect().sorted.toSeq
     assert(d0 == Seq(3L, 6L, 9L, 12L))
   }
+
+  test("canonicalize: case, ports, tracking params, fragment, path") {
+    val cases = Seq(
+      // scheme+host lowercased, default https port stripped, fragment cut
+      "HTTPS://WWW.Example.COM:443/A/B#frag" -> "https://www.example.com/A/B",
+      // non-default port survives
+      "http://example.com:8080/x" -> "http://example.com:8080/x",
+      // default http port stripped
+      "http://example.com:80/x" -> "http://example.com/x",
+      // tracking params dropped, survivors sorted, path case kept
+      "http://Example.com/Path?utm_source=f&b=2&a=1&fbclid=z" ->
+        "http://example.com/Path?a=1&b=2",
+      // all params tracking → '?' disappears
+      "http://e.com/p?utm_campaign=x&gclid=1" -> "http://e.com/p",
+      // empty path → '/', trailing slash runs stripped
+      "http://e.com" -> "http://e.com/",
+      "http://e.com///" -> "http://e.com/",
+      "http://e.com/a///" -> "http://e.com/a",
+      // userinfo is not part of the host extraction
+      "http://user:pw@e.com/x" -> "http://e.com/x",
+      // non-URL passes through trimmed, unchanged
+      "  not a url  " -> "not a url",
+      "mailto:joe" -> "mailto:joe")
+    val got = cases.map(_._1).toDF("url")
+      .select(UrlOps.canonicalize($"url")).as[String].collect().toSeq
+    cases.map(_._2).zip(got).foreach { case (exp, g) => assert(g == exp) }
+  }
+
+  test("canonicalize: tracking-equivalent URLs collapse to one dedup key") {
+    val variants = Seq(
+      "https://news.site.com/story/42?utm_source=tw&utm_medium=social",
+      "HTTPS://News.Site.com:443/story/42",
+      "https://news.site.com/story/42/#top",
+      "https://news.site.com/story/42?fbclid=IwAR123")
+    val keys = variants.toDF("url")
+      .select(UrlOps.canonicalize($"url")).as[String].collect().toSet
+    assert(keys == Set("https://news.site.com/story/42"))
+  }
 }
