@@ -334,6 +334,25 @@ object SparkEntry {
         .select("doc_id", "n_blocked", "n_blocked_types", "blocked")
         .orderBy("doc_id")),
 
+    // ── [EXT] §2.10 sentence segmentation: the corpus texts carry no
+    // punctuation, so boundaries are injected deterministically (the
+    // oracle replays the same construction) ───────────────────────────
+    "q_sentences" -> ((s, dir) => {
+      val aug = concat(substring(col("text"), 1, 50),
+        lit(". First tail! Again? 9 begins. "),
+        substring(col("text"), 51, 40))
+      graft.ext.TextAnalysis.sentences(
+        read(s, dir, "documents").withColumn("text", aug))
+        .orderBy("doc_id", "sent_idx")
+    }),
+
+    // ── [EXT] §2.10 trainable char-3-gram langid: naive Bayes trained
+    // on the corpus's own lang labels, scored over the same corpus ────
+    "q_langid_nb" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      graft.ext.LangId.trainAndScore(docs, docs).orderBy("doc_id")
+    }),
+
     // ── [EXT] §2.10 winnowing fingerprint overlap pairs (MOSS) ────────
     "q_winnow" -> ((s, dir) =>
       graft.ext.TextDedup.winnowPairs(read(s, dir, "documents"),
@@ -1490,6 +1509,80 @@ object SparkEntry {
                 len(list_distinct(bad))::BIGINT AS n_blocked_types,
                 len(bad) > 0 AS blocked
          FROM b ORDER BY doc_id""",
+    // separator-injection sentence split (no lookaround — RE2-safe)
+    "q_sentences" ->
+      """WITH aug AS (
+           SELECT doc_id,
+                  substr(text, 1, 50) || '. First tail! Again? 9 begins. '
+                    || substr(text, 51, 40) AS text
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+                  regexp_replace(text, '([.!?])\s+([A-Z0-9])',
+                                 '\1' || chr(1) || '\2', 'g') AS t
+           FROM aug),
+         l AS (
+           SELECT doc_id,
+                  list_filter([trim(x) FOR x IN string_split(t, chr(1))],
+                              x -> x <> '') AS ls
+           FROM m),
+         e AS (
+           SELECT doc_id,
+                  unnest([{'i': i, 's': ls[i+1]} FOR i IN range(len(ls))]) AS u
+           FROM l)
+         SELECT doc_id, u.i AS sent_idx, u.s AS sentence
+         FROM e ORDER BY doc_id, sent_idx""",
+    // add-1 char-3-gram NB over the corpus's own labels; the fold
+    // order (gram-sorted) and the fixed sum+oov addition make the
+    // float totals engine-portable
+    "q_langid_nb" ->
+      """WITH nrm AS (
+           SELECT doc_id, lang,
+                  substr(trim(regexp_replace(lower(coalesce(text, '')),
+                                             '\W+', ' ', 'g')), 1, 200) AS s
+           FROM documents),
+         trg AS (
+           SELECT lang, unnest([substr(s, i+1, 3)
+                                FOR i IN range(len(s) - 2)]) AS gram
+           FROM nrm WHERE len(s) >= 3 AND lang IS NOT NULL),
+         model AS (
+           SELECT lang, gram, count(*)::DOUBLE AS cnt FROM trg GROUP BY 1, 2),
+         tot AS (SELECT lang, sum(cnt) AS n FROM model GROUP BY 1),
+         voc AS (SELECT count(DISTINCT gram)::DOUBLE AS v FROM model),
+         lp AS (
+           SELECT m.lang, m.gram,
+                  ln((m.cnt + 1.0) / (t.n + 1.0 * (voc.v + 1))) AS lp
+           FROM model m, tot t, voc WHERE m.lang = t.lang),
+         oov AS (
+           SELECT t.lang, ln(1.0 / (t.n + 1.0 * (voc.v + 1))) AS oov
+           FROM tot t, voc),
+         dg AS (
+           SELECT doc_id, unnest([substr(s, i+1, 3)
+                                  FOR i IN range(len(s) - 2)]) AS gram
+           FROM nrm WHERE len(s) >= 3),
+         ng AS (
+           SELECT n0.doc_id, coalesce(c0.c, 0)::DOUBLE AS ng
+           FROM (SELECT DISTINCT doc_id FROM nrm) n0
+           LEFT JOIN (SELECT doc_id, count(*) AS c FROM dg GROUP BY 1) c0
+             ON n0.doc_id = c0.doc_id),
+         mt AS (
+           SELECT dg.doc_id, lp.lang,
+                  list_sum(list(lp.lp ORDER BY lp.gram)) AS s,
+                  count(*)::DOUBLE AS m
+           FROM dg JOIN lp ON dg.gram = lp.gram GROUP BY 1, 2),
+         fl AS (
+           SELECT ng.doc_id, o.lang,
+                  coalesce(mt.s, 0) + (ng.ng - coalesce(mt.m, 0)) * o.oov
+                    AS logp
+           FROM ng CROSS JOIN oov o
+           LEFT JOIN mt ON mt.doc_id = ng.doc_id AND mt.lang = o.lang),
+         rk AS (
+           SELECT doc_id, lang, logp,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY logp DESC, lang) AS rn
+           FROM fl)
+         SELECT doc_id, lang AS pred_lang, round(logp, 4) AS logp
+         FROM rk WHERE rn = 1 ORDER BY doc_id""",
     "q_winnow" ->                      // MOSS fingerprint overlap pairs (k=12, w=12, df<=30)
       """WITH n AS (
            SELECT doc_id, lower(regexp_replace(text, '\W+', '', 'g')) AS s

@@ -903,6 +903,31 @@ object TextAnalysis {
     * shuffle, no join — the scan-speed shape a per-doc verdict should
     * have.
     */
+  /** Sentence segmentation: split after `.`/`!`/`?` followed by
+    * whitespace and an upper-case letter or digit. RE2-portable by
+    * construction — no lookaround: the boundary is marked by a
+    * capture-group `regexp_replace` that injects a `` separator
+    * between `$1` (the terminator) and `$2` (the next sentence's
+    * opening char), then a plain split. Abbreviation false-splits
+    * ("Dr. Smith") are the documented heuristic cost every
+    * regex-splitter pays. Emits (id, sent_idx, sentence) — trimmed,
+    * empties dropped, 0-based index in document order.
+    *
+    * Shape at 100 TB: one codegen'd replace + split + posexplode per
+    * row, no shuffle — sentence-level dedup/stats downstream reuse the
+    * corpus machinery (e.g. [[TextDedup.dedupLinesCorpus]] at sentence
+    * granularity).
+    */
+  def sentences(df: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val sep = ""
+    val marked = regexp_replace(coalesce(col(textCol), lit("")),
+      "([.!?])\\s+([A-Z0-9])", "$1" + sep + "$2")
+    df.select(col(idCol),
+      posexplode(filter(transform(split(marked, sep), s => trim(s)),
+        s => s =!= "")).as(Seq("sent_idx", "sentence")))
+  }
+
   def blocklistFilter(df: DataFrame, words: Seq[String],
                       textCol: String = "text"): DataFrame = {
     require(words.nonEmpty, "blocklistFilter needs at least one word")

@@ -502,7 +502,50 @@ object Transformers {
         args.lift(3).getOrElse("doc_id"), args.lift(4).getOrElse("text"),
         addK = args.headOption.map(_.toDouble).getOrElse(0.5),
         minCount = args.lift(1).map(_.toLong).getOrElse(1L),
-        buckets = args.lift(2).map(_.toInt).getOrElse(3)))
+        buckets = args.lift(2).map(_.toInt).getOrElse(3))),
+    // pii_redact[:text] — replace email/URL/IP/phone matches in place
+    "pii_redact" -> (args => df =>
+      graft.ext.CorpusOps.piiRedact(df, args.headOption.getOrElse("text"))),
+    // url_canon:urlField[;out] — add the canonical URL dedup key
+    "url_canon" -> (args => df => {
+      require(args.nonEmpty, "url_canon needs urlField[;out]")
+      graft.ext.UrlOps.withCanonicalUrl(df, args.head,
+        args.lift(1).getOrElse("canon_url"))
+    }),
+    // blocklist:w1,w2,...[;text] — C4-style bad-word counts + verdict
+    "blocklist" -> (args => df => {
+      require(args.nonEmpty, "blocklist needs w1,w2,...[;text]")
+      graft.ext.TextAnalysis.blocklistFilter(df,
+        args.head.split(",").toSeq.filter(_.nonEmpty),
+        args.lift(1).getOrElse("text"))
+    }),
+    // bm25_index:path[;id[;text]] — persist the BM25 inverted index
+    // for the flowing corpus; rows pass through, like ann_index
+    "bm25_index" -> (args => df => {
+      require(args.nonEmpty, "bm25_index needs path[;id[;text]]")
+      graft.ext.Retrieval.writeBm25Index(df, args.head,
+        args.lift(1).getOrElse("doc_id"), args.lift(2).getOrElse("text"))
+      df
+    }),
+    // bm25_search:path;query[;topK] — REPLACE the frame with the
+    // (doc_id, score) top-k of the persisted index for the query
+    "bm25_search" -> (args => df => {
+      require(args.length >= 2, "bm25_search needs path;query[;topK]")
+      graft.ext.Retrieval.searchBm25Index(df.sparkSession, args.head,
+        args(1), args.lift(2).map(_.toInt).getOrElse(25))
+    }),
+    // sentences[:id[;text]] — REPLACE the frame with its
+    // (id, sent_idx, sentence) segmentation
+    "sentences" -> (args => df =>
+      graft.ext.TextAnalysis.sentences(df,
+        args.headOption.getOrElse("doc_id"), args.lift(1).getOrElse("text"))),
+    // langid_nb[:langCol[;id[;text]]] — char-3-gram NB self-trained on
+    // the frame's own labels; REPLACE with (id, pred_lang, logp)
+    "langid_nb" -> (args => df =>
+      graft.ext.LangId.trainAndScore(df, df,
+        idCol = args.lift(1).getOrElse("doc_id"),
+        langCol = args.headOption.getOrElse("lang"),
+        textCol = args.lift(2).getOrElse("text")))
   )
 
   def register(name: String, f: Factory): Unit = registry.update(name, f)

@@ -1561,6 +1561,73 @@ class ExtSpec extends SparkSpec {
       .subsetOf(Set("head", "middle", "tail")))
   }
 
+  test("sentences: boundary heuristic, abbreviations, index, NULL text") {
+    val d = Seq(
+      (1L, "One two. Three four! Five? Six seven. end"),
+      (2L, "Dr. smith stays whole. New one."),  // lowercase after '.' → no split
+      (3L, "no boundaries here at all"),
+      (4L, "9 lives. 8 more"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.sentences(d)
+      .orderBy("doc_id", "sent_idx")
+      .as[(Long, Int, String)].collect().toSeq
+    assert(got.filter(_._1 == 1L).map(_._3) ==
+      Seq("One two.", "Three four!", "Five?", "Six seven. end"))
+    assert(got.filter(_._1 == 2L).map(_._3) ==
+      Seq("Dr. smith stays whole.", "New one."))
+    assert(got.filter(_._1 == 3L).map(_._3) == Seq("no boundaries here at all"))
+    assert(got.filter(_._1 == 4L).map(_._3) == Seq("9 lives.", "8 more"))
+    assert(got.filter(_._1 == 5L).isEmpty)
+    // indices are dense 0-based per doc
+    assert(got.filter(_._1 == 1L).map(_._2) == Seq(0, 1, 2, 3))
+  }
+
+  test("langid nb: learns crafted languages, empty docs fall to first lang") {
+    val corpus = Seq(
+      (1L, "aye", "alpha bravo alpha charlie bravo alpha delta"),
+      (2L, "aye", "bravo alpha delta charlie alpha bravo alpha"),
+      (3L, "zed", "zulu yankee zulu xray yankee zulu whiskey"),
+      (4L, "zed", "yankee zulu whiskey xray zulu yankee zulu")
+    ).toDF("doc_id", "lang", "text")
+    val probe = Seq(
+      (10L, null.asInstanceOf[String], "charlie delta alpha bravo"),
+      (11L, null.asInstanceOf[String], "whiskey xray zulu yankee"),
+      (12L, null.asInstanceOf[String], "")
+    ).toDF("doc_id", "lang", "text")
+    val got = graft.ext.LangId.trainAndScore(corpus, probe)
+      .orderBy("doc_id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got.map(r => r._1 -> r._2) ==
+      Seq(10L -> "aye", 11L -> "zed", 12L -> "aye"))
+    assert(got(0)._3 < 0 && got(1)._3 < 0 && got(2)._3 == 0.0)
+    // determinism: same call twice, identical floats
+    val again = graft.ext.LangId.trainAndScore(corpus, probe)
+      .orderBy("doc_id").as[(Long, String, Double)].collect().toSeq
+    assert(got == again)
+  }
+
+  test("retrieval/redact CLI stages: bm25 index+search, pii_redact, url_canon, blocklist") {
+    import graft.spec.TransformStage
+    val t = graft.functions.Transformers
+    val path = java.nio.file.Files.createTempDirectory("bm25cli").toString
+    val through = t.resolve(TransformStage("bm25_index", Seq(path)))(docs)
+    assert(through.columns.sameElements(docs.columns)) // pass-through
+    val hits = t.resolve(TransformStage("bm25_search",
+      Seq(path, "quick brown", "5")))(docs)
+    assert(hits.columns.toSeq == Seq("doc_id", "score"))
+    assert(hits.count() <= 5)
+    val red = t.resolve(TransformStage("pii_redact", Seq()))(
+      docs.withColumn("text", concat($"text", lit(" a@b.io"))))
+    assert(red.filter($"text".contains("a@b.io")).count() == 0)
+    val canon = t.resolve(TransformStage("url_canon", Seq("text", "ck")))(docs)
+    assert(canon.columns.contains("ck"))
+    val bl = t.resolve(TransformStage("blocklist", Seq("quick,missing")))(docs)
+    assert(bl.filter($"blocked").count() ==
+      docs.filter(array_contains(graft.ext.TextDedup.tokens($"text"), "quick"))
+        .count())
+  }
+
   test("perplexityBuckets: equal-mass tertiles over ce, NULL for empty docs") {
     val corpus = Seq(
       (1L, "a a a a a a"), (2L, "a a a a a b"), (3L, "a a a a b b"),

@@ -245,4 +245,39 @@ object LawsProps extends Properties("graft.laws") {
       val q = graft.dsl.QueryCompiler.compile(d, Seq("_limit" -> lim.toString))
       q.limit.map(l => math.min(l.toLong, total)).getOrElse(total) == capped
     }
+
+  // messy-URL generator: mixed-case scheme/host, optional port,
+  // path with optional trailing slashes, tracking + real params in
+  // random order, optional fragment — the forms canonicalize exists
+  // to collapse
+  private val urlGen: Gen[String] = for {
+    scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS")
+    hostCase <- Gen.oneOf("Example.COM", "example.com", "News.Site.ORG")
+    port <- Gen.oneOf("", ":80", ":443", ":8080")
+    path <- Gen.oneOf("", "/A/b", "/x", "/x/", "/x///")
+    params <- Gen.someOf("utm_source=t", "a=1", "b=2", "gclid=9", "z=Q")
+    frag <- Gen.oneOf("", "#top")
+  } yield s"$scheme://www.$hostCase$port$path" +
+    (if (params.isEmpty) "" else params.mkString("?", "&", "")) + frag
+
+  property("url canonicalize is idempotent: canon∘canon = canon") =
+    forAll(Gen.listOfN(6, urlGen)) { urls =>
+      val once = urls.toDF("url")
+        .select(graft.ext.UrlOps.canonicalize($"url").as("c"))
+      val twice = once
+        .select(graft.ext.UrlOps.canonicalize($"c").as("c"))
+      once.as[String].collect().toSeq == twice.as[String].collect().toSeq
+    }
+
+  property("pii redact is idempotent: redact∘redact = redact") =
+    forAll(Gen.listOfN(4, Gen.oneOf(
+      "mail a.b@x.io now", "see https://h.io/p?x=1", "host 10.0.0.1",
+      "call +1 415 555 0100", "clean text", ""))) { texts =>
+      val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val once = graft.ext.CorpusOps.piiRedact(d)
+      val twice = graft.ext.CorpusOps.piiRedact(once)
+      once.select("text").as[String].collect().toSeq ==
+        twice.select("text").as[String].collect().toSeq
+    }
 }
