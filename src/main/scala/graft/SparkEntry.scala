@@ -1532,9 +1532,9 @@ object SparkEntry {
            FROM l)
          SELECT doc_id, u.i AS sent_idx, u.s AS sentence
          FROM e ORDER BY doc_id, sent_idx""",
-    // add-1 char-3-gram NB over the corpus's own labels; the fold
-    // order (gram-sorted) and the fixed sum+oov addition make the
-    // float totals engine-portable
+    // add-1 char-3-gram NB over the corpus's own labels; the logp sum
+    // runs in exact DECIMAL(38,18) (associative, so order-free) and the
+    // fixed sum+oov addition keeps the float totals engine-portable
     "q_langid_nb" ->
       """WITH nrm AS (
            SELECT doc_id, lang,
@@ -1567,7 +1567,7 @@ object SparkEntry {
              ON n0.doc_id = c0.doc_id),
          mt AS (
            SELECT dg.doc_id, lp.lang,
-                  list_sum(list(lp.lp ORDER BY lp.gram)) AS s,
+                  sum(CAST(lp.lp AS DECIMAL(38,18)))::DOUBLE AS s,
                   count(*)::DOUBLE AS m
            FROM dg JOIN lp ON dg.gram = lp.gram GROUP BY 1, 2),
          fl AS (

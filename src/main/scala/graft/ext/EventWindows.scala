@@ -50,7 +50,8 @@ object EventWindows {
     require(windowSec > 0, "rolling: windowSec must be positive")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol))
-      .orderBy(col(tsCol).cast("long"))
+      // NTZ-safe floor-second epoch (a direct NTZ→long cast throws)
+      .orderBy(graft.functions.TimeKeys.epochSeconds(events, tsCol))
       .rangeBetween(-windowSec, 0)
     events.select(col("event_id"), col(keyCol), col(tsCol),
       count(lit(1)).over(w).as("n_window"),

@@ -52,16 +52,13 @@ object RangeJoin {
     val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
     require(overlap.isEmpty,
       s"rangeJoin: column names must be disjoint; both sides have ${overlap.mkString(", ")}")
-    // epoch-seconds double for timestamps, epoch-days for dates (a
-    // DateType→numeric cast is an AnalysisException in Spark 3+),
-    // plain double for numerics — used ONLY for bucketing; the
-    // residual compares the original typed columns, so quantization
-    // can never change the result
+    // epoch-seconds double for timestamps (both flavors — TIMESTAMP_NTZ
+    // needs the session-tz reinterpretation first, see TimeKeys),
+    // epoch-days for dates, plain double for numerics — used ONLY for
+    // bucketing; the residual compares the original typed columns, so
+    // quantization can never change the result
     def proxy(frame: DataFrame, c: String) =
-      frame.schema(c).dataType match {
-        case org.apache.spark.sql.types.DateType => unix_date(col(c)).cast("double")
-        case _ => col(c).cast("double")
-      }
+      graft.functions.TimeKeys.epochProxy(frame, c)
     val w = lit(bucketWidth)
     val p = points.withColumn("__bkt__",
       floor(proxy(points, pointCol) / w).cast("long"))

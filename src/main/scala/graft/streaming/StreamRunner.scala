@@ -78,7 +78,9 @@ object StreamRunner {
     */
   def windowedCounts(events: DataFrame, duration: String = "10 minutes",
                      lateness: String = "30 minutes"): DataFrame =
-    events.withWatermark("ts", lateness)
+    // NTZ→TIMESTAMP first: withWatermark rejects TIMESTAMP_NTZ
+    graft.functions.TimeKeys.withTzTimestamp(events, "ts")
+      .withWatermark("ts", lateness)
       .groupBy(window(col("ts"), duration), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
@@ -91,7 +93,8 @@ object StreamRunner {
     */
   def dedupStream(events: DataFrame, keys: Seq[String],
                   tsCol: String = "ts", lateness: String = "30 minutes"): DataFrame =
-    events.withWatermark(tsCol, lateness)
+    graft.functions.TimeKeys.withTzTimestamp(events, tsCol)
+      .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
   /** Streaming near-dup flagging against a STATIC signature index —
@@ -118,7 +121,8 @@ object StreamRunner {
                     lateness: String = "30 minutes"): DataFrame = {
     import graft.ext.TextDedup
     import graft.functions.VectorExprs.{shingleSortedHashes, sortedIntersectSize}
-    val sh = stream.select(col(idCol).as("id"), col(tsCol).as("__ts__"),
+    val sh = stream.select(col(idCol).as("id"),
+        graft.functions.TimeKeys.tzSafe(stream, tsCol).as("__ts__"),
         shingleSortedHashes(TextDedup.tokens(col(textCol)), n).as("sh"))
       .filter(size(col("sh")) > 0)
     val buckets = TextDedup.lshBucketsCarry(sh, k, bands, Seq("__ts__", "sh"))
@@ -165,8 +169,9 @@ object StreamRunner {
         col("event_type").cast("string"),
         // seconds-with-micros double: exact for modern epochs (22
         // fraction bits available, µs needs 20), keeps strict-> ties
-        // identical to the batch comparison on raw timestamps
-        col("ts").cast("double").as("ts_d"))
+        // identical to the batch comparison on raw timestamps;
+        // NTZ-safe (a direct NTZ→double cast throws)
+        graft.functions.TimeKeys.tzSafe(events, "ts").cast("double").as("ts_d"))
       .as[(Long, String, Double)]
     typed.groupByKey(_._1)
       .mapGroupsWithState[FunnelState, FunnelOut](
@@ -195,7 +200,8 @@ object StreamRunner {
                  gapMs: Long = 30 * 60 * 1000L): DataFrame = {
     import spark.implicits._
     val typed = events.select(col("user_id").cast("long"),
-      col("ts").cast("long").as("ts_s"), col("value").cast("double"))
+      graft.functions.TimeKeys.epochSeconds(events, "ts").as("ts_s"),
+      col("value").cast("double"))
       .as[(Long, Long, Double)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, SessionOut](

@@ -156,6 +156,38 @@ class JoinsSpec extends SparkSpec {
     assert(got == Set((1L, 10L)))
   }
 
+  test("timestamp flavors: range join + rolling agree on TIMESTAMP and TIMESTAMP_NTZ") {
+    // Two-flavor regression fixture: the Aug-2026 testdata regeneration
+    // silently switched events.ts to TIMESTAMP_NTZ and every direct
+    // ts→numeric cast threw — this pins BOTH flavors through the two
+    // epoch-keyed operators regardless of what flavor sf() reads.
+    import graft.ext.{EventWindows, RangeJoin}
+    import org.apache.spark.sql.types.TimestampNTZType
+    val base = sf("events").limit(500)
+      .select("event_id", "user_id", "ts", "event_type", "value")
+    val tz = base.withColumn("ts", $"ts".cast("timestamp")).cache()
+    val ntz = base.withColumn("ts", $"ts".cast(TimestampNTZType)).cache()
+    // session tz is UTC, so the flavors are the same instants and the
+    // flavor-independent outputs must agree exactly
+    def roll(df: org.apache.spark.sql.DataFrame) =
+      EventWindows.rolling(df, 3600L)
+        .select("event_id", "n_window", "sum_window").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(roll(tz) == roll(ntz) && roll(tz).nonEmpty)
+    def rj(df: org.apache.spark.sql.DataFrame) = {
+      val iv = df.filter($"event_type" === "error")
+        .select($"event_id".as("err_id"),
+          ($"ts" - expr("INTERVAL 60 SECONDS")).as("lo"),
+          ($"ts" + expr("INTERVAL 60 SECONDS")).as("hi"))
+      RangeJoin.rangeJoin(df.select("event_id", "ts"), iv, "ts", "lo", "hi",
+          bucketWidth = 120.0, broadcastIntervals = true)
+        .select("err_id", "event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(rj(tz) == rj(ntz) && rj(tz).nonEmpty)
+    tz.unpersist(); ntz.unpersist()
+  }
+
   test("salted two-phase aggregation equals direct groupBy") {
     val df = sf("lineitem").limit(5000)
     val direct = df.groupBy("l_returnflag")

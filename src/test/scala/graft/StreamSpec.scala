@@ -232,6 +232,45 @@ class StreamSpec extends SparkSpec {
     assert(rows.toSeq == Seq((7L, 2L, 3.0)))
   }
 
+  test("timestamp flavors: NTZ event time works through watermark, dedup, funnel, sessionize") {
+    // Two-flavor fixture for the streaming/state surface: NTZ parquet
+    // (what Spark 3.4+/4.x and arrow writers produce) must flow through
+    // withWatermark (which rejects raw NTZ), dropDuplicatesWithinWatermark,
+    // and the epoch-keyed mapGroupsWithState paths.
+    import org.apache.spark.sql.types.TimestampNTZType
+    val dir = Files.createTempDirectory("graft_ntz").toString
+    val base = sf("events").limit(100).select($"event_id", $"user_id",
+      $"event_type", $"ts", $"value")
+    val ntz = base.withColumn("ts", $"ts".cast(TimestampNTZType))
+    val tz = base.withColumn("ts", $"ts".cast("timestamp"))
+    ntz.unionByName(ntz).write.parquet(s"$dir/ev.parquet")
+    assert(spark.read.parquet(s"$dir/ev.parquet").schema("ts").dataType ==
+      TimestampNTZType) // the fixture really is NTZ on disk
+    // watermarked dedup over the duplicated NTZ stream → each id once
+    StreamRunner.runAvailableNow(spark,
+      StreamRunner.readStream(spark, DatasetRef("parquet", dir, "ev")),
+      df => StreamRunner.dedupStream(df, Seq("event_id")),
+      s"$dir/dedup", s"$dir/ckp_d")
+    assert(spark.read.parquet(s"$dir/dedup").count() == 100)
+    // watermarked windowed counts run on the NTZ stream
+    StreamRunner.runAvailableNow(spark,
+      StreamRunner.readStream(spark, DatasetRef("parquet", dir, "ev")),
+      df => StreamRunner.windowedCounts(df, "10 minutes", "30 minutes"),
+      s"$dir/win", s"$dir/ckp_w")
+    assert(spark.read.parquet(s"$dir/win").agg(sum("n")).as[Long].head() > 0L)
+    // stateful twins agree across flavors (UTC session: same instants)
+    val steps = Seq("view", "click", "purchase")
+    def fun(df: org.apache.spark.sql.DataFrame) =
+      StreamRunner.funnelStream(spark, df, steps)
+        .as[(Long, Long)].collect().toMap
+    assert(fun(ntz) == fun(tz))
+    def sess(df: org.apache.spark.sql.DataFrame) =
+      StreamRunner.sessionize(spark, df)
+        .select("userId", "n", "sumValue")
+        .as[(Long, Long, Double)].collect().toSet
+    assert(sess(ntz) == sess(tz))
+  }
+
   test("streaming lm scoring against a static trained model ≡ batch") {
     val dir = Files.createTempDirectory("graft_lmstream").toString
     val src = s"$dir/docs.parquet"
