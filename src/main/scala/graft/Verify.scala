@@ -29,6 +29,17 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         dumpStatus(name) = s"failed: ${e.getMessage}"
+        // Emit an explicit one-row error sentinel so the driver's
+        // compare records a LOUD failing row instead of silently
+        // omitting the query (r6: two erroring queries vanished from
+        // CORRECTNESS and 105/112 read as a zero-failure round). The
+        // sentinel can never hash-match any oracle.
+        try {
+          import spark.implicits._
+          Seq(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}")
+            .toDF("__graft_error__")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => }
       }
       // independent jobs: release any intra-query persist (see Bench)
       try spark.sharedState.cacheManager.clearCache()

@@ -278,6 +278,34 @@ object TextDedup {
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** Stop-shingle pruning for the pair miners: shingles whose document
+    * frequency exceeds `maxShingleDf` are treated as stopwords —
+    * removed from every document's shingle SET before similarity, so
+    * both the candidate join and the verified Jaccard/containment run
+    * over non-boilerplate shingles only (the similarity definition
+    * changes WITH the cap, deliberately: two docs that agree only on a
+    * ubiquitous license block should not pair). Docs left with no
+    * rare shingle drop out, as with any empty shingle set.
+    *
+    * At 100 TB this is what bounds the prefix join: without it one
+    * boilerplate shingle shared by 10⁶ docs puts 10⁶ postings in every
+    * prefix list it reaches (the O(Σ df²) hot-key blowup); with it the
+    * join volume is ≤ Σ min(df, cap)². The stop set itself is tiny by
+    * construction (≤ corpus-shingle-instances / cap distinct values),
+    * so the anti-join broadcasts. Returns a frame with the same
+    * (id, sh sorted) shape as [[hashedDocs]], persisted — caller
+    * unpersists.
+    */
+  private def pruneStopShingles(docs: DataFrame, maxShingleDf: Int): DataFrame = {
+    val ex = docs.select(col("id"), explode(col("sh")).as("s"))
+    val stop = ex.groupBy("s").agg(count(lit(1)).as("__df__"))
+      .filter(col("__df__") > maxShingleDf).select("s")
+    ex.join(stop, Seq("s"), "left_anti")
+      .groupBy("id").agg(sort_array(collect_list(col("s"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   /** Exact verify of candidate (id_a, id_b) pairs against the sorted
     * shingle arrays; emits pairs with Jaccard ≥ threshold.
     */
@@ -306,11 +334,21 @@ object TextDedup {
     * makes those prefixes the rarest shingles, so the candidate join
     * touches only low-frequency posting lists. Candidates are then
     * exact-verified with one merge-intersect per pair.
+    *
+    * `maxShingleDf` (off by default) adds the stop-shingle guard for
+    * boilerplate-heavy corpora — see [[pruneStopShingles]] for the
+    * exact semantics and the 100 TB rationale. On the bench corpus the
+    * max shingle df is 25, so any cap ≥ that is a no-op there; the
+    * capped path is law-checked against a brute-force oracle on
+    * planted-boilerplate data in ExtSpec.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, threshold: Double = 0.8): DataFrame = {
+                   n: Int = 3, threshold: Double = 0.8,
+                   maxShingleDf: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = hashedDocs(df, idCol, textCol, n)
+    val docs0 = hashedDocs(df, idCol, textCol, n)
+    val docs = if (maxShingleDf == Int.MaxValue) docs0
+      else pruneStopShingles(docs0, maxShingleDf)
     val sh = docs.select(col("id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("s"))
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("dfc"))
@@ -327,7 +365,8 @@ object TextDedup {
     // materialize the (small) verified pair set, then release the
     // cached corpus — otherwise every invocation leaks a pinned copy
     val out = verifyPairs(cand, docs, threshold).localCheckpoint(eager = true)
-    docs.unpersist()
+    docs0.unpersist()
+    if (docs ne docs0) docs.unpersist()
     out
   }
 
@@ -341,13 +380,19 @@ object TextDedup {
     * prefix: if C(A→B) ≥ t then ≥ t·|A| of A's shingles are in B, and
     * A's (|A|−⌈t·|A|⌉+1)-prefix must hit one of them); exact
     * merge-intersect verify. Output (id_a, id_b, containment),
-    * id_a < id_b. Same stop-shingle skew caveat as [[jaccardPairs]].
+    * id_a < id_b. `maxShingleDf` applies the same stop-shingle guard
+    * as [[jaccardPairs]] — containment is especially boilerplate-prone
+    * (a doc that is MOSTLY license block is contained in every other
+    * carrier of that block), so at scale the cap is load-bearing here.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-                       n: Int = 3, threshold: Double = 0.8): DataFrame = {
+                       n: Int = 3, threshold: Double = 0.8,
+                       maxShingleDf: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorExprs.sortedIntersectSize
-    val docs = hashedDocs(df, idCol, textCol, n)
+    val docs0 = hashedDocs(df, idCol, textCol, n)
+    val docs = if (maxShingleDf == Int.MaxValue) docs0
+      else pruneStopShingles(docs0, maxShingleDf)
     val sh = docs.select(col("id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("s"))
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("dfc"))
@@ -372,7 +417,8 @@ object TextDedup {
       .select(col("id_a"), col("id_b"),
         round(col("containment"), 4).as("containment"))
       .localCheckpoint(eager = true)
-    docs.unpersist()
+    docs0.unpersist()
+    if (docs ne docs0) docs.unpersist()
     out
   }
 

@@ -1628,6 +1628,57 @@ class ExtSpec extends SparkSpec {
         .count())
   }
 
+  test("stop-shingle cap: capped jaccard/containment ≡ brute force on pruned sets") {
+    // Planted boilerplate: every doc ends with the same license block,
+    // so one shingle family has df = ndocs. With the cap the pair
+    // miners must behave as if those shingles never existed — exactly
+    // the 100 TB guard against the O(Σ df²) prefix-join blowup.
+    // 30 tokens: long enough that UNCAPPED, unrelated docs clear the
+    // 0.5 threshold on boilerplate alone (≈28 shared of ≈38 shingles)
+    val boiler = "all rights reserved this document is licensed under " +
+      "the apache license version two and may be redistributed only " +
+      "with this notice attached in full see the license file for details"
+    val bodies = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta iota lambda", // near-dup of 1
+      3L -> "one two three four five six seven eight nine ten",
+      4L -> "one two three four five six seven eight nine eleven",      // near-dup of 3
+      5L -> "completely different words about rivers mountains and weather patterns"
+    )
+    val docs = bodies.map { case (i, b) => (i, s"$b $boiler") }
+      .toDF("doc_id", "text")
+    val cap = 3 // boilerplate shingles hit df 5 > 3; body shingles df ≤ 2
+    // Scala brute force over the capped shingle sets
+    def shingleSet(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val raw = bodies.map { case (i, b) => i -> shingleSet(s"$b $boiler") }.toMap
+    val dfc = raw.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val pruned = raw.view.mapValues(_.filter(s => dfc(s) <= cap)).toMap
+    def jac(a: Set[String], b: Set[String]) =
+      a.intersect(b).size.toDouble / a.union(b).size
+    def cont(a: Set[String], b: Set[String]) =
+      a.intersect(b).size.toDouble / math.min(a.size, b.size)
+    val ids = pruned.keys.toSeq.sorted
+    val expJ = (for { a <- ids; b <- ids if a < b
+      j = jac(pruned(a), pruned(b)) if j >= 0.5 } yield (a, b)).toSet
+    val expC = (for { a <- ids; b <- ids if a < b
+      c = cont(pruned(a), pruned(b)) if c >= 0.5 } yield (a, b)).toSet
+    val gotJ = TextDedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5, cap)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotC = TextDedup.containmentPairs(docs, "doc_id", "text", 3, 0.5, cap)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotJ == expJ, s"jaccard: got $gotJ expected $expJ")
+    assert(gotC == expC, s"containment: got $gotC expected $expC")
+    assert(expJ == Set((1L, 2L), (3L, 4L))) // the true near-dups, nothing else
+    // UNCAPPED, the shared boilerplate pulls every pair above 0.5 —
+    // the cap is exactly what keeps boilerplate from pairing
+    val uncapped = TextDedup.containmentPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size > expC.size)
+  }
+
   test("perplexityBuckets: equal-mass tertiles over ce, NULL for empty docs") {
     val corpus = Seq(
       (1L, "a a a a a a"), (2L, "a a a a a b"), (3L, "a a a a b b"),
