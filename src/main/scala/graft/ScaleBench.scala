@@ -48,6 +48,32 @@ object ScaleBench {
     r
   }
 
+  /** The shared replicated-corpus generator (also used by
+    * [[ScaleBench2]]): deterministic, so both harnesses can reuse one
+    * on-disk copy. See the object scaladoc for the planted structure.
+    */
+  private[graft] def generateDocuments(spark: SparkSession, sfDir: String,
+                                       out: String, replicas: Int): Unit = {
+    val base = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id")
+    base
+      .withColumn("k", explode(sequence(lit(0), lit(replicas - 1))))
+      .withColumn("id", col("doc_id") + col("k") * 10000000L)
+      .withColumn("planted", col("doc_id") % 100 < 8 && col("k") < 80)
+      .withColumn("seed",
+        when(col("planted"), concat(lit("p:"), col("doc_id")))
+          .otherwise(concat(lit("u:"), col("doc_id"), lit(":"), col("k"))))
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(1), lit(40)),
+          i => substring(md5(concat(col("seed"), lit(":"), i.cast("string"))), 1, 8))))
+      // hot key: ~20% of rows share one source; the rest spread over 50
+      .withColumn("source",
+        when((col("doc_id") + col("k")) % 10 < 2, lit("hot"))
+          .otherwise(concat(lit("s"), pmod(col("doc_id") + col("k"), lit(50)))))
+      .select(col("id").as("doc_id"), col("text"), col("source"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_scale")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -78,24 +104,7 @@ object ScaleBench {
     val nBase = spark.read.parquet(s"$sfDir/documents.parquet").count()
     val nDocs = nBase * replicas
     if (!reuse) timed("generate_documents") {
-      val base = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id")
-      base
-        .withColumn("k", explode(sequence(lit(0), lit(replicas - 1))))
-        .withColumn("id", col("doc_id") + col("k") * 10000000L)
-        .withColumn("planted", col("doc_id") % 100 < 8 && col("k") < 80)
-        .withColumn("seed",
-          when(col("planted"), concat(lit("p:"), col("doc_id")))
-            .otherwise(concat(lit("u:"), col("doc_id"), lit(":"), col("k"))))
-        .withColumn("text", concat_ws(" ",
-          transform(sequence(lit(1), lit(40)),
-            i => substring(md5(concat(col("seed"), lit(":"), i.cast("string"))), 1, 8))))
-        // hot key: ~20% of rows share one source; the rest spread over 50
-        .withColumn("source",
-          when((col("doc_id") + col("k")) % 10 < 2, lit("hot"))
-            .otherwise(concat(lit("s"), pmod(col("doc_id") + col("k"), lit(50)))))
-        .select(col("id").as("doc_id"), col("text"), col("source"))
-        .repartition(64)
-        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      generateDocuments(spark, sfDir, out, replicas)
     }
     val docs = spark.read.parquet(s"$out/documents.parquet")
     require(docs.count() == nDocs, "replication lost rows")
