@@ -637,6 +637,20 @@ object SparkEntry {
         .groupBy("split").agg(count(lit(1)).as("n"))
         .orderBy("split")),
 
+    // ── [EXT] §2.10 leakage-safe splits: assignment keyed by the
+    // near-dup cluster representative (portable-simhash pairs →
+    // components), so near-duplicates never straddle train/eval; the
+    // oracle rebuilds the clusters with a recursive CTE ───────────────
+    "q_split_leakfree" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val pairs = graft.ext.TextDedup.simhashPairsPortable(docs, "doc_id", "text", 3)
+      graft.ext.CorpusOps.splitByGroup(docs, "doc_id",
+        graft.ext.TextDedup.components(pairs),
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     // ── [EXT] §2.10 doc fingerprints (md5 digests → exact oracle; the
     // xxhash64 twins are law-checked in Verify's diffcheck) ───────────
     "q_fingerprint" -> ((s, dir) =>
@@ -2090,6 +2104,48 @@ object SparkEntry {
              ELSE 'test' END AS split
            FROM documents)
          GROUP BY split ORDER BY split""",
+    // near-dup clusters via the portable-simhash pair miner (pigeonhole
+    // blocking is lossless ≤ maxDist, so brute all-pairs here equals
+    // the engine's blocked join), components via a recursive CTE, then
+    // the same md5 hex-cut split keyed by the cluster minimum
+    "q_split_leakfree" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id,
+                  unnest(list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                                     x -> x <> '')) AS tok
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+                  CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hv
+           FROM t),
+         v AS (
+           SELECT doc_id, r.b AS b,
+                  sum(CASE WHEN (hv >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+           FROM h, range(60) r(b) GROUP BY doc_id, r.b),
+         fp AS (
+           SELECT doc_id,
+                  sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS fp
+           FROM v GROUP BY doc_id),
+         pr AS (
+           SELECT a.doc_id AS ia, b.doc_id AS ib
+           FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+         sym AS (SELECT ia AS a, ib AS b FROM pr
+                 UNION ALL SELECT ib, ia FROM pr),
+         reach(a, b) AS (
+           SELECT a, b FROM sym
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         lbl AS (
+           SELECT a AS id, least(a, min(b)) AS label FROM reach GROUP BY a),
+         g AS (
+           SELECT d.doc_id, coalesce(l.label, d.doc_id) AS grp
+           FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id)
+         SELECT doc_id, CASE
+             WHEN substr(md5(CAST(grp AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train'
+             WHEN substr(md5(CAST(grp AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val'
+             ELSE 'test' END AS split
+         FROM g ORDER BY doc_id""",
     "q_fingerprint" ->
       """WITH t AS (
            SELECT doc_id,

@@ -460,6 +460,50 @@ object CorpusOps {
     *
     * NULL text stays NULL (a redactor must not invent content).
     */
+  /** Deterministic train/val/test assignment keyed by a GROUP id
+    * instead of the row id: every row of a group lands in the same
+    * split. `groups` supplies (id, label) rows for ids that belong to
+    * a multi-row group (label = the group's representative, e.g. its
+    * smallest id); ungrouped ids fall back to themselves, so singleton
+    * docs split exactly like a plain `hash_split` on the id. The
+    * assignment itself is [[graft.functions.Transformers.hashSplitColumn]]
+    * — no RNG, stable across runs and cluster sizes.
+    *
+    * Shape at 100 TB: one left join against the (small — only grouped
+    * ids) label table plus a pure hash projection; no extra shuffle
+    * beyond the join, which broadcasts when the dup set is small.
+    */
+  def splitByGroup(df: DataFrame, idCol: String, groups: DataFrame,
+                   weights: Seq[(String, Double)],
+                   method: String = "md5",
+                   outCol: String = "split"): DataFrame = {
+    val g = groups.select(col("id").as("__gid__"), col("label").as("__label__"))
+    df.join(g, col(idCol) === col("__gid__"), "left")
+      .withColumn(outCol, graft.functions.Transformers.hashSplitColumn(
+        coalesce(col("__label__"), col(idCol)), method, weights))
+      .drop("__gid__", "__label__")
+  }
+
+  /** Leakage-safe corpus splits: assignment by the NEAR-DUP cluster
+    * representative, so near-duplicate documents can never straddle
+    * train/eval — the standard guard against the measurable eval
+    * contamination duplicated text causes (Lee et al., ACL'22;
+    * cf. etl_cli has no notion of this — split hygiene is an [EXT]
+    * concern). Clusters come from [[TextDedup.minhashPairs]] →
+    * [[TextDedup.components]]; the split is then one hash projection
+    * via [[splitByGroup]]. For EXACT-dup safety only (SQL-expressible,
+    * DuckDB-oracled as `q_split_leakfree`), pass groups keyed by
+    * min-id-per-normalized-text instead.
+    */
+  def leakSafeSplits(df: DataFrame, idCol: String, textCol: String,
+                     weights: Seq[(String, Double)],
+                     n: Int = 3, threshold: Double = 0.8,
+                     method: String = "md5",
+                     outCol: String = "split"): DataFrame = {
+    val pairs = TextDedup.minhashPairs(df, idCol, textCol, n, threshold)
+    splitByGroup(df, idCol, TextDedup.components(pairs), weights, method, outCol)
+  }
+
   def piiRedact(df: DataFrame, textCol: String = "text",
                 emailToken: String = "<EMAIL>", urlToken: String = "<URL>",
                 ipToken: String = "<IP>",

@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.spec.TransformStage
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Named transformer registry (SURVEY §2.5; reference resolves names in
@@ -141,21 +141,24 @@ object Transformers {
         val Array(n, w) = a.split(":", 2)
         n -> w.toDouble
       }
-      require(splits.nonEmpty, "hash_split needs name:weight parts")
-      val totalW = splits.map(_._2).sum
-      val (h, buckets) = method match {
-        case "xxhash64" => (pmod(xxhash64(col(key)), lit(1000000L)), 1000000L)
-        case "md5" => (conv(substring(md5(col(key).cast("string")), 1, 8), 16, 10)
-          .cast("long"), 4294967296L) // 16^8 buckets
-        case other => throw new IllegalArgumentException(
-          s"hash_split: unknown method $other (xxhash64|md5)")
+      df.withColumn(out, hashSplitColumn(col(key), method, splits))
+    }),
+    // split_leakfree:id;text;out[;method];train:0.9;val:0.05;test:0.05 —
+    // hash_split keyed by the NEAR-DUP cluster representative instead
+    // of the row id, so near-duplicates never straddle train/eval
+    // (ext.CorpusOps.leakSafeSplits; minhash+LSH defaults n=3, t=0.8)
+    "split_leakfree" -> (args => df => {
+      val Seq(id, text, out) = args.take(3)
+      val rest = args.drop(3)
+      val (method, splitArgs) =
+        if (rest.headOption.exists(a => !a.contains(":"))) (rest.head, rest.tail)
+        else ("md5", rest)
+      val splits = splitArgs.map { a =>
+        val Array(n, w) = a.split(":", 2)
+        n -> w.toDouble
       }
-      val cuts = splits.scanLeft(0.0)(_ + _._2).tail
-        .map(c => (c / totalW * buckets).toLong)
-      val expr0 = splits.zip(cuts).reverse.foldLeft(lit(splits.last._1)) {
-        case (acc, ((name, _), cut)) => when(h < cut, name).otherwise(acc)
-      }
-      df.withColumn(out, expr0)
+      graft.ext.CorpusOps.leakSafeSplits(df, id, text, splits,
+        method = method, outCol = out)
     }),
     // corpus-assembly stages (CLI surface for ext.CorpusOps — the same
     // operators the q_* contract queries run)
@@ -547,6 +550,34 @@ object Transformers {
         langCol = args.headOption.getOrElse("lang"),
         textCol = args.lift(2).getOrElse("text")))
   )
+
+  /** The deterministic hash→split assignment shared by the
+    * `hash_split` transformer stage and the library split operators
+    * ([[graft.ext.CorpusOps.splitByGroup]]): bucket the key's hash and
+    * cut by cumulative weight. `xxhash64` is the fast path (one
+    * codegen'd hash, 10⁶ buckets); `md5` stringifies the key and takes
+    * the first 8 md5 hex digits as a 2³² bucket — bit-reproducible in
+    * any engine with md5 (the DuckDB oracle compares the hex string
+    * against precomputed cumulative-weight hex cuts). Pure projection:
+    * no RNG, no shuffle, stable under repartitioning and reruns.
+    */
+  def hashSplitColumn(key: Column, method: String,
+                      splits: Seq[(String, Double)]): Column = {
+    require(splits.nonEmpty, "hash_split needs name:weight parts")
+    val totalW = splits.map(_._2).sum
+    val (h, buckets) = method match {
+      case "xxhash64" => (pmod(xxhash64(key), lit(1000000L)), 1000000L)
+      case "md5" => (conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+        .cast("long"), 4294967296L) // 16^8 buckets
+      case other => throw new IllegalArgumentException(
+        s"hash_split: unknown method $other (xxhash64|md5)")
+    }
+    val cuts = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(c => (c / totalW * buckets).toLong)
+    splits.zip(cuts).reverse.foldLeft(lit(splits.last._1)) {
+      case (acc, ((name, _), cut)) => when(h < cut, name).otherwise(acc)
+    }
+  }
 
   def register(name: String, f: Factory): Unit = registry.update(name, f)
   def names: Seq[String] = registry.keys.toSeq.sorted

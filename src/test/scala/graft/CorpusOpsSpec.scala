@@ -334,4 +334,35 @@ class CorpusOpsSpec extends SparkSpec {
     val rescan = CorpusOps.piiStats(CorpusOps.piiRedact(d))
     assert(rescan.filter($"has_pii").count() == 0)
   }
+
+  test("leakSafeSplits: near-dups co-travel, singletons split like hash_split") {
+    import graft.ext.{CorpusOps, TextDedup}
+    val docs = sf("documents").limit(300)
+    val out = CorpusOps.leakSafeSplits(docs, "doc_id", "text",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)).cache()
+    assert(out.count() == 300)
+    // THE law: no mined near-dup pair straddles two splits
+    val pairs = TextDedup.minhashPairs(docs, "doc_id", "text")
+    val sp = out.select($"doc_id", $"split")
+    val straddle = pairs
+      .join(sp.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("split", "sa"), "id_a")
+      .join(sp.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("split", "sb"), "id_b")
+      .filter($"sa" =!= $"sb").count()
+    assert(straddle == 0, s"$straddle near-dup pairs straddle splits")
+    // singletons (never in any pair) split exactly like a plain
+    // hash_split on their own id
+    val inPairs = pairs.select($"id_a".as("doc_id"))
+      .union(pairs.select($"id_b".as("doc_id"))).distinct()
+    val singles = out.join(inPairs, Seq("doc_id"), "left_anti")
+    val plain = docs.select($"doc_id",
+      graft.functions.Transformers.hashSplitColumn($"doc_id", "md5",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)).as("plain"))
+    assert(singles.join(plain, "doc_id")
+      .filter($"split" =!= $"plain").count() == 0)
+    // all three splits materialize at this slice (weights are sane)
+    assert(out.select("split").distinct().count() == 3)
+    out.unpersist()
+  }
 }
