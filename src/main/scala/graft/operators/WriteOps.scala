@@ -276,6 +276,7 @@ object WriteOps {
     t.ref.backend match {
       case "csv"  => w.option("header", "true").csv(path)
       case "json" => w.json(path)
+      case "orc"  => w.orc(path)
       case _      => w.parquet(path)
     }
     // partitions the op emptied: touched but absent from the rewrite
@@ -365,6 +366,7 @@ object WriteOps {
       try format match {
         case "csv"  => w.option("header", "true").csv(dir.toString)
         case "json" => w.json(dir.toString)
+        case "orc"  => w.orc(dir.toString)
         case _      => w.parquet(dir.toString)
       } catch {
         case e: Throwable =>

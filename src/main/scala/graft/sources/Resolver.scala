@@ -12,6 +12,7 @@ import org.apache.spark.sql.types.StructType
   *   parquet/ns/name → spark.read.parquet("ns/name.parquet")
   *   csv/ns/name     → header csv with optional explicit schema
   *   json/ns/name    → json lines
+  *   orc/ns/name     → ORC (self-describing columnar, like parquet)
   *   http/url-ns/x   → driver-side fetch, single-record semantics
   *                     (reference forces _limit=1, etl_cli/etl.py:127)
   *
@@ -28,6 +29,7 @@ object Resolver {
       case "parquet" => ".parquet"
       case "csv"     => ".csv"
       case "json"    => ".json"
+      case "orc"     => ".orc"
       case _         => ""
     }
     val base = if (ref.ns.isEmpty) ref.name else s"${ref.ns}/${ref.name}"
@@ -77,6 +79,11 @@ object Resolver {
       case "json" =>
         val r = spark.read.option("mode", mode)
         schema.fold(r)(s => r.schema(s)).json(resolveVersioned(spark, path(ref)))
+      case "orc" =>
+        // self-describing columnar like parquet: no malformed-record
+        // mode; schema (when given) projects/casts at scan time
+        val r = spark.read
+        schema.fold(r)(s => r.schema(s)).orc(resolveVersioned(spark, path(ref)))
       case "http" =>
         // S4: fetch one document on the driver; single-row semantics.
         // Bounded connect/read timeouts and a closed stream — a hung
@@ -327,6 +334,7 @@ object Resolver {
       case "parquet" => ".parquet"
       case "csv" => ".csv"
       case "json" => ".json"
+      case "orc" => ".orc"
       case _ => ""
     }
     val dir = new org.apache.hadoop.fs.Path(if (ref.ns.isEmpty) "." else ref.ns)
@@ -349,7 +357,7 @@ object Resolver {
     * recursively deleting an unrelated directory — so every ns-level
     * op requires a file-backed ref.
     */
-  private val FileBackends = Set("parquet", "csv", "json")
+  private val FileBackends = Set("parquet", "csv", "json", "orc")
 
   private def requireFileBackend(backend: String, op: String): Unit =
     require(FileBackends.contains(backend),

@@ -37,7 +37,8 @@ object StreamRunner {
         Resolver.nanoTimestampCols(spark, path)
       else Nil
     val fmt = ref.backend match {
-      case "csv" => "csv"; case "json" => "json"; case _ => "parquet"
+      case "csv" => "csv"; case "json" => "json"; case "orc" => "orc"
+      case _ => "parquet"
     }
     def opts(r: org.apache.spark.sql.DataFrameReader) =
       if (fmt == "csv") r.option("header", "true") else r

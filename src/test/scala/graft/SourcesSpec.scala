@@ -27,11 +27,30 @@ class SourcesSpec extends SparkSpec {
     assert(back.schema("r_regionkey").dataType == StringType)
   }
 
-  test("S5 csv/json TARGETS write in their own format (roundtrip via engine)") {
+  test("S5 orc roundtrip: scan, wildcard listing, keyed write, stream read") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    sf("region").write.orc(s"$dir/region.orc")
+    sf("nation").write.orc(s"$dir/nation.orc")
+    // scan: self-describing columnar, schema preserved
+    val back = Resolver.read(spark, DatasetRef("orc", dir, "region"))
+    assert(back.count() == 5 &&
+      back.schema("r_regionkey").dataType.isInstanceOf[NumericType])
+    // wildcard fan-out sees .orc datasets
+    val expanded = Resolver.expandWildcard(spark, DatasetRef("orc", dir, "*ion"))
+    assert(expanded.map(_.name).sorted == Seq("nation", "region"))
+    // streaming scan of the same ref
+    val tgt = s"$dir/stream_out"
+    graft.streaming.StreamRunner.runAvailableNow(spark,
+      graft.streaming.StreamRunner.readStream(spark, DatasetRef("orc", dir, "region")),
+      df => df.filter(col("r_regionkey") >= 0), tgt, s"$dir/ckp")
+    assert(spark.read.parquet(tgt).count() == 5)
+  }
+
+  test("S5 csv/json/orc TARGETS write in their own format (roundtrip via engine)") {
     import graft.engine.Runner
     import graft.spec._
     val dir = Files.createTempDirectory("graft_tgt_fmt").toString
-    for (backend <- Seq("csv", "json")) {
+    for (backend <- Seq("csv", "json", "orc")) {
       val job = JobSpec(
         SourceSpec(DatasetRef("parquet", "/root/testdata/sf0.001", "region")),
         target = Some(TargetSpec(DatasetRef(backend, dir, s"region_$backend"),
