@@ -178,6 +178,56 @@ object ScaleBench2 {
     notes("langid_correct") = acc.toString
     spark.sharedState.cacheManager.clearCache()
 
+    // ── 5) as-of join at 6M rows ──────────────────────────────────────
+    // A synthetic keyed time series needs no second fixture: key = the
+    // base doc (5000 keys), event time = the replica index k (1200
+    // ticks per key), and every 100th tick is a "purchase". Forward
+    // as-of must match each row to the NEXT purchase at-or-after it:
+    // p_ts = ceil(k/100)·100 when that tick exists, else null — a pure
+    // per-row formula, asserted over all 6M rows. Exercises the
+    // union+window single-shuffle design (no per-row probe) at 1200×
+    // bench scale.
+    val series = docs.select(col("doc_id"),
+      (col("doc_id") % 10000000L).as("k_base"),
+      (col("doc_id") / 10000000L).cast("long").as("k_ts"))
+    val leftEv = series.select(col("k_base").as("user_id"), col("k_ts").as("ts"))
+    val purch = series.filter(col("k_ts") % 100 === 0)
+      .select(col("k_base").as("user_id"), col("k_ts").as("pts"))
+    val asofBad = timed("asof_forward_6m") {
+      graft.ext.AsOfJoin.forward(
+        leftEv, purch, Seq("user_id"), "ts", "pts", "p_")
+        .withColumn("__exp__",
+          when((ceil(col("ts") / 100.0) * 100) <= lit((replicas - 1) / 100 * 100),
+            ceil(col("ts") / 100.0).cast("long") * 100))
+        .filter(!(col("p_pts") <=> col("__exp__"))).count()
+    }
+    require(asofBad == 0, s"$asofBad of $nDocs as-of rows mismatched the closed form")
+    notes("asof_rows") = nDocs.toString
+
+    // ── 6) bucketed range join at 6M points ───────────────────────────
+    // 100 broadcast intervals [10i, 10i+5) over the replica-index
+    // domain: every interval catches exactly 5 ticks × 5000 keys =
+    // 25,000 points; total = 2,500,000 matches, computed with ZERO
+    // shuffle of the 6M-point side (intervals broadcast).
+    val ivs = spark.range(100).select(
+      col("id").as("iid"), (col("id") * 10).cast("double").as("lo"),
+      (col("id") * 10 + 5).cast("double").as("hi"))
+    val rjCounts = timed("range_join_6m") {
+      graft.ext.RangeJoin.rangeJoin(
+        series.select(col("doc_id").as("pid"), col("k_ts").cast("double").as("x")),
+        ivs, "x", "lo", "hi", bucketWidth = 10.0, broadcastIntervals = true)
+        .groupBy("iid").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)), sum("n"), min("n"), max("n"))
+        .as[(Long, Long, Long, Long)].head()
+    }
+    // intervals overlapping the tick domain catch exactly 5 ticks ×
+    // nBase keys each (replicas is a multiple of 10 in every config)
+    val expIv = math.min(100L, replicas / 10L)
+    val expPer = 5L * nBase
+    require(rjCounts == ((expIv, expIv * expPer, expPer, expPer)),
+      s"range join counts $rjCounts, expected ($expIv, ${expIv * expPer}, $expPer, $expPer)")
+    notes("range_join_matches") = rjCounts._2.toString
+
     // ── report ────────────────────────────────────────────────────────
     val json = "{" +
       notes.map { case (k, v) => s""""$k": "$v"""" }.mkString(", ") + ", " +
