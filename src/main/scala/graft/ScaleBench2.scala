@@ -229,8 +229,20 @@ object ScaleBench2 {
     notes("range_join_matches") = rjCounts._2.toString
 
     // ── report ────────────────────────────────────────────────────────
+    // note values can carry corpus-derived text (e.g. bm25_query) —
+    // escape them like Verify.q does, so a fixture change can never
+    // emit invalid JSON
+    def esc(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val json = "{" +
-      notes.map { case (k, v) => s""""$k": "$v"""" }.mkString(", ") + ", " +
+      notes.map { case (k, v) => s"${esc(k)}: ${esc(v)}" }.mkString(", ") + ", " +
       s""""times": {${results.map { case (k, v) => s""""$k": $v""" }.mkString(", ")}}}"""
     println("SCALEBENCH2 " + json)
     try {

@@ -167,6 +167,31 @@ object SparkEntry {
       WriteOps.index(orders, batch, Seq("o_orderkey")).orderBy("o_orderkey")
     }),
 
+    // ── [EXT] file-level pruned MERGE: the same upsert as
+    // q_write_upsert, but executed THROUGH the footer-envelope pruned
+    // writer against a sorted-layout copy of `orders` — only files
+    // whose pk range intersects the batch are rewritten; the require
+    // proves the pruned path actually ran and actually pruned. Output
+    // must be ≡ q_write_upsert (same oracle SQL).
+    "q_write_upsert_pruned" -> ((s, dir) => {
+      val scratch = java.nio.file.Files.createTempDirectory("graft_pm").toString
+      val orders = read(s, dir, "orders")
+      val p = s"$scratch/orders_t.parquet"
+      WriteOps.atomicOverwrite(s, orders, p, indexBy = Seq("o_orderkey"),
+        maxRecordsPerFile = math.max(500, orders.count() / 24))
+      val batch = orders.filter(col("o_orderkey") < 1000)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val stats = graft.operators.PrunedMerge.merge(
+        s, s.read.parquet(p), batch,
+        TargetSpec(DatasetRef("parquet", scratch, "orders_t"),
+          op = WriteOp.Upsert, pk = Seq("o_orderkey"),
+          indexBy = Seq("o_orderkey")), p)
+      require(stats.exists(st => st.filesRewritten > 0 &&
+        st.filesRewritten < st.filesTotal),
+        s"pruned merge must rewrite a strict subset of files, got $stats")
+      s.read.parquet(p).orderBy("o_orderkey")
+    }),
+
     // ── J11/O4 self-update fixpoint, driver-visible: chunked
     // processing of a scratch copy of `orders` to convergence. Each
     // iteration reads the _contid-unmarked rows capped at ~40% of the
@@ -1263,6 +1288,13 @@ object SparkEntry {
                 CASE WHEN o_orderkey < 1000 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
                 o_orderdate, o_orderpriority
          FROM orders ORDER BY o_orderkey""",
+    // identical result contract to q_write_upsert — the pruned writer
+    // is an execution strategy, not a semantics change
+    "q_write_upsert_pruned" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+                CASE WHEN o_orderkey < 1000 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+                o_orderdate, o_orderpriority
+         FROM orders ORDER BY o_orderkey""",
     "q_write_insert" ->
       """SELECT * FROM (
            SELECT * FROM orders
@@ -1547,8 +1579,8 @@ object SparkEntry {
          SELECT doc_id, u.i AS sent_idx, u.s AS sentence
          FROM e ORDER BY doc_id, sent_idx""",
     // add-1 char-3-gram NB over the corpus's own labels; the logp sum
-    // runs in exact DECIMAL(38,18) (associative, so order-free) and the
-    // fixed sum+oov addition keeps the float totals engine-portable
+    // runs in exact fixed-point longs (floor(lp*1e12), associative and
+    // identical in every IEEE engine) so the float totals are portable
     "q_langid_nb" ->
       """WITH nrm AS (
            SELECT doc_id, lang,
@@ -1565,7 +1597,8 @@ object SparkEntry {
          voc AS (SELECT count(DISTINCT gram)::DOUBLE AS v FROM model),
          lp AS (
            SELECT m.lang, m.gram,
-                  ln((m.cnt + 1.0) / (t.n + 1.0 * (voc.v + 1))) AS lp
+                  CAST(floor(ln((m.cnt + 1.0) / (t.n + 1.0 * (voc.v + 1)))
+                             * 1e12) AS BIGINT) AS lpf
            FROM model m, tot t, voc WHERE m.lang = t.lang),
          oov AS (
            SELECT t.lang, ln(1.0 / (t.n + 1.0 * (voc.v + 1))) AS oov
@@ -1581,13 +1614,13 @@ object SparkEntry {
              ON n0.doc_id = c0.doc_id),
          mt AS (
            SELECT dg.doc_id, lp.lang,
-                  sum(CAST(lp.lp AS DECIMAL(38,18)))::DOUBLE AS s,
+                  sum(lp.lpf) AS sf,
                   count(*)::DOUBLE AS m
            FROM dg JOIN lp ON dg.gram = lp.gram GROUP BY 1, 2),
          fl AS (
            SELECT ng.doc_id, o.lang,
-                  coalesce(mt.s, 0) + (ng.ng - coalesce(mt.m, 0)) * o.oov
-                    AS logp
+                  coalesce(mt.sf, 0) / 1e12
+                    + (ng.ng - coalesce(mt.m, 0)) * o.oov AS logp
            FROM ng CROSS JOIN oov o
            LEFT JOIN mt ON mt.doc_id = ng.doc_id AND mt.lang = o.lang),
          rk AS (

@@ -1,7 +1,7 @@
 package graft.engine
 
 import graft.dsl.QueryCompiler
-import graft.operators.WriteOps
+import graft.operators.{PrunedMerge, WriteOps}
 import graft.sources.Resolver
 import graft.spec._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -100,18 +100,26 @@ object Runner {
           // staged parquet is a footer-metadata read.
           val written = batch.count()
           val current = targetState(spark, t, batch)
-          val newState = WriteOps.applyOp(current, batch, t)
-          // No checkpoint of newState: atomicOverwrite materializes it
-          // into the temp dir BEFORE swapping, so the current target
-          // files are still in place while they are being read.
-          // Partitioned targets take the partition-scoped path when it
-          // applies — only partitions with touched pks are rewritten.
-          val scoped = WriteOps.partitionScopedRewrite(
-            spark, newState, current, batch, t, tgtPath)
-          if (!scoped)
-            WriteOps.atomicOverwrite(spark, newState, tgtPath,
-              t.partitionBy, t.maxRecordsPerFile, t.ref.backend, t.indexBy,
-              t.commitMode)
+          // Keyed writes into an existing unpartitioned parquet target
+          // take the FILE-PRUNED merge when footer envelopes allow it —
+          // only pk-intersecting files are rewritten (at 100 TB a small
+          // upsert must not rewrite the table). Partitioned targets
+          // take the partition-scoped path; everything else falls back
+          // to the atomic full rewrite.
+          val pruned = fs.exists(new org.apache.hadoop.fs.Path(tgtPath)) &&
+            PrunedMerge.merge(spark, current, batch, t, tgtPath).isDefined
+          if (!pruned) {
+            val newState = WriteOps.applyOp(current, batch, t)
+            // No checkpoint of newState: atomicOverwrite materializes it
+            // into the temp dir BEFORE swapping, so the current target
+            // files are still in place while they are being read.
+            val scoped = WriteOps.partitionScopedRewrite(
+              spark, newState, current, batch, t, tgtPath)
+            if (!scoped)
+              WriteOps.atomicOverwrite(spark, newState, tgtPath,
+                t.partitionBy, t.maxRecordsPerFile, t.ref.backend, t.indexBy,
+                t.commitMode)
+          }
           // Logging runs AFTER the target write committed, and its
           // inputs are user-controlled (--log field names, --log_ds
           // namespace): a bad field or unwritable namespace must
@@ -138,7 +146,8 @@ object Runner {
     val name = p.getName
     try fs.listStatus(parent).foreach { s =>
       val n = s.getPath.getName
-      if (n.startsWith(name + "._stage_") || n.startsWith(name + "._tmp_"))
+      if (n.startsWith(name + "._stage_") || n.startsWith(name + "._tmp_") ||
+        n.startsWith(name + "._merge_tmp_"))
         try fs.delete(s.getPath, true) catch { case _: Throwable => () }
     } catch { case _: Throwable => () } // sweep is best-effort
   }

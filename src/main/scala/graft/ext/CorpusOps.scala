@@ -477,7 +477,14 @@ object CorpusOps {
                    weights: Seq[(String, Double)],
                    method: String = "md5",
                    outCol: String = "split"): DataFrame = {
+    // defensive uniqueness: `groups` must be keyed by id ([[TextDedup
+    // .components]] output is), but a caller passing a frame with
+    // duplicate ids (e.g. raw minhashPairs output) would silently
+    // DUPLICATE input rows through the left join — collapse to the
+    // deterministic min label per id instead (one agg over the small
+    // group table, broadcast unaffected)
     val g = groups.select(col("id").as("__gid__"), col("label").as("__label__"))
+      .groupBy("__gid__").agg(min(col("__label__")).as("__label__"))
     df.join(g, col(idCol) === col("__gid__"), "left")
       .withColumn(outCol, graft.functions.Transformers.hashSplitColumn(
         coalesce(col("__label__"), col(idCol)), method, weights))

@@ -306,6 +306,19 @@ object TextDedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** Capped-path cache hygiene: the unpruned corpus is only needed to
+    * BUILD the pruned frame — eagerly materialize the pruned cache
+    * (count() populates it) and release the unpruned one BEFORE the
+    * prefix join, so the mine+verify never pins two corpus-scale
+    * copies at exactly the boilerplate-heavy scale the cap targets.
+    */
+  private def prunedThenRelease(docs0: DataFrame, maxShingleDf: Int): DataFrame = {
+    val pruned = pruneStopShingles(docs0, maxShingleDf)
+    pruned.count()
+    docs0.unpersist()
+    pruned
+  }
+
   /** Exact verify of candidate (id_a, id_b) pairs against the sorted
     * shingle arrays; emits pairs with Jaccard ≥ threshold.
     */
@@ -348,7 +361,7 @@ object TextDedup {
     import org.apache.spark.sql.expressions.Window
     val docs0 = hashedDocs(df, idCol, textCol, n)
     val docs = if (maxShingleDf == Int.MaxValue) docs0
-      else pruneStopShingles(docs0, maxShingleDf)
+      else prunedThenRelease(docs0, maxShingleDf)
     val sh = docs.select(col("id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("s"))
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("dfc"))
@@ -392,7 +405,7 @@ object TextDedup {
     import graft.functions.VectorExprs.sortedIntersectSize
     val docs0 = hashedDocs(df, idCol, textCol, n)
     val docs = if (maxShingleDf == Int.MaxValue) docs0
-      else pruneStopShingles(docs0, maxShingleDf)
+      else prunedThenRelease(docs0, maxShingleDf)
     val sh = docs.select(col("id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("s"))
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("dfc"))

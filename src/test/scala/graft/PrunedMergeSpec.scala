@@ -1,0 +1,217 @@
+package graft
+
+import graft.operators.{PrunedMerge, WriteOps}
+import graft.spec.{DatasetRef, JobSpec, SourceSpec, TargetSpec, WriteOp}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** File-level pruned MERGE: equivalence with the pure WriteOps
+  * transforms, byte-identity of untouched files, conservative
+  * fallbacks, and the engine-integrated path through Runner.
+  */
+class PrunedMergeSpec extends SparkSpec {
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Write `df` as a sorted-layout parquet target and return its path. */
+  private def layTarget(df: DataFrame, dir: String, name: String,
+                        indexBy: Seq[String]): String = {
+    val p = s"$dir/$name.parquet"
+    // maxRecordsPerFile splits each sorted range partition into
+    // consecutive chunks — multiple files with tight pk envelopes
+    WriteOps.atomicOverwrite(spark, df, p, indexBy = indexBy,
+      maxRecordsPerFile = 300)
+    p
+  }
+
+  private def dataFiles(p: String): Map[String, (Long, Long)] = {
+    val d = new java.io.File(p)
+    d.listFiles().filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      .map(f => f.getName -> (f.length, f.lastModified)).toMap
+  }
+
+  private def tgt(p: String, op: WriteOp, pk: Seq[String] = Seq("o_orderkey"),
+                  indexBy: Seq[String] = Seq("o_orderkey")): TargetSpec = {
+    val dir = p.stripSuffix(".parquet")
+    val slash = dir.lastIndexOf('/')
+    TargetSpec(DatasetRef("parquet", dir.substring(0, slash), dir.substring(slash + 1)),
+      op = op, pk = pk, indexBy = indexBy)
+  }
+
+  private def sortedRows(df: DataFrame): Seq[Seq[Any]] =
+    rows(df.orderBy(df.columns.map(col).toIndexedSeq: _*))
+
+  test("pruned upsert rewrites only pk-intersecting files; result equals the pure transform") {
+    val dir = freshDir("pm_upsert")
+    val orders = sf("orders")
+    val p = layTarget(orders, dir, "orders_t", Seq("o_orderkey"))
+    val before = dataFiles(p)
+    assert(before.size > 1, "need a multi-file target to prove pruning")
+
+    val batch = orders.filter(col("o_orderkey") < 300)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val expected = sortedRows(
+      WriteOps.upsert(spark.read.parquet(p), batch, Seq("o_orderkey")))
+
+    val stats = PrunedMerge.merge(spark, spark.read.parquet(p), batch,
+      tgt(p, WriteOp.Upsert), p)
+    assert(stats.isDefined, "pruned path must apply to a sorted parquet target")
+    val st = stats.get
+    assert(st.filesRewritten < st.filesTotal,
+      s"expected pruning, rewrote ${st.filesRewritten}/${st.filesTotal}")
+    assert(st.filesRewritten > 0)
+    assert(st.bytesRewritten < st.bytesTotal)
+
+    assert(sortedRows(spark.read.parquet(p)) == expected)
+    // untouched files stay byte-identical (same name, length, mtime)
+    val after = dataFiles(p)
+    val untouchedKept = before.filter { case (n, m) => after.get(n).contains(m) }
+    assert(untouchedKept.size == st.filesTotal - st.filesRewritten)
+  }
+
+  test("pruned update / delete / index match the pure transforms") {
+    val orders = sf("orders")
+    for ((op, mkBatch, pure) <- Seq[(WriteOp, DataFrame => DataFrame,
+      (DataFrame, DataFrame) => DataFrame)](
+      (WriteOp.Update,
+        (o: DataFrame) => o.filter(col("o_orderkey") < 200)
+          .withColumn("o_orderpriority", lit("9-X")),
+        (t: DataFrame, b: DataFrame) => WriteOps.update(t, b, Seq("o_orderkey"))),
+      (WriteOp.Delete,
+        (o: DataFrame) => o.filter(col("o_orderkey") < 200),
+        (t: DataFrame, b: DataFrame) => WriteOps.delete(t, b, Seq("o_orderkey"))),
+      (WriteOp.Index,
+        (o: DataFrame) => o.filter(col("o_orderkey") < 200)
+          .withColumn("o_orderstatus", lit("Z")),
+        (t: DataFrame, b: DataFrame) => WriteOps.index(t, b, Seq("o_orderkey"))))) {
+      val dir = freshDir(s"pm_${op.name}")
+      val p = layTarget(orders, dir, "orders_t", Seq("o_orderkey"))
+      val batch = mkBatch(orders)
+      val expected = sortedRows(pure(spark.read.parquet(p), batch))
+      val stats = PrunedMerge.merge(spark, spark.read.parquet(p), batch, tgt(p, op), p)
+      assert(stats.isDefined && stats.get.filesRewritten < stats.get.filesTotal,
+        s"${op.name}: expected a pruned rewrite, got $stats")
+      assert(sortedRows(spark.read.parquet(p)) == expected, op.name)
+    }
+  }
+
+  test("insert of out-of-range keys appends without touching any existing file") {
+    val dir = freshDir("pm_insert")
+    val orders = sf("orders")
+    val p = layTarget(orders, dir, "orders_t", Seq("o_orderkey"))
+    val before = dataFiles(p)
+    val batch = orders.filter(col("o_orderkey") < 100)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+    val expected = sortedRows(
+      WriteOps.insert(spark.read.parquet(p), batch, Seq("o_orderkey")))
+    val stats = PrunedMerge.merge(spark, spark.read.parquet(p), batch,
+      tgt(p, WriteOp.Insert), p)
+    assert(stats.isDefined && stats.get.filesRewritten == 0,
+      s"disjoint insert should rewrite zero files, got $stats")
+    assert(sortedRows(spark.read.parquet(p)) == expected)
+    val after = dataFiles(p)
+    assert(before.forall { case (n, m) => after.get(n).contains(m) },
+      "every pre-existing file must stay byte-identical")
+    assert(after.size > before.size, "appended files must exist")
+  }
+
+  test("string pk prunes with unsigned byte-order envelopes") {
+    val dir = freshDir("pm_str")
+    import spark.implicits._
+    val docs = (0 until 4000).map(i => (f"doc_$i%05d", i.toLong)).toDF("id", "v")
+    val p = s"$dir/docs.parquet"
+    WriteOps.atomicOverwrite(spark, docs, p, indexBy = Seq("id"),
+      maxRecordsPerFile = 500)
+    val batch = Seq(("doc_00007", -1L), ("doc_00099", -2L)).toDF("id", "v")
+    val expected = sortedRows(
+      WriteOps.upsert(spark.read.parquet(p), batch, Seq("id")))
+    val stats = PrunedMerge.merge(spark, spark.read.parquet(p), batch,
+      TargetSpec(DatasetRef("parquet", dir, "docs"), op = WriteOp.Upsert,
+        pk = Seq("id"), indexBy = Seq("id")), p)
+    assert(stats.isDefined && stats.get.filesRewritten < stats.get.filesTotal,
+      s"string-pk pruning failed: $stats")
+    assert(sortedRows(spark.read.parquet(p)) == expected)
+  }
+
+  test("schema-extending update falls back (None) and leaves the target untouched") {
+    val dir = freshDir("pm_schema")
+    val orders = sf("orders")
+    val p = layTarget(orders, dir, "orders_t", Seq("o_orderkey"))
+    val before = dataFiles(p)
+    val batch = orders.filter(col("o_orderkey") < 200)
+      .withColumn("brand_new_col", lit("x"))
+    val stats = PrunedMerge.merge(spark, spark.read.parquet(p), batch,
+      tgt(p, WriteOp.Update), p)
+    assert(stats.isEmpty, "schema extension must fall back to the full rewrite")
+    assert(dataFiles(p) == before)
+  }
+
+  test("conservative fallbacks: partitioned spec, tmap, versioned layout, oversized batch") {
+    val dir = freshDir("pm_fallback")
+    val orders = sf("orders")
+    val p = layTarget(orders, dir, "orders_t", Seq("o_orderkey"))
+    val cur = spark.read.parquet(p)
+    val batch = orders.filter(col("o_orderkey") < 200)
+    assert(PrunedMerge.merge(spark, cur, batch,
+      tgt(p, WriteOp.Upsert).copy(partitionBy = Seq("o_orderstatus")), p).isEmpty)
+    assert(PrunedMerge.merge(spark, cur, batch,
+      tgt(p, WriteOp.Upsert).copy(tmap = Some("o_orderkey BIGINT")), p).isEmpty)
+    assert(PrunedMerge.merge(spark, cur, batch,
+      tgt(p, WriteOp.Upsert).copy(commitMode = "versioned"), p).isEmpty)
+    assert(PrunedMerge.merge(spark, cur, batch,
+      tgt(p, WriteOp.Upsert), p, maxBatchKeys = 10).isEmpty,
+      "a batch larger than maxBatchKeys must fall back")
+    // a versioned-layout dataset never takes the in-place file swap
+    val vdir = freshDir("pm_versioned")
+    val vp = s"$vdir/orders_v.parquet"
+    WriteOps.atomicOverwrite(spark, orders, vp, commitMode = "versioned")
+    assert(PrunedMerge.merge(spark,
+      graft.sources.Resolver.readParquet(spark, vp), batch,
+      tgt(vp, WriteOp.Upsert), vp).isEmpty)
+  }
+
+  test("null pk keys in the batch stay correct (conservative envelope nulls)") {
+    val dir = freshDir("pm_null")
+    import spark.implicits._
+    val base = (1 to 1000).map(i => (Option(i.toLong), s"v$i")).toDF("k", "v")
+    val p = s"$dir/t.parquet"
+    WriteOps.atomicOverwrite(spark, base, p, indexBy = Seq("k"),
+      maxRecordsPerFile = 250)
+    val batch = Seq((Option.empty[Long], "NULLROW"), (Option(5L), "five"))
+      .toDF("k", "v")
+    val expected = sortedRows(
+      WriteOps.upsert(spark.read.parquet(p), batch, Seq("k")))
+    PrunedMerge.merge(spark, spark.read.parquet(p), batch,
+      TargetSpec(DatasetRef("parquet", dir, "t"), op = WriteOp.Upsert,
+        pk = Seq("k"), indexBy = Seq("k")), p)
+    assert(sortedRows(spark.read.parquet(p)) == expected)
+  }
+
+  test("engine-integrated: Runner upsert takes the pruned path and keeps untouched files") {
+    val dir = freshDir("pm_runner")
+    val orders = sf("orders")
+    val p = layTarget(orders, dir, "orders_t", Seq("o_orderkey"))
+    val before = dataFiles(p)
+    // source: a small low-key slice, upserted back with a transform
+    val srcP = s"$dir/batch.parquet"
+    orders.filter(col("o_orderkey") < 300)
+      .withColumn("o_orderpriority", lit("0-ENGINE"))
+      .write.parquet(srcP)
+    val job = JobSpec(
+      SourceSpec(DatasetRef("parquet", dir, "batch")),
+      target = Some(TargetSpec(DatasetRef("parquet", dir, "orders_t"),
+        op = WriteOp.Upsert, pk = Seq("o_orderkey"),
+        indexBy = Seq("o_orderkey"), skipTimestamp = true)))
+    graft.engine.Runner.execute(spark, job, log = false)
+    val after = dataFiles(p)
+    val kept = before.count { case (n, m) => after.get(n).contains(m) }
+    assert(kept > 0 && kept < before.size,
+      s"engine write should rewrite some files and keep the rest ($kept/${before.size} kept)")
+    val got = spark.read.parquet(p)
+    assert(got.filter(col("o_orderpriority") === "0-ENGINE").count() ==
+      orders.filter(col("o_orderkey") < 300).count())
+    assert(got.count() == orders.count())
+  }
+}
