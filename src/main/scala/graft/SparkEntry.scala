@@ -250,6 +250,32 @@ object SparkEntry {
       .withColumn("p50_l_extendedprice", round(col("p50_l_extendedprice"), 4))
       .withColumn("p95_l_extendedprice", round(col("p95_l_extendedprice"), 4))),
 
+    // ── [EXT] pinned QueryFuzzSpec shapes: three generated DSL specs
+    // from the 120-case seeded fuzz corpus, promoted to DuckDB-oracled
+    // driver queries so the cross-ENGINE leg covers the fuzz grammar
+    // too (the in-suite fuzz compares against Spark SQL) ──────────────
+    "q_fuzz_scan" -> ((s, dir) => Planner.plan(s, JobSpec(
+      src(dir, "orders",
+        "o_orderkey__between" -> "500,4500",
+        "o_orderpriority__in" -> "1-URGENT,5-LOW",
+        "o_orderstatus__ne" -> "P",
+        "_sort" -> "-o_totalprice,o_orderkey",
+        "_limit" -> "100",
+        "_fields" -> "o_orderkey,o_orderpriority,o_totalprice")))),
+    "q_fuzz_agg" -> ((s, dir) => Planner.plan(s, JobSpec(
+      src(dir, "orders",
+        "o_orderdate__gte" -> "1994-01-01",
+        "_group" -> "o_orderstatus,o_orderpriority",
+        "_agg" -> "count:*,sum:o_totalprice,min:o_orderkey,max:o_orderkey,countd:o_custkey",
+        "_sort" -> "o_orderstatus,o_orderpriority")))
+      .withColumn("sum_o_totalprice", round(col("sum_o_totalprice"), 2))),
+    "q_fuzz_proj_excl" -> ((s, dir) => Planner.plan(s, JobSpec(
+      src(dir, "orders",
+        "o_orderpriority__startswith" -> "1-",
+        "o_totalprice__lte" -> "150000.0",
+        "_fields" -> "-o_custkey,-o_orderdate",
+        "_sort" -> "o_orderkey")))),
+
     // ── [EXT] §2.6 approx percentiles — the documented scale default
     // (GK sketch, bounded memory; rank-error law checked in diffcheck) ─
     "q_group_pctl_approx" -> ((s, dir) => Planner.plan(s, JobSpec(
@@ -1334,6 +1360,26 @@ object SparkEntry {
                 round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_l_extendedprice,
                 count(*) AS count_all
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_fuzz_scan" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM (
+           SELECT * FROM orders
+           WHERE o_orderkey BETWEEN 500 AND 4500
+             AND o_orderpriority IN ('1-URGENT', '5-LOW')
+             AND o_orderstatus <> 'P'
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 100)""",
+    "q_fuzz_agg" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS count_all,
+                round(sum(o_totalprice), 2) AS sum_o_totalprice,
+                min(o_orderkey) AS min_o_orderkey,
+                max(o_orderkey) AS max_o_orderkey,
+                count(DISTINCT o_custkey) AS countd_o_custkey
+         FROM orders WHERE o_orderdate >= DATE '1994-01-01'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_fuzz_proj_excl" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+         FROM orders
+         WHERE o_orderpriority LIKE '1-%' AND o_totalprice <= 150000.0
+         ORDER BY o_orderkey""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
                 round(sum(l_quantity), 2) AS sum_qty,
