@@ -271,6 +271,61 @@ class StreamSpec extends SparkSpec {
     assert(sess(ntz) == sess(tz))
   }
 
+  test("law: AvailableNow windowed counts ≡ batch over FULL sf0.1 events, both ts flavors") {
+    // The continuation/streaming twin law at bench scale: the same
+    // watermarked tumbling aggregation, run (a) as an AvailableNow
+    // file stream with incremental restarts and (b) as one batch agg,
+    // must agree exactly — for BOTH timestamp flavors (events.ts is
+    // TIMESTAMP_NTZ on disk since the Aug-2026 regen; LTZ is the
+    // classic flavor). A far-future sentinel appended between runs
+    // pushes the persisted watermark past every real window so append
+    // mode emits them all; a third run with no new data must change
+    // nothing (exactly-once over the checkpoint).
+    import org.apache.spark.sql.types.TimestampNTZType
+    val ev = graft.sources.Resolver.readParquet(
+        spark, "/root/testdata/sf0.1/events.parquet")
+      .select($"event_id", $"user_id", $"event_type", $"ts", $"value")
+    val dir = Files.createTempDirectory("graft_par_sf01").toString
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long, BigDecimal)] =
+      df.select($"window_start".cast("long"), $"event_type", $"n", $"sum_value")
+        .as[(Long, String, Long, Double)].collect()
+        .map { case (w, t, n, s) =>
+          (w, t, n, BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP)) }
+        .toSet
+    // batch twin (flavor-free: TimeKeys anchors the same instants)
+    val expected = canon(graft.functions.TimeKeys.withTzTimestamp(ev, "ts")
+      .groupBy(window($"ts", "10 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select($"window.start".as("window_start"), $"event_type", $"n", $"sum_value"))
+    assert(expected.nonEmpty)
+    for ((flavor, cast) <- Seq(
+      ("ntz", (c: org.apache.spark.sql.Column) => c.cast(TimestampNTZType)),
+      ("ltz", (c: org.apache.spark.sql.Column) => c.cast("timestamp")))) {
+      val src = s"$dir/ev_$flavor.parquet"
+      val tgt = s"$dir/tgt_$flavor"; val ckp = s"$dir/ckp_$flavor"
+      val flavored = ev.withColumn("ts", cast($"ts"))
+      flavored.write.parquet(src)
+      def run(): Unit = StreamRunner.runAvailableNow(spark,
+        StreamRunner.readStream(spark, DatasetRef("parquet", dir, s"ev_$flavor")),
+        df => StreamRunner.windowedCounts(df), tgt, ckp)
+      run()
+      val sentinel = Seq((-1L, -1L, "view", "2100-01-01 00:00:00", 0.0))
+        .toDF("event_id", "user_id", "event_type", "ts_s", "value")
+        .withColumn("ts", cast($"ts_s")).drop("ts_s")
+        .select(flavored.columns.map(col).toIndexedSeq: _*)
+      sentinel.write.mode("append").parquet(src)
+      run()
+      val afterSentinel = spark.read.parquet(tgt).count()
+      run() // no new data → nothing reprocessed
+      assert(spark.read.parquet(tgt).count() == afterSentinel,
+        s"$flavor: a no-data restart must be a no-op")
+      val got = canon(spark.read.parquet(tgt)
+        .filter(year($"window_start") < 2099))
+      assert(got == expected, s"$flavor: stream/batch divergence " +
+        s"(${got.size} vs ${expected.size} windows)")
+    }
+  }
+
   test("streaming lm scoring against a static trained model ≡ batch") {
     val dir = Files.createTempDirectory("graft_lmstream").toString
     val src = s"$dir/docs.parquet"
