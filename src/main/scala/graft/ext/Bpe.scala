@@ -100,12 +100,17 @@ object Bpe {
     * count break lexicographically (lhs, then rhs) so the merge list
     * is deterministic and engine-reproducible. Stops early when no
     * pair reaches `minPairCount`. The word-type table is cached once;
-    * each iteration appends one projection to its lineage (fine for
-    * the ≤ tens-of-thousands of merges real tokenizers use — GPT-2's
-    * 50k would warrant a re-materialize every few hundred rounds).
+    * each iteration appends one projection to its lineage, so by
+    * merge i every pair-count pass re-applies i replaces — O(m²)
+    * total work in the merge count. `checkpointEvery` bounds that:
+    * every that-many merges the partially-merged type table is
+    * re-materialized (localCheckpoint — truncates lineage) so the
+    * per-iteration cost stays flat; at GPT-2-scale merge counts this
+    * is the difference between hours and an impossible plan.
     */
   def train(df: DataFrame, textCol: String = "text", numMerges: Int = 10,
-            minPairCount: Long = 2L): Seq[(String, String)] = {
+            minPairCount: Long = 2L,
+            checkpointEvery: Int = 64): Seq[(String, String)] = {
     require(numMerges >= 0, s"Bpe.train: numMerges must be >= 0, got $numMerges")
     val base = wordCounts(df, textCol)
       .select(padSymbols(col("word")).as("sym"), col("cnt"))
@@ -113,6 +118,7 @@ object Bpe {
     try {
       val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       var types = base
+      var sinceCheckpoint = 0
       var done = false
       while (merges.size < numMerges && !done) {
         val top = pairCounts(types)
@@ -122,6 +128,11 @@ object Bpe {
           val (a, b) = (top(0).getString(0), top(0).getString(1))
           merges += ((a, b))
           types = types.withColumn("sym", applyMerge(col("sym"), a, b))
+          sinceCheckpoint += 1
+          if (checkpointEvery > 0 && sinceCheckpoint >= checkpointEvery) {
+            types = types.localCheckpoint(true)
+            sinceCheckpoint = 0
+          }
         }
       }
       merges.toSeq

@@ -510,16 +510,40 @@ object TextDedup {
     // the LSH bucketing and the exact-verify joins; otherwise the
     // tokenize/shingle/hash pipeline re-evaluates on every branch.
     val docs = hashedDocs(df, idCol, textCol, n)
-    val buckets = lshBucketsFromHashes(docs, k, bands)
+    val out = mineFromTables(docs, lshBucketsFromHashes(docs, k, bands), threshold)
+    docs.unpersist()
+    out
+  }
+
+  /** Mine near-dup pairs from a PERSISTED signature index
+    * ([[writeSignatureIndex]]) instead of re-deriving signatures from
+    * text — the signature-reuse path for pipelines where several
+    * minhash consumers (pair mining, incremental dedup, leak-safe
+    * splits) share one corpus pass. At the 6M-doc scale stress the
+    * signature build is ~1/3 of the full mine cost, so ops after the
+    * first read the parquet tables back columnar and skip it entirely.
+    */
+  def minhashPairsFromIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String, threshold: Double = 0.8): DataFrame = {
+    val docs = spark.read.parquet(path + "/shingles")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = mineFromTables(docs, spark.read.parquet(path + "/buckets"), threshold)
+    docs.unpersist()
+    out
+  }
+
+  /** Shared LSH candidate join + exact verify over (id, sh) shingle
+    * and (id, band, bucket) tables; returns the materialized pair set.
+    */
+  private def mineFromTables(docs: DataFrame, buckets: DataFrame,
+                             threshold: Double): DataFrame = {
     val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
     // materialize the (small) verified pair set, then release the
     // cached corpus — otherwise every invocation leaks a pinned copy
-    val out = verifyPairs(cand, docs, threshold).localCheckpoint(eager = true)
-    docs.unpersist()
-    out
+    verifyPairs(cand, docs, threshold).localCheckpoint(eager = true)
   }
 
   /** Signature tables for INCREMENTAL dedup — the production shape for

@@ -285,6 +285,13 @@ class ExtSpec extends SparkSpec {
       .select("id_a", "id_b", "jaccard").collect().toSet
     assert(exact.nonEmpty, "testdata should contain planted near-dups")
     assert(lsh == exact)
+    // signature reuse: mining from the persisted index finds the same
+    // pairs without re-deriving signatures from text
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_sigidx").toString
+    TextDedup.writeSignatureIndex(d, "doc_id", "text", idxDir, n = 3)
+    val fromIdx = TextDedup.minhashPairsFromIndex(spark, idxDir, 0.8)
+      .select("id_a", "id_b", "jaccard").collect().toSet
+    assert(fromIdx == exact)
   }
 
   test("components + dedupCorpus: transitive chains collapse to min id") {
