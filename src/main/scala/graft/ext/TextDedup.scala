@@ -175,54 +175,26 @@ object TextDedup {
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 8, w: Int = 10): DataFrame = {
     require(k > 0 && w > 0, "k and w must be positive")
-    val norm = lower(regexp_replace(col(textCol), "\\W+", ""))
-    // Deliberately EXPLODE-then-window rather than nested array
-    // higher-order functions: HOFs don't codegen, and worse,
-    // CollapseProject inlines a referenced projection INTO the lambda
-    // body, re-evaluating the whole upstream expression once per array
-    // element — the array formulation measured O(n²) regex+md5 per doc
-    // (337 s for 500 tiny docs). Exploded, each gram hashes exactly
-    // once inside whole-stage codegen; the generator is a collapse
-    // barrier by construction.
-    // Repartition the DOC frame (one row per doc) by id before the
-    // explode: Generate and Project preserve the hash partitioning, so
-    // the window below consumes the grams where they were produced —
-    // the Exchange moves doc-count rows, not doc-length × doc-count
-    // gram rows (25M+ at sf0.1, any shuffle of which dominated the
-    // query). The per-partition sort the window needs is near-free:
-    // grams arrive doc-clustered and position-ordered by construction.
-    val grams = df
-      .select(col(idCol).as("id"), norm.as("__s__"))
-      .filter(length(col("__s__")) >= k + w - 1)
-      .repartition(col("id"))
-      .select(col("id"), col("__s__"),
-        posexplode(sequence(lit(0), length(col("__s__")) - k))
-          .as(Seq("__i__", "__z__")))
-      .select(col("id"), col("__i__"),
-        // last position that still opens a COMPLETE w-window — a pure
-        // per-row computation, so the trailing-position cut below is a
-        // plain filter instead of a second count() window aggregate
-        (length(col("__s__")) - k + 1 - w).as("__last__"),
-        // = conv(substring(md5(gram),1,15),16,10) — same 60-bit value
-        // the DuckDB oracle computes — minus the per-gram hex-string
-        // round-trip (law-checked in ExtSpec)
-        graft.functions.TextExprs.md5Prefix64(
-          col("__s__").substr(col("__i__") + 1, lit(k)).cast("binary"), 15)
-          .as("__h__"))
-    // Robust-winnowing selection: each length-w window of consecutive
-    // gram hashes contributes its min. ONE shuffle, keyed by doc id;
-    // the per-doc window frame is O(w) per row and doc-bounded. The
-    // trailing w−1 positions open no complete window and are cut by
-    // the precomputed __last__ bound. collect_set rides the window's id-clustering
-    // (no second exchange); its state is the fingerprint set — a
-    // ~2/(w+1) fraction of doc length.
-    val win = Window.partitionBy("id").orderBy("__i__")
-      .rowsBetween(Window.currentRow, w - 1)
-    grams
-      .withColumn("__wmin__", min(col("__h__")).over(win))
-      .filter(col("__i__") <= col("__last__"))
-      .groupBy("id").agg(collect_set(col("__wmin__")).as("__fps__"))
-      .select(col("id"), explode(col("__fps__")).as("fp"))
+    // One fused per-row expression (TextExprs.WinnowFps): normalize →
+    // per-gram md5-prefix hash → deque sliding min → distinct set, all
+    // inside a single interpreted call per DOCUMENT. Zero shuffles,
+    // zero per-gram rows. This replaced two earlier formulations, both
+    // measured slower and both law-pinned equivalent in ExtSpec:
+    //  - nested array HOFs: CollapseProject inlines a referenced
+    //    projection INTO the lambda body, re-evaluating the upstream
+    //    expression once per element — O(n²) regex+md5 per doc (337 s
+    //    for 500 tiny docs). Same trap documented at LangId.
+    //  - posexplode + RANGE window min + collect_set: each gram hashes
+    //    once under codegen, but pays a per-gram interpreted
+    //    Md5Prefix64 call, a UTF8String substring+binary-cast
+    //    allocation, and a gram-count per-partition sort for the
+    //    window — 327 s of the 6M-doc ScaleBench3 winnow phase (r8),
+    //    vs one cache-local Java loop per doc here.
+    // Docs shorter than k + w − 1 normalized chars yield an empty
+    // array and drop out at the explode, as before.
+    df.select(col(idCol).as("id"),
+        explode(graft.functions.TextExprs.winnowFps(col(textCol), k, w))
+          .as("fp"))
   }
 
   /** Plagiarism-style overlap pairs over winnowing fingerprints:

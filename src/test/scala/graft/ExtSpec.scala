@@ -513,6 +513,54 @@ class ExtSpec extends SparkSpec {
     assert(hits.isEmpty, "a doc without the only query term scored")
   }
 
+  test("winnowFps expression ≡ explode+window formulation (incl. unicode)") {
+    // The fused per-row WinnowFps expression replaced the exploded
+    // posexplode + window-min + collect_set plan in r8. This law pins
+    // the two bit-identical on mixed fixtures: real sf docs, a doc
+    // with non-ASCII chars (stripped by \W like the Java regex does),
+    // an empty doc, a doc exactly at / just under the k+w-1 floor,
+    // and an all-punctuation doc.
+    val k = 6; val w = 7
+    def randStr(seed: Int, n: Int): String = {
+      val r = new scala.util.Random(seed)
+      (1 to n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    val edge = Seq(
+      (9000001L, "Héllo wörld Ünïcode — ça va? 日本語テキスト mixed ASCII tail " + randStr(21, 80)),
+      (9000002L, ""),
+      (9000003L, randStr(22, k + w - 1)),        // exactly the floor
+      (9000004L, randStr(23, k + w - 2)),        // one under: no window
+      (9000005L, "!!! ... ??? ,,, ;;; :::"),     // normalizes to empty
+      (9000006L, "MiXeD CaSe_with_underscores AND 123 digits " + randStr(24, 60)))
+      .toDF("doc_id", "text")
+    val fixture = sf("documents").limit(200).select($"doc_id", $"text")
+      .union(edge)
+    val fused = TextDedup.winnowFingerprints(fixture, "doc_id", "text", k, w)
+    // the r7 exploded formulation, verbatim
+    val norm = lower(regexp_replace($"text", "\\W+", ""))
+    val grams = fixture
+      .select($"doc_id".as("id"), norm.as("__s__"))
+      .filter(length($"__s__") >= k + w - 1)
+      .select($"id", $"__s__",
+        posexplode(sequence(lit(0), length($"__s__") - k)).as(Seq("__i__", "__z__")))
+      .select($"id", $"__i__",
+        (length($"__s__") - k + 1 - w).as("__last__"),
+        graft.functions.TextExprs.md5Prefix64(
+          $"__s__".substr($"__i__" + 1, lit(k)).cast("binary"), 15).as("__h__"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("__i__")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    val exploded = grams
+      .withColumn("__wmin__", min($"__h__").over(win))
+      .filter($"__i__" <= $"__last__")
+      .groupBy("id").agg(collect_set($"__wmin__").as("__fps__"))
+      .select($"id", explode($"__fps__").as("fp"))
+    assert(fused.exceptAll(exploded).isEmpty && exploded.exceptAll(fused).isEmpty,
+      "fused WinnowFps diverges from the exploded formulation")
+    // the empty/short docs drop out of BOTH
+    assert(fused.filter($"id".isin(9000002L, 9000004L, 9000005L)).isEmpty)
+  }
+
   test("winnowPairs: planted excerpt found, df cap drops boilerplate") {
     def randStr(seed: Int, n: Int): String = {
       val r = new scala.util.Random(seed)
