@@ -141,12 +141,30 @@ object Bpe {
 
   /** Segment every doc with a merge list and return the corpus BPE
     * token frequency table (`token`, `cnt`) — the vocabulary the
-    * trained tokenizer induces. Pure per-row projection (the merge
-    * chain is a fixed expression tree), then one combinable hash-agg;
-    * the text column never shuffles.
+    * trained tokenizer induces. ONE fused per-row expression
+    * ([[graft.functions.TextExprs.BpeEncodeTokens]]: tokenize + apply
+    * every merge over a span list in a single cache-local loop per
+    * document — no per-merge string allocation, no merge-count-deep
+    * expression tree), then one combinable hash-agg; the text column
+    * never shuffles. Law-pinned bit-identical to [[encodeUnfused]]
+    * (the replace-chain formulation the DuckDB oracle replays) in
+    * ExtSpec.
     */
   def encode(df: DataFrame, textCol: String = "text",
-             merges: Seq[(String, String)] = Seq.empty): DataFrame = {
+             merges: Seq[(String, String)] = Seq.empty): DataFrame =
+    df.select(explode(
+        graft.functions.TextExprs.bpeEncodeTokens(col(textCol), merges))
+        .as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+
+  /** The pre-r9 formulation of [[encode]]: per-word fold of
+    * [[applyMerge]] replaces — a merge-count-deep expression tree,
+    * interpreted per word. Kept as the law twin (it is literally the
+    * replace chain the DuckDB oracle runs) and as the portable-SQL
+    * reference; the fused expression must match it bit-for-bit.
+    */
+  def encodeUnfused(df: DataFrame, textCol: String = "text",
+                    merges: Seq[(String, String)] = Seq.empty): DataFrame = {
     val words = TextDedup.tokens(col(textCol))
     val toks = flatten(transform(words, w => segmentWord(w, merges)))
     df.select(explode(toks).as("token"))

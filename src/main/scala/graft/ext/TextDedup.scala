@@ -165,8 +165,12 @@ object TextDedup {
     *
     * The k-gram hash is the first 15 hex digits of md5 (< 2⁶⁰, so it
     * fits a signed 64-bit int in every engine) — chosen over xxhash64
-    * so the DuckDB oracle replicates it bit-for-bit. Whole pipeline is
-    * codegen'd array expressions; per-row state is O(doc length).
+    * so the DuckDB oracle replicates it bit-for-bit. The whole
+    * pipeline is ONE fused expression ([[graft.functions.TextExprs.WinnowFps]],
+    * a CodegenFallback evaluated interpreted once per DOCUMENT —
+    * normalize, hash, deque sliding-min and dedupe in a single
+    * cache-local Java loop); per-row state is O(doc length) and the
+    * plan has no shuffle, no sort, and no per-gram rows.
     *
     * Emits one (id, fp) row per DISTINCT selected hash per doc. Docs
     * shorter than k + w − 1 normalized chars have no complete window

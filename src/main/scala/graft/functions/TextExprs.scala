@@ -489,20 +489,126 @@ object TextExprs {
       val dq = new Array[Int](nGrams)
       var head = 0
       var tail = 0
-      val sel = new java.util.TreeSet[java.lang.Long]()
+      // collect per-window minima into a primitive buffer (no boxing),
+      // then sort + dedupe in place — hash values are < 2^60 so the
+      // unsigned selection order and signed sort order coincide
+      val sel = new Array[Long](nWins)
+      var nSel = 0
       var p = 0
       while (p < nGrams) {
         while (tail > head && hs(dq(tail - 1)) >= hs(p)) tail -= 1
         dq(tail) = p; tail += 1
         if (dq(head) <= p - w) head += 1
-        if (p >= w - 1) sel.add(hs(dq(head)))
+        if (p >= w - 1) { sel(nSel) = hs(dq(head)); nSel += 1 }
         p += 1
       }
-      val arr = new Array[Long](sel.size)
-      val it = sel.iterator()
-      var x = 0
-      while (it.hasNext) { arr(x) = it.next(); x += 1 }
-      new GenericArrayData(arr)
+      java.util.Arrays.sort(sel, 0, nSel)
+      var uniq = 0
+      var q = 0
+      while (q < nSel) {
+        if (uniq == 0 || sel(q) != sel(uniq - 1)) { sel(uniq) = sel(q); uniq += 1 }
+        q += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(sel, uniq))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Whole-document BPE segmentation in ONE per-row pass: tokenize
+    * exactly like [[Tokens]] (Unicode lowercase, ASCII `\w` runs),
+    * then apply the learned merge list to each word and emit the
+    * concatenated token stream. Bit-identical to
+    * `flatten(transform(tokens(text), w => segmentWord(w, merges)))`
+    * ([[graft.ext.Bpe.segmentWord]] — law-checked in ExtSpec), which
+    * builds a merge-count-deep `replace` expression tree evaluated
+    * interpreted per WORD with a fresh padded UTF8String per merge
+    * step (~64 string allocations × word length per word at a
+    * realistic vocab — ⅔ of the 77 s ScaleBench3 r8 encode phase).
+    *
+    * Key invariant making the fused pass cheap: merging ADJACENT
+    * symbols always yields a contiguous substring of the word, so a
+    * word's segmentation is just a span list (start, len) over its
+    * char array — a merge pass rewrites the span list in place with
+    * zero string building. Per merge, the pass is the same
+    * non-overlapping left-to-right greedy pairing as one
+    * `replace(" a  b ", " ab ")` over the double-space form: a match
+    * consumes both spans and scanning resumes at the next ORIGINAL
+    * span, so output of the current pass never re-matches as lhs —
+    * exactly the string semantics (matches live on the pass's input).
+    */
+  case class BpeEncodeTokens(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "bpe_encode_tokens"
+
+    // merge patterns as primitive char arrays; maxLen gates the
+    // cheap "pattern can't fit this word" skip
+    @transient private lazy val mA: Array[Array[Char]] =
+      merges.map(_._1.toCharArray).toArray
+    @transient private lazy val mB: Array[Array[Char]] =
+      merges.map(_._2.toCharArray).toArray
+
+    override def nullSafeEval(input: Any): Any = {
+      val low = input.asInstanceOf[UTF8String].toLowerCase.toString
+      val len = low.length
+      val out = new java.util.ArrayList[UTF8String]()
+      // reusable span buffers sized to the longest word seen so far
+      var starts = new Array[Int](16)
+      var lens = new Array[Int](16)
+
+      def spanEq(s: Int, l: Int, pat: Array[Char]): Boolean = {
+        if (l != pat.length) return false
+        var i = 0
+        while (i < l) { if (low.charAt(s + i) != pat(i)) return false; i += 1 }
+        true
+      }
+
+      def emitWord(wStart: Int, wEnd: Int): Unit = {
+        val wl = wEnd - wStart
+        if (wl > starts.length) {
+          starts = new Array[Int](wl); lens = new Array[Int](wl)
+        }
+        var m = 0
+        while (m < wl) { starts(m) = wStart + m; lens(m) = 1; m += 1 }
+        var k = 0
+        while (k < mA.length && m > 1) {
+          val a = mA(k); val b = mB(k)
+          if (a.length + b.length <= wl) {
+            var w = 0; var r = 0
+            while (r < m) {
+              if (r + 1 < m && spanEq(starts(r), lens(r), a) &&
+                  spanEq(starts(r + 1), lens(r + 1), b)) {
+                starts(w) = starts(r); lens(w) = lens(r) + lens(r + 1)
+                w += 1; r += 2
+              } else {
+                starts(w) = starts(r); lens(w) = lens(r); w += 1; r += 1
+              }
+            }
+            m = w
+          }
+          k += 1
+        }
+        var t = 0
+        while (t < m) {
+          out.add(UTF8String.fromString(
+            low.substring(starts(t), starts(t) + lens(t))))
+          t += 1
+        }
+      }
+
+      var i = 0; var start = -1
+      while (i < len) {
+        val cp = low.codePointAt(i)
+        if (cp < 128 && isWordCp(cp)) {
+          if (start < 0) start = i
+        } else if (start >= 0) { emitWord(start, i); start = -1 }
+        i += Character.charCount(cp)
+      }
+      if (start >= 0) emitWord(start, len)
+      new GenericArrayData(out.toArray)
     }
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -529,4 +635,6 @@ object TextExprs {
     ExprShim.column(Md5Prefix64(ExprShim.expression(bytes), hexDigits))
   def winnowFps(text: Column, k: Int, w: Int, hexDigits: Int = 15): Column =
     ExprShim.column(WinnowFps(ExprShim.expression(text), k, w, hexDigits))
+  def bpeEncodeTokens(text: Column, merges: Seq[(String, String)]): Column =
+    ExprShim.column(BpeEncodeTokens(ExprShim.expression(text), merges))
 }

@@ -1600,6 +1600,27 @@ class ExtSpec extends SparkSpec {
     assert(Bpe.train(corpus, "text", 5, minPairCount = 1000000L).isEmpty)
   }
 
+  test("bpe: fused encode expression == unfused replace-chain, bit for bit") {
+    // corpus with runs, unicode (dropped/lowercased), digits, 1-char
+    // words, and words shorter than every merge pattern
+    val corpus = docs.union(Seq(
+      (7L, "aaaa aaa aa a BANANA bandana Ångström ſtraße"),
+      (8L, "the theory of the thing 42 x _under_score the"),
+      (9L, ""), (10L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"))
+    val merges = Bpe.train(corpus.na.drop(Seq("text")), "text",
+      numMerges = 16, minPairCount = 1L)
+    assert(merges.nonEmpty)
+    for (ms <- Seq(Seq.empty[(String, String)], merges.take(1),
+                   merges, Seq("a" -> "a", "aa" -> "aa", "aa" -> "a"))) {
+      val fused = Bpe.encode(corpus.na.drop(Seq("text")), "text", ms)
+        .as[(String, Long)].collect().toMap
+      val unfused = Bpe.encodeUnfused(corpus.na.drop(Seq("text")), "text", ms)
+        .as[(String, Long)].collect().toMap
+      assert(fused == unfused, s"merge list $ms")
+    }
+  }
+
   test("bpe/ppl CLI stages: train table, encode round-trip, bucket labels") {
     import graft.spec.TransformStage
     val t = graft.functions.Transformers
