@@ -3,7 +3,10 @@ object QBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions","32").config("spark.ui.enabled","false").getOrCreate()
+      .config("spark.sql.shuffle.partitions","32")// write standard annotated INT64 micros (not deprecated INT96) so
+// parquet footers carry usable timestamp stats for pruned merges
+.config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+.config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()
     for (name <- args) {

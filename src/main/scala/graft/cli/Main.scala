@@ -356,6 +356,9 @@ object Main {
       .appName("graft-etl")
       .config("spark.sql.shuffle.partitions", opts.cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // write standard annotated INT64 micros (not deprecated INT96) so
+      // parquet footers carry usable timestamp stats for pruned merges
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel(opts.logLevel.getOrElse("WARN"))

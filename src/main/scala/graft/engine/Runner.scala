@@ -100,12 +100,14 @@ object Runner {
           // staged parquet is a footer-metadata read.
           val written = batch.count()
           val current = targetState(spark, t, batch)
-          // Keyed writes into an existing unpartitioned parquet target
-          // take the FILE-PRUNED merge when footer envelopes allow it —
-          // only pk-intersecting files are rewritten (at 100 TB a small
+          // Keyed writes into an existing parquet target take the
+          // FILE-PRUNED merge when footer envelopes allow it — only
+          // pk-intersecting files are rewritten (at 100 TB a small
           // upsert must not rewrite the table). Partitioned targets
-          // take the partition-scoped path; everything else falls back
-          // to the atomic full rewrite.
+          // compose partition-dir point envelopes with footer
+          // envelopes inside them; when the pruned path declines,
+          // partitioned targets take the partition-scoped path and
+          // everything else falls back to the atomic full rewrite.
           val pruned = fs.exists(new org.apache.hadoop.fs.Path(tgtPath)) &&
             PrunedMerge.merge(spark, current, batch, t, tgtPath).isDefined
           if (!pruned) {

@@ -143,22 +143,34 @@ object Transformers {
       }
       df.withColumn(out, hashSplitColumn(col(key), method, splits))
     }),
-    // split_leakfree:id;text;out[;method];train:0.9;val:0.05;test:0.05 —
+    // split_leakfree:id;text;out[;method][;index=path];train:0.9;... —
     // hash_split keyed by the NEAR-DUP cluster representative instead
     // of the row id, so near-duplicates never straddle train/eval
-    // (ext.CorpusOps.leakSafeSplits; minhash+LSH defaults n=3, t=0.8)
+    // (ext.CorpusOps.leakSafeSplits; minhash+LSH defaults n=3, t=0.8).
+    // `index=path` reuses a persisted signature index (write_index)
+    // instead of re-deriving signatures from text.
     "split_leakfree" -> (args => df => {
       val Seq(id, text, out) = args.take(3)
-      val rest = args.drop(3)
+      val (idxArgs, rest0) = args.drop(3).partition(_.startsWith("index="))
+      val indexPath = idxArgs.headOption.map(_.stripPrefix("index="))
       val (method, splitArgs) =
-        if (rest.headOption.exists(a => !a.contains(":"))) (rest.head, rest.tail)
-        else ("md5", rest)
+        if (rest0.headOption.exists(a => !a.contains(":"))) (rest0.head, rest0.tail)
+        else ("md5", rest0)
       val splits = splitArgs.map { a =>
         val Array(n, w) = a.split(":", 2)
         n -> w.toDouble
       }
       graft.ext.CorpusOps.leakSafeSplits(df, id, text, splits,
-        method = method, outCol = out)
+        method = method, outCol = out, indexPath = indexPath)
+    }),
+    // pairs_from_index:indexPath[;threshold] — exact-verified near-dup
+    // pairs (id_a, id_b, jaccard) mined from a persisted signature
+    // index (write_index) with zero text re-processing; replaces the
+    // flowing rows like other reshaping stages
+    "pairs_from_index" -> (args => df => {
+      require(args.nonEmpty, "pairs_from_index needs indexPath[;threshold]")
+      graft.ext.TextDedup.minhashPairsFromIndex(df.sparkSession, args.head,
+        args.lift(1).map(_.toDouble).getOrElse(0.8))
     }),
     // corpus-assembly stages (CLI surface for ext.CorpusOps — the same
     // operators the q_* contract queries run)

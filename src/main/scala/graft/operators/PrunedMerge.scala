@@ -29,21 +29,32 @@ import org.apache.spark.sql.types._
   * cannot hold a row the op touches: every keyed op (insert / index /
   * update / upsert / delete) leaves rows with pk ∉ batch untouched, so
   * `op(touchedFiles, batch) ∪ untouchedFiles ≡ op(target, batch)`.
-  * Pruning is CONSERVATIVE everywhere information is missing: a file
-  * with absent/unreadable stats, an unsupported pk physical type, or
-  * (when the batch carries a NULL key) a non-zero/unknown null count is
-  * treated as touched. Multi-column pks prune on the FIRST component
-  * (necessary-condition pruning — sound, just looser).
+  * Multi-column pks prune per COMPONENT: a file is untouched as soon as
+  * ONE pk component's envelope is provably disjoint from the batch's
+  * values for that component (a matching row would have to agree on
+  * every component) — necessary-condition pruning, strictly tighter
+  * than first-component-only. Pruning is CONSERVATIVE everywhere
+  * information is missing: a component with absent/unreadable stats, an
+  * unsupported physical/logical type, or (when the batch carries a NULL
+  * in that component) a non-zero/unknown null count contributes no
+  * exclusion.
+  *
+  * PARTITIONED targets compose: partition-dir values ARE point
+  * envelopes for pk components that are partition columns (a file under
+  * `k=5/` has min = max = 5 for `k`), and data-resident components keep
+  * their footer envelopes — so hive-partition pruning and file pruning
+  * are ONE mechanism here. Untouched files in touched partitions stay
+  * byte-identical, which the partition-scoped rewrite cannot do.
   *
   * SCALE SHAPE. Footer reads are pure metadata (O(#files), ~KBs each)
   * and run DISTRIBUTED above a small threshold — at 100k files the
   * driver plans from a parallelized footer sweep, the same shape as an
   * Iceberg manifest scan. The batch key set is collected only below
-  * `maxBatchKeys` (default 1M ≈ 8 MB of longs); a larger batch isn't a
-  * "small batch merge" and falls back to the full rewrite. The rewrite
-  * itself shuffles only the touched-file rows (range-partitioned back
-  * to ≈ one output file per input file, re-sorted so envelopes stay
-  * tight for the NEXT merge).
+  * `maxBatchKeys` (default 1M distinct pk tuples); a larger batch isn't
+  * a "small batch merge" and falls back to the full rewrite. The
+  * rewrite itself shuffles only the touched-file rows
+  * (range-partitioned back to ≈ one output file per input file,
+  * re-sorted so envelopes stay tight for the NEXT merge).
   *
   * ATOMICITY is per file-move, not per job (the nature of in-place file
   * swaps, as with partition-scoped rewrite): new files land via rename
@@ -54,11 +65,16 @@ import org.apache.spark.sql.types._
   * first rename, failure leaves the target byte-identical.
   *
   * Applicability (returns None → caller falls back to the full/scoped
-  * writers): parquet backend, unpartitioned, rename commit mode on a
-  * non-versioned layout, no `--tmap`, keyed op, first-pk type with
-  * comparable footer stats (integral / string / date), and the op must
-  * not extend the target schema (untouched files could not serve the
-  * new columns). Single-writer model, like every graft writer.
+  * writers): parquet backend, rename commit mode on a non-versioned
+  * layout, no `--tmap`, keyed op, layout on disk agreeing with the spec
+  * (flat for unpartitioned, hive dirs matching `partitionBy` for
+  * partitioned), at least one pk component with comparable stats
+  * (integral / string / date / timestamp), and the op must not extend
+  * the target schema (untouched files could not serve the new columns).
+  * Timestamp pks prune via micros-since-epoch when the files carry
+  * annotated INT64 stats (graft's own sessions write TIMESTAMP_MICROS;
+  * deprecated INT96 has no usable stats → conservative). Single-writer
+  * model, like every graft writer.
   */
 object PrunedMerge {
 
@@ -72,17 +88,38 @@ object PrunedMerge {
       if (bytesTotal == 0) 1.0 else bytesRewritten.toDouble / bytesTotal
   }
 
-  /** Per-file pk envelope from the parquet footer. `min`/`max` are in
-    * the pruning domain (Long for integral/date pks, unsigned byte
-    * array for strings); None = stats unavailable → conservatively
-    * touched. `hasNulls` true when any row-group null count is
-    * positive or unknown.
+  /** One pk component's envelope for one file. `min`/`max` are in the
+    * pruning domain (Long for integral/date/timestamp-micros, unsigned
+    * byte array for strings). `known=false` = stats unavailable →
+    * contributes no exclusion; known with min/max None = provably
+    * all-null in this file.
+    */
+  private final case class CompEnv(min: Option[Any], max: Option[Any],
+                                   hasNulls: Boolean, known: Boolean)
+  private val UnknownEnv = CompEnv(None, None, hasNulls = true, known = false)
+
+  /** Per-file envelope: one [[CompEnv]] per PRUNABLE pk component (in
+    * `comps` order as passed to the footer sweep).
     */
   private final case class Envelope(path: String, bytes: Long,
-                                    min: Option[Any], max: Option[Any],
-                                    hasNulls: Boolean)
+                                    comps: Array[CompEnv])
+
+  /** Batch-side key summary for one pk component: sorted distinct
+    * non-null values in the pruning domain + whether any batch row has
+    * NULL in this component.
+    */
+  private final case class CompKeys(keys: Array[Any], hasNull: Boolean,
+                                    domain: Domain)
 
   private val DistributedFooterThreshold = 64
+
+  /** How a prunable pk component is physically resolved for one file:
+    * from footer stats of a data column, or from the hive partition
+    * dir value (point envelope).
+    */
+  private sealed trait CompSource extends Serializable
+  private final case class DataCol(name: String, kind: StatKind) extends CompSource
+  private final case class PartCol(idx: Int) extends CompSource
 
   /** Attempt a pruned merge of `batch` into the target at `path`.
     * `current` supplies the authoritative target schema (one consistent
@@ -94,54 +131,74 @@ object PrunedMerge {
             t: TargetSpec, path: String,
             maxBatchKeys: Long = 1L << 20): Option[Stats] = {
     val pk = if (t.pk.nonEmpty) t.pk else t.skipBy
-    if (pk.isEmpty || t.partitionBy.nonEmpty || t.tmap.isDefined) return None
+    if (pk.isEmpty || t.tmap.isDefined) return None
     if (t.commitMode != "rename") return None
     if (!Set("parquet", "ds").contains(t.ref.backend)) return None
     if (t.op == WriteOp.Create && t.pk.isEmpty && t.skipBy.isEmpty) return None
     if (!pk.forall(current.columns.contains)) return None
+    val pcols = t.partitionBy
+    if (!pcols.forall(current.columns.contains)) return None
 
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hPath)) return None
     if (Versioned.list(fs, hPath).exists(_._3)) return None
 
-    // flat file layout only: a subdirectory means partitioned or
-    // foreign layout — not this planner's shape
-    val entries = fs.listStatus(hPath).toSeq
-    val dataFiles = entries.filter(s => s.isFile && isDataFile(s.getPath.getName))
-    if (dataFiles.isEmpty) return None
-    if (entries.exists(s => s.isDirectory && isDataFile(s.getPath.getName)))
-      return None
+    // layout walk: flat files for unpartitioned, exactly-`pcols` hive
+    // dirs for partitioned; anything else is a foreign layout
+    val listed = listLayout(fs, hPath, pcols).getOrElse(return None)
+    if (listed.isEmpty) return None
 
-    val pkField = current.schema(pk.head)
-    val domain = pruningDomain(pkField.dataType).getOrElse(return None)
+    // prunable pk components: data-resident ones need a stats domain;
+    // partition-resident ones additionally need a path-parseable value.
+    // Components without a domain contribute no constraint; at least
+    // one prunable component is required for the plan to make sense.
+    val comps: Seq[(String, Domain, CompSource)] = pk.flatMap { c =>
+      val dt = current.schema(c).dataType
+      pruningDomain(dt).flatMap { dom =>
+        val pIdx = pcols.indexOf(c)
+        if (pIdx >= 0) Some((c, dom, PartCol(pIdx)))
+        else Some((c, dom, DataCol(c, statKind(dt))))
+      }
+    }
+    if (comps.isEmpty) return None
 
-    // batch key set on the first pk component — bounded collect
-    val keyCol = col(pk.head).cast(pkField.dataType)
-    val distinctKeys = batch.select(keyCol.as("__k__")).distinct()
+    // batch key tuples on the prunable components — bounded collect
+    val keyCols = comps.map { case (c, _, _) =>
+      col(c).cast(current.schema(c).dataType).as(c) }
+    val distinctKeys = batch.select(keyCols: _*).distinct()
     if (distinctKeys.count() > maxBatchKeys) return None
-    val rawKeys = distinctKeys.collect().map(_.get(0))
+    val rawRows = distinctKeys.collect()
     // an empty batch touches nothing under every keyed op — the merge
     // is a no-op and the target stays byte-identical
-    if (rawKeys.isEmpty)
-      return Some(Stats(dataFiles.size, 0, dataFiles.map(_.getLen).sum, 0))
-    val batchHasNull = rawKeys.contains(null)
-    val keys = domain.sortKeys(rawKeys.filter(_ != null).map(domain.toDomain))
+    if (rawRows.isEmpty)
+      return Some(Stats(listed.size, 0, listed.map(_._2).sum, 0))
+    val compKeys: Array[CompKeys] = comps.zipWithIndex.map {
+      case ((_, dom, _), i) =>
+        val vs = rawRows.map(_.get(i))
+        CompKeys(dom.sortKeys(vs.filter(_ != null).map(dom.toDomain).distinct),
+          vs.contains(null), dom)
+    }.toArray
 
-    val envelopes = readEnvelopes(spark, dataFiles.map(s =>
-      (s.getPath.toString, s.getLen)), pk.head)
-    val (touched, untouched) = envelopes.partition(e =>
-      isTouched(e, keys, batchHasNull, domain))
+    val envelopes = readEnvelopes(spark, listed,
+      comps.map { case (_, dom, src) => (dom, src) })
+    val (touched, untouched) = envelopes.partition(e => isTouched(e, compKeys))
     // nothing to prune — the full rewrite costs the same and is atomic
-    if (touched.size == dataFiles.size) return None
+    if (touched.size == listed.size) return None
 
     // apply the op to the touched subset only; schema pinned to the
-    // authoritative target schema (single-writer layout — files agree)
+    // authoritative target schema (single-writer layout — files agree).
+    // basePath recovers partition-column values from the dir structure.
     val touchedDf =
       if (touched.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           current.schema)
-      else spark.read.schema(current.schema).parquet(touched.map(_.path): _*)
+      else {
+        val r = spark.read.schema(current.schema)
+        (if (pcols.nonEmpty) r.option("basePath", path) else r)
+          .parquet(touched.map(_.path): _*)
+          .select(current.columns.map(col).toIndexedSeq: _*)
+      }
     val merged = WriteOps.applyOp(touchedDf, batch, t)
     // schema-extending op (schema-free update $set) → untouched files
     // could not serve the new columns; full rewrite handles it
@@ -149,15 +206,21 @@ object PrunedMerge {
 
     // rewrite: range-partition back to ≈ one file per touched input
     // (+1 for pure-insert growth), re-sorted on the layout keys so the
-    // new files' envelopes stay as tight as the ones they replace
-    val sortKeys = (if (t.indexBy.nonEmpty) t.indexBy else pk).map(col)
+    // new files' envelopes stay as tight as the ones they replace.
+    // Partitioned targets range-partition on (pcols ++ sort keys) so
+    // each task writes few partition dirs.
+    val sortKeys = ((if (t.indexBy.nonEmpty) t.indexBy else pk)
+      .filterNot(pcols.contains))
+    val rangeKeys = (pcols ++ sortKeys).map(col)
     val nOut = math.max(1, touched.size)
-    val laid = merged.repartitionByRange(nOut, sortKeys: _*)
-      .sortWithinPartitions(sortKeys: _*)
+    val laid0 = merged.repartitionByRange(nOut, rangeKeys: _*)
+    val laid = if (sortKeys.nonEmpty)
+      laid0.sortWithinPartitions(sortKeys.map(col): _*) else laid0
     val tmp = new Path(path + "._merge_tmp_" + System.nanoTime())
     var w = laid.write.mode("overwrite")
     if (t.maxRecordsPerFile > 0)
       w = w.option("maxRecordsPerFile", t.maxRecordsPerFile.toString)
+    if (pcols.nonEmpty) w = w.partitionBy(pcols: _*)
     try w.parquet(tmp.toString) catch {
       case e: Throwable =>
         try fs.delete(tmp, true) catch { case _: Throwable => () }
@@ -165,17 +228,22 @@ object PrunedMerge {
     }
 
     // swap: move new files in (unique spark part names; uniquified
-    // defensively), then drop the replaced ones. Rename failures before
-    // any delete roll back to a byte-identical target.
-    val newFiles = fs.listStatus(tmp).filter(s => s.isFile && isDataFile(s.getPath.getName))
+    // defensively), preserving their partition-relative paths, then
+    // drop the replaced ones. Rename failures before any delete roll
+    // back to a byte-identical target.
+    val newFiles = listDataFilesRec(fs, tmp)
     val movedIn = scala.collection.mutable.ArrayBuffer.empty[Path]
     try {
-      newFiles.foreach { s =>
-        var dest = new Path(hPath, s.getPath.getName)
-        if (fs.exists(dest))
-          dest = new Path(hPath, s"m${System.nanoTime()}-${s.getPath.getName}")
-        if (!fs.rename(s.getPath, dest))
-          throw new java.io.IOException(s"pruned merge: cannot move ${s.getPath} into place")
+      newFiles.foreach { case (src, _) =>
+        val rel = relPath(tmp, src)
+        var dest = new Path(hPath, rel)
+        if (fs.exists(dest)) {
+          val parent = dest.getParent
+          dest = new Path(parent, s"m${System.nanoTime()}-${src.getName}")
+        }
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(src, dest))
+          throw new java.io.IOException(s"pruned merge: cannot move $src into place")
         movedIn += dest
       }
     } catch {
@@ -194,29 +262,100 @@ object PrunedMerge {
   private def isDataFile(name: String): Boolean =
     !name.startsWith("_") && !name.startsWith(".")
 
-  /** Does the file's envelope intersect the batch key set? `keys` is
-    * sorted in the pruning domain; one binary search per file.
+  /** Data files + their hive partition dir values. Unpartitioned: flat
+    * files only (a data-looking subdir = foreign layout → None).
+    * Partitioned: every data file must sit exactly `pcols.length` hive
+    * dirs deep with matching column names, in order; root-level data
+    * files or stray dirs → None. Returned tuples: (path, bytes,
+    * partition values as raw strings, already unescaped; null for the
+    * hive default-partition marker).
     */
-  private def isTouched(e: Envelope, keys: Array[Any],
-                        batchHasNull: Boolean, domain: Domain): Boolean = {
-    if (batchHasNull && e.hasNulls) return true
-    (e.min, e.max) match {
-      case (Some(mn), Some(mx)) => domain.anyKeyInRange(keys, mn, mx)
-      case _ => keys.nonEmpty || batchHasNull // stats unknown → conservative
+  private def listLayout(fs: FileSystem, root: Path,
+                         pcols: Seq[String]): Option[Seq[(String, Long, Array[String])]] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Array[String])]
+    def walk(dir: Path, depth: Int, vals: List[String]): Boolean = {
+      val entries = try fs.listStatus(dir) catch { case _: Throwable => return false }
+      entries.forall { s =>
+        val name = s.getPath.getName
+        if (!isDataFile(name)) true // metadata/temp — ignore at any level
+        else if (s.isFile) {
+          if (depth == pcols.length) {
+            out += ((s.getPath.toString, s.getLen, vals.reverse.toArray)); true
+          } else false // data file above/below the partition depth
+        } else { // directory
+          if (depth >= pcols.length) false // deeper than declared
+          else {
+            val prefix = ExternalCatalogUtils.escapePathName(pcols(depth)) + "="
+            if (!name.startsWith(prefix)) false
+            else {
+              val rawVal = name.substring(prefix.length)
+              val v =
+                if (rawVal == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+                else ExternalCatalogUtils.unescapePathName(rawVal)
+              walk(s.getPath, depth + 1, v :: vals)
+            }
+          }
+        }
+      }
     }
+    if (walk(root, 0, Nil)) Some(out.toSeq) else None
+  }
+
+  private def listDataFilesRec(fs: FileSystem, root: Path): Seq[(Path, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Path, Long)]
+    def walk(dir: Path): Unit = fs.listStatus(dir).foreach { s =>
+      if (s.isDirectory) walk(s.getPath)
+      else if (isDataFile(s.getPath.getName)) out += ((s.getPath, s.getLen))
+    }
+    walk(root)
+    out.toSeq
+  }
+
+  private def relPath(root: Path, p: Path): String = {
+    val rootUri = root.toUri.getPath.stripSuffix("/")
+    val pUri = p.toUri.getPath
+    pUri.stripPrefix(rootUri).stripPrefix("/")
+  }
+
+  /** Does the file's envelope intersect the batch key set? A file is
+    * UNTOUCHED as soon as one component proves disjointness; each
+    * component's proof needs known stats, null-compatibility, and an
+    * empty range intersection (one binary search).
+    */
+  private def isTouched(e: Envelope, compKeys: Array[CompKeys]): Boolean = {
+    var i = 0
+    while (i < compKeys.length) {
+      val ce = e.comps(i)
+      val ck = compKeys(i)
+      val touchedHere =
+        !ce.known ||
+        (ck.hasNull && ce.hasNulls) ||
+        ((ce.min, ce.max) match {
+          case (Some(mn), Some(mx)) => ck.domain.anyKeyInRange(ck.keys, mn, mx)
+          case _ => false // known all-null: only a batch NULL could match
+        })
+      if (!touchedHere) return false
+      i += 1
+    }
+    true
   }
 
   /** Pruning value domain: converts batch keys and footer stats into
-    * one comparable representation. Integral + date pks compare as
-    * Long; strings compare as UNSIGNED lexicographic UTF-8 bytes —
-    * parquet's own binary stats order, so `min ≤ k ≤ max` means what
-    * the footer meant (Java String order differs beyond ASCII).
+    * one comparable representation. Integral / date / timestamp pks
+    * compare as Long (timestamps as micros since epoch); strings
+    * compare as UNSIGNED lexicographic UTF-8 bytes — parquet's own
+    * binary stats order, so `min ≤ k ≤ max` means what the footer
+    * meant (Java String order differs beyond ASCII).
     */
   private sealed trait Domain extends Serializable {
     def toDomain(v: Any): Any
-    def fromStats(v: Any): Option[Any]
     def sortKeys(keys: Array[Any]): Array[Any]
     def anyKeyInRange(sortedKeys: Array[Any], mn: Any, mx: Any): Boolean
+    /** Parse a hive partition-dir value into the domain; None = not
+      * parseable → conservative unknown envelope.
+      */
+    def parsePart(s: String): Option[Any]
   }
 
   private object LongDomain extends Domain {
@@ -225,10 +364,6 @@ object PrunedMerge {
       case d: java.sql.Date => d.toLocalDate.toEpochDay
       case d: java.time.LocalDate => d.toEpochDay
       case other => throw new IllegalArgumentException(s"non-integral pk value: $other")
-    }
-    def fromStats(v: Any): Option[Any] = v match {
-      case n: Number => Some(n.longValue)
-      case _ => None
     }
     def sortKeys(keys: Array[Any]): Array[Any] = keys.sortBy(_.asInstanceOf[Long])
     def anyKeyInRange(sortedKeys: Array[Any], mn: Any, mx: Any): Boolean = {
@@ -241,6 +376,41 @@ object PrunedMerge {
       }
       l < ks.length && ks(l).asInstanceOf[Long] <= hi
     }
+    def parsePart(s: String): Option[Any] =
+      try Some(java.lang.Long.parseLong(s)) catch { case _: Throwable => None }
+  }
+
+  /** Dates partition-render as `yyyy-MM-dd`, not epoch days. */
+  private object DateDomain extends Domain {
+    def toDomain(v: Any): Any = LongDomain.toDomain(v)
+    def sortKeys(keys: Array[Any]): Array[Any] = LongDomain.sortKeys(keys)
+    def anyKeyInRange(sortedKeys: Array[Any], mn: Any, mx: Any): Boolean =
+      LongDomain.anyKeyInRange(sortedKeys, mn, mx)
+    def parsePart(s: String): Option[Any] =
+      try Some(java.time.LocalDate.parse(s).toEpochDay)
+      catch { case _: Throwable => None }
+  }
+
+  /** Timestamps (both tz flavors) prune as micros since epoch — the
+    * value Spark stores in annotated INT64 parquet (TIMESTAMP_MICROS /
+    * NTZ). Partition-dir values are NOT parsed (rendering varies with
+    * escaping/format) → partition-resident timestamp components stay
+    * unknown (conservative).
+    */
+  private object TimestampDomain extends Domain {
+    def toDomain(v: Any): Any = v match {
+      case ts: java.sql.Timestamp =>
+        Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
+      case i: java.time.Instant =>
+        i.getEpochSecond * 1000000L + i.getNano / 1000
+      case l: java.time.LocalDateTime =>
+        l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + l.getNano / 1000
+      case other => throw new IllegalArgumentException(s"non-timestamp pk value: $other")
+    }
+    def sortKeys(keys: Array[Any]): Array[Any] = LongDomain.sortKeys(keys)
+    def anyKeyInRange(sortedKeys: Array[Any], mn: Any, mx: Any): Boolean =
+      LongDomain.anyKeyInRange(sortedKeys, mn, mx)
+    def parsePart(s: String): Option[Any] = None
   }
 
   private object BytesDomain extends Domain {
@@ -256,10 +426,6 @@ object PrunedMerge {
     }
     def toDomain(v: Any): Any =
       v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    def fromStats(v: Any): Option[Any] = v match {
-      case b: org.apache.parquet.io.api.Binary => Some(b.getBytes)
-      case _ => None
-    }
     def sortKeys(keys: Array[Any]): Array[Any] =
       keys.sortWith((a, b) => cmp(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]]) < 0)
     def anyKeyInRange(sortedKeys: Array[Any], mn: Any, mx: Any): Boolean = {
@@ -271,87 +437,164 @@ object PrunedMerge {
       }
       l < sortedKeys.length && cmp(sortedKeys(l).asInstanceOf[Array[Byte]], hi) <= 0
     }
+    def parsePart(s: String): Option[Any] = Some(toDomain(s))
   }
 
+  /** How footer stat values for this Spark type convert into the
+    * domain (physical-representation aware).
+    */
+  private sealed trait StatKind extends Serializable
+  private case object IntegralStats extends StatKind
+  private case object BytesStats extends StatKind
+  private case object TimestampStats extends StatKind
+
   private def pruningDomain(dt: DataType): Option[Domain] = dt match {
-    case ByteType | ShortType | IntegerType | LongType | DateType => Some(LongDomain)
+    case ByteType | ShortType | IntegerType | LongType => Some(LongDomain)
+    case DateType => Some(DateDomain)
     case StringType => Some(BytesDomain)
-    case _ => None // timestamps (tz flavors) & others: full rewrite
+    case TimestampType | TimestampNTZType => Some(TimestampDomain)
+    case _ => None
+  }
+
+  private def statKind(dt: DataType): StatKind = dt match {
+    case StringType => BytesStats
+    case TimestampType | TimestampNTZType => TimestampStats
+    case _ => IntegralStats
   }
 
   /** Footer pk envelopes for every file — driver-side below
     * [[DistributedFooterThreshold]], a parallelized metadata sweep
-    * above it (the 100k-file shape: no serial driver I/O).
+    * above it (the 100k-file shape: no serial driver I/O). Partition
+    * components resolve driver-cheap from the dir values either way.
     */
-  private def readEnvelopes(spark: SparkSession, files: Seq[(String, Long)],
-                            pkCol: String): Seq[Envelope] = {
+  private def readEnvelopes(spark: SparkSession,
+                            files: Seq[(String, Long, Array[String])],
+                            comps: Seq[(Domain, CompSource)]): Seq[Envelope] = {
+    val compArr = comps.toArray
     if (files.size <= DistributedFooterThreshold)
-      files.map { case (p, len) =>
+      files.map { case (p, len, parts) =>
         readOneEnvelope(new Configuration(spark.sparkContext.hadoopConfiguration),
-          p, len, pkCol)
+          p, len, parts, compArr)
       }
     else {
       val confW = new org.apache.spark.SerializableWritable(
         spark.sparkContext.hadoopConfiguration)
       val bc = spark.sparkContext.broadcast(confW)
       val slices = math.min(files.size, 256)
-      spark.sparkContext.parallelize(files, slices).map { case (p, len) =>
-        readOneEnvelope(bc.value.value, p, len, pkCol)
+      spark.sparkContext.parallelize(files, slices).map { case (p, len, parts) =>
+        readOneEnvelope(bc.value.value, p, len, parts, compArr)
       }.collect().toSeq
     }
   }
 
-  /** One footer read; ANY failure → unknown envelope (file treated as
-    * touched). Combines row-group stats: min of mins, max of maxes,
-    * nulls if any group has (or cannot rule out) nulls. Stat values
-    * convert by their physical type (Number → Long, Binary → bytes),
-    * which lands them in the same domain the pk type selected.
+  /** One footer read; ANY failure → unknown envelopes (file treated as
+    * touched). Per data component: combines row-group stats — min of
+    * mins, max of maxes, nulls if any group has (or cannot rule out)
+    * nulls; timestamp columns additionally require an annotated INT64
+    * physical type and normalize MILLIS/MICROS/NANOS stats to micros
+    * (floor on min, ceil on max — envelopes may only widen). Partition
+    * components become point envelopes from the dir value (null dir
+    * value = the hive default partition = provably all-null).
     */
   private def readOneEnvelope(conf: Configuration, p: String, len: Long,
-                              pkCol: String): Envelope =
-    try {
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(new Path(p), conf)
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try {
-        import scala.jdk.CollectionConverters._
-        var mn: Option[Any] = None
-        var mx: Option[Any] = None
-        var nulls = false
-        var known = true
-        reader.getFooter.getBlocks.asScala.foreach { block =>
-          block.getColumns.asScala.find(_.getPath.toDotString == pkCol) match {
-            case None => known = false // pk column absent from footer
-            case Some(cc) =>
-              val st = cc.getStatistics
-              if (st == null) { known = false; nulls = true }
-              else {
-                if (st.isNumNullsSet) { if (st.getNumNulls > 0) nulls = true }
-                else nulls = true
-                if (st.hasNonNullValue) {
-                  (statToDomain(st.genericGetMin), statToDomain(st.genericGetMax)) match {
-                    case (Some(lo), Some(hi)) =>
-                      mn = Some(mn.fold(lo)(m => domMin(m, lo)))
-                      mx = Some(mx.fold(hi)(m => domMax(m, hi)))
-                    case _ => known = false
+                              parts: Array[String],
+                              comps: Array[(Domain, CompSource)]): Envelope = {
+    val dataCols = comps.collect { case (_, d: DataCol) => d }
+    val footer: Map[String, CompEnv] =
+      if (dataCols.isEmpty) Map.empty
+      else try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(p), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          val blocks = reader.getFooter.getBlocks.asScala.toSeq
+          dataCols.map { dc =>
+            var mn: Option[Any] = None
+            var mx: Option[Any] = None
+            var nulls = false
+            var known = true
+            blocks.foreach { block =>
+              block.getColumns.asScala.find(_.getPath.toDotString == dc.name) match {
+                case None => known = false // pk column absent from footer
+                case Some(cc) =>
+                  val st = cc.getStatistics
+                  if (st == null) { known = false; nulls = true }
+                  else {
+                    if (st.isNumNullsSet) { if (st.getNumNulls > 0) nulls = true }
+                    else nulls = true
+                    if (st.hasNonNullValue) {
+                      (statToDomain(cc, st.genericGetMin, dc.kind, isMin = true),
+                       statToDomain(cc, st.genericGetMax, dc.kind, isMin = false)) match {
+                        case (Some(lo), Some(hi)) =>
+                          mn = Some(mn.fold(lo)(m => domMin(m, lo)))
+                          mx = Some(mx.fold(hi)(m => domMax(m, hi)))
+                        case _ => known = false
+                      }
+                    } else if (!st.isNumNullsSet || st.getNumNulls < 0) known = false
+                    // else: all-null row group — contributes no min/max
                   }
-                } else if (!st.isNumNullsSet || st.getNumNulls < 0) known = false
-                // else: all-null row group — contributes no min/max
               }
-          }
+            }
+            dc.name -> (if (known) CompEnv(mn, mx, nulls, known = true)
+                        else UnknownEnv)
+          }.toMap
+        } finally reader.close()
+      } catch {
+        case _: Throwable => dataCols.map(_.name -> UnknownEnv).toMap
+      }
+    val envs = comps.map {
+      case (_, dc: DataCol) => footer.getOrElse(dc.name, UnknownEnv)
+      case (dom, PartCol(i)) =>
+        val v = if (i < parts.length) parts(i) else null
+        if (v == null) CompEnv(None, None, hasNulls = true, known = true)
+        else dom.parsePart(v) match {
+          case Some(d) => CompEnv(Some(d), Some(d), hasNulls = false, known = true)
+          case None => UnknownEnv
         }
-        if (known) Envelope(p, len, mn, mx, nulls)
-        else Envelope(p, len, None, None, hasNulls = true)
-      } finally reader.close()
-    } catch {
-      case _: Throwable => Envelope(p, len, None, None, hasNulls = true)
     }
-
-  private def statToDomain(v: Any): Option[Any] = v match {
-    case n: Number => Some(n.longValue)
-    case b: org.apache.parquet.io.api.Binary => Some(b.getBytes)
-    case _ => None
+    Envelope(p, len, envs)
   }
+
+  /** Convert one row-group stat value into the pruning domain. For
+    * timestamps the column's parquet logical annotation decides the
+    * unit; min floors and max ceils so a unit down-conversion can only
+    * WIDEN the envelope. INT96 (deprecated, stats unusable) and
+    * unannotated INT64 yield None → unknown.
+    */
+  private def statToDomain(cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+                           v: Any, kind: StatKind, isMin: Boolean): Option[Any] =
+    kind match {
+      case IntegralStats => v match {
+        case n: Number => Some(n.longValue)
+        case _ => None
+      }
+      case BytesStats => v match {
+        case b: org.apache.parquet.io.api.Binary => Some(b.getBytes)
+        case _ => None
+      }
+      case TimestampStats => v match {
+        case n: Number =>
+          import org.apache.parquet.schema.LogicalTypeAnnotation
+          import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+          val pt = cc.getPrimitiveType
+          if (pt.getPrimitiveTypeName != PrimitiveTypeName.INT64) None
+          else pt.getLogicalTypeAnnotation match {
+            case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              val raw = n.longValue
+              ts.getUnit match {
+                case LogicalTypeAnnotation.TimeUnit.MICROS => Some(raw)
+                case LogicalTypeAnnotation.TimeUnit.MILLIS => Some(raw * 1000L)
+                case LogicalTypeAnnotation.TimeUnit.NANOS =>
+                  Some(if (isMin) Math.floorDiv(raw, 1000L)
+                       else Math.floorDiv(raw + 999L, 1000L))
+                case _ => None
+              }
+            case _ => None
+          }
+        case _ => None
+      }
+    }
 
   private def domCmp(a: Any, b: Any): Int = (a, b) match {
     case (x: Long, y: Long) => java.lang.Long.compare(x, y)

@@ -365,4 +365,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.select("split").distinct().count() == 3)
     out.unpersist()
   }
+
+  test("leakSafeSplits from a signature index == from text (and the CLI plumbing)") {
+    import graft.ext.{CorpusOps, TextDedup}
+    import graft.spec.TransformStage
+    val docs = sf("documents").limit(300)
+    val idxDir = java.nio.file.Files.createTempDirectory("lss_idx").toString + "/idx"
+    TextDedup.writeSignatureIndex(docs, "doc_id", "text", idxDir)
+    val w = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val fromText = CorpusOps.leakSafeSplits(docs, "doc_id", "text", w)
+      .select("doc_id", "split")
+    val fromIdx = CorpusOps.leakSafeSplits(docs, "doc_id", "text", w,
+      indexPath = Some(idxDir)).select("doc_id", "split")
+    assert(fromText.except(fromIdx).count() == 0 &&
+      fromIdx.except(fromText).count() == 0,
+      "index-reuse path must produce the identical split assignment")
+    // CLI stage grammar: index= option reuses the same path
+    val t = graft.functions.Transformers
+    val cliIdx = t.resolve(TransformStage("split_leakfree",
+      Seq("doc_id", "text", "split", s"index=$idxDir",
+        "train:0.9", "val:0.05", "test:0.05")))(docs)
+      .select("doc_id", "split")
+    assert(cliIdx.except(fromText).count() == 0 &&
+      fromText.except(cliIdx).count() == 0)
+    // pairs_from_index stage == minhashPairs from text
+    val cliPairs = t.resolve(TransformStage("pairs_from_index", Seq(idxDir)))(docs)
+      .select("id_a", "id_b")
+    val textPairs = TextDedup.minhashPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b")
+    assert(cliPairs.except(textPairs).count() == 0 &&
+      textPairs.except(cliPairs).count() == 0)
+  }
 }

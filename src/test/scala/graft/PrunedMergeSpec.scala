@@ -135,6 +135,116 @@ class PrunedMergeSpec extends SparkSpec {
     assert(sortedRows(spark.read.parquet(p)) == expected)
   }
 
+  test("timestamp pk prunes via annotated INT64 micros stats (both tz flavors)") {
+    import spark.implicits._
+    for (flavor <- Seq("timestamp", "timestamp_ntz")) {
+      val dir = freshDir(s"pm_ts_$flavor")
+      val base = spark.range(0, 2000)
+        .select(timestamp_seconds(col("id") * 60).cast(flavor).as("ts"),
+          col("id").as("v"))
+      val p = s"$dir/t.parquet"
+      WriteOps.atomicOverwrite(spark, base, p, indexBy = Seq("ts"),
+        maxRecordsPerFile = 250)
+      val batch = spark.range(0, 10)
+        .select(timestamp_seconds(col("id") * 60).cast(flavor).as("ts"),
+          (col("id") + 100000L).as("v"))
+      val expected = sortedRows(
+        WriteOps.upsert(spark.read.parquet(p), batch, Seq("ts")))
+      val stats = PrunedMerge.merge(spark, spark.read.parquet(p), batch,
+        TargetSpec(DatasetRef("parquet", dir, "t"), op = WriteOp.Upsert,
+          pk = Seq("ts"), indexBy = Seq("ts")), p)
+      assert(stats.isDefined && stats.get.filesRewritten < stats.get.filesTotal,
+        s"$flavor pk should prune, got $stats")
+      assert(stats.get.filesRewritten > 0, flavor)
+      assert(sortedRows(spark.read.parquet(p)) == expected, flavor)
+    }
+  }
+
+  test("multi-column pk prunes on later components (first component constant)") {
+    val dir = freshDir("pm_multi")
+    import spark.implicits._
+    // first pk component is the SAME everywhere: first-component-only
+    // pruning would touch every file; per-component intersection must
+    // prune on `id`
+    val base = (0 until 4000).map(i => ("g", i.toLong, s"v$i")).toDF("grp", "id", "v")
+    val p = s"$dir/t.parquet"
+    WriteOps.atomicOverwrite(spark, base, p, indexBy = Seq("id"),
+      maxRecordsPerFile = 500)
+    val batch = Seq(("g", 7L, "X"), ("g", 9L, "Y")).toDF("grp", "id", "v")
+    val expected = sortedRows(
+      WriteOps.upsert(spark.read.parquet(p), batch, Seq("grp", "id")))
+    val stats = PrunedMerge.merge(spark, spark.read.parquet(p), batch,
+      TargetSpec(DatasetRef("parquet", dir, "t"), op = WriteOp.Upsert,
+        pk = Seq("grp", "id"), indexBy = Seq("id")), p)
+    assert(stats.isDefined && stats.get.filesRewritten < stats.get.filesTotal,
+      s"second-component pruning failed: $stats")
+    assert(sortedRows(spark.read.parquet(p)) == expected)
+  }
+
+  test("partitioned target: file pruning inside partitions, untouched files byte-identical") {
+    val dir = freshDir("pm_part")
+    val orders = sf("orders")
+    val p = s"$dir/orders_t.parquet"
+    WriteOps.atomicOverwrite(spark, orders, p, partitionBy = Seq("o_orderstatus"),
+      maxRecordsPerFile = 200, indexBy = Seq("o_orderkey"))
+    def walkFiles(d: java.io.File, rel: String = ""): Map[String, (Long, Long)] =
+      d.listFiles().flatMap { f =>
+        val r = if (rel.isEmpty) f.getName else s"$rel/${f.getName}"
+        if (f.isDirectory) walkFiles(f, r)
+        else if (!f.getName.startsWith("_") && !f.getName.startsWith(".")) {
+          Map(r -> (f.length, f.lastModified))
+        } else Map.empty[String, (Long, Long)]
+      }.toMap
+    val before = walkFiles(new java.io.File(p))
+    assert(before.size > 3, s"need multiple files per partition, got ${before.size}")
+
+    val batch = orders.filter(col("o_orderkey") < 300)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val expected = sortedRows(
+      WriteOps.upsert(spark.read.parquet(p), batch, Seq("o_orderkey")))
+    val spec = TargetSpec(DatasetRef("parquet", dir, "orders_t"),
+      op = WriteOp.Upsert, pk = Seq("o_orderkey"),
+      indexBy = Seq("o_orderkey"), partitionBy = Seq("o_orderstatus"))
+    val stats = PrunedMerge.merge(spark, spark.read.parquet(p), batch, spec, p)
+    assert(stats.isDefined && stats.get.filesRewritten < stats.get.filesTotal,
+      s"partitioned pruning failed: $stats")
+    assert(sortedRows(spark.read.parquet(p)) == expected)
+    val after = walkFiles(new java.io.File(p))
+    val kept = before.filter { case (n, m) => after.get(n).contains(m) }
+    assert(kept.size == stats.get.filesTotal - stats.get.filesRewritten,
+      "untouched files must stay byte-identical in place")
+  }
+
+  test("partition column in the pk becomes a point envelope (whole partitions pruned)") {
+    val dir = freshDir("pm_partpk")
+    val orders = sf("orders")
+    val p = s"$dir/orders_t.parquet"
+    WriteOps.atomicOverwrite(spark, orders, p, partitionBy = Seq("o_orderstatus"),
+      maxRecordsPerFile = 200, indexBy = Seq("o_orderkey"))
+    // batch touches ONLY status 'F' rows → every file under other
+    // status dirs must be excluded by the partition point envelope
+    val batch = orders.filter(col("o_orderstatus") === "F" && col("o_orderkey") < 500)
+      .withColumn("o_orderpriority", lit("9-PARTPK"))
+    val expected = sortedRows(WriteOps.upsert(
+      spark.read.parquet(p), batch, Seq("o_orderstatus", "o_orderkey")))
+    val spec = TargetSpec(DatasetRef("parquet", dir, "orders_t"),
+      op = WriteOp.Upsert, pk = Seq("o_orderstatus", "o_orderkey"),
+      indexBy = Seq("o_orderkey"), partitionBy = Seq("o_orderstatus"))
+    val stats = PrunedMerge.merge(spark, spark.read.parquet(p), batch, spec, p)
+    assert(stats.isDefined, "partition-pk pruning must apply")
+    // no file outside o_orderstatus=F may be rewritten
+    def countFiles(sub: String): Int = {
+      val d = new java.io.File(s"$p/o_orderstatus=$sub")
+      if (!d.exists()) 0
+      else d.listFiles().count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    }
+    val nonF = Seq("O", "P").map(countFiles).sum
+    assert(stats.get.filesRewritten <= stats.get.filesTotal - nonF,
+      s"only F-partition files may be touched: $stats, nonF=$nonF")
+    assert(sortedRows(spark.read.parquet(p)) == expected)
+  }
+
   test("schema-extending update falls back (None) and leaves the target untouched") {
     val dir = freshDir("pm_schema")
     val orders = sf("orders")
