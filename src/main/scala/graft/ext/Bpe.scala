@@ -99,44 +99,54 @@ object Bpe {
   /** Train `numMerges` BPE merges on the corpus. Ties on the pair
     * count break lexicographically (lhs, then rhs) so the merge list
     * is deterministic and engine-reproducible. Stops early when no
-    * pair reaches `minPairCount`. The word-type table is cached once;
-    * each iteration appends one projection to its lineage, so by
-    * merge i every pair-count pass re-applies i replaces — O(m²)
-    * total work in the merge count. `checkpointEvery` bounds that:
-    * every that-many merges the partially-merged type table is
-    * re-materialized (localCheckpoint — truncates lineage) so the
-    * per-iteration cost stays flat; at GPT-2-scale merge counts this
-    * is the difference between hours and an impossible plan.
+    * pair reaches `minPairCount`.
+    *
+    * The word-type table (`word`, `cnt`) is cached ONCE and never
+    * mutated; each iteration re-derives the current segmentation with
+    * the fused [[graft.functions.TextExprs.BpeEncodeTokens]]
+    * expression (the whole merge-list-so-far applied in one
+    * cache-local span-merge loop per word) and pair-counts the
+    * resulting symbol array — one scan per merge, ZERO lineage
+    * growth. The O(m²) total re-apply work is inherent to iterating
+    * on a frozen type table, but a span compare costs ~nothing next
+    * to the per-merge `replace`-projection chain this replaces (which
+    * needed `checkpointEvery` lineage re-materialization to stay
+    * plannable at all; that parameter is now accepted and ignored).
+    * Semantics are pinned by the distributed≡sequential-reference law
+    * in ExtSpec — the merge list is bit-identical to the replace
+    * formulation's.
     */
   def train(df: DataFrame, textCol: String = "text", numMerges: Int = 10,
             minPairCount: Long = 2L,
             checkpointEvery: Int = 64): Seq[(String, String)] = {
     require(numMerges >= 0, s"Bpe.train: numMerges must be >= 0, got $numMerges")
-    val base = wordCounts(df, textCol)
-      .select(padSymbols(col("word")).as("sym"), col("cnt"))
-      .persist()
+    val base = wordCounts(df, textCol).persist()
     try {
       val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-      var types = base
-      var sinceCheckpoint = 0
       var done = false
       while (merges.size < numMerges && !done) {
-        val top = pairCounts(types)
+        val syms = graft.functions.TextExprs.bpeEncodeTokens(
+          col("word"), merges.toSeq)
+        val top = pairCountsFromArray(base, syms)
           .orderBy(desc("cnt"), asc("lhs"), asc("rhs")).limit(1).collect()
         if (top.isEmpty || top(0).getLong(2) < minPairCount) done = true
-        else {
-          val (a, b) = (top(0).getString(0), top(0).getString(1))
-          merges += ((a, b))
-          types = types.withColumn("sym", applyMerge(col("sym"), a, b))
-          sinceCheckpoint += 1
-          if (checkpointEvery > 0 && sinceCheckpoint >= checkpointEvery) {
-            types = types.localCheckpoint(true)
-            sinceCheckpoint = 0
-          }
-        }
+        else merges += ((top(0).getString(0), top(0).getString(1)))
       }
       merges.toSeq
     } finally { base.unpersist(); () }
+  }
+
+  /** Adjacent symbol-pair counts from an ARRAY symbol column over the
+    * (`word`, `cnt`) type table — the per-iteration aggregate of
+    * [[train]]. Same shape as [[pairCounts]] minus the string split.
+    */
+  private def pairCountsFromArray(types: DataFrame, syms: Column): DataFrame = {
+    val m = greatest(size(syms) - 1, lit(0))
+    val pairs = zip_with(slice(syms, lit(1), m), slice(syms, lit(2), m),
+      (a, b) => struct(a.as("lhs"), b.as("rhs")))
+    types.select(explode(pairs).as("p"), col("cnt"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum(col("cnt")).as("cnt"))
   }
 
   /** Segment every doc with a merge list and return the corpus BPE

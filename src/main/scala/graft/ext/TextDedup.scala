@@ -196,7 +196,16 @@ object TextDedup {
     //    vs one cache-local Java loop per doc here.
     // Docs shorter than k + w − 1 normalized chars yield an empty
     // array and drop out at the explode, as before.
-    df.select(col(idCol).as("id"),
+    //
+    // The doc-row repartition spreads the per-document digest work
+    // over every core regardless of input split count (a 6M-doc
+    // corpus scans as ~17 parquet splits — without this, half the
+    // cores idle through the expensive leg) and keeps downstream
+    // cached/aggregated partitions uniformly sized (the un-spread
+    // scan OOMed winnowPairs' cache+agg stage at 6M docs; the r8
+    // exploded plan carried the same Exchange for the same reason).
+    df.repartition(col(idCol))
+      .select(col(idCol).as("id"),
         explode(graft.functions.TextExprs.winnowFps(col(textCol), k, w))
           .as("fp"))
   }
@@ -215,27 +224,50 @@ object TextDedup {
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 8, w: Int = 10, minShared: Int = 2,
                   maxDf: Int = 50): DataFrame = {
-    // The fingerprint stream feeds THREE plan legs (the df-cap count
-    // plus both self-join sides), so it is persisted: computed once,
-    // read back columnar by every leg. The caller (or harness) owns
-    // the cache lifecycle — Bench/Verify/QBench clear the cache
-    // manager after every query, and a library user embedding this in
-    // a longer session should `spark.catalog.clearCache()` when done.
-    // Two alternatives measured SLOWER on the sf0.1 A/B probe: a
-    // postings-list formulation (collect_list per fp + nested
-    // transform pair expansion, nothing materialized) at 2-20x — the
-    // nested-array lambda expansion resists codegen and the wide
-    // postings rows thrash the aggregate — and a lazy localCheckpoint
-    // at ~2.7x, because its row-serialized blocks lose to the
-    // compressed columnar cache on every re-read.
+    // Shape (r9): df-count agg → broadcast ANTI-join against the HOT
+    // fingerprints → bounded postings lists → fused pair expansion →
+    // pair count. ZERO sorts; the only wide shuffles are two hash
+    // aggs over the fingerprint stream. This replaced an
+    // fps⋈rare⋈rare sorted-self-join formulation whose three
+    // 280M-row SMJ sort legs measured 216 s of a 277 s total at 6M
+    // docs (the fused-fingerprint profile, r9); this pipeline runs
+    // the same phase in a fraction of that with identical output.
+    //
+    // Why each piece is safe at 100 TB:
+    //  - `hot` (df > maxDf) has AT MOST |fps| / maxDf rows by
+    //    construction, and only (fp) columns — broadcastable for any
+    //    realistic cap; a guard falls back to a shuffled anti-join
+    //    if a degenerate cap makes it big.
+    //  - the postings list per surviving fp is ≤ maxDf ids, so the
+    //    collect buffer AND the C(n,2) expansion are both capped —
+    //    the unbounded-postings hazard that killed the naive
+    //    collect_list formulation (and the nested-lambda expansion
+    //    that resisted codegen) does not exist here: the expansion is
+    //    ONE chunky interpreted OrderedPairs call per posting list.
+    //
+    // The fingerprint stream feeds two plan legs (df count + posting
+    // build), so it is persisted: computed once, read back columnar.
+    // The caller (or harness) owns the cache lifecycle — Bench/
+    // Verify/QBench clear the cache manager after every query.
     val fps = winnowFingerprints(df, idCol, textCol, k, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rare = fps.groupBy("fp").agg(count(lit(1)).as("__df__"))
-      .filter(col("__df__") <= maxDf).select("fp")
-    val pruned = fps.join(rare, "fp")
-    pruned.as("a").join(pruned.as("b"), "fp")
-      .filter(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // hot is persisted so the sizing count and the anti-join share ONE
+    // df-agg pass over the fingerprint stream (it is tiny — bounded by
+    // |fps|/maxDf — so the cache cost is nil)
+    val hot = fps.groupBy("fp").agg(count(lit(1)).as("__df__"))
+      .filter(col("__df__") > maxDf).select("fp")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // |hot| ≤ |fps|/maxDf; broadcast unless degenerate (tiny cap on a
+    // huge corpus), where a shuffled anti-join keeps the same result
+    val hotSmall = hot.count() <= 4000000L
+    val pruned =
+      if (hotSmall) fps.join(broadcast(hot), Seq("fp"), "left_anti")
+      else fps.join(hot, Seq("fp"), "left_anti")
+    pruned.groupBy("fp")
+      .agg(collect_list(col("id")).as("__ids__"))
+      .select(explode(graft.functions.VectorExprs.orderedPairs(col("__ids__")))
+        .as("__p__"))
+      .groupBy(col("__p__.a").as("id_a"), col("__p__.b").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .select("id_a", "id_b", "n_shared")

@@ -557,6 +557,73 @@ object VectorExprs {
   // ── Column wrappers ────────────────────────────────────────────────
   def vecCosine(a: Column, b: Column): Column =
     ExprShim.column(VecCosine(ExprShim.expression(a), ExprShim.expression(b)))
+  /** All ordered element pairs (a < b in the element type's ordering)
+    * of one array — the postings-list pair expansion for inverted-index
+    * miners: one chunky interpreted call per POSTING LIST replaces a
+    * sorted self-join of the exploded rows (two wide sorts + an SMJ)
+    * with a plain hash-agg pipeline. Null elements drop (mirroring the
+    * join formulation, where `a.id < b.id` is null-false). Output size
+    * is C(n,2); callers bound n (winnow's df cap caps it at maxDf).
+    */
+  case class OrderedPairs(child: Expression)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    private def elemType: DataType =
+      child.dataType.asInstanceOf[ArrayType].elementType
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(et, _) if org.apache.spark.sql.catalyst.util.TypeUtils
+            .getInterpretedOrdering(et) != null =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case _ =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"ordered_pairs needs an array of an orderable type, got ${child.dataType}")
+      }
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("a", elemType, nullable = false),
+      StructField("b", elemType, nullable = false))), containsNull = false)
+    override def prettyName: String = "ordered_pairs"
+
+    @transient private lazy val ord =
+      org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(elemType)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData].toObjectArray(elemType)
+        .filter(_ != null)
+      java.util.Arrays.sort(arr, ord.asInstanceOf[java.util.Comparator[Any]])
+      val n = arr.length
+      val out = new Array[Any](n * (n - 1) / 2)
+      var k = 0
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          // strict a < b, like the join's `a.id < b.id` (duplicate
+          // values — impossible for distinct posting lists, but cheap
+          // to honor — produce no self-pair)
+          if (ord.compare(arr(i), arr(j)) < 0) {
+            out(k) = new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(Array[Any](arr(i), arr(j)))
+            k += 1
+          }
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(
+        if (k == out.length) out else java.util.Arrays.copyOf(
+          out.asInstanceOf[Array[AnyRef]], k).asInstanceOf[Array[Any]])
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def orderedPairs(ids: Column): Column =
+    ExprShim.column(OrderedPairs(ExprShim.expression(ids)))
+
   def minhashSig(hashes: Column, k: Int): Column =
     ExprShim.column(MinHashSig(ExprShim.expression(hashes), k))
   def simhashFp(hashes: Column): Column =
