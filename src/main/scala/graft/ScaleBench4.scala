@@ -212,6 +212,42 @@ object ScaleBench4 {
     notes("pm_ts_upsert") = s"${stTs.filesRewritten}/${stTs.filesTotal} files, " +
       f"${stTs.rewrittenFrac * 100}%.2f%% of bytes"
 
+    // ── 5) range-summary pruned MERGE: a 2M-key batch at 6M ───────────
+    // 2M distinct keys is far above the 1M exact-collect cap → the
+    // per-component [lo, hi] range summaries (≤1024, distributed
+    // min/max) drive pruning. The contiguous replica band 100..433
+    // covers exactly replicas 100-433 → roughly a third of the sorted
+    // files may be touched, and the byte fraction must stay well below
+    // a full rewrite.
+    val pmPath2 = s"$out/pm_target.parquet"
+    if (!scala.util.Try(spark.read.parquet(pmPath2).count())
+          .toOption.contains(nDocs))
+      timed("pm_sorted_write_6m_again") {
+        WriteOps.atomicOverwrite(spark, docs, pmPath2,
+          indexBy = Seq("doc_id"), maxRecordsPerFile = 100000)
+      }
+    val bigLo = 100L * 10000000L
+    val bigBatch = docs.filter(col("doc_id") >= bigLo &&
+        col("doc_id") < bigLo + 334L * 10000000L)
+      .withColumn("text", lit("BIG_UPDATED"))
+    val nBig = bigBatch.count()
+    require(nBig > 1500000L, s"big batch only $nBig rows")
+    val pmSpec2 = TargetSpec(DatasetRef("parquet", out, "pm_target"),
+      op = WriteOp.Upsert, pk = Seq("doc_id"), indexBy = Seq("doc_id"),
+      maxRecordsPerFile = 100000)
+    val stBig = timed("pm_big_batch_summary_upsert") {
+      PrunedMerge.merge(spark, spark.read.parquet(pmPath2), bigBatch,
+        pmSpec2, pmPath2)
+    }.getOrElse(sys.error("big-batch summary upsert did not take the pruned path"))
+    require(stBig.rewrittenFrac < 0.6,
+      s"2M-key band upsert rewrote ${stBig.rewrittenFrac * 100}%% of bytes: $stBig")
+    require(stBig.filesRewritten < stBig.filesTotal, stBig.toString)
+    val afterBig = spark.read.parquet(pmPath2)
+    require(afterBig.count() == nDocs, "summary upsert changed the row count")
+    require(afterBig.filter(col("text") === "BIG_UPDATED").count() == nBig)
+    notes("pm_big_summary") = s"${stBig.filesRewritten}/${stBig.filesTotal} files, " +
+      f"${stBig.rewrittenFrac * 100}%.2f%% of bytes for a ${nBig}-row batch"
+
     // ── report ────────────────────────────────────────────────────────
     writeReport()
     println("SCALEBENCH4 " + java.nio.file.Files.readString(

@@ -49,11 +49,15 @@ import org.apache.spark.sql.types._
   * SCALE SHAPE. Footer reads are pure metadata (O(#files), ~KBs each)
   * and run DISTRIBUTED above a small threshold — at 100k files the
   * driver plans from a parallelized footer sweep, the same shape as an
-  * Iceberg manifest scan. The batch key set is collected only below
-  * `maxBatchKeys` (default 1M distinct pk tuples); a larger batch isn't
-  * a "small batch merge" and falls back to the full rewrite. The
-  * rewrite itself shuffles only the touched-file rows
-  * (range-partitioned back to ≈ one output file per input file,
+  * Iceberg manifest scan. The batch key set is collected exactly only
+  * below `maxBatchKeys` (default 1M distinct pk tuples); a LARGER
+  * batch is summarized distributed into ≤ 1024 sorted [lo, hi] key
+  * ranges per component (repartitionByRange → per-partition min/max —
+  * coverage, not exactness, is what soundness needs), so a 100M-row
+  * backfill into a sorted 10B-row target still rewrites only the
+  * intersecting band. The rewrite itself shuffles only the
+  * touched-file rows (range-partitioned back to ≈ one output file per
+  * input file — more when the batch itself is file-sized multiples —
   * re-sorted so envelopes stay tight for the NEXT merge).
   *
   * ATOMICITY is per file-move, not per job (the nature of in-place file
@@ -104,12 +108,22 @@ object PrunedMerge {
   private final case class Envelope(path: String, bytes: Long,
                                     comps: Array[CompEnv])
 
-  /** Batch-side key summary for one pk component: sorted distinct
-    * non-null values in the pruning domain + whether any batch row has
-    * NULL in this component.
+  /** Batch-side key summary for one pk component: DISJOINT sorted
+    * [lo, hi] ranges in the pruning domain covering every non-null
+    * batch value (exact point ranges [k, k] below `maxBatchKeys`;
+    * coarse per-range-partition envelopes above it), plus whether any
+    * batch row has NULL in this component. Soundness needs only
+    * coverage: every batch key lies inside some range, so a file
+    * disjoint from every range cannot hold a touched row.
     */
-  private final case class CompKeys(keys: Array[Any], hasNull: Boolean,
+  private final case class CompKeys(ranges: Array[(Any, Any)], hasNull: Boolean,
                                     domain: Domain)
+
+  /** Number of [lo, hi] ranges the OVERSIZED-batch summary collects
+    * per pk component — the driver sees `RangeSummaryParts` rows
+    * instead of the key set, so a 100M-key batch still prunes.
+    */
+  private val RangeSummaryParts = 1024
 
   private val DistributedFooterThreshold = 64
 
@@ -163,22 +177,41 @@ object PrunedMerge {
     }
     if (comps.isEmpty) return None
 
-    // batch key tuples on the prunable components — bounded collect
+    // batch key tuples on the prunable components — bounded collect.
+    // Below `maxBatchKeys` distinct tuples the driver holds the exact
+    // key set (point ranges); above it, each component collapses to
+    // ≤ RangeSummaryParts sorted [lo, hi] range envelopes computed
+    // distributed (repartitionByRange → per-partition min/max), so
+    // pruning keeps working for arbitrarily large batches — a 100M-row
+    // backfill into a sorted 10B-row target rewrites the intersecting
+    // band, not the table.
     val keyCols = comps.map { case (c, _, _) =>
       col(c).cast(current.schema(c).dataType).as(c) }
     val distinctKeys = batch.select(keyCols: _*).distinct()
-    if (distinctKeys.count() > maxBatchKeys) return None
-    val rawRows = distinctKeys.collect()
+    val nKeys = distinctKeys.count()
     // an empty batch touches nothing under every keyed op — the merge
     // is a no-op and the target stays byte-identical
-    if (rawRows.isEmpty)
+    if (nKeys == 0)
       return Some(Stats(listed.size, 0, listed.map(_._2).sum, 0))
-    val compKeys: Array[CompKeys] = comps.zipWithIndex.map {
-      case ((_, dom, _), i) =>
-        val vs = rawRows.map(_.get(i))
-        CompKeys(dom.sortKeys(vs.filter(_ != null).map(dom.toDomain).distinct),
-          vs.contains(null), dom)
-    }.toArray
+    val compKeys: Array[CompKeys] =
+      if (nKeys <= maxBatchKeys) {
+        val rawRows = distinctKeys.collect()
+        comps.zipWithIndex.map { case ((_, dom, _), i) =>
+          val vs = rawRows.map(_.get(i))
+          val pts = dom.sortKeys(vs.filter(_ != null).map(dom.toDomain))
+          CompKeys(pts.map(k => (k, k)), vs.contains(null), dom)
+        }.toArray
+      } else comps.map { case (c, dom, _) =>
+        val v = distinctKeys.select(col(c).as("__k__"))
+        val hasNull = !v.filter(col("__k__").isNull).isEmpty
+        val rows = v.filter(col("__k__").isNotNull)
+          .repartitionByRange(RangeSummaryParts, col("__k__"))
+          .groupBy(spark_partition_id().as("__p__"))
+          .agg(min(col("__k__")).as("lo"), max(col("__k__")).as("hi"))
+          .select("lo", "hi").collect()
+        val ranges = rows.map(r => (dom.toDomain(r.get(0)), dom.toDomain(r.get(1))))
+        CompKeys(dom.sortRanges(ranges), hasNull, dom)
+      }.toArray
 
     val envelopes = readEnvelopes(spark, listed,
       comps.map { case (_, dom, src) => (dom, src) })
@@ -212,7 +245,11 @@ object PrunedMerge {
     val sortKeys = ((if (t.indexBy.nonEmpty) t.indexBy else pk)
       .filterNot(pcols.contains))
     val rangeKeys = (pcols ++ sortKeys).map(col)
-    val nOut = math.max(1, touched.size)
+    // output file count: ≈ one per touched input, widened when the
+    // batch itself is many files' worth of rows (the range-summary
+    // path admits arbitrarily large batches)
+    val nOut = math.max(math.max(1, touched.size),
+      math.min(4096L, nKeys / 2000000L).toInt)
     val laid0 = merged.repartitionByRange(nOut, rangeKeys: _*)
     val laid = if (sortKeys.nonEmpty)
       laid0.sortWithinPartitions(sortKeys.map(col): _*) else laid0
@@ -318,10 +355,12 @@ object PrunedMerge {
     pUri.stripPrefix(rootUri).stripPrefix("/")
   }
 
-  /** Does the file's envelope intersect the batch key set? A file is
-    * UNTOUCHED as soon as one component proves disjointness; each
+  /** Does the file's envelope intersect the batch key ranges? A file
+    * is UNTOUCHED as soon as one component proves disjointness; each
     * component's proof needs known stats, null-compatibility, and an
-    * empty range intersection (one binary search).
+    * empty range intersection (one binary search over the sorted
+    * range summary — exact point ranges and coarse envelopes share
+    * the same check).
     */
   private def isTouched(e: Envelope, compKeys: Array[CompKeys]): Boolean = {
     var i = 0
@@ -332,7 +371,8 @@ object PrunedMerge {
         !ce.known ||
         (ck.hasNull && ce.hasNulls) ||
         ((ce.min, ce.max) match {
-          case (Some(mn), Some(mx)) => ck.domain.anyKeyInRange(ck.keys, mn, mx)
+          case (Some(mn), Some(mx)) =>
+            ck.domain.anyRangeIntersects(ck.ranges, mn, mx)
           case _ => false // known all-null: only a batch NULL could match
         })
       if (!touchedHere) return false
@@ -345,17 +385,34 @@ object PrunedMerge {
     * one comparable representation. Integral / date / timestamp pks
     * compare as Long (timestamps as micros since epoch); strings
     * compare as UNSIGNED lexicographic UTF-8 bytes — parquet's own
-    * binary stats order, so `min ≤ k ≤ max` means what the footer
-    * meant (Java String order differs beyond ASCII).
+    * binary stats order AND Spark's min/max string order (UTF8String
+    * compares binary), so both footer stats and the distributed range
+    * summary mean the same thing the comparison does.
     */
   private sealed trait Domain extends Serializable {
     def toDomain(v: Any): Any
-    def sortKeys(keys: Array[Any]): Array[Any]
-    def anyKeyInRange(sortedKeys: Array[Any], mn: Any, mx: Any): Boolean
+    def cmp(a: Any, b: Any): Int
     /** Parse a hive partition-dir value into the domain; None = not
       * parseable → conservative unknown envelope.
       */
     def parsePart(s: String): Option[Any]
+
+    final def sortKeys(keys: Array[Any]): Array[Any] =
+      keys.sortWith((a, b) => cmp(a, b) < 0)
+    final def sortRanges(rs: Array[(Any, Any)]): Array[(Any, Any)] =
+      rs.sortWith((a, b) => cmp(a._1, b._1) < 0)
+    /** Disjoint ranges sorted by lo (hence by hi too): first range
+      * with hi ≥ mn decides — intersects iff its lo ≤ mx.
+      */
+    final def anyRangeIntersects(sorted: Array[(Any, Any)],
+                                 mn: Any, mx: Any): Boolean = {
+      var l = 0; var r = sorted.length
+      while (l < r) {
+        val m = (l + r) >>> 1
+        if (cmp(sorted(m)._2, mn) < 0) l = m + 1 else r = m
+      }
+      l < sorted.length && cmp(sorted(l)._1, mx) <= 0
+    }
   }
 
   private object LongDomain extends Domain {
@@ -365,17 +422,8 @@ object PrunedMerge {
       case d: java.time.LocalDate => d.toEpochDay
       case other => throw new IllegalArgumentException(s"non-integral pk value: $other")
     }
-    def sortKeys(keys: Array[Any]): Array[Any] = keys.sortBy(_.asInstanceOf[Long])
-    def anyKeyInRange(sortedKeys: Array[Any], mn: Any, mx: Any): Boolean = {
-      val ks = sortedKeys
-      val lo = mn.asInstanceOf[Long]; val hi = mx.asInstanceOf[Long]
-      var l = 0; var r = ks.length
-      while (l < r) { // first key >= lo
-        val m = (l + r) >>> 1
-        if (ks(m).asInstanceOf[Long] < lo) l = m + 1 else r = m
-      }
-      l < ks.length && ks(l).asInstanceOf[Long] <= hi
-    }
+    def cmp(a: Any, b: Any): Int =
+      java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
     def parsePart(s: String): Option[Any] =
       try Some(java.lang.Long.parseLong(s)) catch { case _: Throwable => None }
   }
@@ -383,9 +431,7 @@ object PrunedMerge {
   /** Dates partition-render as `yyyy-MM-dd`, not epoch days. */
   private object DateDomain extends Domain {
     def toDomain(v: Any): Any = LongDomain.toDomain(v)
-    def sortKeys(keys: Array[Any]): Array[Any] = LongDomain.sortKeys(keys)
-    def anyKeyInRange(sortedKeys: Array[Any], mn: Any, mx: Any): Boolean =
-      LongDomain.anyKeyInRange(sortedKeys, mn, mx)
+    def cmp(a: Any, b: Any): Int = LongDomain.cmp(a, b)
     def parsePart(s: String): Option[Any] =
       try Some(java.time.LocalDate.parse(s).toEpochDay)
       catch { case _: Throwable => None }
@@ -407,35 +453,23 @@ object PrunedMerge {
         l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + l.getNano / 1000
       case other => throw new IllegalArgumentException(s"non-timestamp pk value: $other")
     }
-    def sortKeys(keys: Array[Any]): Array[Any] = LongDomain.sortKeys(keys)
-    def anyKeyInRange(sortedKeys: Array[Any], mn: Any, mx: Any): Boolean =
-      LongDomain.anyKeyInRange(sortedKeys, mn, mx)
+    def cmp(a: Any, b: Any): Int = LongDomain.cmp(a, b)
     def parsePart(s: String): Option[Any] = None
   }
 
   private object BytesDomain extends Domain {
-    private def cmp(a: Array[Byte], b: Array[Byte]): Int = {
-      val n = math.min(a.length, b.length)
+    def toDomain(v: Any): Any =
+      v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def cmp(a: Any, b: Any): Int = {
+      val x = a.asInstanceOf[Array[Byte]]; val y = b.asInstanceOf[Array[Byte]]
+      val n = math.min(x.length, y.length)
       var i = 0
       while (i < n) {
-        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
         if (d != 0) return d
         i += 1
       }
-      a.length - b.length
-    }
-    def toDomain(v: Any): Any =
-      v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    def sortKeys(keys: Array[Any]): Array[Any] =
-      keys.sortWith((a, b) => cmp(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]]) < 0)
-    def anyKeyInRange(sortedKeys: Array[Any], mn: Any, mx: Any): Boolean = {
-      val lo = mn.asInstanceOf[Array[Byte]]; val hi = mx.asInstanceOf[Array[Byte]]
-      var l = 0; var r = sortedKeys.length
-      while (l < r) {
-        val m = (l + r) >>> 1
-        if (cmp(sortedKeys(m).asInstanceOf[Array[Byte]], lo) < 0) l = m + 1 else r = m
-      }
-      l < sortedKeys.length && cmp(sortedKeys(l).asInstanceOf[Array[Byte]], hi) <= 0
+      x.length - y.length
     }
     def parsePart(s: String): Option[Any] = Some(toDomain(s))
   }

@@ -258,7 +258,7 @@ class PrunedMergeSpec extends SparkSpec {
     assert(dataFiles(p) == before)
   }
 
-  test("conservative fallbacks: partitioned spec, tmap, versioned layout, oversized batch") {
+  test("conservative fallbacks: partitioned spec on flat layout, tmap, versioned layout") {
     val dir = freshDir("pm_fallback")
     val orders = sf("orders")
     val p = layTarget(orders, dir, "orders_t", Seq("o_orderkey"))
@@ -270,9 +270,6 @@ class PrunedMergeSpec extends SparkSpec {
       tgt(p, WriteOp.Upsert).copy(tmap = Some("o_orderkey BIGINT")), p).isEmpty)
     assert(PrunedMerge.merge(spark, cur, batch,
       tgt(p, WriteOp.Upsert).copy(commitMode = "versioned"), p).isEmpty)
-    assert(PrunedMerge.merge(spark, cur, batch,
-      tgt(p, WriteOp.Upsert), p, maxBatchKeys = 10).isEmpty,
-      "a batch larger than maxBatchKeys must fall back")
     // a versioned-layout dataset never takes the in-place file swap
     val vdir = freshDir("pm_versioned")
     val vp = s"$vdir/orders_v.parquet"
@@ -280,6 +277,37 @@ class PrunedMergeSpec extends SparkSpec {
     assert(PrunedMerge.merge(spark,
       graft.sources.Resolver.readParquet(spark, vp), batch,
       tgt(vp, WriteOp.Upsert), vp).isEmpty)
+  }
+
+  test("oversized batch prunes via distributed range summaries, result unchanged") {
+    val dir = freshDir("pm_summary")
+    val orders = sf("orders")
+    val p = layTarget(orders, dir, "orders_t", Seq("o_orderkey"))
+    val before = dataFiles(p)
+    // a clustered batch far above maxBatchKeys=10: the exact key set
+    // is never collected; the ≤1024-range summary must still exclude
+    // the files whose envelopes sit outside the key band
+    val batch = orders.filter(col("o_orderkey") < 500)
+      .withColumn("o_orderpriority", lit("9-SUM"))
+    assert(batch.select("o_orderkey").distinct().count() > 10)
+    val expected = sortedRows(
+      WriteOps.upsert(spark.read.parquet(p), batch, Seq("o_orderkey")))
+    val stats = PrunedMerge.merge(spark, spark.read.parquet(p), batch,
+      tgt(p, WriteOp.Upsert), p, maxBatchKeys = 10)
+    assert(stats.isDefined && stats.get.filesRewritten < stats.get.filesTotal,
+      s"range-summary pruning failed: $stats")
+    assert(sortedRows(spark.read.parquet(p)) == expected)
+    val after = dataFiles(p)
+    val kept = before.filter { case (n, m) => after.get(n).contains(m) }
+    assert(kept.size == stats.get.filesTotal - stats.get.filesRewritten)
+    // and a summary-path disjoint insert still touches nothing
+    val dir2 = freshDir("pm_summary2")
+    val p2 = layTarget(orders, dir2, "orders_t", Seq("o_orderkey"))
+    val ins = orders.withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+    val st2 = PrunedMerge.merge(spark, spark.read.parquet(p2), ins,
+      tgt(p2, WriteOp.Insert), p2, maxBatchKeys = 10)
+    assert(st2.isDefined && st2.get.filesRewritten == 0, s"$st2")
+    assert(spark.read.parquet(p2).count() == 2 * orders.count())
   }
 
   test("null pk keys in the batch stay correct (conservative envelope nulls)") {
