@@ -192,6 +192,31 @@ object SparkEntry {
       s.read.parquet(p).orderBy("o_orderkey")
     }),
 
+    // ── [EXT r9] the same keyed upsert against a PARTITIONED sorted
+    // target: hive-dir point envelopes compose with footer envelopes,
+    // so only pk-intersecting files INSIDE partitions rewrite (the
+    // in-query require proves a strict file subset, the oracle proves
+    // the rows) ───────────────────────────────────────────────────────
+    "q_write_upsert_part_pruned" -> ((s, dir) => {
+      val scratch = java.nio.file.Files.createTempDirectory("graft_pmp").toString
+      val orders = read(s, dir, "orders")
+      val p = s"$scratch/orders_t.parquet"
+      WriteOps.atomicOverwrite(s, orders, p, partitionBy = Seq("o_orderstatus"),
+        indexBy = Seq("o_orderkey"),
+        maxRecordsPerFile = math.max(500, orders.count() / 24))
+      val batch = orders.filter(col("o_orderkey") < 1000)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val stats = graft.operators.PrunedMerge.merge(
+        s, s.read.parquet(p), batch,
+        TargetSpec(DatasetRef("parquet", scratch, "orders_t"),
+          op = WriteOp.Upsert, pk = Seq("o_orderkey"),
+          indexBy = Seq("o_orderkey"), partitionBy = Seq("o_orderstatus")), p)
+      require(stats.exists(st => st.filesRewritten > 0 &&
+        st.filesRewritten < st.filesTotal),
+        s"partitioned pruned merge must rewrite a strict file subset, got $stats")
+      s.read.parquet(p).orderBy("o_orderkey")
+    }),
+
     // ── J11/O4 self-update fixpoint, driver-visible: chunked
     // processing of a scratch copy of `orders` to convergence. Each
     // iteration reads the _contid-unmarked rows capped at ~40% of the
@@ -1317,6 +1342,11 @@ object SparkEntry {
     // identical result contract to q_write_upsert — the pruned writer
     // is an execution strategy, not a semantics change
     "q_write_upsert_pruned" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+                CASE WHEN o_orderkey < 1000 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+                o_orderdate, o_orderpriority
+         FROM orders ORDER BY o_orderkey""",
+    "q_write_upsert_part_pruned" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
                 CASE WHEN o_orderkey < 1000 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
                 o_orderdate, o_orderpriority
