@@ -251,6 +251,15 @@ object TextDedup {
     // Verify/QBench clear the cache manager after every query.
     val fps = winnowFingerprints(df, idCol, textCol, k, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    winnowPairsFromFps(fps, minShared, maxDf)
+  }
+
+  /** The mining half of [[winnowPairs]] over an already-available
+    * (id, fp) fingerprint stream — shared by the from-text path and
+    * the persisted-index path ([[winnowPairsFromIndex]]).
+    */
+  private def winnowPairsFromFps(fps: DataFrame, minShared: Int,
+                                 maxDf: Int): DataFrame = {
     // hot is persisted so the sizing count and the anti-join share ONE
     // df-agg pass over the fingerprint stream (it is tiny — bounded by
     // |fps|/maxDf — so the cache cost is nil)
@@ -271,6 +280,30 @@ object TextDedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .select("id_a", "id_b", "n_shared")
+  }
+
+  /** Persist the winnowing fingerprint stream (id, fp) as a parquet
+    * index next to the corpus — the winnow analog of
+    * [[writeSignatureIndex]]: the normalize+hash+deque corpus pass is
+    * paid once, and every overlap-mining consumer reads the columnar
+    * table back instead of re-fingerprinting text.
+    */
+  def writeFingerprintIndex(df: DataFrame, idCol: String, textCol: String,
+                            path: String, k: Int = 8, w: Int = 10,
+                            append: Boolean = false): Unit =
+    winnowFingerprints(df, idCol, textCol, k, w)
+      .write.mode(if (append) "append" else "overwrite").parquet(path)
+
+  /** Mine overlap pairs from a persisted [[writeFingerprintIndex]]
+    * directory — identical output to [[winnowPairs]] over the same
+    * corpus (law-checked), zero text re-processing.
+    */
+  def winnowPairsFromIndex(spark: org.apache.spark.sql.SparkSession,
+                           path: String, minShared: Int = 2,
+                           maxDf: Int = 50): DataFrame = {
+    val fps = spark.read.parquet(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    winnowPairsFromFps(fps, minShared, maxDf)
   }
 
   /** Per-doc sorted shingle-hash arrays: the verified join side for

@@ -414,6 +414,27 @@ object Transformers {
         w = args.lift(3).map(_.toInt).getOrElse(10),
         minShared = args.lift(4).map(_.toInt).getOrElse(2),
         maxDf = args.lift(5).map(_.toInt).getOrElse(50))),
+    // winnow_index:path[;id[;text[;k[;w[;append]]]]] — persist the
+    // fingerprint stream as a parquet index (rows pass through, like
+    // write_index)
+    "winnow_index" -> (args => df => {
+      require(args.nonEmpty, "winnow_index needs path[;id[;text[;k[;w[;append]]]]]")
+      graft.ext.TextDedup.writeFingerprintIndex(df,
+        args.lift(1).getOrElse("doc_id"), args.lift(2).getOrElse("text"),
+        args.head,
+        k = args.lift(3).map(_.toInt).getOrElse(8),
+        w = args.lift(4).map(_.toInt).getOrElse(10),
+        append = args.lift(5).contains("append"))
+      df
+    }),
+    // winnow_pairs_from_index:path[;minShared[;maxDf]] — overlap pairs
+    // mined from a persisted fingerprint index, zero text re-processing
+    "winnow_pairs_from_index" -> (args => df => {
+      require(args.nonEmpty, "winnow_pairs_from_index needs path[;minShared[;maxDf]]")
+      graft.ext.TextDedup.winnowPairsFromIndex(df.sparkSession, args.head,
+        minShared = args.lift(1).map(_.toInt).getOrElse(2),
+        maxDf = args.lift(2).map(_.toInt).getOrElse(50))
+    }),
     // bm25:query;k[;id[;text]] — sparse-retrieval top-k for one query
     // (the query string itself must not contain ';')
     "bm25" -> (args => df => {

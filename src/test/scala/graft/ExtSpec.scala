@@ -587,6 +587,29 @@ class ExtSpec extends SparkSpec {
       s"df cap failed: $capped")
   }
 
+  test("winnow fingerprint index: pairs-from-index == from-text (incl. CLI stages)") {
+    import graft.spec.TransformStage
+    val docs = sf("documents").limit(300)
+    val idxDir = java.nio.file.Files.createTempDirectory("win_idx")
+      .toString + "/fps"
+    val t = graft.functions.Transformers
+    // index written through the CLI stage (rows pass through)
+    val through = t.resolve(TransformStage("winnow_index",
+      Seq(idxDir, "doc_id", "text", "8", "10")))(docs)
+    assert(through.count() == 300)
+    val fromText = TextDedup.winnowPairs(docs, "doc_id", "text",
+      minShared = 2, maxDf = 50).select("id_a", "id_b", "n_shared")
+    val fromIdx = TextDedup.winnowPairsFromIndex(spark, idxDir,
+      minShared = 2, maxDf = 50).select("id_a", "id_b", "n_shared")
+    assert(fromText.except(fromIdx).count() == 0 &&
+      fromIdx.except(fromText).count() == 0,
+      "index path must produce the identical pair set")
+    val cli = t.resolve(TransformStage("winnow_pairs_from_index",
+      Seq(idxDir, "2", "50")))(docs).select("id_a", "id_b", "n_shared")
+    assert(cli.except(fromText).count() == 0 &&
+      fromText.except(cli).count() == 0)
+  }
+
   test("c4 clean: every line and doc rule fires on its crafted fixture") {
     val t = Seq(
       (1L, "Good first sentence here.\nAnother fine line follows!\nno punct line\nShort one.\n  A trimmed quote line. "),
