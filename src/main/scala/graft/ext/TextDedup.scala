@@ -306,6 +306,63 @@ object TextDedup {
     winnowPairsFromFps(fps, minShared, maxDf)
   }
 
+  /** The df-capped per-doc fingerprint-ARRAY view of an (id, fp)
+    * index: fps whose INDEX document frequency exceeds `maxDf` are
+    * treated as boilerplate and removed, the rest collect into one
+    * sorted array per indexed doc. Shared by the batch and streaming
+    * increment matchers (the array side of the intersect).
+    */
+  private[graft] def winnowIndexDocs(indexFps: DataFrame,
+                                     maxDf: Int): (DataFrame, DataFrame) = {
+    val hot = indexFps.groupBy("fp").agg(count(lit(1)).as("__df__"))
+      .filter(col("__df__") > maxDf).select("fp")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hot.count() // materialize once; tiny (≤ |fps|/maxDf)
+    val capped = indexFps.join(broadcast(hot), Seq("fp"), "left_anti")
+    (capped,
+      capped.groupBy("id").agg(sort_array(collect_list(col("fp"))).as("__fpb__")))
+  }
+
+  /** Flag each NEW doc that shares ≥ `minShared` winnowing
+    * fingerprints with an INDEXED doc ([[writeFingerprintIndex]]) —
+    * the winnow analog of [[incrementMatches]]: overlap/plagiarism
+    * detection of arrivals against a fixed corpus. Emits one
+    * (id, dup_of, n_shared) row per matching indexed doc. Fingerprints
+    * hot in the INDEX (df > maxDf) are boilerplate and count toward
+    * nothing, mirroring [[winnowPairs]]'s cap; `n_shared` is the exact
+    * intersect of the arrival's fingerprint set with the capped
+    * indexed doc's set (one codegen-friendly sorted-merge per
+    * candidate pair — both sides are sorted arrays).
+    *
+    * Shape at 100 TB: the arrival's exploded fingerprints hash-join
+    * the capped index on fp — shuffle proportional to the BATCH plus
+    * matching postings, never the full corpus.
+    */
+  def winnowIncrementMatches(newDocs: DataFrame, indexFps: DataFrame,
+                             idCol: String, textCol: String,
+                             k: Int = 8, w: Int = 10, minShared: Int = 2,
+                             maxDf: Int = 50): DataFrame = {
+    import graft.functions.VectorExprs.sortedIntersectSize
+    val (capped, oldDocs) = winnowIndexDocs(indexFps, maxDf)
+    val newFps = newDocs.select(col(idCol).as("id"),
+        graft.functions.TextExprs.winnowFps(col(textCol), k, w).as("__fpa__"))
+      .filter(size(col("__fpa__")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = newFps.select(col("id"), explode(col("__fpa__")).as("fp"))
+      .join(capped.select(col("id").as("dup_of"), col("fp")), Seq("fp"))
+      .select("id", "dup_of").distinct()
+    val out = cand
+      .join(newFps, Seq("id"))
+      .join(oldDocs.withColumnRenamed("id", "dup_of"), Seq("dup_of"))
+      .withColumn("n_shared",
+        sortedIntersectSize(col("__fpa__"), col("__fpb__")))
+      .filter(col("n_shared") >= minShared)
+      .select(col("id"), col("dup_of"), col("n_shared").cast("long").as("n_shared"))
+      .localCheckpoint(eager = true)
+    newFps.unpersist()
+    out
+  }
+
   /** Per-doc sorted shingle-hash arrays: the verified join side for
     * both the exact and the LSH pair finders. 64-bit hashes stand in
     * for the string shingles (same set semantics, collision odds

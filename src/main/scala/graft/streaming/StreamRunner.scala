@@ -143,6 +143,42 @@ object StreamRunner {
         col("__ts__").as(tsCol))
   }
 
+  /** Streaming twin of [[graft.ext.TextDedup.winnowIncrementMatches]]:
+    * flag ARRIVING docs that share ≥ `minShared` winnowing
+    * fingerprints with a static fingerprint index
+    * ([[graft.ext.TextDedup.writeFingerprintIndex]]) — live overlap/
+    * plagiarism detection against a fixed corpus. STREAM-STATIC joins
+    * only (arrival fps → capped index postings → per-doc array
+    * intersect), no streaming aggregation: the only stateful step is
+    * the watermark-bounded per-(id, dup_of) dedup of multi-fingerprint
+    * hits, whose state reclaims as the watermark passes. Law-checked
+    * ≡ the batch matcher under AvailableNow in StreamSpec.
+    */
+  def winnowDupStream(stream: DataFrame, indexFps: DataFrame,
+                      idCol: String, textCol: String, tsCol: String = "ts",
+                      k: Int = 8, w: Int = 10, minShared: Int = 2,
+                      maxDf: Int = 50,
+                      lateness: String = "30 minutes"): DataFrame = {
+    import graft.ext.TextDedup
+    import graft.functions.VectorExprs.sortedIntersectSize
+    val (capped, oldDocs) = TextDedup.winnowIndexDocs(indexFps, maxDf)
+    val fps = stream.select(col(idCol).as("id"),
+        graft.functions.TimeKeys.tzSafe(stream, tsCol).as("__ts__"),
+        graft.functions.TextExprs.winnowFps(col(textCol), k, w).as("__fpa__"))
+      .filter(size(col("__fpa__")) > 0)
+    fps.select(col("id"), col("__ts__"), col("__fpa__"),
+        explode(col("__fpa__")).as("fp"))
+      .join(capped.select(col("id").as("dup_of"), col("fp")), Seq("fp"))
+      .join(oldDocs.withColumnRenamed("id", "dup_of"), Seq("dup_of"))
+      .withColumn("n_shared",
+        sortedIntersectSize(col("__fpa__"), col("__fpb__")))
+      .filter(col("n_shared") >= minShared)
+      .withWatermark("__ts__", lateness)
+      .dropDuplicatesWithinWatermark("id", "dup_of")
+      .select(col("id"), col("dup_of"),
+        col("n_shared").cast("long").as("n_shared"), col("__ts__").as(tsCol))
+  }
+
   final case class FunnelState(times: Seq[Double])
   final case class FunnelOut(userId: Long, reached: Long)
 

@@ -150,6 +150,36 @@ class StreamSpec extends SparkSpec {
     assert(out.agg(min("jaccard")).as[Double].head() >= 0.8)
   }
 
+  test("law: streaming winnow overlap vs fingerprint index ≡ batch matcher at sf0.01") {
+    import graft.ext.TextDedup
+    val dir = Files.createTempDirectory("graft_wnlaw").toString
+    val docs = sf("documents")
+    val old = docs.filter($"doc_id" < 400)
+    // stream = the tail + one guaranteed overlap (doc 0's text under a
+    // fresh id) so the law can never pass vacuously
+    val batch = docs.filter($"doc_id" >= 400).unionByName(
+      docs.filter($"doc_id" === 0).withColumn("doc_id", lit(99999L)))
+    val idxFps = TextDedup.winnowFingerprints(old, "doc_id", "text", k = 8, w = 10)
+      .localCheckpoint(true)
+    val want = TextDedup.winnowIncrementMatches(batch, idxFps,
+      "doc_id", "text", k = 8, w = 10, minShared = 2, maxDf = 50)
+      .select("id", "dup_of", "n_shared")
+      .as[(Long, Long, Long)].collect().toSet
+    batch.withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .write.parquet(s"$dir/docs.parquet")
+    StreamRunner.runAvailableNow(spark,
+      StreamRunner.readStream(spark, DatasetRef("parquet", dir, "docs")),
+      df => StreamRunner.winnowDupStream(df, idxFps, "doc_id", "text", "ts",
+        k = 8, w = 10, minShared = 2, maxDf = 50),
+      s"$dir/out", s"$dir/ckp")
+    val got = spark.read.parquet(s"$dir/out")
+      .select("id", "dup_of", "n_shared")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want, // the law: identical (id, dup_of, n_shared) set
+      s"stream-only=${(got -- want).take(5)} batch-only=${(want -- got).take(5)}")
+    assert(got.exists(_._1 == 99999L) && got.nonEmpty)
+  }
+
   test("streaming exact dedup drops duplicate keys within the watermark") {
     val dir = Files.createTempDirectory("graft_dstream").toString
     val src = s"$dir/ev.parquet"; val tgt = s"$dir/dedup"; val ckp = s"$dir/ckp3"
