@@ -60,6 +60,7 @@ object Main {
       showArgs: Boolean = false, jobRun: Boolean = false,
       logLevel: Option[String] = None,
       profile: Boolean = false, // O11: wall-clock report after the run
+      compact: Option[Long] = None, // [EXT] small-file compaction size
       cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
   /** Env-var default for a flag (reference: MODULE__FLAG, base.py:158-185). */
@@ -91,6 +92,7 @@ object Main {
     var skipTs = false; var dry = false; var drop = false; var count = false
     var stream = false; var silent = false
     var partitionBy = ""; var maxRecords = 0L; var commitMode = "rename"
+    var compactSize: Option[Long] = None
     var indexBy = Vector.empty[String]; var skipIndex = false
     var failOnError = envDefault("--fail-on-error").forall(asBool)
     var jobPoll: Option[String] = None; var jq = Vector.empty[(String, String)]
@@ -192,6 +194,22 @@ object Main {
         }
       case "--max-records-per-file" =>
         once("--max-records-per-file"); maxRecords = next("--max-records-per-file").toLong
+      // [EXT] small-file compaction of the target layout (the
+      // maintenance complement of the pruned merge); size accepts
+      // k/m/g suffixes, e.g. --compact 128m
+      case "--compact" => once("--compact")
+        val raw = next("--compact").trim.toLowerCase
+        val (num, mult) = raw.takeRight(1) match {
+          case "k" => (raw.dropRight(1), 1L << 10)
+          case "m" => (raw.dropRight(1), 1L << 20)
+          case "g" => (raw.dropRight(1), 1L << 30)
+          case _ => (raw, 1L)
+        }
+        compactSize = Some(
+          try math.multiplyExact(num.toLong, mult) catch {
+            case _: NumberFormatException | _: ArithmeticException =>
+              throw CliError(s"--compact expects BYTES or <n>k|m|g, got: $raw")
+          })
       // W14 (reference --fail-on-error, default True, base.py:135,267;
       // MUTABLE_OPS: fail_on_error)
       case "--fail-on-error" => failOnError = asBool(next("--fail-on-error"))
@@ -291,7 +309,8 @@ object Main {
     }
     val srcUri = source.orElse(envDefault("--source"))
       .getOrElse(
-        if (jobPoll.nonEmpty || lsflat.nonEmpty || dropNs.nonEmpty || jobRun)
+        if (jobPoll.nonEmpty || lsflat.nonEmpty || dropNs.nonEmpty || jobRun ||
+            compactSize.nonEmpty)
           "parquet/_unused_/_unused_"
         else throw CliError("-s/--source is required"))
     // `-o op:pk` fuses the write op and key (etl_cli/etl.py:203-206).
@@ -347,7 +366,7 @@ object Main {
       diff = diff, diffContext = csv(diffContext), msg = msgAll,
       lsflat = lsflat, dropNs = dropNs,
       showArgs = showArgs, jobRun = jobRun, logLevel = logLevel,
-      profile = profile))
+      profile = profile, compact = compactSize))
   }
 
   private def session(opts: Opts): SparkSession = {
@@ -414,6 +433,17 @@ object Main {
       }
       if (ok) { println(s"dropping ${t.ref.uri}"); Resolver.drop(spark, t.ref) }
       else println(s"skipped drop of ${t.ref.uri}")
+    }
+    opts.compact.foreach { bytes => // [EXT] target-layout maintenance
+      val t = job.target.getOrElse(throw CliError("--compact needs a target (-t)"))
+      if (!Set("parquet", "ds").contains(t.ref.backend))
+        throw CliError(s"--compact supports parquet targets, got ${t.ref.backend}")
+      val st = graft.operators.Compaction.compact(
+        spark, Resolver.path(t.ref), t.indexBy, bytes)
+      println(s"compact: rewrote ${st.filesCompacted}/${st.filesTotal} files " +
+        s"(${st.bytesCompacted} bytes) into ${st.filesCreated} across " +
+        s"${st.dirsCompacted} dir(s)")
+      return
     }
     if (opts.count) {
       println(Runner.count(spark, job.source, job.effectiveFailOnError))
@@ -588,6 +618,8 @@ object Main {
       |               --mongo-index k1,k2 (range-sorted file layout on the
       |               keys: parquet min/max stats prune like an index)
       |               --skip-index (drop requested index layouts)
+      |               --compact SIZE (rewrite sub-SIZE files of the target
+      |               layout, re-sorted on --mongo-index keys; k/m/g ok)
       |namespaces     --lsflat BACKEND/NS (list datasets, one per line)
       |               --drop-ns BACKEND/NS (drop every dataset; confirms)
       |jobs           --job-poll NS  --jq key=value (default uid=last)

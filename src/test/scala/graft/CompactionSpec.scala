@@ -1,0 +1,127 @@
+package graft
+
+import graft.operators.{Compaction, PrunedMerge, WriteOps}
+import graft.spec.{DatasetRef, TargetSpec, WriteOp}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction: row-multiset preservation, untouched-file
+  * byte-identity, fragmentation actually repaired (fewer files, and
+  * the NEXT pruned merge prunes again), partitioned per-dir behavior,
+  * and the CLI dispatch.
+  */
+class CompactionSpec extends SparkSpec {
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def walkFiles(d: java.io.File, rel: String = ""): Map[String, (Long, Long)] =
+    Option(d.listFiles()).getOrElse(Array.empty).flatMap { f =>
+      val r = if (rel.isEmpty) f.getName else s"$rel/${f.getName}"
+      if (f.isDirectory) walkFiles(f, r)
+      else if (!f.getName.startsWith("_") && !f.getName.startsWith("."))
+        Map(r -> (f.length, f.lastModified))
+      else Map.empty[String, (Long, Long)]
+    }.toMap
+
+  private def sortedRows(df: DataFrame): Seq[Seq[Any]] =
+    rows(df.orderBy(df.columns.map(col).toIndexedSeq: _*))
+
+  /** Fragment a sorted target the way incremental ingestion does:
+    * each disjoint-key pruned INSERT rewrites nothing and appends one
+    * small growth file.
+    */
+  private def fragment(p: String, dir: String, name: String,
+                       base: DataFrame): Unit = {
+    val spec = TargetSpec(DatasetRef("parquet", dir, name),
+      op = WriteOp.Insert, pk = Seq("id"), indexBy = Seq("id"))
+    for (b <- 1L to 4L) {
+      val batch = base.filter(col("id") < 40)
+        .withColumn("id", col("id") + 100000L * b)
+      val st = PrunedMerge.merge(spark, spark.read.parquet(p), batch, spec, p)
+      assert(st.exists(_.filesRewritten == 0), s"fragmenting insert $b: $st")
+    }
+  }
+
+  test("compaction repairs a merge-fragmented flat layout; rows and big files untouched") {
+    import spark.implicits._
+    val dir = freshDir("cp_flat")
+    val base = (0 until 4000).map(i => (i.toLong, s"v$i" * 8, i * 0.5))
+      .toDF("id", "txt", "v")
+    val p = s"$dir/t.parquet"
+    WriteOps.atomicOverwrite(spark, base, p, indexBy = Seq("id"),
+      maxRecordsPerFile = 2000)
+    fragment(p, dir, "t", base)
+    val before = walkFiles(new java.io.File(p))
+    val expected = sortedRows(spark.read.parquet(p))
+    // threshold between the merge droppings (~40-row files) and the
+    // 2000-row base files
+    val bigCut = before.values.map(_._1).max / 2
+    val smallBefore = before.count(_._2._1 < bigCut)
+    assert(smallBefore >= 4, s"fragmentation fixture too clean: $before")
+    val st = Compaction.compact(spark, p, Seq("id"), targetFileBytes = bigCut)
+    assert(st.filesCompacted == smallBefore && st.dirsCompacted == 1)
+    assert(st.filesCreated < st.filesCompacted,
+      s"compaction must shrink the file count: $st")
+    val after = walkFiles(new java.io.File(p))
+    assert(after.size == before.size - st.filesCompacted + st.filesCreated)
+    // rows identical, big files byte-identical in place
+    assert(sortedRows(spark.read.parquet(p)) == expected)
+    before.filter(_._2._1 >= bigCut).foreach { case (n, m) =>
+      assert(after.get(n).contains(m), s"big file $n must stay untouched")
+    }
+    // the compacted layout prunes again: a clustered upsert touches a
+    // strict subset
+    val spec = TargetSpec(DatasetRef("parquet", dir, "t"),
+      op = WriteOp.Upsert, pk = Seq("id"), indexBy = Seq("id"))
+    val batch = base.filter(col("id") < 50).withColumn("v", col("v") + 9.0)
+    val st2 = PrunedMerge.merge(spark, spark.read.parquet(p), batch, spec, p)
+    assert(st2.exists(s => s.filesRewritten > 0 && s.filesRewritten < s.filesTotal),
+      s"post-compaction merge should prune: $st2")
+  }
+
+  test("partitioned layout compacts per partition dir") {
+    import spark.implicits._
+    val dir = freshDir("cp_part")
+    val base = (0 until 3000).map(i => (i.toLong, s"g${i % 3}", i * 1.5))
+      .toDF("id", "grp", "v")
+    val p = s"$dir/t.parquet"
+    WriteOps.atomicOverwrite(spark, base, p, partitionBy = Seq("grp"),
+      indexBy = Seq("id"), maxRecordsPerFile = 100)
+    val expected = sortedRows(spark.read.parquet(p))
+    val before = walkFiles(new java.io.File(p))
+    assert(before.size > 10)
+    val st = Compaction.compact(spark, p, Seq("id"),
+      targetFileBytes = 64L << 20) // everything is small → full per-dir rewrite
+    assert(st.dirsCompacted == 3, s"one compaction per partition dir: $st")
+    val after = walkFiles(new java.io.File(p))
+    assert(after.size < before.size)
+    assert(sortedRows(spark.read.parquet(p)) == expected)
+  }
+
+  test("CLI --compact parses sizes and dispatches on the target") {
+    import spark.implicits._
+    val dir = freshDir("cp_cli")
+    val base = (0 until 1000).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+    val p = s"$dir/t.parquet"
+    WriteOps.atomicOverwrite(spark, base, p, indexBy = Seq("id"),
+      maxRecordsPerFile = 50)
+    val nBefore = walkFiles(new java.io.File(p)).size
+    assert(nBefore > 5)
+    val (_, opts) = graft.cli.Main.parse(Array(
+      "-t", s"parquet/$dir/t", "--compact", "64m", "--mongo-index", "id"))
+    assert(opts.compact.contains(64L << 20))
+    // size suffix grammar
+    assert(graft.cli.Main.parse(Array("-t", "parquet/a/b", "--compact", "1024"))
+      ._2.compact.contains(1024L))
+    assert(intercept[Exception](
+      graft.cli.Main.parse(Array("-t", "parquet/a/b", "--compact", "nope"))
+    ).getMessage.contains("--compact"))
+    val (job, o) = graft.cli.Main.parse(Array(
+      "-t", s"parquet/$dir/t", "--compact", "64m", "--mongo-index", "id"))
+    graft.cli.Main.execute(spark, job, o)
+    val after = walkFiles(new java.io.File(p))
+    assert(after.size < nBefore)
+    assert(sortedRows(spark.read.parquet(p)) == sortedRows(base))
+  }
+}
