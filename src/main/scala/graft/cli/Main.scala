@@ -61,6 +61,9 @@ object Main {
       logLevel: Option[String] = None,
       profile: Boolean = false, // O11: wall-clock report after the run
       compact: Option[Long] = None, // [EXT] small-file compaction size
+      history: Boolean = false, // [EXT] snapshot/versioned history listing
+      changelog: Option[(Long, Long)] = None, // [EXT] CDC diff from:to
+      changelogPk: Seq[String] = Nil, // [EXT] row identity for --changelog
       cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
   /** Env-var default for a flag (reference: MODULE__FLAG, base.py:158-185). */
@@ -93,6 +96,8 @@ object Main {
     var stream = false; var silent = false
     var partitionBy = ""; var maxRecords = 0L; var commitMode = "rename"
     var compactSize: Option[Long] = None
+    var keepVersions = 2; var history = false
+    var changelog: Option[(Long, Long)] = None
     var indexBy = Vector.empty[String]; var skipIndex = false
     var failOnError = envDefault("--fail-on-error").forall(asBool)
     var jobPoll: Option[String] = None; var jq = Vector.empty[(String, String)]
@@ -189,9 +194,33 @@ object Main {
       // prior generation for in-flight readers)
       case "--commit" => once("--commit")
         commitMode = next("--commit") match {
-          case m @ ("rename" | "versioned") => m
-          case other => throw CliError(s"--commit must be rename|versioned, got: $other")
+          case m @ ("rename" | "versioned" | "snapshot") => m
+          case other =>
+            throw CliError(s"--commit must be rename|versioned|snapshot, got: $other")
         }
+      // [EXT] committed generations the snapshot/versioned protocols
+      // retain — the time-travel depth (and the refcount-vacuum bound)
+      case "--keep-versions" => once("--keep-versions")
+        keepVersions = next("--keep-versions").toInt
+        if (keepVersions < 1)
+          throw CliError(s"--keep-versions must be >= 1, got: $keepVersions")
+      // [EXT] pin the SOURCE scan to a retained committed version
+      // (snapshot time travel); sugar for -q _version=N
+      case "--at-version" => once("--at-version")
+        q :+= ("_version" -> next("--at-version").toLong.toString)
+      // [EXT] snapshot/versioned history of the source dataset
+      case "--history" => history = true
+      // [EXT] CDC changelog of the source dataset between two retained
+      // versions (Delta CDF row shape); requires --pk
+      case "--changelog" => once("--changelog")
+        changelog = Some(next("--changelog").split(":", 2) match {
+          case Array(a, b) =>
+            try (a.toLong, b.toLong) catch {
+              case _: NumberFormatException =>
+                throw CliError(s"--changelog expects FROM:TO versions, got: $a:$b")
+            }
+          case _ => throw CliError("--changelog expects FROM:TO versions")
+        })
       case "--max-records-per-file" =>
         once("--max-records-per-file"); maxRecords = next("--max-records-per-file").toLong
       // [EXT] small-file compaction of the target layout (the
@@ -345,7 +374,7 @@ object Main {
         failOnError = failOnError,
         indexBy = if (skipIndex) Nil else indexBy.flatMap(v => csv(v)),
         partitionBy = csv(partitionBy), maxRecordsPerFile = maxRecords,
-        commitMode = commitMode,
+        commitMode = commitMode, keepVersions = keepVersions,
         tmap = if (tmap.isEmpty) None else Some(tmap))
     }
     val job = JobSpec(
@@ -366,7 +395,9 @@ object Main {
       diff = diff, diffContext = csv(diffContext), msg = msgAll,
       lsflat = lsflat, dropNs = dropNs,
       showArgs = showArgs, jobRun = jobRun, logLevel = logLevel,
-      profile = profile, compact = compactSize))
+      profile = profile, compact = compactSize,
+      history = history, changelog = changelog,
+      changelogPk = if (pk.nonEmpty) csv(pk) else csv(opPk)))
   }
 
   private def session(opts: Opts): SparkSession = {
@@ -434,12 +465,25 @@ object Main {
       if (ok) { println(s"dropping ${t.ref.uri}"); Resolver.drop(spark, t.ref) }
       else println(s"skipped drop of ${t.ref.uri}")
     }
+    if (opts.history) { // [EXT] snapshot/versioned history listing
+      graft.operators.Snapshot.history(spark, Resolver.path(job.source.ref))
+        .show(50, truncate = false)
+      return
+    }
+    opts.changelog.foreach { case (fromV, toV) => // [EXT] CDC diff
+      if (opts.changelogPk.isEmpty)
+        throw CliError("--changelog needs the row identity: --pk COLS")
+      graft.operators.Snapshot.changelog(
+        spark, Resolver.path(job.source.ref), fromV, toV, opts.changelogPk)
+        .show(100, truncate = false)
+      return
+    }
     opts.compact.foreach { bytes => // [EXT] target-layout maintenance
       val t = job.target.getOrElse(throw CliError("--compact needs a target (-t)"))
       if (!Set("parquet", "ds").contains(t.ref.backend))
         throw CliError(s"--compact supports parquet targets, got ${t.ref.backend}")
       val st = graft.operators.Compaction.compact(
-        spark, Resolver.path(t.ref), t.indexBy, bytes)
+        spark, Resolver.path(t.ref), t.indexBy, bytes, t.keepVersions)
       println(s"compact: rewrote ${st.filesCompacted}/${st.filesTotal} files " +
         s"(${st.bytesCompacted} bytes) into ${st.filesCreated} across " +
         s"${st.dirsCompacted} dir(s)")

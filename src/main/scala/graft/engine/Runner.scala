@@ -120,7 +120,7 @@ object Runner {
             if (!scoped)
               WriteOps.atomicOverwrite(spark, newState, tgtPath,
                 t.partitionBy, t.maxRecordsPerFile, t.ref.backend, t.indexBy,
-                t.commitMode)
+                t.commitMode, t.keepVersions)
           }
           // Logging runs AFTER the target write committed, and its
           // inputs are user-controlled (--log field names, --log_ds

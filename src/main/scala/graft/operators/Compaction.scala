@@ -44,14 +44,22 @@ object Compaction {
     * `indexBy` when those columns exist.
     */
   def compact(spark: SparkSession, path: String, indexBy: Seq[String] = Nil,
-              targetFileBytes: Long = 128L << 20): Stats = {
+              targetFileBytes: Long = 128L << 20,
+              keepVersions: Int = 2): Stats = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Stats(0, 0, 0, 0L, 0)
+    // snapshot layouts compact THROUGH the commit protocol: one new
+    // manifest swaps every compacted group at a single commit point
+    // (strictly better atomicity than the in-place path), and prior
+    // generations keep reading their own manifests
+    if (Snapshot.isSnapshotLayout(fs, root))
+      return compactSnapshot(spark, root, fs, indexBy, targetFileBytes,
+        keepVersions)
     require(!Versioned.list(fs, root).exists(_._3),
-      "compaction of a versioned layout would bypass its commit protocol" +
-        " — rewrite through the versioned writer instead")
+      "compaction of a dir-versioned layout would bypass its commit " +
+        "protocol — rewrite through the versioned writer instead")
 
     // leaf dirs = every dir that directly holds data files
     val leaves = scala.collection.mutable.ArrayBuffer.empty[Path]
@@ -115,6 +123,63 @@ object Compaction {
       }
     }
     Stats(dirs, total, compacted, bytes, created)
+  }
+
+  /** The snapshot-layout variant: membership comes from the latest
+    * committed manifest (the pool may also hold other retained
+    * generations' files — those are NOT this version's rows and are
+    * never read or rewritten here). Each hive group's small files
+    * re-layout into the shared pool; ONE manifest commit then swaps
+    * every group atomically. Replaced files stay on disk until no
+    * retained manifest references them (refcount vacuum) — so
+    * time-traveling to the pre-compaction version keeps working.
+    */
+  private def compactSnapshot(spark: SparkSession, root: Path, fs: FileSystem,
+                              indexBy: Seq[String], targetFileBytes: Long,
+                              keepVersions: Int): Stats = {
+    val (_, vdir) = Snapshot.resolveVersion(fs, root, None)
+    val m = Snapshot.manifestAt(fs, vdir).get
+    val dd = Snapshot.dataDir(root)
+    val groups = m.entries.groupBy { e =>
+      val cut = e.rel.lastIndexOf('/')
+      if (cut < 0) "" else e.rel.substring(0, cut)
+    }
+    var dirs = 0; var compacted = 0; var bytes = 0L
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Snapshot.Entry]
+    val stage = new Path(root, s"._snap_stage_${System.nanoTime()}")
+    try {
+      groups.toSeq.sortBy(_._1).foreach { case (dir, entries) =>
+        val small = entries.filter(_.bytes < targetFileBytes)
+        if (small.length < 2) kept ++= entries
+        else {
+          dirs += 1
+          compacted += small.length
+          val smallBytes = small.map(_.bytes).sum
+          bytes += smallBytes
+          kept ++= entries.filterNot(e => e.bytes < targetFileBytes)
+          val df = spark.read.parquet(
+            small.map(e => new Path(dd, e.rel).toString): _*)
+          val nOut = math.max(1L,
+            (smallBytes + targetFileBytes - 1) / targetFileBytes).toInt
+          val keys = indexBy.filter(df.columns.contains)
+          val laid =
+            if (keys.nonEmpty)
+              df.repartitionByRange(nOut, keys.map(col): _*)
+                .sortWithinPartitions(keys.map(col): _*)
+            else df.repartition(nOut)
+          val out = if (dir.isEmpty) stage else new Path(stage, dir)
+          laid.write.mode("overwrite").parquet(out.toString)
+        }
+      }
+      if (dirs == 0) return Stats(0, m.entries.size, 0, 0L, 0)
+      val newEntries = Snapshot.moveIntoPool(fs, stage, dd)
+      Snapshot.commitVersion(fs, root,
+        Snapshot.Manifest(m.schemaDdl, m.partitionBy,
+          (kept ++ newEntries).toSeq), keepVersions)
+      Stats(dirs, m.entries.size, compacted, bytes, newEntries.size)
+    } finally {
+      try fs.delete(stage, true) catch { case _: Throwable => () }
+    }
   }
 
   private def isDataFile(name: String): Boolean =

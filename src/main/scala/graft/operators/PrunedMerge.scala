@@ -146,7 +146,6 @@ object PrunedMerge {
             maxBatchKeys: Long = 1L << 20): Option[Stats] = {
     val pk = if (t.pk.nonEmpty) t.pk else t.skipBy
     if (pk.isEmpty || t.tmap.isDefined) return None
-    if (t.commitMode != "rename") return None
     if (!Set("parquet", "ds").contains(t.ref.backend)) return None
     if (t.op == WriteOp.Create && t.pk.isEmpty && t.skipBy.isEmpty) return None
     if (!pk.forall(current.columns.contains)) return None
@@ -156,11 +155,39 @@ object PrunedMerge {
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hPath)) return None
-    if (Versioned.list(fs, hPath).exists(_._3)) return None
+    // snapshot layouts take the MANIFEST-COMMIT variant of this merge
+    // (new files into the shared pool, untouched files listed by
+    // reference — the protocol this merge exists to pair with);
+    // dir-protocol `versioned` layouts have no file-membership record,
+    // so in-place file swaps would corrupt retained generations →
+    // full rewrite there. In-place swaps otherwise require the plain
+    // rename layout.
+    val snapCtx: Option[(Snapshot.Manifest, Path)] =
+      if (Snapshot.isSnapshotLayout(fs, hPath)) {
+        val (_, vdir) = Snapshot.resolveVersion(fs, hPath, None)
+        Snapshot.manifestAt(fs, vdir).map((_, Snapshot.dataDir(hPath)))
+      } else None
+    if (snapCtx.isEmpty) {
+      if (t.commitMode != "rename") return None
+      if (Versioned.list(fs, hPath).exists(_._3)) return None
+    }
+    // the manifest's layout must agree with the spec's — a mismatch is
+    // a foreign layout exactly like a failed dir walk
+    snapCtx.foreach { case (m, _) => if (m.partitionBy != pcols) return None }
 
     // layout walk: flat files for unpartitioned, exactly-`pcols` hive
-    // dirs for partitioned; anything else is a foreign layout
-    val listed = listLayout(fs, hPath, pcols).getOrElse(return None)
+    // dirs for partitioned; anything else is a foreign layout. On a
+    // snapshot layout the walk runs over the POOL dir and is filtered
+    // to the current manifest's membership (the pool also holds files
+    // of other retained generations — not this version's rows).
+    val listed: Seq[(String, Long, Array[String])] = snapCtx match {
+      case None => listLayout(fs, hPath, pcols).getOrElse(return None)
+      case Some((m, dd)) =>
+        val walked = listLayout(fs, dd, pcols).getOrElse(return None)
+        val byRel = walked.map(f => relPath(dd, new Path(f._1)) -> f).toMap
+        // every member must be on disk at the declared depth
+        m.entries.map(e => byRel.getOrElse(e.rel, return None))
+    }
     if (listed.isEmpty) return None
 
     // prunable pk components: data-resident ones need a stats domain;
@@ -228,7 +255,8 @@ object PrunedMerge {
           current.schema)
       else {
         val r = spark.read.schema(current.schema)
-        (if (pcols.nonEmpty) r.option("basePath", path) else r)
+        val bp = snapCtx.fold(path)(_._2.toString)
+        (if (pcols.nonEmpty) r.option("basePath", bp) else r)
           .parquet(touched.map(_.path): _*)
           .select(current.columns.map(col).toIndexedSeq: _*)
       }
@@ -262,6 +290,31 @@ object PrunedMerge {
       case e: Throwable =>
         try fs.delete(tmp, true) catch { case _: Throwable => () }
         throw e
+    }
+
+    // snapshot layout: no in-place swap — move the rewritten files
+    // into the shared pool and COMMIT a manifest whose membership is
+    // (untouched by reference) ++ (new files). All-or-nothing at the
+    // marker create; prior generations keep reading their own
+    // manifests (time travel through an incremental merge), and the
+    // replaced files are reclaimed by the refcount vacuum once no
+    // retained manifest lists them.
+    snapCtx match {
+      case Some((m, dd)) =>
+        val newEntries =
+          try Snapshot.moveIntoPool(fs, tmp, dd)
+          finally { try fs.delete(tmp, true) catch { case _: Throwable => () } }
+        // scheme-insensitive membership: listStatus returns qualified
+        // paths (file:/…) while manifest entries are pool-relative
+        val touchedRel = touched.map(e => relPath(dd, new Path(e.path))).toSet
+        val untouchedEntries = m.entries.filterNot(e => touchedRel.contains(e.rel))
+        Snapshot.commitVersion(fs, hPath,
+          Snapshot.Manifest(m.schemaDdl, m.partitionBy,
+            untouchedEntries ++ newEntries), t.keepVersions)
+        val totalBytes0 = envelopes.map(_.bytes).sum
+        return Some(Stats(envelopes.size, touched.size, totalBytes0,
+          touched.map(_.bytes).sum))
+      case None => ()
     }
 
     // swap: move new files in (unique spark part names; uniquified

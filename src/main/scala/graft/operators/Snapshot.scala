@@ -1,0 +1,419 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Manifest-based snapshot commit protocol ([EXT], SURVEY §2.10) —
+  * the third commit mode (`--commit snapshot`), closing the gap the
+  * first two leave open: `rename` swaps atomically but keeps no
+  * history; `versioned` keeps one prior generation but each commit is
+  * a FULL data copy, so the byte-proportional writers
+  * ([[PrunedMerge]], [[WriteOps.partitionScopedRewrite]], [[Compaction]])
+  * must decline it. At 100 TB that is a forced choice between
+  * snapshot isolation and not rewriting the table.
+  *
+  * The snapshot layout separates DATA from MEMBERSHIP, the shape of
+  * Iceberg/Delta snapshots re-expressed directly over a directory:
+  *
+  * {{{
+  *   target/
+  *     _data/                         # shared, append-only file pool
+  *       part-<uuid>.parquet …        #   (hive dirs inside for
+  *       p=1/part-<uuid>.parquet …    #    partitioned layouts)
+  *     _v_00000000000000000001/
+  *       _MANIFEST                    # the files this version reads
+  *       _COMMITTED                   # marker creation = commit point
+  * }}}
+  *
+  * A version is its manifest: an ordered list of `_data`-relative file
+  * paths plus the logical schema (DDL) and partition columns. Commits
+  * write new data files into the pool, write the next version's
+  * manifest, then create `_COMMITTED` — one atomic object PUT, same
+  * guarantee as the `versioned` protocol. Readers resolve the highest
+  * committed manifest (or any retained one — time travel) and scan
+  * exactly its file list; files UNREFERENCED by every retained
+  * manifest are vacuumed by refcount. Because membership is a list,
+  * an incremental commit ([[PrunedMerge]] on a snapshot layout) writes
+  * only the touched files and lists the untouched ones by reference —
+  * history costs bytes proportional to what each commit CHANGED, not
+  * to the table.
+  *
+  * Single writer at a time, like every graft writer (the reference's
+  * job model). Crash safety: an unfinished commit leaves an
+  * uncommitted `_v_` dir and possibly orphan pool files — both are
+  * swept by the next successful commit's vacuum; readers never see
+  * them (no marker).
+  */
+object Snapshot {
+
+  val DataDirName = "_data"
+  val ManifestName = "_MANIFEST"
+  private val FormatTag = "graft-snapshot-v1"
+
+  /** One pool file of a version: path RELATIVE to `_data` (hive
+    * partition dirs included), plus its size for metadata-only
+    * accounting (history, merge stats) without a second listing.
+    */
+  final case class Entry(rel: String, bytes: Long)
+
+  /** A version's full membership record. `schemaDdl` preserves the
+    * LOGICAL column order/types (partitioned reads would otherwise
+    * reorder partition columns last and re-infer their types from
+    * path strings).
+    */
+  final case class Manifest(schemaDdl: String, partitionBy: Seq[String],
+                            entries: Seq[Entry]) {
+    def schema: StructType = StructType.fromDDL(schemaDdl)
+    def bytes: Long = entries.map(_.bytes).sum
+  }
+
+  def dataDir(root: Path): Path = new Path(root, DataDirName)
+
+  // ── manifest io (driver-side, O(files) text) ─────────────────────
+
+  private def writeManifest(fs: FileSystem, vdir: Path, m: Manifest): Unit = {
+    val sb = new StringBuilder
+    sb.append(FormatTag).append('\n')
+    sb.append(m.schemaDdl).append('\n')
+    sb.append(m.partitionBy.mkString(",")).append('\n')
+    m.entries.foreach(e => sb.append(e.bytes).append('\t').append(e.rel).append('\n'))
+    val out = fs.create(new Path(vdir, ManifestName), true)
+    try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The manifest of a version dir, None when the dir predates the
+    * snapshot protocol (a `versioned`-mode data dir).
+    */
+  def manifestAt(fs: FileSystem, vdir: Path): Option[Manifest] = {
+    val mp = new Path(vdir, ManifestName)
+    if (!fs.exists(mp)) return None
+    val in = fs.open(mp)
+    val text =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val lines = text.split("\n", -1)
+    require(lines.length >= 3 && lines(0) == FormatTag,
+      s"unrecognized manifest format in $mp")
+    val pcols = lines(2).split(",").filter(_.nonEmpty).toSeq
+    val entries = lines.drop(3).filter(_.nonEmpty).map { l =>
+      val tab = l.indexOf('\t')
+      Entry(l.substring(tab + 1), l.substring(0, tab).toLong)
+    }.toSeq
+    Some(Manifest(lines(1), pcols, entries))
+  }
+
+  /** Committed versions, ascending. */
+  def committed(fs: FileSystem, root: Path): Seq[(Long, Path)] =
+    Versioned.list(fs, root).filter(_._3).sortBy(_._1).map(t => (t._1, t._2))
+
+  /** True when the dataset's LATEST committed version carries a
+    * manifest — the layout-stickiness test ([[WriteOps]] routes every
+    * subsequent write through this protocol regardless of flags, for
+    * the same lost-update reason as `versioned`).
+    */
+  def isSnapshotLayout(fs: FileSystem, root: Path): Boolean =
+    committed(fs, root).lastOption.exists(v => manifestAt(fs, v._2).isDefined)
+
+  // ── read path ────────────────────────────────────────────────────
+
+  /** Resolve a version: latest committed, or an explicit retained one
+    * (time travel). A missing version errors LOUDLY with what is
+    * available — silent fallback to latest would un-pin a reader.
+    */
+  def resolveVersion(fs: FileSystem, root: Path,
+                     at: Option[Long]): (Long, Path) = {
+    val vs = committed(fs, root)
+    require(vs.nonEmpty, s"no committed versions under $root")
+    at match {
+      case None => vs.last
+      case Some(n) =>
+        vs.find(_._1 == n).getOrElse(throw new IllegalArgumentException(
+          s"version $n of $root is not available (retained: " +
+            s"${vs.map(_._1).mkString(", ")}) — older versions are " +
+            "vacuumed per the target's keep-versions setting"))
+    }
+  }
+
+  /** Scan one snapshot: exactly the manifest's files, normalized back
+    * to the manifest's logical schema (column order AND types — hive
+    * path inference must not retype partition columns). Empty
+    * manifests read as an empty frame with the recorded schema.
+    */
+  def readAt(spark: SparkSession, rootStr: String,
+             at: Option[Long] = None): DataFrame = {
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (v, vdir) = resolveVersion(fs, root, at)
+    val m = manifestAt(fs, vdir).getOrElse {
+      // a retained dir-protocol version: its dir IS the data
+      return Resolver.readPlainParquet(spark, vdir.toString)
+    }
+    val cols = m.schema.fields.toIndexedSeq
+      .map(f => col(f.name).cast(f.dataType).as(f.name))
+    if (m.entries.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
+    else {
+      val dd = dataDir(root)
+      val paths = m.entries.map(e => new Path(dd, e.rel).toString)
+      val r = spark.read
+      (if (m.partitionBy.nonEmpty) r.option("basePath", dd.toString) else r)
+        .parquet(paths: _*)
+        .select(cols: _*)
+    }
+  }
+
+  /** Minimal Resolver hook — avoids a Resolver→operators compile cycle
+    * for the rare retained dir-protocol version.
+    */
+  private object Resolver {
+    def readPlainParquet(spark: SparkSession, p: String): DataFrame =
+      spark.read.parquet(p)
+  }
+
+  // ── write path ───────────────────────────────────────────────────
+
+  /** Move every data file of a finished staging dir into the `_data`
+    * pool, preserving partition-relative paths; returns the new pool
+    * entries. Names collide only pathologically (Spark part names
+    * embed a UUID) — uniquified defensively like [[PrunedMerge]].
+    */
+  private[operators] def moveIntoPool(fs: FileSystem, stage: Path,
+                                      dd: Path): Seq[Entry] = {
+    val moved = scala.collection.mutable.ArrayBuffer.empty[(Path, Entry)]
+    try {
+      listDataFilesRec(fs, stage).map { case (src, bytes) =>
+        val rel = relPath(stage, src)
+        var dest = new Path(dd, rel)
+        if (fs.exists(dest)) {
+          val parent = dest.getParent
+          dest = new Path(parent, s"s${System.nanoTime()}-${src.getName}")
+        }
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(src, dest))
+          throw new java.io.IOException(s"snapshot commit: cannot move $src")
+        val e = Entry(relPath(dd, dest), bytes)
+        moved += ((dest, e))
+        e
+      }
+    } catch {
+      case e: Throwable =>
+        // roll back to a byte-identical pool: orphaned moves deleted
+        moved.foreach(p => try fs.delete(p._1, false) catch { case _: Throwable => () })
+        throw e
+    }
+  }
+
+  /** Commit a new version whose membership is `entries`, then vacuum
+    * to `keepVersions` committed generations (data files refcounted
+    * across every retained manifest). Returns the version number.
+    */
+  private[operators] def commitVersion(fs: FileSystem, root: Path,
+                                       m: Manifest, keepVersions: Int): Long = {
+    fs.mkdirs(root)
+    val next = Versioned.list(fs, root).map(_._1).maxOption.getOrElse(0L) + 1
+    val vdir = new Path(root, f"_v_$next%020d")
+    fs.mkdirs(vdir)
+    writeManifest(fs, vdir, m)
+    // COMMIT POINT: one atomic create — no reader can observe a
+    // version whose manifest is not fully written
+    fs.create(new Path(vdir, Versioned.Marker), false).close()
+    vacuum(fs, root, keepVersions)
+    next
+  }
+
+  /** Full-rewrite commit (the `snapshot` branch of
+    * [[WriteOps.atomicOverwrite]]): stage the frame next to the pool,
+    * move files in, commit a manifest listing ONLY them. Layout knobs
+    * (`partitionBy`, `indexBy` range-sort, `maxRecordsPerFile`) match
+    * the other writers, so footer-envelope pruning works identically
+    * on snapshot targets.
+    */
+  def overwrite(spark: SparkSession, df: DataFrame, rootStr: String,
+                partitionBy: Seq[String] = Nil,
+                maxRecordsPerFile: Long = 0,
+                indexBy: Seq[String] = Nil,
+                keepVersions: Int = 2): Unit = {
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    sweepStaleStages(fs, root)
+    // parquet reads are all-nullable regardless of writer schema —
+    // record the normalized form so round-trips compare equal
+    val schemaDdl = org.apache.spark.sql.types.StructType(
+      df.schema.fields.map(_.copy(nullable = true))).toDDL
+    val sortKeys = indexBy.filterNot(partitionBy.contains)
+    val laid0 =
+      if (sortKeys.nonEmpty)
+        df.repartitionByRange(sortKeys.map(col).toIndexedSeq: _*)
+          .sortWithinPartitions(sortKeys.map(col).toIndexedSeq: _*)
+      else df
+    val stage = new Path(root, s"._snap_stage_${System.nanoTime()}")
+    var w = laid0.write.mode("overwrite")
+    if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
+    if (maxRecordsPerFile > 0)
+      w = w.option("maxRecordsPerFile", maxRecordsPerFile.toString)
+    try w.parquet(stage.toString) catch {
+      case e: Throwable =>
+        try fs.delete(stage, true) catch { case _: Throwable => () }
+        throw e
+    }
+    val dd = dataDir(root)
+    fs.mkdirs(dd)
+    val entries = moveIntoPool(fs, stage, dd)
+    fs.delete(stage, true)
+    commitVersion(fs, root, Manifest(schemaDdl, partitionBy, entries),
+      keepVersions)
+  }
+
+  /** Refcounting vacuum: keep the newest `keepVersions` committed
+    * generations (min 1) plus nothing else — uncommitted strays and
+    * older versions are deleted, then every pool file referenced by NO
+    * retained manifest is deleted and emptied hive dirs pruned. A
+    * retained dir-protocol version (pre-snapshot history) suppresses
+    * pool deletion entirely — membership is then not fully known.
+    */
+  def vacuum(fs: FileSystem, root: Path, keepVersions: Int): Unit = {
+    val all = Versioned.list(fs, root)
+    val committedDesc = all.filter(_._3).sortBy(-_._1)
+    val kept = committedDesc.take(math.max(1, keepVersions))
+    val keep = kept.map(_._1).toSet
+    all.foreach { case (n, p, _) =>
+      if (!keep.contains(n)) fs.delete(p, true)
+    }
+    val dd = dataDir(root)
+    if (!fs.exists(dd)) return
+    val manifests = kept.map(v => manifestAt(fs, v._2))
+    if (manifests.exists(_.isEmpty)) return // mixed-protocol history
+    val referenced = manifests.flatMap(_.get.entries.map(_.rel)).toSet
+    listDataFilesRec(fs, dd).foreach { case (p, _) =>
+      if (!referenced.contains(relPath(dd, p))) fs.delete(p, false)
+    }
+    pruneEmptyDirs(fs, dd)
+  }
+
+  private def sweepStaleStages(fs: FileSystem, root: Path): Unit =
+    try fs.listStatus(root).foreach { s =>
+      if (s.getPath.getName.startsWith("._snap_stage_"))
+        try fs.delete(s.getPath, true) catch { case _: Throwable => () }
+    } catch { case _: Throwable => () }
+
+  /** Delete hive dirs the refcount vacuum emptied (children first);
+    * never deletes `dd` itself.
+    */
+  private def pruneEmptyDirs(fs: FileSystem, dd: Path): Unit = {
+    def sweep(d: Path): Boolean = { // true = dir is (now) empty
+      val entries = try fs.listStatus(d) catch { case _: Throwable => return false }
+      val remaining = entries.filterNot { s =>
+        s.isDirectory && sweep(s.getPath) && fs.delete(s.getPath, false)
+      }
+      remaining.isEmpty
+    }
+    try fs.listStatus(dd).foreach { s =>
+      if (s.isDirectory && sweep(s.getPath)) fs.delete(s.getPath, false)
+    } catch { case _: Throwable => () }
+  }
+
+  // ── history / time travel / changelog ────────────────────────────
+
+  /** DESCRIBE HISTORY analog: one row per version dir, newest first.
+    * Metadata-only (manifest read or dir listing — no data scan).
+    */
+  def history(spark: SparkSession, rootStr: String): DataFrame = {
+    import spark.implicits._
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Versioned.list(fs, root).sortBy(-_._1).map { case (n, p, isCommitted) =>
+      val (files, bytes, protocol) = manifestAt(fs, p) match {
+        case Some(m) => (m.entries.size.toLong, m.bytes, "snapshot")
+        case None =>
+          val fl = listDataFilesRec(fs, p)
+          (fl.size.toLong, fl.map(_._2).sum, "versioned")
+      }
+      val committedAt =
+        if (isCommitted)
+          fs.getFileStatus(new Path(p, Versioned.Marker)).getModificationTime
+        else 0L
+      (n, isCommitted, protocol, files, bytes,
+        new java.sql.Timestamp(committedAt))
+    }.toDF("version", "committed", "protocol", "files", "bytes", "committed_at")
+  }
+
+  /** CDC changelog between two retained snapshots, the Delta
+    * CHANGE DATA FEED row shape: full row images tagged
+    * `_change_type` ∈ insert | delete | update_preimage |
+    * update_postimage, `_commit_version` = `toV`. One full-outer
+    * pk join, one pass: each joined row explodes to 0–2 change rows
+    * (0 for unchanged), so the plan is join + generate — no
+    * per-change-type re-scan. Updates compare the non-pk columns
+    * null-safely (a NULL→value transition IS a change).
+    *
+    * At 100 TB both sides are footer-pruned parquet scans of two
+    * manifests that mostly SHARE files; a caller diffing adjacent
+    * incremental commits can first restrict both sides to the
+    * symmetric difference of the manifests' file lists — rows in
+    * shared files are bit-identical by construction. That file-level
+    * optimization composes here via `readAt` + `.where` on
+    * `_metadata.file_path` without changing this row-level contract.
+    */
+  def changelog(spark: SparkSession, rootStr: String, fromV: Long, toV: Long,
+                pk: Seq[String]): DataFrame = {
+    require(pk.nonEmpty, "changelog needs the pk that identifies a row")
+    val from = readAt(spark, rootStr, Some(fromV))
+    val to = readAt(spark, rootStr, Some(toV))
+    require(from.schema == to.schema,
+      s"changelog requires matching snapshot schemas, got " +
+        s"${from.schema.toDDL} vs ${to.schema.toDDL}")
+    val cols = from.columns.toIndexedSeq
+    require(pk.forall(cols.contains), s"pk ${pk.mkString(",")} not in schema")
+    val nonPk = cols.filterNot(pk.contains)
+    val f = from.select(struct(cols.map(col): _*).as("__f__"))
+    val t = to.select(struct(cols.map(col): _*).as("__t__"))
+    val cond = pk.map(c => f("__f__")(c) <=> t("__t__")(c)).reduce(_ && _)
+    def img(side: String, tpe: String) =
+      struct((cols.map(c => col(s"$side.$c").as(c)) :+
+        lit(tpe).as("_change_type")): _*)
+    val changed =
+      if (nonPk.isEmpty) lit(false) // pk-only schema: presence is identity
+      else !(struct(nonPk.map(c => col(s"__f__.$c")): _*) <=>
+        struct(nonPk.map(c => col(s"__t__.$c")): _*))
+    // unchanged rows emit a sentinel dropped right after the explode —
+    // sidesteps constructing a typed empty array literal
+    f.join(t, cond, "full_outer")
+      .select(explode(
+        when(col("__f__").isNull, array(img("__t__", "insert")))
+          .when(col("__t__").isNull, array(img("__f__", "delete")))
+          .when(changed, array(img("__f__", "update_preimage"),
+            img("__t__", "update_postimage")))
+          .otherwise(array(img("__f__", "__unchanged__")))
+      ).as("__c__"))
+      .where(col("__c__._change_type") =!= "__unchanged__")
+      .select((cols.map(c => col(s"__c__.$c")) :+
+        col("__c__._change_type") :+
+        lit(toV).as("_commit_version")): _*)
+  }
+
+  // ── shared fs helpers (also used by PrunedMerge/Compaction) ──────
+
+  private[graft] def listDataFilesRec(fs: FileSystem,
+                                      root: Path): Seq[(Path, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Path, Long)]
+    def walk(d: Path): Unit =
+      (try fs.listStatus(d) catch { case _: Throwable => Array.empty }).foreach { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) ()
+        else if (s.isFile) out += ((s.getPath, s.getLen))
+        else walk(s.getPath)
+      }
+    walk(root)
+    out.toSeq
+  }
+
+  private[graft] def relPath(root: Path, p: Path): String = {
+    val rootUri = root.toUri.getPath.stripSuffix("/")
+    val pUri = p.toUri.getPath
+    require(pUri.startsWith(rootUri + "/"), s"$p not under $root")
+    pUri.substring(rootUri.length + 1)
+  }
+}

@@ -338,13 +338,21 @@ object WriteOps {
 
   /** Commit-mode resolution, factored out so the object-store pin is
     * unit-testable without the (absent-in-sandbox) connector jars:
-    * a versioned layout stays versioned; object-store schemes force
-    * versioned; otherwise the flag decides ("manifest" = legacy alias).
+    * a snapshot layout stays snapshot (strongest protocol — manifest
+    * membership; un-snapshotting via a flag would strand history the
+    * refcount vacuum then never cleans); a versioned layout stays
+    * versioned unless explicitly upgraded to snapshot (safe: both
+    * resolve the highest committed `_v_`, so mixed history reads
+    * correctly and vacuums conservatively); object-store schemes
+    * force at least versioned; otherwise the flag decides
+    * ("manifest" = legacy alias for versioned).
     */
   private[graft] def effectiveCommitMode(scheme: Option[String],
                                          layoutVersioned: Boolean,
-                                         commitMode: String): String =
-    if (layoutVersioned || commitMode == "manifest" ||
+                                         commitMode: String,
+                                         layoutSnapshot: Boolean = false): String =
+    if (layoutSnapshot || commitMode == "snapshot") "snapshot"
+    else if (layoutVersioned || commitMode == "manifest" ||
       scheme.exists(s => NonAtomicRenameSchemes.contains(s.toLowerCase)))
       "versioned"
     else commitMode
@@ -354,7 +362,8 @@ object WriteOps {
                       maxRecordsPerFile: Long = 0,
                       format: String = "parquet",
                       indexBy: Seq[String] = Nil,
-                      commitMode: String = "rename"): Unit = {
+                      commitMode: String = "rename",
+                      keepVersions: Int = 2): Unit = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val laid = indexLayout(df, indexBy)
@@ -380,13 +389,23 @@ object WriteOps {
     // put data where the version resolver never looks (lost update),
     // exactly like un-formatting a Delta table with a CLI switch
     require(commitMode == "rename" || commitMode == "versioned" ||
-      commitMode == "manifest", // legacy alias for versioned
-      s"unknown commitMode: $commitMode (rename|versioned) — an " +
+      commitMode == "manifest" || // legacy alias for versioned
+      commitMode == "snapshot",
+      s"unknown commitMode: $commitMode (rename|versioned|snapshot) — an " +
         "unrecognized mode must never silently downgrade atomicity")
-    val layoutVersioned = Versioned.list(fs, hPath).exists(_._3)
+    val layoutSnapshot = Snapshot.isSnapshotLayout(fs, hPath)
+    val layoutVersioned = !layoutSnapshot && Versioned.list(fs, hPath).exists(_._3)
     val effMode = effectiveCommitMode(
-      Option(hPath.toUri.getScheme), layoutVersioned, commitMode)
+      Option(hPath.toUri.getScheme), layoutVersioned, commitMode, layoutSnapshot)
     effMode match {
+      case "snapshot" =>
+        // manifest membership + shared data pool ([[Snapshot]]);
+        // parquet-only — the pool files must carry footer stats for
+        // the pruned writers this protocol exists to enable
+        require(format == "parquet",
+          s"snapshot commit protocol supports parquet targets, got $format")
+        Snapshot.overwrite(spark, laid, path, partitionBy,
+          maxRecordsPerFile, Nil, keepVersions)
       case "versioned" => // object-store-atomic commit
         fs.mkdirs(hPath)
         val before = Versioned.list(fs, hPath)

@@ -57,7 +57,10 @@ object Resolver {
     val mode = if (failOnError) "FAILFAST" else "DROPMALFORMED"
     ref.backend match {
       case "parquet" =>
-        readParquet(spark, path(ref))
+        // [EXT] `_version=N` time travel: pin the scan to a RETAINED
+        // committed snapshot/versioned generation instead of latest
+        readParquet(spark, path(ref),
+          query.collectFirst { case ("_version", v) => v.toLong })
       case "mongodb" | "mongo" | "es" | "elasticsearch" =>
         // S2/S3: real connector pass-through behind the same DatasetRef
         // (reference backends, etl_cli/etl.py:252-257); parquet
@@ -117,11 +120,25 @@ object Resolver {
     * session still fails with the loud PARQUET_TYPE_ILLEGAL error
     * instead of silently yielding long columns.
     */
-  def readParquet(spark: SparkSession, pathStr: String): DataFrame = {
-    val p = resolveVersioned(spark, pathStr)
-    val nanos = nanoTimestampCols(spark, p)
-    if (nanos.isEmpty) spark.read.parquet(p)
-    else convertNanoCols(withNanosAsLong(spark)(spark.read.parquet(p)), nanos)
+  def readParquet(spark: SparkSession, pathStr: String,
+                  atVersion: Option[Long] = None): DataFrame = {
+    val hp = new org.apache.hadoop.fs.Path(pathStr)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // snapshot layout: membership comes from the committed manifest
+    // (shared-pool files — a dir listing would over-read); also the
+    // only layouts where `_version` time travel is meaningful
+    if (graft.operators.Snapshot.isSnapshotLayout(fs, hp))
+      return graft.operators.Snapshot.readAt(spark, pathStr, atVersion)
+    atVersion match {
+      case Some(v) =>
+        val (_, vdir) = graft.operators.Snapshot.resolveVersion(fs, hp, Some(v))
+        spark.read.parquet(vdir.toString) // a retained dir-protocol version
+      case None =>
+        val p = resolveVersioned(spark, pathStr)
+        val nanos = nanoTimestampCols(spark, p)
+        if (nanos.isEmpty) spark.read.parquet(p)
+        else convertNanoCols(withNanosAsLong(spark)(spark.read.parquet(p)), nanos)
+    }
   }
 
   /** Datasets written with the `versioned` commit protocol read their

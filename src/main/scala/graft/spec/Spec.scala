@@ -135,7 +135,10 @@ final case class TargetSpec(
     indexBy: Seq[String] = Nil,             // O6 --mongo-index → range-sorted file layout
     partitionBy: Seq[String] = Nil,         // [EXT] hive-style partition cols
     maxRecordsPerFile: Long = 0,            // [EXT] file sizing (s3 batch analog, etl.py:129-133)
-    commitMode: String = "rename",          // [EXT] --commit rename|versioned (S3-atomic)
+    commitMode: String = "rename",          // [EXT] --commit rename|versioned|snapshot
+    keepVersions: Int = 2,                  // [EXT] --keep-versions: committed
+                                            // generations the snapshot/versioned
+                                            // protocols retain (time-travel depth)
     tmap: Option[String] = None)            // W11 --tmap: DDL schema the batch
                                             // is cast to before writing (the
                                             // lake analog of the reference's

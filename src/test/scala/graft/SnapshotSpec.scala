@@ -1,0 +1,275 @@
+package graft
+
+import graft.operators.{Compaction, PrunedMerge, Snapshot, WriteOps}
+import graft.spec.{DatasetRef, JobSpec, SourceSpec, TargetSpec, WriteOp}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The manifest-based snapshot commit protocol: write/read round
+  * trips, layout stickiness, time travel through full and INCREMENTAL
+  * (pruned-merge) commits, refcounting vacuum, atomic snapshot
+  * compaction, the CDC changelog row contract, history metadata, and
+  * the CLI/DSL surface (`_version`, --at-version, --commit snapshot).
+  */
+class SnapshotSpec extends SparkSpec {
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def fs =
+    new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def sortedRows(df: DataFrame): Seq[Seq[Any]] =
+    rows(df.orderBy(df.columns.map(col).toIndexedSeq: _*))
+
+  private def manifestRels(root: String, v: Long): Set[String] = {
+    val (_, vdir) = Snapshot.resolveVersion(fs, new Path(root), Some(v))
+    Snapshot.manifestAt(fs, vdir).get.entries.map(_.rel).toSet
+  }
+
+  private def poolFiles(root: String): Set[String] =
+    Snapshot.listDataFilesRec(fs, Snapshot.dataDir(new Path(root)))
+      .map(f => Snapshot.relPath(Snapshot.dataDir(new Path(root)), f._1)).toSet
+
+  private def base(n: Int) = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, s"v$i", i % 7)).toDF("id", "txt", "grp")
+  }
+
+  /** Parquet round-trips are all-nullable — the comparable form. */
+  private def nullable(s: org.apache.spark.sql.types.StructType) =
+    org.apache.spark.sql.types.StructType(s.fields.map(_.copy(nullable = true)))
+
+  test("snapshot overwrite round-trips rows, schema order and types") {
+    val dir = freshDir("snap_rt")
+    val p = s"$dir/t.parquet"
+    val df = base(500)
+    WriteOps.atomicOverwrite(spark, df, p, indexBy = Seq("id"),
+      maxRecordsPerFile = 100, commitMode = "snapshot")
+    val back = graft.sources.Resolver.readParquet(spark, p)
+    assert(back.schema == nullable(df.schema))
+    assert(sortedRows(back) == sortedRows(df))
+    // files live in the shared pool, the version dir holds metadata only
+    assert(fs.exists(new Path(s"$p/_data")))
+    assert(manifestRels(p, 1).nonEmpty)
+  }
+
+  test("partitioned snapshot keeps partition column order AND declared type") {
+    val dir = freshDir("snap_part")
+    val p = s"$dir/t.parquet"
+    import spark.implicits._
+    // string partition values that LOOK numeric — naive hive path
+    // inference would retype them to int
+    val df = (0 until 200).map(i => (i.toLong, (i % 3).toString, s"x$i"))
+      .toDF("id", "bucket", "txt")
+    WriteOps.atomicOverwrite(spark, df, p, partitionBy = Seq("bucket"),
+      indexBy = Seq("id"), commitMode = "snapshot")
+    val back = graft.sources.Resolver.readParquet(spark, p)
+    assert(back.schema == nullable(df.schema),
+      s"expected ${df.schema.toDDL}, got ${back.schema.toDDL}")
+    assert(sortedRows(back) == sortedRows(df))
+  }
+
+  test("snapshot layout is sticky: later writes ignore a weaker --commit flag") {
+    val dir = freshDir("snap_sticky")
+    val p = s"$dir/t.parquet"
+    WriteOps.atomicOverwrite(spark, base(100), p, commitMode = "snapshot")
+    WriteOps.atomicOverwrite(spark, base(60), p, commitMode = "rename")
+    assert(Snapshot.isSnapshotLayout(fs, new Path(p)))
+    assert(Snapshot.committed(fs, new Path(p)).map(_._1) == Seq(1L, 2L))
+    assert(sortedRows(graft.sources.Resolver.readParquet(spark, p)) ==
+      sortedRows(base(60)))
+  }
+
+  test("time travel: retained versions read their own membership; missing is loud") {
+    val dir = freshDir("snap_tt")
+    val p = s"$dir/t.parquet"
+    WriteOps.atomicOverwrite(spark, base(100), p, commitMode = "snapshot")
+    WriteOps.atomicOverwrite(spark, base(40), p, commitMode = "snapshot")
+    assert(sortedRows(Snapshot.readAt(spark, p, Some(1))) == sortedRows(base(100)))
+    assert(sortedRows(Snapshot.readAt(spark, p, Some(2))) == sortedRows(base(40)))
+    assert(sortedRows(Snapshot.readAt(spark, p, None)) == sortedRows(base(40)))
+    // default retention = 2: a third commit vacuums v1
+    WriteOps.atomicOverwrite(spark, base(10), p, commitMode = "snapshot")
+    val e = intercept[IllegalArgumentException](Snapshot.readAt(spark, p, Some(1)))
+    assert(e.getMessage.contains("retained: 2, 3"))
+    // and the pool no longer holds v1-only files
+    assert(poolFiles(p) == manifestRels(p, 2) ++ manifestRels(p, 3))
+  }
+
+  test("_version reaches the scan through the DSL/Resolver and the engine read path") {
+    val dir = freshDir("snap_dsl")
+    val p = s"$dir/t.parquet"
+    WriteOps.atomicOverwrite(spark, base(100), p, commitMode = "snapshot")
+    WriteOps.atomicOverwrite(spark, base(40), p, commitMode = "snapshot")
+    val ref = DatasetRef("parquet", dir, "t")
+    val v1 = graft.engine.Planner.sourceFrame(spark,
+      SourceSpec(ref, Seq("_version" -> "1", "id__gte" -> "50")), true)
+    assert(rows(v1.select(count(lit(1)))).head.head == 50L)
+    val latest = graft.engine.Planner.sourceFrame(spark,
+      SourceSpec(ref, Seq("id__gte" -> "0")), true)
+    assert(rows(latest.select(count(lit(1)))).head.head == 40L)
+  }
+
+  test("pruned merge on a snapshot layout: incremental commit, shared files, time travel") {
+    val dir = freshDir("snap_pm")
+    val p = s"$dir/t.parquet"
+    val b = base(4000)
+    WriteOps.atomicOverwrite(spark, b, p, indexBy = Seq("id"),
+      maxRecordsPerFile = 500, commitMode = "snapshot")
+    val spec = TargetSpec(DatasetRef("parquet", dir, "t"),
+      op = WriteOp.Upsert, pk = Seq("id"), indexBy = Seq("id"),
+      commitMode = "snapshot", keepVersions = 3)
+    val batch = b.filter(col("id") < 200).withColumn("txt", lit("upd"))
+    val current = graft.sources.Resolver.readParquet(spark, p)
+    val st = PrunedMerge.merge(spark, current, batch, spec, p)
+    assert(st.isDefined, "snapshot layout must take the pruned path")
+    assert(st.get.filesRewritten > 0 && st.get.filesRewritten < st.get.filesTotal,
+      s"expected a strict file subset, got $st")
+    // v2 = v1 minus touched plus new: untouched files are SHARED
+    val m1 = manifestRels(p, 1); val m2 = manifestRels(p, 2)
+    val shared = m1.intersect(m2)
+    assert(shared.size == st.get.filesTotal - st.get.filesRewritten)
+    assert(poolFiles(p) == m1 ++ m2, "pool = union of retained manifests")
+    // current read sees the merge; v1 still reads the PRE-merge rows
+    val expected = b.withColumn("txt",
+      when(col("id") < 200, lit("upd")).otherwise(col("txt")))
+    assert(sortedRows(graft.sources.Resolver.readParquet(spark, p)) ==
+      sortedRows(expected))
+    assert(sortedRows(Snapshot.readAt(spark, p, Some(1))) == sortedRows(b))
+  }
+
+  test("partitioned snapshot pruned merge: only intersecting files inside partitions") {
+    val dir = freshDir("snap_pmp")
+    val p = s"$dir/t.parquet"
+    val b = base(4000)
+    WriteOps.atomicOverwrite(spark, b, p, partitionBy = Seq("grp"),
+      indexBy = Seq("id"), maxRecordsPerFile = 300, commitMode = "snapshot")
+    val spec = TargetSpec(DatasetRef("parquet", dir, "t"),
+      op = WriteOp.Upsert, pk = Seq("id"), indexBy = Seq("id"),
+      partitionBy = Seq("grp"), commitMode = "snapshot")
+    val batch = b.filter(col("id") < 100).withColumn("txt", lit("upd"))
+    val st = PrunedMerge.merge(spark,
+      graft.sources.Resolver.readParquet(spark, p), batch, spec, p)
+    assert(st.exists(s => s.filesRewritten > 0 && s.filesRewritten < s.filesTotal),
+      s"expected a strict subset, got $st")
+    val expected = b.withColumn("txt",
+      when(col("id") < 100, lit("upd")).otherwise(col("txt")))
+    assert(sortedRows(graft.sources.Resolver.readParquet(spark, p)) ==
+      sortedRows(expected))
+  }
+
+  test("runner end-to-end on a snapshot target: upsert commits v2 incrementally") {
+    val dir = freshDir("snap_runner")
+    val p = s"$dir/t.parquet"
+    WriteOps.atomicOverwrite(spark, base(2000), p, indexBy = Seq("id"),
+      maxRecordsPerFile = 250, commitMode = "snapshot")
+    val src = s"$dir/src.parquet"
+    base(2000).filter(col("id") < 50).withColumn("txt", lit("upd"))
+      .write.parquet(src)
+    graft.engine.Runner.execute(spark, JobSpec(
+      SourceSpec(DatasetRef("parquet", dir, "src")),
+      target = Some(TargetSpec(DatasetRef("parquet", dir, "t"),
+        op = WriteOp.Upsert, pk = Seq("id"), indexBy = Seq("id"),
+        skipTimestamp = true))), log = false)
+    assert(Snapshot.committed(fs, new Path(p)).map(_._1) == Seq(1L, 2L))
+    val m1 = manifestRels(p, 1); val m2 = manifestRels(p, 2)
+    assert(m1.intersect(m2).nonEmpty, "runner upsert should share untouched files")
+    val back = graft.sources.Resolver.readParquet(spark, p)
+    assert(rows(back.filter(col("txt") === "upd").select(count(lit(1))))
+      .head.head == 50L)
+    assert(rows(back.select(count(lit(1)))).head.head == 2000L)
+  }
+
+  test("snapshot compaction: one atomic commit repairs fragmentation, old version readable") {
+    val dir = freshDir("snap_cp")
+    val p = s"$dir/t.parquet"
+    val b = base(4000)
+    WriteOps.atomicOverwrite(spark, b, p, indexBy = Seq("id"),
+      maxRecordsPerFile = 500, commitMode = "snapshot")
+    // fragment: disjoint-key inserts append small growth files
+    val spec = TargetSpec(DatasetRef("parquet", dir, "t"),
+      op = WriteOp.Insert, pk = Seq("id"), indexBy = Seq("id"),
+      commitMode = "snapshot", keepVersions = 10)
+    for (i <- 1L to 3L) {
+      val batch = b.filter(col("id") < 30).withColumn("id", col("id") + 100000L * i)
+      val st = PrunedMerge.merge(spark,
+        graft.sources.Resolver.readParquet(spark, p), batch, spec, p)
+      assert(st.exists(_.filesRewritten == 0), s"insert $i should append only: $st")
+    }
+    val expected = sortedRows(graft.sources.Resolver.readParquet(spark, p))
+    val nBefore = manifestRels(p, 4).size
+    val big = Snapshot.listDataFilesRec(fs, Snapshot.dataDir(new Path(p)))
+      .map(_._2).max
+    val st = Compaction.compact(spark, p, Seq("id"), big / 2, keepVersions = 10)
+    assert(st.dirsCompacted == 1 && st.filesCompacted >= 3)
+    assert(manifestRels(p, 5).size < nBefore)
+    assert(sortedRows(graft.sources.Resolver.readParquet(spark, p)) == expected)
+    // pre-compaction version still reads bit-identically (retention 10)
+    assert(sortedRows(Snapshot.readAt(spark, p, Some(4))) == expected)
+  }
+
+  test("changelog classifies insert/delete/update with pre+post images") {
+    val dir = freshDir("snap_cdc")
+    val p = s"$dir/t.parquet"
+    import spark.implicits._
+    val v1 = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, null: String, 40))
+      .toDF("id", "txt", "v")
+    val v2 = Seq((1L, "a", 10),          // unchanged → no row
+                 (2L, "B", 20),          // update (value change)
+                 (4L, "now", 40),        // update (NULL → value IS a change)
+                 (5L, "new", 50))        // insert; 3 deleted
+      .toDF("id", "txt", "v")
+    WriteOps.atomicOverwrite(spark, v1, p, commitMode = "snapshot")
+    WriteOps.atomicOverwrite(spark, v2, p, commitMode = "snapshot")
+    val cl = Snapshot.changelog(spark, p, 1, 2, Seq("id"))
+    assert(cl.columns.toSeq ==
+      Seq("id", "txt", "v", "_change_type", "_commit_version"))
+    val got = sortedRows(cl.select("id", "txt", "_change_type", "_commit_version"))
+    val want = sortedRows(Seq(
+      (2L, "b", "update_preimage", 2L), (2L, "B", "update_postimage", 2L),
+      (4L, null: String, "update_preimage", 2L), (4L, "now", "update_postimage", 2L),
+      (3L, "c", "delete", 2L), (5L, "new", "insert", 2L))
+      .toDF("id", "txt", "_change_type", "_commit_version"))
+    assert(got == want)
+  }
+
+  test("history lists versions with protocol, file and byte metadata") {
+    val dir = freshDir("snap_hist")
+    val p = s"$dir/t.parquet"
+    WriteOps.atomicOverwrite(spark, base(100), p, commitMode = "snapshot",
+      maxRecordsPerFile = 30)
+    WriteOps.atomicOverwrite(spark, base(10), p, commitMode = "snapshot")
+    val h = rows(Snapshot.history(spark, p)
+      .select("version", "committed", "protocol", "files"))
+    assert(h.map(_.take(3)) == Seq(Seq(2L, true, "snapshot"), Seq(1L, true, "snapshot")))
+    assert(h.head(3).asInstanceOf[Long] >= 1L)
+    assert(h(1)(3).asInstanceOf[Long] >= 4L) // 100 rows / 30 per file
+  }
+
+  test("keep-versions > 2 deepens retention; vacuum respects the refcount") {
+    val dir = freshDir("snap_keep")
+    val p = s"$dir/t.parquet"
+    for (i <- 1 to 4)
+      WriteOps.atomicOverwrite(spark, base(10 * i), p, commitMode = "snapshot",
+        keepVersions = 3)
+    assert(Snapshot.committed(fs, new Path(p)).map(_._1) == Seq(2L, 3L, 4L))
+    assert(poolFiles(p) ==
+      manifestRels(p, 2) ++ manifestRels(p, 3) ++ manifestRels(p, 4))
+    assert(sortedRows(Snapshot.readAt(spark, p, Some(2))) == sortedRows(base(20)))
+  }
+
+  test("changelog on mismatched schemas refuses loudly") {
+    val dir = freshDir("snap_clerr")
+    val p = s"$dir/t.parquet"
+    import spark.implicits._
+    WriteOps.atomicOverwrite(spark, Seq((1L, "a")).toDF("id", "txt"), p,
+      commitMode = "snapshot", keepVersions = 3)
+    WriteOps.atomicOverwrite(spark, Seq((1L, "a", 1)).toDF("id", "txt", "extra"),
+      p, commitMode = "snapshot", keepVersions = 3)
+    val e = intercept[IllegalArgumentException](
+      Snapshot.changelog(spark, p, 1, 2, Seq("id")))
+    assert(e.getMessage.contains("matching snapshot schemas"))
+  }
+}
