@@ -217,6 +217,71 @@ object SparkEntry {
       s.read.parquet(p).orderBy("o_orderkey")
     }),
 
+    // ── [EXT r9] snapshot time travel, driver-visible: the upsert
+    // commits an INCREMENTAL manifest version (in-query requires prove
+    // a strict-subset rewrite AND cross-version file sharing); reading
+    // `_version=1` afterwards must return the PRE-upsert table
+    // bit-for-bit, while the latest read sees the merge. The oracle
+    // replays both logical states from the source table.
+    "q_time_travel" -> ((s, dir) => {
+      val scratch = java.nio.file.Files.createTempDirectory("graft_tt").toString
+      val orders = read(s, dir, "orders")
+      val p = s"$scratch/orders_t.parquet"
+      WriteOps.atomicOverwrite(s, orders, p, indexBy = Seq("o_orderkey"),
+        maxRecordsPerFile = math.max(500, orders.count() / 24),
+        commitMode = "snapshot")
+      val batch = orders.filter(col("o_orderkey") < 1000)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val stats = graft.operators.PrunedMerge.merge(
+        s, graft.sources.Resolver.readParquet(s, p), batch,
+        TargetSpec(DatasetRef("parquet", scratch, "orders_t"),
+          op = WriteOp.Upsert, pk = Seq("o_orderkey"),
+          indexBy = Seq("o_orderkey"), commitMode = "snapshot"), p)
+      require(stats.exists(st => st.filesRewritten > 0 &&
+        st.filesRewritten < st.filesTotal),
+        s"snapshot pruned merge must rewrite a strict subset, got $stats")
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def rels(v: Long) = {
+        val (_, vd) = graft.operators.Snapshot.resolveVersion(
+          fs, new org.apache.hadoop.fs.Path(p), Some(v))
+        graft.operators.Snapshot.manifestAt(fs, vd).get.entries.map(_.rel).toSet
+      }
+      require(rels(1).intersect(rels(2)).nonEmpty,
+        "incremental commit must share untouched files across versions")
+      val v1 = graft.sources.Resolver.readParquet(s, p, Some(1L))
+        .withColumn("snap", lit("v1"))
+      val v2 = graft.sources.Resolver.readParquet(s, p, Some(2L))
+        .withColumn("snap", lit("v2"))
+      v1.unionAll(v2).select("snap", "o_orderkey", "o_totalprice")
+        .orderBy("snap", "o_orderkey")
+    }),
+
+    // ── [EXT r9] CDC changelog between two snapshot versions: full
+    // row images classified insert / delete / update_preimage /
+    // update_postimage (the Delta CDF row contract) from ONE
+    // full-outer pk join. v2 is a deterministic transform of orders —
+    // the oracle enumerates the expected change rows per class.
+    "q_changelog" -> ((s, dir) => {
+      val scratch = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+      val orders = read(s, dir, "orders")
+      val p = s"$scratch/orders_t.parquet"
+      WriteOps.atomicOverwrite(s, orders, p, indexBy = Seq("o_orderkey"),
+        commitMode = "snapshot")
+      val v2 = orders
+        .filter(!(col("o_orderkey") >= 1000 && col("o_orderkey") < 2000)) // deletes
+        .withColumn("o_totalprice", // updates
+          when(col("o_orderkey") < 1000, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+        .unionAll(orders.filter(col("o_orderkey") < 100) // inserts
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      WriteOps.atomicOverwrite(s, v2, p, indexBy = Seq("o_orderkey"),
+        commitMode = "snapshot")
+      graft.operators.Snapshot.changelog(s, p, 1L, 2L, Seq("o_orderkey"))
+        .select("o_orderkey", "o_totalprice", "_change_type", "_commit_version")
+        .orderBy("o_orderkey", "_change_type")
+    }),
+
     // ── J11/O4 self-update fixpoint, driver-visible: chunked
     // processing of a scratch copy of `orders` to convergence. Each
     // iteration reads the _contid-unmarked rows capped at ~40% of the
@@ -1351,6 +1416,34 @@ object SparkEntry {
                 CASE WHEN o_orderkey < 1000 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
                 o_orderdate, o_orderpriority
          FROM orders ORDER BY o_orderkey""",
+    // both retained snapshot generations replayed from the source:
+    // v1 = the table as written, v2 = after the keyed upsert
+    "q_time_travel" ->
+      """SELECT snap, o_orderkey, o_totalprice FROM (
+           SELECT 'v1' AS snap, o_orderkey, o_totalprice FROM orders
+           UNION ALL
+           SELECT 'v2', o_orderkey,
+                  CASE WHEN o_orderkey < 1000 THEN o_totalprice * 2 ELSE o_totalprice END
+           FROM orders)
+         ORDER BY snap, o_orderkey""",
+    // the expected CDC rows per class: keys < 1000 changed price
+    // (pre+post image), [1000, 2000) deleted, < 100 re-inserted
+    // under offset keys
+    "q_changelog" ->
+      """SELECT o_orderkey, o_totalprice, _change_type,
+                CAST(2 AS BIGINT) AS _commit_version FROM (
+           SELECT o_orderkey, o_totalprice, 'update_preimage' AS _change_type
+           FROM orders WHERE o_orderkey < 1000
+           UNION ALL
+           SELECT o_orderkey, o_totalprice * 2, 'update_postimage'
+           FROM orders WHERE o_orderkey < 1000
+           UNION ALL
+           SELECT o_orderkey, o_totalprice, 'delete'
+           FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+           UNION ALL
+           SELECT o_orderkey + 10000000, o_totalprice, 'insert'
+           FROM orders WHERE o_orderkey < 100)
+         ORDER BY o_orderkey, _change_type""",
     "q_write_insert" ->
       """SELECT * FROM (
            SELECT * FROM orders
