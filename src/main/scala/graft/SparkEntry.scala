@@ -282,6 +282,24 @@ object SparkEntry {
         .orderBy("o_orderkey", "_change_type")
     }),
 
+    // ── [EXT r9] incremental materialized rollup: three disjoint
+    // batches summarized INDEPENDENTLY to mergeable partial states,
+    // merged, finished — must equal the direct GROUP BY over the whole
+    // table (the maintenance law, oracled). At scale each batch costs
+    // one scan + a state-sized hash merge, never a fact-table re-scan.
+    "q_rollup_incr" -> ((s, dir) => {
+      import graft.ext.RollupOps
+      val li = read(s, dir, "lineitem")
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val aggs = RollupOps.parse(Seq(
+        "count", "sum:l_quantity", "min:l_quantity",
+        "max:l_extendedprice", "avg:l_discount"))
+      val states = (0 until 3).map(i =>
+        RollupOps.summarize(li.filter(col("l_orderkey") % 3 === i), keys, aggs))
+      RollupOps.finish(RollupOps.merge(states, keys), keys, aggs)
+        .orderBy(keys.map(col): _*)
+    }),
+
     // ── J11/O4 self-update fixpoint, driver-visible: chunked
     // processing of a scratch copy of `orders` to convergence. Each
     // iteration reads the _contid-unmarked rows capped at ~40% of the
@@ -1426,6 +1444,16 @@ object SparkEntry {
                   CASE WHEN o_orderkey < 1000 THEN o_totalprice * 2 ELSE o_totalprice END
            FROM orders)
          ORDER BY snap, o_orderkey""",
+    // the incremental-maintenance law's ground truth: the DIRECT
+    // grouped aggregate over the whole fact table
+    "q_rollup_incr" ->
+      """SELECT l_returnflag, l_linestatus,
+                count(*) AS n,
+                sum(l_quantity) AS sum_l_quantity,
+                min(l_quantity) AS min_l_quantity,
+                max(l_extendedprice) AS max_l_extendedprice,
+                avg(l_discount) AS avg_l_discount
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
     // the expected CDC rows per class: keys < 1000 changed price
     // (pre+post image), [1000, 2000) deleted, < 100 re-inserted
     // under offset keys

@@ -1,0 +1,139 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental materialized-rollup maintenance ([EXT], SURVEY §2.10).
+  *
+  * The 100 TB pattern: a rollup (grouped aggregate) over an
+  * append-only fact stream must not re-aggregate history on every
+  * batch. The classic fix — the same commutative-monoid decomposition
+  * every streaming/OLAP engine uses for partial aggregation — is to
+  * keep a PARTIAL STATE table instead of the finished numbers:
+  *
+  *   count → sum of per-batch counts        sum → sum of sums
+  *   min/max → min/max of per-batch min/max avg → (sum, count) pair
+  *
+  * [[summarize]] folds one batch to its state rows (a map-side-combine
+  * hash aggregate — one scan of the batch only); [[merge]] combines
+  * state tables (associative AND commutative, so any batch order or
+  * grouping yields the bit-identical state — the law ScalaTest
+  * enforces); [[finish]] derives the user-facing columns. Maintaining
+  * a 10⁹-group rollup over a 10⁶-row batch costs one batch scan plus
+  * a state-sized hash merge — never a fact-table scan. The state
+  * table is keyed by the group columns, so persisting it through the
+  * keyed writers gets footer-envelope pruning and snapshot commits
+  * like any other target.
+  *
+  * State columns are SELF-DESCRIBING by prefix (`__n`, `__cnt_f`,
+  * `__sum_f`, `__min_f`, `__max_f`): [[merge]] needs no agg list, so
+  * independently-produced state tables (different jobs, different
+  * days) combine without coordination. Exactness: counts and integral
+  * sums are exact; double sums are floating-point like every engine's
+  * SUM — the law compares finished values, and the driver oracle
+  * rounds the way the gate rounds all doubles.
+  */
+object RollupOps {
+
+  /** One requested aggregate: `fn` ∈ count | sum | min | max | avg;
+    * `field` empty for count(*).
+    */
+  final case class Agg(fn: String, field: String = "") {
+    require(Set("count", "sum", "min", "max", "avg").contains(fn),
+      s"unknown rollup aggregate: $fn")
+    require(fn == "count" || field.nonEmpty, s"$fn needs a field")
+    /** The finished output column name (`n` for count(*)). */
+    def outName: String =
+      if (fn == "count" && field.isEmpty) "n" else s"${fn}_$field"
+  }
+
+  def parse(specs: Seq[String]): Seq[Agg] = specs.map { s =>
+    s.split(":", 2) match {
+      case Array(fn)    => Agg(fn.trim)
+      case Array(fn, f) => Agg(fn.trim, f.trim)
+    }
+  }
+
+  /** The state columns a set of aggs needs (deduplicated — avg shares
+    * the sum/cnt states with sum/count of the same field).
+    */
+  private def stateCols(aggs: Seq[Agg]): Seq[(String, String, String)] = {
+    // (stateName, srcFn, field)
+    val wanted = aggs.flatMap {
+      case Agg("count", "") => Seq(("__n", "count", ""))
+      case Agg("count", f)  => Seq((s"__cnt_$f", "count", f))
+      case Agg("sum", f)    => Seq((s"__sum_$f", "sum", f))
+      case Agg("min", f)    => Seq((s"__min_$f", "min", f))
+      case Agg("max", f)    => Seq((s"__max_$f", "max", f))
+      case Agg("avg", f)    => Seq((s"__sum_$f", "sum", f), (s"__cnt_$f", "count", f))
+      case a => throw new IllegalArgumentException(s"unhandled agg $a")
+    }
+    wanted.distinct
+  }
+
+  /** Fold one batch into its partial-state rows: `keys` + the state
+    * columns. One hash aggregate (partial+final) over the batch.
+    */
+  def summarize(batch: DataFrame, keys: Seq[String], aggs: Seq[Agg]): DataFrame = {
+    require(keys.nonEmpty, "rollup needs group keys")
+    val states = stateCols(aggs).map {
+      case (name, "count", "") => count(lit(1)).as(name)
+      case (name, "count", f)  => count(col(f)).as(name)
+      case (name, "sum", f)    => sum(col(f)).as(name)
+      case (name, "min", f)    => min(col(f)).as(name)
+      case (name, "max", f)    => max(col(f)).as(name)
+      case (name, fn, f) =>
+        throw new IllegalArgumentException(s"unhandled state $name $fn $f")
+    }
+    batch.groupBy(keys.map(col): _*).agg(states.head, states.tail: _*)
+  }
+
+  /** Combine partial-state tables (any number, any order). The merge
+    * function per column is DERIVED FROM ITS NAME — `__min_`/`__max_`
+    * keep min/max, everything else (`__n`, `__cnt_`, `__sum_`) adds.
+    * A group absent from one side contributes its identity (null-skip
+    * of the hash aggregate), so disjoint states concatenate for free.
+    */
+  def merge(states: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "merge needs at least one state table")
+    val cols = states.head.columns.toSeq
+    states.foreach(s => require(s.columns.toSeq == cols,
+      s"state schemas must match: $cols vs ${s.columns.toSeq}"))
+    val unioned = states.reduce(_ unionAll _)
+    val stateNames = cols.filterNot(keys.contains)
+    val combine = stateNames.map { n =>
+      if (n.startsWith("__min_")) min(col(n)).as(n)
+      else if (n.startsWith("__max_")) max(col(n)).as(n)
+      else sum(col(n)).as(n)
+    }
+    unioned.groupBy(keys.map(col): _*).agg(combine.head, combine.tail: _*)
+  }
+
+  /** Derive the finished rollup from a state table. Counts come back
+    * as BIGINT; `avg` is `__sum / __cnt` (null for all-null groups,
+    * matching plain AVG).
+    */
+  def finish(state: DataFrame, keys: Seq[String], aggs: Seq[Agg]): DataFrame = {
+    val outs = aggs.map {
+      case a @ Agg("count", "") => col("__n").as(a.outName)
+      case a @ Agg("count", f)  => col(s"__cnt_$f").as(a.outName)
+      case a @ Agg("sum", f)    => col(s"__sum_$f").as(a.outName)
+      case a @ Agg("min", f)    => col(s"__min_$f").as(a.outName)
+      case a @ Agg("max", f)    => col(s"__max_$f").as(a.outName)
+      case a @ Agg("avg", f) =>
+        (col(s"__sum_$f") / col(s"__cnt_$f")).as(a.outName)
+      case a => throw new IllegalArgumentException(s"unhandled agg $a")
+    }
+    state.select((keys.map(col) ++ outs): _*)
+  }
+
+  /** The one-call convenience: maintain an existing state with a new
+    * batch (summarize + merge). `existing` may be null/absent-free —
+    * pass None on the first batch.
+    */
+  def maintain(existing: Option[DataFrame], batch: DataFrame,
+               keys: Seq[String], aggs: Seq[Agg]): DataFrame = {
+    val b = summarize(batch, keys, aggs)
+    existing.fold(b)(e => merge(Seq(e, b), keys))
+  }
+}

@@ -163,6 +163,25 @@ object Transformers {
       graft.ext.CorpusOps.leakSafeSplits(df, id, text, splits,
         method = method, outCol = out, indexPath = indexPath)
     }),
+    // rollup_state:keys;agg[;agg…] — fold the flowing batch to its
+    // MERGEABLE partial-aggregate state rows (ext.RollupOps; agg =
+    // count | count:f | sum:f | min:f | max:f | avg:f). States from
+    // different batches/jobs combine associatively — the incremental
+    // rollup-maintenance primitive.
+    "rollup_state" -> (args => df => {
+      require(args.length >= 2, "rollup_state needs keys;agg[;agg…]")
+      graft.ext.RollupOps.summarize(df,
+        args.head.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        graft.ext.RollupOps.parse(args.tail))
+    }),
+    // rollup_finish:keys;agg[;agg…] — derive the user-facing rollup
+    // from a (possibly merged) state table
+    "rollup_finish" -> (args => df => {
+      require(args.length >= 2, "rollup_finish needs keys;agg[;agg…]")
+      graft.ext.RollupOps.finish(df,
+        args.head.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        graft.ext.RollupOps.parse(args.tail))
+    }),
     // pairs_from_index:indexPath[;threshold] — exact-verified near-dup
     // pairs (id_a, id_b, jaccard) mined from a persisted signature
     // index (write_index) with zero text re-processing; replaces the

@@ -1,0 +1,83 @@
+package graft
+
+import graft.ext.RollupOps
+import graft.ext.RollupOps.Agg
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental rollup maintenance laws: any batching/ordering of
+  * summarize+merge finishes to the direct grouped aggregate; merge is
+  * associative; disjoint states concatenate; the transformer stages
+  * mirror the API.
+  */
+class RollupSpec extends SparkSpec {
+
+  private val keys = Seq("l_returnflag", "l_linestatus")
+  private val aggs = RollupOps.parse(Seq(
+    "count", "count:l_tax", "sum:l_quantity", "min:l_shipdate",
+    "max:l_extendedprice", "avg:l_discount"))
+
+  private lazy val li = sf("lineitem")
+
+  private def finished(states: Seq[DataFrame]): Seq[Seq[Any]] =
+    rows(RollupOps.finish(RollupOps.merge(states, keys), keys, aggs)
+      .orderBy(keys.map(col): _*))
+      // double-valued columns rounded the way the driver gate rounds,
+      // so FP association across batchings cannot flake the law
+      .map(_.map {
+        case d: Double => math.rint(d * 1e9) / 1e9
+        case v => v
+      })
+
+  private lazy val direct = finished(Seq(RollupOps.summarize(li, keys, aggs)))
+
+  test("maintenance law: k-batch incremental == direct, several batchings") {
+    for (k <- Seq(2, 3, 5)) {
+      val states = (0 until k).map(i =>
+        RollupOps.summarize(li.filter(col("l_orderkey") % k === i), keys, aggs))
+      assert(finished(states) == direct, s"batching k=$k diverged")
+      assert(finished(states.reverse) == direct, s"reversed k=$k diverged")
+    }
+  }
+
+  test("merge is associative and handles groups absent from one side") {
+    val a = RollupOps.summarize(li.filter(col("l_returnflag") === "A"), keys, aggs)
+    val b = RollupOps.summarize(li.filter(col("l_returnflag") === "R"), keys, aggs)
+    val c = RollupOps.summarize(li.filter(col("l_returnflag") === "N"), keys, aggs)
+    val left = RollupOps.merge(Seq(RollupOps.merge(Seq(a, b), keys), c), keys)
+    val right = RollupOps.merge(Seq(a, RollupOps.merge(Seq(b, c), keys)), keys)
+    assert(finished(Seq(left)) == finished(Seq(right)))
+    assert(finished(Seq(left)) == direct) // disjoint union covers all
+  }
+
+  test("maintain() folds batches one at a time to the same rollup") {
+    val batches = (0 until 4).map(i => li.filter(col("l_orderkey") % 4 === i))
+    val state = batches.foldLeft(Option.empty[DataFrame])((acc, b) =>
+      Some(RollupOps.maintain(acc, b, keys, aggs)))
+    assert(finished(Seq(state.get)) == direct)
+  }
+
+  test("count:f skips nulls; avg of an all-null group is null") {
+    import spark.implicits._
+    val df = Seq(("g1", Some(1.0)), ("g1", None), ("g2", None))
+      .toDF("k", "v")
+    val st = RollupOps.summarize(df, Seq("k"),
+      RollupOps.parse(Seq("count", "count:v", "avg:v")))
+    val got = rows(RollupOps.finish(st, Seq("k"),
+      RollupOps.parse(Seq("count", "count:v", "avg:v"))).orderBy("k"))
+    assert(got == Seq(Seq("g1", 2L, 1L, 1.0), Seq("g2", 1L, 0L, null)))
+  }
+
+  test("transformer stages mirror the API") {
+    val viaStages = graft.functions.Transformers.apply(li, Seq(
+      graft.spec.TransformStage("rollup_state",
+        Seq("l_returnflag,l_linestatus", "count", "sum:l_quantity")),
+      graft.spec.TransformStage("rollup_finish",
+        Seq("l_returnflag,l_linestatus", "count", "sum:l_quantity"))))
+    val api = RollupOps.finish(
+      RollupOps.summarize(li, keys, RollupOps.parse(Seq("count", "sum:l_quantity"))),
+      keys, RollupOps.parse(Seq("count", "sum:l_quantity")))
+    assert(rows(viaStages.orderBy(keys.map(col): _*)) ==
+      rows(api.orderBy(keys.map(col): _*)))
+  }
+}
