@@ -657,8 +657,19 @@ object Main {
       |               --pk k1,k2  --tq key=value  --tf f1,-f2
       |               --overwrite f1,f2  --skip_by k  --skip-timestamp
       |               --partition-by c1,c2  --max-records-per-file N
-      |               --commit rename|versioned (versioned = marker-file
-      |               commit, atomic on object stores; keeps 1 prior gen)
+      |               --commit rename|versioned|snapshot (versioned =
+      |               marker-file commit, atomic on object stores;
+      |               snapshot = manifest versions sharing a data pool —
+      |               incremental merges/compaction commit atomically
+      |               and retained generations stay readable)
+      |               --keep-versions N (committed generations retained
+      |               by versioned/snapshot; the time-travel depth)
+      |               --at-version N (pin the source scan to a retained
+      |               version; sugar for -q _version=N)
+      |               --history (list the source's versions: files,
+      |               bytes, commit time, protocol)
+      |               --changelog FROM:TO (CDC rows between two retained
+      |               versions: insert/delete/update pre+post; needs --pk)
       |               --mongo-index k1,k2 (range-sorted file layout on the
       |               keys: parquet min/max stats prune like an index)
       |               --skip-index (drop requested index layouts)

@@ -79,7 +79,12 @@ object Snapshot {
     sb.append(m.schemaDdl).append('\n')
     sb.append(m.partitionBy.mkString(",")).append('\n')
     m.entries.foreach(e => sb.append(e.bytes).append('\t').append(e.rel).append('\n'))
-    val out = fs.create(new Path(vdir, ManifestName), true)
+    // overwrite=false: two writers racing to the same version number
+    // (a violated single-writer contract) must fail LOUDLY here, not
+    // silently clobber each other's membership. Crash leftovers never
+    // collide — an uncommitted stray `_v_n` makes the next commit
+    // compute n+1.
+    val out = fs.create(new Path(vdir, ManifestName), false)
     try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -146,18 +151,27 @@ object Snapshot {
              at: Option[Long] = None): DataFrame = {
     val root = new Path(rootStr)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (v, vdir) = resolveVersion(fs, root, at)
+    val (_, vdir) = resolveVersion(fs, root, at)
     val m = manifestAt(fs, vdir).getOrElse {
       // a retained dir-protocol version: its dir IS the data
       return Resolver.readPlainParquet(spark, vdir.toString)
     }
+    readMembers(spark, root, m, m.entries)
+  }
+
+  /** Scan a subset of one manifest's members, normalized to the
+    * manifest's logical schema. The membership-restriction primitive
+    * readAt and the file-pruned changelog share.
+    */
+  private def readMembers(spark: SparkSession, root: Path, m: Manifest,
+                          entries: Seq[Entry]): DataFrame = {
     val cols = m.schema.fields.toIndexedSeq
       .map(f => col(f.name).cast(f.dataType).as(f.name))
-    if (m.entries.isEmpty)
+    if (entries.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
     else {
       val dd = dataDir(root)
-      val paths = m.entries.map(e => new Path(dd, e.rel).toString)
+      val paths = entries.map(e => new Path(dd, e.rel).toString)
       val r = spark.read
       (if (m.partitionBy.nonEmpty) r.option("basePath", dd.toString) else r)
         .parquet(paths: _*)
@@ -358,10 +372,35 @@ object Snapshot {
     * `_metadata.file_path` without changing this row-level contract.
     */
   def changelog(spark: SparkSession, rootStr: String, fromV: Long, toV: Long,
-                pk: Seq[String]): DataFrame = {
+                pk: Seq[String], filePruned: Boolean = true): DataFrame = {
     require(pk.nonEmpty, "changelog needs the pk that identifies a row")
-    val from = readAt(spark, rootStr, Some(fromV))
-    val to = readAt(spark, rootStr, Some(toV))
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // FILE-LEVEL pruning (default): a pk lives in exactly one file of
+    // each version, and a file shared by both manifests holds
+    // bit-identical rows in both — so rows in shared files can never
+    // produce a change row. Restricting both sides to the manifests'
+    // symmetric difference is therefore EXACT, and diffing adjacent
+    // incremental commits reads only the rewritten fraction of the
+    // table (the full-outer join shrinks the same way). Falls back to
+    // full reads when either version predates the manifest protocol.
+    val pruned: Option[(DataFrame, DataFrame)] =
+      if (!filePruned) None
+      else {
+        val mf = manifestAt(fs, resolveVersion(fs, root, Some(fromV))._2)
+        val mt = manifestAt(fs, resolveVersion(fs, root, Some(toV))._2)
+        (mf, mt) match {
+          case (Some(a), Some(b)) =>
+            val shared = a.entries.map(_.rel).toSet
+              .intersect(b.entries.map(_.rel).toSet)
+            Some((
+              readMembers(spark, root, a, a.entries.filterNot(e => shared(e.rel))),
+              readMembers(spark, root, b, b.entries.filterNot(e => shared(e.rel)))))
+          case _ => None
+        }
+      }
+    val (from, to) = pruned.getOrElse(
+      (readAt(spark, rootStr, Some(fromV)), readAt(spark, rootStr, Some(toV))))
     require(from.schema == to.schema,
       s"changelog requires matching snapshot schemas, got " +
         s"${from.schema.toDDL} vs ${to.schema.toDDL}")

@@ -99,6 +99,27 @@ class CliSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot flags: --commit snapshot, --keep-versions, --at-version, --history, --changelog") {
+    val (j, o) = parse("-s", "parquet/a/b", "-t", "parquet/c/d",
+      "--commit", "snapshot", "--keep-versions", "5")
+    assert(j.target.get.commitMode == "snapshot")
+    assert(j.target.get.keepVersions == 5)
+    intercept[Main.CliError] {
+      parse("-s", "parquet/a/b", "-t", "parquet/c/d", "--keep-versions", "0")
+    }
+    // --at-version is sugar for -q _version=N (resolver-applied)
+    val (j2, _) = parse("-s", "parquet/a/b", "--at-version", "3")
+    assert(j2.source.query.contains("_version" -> "3"))
+    val (_, o3) = parse("-s", "parquet/a/b", "--history")
+    assert(o3.history)
+    val (_, o4) = parse("-s", "parquet/a/b", "--changelog", "2:5", "--pk", "id")
+    assert(o4.changelog.contains((2L, 5L)) && o4.changelogPk == Seq("id"))
+    intercept[Main.CliError] {
+      parse("-s", "parquet/a/b", "--changelog", "nope")
+    }
+    assert(!o.history)
+  }
+
   test("O5 --cron records the schedule expression on the job spec") {
     val (job, _) = parse("-s", "parquet/a/b", "-t", "parquet/c/d",
       "--cron", "0 3 * * *")

@@ -138,6 +138,14 @@ class SnapshotSpec extends SparkSpec {
     assert(sortedRows(graft.sources.Resolver.readParquet(spark, p)) ==
       sortedRows(expected))
     assert(sortedRows(Snapshot.readAt(spark, p, Some(1))) == sortedRows(b))
+    // file-pruned changelog law: across an incremental commit (files
+    // genuinely shared) the symmetric-difference diff must equal the
+    // full-scan diff — and find exactly the upserted keys
+    val full = sortedRows(
+      Snapshot.changelog(spark, p, 1, 2, Seq("id"), filePruned = false))
+    val prunedCl = sortedRows(Snapshot.changelog(spark, p, 1, 2, Seq("id")))
+    assert(prunedCl == full)
+    assert(prunedCl.count(_.contains("update_postimage")) == 200)
   }
 
   test("partitioned snapshot pruned merge: only intersecting files inside partitions") {
