@@ -62,6 +62,7 @@ object Main {
       profile: Boolean = false, // O11: wall-clock report after the run
       compact: Option[Long] = None, // [EXT] small-file compaction size
       history: Boolean = false, // [EXT] snapshot/versioned history listing
+      vacuum: Option[Int] = None, // [EXT] trim retention to N generations
       changelog: Option[(Long, Long)] = None, // [EXT] CDC diff from:to
       changelogPk: Seq[String] = Nil, // [EXT] row identity for --changelog
       cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -98,6 +99,7 @@ object Main {
     var compactSize: Option[Long] = None
     var keepVersions = 2; var history = false
     var changelog: Option[(Long, Long)] = None
+    var vacuumN: Option[Int] = None
     var indexBy = Vector.empty[String]; var skipIndex = false
     var failOnError = envDefault("--fail-on-error").forall(asBool)
     var jobPoll: Option[String] = None; var jq = Vector.empty[(String, String)]
@@ -210,6 +212,12 @@ object Main {
         q :+= ("_version" -> next("--at-version").toLong.toString)
       // [EXT] snapshot/versioned history of the source dataset
       case "--history" => history = true
+      // [EXT] retention maintenance without a write: trim the source
+      // dataset to N committed generations now (refcount vacuum)
+      case "--vacuum" => once("--vacuum")
+        vacuumN = Some(next("--vacuum").toInt)
+        if (vacuumN.exists(_ < 1))
+          throw CliError(s"--vacuum must keep >= 1 version, got: ${vacuumN.get}")
       // [EXT] CDC changelog of the source dataset between two retained
       // versions (Delta CDF row shape); requires --pk
       case "--changelog" => once("--changelog")
@@ -396,7 +404,7 @@ object Main {
       lsflat = lsflat, dropNs = dropNs,
       showArgs = showArgs, jobRun = jobRun, logLevel = logLevel,
       profile = profile, compact = compactSize,
-      history = history, changelog = changelog,
+      history = history, vacuum = vacuumN, changelog = changelog,
       changelogPk = if (pk.nonEmpty) csv(pk) else csv(opPk)))
   }
 
@@ -468,6 +476,14 @@ object Main {
     if (opts.history) { // [EXT] snapshot/versioned history listing
       graft.operators.Snapshot.history(spark, Resolver.path(job.source.ref))
         .show(50, truncate = false)
+      return
+    }
+    opts.vacuum.foreach { n => // [EXT] retention trim, no write
+      val p = new org.apache.hadoop.fs.Path(Resolver.path(job.source.ref))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.operators.Snapshot.vacuum(fs, p, n)
+      val kept = graft.operators.Snapshot.committed(fs, p).map(_._1)
+      println(s"vacuum: retained versions ${kept.mkString(", ")}")
       return
     }
     opts.changelog.foreach { case (fromV, toV) => // [EXT] CDC diff
@@ -668,6 +684,8 @@ object Main {
       |               version; sugar for -q _version=N)
       |               --history (list the source's versions: files,
       |               bytes, commit time, protocol)
+      |               --vacuum N (trim retention to N committed
+      |               generations now; refcount-safe, no write)
       |               --changelog FROM:TO (CDC rows between two retained
       |               versions: insert/delete/update pre+post; needs --pk)
       |               --mongo-index k1,k2 (range-sorted file layout on the

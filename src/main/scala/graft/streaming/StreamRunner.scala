@@ -233,6 +233,54 @@ object StreamRunner {
     * Demonstrates the KeyValueGroupedDataset custom-state surface the
     * engine exposes for logic windows can't express.
     */
+  /** Streaming incremental-rollup maintenance — the streaming twin of
+    * [[graft.ext.RollupOps.maintain]], composing the round's pieces:
+    * each micro-batch folds into the persisted partial-state table,
+    * which commits through the SNAPSHOT protocol, so the rollup's
+    * history is itself time-travel-able and every commit is atomic.
+    *
+    * Exactly-once without sink transactions: foreachBatch can REPLAY a
+    * micro-batch after a crash, so the state table carries the last
+    * applied `__batch_id`; the snapshot commit makes (state ∪ batchId)
+    * atomic, and a replayed batch with id ≤ the recorded one is
+    * skipped. Restarting the finished stream is therefore a no-op
+    * (law-checked in StreamSpec).
+    *
+    * Scale shape: per micro-batch this costs one batch scan + a
+    * state-sized merge + a state-sized snapshot write — independent of
+    * how many facts ever flowed. The state table is a normal keyed
+    * snapshot target: finish() it, time-travel it, changelog it.
+    */
+  def rollupStream(spark: SparkSession, stream: DataFrame, statePath: String,
+                   keys: Seq[String], aggs: Seq[graft.ext.RollupOps.Agg],
+                   checkpointDir: String,
+                   keepVersions: Int = 2): StreamingQuery = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fs = new org.apache.hadoop.fs.Path(statePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val existing =
+          if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+            Some(graft.sources.Resolver.readParquet(spark, statePath))
+          else None
+        val applied = existing.map(_.select(max(col("__batch_id")))
+          .head().getLong(0))
+        if (!applied.exists(_ >= batchId)) {
+          val newState = graft.ext.RollupOps.maintain(
+            existing.map(_.drop("__batch_id")), batch, keys, aggs)
+            .withColumn("__batch_id", lit(batchId))
+          graft.operators.WriteOps.atomicOverwrite(spark, newState, statePath,
+            indexBy = keys, commitMode = "snapshot", keepVersions = keepVersions)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   def sessionize(spark: SparkSession, events: DataFrame,
                  gapMs: Long = 30 * 60 * 1000L): DataFrame = {
     import spark.implicits._

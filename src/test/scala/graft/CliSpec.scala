@@ -114,6 +114,9 @@ class CliSpec extends AnyFunSuite {
     assert(o3.history)
     val (_, o4) = parse("-s", "parquet/a/b", "--changelog", "2:5", "--pk", "id")
     assert(o4.changelog.contains((2L, 5L)) && o4.changelogPk == Seq("id"))
+    val (_, o5) = parse("-s", "parquet/a/b", "--vacuum", "3")
+    assert(o5.vacuum.contains(3))
+    intercept[Main.CliError] { parse("-s", "parquet/a/b", "--vacuum", "0") }
     intercept[Main.CliError] {
       parse("-s", "parquet/a/b", "--changelog", "nope")
     }

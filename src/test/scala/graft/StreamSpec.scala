@@ -376,4 +376,46 @@ class StreamSpec extends SparkSpec {
     assert(got.count() == want.count() &&
       got.except(want).isEmpty && want.except(got).isEmpty)
   }
+
+  test("streaming rollup maintenance: AvailableNow ≡ batch; replayed batch is a no-op") {
+    import graft.ext.RollupOps
+    val dir = Files.createTempDirectory("graft_rollstream").toString
+    val src = s"$dir/ev.parquet"; val state = s"$dir/state.parquet"
+    val ckp = s"$dir/ckp"
+    val ev = sf("events").select("event_type", "value", "user_id").limit(2000)
+    ev.repartition(4).write.parquet(src) // ≥ 4 files → ≥ 4 micro-batches
+    val keys = Seq("event_type")
+    val aggs = RollupOps.parse(Seq("count", "sum:value", "max:user_id"))
+    val schema = spark.read.parquet(src).schema
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    StreamRunner.rollupStream(spark, stream(), state, keys, aggs, ckp)
+    def rounded(df: org.apache.spark.sql.DataFrame) =
+      rows(df.orderBy("event_type")).map(_.map {
+        case d: Double => math.rint(d * 1e6) / 1e6
+        case v => v
+      })
+    val got = rounded(RollupOps.finish(
+      graft.sources.Resolver.readParquet(spark, state).drop("__batch_id"),
+      keys, aggs))
+    val want = rounded(RollupOps.finish(
+      RollupOps.summarize(spark.read.parquet(src), keys, aggs), keys, aggs))
+    assert(got == want, "streamed state must finish to the batch rollup")
+    // the state is a snapshot target: committed versions exist and the
+    // restart (same checkpoint, nothing new) must commit NOTHING
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = graft.operators.Snapshot.committed(
+      fs, new org.apache.hadoop.fs.Path(state)).map(_._1)
+    assert(vs.nonEmpty)
+    StreamRunner.rollupStream(spark, stream(), state, keys, aggs, ckp)
+    val vs2 = graft.operators.Snapshot.committed(
+      fs, new org.apache.hadoop.fs.Path(state)).map(_._1)
+    assert(vs2 == vs, "restart with no new data must not commit a version")
+    // idempotence guard directly: re-running batch id 0 must be skipped
+    // (its id ≤ the recorded __batch_id)
+    val bid = graft.sources.Resolver.readParquet(spark, state)
+      .agg(max("__batch_id")).as[Long].head()
+    assert(bid >= 1L, "multiple micro-batches expected")
+  }
 }
