@@ -43,7 +43,42 @@ object DiffChecks {
     "q_group_pctl_approx" -> (approxPctlRankBound(_, _)),
     "q_vocab_approx" -> (vocabApproxBound(_, _)),
     "q_ann_pq" -> (pqRecall(_, _)),
+    "q_embed_pca" -> (pcaLaws(_, _)),
     "classifier_train" -> (classifierTrainLaw(_, _)))
+
+  /** q_embed_pca: the fitted model must satisfy the PCA identities —
+    * orthonormal components (max |WᵀW − I| ≤ 1e-9), descending
+    * eigenvalues, the Pythagoras identity err(k) = totalVar − Σλ≤k
+    * (checked through the independent full reconstruction-error scan),
+    * and the projected per-component variance equal to its eigenvalue.
+    * These pin the numerics exactly where a SQL oracle cannot.
+    */
+  def pcaLaws(s: SparkSession, dir: String): Check = {
+    import graft.ext.Pca
+    val emb = read(s, dir, "embeddings")
+    val m = Pca.fit(emb, "embedding", 16)
+    var maxOrtho = 0.0
+    for (a <- 0 until m.k; b <- a until m.k) {
+      val dot = m.components(a).zip(m.components(b)).map(t => t._1 * t._2).sum
+      maxOrtho = math.max(maxOrtho,
+        math.abs(dot - (if (a == b) 1.0 else 0.0)))
+    }
+    val descending = m.variances.sameElements(m.variances.sorted.reverse)
+    val total = Pca.totalVariance(emb, "embedding")
+    val err = Pca.reconstructionError(emb, "embedding", m)
+    val pythagoras = math.abs(err - (total - m.variances.sum)) <=
+      1e-6 * math.max(1.0, total)
+    val projVar = Pca.transform(emb, "embedding", m, "p")
+      .select(posexplode(col("p")))
+      .groupBy("pos").agg(var_pop("col").as("v"))
+      .orderBy("pos").select("v").collect().map(_.getDouble(0))
+    val varMatch = projVar.zip(m.variances).forall { case (g, w) =>
+      math.abs(g - w) <= 1e-6 * math.max(1.0, w) }
+    Check(maxOrtho <= 1e-9 && descending && pythagoras && varMatch,
+      f"orthonormality=${maxOrtho}%.2e (≤1e-9), descending=$descending, " +
+        f"pythagoras=$pythagoras (err=$err%.4f, total−Σλ=${total - m.variances.sum}%.4f), " +
+        f"projected-variance≡eigenvalue=$varMatch, explained=${m.explained(total)}%.3f")
+  }
 
   private def read(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Resolver.readParquet(s, s"$dir/$name.parquet")

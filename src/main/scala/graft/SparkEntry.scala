@@ -861,6 +861,27 @@ object SparkEntry {
         maxHamming = 15, planes = 64)
         .orderBy("id_a", "id_b")),
 
+    // ── [EXT r9] distributed PCA over the embedding column: one
+    // corpus pass accumulates the d×d Gram (partition-ordered, so the
+    // fit is bit-deterministic), driver-side eigensolve, fused
+    // per-row projection. No SQL oracle can eigensolve — correctness
+    // is the diffcheck law set (orthonormality, descending
+    // eigenvalues, Pythagoras err = totalVar − Σλ, projected variance
+    // ≡ eigenvalue) plus PcaSpec. Output rounded to the gate's float
+    // tolerance so the rows-only dump is stable run-over-run. ─────────
+    "q_embed_pca" -> ((s, dir) => {
+      import graft.ext.Pca
+      val emb = read(s, dir, "embeddings")
+      val m = Pca.fit(emb, "embedding", 16)
+      Pca.transform(emb, "embedding", m, "p")
+        .select(col("vec_id"),
+          round(element_at(col("p"), 1), 4).as("p0"),
+          round(element_at(col("p"), 2), 4).as("p1"),
+          round(aggregate(transform(col("p"), x => x * x),
+            lit(0.0d), (a, x) => a + x), 4).as("p_norm2"))
+        .orderBy("vec_id")
+    }),
+
     // ── [EXT] §2.10 hyperplane-LSH exactness witness, driver-visible:
     // maxHamming = planes−1 makes the pigeonhole blocking pass every
     // pair (64 one-bit chunks; hamming ≤ 63 ⇒ some chunk agrees), so

@@ -163,6 +163,16 @@ object Transformers {
       graft.ext.CorpusOps.leakSafeSplits(df, id, text, splits,
         method = method, outCol = out, indexPath = indexPath)
     }),
+    // pca_project:vec;k[;out] — fit a k-component PCA on the flowing
+    // frame's embedding column and append the projection (fit+apply
+    // in one stage; for a frozen model across jobs, fit once via the
+    // API and reuse — ext.Pca.Model is a plain case class)
+    "pca_project" -> (args => df => {
+      require(args.length >= 2, "pca_project needs vec;k[;out]")
+      val m = graft.ext.Pca.fit(df, args.head, args(1).toInt)
+      graft.ext.Pca.transform(df, args.head, m,
+        args.lift(2).getOrElse("pca"))
+    }),
     // rollup_state:keys;agg[;agg…] — fold the flowing batch to its
     // MERGEABLE partial-aggregate state rows (ext.RollupOps; agg =
     // count | count:f | sum:f | min:f | max:f | avg:f). States from
