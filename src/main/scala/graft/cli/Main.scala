@@ -535,9 +535,7 @@ object Main {
       }
       if (unsupported.nonEmpty)
         throw CliError(s"--stream does not support ${unsupported.mkString("/")}" +
-          " (filters and _fields only)")
-      if (job.source.postRead.nonEmpty)
-        throw CliError("--stream does not support --str transformer chains")
+          " (filters, _fields and stateless --str stages only)")
       if (job.merger.nonEmpty)
         throw CliError("--stream does not support a merger")
       if (t.ref.backend != "parquet")
@@ -568,14 +566,27 @@ object Main {
           "committed _v_ snapshot, not appended files)")
       if (t.commitMode == "versioned")
         throw CliError("--stream does not support --commit versioned")
-      graft.streaming.StreamRunner.runAvailableNow(spark,
+      // STATELESS --str stages stream unchanged (filters → stages →
+      // _fields, the batch order); stages whose plan needs state or an
+      // eager job are rejected by Spark's own streaming analyzer — a
+      // whitelist would either drift or over-restrict, so translate
+      // that analyzer error instead of pre-judging the 75+ registry
+      try graft.streaming.StreamRunner.runAvailableNow(spark,
         graft.streaming.StreamRunner.readStream(spark, job.source.ref),
         df => {
           val filtered = q.predicates.foldLeft(df)(_ filter _)
-          if (q.fields.nonEmpty) graft.dsl.QueryCompiler.project(filtered, q.fields)
-          else filtered
+          val staged = graft.functions.Transformers.apply(
+            filtered, job.source.postRead)
+          if (q.fields.nonEmpty) graft.dsl.QueryCompiler.project(staged, q.fields)
+          else staged
         },
         tgtPath, tgtPath + "._checkpoint")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if job.source.postRead.nonEmpty =>
+          throw CliError("--stream: a --str stage is not streamable " +
+            s"(needs aggregation/eager state): ${e.getMessage.linesIterator.next()}")
+      }
       println(s"stream done: ${spark.read.parquet(tgtPath).count()} rows in target")
       return
     }

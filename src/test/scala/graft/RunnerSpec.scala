@@ -145,7 +145,11 @@ class RunnerSpec extends SparkSpec {
       "-t", "parquet//tmp/graft_stream_rej/out", "--stream")
     intercept[Main.CliError] { run(base ++ Seq("-q", "_sort=ts"): _*) }
     intercept[Main.CliError] { run(base ++ Seq("-q", "_limit=5"): _*) }
-    intercept[Main.CliError] { run(base ++ Seq("--str", "upper:event_type"): _*) }
+    // stateful stage: Spark's streaming analyzer rejects the plan and
+    // the CLI translates it (stateless stages now stream — next test)
+    intercept[Main.CliError] {
+      run(base ++ Seq("--str", "rollup_state:event_type;count"): _*)
+    }
     intercept[Main.CliError] {
       run(base ++ Seq("-m", "parquet//root/testdata/sf0.001/nation",
         "--mkeys", "n_nationkey"): _*)
@@ -164,6 +168,26 @@ class RunnerSpec extends SparkSpec {
       run("-s", "parquet//root/testdata/sf0.001/events",
         "-t", s"parquet/$vdir/out", "--stream")
     }
+  }
+
+  test("--stream runs STATELESS --str stages with batch parity") {
+    import graft.cli.Main
+    val dir = Files.createTempDirectory("graft_stream_str").toString
+    sf("documents").limit(200).write.parquet(s"$dir/docs.parquet")
+    val (job, opts) = Main.parse(Array(
+      "-s", s"parquet/$dir/docs",
+      "-q", "doc_id__lt=50",
+      "--str", "set_expr:up;upper(text)",
+      "-q", "_fields=doc_id,up",
+      "-t", s"parquet/$dir/out", "--stream"))
+    Main.execute(spark, job, opts)
+    val got = spark.read.parquet(s"$dir/out.parquet")
+    val want = spark.read.parquet(s"$dir/docs.parquet")
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), upper(col("text")).as("up"))
+    assert(got.columns.toSeq == Seq("doc_id", "up"))
+    assert(got.count() == want.count() &&
+      got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
   test("versioned commit end-to-end through Runner.execute") {

@@ -268,6 +268,30 @@ class SnapshotSpec extends SparkSpec {
     assert(sortedRows(Snapshot.readAt(spark, p, Some(2))) == sortedRows(base(20)))
   }
 
+  test("crash recovery: stray uncommitted version dirs and stages never block or corrupt") {
+    val dir = freshDir("snap_crash")
+    val p = s"$dir/t.parquet"
+    WriteOps.atomicOverwrite(spark, base(100), p, commitMode = "snapshot")
+    // simulate a writer that died mid-commit: an uncommitted _v_2 with
+    // a manifest but NO marker, plus an abandoned stage dir
+    val vdir = new Path(s"$p/_v_00000000000000000002")
+    fs.mkdirs(vdir)
+    fs.create(new Path(vdir, "_MANIFEST"), false).close()
+    fs.mkdirs(new Path(s"$p/._snap_stage_999"))
+    // readers ignore the uncommitted version
+    assert(sortedRows(graft.sources.Resolver.readParquet(spark, p)) ==
+      sortedRows(base(100)))
+    // the next commit lands ABOVE the stray (v3, never re-using v2),
+    // and its vacuum removes both the stray dir and the stage
+    WriteOps.atomicOverwrite(spark, base(50), p, commitMode = "snapshot")
+    assert(Snapshot.committed(fs, new Path(p)).map(_._1) == Seq(1L, 3L))
+    assert(!fs.exists(vdir), "uncommitted stray must be vacuumed")
+    assert(!fs.exists(new Path(s"$p/._snap_stage_999")),
+      "abandoned stage must be swept")
+    assert(sortedRows(graft.sources.Resolver.readParquet(spark, p)) ==
+      sortedRows(base(50)))
+  }
+
   test("changelog on mismatched schemas refuses loudly") {
     val dir = freshDir("snap_clerr")
     val p = s"$dir/t.parquet"
