@@ -249,6 +249,51 @@ object ScaleBench5 {
     notes("rollup") = s"100000 groups over $nDocs rows; 6-batch maintenance " +
       "== direct re-aggregate"
 
+    // ── 5) distributed PCA at 6M vectors ──────────────────────────────
+    // 2000 base embeddings × 3000 replicas, each shifted along the
+    // planted direction u = 1/√d · 1 by a deterministic per-row
+    // t ∈ [−10, 10) (xxhash64-derived). Var(t) ≈ 33.3 dominates the
+    // base per-dim variance, so the FIRST component must recover u —
+    // a closed-form identity at 6M rows — and the one-pass Gram fit
+    // must be bit-identical on a refit.
+    val dEmb = 64
+    val uComp = 1.0 / math.sqrt(dEmb)
+    val baseEmb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val nVecBase = baseEmb.count()
+    val vecsPath = s"$out/pca_vecs.parquet"
+    if (!scala.util.Try(spark.read.parquet(vecsPath).count())
+          .toOption.contains(nVecBase * 3000))
+      timed("pca_gen_6m_vectors") {
+        baseEmb
+          .crossJoin(spark.range(3000).toDF("r"))
+          .withColumn("t",
+            (pmod(xxhash64(col("vec_id"), col("r")), lit(1000L)) - 500L)
+              .cast("double") / 50.0)
+          .select(org.apache.spark.sql.functions.transform(col("embedding"),
+            x => (x + col("t") * uComp).cast("float")).as("embedding"))
+          .repartition(64).write.mode("overwrite").parquet(vecsPath)
+      }
+    val vecs = spark.read.parquet(vecsPath)
+    val nVecs = nVecBase * 3000
+    val mPca = timed("pca_fit_6m") {
+      graft.ext.Pca.fit(vecs, "embedding", 4)
+    }
+    val cosU = math.abs(mPca.components(0).map(_ * uComp).sum)
+    require(cosU > 0.99, s"planted direction not recovered at 6M: cos=$cosU")
+    val tVar = (1000.0 * 1000.0 - 1) / 12 / (50.0 * 50.0)
+    require(math.abs(mPca.variances(0) - tVar) < 0.3 * tVar,
+      s"first eigenvalue ${mPca.variances(0)} vs planted Var(t)≈$tVar")
+    val mPca2 = timed("pca_refit_6m") {
+      graft.ext.Pca.fit(vecs, "embedding", 4)
+    }
+    require(mPca2.components(0).sameElements(mPca.components(0)) &&
+      mPca2.variances.sameElements(mPca.variances),
+      "6M-row PCA refit must be bit-identical (partition-ordered sums)")
+    notes("pca") = f"$nVecs vectors: first component recovers the planted " +
+      f"direction (cos=$cosU%.4f), eigenvalue ${mPca.variances(0)}%.2f ≈ " +
+      f"Var(t)=$tVar%.2f, refit bit-identical"
+
     println(s"SCALE5 done: ${results.size} phases, all closed-form checks passed")
     spark.stop()
   }

@@ -489,9 +489,16 @@ object Main {
     opts.changelog.foreach { case (fromV, toV) => // [EXT] CDC diff
       if (opts.changelogPk.isEmpty)
         throw CliError("--changelog needs the row identity: --pk COLS")
-      graft.operators.Snapshot.changelog(
+      val cl = graft.operators.Snapshot.changelog(
         spark, Resolver.path(job.source.ref), fromV, toV, opts.changelogPk)
-        .show(100, truncate = false)
+      job.target match {
+        case Some(t) => // materialize the feed for downstream consumers
+          graft.operators.WriteOps.atomicOverwrite(spark, cl,
+            Resolver.path(t.ref), t.partitionBy, t.maxRecordsPerFile,
+            t.ref.backend, t.indexBy, t.commitMode, t.keepVersions)
+          println(s"changelog v$fromV→v$toV written to ${t.ref.uri}")
+        case None => cl.show(100, truncate = false)
+      }
       return
     }
     opts.compact.foreach { bytes => // [EXT] target-layout maintenance
@@ -698,7 +705,8 @@ object Main {
       |               --vacuum N (trim retention to N committed
       |               generations now; refcount-safe, no write)
       |               --changelog FROM:TO (CDC rows between two retained
-      |               versions: insert/delete/update pre+post; needs --pk)
+      |               versions: insert/delete/update pre+post; needs
+      |               --pk; with -t, writes the feed instead of printing)
       |               --mongo-index k1,k2 (range-sorted file layout on the
       |               keys: parquet min/max stats prune like an index)
       |               --skip-index (drop requested index layouts)

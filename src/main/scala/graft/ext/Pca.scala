@@ -53,15 +53,20 @@ object Pca {
     */
   def fit(df: DataFrame, col: String, k: Int): Model = {
     require(k > 0, "pca: k must be positive")
-    val rows = df.select(col).na.drop()
-      .rdd.map(_.getSeq[Float](0).toArray)
+    // UNBOXED accumulation: go through the internal-row RDD so the
+    // float array is one `toFloatArray` copy per row, not a boxed
+    // Seq[Float] per element (measured 6M×64: the boxed path made the
+    // Gram pass row-conversion-bound, not flop-bound)
+    val rows = df.select(org.apache.spark.sql.functions.col(col))
+      .na.drop().queryExecution.toRdd
     // per-partition (n, sum, gram) — kept in partition order so the
     // double-sum association is reproducible run-over-run
     val partials = rows.mapPartitionsWithIndex { (pid, it) =>
       var n = 0L
       var s: Array[Double] = null
       var m: Array[Double] = null
-      it.foreach { x =>
+      it.foreach { row =>
+        val x = row.getArray(0).toFloatArray()
         val d = x.length
         if (s == null) { s = new Array[Double](d); m = new Array[Double](d * d) }
         require(x.length == s.length,

@@ -55,6 +55,13 @@ object Resolver {
            failOnError: Boolean = true,
            query: Seq[(String, String)] = Nil): DataFrame = {
     val mode = if (failOnError) "FAILFAST" else "DROPMALFORMED"
+    // `_version` resolves against the snapshot/versioned commit
+    // protocols, which are parquet-layout features — on any other
+    // backend it would be silently meaningless, so refuse loudly
+    if (ref.backend != "parquet" && query.exists(_._1 == "_version"))
+      throw new IllegalArgumentException(
+        s"_version time travel requires a parquet snapshot/versioned " +
+          s"dataset; ${ref.backend} datasets have no version history")
     ref.backend match {
       case "parquet" =>
         // [EXT] `_version=N` time travel: pin the scan to a RETAINED

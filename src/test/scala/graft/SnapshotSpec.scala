@@ -292,6 +292,34 @@ class SnapshotSpec extends SparkSpec {
       sortedRows(base(50)))
   }
 
+  test("--changelog with a target writes the CDC feed as a dataset") {
+    import graft.cli.Main
+    val dir = freshDir("snap_clcli")
+    val p = s"$dir/t.parquet"
+    import spark.implicits._
+    WriteOps.atomicOverwrite(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "txt"), p, commitMode = "snapshot")
+    WriteOps.atomicOverwrite(spark,
+      Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("id", "txt"), p,
+      commitMode = "snapshot")
+    val (job, opts) = Main.parse(Array(
+      "-s", s"parquet/$dir/t", "--changelog", "1:2", "--pk", "id",
+      "-t", s"parquet/$dir/feed", "-y"))
+    Main.execute(spark, job, opts)
+    val feed = spark.read.parquet(s"$dir/feed.parquet")
+    assert(rows(feed.groupBy("_change_type").count().orderBy("_change_type"))
+      == Seq(Seq("insert", 1L), Seq("update_postimage", 1L),
+        Seq("update_preimage", 1L)))
+  }
+
+  test("_version on a non-parquet backend refuses loudly") {
+    val e = intercept[IllegalArgumentException](
+      graft.sources.Resolver.read(spark,
+        graft.spec.DatasetRef("csv", "/tmp", "x"),
+        query = Seq("_version" -> "1")))
+    assert(e.getMessage.contains("parquet snapshot"))
+  }
+
   test("changelog on mismatched schemas refuses loudly") {
     val dir = freshDir("snap_clerr")
     val p = s"$dir/t.parquet"
