@@ -63,6 +63,7 @@ object Main {
       compact: Option[Long] = None, // [EXT] small-file compaction size
       history: Boolean = false, // [EXT] snapshot/versioned history listing
       vacuum: Option[Int] = None, // [EXT] trim retention to N generations
+      fsck: Boolean = false, // [EXT] snapshot-layout integrity audit
       changelog: Option[(Long, Long)] = None, // [EXT] CDC diff from:to
       changelogPk: Seq[String] = Nil, // [EXT] row identity for --changelog
       cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -99,7 +100,7 @@ object Main {
     var compactSize: Option[Long] = None
     var keepVersions = 2; var history = false
     var changelog: Option[(Long, Long)] = None
-    var vacuumN: Option[Int] = None
+    var vacuumN: Option[Int] = None; var fsck = false
     var indexBy = Vector.empty[String]; var skipIndex = false
     var failOnError = envDefault("--fail-on-error").forall(asBool)
     var jobPoll: Option[String] = None; var jq = Vector.empty[(String, String)]
@@ -212,6 +213,8 @@ object Main {
         q :+= ("_version" -> next("--at-version").toLong.toString)
       // [EXT] snapshot/versioned history of the source dataset
       case "--history" => history = true
+      // [EXT] snapshot-layout integrity audit of the source dataset
+      case "--fsck" => fsck = true
       // [EXT] retention maintenance without a write: trim the source
       // dataset to N committed generations now (refcount vacuum)
       case "--vacuum" => once("--vacuum")
@@ -404,7 +407,7 @@ object Main {
       lsflat = lsflat, dropNs = dropNs,
       showArgs = showArgs, jobRun = jobRun, logLevel = logLevel,
       profile = profile, compact = compactSize,
-      history = history, vacuum = vacuumN, changelog = changelog,
+      history = history, vacuum = vacuumN, fsck = fsck, changelog = changelog,
       changelogPk = if (pk.nonEmpty) csv(pk) else csv(opPk)))
   }
 
@@ -476,6 +479,13 @@ object Main {
     if (opts.history) { // [EXT] snapshot/versioned history listing
       graft.operators.Snapshot.history(spark, Resolver.path(job.source.ref))
         .show(50, truncate = false)
+      return
+    }
+    if (opts.fsck) { // [EXT] snapshot-layout integrity audit
+      val issues = graft.operators.Snapshot.fsck(
+        spark, Resolver.path(job.source.ref))
+      if (issues.isEmpty) println("fsck: clean")
+      else issues.show(100, truncate = false)
       return
     }
     opts.vacuum.foreach { n => // [EXT] retention trim, no write
@@ -704,6 +714,8 @@ object Main {
       |               bytes, commit time, protocol)
       |               --vacuum N (trim retention to N committed
       |               generations now; refcount-safe, no write)
+      |               --fsck (snapshot-layout integrity audit: missing/
+      |               mis-sized members, orphans, crash strays)
       |               --changelog FROM:TO (CDC rows between two retained
       |               versions: insert/delete/update pre+post; needs
       |               --pk; with -t, writes the feed instead of printing)

@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   * like any other target.
   *
   * State columns are SELF-DESCRIBING by prefix (`__n`, `__cnt_f`,
-  * `__sum_f`, `__min_f`, `__max_f`): [[merge]] needs no agg list, so
+  * `__sum_f`, `__min_f`, `__max_f`, `__hll_f`): [[merge]] needs no agg list, so
   * independently-produced state tables (different jobs, different
   * days) combine without coordination. Exactness: counts and integral
   * sums are exact; double sums are floating-point like every engine's
@@ -35,11 +35,16 @@ import org.apache.spark.sql.functions._
   */
 object RollupOps {
 
-  /** One requested aggregate: `fn` ∈ count | sum | min | max | avg;
-    * `field` empty for count(*).
+  /** One requested aggregate: `fn` ∈ count | sum | min | max | avg |
+    * hll; `field` empty for count(*). `hll` is APPROX COUNT DISTINCT
+    * with a MERGEABLE state — the aggregate exact partial states
+    * cannot cover (distinct counts don't add), carried as an HLL++
+    * sketch (`hll_sketch_agg`) whose union is exact over the sketch
+    * algebra, so incremental maintenance returns the bit-identical
+    * estimate the direct aggregate would.
     */
   final case class Agg(fn: String, field: String = "") {
-    require(Set("count", "sum", "min", "max", "avg").contains(fn),
+    require(Set("count", "sum", "min", "max", "avg", "hll").contains(fn),
       s"unknown rollup aggregate: $fn")
     require(fn == "count" || field.nonEmpty, s"$fn needs a field")
     /** The finished output column name (`n` for count(*)). */
@@ -66,6 +71,7 @@ object RollupOps {
       case Agg("min", f)    => Seq((s"__min_$f", "min", f))
       case Agg("max", f)    => Seq((s"__max_$f", "max", f))
       case Agg("avg", f)    => Seq((s"__sum_$f", "sum", f), (s"__cnt_$f", "count", f))
+      case Agg("hll", f)    => Seq((s"__hll_$f", "hll", f))
       case a => throw new IllegalArgumentException(s"unhandled agg $a")
     }
     wanted.distinct
@@ -82,6 +88,7 @@ object RollupOps {
       case (name, "sum", f)    => sum(col(f)).as(name)
       case (name, "min", f)    => min(col(f)).as(name)
       case (name, "max", f)    => max(col(f)).as(name)
+      case (name, "hll", f)    => hll_sketch_agg(col(f)).as(name)
       case (name, fn, f) =>
         throw new IllegalArgumentException(s"unhandled state $name $fn $f")
     }
@@ -104,6 +111,7 @@ object RollupOps {
     val combine = stateNames.map { n =>
       if (n.startsWith("__min_")) min(col(n)).as(n)
       else if (n.startsWith("__max_")) max(col(n)).as(n)
+      else if (n.startsWith("__hll_")) hll_union_agg(col(n)).as(n)
       else sum(col(n)).as(n)
     }
     unioned.groupBy(keys.map(col): _*).agg(combine.head, combine.tail: _*)
@@ -122,6 +130,8 @@ object RollupOps {
       case a @ Agg("max", f)    => col(s"__max_$f").as(a.outName)
       case a @ Agg("avg", f) =>
         (col(s"__sum_$f") / col(s"__cnt_$f")).as(a.outName)
+      case a @ Agg("hll", f) =>
+        hll_sketch_estimate(col(s"__hll_$f")).as(a.outName)
       case a => throw new IllegalArgumentException(s"unhandled agg $a")
     }
     state.select((keys.map(col) ++ outs): _*)

@@ -163,6 +163,24 @@ object Transformers {
       graft.ext.CorpusOps.leakSafeSplits(df, id, text, splits,
         method = method, outCol = out, indexPath = indexPath)
     }),
+    // expect:condition[;max_violations] — dbt-test-style data-quality
+    // gate: count the rows where `condition` is FALSE (SQL CHECK
+    // semantics — NULL passes) and fail the job loudly when the count
+    // exceeds the allowance. Eager by design: a quality gate that
+    // doesn't run until someone reads the output is not a gate.
+    "expect" -> (args => df => {
+      require(args.nonEmpty, "expect needs condition[;max_violations]")
+      val cond = expr(args.head)
+      val maxV = args.lift(1).map(_.toLong).getOrElse(0L)
+      val bad = df.filter(!coalesce(cond, lit(true)))
+      val n = bad.count()
+      if (n > maxV)
+        throw new IllegalStateException(
+          s"expect failed: $n row(s) violate '${args.head}'" +
+            s" (allowed $maxV); sample: " +
+            bad.take(3).map(_.toString).mkString(" | "))
+      df
+    }),
     // pca_project:vec;k[;out] — fit a k-component PCA on the flowing
     // frame's embedding column and append the projection (fit+apply
     // in one stage; for a frozen model across jobs, fit once via the

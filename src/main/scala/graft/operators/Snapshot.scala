@@ -433,6 +433,56 @@ object Snapshot {
         lit(toV).as("_commit_version")): _*)
   }
 
+  /** Layout integrity audit (`--fsck`) — one row per finding, empty =
+    * clean. Metadata-only (manifest reads + one pool listing):
+    *
+    *   - `missing`  (error): a retained manifest lists a file absent
+    *     from the pool — that version cannot be read;
+    *   - `size`     (error): on-disk bytes differ from the manifest's;
+    *   - `orphan`   (info): a pool file no retained manifest
+    *     references — reclaimable space the next vacuum will delete;
+    *   - `stray`    (info): an uncommitted `_v_` dir or abandoned
+    *     stage from a crashed writer — swept by the next commit.
+    */
+  def fsck(spark: SparkSession, rootStr: String): DataFrame = {
+    import spark.implicits._
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    val dd = dataDir(root)
+    val onDisk: Map[String, Long] =
+      if (fs.exists(dd))
+        listDataFilesRec(fs, dd).map(f => relPath(dd, f._1) -> f._2).toMap
+      else Map.empty
+    val vs = committed(fs, root)
+    val referenced = scala.collection.mutable.Set.empty[String]
+    vs.foreach { case (v, vdir) =>
+      manifestAt(fs, vdir).foreach { m =>
+        m.entries.foreach { e =>
+          referenced += e.rel
+          onDisk.get(e.rel) match {
+            case None =>
+              out += (("error", "missing", s"v$v lists ${e.rel} — not in pool"))
+            case Some(b) if b != e.bytes =>
+              out += (("error", "size",
+                s"v$v ${e.rel}: manifest ${e.bytes} B, on disk $b B"))
+            case _ => ()
+          }
+        }
+      }
+    }
+    onDisk.keys.filterNot(referenced).toSeq.sorted.foreach(rel =>
+      out += (("info", "orphan", s"$rel referenced by no retained manifest")))
+    Versioned.list(fs, root).filterNot(_._3).foreach { case (n, _, _) =>
+      out += (("info", "stray", s"uncommitted version dir _v_$n"))
+    }
+    try fs.listStatus(root).foreach { s =>
+      if (s.getPath.getName.startsWith("._snap_stage_"))
+        out += (("info", "stray", s"abandoned stage ${s.getPath.getName}"))
+    } catch { case _: Throwable => () }
+    out.toSeq.toDF("severity", "issue", "detail")
+  }
+
   // ── shared fs helpers (also used by PrunedMerge/Compaction) ──────
 
   private[graft] def listDataFilesRec(fs: FileSystem,

@@ -11,6 +11,7 @@ import org.apache.spark.sql.functions._
   * mirror the API.
   */
 class RollupSpec extends SparkSpec {
+  import spark.implicits._
 
   private val keys = Seq("l_returnflag", "l_linestatus")
   private val aggs = RollupOps.parse(Seq(
@@ -66,6 +67,29 @@ class RollupSpec extends SparkSpec {
     val got = rows(RollupOps.finish(st, Seq("k"),
       RollupOps.parse(Seq("count", "count:v", "avg:v"))).orderBy("k"))
     assert(got == Seq(Seq("g1", 2L, 1L, 1.0), Seq("g2", 1L, 0L, null)))
+  }
+
+  test("hll distinct-count states: incremental union == direct sketch; ≈ exact") {
+    // COUNT DISTINCT is the aggregate exact partial states cannot
+    // cover; the HLL sketch union is exact over the sketch algebra
+    // (register-wise max), so incremental must equal direct EXACTLY
+    val aggsH = RollupOps.parse(Seq("count", "hll:l_partkey"))
+    val states = (0 until 3).map(i =>
+      RollupOps.summarize(li.filter(col("l_orderkey") % 3 === i), keys, aggsH))
+    val inc = rows(RollupOps.finish(RollupOps.merge(states, keys), keys, aggsH)
+      .orderBy(keys.map(col): _*))
+    val dir = rows(RollupOps.finish(RollupOps.summarize(li, keys, aggsH),
+      keys, aggsH).orderBy(keys.map(col): _*))
+    assert(inc == dir, "sketch union must equal the one-shot sketch")
+    // and the estimate tracks the exact distinct count (HLL++ default
+    // lgConfigK=12 ⇒ ~1.6% rsd; 5% bound is > 3σ)
+    val exact = li.groupBy(keys.map(col): _*)
+      .agg(countDistinct(col("l_partkey")).as("x"))
+      .orderBy(keys.map(col): _*).select("x").as[Long].collect()
+    inc.map(_.last.asInstanceOf[Long]).zip(exact).foreach { case (e, x) =>
+      assert(math.abs(e - x) <= math.max(2.0, 0.05 * x),
+        s"hll estimate $e vs exact $x")
+    }
   }
 
   test("transformer stages mirror the API") {

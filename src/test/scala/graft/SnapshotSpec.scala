@@ -320,6 +320,42 @@ class SnapshotSpec extends SparkSpec {
     assert(e.getMessage.contains("parquet snapshot"))
   }
 
+  test("fsck: clean layout is empty; planted corruption classes are reported") {
+    val dir = freshDir("snap_fsck")
+    val p = s"$dir/t.parquet"
+    WriteOps.atomicOverwrite(spark, base(100), p, commitMode = "snapshot",
+      maxRecordsPerFile = 30)
+    assert(Snapshot.fsck(spark, p).isEmpty)
+    // plant: an orphan pool file, a stray uncommitted dir, and a
+    // missing member (delete one manifest entry's file)
+    val dd = Snapshot.dataDir(new Path(p))
+    fs.create(new Path(dd, "orphan-file.parquet"), false).close()
+    fs.mkdirs(new Path(s"$p/_v_00000000000000000099"))
+    val firstRel = manifestRels(p, 1).head
+    fs.delete(new Path(dd, firstRel), false)
+    val issues = rows(Snapshot.fsck(spark, p).orderBy("issue"))
+    val byIssue = issues.groupBy(_(1)).view.mapValues(_.size).toMap
+    assert(byIssue.get("missing").contains(1), s"got $issues")
+    assert(byIssue.get("orphan").contains(1))
+    assert(byIssue.get("stray").contains(1))
+    assert(issues.collect { case Seq("error", _, _*) => 1 }.sum == 1)
+  }
+
+  test("expect stage gates data quality with SQL CHECK semantics") {
+    import spark.implicits._
+    val df = Seq((1, Some(5)), (2, None), (3, Some(-1))).toDF("id", "v")
+    def run(cond: String, maxV: String = "0") =
+      graft.functions.Transformers.apply(df,
+        Seq(graft.spec.TransformStage("expect",
+          if (maxV == "0") Seq(cond) else Seq(cond, maxV))))
+    // NULL passes (SQL CHECK), -1 violates
+    val e = intercept[IllegalStateException](run("v >= 0").collect())
+    assert(e.getMessage.contains("1 row(s) violate"))
+    // allowance lets it through, frame flows unchanged
+    assert(run("v >= 0", "1").count() == 3)
+    assert(run("id > 0").count() == 3)
+  }
+
   test("changelog on mismatched schemas refuses loudly") {
     val dir = freshDir("snap_clerr")
     val p = s"$dir/t.parquet"
