@@ -249,6 +249,38 @@ object ScaleBench5 {
     notes("rollup") = s"100000 groups over $nDocs rows; 6-batch maintenance " +
       "== direct re-aggregate"
 
+    // ── 4b) STREAMING rollup maintenance at 6M ────────────────────────
+    // The same facts arrive as a file stream in 4 micro-batches; each
+    // folds into the snapshot-committed state (atomic per batch,
+    // __batch_id idempotence). The finished state must equal the
+    // direct aggregate — the streaming twin of phase 4 at full scale.
+    val factsPath = s"$out/roll_facts.parquet"
+    if (!scala.util.Try(spark.read.parquet(factsPath).count())
+          .toOption.contains(nDocs))
+      facts.repartition(64).write.mode("overwrite").parquet(factsPath)
+    val statePath = s"$out/roll_state.parquet"
+    val ckpPath = s"$out/roll_ckp"
+    fs.delete(new org.apache.hadoop.fs.Path(statePath), true)
+    fs.delete(new org.apache.hadoop.fs.Path(ckpPath), true)
+    timed("rollup_stream_6m_4batches") {
+      val schema = spark.read.parquet(factsPath).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 16).parquet(factsPath)
+      graft.streaming.StreamRunner.rollupStream(spark, stream, statePath,
+        keys, aggs, ckpPath, keepVersions = 2)
+    }
+    val streamed = RollupOps.finish(
+      graft.sources.Resolver.readParquet(spark, statePath).drop("__batch_id"),
+      keys, aggs)
+      .agg(count(lit(1)), sum("n"), sum("sum_len"), min("min_doc_id"),
+        max("max_doc_id"))
+      .as[(Long, Long, Long, Long, Long)].head()
+    require(streamed == directFull,
+      s"streamed rollup diverged: $streamed vs $directFull")
+    notes("rollup_stream") = "4 micro-batches → snapshot-committed state " +
+      "≡ direct aggregate at 6M"
+    spark.sharedState.cacheManager.clearCache()
+
     // ── 5) distributed PCA at 6M vectors ──────────────────────────────
     // 2000 base embeddings × 3000 replicas, each shifted along the
     // planted direction u = 1/√d · 1 by a deterministic per-row

@@ -64,6 +64,7 @@ object Main {
       history: Boolean = false, // [EXT] snapshot/versioned history listing
       vacuum: Option[Int] = None, // [EXT] trim retention to N generations
       fsck: Boolean = false, // [EXT] snapshot-layout integrity audit
+      zorder: Seq[String] = Nil, // [EXT] Z-order maintenance columns
       changelog: Option[(Long, Long)] = None, // [EXT] CDC diff from:to
       changelogPk: Seq[String] = Nil, // [EXT] row identity for --changelog
       cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -101,6 +102,7 @@ object Main {
     var keepVersions = 2; var history = false
     var changelog: Option[(Long, Long)] = None
     var vacuumN: Option[Int] = None; var fsck = false
+    var zorderCols: Seq[String] = Nil
     var indexBy = Vector.empty[String]; var skipIndex = false
     var failOnError = envDefault("--fail-on-error").forall(asBool)
     var jobPoll: Option[String] = None; var jq = Vector.empty[(String, String)]
@@ -215,6 +217,14 @@ object Main {
       case "--history" => history = true
       // [EXT] snapshot-layout integrity audit of the source dataset
       case "--fsck" => fsck = true
+      // [EXT] Z-ORDER maintenance of the target layout (OPTIMIZE
+      // ZORDER analog): rewrite clustered on the Morton key of COLS,
+      // committed through the target's protocol (snapshot layouts get
+      // an atomic version; prior generations stay readable)
+      case "--zorder" => once("--zorder")
+        zorderCols = next("--zorder").split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        if (zorderCols.isEmpty) throw CliError("--zorder needs column(s)")
       // [EXT] retention maintenance without a write: trim the source
       // dataset to N committed generations now (refcount vacuum)
       case "--vacuum" => once("--vacuum")
@@ -350,7 +360,7 @@ object Main {
     val srcUri = source.orElse(envDefault("--source"))
       .getOrElse(
         if (jobPoll.nonEmpty || lsflat.nonEmpty || dropNs.nonEmpty || jobRun ||
-            compactSize.nonEmpty)
+            compactSize.nonEmpty || zorderCols.nonEmpty)
           "parquet/_unused_/_unused_"
         else throw CliError("-s/--source is required"))
     // `-o op:pk` fuses the write op and key (etl_cli/etl.py:203-206).
@@ -407,7 +417,8 @@ object Main {
       lsflat = lsflat, dropNs = dropNs,
       showArgs = showArgs, jobRun = jobRun, logLevel = logLevel,
       profile = profile, compact = compactSize,
-      history = history, vacuum = vacuumN, fsck = fsck, changelog = changelog,
+      history = history, vacuum = vacuumN, fsck = fsck, zorder = zorderCols,
+      changelog = changelog,
       changelogPk = if (pk.nonEmpty) csv(pk) else csv(opPk)))
   }
 
@@ -509,6 +520,38 @@ object Main {
           println(s"changelog v$fromV→v$toV written to ${t.ref.uri}")
         case None => cl.show(100, truncate = false)
       }
+      return
+    }
+    if (opts.zorder.nonEmpty) { // [EXT] Z-order layout maintenance
+      val t = job.target.getOrElse(throw CliError("--zorder needs a target (-t)"))
+      if (!Set("parquet", "ds").contains(t.ref.backend))
+        throw CliError(s"--zorder supports parquet targets, got ${t.ref.backend}")
+      if (t.partitionBy.nonEmpty)
+        throw CliError("--zorder does not compose with --partition-by yet " +
+          "(z-order per partition dir by running it per partition)")
+      val p = Resolver.path(t.ref)
+      val df0 = Resolver.readParquet(spark, p)
+      val missing = opts.zorder.filterNot(df0.columns.contains)
+      if (missing.nonEmpty)
+        throw CliError(s"--zorder columns not in dataset: ${missing.mkString(",")}")
+      import org.apache.spark.sql.functions.col
+      val (mins, maxs) = graft.operators.ZOrder.bounds(df0, opts.zorder)
+      val nFiles = math.max(1, df0.inputFiles.length)
+      val laid = df0
+        .withColumn("__z__", graft.operators.ZOrder.zvalue(
+          opts.zorder.map(col), mins, maxs))
+        .repartitionByRange(nFiles, col("__z__"))
+        .sortWithinPartitions("__z__")
+        .drop("__z__")
+      // the commit protocol does the rest: snapshot layouts get an
+      // atomic new version (prior generations readable), plain dirs
+      // the rename swap — the z-partitioning survives atomicOverwrite
+      // because its index layout is a no-op for empty indexBy
+      graft.operators.WriteOps.atomicOverwrite(spark, laid, p,
+        maxRecordsPerFile = t.maxRecordsPerFile, commitMode = t.commitMode,
+        keepVersions = t.keepVersions)
+      println(s"zorder: re-clustered ${t.ref.uri} on " +
+        s"${opts.zorder.mkString(",")} into $nFiles file(s)")
       return
     }
     opts.compact.foreach { bytes => // [EXT] target-layout maintenance
@@ -724,6 +767,9 @@ object Main {
       |               --skip-index (drop requested index layouts)
       |               --compact SIZE (rewrite sub-SIZE files of the target
       |               layout, re-sorted on --mongo-index keys; k/m/g ok)
+      |               --zorder c1,c2 (re-cluster the target on the Morton
+      |               key — multi-column range pruning; commits through
+      |               the target's protocol)
       |namespaces     --lsflat BACKEND/NS (list datasets, one per line)
       |               --drop-ns BACKEND/NS (drop every dataset; confirms)
       |jobs           --job-poll NS  --jq key=value (default uid=last)

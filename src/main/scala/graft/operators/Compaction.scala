@@ -84,7 +84,11 @@ object Compaction {
         compacted += small.length
         val smallBytes = small.map(_.getLen).sum
         bytes += smallBytes
-        val df = spark.read.parquet(small.map(_.getPath.toString).toIndexedSeq: _*)
+        // mergeSchema: a foreign plain layout may mix file schemas —
+        // union-null-fill preserves the row multiset (the compaction
+        // law) where sample-file inference would drop columns
+        val df = spark.read.option("mergeSchema", "true")
+          .parquet(small.map(_.getPath.toString).toIndexedSeq: _*)
         val nOut = math.max(1L,
           (smallBytes + targetFileBytes - 1) / targetFileBytes).toInt
         val keys = indexBy.filter(df.columns.contains)
@@ -157,7 +161,16 @@ object Compaction {
           val smallBytes = small.map(_.bytes).sum
           bytes += smallBytes
           kept ++= entries.filterNot(e => e.bytes < targetFileBytes)
-          val df = spark.read.parquet(
+          // EXPLICIT manifest data schema (partition cols live in the
+          // dir path, not the files): after a schema-evolution commit
+          // a group can mix pre- and post-evolution files — footer
+          // inference from a sample file would silently DROP the
+          // evolved columns of the newer ones; the explicit schema
+          // null-fills the older ones instead, which is exactly how
+          // the read path serves them
+          val dataSchema = org.apache.spark.sql.types.StructType(
+            m.schema.fields.filterNot(f => m.partitionBy.contains(f.name)))
+          val df = spark.read.schema(dataSchema).parquet(
             small.map(e => new Path(dd, e.rel).toString): _*)
           val nOut = math.max(1L,
             (smallBytes + targetFileBytes - 1) / targetFileBytes).toInt

@@ -73,8 +73,12 @@ import org.apache.spark.sql.types._
   * layout, no `--tmap`, keyed op, layout on disk agreeing with the spec
   * (flat for unpartitioned, hive dirs matching `partitionBy` for
   * partitioned), at least one pk component with comparable stats
-  * (integral / string / date / timestamp), and the op must not extend
-  * the target schema (untouched files could not serve the new columns).
+  * (integral / string / date / timestamp), and — on plain layouts —
+  * the op must not extend the target schema (untouched files could
+  * not serve the new columns). SNAPSHOT layouts lift that last
+  * restriction: a widening op (mongo `$set` of a new field) commits
+  * an EVOLVED manifest schema, old members read null-filled, and the
+  * ADD COLUMN costs only the touched-file rewrite.
   * Timestamp pks prune via micros-since-epoch when the files carry
   * annotated INT64 stats (graft's own sessions write TIMESTAMP_MICROS;
   * deprecated INT96 has no usable stats → conservative). Single-writer
@@ -261,9 +265,19 @@ object PrunedMerge {
           .select(current.columns.map(col).toIndexedSeq: _*)
       }
     val merged = WriteOps.applyOp(touchedDf, batch, t)
-    // schema-extending op (schema-free update $set) → untouched files
-    // could not serve the new columns; full rewrite handles it
-    if (!merged.columns.sameElements(current.columns)) return None
+    // schema-extending op (schema-free update $set): on a SNAPSHOT
+    // layout the op widens the MANIFEST schema instead of forcing a
+    // full rewrite — untouched files serve the new columns as nulls
+    // (explicit-schema member reads), which is exactly the op's
+    // semantics for unmatched rows. [[WriteOps.update]] appends new
+    // fields after the target's, so widening is prefix-preserving;
+    // anything else (a reorder, a drop) is not an extension → decline.
+    // Plain layouts have no schema record unifying mixed files →
+    // full rewrite there, as before.
+    val widens = merged.columns.length > current.columns.length &&
+      merged.columns.startsWith(current.columns)
+    if (!merged.columns.sameElements(current.columns) &&
+        !(widens && snapCtx.isDefined)) return None
 
     // rewrite: range-partition back to ≈ one file per touched input
     // (+1 for pure-insert growth), re-sorted on the layout keys so the
@@ -308,8 +322,15 @@ object PrunedMerge {
         // paths (file:/…) while manifest entries are pool-relative
         val touchedRel = touched.map(e => relPath(dd, new Path(e.path))).toSet
         val untouchedEntries = m.entries.filterNot(e => touchedRel.contains(e.rel))
+        // a widening op commits the EVOLVED schema — ADD COLUMN priced
+        // per change: only the touched files carry the column
+        // physically, every other member serves it as nulls
+        val outDdl =
+          if (widens) org.apache.spark.sql.types.StructType(
+            merged.schema.fields.map(_.copy(nullable = true))).toDDL
+          else m.schemaDdl
         Snapshot.commitVersion(fs, hPath,
-          Snapshot.Manifest(m.schemaDdl, m.partitionBy,
+          Snapshot.Manifest(outDdl, m.partitionBy,
             untouchedEntries ++ newEntries), t.keepVersions)
         val totalBytes0 = envelopes.map(_.bytes).sum
         return Some(Stats(envelopes.size, touched.size, totalBytes0,

@@ -161,7 +161,12 @@ object Snapshot {
 
   /** Scan a subset of one manifest's members, normalized to the
     * manifest's logical schema. The membership-restriction primitive
-    * readAt and the file-pruned changelog share.
+    * readAt and the file-pruned changelog share. The read schema is
+    * EXPLICIT (the manifest's): besides skipping footer inference,
+    * this is what makes manifest-level SCHEMA EVOLUTION work — a
+    * member written before an ADD COLUMN commit simply null-fills the
+    * columns its footers don't carry, so old files serve the evolved
+    * schema without a rewrite.
     */
   private def readMembers(spark: SparkSession, root: Path, m: Manifest,
                           entries: Seq[Entry]): DataFrame = {
@@ -172,7 +177,7 @@ object Snapshot {
     else {
       val dd = dataDir(root)
       val paths = entries.map(e => new Path(dd, e.rel).toString)
-      val r = spark.read
+      val r = spark.read.schema(m.schema)
       (if (m.partitionBy.nonEmpty) r.option("basePath", dd.toString) else r)
         .parquet(paths: _*)
         .select(cols: _*)
@@ -399,12 +404,30 @@ object Snapshot {
           case _ => None
         }
       }
-    val (from, to) = pruned.getOrElse(
+    val (from0, to) = pruned.getOrElse(
       (readAt(spark, rootStr, Some(fromV)), readAt(spark, rootStr, Some(toV))))
-    require(from.schema == to.schema,
-      s"changelog requires matching snapshot schemas, got " +
-        s"${from.schema.toDDL} vs ${to.schema.toDDL}")
-    val cols = from.columns.toIndexedSeq
+    // schema EVOLUTION tolerance: a widened to-version (ADD COLUMN
+    // commit) compares against the from-version null-padded to the
+    // same shape — the exact rows a from-version reader under the
+    // evolved schema would see, so a row whose new column gained a
+    // value classifies as an update with a NULL preimage. Anything
+    // that is not a pure widening (drop, retype, reorder) still
+    // refuses loudly.
+    val from =
+      if (from0.schema == to.schema) from0
+      else {
+        val fNames = from0.columns.toSet
+        val widens = from0.schema.fields.forall(f =>
+          to.schema.fields.exists(g => g.name == f.name && g.dataType == f.dataType))
+        require(widens,
+          s"changelog requires the to-version schema to contain every " +
+            s"from-version column unchanged, got ${from0.schema.toDDL} " +
+            s"vs ${to.schema.toDDL}")
+        from0.select(to.schema.fields.toIndexedSeq.map(g =>
+          if (fNames(g.name)) col(g.name)
+          else lit(null).cast(g.dataType).as(g.name)): _*)
+      }
+    val cols = to.columns.toIndexedSeq
     require(pk.forall(cols.contains), s"pk ${pk.mkString(",")} not in schema")
     val nonPk = cols.filterNot(pk.contains)
     val f = from.select(struct(cols.map(col): _*).as("__f__"))

@@ -320,6 +320,47 @@ class SnapshotSpec extends SparkSpec {
     assert(e.getMessage.contains("parquet snapshot"))
   }
 
+  test("--zorder maintenance on a snapshot target: second-dim pruning improves, history kept") {
+    import graft.cli.Main
+    val dir = freshDir("snap_zo")
+    val p = s"$dir/t.parquet"
+    import spark.implicits._
+    // two independent dims; initial layout sorted on `a` only, so `b`
+    // range scans must touch ~every file
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 20000).map(_ => (rnd.nextInt(1 << 14).toLong,
+      rnd.nextInt(1 << 14).toLong)).toDF("a", "b")
+    WriteOps.atomicOverwrite(spark, df, p, indexBy = Seq("a"),
+      maxRecordsPerFile = 1250, commitMode = "snapshot")
+    val expected = sortedRows(graft.sources.Resolver.readParquet(spark, p))
+    val nFilesBefore = graft.sources.Resolver.readParquet(spark, p)
+      .inputFiles.length
+    val touchedBefore = {
+      val env = graft.sources.Resolver.readParquet(spark, p)
+        .groupBy(org.apache.spark.sql.functions.input_file_name().as("f"))
+        .agg(min(col("b")).as("lo"), max(col("b")).as("hi"))
+      env.filter(col("lo") <= 500 && col("hi") >= 0).count()
+    }
+    val (job, opts) = Main.parse(Array(
+      "-t", s"parquet/$dir/t", "--zorder", "a,b",
+      "--max-records-per-file", "1250", "-y"))
+    Main.execute(spark, job, opts)
+    // a new version committed; rows identical; prior version readable
+    assert(Snapshot.committed(fs, new Path(p)).map(_._1) == Seq(1L, 2L))
+    assert(sortedRows(graft.sources.Resolver.readParquet(spark, p)) == expected)
+    assert(Snapshot.readAt(spark, p, Some(1)).count() == 20000)
+    val touchedAfter = {
+      val env = graft.sources.Resolver.readParquet(spark, p)
+        .groupBy(org.apache.spark.sql.functions.input_file_name().as("f"))
+        .agg(min(col("b")).as("lo"), max(col("b")).as("hi"))
+      env.filter(col("lo") <= 500 && col("hi") >= 0).count()
+    }
+    assert(touchedBefore >= nFilesBefore - 1,
+      s"pre-zorder, a b-range should touch ~all files ($touchedBefore/$nFilesBefore)")
+    assert(touchedAfter < touchedBefore,
+      s"z-order must improve b-pruning: $touchedAfter vs $touchedBefore")
+  }
+
   test("fsck: clean layout is empty; planted corruption classes are reported") {
     val dir = freshDir("snap_fsck")
     val p = s"$dir/t.parquet"
