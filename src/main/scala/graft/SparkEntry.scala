@@ -282,6 +282,35 @@ object SparkEntry {
         .orderBy("o_orderkey", "_change_type")
     }),
 
+    // ── [EXT r10] CDC across SCHEMA EVOLUTION: v2 is an ADD-COLUMN
+    // widening of v1 (plus a price update on a key range). The
+    // changelog null-pads the from-side to the evolved shape, so a row
+    // whose new column gained a value classifies as an update with a
+    // NULL preimage — the rows a v1 reader under the evolved schema
+    // would see. Also proves time travel across the evolution: the
+    // `_version=1` read must carry the ORIGINAL 2-column schema.
+    "q_changelog_evolve" -> ((s, dir) => {
+      val scratch = java.nio.file.Files.createTempDirectory("graft_cdcev").toString
+      val orders = read(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val p = s"$scratch/orders_t.parquet"
+      WriteOps.atomicOverwrite(s, orders, p, indexBy = Seq("o_orderkey"),
+        commitMode = "snapshot")
+      val v2 = orders
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") < 1000, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_flag", when(col("o_orderkey") < 2000, col("o_orderkey") % 7))
+      WriteOps.atomicOverwrite(s, v2, p, indexBy = Seq("o_orderkey"),
+        commitMode = "snapshot")
+      val v1r = graft.sources.Resolver.readParquet(s, p, Some(1L))
+      require(v1r.columns.toSeq == Seq("o_orderkey", "o_totalprice"),
+        s"time travel across evolution must keep v1's schema, got ${v1r.columns.toSeq}")
+      require(v1r.count() == orders.count(),
+        "time travel across evolution must return the full v1 table")
+      graft.operators.Snapshot.changelog(s, p, 1L, 2L, Seq("o_orderkey"))
+        .orderBy("o_orderkey", "_change_type")
+    }),
+
     // ── [EXT r9] incremental materialized rollup: three disjoint
     // batches summarized INDEPENDENTLY to mergeable partial states,
     // merged, finished — must equal the direct GROUP BY over the whole
@@ -1492,6 +1521,21 @@ object SparkEntry {
            UNION ALL
            SELECT o_orderkey + 10000000, o_totalprice, 'insert'
            FROM orders WHERE o_orderkey < 100)
+         ORDER BY o_orderkey, _change_type""",
+    // widening CDC: v1-side o_flag is the NULL pad; only keys < 2000
+    // change (price doubled < 1000, flag gained < 2000) — the rest are
+    // unchanged under NULL-safe struct equality and emit nothing
+    "q_changelog_evolve" ->
+      """SELECT o_orderkey, o_totalprice, o_flag, _change_type,
+                CAST(2 AS BIGINT) AS _commit_version FROM (
+           SELECT o_orderkey, o_totalprice, CAST(NULL AS BIGINT) AS o_flag,
+                  'update_preimage' AS _change_type
+           FROM orders WHERE o_orderkey < 2000
+           UNION ALL
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey < 1000 THEN o_totalprice * 2 ELSE o_totalprice END,
+                  o_orderkey % 7, 'update_postimage'
+           FROM orders WHERE o_orderkey < 2000)
          ORDER BY o_orderkey, _change_type""",
     "q_write_insert" ->
       """SELECT * FROM (

@@ -397,16 +397,42 @@ class SnapshotSpec extends SparkSpec {
     assert(run("id > 0").count() == 3)
   }
 
-  test("changelog on mismatched schemas refuses loudly") {
+  test("changelog tolerates ADD-COLUMN widening with NULL preimages") {
+    val dir = freshDir("snap_clwide")
+    val p = s"$dir/t.parquet"
+    import spark.implicits._
+    // v1: (id, txt); v2 widens with `extra` AND changes row 2's txt so we
+    // see both classifications: a widening-only change (row 1: txt same,
+    // extra gained a value => update with NULL-extra preimage) and a real
+    // value update (row 2).
+    WriteOps.atomicOverwrite(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "txt"),
+      p, commitMode = "snapshot", keepVersions = 3)
+    WriteOps.atomicOverwrite(spark,
+      Seq((1L, "a", 10), (2L, "B", 20)).toDF("id", "txt", "extra"),
+      p, commitMode = "snapshot", keepVersions = 3)
+    val rows = Snapshot.changelog(spark, p, 1, 2, Seq("id"))
+      .select("id", "txt", "extra", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else Integer.valueOf(r.getInt(2)), r.getString(3)))
+      .toSet
+    assert(rows == Set(
+      (1L, "a", null, "update_preimage"),
+      (1L, "a", Integer.valueOf(10), "update_postimage"),
+      (2L, "b", null, "update_preimage"),
+      (2L, "B", Integer.valueOf(20), "update_postimage")))
+  }
+
+  test("changelog on non-widening schema change refuses loudly") {
     val dir = freshDir("snap_clerr")
     val p = s"$dir/t.parquet"
     import spark.implicits._
+    // retype: txt STRING -> txt INT is not a pure widening
     WriteOps.atomicOverwrite(spark, Seq((1L, "a")).toDF("id", "txt"), p,
       commitMode = "snapshot", keepVersions = 3)
-    WriteOps.atomicOverwrite(spark, Seq((1L, "a", 1)).toDF("id", "txt", "extra"),
+    WriteOps.atomicOverwrite(spark, Seq((1L, 7)).toDF("id", "txt"),
       p, commitMode = "snapshot", keepVersions = 3)
     val e = intercept[IllegalArgumentException](
       Snapshot.changelog(spark, p, 1, 2, Seq("id")))
-    assert(e.getMessage.contains("matching snapshot schemas"))
+    assert(e.getMessage.contains("from-version column unchanged"))
   }
 }
