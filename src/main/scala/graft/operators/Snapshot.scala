@@ -146,6 +146,13 @@ object Snapshot {
     * to the manifest's logical schema (column order AND types — hive
     * path inference must not retype partition columns). Empty
     * manifests read as an empty frame with the recorded schema.
+    *
+    * No TIMESTAMP(NANOS) handling needed here (unlike
+    * [[graft.sources.Resolver.readParquet]]'s dir-protocol paths): a
+    * snapshot layout's pool files are always written by THIS engine
+    * (TIMESTAMP_MICROS, pinned in the writer conf) — converting an
+    * externally-written dataset to snapshot rewrites its data through
+    * the same writer.
     */
   def readAt(spark: SparkSession, rootStr: String,
              at: Option[Long] = None): DataFrame = {

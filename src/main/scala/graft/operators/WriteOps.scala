@@ -425,9 +425,14 @@ object WriteOps {
         // half-written version (the marker lands after all data files)
         fs.create(new org.apache.hadoop.fs.Path(vdir, Versioned.Marker),
           false).close()
-        // vacuum: keep the previous committed generation for in-flight
-        // readers; drop older generations and uncommitted strays
-        val keep = before.filter(_._3).map(_._1).maxOption.toSet
+        // vacuum: honor the retention depth — keep the newest
+        // keepVersions-1 PRIOR committed generations (the new one makes
+        // keepVersions total, matching the snapshot protocol's
+        // semantics), so `_version=N` time travel works to the depth
+        // the user asked for; drop older generations and uncommitted
+        // strays
+        val keep = before.filter(_._3).map(_._1).sorted(Ordering[Long].reverse)
+          .take(math.max(1, keepVersions - 1)).toSet
         before.foreach { case (n, p, _) =>
           if (!keep.contains(n)) fs.delete(p, true)
         }

@@ -136,15 +136,20 @@ object Resolver {
     // only layouts where `_version` time travel is meaningful
     if (graft.operators.Snapshot.isSnapshotLayout(fs, hp))
       return graft.operators.Snapshot.readAt(spark, pathStr, atVersion)
+    def readNormalized(p: String): DataFrame = {
+      val nanos = nanoTimestampCols(spark, p)
+      if (nanos.isEmpty) spark.read.parquet(p)
+      else convertNanoCols(withNanosAsLong(spark)(spark.read.parquet(p)), nanos)
+    }
     atVersion match {
       case Some(v) =>
         val (_, vdir) = graft.operators.Snapshot.resolveVersion(fs, hp, Some(v))
-        spark.read.parquet(vdir.toString) // a retained dir-protocol version
+        // a retained dir-protocol version — same nano-timestamp
+        // normalization as the latest-read path, so time travel never
+        // fails on files the plain read accepts
+        readNormalized(vdir.toString)
       case None =>
-        val p = resolveVersioned(spark, pathStr)
-        val nanos = nanoTimestampCols(spark, p)
-        if (nanos.isEmpty) spark.read.parquet(p)
-        else convertNanoCols(withNanosAsLong(spark)(spark.read.parquet(p)), nanos)
+        readNormalized(resolveVersioned(spark, pathStr))
     }
   }
 

@@ -255,6 +255,23 @@ object StreamRunner {
                    keys: Seq[String], aggs: Seq[graft.ext.RollupOps.Agg],
                    checkpointDir: String,
                    keepVersions: Int = 2): StreamingQuery = {
+    // Idempotence is keyed on (streaming query id, batchId) — the
+    // Delta txn pattern. batchId alone is unsafe: a recreated
+    // checkpoint dir restarts ids at 0, and every new batch would
+    // read as "already applied" against the old recorded id. The
+    // query id lives in `<checkpoint>/metadata` (written at start,
+    // before the first batch) and is stable across restarts of the
+    // same checkpoint.
+    def queryId(fs: org.apache.hadoop.fs.FileSystem): String = {
+      val meta = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
+      if (!fs.exists(meta)) "" else {
+        val in = fs.open(meta)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt)
+          .map(_.group(1)).getOrElse("")
+      }
+    }
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val fs = new org.apache.hadoop.fs.Path(statePath)
@@ -263,12 +280,23 @@ object StreamRunner {
           if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
             Some(graft.sources.Resolver.readParquet(spark, statePath))
           else None
-        val applied = existing.map(_.select(max(col("__batch_id")))
-          .head().getLong(0))
-        if (!applied.exists(_ >= batchId)) {
+        val qid = queryId(fs)
+        // (runId, batchId) last applied — a zero-row state table (an
+        // empty first micro-batch) has max(NULL): treat as nothing
+        // applied instead of NPE-ing on getLong
+        val applied: Option[(String, Long)] = existing.flatMap { st =>
+          val hasRun = st.columns.contains("__run_id")
+          val row = st.select(
+            (if (hasRun) max(col("__run_id")) else lit("").as("r")),
+            max(col("__batch_id"))).head()
+          if (row.isNullAt(1)) None
+          else Some((if (row.isNullAt(0)) "" else row.getString(0), row.getLong(1)))
+        }
+        if (!applied.exists { case (r, b) => r == qid && b >= batchId }) {
           val newState = graft.ext.RollupOps.maintain(
-            existing.map(_.drop("__batch_id")), batch, keys, aggs)
+            existing.map(_.drop("__batch_id").drop("__run_id")), batch, keys, aggs)
             .withColumn("__batch_id", lit(batchId))
+            .withColumn("__run_id", lit(qid))
           graft.operators.WriteOps.atomicOverwrite(spark, newState, statePath,
             indexBy = keys, commitMode = "snapshot", keepVersions = keepVersions)
         }

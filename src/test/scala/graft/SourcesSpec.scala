@@ -17,6 +17,29 @@ class SourcesSpec extends SparkSpec {
     assert(back.schema("r_regionkey").dataType.isInstanceOf[NumericType])
   }
 
+  test("TIMESTAMP(NANOS) parquet normalizes on latest AND _version reads") {
+    // pyarrow-written nano fixture: illegal for the plain Spark reader
+    // ([PARQUET_TYPE_ILLEGAL]); Resolver converts to micros on every
+    // read path, including time travel over a versioned layout
+    val fixture = getClass.getResource("/nano_fixture.parquet")
+    assume(fixture != null, "nano fixture missing")
+    val src = new java.io.File(fixture.toURI).toPath
+    val dir = Files.createTempDirectory("graft_nano").toString
+    val ds = s"$dir/ev.parquet"
+    // hand-build a 2-generation versioned layout containing the nano file
+    for (v <- Seq("_v_00000000000000000001", "_v_00000000000000000002")) {
+      Files.createDirectories(java.nio.file.Paths.get(s"$ds/$v"))
+      Files.copy(src, java.nio.file.Paths.get(s"$ds/$v/part-0.parquet"))
+      Files.createFile(java.nio.file.Paths.get(s"$ds/$v/_COMMITTED"))
+    }
+    val latest = Resolver.readParquet(spark, ds)
+    assert(latest.schema("ts").dataType == TimestampType && latest.count() == 3)
+    val pinned = Resolver.readParquet(spark, ds, Some(1L))
+    assert(pinned.schema("ts").dataType == TimestampType && pinned.count() == 3)
+    assert(pinned.agg(max(col("ts")).cast("string")).head().getString(0)
+      .startsWith("2026-01-01 00:00:03"))
+  }
+
   test("W11 explicit schema (tmap) overrides inference") {
     val dir = Files.createTempDirectory("graft_csv2").toString
     sf("region").write.option("header", "true").csv(s"$dir/r.csv")

@@ -418,4 +418,56 @@ class StreamSpec extends SparkSpec {
       .agg(max("__batch_id")).as[Long].head()
     assert(bid >= 1L, "multiple micro-batches expected")
   }
+
+  test("streaming rollup: zero-row pre-existing state does not wedge the run") {
+    import graft.ext.RollupOps
+    val dir = Files.createTempDirectory("graft_rollempty").toString
+    val src = s"$dir/ev.parquet"; val state = s"$dir/state.parquet"
+    val ev = sf("events").select("event_type", "value", "user_id").limit(500)
+    ev.coalesce(1).write.parquet(src)
+    val keys = Seq("event_type")
+    val aggs = RollupOps.parse(Seq("count", "sum:value"))
+    // a zero-row state table (what an empty first micro-batch leaves
+    // behind): max(__batch_id) is NULL — must read as "nothing
+    // applied", not NPE
+    graft.operators.WriteOps.atomicOverwrite(spark,
+      RollupOps.summarize(spark.read.parquet(src), keys, aggs)
+        .withColumn("__batch_id", lit(0L)).limit(0),
+      state, indexBy = keys, commitMode = "snapshot")
+    val schema = spark.read.parquet(src).schema
+    StreamRunner.rollupStream(spark,
+      spark.readStream.schema(schema).parquet(src), state, keys, aggs,
+      s"$dir/ckp")
+    val got = rows(RollupOps.finish(
+      graft.sources.Resolver.readParquet(spark, state)
+        .drop("__batch_id", "__run_id"), keys, aggs).orderBy("event_type"))
+    val want = rows(RollupOps.finish(
+      RollupOps.summarize(spark.read.parquet(src), keys, aggs), keys, aggs)
+      .orderBy("event_type"))
+    assert(got == want)
+  }
+
+  test("streaming rollup: recreated checkpoint (new query id) re-applies, not silently drops") {
+    import graft.ext.RollupOps
+    val dir = Files.createTempDirectory("graft_rollckp").toString
+    val src = s"$dir/ev.parquet"; val state = s"$dir/state.parquet"
+    val ev = sf("events").select("event_type", "value", "user_id").limit(500)
+    ev.coalesce(1).write.parquet(src)
+    val keys = Seq("event_type")
+    val aggs = RollupOps.parse(Seq("count"))
+    val schema = spark.read.parquet(src).schema
+    def run(ckp: String) = StreamRunner.rollupStream(spark,
+      spark.readStream.schema(schema).parquet(src), state, keys, aggs, ckp)
+    run(s"$dir/ckp_a")
+    val n1 = graft.sources.Resolver.readParquet(spark, state)
+      .agg(sum("__n")).as[Long].head()
+    // a FRESH checkpoint replays batch id 0 under a new query id: the
+    // idempotence key is (query id, batch id), so the batch APPLIES
+    // (Delta txn-appId semantics) instead of being silently dropped
+    // because 0 <= the recorded id
+    run(s"$dir/ckp_b")
+    val n2 = graft.sources.Resolver.readParquet(spark, state)
+      .agg(sum("__n")).as[Long].head()
+    assert(n2 == 2 * n1, s"fresh checkpoint must re-apply: $n1 -> $n2")
+  }
 }

@@ -165,6 +165,24 @@ class WriteOpsSpec extends SparkSpec {
     assert(readTag() == "v3")
   }
 
+  test("versioned commit honors --keep-versions retention depth for time travel") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vkeep").toString
+    val path = s"$dir/t.parquet"
+    def write(tag: String) = WriteOps.atomicOverwrite(spark,
+      Seq((1L, tag)).toDF("id", "tag"), path,
+      commitMode = "versioned", keepVersions = 3)
+    Seq("v1", "v2", "v3", "v4").foreach(write)
+    // keepVersions=3: generations 2..4 retained, 1 vacuumed
+    val vdirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("_v_")).map(_.getName).sorted
+    assert(vdirs.length == 3, s"want 3 retained generations, got: ${vdirs.toSeq}")
+    def tagAt(v: Long) = graft.sources.Resolver.readParquet(spark, path, Some(v))
+      .select("tag").as[String].head()
+    assert(tagAt(2) == "v2" && tagAt(3) == "v3" && tagAt(4) == "v4")
+    val e = intercept[Exception](tagAt(1))
+    assert(e.getMessage != null)
+  }
+
   test("versioned commit: a reader holding the previous snapshot survives a concurrent commit") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vc2").toString
     val path = s"$dir/t.parquet"
