@@ -61,7 +61,7 @@ object Pca {
       .na.drop().queryExecution.toRdd
     // per-partition (n, sum, gram) — kept in partition order so the
     // double-sum association is reproducible run-over-run
-    val partials = rows.mapPartitionsWithIndex { (pid, it) =>
+    val partialRows = rows.mapPartitionsWithIndex { (pid, it) =>
       var n = 0L
       var s: Array[Double] = null
       var m: Array[Double] = null
@@ -82,7 +82,40 @@ object Pca {
         }
       }
       if (n == 0) Iterator.empty else Iterator.single((pid, n, s, m))
-    }.collect().sortBy(_._1)
+    }
+    // DETERMINISTIC TREE-COMBINE (r10): collecting every per-partition
+    // (n, Σx, d²-gram) partial is 8 MB/partition at d=1024 — at 1000
+    // executors that's driver-OOM territory. Halve the partial count
+    // per level with a pid-pair reduceByKey until ≤ 8 remain, then
+    // finish on the driver. Bit-determinism is preserved without any
+    // scheduling assumption: each reduce key holds AT MOST TWO
+    // partials (block representatives k·span and k·span+span/2) and the combine
+    // normalizes their order by pid, so the double-sum association is
+    // a fixed binary tree over pids — identical run-over-run, and the
+    // PcaSpec refit law still holds.
+    type Partial = (Int, Long, Array[Double], Array[Double])
+    def comb(a: Partial, b: Partial): Partial = {
+      val (x, y) = if (a._1 <= b._1) (a, b) else (b, a)
+      require(x._3.length == y._3.length,
+        "pca: inconsistent embedding length across partitions")
+      val s = x._3.clone(); val m = x._4.clone()
+      var i = 0
+      while (i < s.length) { s(i) += y._3(i); i += 1 }
+      i = 0
+      while (i < m.length) { m(i) += y._4(i); i += 1 }
+      (x._1, x._2 + y._2, s, m)
+    }
+    val pCount = rows.getNumPartitions
+    val levels = math.max(0,
+      math.ceil(math.log(math.max(1.0, pCount / 8.0)) / math.log(2.0)).toInt)
+    var cur = partialRows
+    var span = 1
+    for (_ <- 0 until levels) {
+      span <<= 1
+      cur = cur.map(p => (p._1 / span, p))
+        .reduceByKey(comb(_, _), math.max(1, pCount / span)).map(_._2)
+    }
+    val partials = cur.collect().sortBy(_._1)
     require(partials.nonEmpty, "pca: no non-null embeddings to fit on")
     val d = partials.head._3.length
     var n = 0L

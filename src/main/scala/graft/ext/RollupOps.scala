@@ -146,4 +146,65 @@ object RollupOps {
     val b = summarize(batch, keys, aggs)
     existing.fold(b)(e => merge(Seq(e, b), keys))
   }
+
+  /** PRUNED state maintenance (r10): fold `batch` into the persisted
+    * state table at `statePath`, rewriting ONLY the state files whose
+    * pk envelopes intersect the batch's touched groups (via
+    * [[graft.operators.PrunedMerge]] over the snapshot layout) instead
+    * of re-materializing the whole table per batch. At 10⁹ groups a
+    * batch touching k groups costs: one batch scan, one touched-group
+    * state read (per-column IN pre-filter → parquet row-group pruning
+    * when ≤ `maxInlineKeys` touched keys, exact left-semi on top), a
+    * k-sized hash merge, and a rewrite of the intersecting files only
+    * — rewritten bytes ∝ touched groups, not state size.
+    *
+    * `meta` columns (e.g. the streaming `__batch_id`/`__run_id`
+    * idempotence markers) are attached to the REWRITTEN rows only:
+    * untouched rows keep their old markers, so "was (run, batch)
+    * applied" must be asked as an existence query, not a table-wide
+    * max (see [[graft.streaming.StreamRunner.rollupStream]]).
+    *
+    * Returns the merge stats, or None when the pruned path does not
+    * apply (non-snapshot layout, foreign files) — the caller falls
+    * back to a full rewrite.
+    */
+  def maintainPruned(spark: org.apache.spark.sql.SparkSession,
+                     statePath: String, batch: DataFrame,
+                     keys: Seq[String], aggs: Seq[Agg],
+                     meta: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+                     keepVersions: Int = 2,
+                     maxInlineKeys: Int = 10000)
+      : Option[graft.operators.PrunedMerge.Stats] = {
+    val existing = graft.sources.Resolver.readParquet(spark, statePath)
+    val coreCols = keys ++ stateCols(aggs).map(_._1)
+    require(coreCols.forall(existing.columns.contains),
+      s"state table at $statePath lacks ${coreCols.filterNot(existing.columns.contains)}")
+    require((coreCols ++ meta.map(_._1)).toSet == existing.columns.toSet,
+      s"meta columns must cover the state's non-core columns: " +
+        s"${existing.columns.toSeq} vs ${coreCols ++ meta.map(_._1)}")
+    val batchState = summarize(batch, keys, aggs)
+    val core = existing.select(coreCols.map(col): _*)
+    val keyTuples = batchState.select(keys.map(col): _*).distinct()
+    // read-side prune: a small touched-key set becomes per-column IN
+    // lists the parquet reader pushes into row-group stats (a superset
+    // of the touched groups — the semi join below makes it exact)
+    val inlined = keyTuples.limit(maxInlineKeys + 1).collect()
+    val preFiltered =
+      if (inlined.length <= maxInlineKeys && inlined.nonEmpty) {
+        val conds = keys.zipWithIndex.map { case (k, i) =>
+          col(k).isin(inlined.map(_.get(i)).distinct.toIndexedSeq: _*) }
+        core.filter(conds.reduce(_ && _))
+      } else core
+    val touchedExisting = preFiltered.join(keyTuples, keys, "left_semi")
+    val combined0 = merge(Seq(touchedExisting, batchState), keys)
+    val combined = meta.foldLeft(combined0) { case (d, (n, c)) =>
+      d.withColumn(n, c) }.select(existing.columns.toIndexedSeq.map(col): _*)
+    val hp = new org.apache.hadoop.fs.Path(statePath)
+    val name = hp.getName.stripSuffix(".parquet")
+    graft.operators.PrunedMerge.merge(spark, existing, combined,
+      graft.spec.TargetSpec(
+        graft.spec.DatasetRef("parquet", hp.getParent.toString, name),
+        op = graft.spec.WriteOp.Upsert, pk = keys, indexBy = keys,
+        commitMode = "snapshot", keepVersions = keepVersions), statePath)
+  }
 }

@@ -246,8 +246,12 @@ object StreamRunner {
     * skipped. Restarting the finished stream is therefore a no-op
     * (law-checked in StreamSpec).
     *
-    * Scale shape: per micro-batch this costs one batch scan + a
-    * state-sized merge + a state-sized snapshot write — independent of
+    * Scale shape (r10): per micro-batch this costs one batch scan, a
+    * touched-group state read, a touched-group-sized merge, and a
+    * rewrite of ONLY the state files whose key envelopes intersect the
+    * batch's groups ([[graft.ext.RollupOps.maintainPruned]]) —
+    * rewritten bytes ∝ touched groups, not state size, so a 10⁹-group
+    * state absorbs a small batch at small-batch cost. Independent of
     * how many facts ever flowed. The state table is a normal keyed
     * snapshot target: finish() it, time-travel it, changelog it.
     */
@@ -276,29 +280,48 @@ object StreamRunner {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val fs = new org.apache.hadoop.fs.Path(statePath)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val existing =
-          if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
-            Some(graft.sources.Resolver.readParquet(spark, statePath))
-          else None
+        val exists = fs.exists(new org.apache.hadoop.fs.Path(statePath))
         val qid = queryId(fs)
-        // (runId, batchId) last applied — a zero-row state table (an
-        // empty first micro-batch) has max(NULL): treat as nothing
-        // applied instead of NPE-ing on getLong
-        val applied: Option[(String, Long)] = existing.flatMap { st =>
-          val hasRun = st.columns.contains("__run_id")
-          val row = st.select(
-            (if (hasRun) max(col("__run_id")) else lit("").as("r")),
-            max(col("__batch_id"))).head()
-          if (row.isNullAt(1)) None
-          else Some((if (row.isNullAt(0)) "" else row.getString(0), row.getLong(1)))
+        // Was (qid, batchId) already applied? Rewritten rows carry the
+        // markers of the batch that LAST touched them (the pruned path
+        // leaves untouched rows' markers alone), so this is an
+        // existence query over (run, batch) pairs — never a table-wide
+        // max, which the mixed markers would make meaningless. A
+        // zero-row or marker-less state reads as "nothing applied".
+        // A batch that touches zero groups records no marker; its
+        // replay re-applies a no-op, which is safe.
+        val alreadyApplied = exists && {
+          val st = graft.sources.Resolver.readParquet(spark, statePath)
+          st.columns.contains("__run_id") && st.columns.contains("__batch_id") &&
+            !st.filter(col("__run_id") === qid &&
+              col("__batch_id") >= batchId).isEmpty
         }
-        if (!applied.exists { case (r, b) => r == qid && b >= batchId }) {
-          val newState = graft.ext.RollupOps.maintain(
-            existing.map(_.drop("__batch_id").drop("__run_id")), batch, keys, aggs)
-            .withColumn("__batch_id", lit(batchId))
-            .withColumn("__run_id", lit(qid))
-          graft.operators.WriteOps.atomicOverwrite(spark, newState, statePath,
-            indexBy = keys, commitMode = "snapshot", keepVersions = keepVersions)
+        if (!alreadyApplied) {
+          val meta = Seq("__batch_id" -> lit(batchId), "__run_id" -> lit(qid))
+          // pruned path: rewrite only the state files whose envelopes
+          // intersect this batch's touched groups. Falls back to the
+          // full-rewrite path on the first batch, a non-snapshot or
+          // pre-upgrade (marker-less) layout — the full write
+          // (re)establishes the indexed snapshot layout.
+          val pruned =
+            if (exists)
+              try graft.ext.RollupOps.maintainPruned(spark, statePath, batch,
+                keys, aggs, meta, keepVersions)
+              catch { case _: IllegalArgumentException => None }
+            else None
+          if (pruned.isEmpty) {
+            val existing =
+              if (exists)
+                Some(graft.sources.Resolver.readParquet(spark, statePath)
+                  .drop("__batch_id", "__run_id"))
+              else None
+            val newState = graft.ext.RollupOps.maintain(
+              existing, batch, keys, aggs)
+              .withColumn("__batch_id", lit(batchId))
+              .withColumn("__run_id", lit(qid))
+            graft.operators.WriteOps.atomicOverwrite(spark, newState, statePath,
+              indexBy = keys, commitMode = "snapshot", keepVersions = keepVersions)
+          }
         }
         ()
       }

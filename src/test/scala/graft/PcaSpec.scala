@@ -81,6 +81,28 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("tree-combine (many partitions) is bit-deterministic and matches few-partition fit") {
+    // 64 input partitions forces 3 tree levels (64 → 8 partials);
+    // refits over the same layout must stay bit-identical, and the
+    // model must agree with the 2-partition (no-tree) fit to fp
+    // tolerance (different summation association, same statistics)
+    val wide = emb.repartition(64)
+    val a = Pca.fit(wide, "embedding", 8)
+    val b = Pca.fit(wide, "embedding", 8)
+    assert(a.mean.sameElements(b.mean) && a.variances.sameElements(b.variances))
+    a.components.zip(b.components).foreach { case (x, y) =>
+      assert(x.sameElements(y)) }
+    val narrow = Pca.fit(emb.coalesce(2), "embedding", 8)
+    a.mean.zip(narrow.mean).foreach { case (x, y) =>
+      assert(math.abs(x - y) < 1e-9, s"mean diverged: $x vs $y") }
+    a.variances.zip(narrow.variances).foreach { case (x, y) =>
+      assert(math.abs(x - y) < 1e-6 * math.max(1.0, y),
+        s"variance diverged: $x vs $y") }
+    a.components.zip(narrow.components).foreach { case (x, y) =>
+      val cos = x.zip(y).map { case (p, q) => p * q }.sum
+      assert(math.abs(math.abs(cos) - 1.0) < 1e-6, s"component cos $cos") }
+  }
+
   test("neighbor preservation: planted duplicate pairs stay nearest after 64→16") {
     // embeddings testdata plants near-identical vectors sharing a label;
     // after projection, a pair that is near-identical in R^64 must stay

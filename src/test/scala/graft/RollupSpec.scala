@@ -92,6 +92,40 @@ class RollupSpec extends SparkSpec {
     }
   }
 
+  test("maintainPruned rewrites only intersecting state files; result == direct") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rollpm").toString
+    val statePath = s"$dir/state.parquet"
+    val k = Seq("l_orderkey") // many groups → many indexed files
+    val a = RollupOps.parse(Seq("count", "sum:l_quantity"))
+    val (oldHalf, newHalf) =
+      (li.filter($"l_orderkey" % 2 === 0), li.filter($"l_orderkey" % 2 === 1))
+    // seed: indexed snapshot state over the even-key facts, many files
+    graft.operators.WriteOps.atomicOverwrite(spark,
+      RollupOps.summarize(oldHalf, k, a)
+        .withColumn("__batch_id", lit(0L)).withColumn("__run_id", lit("r0")),
+      statePath, indexBy = k, maxRecordsPerFile = 100, commitMode = "snapshot")
+    // batch touches a narrow key band (some existing groups + new odd keys)
+    val batch = newHalf.filter($"l_orderkey" < 200)
+      .unionAll(oldHalf.filter($"l_orderkey" < 100))
+    val stats = RollupOps.maintainPruned(spark, statePath, batch, k, a,
+      meta = Seq("__batch_id" -> lit(1L), "__run_id" -> lit("r0")))
+    assert(stats.exists(st => st.filesRewritten > 0 &&
+      st.filesRewritten < st.filesTotal),
+      s"pruned maintenance must rewrite a strict file subset, got $stats")
+    // law: pruned-maintained state finishes to the direct aggregate
+    val got = rows(RollupOps.finish(
+      graft.sources.Resolver.readParquet(spark, statePath)
+        .drop("__batch_id", "__run_id"), k, a).orderBy(k.map(col): _*))
+    val want = rows(RollupOps.finish(RollupOps.summarize(
+      oldHalf.unionAll(batch), k, a), k, a).orderBy(k.map(col): _*))
+    assert(got == want)
+    // untouched rows keep their old markers; touched rows carry batch 1
+    val marks = graft.sources.Resolver.readParquet(spark, statePath)
+      .groupBy("__batch_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(marks.keySet == Set(0L, 1L), s"mixed markers expected, got $marks")
+  }
+
   test("transformer stages mirror the API") {
     val viaStages = graft.functions.Transformers.apply(li, Seq(
       graft.spec.TransformStage("rollup_state",
