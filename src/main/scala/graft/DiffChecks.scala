@@ -44,7 +44,42 @@ object DiffChecks {
     "q_vocab_approx" -> (vocabApproxBound(_, _)),
     "q_ann_pq" -> (pqRecall(_, _)),
     "q_embed_pca" -> (pcaLaws(_, _)),
+    "q_cluster_kmeans" -> (kmeansLaws(_, _)),
     "classifier_train" -> (classifierTrainLaw(_, _)))
+
+  /** q_cluster_kmeans: iterative Lloyd training has no SQL oracle —
+    * the laws are (1) refit bit-identity (deterministic seeds +
+    * deterministic per-dimension means), (2) assignment ≡ an
+    * independent brute broadcast-join + window argmax with the same
+    * tie rule, (3) the profile conserves the corpus (sizes sum to n).
+    */
+  def kmeansLaws(s: SparkSession, dir: String): Check = {
+    import graft.ext.Clustering
+    val e = read(s, dir, "embeddings")
+    val n = e.count()
+    val (a1, c1) = Clustering.kmeansAssign(s, e, k = 10, iters = 3)
+    val (_, c2) = Clustering.kmeansAssign(s, e, k = 10, iters = 3)
+    val cents1 = c1.orderBy("centroid_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val cents2 = c2.orderBy("centroid_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val refitIdentical = cents1.sameElements(cents2)
+    val brute = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(c1))
+      .withColumn("s", Similarity.cosine(col("embedding"), col("centroid")))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(col("s").desc, col("centroid_id").asc)))
+      .filter(col("rk") === 1).select(col("vec_id"), col("centroid_id"))
+    val assignDiff = a1.select("vec_id", "centroid_id")
+      .exceptAll(brute).count() +
+      brute.exceptAll(a1.select("vec_id", "centroid_id")).count()
+    val sizeSum = Clustering.clusterProfile(a1)
+      .agg(sum(col("n"))).head().getLong(0)
+    Check(refitIdentical && assignDiff == 0 && sizeSum == n,
+      s"refitIdentical=$refitIdentical assignDiff=$assignDiff (must be 0) " +
+        s"sizes=$sizeSum/$n")
+  }
 
   /** q_embed_pca: the fitted model must satisfy the PCA identities —
     * orthonormal components (max |WᵀW − I| ≤ 1e-9), descending

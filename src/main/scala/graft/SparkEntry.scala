@@ -159,6 +159,36 @@ object SparkEntry {
       WriteOps.delete(orders, batch, Seq("o_orderkey")).orderBy("o_orderkey")
     }),
 
+    // ── [EXT r10] DELETION-VECTOR delete (merge-on-read): the same
+    // keyed delete as q_write_delete but committed as pk TOMBSTONES
+    // into a snapshot layout — the in-query requires prove ZERO data
+    // files were written or removed (O(batch) bytes, one manifest),
+    // yet the read excludes the rows and v1 time-travels intact. The
+    // oracle replays the logical delete. ──────────────────────────────
+    "q_delete_dv" -> ((s, dir) => {
+      val scratch = java.nio.file.Files.createTempDirectory("graft_dv").toString
+      val orders = read(s, dir, "orders")
+      val p = s"$scratch/orders_t.parquet"
+      WriteOps.atomicOverwrite(s, orders, p, indexBy = Seq("o_orderkey"),
+        maxRecordsPerFile = math.max(500, orders.count() / 24),
+        commitMode = "snapshot", keepVersions = 3)
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fsys = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      def dataFiles = graft.operators.Snapshot
+        .listDataFilesRec(fsys, graft.operators.Snapshot.dataDir(hp))
+        .map(_._1.toString).toSet
+      val before = dataFiles
+      val keys = orders
+        .filter(col("o_orderstatus") === "F" && col("o_orderkey") < 5000)
+        .select("o_orderkey")
+      graft.operators.Snapshot.deleteByKeys(s, p, keys, keepVersions = 3)
+      require(dataFiles == before,
+        "DV delete must not write or remove any data file")
+      require(graft.sources.Resolver.readParquet(s, p, Some(1L)).count() ==
+        orders.count(), "v1 must time-travel intact through the DV commit")
+      graft.sources.Resolver.readParquet(s, p).orderBy("o_orderkey")
+    }),
+
     // ── W2 index (full record replace by pk) ──────────────────────────
     "q_write_index" -> ((s, dir) => {
       val orders = read(s, dir, "orders")
@@ -880,6 +910,50 @@ object SparkEntry {
         .select("vec_id", "cluster", "keep")
         .orderBy("vec_id")),
 
+    // ── [EXT r10] cluster-based curation, oracle-replayable paths:
+    // FIXED one-hot centroids make the assignment pure math DuckDB can
+    // replay (cosine to e_j = x_j/‖x‖, argmax with first-wins ties).
+    // `q_cluster_sample` = per-cluster prototype sampling (Sorscher et
+    // al. '22: the nPer rows nearest their centroid); one window over
+    // the cluster key. ─────────────────────────────────────────────────
+    "q_cluster_sample" -> ((s, dir) => {
+      val cents = graft.ext.Clustering.literalCentroids(s,
+        (0 until 4).map(j => (0 until 64).map(i => if (i == j) 1.0f else 0.0f)))
+      val a = graft.ext.Clustering.assignWith(read(s, dir, "embeddings"), cents)
+      graft.ext.Clustering.clusterSample(a, nPer = 5, mode = "prototype")
+        .select("centroid_id", "vec_id", "centroid_sim")
+        .orderBy("centroid_id", "vec_id")
+    }),
+
+    // ── [EXT r10] SemDeDup (Abbas et al. '23) with the paper's actual
+    // scale mechanism: pairwise cosine WITHIN clusters only (blocking
+    // cost Σ cᵢ², never corpus²), components over the blocked pairs,
+    // keep = the copy FARTHEST from its centroid (diversity-preserving
+    // — the paper's choice). Fixed centroids here so DuckDB replays
+    // assignment + blocked pairs + recursive-CTE components + the
+    // argmin-representative end-to-end; trained k-means is the
+    // `q_cluster_kmeans` diffcheck row. ─────────────────────────────────
+    "q_cluster_semdedup" -> ((s, dir) => {
+      val cents = graft.ext.Clustering.literalCentroids(s,
+        (0 until 4).map(j => (0 until 64).map(i => if (i == j) 1.0f else 0.0f)))
+      val a = graft.ext.Clustering.assignWith(read(s, dir, "embeddings"), cents)
+      graft.ext.Clustering.semDedup(a, tau = 0.4, keep = "far")
+        .select("vec_id", "centroid_id", "group", "keep")
+        .orderBy("vec_id")
+    }),
+
+    // ── [EXT r10] first-class k-means corpus clustering (trained —
+    // Lloyd over deterministic hash-picked seeds, k×d driver state,
+    // pure-map assignment): the per-cluster profile that drives
+    // curation decisions. Iterative training has no SQL oracle → the
+    // diffcheck enforces refit bit-identity, assignment ≡ brute
+    // argmax, and size conservation. ──────────────────────────────────
+    "q_cluster_kmeans" -> ((s, dir) => {
+      val (assigned, _) = graft.ext.Clustering.kmeansAssign(
+        s, read(s, dir, "embeddings"), k = 10, iters = 3)
+      graft.ext.Clustering.clusterProfile(assigned).orderBy("centroid_id")
+    }),
+
     // ── [EXT] §2.10 hyperplane-LSH neighbor pairs (recall vs the
     // oracle-checked brute pairs is asserted in Verify's diffcheck).
     // 64 planes / 16 bands of 4 bits: at this moderate threshold (0.35
@@ -1553,6 +1627,15 @@ object SparkEntry {
     "q_write_delete" ->
       """SELECT * FROM orders
          WHERE NOT (o_orderstatus = 'F' AND o_orderkey < 5000)
+         ORDER BY o_orderkey""",
+    // the DV (tombstone) delete serves the same logical table as the
+    // rewrite delete — the physical difference is proven by in-query
+    // requires (no data file touched, v1 intact)
+    "q_delete_dv" ->
+      """SELECT * FROM orders
+         WHERE o_orderkey NOT IN (
+           SELECT o_orderkey FROM orders
+           WHERE o_orderstatus = 'F' AND o_orderkey < 5000)
          ORDER BY o_orderkey""",
     "q_write_index" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
@@ -2651,6 +2734,80 @@ object SparkEntry {
                 e.vec_id = coalesce(minl.label, e.vec_id) AS keep
          FROM embeddings e LEFT JOIN minl ON e.vec_id = minl.id
          ORDER BY e.vec_id""",
+    // fixed one-hot centroids: cosine to e_j = emb[j]/‖emb‖ (norm of
+    // e_j is exactly 1), argmax keeps the smallest centroid id on ties
+    // (engine: strict > scan in id order). centroid_sim is the
+    // assigned centroid's cosine = greatest of the four.
+    "q_cluster_sample" ->
+      """WITH d AS (
+           SELECT vec_id, cast(embedding AS DOUBLE[]) AS emb,
+                  sqrt(list_sum(list_transform(cast(embedding AS DOUBLE[]),
+                                               x -> x*x))) AS nrm
+           FROM embeddings),
+         s AS (
+           SELECT vec_id, emb[1]/nrm AS s0, emb[2]/nrm AS s1,
+                  emb[3]/nrm AS s2, emb[4]/nrm AS s3
+           FROM d),
+         a AS (
+           SELECT vec_id,
+                  CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 0
+                       WHEN s1 >= s2 AND s1 >= s3 THEN 1
+                       WHEN s2 >= s3 THEN 2 ELSE 3 END AS centroid_id,
+                  round(greatest(s0, s1, s2, s3), 6) AS centroid_sim
+           FROM s),
+         r AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY centroid_id
+             ORDER BY centroid_sim DESC, vec_id ASC) AS rk
+           FROM a)
+         SELECT centroid_id, vec_id, centroid_sim FROM r WHERE rk <= 5
+         ORDER BY centroid_id, vec_id""",
+    // the full SemDeDup chain replayed: one-hot assignment, blocked
+    // (same-cluster) pairs at tau, recursive closure, min-id group
+    // label, keep = the group's min-centroid_sim copy (tie → min id)
+    "q_cluster_semdedup" ->
+      """WITH RECURSIVE d AS (
+           SELECT vec_id, cast(embedding AS DOUBLE[]) AS emb,
+                  sqrt(list_sum(list_transform(cast(embedding AS DOUBLE[]),
+                                               x -> x*x))) AS nrm
+           FROM embeddings),
+         s AS (
+           SELECT vec_id, emb,
+                  emb[1]/nrm AS s0, emb[2]/nrm AS s1,
+                  emb[3]/nrm AS s2, emb[4]/nrm AS s3
+           FROM d),
+         a AS (
+           SELECT vec_id, emb,
+                  CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 0
+                       WHEN s1 >= s2 AND s1 >= s3 THEN 1
+                       WHEN s2 >= s3 THEN 2 ELSE 3 END AS centroid_id,
+                  round(greatest(s0, s1, s2, s3), 6) AS centroid_sim
+           FROM s),
+         pairs AS (
+           SELECT x.vec_id AS id_a, y.vec_id AS id_b
+           FROM a x JOIN a y
+             ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+           WHERE list_cosine_similarity(x.emb, y.emb) >= 0.4),
+         edges AS (SELECT id_a AS ea, id_b AS eb FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT ea, eb FROM edges
+           UNION
+           SELECT r.ea, e.eb FROM reach r JOIN edges e ON r.eb = e.ea
+           WHERE e.eb <> r.ea),
+         minl AS (SELECT ea AS id, least(ea, min(eb)) AS grp
+                  FROM reach GROUP BY ea),
+         g AS (
+           SELECT a.vec_id, a.centroid_id, a.centroid_sim,
+                  coalesce(minl.grp, a.vec_id) AS grp
+           FROM a LEFT JOIN minl ON a.vec_id = minl.id),
+         rk AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY grp
+             ORDER BY centroid_sim ASC, vec_id ASC) AS r
+           FROM g)
+         SELECT vec_id, centroid_id, grp AS "group", r = 1 AS keep
+         FROM rk ORDER BY vec_id""",
     "q_window_tumbling" ->
       """SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start, event_type,
                 count(*) AS n, round(sum(value), 4) AS sum_value

@@ -65,6 +65,7 @@ object Main {
       vacuum: Option[Int] = None, // [EXT] trim retention to N generations
       fsck: Boolean = false, // [EXT] snapshot-layout integrity audit
       zorder: Seq[String] = Nil, // [EXT] Z-order maintenance columns
+      materializeDeletes: Boolean = false, // [EXT] fold deletion vectors in
       changelog: Option[(Long, Long)] = None, // [EXT] CDC diff from:to
       changelogPk: Seq[String] = Nil, // [EXT] row identity for --changelog
       cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -100,6 +101,7 @@ object Main {
     var partitionBy = ""; var maxRecords = 0L; var commitMode = "rename"
     var compactSize: Option[Long] = None
     var keepVersions = 2; var history = false
+    var deleteVectors = false; var materializeDeletes = false
     var changelog: Option[(Long, Long)] = None
     var vacuumN: Option[Int] = None; var fsck = false
     var zorderCols: Seq[String] = Nil
@@ -203,6 +205,13 @@ object Main {
           case other =>
             throw CliError(s"--commit must be rename|versioned|snapshot, got: $other")
         }
+      // [EXT] delete op writes pk TOMBSTONES (deletion vectors) into
+      // the snapshot layout instead of rewriting files — merge-on-read
+      case "--dv" => once("--dv"); deleteVectors = true
+      // [EXT] fold accumulated deletion vectors into the data files
+      // (fresh snapshot version, tombstones cleared)
+      case "--materialize-deletes" => once("--materialize-deletes")
+        materializeDeletes = true
       // [EXT] committed generations the snapshot/versioned protocols
       // retain — the time-travel depth (and the refcount-vacuum bound)
       case "--keep-versions" => once("--keep-versions")
@@ -396,6 +405,7 @@ object Main {
         indexBy = if (skipIndex) Nil else indexBy.flatMap(v => csv(v)),
         partitionBy = csv(partitionBy), maxRecordsPerFile = maxRecords,
         commitMode = commitMode, keepVersions = keepVersions,
+        deleteVectors = deleteVectors,
         tmap = if (tmap.isEmpty) None else Some(tmap))
     }
     val job = JobSpec(
@@ -418,6 +428,7 @@ object Main {
       showArgs = showArgs, jobRun = jobRun, logLevel = logLevel,
       profile = profile, compact = compactSize,
       history = history, vacuum = vacuumN, fsck = fsck, zorder = zorderCols,
+      materializeDeletes = materializeDeletes,
       changelog = changelog,
       changelogPk = if (pk.nonEmpty) csv(pk) else csv(opPk)))
   }
@@ -497,6 +508,17 @@ object Main {
         spark, Resolver.path(job.source.ref))
       if (issues.isEmpty) println("fsck: clean")
       else issues.show(100, truncate = false)
+      return
+    }
+    if (opts.materializeDeletes) { // [EXT] fold deletion vectors in
+      val p = Resolver.path(job.source.ref)
+      val t = job.target // optional layout knobs ride the target spec
+      val did = graft.operators.Snapshot.materializeDeletes(spark, p,
+        t.map(_.indexBy).getOrElse(Nil),
+        t.map(_.maxRecordsPerFile).getOrElse(0L),
+        t.map(_.keepVersions).getOrElse(2))
+      println(if (did) s"materialized deletion vectors into a new version of $p"
+        else s"no deletion vectors to materialize at $p")
       return
     }
     opts.vacuum.foreach { n => // [EXT] retention trim, no write
@@ -759,6 +781,11 @@ object Main {
       |               generations now; refcount-safe, no write)
       |               --fsck (snapshot-layout integrity audit: missing/
       |               mis-sized members, orphans, crash strays)
+      |               --dv (delete op commits pk TOMBSTONES into the
+      |               snapshot layout instead of rewriting files —
+      |               merge-on-read; reads anti-join them; needs --pk)
+      |               --materialize-deletes (fold accumulated tombstones
+      |               into the data files; fresh committed version)
       |               --changelog FROM:TO (CDC rows between two retained
       |               versions: insert/delete/update pre+post; needs
       |               --pk; with -t, writes the feed instead of printing)

@@ -108,8 +108,25 @@ object Runner {
           // envelopes inside them; when the pruned path declines,
           // partitioned targets take the partition-scoped path and
           // everything else falls back to the atomic full rewrite.
-          val pruned = fs.exists(new org.apache.hadoop.fs.Path(tgtPath)) &&
-            PrunedMerge.merge(spark, current, batch, t, tgtPath).isDefined
+          // `--dv` delete: commit pk TOMBSTONES into the snapshot
+          // layout — O(batch) bytes, zero data files touched
+          // (merge-on-read). Loud on a non-snapshot layout: silently
+          // falling back to a table rewrite would betray the flag's
+          // whole point.
+          val dv = t.op == graft.spec.WriteOp.Delete && t.deleteVectors
+          if (dv) {
+            require(t.pk.nonEmpty, "--dv delete needs --pk")
+            require(graft.operators.Snapshot.isSnapshotLayout(
+              fs, new org.apache.hadoop.fs.Path(tgtPath)),
+              s"--dv needs a snapshot layout at $tgtPath (write it with " +
+                "--commit snapshot first)")
+            graft.operators.Snapshot.deleteByKeys(spark, tgtPath,
+              batch.select(t.pk.map(org.apache.spark.sql.functions.col): _*),
+              t.keepVersions)
+          }
+          val pruned = dv ||
+            (fs.exists(new org.apache.hadoop.fs.Path(tgtPath)) &&
+            PrunedMerge.merge(spark, current, batch, t, tgtPath).isDefined)
           if (!pruned) {
             val newState = WriteOps.applyOp(current, batch, t)
             // No checkpoint of newState: atomicOverwrite materializes it

@@ -191,6 +191,44 @@ object Transformers {
       graft.ext.Pca.transform(df, args.head, m,
         args.lift(2).getOrElse("pca"))
     }),
+    // cluster_assign:k[;iters;id;vec] — train k-means on the flowing
+    // frame's embedding column and label every row with centroid_id +
+    // centroid_sim (ext.Clustering; deterministic seeds, pure-map
+    // assignment). The clustering primitive the curation stages below
+    // build on.
+    "cluster_assign" -> (args => df => {
+      require(args.nonEmpty, "cluster_assign needs k[;iters;id;vec]")
+      graft.ext.Clustering.kmeansAssign(df.sparkSession, df,
+        args.head.toInt, args.lift(1).map(_.toInt).getOrElse(3),
+        args.lift(2).getOrElse("vec_id"),
+        args.lift(3).getOrElse("embedding"))._1
+    }),
+    // semdedup:k;tau[;keep;id;vec] — SemDeDup verdict: k-means
+    // cluster-blocked cosine pairs at tau → duplicate groups → one
+    // kept copy per group (keep = far|near|min_id)
+    "semdedup" -> (args => df => {
+      require(args.length >= 2, "semdedup needs k;tau[;keep;id;vec]")
+      val (assigned, _) = graft.ext.Clustering.kmeansAssign(
+        df.sparkSession, df, args.head.toInt,
+        id = args.lift(3).getOrElse("vec_id"),
+        vec = args.lift(4).getOrElse("embedding"))
+      graft.ext.Clustering.semDedup(assigned, args(1).toDouble,
+        args.lift(2).getOrElse("far"),
+        args.lift(3).getOrElse("vec_id"),
+        args.lift(4).getOrElse("embedding"))
+    }),
+    // cluster_sample:k;nPer[;mode;id;vec] — per-cluster stratified
+    // sample: nPer rows per k-means cluster, mode = prototype|diverse
+    "cluster_sample" -> (args => df => {
+      require(args.length >= 2, "cluster_sample needs k;nPer[;mode;id;vec]")
+      val (assigned, _) = graft.ext.Clustering.kmeansAssign(
+        df.sparkSession, df, args.head.toInt,
+        id = args.lift(3).getOrElse("vec_id"),
+        vec = args.lift(4).getOrElse("embedding"))
+      graft.ext.Clustering.clusterSample(assigned, args(1).toInt,
+        args.lift(2).getOrElse("prototype"),
+        args.lift(3).getOrElse("vec_id"))
+    }),
     // rollup_state:keys;agg[;agg…] — fold the flowing batch to its
     // MERGEABLE partial-aggregate state rows (ext.RollupOps; agg =
     // count | count:f | sum:f | min:f | max:f | avg:f). States from

@@ -144,7 +144,13 @@ object Compaction {
     val (_, vdir) = Snapshot.resolveVersion(fs, root, None)
     val m = Snapshot.manifestAt(fs, vdir).get
     val dd = Snapshot.dataDir(root)
-    val groups = m.entries.groupBy { e =>
+    // deletion-vector files are NOT data: never fold them into data
+    // files (their pk-only schema would be null-padded into garbage
+    // rows). They carry through to the new manifest unchanged —
+    // compaction rewrites raw rows, tombstones keep applying at read.
+    val (delEntries, dataEntries) =
+      m.entries.partition(_.rel.startsWith(Snapshot.DeletesDirName + "/"))
+    val groups = dataEntries.groupBy { e =>
       val cut = e.rel.lastIndexOf('/')
       if (cut < 0) "" else e.rel.substring(0, cut)
     }
@@ -188,7 +194,7 @@ object Compaction {
       val newEntries = Snapshot.moveIntoPool(fs, stage, dd)
       Snapshot.commitVersion(fs, root,
         Snapshot.Manifest(m.schemaDdl, m.partitionBy,
-          (kept ++ newEntries).toSeq), keepVersions)
+          (kept ++ newEntries ++ delEntries).toSeq), keepVersions)
       Stats(dirs, m.entries.size, compacted, bytes, newEntries.size)
     } finally {
       try fs.delete(stage, true) catch { case _: Throwable => () }

@@ -178,6 +178,13 @@ object PrunedMerge {
     // the manifest's layout must agree with the spec's — a mismatch is
     // a foreign layout exactly like a failed dir walk
     snapCtx.foreach { case (m, _) => if (m.partitionBy != pcols) return None }
+    // ACTIVE DELETION VECTORS decline the pruned path: this merge
+    // rewrites touched files from their RAW rows, which would
+    // resurrect tombstoned rows. (The membership check below would
+    // also decline — the tombstone files aren't in the generic walk —
+    // but soundness must not hinge on that coincidence.) Run
+    // Snapshot.materializeDeletes first to re-enable pruning.
+    snapCtx.foreach { case (m, _) => if (m.deleteEntries.nonEmpty) return None }
 
     // layout walk: flat files for unpartitioned, exactly-`pcols` hive
     // dirs for partitioned; anything else is a foreign layout. On a

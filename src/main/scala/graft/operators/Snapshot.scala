@@ -50,6 +50,13 @@ object Snapshot {
 
   val DataDirName = "_data"
   val ManifestName = "_MANIFEST"
+  /** Pool subdir holding DELETION-VECTOR files (pk tombstones) —
+    * underscore-prefixed so Spark scans and the generic pool walk
+    * never read them as data; manifests reference them like any
+    * member (refcounting works), with explicit handling where the
+    * generic walk's underscore skip would miss them (vacuum, fsck).
+    */
+  val DeletesDirName = "_deletes"
   private val FormatTag = "graft-snapshot-v1"
 
   /** One pool file of a version: path RELATIVE to `_data` (hive
@@ -67,6 +74,15 @@ object Snapshot {
                             entries: Seq[Entry]) {
     def schema: StructType = StructType.fromDDL(schemaDdl)
     def bytes: Long = entries.map(_.bytes).sum
+    /** Data members (excludes deletion-vector files). */
+    def dataEntries: Seq[Entry] =
+      entries.filterNot(_.rel.startsWith(DeletesDirName + "/"))
+    /** Deletion-vector members: parquet files of tombstoned pk tuples
+      * under `_data/_deletes/`. Non-empty ⇒ reads anti-join them and
+      * the incremental writers decline (merge-on-read semantics).
+      */
+    def deleteEntries: Seq[Entry] =
+      entries.filter(_.rel.startsWith(DeletesDirName + "/"))
   }
 
   def dataDir(root: Path): Path = new Path(root, DataDirName)
@@ -163,7 +179,24 @@ object Snapshot {
       // a retained dir-protocol version: its dir IS the data
       return Resolver.readPlainParquet(spark, vdir.toString)
     }
-    readMembers(spark, root, m, m.entries)
+    applyTombstones(spark, root, m, readMembers(spark, root, m, m.dataEntries))
+  }
+
+  /** MERGE-ON-READ: anti-join the version's deletion-vector files
+    * (pk tombstones) out of the scan. Null-safe per-component
+    * equality, so NULL pk components tombstone exactly like values.
+    * No-op when the manifest has no delete entries — the common case
+    * pays nothing.
+    */
+  private def applyTombstones(spark: SparkSession, root: Path, m: Manifest,
+                              df: DataFrame): DataFrame = {
+    val dels = m.deleteEntries
+    if (dels.isEmpty) return df
+    val dd = dataDir(root)
+    val keys = spark.read.parquet(dels.map(e => new Path(dd, e.rel).toString): _*)
+      .distinct()
+    val cond = keys.columns.map(c => df(c) <=> keys(c)).reduce(_ && _)
+    df.join(keys, cond, "left_anti")
   }
 
   /** Scan a subset of one manifest's members, normalized to the
@@ -293,6 +326,74 @@ object Snapshot {
       keepVersions)
   }
 
+  /** DELETION-VECTOR delete (merge-on-read): commit a new version that
+    * tombstones `keys`' pk tuples WITHOUT touching any data file —
+    * the batch's distinct keys are written as parquet under
+    * `_data/_deletes/` and the new manifest lists every existing
+    * member plus the tombstone file. Cost: O(batch) bytes and one
+    * manifest, vs the pruned merge's rewrite of every intersecting
+    * file — the right shape for frequent small deletes (GDPR erasure,
+    * retention sweeps) on a 100 TB table. Reads anti-join the
+    * tombstones ([[applyTombstones]]); time travel still serves
+    * pre-delete versions; [[PrunedMerge]]/[[Compaction]] decline or
+    * carry tombstones (documented there) until [[materializeDeletes]]
+    * folds them into the data.
+    *
+    * Returns (new version, tombstoned key-tuple count).
+    */
+  def deleteByKeys(spark: SparkSession, rootStr: String, keys: DataFrame,
+                   keepVersions: Int = 2): (Long, Long) = {
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    sweepStaleStages(fs, root)
+    val (_, vdir) = resolveVersion(fs, root, None)
+    val m = manifestAt(fs, vdir).getOrElse(throw new IllegalArgumentException(
+      s"deletion vectors need a snapshot layout at $rootStr"))
+    val schemaCols = m.schema.fieldNames.toSet
+    require(keys.columns.nonEmpty && keys.columns.forall(schemaCols.contains),
+      s"tombstone columns ${keys.columns.toSeq} must be a subset of the " +
+        s"table schema ${m.schema.fieldNames.toSeq}")
+    // align tombstone column types to the table's (a long-typed key
+    // batch against an int column must compare as the column's type)
+    val typed = keys.select(keys.columns.toIndexedSeq.map(c =>
+      col(c).cast(m.schema(c).dataType).as(c)): _*).distinct()
+    val stage = new Path(root, s"._snap_stage_${System.nanoTime()}")
+    try typed.write.parquet(stage.toString) catch {
+      case e: Throwable =>
+        try fs.delete(stage, true) catch { case _: Throwable => () }
+        throw e
+    }
+    val n = spark.read.parquet(stage.toString).count()
+    val delDir = new Path(dataDir(root), DeletesDirName)
+    fs.mkdirs(delDir)
+    val moved = moveIntoPool(fs, stage, delDir)
+      .map(e => e.copy(rel = s"$DeletesDirName/${e.rel}"))
+    fs.delete(stage, true)
+    val v = commitVersion(fs, root,
+      Manifest(m.schemaDdl, m.partitionBy, m.entries ++ moved), keepVersions)
+    (v, n)
+  }
+
+  /** Fold accumulated deletion vectors into the data: one full
+    * tombstone-applied read committed as a fresh snapshot version
+    * listing only new data files (the OPTIMIZE step that re-enables
+    * the incremental writers). No-op (returns false) when the latest
+    * manifest has no delete entries.
+    */
+  def materializeDeletes(spark: SparkSession, rootStr: String,
+                         indexBy: Seq[String] = Nil,
+                         maxRecordsPerFile: Long = 0,
+                         keepVersions: Int = 2): Boolean = {
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, vdir) = resolveVersion(fs, root, None)
+    val m = manifestAt(fs, vdir).getOrElse(return false)
+    if (m.deleteEntries.isEmpty) return false
+    overwrite(spark, readAt(spark, rootStr, None), rootStr, m.partitionBy,
+      maxRecordsPerFile, indexBy, keepVersions)
+    true
+  }
+
   /** Refcounting vacuum: keep the newest `keepVersions` committed
     * generations (min 1) plus nothing else — uncommitted strays and
     * older versions are deleted, then every pool file referenced by NO
@@ -316,6 +417,14 @@ object Snapshot {
     listDataFilesRec(fs, dd).foreach { case (p, _) =>
       if (!referenced.contains(relPath(dd, p))) fs.delete(p, false)
     }
+    // the generic walk skips underscore names — sweep the deletion-
+    // vector subdir explicitly with the same refcount rule
+    val delDir = new Path(dd, DeletesDirName)
+    if (fs.exists(delDir))
+      (try fs.listStatus(delDir) catch { case _: Throwable => Array.empty }).foreach { s =>
+        if (s.isFile && !referenced.contains(s"$DeletesDirName/${s.getPath.getName}"))
+          fs.delete(s.getPath, false)
+      }
     pruneEmptyDirs(fs, dd)
   }
 
@@ -402,12 +511,16 @@ object Snapshot {
         val mf = manifestAt(fs, resolveVersion(fs, root, Some(fromV))._2)
         val mt = manifestAt(fs, resolveVersion(fs, root, Some(toV))._2)
         (mf, mt) match {
-          case (Some(a), Some(b)) =>
-            val shared = a.entries.map(_.rel).toSet
-              .intersect(b.entries.map(_.rel).toSet)
+          // deletion vectors change a version's ROWS without changing
+          // its data-file membership, so the file-diff heuristic is
+          // unsound there — fall back to full tombstone-applied reads
+          case (Some(a), Some(b))
+              if a.deleteEntries.isEmpty && b.deleteEntries.isEmpty =>
+            val shared = a.dataEntries.map(_.rel).toSet
+              .intersect(b.dataEntries.map(_.rel).toSet)
             Some((
-              readMembers(spark, root, a, a.entries.filterNot(e => shared(e.rel))),
-              readMembers(spark, root, b, b.entries.filterNot(e => shared(e.rel)))))
+              readMembers(spark, root, a, a.dataEntries.filterNot(e => shared(e.rel))),
+              readMembers(spark, root, b, b.dataEntries.filterNot(e => shared(e.rel)))))
           case _ => None
         }
       }
@@ -481,9 +594,19 @@ object Snapshot {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
     val dd = dataDir(root)
     val onDisk: Map[String, Long] =
-      if (fs.exists(dd))
-        listDataFilesRec(fs, dd).map(f => relPath(dd, f._1) -> f._2).toMap
-      else Map.empty
+      if (fs.exists(dd)) {
+        val data = listDataFilesRec(fs, dd).map(f => relPath(dd, f._1) -> f._2)
+        // deletion-vector files live under an underscore dir the
+        // generic walk skips — list them explicitly so manifests
+        // referencing them audit clean and strays show as orphans
+        val delDir = new Path(dd, DeletesDirName)
+        val dels =
+          if (!fs.exists(delDir)) Nil
+          else (try fs.listStatus(delDir) catch { case _: Throwable => Array.empty })
+            .filter(_.isFile)
+            .map(s => s"$DeletesDirName/${s.getPath.getName}" -> s.getLen).toSeq
+        (data ++ dels).toMap
+      } else Map.empty
     val vs = committed(fs, root)
     val referenced = scala.collection.mutable.Set.empty[String]
     vs.foreach { case (v, vdir) =>

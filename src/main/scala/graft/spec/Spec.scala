@@ -139,6 +139,10 @@ final case class TargetSpec(
     keepVersions: Int = 2,                  // [EXT] --keep-versions: committed
                                             // generations the snapshot/versioned
                                             // protocols retain (time-travel depth)
+    deleteVectors: Boolean = false,         // [EXT] --dv: delete op writes pk
+                                            // tombstones (merge-on-read) instead
+                                            // of rewriting files — snapshot
+                                            // layouts only
     tmap: Option[String] = None)            // W11 --tmap: DDL schema the batch
                                             // is cast to before writing (the
                                             // lake analog of the reference's

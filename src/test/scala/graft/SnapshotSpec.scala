@@ -397,6 +397,94 @@ class SnapshotSpec extends SparkSpec {
     assert(run("id > 0").count() == 3)
   }
 
+  test("deletion vectors: O(batch) delete touches no data file; time travel; null-safe pk") {
+    val dir = freshDir("snap_dv")
+    val p = s"$dir/t.parquet"
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "txt")
+      .unionByName(Seq((Option.empty[Long], "n")).toDF("id", "txt"))
+    WriteOps.atomicOverwrite(spark, df, p, indexBy = Seq("id"),
+      maxRecordsPerFile = 2, commitMode = "snapshot", keepVersions = 3)
+    val dataBefore = poolFiles(p).filterNot(_.startsWith("_deletes/"))
+    val (v, n) = Snapshot.deleteByKeys(spark, p,
+      Seq(Some(2L), Option.empty[Long]).toDF("id"), keepVersions = 3)
+    assert(v == 2L && n == 2L)
+    // zero data files written or removed — the delete is tombstones only
+    assert(poolFiles(p).filterNot(_.startsWith("_deletes/")) == dataBefore)
+    val (_, vdir) = Snapshot.resolveVersion(fs, new Path(p), None)
+    val m = Snapshot.manifestAt(fs, vdir).get
+    assert(m.deleteEntries.nonEmpty && m.dataEntries.nonEmpty)
+    // merge-on-read: id=2 AND the NULL-id row are gone
+    val now = graft.sources.Resolver.readParquet(spark, p)
+    assert(rows(now.orderBy("txt")).map(_(1)) == Seq("a", "c", "d"))
+    // time travel: v1 still serves all five rows
+    assert(graft.sources.Resolver.readParquet(spark, p, Some(1L)).count() == 5)
+    // fsck is clean with tombstones referenced
+    assert(Snapshot.fsck(spark, p).isEmpty)
+  }
+
+  test("deletion vectors: pruned merge declines; compaction carries; materialize clears") {
+    val dir = freshDir("snap_dvm")
+    val p = s"$dir/t.parquet"
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "txt")
+    WriteOps.atomicOverwrite(spark, df, p, indexBy = Seq("id"),
+      maxRecordsPerFile = 10, commitMode = "snapshot", keepVersions = 2)
+    Snapshot.deleteByKeys(spark, p, (10L until 20L).toDF("id"))
+    // active tombstones: the pruned merge must decline (raw-row file
+    // rewrites would resurrect tombstoned rows)
+    val batch = Seq((15L, "X")).toDF("id", "txt")
+    val t = TargetSpec(DatasetRef("parquet", dir, "t"), op = WriteOp.Upsert,
+      pk = Seq("id"), indexBy = Seq("id"), commitMode = "snapshot")
+    assert(PrunedMerge.merge(spark,
+      graft.sources.Resolver.readParquet(spark, p), batch, t, p).isEmpty)
+    // compaction folds small data files but carries tombstones intact
+    val st = Compaction.compact(spark, p, Seq("id"), 1L << 20, keepVersions = 2)
+    assert(st.filesCompacted > 0)
+    val rowsAfterCompact = graft.sources.Resolver.readParquet(spark, p)
+    assert(rowsAfterCompact.count() == 90 &&
+      rowsAfterCompact.filter($"id" === 15L).isEmpty)
+    // materialize: tombstones fold into the data, manifest is clean,
+    // rows unchanged, pruned merges work again
+    assert(Snapshot.materializeDeletes(spark, p, indexBy = Seq("id")))
+    val (_, vdir) = Snapshot.resolveVersion(fs, new Path(p), None)
+    assert(Snapshot.manifestAt(fs, vdir).get.deleteEntries.isEmpty)
+    val after = graft.sources.Resolver.readParquet(spark, p)
+    assert(after.count() == 90 && after.filter($"id" === 15L).isEmpty)
+    assert(!Snapshot.materializeDeletes(spark, p)) // idempotent no-op
+  }
+
+  test("deletion vectors: changelog across a DV delete classifies deletes; CLI --dv end-to-end") {
+    import graft.cli.Main
+    val dir = freshDir("snap_dvcli")
+    val p = s"$dir/t.parquet"
+    import spark.implicits._
+    WriteOps.atomicOverwrite(spark,
+      (0L until 50L).map(i => (i, s"v$i")).toDF("id", "txt"), p,
+      indexBy = Seq("id"), commitMode = "snapshot", keepVersions = 3)
+    // the keys to delete arrive as a dataset; -o delete --dv routes
+    // them to tombstones
+    Seq(5L, 6L, 7L).toDF("id").write.parquet(s"$dir/kill.parquet")
+    val (job, opts) = Main.parse(Array(
+      "-s", s"parquet/$dir/kill", "-t", s"parquet/$dir/t",
+      "-o", "delete", "--pk", "id", "--dv", "-y"))
+    Main.execute(spark, job, opts)
+    val now = graft.sources.Resolver.readParquet(spark, p)
+    assert(now.count() == 47 && now.filter($"id".isin(5L, 6L, 7L)).isEmpty)
+    // CDC across the DV commit: exactly the three tombstoned rows, as deletes
+    val cl = Snapshot.changelog(spark, p, 1L, 2L, Seq("id"))
+    assert(rows(cl.select("id", "_change_type").orderBy("id")) ==
+      Seq(Seq(5L, "delete"), Seq(6L, "delete"), Seq(7L, "delete")))
+    // --materialize-deletes via CLI
+    val (job2, opts2) = Main.parse(Array(
+      "-s", s"parquet/$dir/t", "--materialize-deletes", "-y"))
+    Main.execute(spark, job2, opts2)
+    val (_, vdir) = Snapshot.resolveVersion(fs, new Path(p), None)
+    assert(Snapshot.manifestAt(fs, vdir).get.deleteEntries.isEmpty)
+    assert(graft.sources.Resolver.readParquet(spark, p).count() == 47)
+  }
+
   test("changelog tolerates ADD-COLUMN widening with NULL preimages") {
     val dir = freshDir("snap_clwide")
     val p = s"$dir/t.parquet"
