@@ -222,6 +222,11 @@ object Main {
       // (snapshot time travel); sugar for -q _version=N
       case "--at-version" => once("--at-version")
         q :+= ("_version" -> next("--at-version").toLong.toString)
+      // [EXT] pin the SOURCE scan to the latest version committed at
+      // or before an instant (Delta timestampAsOf); sugar for
+      // -q _version_ts=TS (epoch millis | yyyy-MM-dd | local datetime)
+      case "--at-timestamp" => once("--at-timestamp")
+        q :+= ("_version_ts" -> next("--at-timestamp"))
       // [EXT] snapshot/versioned history of the source dataset
       case "--history" => history = true
       // [EXT] snapshot-layout integrity audit of the source dataset
@@ -775,6 +780,9 @@ object Main {
       |               by versioned/snapshot; the time-travel depth)
       |               --at-version N (pin the source scan to a retained
       |               version; sugar for -q _version=N)
+      |               --at-timestamp TS (pin to the latest version
+      |               committed at or before TS — epoch ms, yyyy-MM-dd,
+      |               or local datetime; sugar for -q _version_ts=TS)
       |               --history (list the source's versions: files,
       |               bytes, commit time, protocol)
       |               --vacuum N (trim retention to N committed

@@ -35,7 +35,9 @@ object QueryCompiler {
   private val ControlKeys =
     Set("_limit", "_sort", "_fields", "_count", "_flat", "_group", "_agg",
         "_url", "_pagination", // _url/_pagination handled by the resolver / no-op
-        "_version") // [EXT] snapshot time travel — resolved at scan time
+        "_version", "_version_ts") // [EXT] snapshot time travel (by
+                                   // number / by commit instant) —
+                                   // resolved at scan time
 
   /** Split `field__op` into (field, op); default op is `eq`. */
   def splitOp(key: String): (String, String) = {

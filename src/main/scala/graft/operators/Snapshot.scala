@@ -158,6 +158,39 @@ object Snapshot {
     }
   }
 
+  /** Timestamp time travel (Delta `timestampAsOf` analog): the LATEST
+    * committed version whose commit instant (the `_COMMITTED` marker's
+    * mtime — the atomic commit point itself) is ≤ `tsMillis`. Loud
+    * when the table has no commit that old — silent latest would
+    * un-pin the reader, and the earliest retained commit is listed so
+    * the caller can see what vacuum already took.
+    */
+  def versionAtTimestamp(fs: FileSystem, root: Path, tsMillis: Long): Long = {
+    val vs = committed(fs, root)
+    require(vs.nonEmpty, s"no committed versions under $root")
+    val stamped = vs.map { case (n, p) =>
+      (n, fs.getFileStatus(new Path(p, Versioned.Marker)).getModificationTime)
+    }
+    stamped.filter(_._2 <= tsMillis).map(_._1).maxOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no version of $root committed at or before " +
+          s"${new java.sql.Timestamp(tsMillis)}; earliest retained commit " +
+          s"is ${new java.sql.Timestamp(stamped.map(_._2).min)} " +
+          "(older ones are vacuumed per keep-versions)"))
+  }
+
+  /** Parse a `--at-timestamp`/`_version_ts` value: epoch millis, a
+    * date (`yyyy-MM-dd`), or a local timestamp
+    * (`yyyy-MM-dd[ T]HH:mm:ss[.f]`) in the session's JVM zone — the
+    * same zone the commit mtimes carry.
+    */
+  def parseCommitTs(s: String): Long = {
+    val t = s.trim
+    if (t.nonEmpty && t.forall(_.isDigit)) t.toLong
+    else if (t.length == 10) java.sql.Date.valueOf(t).getTime
+    else java.sql.Timestamp.valueOf(t.replace('T', ' ')).getTime
+  }
+
   /** Scan one snapshot: exactly the manifest's files, normalized back
     * to the manifest's logical schema (column order AND types — hive
     * path inference must not retype partition columns). Empty

@@ -58,16 +58,25 @@ object Resolver {
     // `_version` resolves against the snapshot/versioned commit
     // protocols, which are parquet-layout features — on any other
     // backend it would be silently meaningless, so refuse loudly
-    if (ref.backend != "parquet" && query.exists(_._1 == "_version"))
+    if (ref.backend != "parquet" &&
+        query.exists(kv => kv._1 == "_version" || kv._1 == "_version_ts"))
       throw new IllegalArgumentException(
         s"_version time travel requires a parquet snapshot/versioned " +
           s"dataset; ${ref.backend} datasets have no version history")
     ref.backend match {
       case "parquet" =>
-        // [EXT] `_version=N` time travel: pin the scan to a RETAINED
-        // committed snapshot/versioned generation instead of latest
-        readParquet(spark, path(ref),
-          query.collectFirst { case ("_version", v) => v.toLong })
+        // [EXT] `_version=N` / `_version_ts=TS` time travel: pin the
+        // scan to a RETAINED committed generation instead of latest
+        // (TS resolves to the latest commit at-or-before the instant)
+        val p = path(ref)
+        val atV = query.collectFirst { case ("_version", v) => v.toLong }
+          .orElse(query.collectFirst { case ("_version_ts", v) =>
+            val hp = new org.apache.hadoop.fs.Path(p)
+            graft.operators.Snapshot.versionAtTimestamp(
+              hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp,
+              graft.operators.Snapshot.parseCommitTs(v))
+          })
+        readParquet(spark, p, atV)
       case "mongodb" | "mongo" | "es" | "elasticsearch" =>
         // S2/S3: real connector pass-through behind the same DatasetRef
         // (reference backends, etl_cli/etl.py:252-257); parquet

@@ -397,6 +397,33 @@ class SnapshotSpec extends SparkSpec {
     assert(run("id > 0").count() == 3)
   }
 
+  test("--at-timestamp: latest commit at or before the instant; too-early is loud") {
+    val dir = freshDir("snap_ts")
+    val p = s"$dir/t.parquet"
+    import spark.implicits._
+    WriteOps.atomicOverwrite(spark, Seq((1L, "v1")).toDF("id", "txt"), p,
+      commitMode = "snapshot", keepVersions = 3)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(1200) // commit instants must be separable by mtime
+    WriteOps.atomicOverwrite(spark, Seq((1L, "v2")).toDF("id", "txt"), p,
+      commitMode = "snapshot", keepVersions = 3)
+    def tagAt(q: Seq[(String, String)]) = graft.sources.Resolver
+      .read(spark, DatasetRef("parquet", dir, "t"), query = q)
+      .select("txt").as[String].head()
+    assert(tagAt(Seq("_version_ts" -> t1.toString)) == "v1")
+    assert(tagAt(Seq("_version_ts" ->
+      System.currentTimeMillis().toString)) == "v2")
+    // a local-datetime literal parses too (JVM zone, same as mtimes)
+    val lit = new java.sql.Timestamp(t1).toString
+    assert(tagAt(Seq("_version_ts" -> lit)) == "v1")
+    val e = intercept[IllegalArgumentException](tagAt(Seq("_version_ts" -> "1000")))
+    assert(e.getMessage.contains("earliest retained commit"))
+    // CLI sugar lands the control key on the source query
+    val (job, _) = graft.cli.Main.parse(Array(
+      "-s", s"parquet/$dir/t", "--at-timestamp", t1.toString))
+    assert(job.source.query.contains("_version_ts" -> t1.toString))
+  }
+
   test("deletion vectors: O(batch) delete touches no data file; time travel; null-safe pk") {
     val dir = freshDir("snap_dv")
     val p = s"$dir/t.parquet"

@@ -377,6 +377,30 @@ class StreamSpec extends SparkSpec {
       got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("streaming cluster assignment against static trained centroids ≡ batch") {
+    val dir = Files.createTempDirectory("graft_clstream").toString
+    val src = s"$dir/emb.parquet"
+    sf("embeddings").limit(200).write.parquet(src)
+    val batch = spark.read.parquet(src)
+    // centroids train on the batch (k×d driver state); arrivals then
+    // label against them with the pure-map argmax + one stream-static
+    // broadcast join — the production shape for clustering a feed
+    val cents = graft.ext.IvfIndex.train(spark, batch, k = 8, iters = 2)
+    val stream = StreamRunner.readStream(spark, DatasetRef("parquet", dir, "emb"))
+    val q = graft.ext.Clustering.assignWith(stream, cents)
+      .select("vec_id", "centroid_id", "centroid_sim")
+      .writeStream.format("memory").queryName("cl_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("cl_stream")
+    val want = graft.ext.Clustering.assignWith(batch, cents)
+      .select("vec_id", "centroid_id", "centroid_sim")
+    assert(got.count() == want.count() &&
+      got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
   test("streaming rollup maintenance: AvailableNow ≡ batch; replayed batch is a no-op") {
     import graft.ext.RollupOps
     val dir = Files.createTempDirectory("graft_rollstream").toString
