@@ -186,6 +186,99 @@ object ScaleBench6 {
       "(3 tree levels, ≤8 partials ≈ 67 MB at the driver vs 537 MB " +
       f"collected flat); refit bit-identical; planted mean max err $maxErr%.2e"
 
+    // ── 3) DELETION VECTORS at 6M rows ────────────────────────────────
+    // The physical contract at scale: a 1k-key DV delete is O(batch)
+    // bytes + one manifest (data files untouched), vs the pruned-merge
+    // delete of an equal band which rewrites the intersecting files.
+    // Closed-form row counts after every step.
+    val nRows = 6_000_000L
+    val snapPath = s"$out/dv_t.parquet"
+    fs.delete(new org.apache.hadoop.fs.Path(snapPath), true)
+    val table = spark.range(nRows).select($"id".as("doc_id"),
+      md5($"id".cast("string")).as("payload"))
+    timed("dv_seed_6m_snapshot") {
+      graft.operators.WriteOps.atomicOverwrite(spark, table, snapPath,
+        indexBy = Seq("doc_id"), maxRecordsPerFile = 100_000,
+        commitMode = "snapshot", keepVersions = 4)
+    }
+    def readBack() = graft.sources.Resolver.readParquet(spark, snapPath)
+    // (a) pruned-merge delete of band B — the rewrite-shaped delete
+    val bandB = spark.range(4_000_000L, 4_001_000L).select($"id".as("doc_id"))
+    val stDel = timed("dv_pruned_delete_1k") {
+      graft.operators.PrunedMerge.merge(spark, readBack(),
+        bandB.withColumn("payload", lit(null).cast("string")),
+        graft.spec.TargetSpec(
+          graft.spec.DatasetRef("parquet", out, "dv_t"),
+          op = graft.spec.WriteOp.Delete, pk = Seq("doc_id"),
+          indexBy = Seq("doc_id"), commitMode = "snapshot",
+          keepVersions = 4), snapPath)
+    }.getOrElse(sys.error("pruned delete did not engage"))
+    require(stDel.filesRewritten > 0 && stDel.filesRewritten < stDel.filesTotal,
+      s"pruned delete must rewrite a strict subset, got $stDel")
+    require(readBack().count() == nRows - 1000)
+    // (b) DV delete of band A — zero data files touched
+    def dataFiles = graft.operators.Snapshot.listDataFilesRec(fs,
+      graft.operators.Snapshot.dataDir(new org.apache.hadoop.fs.Path(snapPath)))
+      .map(_._1.toString).toSet
+    val filesBefore = dataFiles
+    timed("dv_tombstone_delete_1k") {
+      graft.operators.Snapshot.deleteByKeys(spark, snapPath,
+        spark.range(3_000_000L, 3_001_000L).select($"id".as("doc_id")),
+        keepVersions = 4)
+    }
+    require(dataFiles == filesBefore,
+      "DV delete must not write or remove any data file at 6M")
+    val nAfterDv = timed("dv_read_with_tombstones_6m") { readBack().count() }
+    require(nAfterDv == nRows - 2000, s"got $nAfterDv")
+    require(graft.sources.Resolver.readParquet(spark, snapPath, Some(1L))
+      .count() == nRows, "v1 must time-travel intact")
+    // (c) materialize: tombstones fold in, counts preserved
+    timed("dv_materialize_deletes_6m") {
+      require(graft.operators.Snapshot.materializeDeletes(spark, snapPath,
+        indexBy = Seq("doc_id"), maxRecordsPerFile = 100_000, keepVersions = 4))
+    }
+    require(readBack().count() == nRows - 2000)
+    notes("dv") = s"6M-row snapshot: pruned delete rewrote " +
+      s"${stDel.filesRewritten}/${stDel.filesTotal} files; DV delete " +
+      "touched ZERO data files (tombstones + one manifest); " +
+      "merge-on-read count exact; materialize folds and preserves counts"
+
+    // ── 4) k-means + SemDeDup at 100k vectors ─────────────────────────
+    // 2000 base vectors × 50 identical replicas (max cross-base cosine
+    // 0.60, measured) — at tau=0.9 SemDeDup must collapse EXACTLY each
+    // replica set: keepers == 2000, groups == 2000, all of size 50.
+    // The 2.45M within-cluster pairs push components past the 1M
+    // driver cap onto the star-contraction branch.
+    val vecs = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .withColumn("k", explode(sequence(lit(0), lit(49))))
+      .withColumn("vec_id", $"vec_id" + $"k" * 10_000_000L)
+      .select("vec_id", "embedding")
+      .repartition(32).persist()
+    require(vecs.count() == 100_000)
+    val (assigned, _) = timed("semdedup_kmeans_100k_k64") {
+      val r = graft.ext.Clustering.kmeansAssign(spark, vecs, k = 64, iters = 2)
+      r._1.persist().count()
+      r
+    }
+    val verdict = timed("semdedup_blocked_dedup_100k") {
+      val v = graft.ext.Clustering.semDedup(assigned, tau = 0.9, keep = "far")
+        .persist()
+      v.count()
+      v
+    }
+    val (nTotal, nKeep, nGrp) = verdict.agg(count(lit(1)),
+      sum(when($"keep", 1L).otherwise(0L)), countDistinct($"group"))
+      .as[(Long, Long, Long)].head()
+    require((nTotal, nKeep, nGrp) == ((100_000L, 2000L, 2000L)),
+      s"SemDeDup closed form violated: ($nTotal, $nKeep, $nGrp)")
+    val sizes = verdict.groupBy("group").count()
+      .agg(min("count"), max("count")).as[(Long, Long)].head()
+    require(sizes == ((50L, 50L)), s"every replica set is one group: $sizes")
+    verdict.unpersist(); assigned.unpersist(); vecs.unpersist()
+    notes("semdedup") = "100k vectors (2000 × 50 replicas): cluster-blocked " +
+      "SemDeDup collapsed exactly each replica set — 2000 keepers, 2000 " +
+      "groups of size 50, via star-contraction components over 2.45M pairs"
+
     writeReport()
     println("SCALE6 ALL OK")
     spark.stop()
