@@ -312,6 +312,34 @@ object SparkEntry {
         .orderBy("o_orderkey", "_change_type")
     }),
 
+    // ── [EXT r10] ADD-COLUMN widening upsert through the PRUNED
+    // merge: the batch carries a new column; only the touched files
+    // are rewritten (and alone carry the column physically), the
+    // manifest commits the EVOLVED schema, and every untouched member
+    // serves the new column as NULLs — ADD COLUMN priced per change,
+    // not per table. In-query requires prove the strict-subset
+    // rewrite; the oracle replays the widened logical table. ──────────
+    "q_write_upsert_evolve" -> ((s, dir) => {
+      val scratch = java.nio.file.Files.createTempDirectory("graft_evo").toString
+      val orders = read(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      val p = s"$scratch/orders_t.parquet"
+      WriteOps.atomicOverwrite(s, orders, p, indexBy = Seq("o_orderkey"),
+        maxRecordsPerFile = math.max(500, orders.count() / 24),
+        commitMode = "snapshot")
+      val batch = orders.filter(col("o_orderkey") < 1000)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("o_flag", col("o_orderkey") % 7)
+      val stats = graft.operators.PrunedMerge.merge(
+        s, graft.sources.Resolver.readParquet(s, p), batch,
+        TargetSpec(DatasetRef("parquet", scratch, "orders_t"),
+          op = WriteOp.Upsert, pk = Seq("o_orderkey"),
+          indexBy = Seq("o_orderkey"), commitMode = "snapshot"), p)
+      require(stats.exists(st => st.filesRewritten > 0 &&
+        st.filesRewritten < st.filesTotal),
+        s"widening pruned upsert must rewrite a strict subset, got $stats")
+      graft.sources.Resolver.readParquet(s, p).orderBy("o_orderkey")
+    }),
+
     // ── [EXT r10] CDC across SCHEMA EVOLUTION: v2 is an ADD-COLUMN
     // widening of v1 (plus a price update on a key range). The
     // changelog null-pads the from-side to the evolved shape, so a row
@@ -1596,6 +1624,15 @@ object SparkEntry {
            SELECT o_orderkey + 10000000, o_totalprice, 'insert'
            FROM orders WHERE o_orderkey < 100)
          ORDER BY o_orderkey, _change_type""",
+    // widening upsert: touched keys (< 1000) carry the doubled price
+    // and the new column's value; every other row serves NULL o_flag
+    "q_write_upsert_evolve" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_orderkey < 1000 THEN o_totalprice * 2
+                     ELSE o_totalprice END AS o_totalprice,
+                CASE WHEN o_orderkey < 1000 THEN o_orderkey % 7
+                     ELSE NULL END AS o_flag
+         FROM orders ORDER BY o_orderkey""",
     // widening CDC: v1-side o_flag is the NULL pad; only keys < 2000
     // change (price doubled < 1000, flag gained < 2000) — the rest are
     // unchanged under NULL-safe struct equality and emit nothing

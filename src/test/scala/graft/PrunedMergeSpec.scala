@@ -327,6 +327,47 @@ class PrunedMergeSpec extends SparkSpec {
     assert(sortedRows(spark.read.parquet(p)) == expected)
   }
 
+  test("ADD-COLUMN widening upsert: strict subset rewrite, NULLs served, compaction unifies") {
+    import spark.implicits._
+    val dir = freshDir("pm_evolve")
+    val p = s"$dir/t.parquet"
+    val df = (0L until 1000L).map(i => (i, s"v$i")).toDF("id", "txt")
+    WriteOps.atomicOverwrite(spark, df, p, indexBy = Seq("id"),
+      maxRecordsPerFile = 100, commitMode = "snapshot", keepVersions = 2)
+    val before = poolRels(p)
+    val batch = (0L until 50L).map(i => (i, s"V$i", i % 5)).toDF("id", "txt", "flag")
+    val t = TargetSpec(DatasetRef("parquet", dir, "t"), op = WriteOp.Upsert,
+      pk = Seq("id"), indexBy = Seq("id"), commitMode = "snapshot")
+    val st = PrunedMerge.merge(spark,
+      graft.sources.Resolver.readParquet(spark, p), batch, t, p)
+    assert(st.exists(s => s.filesRewritten > 0 && s.filesRewritten < s.filesTotal))
+    // untouched pool files byte-identical (still listed); schema evolved
+    val after = graft.sources.Resolver.readParquet(spark, p)
+    assert(after.columns.toSeq == Seq("id", "txt", "flag"))
+    assert(after.count() == 1000)
+    assert(after.filter($"id" < 50 && $"flag" =!= $"id" % 5).isEmpty)
+    assert(after.filter($"id" >= 50 && $"flag".isNotNull).isEmpty,
+      "untouched rows must serve the new column as NULL")
+    assert(before.intersect(poolRels(p)).nonEmpty,
+      "untouched files must be shared by reference")
+    // compaction over the mixed pre/post-evolution files keeps the
+    // evolved schema and the NULL-fill semantics
+    val stc = graft.operators.Compaction.compact(spark, p, Seq("id"),
+      1L << 20, keepVersions = 2)
+    assert(stc.filesCompacted > 0)
+    val compacted = graft.sources.Resolver.readParquet(spark, p)
+    assert(compacted.count() == 1000 &&
+      compacted.filter($"id" >= 50 && $"flag".isNotNull).isEmpty)
+  }
+
+  private def poolRels(p: String): Set[String] = {
+    val root = new org.apache.hadoop.fs.Path(p)
+    val fsys = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dd = graft.operators.Snapshot.dataDir(root)
+    graft.operators.Snapshot.listDataFilesRec(fsys, dd)
+      .map(f => graft.operators.Snapshot.relPath(dd, f._1)).toSet
+  }
+
   test("engine-integrated: Runner upsert takes the pruned path and keeps untouched files") {
     val dir = freshDir("pm_runner")
     val orders = sf("orders")
