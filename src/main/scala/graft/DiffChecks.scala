@@ -45,7 +45,70 @@ object DiffChecks {
     "q_ann_pq" -> (pqRecall(_, _)),
     "q_embed_pca" -> (pcaLaws(_, _)),
     "q_cluster_kmeans" -> (kmeansLaws(_, _)),
+    "q_unigram_pieces" -> (unigramTrainLaws(_, _)),
+    "q_unigram_encode" -> (unigramEncodeLaws(_, _)),
     "classifier_train" -> (classifierTrainLaw(_, _)))
+
+  /** q_unigram_pieces: iterative EM training has no SQL oracle — the
+    * laws are (1) refit bit-identity (fixed-point expected counts make
+    * the reduction exact under any partitioning), (2) Σp = 1, (3)
+    * single-character coverage of the corpus alphabet (nothing is
+    * unrepresentable), (4) the vocab-size contract
+    * size = max(target, #chars).
+    */
+  def unigramTrainLaws(s: SparkSession, dir: String): Check = {
+    import graft.ext.UnigramLm
+    val docs = read(s, dir, "documents")
+    val m1 = UnigramLm.train(docs, vocabSize = 300, emIters = 2)
+    val m2 = UnigramLm.train(docs.repartition(13), vocabSize = 300, emIters = 2)
+    val refit = m1.pieces == m2.pieces
+    val sum = m1.pieces.values.sum
+    val norm = math.abs(sum - 1.0) < 1e-9
+    val alphabet = UnigramLm.wordTypes(docs)
+      .select(explode(split(col("word"), "")).as("c"))
+      .filter(col("c") =!= "").distinct()
+      .collect().map(_.getString(0)).toSet
+    val coverage = alphabet.forall(c => m1.pieces.contains(c))
+    val nChars = m1.pieces.count(_._1.length == 1)
+    // contract: size = min(candidate inventory, max(target, #chars)) —
+    // this corpus has only ~31 word types, so the inventory (not the
+    // 300 target) is the binding constraint
+    val sized = m1.size <= math.max(300, nChars) && m1.size >= nChars
+    Check(refit && norm && coverage && sized,
+      f"refitIdentical=$refit sum=$sum%.12f coverage=$coverage " +
+        s"(${alphabet.size} chars) size=${m1.size} (chars=$nChars, target=300)")
+  }
+
+  /** q_unigram_encode: (1) per-word Viterbi cost ≤ the all-characters
+    * segmentation cost (optimality against the always-available
+    * baseline), (2) token concat restores every word (round-trip),
+    * (3) re-encode under a refit model is identical.
+    */
+  def unigramEncodeLaws(s: SparkSession, dir: String): Check = {
+    import graft.ext.UnigramLm
+    val docs = read(s, dir, "documents")
+    val m = UnigramLm.train(docs, vocabSize = 300, emIters = 2)
+    val costs = m.costs
+    val types = UnigramLm.wordTypes(docs).limit(500)
+      .select(col("word")).collect().map(_.getString(0))
+    var optimal = true; var roundTrip = true
+    types.foreach { w =>
+      val (toks, cost) = UnigramLm.viterbi(w, costs)
+      if (toks.mkString != w) roundTrip = false
+      val charCost = w.map(c =>
+        costs.getOrElse(c.toString, 100L * 1000000L)).sum
+      if (cost > charCost) optimal = false
+    }
+    val e1 = UnigramLm.encode(docs, "text", m)
+      .orderBy(desc("cnt"), asc("token")).limit(40).collect().toSeq
+    val e2 = UnigramLm.encode(docs, "text",
+        UnigramLm.train(docs.repartition(7), vocabSize = 300, emIters = 2))
+      .orderBy(desc("cnt"), asc("token")).limit(40).collect().toSeq
+    val deterministic = e1 == e2
+    Check(optimal && roundTrip && deterministic,
+      s"viterbiOptimalVsChars=$optimal roundTrip=$roundTrip " +
+        s"(${types.length} word types) refitEncodeIdentical=$deterministic")
+  }
 
   /** q_cluster_kmeans: iterative Lloyd training has no SQL oracle —
     * the laws are (1) refit bit-identity (deterministic seeds +

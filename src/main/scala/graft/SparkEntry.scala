@@ -29,6 +29,21 @@ object SparkEntry {
   private val BpeMerges: Seq[(String, String)] = Seq(
     "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "e" -> "r", "an" -> "d")
 
+  /** Fixed unigram-LM piece costs (integer micro-nats) for the
+    * oracle-replayable Viterbi twin: every word character ([a-z0-9_]
+    * after the shared tokenizer) has an explicit cost so the unknown
+    * fallback never fires, plus common English bigrams/trigrams cheap
+    * enough to win over their character spellings. Mirrored verbatim
+    * in the `q_unigram_segment_exact` oracle's VALUES list.
+    */
+  private val UnigramFixedCosts: Map[String, Long] =
+    (("abcdefghijklmnopqrstuvwxyz0123456789_".map(c =>
+      c.toString -> 1500000L)) ++ Seq(
+      "th" -> 2000000L, "he" -> 2000000L, "in" -> 2000000L,
+      "er" -> 2000000L, "an" -> 2000000L, "re" -> 2000000L,
+      "on" -> 2000000L, "at" -> 2000000L, "en" -> 2000000L,
+      "es" -> 2000000L, "the" -> 2500000L, "ing" -> 2800000L)).toMap
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Planner.plan(spark, JobSpec(
@@ -1385,6 +1400,42 @@ object SparkEntry {
       graft.ext.Bpe.encode(read(s, dir, "documents"), "text", BpeMerges)
         .orderBy(desc("cnt"), asc("token")).limit(40)),
 
+    // ── [EXT r10] Unigram-LM (SentencePiece) tokenizer family ─────────
+    // Exact twin: Viterbi segmentation under FIXED integer micro-nat
+    // costs over the ≤12-char word types — the DuckDB oracle
+    // enumerates EVERY segmentation per word with a recursive CTE and
+    // picks (min cost, lexicographically smallest token join), which
+    // must match the engine's DP bit-for-bit. The integer costs are
+    // what make the cross-engine tie-break sound.
+    "q_unigram_segment_exact" -> ((s, dir) =>
+      graft.ext.UnigramLm.segmentTypes(read(s, dir, "documents"), "text",
+        UnigramFixedCosts, maxWordLen = 12).orderBy("word")),
+
+    // Trained pieces: distributed EM over the word-type table (one
+    // corpus read; E-step = broadcast-pieces forward–backward with
+    // fixed-point counts → bit-deterministic). Iterative training has
+    // no SQL oracle — the diffcheck enforces refit bit-identity,
+    // Σp = 1, single-char coverage, and the vocab-size contract.
+    "q_unigram_pieces" -> ((s, dir) => {
+      import s.implicits._
+      val m = graft.ext.UnigramLm.train(read(s, dir, "documents"),
+        vocabSize = 300, emIters = 2)
+      m.pieces.toSeq.map { case (p, pr) => (p, math.rint(pr * 1e8) / 1e8) }
+        .sortBy { case (p, pr) => (-pr, p) }.take(30)
+        .toDF("piece", "prob")
+    }),
+
+    // Trained encode: the corpus token-frequency table the trained
+    // tokenizer induces (one type-table pass, Viterbi per word TYPE).
+    // Diffchecked: Viterbi ≤ char-segmentation cost, round-trip
+    // concat, refit-encode determinism.
+    "q_unigram_encode" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val m = graft.ext.UnigramLm.train(docs, vocabSize = 300, emIters = 2)
+      graft.ext.UnigramLm.encode(docs, "text", m)
+        .orderBy(desc("cnt"), asc("token")).limit(40)
+    }),
+
     // ── [EXT] §2.10 per-domain curation stats (FineWeb-style: decide
     // per-domain weights/caps from counts, dup rate, size) — composes
     // the URL ops with corpus aggregates; one domain-keyed hash-agg ───
@@ -1624,6 +1675,41 @@ object SparkEntry {
            SELECT o_orderkey + 10000000, o_totalprice, 'insert'
            FROM orders WHERE o_orderkey < 100)
          ORDER BY o_orderkey, _change_type""",
+    // the exhaustive Viterbi twin: every segmentation of every ≤12-char
+    // word type enumerated by recursive CTE; best = (min integer cost,
+    // lexicographically smallest '|'-join) — the engine DP's contract.
+    // The VALUES list is generated from the same UnigramFixedCosts map
+    // the engine uses (single source of truth).
+    "q_unigram_segment_exact" -> {
+      val values = UnigramFixedCosts.toSeq.sortBy(_._1)
+        .map { case (p, c) => s"('$p', $c)" }.mkString(", ")
+      s"""WITH RECURSIVE tok AS (
+           SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\W+'),
+                                     x -> x <> '')) AS w
+           FROM documents),
+         t AS (SELECT w AS word, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+         words AS (SELECT word, cnt FROM t WHERE length(word) <= 12),
+         pieces(piece, cost) AS (VALUES $values),
+         seg AS (
+           SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost, '' AS toks
+           FROM words
+           UNION ALL
+           SELECT s.word, s.pos + length(p.piece), s.cost + p.cost,
+                  CASE WHEN s.toks = '' THEN p.piece
+                       ELSE s.toks || '|' || p.piece END
+           FROM seg s JOIN pieces p
+             ON substr(s.word, s.pos + 1, length(p.piece)) = p.piece
+           WHERE s.pos < length(s.word)),
+         done AS (SELECT word, cost, toks FROM seg WHERE pos = length(word)),
+         best AS (SELECT word, min(cost) AS cost FROM done GROUP BY 1),
+         pick AS (SELECT d.word, b.cost, min(d.toks) AS toks
+                  FROM done d JOIN best b
+                    ON d.word = b.word AND d.cost = b.cost
+                  GROUP BY d.word, b.cost)
+         SELECT w.word, p.toks, p.cost, w.cnt
+         FROM words w JOIN pick p ON w.word = p.word
+         ORDER BY w.word"""
+    },
     // widening upsert: touched keys (< 1000) carry the doubled price
     // and the new column's value; every other row serves NULL o_flag
     "q_write_upsert_evolve" ->

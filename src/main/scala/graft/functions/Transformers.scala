@@ -616,6 +616,26 @@ object Transformers {
       }
       graft.ext.Bpe.encode(df, args.lift(1).getOrElse("text"), merges)
     }),
+    // unigram_train:vocabSize[;text;emIters] — fit a unigram-LM
+    // (SentencePiece-family) tokenizer on the frame; replaces it with
+    // the (piece, prob) inventory
+    "unigram_train" -> (args => df => {
+      require(args.nonEmpty, "unigram_train needs vocabSize[;text;emIters]")
+      val m = graft.ext.UnigramLm.train(df, args.lift(1).getOrElse("text"),
+        args.head.toInt, args.lift(2).map(_.toInt).getOrElse(2))
+      val s = df.sparkSession
+      import s.implicits._
+      m.pieces.toSeq.sortBy { case (p, pr) => (-pr, p) }
+        .toDF("piece", "prob")
+    }),
+    // unigram_encode:vocabSize[;text;emIters] — train on the frame and
+    // replace it with the induced (token, cnt) corpus vocabulary
+    "unigram_encode" -> (args => df => {
+      require(args.nonEmpty, "unigram_encode needs vocabSize[;text;emIters]")
+      val m = graft.ext.UnigramLm.train(df, args.lift(1).getOrElse("text"),
+        args.head.toInt, args.lift(2).map(_.toInt).getOrElse(2))
+      graft.ext.UnigramLm.encode(df, args.lift(1).getOrElse("text"), m)
+    }),
     // ppl_buckets[:addK[;minCount[;buckets[;id[;text]]]]] — CCNet
     // head/middle/tail perplexity bucketing, self-trained on the frame
     "ppl_buckets" -> (args => df =>
