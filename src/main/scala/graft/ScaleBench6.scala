@@ -279,6 +279,44 @@ object ScaleBench6 {
       "SemDeDup collapsed exactly each replica set — 2000 keepers, 2000 " +
       "groups of size 50, via star-contraction components over 2.45M pairs"
 
+    // ── 5) Unigram-LM tokenizer at 16M tokens / ~90k word types ───────
+    // The scale claim: the corpus is read ONCE (word-type table);
+    // every EM iteration costs O(types × len × maxPieceLen) with the
+    // inventory broadcast — independent of corpus size. Zipf-ish
+    // synthetic vocabulary so the type table is realistically large.
+    val corpusPath = s"$out/uni_corpus.parquet"
+    if (!scala.util.Try(spark.read.parquet(corpusPath).count())
+          .toOption.contains(2_000_000L))
+      timed("unigram_corpus_gen_2m_docs") {
+        spark.range(2_000_000L).select(
+          concat_ws(" ", transform(sequence(lit(0), lit(7)), t => {
+            val h = pmod(xxhash64($"id" * 8 + t), lit(1000000L))
+              .cast("double") / 1000000.0
+            concat(lit("w"), floor(pow(h, 2.0) * 100000).cast("long"))
+          })).as("text"))
+          .repartition(32).write.mode("overwrite").parquet(corpusPath)
+      }
+    val uniCorpus = spark.read.parquet(corpusPath)
+    val nTypes = timed("unigram_wordcounts_16m_tokens") {
+      graft.ext.UnigramLm.wordTypes(uniCorpus).count()
+    }
+    require(nTypes > 50000, s"want a large type table, got $nTypes")
+    val uniModel = timed("unigram_train_v2000_16m_tokens") {
+      graft.ext.UnigramLm.train(uniCorpus, vocabSize = 2000,
+        emIters = 2, maxSeed = 4000)
+    }
+    require(uniModel.size == 2000, s"vocab ${uniModel.size}")
+    require(math.abs(uniModel.pieces.values.sum - 1.0) < 1e-9)
+    require("w0123456789".forall(c => uniModel.pieces.contains(c.toString)),
+      "alphabet coverage")
+    timed("unigram_encode_16m_tokens") {
+      val enc = graft.ext.UnigramLm.encode(uniCorpus, "text", uniModel)
+      require(enc.count() > 0)
+    }
+    notes("unigram") = f"$nTypes%,d word types / 16M tokens: vocab-2000 " +
+      "train = 1 corpus read + type-table EM (see times; encode is one " +
+      "further type-table pass), Σp=1, full alphabet coverage"
+
     writeReport()
     println("SCALE6 ALL OK")
     spark.stop()

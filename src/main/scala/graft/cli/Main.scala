@@ -249,12 +249,19 @@ object Main {
       // versions (Delta CDF row shape); requires --pk
       case "--changelog" => once("--changelog")
         changelog = Some(next("--changelog").split(":", 2) match {
+          // FROM: (open end) = every change since FROM, consecutive
+          // per-commit diffs — the incremental-consumer cursor read
+          case Array(a, "") =>
+            try (a.toLong, -1L) catch {
+              case _: NumberFormatException =>
+                throw CliError(s"--changelog expects FROM:[TO], got: $a:")
+            }
           case Array(a, b) =>
             try (a.toLong, b.toLong) catch {
               case _: NumberFormatException =>
-                throw CliError(s"--changelog expects FROM:TO versions, got: $a:$b")
+                throw CliError(s"--changelog expects FROM:[TO] versions, got: $a:$b")
             }
-          case _ => throw CliError("--changelog expects FROM:TO versions")
+          case _ => throw CliError("--changelog expects FROM:[TO] versions")
         })
       case "--max-records-per-file" =>
         once("--max-records-per-file"); maxRecords = next("--max-records-per-file").toLong
@@ -537,8 +544,12 @@ object Main {
     opts.changelog.foreach { case (fromV, toV) => // [EXT] CDC diff
       if (opts.changelogPk.isEmpty)
         throw CliError("--changelog needs the row identity: --pk COLS")
-      val cl = graft.operators.Snapshot.changelog(
-        spark, Resolver.path(job.source.ref), fromV, toV, opts.changelogPk)
+      val cl =
+        if (toV < 0) // FROM: open end — everything since the cursor
+          graft.operators.Snapshot.changelogSince(
+            spark, Resolver.path(job.source.ref), fromV, opts.changelogPk)
+        else graft.operators.Snapshot.changelog(
+          spark, Resolver.path(job.source.ref), fromV, toV, opts.changelogPk)
       job.target match {
         case Some(t) => // materialize the feed for downstream consumers
           graft.operators.WriteOps.atomicOverwrite(spark, cl,
@@ -797,6 +808,9 @@ object Main {
       |               --changelog FROM:TO (CDC rows between two retained
       |               versions: insert/delete/update pre+post; needs
       |               --pk; with -t, writes the feed instead of printing)
+      |               --changelog FROM: (open end: every change since the
+      |               cursor as consecutive per-commit diffs — checkpoint
+      |               max(_commit_version) and pass it back next run)
       |               --mongo-index k1,k2 (range-sorted file layout on the
       |               keys: parquet min/max stats prune like an index)
       |               --skip-index (drop requested index layouts)

@@ -525,6 +525,44 @@ object Snapshot {
     * optimization composes here via `readAt` + `.where` on
     * `_metadata.file_path` without changing this row-level contract.
     */
+  /** Open-ended incremental CDC: every change from `sinceV` up to the
+    * latest retained commit, as the union of CONSECUTIVE per-commit
+    * changelogs — each row's `_commit_version` is the commit that
+    * produced it, so a consumer can checkpoint the max version it has
+    * processed and call again with that cursor (the incremental-ETL
+    * "what changed since my last run" read; the streaming twin of the
+    * reference's continuation loop, expressed over table history
+    * instead of a `contid` mark column). Consecutive diffs — not one
+    * from→latest diff — so intermediate states are not collapsed: a
+    * row inserted at v5 and deleted at v7 yields BOTH events.
+    * Empty frame (correct schema) when already at the head. Loud when
+    * `sinceV` is no longer retained — a silent gap would corrupt the
+    * consumer's view.
+    */
+  def changelogSince(spark: SparkSession, rootStr: String, sinceV: Long,
+                     pk: Seq[String]): DataFrame = {
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = committed(fs, root).map(_._1)
+    require(vs.contains(sinceV), s"version $sinceV of $root is not " +
+      s"retained (have: ${vs.mkString(", ")}) — the changelog cursor " +
+      "has fallen behind the vacuum retention; re-sync with a full read")
+    val span = vs.filter(_ >= sinceV)
+    val steps = span.zip(span.drop(1))
+    if (steps.isEmpty)
+      return changelog(spark, rootStr, sinceV, sinceV, pk).limit(0)
+    val frames = steps.map { case (a, b) => changelog(spark, rootStr, a, b, pk) }
+    // steps that predate an ADD-COLUMN commit carry the narrower
+    // schema — align every step to the FINAL step's shape (null-pad),
+    // the same convention the widening changelog itself uses
+    val outSchema = frames.last.schema
+    frames.map { f =>
+      f.select(outSchema.fields.toIndexedSeq.map(g =>
+        if (f.columns.contains(g.name)) col(g.name)
+        else lit(null).cast(g.dataType).as(g.name)): _*)
+    }.reduce(_ unionAll _)
+  }
+
   def changelog(spark: SparkSession, rootStr: String, fromV: Long, toV: Long,
                 pk: Seq[String], filePruned: Boolean = true): DataFrame = {
     require(pk.nonEmpty, "changelog needs the pk that identifies a row")

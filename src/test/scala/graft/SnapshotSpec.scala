@@ -512,6 +512,67 @@ class SnapshotSpec extends SparkSpec {
     assert(graft.sources.Resolver.readParquet(spark, p).count() == 47)
   }
 
+  test("changelogSince: open-ended cursor reads consecutive diffs, keeps intermediate states") {
+    val dir = freshDir("snap_clsince")
+    val p = s"$dir/t.parquet"
+    import spark.implicits._
+    def write(rows: Seq[(Long, String)]) =
+      WriteOps.atomicOverwrite(spark, rows.toDF("id", "txt"), p,
+        commitMode = "snapshot", keepVersions = 5)
+    write(Seq((1L, "a"), (2L, "b")))                    // v1
+    write(Seq((1L, "a"), (2L, "B"), (3L, "c")))         // v2: update 2, insert 3
+    write(Seq((2L, "B"), (3L, "c")))                    // v3: delete 1
+    val all = Snapshot.changelogSince(spark, p, 1L, Seq("id"))
+      .select("id", "txt", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    // intermediate states preserved: the v2 events AND the v3 delete
+    assert(all == Set(
+      (2L, "b", "update_preimage", 2L), (2L, "B", "update_postimage", 2L),
+      (3L, "c", "insert", 2L),
+      (1L, "a", "delete", 3L)))
+    // cursor advance: since v2 = only the v2→v3 step
+    val tail = Snapshot.changelogSince(spark, p, 2L, Seq("id"))
+      .select("_commit_version").distinct().as[Long].collect().toSeq
+    assert(tail == Seq(3L))
+    // at head: empty, with the changelog schema intact
+    val head = Snapshot.changelogSince(spark, p, 3L, Seq("id"))
+    assert(head.isEmpty && head.columns.contains("_change_type"))
+    // a vacuumed cursor refuses loudly (no silent gap)
+    val e = intercept[IllegalArgumentException](
+      Snapshot.changelogSince(spark, p, 99L, Seq("id")))
+    assert(e.getMessage.contains("not") && e.getMessage.contains("retained"))
+    // CLI: open-ended form writes the full feed
+    val (job, opts) = graft.cli.Main.parse(Array(
+      "-s", s"parquet/$dir/t", "--changelog", "1:", "--pk", "id",
+      "-t", s"parquet/$dir/feed", "-y"))
+    graft.cli.Main.execute(spark, job, opts)
+    assert(spark.read.parquet(s"$dir/feed.parquet").count() == 4)
+  }
+
+  test("changelogSince spans an ADD-COLUMN widening with null-padded early steps") {
+    val dir = freshDir("snap_clsw")
+    val p = s"$dir/t.parquet"
+    import spark.implicits._
+    WriteOps.atomicOverwrite(spark, Seq((1L, "a")).toDF("id", "txt"), p,
+      commitMode = "snapshot", keepVersions = 5)
+    WriteOps.atomicOverwrite(spark, Seq((1L, "A")).toDF("id", "txt"), p,
+      commitMode = "snapshot", keepVersions = 5)                    // v2
+    WriteOps.atomicOverwrite(spark,
+      Seq((1L, "A", 7)).toDF("id", "txt", "extra"), p,
+      commitMode = "snapshot", keepVersions = 5)                    // v3 widens
+    val rows3 = Snapshot.changelogSince(spark, p, 1L, Seq("id"))
+      .select("id", "txt", "extra", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else Integer.valueOf(r.getInt(2)),
+        r.getString(3), r.getLong(4))).toSet
+    assert(rows3 == Set(
+      (1L, "a", null, "update_preimage", 2L),
+      (1L, "A", null, "update_postimage", 2L),
+      (1L, "A", null, "update_preimage", 3L),
+      (1L, "A", Integer.valueOf(7), "update_postimage", 3L)))
+  }
+
   test("changelog tolerates ADD-COLUMN widening with NULL preimages") {
     val dir = freshDir("snap_clwide")
     val p = s"$dir/t.parquet"
