@@ -49,9 +49,11 @@ object ScaleBench6 {
   } + "\""
 
   private def writeReport(): Unit = {
-    val json = "{" +
-      notes.map { case (k, v) => s"${esc(k)}: ${esc(v)}" }.mkString(", ") + ", " +
-      s""""times": {${results.map { case (k, v) => s""""$k": $v""" }.mkString(", ")}}}"""
+    // notes may be empty on the early phases — no dangling separator,
+    // the incremental evidence must stay parseable JSON
+    val fields = notes.map { case (k, v) => s"${esc(k)}: ${esc(v)}" }.toSeq :+
+      s""""times": {${results.map { case (k, v) => s""""$k": $v""" }.mkString(", ")}}"""
+    val json = fields.mkString("{", ", ", "}")
     try {
       val p = java.nio.file.Paths.get("target/scalebench6.json")
       java.nio.file.Files.createDirectories(p.getParent)

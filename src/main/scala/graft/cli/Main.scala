@@ -252,15 +252,22 @@ object Main {
           // FROM: (open end) = every change since FROM, consecutive
           // per-commit diffs — the incremental-consumer cursor read
           case Array(a, "") =>
-            try (a.toLong, -1L) catch {
+            val from = try a.toLong catch {
               case _: NumberFormatException =>
                 throw CliError(s"--changelog expects FROM:[TO], got: $a:")
             }
+            if (from < 0) throw CliError(s"--changelog FROM must be >= 0, got: $a")
+            (from, -1L)
           case Array(a, b) =>
-            try (a.toLong, b.toLong) catch {
+            val parsed = try (a.toLong, b.toLong) catch {
               case _: NumberFormatException =>
                 throw CliError(s"--changelog expects FROM:[TO] versions, got: $a:$b")
             }
+            // negative numbers must not alias the open-ended form —
+            // only a literal empty TO selects the cursor read
+            if (parsed._1 < 0 || parsed._2 < 0)
+              throw CliError(s"--changelog versions must be >= 0, got: $a:$b")
+            parsed
           case _ => throw CliError("--changelog expects FROM:[TO] versions")
         })
       case "--max-records-per-file" =>

@@ -113,6 +113,9 @@ object Runner {
           // (merge-on-read). Loud on a non-snapshot layout: silently
           // falling back to a table rewrite would betray the flag's
           // whole point.
+          require(!t.deleteVectors || t.op == graft.spec.WriteOp.Delete,
+            s"--dv applies to -o delete only (got op ${t.op}); dropping " +
+              "it silently would betray the flag")
           val dv = t.op == graft.spec.WriteOp.Delete && t.deleteVectors
           if (dv) {
             require(t.pk.nonEmpty, "--dv delete needs --pk")

@@ -182,29 +182,46 @@ object RollupOps {
     require((coreCols ++ meta.map(_._1)).toSet == existing.columns.toSet,
       s"meta columns must cover the state's non-core columns: " +
         s"${existing.columns.toSeq} vs ${coreCols ++ meta.map(_._1)}")
-    val batchState = summarize(batch, keys, aggs)
-    val core = existing.select(coreCols.map(col): _*)
-    val keyTuples = batchState.select(keys.map(col): _*).distinct()
-    // read-side prune: a small touched-key set becomes per-column IN
-    // lists the parquet reader pushes into row-group stats (a superset
-    // of the touched groups — the semi join below makes it exact)
-    val inlined = keyTuples.limit(maxInlineKeys + 1).collect()
-    val preFiltered =
-      if (inlined.length <= maxInlineKeys && inlined.nonEmpty) {
-        val conds = keys.zipWithIndex.map { case (k, i) =>
-          col(k).isin(inlined.map(_.get(i)).distinct.toIndexedSeq: _*) }
-        core.filter(conds.reduce(_ && _))
-      } else core
-    val touchedExisting = preFiltered.join(keyTuples, keys, "left_semi")
-    val combined0 = merge(Seq(touchedExisting, batchState), keys)
-    val combined = meta.foldLeft(combined0) { case (d, (n, c)) =>
-      d.withColumn(n, c) }.select(existing.columns.toIndexedSeq.map(col): _*)
-    val hp = new org.apache.hadoop.fs.Path(statePath)
-    val name = hp.getName.stripSuffix(".parquet")
-    graft.operators.PrunedMerge.merge(spark, existing, combined,
-      graft.spec.TargetSpec(
-        graft.spec.DatasetRef("parquet", hp.getParent.toString, name),
-        op = graft.spec.WriteOp.Upsert, pk = keys, indexBy = keys,
-        commitMode = "snapshot", keepVersions = keepVersions), statePath)
+    // persist: the batch aggregate would otherwise re-execute for the
+    // key collect, the semi join, the merge, AND PrunedMerge's passes —
+    // 4+ batch scans per micro-batch on the hot streaming path
+    val batchState = summarize(batch, keys, aggs).persist()
+    try {
+      val core = existing.select(coreCols.map(col): _*)
+      val keyTuples = batchState.select(keys.map(col): _*).distinct()
+      // read-side prune: a small touched-key set becomes per-column IN
+      // lists the parquet reader pushes into row-group stats (a superset
+      // of the touched groups — the semi join below makes it exact).
+      // NULL group keys never match isin/= — a batch tuple with a NULL
+      // component widens that column's prefilter with isNull, and the
+      // semi join is null-safe, so the existing NULL-keyed state row is
+      // read into the merge instead of being silently replaced.
+      val inlined = keyTuples.limit(maxInlineKeys + 1).collect()
+      val preFiltered =
+        if (inlined.length <= maxInlineKeys && inlined.nonEmpty) {
+          val conds = keys.zipWithIndex.map { case (k, i) =>
+            val vals = inlined.map(_.get(i)).distinct.toIndexedSeq
+            val nonNull = vals.filter(_ != null)
+            val in =
+              if (nonNull.isEmpty) lit(false) else col(k).isin(nonNull: _*)
+            if (vals.exists(_ == null)) in || col(k).isNull else in
+          }
+          core.filter(conds.reduce(_ && _))
+        } else core
+      val kt = keyTuples.alias("__kt__")
+      val pf = preFiltered.alias("__pf__")
+      val semiCond = keys.map(k => pf(k) <=> kt(k)).reduce(_ && _)
+      val touchedExisting = pf.join(kt, semiCond, "left_semi")
+      val combined0 = merge(Seq(touchedExisting, batchState), keys)
+      val combined = meta.foldLeft(combined0) { case (d, (n, c)) =>
+        d.withColumn(n, c) }.select(existing.columns.toIndexedSeq.map(col): _*)
+      val hp = new org.apache.hadoop.fs.Path(statePath)
+      val name = hp.getName.stripSuffix(".parquet")
+      graft.operators.PrunedMerge.merge(spark, existing, combined,
+        graft.spec.TargetSpec(
+          graft.spec.DatasetRef("parquet", hp.getParent.toString, name),
+          op = graft.spec.WriteOp.Upsert, pk = keys, indexBy = keys,
+          commitMode = "snapshot", keepVersions = keepVersions), statePath)
+    } finally { batchState.unpersist(); () }
   }
 }

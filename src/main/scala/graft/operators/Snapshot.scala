@@ -226,10 +226,21 @@ object Snapshot {
     val dels = m.deleteEntries
     if (dels.isEmpty) return df
     val dd = dataDir(root)
-    val keys = spark.read.parquet(dels.map(e => new Path(dd, e.rel).toString): _*)
-      .distinct()
-    val cond = keys.columns.map(c => df(c) <=> keys(c)).reduce(_ && _)
-    df.join(keys, cond, "left_anti")
+    // DV commits may carry DIFFERENT key-column sets (deleteByKeys
+    // only requires a schema subset) — one combined read would merge
+    // them under an arbitrary file's schema and silently mis-apply.
+    // Group the files by their recorded column set and anti-join per
+    // group: each tombstone removes the rows matching ITS OWN partial
+    // key tuple.
+    val byCols = dels
+      .map(e => new Path(dd, e.rel).toString)
+      .groupBy(f => spark.read.parquet(f).columns.toSeq)
+    byCols.toSeq.sortBy(_._1.mkString(","))
+      .foldLeft(df) { case (acc, (_, files)) =>
+        val keys = spark.read.parquet(files: _*).distinct()
+        val cond = keys.columns.map(c => acc(c) <=> keys(c)).reduce(_ && _)
+        acc.join(keys, cond, "left_anti")
+      }
   }
 
   /** Scan a subset of one manifest's members, normalized to the

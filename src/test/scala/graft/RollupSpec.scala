@@ -126,6 +126,33 @@ class RollupSpec extends SparkSpec {
     assert(marks.keySet == Set(0L, 1L), s"mixed markers expected, got $marks")
   }
 
+  test("maintainPruned preserves NULL-keyed group state (null-safe prefilter + semi join)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rollnull").toString
+    val statePath = s"$dir/state.parquet"
+    val k = Seq("g")
+    val a = RollupOps.parse(Seq("count", "sum:v"))
+    // seed state: six named groups + NULL, small files so the merge
+    // has a strict subset to prune
+    val seed = (Seq.tabulate(12)(i => (Some(('a' + i % 6).toChar.toString),
+      i.toLong)) ++ Seq((None, 10L), (None, 20L))).toDF("g", "v")
+    graft.operators.WriteOps.atomicOverwrite(spark,
+      RollupOps.summarize(seed, k, a)
+        .withColumn("__batch_id", lit(0L)).withColumn("__run_id", lit("r0")),
+      statePath, indexBy = k, maxRecordsPerFile = 2, commitMode = "snapshot")
+    // the batch touches the NULL group and 'a'
+    val batch = Seq((None, 100L), (Some("a"), 5L)).toDF("g", "v")
+    val st = RollupOps.maintainPruned(spark, statePath, batch, k, a,
+      meta = Seq("__batch_id" -> lit(1L), "__run_id" -> lit("r0")))
+    assert(st.isDefined)
+    val got = rows(RollupOps.finish(
+      graft.sources.Resolver.readParquet(spark, statePath)
+        .drop("__batch_id", "__run_id"), k, a).orderBy(asc_nulls_first("g")))
+    val want = rows(RollupOps.finish(RollupOps.summarize(
+      seed.unionAll(batch), k, a), k, a).orderBy(asc_nulls_first("g")))
+    assert(got == want,
+      s"NULL group state must merge, not be replaced: $got vs $want")
+  }
+
   test("transformer stages mirror the API") {
     val viaStages = graft.functions.Transformers.apply(li, Seq(
       graft.spec.TransformStage("rollup_state",

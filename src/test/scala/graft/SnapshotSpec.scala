@@ -451,6 +451,29 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.fsck(spark, p).isEmpty)
   }
 
+  test("deletion vectors: mixed key-column sets across DV commits apply per their own schema") {
+    val dir = freshDir("snap_dvmix")
+    val p = s"$dir/t.parquet"
+    import spark.implicits._
+    WriteOps.atomicOverwrite(spark,
+      Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "c"))
+        .toDF("id", "txt"),
+      p, commitMode = "snapshot", keepVersions = 5)
+    // commit 1 tombstones by (id); commit 2 by (id, txt) — each must
+    // delete exactly the rows matching ITS OWN key tuple, not be
+    // coerced under one arbitrary schema
+    Snapshot.deleteByKeys(spark, p, Seq(1L).toDF("id"), keepVersions = 5)
+    Snapshot.deleteByKeys(spark, p,
+      Seq((3L, "b"), (4L, "ZZZ")).toDF("id", "txt"), keepVersions = 5)
+    val now = graft.sources.Resolver.readParquet(spark, p)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    // id=1 gone (commit 1); id=3 gone (matches (3,'b')); id=4 STAYS
+    // ((4,'ZZZ') matches nothing); 2 and 5 stay
+    assert(now == Seq(2L, 4L, 5L), s"got $now")
+    assert(Snapshot.fsck(spark, p)
+      .filter(col("severity") === "error").isEmpty)
+  }
+
   test("deletion vectors: pruned merge declines; compaction carries; materialize clears") {
     val dir = freshDir("snap_dvm")
     val p = s"$dir/t.parquet"
