@@ -51,6 +51,8 @@ object Main {
   final case class Opts(
       drop: Boolean = false, dry: Boolean = false, count: Boolean = false,
       stream: Boolean = false,
+      rollup: Option[(Seq[String], Seq[String])] = None, // --stream --rollup keys;aggs
+
       jobPoll: Option[String] = None, jq: Seq[(String, String)] = Nil,
       silent: Boolean = false,
       noCount: Boolean = false, info: Option[String] = None,
@@ -98,6 +100,7 @@ object Main {
     var mrules = ""; var mrulesScm = ""
     var skipTs = false; var dry = false; var drop = false; var count = false
     var stream = false; var silent = false
+    var rollup: Option[(Seq[String], Seq[String])] = None
     var partitionBy = ""; var maxRecords = 0L; var commitMode = "rename"
     var compactSize: Option[Long] = None
     var keepVersions = 2; var history = false
@@ -190,6 +193,15 @@ object Main {
       case "--diff" => once("--diff"); diff = Some(next("--diff"))
       case "--diff-context" => once("--diff-context"); diffContext = next("--diff-context")
       case "--stream" => stream = true
+      // [EXT] --stream --rollup "k1,k2;agg;agg…" — maintain the target
+      // as a snapshot-committed incremental ROLLUP STATE table instead
+      // of appending rows (foreachBatch → RollupOps.maintainPruned)
+      case "--rollup" => once("--rollup")
+        val parts = next("--rollup").split(";").map(_.trim).filter(_.nonEmpty)
+        if (parts.length < 2)
+          throw CliError("--rollup expects keys;agg[;agg…] (e.g. k1,k2;count;sum:v)")
+        rollup = Some((parts.head.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          parts.tail.toSeq))
       // O6 (reference --mongo-index/--skip-index, base.py:138-139;
       // MUTABLE_OPS: mongo_index — repeatable). Engine analog: lay the
       // target files out range-partitioned + sorted on the index keys.
@@ -440,6 +452,7 @@ object Main {
       if (extraArgs.isEmpty) msg
       else Some((msg.toSeq ++ extraArgs).mkString(" "))
     (job, Opts(drop = drop, dry = dry, count = count, stream = stream,
+      rollup = rollup,
       jobPoll = jobPoll, jq = jq, silent = silent,
       noCount = noCount, info = info,
       diff = diff, diffContext = csv(diffContext), msg = msgAll,
@@ -645,6 +658,26 @@ object Main {
         throw CliError("--stream does not support a merger")
       if (t.ref.backend != "parquet")
         throw CliError(s"--stream writes parquet targets only, got ${t.ref.backend}")
+      // --rollup: the target is an incremental ROLLUP STATE table
+      // (snapshot-committed, keyed on the group columns, maintained
+      // through the pruned merge per micro-batch) — not an append sink
+      opts.rollup.foreach { case (keys, aggSpecs) =>
+        val parsed = graft.ext.RollupOps.parse(aggSpecs)
+        val q0 = graft.dsl.QueryCompiler.compile(
+          graft.engine.Planner.sourceFrame(spark, job.source.copy(query = Nil)),
+          job.source.query)
+        val tp = Resolver.path(t.ref)
+        graft.streaming.StreamRunner.rollupStream(spark,
+          {
+            val raw = graft.streaming.StreamRunner.readStream(spark, job.source.ref)
+            val filtered = q0.predicates.foldLeft(raw)(_ filter _)
+            graft.functions.Transformers.apply(filtered, job.source.postRead)
+          },
+          tp, keys, parsed, tp + "._checkpoint", t.keepVersions)
+        println(s"rollup state maintained at ${t.ref.uri} " +
+          s"(keys=${keys.mkString(",")}; finish with rollup_finish)")
+        return
+      }
       // target-side spec elements the append-only sink would drop
       if (t.op != WriteOp.Create)
         throw CliError(s"--stream appends only (-o create); got -o ${t.op.name}")
@@ -807,6 +840,10 @@ object Main {
       |               generations now; refcount-safe, no write)
       |               --fsck (snapshot-layout integrity audit: missing/
       |               mis-sized members, orphans, crash strays)
+      |               --rollup keys;agg[;agg…] (with --stream: maintain
+      |               the target as an incremental rollup STATE table —
+      |               per micro-batch pruned merge, (query-id, batch-id)
+      |               idempotence; read back with rollup_finish)
       |               --dv (delete op commits pk TOMBSTONES into the
       |               snapshot layout instead of rewriting files —
       |               merge-on-read; reads anti-join them; needs --pk)

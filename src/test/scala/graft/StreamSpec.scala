@@ -443,6 +443,40 @@ class StreamSpec extends SparkSpec {
     assert(bid >= 1L, "multiple micro-batches expected")
   }
 
+  test("--stream --rollup maintains the state table end-to-end via the CLI") {
+    import graft.ext.RollupOps
+    val dir = Files.createTempDirectory("graft_rollcli").toString
+    sf("events").select("event_type", "value", "user_id").limit(1500)
+      .coalesce(2).write.parquet(s"$dir/ev.parquet")
+    val (job, opts) = graft.cli.Main.parse(Array(
+      "-s", s"parquet/$dir/ev", "-t", s"parquet/$dir/state",
+      "--stream", "--rollup", "event_type;count;sum:value", "-y"))
+    graft.cli.Main.execute(spark, job, opts)
+    val keys = Seq("event_type")
+    val aggs = RollupOps.parse(Seq("count", "sum:value"))
+    def rounded(df: org.apache.spark.sql.DataFrame) =
+      rows(df.orderBy("event_type")).map(_.map {
+        case d: Double => math.rint(d * 1e6) / 1e6
+        case v => v
+      })
+    val got = rounded(RollupOps.finish(
+      graft.sources.Resolver.readParquet(spark, s"$dir/state.parquet")
+        .drop("__batch_id", "__run_id"), keys, aggs))
+    val want = rounded(RollupOps.finish(RollupOps.summarize(
+      spark.read.parquet(s"$dir/ev.parquet"), keys, aggs), keys, aggs))
+    assert(got == want, "CLI-maintained state must finish to the batch rollup")
+    // filters compose: a fresh state under a source filter
+    val (job2, opts2) = graft.cli.Main.parse(Array(
+      "-s", s"parquet/$dir/ev", "-q", "event_type=click",
+      "-t", s"parquet/$dir/state2",
+      "--stream", "--rollup", "event_type;count", "-y"))
+    graft.cli.Main.execute(spark, job2, opts2)
+    val n = graft.sources.Resolver.readParquet(spark, s"$dir/state2.parquet")
+      .agg(sum("__n")).as[Long].head()
+    assert(n == spark.read.parquet(s"$dir/ev.parquet")
+      .filter($"event_type" === "click").count())
+  }
+
   test("streaming rollup: zero-row pre-existing state does not wedge the run") {
     import graft.ext.RollupOps
     val dir = Files.createTempDirectory("graft_rollempty").toString
