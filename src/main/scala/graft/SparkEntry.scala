@@ -569,6 +569,19 @@ object SparkEntry {
         topK = 25)
     }),
 
+    // ── [EXT r10] hard-negative mining (DPR recipe): per training
+    // pair, the top-5 BM25 docs for the query excluding the positive —
+    // batch shape: ONE corpus pass for all queries, per-query top-k
+    // window. Oracle replays the full multi-query scoring. ────────────
+    "q_hard_negatives" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = Seq((0L, "fast hash join", 3L),
+        (1L, "slow scan filter", 7L),
+        (2L, "customer batch row", 11L)).toDF("q_id", "query", "pos_id")
+      graft.ext.Retrieval.hardNegatives(read(s, dir, "documents"), pairs, 5)
+        .orderBy("q_id", "rank")
+    }),
+
     // ── [EXT] §2.10 hybrid retrieval: dense brute-cosine top-50 for
     // query vec 0 fused with sparse BM25 top-50 by reciprocal rank ────
     "q_hybrid_rrf" -> ((s, dir) => {
@@ -1928,6 +1941,48 @@ object SparkEntry {
                   round(list_sum(list(contrib ORDER BY tok)), 4) AS score
            FROM c GROUP BY doc_id)
          SELECT doc_id, score FROM g ORDER BY score DESC, doc_id LIMIT 25""",
+    // multi-query BM25 with the same per-term math as q_bm25, grouped
+    // per query; positives excluded; rank = per-query row_number on
+    // (rounded score desc, doc_id)
+    "q_hard_negatives" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\W+'),
+                              x -> x <> '') AS ts
+           FROM documents),
+         s AS (
+           SELECT count(*)::DOUBLE AS n, avg(len(ts))::DOUBLE AS avgdl
+           FROM t),
+         e AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS tok FROM t),
+         qt(q_id, tok) AS (VALUES
+           (0, 'fast'), (0, 'hash'), (0, 'join'),
+           (1, 'slow'), (1, 'scan'), (1, 'filter'),
+           (2, 'customer'), (2, 'batch'), (2, 'row')),
+         pos(q_id, pos_id) AS (VALUES (0, 3), (1, 7), (2, 11)),
+         tf AS (
+           SELECT doc_id, dl, tok, count(*)::DOUBLE AS tf
+           FROM e WHERE tok IN (SELECT tok FROM qt)
+           GROUP BY 1, 2, 3),
+         dfr AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+         c AS (
+           SELECT tf.doc_id, tf.tok,
+                  ln((s.n - dfr.df + 0.5) / (dfr.df + 0.5) + 1.0) *
+                  (tf.tf * (1.2 + 1)) /
+                  (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))
+                    AS contrib
+           FROM tf, dfr, s WHERE tf.tok = dfr.tok),
+         g AS (
+           SELECT qt.q_id, c.doc_id,
+                  round(list_sum(list(contrib ORDER BY c.tok)), 4) AS score
+           FROM c JOIN qt ON c.tok = qt.tok GROUP BY 1, 2),
+         r AS (
+           SELECT g.q_id, g.doc_id, g.score,
+                  row_number() OVER (PARTITION BY g.q_id
+                    ORDER BY g.score DESC, g.doc_id) AS rank
+           FROM g JOIN pos ON g.q_id = pos.q_id
+           WHERE g.doc_id <> pos.pos_id)
+         SELECT CAST(q_id AS BIGINT) AS q_id, doc_id AS neg_id, score, rank
+         FROM r WHERE rank <= 5 ORDER BY q_id, rank""",
     // identical scoring math from the persisted index ⇒ shares the
     // from-scratch BM25 oracle verbatim
     "q_bm25_persisted" ->

@@ -135,4 +135,67 @@ object Retrieval {
       .orderBy(col("rrf_score").desc, col("id"))
       .limit(topK)
   }
+
+  /** Hard-negative mining for retrieval/embedding training data ([EXT]
+    * r10) — the BM25-negatives recipe of DPR (Karpukhin et al., EMNLP
+    * 2020): for each (q_id, query, pos_id) training pair, the `k`
+    * highest-BM25 documents for the query EXCLUDING the positive —
+    * lexically confusable non-answers, the negatives that actually
+    * teach a dense retriever.
+    *
+    * Batch shape (many queries at once): ONE corpus pass restricted
+    * map-side to the union of all query terms (broadcast semi-join),
+    * one (doc, term) hash-agg, a broadcast join back to the per-query
+    * term lists, one (q_id, doc) hash-agg with a term-sorted
+    * deterministic float fold (the [[graft.ext.TextAnalysis.bm25TopK]]
+    * contract), then a per-query top-k window — the corpus never
+    * shuffles on anything wider than the query-term postings.
+    *
+    * Near-duplicates of the positive are the classic false-negative
+    * trap; compose with [[TextDedup]] components and anti-join the
+    * positive's duplicate group upstream when the corpus has near-dups
+    * (`q_split_leakfree`'s machinery).
+    */
+  def hardNegatives(docs: DataFrame, pairs: DataFrame, k: Int = 5,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    queryCol: String = "query",
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qt = pairs.select(col("q_id"), col("pos_id"),
+      explode(array_distinct(TextDedup.tokens(col(queryCol)))).as("__t__"))
+    val base = docs.select(col(idCol).as("__id__"),
+      TextDedup.tokens(col(textCol)).as("__ts__"))
+    val stats = base.agg(count(lit(1)).cast("double").as("__n__"),
+      avg(size(col("__ts__"))).as("__avgdl__"))
+    val tf = base
+      .select(col("__id__"), size(col("__ts__")).as("__dl__"),
+        explode(col("__ts__")).as("__t__"))
+      .join(broadcast(qt.select("__t__").distinct()), Seq("__t__"), "left_semi")
+      .groupBy("__id__", "__dl__", "__t__")
+      .agg(count(lit(1)).cast("double").as("__tf__"))
+    val dfreq = tf.groupBy("__t__")
+      .agg(count(lit(1)).cast("double").as("__df__"))
+    val contrib = tf.join(broadcast(dfreq), "__t__")
+      .crossJoin(broadcast(stats))
+      .withColumn("__c__",
+        log((col("__n__") - col("__df__") + 0.5) / (col("__df__") + 0.5)
+          + 1.0) *
+          (col("__tf__") * (k1 + 1)) /
+          (col("__tf__") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl__") / col("__avgdl__"))))
+      .select(col("__t__"), col("__id__"), col("__c__"))
+    contrib.join(broadcast(qt), Seq("__t__"))
+      .groupBy(col("q_id"), col("pos_id"), col("__id__"))
+      .agg(sort_array(collect_list(struct(col("__t__"), col("__c__"))))
+        .as("__cs__"))
+      .withColumn("score",
+        round(aggregate(col("__cs__"), lit(0.0),
+          (acc, x) => acc + x.getField("__c__")), 4))
+      .filter(col("__id__") =!= col("pos_id")) // the positive is not a negative
+      .withColumn("__rk__", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("__id__").asc)))
+      .filter(col("__rk__") <= k)
+      .select(col("q_id"), col("__id__").as("neg_id"),
+        col("score"), col("__rk__").cast("long").as("rank"))
+  }
 }

@@ -31,6 +31,30 @@ class RetrievalSpec extends SparkSpec {
     assert(scan.contains("PushedFilters") && scan.contains("term"))
   }
 
+  test("hardNegatives: per-query scores ≡ single-query bm25TopK; positive excluded; k bound") {
+    val pairs = Seq((0L, "fast hash join", 3L), (1L, "slow scan filter", 7L))
+      .toDF("q_id", "query", "pos_id")
+    val neg = Retrieval.hardNegatives(docs, pairs, k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    // bound and exclusion
+    assert(neg.groupBy(_._1).forall(_._2.size <= 5))
+    assert(!neg.exists { case (q, d, _, _) =>
+      (q == 0L && d == 3L) || (q == 1L && d == 7L) })
+    // ranks are 1..n per query in score order
+    neg.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._4).sorted == (1L to rs.size).toSeq) }
+    // law: the multi-query batch scorer agrees with the single-query
+    // scorer on each query's ranking once the positive is removed
+    for ((q, query, pos) <- Seq((0L, "fast hash join", 3L),
+        (1L, "slow scan filter", 7L))) {
+      val single = TextAnalysis.bm25TopK(docs, query, topK = 6)
+        .as[(Long, Double)].collect().toSeq
+        .filterNot(_._1 == pos).take(5)
+      val batch = neg.filter(_._1 == q).sortBy(_._4).map(t => (t._2, t._3))
+      assert(batch == single, s"q=$q: $batch vs $single")
+    }
+  }
+
   test("rrfFuse: hand-checked fusion, missing ids, list-order determinism") {
     val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
     val b = Seq((20L, 1), (10L, 2), (40L, 3)).toDF("id", "rank")
