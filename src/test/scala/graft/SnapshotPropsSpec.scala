@@ -114,10 +114,25 @@ class SnapshotPropsSpec extends SparkSpec {
               maxRecordsPerFile = 60, commitMode = "snapshot", keepVersions = 3)
           }
           model --= ids
-        case 4 => // deletion-vector delete
+        case 4 => // deletion-vector delete — alternate tombstone key
+          // schemas so commits with DIFFERENT column sets coexist
+          // (each must apply per its own partial key tuple)
           val ids = band()
-          Snapshot.deleteByKeys(spark, p, ids.toDF("id"), keepVersions = 3)
-          model --= ids
+          if (rnd.nextBoolean()) {
+            Snapshot.deleteByKeys(spark, p, ids.toDF("id"), keepVersions = 3)
+            model --= ids
+          } else {
+            // (id, txt) tombstones: half carry the CURRENT txt (hit),
+            // half a wrong txt (must not delete)
+            val tuples = ids.zipWithIndex.map { case (id, i) =>
+              val txt = model.get(id).map(_._1).getOrElse("absent")
+              (id, if (i % 2 == 0) txt else s"WRONG-$txt")
+            }
+            Snapshot.deleteByKeys(spark, p, tuples.toDF("id", "txt"),
+              keepVersions = 3)
+            tuples.foreach { case (id, txt) =>
+              if (model.get(id).exists(_._1 == txt)) model -= id }
+          }
         case 5 => // compaction (may be a no-op commit-wise)
           Compaction.compact(spark, p, Seq("id"), 1L << 18, keepVersions = 3)
         case 6 => // materialize tombstones (no-op when none)
