@@ -319,6 +319,38 @@ object ScaleBench6 {
       "train = 1 corpus read + type-table EM (see times; encode is one " +
       "further type-table pass), Σp=1, full alphabet coverage"
 
+    // ── 6) batch hard-negative mining at 6M docs × 100 queries ────────
+    // The batch shape's claim: ONE corpus pass serves every query
+    // (term-restricted map-side), so 100 queries cost ~one BM25 scan,
+    // not 100. Reuses the ScaleBench 6M corpus when present.
+    val corpus6m = s"/tmp/graft_scale/documents.parquet"
+    if (scala.util.Try(spark.read.parquet(corpus6m).count())
+          .toOption.exists(_ >= 6000000L)) {
+      val docs6 = spark.read.parquet(corpus6m)
+      val words = Seq("join", "hash", "row", "batch", "scan", "customer",
+        "column", "filter", "small", "slow")
+      val queries = (0 until 100).map { i =>
+        (i.toLong, s"${words(i % 10)} ${words((i / 10) % 10)} ${words((i * 3) % 10)}",
+          (i * 37L) % 1000L)
+      }.toDF("q_id", "query", "pos_id")
+      val negs = timed("hard_negatives_100q_6m_docs") {
+        val n = graft.ext.Retrieval.hardNegatives(docs6, queries, k = 5,
+          idCol = "doc_id", textCol = "text").persist()
+        n.count(); n
+      }
+      val perQ = negs.groupBy("q_id").count()
+        .agg(min("count"), max("count")).as[(Long, Long)].head()
+      require(perQ._2 <= 5, s"k bound violated: $perQ")
+      require(negs.join(queries,
+        negs("q_id") === queries("q_id") &&
+          negs("neg_id") === queries("pos_id")).isEmpty,
+        "positives must be excluded")
+      negs.unpersist()
+      notes("hard_negatives") = "100 queries × 6M docs in one corpus " +
+        "pass (term-restricted); k bound + positive exclusion verified"
+    } else notes("hard_negatives") =
+      "skipped: 6M ScaleBench corpus not present on this machine"
+
     writeReport()
     println("SCALE6 ALL OK")
     spark.stop()

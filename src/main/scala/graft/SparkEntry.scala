@@ -36,6 +36,15 @@ object SparkEntry {
     * enough to win over their character spellings. Mirrored verbatim
     * in the `q_unigram_segment_exact` oracle's VALUES list.
     */
+  /** Zipf-ish target shares for the mixture-solver gate row —
+    * normalized once here; the oracle's VALUES list is generated from
+    * the same map at full double precision (single source of truth).
+    */
+  private val MixShares: Map[String, Double] = {
+    val raw = (0 until 20).map(i => s"src$i" -> 1.0 / (1 + i)).toMap
+    raw // MixPlanner.plan normalizes internally
+  }
+
   private val UnigramFixedCosts: Map[String, Long] =
     (("abcdefghijklmnopqrstuvwxyz0123456789_".map(c =>
       c.toString -> 1500000L)) ++ Seq(
@@ -568,6 +577,16 @@ object SparkEntry {
       graft.ext.Retrieval.searchBm25Index(s, path, "fast hash join dup",
         topK = 25)
     }),
+
+    // ── [EXT r10] mixture-allocation water-fill: per-source token
+    // budget under target shares + a 2× upsampling cap. Zipf-ish
+    // shares make the head sources SATURATE and redistribute — the
+    // closed-form T* (sorted saturation points + prefix sums, no
+    // iteration) is replayed by the oracle with window functions. ─────
+    "q_mix_solve" -> ((s, dir) =>
+      graft.ext.MixPlanner.plan(read(s, dir, "documents"),
+        MixShares, budgetFrac = 0.5, maxRepeat = 2.0)
+        .orderBy("source")),
 
     // ── [EXT r10] hard-negative mining (DPR recipe): per training
     // pair, the top-5 BM25 docs for the query excluding the positive —
@@ -1941,6 +1960,53 @@ object SparkEntry {
                   round(list_sum(list(contrib ORDER BY tok)), 4) AS score
            FROM c GROUP BY doc_id)
          SELECT doc_id, score FROM g ORDER BY score DESC, doc_id LIMIT 25""",
+    // the water-fill replayed in closed form: saturation-point sort +
+    // window prefix sums pick the level T*; rows at/below T* cap,
+    // the rest take share × T*. VALUES shares generated from the same
+    // normalized map the engine solves with.
+    "q_mix_solve" -> {
+      val wSum = MixShares.values.sum
+      val values = MixShares.toSeq.sortBy(_._1)
+        .map { case (s, w) => s"('$s', ${w / wSum})" }.mkString(", ")
+      s"""WITH d AS (
+           SELECT source,
+                  list_filter(string_split_regex(lower(trim(text)), '\\W+'),
+                              x -> x <> '') AS ts
+           FROM documents),
+         a AS (SELECT source, sum(len(ts))::BIGINT AS available
+               FROM d GROUP BY 1),
+         cfg(source, share) AS (VALUES $values),
+         j AS (SELECT a.source, a.available,
+                      CAST(cfg.share AS DOUBLE) AS share,
+                      CAST(a.available AS DOUBLE) * CAST(2.0 AS DOUBLE) AS cap
+               FROM a JOIN cfg USING (source)),
+         tot AS (SELECT floor(0.5 * sum(available)) AS budget,
+                        sum(cap) AS cap_total
+                 FROM j),
+         o AS (SELECT j.*, cap / share AS t FROM j),
+         r AS (SELECT o.*,
+                 coalesce(sum(cap) OVER (ORDER BY t, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c0,
+                 sum(share) OVER (ORDER BY t, source
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS wrem
+               FROM o),
+         r2 AS (SELECT r.*, tot.budget, tot.cap_total,
+                       (tot.budget - r.c0) / r.wrem AS cand
+                FROM r, tot),
+         tsel AS (SELECT cand AS tstar FROM r2 WHERE cand <= t
+                  ORDER BY t, source LIMIT 1),
+         fin AS (
+           SELECT r2.source, r2.available, r2.share,
+                  r2.cap AS cap_tokens,
+                  CASE WHEN r2.budget >= r2.cap_total THEN r2.cap
+                       ELSE least(r2.cap, r2.share * (SELECT tstar FROM tsel))
+                  END AS alloc
+           FROM r2)
+         SELECT source, available, round(share, 6) AS share, cap_tokens,
+                round(alloc, 2) AS allocated,
+                round(alloc / greatest(1, available), 6) AS rate
+         FROM fin ORDER BY source"""
+    },
     // multi-query BM25 with the same per-term math as q_bm25, grouped
     // per query; positives excluded; rank = per-query row_number on
     // (rounded score desc, doc_id)
