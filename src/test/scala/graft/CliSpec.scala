@@ -123,6 +123,27 @@ class CliSpec extends AnyFunSuite {
     assert(!o.history)
   }
 
+  test("r10 lakehouse flags: --dv, --materialize-deletes, --at-timestamp, --changelog FROM:, --rollup") {
+    val (j, o) = parse("-s", "parquet/a/b", "-t", "parquet/c/d",
+      "-o", "delete", "--pk", "id", "--dv")
+    assert(j.target.get.deleteVectors && !o.materializeDeletes)
+    val (_, o2) = parse("-s", "parquet/a/b", "--materialize-deletes")
+    assert(o2.materializeDeletes)
+    val (j3, _) = parse("-s", "parquet/a/b", "--at-timestamp", "1700000000000")
+    assert(j3.source.query.contains("_version_ts" -> "1700000000000"))
+    val (_, o4) = parse("-s", "parquet/a/b", "--changelog", "3:", "--pk", "id")
+    assert(o4.changelog.contains((3L, -1L)))
+    intercept[Main.CliError] { // negative TO must not alias the cursor form
+      parse("-s", "parquet/a/b", "--changelog", "2:-3", "--pk", "id") }
+    intercept[Main.CliError] {
+      parse("-s", "parquet/a/b", "--changelog", "-1:", "--pk", "id") }
+    val (_, o5) = parse("-s", "parquet/a/b", "-t", "parquet/c/d",
+      "--stream", "--rollup", "k1,k2;count;sum:v")
+    assert(o5.rollup.contains((Seq("k1", "k2"), Seq("count", "sum:v"))))
+    intercept[Main.CliError] {
+      parse("-s", "parquet/a/b", "-t", "parquet/c/d", "--rollup", "justkeys") }
+  }
+
   test("O5 --cron records the schedule expression on the job spec") {
     val (job, _) = parse("-s", "parquet/a/b", "-t", "parquet/c/d",
       "--cron", "0 3 * * *")

@@ -183,6 +183,24 @@ class WriteOpsSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("--at-timestamp resolves on the dir-protocol versioned layout too") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vts").toString
+    val path = s"$dir/t.parquet"
+    def write(tag: String) = WriteOps.atomicOverwrite(spark,
+      Seq((1L, tag)).toDF("id", "tag"), path,
+      commitMode = "versioned", keepVersions = 3)
+    write("v1")
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(1200)
+    write("v2")
+    def tagAt(ts: Long) = graft.sources.Resolver
+      .read(spark, graft.spec.DatasetRef("parquet", dir, "t"),
+        query = Seq("_version_ts" -> ts.toString))
+      .select("tag").as[String].head()
+    assert(tagAt(t1) == "v1")
+    assert(tagAt(System.currentTimeMillis()) == "v2")
+  }
+
   test("versioned commit: a reader holding the previous snapshot survives a concurrent commit") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vc2").toString
     val path = s"$dir/t.parquet"
