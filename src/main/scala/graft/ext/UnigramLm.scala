@@ -264,6 +264,27 @@ object UnigramLm {
       .map { case (t, c) => (t, c) }.toDF("token", "cnt")
   }
 
+  /** Persist a trained model as a (piece, prob) parquet table — the
+    * train-once / encode-many convention of the other persisted
+    * artifacts ([[Retrieval.writeBm25Index]], [[IvfIndex.writeIndex]]):
+    * the tokenizer that cut a corpus must be STORABLE, versionable
+    * next to the data, and identical when reloaded.
+    */
+  def writeModel(spark: SparkSession, m: Model, path: String): Unit = {
+    import spark.implicits._
+    m.pieces.toSeq.sortBy(_._1).toDF("piece", "prob")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[writeModel]] table; bit-identical to the model written
+    * (probabilities round-trip through parquet doubles exactly).
+    */
+  def readModel(spark: SparkSession, path: String): Model = {
+    import spark.implicits._
+    Model(spark.read.parquet(path).select("piece", "prob")
+      .as[(String, Double)].collect().toMap)
+  }
+
   /** Per-word-type segmentation table under FIXED integer costs — the
     * oracle-replayable shape: (word, toks '|'-joined, cost). Restrict
     * with `maxWordLen` when the oracle enumerates all segmentations.

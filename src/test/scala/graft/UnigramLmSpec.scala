@@ -141,6 +141,17 @@ class UnigramLmSpec extends SparkSpec {
       rows(UnigramLm.encode(docs, "text", m).orderBy("token")))
   }
 
+  test("model persistence: write/read round-trips bit-identically; encode agrees") {
+    val docs = corpus(Seq.fill(15)("the quick brown fox jumps"))
+    val m = UnigramLm.train(docs, vocabSize = 30, emIters = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft_uni").toString + "/m"
+    UnigramLm.writeModel(spark, m, path)
+    val back = UnigramLm.readModel(spark, path)
+    assert(back.pieces == m.pieces, "probabilities must round-trip exactly")
+    assert(rows(UnigramLm.encode(docs, "text", back).orderBy("token")) ==
+      rows(UnigramLm.encode(docs, "text", m).orderBy("token")))
+  }
+
   test("unknown characters encode through the per-char unk cost") {
     val costs = Map("a" -> 1000000L)
     val (toks, cost) = UnigramLm.viterbi("axa", costs)
