@@ -16,6 +16,26 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
+  /** Shared scratch root for queries that materialize a table layout
+    * (snapshot/DV/index gate rows): one per-process temp root, removed
+    * by a JVM shutdown hook, so repeated bench/verify invocations
+    * (warmup + timed run) never accumulate leaked snapshot layouts.
+    */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val r = java.nio.file.Files.createTempDirectory("graft_scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.io.File): Unit = {
+        val kids = p.listFiles()
+        if (kids != null) kids.foreach(rm)
+        p.delete(); ()
+      }
+      rm(r.toFile)
+    }))
+    r
+  }
+  private def scratchDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(scratchRoot, prefix).toString
+
   private def ds(dir: String, name: String) = DatasetRef("parquet", dir, name)
   private def src(dir: String, name: String, query: (String, String)*) =
     SourceSpec(ds(dir, name), query.toSeq)
@@ -190,7 +210,7 @@ object SparkEntry {
     // yet the read excludes the rows and v1 time-travels intact. The
     // oracle replays the logical delete. ──────────────────────────────
     "q_delete_dv" -> ((s, dir) => {
-      val scratch = java.nio.file.Files.createTempDirectory("graft_dv").toString
+      val scratch = scratchDir("graft_dv")
       val orders = read(s, dir, "orders")
       val p = s"$scratch/orders_t.parquet"
       WriteOps.atomicOverwrite(s, orders, p, indexBy = Seq("o_orderkey"),
@@ -228,7 +248,7 @@ object SparkEntry {
     // proves the pruned path actually ran and actually pruned. Output
     // must be ≡ q_write_upsert (same oracle SQL).
     "q_write_upsert_pruned" -> ((s, dir) => {
-      val scratch = java.nio.file.Files.createTempDirectory("graft_pm").toString
+      val scratch = scratchDir("graft_pm")
       val orders = read(s, dir, "orders")
       val p = s"$scratch/orders_t.parquet"
       WriteOps.atomicOverwrite(s, orders, p, indexBy = Seq("o_orderkey"),
@@ -252,7 +272,7 @@ object SparkEntry {
     // in-query require proves a strict file subset, the oracle proves
     // the rows) ───────────────────────────────────────────────────────
     "q_write_upsert_part_pruned" -> ((s, dir) => {
-      val scratch = java.nio.file.Files.createTempDirectory("graft_pmp").toString
+      val scratch = scratchDir("graft_pmp")
       val orders = read(s, dir, "orders")
       val p = s"$scratch/orders_t.parquet"
       WriteOps.atomicOverwrite(s, orders, p, partitionBy = Seq("o_orderstatus"),
@@ -278,7 +298,7 @@ object SparkEntry {
     // bit-for-bit, while the latest read sees the merge. The oracle
     // replays both logical states from the source table.
     "q_time_travel" -> ((s, dir) => {
-      val scratch = java.nio.file.Files.createTempDirectory("graft_tt").toString
+      val scratch = scratchDir("graft_tt")
       val orders = read(s, dir, "orders")
       val p = s"$scratch/orders_t.parquet"
       WriteOps.atomicOverwrite(s, orders, p, indexBy = Seq("o_orderkey"),
@@ -317,7 +337,7 @@ object SparkEntry {
     // full-outer pk join. v2 is a deterministic transform of orders —
     // the oracle enumerates the expected change rows per class.
     "q_changelog" -> ((s, dir) => {
-      val scratch = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+      val scratch = scratchDir("graft_cdc")
       val orders = read(s, dir, "orders")
       val p = s"$scratch/orders_t.parquet"
       WriteOps.atomicOverwrite(s, orders, p, indexBy = Seq("o_orderkey"),
@@ -344,7 +364,7 @@ object SparkEntry {
     // not per table. In-query requires prove the strict-subset
     // rewrite; the oracle replays the widened logical table. ──────────
     "q_write_upsert_evolve" -> ((s, dir) => {
-      val scratch = java.nio.file.Files.createTempDirectory("graft_evo").toString
+      val scratch = scratchDir("graft_evo")
       val orders = read(s, dir, "orders").select("o_orderkey", "o_totalprice")
       val p = s"$scratch/orders_t.parquet"
       WriteOps.atomicOverwrite(s, orders, p, indexBy = Seq("o_orderkey"),
@@ -372,7 +392,7 @@ object SparkEntry {
     // would see. Also proves time travel across the evolution: the
     // `_version=1` read must carry the ORIGINAL 2-column schema.
     "q_changelog_evolve" -> ((s, dir) => {
-      val scratch = java.nio.file.Files.createTempDirectory("graft_cdcev").toString
+      val scratch = scratchDir("graft_cdcev")
       val orders = read(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
       val p = s"$scratch/orders_t.parquet"
       WriteOps.atomicOverwrite(s, orders, p, indexBy = Seq("o_orderkey"),
@@ -421,7 +441,7 @@ object SparkEntry {
     // count-unchanged-twice termination rule (etl.py:331-334) fires.
     // The converged table is closed-form: every row marked + transformed.
     "q_fixpoint" -> ((s, dir) => {
-      val scratch = java.nio.file.Files.createTempDirectory("graft_fixpoint").toString
+      val scratch = scratchDir("graft_fixpoint")
       // deterministic 1/10 subset (mirrored in the oracle) — the loop
       // mechanics are iteration-count-shaped, not data-shaped, so the
       // fixpoint witness doesn't need the full table's write cost
@@ -572,7 +592,7 @@ object SparkEntry {
     // stats written once, search reads |q| term-pruned inverted lists
     // — identical math/ties to q_bm25, so it shares that oracle ───────
     "q_bm25_persisted" -> ((s, dir) => {
-      val path = java.nio.file.Files.createTempDirectory("graft_bm25").toString
+      val path = scratchDir("graft_bm25")
       graft.ext.Retrieval.writeBm25Index(read(s, dir, "documents"), path)
       graft.ext.Retrieval.searchBm25Index(s, path, "fast hash join dup",
         topK = 25)
@@ -691,7 +711,7 @@ object SparkEntry {
       val docs = read(s, dir, "documents")
       val seen = docs.filter(col("doc_id") < 400)
       val batch = docs.filter(col("doc_id") >= 400)
-      val path = java.nio.file.Files.createTempDirectory("graft_bloom")
+      val path = scratchDir("graft_bloom")
         .toString + "/seen.bloom"
       BloomDedup.writeFilter(s, BloomDedup.train(seen, "text", 100000L), path)
       BloomDedup.dedupAgainst(batch, seen,
@@ -1145,7 +1165,7 @@ object SparkEntry {
     "q_ann_persisted" -> ((s, dir) => {
       val e = read(s, dir, "embeddings")
       val centroids = graft.ext.IvfIndex.train(s, e, k = 16, iters = 2)
-      val path = java.nio.file.Files.createTempDirectory("graft_ann_ivf").toString
+      val path = scratchDir("graft_ann_ivf")
       graft.ext.IvfIndex.writeIndex(e, centroids, path)
       val (index, cents) = graft.ext.IvfIndex.readIndex(s, path)
       val q = e.filter(col("vec_id") < 5)
@@ -1977,22 +1997,23 @@ object SparkEntry {
                FROM d GROUP BY 1),
          cfg(source, share) AS (VALUES $values),
          j AS (SELECT a.source, a.available,
-                      CAST(cfg.share AS DOUBLE) AS share,
+                      coalesce(CAST(cfg.share AS DOUBLE),
+                               CAST(0.0 AS DOUBLE)) AS share,
                       CAST(a.available AS DOUBLE) * CAST(2.0 AS DOUBLE) AS cap
-               FROM a JOIN cfg USING (source)),
-         tot AS (SELECT floor(0.5 * sum(available)) AS budget,
-                        sum(cap) AS cap_total
-                 FROM j),
-         o AS (SELECT j.*, cap / share AS t FROM j),
+               FROM a LEFT JOIN cfg USING (source)),
+         tot AS (SELECT floor(0.5 * sum(available)) AS budget FROM j),
+         pj AS (SELECT * FROM j WHERE share > 0),
+         ct AS (SELECT sum(cap) AS cap_total FROM pj),
+         o AS (SELECT pj.*, cap / share AS t FROM pj),
          r AS (SELECT o.*,
                  coalesce(sum(cap) OVER (ORDER BY t, source
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c0,
                  sum(share) OVER (ORDER BY t, source
                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS wrem
                FROM o),
-         r2 AS (SELECT r.*, tot.budget, tot.cap_total,
+         r2 AS (SELECT r.*, tot.budget, ct.cap_total,
                        (tot.budget - r.c0) / r.wrem AS cand
-                FROM r, tot),
+                FROM r, tot, ct),
          tsel AS (SELECT cand AS tstar FROM r2 WHERE cand <= t
                   ORDER BY t, source LIMIT 1),
          fin AS (
@@ -2001,7 +2022,11 @@ object SparkEntry {
                   CASE WHEN r2.budget >= r2.cap_total THEN r2.cap
                        ELSE least(r2.cap, r2.share * (SELECT tstar FROM tsel))
                   END AS alloc
-           FROM r2)
+           FROM r2
+           UNION ALL
+           SELECT source, available, share, cap AS cap_tokens,
+                  CAST(0.0 AS DOUBLE) AS alloc
+           FROM j WHERE share <= 0)
          SELECT source, available, round(share, 6) AS share, cap_tokens,
                 round(alloc, 2) AS allocated,
                 round(alloc / greatest(1, available), 6) AS rate

@@ -427,12 +427,13 @@ object WriteOps {
           false).close()
         // vacuum: honor the retention depth — keep the newest
         // keepVersions-1 PRIOR committed generations (the new one makes
-        // keepVersions total, matching the snapshot protocol's
-        // semantics), so `_version=N` time travel works to the depth
-        // the user asked for; drop older generations and uncommitted
-        // strays
+        // exactly keepVersions total, the same count the snapshot
+        // protocol's vacuum retains), so `_version=N` time travel works
+        // to the depth the user asked for; drop older generations and
+        // uncommitted strays. keepVersions=1 therefore retains ONLY the
+        // new generation, consistent across both protocols.
         val keep = before.filter(_._3).map(_._1).sorted(Ordering[Long].reverse)
-          .take(math.max(1, keepVersions - 1)).toSet
+          .take(math.max(0, keepVersions - 1)).toSet
         before.foreach { case (n, p, _) =>
           if (!keep.contains(n)) fs.delete(p, true)
         }
