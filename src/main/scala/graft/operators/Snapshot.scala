@@ -62,16 +62,27 @@ object Snapshot {
   /** One pool file of a version: path RELATIVE to `_data` (hive
     * partition dirs included), plus its size for metadata-only
     * accounting (history, merge stats) without a second listing.
+    * `cols` is recorded for DELETION-VECTOR members only: the
+    * tombstone's key-column set, captured at [[deleteByKeys]] time so
+    * reads group tombstones WITHOUT a per-file schema probe (r10 paid
+    * one driver-side footer read per accumulated DV commit on every
+    * scan). None = a data file, or a legacy DV entry → schema probe.
     */
-  final case class Entry(rel: String, bytes: Long)
+  final case class Entry(rel: String, bytes: Long,
+                         cols: Option[Seq[String]] = None)
 
   /** A version's full membership record. `schemaDdl` preserves the
     * LOGICAL column order/types (partitioned reads would otherwise
     * reorder partition columns last and re-infer their types from
-    * path strings).
+    * path strings). `commitTsMillis` is the recorded commit instant
+    * (set by [[commitVersion]]) — the timestamp time travel resolves
+    * against; None on manifests written before it was recorded, which
+    * fall back to the `_COMMITTED` marker's filesystem mtime (fragile
+    * across copies/restores — the reason the instant is now persisted).
     */
   final case class Manifest(schemaDdl: String, partitionBy: Seq[String],
-                            entries: Seq[Entry]) {
+                            entries: Seq[Entry],
+                            commitTsMillis: Option[Long] = None) {
     def schema: StructType = StructType.fromDDL(schemaDdl)
     def bytes: Long = entries.map(_.bytes).sum
     /** Data members (excludes deletion-vector files). */
@@ -94,7 +105,20 @@ object Snapshot {
     sb.append(FormatTag).append('\n')
     sb.append(m.schemaDdl).append('\n')
     sb.append(m.partitionBy.mkString(",")).append('\n')
-    m.entries.foreach(e => sb.append(e.bytes).append('\t').append(e.rel).append('\n'))
+    // optional header lines ('#key=value') between the fixed header and
+    // the entry list — unknown keys are skipped on read, so the format
+    // stays forward-compatible (a v1 reader of this layout never sees
+    // them: entry lines start with a digit)
+    m.commitTsMillis.foreach(ts => sb.append("#commit_ts=").append(ts).append('\n'))
+    m.entries.foreach { e =>
+      sb.append(e.bytes).append('\t').append(e.rel)
+      // third tab field: the DV key-column set — recorded only when
+      // the names round-trip through the line format unambiguously
+      e.cols.filter(cs => cs.nonEmpty &&
+        cs.forall(c => !c.contains(',') && !c.contains('\t') && !c.contains('\n')))
+        .foreach(cs => sb.append('\t').append(cs.mkString(",")))
+      sb.append('\n')
+    }
     // overwrite=false: two writers racing to the same version number
     // (a violated single-writer contract) must fail LOUDLY here, not
     // silently clobber each other's membership. Crash leftovers never
@@ -119,11 +143,18 @@ object Snapshot {
     require(lines.length >= 3 && lines(0) == FormatTag,
       s"unrecognized manifest format in $mp")
     val pcols = lines(2).split(",").filter(_.nonEmpty).toSeq
-    val entries = lines.drop(3).filter(_.nonEmpty).map { l =>
-      val tab = l.indexOf('\t')
-      Entry(l.substring(tab + 1), l.substring(0, tab).toLong)
+    val (headers, body) = lines.drop(3).filter(_.nonEmpty).partition(_.startsWith("#"))
+    val commitTs = headers.collectFirst {
+      case h if h.startsWith("#commit_ts=") => h.stripPrefix("#commit_ts=").toLong
+    }
+    val entries = body.map { l =>
+      val parts = l.split("\t", -1)
+      Entry(parts(1), parts(0).toLong,
+        if (parts.length >= 3 && parts(2).nonEmpty)
+          Some(parts(2).split(",").toSeq)
+        else None)
     }.toSeq
-    Some(Manifest(lines(1), pcols, entries))
+    Some(Manifest(lines(1), pcols, entries, commitTs))
   }
 
   /** Committed versions, ascending. */
@@ -159,17 +190,21 @@ object Snapshot {
   }
 
   /** Timestamp time travel (Delta `timestampAsOf` analog): the LATEST
-    * committed version whose commit instant (the `_COMMITTED` marker's
-    * mtime — the atomic commit point itself) is ≤ `tsMillis`. Loud
-    * when the table has no commit that old — silent latest would
-    * un-pin the reader, and the earliest retained commit is listed so
-    * the caller can see what vacuum already took.
+    * committed version whose commit instant is ≤ `tsMillis`. The
+    * instant is the manifest's RECORDED `#commit_ts` where present
+    * (survives rsync/object-store migration, which rewrites mtimes);
+    * pre-recording manifests and dir-protocol versions fall back to
+    * the `_COMMITTED` marker's mtime. Loud when the table has no
+    * commit that old — silent latest would un-pin the reader, and the
+    * earliest retained commit is listed so the caller can see what
+    * vacuum already took.
     */
   def versionAtTimestamp(fs: FileSystem, root: Path, tsMillis: Long): Long = {
     val vs = committed(fs, root)
     require(vs.nonEmpty, s"no committed versions under $root")
     val stamped = vs.map { case (n, p) =>
-      (n, fs.getFileStatus(new Path(p, Versioned.Marker)).getModificationTime)
+      (n, manifestAt(fs, p).flatMap(_.commitTsMillis).getOrElse(
+        fs.getFileStatus(new Path(p, Versioned.Marker)).getModificationTime))
     }
     stamped.filter(_._2 <= tsMillis).map(_._1).maxOption.getOrElse(
       throw new IllegalArgumentException(
@@ -229,12 +264,16 @@ object Snapshot {
     // DV commits may carry DIFFERENT key-column sets (deleteByKeys
     // only requires a schema subset) — one combined read would merge
     // them under an arbitrary file's schema and silently mis-apply.
-    // Group the files by their recorded column set and anti-join per
-    // group: each tombstone removes the rows matching ITS OWN partial
-    // key tuple.
+    // Group the files by their key-column set — the MANIFEST-recorded
+    // one where present (metadata-free), a driver-side schema probe
+    // only for legacy entries that predate the recording — and
+    // anti-join per group: each tombstone removes the rows matching
+    // ITS OWN partial key tuple.
     val byCols = dels
-      .map(e => new Path(dd, e.rel).toString)
-      .groupBy(f => spark.read.parquet(f).columns.toSeq)
+      .map(e => (new Path(dd, e.rel).toString, e.cols))
+      .groupBy { case (f, cols) =>
+        cols.getOrElse(spark.read.parquet(f).columns.toSeq) }
+      .map { case (cols, files) => (cols, files.map(_._1)) }
     byCols.toSeq.sortBy(_._1.mkString(","))
       .foldLeft(df) { case (acc, (_, files)) =>
         val keys = spark.read.parquet(files: _*).distinct()
@@ -319,7 +358,10 @@ object Snapshot {
     val next = Versioned.list(fs, root).map(_._1).maxOption.getOrElse(0L) + 1
     val vdir = new Path(root, f"_v_$next%020d")
     fs.mkdirs(vdir)
-    writeManifest(fs, vdir, m)
+    // stamp the commit instant INTO the manifest: filesystem mtimes do
+    // not survive a copy/restore of the table, a recorded field does
+    writeManifest(fs, vdir, m.copy(commitTsMillis =
+      Some(System.currentTimeMillis())))
     // COMMIT POINT: one atomic create — no reader can observe a
     // version whose manifest is not fully written
     fs.create(new Path(vdir, Versioned.Marker), false).close()
@@ -410,8 +452,11 @@ object Snapshot {
     val n = spark.read.parquet(stage.toString).count()
     val delDir = new Path(dataDir(root), DeletesDirName)
     fs.mkdirs(delDir)
+    // record the tombstone's key-column set in the manifest entry so
+    // reads group DV files without a per-file schema probe
     val moved = moveIntoPool(fs, stage, delDir)
-      .map(e => e.copy(rel = s"$DeletesDirName/${e.rel}"))
+      .map(e => e.copy(rel = s"$DeletesDirName/${e.rel}",
+        cols = Some(typed.columns.toSeq)))
     fs.delete(stage, true)
     val v = commitVersion(fs, root,
       Manifest(m.schemaDdl, m.partitionBy, m.entries ++ moved), keepVersions)
@@ -504,7 +549,8 @@ object Snapshot {
     val root = new Path(rootStr)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     Versioned.list(fs, root).sortBy(-_._1).map { case (n, p, isCommitted) =>
-      val (files, bytes, protocol) = manifestAt(fs, p) match {
+      val mOpt = manifestAt(fs, p)
+      val (files, bytes, protocol) = mOpt match {
         case Some(m) => (m.entries.size.toLong, m.bytes, "snapshot")
         case None =>
           val fl = listDataFilesRec(fs, p)
@@ -512,7 +558,8 @@ object Snapshot {
       }
       val committedAt =
         if (isCommitted)
-          fs.getFileStatus(new Path(p, Versioned.Marker)).getModificationTime
+          mOpt.flatMap(_.commitTsMillis).getOrElse(
+            fs.getFileStatus(new Path(p, Versioned.Marker)).getModificationTime)
         else 0L
       (n, isCommitted, protocol, files, bytes,
         new java.sql.Timestamp(committedAt))

@@ -634,4 +634,53 @@ class SnapshotSpec extends SparkSpec {
       Snapshot.changelog(spark, p, 1, 2, Seq("id")))
     assert(e.getMessage.contains("from-version column unchanged"))
   }
+
+  test("commit instants are recorded in the manifest and survive mtime rewrites") {
+    val dir = freshDir("snap_cts")
+    val p = s"$dir/t.parquet"
+    import spark.implicits._
+    WriteOps.atomicOverwrite(spark, Seq((1L, "v1")).toDF("id", "txt"), p,
+      commitMode = "snapshot", keepVersions = 3)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(1200)
+    WriteOps.atomicOverwrite(spark, Seq((1L, "v2")).toDF("id", "txt"), p,
+      commitMode = "snapshot", keepVersions = 3)
+    // both manifests carry a recorded instant, strictly ordered
+    val stamps = Snapshot.committed(fs, new Path(p)).map { case (_, vd) =>
+      Snapshot.manifestAt(fs, vd).get.commitTsMillis }
+    assert(stamps.forall(_.isDefined) && stamps == stamps.sortBy(_.get))
+    // simulate a table copy/restore: rewrite every marker mtime to NOW
+    // — recorded instants must keep the history resolvable
+    Snapshot.committed(fs, new Path(p)).foreach { case (_, vd) =>
+      fs.setTimes(new Path(vd, graft.operators.Versioned.Marker),
+        System.currentTimeMillis(), -1)
+    }
+    assert(Snapshot.versionAtTimestamp(fs, new Path(p), t1) == 1L)
+    // history reports the recorded instant, not the rewritten mtime
+    val h1 = Snapshot.history(spark, p).filter(col("version") === 1)
+      .select("committed_at").collect().head.getTimestamp(0).getTime
+    assert(h1 <= t1)
+  }
+
+  test("DV manifest entries record the tombstone key-column set") {
+    val dir = freshDir("snap_dvcols")
+    val p = s"$dir/t.parquet"
+    import spark.implicits._
+    WriteOps.atomicOverwrite(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "txt"), p,
+      commitMode = "snapshot", keepVersions = 5)
+    Snapshot.deleteByKeys(spark, p, Seq(1L).toDF("id"), keepVersions = 5)
+    Snapshot.deleteByKeys(spark, p,
+      Seq((2L, "b")).toDF("id", "txt"), keepVersions = 5)
+    val (_, vdir) = Snapshot.resolveVersion(fs, new Path(p), None)
+    val m = Snapshot.manifestAt(fs, vdir).get
+    val colSets = m.deleteEntries.flatMap(_.cols).map(_.toSet).toSet
+    assert(colSets == Set(Set("id"), Set("id", "txt")),
+      s"recorded DV col sets: $colSets")
+    assert(m.dataEntries.forall(_.cols.isEmpty))
+    // and the read applies each per its own recorded set
+    val now = graft.sources.Resolver.readParquet(spark, p)
+      .select("id").as[Long].collect().toSeq
+    assert(now.isEmpty)
+  }
 }
