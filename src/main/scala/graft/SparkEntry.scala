@@ -233,6 +233,44 @@ object SparkEntry {
       graft.sources.Resolver.readParquet(s, p).orderBy("o_orderkey")
     }),
 
+    // ── [EXT r11] incremental upsert THROUGH active deletion vectors:
+    // the pruned merge anti-joins the tombstone set on its touched-file
+    // reads and commits only the SURVIVING tombstones (batch-re-asserted
+    // keys drop), so a GDPR-delete stream and incremental upserts
+    // compose at O(touched files) + O(deletes) cost instead of a
+    // full-table rewrite. In-query requires prove the strict-subset
+    // rewrite and the retained tombstones; the oracle replays
+    // delete-then-upsert on the logical table. ────────────────────────
+    "q_write_upsert_dv" -> ((s, dir) => {
+      val scratch = scratchDir("graft_updv")
+      val orders = read(s, dir, "orders")
+      val p = s"$scratch/orders_t.parquet"
+      WriteOps.atomicOverwrite(s, orders, p, indexBy = Seq("o_orderkey"),
+        maxRecordsPerFile = math.max(500, orders.count() / 24),
+        commitMode = "snapshot", keepVersions = 3)
+      val keys = orders
+        .filter(col("o_orderstatus") === "F" && col("o_orderkey") < 5000)
+        .select("o_orderkey")
+      graft.operators.Snapshot.deleteByKeys(s, p, keys, keepVersions = 3)
+      val batch = orders.filter(col("o_orderkey") < 1000)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val stats = graft.operators.PrunedMerge.merge(
+        s, graft.sources.Resolver.readParquet(s, p), batch,
+        TargetSpec(DatasetRef("parquet", scratch, "orders_t"),
+          op = WriteOp.Upsert, pk = Seq("o_orderkey"),
+          indexBy = Seq("o_orderkey"), commitMode = "snapshot"), p)
+      require(stats.exists(st => st.filesRewritten > 0 &&
+        st.filesRewritten < st.filesTotal),
+        s"DV-composed merge must rewrite a strict file subset, got $stats")
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fsys = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val (_, vdir) = graft.operators.Snapshot.resolveVersion(fsys, hp, None)
+      require(graft.operators.Snapshot.manifestAt(fsys, vdir).get
+        .deleteEntries.nonEmpty,
+        "tombstones the batch did not re-assert must survive the merge")
+      graft.sources.Resolver.readParquet(s, p).orderBy("o_orderkey")
+    }),
+
     // ── W2 index (full record replace by pk) ──────────────────────────
     "q_write_index" -> ((s, dir) => {
       val orders = read(s, dir, "orders")
@@ -1811,6 +1849,20 @@ object SparkEntry {
          WHERE o_orderkey NOT IN (
            SELECT o_orderkey FROM orders
            WHERE o_orderstatus = 'F' AND o_orderkey < 5000)
+         ORDER BY o_orderkey""",
+    // delete-then-upsert replayed logically: keys < 1000 carry the
+    // doubled price (re-asserted even where tombstoned); other
+    // tombstoned keys stay deleted
+    "q_write_upsert_dv" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+                o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+         FROM orders WHERE o_orderkey < 1000
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority
+         FROM orders
+         WHERE o_orderkey >= 1000
+           AND NOT (o_orderstatus = 'F' AND o_orderkey < 5000)
          ORDER BY o_orderkey""",
     "q_write_index" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,

@@ -178,26 +178,47 @@ object PrunedMerge {
     // the manifest's layout must agree with the spec's — a mismatch is
     // a foreign layout exactly like a failed dir walk
     snapCtx.foreach { case (m, _) => if (m.partitionBy != pcols) return None }
-    // ACTIVE DELETION VECTORS decline the pruned path: this merge
-    // rewrites touched files from their RAW rows, which would
-    // resurrect tombstoned rows. (The membership check below would
-    // also decline — the tombstone files aren't in the generic walk —
-    // but soundness must not hinge on that coincidence.) Run
-    // Snapshot.materializeDeletes first to re-enable pruning.
-    snapCtx.foreach { case (m, _) => if (m.deleteEntries.nonEmpty) return None }
+    // ACTIVE DELETION VECTORS compose (r11): the touched-file reads
+    // anti-join the tombstone set (O(deletes), pk-keyed) before the op
+    // runs, so rewritten files can never resurrect a deleted row, and
+    // untouched files keep reading through the surviving tombstones.
+    // Tombstones whose FULL pk tuple the batch re-asserts are dropped
+    // from the committed set — the batch's write must win over an
+    // older delete, and any pre-existing row matching such a tombstone
+    // can only live in a touched file (its envelope intersects the
+    // batch on every prunable component), which is rewritten with the
+    // tombstone applied. SOUNDNESS requires every tombstone's column
+    // set to equal the pk — a partial-key tombstone can match rows the
+    // batch does not cover inside untouched files, so those decline to
+    // the full rewrite (which materializes), as before.
+    val dvKeyCols: Option[Seq[String]] = snapCtx.flatMap { case (m, dd) =>
+      val dels = m.deleteEntries
+      if (dels.isEmpty) None
+      else {
+        val pkSet = pk.toSet
+        val ok = dels.forall { e =>
+          val cols = e.cols.getOrElse(
+            spark.read.parquet(new Path(dd, e.rel).toString).columns.toSeq)
+          cols.toSet == pkSet
+        }
+        if (!ok) return None
+        Some(pk)
+      }
+    }
 
     // layout walk: flat files for unpartitioned, exactly-`pcols` hive
     // dirs for partitioned; anything else is a foreign layout. On a
     // snapshot layout the walk runs over the POOL dir and is filtered
-    // to the current manifest's membership (the pool also holds files
-    // of other retained generations — not this version's rows).
+    // to the current manifest's DATA membership (the pool also holds
+    // other retained generations' files and the `_deletes` subdir —
+    // not this version's raw rows).
     val listed: Seq[(String, Long, Array[String])] = snapCtx match {
       case None => listLayout(fs, hPath, pcols).getOrElse(return None)
       case Some((m, dd)) =>
         val walked = listLayout(fs, dd, pcols).getOrElse(return None)
         val byRel = walked.map(f => relPath(dd, new Path(f._1)) -> f).toMap
         // every member must be on disk at the declared depth
-        m.entries.map(e => byRel.getOrElse(e.rel, return None))
+        m.dataEntries.map(e => byRel.getOrElse(e.rel, return None))
     }
     if (listed.isEmpty) return None
 
@@ -257,10 +278,24 @@ object PrunedMerge {
     // nothing to prune — the full rewrite costs the same and is atomic
     if (touched.size == listed.size) return None
 
+    // live tombstone keys (snapshot DV compose): one small distinct
+    // read of the version's `_deletes` files, typed to the pk columns
+    val tombKeys: Option[DataFrame] = dvKeyCols.map { cols =>
+      val (m, dd) = snapCtx.get
+      spark.read
+        .parquet(m.deleteEntries.map(e => new Path(dd, e.rel).toString): _*)
+        .select(cols.map(c =>
+          col(c).cast(current.schema(c).dataType).as(c)): _*)
+        .distinct()
+    }
+
     // apply the op to the touched subset only; schema pinned to the
     // authoritative target schema (single-writer layout — files agree).
     // basePath recovers partition-column values from the dir structure.
-    val touchedDf =
+    // Active tombstones are anti-joined out of the touched reads FIRST
+    // (null-safe per pk component, the readAt contract) — the op must
+    // see the table's logical rows, not the raw file rows.
+    val touchedDf0 =
       if (touched.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           current.schema)
@@ -271,6 +306,10 @@ object PrunedMerge {
           .parquet(touched.map(_.path): _*)
           .select(current.columns.map(col).toIndexedSeq: _*)
       }
+    val touchedDf = tombKeys.fold(touchedDf0) { keys =>
+      val cond = keys.columns.map(c => touchedDf0(c) <=> keys(c)).reduce(_ && _)
+      touchedDf0.join(keys, cond, "left_anti")
+    }
     val merged = WriteOps.applyOp(touchedDf, batch, t)
     // schema-extending op (schema-free update $set): on a SNAPSHOT
     // layout the op widens the MANIFEST schema instead of forcing a
@@ -322,13 +361,48 @@ object PrunedMerge {
     // retained manifest lists them.
     snapCtx match {
       case Some((m, dd)) =>
+        // DV compose: the committed tombstone set = survivors of the
+        // batch's full-pk re-assertions, consolidated into ONE fresh
+        // `_deletes` file (the old DV files stay on disk for retained
+        // generations; refcount vacuum reclaims them). Written BEFORE
+        // the data-file pool move so a failure here leaves the pool
+        // untouched.
+        val dvEntries: Seq[Snapshot.Entry] = (tombKeys, dvKeyCols) match {
+          case (Some(keys), Some(cols)) =>
+            val batchKeys = batch
+              .select(cols.map(c =>
+                col(c).cast(current.schema(c).dataType).as(c)): _*)
+              .distinct()
+            val cond = cols.map(c => keys(c) <=> batchKeys(c)).reduce(_ && _)
+            val survivors = keys.join(batchKeys, cond, "left_anti")
+              .localCheckpoint(true)
+            if (survivors.isEmpty) Nil
+            else {
+              val dvTmp = new Path(path + "._dv_tmp_" + System.nanoTime())
+              try survivors.coalesce(1).write.parquet(dvTmp.toString) catch {
+                case e: Throwable =>
+                  try fs.delete(dvTmp, true) catch { case _: Throwable => () }
+                  try fs.delete(tmp, true) catch { case _: Throwable => () }
+                  throw e
+              }
+              val delDir = new Path(dd, Snapshot.DeletesDirName)
+              fs.mkdirs(delDir)
+              val moved = Snapshot.moveIntoPool(fs, dvTmp, delDir)
+                .map(e => e.copy(rel = s"${Snapshot.DeletesDirName}/${e.rel}",
+                  cols = Some(cols)))
+              fs.delete(dvTmp, true)
+              moved
+            }
+          case _ => Nil
+        }
         val newEntries =
           try Snapshot.moveIntoPool(fs, tmp, dd)
           finally { try fs.delete(tmp, true) catch { case _: Throwable => () } }
         // scheme-insensitive membership: listStatus returns qualified
         // paths (file:/…) while manifest entries are pool-relative
         val touchedRel = touched.map(e => relPath(dd, new Path(e.path))).toSet
-        val untouchedEntries = m.entries.filterNot(e => touchedRel.contains(e.rel))
+        val untouchedEntries =
+          m.dataEntries.filterNot(e => touchedRel.contains(e.rel)) ++ dvEntries
         // a widening op commits the EVOLVED schema — ADD COLUMN priced
         // per change: only the touched files carry the column
         // physically, every other member serves it as nulls

@@ -474,35 +474,84 @@ class SnapshotSpec extends SparkSpec {
       .filter(col("severity") === "error").isEmpty)
   }
 
-  test("deletion vectors: pruned merge declines; compaction carries; materialize clears") {
+  test("deletion vectors: pruned merge composes — tombstoned touched reads, batch wins, strict subset") {
     val dir = freshDir("snap_dvm")
     val p = s"$dir/t.parquet"
     import spark.implicits._
     val df = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "txt")
     WriteOps.atomicOverwrite(spark, df, p, indexBy = Seq("id"),
-      maxRecordsPerFile = 10, commitMode = "snapshot", keepVersions = 2)
-    Snapshot.deleteByKeys(spark, p, (10L until 20L).toDF("id"))
-    // active tombstones: the pruned merge must decline (raw-row file
-    // rewrites would resurrect tombstoned rows)
-    val batch = Seq((15L, "X")).toDF("id", "txt")
+      maxRecordsPerFile = 10, commitMode = "snapshot", keepVersions = 3)
+    Snapshot.deleteByKeys(spark, p, (10L until 20L).toDF("id"), keepVersions = 3)
+    // upsert over ACTIVE tombstones: re-asserts a deleted key (15),
+    // updates a live one (50), inserts a fresh one (200)
+    val batch = Seq((15L, "X"), (50L, "Y"), (200L, "Z")).toDF("id", "txt")
+    val t = TargetSpec(DatasetRef("parquet", dir, "t"), op = WriteOp.Upsert,
+      pk = Seq("id"), indexBy = Seq("id"), commitMode = "snapshot")
+    val st = PrunedMerge.merge(spark,
+      graft.sources.Resolver.readParquet(spark, p), batch, t, p)
+    // the pruned path RAN and rewrote a strict subset (no full rewrite)
+    assert(st.exists(s => s.filesRewritten > 0 && s.filesRewritten < s.filesTotal),
+      s"want strict-subset pruned merge over DVs, got $st")
+    val now = graft.sources.Resolver.readParquet(spark, p)
+    // 100 − 10 tombstoned + 15 re-asserted + 200 inserted = 92
+    assert(now.count() == 92)
+    assert(rows(now.filter($"id".isin(15L, 50L, 200L))
+      .select("id", "txt").orderBy("id")) ==
+      Seq(Seq(15L, "X"), Seq(50L, "Y"), Seq(200L, "Z")))
+    assert(now.filter($"id".isin(10L, 14L, 16L, 19L)).isEmpty,
+      "unrelated tombstones must keep applying")
+    // committed DV set = survivors only, consolidated, cols recorded
+    val (_, vdir) = Snapshot.resolveVersion(fs, new Path(p), None)
+    val m = Snapshot.manifestAt(fs, vdir).get
+    assert(m.deleteEntries.size == 1 &&
+      m.deleteEntries.head.cols.contains(Seq("id")))
+    val survivorKeys = spark.read.parquet(new Path(
+      Snapshot.dataDir(new Path(p)), m.deleteEntries.head.rel).toString)
+      .as[Long].collect().toSet
+    assert(survivorKeys == (10L until 20L).toSet - 15L)
+    // time travel: the pre-merge DV version still reads its own state
+    assert(graft.sources.Resolver.readParquet(spark, p, Some(2L)).count() == 90)
+    // EQUIVALENCE LAW: ≡ materialize-then-merge on a clone
+    val p2 = s"$dir/t2.parquet"
+    WriteOps.atomicOverwrite(spark, df, p2, indexBy = Seq("id"),
+      maxRecordsPerFile = 10, commitMode = "snapshot", keepVersions = 3)
+    Snapshot.deleteByKeys(spark, p2, (10L until 20L).toDF("id"), keepVersions = 3)
+    assert(Snapshot.materializeDeletes(spark, p2, indexBy = Seq("id"),
+      maxRecordsPerFile = 10))
+    val t2 = t.copy(ref = DatasetRef("parquet", dir, "t2"))
+    assert(PrunedMerge.merge(spark,
+      graft.sources.Resolver.readParquet(spark, p2), batch, t2, p2).isDefined)
+    assert(sortedRows(graft.sources.Resolver.readParquet(spark, p)) ==
+      sortedRows(graft.sources.Resolver.readParquet(spark, p2)))
+    // compaction still folds small data files and carries tombstones
+    val cst = Compaction.compact(spark, p, Seq("id"), 1L << 20, keepVersions = 3)
+    assert(cst.filesCompacted > 0)
+    assert(graft.sources.Resolver.readParquet(spark, p).count() == 92)
+    // materialize: manifest clean, rows unchanged, idempotent no-op after
+    assert(Snapshot.materializeDeletes(spark, p, indexBy = Seq("id")))
+    val (_, vdir2) = Snapshot.resolveVersion(fs, new Path(p), None)
+    assert(Snapshot.manifestAt(fs, vdir2).get.deleteEntries.isEmpty)
+    assert(graft.sources.Resolver.readParquet(spark, p).count() == 92)
+    assert(!Snapshot.materializeDeletes(spark, p))
+  }
+
+  test("deletion vectors: a PARTIAL-key tombstone still declines the pruned merge") {
+    val dir = freshDir("snap_dvpart")
+    val p = s"$dir/t.parquet"
+    import spark.implicits._
+    WriteOps.atomicOverwrite(spark,
+      (0L until 40L).map(i => (i, s"g${i % 4}")).toDF("id", "txt"), p,
+      indexBy = Seq("id"), maxRecordsPerFile = 10,
+      commitMode = "snapshot", keepVersions = 3)
+    // tombstone by txt — a SUBSET of the pk columns (pk = id): rows it
+    // matches can live in untouched files, so composing would be
+    // unsound; the merge must decline to the (materializing) fallback
+    Snapshot.deleteByKeys(spark, p, Seq("g1").toDF("txt"), keepVersions = 3)
     val t = TargetSpec(DatasetRef("parquet", dir, "t"), op = WriteOp.Upsert,
       pk = Seq("id"), indexBy = Seq("id"), commitMode = "snapshot")
     assert(PrunedMerge.merge(spark,
-      graft.sources.Resolver.readParquet(spark, p), batch, t, p).isEmpty)
-    // compaction folds small data files but carries tombstones intact
-    val st = Compaction.compact(spark, p, Seq("id"), 1L << 20, keepVersions = 2)
-    assert(st.filesCompacted > 0)
-    val rowsAfterCompact = graft.sources.Resolver.readParquet(spark, p)
-    assert(rowsAfterCompact.count() == 90 &&
-      rowsAfterCompact.filter($"id" === 15L).isEmpty)
-    // materialize: tombstones fold into the data, manifest is clean,
-    // rows unchanged, pruned merges work again
-    assert(Snapshot.materializeDeletes(spark, p, indexBy = Seq("id")))
-    val (_, vdir) = Snapshot.resolveVersion(fs, new Path(p), None)
-    assert(Snapshot.manifestAt(fs, vdir).get.deleteEntries.isEmpty)
-    val after = graft.sources.Resolver.readParquet(spark, p)
-    assert(after.count() == 90 && after.filter($"id" === 15L).isEmpty)
-    assert(!Snapshot.materializeDeletes(spark, p)) // idempotent no-op
+      graft.sources.Resolver.readParquet(spark, p),
+      Seq((0L, "zz")).toDF("id", "txt"), t, p).isEmpty)
   }
 
   test("deletion vectors: changelog across a DV delete classifies deletes; CLI --dv end-to-end") {
