@@ -224,4 +224,59 @@ object RollupOps {
           commitMode = "snapshot", keepVersions = keepVersions), statePath)
     } finally { batchState.unpersist(); () }
   }
+
+  /** Metadata-only UPPER BOUND on a long column's value across the
+    * snapshot head's data files: the max of the parquet footer
+    * max-stats, `Long.MinValue` for a zero-row state. None when the
+    * bound cannot be certified (non-snapshot layout, column absent
+    * from some footer, unusable stats) — the caller must fall back to
+    * a scan. Deletion vectors only REMOVE rows, so the footer max
+    * stays an upper bound and the "value < x ⇒ no row ≥ x" answer
+    * remains sound with tombstones active.
+    *
+    * The streaming consumer ([[graft.streaming.StreamRunner
+    * .rollupStream]]) uses this to answer the per-micro-batch
+    * `(run_id, batch_id)` idempotence existence query at footer cost:
+    * in the common (non-replay) case every recorded `__batch_id` is
+    * below the incoming one, so the check reads ZERO data rows no
+    * matter how many groups the state holds. O(#files) driver-side
+    * footer reads — the state files are `maxRecordsPerFile`-sized, so
+    * a 10⁹-group state is ~10⁴ footers, far below its scan cost.
+    */
+  def footerMaxLong(spark: org.apache.spark.sql.SparkSession,
+                    rootStr: String, colName: String): Option[Long] = {
+    import graft.operators.Snapshot
+    val root = new org.apache.hadoop.fs.Path(rootStr)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!Snapshot.isSnapshotLayout(fs, root)) return None
+    val (_, vdir) = Snapshot.resolveVersion(fs, root, None)
+    val m = Snapshot.manifestAt(fs, vdir).getOrElse(return None)
+    val dd = Snapshot.dataDir(root)
+    val conf = spark.sparkContext.hadoopConfiguration
+    var acc = Long.MinValue
+    m.dataEntries.foreach { e =>
+      val reader =
+        try org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(dd, e.rel), conf))
+        catch { case scala.util.control.NonFatal(_) => return None }
+      try {
+        import scala.jdk.CollectionConverters._
+        reader.getFooter.getBlocks.asScala.foreach { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == colName) match {
+            case None => return None
+            case Some(cc) =>
+              val st = cc.getStatistics
+              if (st == null) return None
+              if (st.hasNonNullValue) st.genericGetMax match {
+                case n: Number => acc = math.max(acc, n.longValue)
+                case _ => return None
+              } else if (!st.isNumNullsSet || st.getNumNulls < 0) return None
+            // else: all-null or empty row group — contributes nothing
+          }
+        }
+      } finally reader.close()
+    }
+    Some(acc)
+  }
 }

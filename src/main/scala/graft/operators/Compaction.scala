@@ -42,10 +42,22 @@ object Compaction {
     * ≥ 2 sub-`targetFileBytes` data files rewrite; within them, small
     * files re-layout into ≈ `targetFileBytes` outputs, range-sorted on
     * `indexBy` when those columns exist.
+    *
+    * On snapshot layouts with ACTIVE deletion vectors, compaction
+    * FOLDS the tombstones into every file it rewrites anyway (the
+    * rewrite is already paying the read+write — the anti-join rides
+    * along free), and `foldDeletesAbove` is the merge-on-read debt
+    * ceiling: when tombstone bytes exceed that fraction of data
+    * bytes, compaction widens to rewrite EVERY data file so the DV
+    * set drops entirely — the automatic materialize trigger that
+    * keeps read-side anti-join cost bounded without operator
+    * attention. Tombstones whose key set names a partition column
+    * cannot fold into a per-group read and carry through unchanged.
     */
   def compact(spark: SparkSession, path: String, indexBy: Seq[String] = Nil,
               targetFileBytes: Long = 128L << 20,
-              keepVersions: Int = 2): Stats = {
+              keepVersions: Int = 2,
+              foldDeletesAbove: Double = 0.2): Stats = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -56,7 +68,7 @@ object Compaction {
     // generations keep reading their own manifests
     if (Snapshot.isSnapshotLayout(fs, root))
       return compactSnapshot(spark, root, fs, indexBy, targetFileBytes,
-        keepVersions)
+        keepVersions, foldDeletesAbove)
     require(!Versioned.list(fs, root).exists(_._3),
       "compaction of a dir-versioned layout would bypass its commit " +
         "protocol — rewrite through the versioned writer instead")
@@ -140,16 +152,56 @@ object Compaction {
     */
   private def compactSnapshot(spark: SparkSession, root: Path, fs: FileSystem,
                               indexBy: Seq[String], targetFileBytes: Long,
-                              keepVersions: Int): Stats = {
+                              keepVersions: Int,
+                              foldDeletesAbove: Double): Stats = {
     val (_, vdir) = Snapshot.resolveVersion(fs, root, None)
     val m = Snapshot.manifestAt(fs, vdir).get
     val dd = Snapshot.dataDir(root)
-    // deletion-vector files are NOT data: never fold them into data
+    // deletion-vector files are NOT data: never compact them into data
     // files (their pk-only schema would be null-padded into garbage
-    // rows). They carry through to the new manifest unchanged —
-    // compaction rewrites raw rows, tombstones keep applying at read.
+    // rows). Their tombstones FOLD into every data file this pass
+    // rewrites (anti-join on the group read — free next to the
+    // rewrite), and carry through for the files it keeps.
     val (delEntries, dataEntries) =
       m.entries.partition(_.rel.startsWith(Snapshot.DeletesDirName + "/"))
+    // EXPLICIT manifest data schema (partition cols live in the
+    // dir path, not the files): after a schema-evolution commit
+    // a group can mix pre- and post-evolution files — footer
+    // inference from a sample file would silently DROP the
+    // evolved columns of the newer ones; the explicit schema
+    // null-fills the older ones instead, which is exactly how
+    // the read path serves them
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      m.schema.fields.filterNot(f => m.partitionBy.contains(f.name)))
+    // foldable tombstone groups: every key column must be DATA-resident
+    // (a partition-column tombstone can't anti-join a per-group read
+    // that lacks the column) — otherwise carry through untouched
+    val dvGroups: Option[Seq[(Seq[String], Seq[String])]] =
+      if (delEntries.isEmpty) None
+      else {
+        val withCols = delEntries.map { e =>
+          val f = new Path(dd, e.rel).toString
+          (e.cols.getOrElse(spark.read.parquet(f).columns.toSeq), f)
+        }
+        if (withCols.forall(_._1.forall(dataSchema.fieldNames.contains)))
+          Some(withCols.groupBy(_._1).view
+            .mapValues(_.map(_._2)).toSeq.sortBy(_._1.mkString(",")))
+        else None
+      }
+    def applyDv(df: org.apache.spark.sql.DataFrame) = dvGroups.fold(df) { gs =>
+      gs.foldLeft(df) { case (acc, (cols, files)) =>
+        val keys = spark.read.parquet(files: _*)
+          .select(cols.map(c => col(c).cast(dataSchema(c).dataType).as(c)): _*)
+          .distinct()
+        val cond = cols.map(c => acc(c) <=> keys(c)).reduce(_ && _)
+        acc.join(keys, cond, "left_anti")
+      }
+    }
+    // merge-on-read debt ceiling: past the threshold, widen to a full
+    // fold — every data file rewrites and the DV set drops entirely
+    val dvFrac = delEntries.map(_.bytes).sum.toDouble /
+      math.max(1L, dataEntries.map(_.bytes).sum)
+    val forceAll = dvGroups.isDefined && dvFrac >= foldDeletesAbove
     val groups = dataEntries.groupBy { e =>
       val cut = e.rel.lastIndexOf('/')
       if (cut < 0) "" else e.rel.substring(0, cut)
@@ -159,25 +211,17 @@ object Compaction {
     val stage = new Path(root, s"._snap_stage_${System.nanoTime()}")
     try {
       groups.toSeq.sortBy(_._1).foreach { case (dir, entries) =>
-        val small = entries.filter(_.bytes < targetFileBytes)
-        if (small.length < 2) kept ++= entries
+        val small =
+          if (forceAll) entries else entries.filter(_.bytes < targetFileBytes)
+        if (small.length < (if (forceAll) 1 else 2)) kept ++= entries
         else {
           dirs += 1
           compacted += small.length
           val smallBytes = small.map(_.bytes).sum
           bytes += smallBytes
-          kept ++= entries.filterNot(e => e.bytes < targetFileBytes)
-          // EXPLICIT manifest data schema (partition cols live in the
-          // dir path, not the files): after a schema-evolution commit
-          // a group can mix pre- and post-evolution files — footer
-          // inference from a sample file would silently DROP the
-          // evolved columns of the newer ones; the explicit schema
-          // null-fills the older ones instead, which is exactly how
-          // the read path serves them
-          val dataSchema = org.apache.spark.sql.types.StructType(
-            m.schema.fields.filterNot(f => m.partitionBy.contains(f.name)))
-          val df = spark.read.schema(dataSchema).parquet(
-            small.map(e => new Path(dd, e.rel).toString): _*)
+          if (!forceAll) kept ++= entries.filterNot(e => e.bytes < targetFileBytes)
+          val df = applyDv(spark.read.schema(dataSchema).parquet(
+            small.map(e => new Path(dd, e.rel).toString): _*))
           val nOut = math.max(1L,
             (smallBytes + targetFileBytes - 1) / targetFileBytes).toInt
           val keys = indexBy.filter(df.columns.contains)
@@ -192,9 +236,14 @@ object Compaction {
       }
       if (dirs == 0) return Stats(0, m.entries.size, 0, 0L, 0)
       val newEntries = Snapshot.moveIntoPool(fs, stage, dd)
+      // the DV set drops only when EVERY remaining data file was
+      // rewritten with the fold applied — otherwise kept files still
+      // need their tombstones at read
+      val outDels =
+        if (dvGroups.isDefined && kept.isEmpty) Nil else delEntries
       Snapshot.commitVersion(fs, root,
         Snapshot.Manifest(m.schemaDdl, m.partitionBy,
-          (kept ++ newEntries ++ delEntries).toSeq), keepVersions)
+          (kept ++ newEntries ++ outDels).toSeq), keepVersions)
       Stats(dirs, m.entries.size, compacted, bytes, newEntries.size)
     } finally {
       try fs.delete(stage, true) catch { case _: Throwable => () }

@@ -290,7 +290,17 @@ object StreamRunner {
         // zero-row or marker-less state reads as "nothing applied".
         // A batch that touches zero groups records no marker; its
         // replay re-applies a no-op, which is safe.
-        val alreadyApplied = exists && {
+        //
+        // FOOTER FAST PATH (r11): in the common, non-replay case every
+        // recorded `__batch_id` is strictly below the incoming one —
+        // certified from parquet footer max-stats alone, so the check
+        // reads ZERO data rows regardless of state size (at 10⁹ groups
+        // the existence scan would otherwise cost a state pass per
+        // micro-batch). Only a replay-shaped head (footer max ≥
+        // batchId, or an uncertifiable bound) pays the exact scan.
+        val alreadyApplied = exists &&
+          !graft.ext.RollupOps.footerMaxLong(spark, statePath, "__batch_id")
+            .exists(_ < batchId) && {
           val st = graft.sources.Resolver.readParquet(spark, statePath)
           st.columns.contains("__run_id") && st.columns.contains("__batch_id") &&
             !st.filter(col("__run_id") === qid &&

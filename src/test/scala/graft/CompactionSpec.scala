@@ -124,4 +124,57 @@ class CompactionSpec extends SparkSpec {
     assert(after.size < nBefore)
     assert(sortedRows(spark.read.parquet(p)) == sortedRows(base))
   }
+
+  test("snapshot compaction folds tombstones into rewritten files; carries for kept ones") {
+    import graft.operators.Snapshot
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = freshDir("compact_dvfold")
+    val p = s"$dir/t.parquet"
+    import spark.implicits._
+    // incompressible payload so "big" files stay above the size cut
+    val base = spark.range(400).select($"id",
+      sha2(concat(lit("pay"), $"id".cast("string")), 512).as("txt"))
+    // big sorted files for the low band, then fragment the high band
+    // with small appends so compaction has a strict subset to rewrite
+    WriteOps.atomicOverwrite(spark, base, p, indexBy = Seq("id"),
+      maxRecordsPerFile = 200, commitMode = "snapshot", keepVersions = 2)
+    val spec = TargetSpec(DatasetRef("parquet", dir, "t"),
+      op = WriteOp.Insert, pk = Seq("id"), indexBy = Seq("id"),
+      commitMode = "snapshot")
+    for (b <- 1L to 3L) {
+      val batch = base.filter(col("id") < 10)
+        .withColumn("id", col("id") + 100000L * b)
+      assert(PrunedMerge.merge(spark,
+        graft.sources.Resolver.readParquet(spark, p), batch, spec, p).isDefined)
+    }
+    // tombstone a band that lives in BOTH a big file and small ones
+    Snapshot.deleteByKeys(spark, p,
+      (Seq(5L, 6L) ++ Seq(100005L, 100006L)).toDF("id"))
+    val want = sortedRows(graft.sources.Resolver.readParquet(spark, p))
+    // partial fold: small files rewrite with the fold, the big files
+    // stay — tombstones must CARRY (kept files still need them)
+    val bigEnough = 20000L
+    val st = Compaction.compact(spark, p, Seq("id"), bigEnough,
+      keepVersions = 2, foldDeletesAbove = 1.0) // trigger off
+    assert(st.filesCompacted > 0)
+    val (_, v1) = Snapshot.resolveVersion(fs, new Path(p), None)
+    assert(Snapshot.manifestAt(fs, v1).get.deleteEntries.nonEmpty,
+      "kept files still need their tombstones")
+    assert(sortedRows(graft.sources.Resolver.readParquet(spark, p)) == want)
+    // debt ceiling: foldDeletesAbove = 0 forces the full fold — every
+    // data file rewrites, the DV set drops, rows unchanged, and the
+    // pruned merge composes with no tombstones in sight
+    val st2 = Compaction.compact(spark, p, Seq("id"), bigEnough,
+      keepVersions = 2, foldDeletesAbove = 0.0)
+    assert(st2.dirsCompacted > 0)
+    val (_, v2) = Snapshot.resolveVersion(fs, new Path(p), None)
+    assert(Snapshot.manifestAt(fs, v2).get.deleteEntries.isEmpty,
+      "full fold must drop the DV set")
+    assert(sortedRows(graft.sources.Resolver.readParquet(spark, p)) == want)
+    val again = PrunedMerge.merge(spark,
+      graft.sources.Resolver.readParquet(spark, p),
+      Seq((5L, "back")).toDF("id", "txt"), spec.copy(op = WriteOp.Upsert), p)
+    assert(again.exists(s => s.filesRewritten < s.filesTotal))
+  }
 }

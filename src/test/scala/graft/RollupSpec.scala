@@ -124,6 +124,16 @@ class RollupSpec extends SparkSpec {
       .groupBy("__batch_id").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(marks.keySet == Set(0L, 1L), s"mixed markers expected, got $marks")
+    // footer bound: the max recorded marker certifies from metadata
+    // alone — the streaming idempotence check's zero-data-rows path —
+    // and mixed markers (0 and 1 across files) bound to the max
+    assert(RollupOps.footerMaxLong(spark, statePath, "__batch_id")
+      .contains(1L))
+    // an unknown column cannot certify; a non-snapshot layout cannot
+    assert(RollupOps.footerMaxLong(spark, statePath, "__nope").isEmpty)
+    val plain = s"$dir/plain.parquet"
+    li.limit(10).write.parquet(plain)
+    assert(RollupOps.footerMaxLong(spark, plain, "l_orderkey").isEmpty)
   }
 
   test("maintainPruned preserves NULL-keyed group state (null-safe prefilter + semi join)") {
