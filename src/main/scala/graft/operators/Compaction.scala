@@ -154,7 +154,7 @@ object Compaction {
                               indexBy: Seq[String], targetFileBytes: Long,
                               keepVersions: Int,
                               foldDeletesAbove: Double): Stats = {
-    val (_, vdir) = Snapshot.resolveVersion(fs, root, None)
+    val (baseV, vdir) = Snapshot.resolveVersion(fs, root, None)
     val m = Snapshot.manifestAt(fs, vdir).get
     val dd = Snapshot.dataDir(root)
     // deletion-vector files are NOT data: never compact them into data
@@ -208,6 +208,7 @@ object Compaction {
     }
     var dirs = 0; var compacted = 0; var bytes = 0L
     val kept = scala.collection.mutable.ArrayBuffer.empty[Snapshot.Entry]
+    val removedRels = scala.collection.mutable.Set.empty[String]
     val stage = new Path(root, s"._snap_stage_${System.nanoTime()}")
     try {
       groups.toSeq.sortBy(_._1).foreach { case (dir, entries) =>
@@ -219,6 +220,7 @@ object Compaction {
           compacted += small.length
           val smallBytes = small.map(_.bytes).sum
           bytes += smallBytes
+          removedRels ++= small.map(_.rel)
           if (!forceAll) kept ++= entries.filterNot(e => e.bytes < targetFileBytes)
           val df = applyDv(spark.read.schema(dataSchema).parquet(
             small.map(e => new Path(dd, e.rel).toString): _*))
@@ -239,11 +241,13 @@ object Compaction {
       // the DV set drops only when EVERY remaining data file was
       // rewritten with the fold applied — otherwise kept files still
       // need their tombstones at read
-      val outDels =
-        if (dvGroups.isDefined && kept.isEmpty) Nil else delEntries
-      Snapshot.commitVersion(fs, root,
-        Snapshot.Manifest(m.schemaDdl, m.partitionBy,
-          (kept ++ newEntries ++ outDels).toSeq), keepVersions)
+      if (dvGroups.isDefined && kept.isEmpty)
+        removedRels ++= delEntries.map(_.rel)
+      // OPTIMISTIC commit: a compaction racing an append/disjoint
+      // merge rebases (its rewritten files are still head members); a
+      // concurrent rewrite of the SAME files is a loud conflict
+      Snapshot.commitRebase(fs, root, baseV, removedRels.toSet,
+        newEntries, m.schemaDdl, m.partitionBy, keepVersions)
       Stats(dirs, m.entries.size, compacted, bytes, newEntries.size)
     } finally {
       try fs.delete(stage, true) catch { case _: Throwable => () }

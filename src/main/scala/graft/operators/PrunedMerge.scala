@@ -166,10 +166,10 @@ object PrunedMerge {
     // so in-place file swaps would corrupt retained generations →
     // full rewrite there. In-place swaps otherwise require the plain
     // rename layout.
-    val snapCtx: Option[(Snapshot.Manifest, Path)] =
+    val snapCtx: Option[(Long, Snapshot.Manifest, Path)] =
       if (Snapshot.isSnapshotLayout(fs, hPath)) {
-        val (_, vdir) = Snapshot.resolveVersion(fs, hPath, None)
-        Snapshot.manifestAt(fs, vdir).map((_, Snapshot.dataDir(hPath)))
+        val (baseV, vdir) = Snapshot.resolveVersion(fs, hPath, None)
+        Snapshot.manifestAt(fs, vdir).map((baseV, _, Snapshot.dataDir(hPath)))
       } else None
     if (snapCtx.isEmpty) {
       if (t.commitMode != "rename") return None
@@ -177,7 +177,7 @@ object PrunedMerge {
     }
     // the manifest's layout must agree with the spec's — a mismatch is
     // a foreign layout exactly like a failed dir walk
-    snapCtx.foreach { case (m, _) => if (m.partitionBy != pcols) return None }
+    snapCtx.foreach { case (_, m, _) => if (m.partitionBy != pcols) return None }
     // ACTIVE DELETION VECTORS compose (r11): the touched-file reads
     // anti-join the tombstone set (O(deletes), pk-keyed) before the op
     // runs, so rewritten files can never resurrect a deleted row, and
@@ -191,7 +191,7 @@ object PrunedMerge {
     // set to equal the pk — a partial-key tombstone can match rows the
     // batch does not cover inside untouched files, so those decline to
     // the full rewrite (which materializes), as before.
-    val dvKeyCols: Option[Seq[String]] = snapCtx.flatMap { case (m, dd) =>
+    val dvKeyCols: Option[Seq[String]] = snapCtx.flatMap { case (_, m, dd) =>
       val dels = m.deleteEntries
       if (dels.isEmpty) None
       else {
@@ -214,7 +214,7 @@ object PrunedMerge {
     // not this version's raw rows).
     val listed: Seq[(String, Long, Array[String])] = snapCtx match {
       case None => listLayout(fs, hPath, pcols).getOrElse(return None)
-      case Some((m, dd)) =>
+      case Some((_, m, dd)) =>
         val walked = listLayout(fs, dd, pcols).getOrElse(return None)
         val byRel = walked.map(f => relPath(dd, new Path(f._1)) -> f).toMap
         // every member must be on disk at the declared depth
@@ -281,7 +281,7 @@ object PrunedMerge {
     // live tombstone keys (snapshot DV compose): one small distinct
     // read of the version's `_deletes` files, typed to the pk columns
     val tombKeys: Option[DataFrame] = dvKeyCols.map { cols =>
-      val (m, dd) = snapCtx.get
+      val (_, m, dd) = snapCtx.get
       spark.read
         .parquet(m.deleteEntries.map(e => new Path(dd, e.rel).toString): _*)
         .select(cols.map(c =>
@@ -301,7 +301,7 @@ object PrunedMerge {
           current.schema)
       else {
         val r = spark.read.schema(current.schema)
-        val bp = snapCtx.fold(path)(_._2.toString)
+        val bp = snapCtx.fold(path)(_._3.toString)
         (if (pcols.nonEmpty) r.option("basePath", bp) else r)
           .parquet(touched.map(_.path): _*)
           .select(current.columns.map(col).toIndexedSeq: _*)
@@ -360,7 +360,7 @@ object PrunedMerge {
     // replaced files are reclaimed by the refcount vacuum once no
     // retained manifest lists them.
     snapCtx match {
-      case Some((m, dd)) =>
+      case Some((baseV, m, dd)) =>
         // DV compose: the committed tombstone set = survivors of the
         // batch's full-pk re-assertions, consolidated into ONE fresh
         // `_deletes` file (the old DV files stay on disk for retained
@@ -401,8 +401,6 @@ object PrunedMerge {
         // scheme-insensitive membership: listStatus returns qualified
         // paths (file:/…) while manifest entries are pool-relative
         val touchedRel = touched.map(e => relPath(dd, new Path(e.path))).toSet
-        val untouchedEntries =
-          m.dataEntries.filterNot(e => touchedRel.contains(e.rel)) ++ dvEntries
         // a widening op commits the EVOLVED schema — ADD COLUMN priced
         // per change: only the touched files carry the column
         // physically, every other member serves it as nulls
@@ -410,9 +408,17 @@ object PrunedMerge {
           if (widens) org.apache.spark.sql.types.StructType(
             merged.schema.fields.map(_.copy(nullable = true))).toDDL
           else m.schemaDdl
-        Snapshot.commitVersion(fs, hPath,
-          Snapshot.Manifest(outDdl, m.partitionBy,
-            untouchedEntries ++ newEntries), t.keepVersions)
+        // OPTIMISTIC commit: removed = the touched files (+ the base's
+        // DV files when composing — replaced by the consolidated
+        // survivor file); a concurrent non-conflicting commit (a
+        // disjoint merge, an append, a DV delete) rebases under the
+        // commit lock, a conflicting one fails loudly
+        // (Snapshot.CommitConflictException) for the caller to re-plan.
+        val removed = touchedRel ++
+          (if (dvKeyCols.isDefined) m.deleteEntries.map(_.rel).toSet
+           else Set.empty[String])
+        Snapshot.commitRebase(fs, hPath, baseV, removed,
+          newEntries ++ dvEntries, outDdl, m.partitionBy, t.keepVersions)
         val totalBytes0 = envelopes.map(_.bytes).sum
         return Some(Stats(envelopes.size, touched.size, totalBytes0,
           touched.map(_.bytes).sum))

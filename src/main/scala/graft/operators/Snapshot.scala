@@ -348,13 +348,77 @@ object Snapshot {
     }
   }
 
+  /** A concurrent commit raced this one and touched the same files or
+    * an incompatible schema — the change CANNOT be rebased onto the
+    * new head. The loser must re-plan from the current head (re-read,
+    * re-merge) — retrying the same commit verbatim would lose the
+    * winner's update.
+    */
+  final case class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
+
+  private val LockName = "_commit.lock"
+  /** A lock older than this is a crashed holder — broken by the next
+    * acquirer. Generous: commit = one manifest write + marker create
+    * + vacuum (metadata ops), never a data write.
+    */
+  private val StaleLockMs: Long = 60_000L
+  private val AcquireTimeoutMs: Long = 120_000L
+
+  /** Serialize the COMMIT step (never data writes — those stage
+    * outside the committed membership) across concurrent writers: an
+    * atomic lock-file create at the table root. Version allocation,
+    * conflict checks and vacuum all run under it, which is what makes
+    * [[commitRebase]]'s head inspection race-free. Crashed holders
+    * are detected by lock age and broken; a survivor that lost its
+    * lock to a stale-break still fails LOUDLY on the manifest's own
+    * create-exclusive backstop rather than corrupting membership.
+    */
+  private def withCommitLock[A](fs: FileSystem, root: Path)(f: => A): A = {
+    fs.mkdirs(root)
+    val lock = new Path(root, LockName)
+    val deadline = System.currentTimeMillis() + AcquireTimeoutMs
+    var held = false
+    while (!held) {
+      try {
+        val out = fs.create(lock, false)
+        try out.write(
+          s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        held = true
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          val stale =
+            try System.currentTimeMillis() -
+              fs.getFileStatus(lock).getModificationTime > StaleLockMs
+            catch { case scala.util.control.NonFatal(_) => false }
+          if (stale) { try fs.delete(lock, false) catch { case scala.util.control.NonFatal(_) => () } }
+          else if (System.currentTimeMillis() > deadline)
+            throw new java.io.IOException(
+              s"could not acquire commit lock $lock within ${AcquireTimeoutMs} ms")
+          else Thread.sleep(20)
+      }
+    }
+    try f finally {
+      try fs.delete(lock, false) catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   /** Commit a new version whose membership is `entries`, then vacuum
     * to `keepVersions` committed generations (data files refcounted
     * across every retained manifest). Returns the version number.
+    * REPLACE semantics under concurrency: allocates the next version
+    * whatever the head is — the documented last-writer-wins contract
+    * of a blind full overwrite (the loser's version stays retained
+    * history). Incremental writers use [[commitRebase]] instead.
     */
   private[operators] def commitVersion(fs: FileSystem, root: Path,
-                                       m: Manifest, keepVersions: Int): Long = {
-    fs.mkdirs(root)
+                                       m: Manifest, keepVersions: Int): Long =
+    withCommitLock(fs, root)(commitLocked(fs, root, m, keepVersions))
+
+  private def commitLocked(fs: FileSystem, root: Path,
+                           m: Manifest, keepVersions: Int): Long = {
     val next = Versioned.list(fs, root).map(_._1).maxOption.getOrElse(0L) + 1
     val vdir = new Path(root, f"_v_$next%020d")
     fs.mkdirs(vdir)
@@ -368,6 +432,75 @@ object Snapshot {
     vacuum(fs, root, keepVersions)
     next
   }
+
+  /** OPTIMISTIC incremental commit (the Delta/Iceberg retry shape):
+    * the caller planned `removedRels`/`added` against `baseVersion`;
+    * if the head moved meanwhile, the change REBASES onto the new
+    * head when it provably does not conflict — every removed rel must
+    * still be a head member (a missing one means a concurrent commit
+    * rewrote the same file: true conflict, loud
+    * [[CommitConflictException]]), the partition layout must agree,
+    * and schema evolutions merge by name (same-name/different-type is
+    * a conflict). Non-conflicting concurrent pairs therefore BOTH
+    * land: disjoint pruned upserts, a compaction racing an append, a
+    * DV delete racing a merge. All head inspection runs under the
+    * commit lock, so the check-then-commit window is closed.
+    */
+  private[graft] def commitRebase(fs: FileSystem, root: Path,
+                                  baseVersion: Long,
+                                  removedRels: Set[String],
+                                  added: Seq[Entry],
+                                  schemaDdl: String,
+                                  partitionBy: Seq[String],
+                                  keepVersions: Int): Long =
+    withCommitLock(fs, root) {
+      val (hv, hdir) = committed(fs, root).lastOption.getOrElse(
+        throw CommitConflictException(
+          s"no committed head under $root to rebase onto"))
+      val mh = manifestAt(fs, hdir).getOrElse(
+        throw CommitConflictException(
+          s"head v$hv of $root has no manifest (dir-protocol history) — " +
+            "cannot rebase an incremental commit"))
+      if (mh.partitionBy != partitionBy)
+        throw CommitConflictException(
+          s"partition layout changed concurrently: planned ${partitionBy
+            .mkString(",")}, head has ${mh.partitionBy.mkString(",")}")
+      if (hv != baseVersion) {
+        val headRels = mh.entries.map(_.rel).toSet
+        val missing = removedRels.filterNot(headRels)
+        if (missing.nonEmpty)
+          throw CommitConflictException(
+            s"concurrent commit v$hv rewrote file(s) this change also " +
+              s"touches: ${missing.toSeq.sorted.take(5).mkString(", ")}" +
+              (if (missing.size > 5) s" (+${missing.size - 5} more)" else "") +
+              " — re-plan against the new head")
+      }
+      val outDdl = mergeSchemaDdl(schemaDdl, mh.schemaDdl)
+      commitLocked(fs, root,
+        Manifest(outDdl, partitionBy,
+          mh.entries.filterNot(e => removedRels.contains(e.rel)) ++ added),
+        keepVersions)
+    }
+
+  /** Merge two evolved-from-a-common-base schemas by name: head
+    * fields first, then ours not present in head (both sides only
+    * ever APPEND columns — the widening contract). A shared name with
+    * a different type is a true conflict.
+    */
+  private def mergeSchemaDdl(ours: String, heads: String): String =
+    if (ours == heads) ours
+    else {
+      val a = StructType.fromDDL(heads)
+      val b = StructType.fromDDL(ours)
+      val clash = b.fields.filter(f =>
+        a.fields.exists(g => g.name == f.name && g.dataType != f.dataType))
+      if (clash.nonEmpty)
+        throw CommitConflictException(
+          s"schema evolved incompatibly on ${clash.map(_.name).mkString(",")}: " +
+            s"head $heads vs planned $ours")
+      StructType(a.fields ++
+        b.fields.filterNot(f => a.fieldNames.contains(f.name))).toDDL
+    }
 
   /** Full-rewrite commit (the `snapshot` branch of
     * [[WriteOps.atomicOverwrite]]): stage the frame next to the pool,
@@ -432,7 +565,7 @@ object Snapshot {
     val root = new Path(rootStr)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     sweepStaleStages(fs, root)
-    val (_, vdir) = resolveVersion(fs, root, None)
+    val (baseV, vdir) = resolveVersion(fs, root, None)
     val m = manifestAt(fs, vdir).getOrElse(throw new IllegalArgumentException(
       s"deletion vectors need a snapshot layout at $rootStr"))
     val schemaCols = m.schema.fieldNames.toSet
@@ -458,8 +591,12 @@ object Snapshot {
       .map(e => e.copy(rel = s"$DeletesDirName/${e.rel}",
         cols = Some(typed.columns.toSeq)))
     fs.delete(stage, true)
-    val v = commitVersion(fs, root,
-      Manifest(m.schemaDdl, m.partitionBy, m.entries ++ moved), keepVersions)
+    // rebase commit with nothing removed: a DV delete composes with ANY
+    // concurrent commit (the tombstone applies to whatever rows the
+    // new head holds — delete-after-X serialization, the GDPR-correct
+    // order), so racing writers never force this path to fail
+    val v = commitRebase(fs, root, baseV, Set.empty, moved,
+      m.schemaDdl, m.partitionBy, keepVersions)
     (v, n)
   }
 
@@ -485,16 +622,38 @@ object Snapshot {
 
   /** Refcounting vacuum: keep the newest `keepVersions` committed
     * generations (min 1) plus nothing else — uncommitted strays and
-    * older versions are deleted, then every pool file referenced by NO
-    * retained manifest is deleted and emptied hive dirs pruned. A
-    * retained dir-protocol version (pre-snapshot history) suppresses
-    * pool deletion entirely — membership is then not fully known.
+    * older versions are deleted, then unreferenced pool files are
+    * reclaimed and emptied hive dirs pruned. A retained dir-protocol
+    * version (pre-snapshot history) suppresses pool deletion entirely
+    * — membership is then not fully known.
+    *
+    * CONCURRENT-WRITER safety (r11): an in-flight writer stages its
+    * files into the pool BEFORE taking the commit lock, so a racing
+    * vacuum would see them as unreferenced. Unreferenced files split
+    * into two classes: files a version dropped THIS PASS referenced
+    * (dereferenced garbage — reclaimed immediately, the space-return
+    * contract) and files NO retained-or-dropped manifest ever listed
+    * (a live writer's pending additions, or crash orphans) — those
+    * only reclaim past [[StageGraceMs]] of age, by which time a live
+    * commit would long have landed. Crash orphans age out and are
+    * swept by any later vacuum; `fsck` reports them meanwhile.
     */
   def vacuum(fs: FileSystem, root: Path, keepVersions: Int): Unit = {
     val all = Versioned.list(fs, root)
     val committedDesc = all.filter(_._3).sortBy(-_._1)
     val kept = committedDesc.take(math.max(1, keepVersions))
     val keep = kept.map(_._1).toSet
+    // read dropped versions' manifests BEFORE deleting their dirs —
+    // their membership distinguishes dereferenced garbage from a
+    // concurrent writer's pending pool additions
+    val droppedRels = all.filterNot(v => keep.contains(v._1))
+      .flatMap { v =>
+        // a crashed writer can leave a torn/empty manifest — treat it
+        // as referencing nothing (its files age out as orphans)
+        val m = try manifestAt(fs, v._2) catch { case scala.util.control.NonFatal(_) => None }
+        m.toSeq.flatMap(_.entries.map(_.rel))
+      }
+      .toSet
     all.foreach { case (n, p, _) =>
       if (!keep.contains(n)) fs.delete(p, true)
     }
@@ -503,23 +662,51 @@ object Snapshot {
     val manifests = kept.map(v => manifestAt(fs, v._2))
     if (manifests.exists(_.isEmpty)) return // mixed-protocol history
     val referenced = manifests.flatMap(_.get.entries.map(_.rel)).toSet
-    listDataFilesRec(fs, dd).foreach { case (p, _) =>
-      if (!referenced.contains(relPath(dd, p))) fs.delete(p, false)
+    val now = System.currentTimeMillis()
+    def sweep(p: Path, rel: String, mtime: Long): Unit =
+      if (!referenced.contains(rel) &&
+          (droppedRels.contains(rel) || now - mtime > StageGraceMs))
+        fs.delete(p, false)
+    listDataFilesRecStatus(fs, dd).foreach { s =>
+      sweep(s.getPath, relPath(dd, s.getPath), s.getModificationTime)
     }
     // the generic walk skips underscore names — sweep the deletion-
     // vector subdir explicitly with the same refcount rule
     val delDir = new Path(dd, DeletesDirName)
     if (fs.exists(delDir))
       (try fs.listStatus(delDir) catch { case _: Throwable => Array.empty }).foreach { s =>
-        if (s.isFile && !referenced.contains(s"$DeletesDirName/${s.getPath.getName}"))
-          fs.delete(s.getPath, false)
+        if (s.isFile)
+          sweep(s.getPath, s"$DeletesDirName/${s.getPath.getName}",
+            s.getModificationTime)
       }
     pruneEmptyDirs(fs, dd)
   }
 
+  private def listDataFilesRecStatus(fs: FileSystem,
+                                     root: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+    def walk(d: Path): Unit =
+      (try fs.listStatus(d) catch { case _: Throwable => Array.empty }).foreach { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) ()
+        else if (s.isFile) out += s
+        else walk(s.getPath)
+      }
+    walk(root)
+    out.toSeq
+  }
+
+  /** A stage dir younger than this may belong to a LIVE concurrent
+    * writer (stages are written OUTSIDE the commit lock — holding the
+    * lock across a data write would serialize all writers); only
+    * older ones are crash leftovers safe to sweep.
+    */
+  private val StageGraceMs: Long = 15 * 60 * 1000L
+
   private def sweepStaleStages(fs: FileSystem, root: Path): Unit =
     try fs.listStatus(root).foreach { s =>
-      if (s.getPath.getName.startsWith("._snap_stage_"))
+      if (s.getPath.getName.startsWith("._snap_stage_") &&
+          System.currentTimeMillis() - s.getModificationTime > StageGraceMs)
         try fs.delete(s.getPath, true) catch { case _: Throwable => () }
     } catch { case _: Throwable => () }
 

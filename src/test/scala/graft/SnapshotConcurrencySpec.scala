@@ -1,0 +1,245 @@
+package graft
+
+import graft.operators.{Compaction, PrunedMerge, Snapshot, WriteOps}
+import graft.spec.{DatasetRef, TargetSpec, WriteOp}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Concurrent-writer semantics of the snapshot commit protocol (r11):
+  * two REAL threads race through plan → stage → commit with a start
+  * barrier, and every outcome must be LINEARIZABLE — the final table
+  * equals some serial order of the operations that reported success,
+  * retained versions stay readable, fsck stays clean. Non-conflicting
+  * pairs (disjoint pruned upserts, DV delete vs disjoint merge,
+  * compaction vs append) must BOTH land via the rebase commit;
+  * same-file pairs either serialize (the later one re-plans against
+  * the winner's head inside its own run) or fail LOUDLY with
+  * [[Snapshot.CommitConflictException]] — never a silent lost update.
+  */
+class SnapshotConcurrencySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fs =
+    new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def sorted(df: DataFrame): Seq[Seq[Any]] = rows(df.orderBy("id"))
+
+  private type Model = Map[Long, String]
+
+  private def seed(n: Int): Model =
+    (0L until n.toLong).map(i => i -> s"v$i").toMap
+
+  private def render(m: Model): DataFrame =
+    m.toSeq.sortBy(_._1).toDF("id", "txt")
+
+  /** Race two closures on real threads behind a start barrier; returns
+    * per-op outcome (None = success, Some(conflict message)).
+    */
+  private def race(a: () => Unit, b: () => Unit): (Option[String], Option[String]) = {
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    @volatile var ra: Option[String] = None
+    @volatile var rb: Option[String] = None
+    def wrap(f: () => Unit, set: Option[String] => Unit): Thread = {
+      val th = new Thread(() => {
+        barrier.await()
+        try f() catch {
+          case c: Snapshot.CommitConflictException => set(Some(c.getMessage))
+        }
+      })
+      th.start(); th
+    }
+    val (ta, tb) = (wrap(a, ra = _), wrap(b, rb = _))
+    ta.join(120000); tb.join(120000)
+    assert(!ta.isAlive && !tb.isAlive, "racing writer deadlocked")
+    (ra, rb)
+  }
+
+  /** Set up a sorted snapshot table, race the two ops, and assert
+    * linearizability: the read equals SOME serial order of the ops
+    * that succeeded. `m1`/`m2` are the ops' model transforms.
+    */
+  private def check(name: String, nRows: Int,
+                    op1: String => Unit, m1: Model => Model,
+                    op2: String => Unit, m2: Model => Model,
+                    requireBoth: Boolean): Unit = {
+    val dir = freshDir(s"snap_conc")
+    val p = s"$dir/t.parquet"
+    val base = seed(nRows)
+    WriteOps.atomicOverwrite(spark, render(base), p, indexBy = Seq("id"),
+      maxRecordsPerFile = 50, commitMode = "snapshot", keepVersions = 5)
+    val (r1, r2) = race(() => op1(p), () => op2(p))
+    if (requireBoth)
+      assert(r1.isEmpty && r2.isEmpty,
+        s"$name: both writers must land, got conflicts: $r1 / $r2")
+    assert(r1.isEmpty || r2.isEmpty, s"$name: both writers conflicted")
+    val accept = Seq(
+      (r1.isEmpty && r2.isEmpty, () => m2(m1(base))),
+      (r1.isEmpty && r2.isEmpty, () => m1(m2(base))),
+      (r1.isEmpty && r2.isDefined, () => m1(base)),
+      (r1.isDefined && r2.isEmpty, () => m2(base))
+    ).collect { case (ok, m) if ok => sorted(render(m())) }
+    val got = sorted(graft.sources.Resolver.readParquet(spark, p))
+    assert(accept.contains(got),
+      s"$name: final state is not a serial order of the successful ops")
+    assert(Snapshot.fsck(spark, p).filter(col("severity") === "error").isEmpty,
+      s"$name: fsck errors after the race")
+  }
+
+  private def spec(dir: String, op: WriteOp = WriteOp.Upsert) =
+    TargetSpec(DatasetRef("parquet", dir, "t"), op = op,
+      pk = Seq("id"), indexBy = Seq("id"), commitMode = "snapshot",
+      keepVersions = 5)
+
+  private def prunedWrite(p: String, batch: DataFrame,
+                          op: WriteOp = WriteOp.Upsert): Unit = {
+    val dir = new Path(p).getParent.toString
+    val st = PrunedMerge.merge(spark,
+      graft.sources.Resolver.readParquet(spark, p), batch, spec(dir, op), p)
+    assert(st.isDefined, "pruned path must engage in this fixture")
+  }
+
+  test("disjoint pruned upserts from two threads BOTH land (rebase commit)") {
+    def up(ids: Seq[Long], tag: String)(p: String): Unit =
+      prunedWrite(p, ids.map(i => (i, s"$tag$i")).toDF("id", "txt"))
+    def upM(ids: Seq[Long], tag: String)(m: Model): Model =
+      m ++ ids.map(i => i -> s"$tag$i")
+    val (a, b) = ((0L until 10L), (350L until 360L))
+    check("disjoint-upserts", 400,
+      up(a, "A"), upM(a, "A"), up(b, "B"), upM(b, "B"), requireBoth = true)
+    // and the serial result is order-independent here — both landed
+  }
+
+  test("DV delete racing a disjoint pruned upsert: both land, tombstones apply") {
+    def del(ids: Seq[Long])(p: String): Unit = {
+      Snapshot.deleteByKeys(spark, p, ids.toDF("id"), keepVersions = 5); ()
+    }
+    def delM(ids: Seq[Long])(m: Model): Model = m -- ids
+    def up(ids: Seq[Long])(p: String): Unit =
+      prunedWrite(p, ids.map(i => (i, s"U$i")).toDF("id", "txt"))
+    def upM(ids: Seq[Long])(m: Model): Model = m ++ ids.map(i => i -> s"U$i")
+    val (kill, band) = ((100L until 120L), (300L until 310L))
+    check("dv-vs-upsert", 400,
+      del(kill), delM(kill), up(band), upM(band), requireBoth = true)
+  }
+
+  test("compaction racing a disjoint pruned insert: both land") {
+    // fragment the high band first so compaction has work
+    val dir = freshDir("snap_conc_cmp")
+    val p = s"$dir/t.parquet"
+    val base = seed(400)
+    WriteOps.atomicOverwrite(spark, render(base), p, indexBy = Seq("id"),
+      maxRecordsPerFile = 50, commitMode = "snapshot", keepVersions = 5)
+    for (b <- 1 to 3)
+      prunedWrite(p, (0L until 5L).map(i => (i + 10000L * b, "frag"))
+        .toDF("id", "txt"), WriteOp.Insert)
+    val want = base ++
+      (1 to 3).flatMap(b => (0L until 5L).map(i => (i + 10000L * b) -> "frag")) ++
+      (200000L until 200005L).map(i => i -> "new")
+    val (r1, r2) = race(
+      () => { Compaction.compact(spark, p, Seq("id"), 1L << 18, keepVersions = 5); () },
+      () => prunedWrite(p, (200000L until 200005L).map(i => (i, "new"))
+        .toDF("id", "txt"), WriteOp.Insert))
+    assert(r1.isEmpty && r2.isEmpty,
+      s"compaction and append must both land, got $r1 / $r2")
+    assert(sorted(graft.sources.Resolver.readParquet(spark, p)) ==
+      sorted(render(want)))
+    assert(Snapshot.fsck(spark, p).filter(col("severity") === "error").isEmpty)
+  }
+
+  test("same-file pruned upserts: serialized or a LOUD conflict, never a lost update") {
+    def up(tag: String)(p: String): Unit =
+      prunedWrite(p, (0L until 10L).map(i => (i, s"$tag$i")).toDF("id", "txt"))
+    def upM(tag: String)(m: Model): Model =
+      m ++ (0L until 10L).map(i => i -> s"$tag$i")
+    // both outcomes are legal depending on interleaving; check()
+    // accepts any serial order of the successes and rejects silent
+    // lost updates (a final state matching neither serial order)
+    check("same-file-upserts", 400,
+      up("A"), upM("A"), up("B"), upM("B"), requireBoth = false)
+  }
+
+  test("stale commitRebase against a moved head conflicts loudly; fresh rebase lands") {
+    val dir = freshDir("snap_conc_stale")
+    val p = s"$dir/t.parquet"
+    WriteOps.atomicOverwrite(spark, render(seed(400)), p, indexBy = Seq("id"),
+      maxRecordsPerFile = 50, commitMode = "snapshot", keepVersions = 5)
+    val root = new Path(p)
+    val m1 = Snapshot.manifestAt(fs, Snapshot.resolveVersion(fs, root, None)._2).get
+    // writer A rewrites the low-band file via a pruned upsert
+    prunedWrite(p, (0L until 10L).map(i => (i, s"A$i")).toDF("id", "txt"))
+    val m2 = Snapshot.manifestAt(fs, Snapshot.resolveVersion(fs, root, None)._2).get
+    val victims = m1.entries.map(_.rel).toSet -- m2.entries.map(_.rel).toSet
+    assert(victims.nonEmpty, "the merge must have replaced at least one file")
+    // writer B, still planned against v1, tries to remove the same file
+    val e = intercept[Snapshot.CommitConflictException] {
+      Snapshot.commitRebase(fs, root, 1L, victims, Nil,
+        m1.schemaDdl, m1.partitionBy, keepVersions = 5)
+    }
+    assert(e.getMessage.contains("re-plan against the new head"))
+    // but a stale-base change touching none of the rewritten files
+    // rebases fine onto the moved head
+    val v = Snapshot.commitRebase(fs, root, 1L, Set.empty, Nil,
+      m1.schemaDdl, m1.partitionBy, keepVersions = 5)
+    assert(v == 3L)
+    assert(Snapshot.fsck(spark, p).filter(col("severity") === "error").isEmpty)
+  }
+
+  test("random concurrent op pairs are linearizable (props extension)") {
+    // the SnapshotPropsSpec model ops, raced pairwise: pruned upsert,
+    // pruned delete, DV delete over random (possibly overlapping)
+    // bands. Any interleaving must yield a serial order of the
+    // successes; conflicts are allowed only for overlapping rewrites.
+    for (s <- Seq(11, 29, 47)) {
+      val rnd = new scala.util.Random(s)
+      def band(): Seq[Long] = {
+        val lo = rnd.nextInt(380).toLong
+        lo until (lo + 5 + rnd.nextInt(40))
+      }
+      def mkOp(): (String => Unit, Model => Model) = rnd.nextInt(3) match {
+        case 0 =>
+          val ids = band(); val tag = s"u$s-${rnd.nextInt(100)}-"
+          (p => prunedWrite(p, ids.map(i => (i, s"$tag$i")).toDF("id", "txt")),
+            m => m ++ ids.map(i => i -> s"$tag$i"))
+        case 1 =>
+          val ids = band()
+          (p => prunedWrite(p,
+            ids.map(i => (i, "x")).toDF("id", "txt"), WriteOp.Delete),
+            m => m -- ids)
+        case 2 =>
+          val ids = band()
+          (p => { Snapshot.deleteByKeys(spark, p, ids.toDF("id"),
+            keepVersions = 5); () },
+            m => m -- ids)
+      }
+      val (op1, m1) = mkOp()
+      val (op2, m2) = mkOp()
+      check(s"random-pair-$s", 400, op1, m1, op2, m2, requireBoth = false)
+    }
+  }
+
+  test("lock contention: 2 threads x 3 sequential disjoint merges all land") {
+    val dir = freshDir("snap_conc_many")
+    val p = s"$dir/t.parquet"
+    val base = seed(600)
+    WriteOps.atomicOverwrite(spark, render(base), p, indexBy = Seq("id"),
+      maxRecordsPerFile = 50, commitMode = "snapshot", keepVersions = 8)
+    def worker(bands: Seq[Seq[Long]], tag: String)(p0: String): Unit =
+      bands.foreach(ids =>
+        prunedWrite(p0, ids.map(i => (i, s"$tag$i")).toDF("id", "txt")))
+    val aBands = Seq(0L until 10L, 100L until 110L, 200L until 210L).map(_.toSeq)
+    val bBands = Seq(400L until 410L, 500L until 510L, 590L until 600L).map(_.toSeq)
+    val (r1, r2) = race(() => worker(aBands, "A")(p), () => worker(bBands, "B")(p))
+    assert(r1.isEmpty && r2.isEmpty, s"all six merges must land: $r1 / $r2")
+    val want = base ++
+      aBands.flatten.map(i => i -> s"A$i") ++ bBands.flatten.map(i => i -> s"B$i")
+    assert(sorted(graft.sources.Resolver.readParquet(spark, p)) ==
+      sorted(render(want)))
+    // six incremental commits on top of v1
+    assert(Snapshot.committed(fs, new Path(p)).map(_._1).max == 7L)
+    assert(Snapshot.fsck(spark, p).filter(col("severity") === "error").isEmpty)
+  }
+}

@@ -278,6 +278,10 @@ class SnapshotSpec extends SparkSpec {
     fs.mkdirs(vdir)
     fs.create(new Path(vdir, "_MANIFEST"), false).close()
     fs.mkdirs(new Path(s"$p/._snap_stage_999"))
+    // age the stage past the live-writer grace window (r11: young
+    // stages may belong to a CONCURRENT writer and are never swept)
+    fs.setTimes(new Path(s"$p/._snap_stage_999"),
+      System.currentTimeMillis() - 20 * 60 * 1000L, -1)
     // readers ignore the uncommitted version
     assert(sortedRows(graft.sources.Resolver.readParquet(spark, p)) ==
       sortedRows(base(100)))
