@@ -150,13 +150,59 @@ object UnigramLm {
       .collect().toMap
   }
 
+  /** Per-piece leave-one-out likelihood LOSS — SentencePiece's exact
+    * prune ranking (Kudo 2018, the `unigram_model_trainer` recipe),
+    * replacing the r10 probability-ranking simplification. For each
+    * multi-char piece `p` with expected frequency `F` (the E-step's
+    * fixed-point counts):
+    *
+    *   - its occurrences re-segment, when `p` is removed, as the
+    *     Viterbi best alternative of `p`'s own string under the
+    *     REMAINING inventory (integer micro-nat costs — the same
+    *     deterministic DP encode uses);
+    *   - each alternative piece's frequency gains `F`, so the
+    *     post-removal log-likelihood of one occurrence is
+    *     `Σ_a ln(F_a + F) − |alt| · ln(ΣF + F·(|alt|−1))`;
+    *   - `loss(p) = F · (ln(F) − ln(ΣF) − that)` — the corpus
+    *     log-likelihood drop if `p` leaves. Zero-frequency pieces
+    *     rank `-∞` (free to drop).
+    *
+    * Pure driver-side arithmetic over the vocab-sized tables —
+    * deterministic given the (exact, associative) counts.
+    */
+  def pruneLosses(counts: Map[String, Long],
+                  probs: Map[String, Double]): Map[String, Double] = {
+    val costs = Model(probs).costs
+    val sumF = counts.values.sum.toDouble / Scale
+    val logSum = math.log(sumF)
+    probs.keySet.filter(_.length > 1).map { p =>
+      val f = counts.getOrElse(p, 0L).toDouble / Scale
+      val loss =
+        if (!(f > 0) || !(sumF > 0)) Double.NegativeInfinity
+        else {
+          val alt = viterbi(p, costs - p)._1
+          val logProb = math.log(f) - logSum
+          val logSumAlt = math.log(sumF + f * (alt.size - 1))
+          val logProbAlt = alt.map(a =>
+            math.log(counts.getOrElse(a, 0L).toDouble / Scale + f)).sum -
+            alt.size * logSumAlt
+          f * (logProb - logProbAlt)
+        }
+      p -> loss
+    }.toMap
+  }
+
   /** Train a `vocabSize`-piece model: seed → `emIters` EM fits →
-    * iterative prune (drop the lowest-probability `pruneFrac` of the
-    * over-target multi-char pieces, re-fit once) until at target.
-    * Deterministic: fixed-point count sums, ties on (count, piece).
-    * Final size = min(candidate inventory, max(vocabSize, #chars)) —
-    * single characters are never pruned (coverage), and a corpus with
-    * fewer candidate substrings than the target yields them all.
+    * iterative prune until at target. Each prune round runs one
+    * E-step, refits from its counts (the M-step), then drops the
+    * `pruneFrac` of over-target multi-char pieces with the LOWEST
+    * leave-one-out likelihood loss ([[pruneLosses]] — SentencePiece's
+    * exact ranking: a piece survives for being hard to re-segment,
+    * not merely for being frequent). Deterministic: fixed-point count
+    * sums, ties on (loss, piece). Final size = min(candidate
+    * inventory, max(vocabSize, #chars)) — single characters are never
+    * pruned (coverage), and a corpus with fewer candidate substrings
+    * than the target yields them all.
     */
   def train(df: DataFrame, textCol: String = "text", vocabSize: Int = 512,
             emIters: Int = 2, maxLen: Int = 8, maxSeed: Int = 2000,
@@ -169,25 +215,27 @@ object UnigramLm {
       val total = seed.map(_._2).sum.toDouble
       var probs: Map[String, Double] =
         seed.map { case (p, s) => p -> s / total }.toMap
-      def em(iters: Int): Unit = {
-        for (_ <- 1 to iters) {
-          val counts = expectedCounts(types, probs)
-          if (counts.values.sum > 0) {
-            // pieces with zero expected count keep an epsilon floor so
-            // single-char coverage never vanishes mid-train; the
-            // floored masses renormalize so Σp = 1 exactly
-            val raw = probs.map { case (p, _) =>
-              p -> math.max(counts.getOrElse(p, 0L).toDouble, 0.5) }
-            val z = raw.values.sum
-            probs = raw.map { case (p, c) => p -> c / z }
-          }
+      // M-step: pieces with zero expected count keep an epsilon floor
+      // so single-char coverage never vanishes mid-train; the floored
+      // masses renormalize so Σp = 1 exactly
+      def mStep(counts: Map[String, Long]): Unit =
+        if (counts.values.sum > 0) {
+          val raw = probs.map { case (p, _) =>
+            p -> math.max(counts.getOrElse(p, 0L).toDouble, 0.5) }
+          val z = raw.values.sum
+          probs = raw.map { case (p, c) => p -> c / z }
         }
-      }
-      em(emIters)
+      for (_ <- 1 to emIters) mStep(expectedCounts(types, probs))
       // prune to target: single chars are load-bearing (coverage) and
-      // exempt; multi-char pieces leave lowest-probability first
+      // exempt; multi-char pieces leave lowest-LOSS first
       while (probs.size > vocabSize &&
              probs.count(_._1.length > 1) > 0) {
+        // one fresh E-step feeds BOTH the refit and the loss ranking —
+        // the SentencePiece round shape (EM sub-iters, then prune on
+        // the final counts), one type-table pass per round
+        val counts = expectedCounts(types, probs)
+        mStep(counts)
+        val losses = pruneLosses(counts, probs)
         val (chars, multi) = probs.partition(_._1.length == 1)
         val over = probs.size - vocabSize
         // drop a pruneFrac chunk per round, but never overshoot the
@@ -195,12 +243,12 @@ object UnigramLm {
         // so size converges to max(vocabSize, #chars)
         val drop = math.min(multi.size,
           math.min(over, math.max(1, math.ceil(multi.size * pruneFrac).toInt)))
-        val kept = multi.toSeq.sortBy { case (p, pr) => (-pr, p) }
+        val kept = multi.toSeq.sortBy { case (p, _) =>
+          (-losses.getOrElse(p, Double.NegativeInfinity), p) }
           .dropRight(drop)
         probs = (chars.toSeq ++ kept).toMap
         val z = probs.values.sum
         probs = probs.map { case (p, pr) => p -> pr / z }
-        em(1)
       }
       Model(probs)
     } finally { types.unpersist(); () }

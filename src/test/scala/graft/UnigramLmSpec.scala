@@ -126,6 +126,45 @@ class UnigramLmSpec extends SparkSpec {
     assert(math.abs(m.pieces.values.sum - 1.0) < 1e-9)
   }
 
+  test("pruneLosses matches the closed-form leave-one-out formula exactly") {
+    // hand fixture: Σcounts = 100.0; 'ab' (F=10) re-segments as a|b
+    val probs = Map("a" -> 0.3, "b" -> 0.3, "ab" -> 0.4)
+    val counts = Map("a" -> 50_000_000L, "b" -> 40_000_000L,
+      "ab" -> 10_000_000L) // fixed-point ×1e6
+    val losses = UnigramLm.pruneLosses(counts, probs)
+    val (fa, fb, fab, sum) = (50.0, 40.0, 10.0, 100.0)
+    val logProb = math.log(fab) - math.log(sum)
+    val logSumAlt = math.log(sum + fab * (2 - 1))
+    val logProbAlt =
+      math.log(fa + fab) + math.log(fb + fab) - 2 * logSumAlt
+    val want = fab * (logProb - logProbAlt)
+    assert(losses.keySet == Set("ab"))
+    assert(math.abs(losses("ab") - want) < 1e-12,
+      s"got ${losses("ab")}, want $want")
+    // a zero-count piece is free to drop
+    val l0 = UnigramLm.pruneLosses(counts, probs + ("zz" -> 0.01))
+    assert(l0("zz") == Double.NegativeInfinity)
+  }
+
+  test("prune ranks by likelihood loss, not probability: rare-but-irreplaceable survives") {
+    // 'e' dominates the corpus, so 'ee' is frequent but re-segments
+    // almost freely as e|e (its loss is tiny, even negative in the
+    // leave-one-out approximation). 'xq' is rare, but x and q occur
+    // ONLY inside it — removing it forces two near-unsupported
+    // characters, a large likelihood drop. Probability ranking keeps
+    // 'ee' (prob(ee) >> prob(xq)); the SentencePiece loss ranking
+    // must keep 'xq' instead.
+    val docs = corpus(
+      Seq.fill(30)("eee") ++ Seq.fill(30)("e") ++ Seq.fill(3)("xq"))
+    // chars e,x,q are exempt; vocabSize 4 leaves room for ONE
+    // multi-char piece — the ranking decides which one
+    val m = UnigramLm.train(docs, vocabSize = 4, emIters = 2, maxLen = 2)
+    assert(m.pieces.contains("xq") && !m.pieces.contains("ee"),
+      s"loss ranking must keep xq over ee, got ${m.pieces.keySet}")
+    // sanity: probability ranking would have chosen the other way
+    assert(m.pieces.keySet == Set("e", "x", "q", "xq"))
+  }
+
   test("CLI stages mirror the API") {
     import graft.spec.TransformStage
     val docs = corpus(Seq.fill(10)("the quick brown fox"))
