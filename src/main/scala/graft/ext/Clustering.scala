@@ -74,14 +74,20 @@ object Clustering {
   def blockedPairs(assigned: DataFrame, tau: Double,
                    id: String = "vec_id",
                    vec: String = "embedding"): DataFrame = {
+    // pre-normalize ONCE per row (double precision — within ~1e-15 of
+    // the exact cosine, so the subset/equality laws vs
+    // [[Similarity.cosinePairs]] and the rounded-4 oracle hold), so
+    // the Σcᵢ² pair stage pays one multiply-add per element instead
+    // of the cosine's three accumulations — ~1/3 of the pairwise flops
+    import graft.functions.VectorExprs.{l2NormalizeVecD, vecDotD}
     val a = assigned.select(col("centroid_id"), col(id).as("id_a"),
-      col(vec).as("__va__"))
+      l2NormalizeVecD(col(vec)).as("__va__"))
     val b = assigned.select(col("centroid_id"), col(id).as("id_b"),
-      col(vec).as("__vb__"))
-    // filter on the UNROUNDED cosine, round for display — the same
+      l2NormalizeVecD(col(vec)).as("__vb__"))
+    // filter on the UNROUNDED similarity, round for display — the same
     // contract as [[Similarity.cosinePairs]] so the subset law holds
     a.join(b, Seq("centroid_id")).where(col("id_a") < col("id_b"))
-      .withColumn("__s__", cosine(col("__va__"), col("__vb__")))
+      .withColumn("__s__", vecDotD(col("__va__"), col("__vb__")))
       .filter(col("__s__") >= tau)
       .select(col("centroid_id"), col("id_a"), col("id_b"),
         round(col("__s__"), 4).as("sim"))

@@ -554,9 +554,98 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** L2-normalize an array<float> into array<DOUBLE> — the
+    * pre-normalization for pair stages ([[VecDotD]]): each element is
+    * divided by the double-accumulated norm ONCE per row, so the
+    * per-pair cosine collapses to a dot product. Double output keeps
+    * the pair sim within ~1e-15 of the exact `vec_cosine` (a float
+    * output would drift ~1e-7 — enough to flip a rounded-4 boundary).
+    * The all-zero vector passes through (its pair dots are 0, matching
+    * exclusion at any positive threshold). Interpreted is fine here —
+    * this runs once per ROW, not per pair.
+    */
+  case class L2NormalizeVecD(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "l2_normalize_vec_d"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      var ss = 0.0; var i = 0
+      while (i < n) {
+        val v = arr.getFloat(i).toDouble
+        ss += v * v
+        i += 1
+      }
+      val norm = math.sqrt(ss)
+      val out = new Array[Double](n)
+      i = 0
+      while (i < n) {
+        out(i) = if (norm > 0) arr.getFloat(i).toDouble / norm
+                 else arr.getFloat(i).toDouble
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Dot product of two array<double> columns — the PAIR-stage hot
+    * loop after [[L2NormalizeVecD]]: one multiply-add per element
+    * (the cosine's two norm accumulations paid once per row instead
+    * of once per pair — ~1/3 of the pairwise flops). Codegen'd.
+    */
+  case class VecDotD(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_dot_d"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        dot += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
+      dot
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $dot += $a.getDouble($i) * $b.getDouble($i);
+           |}
+           |${ev.value} = $dot;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   // ── Column wrappers ────────────────────────────────────────────────
   def vecCosine(a: Column, b: Column): Column =
     ExprShim.column(VecCosine(ExprShim.expression(a), ExprShim.expression(b)))
+  def l2NormalizeVecD(vec: Column): Column =
+    ExprShim.column(L2NormalizeVecD(ExprShim.expression(vec)))
+  def vecDotD(a: Column, b: Column): Column =
+    ExprShim.column(VecDotD(ExprShim.expression(a), ExprShim.expression(b)))
   /** All ordered element pairs (a < b in the element type's ordering)
     * of one array — the postings-list pair expansion for inverted-index
     * miners: one chunky interpreted call per POSTING LIST replaces a
