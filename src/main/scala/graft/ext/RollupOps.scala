@@ -252,16 +252,19 @@ object RollupOps {
     val (_, vdir) = Snapshot.resolveVersion(fs, root, None)
     val m = Snapshot.manifestAt(fs, vdir).getOrElse(return None)
     val dd = Snapshot.dataDir(root)
-    val conf = spark.sparkContext.hadoopConfiguration
-    var acc = Long.MinValue
-    m.dataEntries.foreach { e =>
+    val paths = m.dataEntries.map(e =>
+      new org.apache.hadoop.fs.Path(dd, e.rel).toString)
+    // None = this file cannot certify a bound (missing column/stats)
+    def oneFile(conf: org.apache.hadoop.conf.Configuration,
+                p: String): Option[Long] = {
       val reader =
         try org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(dd, e.rel), conf))
+            new org.apache.hadoop.fs.Path(p), conf))
         catch { case scala.util.control.NonFatal(_) => return None }
       try {
         import scala.jdk.CollectionConverters._
+        var acc = Long.MinValue
         reader.getFooter.getBlocks.asScala.foreach { b =>
           b.getColumns.asScala.find(_.getPath.toDotString == colName) match {
             case None => return None
@@ -275,8 +278,27 @@ object RollupOps {
             // else: all-null or empty row group — contributes nothing
           }
         }
+        Some(acc)
       } finally reader.close()
     }
-    Some(acc)
+    // footer sweep runs DISTRIBUTED above a small threshold — the
+    // same shape as PrunedMerge's envelope sweep, so a 10⁴-footer
+    // state answers in one short parallel stage, never a serial
+    // driver loop
+    val perFile: Seq[Option[Long]] =
+      if (paths.size <= 64) {
+        val conf = spark.sparkContext.hadoopConfiguration
+        paths.map(oneFile(conf, _))
+      } else {
+        val confW = new org.apache.spark.SerializableWritable(
+          spark.sparkContext.hadoopConfiguration)
+        val bc = spark.sparkContext.broadcast(confW)
+        spark.sparkContext
+          .parallelize(paths, math.min(paths.size, 256))
+          .map(p => oneFile(bc.value.value, p))
+          .collect().toSeq
+      }
+    if (perFile.exists(_.isEmpty)) None
+    else Some(perFile.flatten.foldLeft(Long.MinValue)(math.max))
   }
 }
