@@ -153,6 +153,33 @@ object ScaleBench7 {
       "surviving tombstones into the data in one commit (DV set dropped, " +
       "counts preserved)"
 
+    // ── 2b) DV-aware pruned CDC at 6M rows ────────────────────────────
+    // A changelog step across a pure DV commit shares EVERY data file,
+    // so the pruned diff reads only tombstone-matched rows (IN-pushed
+    // into row-group stats) instead of two full table scans.
+    val kill2 = spark.range(1_000_000L, 1_010_000L).select($"id".as("doc_id"))
+    val (cdcV, _) = {
+      val v = graft.operators.Snapshot.deleteByKeys(spark, p2, kill2,
+        keepVersions = 4)
+      v
+    }
+    val prunedCl = timed("cdc_dv_pruned_6m") {
+      graft.operators.Snapshot.changelog(spark, p2, cdcV - 1, cdcV,
+        Seq("doc_id")).count()
+    }
+    val fullCl = timed("cdc_dv_full_6m") {
+      graft.operators.Snapshot.changelog(spark, p2, cdcV - 1, cdcV,
+        Seq("doc_id"), filePruned = false).count()
+    }
+    require(prunedCl == 10_000L && fullCl == 10_000L,
+      s"CDC across the DV commit must be exactly the deletes: $prunedCl/$fullCl")
+    require(results("cdc_dv_pruned_6m") < results("cdc_dv_full_6m"),
+      "the pruned CDC step must beat the full-read diff")
+    notes("cdc_dv") = f"changelog across a 10k-key DV commit on 6M rows: " +
+      f"pruned diff ${results("cdc_dv_pruned_6m")}%.2f s (tombstone-matched " +
+      f"rows only, all data files shared) vs ${results("cdc_dv_full_6m")}%.2f s " +
+      "full-read diff; both exactly 10k delete rows"
+
     // ── 3) footer-certified idempotence at 10M groups ─────────────────
     val keys = Seq("k")
     val aggs = graft.ext.RollupOps.parse(Seq("count", "sum:v"))

@@ -808,6 +808,87 @@ object Snapshot {
     }.reduce(_ unionAll _)
   }
 
+  /** File-level changelog restriction, DV-AWARE (r11). Rows in files
+    * both manifests SHARE are raw-identical on both sides, so only
+    * two row classes can yield a change row: rows of NON-shared
+    * files, and shared-file rows whose pk matches a tombstone of
+    * EITHER version — their merge-on-read VISIBILITY may differ (a
+    * row is visible iff its pk is not tombstoned, so visibility flips
+    * exactly on Ta △ Tb ⊆ Ta ∪ Tb; restricting to the superset is
+    * sound — the diff emits nothing for rows equal on both sides).
+    * Each side then applies its OWN tombstones, so the restricted
+    * frames are exact sub-multisets of the versions' logical rows.
+    * A CDC step under a delete stream therefore reads (rewritten
+    * files + tombstone-matched rows), never the table; the shared
+    * read pushes a bounded per-column IN prefilter of the tombstone
+    * keys into the parquet row-group stats before the exact null-safe
+    * semi join. Requires every DV key set to equal `pk` (recorded
+    * r11, schema-probed for legacy entries) and `pk` present in both
+    * schemas — anything else falls back to full
+    * tombstone-applied reads (None).
+    */
+  private def prunedSides(spark: SparkSession, root: Path,
+                          a: Manifest, b: Manifest,
+                          pk: Seq[String]): Option[(DataFrame, DataFrame)] = {
+    val pkSet = pk.toSet
+    if (!pk.forall(a.schema.fieldNames.contains) ||
+        !pk.forall(b.schema.fieldNames.contains)) return None
+    val dd = dataDir(root)
+    val dels = a.deleteEntries ++ b.deleteEntries
+    val colsOk = dels.forall { e =>
+      val cols = e.cols.getOrElse(
+        spark.read.parquet(new Path(dd, e.rel).toString).columns.toSeq)
+      cols.toSet == pkSet
+    }
+    if (!colsOk) return None
+    val shared = a.dataEntries.map(_.rel).toSet
+      .intersect(b.dataEntries.map(_.rel).toSet)
+    val pkTyped = pk.map(c => col(c).cast(b.schema(c).dataType).as(c))
+    def tombKeys(m: Manifest): Option[DataFrame] = {
+      val ds = m.deleteEntries
+      if (ds.isEmpty) None
+      else Some(spark.read
+        .parquet(ds.map(e => new Path(dd, e.rel).toString): _*)
+        .select(pkTyped: _*).distinct())
+    }
+    val (ta, tb) = (tombKeys(a), tombKeys(b))
+    val union = (ta, tb) match {
+      case (Some(x), Some(y)) => Some(x.unionByName(y).distinct())
+      case (x, y) => x.orElse(y)
+    }
+    // bounded-key IO prefilter, computed ONCE for both sides
+    val inlined = union.map(_.limit(10001).collect()).getOrElse(Array.empty)
+    val preConds: Option[Seq[org.apache.spark.sql.Column]] =
+      if (inlined.nonEmpty && inlined.length <= 10000)
+        Some(pk.zipWithIndex.map { case (c, i) =>
+          val vals = inlined.map(_.get(i)).distinct.toIndexedSeq
+          val nonNull = vals.filter(_ != null)
+          val in =
+            if (nonNull.isEmpty) lit(false) else col(c).isin(nonNull: _*)
+          if (vals.contains(null)) in || col(c).isNull else in
+        })
+      else None
+    def side(m: Manifest, own: Option[DataFrame]): DataFrame = {
+      val nonshared = readMembers(spark, root, m,
+        m.dataEntries.filterNot(e => shared(e.rel)))
+      val restricted = union match {
+        case None => nonshared
+        case Some(keys) =>
+          val sharedDf0 = readMembers(spark, root, m,
+            m.dataEntries.filter(e => shared(e.rel)))
+          val sharedDf = preConds.fold(sharedDf0)(cs =>
+            sharedDf0.filter(cs.reduce(_ && _)))
+          val cond = pk.map(c => sharedDf(c) <=> keys(c)).reduce(_ && _)
+          nonshared.unionByName(sharedDf.join(keys, cond, "left_semi"))
+      }
+      own.fold(restricted) { keys =>
+        val cond = pk.map(c => restricted(c) <=> keys(c)).reduce(_ && _)
+        restricted.join(keys, cond, "left_anti")
+      }
+    }
+    Some((side(a, ta), side(b, tb)))
+  }
+
   def changelog(spark: SparkSession, rootStr: String, fromV: Long, toV: Long,
                 pk: Seq[String], filePruned: Boolean = true): DataFrame = {
     require(pk.nonEmpty, "changelog needs the pk that identifies a row")
@@ -827,16 +908,7 @@ object Snapshot {
         val mf = manifestAt(fs, resolveVersion(fs, root, Some(fromV))._2)
         val mt = manifestAt(fs, resolveVersion(fs, root, Some(toV))._2)
         (mf, mt) match {
-          // deletion vectors change a version's ROWS without changing
-          // its data-file membership, so the file-diff heuristic is
-          // unsound there — fall back to full tombstone-applied reads
-          case (Some(a), Some(b))
-              if a.deleteEntries.isEmpty && b.deleteEntries.isEmpty =>
-            val shared = a.dataEntries.map(_.rel).toSet
-              .intersect(b.dataEntries.map(_.rel).toSet)
-            Some((
-              readMembers(spark, root, a, a.dataEntries.filterNot(e => shared(e.rel))),
-              readMembers(spark, root, b, b.dataEntries.filterNot(e => shared(e.rel)))))
+          case (Some(a), Some(b)) => prunedSides(spark, root, a, b, pk)
           case _ => None
         }
       }

@@ -157,6 +157,27 @@ class SnapshotPropsSpec extends SparkSpec {
         .filter(col("severity") === "error").collect()
       assert(errs.isEmpty,
         s"seed=$seed step=$step: fsck errors ${errs.mkString("; ")}")
+      // 4) every third step: the DV-aware pruned changelog between the
+      // two newest retained versions ≡ the unpruned full-read diff —
+      // the r11 CDC-under-deletes restriction is exact under every
+      // composition this sequence produces (sampled for cost)
+      if (step % 3 == 0) {
+        val vs = Snapshot.committed(fs, new Path(p)).map(_._1)
+        if (vs.size >= 2) {
+          val (f, v) = (vs(vs.size - 2), vs.last)
+          val ok = scala.util.Try {
+            def canon(df: DataFrame) =
+              rows(df.orderBy(col("id"), col("_change_type")))
+            canon(Snapshot.changelog(spark, p, f, v, Seq("id"))) ==
+              canon(Snapshot.changelog(spark, p, f, v, Seq("id"),
+                filePruned = false))
+          }
+          // non-widening schema steps refuse loudly on BOTH paths —
+          // Try covers those; a successful pair must agree
+          ok.foreach(eq => assert(eq,
+            s"seed=$seed step=$step: pruned changelog v$f→v$v diverged"))
+        }
+      }
     }
   }
 }

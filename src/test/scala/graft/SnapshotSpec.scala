@@ -687,6 +687,48 @@ class SnapshotSpec extends SparkSpec {
     assert(e.getMessage.contains("from-version column unchanged"))
   }
 
+  test("DV-aware changelog pruning: pruned ≡ full reads across delete/merge/widening steps") {
+    val dir = freshDir("snap_cldv")
+    val p = s"$dir/t.parquet"
+    import spark.implicits._
+    val t = TargetSpec(DatasetRef("parquet", dir, "t"), op = WriteOp.Upsert,
+      pk = Seq("id"), indexBy = Seq("id"), commitMode = "snapshot",
+      keepVersions = 8)
+    WriteOps.atomicOverwrite(spark,
+      (0L until 200L).map(i => (i, s"v$i")).toDF("id", "txt"), p,
+      indexBy = Seq("id"), maxRecordsPerFile = 25,
+      commitMode = "snapshot", keepVersions = 8)                       // v1
+    Snapshot.deleteByKeys(spark, p, (10L until 30L).toDF("id"),
+      keepVersions = 8)                                                // v2: DV
+    // v3: DV-composed pruned merge (re-asserts 15, updates 100)
+    assert(PrunedMerge.merge(spark,
+      graft.sources.Resolver.readParquet(spark, p),
+      Seq((15L, "B"), (100L, "B")).toDF("id", "txt"), t, p).isDefined)
+    Snapshot.deleteByKeys(spark, p, (180L until 190L).toDF("id"),
+      keepVersions = 8)                                                // v4: DV
+    // v5: ADD-COLUMN widening upsert through the composed path
+    assert(PrunedMerge.merge(spark,
+      graft.sources.Resolver.readParquet(spark, p),
+      Seq((5L, "W", 1L)).toDF("id", "txt", "flag"), t, p).isDefined)
+    // every adjacent step and a spanning pair: pruned ≡ unpruned
+    for ((f, v) <- Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 5L), (2L, 4L))) {
+      val got = rows(Snapshot.changelog(spark, p, f, v, Seq("id"))
+        .orderBy("id", "_change_type"))
+      val want = rows(Snapshot.changelog(spark, p, f, v, Seq("id"),
+        filePruned = false).orderBy("id", "_change_type"))
+      assert(got == want, s"pruned changelog diverged on v$f→v$v")
+    }
+    // spot semantics: v1→v2 is exactly the 20 tombstoned deletes
+    val cl12 = Snapshot.changelog(spark, p, 1L, 2L, Seq("id"))
+    assert(cl12.count() == 20 &&
+      rows(cl12.select("_change_type").distinct()) == Seq(Seq("delete")))
+    // the open-ended cursor rides the same pruning
+    assert(Snapshot.changelogSince(spark, p, 1L, Seq("id")).count() ==
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).map { case (f, v) =>
+        Snapshot.changelog(spark, p, f, v, Seq("id"), filePruned = false).count()
+      }.sum)
+  }
+
   test("commit instants are recorded in the manifest and survive mtime rewrites") {
     val dir = freshDir("snap_cts")
     val p = s"$dir/t.parquet"
