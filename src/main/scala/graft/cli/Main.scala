@@ -63,6 +63,7 @@ object Main {
       logLevel: Option[String] = None,
       profile: Boolean = false, // O11: wall-clock report after the run
       compact: Option[Long] = None, // [EXT] small-file compaction size
+      foldDeletesAbove: Double = 0.2, // [EXT] compaction DV debt ceiling
       history: Boolean = false, // [EXT] snapshot/versioned history listing
       vacuum: Option[Int] = None, // [EXT] trim retention to N generations
       fsck: Boolean = false, // [EXT] snapshot-layout integrity audit
@@ -103,6 +104,7 @@ object Main {
     var rollup: Option[(Seq[String], Seq[String])] = None
     var partitionBy = ""; var maxRecords = 0L; var commitMode = "rename"
     var compactSize: Option[Long] = None
+    var foldDeletesAbove = 0.2
     var keepVersions = 2; var history = false
     var deleteVectors = false; var materializeDeletes = false
     var changelog: Option[(Long, Long)] = None
@@ -224,6 +226,15 @@ object Main {
       // (fresh snapshot version, tombstones cleared)
       case "--materialize-deletes" => once("--materialize-deletes")
         materializeDeletes = true
+      // [EXT] compaction's merge-on-read debt ceiling: when tombstone
+      // bytes exceed this fraction of data bytes, --compact widens to
+      // a full fold and drops the DV set (0 = always, 1+ = never)
+      case "--fold-deletes-above" => once("--fold-deletes-above")
+        val raw = next("--fold-deletes-above")
+        foldDeletesAbove =
+          try { val v = raw.toDouble; require(v >= 0); v }
+          catch { case _: Throwable =>
+            throw CliError(s"--fold-deletes-above needs a fraction >= 0, got $raw") }
       // [EXT] committed generations the snapshot/versioned protocols
       // retain — the time-travel depth (and the refcount-vacuum bound)
       case "--keep-versions" => once("--keep-versions")
@@ -459,6 +470,7 @@ object Main {
       lsflat = lsflat, dropNs = dropNs,
       showArgs = showArgs, jobRun = jobRun, logLevel = logLevel,
       profile = profile, compact = compactSize,
+      foldDeletesAbove = foldDeletesAbove,
       history = history, vacuum = vacuumN, fsck = fsck, zorder = zorderCols,
       materializeDeletes = materializeDeletes,
       changelog = changelog,
@@ -617,7 +629,8 @@ object Main {
       if (!Set("parquet", "ds").contains(t.ref.backend))
         throw CliError(s"--compact supports parquet targets, got ${t.ref.backend}")
       val st = graft.operators.Compaction.compact(
-        spark, Resolver.path(t.ref), t.indexBy, bytes, t.keepVersions)
+        spark, Resolver.path(t.ref), t.indexBy, bytes, t.keepVersions,
+        opts.foldDeletesAbove)
       println(s"compact: rewrote ${st.filesCompacted}/${st.filesTotal} files " +
         s"(${st.bytesCompacted} bytes) into ${st.filesCreated} across " +
         s"${st.dirsCompacted} dir(s)")
@@ -847,6 +860,8 @@ object Main {
       |               --dv (delete op commits pk TOMBSTONES into the
       |               snapshot layout instead of rewriting files —
       |               merge-on-read; reads anti-join them; needs --pk)
+      |               --fold-deletes-above F (compaction folds the DV set
+      |                 entirely when tombstone bytes exceed F of data bytes)
       |               --materialize-deletes (fold accumulated tombstones
       |               into the data files; fresh committed version)
       |               --changelog FROM:TO (CDC rows between two retained

@@ -117,6 +117,16 @@ class CompactionSpec extends SparkSpec {
     assert(intercept[Exception](
       graft.cli.Main.parse(Array("-t", "parquet/a/b", "--compact", "nope"))
     ).getMessage.contains("--compact"))
+    // DV debt-ceiling knob: parses a fraction, defaults to 0.2,
+    // rejects garbage
+    assert(graft.cli.Main.parse(Array("-t", "parquet/a/b", "--compact", "64m",
+      "--fold-deletes-above", "0.05"))._2.foldDeletesAbove == 0.05)
+    assert(graft.cli.Main.parse(Array("-t", "parquet/a/b", "--compact", "64m"))
+      ._2.foldDeletesAbove == 0.2)
+    assert(intercept[Exception](
+      graft.cli.Main.parse(Array("-t", "parquet/a/b",
+        "--fold-deletes-above", "-1"))
+    ).getMessage.contains("--fold-deletes-above"))
     val (job, o) = graft.cli.Main.parse(Array(
       "-t", s"parquet/$dir/t", "--compact", "64m", "--mongo-index", "id"))
     graft.cli.Main.execute(spark, job, o)

@@ -538,6 +538,36 @@ class SnapshotSpec extends SparkSpec {
     assert(!Snapshot.materializeDeletes(spark, p))
   }
 
+  test("DV-composed merge is null-safe: a NULL-pk tombstone drops when the batch re-asserts NULL") {
+    val dir = freshDir("snap_dvnull")
+    val p = s"$dir/t.parquet"
+    import spark.implicits._
+    WriteOps.atomicOverwrite(spark,
+      (Seq((Some(1L), "a"), (Some(2L), "b"), (Option.empty[Long], "n")))
+        .toDF("id", "txt"),
+      p, indexBy = Seq("id"), maxRecordsPerFile = 1,
+      commitMode = "snapshot", keepVersions = 5)
+    // tombstone the NULL pk row (null-safe delete semantics)
+    Snapshot.deleteByKeys(spark, p,
+      Seq(Option.empty[Long]).toDF("id"), keepVersions = 5)
+    assert(graft.sources.Resolver.readParquet(spark, p).count() == 2)
+    // composed upsert re-asserts the NULL key — the tombstone must
+    // drop (null-safe anti-join) and the new row must survive reads
+    val t = TargetSpec(DatasetRef("parquet", dir, "t"), op = WriteOp.Upsert,
+      pk = Seq("id"), indexBy = Seq("id"), commitMode = "snapshot",
+      keepVersions = 5)
+    val st = PrunedMerge.merge(spark,
+      graft.sources.Resolver.readParquet(spark, p),
+      Seq((Option.empty[Long], "N2")).toDF("id", "txt"), t, p)
+    assert(st.isDefined)
+    val now = graft.sources.Resolver.readParquet(spark, p)
+    assert(now.count() == 3 &&
+      rows(now.filter($"id".isNull).select("txt")) == Seq(Seq("N2")))
+    val (_, vdir) = Snapshot.resolveVersion(fs, new Path(p), None)
+    assert(Snapshot.manifestAt(fs, vdir).get.deleteEntries.isEmpty,
+      "the re-asserted NULL tombstone must not survive")
+  }
+
   test("deletion vectors: a PARTIAL-key tombstone still declines the pruned merge") {
     val dir = freshDir("snap_dvpart")
     val p = s"$dir/t.parquet"
