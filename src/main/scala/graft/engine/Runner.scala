@@ -99,7 +99,6 @@ object Runner {
           // re-count the whole table each iteration). Counting the
           // staged parquet is a footer-metadata read.
           val written = batch.count()
-          val current = targetState(spark, t, batch)
           // Keyed writes into an existing parquet target take the
           // FILE-PRUNED merge when footer envelopes allow it — only
           // pk-intersecting files are rewritten (at 100 TB a small
@@ -127,10 +126,38 @@ object Runner {
               batch.select(t.pk.map(org.apache.spark.sql.functions.col): _*),
               t.keepVersions)
           }
-          val pruned = dv ||
-            (fs.exists(new org.apache.hadoop.fs.Path(tgtPath)) &&
-            PrunedMerge.merge(spark, current, batch, t, tgtPath).isDefined)
+          // OPTIMISTIC retry (r11): a concurrent writer can win the
+          // snapshot commit race (Snapshot.CommitConflictException —
+          // precise: the same files were rewritten under us). The
+          // complete recovery is to RE-PLAN against the new head:
+          // fresh target read, fresh footer envelopes, fresh merge.
+          // Bounded attempts; a persistent conflict propagates loudly
+          // rather than spinning against a hot writer.
+          def mergeOnce(): Boolean =
+            fs.exists(new org.apache.hadoop.fs.Path(tgtPath)) &&
+              PrunedMerge.merge(spark, targetState(spark, t, batch), batch,
+                t, tgtPath).isDefined
+          def mergeWithRetry(): Boolean = {
+            var attempt = 1
+            while (true) {
+              try return mergeOnce()
+              catch {
+                case c: graft.operators.Snapshot.CommitConflictException =>
+                  if (attempt >= 3) throw c
+                  System.err.println(
+                    s"[graft] commit conflict (attempt $attempt) — " +
+                      s"re-planning against the new head: ${c.getMessage}")
+                  attempt += 1
+              }
+            }
+            false // unreachable
+          }
+          val pruned = dv || mergeWithRetry()
           if (!pruned) {
+            // fresh read — a conflicted merge attempt above proves the
+            // head can move under us; the full rewrite must apply the
+            // op to the CURRENT state
+            val current = targetState(spark, t, batch)
             val newState = WriteOps.applyOp(current, batch, t)
             // No checkpoint of newState: atomicOverwrite materializes it
             // into the temp dir BEFORE swapping, so the current target

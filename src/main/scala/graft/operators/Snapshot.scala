@@ -336,6 +336,13 @@ object Snapshot {
         fs.mkdirs(dest.getParent)
         if (!fs.rename(src, dest))
           throw new java.io.IOException(s"snapshot commit: cannot move $src")
+        // stamp POOL-ENTRY time: rename preserves the stage-write
+        // mtime, so a part finished early in a long staging write
+        // would otherwise look older than the pending-file grace and
+        // a concurrent vacuum could sweep it before this commit lands.
+        // Age-from-pool-entry closes that window completely.
+        try fs.setTimes(dest, System.currentTimeMillis(), -1)
+        catch { case scala.util.control.NonFatal(_) => () }
         val e = Entry(relPath(dd, dest), bytes)
         moved += ((dest, e))
         e

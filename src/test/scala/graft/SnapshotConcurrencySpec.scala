@@ -48,6 +48,8 @@ class SnapshotConcurrencySpec extends SparkSpec {
         barrier.await()
         try f() catch {
           case c: Snapshot.CommitConflictException => set(Some(c.getMessage))
+          case t: Throwable => // surface, don't silently pass as success
+            set(Some(s"UNEXPECTED ${t.getClass.getSimpleName}: ${t.getMessage}"))
         }
       })
       th.start(); th
@@ -55,6 +57,8 @@ class SnapshotConcurrencySpec extends SparkSpec {
     val (ta, tb) = (wrap(a, ra = _), wrap(b, rb = _))
     ta.join(120000); tb.join(120000)
     assert(!ta.isAlive && !tb.isAlive, "racing writer deadlocked")
+    Seq(ra, rb).flatten.foreach(m =>
+      assert(!m.startsWith("UNEXPECTED"), s"racing writer failed: $m"))
     (ra, rb)
   }
 
@@ -219,6 +223,48 @@ class SnapshotConcurrencySpec extends SparkSpec {
       val (op2, m2) = mkOp()
       check(s"random-pair-$s", 400, op1, m1, op2, m2, requireBoth = false)
     }
+  }
+
+  test("engine Runner re-plans on commit conflict: same-file racing upserts BOTH land") {
+    import graft.spec.{JobSpec, SourceSpec}
+    val dir = freshDir("snap_conc_runner")
+    val p = s"$dir/t.parquet"
+    val base = seed(400)
+    WriteOps.atomicOverwrite(spark, render(base), p, indexBy = Seq("id"),
+      maxRecordsPerFile = 50, commitMode = "snapshot", keepVersions = 8)
+    // two batches hitting the SAME low-band file — a direct merge race
+    // conflicts for one writer; the Runner path must absorb it by
+    // re-planning, so BOTH jobs complete
+    def writeBatch(name: String, ids: Seq[Long], tag: String): Unit = {
+      ids.map(i => (i, s"$tag$i")).toDF("id", "txt")
+        .write.parquet(s"$dir/$name.parquet")
+    }
+    writeBatch("srcA", 0L until 10L, "A")
+    writeBatch("srcB", 3L until 12L, "B")
+    def run(name: String): Unit = {
+      graft.engine.Runner.execute(spark, JobSpec(
+        SourceSpec(DatasetRef("parquet", dir, name)),
+        target = Some(TargetSpec(DatasetRef("parquet", dir, "t"),
+          op = WriteOp.Upsert, pk = Seq("id"), indexBy = Seq("id"),
+          commitMode = "snapshot", keepVersions = 8,
+          skipTimestamp = true))), log = false)
+      ()
+    }
+    val (r1, r2) = race(() => run("srcA"), () => run("srcB"))
+    assert(r1.isEmpty && r2.isEmpty,
+      s"Runner must absorb the conflict by re-planning: $r1 / $r2")
+    // linearizable: overlap keys 3-9 hold A's or B's value uniformly
+    // (whichever job committed second), disjoint keys hold their own
+    val got = graft.sources.Resolver.readParquet(spark, p)
+      .filter(col("id") < 12).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val aThenB = (0L until 3L).map(i => (i, s"A$i")) ++
+      (3L until 12L).map(i => (i, s"B$i"))
+    val bThenA = (0L until 10L).map(i => (i, s"A$i")) ++
+      (10L until 12L).map(i => (i, s"B$i"))
+    assert(got == aThenB || got == bThenA,
+      s"not a serial order of the two upserts: $got")
+    assert(Snapshot.fsck(spark, p).filter(col("severity") === "error").isEmpty)
   }
 
   test("lock contention: 2 threads x 3 sequential disjoint merges all land") {
