@@ -407,7 +407,22 @@ object Snapshot {
           else Thread.sleep(20)
       }
     }
+    // HEARTBEAT lease: refresh the lock's mtime while held, so the
+    // age-based stale break only ever fires on a DEAD holder — a live
+    // commit stalled by GC keeps its lease as long as this daemon
+    // breathes. Commits are sub-second metadata ops; the heartbeat is
+    // belt-and-braces, and the manifest create-exclusive remains the
+    // loud backstop if both layers are defeated.
+    val beat = new Thread(() => {
+      try while (!Thread.interrupted()) {
+        Thread.sleep(StaleLockMs / 6)
+        fs.setTimes(lock, System.currentTimeMillis(), -1)
+      } catch { case _: InterruptedException => () case scala.util.control.NonFatal(_) => () }
+    })
+    beat.setDaemon(true)
+    beat.start()
     try f finally {
+      beat.interrupt()
       try fs.delete(lock, false) catch { case scala.util.control.NonFatal(_) => () }
     }
   }

@@ -225,6 +225,22 @@ class SnapshotConcurrencySpec extends SparkSpec {
     }
   }
 
+  test("a crashed holder's stale commit lock is broken and commits proceed") {
+    val dir = freshDir("snap_conc_lock")
+    val p = s"$dir/t.parquet"
+    WriteOps.atomicOverwrite(spark, render(seed(10)), p,
+      commitMode = "snapshot", keepVersions = 3)
+    // plant a lock whose holder died two minutes ago
+    val lock = new Path(p, "_commit.lock")
+    fs.create(lock, false).close()
+    fs.setTimes(lock, System.currentTimeMillis() - 2 * 60 * 1000L, -1)
+    // the next commit must break the stale lease and land
+    WriteOps.atomicOverwrite(spark, render(seed(5)), p,
+      commitMode = "snapshot", keepVersions = 3)
+    assert(graft.sources.Resolver.readParquet(spark, p).count() == 5)
+    assert(!fs.exists(lock), "the winning commit must release the lock")
+  }
+
   test("engine Runner re-plans on commit conflict: same-file racing upserts BOTH land") {
     import graft.spec.{JobSpec, SourceSpec}
     val dir = freshDir("snap_conc_runner")
