@@ -372,14 +372,37 @@ object Snapshot {
   private val StaleLockMs: Long = 60_000L
   private val AcquireTimeoutMs: Long = 120_000L
 
+  /** Create-exclusive that is ATOMIC on every backing store we run
+    * on. `FileSystem.create(path, overwrite = false)` is check-then-
+    * act on the LOCAL filesystem (RawLocalFileSystem does an exists()
+    * probe before opening — two racing creators can both succeed,
+    * HADOOP-9361), which silently defeats a lock built on it; local
+    * paths therefore go through `File.createNewFile()` (POSIX
+    * O_CREAT|O_EXCL — the kernel arbitrates). HDFS's create IS atomic
+    * at the namenode; strongly-consistent object stores honor
+    * if-none-match semantics through their connectors.
+    */
+  private def atomicCreate(fs: FileSystem, p: Path): Boolean =
+    if (fs.getScheme == "file") {
+      val f = new java.io.File(p.toUri.getPath)
+      val parent = f.getParentFile
+      if (parent != null) { parent.mkdirs(); () }
+      try f.createNewFile() catch { case scala.util.control.NonFatal(_) => false }
+    } else {
+      try { fs.create(p, false).close(); true }
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
+
   /** Serialize the COMMIT step (never data writes — those stage
     * outside the committed membership) across concurrent writers: an
-    * atomic lock-file create at the table root. Version allocation,
-    * conflict checks and vacuum all run under it, which is what makes
-    * [[commitRebase]]'s head inspection race-free. Crashed holders
-    * are detected by lock age and broken; a survivor that lost its
-    * lock to a stale-break still fails LOUDLY on the manifest's own
-    * create-exclusive backstop rather than corrupting membership.
+    * atomic lock-file create at the table root ([[atomicCreate]] —
+    * NOT `fs.create(overwrite=false)`, which is non-atomic on the
+    * local filesystem). Version allocation, conflict checks and
+    * vacuum all run under it, which is what makes [[commitRebase]]'s
+    * head inspection race-free. Crashed holders are detected by lock
+    * age and broken; a survivor that lost its lock to a stale-break
+    * still fails LOUDLY on the manifest's own create-exclusive
+    * backstop rather than corrupting membership.
     */
   private def withCommitLock[A](fs: FileSystem, root: Path)(f: => A): A = {
     fs.mkdirs(root)
@@ -387,24 +410,17 @@ object Snapshot {
     val deadline = System.currentTimeMillis() + AcquireTimeoutMs
     var held = false
     while (!held) {
-      try {
-        val out = fs.create(lock, false)
-        try out.write(
-          s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}"
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        held = true
-      } catch {
-        case scala.util.control.NonFatal(_) =>
-          val stale =
-            try System.currentTimeMillis() -
-              fs.getFileStatus(lock).getModificationTime > StaleLockMs
-            catch { case scala.util.control.NonFatal(_) => false }
-          if (stale) { try fs.delete(lock, false) catch { case scala.util.control.NonFatal(_) => () } }
-          else if (System.currentTimeMillis() > deadline)
-            throw new java.io.IOException(
-              s"could not acquire commit lock $lock within ${AcquireTimeoutMs} ms")
-          else Thread.sleep(20)
+      if (atomicCreate(fs, lock)) held = true
+      else {
+        val stale =
+          try System.currentTimeMillis() -
+            fs.getFileStatus(lock).getModificationTime > StaleLockMs
+          catch { case scala.util.control.NonFatal(_) => false }
+        if (stale) { try fs.delete(lock, false) catch { case scala.util.control.NonFatal(_) => () } }
+        else if (System.currentTimeMillis() > deadline)
+          throw new java.io.IOException(
+            s"could not acquire commit lock $lock within ${AcquireTimeoutMs} ms")
+        else Thread.sleep(20)
       }
     }
     // HEARTBEAT lease: refresh the lock's mtime while held, so the
@@ -449,8 +465,13 @@ object Snapshot {
     writeManifest(fs, vdir, m.copy(commitTsMillis =
       Some(System.currentTimeMillis())))
     // COMMIT POINT: one atomic create — no reader can observe a
-    // version whose manifest is not fully written
-    fs.create(new Path(vdir, Versioned.Marker), false).close()
+    // version whose manifest is not fully written. atomicCreate, not
+    // fs.create(overwrite=false): on the local filesystem the latter
+    // is check-then-act, and this marker is the LAST arbiter if the
+    // lock was ever defeated — it must lose loudly, never both win.
+    require(atomicCreate(fs, new Path(vdir, Versioned.Marker)),
+      s"commit marker collision at $vdir — a concurrent writer defeated " +
+        "the commit lock; this commit did NOT land, re-plan and retry")
     vacuum(fs, root, keepVersions)
     next
   }
