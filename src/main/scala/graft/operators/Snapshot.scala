@@ -645,9 +645,19 @@ object Snapshot {
 
   /** Fold accumulated deletion vectors into the data: one full
     * tombstone-applied read committed as a fresh snapshot version
-    * listing only new data files (the OPTIMIZE step that re-enables
-    * the incremental writers). No-op (returns false) when the latest
-    * manifest has no delete entries.
+    * (the OPTIMIZE step that re-enables the incremental writers).
+    * No-op (returns false) when the latest manifest has no delete
+    * entries.
+    *
+    * Commits via REBASE, not blind replace (r11): the change is
+    * "remove every base member, add the materialized files", so a
+    * concurrent APPEND-shaped commit (a disjoint insert merge, a new
+    * DV delete) lands alongside — the rebased manifest keeps the
+    * racer's additions — while a concurrent REWRITE of a base file is
+    * a loud [[CommitConflictException]] instead of a silently dropped
+    * update (the Replace semantics this previously inherited from
+    * [[overwrite]] would have discarded any commit that raced the
+    * fold).
     */
   def materializeDeletes(spark: SparkSession, rootStr: String,
                          indexBy: Seq[String] = Nil,
@@ -655,11 +665,33 @@ object Snapshot {
                          keepVersions: Int = 2): Boolean = {
     val root = new Path(rootStr)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (_, vdir) = resolveVersion(fs, root, None)
+    sweepStaleStages(fs, root)
+    val (baseV, vdir) = resolveVersion(fs, root, None)
     val m = manifestAt(fs, vdir).getOrElse(return false)
     if (m.deleteEntries.isEmpty) return false
-    overwrite(spark, readAt(spark, rootStr, None), rootStr, m.partitionBy,
-      maxRecordsPerFile, indexBy, keepVersions)
+    val df = readAt(spark, rootStr, Some(baseV))
+    val sortKeys = indexBy.filterNot(m.partitionBy.contains)
+    val laid =
+      if (sortKeys.nonEmpty)
+        df.repartitionByRange(sortKeys.map(col).toIndexedSeq: _*)
+          .sortWithinPartitions(sortKeys.map(col).toIndexedSeq: _*)
+      else df
+    val stage = new Path(root, s"._snap_stage_${System.nanoTime()}")
+    var w = laid.write.mode("overwrite")
+    if (m.partitionBy.nonEmpty) w = w.partitionBy(m.partitionBy: _*)
+    if (maxRecordsPerFile > 0)
+      w = w.option("maxRecordsPerFile", maxRecordsPerFile.toString)
+    try w.parquet(stage.toString) catch {
+      case e: Throwable =>
+        try fs.delete(stage, true) catch { case _: Throwable => () }
+        throw e
+    }
+    val dd = dataDir(root)
+    fs.mkdirs(dd)
+    val entries = moveIntoPool(fs, stage, dd)
+    fs.delete(stage, true)
+    commitRebase(fs, root, baseV, m.entries.map(_.rel).toSet, entries,
+      m.schemaDdl, m.partitionBy, keepVersions)
     true
   }
 

@@ -283,6 +283,50 @@ class SnapshotConcurrencySpec extends SparkSpec {
     assert(Snapshot.fsck(spark, p).filter(col("severity") === "error").isEmpty)
   }
 
+  test("materializeDeletes racing a disjoint insert: both land; racing a same-file rewrite is loud") {
+    val dir = freshDir("snap_conc_mat")
+    val p = s"$dir/t.parquet"
+    val base = seed(400)
+    WriteOps.atomicOverwrite(spark, render(base), p, indexBy = Seq("id"),
+      maxRecordsPerFile = 50, commitMode = "snapshot", keepVersions = 8)
+    Snapshot.deleteByKeys(spark, p, (100L until 120L).toDF("id"),
+      keepVersions = 8)
+    // race the fold against an INSERT of brand-new keys. Both ops
+    // change the DV set (the fold drops it; the DV-composing merge
+    // consolidates it), so the loser sees a PRECISE conflict and — as
+    // the Runner does — re-plans once against the new head; after one
+    // retry BOTH must land and the final state is the same either way
+    def withRetry(f: () => Unit): () => Unit = () =>
+      try f() catch { case _: Snapshot.CommitConflictException => f() }
+    val (r1, r2) = race(
+      withRetry(() => { Snapshot.materializeDeletes(spark, p,
+        indexBy = Seq("id"), keepVersions = 8); () }),
+      withRetry(() => prunedWrite(p, (700L until 710L).map(i => (i, s"N$i"))
+        .toDF("id", "txt"), WriteOp.Insert)))
+    assert(r1.isEmpty && r2.isEmpty,
+      s"fold and disjoint insert must both land after one re-plan: $r1 / $r2")
+    val want = (base -- (100L until 120L)) ++
+      (700L until 710L).map(i => i -> s"N$i")
+    assert(sorted(graft.sources.Resolver.readParquet(spark, p)) ==
+      sorted(render(want)))
+    val (_, vdir) = Snapshot.resolveVersion(fs, new Path(p), None)
+    assert(Snapshot.manifestAt(fs, vdir).get.deleteEntries.isEmpty)
+    assert(Snapshot.fsck(spark, p).filter(col("severity") === "error").isEmpty)
+    // a STALE fold racing a same-file rewrite must refuse loudly, not
+    // drop the rewrite: simulate with a direct stale rebase
+    Snapshot.deleteByKeys(spark, p, Seq(5L).toDF("id"), keepVersions = 8)
+    val mBase = Snapshot.manifestAt(fs,
+      Snapshot.resolveVersion(fs, new Path(p), None)._2).get
+    val vBase = Snapshot.resolveVersion(fs, new Path(p), None)._1
+    prunedWrite(p, Seq((0L, "Z")).toDF("id", "txt")) // rewrites a base file
+    intercept[Snapshot.CommitConflictException] {
+      Snapshot.commitRebase(fs, new Path(p), vBase,
+        mBase.entries.map(_.rel).toSet, Nil,
+        mBase.schemaDdl, mBase.partitionBy, keepVersions = 8)
+    }
+    ()
+  }
+
   test("lock contention: 2 threads x 3 sequential disjoint merges all land") {
     val dir = freshDir("snap_conc_many")
     val p = s"$dir/t.parquet"
