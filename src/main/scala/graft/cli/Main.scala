@@ -568,7 +568,9 @@ object Main {
     opts.vacuum.foreach { n => // [EXT] retention trim, no write
       val p = new org.apache.hadoop.fs.Path(Resolver.path(job.source.ref))
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      graft.operators.Snapshot.vacuum(fs, p, n)
+      // LOCKED: a standalone vacuum racing a live writer could sweep
+      // its manifest-written, marker-pending version dir mid-commit
+      graft.operators.Snapshot.vacuumLocked(fs, p, n)
       val kept = graft.operators.Snapshot.committed(fs, p).map(_._1)
       println(s"vacuum: retained versions ${kept.mkString(", ")}")
       return

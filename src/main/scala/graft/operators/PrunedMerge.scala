@@ -417,8 +417,14 @@ object PrunedMerge {
         val removed = touchedRel ++
           (if (dvKeyCols.isDefined) m.deleteEntries.map(_.rel).toSet
            else Set.empty[String])
+        // baseDeleteRels: a tombstone committed between this merge's
+        // base read and its commit is a CONFLICT, not a compose — it
+        // was not in the touched reads' anti-join, so rebasing it into
+        // the manifest would silently delete keys this merge upserted
+        // (Runner re-plans, re-reading through the new tombstones)
         Snapshot.commitRebase(fs, hPath, baseV, removed,
-          newEntries ++ dvEntries, outDdl, m.partitionBy, t.keepVersions)
+          newEntries ++ dvEntries, outDdl, m.partitionBy, t.keepVersions,
+          baseDeleteRels = Some(m.deleteEntries.map(_.rel).toSet))
         val totalBytes0 = envelopes.map(_.bytes).sum
         return Some(Stats(envelopes.size, touched.size, totalBytes0,
           touched.map(_.bytes).sum))

@@ -100,7 +100,7 @@ object Snapshot {
 
   // ── manifest io (driver-side, O(files) text) ─────────────────────
 
-  private def writeManifest(fs: FileSystem, vdir: Path, m: Manifest): Unit = {
+  private[graft] def writeManifest(fs: FileSystem, vdir: Path, m: Manifest): Unit = {
     val sb = new StringBuilder
     sb.append(FormatTag).append('\n')
     sb.append(m.schemaDdl).append('\n')
@@ -119,12 +119,21 @@ object Snapshot {
         .foreach(cs => sb.append('\t').append(cs.mkString(",")))
       sb.append('\n')
     }
-    // overwrite=false: two writers racing to the same version number
-    // (a violated single-writer contract) must fail LOUDLY here, not
-    // silently clobber each other's membership. Crash leftovers never
+    // EXCLUSIVE create ([[atomicCreate]], not fs.create(overwrite =
+    // false) — the latter is check-then-act on the local filesystem,
+    // HADOOP-9361): two writers racing to the same version number (a
+    // defeated commit lock) must fail LOUDLY here, not interleave
+    // writes so the marker winner commits the loser's membership
+    // bytes. After winning the exclusive create, this writer owns the
+    // (empty) file and fills it in place. Crash leftovers never
     // collide — an uncommitted stray `_v_n` makes the next commit
     // compute n+1.
-    val out = fs.create(new Path(vdir, ManifestName), false)
+    val mp = new Path(vdir, ManifestName)
+    if (!atomicCreate(fs, mp))
+      throw new java.io.IOException(
+        s"manifest already exists at $mp — a concurrent writer defeated " +
+          "the commit lock; this commit did NOT land, re-plan and retry")
+    val out = fs.create(mp, true)
     try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -416,7 +425,7 @@ object Snapshot {
           try System.currentTimeMillis() -
             fs.getFileStatus(lock).getModificationTime > StaleLockMs
           catch { case scala.util.control.NonFatal(_) => false }
-        if (stale) { try fs.delete(lock, false) catch { case scala.util.control.NonFatal(_) => () } }
+        if (stale) breakStaleLock(fs, root, lock)
         else if (System.currentTimeMillis() > deadline)
           throw new java.io.IOException(
             s"could not acquire commit lock $lock within ${AcquireTimeoutMs} ms")
@@ -428,12 +437,25 @@ object Snapshot {
     // commit stalled by GC keeps its lease as long as this daemon
     // breathes. Commits are sub-second metadata ops; the heartbeat is
     // belt-and-braces, and the manifest create-exclusive remains the
-    // loud backstop if both layers are defeated.
+    // loud backstop if both layers are defeated. Transient setTimes
+    // failures are swallowed PER ITERATION (the beat keeps beating —
+    // one hiccup must not silently convert a live holder into a
+    // stale-looking one for the rest of the commit); only interrupt
+    // (commit finished) exits the loop.
     val beat = new Thread(() => {
-      try while (!Thread.interrupted()) {
-        Thread.sleep(StaleLockMs / 6)
-        fs.setTimes(lock, System.currentTimeMillis(), -1)
-      } catch { case _: InterruptedException => () case scala.util.control.NonFatal(_) => () }
+      var run = true
+      while (run) {
+        try {
+          Thread.sleep(StaleLockMs / 6)
+          fs.setTimes(lock, System.currentTimeMillis(), -1)
+        } catch {
+          case _: InterruptedException => run = false
+          case scala.util.control.NonFatal(_) =>
+            // an interrupt DURING setTimes surfaces as an arbitrary IO
+            // failure with the flag set — honor it, else keep beating
+            if (Thread.currentThread().isInterrupted) run = false
+        }
+      }
     })
     beat.setDaemon(true)
     beat.start()
@@ -442,6 +464,56 @@ object Snapshot {
       try fs.delete(lock, false) catch { case scala.util.control.NonFatal(_) => () }
     }
   }
+
+  /** Break a crashed holder's lock by RENAME-to-tombstone, not delete
+    * (r12): two waiters can both observe a stale mtime, and with a
+    * plain delete the slower one could remove a FRESH lock the faster
+    * one had already re-created in the stat-to-delete window — two
+    * live commit-lock holders at once. Rename arbitrates: the lock
+    * file can move to exactly one breaker's unique tombstone name, so
+    * only one of N concurrent breakers proceeds past this point. The
+    * residual window (this breaker's stat saw the OLD lock but its
+    * rename caught a fresh one that slipped in between) is detected
+    * on the STOLEN file — rename preserves mtime — and the live
+    * holder's lock is put back. The manifest/marker create-exclusive
+    * pair remains the loud last arbiter behind all of this.
+    */
+  private def breakStaleLock(fs: FileSystem, root: Path, lock: Path): Unit = {
+    val tomb = new Path(root,
+      s"$LockName.broken.${System.nanoTime()}.${java.util.UUID.randomUUID()}")
+    val renamed =
+      try fs.rename(lock, tomb)
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (!renamed) return // another breaker won, or the holder finished
+    val stolenFresh =
+      try System.currentTimeMillis() -
+        fs.getFileStatus(tomb).getModificationTime <= StaleLockMs
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (stolenFresh) {
+      // a breaker+acquirer cycle slipped a LIVE lock under the path
+      // between our stat and our rename — restore it; if the path was
+      // re-taken meanwhile, drop the stolen copy (the displaced
+      // holder's commit still fails loudly on the manifest backstop
+      // if it ever collides)
+      val restored =
+        try fs.rename(tomb, lock)
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (!restored)
+        try fs.delete(tomb, false) catch { case scala.util.control.NonFatal(_) => () }
+    } else {
+      try fs.delete(tomb, false) catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  /** Vacuum under the commit lock — the entry point for STANDALONE
+    * retention trims (CLI `--vacuum`). Commit-time vacuums already run
+    * locked inside [[commitLocked]]; an unlocked standalone sweep
+    * could race a live writer and delete its manifest-written,
+    * marker-pending version dir mid-commit (the exact window the lock
+    * closes).
+    */
+  def vacuumLocked(fs: FileSystem, root: Path, keepVersions: Int): Unit =
+    withCommitLock(fs, root)(vacuum(fs, root, keepVersions))
 
   /** Commit a new version whose membership is `entries`, then vacuum
     * to `keepVersions` committed generations (data files refcounted
@@ -472,6 +544,26 @@ object Snapshot {
     require(atomicCreate(fs, new Path(vdir, Versioned.Marker)),
       s"commit marker collision at $vdir — a concurrent writer defeated " +
         "the commit lock; this commit did NOT land, re-plan and retry")
+    // RE-VERIFY the manifest under the freshly created marker (r12):
+    // if every lock layer was defeated, a racing holder's vacuum can
+    // delete this writer's manifest-written-but-unmarked version dir,
+    // after which the marker create above (atomicCreate mkdirs the
+    // parent) would otherwise publish a MARKER-ONLY version — an
+    // unreadable head instead of the promised loud failure. A missing
+    // or torn manifest here un-publishes the version and aborts.
+    val ok =
+      try manifestAt(fs, vdir).exists(read =>
+        read.entries == m.entries && read.schemaDdl == m.schemaDdl &&
+          read.partitionBy == m.partitionBy)
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (!ok) {
+      try fs.delete(vdir, true) catch { case scala.util.control.NonFatal(_) => () }
+      throw CommitConflictException(
+        s"commit verification failed at $vdir — the manifest vanished or " +
+          "was altered between write and marker (a concurrent writer " +
+          "defeated the commit lock); this commit did NOT land, re-plan " +
+          "and retry")
+    }
     vacuum(fs, root, keepVersions)
     next
   }
@@ -488,6 +580,20 @@ object Snapshot {
     * land: disjoint pruned upserts, a compaction racing an append, a
     * DV delete racing a merge. All head inspection runs under the
     * commit lock, so the check-then-commit window is closed.
+    *
+    * `baseDeleteRels` (r12, ADVICE) marks callers whose REWRITTEN rows
+    * assert new values (merges): Some(the base manifest's DV rels)
+    * makes a tombstone committed CONCURRENTLY (a head delete entry
+    * absent from that base set) a loud conflict — rebasing would keep
+    * the racer's tombstone in the manifest, where it anti-joins the
+    * rewritten files at read and silently deletes keys this commit
+    * just upserted (the batch-write-wins contract broken). The re-plan
+    * re-reads through the new tombstones and re-asserts. None (the
+    * default) keeps the compose behavior for callers whose output
+    * rows carry no new values — DV deletes (delete-after-anything
+    * serializes correctly), compaction and materialization (rewritten
+    * rows are bit-copies, so a surviving newer tombstone applying to
+    * them IS the serial delete-after order).
     */
   private[graft] def commitRebase(fs: FileSystem, root: Path,
                                   baseVersion: Long,
@@ -495,7 +601,8 @@ object Snapshot {
                                   added: Seq[Entry],
                                   schemaDdl: String,
                                   partitionBy: Seq[String],
-                                  keepVersions: Int): Long =
+                                  keepVersions: Int,
+                                  baseDeleteRels: Option[Set[String]] = None): Long =
     withCommitLock(fs, root) {
       val (hv, hdir) = committed(fs, root).lastOption.getOrElse(
         throw CommitConflictException(
@@ -517,6 +624,19 @@ object Snapshot {
               s"touches: ${missing.toSeq.sorted.take(5).mkString(", ")}" +
               (if (missing.size > 5) s" (+${missing.size - 5} more)" else "") +
               " — re-plan against the new head")
+        baseDeleteRels.foreach { baseDels =>
+          val newTombs = mh.deleteEntries.map(_.rel)
+            .filterNot(r => baseDels.contains(r) || removedRels.contains(r))
+          if (newTombs.nonEmpty)
+            throw CommitConflictException(
+              s"concurrent commit(s) up to v$hv added deletion vector(s) " +
+                s"this merge did not read: ${newTombs.sorted.take(5)
+                  .mkString(", ")}" +
+                (if (newTombs.size > 5) s" (+${newTombs.size - 5} more)" else "") +
+                " — rebasing would apply them to the merge's rewritten " +
+                "rows and silently drop its upserts; re-plan against the " +
+                "new head")
+        }
       }
       val outDdl = mergeSchemaDdl(schemaDdl, mh.schemaDdl)
       commitLocked(fs, root,
@@ -780,7 +900,12 @@ object Snapshot {
 
   private def sweepStaleStages(fs: FileSystem, root: Path): Unit =
     try fs.listStatus(root).foreach { s =>
-      if (s.getPath.getName.startsWith("._snap_stage_") &&
+      val n = s.getPath.getName
+      // `.broken.` tombstones are a breaker's rename target — deleted
+      // right after the steal, so an aged one is a crashed breaker's
+      // leftover (age-gated like stages: a live breaker deletes within
+      // milliseconds)
+      if ((n.startsWith("._snap_stage_") || n.startsWith(s"$LockName.broken.")) &&
           System.currentTimeMillis() - s.getModificationTime > StageGraceMs)
         try fs.delete(s.getPath, true) catch { case _: Throwable => () }
     } catch { case _: Throwable => () }

@@ -122,8 +122,16 @@ class SnapshotConcurrencySpec extends SparkSpec {
       Snapshot.deleteByKeys(spark, p, ids.toDF("id"), keepVersions = 5); ()
     }
     def delM(ids: Seq[Long])(m: Model): Model = m -- ids
-    def up(ids: Seq[Long])(p: String): Unit =
-      prunedWrite(p, ids.map(i => (i, s"U$i")).toDF("id", "txt"))
+    // the merge re-plans ONCE on conflict (the Runner's behavior): a
+    // tombstone that landed between its base read and its commit is a
+    // loud conflict by design (r12 — rebasing it would anti-join the
+    // merge's rewritten rows), and the re-plan reads THROUGH the new
+    // tombstone, so both ops land either way the race resolves
+    def up(ids: Seq[Long])(p: String): Unit = {
+      def once(): Unit =
+        prunedWrite(p, ids.map(i => (i, s"U$i")).toDF("id", "txt"))
+      try once() catch { case _: Snapshot.CommitConflictException => once() }
+    }
     def upM(ids: Seq[Long])(m: Model): Model = m ++ ids.map(i => i -> s"U$i")
     val (kill, band) = ((100L until 120L), (300L until 310L))
     check("dv-vs-upsert", 400,
@@ -325,6 +333,98 @@ class SnapshotConcurrencySpec extends SparkSpec {
         mBase.schemaDdl, mBase.partitionBy, keepVersions = 8)
     }
     ()
+  }
+
+  test("a tombstone committed under a merge is a LOUD conflict, not a silent lost delete (r12)") {
+    // the ADVICE scenario, deterministic: a deleteByKeys lands between
+    // a merge's base read and its commit; a rebase that kept the new
+    // tombstone would anti-join the merge's rewritten files at read
+    // and silently delete keys the merge upserted
+    val dir = freshDir("snap_conc_tomb")
+    val p = s"$dir/t.parquet"
+    WriteOps.atomicOverwrite(spark, render(seed(400)), p, indexBy = Seq("id"),
+      maxRecordsPerFile = 50, commitMode = "snapshot", keepVersions = 8)
+    val root = new Path(p)
+    val (vBase, vdir) = Snapshot.resolveVersion(fs, root, None)
+    val mBase = Snapshot.manifestAt(fs, vdir).get
+    Snapshot.deleteByKeys(spark, p, (0L until 10L).toDF("id"), keepVersions = 8)
+    // a merge planned against vBase (no tombstones read) must refuse
+    val e = intercept[Snapshot.CommitConflictException] {
+      Snapshot.commitRebase(fs, root, vBase, Set.empty, Nil,
+        mBase.schemaDdl, mBase.partitionBy, keepVersions = 8,
+        baseDeleteRels = Some(Set.empty))
+    }
+    assert(e.getMessage.contains("deletion vector"))
+    // compose-class callers (deletes, compaction, materialization)
+    // still rebase straight through the same head move
+    val v = Snapshot.commitRebase(fs, root, vBase, Set.empty, Nil,
+      mBase.schemaDdl, mBase.partitionBy, keepVersions = 8)
+    assert(v > vBase)
+  }
+
+  test("OVERLAPPING DV delete vs pruned upsert race: linearizable with one re-plan") {
+    // same keys on both sides — the outcome depends on commit order:
+    // delete-then-upsert keeps the upserted values, upsert-then-delete
+    // removes the keys; both are serial orders check() accepts. The
+    // merge retries once (Runner behavior) when the delete wins the
+    // race and conflicts it.
+    def del(ids: Seq[Long])(p: String): Unit = {
+      Snapshot.deleteByKeys(spark, p, ids.toDF("id"), keepVersions = 5); ()
+    }
+    def delM(ids: Seq[Long])(m: Model): Model = m -- ids
+    def up(ids: Seq[Long])(p: String): Unit = {
+      def once(): Unit =
+        prunedWrite(p, ids.map(i => (i, s"U$i")).toDF("id", "txt"))
+      try once() catch { case _: Snapshot.CommitConflictException => once() }
+    }
+    def upM(ids: Seq[Long])(m: Model): Model = m ++ ids.map(i => i -> s"U$i")
+    val band = 100L until 130L
+    check("dv-overlap-upsert", 400,
+      del(band), delM(band), up(band), upM(band), requireBoth = true)
+  }
+
+  test("two waiters racing to break the SAME stale lock: rename arbitration, both commit") {
+    val dir = freshDir("snap_conc_break")
+    val p = s"$dir/t.parquet"
+    WriteOps.atomicOverwrite(spark, render(seed(400)), p, indexBy = Seq("id"),
+      maxRecordsPerFile = 50, commitMode = "snapshot", keepVersions = 8)
+    // plant a crashed holder's lock, then race two disjoint merges:
+    // both observe the stale lease; only ONE rename-steal can succeed
+    // (the other's rename finds no source), so the lock layer is never
+    // double-held — both commits land serially, fsck stays clean
+    val lock = new Path(p, "_commit.lock")
+    fs.create(lock, false).close()
+    fs.setTimes(lock, System.currentTimeMillis() - 2 * 60 * 1000L, -1)
+    def up(ids: Seq[Long], tag: String)(p0: String): Unit =
+      prunedWrite(p0, ids.map(i => (i, s"$tag$i")).toDF("id", "txt"))
+    val (r1, r2) = race(() => up(0L until 10L, "A")(p),
+      () => up(300L until 310L, "B")(p))
+    assert(r1.isEmpty && r2.isEmpty, s"both breakers must commit: $r1 / $r2")
+    assert(!fs.exists(lock), "lock released after the race")
+    // no leftover break tombstones (the loser's rename never happened,
+    // the winner deleted its stolen copy)
+    val stray = fs.listStatus(new Path(p)).map(_.getPath.getName)
+      .filter(_.startsWith("_commit.lock.broken."))
+    assert(stray.isEmpty, s"leftover break tombstones: ${stray.toSeq}")
+    assert(Snapshot.fsck(spark, p).filter(col("severity") === "error").isEmpty)
+  }
+
+  test("same-version manifest write loses LOUDLY (exclusive create backstop, r12)") {
+    // a fully defeated lock ends with two writers targeting the SAME
+    // version dir: the manifest's exclusive create is the backstop —
+    // the second write must throw, never interleave bytes so the
+    // marker winner publishes the loser's membership
+    val dir = freshDir("snap_conc_mexcl")
+    val vdir = new Path(dir, f"_v_${2L}%020d")
+    val m = Snapshot.Manifest("id BIGINT", Nil, Seq(Snapshot.Entry("a.parquet", 1L)))
+    Snapshot.writeManifest(fs, vdir, m)
+    val e = intercept[java.io.IOException] {
+      Snapshot.writeManifest(fs, vdir,
+        m.copy(entries = Seq(Snapshot.Entry("b.parquet", 2L))))
+    }
+    assert(e.getMessage.contains("did NOT land"))
+    // the winner's bytes are intact
+    assert(Snapshot.manifestAt(fs, vdir).get.entries.head.rel == "a.parquet")
   }
 
   test("lock contention: 2 threads x 3 sequential disjoint merges all land") {
