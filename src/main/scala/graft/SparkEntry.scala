@@ -233,6 +233,48 @@ object SparkEntry {
       graft.sources.Resolver.readParquet(s, p).orderBy("o_orderkey")
     }),
 
+    // ── [EXT r12] PREDICATE deletion vector (Iceberg equality-delete
+    // analog, generalized): the same logical delete as q_delete_dv but
+    // committed as the PREDICATE ITSELF — the GDPR/retention shape
+    // needs no scan to materialize matching pks, writes O(predicate
+    // string) bytes, and reads drop matching rows via a pushed filter
+    // instead of an anti-join. In-query requires prove ZERO data files
+    // were touched, v1 time-travels intact, AND the law: predicate-DV
+    // ≡ keys-DV on the materialized key set (a twin table deletes the
+    // same rows by key; both reads must agree exactly). ──────────────
+    "q_delete_dv_pred" -> ((s, dir) => {
+      val scratch = scratchDir("graft_dvp")
+      val orders = read(s, dir, "orders")
+      val mrpf = math.max(500, orders.count() / 24)
+      val p = s"$scratch/orders_t.parquet"
+      WriteOps.atomicOverwrite(s, orders, p, indexBy = Seq("o_orderkey"),
+        maxRecordsPerFile = mrpf, commitMode = "snapshot", keepVersions = 3)
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fsys = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      def dataFiles = graft.operators.Snapshot
+        .listDataFilesRec(fsys, graft.operators.Snapshot.dataDir(hp))
+        .map(_._1.toString).toSet
+      val before = dataFiles
+      val pred = "o_orderstatus = 'F' AND o_orderkey < 5000"
+      graft.operators.Snapshot.deleteByPredicate(s, p, pred, keepVersions = 3)
+      require(dataFiles == before,
+        "predicate-DV delete must not write or remove any data file")
+      require(graft.sources.Resolver.readParquet(s, p, Some(1L)).count() ==
+        orders.count(), "v1 must time-travel intact through the DV commit")
+      // LAW: predicate-DV ≡ keys-DV on the materialized key set
+      val twin = s"$scratch/orders_k.parquet"
+      WriteOps.atomicOverwrite(s, orders, twin, indexBy = Seq("o_orderkey"),
+        maxRecordsPerFile = mrpf, commitMode = "snapshot", keepVersions = 3)
+      graft.operators.Snapshot.deleteByKeys(s, twin,
+        orders.filter(expr(pred)).select("o_orderkey"), keepVersions = 3)
+      val byPred = graft.sources.Resolver.readParquet(s, p)
+      val byKeys = graft.sources.Resolver.readParquet(s, twin)
+      require(byPred.exceptAll(byKeys).isEmpty &&
+        byKeys.exceptAll(byPred).isEmpty,
+        "predicate-DV and keys-DV must serve identical logical tables")
+      byPred.orderBy("o_orderkey")
+    }),
+
     // ── [EXT r11] incremental upsert THROUGH active deletion vectors:
     // the pruned merge anti-joins the tombstone set on its touched-file
     // reads and commits only the SURVIVING tombstones (batch-re-asserted
@@ -1849,6 +1891,14 @@ object SparkEntry {
          WHERE o_orderkey NOT IN (
            SELECT o_orderkey FROM orders
            WHERE o_orderstatus = 'F' AND o_orderkey < 5000)
+         ORDER BY o_orderkey""",
+    // the predicate tombstone deletes rows where the predicate is TRUE
+    // (NULL keeps the row — SQL DELETE semantics), so the oracle is the
+    // direct complement filter; physical claims (zero data files, the
+    // pred≡keys law) are in-query requires
+    "q_delete_dv_pred" ->
+      """SELECT * FROM orders
+         WHERE NOT (o_orderstatus = 'F' AND o_orderkey < 5000)
          ORDER BY o_orderkey""",
     // delete-then-upsert replayed logically: keys < 1000 carry the
     // doubled price (re-asserted even where tombstoned); other

@@ -859,9 +859,13 @@ object Main {
       |               the target as an incremental rollup STATE table —
       |               per micro-batch pruned merge, (query-id, batch-id)
       |               idempotence; read back with rollup_finish)
-      |               --dv (delete op commits pk TOMBSTONES into the
+      |               --dv (delete op commits TOMBSTONES into the
       |               snapshot layout instead of rewriting files —
-      |               merge-on-read; reads anti-join them; needs --pk)
+      |               merge-on-read. With --pk: the batch's pk tuples.
+      |               With --tq: the PREDICATE itself — a retention/
+      |               GDPR delete needs no key-materializing scan and
+      |               touches zero data files; reads drop matching rows
+      |               via a pushed filter. Both: pk∈batch AND tq.)
       |               --fold-deletes-above F (compaction folds the DV set
       |                 entirely when tombstone bytes exceed F of data bytes)
       |               --materialize-deletes (fold accumulated tombstones

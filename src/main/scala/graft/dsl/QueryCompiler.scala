@@ -129,6 +129,35 @@ object QueryCompiler {
       })
   }
 
+  /** Compile a query's predicate pairs into ONE ANSI-SQL boolean
+    * expression string (r12 — the predicate-deletion-vector route:
+    * `-o delete --dv --tq …` commits the tq as a read-time tombstone,
+    * so the predicate must round-trip through text). Values are typed
+    * against `df`'s schema exactly like [[predicate]]; the returned
+    * string re-parses with `expr(...)`.
+    */
+  def predicateSql(df: DataFrame, query: Seq[(String, String)]): String = {
+    val preds = query.collect {
+      case (k, v) if !ControlKeys.contains(k) =>
+        val (field, op) = splitOp(k)
+        predicate(df, field, op, v)
+    }
+    require(preds.nonEmpty, s"no predicate pairs in query: $query")
+    columnSql(df, preds.reduce(_ && _))
+  }
+
+  /** ANSI-SQL text of a Column, resolved against `df` (Spark 4 Columns
+    * are lazy ColumnNodes — only the ANALYZED expression renders
+    * portable SQL). Resolution also validates the references.
+    */
+  def columnSql(df: DataFrame, c: Column): String =
+    df.select(c.as("__sql__")).queryExecution.analyzed.expressions
+      .collectFirst {
+        case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child.sql
+      }
+      .getOrElse(throw new IllegalStateException(
+        s"cannot render column to SQL: $c"))
+
   /** `_sort=-f` → descending (reference: base.py:353-354). */
   def sortColumns(sort: Seq[String]): Seq[Column] = sort.map {
     case s if s.startsWith("-") => col(s.drop(1)).desc

@@ -117,14 +117,52 @@ object Runner {
               "it silently would betray the flag")
           val dv = t.op == graft.spec.WriteOp.Delete && t.deleteVectors
           if (dv) {
-            require(t.pk.nonEmpty, "--dv delete needs --pk")
             require(graft.operators.Snapshot.isSnapshotLayout(
               fs, new org.apache.hadoop.fs.Path(tgtPath)),
               s"--dv needs a snapshot layout at $tgtPath (write it with " +
                 "--commit snapshot first)")
-            graft.operators.Snapshot.deleteByKeys(spark, tgtPath,
-              batch.select(t.pk.map(org.apache.spark.sql.functions.col): _*),
-              t.keepVersions)
+            if (t.query.nonEmpty) {
+              // PREDICATE tombstone (r12): the --tq compiles to ONE
+              // ANSI predicate committed as an equality/range-delete
+              // analog — the GDPR/retention shape needs NO scan to
+              // materialize matching pks and touches ZERO data files.
+              // With --pk too, delete's contract is pk∈batch AND tq:
+              // the batch's keys inline into the predicate (bounded —
+              // a predicate is metadata, not a data structure).
+              import org.apache.spark.sql.functions.{col, expr, lit}
+              val head = graft.operators.Snapshot.readAt(spark, tgtPath)
+              val tqSql = graft.dsl.QueryCompiler.predicateSql(head, t.query)
+              val predSql =
+                if (t.pk.isEmpty) Some(tqSql)
+                else {
+                  val keys = batch
+                    .select(t.pk.map(col): _*).distinct().limit(10001).collect()
+                  require(keys.length <= 10000,
+                    "--dv delete with BOTH --pk and --tq inlines the batch " +
+                      "keys into the predicate tombstone — bounded at 10k " +
+                      "distinct keys; drop --tq (key tombstones scale) or " +
+                      "pre-filter the batch")
+                  if (keys.isEmpty) None // empty batch deletes nothing
+                  else {
+                    val keyCond = keys.toIndexedSeq.map(r =>
+                      t.pk.zipWithIndex.map { case (c, i) =>
+                        col(c) <=> lit(r.get(i)) }.reduce(_ && _)).reduce(_ || _)
+                    Some(graft.dsl.QueryCompiler.columnSql(head,
+                      keyCond && expr(tqSql)))
+                  }
+                }
+              predSql match {
+                case Some(p) => graft.operators.Snapshot.deleteByPredicate(
+                  spark, tgtPath, p, t.keepVersions)
+                case None => System.err.println(
+                  "[graft] --dv delete: empty batch, nothing to tombstone")
+              }
+            } else {
+              require(t.pk.nonEmpty, "--dv delete needs --pk or --tq")
+              graft.operators.Snapshot.deleteByKeys(spark, tgtPath,
+                batch.select(t.pk.map(org.apache.spark.sql.functions.col): _*),
+                t.keepVersions)
+            }
           }
           // OPTIMISTIC retry (r11): a concurrent writer can win the
           // snapshot commit race (Snapshot.CommitConflictException —

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
 
 /** Small-file compaction for parquet targets — the maintenance
   * complement of [[PrunedMerge]] (the OPTIMIZE of lakehouse table
@@ -173,13 +173,40 @@ object Compaction {
     // the read path serves them
     val dataSchema = org.apache.spark.sql.types.StructType(
       m.schema.fields.filterNot(f => m.partitionBy.contains(f.name)))
+    // PREDICATE tombstones ([[Snapshot.deleteByPredicate]]) are not
+    // key sets — they fold as FILTERS into every rewritten group, and
+    // only when the predicate analyzes against the data schema alone
+    // (one referencing a partition column can't evaluate on a
+    // per-group read that lacks the column — it carries through).
+    // Folding is idempotent (the read applies surviving tombstones
+    // again), so partially-foldable sets stay sound.
+    val (predDel, keyDel) = delEntries.partition(e =>
+      e.cols.contains(Seq(Snapshot.PredColName)) ||
+        (e.cols.isEmpty && spark.read.parquet(new Path(dd, e.rel).toString)
+          .columns.sameElements(Array(Snapshot.PredColName))))
+    val emptyData = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dataSchema)
+    def foldablePred(p: String): Boolean =
+      try {
+        emptyData.filter(!coalesce(expr(p), lit(false)))
+          .queryExecution.analyzed
+        true
+      } catch { case scala.util.control.NonFatal(_) => false }
+    // per-FILE foldability: a DV file drops from the manifest only if
+    // every predicate it carries folded into every rewritten group
+    val predByFile: Seq[(String, Seq[String], Boolean)] = predDel.map { e =>
+      val ps = Snapshot.readPredicates(spark,
+        Seq(new Path(dd, e.rel).toString))
+      (e.rel, ps, ps.forall(foldablePred))
+    }
+    val foldPreds = predByFile.filter(_._3).flatMap(_._2).distinct.sorted
     // foldable tombstone groups: every key column must be DATA-resident
     // (a partition-column tombstone can't anti-join a per-group read
     // that lacks the column) — otherwise carry through untouched
     val dvGroups: Option[Seq[(Seq[String], Seq[String])]] =
-      if (delEntries.isEmpty) None
+      if (keyDel.isEmpty) None
       else {
-        val withCols = delEntries.map { e =>
+        val withCols = keyDel.map { e =>
           val f = new Path(dd, e.rel).toString
           (e.cols.getOrElse(spark.read.parquet(f).columns.toSeq), f)
         }
@@ -188,20 +215,28 @@ object Compaction {
             .mapValues(_.map(_._2)).toSeq.sortBy(_._1.mkString(",")))
         else None
       }
-    def applyDv(df: org.apache.spark.sql.DataFrame) = dvGroups.fold(df) { gs =>
-      gs.foldLeft(df) { case (acc, (cols, files)) =>
-        val keys = spark.read.parquet(files: _*)
-          .select(cols.map(c => col(c).cast(dataSchema(c).dataType).as(c)): _*)
-          .distinct()
-        val cond = cols.map(c => acc(c) <=> keys(c)).reduce(_ && _)
-        acc.join(keys, cond, "left_anti")
+    def applyDv(df0: org.apache.spark.sql.DataFrame) = {
+      val df = dvGroups.fold(df0) { gs =>
+        gs.foldLeft(df0) { case (acc, (cols, files)) =>
+          val keys = spark.read.parquet(files: _*)
+            .select(cols.map(c => col(c).cast(dataSchema(c).dataType).as(c)): _*)
+            .distinct()
+          val cond = cols.map(c => acc(c) <=> keys(c)).reduce(_ && _)
+          acc.join(keys, cond, "left_anti")
+        }
       }
+      foldPreds.foldLeft(df)((acc, p) =>
+        acc.filter(!coalesce(expr(p), lit(false))))
     }
     // merge-on-read debt ceiling: past the threshold, widen to a full
-    // fold — every data file rewrites and the DV set drops entirely
+    // fold — every data file rewrites and the DV set drops entirely.
+    // Only meaningful when EVERY tombstone can fold (else the
+    // unfoldable remainder keeps the debt anyway).
+    val allFoldable = delEntries.nonEmpty &&
+      (keyDel.isEmpty || dvGroups.isDefined) && predByFile.forall(_._3)
     val dvFrac = delEntries.map(_.bytes).sum.toDouble /
       math.max(1L, dataEntries.map(_.bytes).sum)
-    val forceAll = dvGroups.isDefined && dvFrac >= foldDeletesAbove
+    val forceAll = allFoldable && dvFrac >= foldDeletesAbove
     val groups = dataEntries.groupBy { e =>
       val cut = e.rel.lastIndexOf('/')
       if (cut < 0) "" else e.rel.substring(0, cut)
@@ -238,11 +273,13 @@ object Compaction {
       }
       if (dirs == 0) return Stats(0, m.entries.size, 0, 0L, 0)
       val newEntries = Snapshot.moveIntoPool(fs, stage, dd)
-      // the DV set drops only when EVERY remaining data file was
-      // rewritten with the fold applied — otherwise kept files still
+      // a DV file drops only when EVERY remaining data file was
+      // rewritten with ITS fold applied — otherwise kept files still
       // need their tombstones at read
-      if (dvGroups.isDefined && kept.isEmpty)
-        removedRels ++= delEntries.map(_.rel)
+      if (kept.isEmpty) {
+        if (dvGroups.isDefined) removedRels ++= keyDel.map(_.rel)
+        removedRels ++= predByFile.filter(_._3).map(_._1)
+      }
       // OPTIMISTIC commit: a compaction racing an append/disjoint
       // merge rebases (its rewritten files are still head members); a
       // concurrent rewrite of the SAME files is a loud conflict

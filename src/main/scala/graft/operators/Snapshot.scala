@@ -57,6 +57,14 @@ object Snapshot {
     * generic walk's underscore skip would miss them (vacuum, fsck).
     */
   val DeletesDirName = "_deletes"
+  /** Column name marking a PREDICATE deletion vector ([[deleteByPredicate]]):
+    * the DV parquet holds rows of this single string column, each an
+    * ANSI-SQL boolean expression over the table schema; reads drop
+    * every row where a predicate evaluates TRUE. Distinguishes
+    * predicate tombstones from key tombstones in the manifest's
+    * recorded colset without a new manifest format.
+    */
+  val PredColName = "__pred__"
   private val FormatTag = "graft-snapshot-v1"
 
   /** One pool file of a version: path RELATIVE to `_data` (hive
@@ -278,18 +286,42 @@ object Snapshot {
     // only for legacy entries that predate the recording — and
     // anti-join per group: each tombstone removes the rows matching
     // ITS OWN partial key tuple.
-    val byCols = dels
-      .map(e => (new Path(dd, e.rel).toString, e.cols))
-      .groupBy { case (f, cols) =>
-        cols.getOrElse(spark.read.parquet(f).columns.toSeq) }
+    val withCols = dels.map { e =>
+      val f = new Path(dd, e.rel).toString
+      (f, e.cols.getOrElse(spark.read.parquet(f).columns.toSeq))
+    }
+    // PREDICATE tombstones ([[deleteByPredicate]]) apply as filters:
+    // a row dies when any committed predicate evaluates TRUE on it
+    // (SQL DELETE semantics — NULL/false keeps the row). The predicate
+    // strings are driver-collected (a few bytes per retention/GDPR
+    // sweep) and fold into the scan as ordinary codegen'd filters that
+    // PUSH DOWN to the parquet row-group stats — a predicate delete
+    // costs each read a pushed filter, never a join.
+    val (predFiles, keyFiles) = withCols.partition(_._2 == Seq(PredColName))
+    val afterPred =
+      if (predFiles.isEmpty) df
+      else readPredicates(spark, predFiles.map(_._1))
+        .foldLeft(df)((acc, p) => acc.filter(!coalesce(expr(p), lit(false))))
+    keyFiles
+      .groupBy(_._2)
       .map { case (cols, files) => (cols, files.map(_._1)) }
-    byCols.toSeq.sortBy(_._1.mkString(","))
-      .foldLeft(df) { case (acc, (_, files)) =>
+      .toSeq.sortBy(_._1.mkString(","))
+      .foldLeft(afterPred) { case (acc, (_, files)) =>
         val keys = spark.read.parquet(files: _*).distinct()
         val cond = keys.columns.map(c => acc(c) <=> keys(c)).reduce(_ && _)
         acc.join(keys, cond, "left_anti")
       }
   }
+
+  /** The distinct predicate strings of a set of predicate-DV files,
+    * sorted for plan determinism. Driver-side: each file holds a
+    * handful of strings.
+    */
+  private[operators] def readPredicates(spark: SparkSession,
+                                        files: Seq[String]): Seq[String] =
+    spark.read.parquet(files: _*)
+      .select(PredColName).distinct().collect()
+      .map(_.getString(0)).sorted.toSeq
 
   /** Scan a subset of one manifest's members, normalized to the
     * manifest's logical schema. The membership-restriction primitive
@@ -761,6 +793,86 @@ object Snapshot {
     val v = commitRebase(fs, root, baseV, Set.empty, moved,
       m.schemaDdl, m.partitionBy, keepVersions)
     (v, n)
+  }
+
+  /** PREDICATE deletion vector (r12 — the Iceberg equality-delete
+    * analog, generalized): commit an ANSI-SQL boolean predicate as a
+    * tombstone, so a retention/GDPR sweep shaped as a PREDICATE
+    * ("ts < cutoff", "user_id IN (…)") deletes in O(bytes of the
+    * predicate string) — no scan to materialize matching pks first
+    * ([[deleteByKeys]] route), no data file touched, no data file
+    * read. Reads drop rows where the predicate evaluates TRUE (SQL
+    * DELETE semantics: NULL keeps the row) via an ordinary pushed
+    * filter — cheaper at scan time than a key anti-join. Composes
+    * with everything the key tombstones compose with: time travel
+    * serves pre-delete versions, [[materializeDeletes]] folds it,
+    * refcount vacuum reclaims it, and the incremental writers decline
+    * to full-materialize when one is live (a predicate can match rows
+    * in files a merge does not touch, same reason partial-key
+    * tombstones decline).
+    *
+    * The predicate is validated HERE — it must analyze against the
+    * table schema, be deterministic, and carry no time-dependent
+    * function (`current_date()` would delete a GROWING set as clock
+    * time passes; bind the cutoff to a literal instead). A bad
+    * predicate fails this commit loudly rather than poisoning every
+    * future read of the table.
+    *
+    * Returns the new version number.
+    */
+  def deleteByPredicate(spark: SparkSession, rootStr: String, predSql: String,
+                        keepVersions: Int = 2): Long = {
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    sweepStaleStages(fs, root)
+    val (baseV, vdir) = resolveVersion(fs, root, None)
+    val m = manifestAt(fs, vdir).getOrElse(throw new IllegalArgumentException(
+      s"deletion vectors need a snapshot layout at $rootStr"))
+    require(predSql.trim.nonEmpty, "empty delete predicate")
+    // analyze against the recorded schema (throws AnalysisException on
+    // unknown columns / type errors), then audit the RESOLVED tree
+    val probe = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      m.schema).filter(expr(predSql))
+    val conds = probe.queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    conds.foreach { c =>
+      require(c.deterministic,
+        s"delete predicate must be deterministic (a tombstone re-evaluates " +
+          s"on every read): $predSql")
+      c.foreach {
+        case e @ (_: org.apache.spark.sql.catalyst.expressions.CurrentDate |
+                  _: org.apache.spark.sql.catalyst.expressions.CurrentTimestampLike |
+                  _: org.apache.spark.sql.catalyst.expressions.LocalTimestamp) =>
+          throw new IllegalArgumentException(
+            s"delete predicate must not depend on evaluation time " +
+              s"(${e.prettyName}() re-evaluates on every read and would " +
+              s"delete a growing row set) — bind the instant to a literal: " +
+              predSql)
+        case _ => ()
+      }
+    }
+    val stage = new Path(root, s"._snap_stage_${System.nanoTime()}")
+    val frame = spark.createDataFrame(
+      java.util.Collections.singletonList(Row(predSql)),
+      StructType(Seq(org.apache.spark.sql.types.StructField(
+        PredColName, org.apache.spark.sql.types.StringType, nullable = false))))
+    try frame.coalesce(1).write.parquet(stage.toString) catch {
+      case e: Throwable =>
+        try fs.delete(stage, true) catch { case _: Throwable => () }
+        throw e
+    }
+    val delDir = new Path(dataDir(root), DeletesDirName)
+    fs.mkdirs(delDir)
+    val moved = moveIntoPool(fs, stage, delDir)
+      .map(e => e.copy(rel = s"$DeletesDirName/${e.rel}",
+        cols = Some(Seq(PredColName))))
+    fs.delete(stage, true)
+    // rebase with nothing removed: like a key tombstone, a predicate
+    // delete composes with any concurrent commit (it applies to
+    // whatever rows the new head holds — delete-after-X order)
+    commitRebase(fs, root, baseV, Set.empty, moved,
+      m.schemaDdl, m.partitionBy, keepVersions)
   }
 
   /** Fold accumulated deletion vectors into the data: one full

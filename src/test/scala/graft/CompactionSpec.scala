@@ -187,4 +187,74 @@ class CompactionSpec extends SparkSpec {
       Seq((5L, "back")).toDF("id", "txt"), spec.copy(op = WriteOp.Upsert), p)
     assert(again.exists(s => s.filesRewritten < s.filesTotal))
   }
+
+  test("snapshot compaction folds PREDICATE tombstones; partition-col predicates carry (r12)") {
+    import graft.operators.Snapshot
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+
+    // flat layout: a data-schema predicate folds and (at the ceiling) drops
+    val dir = freshDir("compact_dvpred")
+    val p = s"$dir/t.parquet"
+    val base = spark.range(400).select($"id",
+      sha2(concat(lit("pay"), $"id".cast("string")), 512).as("txt"))
+    // big sorted files + small appended fragments (the existing
+    // fold-test fixture shape) so a partial compaction KEEPS files
+    WriteOps.atomicOverwrite(spark, base, p, indexBy = Seq("id"),
+      maxRecordsPerFile = 200, commitMode = "snapshot", keepVersions = 2)
+    val spec = TargetSpec(DatasetRef("parquet", dir, "t"),
+      op = WriteOp.Insert, pk = Seq("id"), indexBy = Seq("id"),
+      commitMode = "snapshot")
+    for (b <- 1L to 3L) {
+      val batch = base.filter(col("id") < 10)
+        .withColumn("id", col("id") + 100000L * b)
+      assert(PrunedMerge.merge(spark,
+        graft.sources.Resolver.readParquet(spark, p), batch, spec, p).isDefined)
+    }
+    Snapshot.deleteByPredicate(spark, p, "id % 10 = 7")
+    val want = sortedRows(graft.sources.Resolver.readParquet(spark, p))
+    // ceiling off: tiny predicate bytes never trip it; small files
+    // compact WITH the fold, big files are kept — the predicate
+    // CARRIES (kept files still need it) and reads stay correct
+    // (re-applying a folded filter is idempotent)
+    val st = Compaction.compact(spark, p, Seq("id"), 20000L,
+      keepVersions = 2, foldDeletesAbove = 1.0)
+    assert(st.filesCompacted > 0)
+    val m1 = Snapshot.manifestAt(fs,
+      Snapshot.resolveVersion(fs, new Path(p), None)._2).get
+    assert(m1.deleteEntries.nonEmpty,
+      "kept files still need the predicate at read")
+    assert(sortedRows(graft.sources.Resolver.readParquet(spark, p)) == want)
+    // ceiling at zero: full rewrite folds the predicate and DROPS it
+    val st2 = Compaction.compact(spark, p, Seq("id"), 20000L,
+      keepVersions = 2, foldDeletesAbove = 0.0)
+    assert(st2.dirsCompacted > 0)
+    val m2 = Snapshot.manifestAt(fs,
+      Snapshot.resolveVersion(fs, new Path(p), None)._2).get
+    assert(m2.deleteEntries.isEmpty, "folded predicate must drop")
+    assert(sortedRows(graft.sources.Resolver.readParquet(spark, p)) == want)
+
+    // partitioned layout: a predicate on the PARTITION column cannot
+    // evaluate on the per-group read — it must carry through even at
+    // the ceiling, and reads stay correct
+    val dir2 = freshDir("compact_dvpredpart")
+    val p2 = s"$dir2/t.parquet"
+    val base2 = spark.range(200).select($"id",
+      ($"id" % 4).cast("int").as("grp"),
+      sha2(concat(lit("x"), $"id".cast("string")), 256).as("txt"))
+    WriteOps.atomicOverwrite(spark, base2, p2, partitionBy = Seq("grp"),
+      maxRecordsPerFile = 10, commitMode = "snapshot", keepVersions = 2)
+    Snapshot.deleteByPredicate(spark, p2, "grp = 3")
+    val want2 = sortedRows(graft.sources.Resolver.readParquet(spark, p2))
+    assert(want2.size == 150)
+    val st3 = Compaction.compact(spark, p2, Seq("id"), 1L << 20,
+      keepVersions = 2, foldDeletesAbove = 0.0)
+    assert(st3.dirsCompacted > 0)
+    val m3 = Snapshot.manifestAt(fs,
+      Snapshot.resolveVersion(fs, new Path(p2), None)._2).get
+    assert(m3.deleteEntries.nonEmpty,
+      "a partition-column predicate must carry through compaction")
+    assert(sortedRows(graft.sources.Resolver.readParquet(spark, p2)) == want2)
+  }
 }

@@ -807,4 +807,171 @@ class SnapshotSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq
     assert(now.isEmpty)
   }
+
+  // ── predicate deletion vectors (r12) ───────────────────────────────
+
+  private def predBase(p: String): Unit = {
+    import spark.implicits._
+    val df = (0L until 40L).map(i => (i, s"v$i", (i % 4).toInt)).toDF("id", "txt", "grp")
+      .unionByName(Seq((Option.empty[Long], "n", 0)).toDF("id", "txt", "grp"))
+    WriteOps.atomicOverwrite(spark, df, p, indexBy = Seq("id"),
+      maxRecordsPerFile = 8, commitMode = "snapshot", keepVersions = 4)
+  }
+
+  test("predicate DV: zero data files, time travel, NULL keeps the row, pushed filter") {
+    import spark.implicits._
+    val dir = freshDir("snap_dvp")
+    val p = s"$dir/t.parquet"
+    predBase(p)
+    val dataBefore = poolFiles(p).filterNot(_.startsWith("_deletes/"))
+    val v = Snapshot.deleteByPredicate(spark, p, "id >= 30 OR grp = 3",
+      keepVersions = 4)
+    assert(v == 2L)
+    assert(poolFiles(p).filterNot(_.startsWith("_deletes/")) == dataBefore,
+      "predicate delete must touch no data file")
+    val now = graft.sources.Resolver.readParquet(spark, p)
+    // rows where the predicate is TRUE die; the NULL-id row's predicate
+    // is (NULL >= 30 OR false) = NULL → the row SURVIVES (SQL DELETE)
+    val want = (0L until 30L).filter(_ % 4 != 3).toSet
+    assert(now.filter($"id".isNotNull).select("id").as[Long].collect().toSet == want)
+    assert(now.filter($"id".isNull).count() == 1)
+    // time travel intact; manifest records the predicate colset
+    assert(graft.sources.Resolver.readParquet(spark, p, Some(1L)).count() == 41)
+    val m = Snapshot.manifestAt(fs, Snapshot.resolveVersion(fs, new Path(p), None)._2).get
+    assert(m.deleteEntries.nonEmpty &&
+      m.deleteEntries.forall(_.cols.contains(Seq(Snapshot.PredColName))))
+    assert(Snapshot.fsck(spark, p).isEmpty)
+    // the tombstone applies as a FILTER, not a join — and pushes down
+    val plan = now.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"predicate DV must not join:\n$plan")
+  }
+
+  test("predicate DV composes with key tombstones; materialize folds both") {
+    import spark.implicits._
+    val dir = freshDir("snap_dvpk")
+    val p = s"$dir/t.parquet"
+    predBase(p)
+    Snapshot.deleteByKeys(spark, p, Seq(1L, 2L).toDF("id"), keepVersions = 4)
+    Snapshot.deleteByPredicate(spark, p, "grp = 2", keepVersions = 4)
+    val now = graft.sources.Resolver.readParquet(spark, p)
+    val want = (0L until 40L).filterNot(i => i == 1 || i == 2 || i % 4 == 2).toSet
+    assert(now.filter($"id".isNotNull).select("id").as[Long].collect().toSet == want)
+    Snapshot.materializeDeletes(spark, p, indexBy = Seq("id"), keepVersions = 4)
+    val m = Snapshot.manifestAt(fs, Snapshot.resolveVersion(fs, new Path(p), None)._2).get
+    assert(m.deleteEntries.isEmpty, "materialize must fold predicate tombstones")
+    assert(graft.sources.Resolver.readParquet(spark, p)
+      .filter($"id".isNotNull).select("id").as[Long].collect().toSet == want)
+    assert(Snapshot.fsck(spark, p).isEmpty)
+  }
+
+  test("predicate DV validation is loud: bad column, nondeterminism, time-dependence, non-snapshot") {
+    val dir = freshDir("snap_dvpv")
+    val p = s"$dir/t.parquet"
+    predBase(p)
+    intercept[Exception] { // unknown column → AnalysisException at COMMIT time
+      Snapshot.deleteByPredicate(spark, p, "no_such_col = 1")
+    }
+    val e1 = intercept[IllegalArgumentException] {
+      Snapshot.deleteByPredicate(spark, p, "rand() < 0.5")
+    }
+    assert(e1.getMessage.contains("deterministic"))
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshot.deleteByPredicate(spark, p, "id < unix_timestamp(current_timestamp())")
+    }
+    assert(e2.getMessage.contains("evaluation time"))
+    intercept[IllegalArgumentException] {
+      Snapshot.deleteByPredicate(spark, p, "  ")
+    }
+    // none of the rejects may have committed anything
+    assert(Snapshot.committed(fs, new Path(p)).map(_._1) == Seq(1L))
+    // non-snapshot layout refuses
+    val plain = s"$dir/plain.parquet"
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "txt").write.parquet(plain)
+    intercept[IllegalArgumentException] {
+      Snapshot.deleteByPredicate(spark, plain, "id = 1")
+    }
+    ()
+  }
+
+  test("live predicate DV declines the pruned merge (full materialize route stays correct)") {
+    import spark.implicits._
+    val dir = freshDir("snap_dvpm")
+    val p = s"$dir/t.parquet"
+    predBase(p)
+    Snapshot.deleteByPredicate(spark, p, "grp = 3", keepVersions = 4)
+    val batch = Seq((0L, "NEW", 0)).toDF("id", "txt", "grp")
+    val t = TargetSpec(DatasetRef("parquet", dir, "t"), op = WriteOp.Upsert,
+      pk = Seq("id"), indexBy = Seq("id"), commitMode = "snapshot",
+      keepVersions = 4)
+    assert(PrunedMerge.merge(spark,
+      graft.sources.Resolver.readParquet(spark, p), batch, t, p).isEmpty,
+      "a live predicate tombstone must decline the pruned path")
+    // the Runner's fallback (full rewrite) materializes THROUGH the
+    // predicate and applies the upsert
+    batch.write.parquet(s"$dir/b.parquet")
+    graft.engine.Runner.execute(spark, JobSpec(
+      SourceSpec(DatasetRef("parquet", dir, "b")),
+      target = Some(t.copy(skipTimestamp = true))), log = false)
+    val now = graft.sources.Resolver.readParquet(spark, p)
+    assert(now.filter($"id" === 0L).select("txt").as[String].collect()
+      .toSeq == Seq("NEW"))
+    assert(now.filter($"grp" === 3 && $"id" =!= 0L).isEmpty,
+      "materialized route must have applied the predicate")
+    val m = Snapshot.manifestAt(fs,
+      Snapshot.resolveVersion(fs, new Path(p), None)._2).get
+    assert(m.deleteEntries.isEmpty, "full rewrite materializes tombstones")
+  }
+
+  test("changelog across a predicate-DV commit classifies exactly the matching rows as deletes") {
+    import spark.implicits._
+    val dir = freshDir("snap_dvpcl")
+    val p = s"$dir/t.parquet"
+    predBase(p)
+    Snapshot.deleteByPredicate(spark, p, "grp = 1", keepVersions = 4)
+    // file-level DV pruning declines on a predicate tombstone (not a
+    // pk-set) and must FALL BACK to full reads, staying exact
+    val cl = Snapshot.changelog(spark, p, 1L, 2L, Seq("id"))
+    val got = cl.select("id", "_change_type").as[(Option[Long], String)]
+      .collect().toSet
+    val want = (0L until 40L).filter(_ % 4 == 1)
+      .map(i => (Some(i): Option[Long], "delete")).toSet
+    assert(got == want, s"changelog mismatch: $got")
+  }
+
+  test("CLI -o delete --dv --tq commits the predicate; --pk AND --tq composes") {
+    import graft.cli.Main
+    import spark.implicits._
+    val dir = freshDir("snap_dvptq")
+    val p = s"$dir/t.parquet"
+    (0L until 50L).map(i => (i, s"v$i", (i % 5).toInt)).toDF("id", "txt", "grp")
+      .write.parquet(s"$dir/seed.parquet")
+    val (j0, o0) = Main.parse(Array(
+      "-s", s"parquet/$dir/seed", "-t", s"parquet/$dir/t", "-o", "create",
+      "--pk", "id", "--commit", "snapshot", "--skip-timestamp", "-y"))
+    Main.execute(spark, j0, o0)
+    val dataBefore = poolFiles(p).filterNot(_.startsWith("_deletes/"))
+    // pure predicate route: no pk needed, source is conventional
+    val (j1, o1) = Main.parse(Array(
+      "-s", s"parquet/$dir/t", "-t", s"parquet/$dir/t",
+      "-o", "delete", "--dv", "--tq", "grp__gte=4", "--skip-timestamp", "-y"))
+    Main.execute(spark, j1, o1)
+    assert(poolFiles(p).filterNot(_.startsWith("_deletes/")) == dataBefore)
+    val now1 = graft.sources.Resolver.readParquet(spark, p)
+    assert(now1.count() == 40 && now1.filter($"grp" >= 4).isEmpty)
+    // pk AND tq: delete batch keys RESTRICTED by tq (delete's contract)
+    Seq(0L, 1L, 2L, 3L).toDF("id").write.parquet(s"$dir/kill.parquet")
+    val (j2, o2) = Main.parse(Array(
+      "-s", s"parquet/$dir/kill", "-t", s"parquet/$dir/t",
+      "-o", "delete", "--dv", "--pk", "id", "--tq", "grp__lte=1",
+      "--skip-timestamp", "-y"))
+    Main.execute(spark, j2, o2)
+    val now2 = graft.sources.Resolver.readParquet(spark, p)
+    // ids 0,1 (grp 0,1) die; 2,3 (grp 2,3) survive the tq restriction
+    assert(now2.filter($"id".isin(0L, 1L)).isEmpty)
+    assert(now2.filter($"id".isin(2L, 3L)).count() == 2)
+    assert(now2.count() == 38)
+    assert(poolFiles(p).filterNot(_.startsWith("_deletes/")) == dataBefore)
+    assert(Snapshot.fsck(spark, p).isEmpty)
+  }
 }
