@@ -155,6 +155,18 @@ object Compaction {
                               keepVersions: Int,
                               foldDeletesAbove: Double): Stats = {
     val (baseV, vdir) = Snapshot.resolveVersion(fs, root, None)
+    // stale-read fence (r12): group/DV scans execute lazily against
+    // this manifest; a racing commit + vacuum reclaiming a planned
+    // file converts to a re-plannable conflict (see Snapshot scaladoc)
+    Snapshot.staleReadAsConflict(fs, root, baseV)(
+      compactSnapshotAt(spark, root, fs, indexBy, targetFileBytes,
+        keepVersions, foldDeletesAbove, baseV, vdir))
+  }
+
+  private def compactSnapshotAt(spark: SparkSession, root: Path, fs: FileSystem,
+                                indexBy: Seq[String], targetFileBytes: Long,
+                                keepVersions: Int, foldDeletesAbove: Double,
+                                baseV: Long, vdir: Path): Stats = {
     val m = Snapshot.manifestAt(fs, vdir).get
     val dd = Snapshot.dataDir(root)
     // deletion-vector files are NOT data: never compact them into data

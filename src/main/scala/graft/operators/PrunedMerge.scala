@@ -148,6 +148,25 @@ object PrunedMerge {
   def merge(spark: SparkSession, current: DataFrame, batch: DataFrame,
             t: TargetSpec, path: String,
             maxBatchKeys: Long = 1L << 20): Option[Stats] = {
+    // STALE-READ fence (r12): this merge's scans (base read, touched
+    // files, tombstones) execute lazily against the manifest resolved
+    // below; under concurrent writers a racing commit + vacuum can
+    // reclaim a planned file mid-execution. That surfaces as a
+    // missing-file read error — converted to a loud
+    // CommitConflictException (iff the head moved) so the Runner's
+    // re-plan loop absorbs it like any other commit race.
+    val hPath0 = new Path(path)
+    val fs0 = hPath0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs0.exists(hPath0) && Snapshot.isSnapshotLayout(fs0, hPath0)) {
+      val baseV = Snapshot.resolveVersion(fs0, hPath0, None)._1
+      Snapshot.staleReadAsConflict(fs0, hPath0, baseV)(
+        mergeImpl(spark, current, batch, t, path, maxBatchKeys))
+    } else mergeImpl(spark, current, batch, t, path, maxBatchKeys)
+  }
+
+  private def mergeImpl(spark: SparkSession, current: DataFrame,
+                        batch: DataFrame, t: TargetSpec, path: String,
+                        maxBatchKeys: Long): Option[Stats] = {
     val pk = if (t.pk.nonEmpty) t.pk else t.skipBy
     if (pk.isEmpty || t.tmap.isDefined) return None
     if (!Set("parquet", "ds").contains(t.ref.backend)) return None

@@ -259,12 +259,21 @@ object Snapshot {
              at: Option[Long] = None): DataFrame = {
     val root = new Path(rootStr)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (_, vdir) = resolveVersion(fs, root, at)
+    val (v, vdir) = resolveVersion(fs, root, at)
     val m = manifestAt(fs, vdir).getOrElse {
       // a retained dir-protocol version: its dir IS the data
       return Resolver.readPlainParquet(spark, vdir.toString)
     }
-    applyTombstones(spark, root, m, readMembers(spark, root, m, m.dataEntries))
+    // stale-read fence (r12), HEAD reads only: frame CONSTRUCTION
+    // eagerly checks member existence (and driver-reads predicate
+    // tombstones); under concurrent writers a racing commit + vacuum
+    // can reclaim a member between resolve and here — surfaced as a
+    // re-plannable conflict when the head moved. A PINNED time-travel
+    // read keeps the raw loud error (the reader outran retention —
+    // the changelog-cursor contract).
+    def body = applyTombstones(spark, root, m,
+      readMembers(spark, root, m, m.dataEntries))
+    if (at.isEmpty) staleReadAsConflict(fs, root, v)(body) else body
   }
 
   /** MERGE-ON-READ: anti-join the version's deletion-vector files
@@ -404,6 +413,45 @@ object Snapshot {
     */
   final case class CommitConflictException(msg: String)
     extends RuntimeException(msg)
+
+  /** Run a snapshot-op body whose lazily-executed scans reference the
+    * resolved base manifest; if a scan fails on a MISSING FILE while
+    * the head has MOVED past `baseV`, the plan was stale — a
+    * concurrent commit dereferenced the file and the refcount vacuum
+    * reclaimed it between this op's plan and its execution (the MVCC
+    * read-vs-vacuum window every snapshot store has; Delta surfaces
+    * the same as a stale-snapshot read). Rethrown as
+    * [[CommitConflictException]] so the caller's re-plan loop absorbs
+    * it like any commit race. With an UNMOVED head a missing file is
+    * real corruption and propagates untouched.
+    */
+  private[operators] def staleReadAsConflict[T](fs: FileSystem, root: Path,
+                                                baseV: Long)(f: => T): T =
+    try f catch {
+      case e: Throwable if isMissingFileError(e) &&
+          (try committed(fs, root).lastOption.exists(_._1 != baseV)
+           catch { case scala.util.control.NonFatal(_) => false }) =>
+        throw CommitConflictException(
+          s"stale snapshot read against v$baseV of $root — a concurrent " +
+            "commit dereferenced a planned file and vacuum reclaimed it; " +
+            "re-plan against the new head (" +
+            e.getMessage.linesIterator.take(1).mkString + ")")
+    }
+
+  private def isMissingFileError(t: Throwable): Boolean = {
+    var c: Throwable = t
+    var depth = 0
+    while (c != null && depth < 12) {
+      val m = c.getMessage
+      if (c.isInstanceOf[java.io.FileNotFoundException] ||
+          (m != null && (m.contains("FAILED_READ_FILE") ||
+            m.contains("FILE_NOT_EXIST") || m.contains("does not exist"))))
+        return true
+      c = c.getCause
+      depth += 1
+    }
+    false
+  }
 
   private val LockName = "_commit.lock"
   /** A lock older than this is a crashed holder — broken by the next
@@ -901,6 +949,10 @@ object Snapshot {
     val (baseV, vdir) = resolveVersion(fs, root, None)
     val m = manifestAt(fs, vdir).getOrElse(return false)
     if (m.deleteEntries.isEmpty) return false
+    // stale-read fence (r12): the full tombstone-applied read below
+    // executes lazily; a racing commit + vacuum reclaiming one of
+    // v$baseV's files converts to a re-plannable conflict
+    staleReadAsConflict(fs, root, baseV) {
     val df = readAt(spark, rootStr, Some(baseV))
     val sortKeys = indexBy.filterNot(m.partitionBy.contains)
     val laid =
@@ -925,6 +977,7 @@ object Snapshot {
     commitRebase(fs, root, baseV, m.entries.map(_.rel).toSet, entries,
       m.schemaDdl, m.partitionBy, keepVersions)
     true
+    }
   }
 
   /** Refcounting vacuum: keep the newest `keepVersions` committed

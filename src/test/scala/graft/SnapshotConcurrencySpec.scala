@@ -427,6 +427,103 @@ class SnapshotConcurrencySpec extends SparkSpec {
     assert(Snapshot.manifestAt(fs, vdir).get.entries.head.rel == "a.parquet")
   }
 
+  test("SOAK: 8-thread mixed-op fleet (upserts, DV deletes, compaction, vacuum), >=50 commits") {
+    // each thread owns a DISJOINT id band and applies its own ops
+    // SEQUENTIALLY (with the Runner's re-plan-on-conflict discipline),
+    // so the expected final state per band is the thread-local model —
+    // exact, whatever the global interleaving. Bands still SHARE
+    // files, so merges conflict, rebase, and retry constantly;
+    // compaction/vacuum/materialize run concurrently as state-
+    // preserving maintenance. Asserts: every op lands within a bounded
+    // retry budget, >=50 write commits total, final state exact per
+    // band, fsck clean, no leftover lock.
+    val nThreads = 8
+    val bandSize = 100
+    val dir = freshDir("snap_soak")
+    val p = s"$dir/t.parquet"
+    val nRows = nThreads * bandSize
+    val base = seed(nRows)
+    WriteOps.atomicOverwrite(spark, render(base), p, indexBy = Seq("id"),
+      maxRecordsPerFile = 40, commitMode = "snapshot", keepVersions = 3)
+    val retries = new java.util.concurrent.atomic.AtomicInteger
+    val commits = new java.util.concurrent.atomic.AtomicInteger
+    def withRetry(f: => Unit): Unit = {
+      var a = 0
+      var done = false
+      while (!done) {
+        try { f; done = true } catch {
+          case _: Snapshot.CommitConflictException =>
+            a += 1; retries.incrementAndGet()
+            assert(a < 50, "op never landed after 50 re-plans")
+            Thread.sleep(2L + a)
+        }
+      }
+    }
+    val soakSpec = TargetSpec(DatasetRef("parquet", dir, "t"),
+      op = WriteOp.Upsert, pk = Seq("id"), indexBy = Seq("id"),
+      commitMode = "snapshot", keepVersions = 3)
+    // per-thread scripted ops over the OWN band; the model applies
+    // them in the same thread-local order
+    final case class ThreadRun(idx: Int) extends Runnable {
+      val lo: Long = idx.toLong * bandSize
+      var model: Model = base.filter { case (k, _) => k >= lo && k < lo + bandSize }
+      @volatile var failure: Option[Throwable] = None
+      private val rnd = new scala.util.Random(1000 + idx)
+      private def subBand(): Seq[Long] = {
+        val s = lo + rnd.nextInt(bandSize - 10)
+        s until math.min(lo + bandSize, s + 5 + rnd.nextInt(20))
+      }
+      def run(): Unit = try {
+        for (op <- 0 until 10) {
+          rnd.nextInt(10) match {
+            case n if n < 5 => // pruned upsert of a sub-band
+              val ids = subBand(); val tag = s"t$idx-$op-"
+              withRetry {
+                val st = PrunedMerge.merge(spark,
+                  graft.sources.Resolver.readParquet(spark, p),
+                  ids.map(i => (i, s"$tag$i")).toDF("id", "txt"),
+                  soakSpec, p)
+                assert(st.isDefined, "pruned path must engage in the soak")
+              }
+              commits.incrementAndGet()
+              model = model ++ ids.map(i => i -> s"$tag$i")
+            case n if n < 8 => // DV key delete of a sub-band
+              val ids = subBand()
+              withRetry {
+                Snapshot.deleteByKeys(spark, p, ids.toDF("id"),
+                  keepVersions = 3); ()
+              }
+              commits.incrementAndGet()
+              model = model -- ids
+            case 8 => // compaction (state-preserving maintenance)
+              withRetry {
+                Compaction.compact(spark, p, Seq("id"), 4096L,
+                  keepVersions = 3); ()
+              }
+            case _ => // locked standalone vacuum
+              Snapshot.vacuumLocked(fs, new Path(p), 3)
+          }
+        }
+      } catch { case t: Throwable => failure = Some(t) }
+    }
+    val runs = (0 until nThreads).map(ThreadRun.apply)
+    val threads = runs.map(r => new Thread(r))
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    assert(threads.forall(!_.isAlive), "soak writer deadlocked")
+    runs.foreach(r => r.failure.foreach(t => throw t))
+    assert(commits.get() >= 50, s"only ${commits.get()} write commits")
+    // final state: the union of the thread-local band models, exactly
+    val want = runs.flatMap(_.model).toMap
+    assert(sorted(graft.sources.Resolver.readParquet(spark, p)) ==
+      sorted(render(want)),
+      "final state must equal the per-band thread-sequential models")
+    assert(Snapshot.fsck(spark, p).filter(col("severity") === "error").isEmpty,
+      "fsck errors after the soak")
+    assert(!fs.exists(new Path(p, "_commit.lock")), "leftover commit lock")
+    info(s"soak: ${commits.get()} write commits, ${retries.get()} re-plans")
+  }
+
   test("lock contention: 2 threads x 3 sequential disjoint merges all land") {
     val dir = freshDir("snap_conc_many")
     val p = s"$dir/t.parquet"
