@@ -436,6 +436,54 @@ object SparkEntry {
         .orderBy("o_orderkey", "_change_type")
     }),
 
+    // ── [EXT r12] STREAMING change-data-feed consumer: the q_changelog
+    // fixture consumed through CdfStream — an AvailableNow micro-batch
+    // driver checkpointed on `_commit_version` (offsets = commit
+    // versions, at-least-once, every row carries its version as the
+    // idempotence key). The query drains, RESTARTS (fresh run, durable
+    // cursor), commits a PREDICATE-DV delete, drains again; in-query
+    // requires prove the resume consumed only the new commit, a third
+    // drain is empty, and the union of increments equals the batch
+    // changelogSince — the CDC producer/consumer loop closed. ─────────
+    "q_cdf_stream" -> ((s, dir) => {
+      val scratch = scratchDir("graft_cdfs")
+      val orders = read(s, dir, "orders")
+      val p = s"$scratch/orders_t.parquet"
+      WriteOps.atomicOverwrite(s, orders, p, indexBy = Seq("o_orderkey"),
+        commitMode = "snapshot", keepVersions = 5)
+      val v2 = orders
+        .filter(!(col("o_orderkey") >= 1000 && col("o_orderkey") < 2000))
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") < 1000, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+        .unionAll(orders.filter(col("o_orderkey") < 100)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      WriteOps.atomicOverwrite(s, v2, p, indexBy = Seq("o_orderkey"),
+        commitMode = "snapshot", keepVersions = 5)
+      val incs = scala.collection.mutable.ArrayBuffer.empty[
+        org.apache.spark.sql.DataFrame]
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      def drain(): Int = graft.streaming.CdfStream.runAvailableNow(
+        s, p, Seq("o_orderkey"), s"$scratch/ckpt",
+        startingVersion = Some(1L)) { (inc, from, to) =>
+        incs += inc.select("o_orderkey", "o_totalprice", "_change_type",
+          "_commit_version").localCheckpoint(true)
+        spans += ((from, to))
+      }
+      require(drain() == 1 && spans == Seq((1L, 2L)),
+        s"first drain must consume exactly v2, got $spans")
+      graft.operators.Snapshot.deleteByPredicate(s, p,
+        "o_orderkey >= 2000 AND o_orderkey < 3000", keepVersions = 5)
+      require(drain() == 1 && spans.last == ((2L, 3L)),
+        "the restarted stream must RESUME from its cursor (v2), not re-emit")
+      require(drain() == 0, "a drained stream must run zero batches")
+      val union = incs.reduce(_ unionAll _)
+      require(union.count() == graft.operators.Snapshot
+        .changelogSince(s, p, 1L, Seq("o_orderkey")).count(),
+        "streamed increments must union to the batch changelog")
+      union.orderBy("o_orderkey", "_change_type", "_commit_version")
+    }),
+
     // ── [EXT r10] ADD-COLUMN widening upsert through the PRUNED
     // merge: the batch carries a new column; only the touched files
     // are rewritten (and alone carry the column physically), the
@@ -1792,6 +1840,28 @@ object SparkEntry {
     // the expected CDC rows per class: keys < 1000 changed price
     // (pre+post image), [1000, 2000) deleted, < 100 re-inserted
     // under offset keys
+    // the streamed CDF is q_changelog's v2 rows plus the v3
+    // predicate-DV deletes ([2000,3000) at their v2 image)
+    "q_cdf_stream" ->
+      """SELECT * FROM (
+           SELECT o_orderkey, o_totalprice, 'update_preimage' AS _change_type,
+                  CAST(2 AS BIGINT) AS _commit_version
+           FROM orders WHERE o_orderkey < 1000
+           UNION ALL
+           SELECT o_orderkey, o_totalprice * 2, 'update_postimage',
+                  CAST(2 AS BIGINT)
+           FROM orders WHERE o_orderkey < 1000
+           UNION ALL
+           SELECT o_orderkey, o_totalprice, 'delete', CAST(2 AS BIGINT)
+           FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+           UNION ALL
+           SELECT o_orderkey + 10000000, o_totalprice, 'insert',
+                  CAST(2 AS BIGINT)
+           FROM orders WHERE o_orderkey < 100
+           UNION ALL
+           SELECT o_orderkey, o_totalprice, 'delete', CAST(3 AS BIGINT)
+           FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 3000)
+         ORDER BY o_orderkey, _change_type, _commit_version""",
     "q_changelog" ->
       """SELECT o_orderkey, o_totalprice, _change_type,
                 CAST(2 AS BIGINT) AS _commit_version FROM (

@@ -1,0 +1,165 @@
+package graft
+
+import graft.operators.{PrunedMerge, Snapshot, WriteOps}
+import graft.spec.{DatasetRef, TargetSpec, WriteOp}
+import graft.streaming.CdfStream
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming CDF consumer laws: the checkpointed incremental stream
+  * must equal the batch changelog across every commit class (merge,
+  * DV delete, predicate delete, ADD-COLUMN widening), resume from its
+  * cursor across restarts, bound its micro-batches, stay loud when
+  * the cursor falls behind vacuum retention, and close the loop into
+  * a downstream rollup maintained from change rows alone.
+  */
+class CdfStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fs =
+    new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def canon(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted.toIndexedSeq
+    df.select(cols.map(col): _*).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+  }
+
+  private def seedTable(p: String): Unit =
+    WriteOps.atomicOverwrite(spark,
+      (0L until 50L).map(i => (i, s"v$i", (i % 5).toInt)).toDF("id", "txt", "grp"),
+      p, indexBy = Seq("id"), maxRecordsPerFile = 10,
+      commitMode = "snapshot", keepVersions = 10)
+
+  private def upsert(p: String, dir: String, ids: Seq[Long], tag: String): Unit = {
+    val t = TargetSpec(DatasetRef("parquet", dir, "t"), op = WriteOp.Upsert,
+      pk = Seq("id"), indexBy = Seq("id"), commitMode = "snapshot",
+      keepVersions = 10)
+    assert(PrunedMerge.merge(spark,
+      graft.sources.Resolver.readParquet(spark, p),
+      ids.map(i => (i, s"$tag$i", 9)).toDF("id", "txt", "grp"), t, p).isDefined)
+  }
+
+  test("stream == batch changelog across merge/DV/predicate/widening; restart resumes from cursor") {
+    val dir = freshDir("cdf_law")
+    val p = s"$dir/t.parquet"
+    val ckpt = s"$dir/ckpt"
+    seedTable(p)                                             // v1
+    Snapshot.deleteByKeys(spark, p, Seq(3L, 4L).toDF("id"),
+      keepVersions = 10)                                     // v2 (DV)
+    upsert(p, dir, Seq(0L, 1L, 4L), "A")                     // v3 (merge, 4 re-asserted)
+    // an increment carries the schema AS OF its commits — a pre-widening
+    // increment is narrower than the final schema (the consumer saw the
+    // table's truth at that time). Collect as name→value maps so the
+    // law comparison can null-pad to the final shape.
+    val got = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def drain(): Int = CdfStream.runAvailableNow(spark, p, Seq("id"), ckpt,
+      startingVersion = Some(1L)) { (inc, from, to) =>
+      val cols = inc.columns.toIndexedSeq
+      got ++= inc.collect().map(r =>
+        cols.zipWithIndex.map { case (c, i) =>
+          c -> String.valueOf(r.get(i)) }.toMap)
+      seen += ((from, to))
+    }
+    assert(drain() == 1 && seen == Seq((1L, 3L)))
+    // widening ADD COLUMN commit (REPLACE is a legal history step)    v4
+    val widened = graft.sources.Resolver.readParquet(spark, p)
+      .withColumn("extra", col("id") * 2)
+    WriteOps.atomicOverwrite(spark, widened, p, indexBy = Seq("id"),
+      maxRecordsPerFile = 10, commitMode = "snapshot", keepVersions = 10)
+    Snapshot.deleteByPredicate(spark, p, "grp = 2", keepVersions = 10) // v5
+    // RESTART: a fresh run resumes from the durable cursor — only v4/v5
+    assert(drain() == 1 && seen.last == (3L, 5L))
+    val afterResume = got.size
+    // nothing re-emitted, and the stream is DRAINED (third run: 0 batches)
+    assert(drain() == 0 && got.size == afterResume)
+    // LAW: the union of all streamed increments == the batch changelog
+    // (streamed rows null-padded to the final widened schema, exactly
+    // what a from-v1 reader under the evolved schema sees)
+    val batchDf = Snapshot.changelogSince(spark, p, 1L, Seq("id"))
+    val batch = canon(batchDf)
+    val finalCols = batchDf.columns.sorted.toIndexedSeq
+    val streamed = got
+      .map(m => finalCols.map(c => m.getOrElse(c, "null")).mkString("|"))
+      .sorted.toSeq
+    assert(streamed == batch,
+      s"stream (${streamed.size} rows) must equal batch changelog (${batch.size})")
+  }
+
+  test("maxVersionsPerBatch bounds each micro-batch; cursor is durable after each") {
+    val dir = freshDir("cdf_rate")
+    val p = s"$dir/t.parquet"
+    val ckpt = s"$dir/ckpt"
+    seedTable(p)
+    for (b <- 1 to 3)
+      Snapshot.deleteByKeys(spark, p, Seq(b.toLong).toDF("id"), keepVersions = 10)
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val n = CdfStream.runAvailableNow(spark, p, Seq("id"), ckpt,
+      startingVersion = Some(1L), maxVersionsPerBatch = 1) { (inc, from, to) =>
+      spans += ((from, to))
+      // each increment carries exactly its own commit's rows
+      assert(inc.select("_commit_version").distinct()
+        .as[Long].collect().toSeq == Seq(to))
+    }
+    assert(n == 3 && spans == Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(CdfStream.cursor(fs, new Path(ckpt)).contains(4L))
+  }
+
+  test("a cursor that fell behind vacuum retention errors LOUDLY") {
+    val dir = freshDir("cdf_vac")
+    val p = s"$dir/t.parquet"
+    val ckpt = s"$dir/ckpt"
+    seedTable(p)
+    Snapshot.deleteByKeys(spark, p, Seq(1L).toDF("id"), keepVersions = 10)
+    // establish the cursor at v1, then let vacuum outrun it
+    CdfStream.runAvailableNow(spark, p, Seq("id"), ckpt,
+      startingVersion = Some(1L)) { (_, _, _) => () }
+    for (b <- 10 to 14)
+      Snapshot.deleteByKeys(spark, p, Seq(b.toLong).toDF("id"), keepVersions = 10)
+    Snapshot.vacuumLocked(fs, new Path(p), 2)
+    val e = intercept[IllegalArgumentException] {
+      CdfStream.runAvailableNow(spark, p, Seq("id"), ckpt) { (_, _, _) => () }
+    }
+    assert(e.getMessage.contains("fallen behind"),
+      s"want the changelog retention error, got: ${e.getMessage}")
+  }
+
+  test("cdfToRollup: downstream sum/count state from change rows alone equals recompute") {
+    val dir = freshDir("cdf_roll")
+    val p = s"$dir/t.parquet"
+    seedTable(p)                                              // v1
+    // maintain per-grp count + sum(id) from CDC increments only
+    def drain(): Int = CdfStream.cdfToRollup(spark, p, Seq("id"),
+      keys = Seq("grp"), sumCols = Seq("id"),
+      statePath = s"$dir/state.parquet", checkpointDir = s"$dir/ckpt",
+      startingVersion = Some(1L))
+    Snapshot.deleteByKeys(spark, p, Seq(0L, 5L, 10L).toDF("id"),
+      keepVersions = 10)                                      // v2
+    upsert(p, dir, Seq(0L, 7L), "B")                          // v3: 0 back (grp 9), 7 moves to grp 9
+    assert(drain() == 1)
+    Snapshot.deleteByPredicate(spark, p, "grp = 3", keepVersions = 10) // v4
+    assert(drain() == 1)
+    // the state must equal the rollup recomputed from the head table,
+    // RELATIVE to the v1 baseline it started from (startingVersion=1
+    // means the stream saw only changes after v1, so add v1's rollup)
+    val v1 = graft.sources.Resolver.readParquet(spark, p, Some(1L))
+    val head = graft.sources.Resolver.readParquet(spark, p)
+    val expect = head.groupBy("grp")
+      .agg(count(lit(1)).as("h_cnt"), sum("id").as("h_sum"))
+      .join(v1.groupBy("grp")
+        .agg(count(lit(1)).as("b_cnt"), sum("id").as("b_sum")), Seq("grp"), "full_outer")
+      .select(col("grp"),
+        (coalesce(col("h_cnt"), lit(0L)) - coalesce(col("b_cnt"), lit(0L))).as("cnt"),
+        (coalesce(col("h_sum"), lit(0L)) - coalesce(col("b_sum"), lit(0L))).as("sum_id"))
+      .filter(col("cnt") =!= 0L)
+    val state = graft.sources.Resolver.readParquet(spark, s"$dir/state.parquet")
+      .drop("__cdf_version")
+    assert(canon(state) == canon(expect),
+      "CDC-maintained rollup must equal the recomputed delta")
+  }
+}
