@@ -137,6 +137,74 @@ object ScaleBench8 {
     notes("read_claim") =
       s"pred read ${results("pred_read_count_6m")}s (pushed filter, no join) " +
         s"vs keys read ${results("keys_read_count_6m")}s (600k-key anti-join)"
+
+    // ── 4) manifest-stats merge planning vs the footer sweep ─────────
+    // 6M rows in 3000 files: the r12 manifest-recorded key envelopes
+    // let the merge plan from metadata the manifest read already paid
+    // for; the stripped twin (a legacy-format manifest) forces the
+    // distributed footer sweep. Per path: one warm-up merge, one timed
+    // merge — footer path FIRST so any residual warm-up bias works
+    // AGAINST the claim. Pruning decisions must be identical.
+    def seedEnv(path: String): Unit = {
+      fs.delete(new Path(path), true)
+      graft.operators.WriteOps.atomicOverwrite(spark, table, path,
+        indexBy = Seq("doc_id"), maxRecordsPerFile = 2_000,
+        commitMode = "snapshot", keepVersions = 6)
+    }
+    def stripEnvs(path: String): Unit = {
+      val r = new Path(path)
+      val (v, vdir) = graft.operators.Snapshot.resolveVersion(fs, r, None)
+      val m = graft.operators.Snapshot.manifestAt(fs, vdir).get
+      val sdir = new Path(r, f"_v_${v + 1}%020d")
+      graft.operators.Snapshot.writeManifest(fs, sdir,
+        m.copy(entries = m.entries.map(_.copy(envs = None))))
+      fs.create(new Path(sdir, graft.operators.Versioned.Marker), false).close()
+    }
+    def mergeBand(path: String, name: String, lo: Long): graft.operators.PrunedMerge.Stats =
+      graft.operators.PrunedMerge.merge(spark, readBack(path),
+        spark.range(lo, lo + 10_000L)
+          .select($"id".as("doc_id"), lit("E").as("payload")),
+        graft.spec.TargetSpec(graft.spec.DatasetRef("parquet", out, name),
+          op = graft.spec.WriteOp.Upsert, pk = Seq("doc_id"),
+          indexBy = Seq("doc_id"), commitMode = "snapshot",
+          keepVersions = 6), path)
+        .getOrElse(sys.error(s"pruned merge did not engage at $path"))
+    // FOOTER path: strip after seed AND after the warm-up merge (the
+    // merge re-records envelopes on its new files)
+    val pFoot = s"$out/envf_t.parquet"
+    timed("envplan_seed_3000files") { seedEnv(pFoot) }
+    stripEnvs(pFoot)
+    mergeBand(pFoot, "envf_t", 1_000_000L) // warm-up
+    stripEnvs(pFoot)
+    val stFoot = timed("merge_footer_sweep_plan") {
+      mergeBand(pFoot, "envf_t", 2_000_000L)
+    }
+    // MANIFEST-STATS path
+    val pEnv = s"$out/env_t.parquet"
+    seedEnv(pEnv)
+    val em = graft.operators.Snapshot.manifestAt(fs,
+      graft.operators.Snapshot.resolveVersion(fs, new Path(pEnv), None)._2).get
+    require(em.dataEntries.size >= 2000 &&
+      em.dataEntries.forall(_.envs.exists(_.contains("doc_id"))),
+      s"seed must record envelopes on ~3000 files, got ${em.dataEntries.size}")
+    mergeBand(pEnv, "env_t", 1_000_000L) // warm-up
+    val stEnv = timed("merge_manifest_stats_plan") {
+      mergeBand(pEnv, "env_t", 2_000_000L)
+    }
+    // file totals differ by a handful (each table's own warm-up merge
+    // re-laid its touched band independently); the CLAIM is equal
+    // pruning POWER — same rewritten-file count, both under 1%
+    require(stEnv.filesRewritten == stFoot.filesRewritten &&
+      stEnv.filesRewritten > 0 &&
+      stEnv.filesRewritten < stEnv.filesTotal / 100 &&
+      math.abs(stEnv.filesTotal - stFoot.filesTotal) <= 16,
+      s"identical strict-subset pruning expected: env=$stEnv foot=$stFoot")
+    notes("plan_claim") =
+      s"merge over ${stEnv.filesTotal} files (identical pruning " +
+        s"${stEnv.filesRewritten}/${stEnv.filesTotal}): manifest-stats plan " +
+        s"${results("merge_manifest_stats_plan")}s vs footer sweep " +
+        s"${results("merge_footer_sweep_plan")}s — the structural claim is " +
+        "0 vs 3000 footer reads per merge (S3: 0 vs 3000 GETs)"
     println("SCALE8 done: " + results.map { case (k, v) => s"$k=$v" }.mkString(", "))
   }
 }

@@ -284,7 +284,11 @@ object Compaction {
         }
       }
       if (dirs == 0) return Stats(0, m.entries.size, 0, 0L, 0)
-      val newEntries = Snapshot.moveIntoPool(fs, stage, dd)
+      // record key envelopes for the compacted files so merges keep
+      // planning from the manifest (r12)
+      val newEntries = Snapshot.withKeyEnvs(spark, dd,
+        Snapshot.moveIntoPool(fs, stage, dd), dataSchema,
+        indexBy.filter(dataSchema.fieldNames.contains))
       // a DV file drops only when EVERY remaining data file was
       // rewritten with ITS fold applied — otherwise kept files still
       // need their tombstones at read

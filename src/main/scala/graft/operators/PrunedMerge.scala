@@ -291,8 +291,16 @@ object PrunedMerge {
         CompKeys(dom.sortRanges(ranges), hasNull, dom)
       }.toArray
 
-    val envelopes = readEnvelopes(spark, listed,
-      comps.map { case (_, dom, src) => (dom, src) })
+    // MANIFEST-STATS plan path (r12): when every data member carries
+    // recorded key envelopes, the pruning plan needs ZERO footer I/O —
+    // the manifest read already happened. Falls back to the footer
+    // sweep on any gap (legacy entries, string-keyed components), with
+    // identical pruning power either way.
+    val envelopes = snapCtx.flatMap { case (_, m, dd) =>
+      manifestEnvelopes(listed, dd,
+        m.dataEntries.map(e => e.rel -> e).toMap, comps)
+    }.getOrElse(readEnvelopes(spark, listed,
+      comps.map { case (_, dom, src) => (dom, src) }))
     val (touched, untouched) = envelopes.partition(e => isTouched(e, compKeys))
     // nothing to prune — the full rewrite costs the same and is atomic
     if (touched.size == listed.size) return None
@@ -414,9 +422,19 @@ object PrunedMerge {
             }
           case _ => Nil
         }
-        val newEntries =
+        val newEntries0 =
           try Snapshot.moveIntoPool(fs, tmp, dd)
           finally { try fs.delete(tmp, true) catch { case _: Throwable => () } }
+        // record key envelopes for the NEW files (one footer pass over
+        // the touched fraction, paid here so future merges plan from
+        // the manifest alone); untouched members keep theirs
+        val envCols = (comps.collect { case (c, _, _: DataCol) => c } ++
+          sortKeys).distinct
+        val envMap = footerKeyEnvs(spark,
+          newEntries0.map(e => (new Path(dd, e.rel).toString, e.bytes)),
+          merged.schema, envCols)
+        val newEntries = newEntries0.map(e => e.copy(envs =
+          envMap.get(new Path(dd, e.rel).toString).filter(_.nonEmpty)))
         // scheme-insensitive membership: listStatus returns qualified
         // paths (file:/…) while manifest entries are pool-relative
         val touchedRel = touched.map(e => relPath(dd, new Path(e.path))).toSet
@@ -765,15 +783,80 @@ object PrunedMerge {
       }
     val envs = comps.map {
       case (_, dc: DataCol) => footer.getOrElse(dc.name, UnknownEnv)
-      case (dom, PartCol(i)) =>
-        val v = if (i < parts.length) parts(i) else null
-        if (v == null) CompEnv(None, None, hasNulls = true, known = true)
-        else dom.parsePart(v) match {
-          case Some(d) => CompEnv(Some(d), Some(d), hasNulls = false, known = true)
-          case None => UnknownEnv
-        }
+      case (dom, PartCol(i)) => partCompEnv(dom, parts, i)
     }
     Envelope(p, len, envs)
+  }
+
+  /** Hive partition-dir value as a point envelope (shared by the
+    * footer sweep and the manifest-stats plan path).
+    */
+  private def partCompEnv(dom: Domain, parts: Array[String], i: Int): CompEnv = {
+    val v = if (i < parts.length) parts(i) else null
+    if (v == null) CompEnv(None, None, hasNulls = true, known = true)
+    else dom.parsePart(v) match {
+      case Some(d) => CompEnv(Some(d), Some(d), hasNulls = false, known = true)
+      case None => UnknownEnv
+    }
+  }
+
+  /** Footer-derived per-file key envelopes for MANIFEST recording
+    * (r12): integral-domain (long/date/timestamp) columns only —
+    * [[Snapshot.ColEnv]] is long-valued; string keys keep using the
+    * footer sweep at plan time. One metadata pass over `files`
+    * (distributed above the threshold), paid by the WRITER that just
+    * produced them, so every later merge plans from the manifest line
+    * alone. Unknown/unreadable stats are simply omitted (the planner
+    * falls back to footers when coverage is incomplete).
+    */
+  private[operators] def footerKeyEnvs(spark: SparkSession,
+                                       files: Seq[(String, Long)],
+                                       schema: StructType,
+                                       cols: Seq[String]): Map[String, Map[String, Snapshot.ColEnv]] = {
+    val comps: Seq[(String, Domain, CompSource)] = cols.distinct.flatMap { c =>
+      schema.fields.find(_.name == c).flatMap { f =>
+        pruningDomain(f.dataType) match {
+          case Some(BytesDomain) | None => None
+          case Some(d) => Some((c, d, DataCol(c, statKind(f.dataType))))
+        }
+      }
+    }
+    if (comps.isEmpty || files.isEmpty) return Map.empty
+    readEnvelopes(spark, files.map(f => (f._1, f._2, Array.empty[String])),
+      comps.map(c => (c._2, c._3)))
+      .map { e =>
+        e.path -> comps.map(_._1).zip(e.comps).collect {
+          case (n, ce) if ce.known =>
+            n -> Snapshot.ColEnv(ce.min.map(_.asInstanceOf[Long]),
+              ce.max.map(_.asInstanceOf[Long]), ce.hasNulls)
+        }.toMap
+      }.toMap
+  }
+
+  /** Build the plan envelopes from MANIFEST-recorded stats when every
+    * listed data entry covers every data-resident pk component —
+    * otherwise None and the planner pays the footer sweep. Partition
+    * components still resolve from the dir path (free either way).
+    */
+  private def manifestEnvelopes(listed: Seq[(String, Long, Array[String])],
+                                dd: Path,
+                                byRel: Map[String, Snapshot.Entry],
+                                comps: Seq[(String, Domain, CompSource)]): Option[Seq[Envelope]] = {
+    val built = listed.map { case (p, len, parts) =>
+      val rel = relPath(dd, new Path(p))
+      byRel.get(rel).flatMap(_.envs).flatMap { em =>
+        val ces = comps.map {
+          case (c, _, _: DataCol) =>
+            em.get(c).map(v => CompEnv(v.min.map(x => (x: Any)),
+              v.max.map(x => (x: Any)), v.hasNulls, known = true))
+          case (_, dom, PartCol(i)) => Some(partCompEnv(dom, parts, i))
+        }
+        if (ces.forall(_.isDefined))
+          Some(Envelope(p, len, ces.map(_.get).toArray))
+        else None
+      }
+    }
+    if (built.forall(_.isDefined)) Some(built.map(_.get)) else None
   }
 
   /** Convert one row-group stat value into the pruning domain. For

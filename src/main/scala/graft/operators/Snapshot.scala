@@ -67,6 +67,19 @@ object Snapshot {
   val PredColName = "__pred__"
   private val FormatTag = "graft-snapshot-v1"
 
+  /** Per-column pk/index-key envelope of one pool file, recorded in
+    * the MANIFEST (r12 — the Iceberg manifest-stats analog): `min`/
+    * `max` in the integral pruning domain (long value, date days,
+    * timestamp micros), None/None with `hasNulls` = provably all-null.
+    * Lets [[PrunedMerge]] plan file pruning from metadata the manifest
+    * read already paid for — ZERO footer I/O on the steady-state merge
+    * path (at 100k files the footer sweep was a distributed metadata
+    * job per merge; the manifest line is free). Pool files are
+    * immutable, so an envelope is valid for the file's lifetime.
+    */
+  final case class ColEnv(min: Option[Long], max: Option[Long],
+                          hasNulls: Boolean)
+
   /** One pool file of a version: path RELATIVE to `_data` (hive
     * partition dirs included), plus its size for metadata-only
     * accounting (history, merge stats) without a second listing.
@@ -75,9 +88,14 @@ object Snapshot {
     * reads group tombstones WITHOUT a per-file schema probe (r10 paid
     * one driver-side footer read per accumulated DV commit on every
     * scan). None = a data file, or a legacy DV entry → schema probe.
+    * `envs` (r12) records per-column [[ColEnv]] key envelopes for DATA
+    * members written by the engine's sorted writers; None (legacy
+    * entries, string-keyed layouts) → the merge planner falls back to
+    * the footer sweep.
     */
   final case class Entry(rel: String, bytes: Long,
-                         cols: Option[Seq[String]] = None)
+                         cols: Option[Seq[String]] = None,
+                         envs: Option[Map[String, ColEnv]] = None)
 
   /** A version's full membership record. `schemaDdl` preserves the
     * LOGICAL column order/types (partitioned reads would otherwise
@@ -122,9 +140,23 @@ object Snapshot {
       sb.append(e.bytes).append('\t').append(e.rel)
       // third tab field: the DV key-column set — recorded only when
       // the names round-trip through the line format unambiguously
-      e.cols.filter(cs => cs.nonEmpty &&
+      val colsStr = e.cols.filter(cs => cs.nonEmpty &&
         cs.forall(c => !c.contains(',') && !c.contains('\t') && !c.contains('\n')))
-        .foreach(cs => sb.append('\t').append(cs.mkString(",")))
+        .map(_.mkString(","))
+      // fourth tab field (r12): per-column key envelopes,
+      // `name=min,max,nullflag` joined by ';' — readers that predate
+      // the field ignore trailing fields, so the format stays
+      // compatible in both directions
+      val envStr = e.envs.filter(_.nonEmpty)
+        .map(_.toSeq.sortBy(_._1).collect {
+          case (n, v) if !n.exists(";=,\t\n".contains(_)) =>
+            s"$n=${v.min.fold("")(_.toString)},${v.max.fold("")(_.toString)}," +
+              (if (v.hasNulls) "1" else "0")
+        }.mkString(";"))
+        .filter(_.nonEmpty)
+      if (colsStr.isDefined || envStr.isDefined)
+        sb.append('\t').append(colsStr.getOrElse(""))
+      envStr.foreach(s => sb.append('\t').append(s))
       sb.append('\n')
     }
     // EXCLUSIVE create ([[atomicCreate]], not fs.create(overwrite =
@@ -166,10 +198,27 @@ object Snapshot {
     }
     val entries = body.map { l =>
       val parts = l.split("\t", -1)
+      val envs =
+        if (parts.length >= 4 && parts(3).nonEmpty)
+          Some(parts(3).split(";").toSeq.flatMap { kv =>
+            kv.split("=", 2) match {
+              case Array(n, v) => v.split(",", -1) match {
+                case Array(lo, hi, nf) =>
+                  Some(n -> ColEnv(
+                    if (lo.isEmpty) None else Some(lo.toLong),
+                    if (hi.isEmpty) None else Some(hi.toLong),
+                    nf == "1"))
+                case _ => None
+              }
+              case _ => None
+            }
+          }.toMap).filter(_.nonEmpty)
+        else None
       Entry(parts(1), parts(0).toLong,
         if (parts.length >= 3 && parts(2).nonEmpty)
           Some(parts(2).split(",").toSeq)
-        else None)
+        else None,
+        envs)
     }.toSeq
     Some(Manifest(lines(1), pcols, entries, commitTs))
   }
@@ -756,7 +805,8 @@ object Snapshot {
                 partitionBy: Seq[String] = Nil,
                 maxRecordsPerFile: Long = 0,
                 indexBy: Seq[String] = Nil,
-                keepVersions: Int = 2): Unit = {
+                keepVersions: Int = 2,
+                statsCols: Seq[String] = Nil): Unit = {
     val root = new Path(rootStr)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     sweepStaleStages(fs, root)
@@ -782,10 +832,28 @@ object Snapshot {
     }
     val dd = dataDir(root)
     fs.mkdirs(dd)
-    val entries = moveIntoPool(fs, stage, dd)
+    // key envelopes for the layout keys — `statsCols` covers callers
+    // that pre-laid the frame themselves and pass indexBy = Nil
+    val entries = withKeyEnvs(spark, dd,
+      moveIntoPool(fs, stage, dd), df.schema,
+      (sortKeys ++ statsCols).distinct.filterNot(partitionBy.contains))
     fs.delete(stage, true)
     commitVersion(fs, root, Manifest(schemaDdl, partitionBy, entries),
       keepVersions)
+  }
+
+  /** Attach manifest key envelopes ([[ColEnv]]) for `cols` to freshly
+    * pooled DATA entries — one footer pass over the new files, paid by
+    * the writer so merges plan from the manifest alone (r12).
+    */
+  private[operators] def withKeyEnvs(spark: SparkSession, dd: Path,
+                                     entries: Seq[Entry], schema: StructType,
+                                     cols: Seq[String]): Seq[Entry] = {
+    if (cols.isEmpty || entries.isEmpty) return entries
+    val envMap = PrunedMerge.footerKeyEnvs(spark,
+      entries.map(e => (new Path(dd, e.rel).toString, e.bytes)), schema, cols)
+    entries.map(e => e.copy(envs =
+      envMap.get(new Path(dd, e.rel).toString).filter(_.nonEmpty)))
   }
 
   /** DELETION-VECTOR delete (merge-on-read): commit a new version that
@@ -972,7 +1040,8 @@ object Snapshot {
     }
     val dd = dataDir(root)
     fs.mkdirs(dd)
-    val entries = moveIntoPool(fs, stage, dd)
+    val entries = withKeyEnvs(spark, dd, moveIntoPool(fs, stage, dd),
+      df.schema, sortKeys)
     fs.delete(stage, true)
     commitRebase(fs, root, baseV, m.entries.map(_.rel).toSet, entries,
       m.schemaDdl, m.partitionBy, keepVersions)

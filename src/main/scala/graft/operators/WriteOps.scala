@@ -405,7 +405,7 @@ object WriteOps {
         require(format == "parquet",
           s"snapshot commit protocol supports parquet targets, got $format")
         Snapshot.overwrite(spark, laid, path, partitionBy,
-          maxRecordsPerFile, Nil, keepVersions)
+          maxRecordsPerFile, Nil, keepVersions, statsCols = indexBy)
       case "versioned" => // object-store-atomic commit
         fs.mkdirs(hPath)
         val before = Versioned.list(fs, hPath)

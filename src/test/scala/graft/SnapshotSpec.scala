@@ -808,6 +808,111 @@ class SnapshotSpec extends SparkSpec {
     assert(now.isEmpty)
   }
 
+  // ── manifest key envelopes (r12) ───────────────────────────────────
+
+  test("manifest entries round-trip key envelopes; legacy 3-field lines still parse") {
+    val dir = freshDir("snap_envrt")
+    val vdir = new Path(dir, f"_v_${1L}%020d")
+    val m = Snapshot.Manifest("id BIGINT,txt STRING", Nil, Seq(
+      Snapshot.Entry("a.parquet", 10L,
+        envs = Some(Map("id" -> Snapshot.ColEnv(Some(0L), Some(99L), hasNulls = false)))),
+      Snapshot.Entry("b.parquet", 20L,
+        envs = Some(Map("id" -> Snapshot.ColEnv(None, None, hasNulls = true)))),
+      Snapshot.Entry("_deletes/d.parquet", 5L, cols = Some(Seq("id")),
+        envs = None),
+      Snapshot.Entry("c.parquet", 30L)))
+    Snapshot.writeManifest(fs, vdir, m)
+    val back = Snapshot.manifestAt(fs, vdir).get
+    assert(back.entries == m.entries)
+    // a legacy line (no env field) parses with envs = None
+    assert(back.entries.find(_.rel == "c.parquet").get.envs.isEmpty)
+  }
+
+  test("sorted snapshot writers RECORD key envelopes; merges PLAN from them (no footer reads)") {
+    import spark.implicits._
+    val dir = freshDir("snap_envplan")
+    val p = s"$dir/t.parquet"
+    WriteOps.atomicOverwrite(spark,
+      (0L until 200L).map(i => (i, s"v$i")).toDF("id", "txt"), p,
+      indexBy = Seq("id"), maxRecordsPerFile = 50,
+      commitMode = "snapshot", keepVersions = 4)
+    val root = new Path(p)
+    def headManifest = Snapshot.manifestAt(fs,
+      Snapshot.resolveVersion(fs, root, None)._2).get
+    val m1 = headManifest
+    assert(m1.dataEntries.nonEmpty && m1.dataEntries.forall(e =>
+      e.envs.exists(_.contains("id"))),
+      s"the sorted seed write must record id envelopes: ${m1.dataEntries}")
+    // envelope values match the actual file content bands
+    val mins = m1.dataEntries.flatMap(_.envs.get("id").min).sorted
+    assert(mins.head == 0L && m1.dataEntries.flatMap(_.envs.get("id").max).max == 199L)
+    // WHITE-BOX plan-source proof: falsify one file's envelope so it
+    // EXCLUDES the batch key; if the planner reads the manifest (not
+    // footers) it must prune that file — the upserted key then lands
+    // as a NEW row next to the stale one (observable duplicate). This
+    // deliberately corrupts a THROWAWAY clone.
+    val clone = s"$dir/c.parquet"
+    WriteOps.atomicOverwrite(spark,
+      (0L until 200L).map(i => (i, s"v$i")).toDF("id", "txt"), clone,
+      indexBy = Seq("id"), maxRecordsPerFile = 50,
+      commitMode = "snapshot", keepVersions = 4)
+    val cRoot = new Path(clone)
+    val (cv, cvdir) = Snapshot.resolveVersion(fs, cRoot, None)
+    val cm = Snapshot.manifestAt(fs, cvdir).get
+    val lied = cm.entries.map(e =>
+      if (e.envs.exists(_.get("id").exists(v => v.min.contains(0L))))
+        e.copy(envs = Some(Map("id" ->
+          Snapshot.ColEnv(Some(100000L), Some(200000L), hasNulls = false))))
+      else e)
+    val v2dir = new Path(cRoot, f"_v_${cv + 1}%020d")
+    Snapshot.writeManifest(fs, v2dir, cm.copy(entries = lied))
+    fs.create(new Path(v2dir, graft.operators.Versioned.Marker), false).close()
+    val t = TargetSpec(DatasetRef("parquet", dir, "c"), op = WriteOp.Upsert,
+      pk = Seq("id"), indexBy = Seq("id"), commitMode = "snapshot",
+      keepVersions = 4)
+    val st = PrunedMerge.merge(spark,
+      graft.sources.Resolver.readParquet(spark, clone),
+      Seq((5L, "DUP")).toDF("id", "txt"), t, clone)
+    assert(st.isDefined)
+    val dups = graft.sources.Resolver.readParquet(spark, clone)
+      .filter(col("id") === 5L).count()
+    assert(dups == 2L,
+      s"planner must have used the (falsified) MANIFEST envelopes, got $dups " +
+        "row(s) for the batch key — 1 means it read footers")
+    // and on the honest table: merge prunes correctly AND the new
+    // files carry fresh envelopes (the manifest path stays closed over
+    // merges)
+    val st2 = PrunedMerge.merge(spark,
+      graft.sources.Resolver.readParquet(spark, p),
+      Seq((5L, "UPD")).toDF("id", "txt"),
+      t.copy(ref = DatasetRef("parquet", dir, "t")), p)
+    assert(st2.exists(s => s.filesRewritten == 1))
+    val m2 = headManifest
+    assert(m2.dataEntries.forall(_.envs.exists(_.contains("id"))),
+      "post-merge members must all still carry envelopes")
+    assert(rows(graft.sources.Resolver.readParquet(spark, p)
+      .filter(col("id") === 5L)) == Seq(Seq(5L, "UPD")))
+  }
+
+  test("compaction and materializeDeletes preserve manifest envelope coverage") {
+    import spark.implicits._
+    val dir = freshDir("snap_envmaint")
+    val p = s"$dir/t.parquet"
+    WriteOps.atomicOverwrite(spark,
+      (0L until 300L).map(i => (i, s"v$i")).toDF("id", "txt"), p,
+      indexBy = Seq("id"), maxRecordsPerFile = 30,
+      commitMode = "snapshot", keepVersions = 4)
+    Snapshot.deleteByKeys(spark, p, Seq(7L).toDF("id"), keepVersions = 4)
+    Snapshot.materializeDeletes(spark, p, indexBy = Seq("id"), keepVersions = 4)
+    val root = new Path(p)
+    def dataEnvsOk = Snapshot.manifestAt(fs,
+      Snapshot.resolveVersion(fs, root, None)._2).get
+      .dataEntries.forall(_.envs.exists(_.contains("id")))
+    assert(dataEnvsOk, "materialize must re-record envelopes")
+    Compaction.compact(spark, p, Seq("id"), 1L << 20, keepVersions = 4)
+    assert(dataEnvsOk, "compaction must re-record envelopes")
+  }
+
   // ── predicate deletion vectors (r12) ───────────────────────────────
 
   private def predBase(p: String): Unit = {
