@@ -436,6 +436,50 @@ object SparkEntry {
         .orderBy("o_orderkey", "_change_type")
     }),
 
+    // ── [EXT r12] CDC across a COLUMN RENAME (field-mapping schema
+    // evolution, the Delta column-mapping analog): v2 is q_changelog's
+    // transform, v3 renames o_totalprice→o_price METADATA-ONLY. The
+    // changelog must travel the rename — pre-rename steps align to the
+    // current name via the manifest alias map, the pure-rename step
+    // emits ZERO change rows, time travel keeps each version's own
+    // names, and zero data files are touched (in-query requires). ─────
+    "q_changelog_rename" -> ((s, dir) => {
+      val scratch = scratchDir("graft_ren")
+      val orders = read(s, dir, "orders")
+      val p = s"$scratch/orders_t.parquet"
+      WriteOps.atomicOverwrite(s, orders, p, indexBy = Seq("o_orderkey"),
+        commitMode = "snapshot", keepVersions = 5)
+      val v2 = orders
+        .filter(!(col("o_orderkey") >= 1000 && col("o_orderkey") < 2000))
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") < 1000, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+        .unionAll(orders.filter(col("o_orderkey") < 100)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      WriteOps.atomicOverwrite(s, v2, p, indexBy = Seq("o_orderkey"),
+        commitMode = "snapshot", keepVersions = 5)
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fsys = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      def dataFiles = graft.operators.Snapshot
+        .listDataFilesRec(fsys, graft.operators.Snapshot.dataDir(hp))
+        .map(_._1.toString).toSet
+      val before = dataFiles
+      graft.operators.Snapshot.renameColumn(s, p, "o_totalprice", "o_price",
+        keepVersions = 5)
+      require(dataFiles == before, "rename must touch zero data files")
+      require(graft.operators.Snapshot.changelog(s, p, 2L, 3L,
+        Seq("o_orderkey")).isEmpty,
+        "a pure metadata rename must emit zero change rows")
+      require(graft.sources.Resolver.readParquet(s, p, Some(1L))
+        .columns.contains("o_totalprice"),
+        "time travel must keep each version's own names")
+      require(graft.sources.Resolver.readParquet(s, p)
+        .columns.contains("o_price"), "the head must serve the new name")
+      graft.operators.Snapshot.changelogSince(s, p, 1L, Seq("o_orderkey"))
+        .select("o_orderkey", "o_price", "_change_type", "_commit_version")
+        .orderBy("o_orderkey", "_change_type")
+    }),
+
     // ── [EXT r12] STREAMING change-data-feed consumer: the q_changelog
     // fixture consumed through CdfStream — an AvailableNow micro-batch
     // driver checkpointed on `_commit_version` (offsets = commit
@@ -1840,6 +1884,24 @@ object SparkEntry {
     // the expected CDC rows per class: keys < 1000 changed price
     // (pre+post image), [1000, 2000) deleted, < 100 re-inserted
     // under offset keys
+    // q_changelog's rows under the POST-RENAME name (the rename step
+    // itself contributes nothing — proven by an in-query require)
+    "q_changelog_rename" ->
+      """SELECT o_orderkey, o_price, _change_type,
+                CAST(2 AS BIGINT) AS _commit_version FROM (
+           SELECT o_orderkey, o_totalprice AS o_price,
+                  'update_preimage' AS _change_type
+           FROM orders WHERE o_orderkey < 1000
+           UNION ALL
+           SELECT o_orderkey, o_totalprice * 2, 'update_postimage'
+           FROM orders WHERE o_orderkey < 1000
+           UNION ALL
+           SELECT o_orderkey, o_totalprice, 'delete'
+           FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+           UNION ALL
+           SELECT o_orderkey + 10000000, o_totalprice, 'insert'
+           FROM orders WHERE o_orderkey < 100)
+         ORDER BY o_orderkey, _change_type""",
     // the streamed CDF is q_changelog's v2 rows plus the v3
     // predicate-DV deletes ([2000,3000) at their v2 image)
     "q_cdf_stream" ->

@@ -69,6 +69,7 @@ object Main {
       fsck: Boolean = false, // [EXT] snapshot-layout integrity audit
       zorder: Seq[String] = Nil, // [EXT] Z-order maintenance columns
       materializeDeletes: Boolean = false, // [EXT] fold deletion vectors in
+      renameColumn: Option[(String, String)] = None, // [EXT] metadata-only rename
       changelog: Option[(Long, Long)] = None, // [EXT] CDC diff from:to
       changelogPk: Seq[String] = Nil, // [EXT] row identity for --changelog
       cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -107,6 +108,7 @@ object Main {
     var foldDeletesAbove = 0.2
     var keepVersions = 2; var history = false
     var deleteVectors = false; var materializeDeletes = false
+    var renameColumn: Option[(String, String)] = None
     var changelog: Option[(Long, Long)] = None
     var vacuumN: Option[Int] = None; var fsck = false
     var zorderCols: Seq[String] = Nil
@@ -226,6 +228,12 @@ object Main {
       // (fresh snapshot version, tombstones cleared)
       case "--materialize-deletes" => once("--materialize-deletes")
         materializeDeletes = true
+      // [EXT] metadata-only column rename (snapshot layouts): OLD:NEW
+      case "--rename-column" => once("--rename-column")
+        renameColumn = next("--rename-column").split(":", 2) match {
+          case Array(o, n) if o.nonEmpty && n.nonEmpty => Some((o, n))
+          case _ => throw CliError("--rename-column needs OLD:NEW")
+        }
       // [EXT] compaction's merge-on-read debt ceiling: when tombstone
       // bytes exceed this fraction of data bytes, --compact widens to
       // a full fold and drops the DV set (0 = always, 1+ = never)
@@ -473,6 +481,7 @@ object Main {
       foldDeletesAbove = foldDeletesAbove,
       history = history, vacuum = vacuumN, fsck = fsck, zorder = zorderCols,
       materializeDeletes = materializeDeletes,
+      renameColumn = renameColumn,
       changelog = changelog,
       changelogPk = if (pk.nonEmpty) csv(pk) else csv(opPk)))
   }
@@ -563,6 +572,13 @@ object Main {
         t.map(_.keepVersions).getOrElse(2))
       println(if (did) s"materialized deletion vectors into a new version of $p"
         else s"no deletion vectors to materialize at $p")
+      return
+    }
+    opts.renameColumn.foreach { case (o, n) => // [EXT] metadata-only rename
+      val p = Resolver.path(job.source.ref)
+      val v = graft.operators.Snapshot.renameColumn(spark, p, o, n,
+        job.target.map(_.keepVersions).getOrElse(2))
+      println(s"renamed column $o -> $n at $p (version $v, metadata-only)")
       return
     }
     opts.vacuum.foreach { n => // [EXT] retention trim, no write
@@ -868,6 +884,12 @@ object Main {
       |               via a pushed filter. Both: pk∈batch AND tq.)
       |               --fold-deletes-above F (compaction folds the DV set
       |                 entirely when tombstone bytes exceed F of data bytes)
+      |               --rename-column OLD:NEW (metadata-only column
+      |               rename on a snapshot layout: no data file touched,
+      |               old files recovered via the manifest alias map,
+      |               time travel keeps each version's names; partition
+      |               cols, name reuse, and renames over live predicate
+      |               tombstones refuse loudly)
       |               --materialize-deletes (fold accumulated tombstones
       |               into the data files; fresh committed version)
       |               --changelog FROM:TO (CDC rows between two retained

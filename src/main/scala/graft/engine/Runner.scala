@@ -225,7 +225,14 @@ object Runner {
 
   /** Delete `._stage_*` / `._tmp_*` siblings a crashed run stranded
     * next to the target (each holds a full batch/rewrite copy).
+    * AGE-GATED (r12): a young sibling can belong to a LIVE concurrent
+    * job on the same target — the unconditional sweep raced the
+    * concurrency suite and deleted another writer's staging dir
+    * mid-write. Only siblings past the grace window (far beyond any
+    * live staging write) are crash leftovers.
     */
+  private val StageGraceMs = 15 * 60 * 1000L
+
   private def sweepStale(fs: org.apache.hadoop.fs.FileSystem,
                          tgtPath: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(tgtPath)
@@ -233,8 +240,9 @@ object Runner {
     val name = p.getName
     try fs.listStatus(parent).foreach { s =>
       val n = s.getPath.getName
-      if (n.startsWith(name + "._stage_") || n.startsWith(name + "._tmp_") ||
-        n.startsWith(name + "._merge_tmp_"))
+      if ((n.startsWith(name + "._stage_") || n.startsWith(name + "._tmp_") ||
+        n.startsWith(name + "._merge_tmp_")) &&
+        System.currentTimeMillis() - s.getModificationTime > StageGraceMs)
         try fs.delete(s.getPath, true) catch { case _: Throwable => () }
     } catch { case _: Throwable => () } // sweep is best-effort
   }

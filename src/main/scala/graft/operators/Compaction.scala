@@ -230,9 +230,7 @@ object Compaction {
     def applyDv(df0: org.apache.spark.sql.DataFrame) = {
       val df = dvGroups.fold(df0) { gs =>
         gs.foldLeft(df0) { case (acc, (cols, files)) =>
-          val keys = spark.read.parquet(files: _*)
-            .select(cols.map(c => col(c).cast(dataSchema(c).dataType).as(c)): _*)
-            .distinct()
+          val keys = Snapshot.tombstoneKeys(spark, m, cols, files)
           val cond = cols.map(c => acc(c) <=> keys(c)).reduce(_ && _)
           acc.join(keys, cond, "left_anti")
         }
@@ -269,8 +267,10 @@ object Compaction {
           bytes += smallBytes
           removedRels ++= small.map(_.rel)
           if (!forceAll) kept ++= entries.filterNot(e => e.bytes < targetFileBytes)
-          val df = applyDv(spark.read.schema(dataSchema).parquet(
-            small.map(e => new Path(dd, e.rel).toString): _*))
+          // alias-aware group read: pre-rename files recover their
+          // renamed columns; the rewritten output carries CURRENT names
+          val df = applyDv(Snapshot.aliasedRead(spark, m.aliases, dataSchema,
+            small.map(e => new Path(dd, e.rel).toString), None))
           val nOut = math.max(1L,
             (smallBytes + targetFileBytes - 1) / targetFileBytes).toInt
           val keys = indexBy.filter(df.columns.contains)

@@ -309,11 +309,8 @@ object PrunedMerge {
     // read of the version's `_deletes` files, typed to the pk columns
     val tombKeys: Option[DataFrame] = dvKeyCols.map { cols =>
       val (_, m, dd) = snapCtx.get
-      spark.read
-        .parquet(m.deleteEntries.map(e => new Path(dd, e.rel).toString): _*)
-        .select(cols.map(c =>
-          col(c).cast(current.schema(c).dataType).as(c)): _*)
-        .distinct()
+      Snapshot.tombstoneKeys(spark, m, cols,
+        m.deleteEntries.map(e => new Path(dd, e.rel).toString))
     }
 
     // apply the op to the touched subset only; schema pinned to the
@@ -327,11 +324,13 @@ object PrunedMerge {
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           current.schema)
       else {
-        val r = spark.read.schema(current.schema)
+        // alias-aware ([[Snapshot.aliasedRead]]): files written before
+        // a column rename carry the old physical name — recovered by
+        // coalesce; identical plan when the table has no aliases
         val bp = snapCtx.fold(path)(_._3.toString)
-        (if (pcols.nonEmpty) r.option("basePath", bp) else r)
-          .parquet(touched.map(_.path): _*)
-          .select(current.columns.map(col).toIndexedSeq: _*)
+        Snapshot.aliasedRead(spark,
+          snapCtx.map(_._2.aliases).getOrElse(Nil), current.schema,
+          touched.map(_.path), if (pcols.nonEmpty) Some(bp) else None)
       }
     val touchedDf = tombKeys.fold(touchedDf0) { keys =>
       val cond = keys.columns.map(c => touchedDf0(c) <=> keys(c)).reduce(_ && _)

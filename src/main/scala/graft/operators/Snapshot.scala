@@ -106,9 +106,21 @@ object Snapshot {
     * fall back to the `_COMMITTED` marker's filesystem mtime (fragile
     * across copies/restores — the reason the instant is now persisted).
     */
+  /** `aliases` (r12 — COLUMN RENAME support, the Delta column-mapping
+    * analog): ordered pairs `physicalOld → logicalCurrent` recorded by
+    * [[renameColumn]]. A rename is a METADATA-ONLY commit — pool files
+    * keep their write-time physical column names forever, and reads
+    * recover a renamed column as `coalesce(logicalName, physicalOld…)`
+    * over an extended read schema (a file carries exactly ONE of the
+    * names, so the recovery is exact, including legitimate NULLs).
+    * Time travel is untouched: an old version's manifest still carries
+    * its own names. Every alias target is kept CURRENT (a second
+    * rename rewrites earlier targets), so the map never chains.
+    */
   final case class Manifest(schemaDdl: String, partitionBy: Seq[String],
                             entries: Seq[Entry],
-                            commitTsMillis: Option[Long] = None) {
+                            commitTsMillis: Option[Long] = None,
+                            aliases: Seq[(String, String)] = Nil) {
     def schema: StructType = StructType.fromDDL(schemaDdl)
     def bytes: Long = entries.map(_.bytes).sum
     /** Data members (excludes deletion-vector files). */
@@ -136,6 +148,11 @@ object Snapshot {
     // stays forward-compatible (a v1 reader of this layout never sees
     // them: entry lines start with a digit)
     m.commitTsMillis.foreach(ts => sb.append("#commit_ts=").append(ts).append('\n'))
+    // ordered, repeatable: one '#alias=physical:logical' line per pair
+    m.aliases.foreach { case (po, ln) =>
+      if (!po.exists(":\t\n".contains(_)) && !ln.exists(":\t\n".contains(_)))
+        sb.append("#alias=").append(po).append(':').append(ln).append('\n')
+    }
     m.entries.foreach { e =>
       sb.append(e.bytes).append('\t').append(e.rel)
       // third tab field: the DV key-column set — recorded only when
@@ -196,6 +213,12 @@ object Snapshot {
     val commitTs = headers.collectFirst {
       case h if h.startsWith("#commit_ts=") => h.stripPrefix("#commit_ts=").toLong
     }
+    val aliases = headers.collect {
+      case h if h.startsWith("#alias=") =>
+        h.stripPrefix("#alias=").split(":", 2) match {
+          case Array(po, ln) => (po, ln)
+        }
+    }.toSeq
     val entries = body.map { l =>
       val parts = l.split("\t", -1)
       val envs =
@@ -220,7 +243,7 @@ object Snapshot {
         else None,
         envs)
     }.toSeq
-    Some(Manifest(lines(1), pcols, entries, commitTs))
+    Some(Manifest(lines(1), pcols, entries, commitTs, aliases))
   }
 
   /** Committed versions, ascending. */
@@ -364,11 +387,32 @@ object Snapshot {
       .groupBy(_._2)
       .map { case (cols, files) => (cols, files.map(_._1)) }
       .toSeq.sortBy(_._1.mkString(","))
-      .foldLeft(afterPred) { case (acc, (_, files)) =>
-        val keys = spark.read.parquet(files: _*).distinct()
+      .foldLeft(afterPred) { case (acc, (cols, files)) =>
+        // alias-aware: a tombstone committed BEFORE a rename carries
+        // the old physical name; the manifest-recorded colset was
+        // renamed with the table, so recover per the alias map
+        val keys = tombstoneKeys(spark, m, cols, files)
         val cond = keys.columns.map(c => acc(c) <=> keys(c)).reduce(_ && _)
         acc.join(keys, cond, "left_anti")
       }
+  }
+
+  /** Distinct key tuples of a group of key-tombstone files, typed to
+    * the table's CURRENT column types and recovered through the alias
+    * map (shared by the read path, the changelog pruning, the pruned
+    * merge and compaction folds).
+    */
+  private[operators] def tombstoneKeys(spark: SparkSession, m: Manifest,
+                                       cols: Seq[String],
+                                       files: Seq[String]): DataFrame = {
+    val known = cols.filter(m.schema.fieldNames.contains)
+    if (known.size == cols.size)
+      aliasedRead(spark, m.aliases,
+        StructType(cols.map(c =>
+          org.apache.spark.sql.types.StructField(c, m.schema(c).dataType))),
+        files, None).distinct()
+    else // legacy tombstone whose colset left the schema: raw read
+      spark.read.parquet(files: _*).distinct()
   }
 
   /** The distinct predicate strings of a set of predicate-DV files,
@@ -392,18 +436,47 @@ object Snapshot {
     */
   private def readMembers(spark: SparkSession, root: Path, m: Manifest,
                           entries: Seq[Entry]): DataFrame = {
-    val cols = m.schema.fields.toIndexedSeq
-      .map(f => col(f.name).cast(f.dataType).as(f.name))
     if (entries.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
     else {
       val dd = dataDir(root)
       val paths = entries.map(e => new Path(dd, e.rel).toString)
-      val r = spark.read.schema(m.schema)
-      (if (m.partitionBy.nonEmpty) r.option("basePath", dd.toString) else r)
-        .parquet(paths: _*)
-        .select(cols: _*)
+      aliasedRead(spark, m.aliases, m.schema, paths,
+        if (m.partitionBy.nonEmpty) Some(dd.toString) else None)
     }
+  }
+
+  /** Read explicit parquet paths under `wantSchema`, recovering
+    * RENAMED columns ([[Manifest.aliases]]): the read schema is
+    * widened with each still-relevant physical name (typed as its
+    * logical column), and the projection takes
+    * `coalesce(logical, physicalOld…)` — a file carries exactly one of
+    * the names (the rest null-fill), so the recovery is exact, mixed
+    * old/new file sets included. With no aliases this is the plain
+    * explicit-schema read (identical plan).
+    */
+  private[graft] def aliasedRead(spark: SparkSession,
+                                 aliases: Seq[(String, String)],
+                                 wantSchema: StructType, paths: Seq[String],
+                                 basePath: Option[String]): DataFrame = {
+    val wantNames = wantSchema.fieldNames.toSet
+    val live = aliases.filter { case (po, ln) =>
+      wantNames.contains(ln) && !wantNames.contains(po) }
+    val extra = live.map { case (po, ln) =>
+      org.apache.spark.sql.types.StructField(po, wantSchema(ln).dataType,
+        nullable = true) }
+    val readSchema = StructType(wantSchema.fields ++ extra)
+    val r = spark.read.schema(readSchema)
+    val df = basePath.fold(r)(bp => r.option("basePath", bp)).parquet(paths: _*)
+    val byLogical = live.groupBy(_._2)
+    df.select(wantSchema.fields.toIndexedSeq.map { f =>
+      byLogical.get(f.name) match {
+        case Some(as) =>
+          coalesce((col(f.name) +: as.map(a => col(a._1))): _*)
+            .cast(f.dataType).as(f.name)
+        case None => col(f.name).cast(f.dataType).as(f.name)
+      }
+    }: _*)
   }
 
   /** Minimal Resolver hook — avoids a Resolver→operators compile cycle
@@ -767,10 +840,24 @@ object Snapshot {
                 "new head")
         }
       }
+      // a COLUMN RENAMED concurrently is a conflict for any rebase that
+      // still carries the old name: name-based schema merge would
+      // re-append the dead physical column next to its renamed self
+      val ourFields = StructType.fromDDL(schemaDdl).fieldNames.toSet
+      val headFields = mh.schema.fieldNames.toSet
+      val renamedUnderUs = mh.aliases.collect {
+        case (po, ln) if ourFields.contains(po) && !headFields.contains(po) =>
+          s"$po→$ln"
+      }
+      if (renamedUnderUs.nonEmpty)
+        throw CommitConflictException(
+          s"column(s) renamed concurrently (${renamedUnderUs.mkString(", ")}) " +
+            "— re-plan against the new head")
       val outDdl = mergeSchemaDdl(schemaDdl, mh.schemaDdl)
       commitLocked(fs, root,
         Manifest(outDdl, partitionBy,
-          mh.entries.filterNot(e => removedRels.contains(e.rel)) ++ added),
+          mh.entries.filterNot(e => removedRels.contains(e.rel)) ++ added,
+          aliases = mh.aliases),
         keepVersions)
     }
 
@@ -989,6 +1076,74 @@ object Snapshot {
     // whatever rows the new head holds — delete-after-X order)
     commitRebase(fs, root, baseV, Set.empty, moved,
       m.schemaDdl, m.partitionBy, keepVersions)
+  }
+
+  /** COLUMN RENAME as a METADATA-ONLY commit (r12 — the Delta
+    * column-mapping analog). Pool files keep their write-time physical
+    * names; the new manifest carries the renamed schema plus an
+    * `aliases` entry `oldName → newName`, and every read recovers the
+    * column via [[aliasedRead]]'s coalesce (old and new files mix
+    * freely). Time travel serves each version under ITS OWN names;
+    * the changelog diffs across the rename via the alias map; key
+    * tombstones and recorded key envelopes are re-keyed to the new
+    * name in the new manifest (their FILES keep the physical name —
+    * the alias map recovers those too). Refusals are LOUD:
+    * partition-column renames (the dir layout carries the name),
+    * a target name that exists or was EVER a physical name (reuse
+    * would make per-file recovery ambiguous), and renames while a
+    * PREDICATE deletion vector is live (its stored SQL references the
+    * old name; materialize first). DROP and RETYPE stay refused
+    * everywhere they always were — rename is the only legal non-
+    * widening evolution. Returns the new version.
+    */
+  def renameColumn(spark: SparkSession, rootStr: String,
+                   oldName: String, newName: String,
+                   keepVersions: Int = 2): Long = {
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(oldName != newName, "rename to the same name is a no-op")
+    require(newName.nonEmpty && !newName.exists(":,;=\t\n".contains(_)) &&
+      !oldName.exists(":,;=\t\n".contains(_)),
+      s"column names must serialize through the manifest line format: " +
+        s"'$oldName' → '$newName'")
+    withCommitLock(fs, root) {
+      val (_, vdir) = committed(fs, root).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed versions under $rootStr"))
+      val m = manifestAt(fs, vdir).getOrElse(
+        throw new IllegalArgumentException(
+          s"column rename needs a snapshot layout at $rootStr"))
+      val names = m.schema.fieldNames
+      require(names.contains(oldName),
+        s"no column '$oldName' in ${names.mkString(", ")}")
+      require(!names.contains(newName),
+        s"column '$newName' already exists — rename would collide")
+      require(!m.partitionBy.contains(oldName),
+        s"'$oldName' is a partition column — its name is baked into the " +
+          "directory layout; repartition via a full rewrite instead")
+      require(!m.aliases.exists(_._1 == newName),
+        s"'$newName' was a previous physical name of this table — reusing " +
+          "it would make per-file recovery ambiguous")
+      require(!m.deleteEntries.exists(_.cols.contains(Seq(PredColName))),
+        "a PREDICATE deletion vector is live — its stored SQL references " +
+          "column names at commit time; --materialize-deletes first")
+      val newSchema = StructType(m.schema.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f))
+      def rekey(s: String): String = if (s == oldName) newName else s
+      val newEntries = m.entries.map { e =>
+        e.copy(cols = e.cols.map(_.map(rekey)),
+          envs = e.envs.map(_.map { case (k, v) => rekey(k) -> v }))
+      }
+      // keep every alias target CURRENT: earlier renames that landed on
+      // oldName now point at newName, then record this rename
+      val newAliases = m.aliases.map {
+        case (po, ln) if ln == oldName => (po, newName)
+        case a => a
+      } :+ (oldName -> newName)
+      commitLocked(fs, root,
+        Manifest(newSchema.toDDL, m.partitionBy, newEntries,
+          aliases = newAliases), keepVersions)
+    }
   }
 
   /** Fold accumulated deletion vectors into the data: one full
@@ -1233,9 +1388,18 @@ object Snapshot {
     val frames = steps.map { case (a, b) => changelog(spark, rootStr, a, b, pk) }
     // steps that predate an ADD-COLUMN commit carry the narrower
     // schema — align every step to the FINAL step's shape (null-pad),
-    // the same convention the widening changelog itself uses
+    // the same convention the widening changelog itself uses; steps
+    // that predate a RENAME carry the old name — align via the head
+    // manifest's alias map FIRST (the values are the same column)
+    val headAliases = manifestAt(fs, resolveVersion(fs, root, None)._2)
+      .map(_.aliases).getOrElse(Nil)
     val outSchema = frames.last.schema
-    frames.map { f =>
+    frames.map { f0 =>
+      val f = headAliases.foldLeft(f0) { case (d, (po, ln)) =>
+        if (d.columns.contains(po) && !d.columns.contains(ln))
+          d.withColumnRenamed(po, ln)
+        else d
+      }
       f.select(outSchema.fields.toIndexedSeq.map(g =>
         if (f.columns.contains(g.name)) col(g.name)
         else lit(null).cast(g.dataType).as(g.name)): _*)
@@ -1277,13 +1441,11 @@ object Snapshot {
     if (!colsOk) return None
     val shared = a.dataEntries.map(_.rel).toSet
       .intersect(b.dataEntries.map(_.rel).toSet)
-    val pkTyped = pk.map(c => col(c).cast(b.schema(c).dataType).as(c))
     def tombKeys(m: Manifest): Option[DataFrame] = {
       val ds = m.deleteEntries
       if (ds.isEmpty) None
-      else Some(spark.read
-        .parquet(ds.map(e => new Path(dd, e.rel).toString): _*)
-        .select(pkTyped: _*).distinct())
+      else Some(tombstoneKeys(spark, m, pk,
+        ds.map(e => new Path(dd, e.rel).toString)))
     }
     val (ta, tb) = (tombKeys(a), tombKeys(b))
     val union = (ta, tb) match {
@@ -1346,8 +1508,19 @@ object Snapshot {
           case _ => None
         }
       }
-    val (from0, to) = pruned.getOrElse(
+    val (fromRaw, to) = pruned.getOrElse(
       (readAt(spark, rootStr, Some(fromV)), readAt(spark, rootStr, Some(toV))))
+    // RENAME travel (r12): a from-version column renamed by `toV` is
+    // the SAME column — align it via the to-manifest's alias map
+    // before the widening check, so the diff compares values (a pure
+    // rename between adjacent commits emits zero change rows)
+    val toAliases = manifestAt(fs, resolveVersion(fs, root, Some(toV))._2)
+      .map(_.aliases).getOrElse(Nil)
+    val from0 = toAliases.foldLeft(fromRaw) { case (d, (po, ln)) =>
+      if (d.columns.contains(po) && !d.columns.contains(ln))
+        d.withColumnRenamed(po, ln)
+      else d
+    }
     // schema EVOLUTION tolerance: a widened to-version (ADD COLUMN
     // commit) compares against the from-version null-padded to the
     // same shape — the exact rows a from-version reader under the

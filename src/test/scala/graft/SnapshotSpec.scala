@@ -913,6 +913,159 @@ class SnapshotSpec extends SparkSpec {
     assert(dataEnvsOk, "compaction must re-record envelopes")
   }
 
+  // ── column rename via the manifest alias map (r12) ─────────────────
+
+  test("rename is metadata-only: values travel, time travel keeps each version's names") {
+    import spark.implicits._
+    val dir = freshDir("snap_ren")
+    val p = s"$dir/t.parquet"
+    WriteOps.atomicOverwrite(spark,
+      (0L until 100L).map(i => (i, s"v$i", (i % 3).toInt)).toDF("id", "txt", "grp"),
+      p, indexBy = Seq("id"), maxRecordsPerFile = 20,
+      commitMode = "snapshot", keepVersions = 6)
+    val dataBefore = poolFiles(p)
+    val v = Snapshot.renameColumn(spark, p, "txt", "label", keepVersions = 6)
+    assert(v == 2L && poolFiles(p) == dataBefore,
+      "rename must touch zero pool files")
+    val now = graft.sources.Resolver.readParquet(spark, p)
+    assert(now.columns.toSeq == Seq("id", "label", "grp"))
+    assert(rows(now.filter($"id" === 7L)) == Seq(Seq(7L, "v7", 1)))
+    // time travel: v1 serves the OLD name with the same values
+    val v1 = graft.sources.Resolver.readParquet(spark, p, Some(1L))
+    assert(v1.columns.toSeq == Seq("id", "txt", "grp"))
+    assert(rows(v1.filter($"id" === 7L)) == Seq(Seq(7L, "v7", 1)))
+    assert(Snapshot.fsck(spark, p).isEmpty)
+    // rename CHAIN: label → name; oldest files recover through txt→name
+    Snapshot.renameColumn(spark, p, "label", "name", keepVersions = 6)
+    val now2 = graft.sources.Resolver.readParquet(spark, p)
+    assert(now2.columns.toSeq == Seq("id", "name", "grp"))
+    assert(rows(now2.filter($"id" === 7L)) == Seq(Seq(7L, "v7", 1)))
+    val m = Snapshot.manifestAt(fs, Snapshot.resolveVersion(fs, new Path(p), None)._2).get
+    assert(m.aliases == Seq("txt" -> "name", "label" -> "name"),
+      s"alias targets must stay current: ${m.aliases}")
+  }
+
+  test("mixed old/new files: merge, DV delete by new name, compaction through aliases") {
+    import spark.implicits._
+    val dir = freshDir("snap_renmix")
+    val p = s"$dir/t.parquet"
+    WriteOps.atomicOverwrite(spark,
+      (0L until 200L).map(i => (i, s"v$i")).toDF("id", "txt"),
+      p, indexBy = Seq("id"), maxRecordsPerFile = 20,
+      commitMode = "snapshot", keepVersions = 6)
+    Snapshot.renameColumn(spark, p, "txt", "label", keepVersions = 6)
+    // pruned merge THROUGH the alias: touched old-name files recover,
+    // new files carry the NEW physical name
+    val t = TargetSpec(DatasetRef("parquet", dir, "t"), op = WriteOp.Upsert,
+      pk = Seq("id"), indexBy = Seq("id"), commitMode = "snapshot",
+      keepVersions = 6)
+    val st = PrunedMerge.merge(spark,
+      graft.sources.Resolver.readParquet(spark, p),
+      Seq((5L, "UPD")).toDF("id", "label"), t, p)
+    assert(st.exists(s => s.filesRewritten > 0 && s.filesRewritten < s.filesTotal))
+    val now = graft.sources.Resolver.readParquet(spark, p)
+    assert(rows(now.filter($"id".isin(5L, 6L)).orderBy("id")) ==
+      Seq(Seq(5L, "UPD"), Seq(6L, "v6")))
+    // DV delete keyed on data matched in OLD files
+    Snapshot.deleteByKeys(spark, p, Seq(100L).toDF("id"), keepVersions = 6)
+    assert(graft.sources.Resolver.readParquet(spark, p).count() == 199)
+    // compaction folds + rewrites through the alias; rows unchanged
+    val want = sortedRows(graft.sources.Resolver.readParquet(spark, p))
+    Compaction.compact(spark, p, Seq("id"), 1L << 20, keepVersions = 6,
+      foldDeletesAbove = 0.0)
+    assert(sortedRows(graft.sources.Resolver.readParquet(spark, p)) == want)
+    assert(Snapshot.fsck(spark, p).isEmpty)
+  }
+
+  test("changelog travels a rename: pure-rename step emits zero rows; spans align names") {
+    import spark.implicits._
+    val dir = freshDir("snap_rencl")
+    val p = s"$dir/t.parquet"
+    WriteOps.atomicOverwrite(spark,
+      (0L until 50L).map(i => (i, s"v$i")).toDF("id", "txt"),
+      p, indexBy = Seq("id"), maxRecordsPerFile = 10,
+      commitMode = "snapshot", keepVersions = 6)
+    Snapshot.deleteByKeys(spark, p, Seq(3L).toDF("id"), keepVersions = 6) // v2
+    Snapshot.renameColumn(spark, p, "txt", "label", keepVersions = 6)     // v3
+    // a METADATA rename changes no row: the v2→v3 diff is EMPTY
+    assert(Snapshot.changelog(spark, p, 2L, 3L, Seq("id")).isEmpty)
+    // and the open-ended span aligns pre-rename steps to the new name
+    val cl = Snapshot.changelogSince(spark, p, 1L, Seq("id"))
+    assert(cl.columns.contains("label") && !cl.columns.contains("txt"))
+    assert(rows(cl.select("id", "label", "_change_type")) ==
+      Seq(Seq(3L, "v3", "delete")))
+  }
+
+  test("rename refusals are loud; drop/retype stay refused") {
+    import spark.implicits._
+    val dir = freshDir("snap_renref")
+    val p = s"$dir/t.parquet"
+    WriteOps.atomicOverwrite(spark,
+      (0L until 20L).map(i => (i, s"v$i", (i % 2).toInt)).toDF("id", "txt", "grp"),
+      p, partitionBy = Seq("grp"), commitMode = "snapshot", keepVersions = 6)
+    intercept[IllegalArgumentException] { // collision
+      Snapshot.renameColumn(spark, p, "txt", "id")
+    }
+    intercept[IllegalArgumentException] { // partition column
+      Snapshot.renameColumn(spark, p, "grp", "bucket")
+    }
+    intercept[IllegalArgumentException] { // unknown column
+      Snapshot.renameColumn(spark, p, "nope", "x")
+    }
+    Snapshot.renameColumn(spark, p, "txt", "label", keepVersions = 6)
+    intercept[IllegalArgumentException] { // dead physical name reuse
+      Snapshot.renameColumn(spark, p, "label", "txt")
+    }
+    // live predicate DV blocks renames (its SQL references names)
+    Snapshot.deleteByPredicate(spark, p, "id = 1", keepVersions = 6)
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.renameColumn(spark, p, "label", "name")
+    }
+    assert(e.getMessage.contains("materialize"))
+    // drop/retype: the changelog still refuses non-widening evolution
+    // (rename resolves via aliases; a true retype does not)
+    val root = new Path(p)
+    val m = Snapshot.manifestAt(fs, Snapshot.resolveVersion(fs, root, None)._2).get
+    intercept[Snapshot.CommitConflictException] {
+      Snapshot.commitRebase(fs, root,
+        Snapshot.resolveVersion(fs, root, None)._1, Set.empty, Nil,
+        "id BIGINT,label INT,grp INT", m.partitionBy, keepVersions = 6)
+    }
+    ()
+  }
+
+  test("a merge planned before a concurrent rename conflicts loudly (no zombie column)") {
+    import spark.implicits._
+    val dir = freshDir("snap_renconc")
+    val p = s"$dir/t.parquet"
+    WriteOps.atomicOverwrite(spark,
+      (0L until 50L).map(i => (i, s"v$i")).toDF("id", "txt"),
+      p, indexBy = Seq("id"), commitMode = "snapshot", keepVersions = 6)
+    val root = new Path(p)
+    val m1 = Snapshot.manifestAt(fs, Snapshot.resolveVersion(fs, root, None)._2).get
+    Snapshot.renameColumn(spark, p, "txt", "label", keepVersions = 6)
+    val e = intercept[Snapshot.CommitConflictException] {
+      Snapshot.commitRebase(fs, root, 1L, Set.empty, Nil,
+        m1.schemaDdl, m1.partitionBy, keepVersions = 6)
+    }
+    assert(e.getMessage.contains("renamed concurrently"))
+  }
+
+  test("CLI --rename-column routes and reports") {
+    import graft.cli.Main
+    import spark.implicits._
+    val dir = freshDir("snap_rencli")
+    val p = s"$dir/t.parquet"
+    WriteOps.atomicOverwrite(spark,
+      (0L until 10L).map(i => (i, s"v$i")).toDF("id", "txt"),
+      p, commitMode = "snapshot", keepVersions = 4)
+    val (job, opts) = Main.parse(Array(
+      "-s", s"parquet/$dir/t", "--rename-column", "txt:body", "-y"))
+    Main.execute(spark, job, opts)
+    assert(graft.sources.Resolver.readParquet(spark, p).columns.toSeq ==
+      Seq("id", "body"))
+  }
+
   // ── predicate deletion vectors (r12) ───────────────────────────────
 
   private def predBase(p: String): Unit = {
