@@ -234,10 +234,17 @@ object PrunedMerge {
     val listed: Seq[(String, Long, Array[String])] = snapCtx match {
       case None => listLayout(fs, hPath, pcols).getOrElse(return None)
       case Some((_, m, dd)) =>
-        val walked = listLayout(fs, dd, pcols).getOrElse(return None)
-        val byRel = walked.map(f => relPath(dd, new Path(f._1)) -> f).toMap
-        // every member must be on disk at the declared depth
-        m.dataEntries.map(e => byRel.getOrElse(e.rel, return None))
+        // LISTING-FREE (r12): the manifest IS the membership record —
+        // path, size, and hive partition values all derive from the
+        // entry line, so the per-merge O(files) directory walk goes
+        // away entirely (with manifest envelopes the whole plan is
+        // O(manifest): no walk, no footer reads — the Delta/Iceberg
+        // trust-the-log shape). A member missing on disk surfaces
+        // LOUDLY at read (stale-read fence under concurrency, raw
+        // error otherwise) and in fsck; a rel that does not parse at
+        // the declared hive depth is a foreign layout → full writer.
+        m.dataEntries.map(e =>
+          entryListing(dd, e, pcols).getOrElse(return None))
     }
     if (listed.isEmpty) return None
 
@@ -510,6 +517,31 @@ object PrunedMerge {
     * partition values as raw strings, already unescaped; null for the
     * hive default-partition marker).
     */
+  /** The listing tuple of one manifest data entry, derived from its
+    * REL PATH alone (no filesystem access): the same (path, bytes,
+    * unescaped partition values) contract as [[listLayout]], with the
+    * same foreign-layout None on a rel that does not sit exactly
+    * `pcols.length` matching hive dirs deep.
+    */
+  private def entryListing(dd: Path, e: Snapshot.Entry,
+                           pcols: Seq[String]): Option[(String, Long, Array[String])] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val segs = e.rel.split('/')
+    if (segs.length != pcols.length + 1 || !isDataFile(segs.last)) return None
+    val vals = new Array[String](pcols.length)
+    var i = 0
+    while (i < pcols.length) {
+      val prefix = ExternalCatalogUtils.escapePathName(pcols(i)) + "="
+      if (!segs(i).startsWith(prefix)) return None
+      val raw = segs(i).substring(prefix.length)
+      vals(i) =
+        if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+        else ExternalCatalogUtils.unescapePathName(raw)
+      i += 1
+    }
+    Some((new Path(dd, e.rel).toString, e.bytes, vals))
+  }
+
   private def listLayout(fs: FileSystem, root: Path,
                          pcols: Seq[String]): Option[Seq[(String, Long, Array[String])]] = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
