@@ -125,6 +125,22 @@ object ScaleBench8 {
     require(!planPred.contains("Join"),
       s"predicate DV read must be join-free:\n$planPred")
 
+    // ── 2b) pruned CDC across the predicate delete ───────────────────
+    // every data file is SHARED between v1 and v2, so the pruned diff
+    // reads only rows matching the symmetric-difference predicate
+    // (600k) instead of 2×6M full sides
+    val nPrunedCl = timed("cdc_pred_pruned_6m") {
+      graft.operators.Snapshot.changelog(spark, pPred, 1L, 2L,
+        Seq("doc_id")).count()
+    }
+    val nFullCl = timed("cdc_pred_full_6m") {
+      graft.operators.Snapshot.changelog(spark, pPred, 1L, 2L,
+        Seq("doc_id"), filePruned = false).count()
+    }
+    require(nPrunedCl == nRows - cutoff && nFullCl == nPrunedCl,
+      s"both CDC routes must emit ${nRows - cutoff} deletes, got " +
+        s"pruned=$nPrunedCl full=$nFullCl")
+
     // ── 3) compaction debt ceiling folds + drops the predicate ───────
     timed("pred_fold_compact") {
       graft.operators.Compaction.compact(spark, pPred, Seq("doc_id"),

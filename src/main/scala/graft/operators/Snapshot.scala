@@ -1432,22 +1432,53 @@ object Snapshot {
     if (!pk.forall(a.schema.fieldNames.contains) ||
         !pk.forall(b.schema.fieldNames.contains)) return None
     val dd = dataDir(root)
-    val dels = a.deleteEntries ++ b.deleteEntries
-    val colsOk = dels.forall { e =>
+    // PREDICATE tombstones (r12) restrict differently from key sets:
+    // predicate sets only GROW between materializes, so a shared-file
+    // row's visibility can flip only where a predicate of the
+    // SYMMETRIC DIFFERENCE matches — restrict shared reads to
+    // (key-union match ∨ diff-predicate match), then each side applies
+    // its OWN tombstones. Every diff predicate must analyze against
+    // BOTH schemas (a widened-in column fails on the older side →
+    // full fallback).
+    def split(m: Manifest): (Seq[Entry], Seq[Entry]) =
+      m.deleteEntries.partition(e =>
+        e.cols.contains(Seq(PredColName)) ||
+          (e.cols.isEmpty && spark.read
+            .parquet(new Path(dd, e.rel).toString)
+            .columns.sameElements(Array(PredColName))))
+    val (predA, keyA) = split(a)
+    val (predB, keyB) = split(b)
+    val colsOk = (keyA ++ keyB).forall { e =>
       val cols = e.cols.getOrElse(
         spark.read.parquet(new Path(dd, e.rel).toString).columns.toSeq)
       cols.toSet == pkSet
     }
     if (!colsOk) return None
+    def predStrings(es: Seq[Entry]): Set[String] =
+      if (es.isEmpty) Set.empty
+      else readPredicates(spark,
+        es.map(e => new Path(dd, e.rel).toString)).toSet
+    val (pa, pb) = (predStrings(predA), predStrings(predB))
+    val predDiff = ((pa union pb) diff (pa intersect pb)).toSeq.sorted
+    val analyzable = predDiff.forall(p => Seq(a, b).forall { m =>
+      try {
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
+          .filter(expr(p)).queryExecution.analyzed
+        true
+      } catch { case scala.util.control.NonFatal(_) => false }
+    })
+    if (!analyzable) return None
+    def matchCond(ps: Seq[String]): Option[org.apache.spark.sql.Column] =
+      if (ps.isEmpty) None
+      else Some(ps.map(p => coalesce(expr(p), lit(false))).reduce(_ || _))
+    val diffCond = matchCond(predDiff)
     val shared = a.dataEntries.map(_.rel).toSet
       .intersect(b.dataEntries.map(_.rel).toSet)
-    def tombKeys(m: Manifest): Option[DataFrame] = {
-      val ds = m.deleteEntries
-      if (ds.isEmpty) None
+    def tombKeys(m: Manifest, keyDels: Seq[Entry]): Option[DataFrame] =
+      if (keyDels.isEmpty) None
       else Some(tombstoneKeys(spark, m, pk,
-        ds.map(e => new Path(dd, e.rel).toString)))
-    }
-    val (ta, tb) = (tombKeys(a), tombKeys(b))
+        keyDels.map(e => new Path(dd, e.rel).toString)))
+    val (ta, tb) = (tombKeys(a, keyA), tombKeys(b, keyB))
     val union = (ta, tb) match {
       case (Some(x), Some(y)) => Some(x.unionByName(y).distinct())
       case (x, y) => x.orElse(y)
@@ -1464,25 +1495,38 @@ object Snapshot {
           if (vals.contains(null)) in || col(c).isNull else in
         })
       else None
-    def side(m: Manifest, own: Option[DataFrame]): DataFrame = {
+    def side(m: Manifest, ownKeys: Option[DataFrame],
+             ownPreds: Set[String]): DataFrame = {
       val nonshared = readMembers(spark, root, m,
         m.dataEntries.filterNot(e => shared(e.rel)))
-      val restricted = union match {
-        case None => nonshared
-        case Some(keys) =>
-          val sharedDf0 = readMembers(spark, root, m,
-            m.dataEntries.filter(e => shared(e.rel)))
-          val sharedDf = preConds.fold(sharedDf0)(cs =>
-            sharedDf0.filter(cs.reduce(_ && _)))
-          val cond = pk.map(c => sharedDf(c) <=> keys(c)).reduce(_ && _)
-          nonshared.unionByName(sharedDf.join(keys, cond, "left_semi"))
+      def sharedRead() = readMembers(spark, root, m,
+        m.dataEntries.filter(e => shared(e.rel)))
+      def keyMatched(df0: DataFrame, keys: DataFrame) = {
+        val df = preConds.fold(df0)(cs => df0.filter(cs.reduce(_ && _)))
+        val cond = pk.map(c => df(c) <=> keys(c)).reduce(_ && _)
+        df.join(keys, cond, "left_semi")
       }
-      own.fold(restricted) { keys =>
+      val restricted = (union, diffCond) match {
+        case (None, None) => nonshared
+        case (None, Some(dc)) =>
+          nonshared.unionByName(sharedRead().filter(dc))
+        case (Some(keys), None) =>
+          nonshared.unionByName(keyMatched(sharedRead(), keys))
+        case (Some(keys), Some(dc)) =>
+          // exact, no double-count: diff-pred rows by pushed filter,
+          // the remainder by the key semi-join
+          nonshared
+            .unionByName(sharedRead().filter(dc))
+            .unionByName(keyMatched(sharedRead().filter(!dc), keys))
+      }
+      val afterKeys = ownKeys.fold(restricted) { keys =>
         val cond = pk.map(c => restricted(c) <=> keys(c)).reduce(_ && _)
         restricted.join(keys, cond, "left_anti")
       }
+      ownPreds.toSeq.sorted.foldLeft(afterKeys)((d, p) =>
+        d.filter(!coalesce(expr(p), lit(false))))
     }
-    Some((side(a, ta), side(b, tb)))
+    Some((side(a, ta, pa), side(b, tb, pb)))
   }
 
   def changelog(spark: SparkSession, rootStr: String, fromV: Long, toV: Long,

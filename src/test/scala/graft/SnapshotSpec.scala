@@ -740,23 +740,36 @@ class SnapshotSpec extends SparkSpec {
     assert(PrunedMerge.merge(spark,
       graft.sources.Resolver.readParquet(spark, p),
       Seq((5L, "W", 1L)).toDF("id", "txt", "flag"), t, p).isDefined)
-    // every adjacent step and a spanning pair: pruned ≡ unpruned
-    for ((f, v) <- Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 5L), (2L, 4L))) {
+    // v6/v7 (r12): PREDICATE deletes — the pruned diff restricts
+    // shared files by the symmetric-difference predicates instead of
+    // falling back to full reads
+    Snapshot.deleteByPredicate(spark, p, "id % 17 = 3", keepVersions = 8) // v6
+    Snapshot.deleteByPredicate(spark, p, "id >= 195", keepVersions = 8)   // v7
+    // every adjacent step and spanning pairs: pruned ≡ unpruned
+    for ((f, v) <- Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (1L, 5L), (2L, 4L), (5L, 7L), (1L, 7L))) {
       val got = rows(Snapshot.changelog(spark, p, f, v, Seq("id"))
         .orderBy("id", "_change_type"))
       val want = rows(Snapshot.changelog(spark, p, f, v, Seq("id"),
         filePruned = false).orderBy("id", "_change_type"))
       assert(got == want, s"pruned changelog diverged on v$f→v$v")
     }
-    // spot semantics: v1→v2 is exactly the 20 tombstoned deletes
+    // spot semantics: v1→v2 is exactly the 20 tombstoned deletes;
+    // v5→v6 exactly the surviving `id % 17 = 3` rows as deletes
     val cl12 = Snapshot.changelog(spark, p, 1L, 2L, Seq("id"))
     assert(cl12.count() == 20 &&
       rows(cl12.select("_change_type").distinct()) == Seq(Seq("delete")))
+    val cl56 = Snapshot.changelog(spark, p, 5L, 6L, Seq("id"))
+    assert(rows(cl56.select("_change_type").distinct()) == Seq(Seq("delete")))
+    assert(cl56.select("id").as[Long].collect().toSet ==
+      graft.sources.Resolver.readParquet(spark, p, Some(5L))
+        .filter(expr("id % 17 = 3")).select("id").as[Long].collect().toSet)
     // the open-ended cursor rides the same pruning
     assert(Snapshot.changelogSince(spark, p, 1L, Seq("id")).count() ==
-      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).map { case (f, v) =>
-        Snapshot.changelog(spark, p, f, v, Seq("id"), filePruned = false).count()
-      }.sum)
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+        .map { case (f, v) =>
+          Snapshot.changelog(spark, p, f, v, Seq("id"), filePruned = false).count()
+        }.sum)
   }
 
   test("commit instants are recorded in the manifest and survive mtime rewrites") {
