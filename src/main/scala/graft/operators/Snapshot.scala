@@ -1663,6 +1663,46 @@ object Snapshot {
         }
       }
     }
+    // r12 metadata classes: alias-map and key-envelope consistency,
+    // predicate-tombstone analyzability (per the OWNING version's
+    // schema — a tampered or hand-edited manifest must show up here,
+    // not as a read-time surprise)
+    vs.foreach { case (v, vdir) =>
+      manifestAt(fs, vdir).foreach { m =>
+        val names = m.schema.fieldNames.toSet
+        m.aliases.foreach { case (po, ln) =>
+          if (!names.contains(ln))
+            out += (("error", "alias",
+              s"v$v alias $po→$ln targets a column absent from the schema"))
+          if (names.contains(po))
+            out += (("error", "alias",
+              s"v$v alias $po→$ln: the physical name is still a live column"))
+        }
+        m.entries.foreach { e =>
+          e.envs.foreach(_.keys.foreach { k =>
+            if (!names.contains(k))
+              out += (("warn", "env",
+                s"v$v ${e.rel}: key envelope for unknown column '$k'"))
+          })
+          if (e.cols.contains(Seq(PredColName)) && onDisk.contains(e.rel)) {
+            val bad =
+              try readPredicates(spark,
+                Seq(new Path(dataDir(root), e.rel).toString)).filterNot { p =>
+                try {
+                  spark.createDataFrame(
+                    spark.sparkContext.emptyRDD[Row], m.schema)
+                    .filter(expr(p)).queryExecution.analyzed
+                  true
+                } catch { case scala.util.control.NonFatal(_) => false }
+              }
+              catch { case scala.util.control.NonFatal(_) => Seq("<unreadable>") }
+            bad.foreach(p => out += (("error", "pred",
+              s"v$v ${e.rel}: predicate does not analyze against the " +
+                s"version schema: $p")))
+          }
+        }
+      }
+    }
     onDisk.keys.filterNot(referenced).toSeq.sorted.foreach(rel =>
       out += (("info", "orphan", s"$rel referenced by no retained manifest")))
     Versioned.list(fs, root).filterNot(_._3).foreach { case (n, _, _) =>

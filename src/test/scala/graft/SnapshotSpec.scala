@@ -926,6 +926,36 @@ class SnapshotSpec extends SparkSpec {
     assert(dataEnvsOk, "compaction must re-record envelopes")
   }
 
+  test("fsck audits the r12 metadata: broken alias, stray envelope key, stale predicate") {
+    import spark.implicits._
+    val dir = freshDir("snap_fsck12")
+    val p = s"$dir/t.parquet"
+    WriteOps.atomicOverwrite(spark,
+      (0L until 20L).map(i => (i, s"v$i")).toDF("id", "txt"), p,
+      indexBy = Seq("id"), commitMode = "snapshot", keepVersions = 4)
+    Snapshot.deleteByPredicate(spark, p, "id = 5", keepVersions = 4)
+    assert(Snapshot.fsck(spark, p).filter(col("severity") === "error").isEmpty)
+    // tamper: a new version whose schema DROPS the predicate's column,
+    // whose alias targets a ghost, and whose envelope keys a ghost
+    val root = new Path(p)
+    val (v, vdir) = Snapshot.resolveVersion(fs, root, None)
+    val m = Snapshot.manifestAt(fs, vdir).get
+    val bad = m.copy(
+      schemaDdl = "renamed_id BIGINT,txt STRING",
+      aliases = Seq("id" -> "ghost", "txt" -> "txt"),
+      entries = m.entries.map(e =>
+        if (e.cols.isEmpty)
+          e.copy(envs = Some(Map("nope" -> Snapshot.ColEnv(Some(0L), Some(1L), false))))
+        else e))
+    val vdir2 = new Path(root, f"_v_${v + 1}%020d")
+    Snapshot.writeManifest(fs, vdir2, bad)
+    fs.create(new Path(vdir2, graft.operators.Versioned.Marker), false).close()
+    val findings = Snapshot.fsck(spark, p)
+      .select("issue").as[String].collect().toSet
+    assert(Set("alias", "env", "pred").subsetOf(findings),
+      s"fsck must flag all three r12 classes, got $findings")
+  }
+
   // ── column rename via the manifest alias map (r12) ─────────────────
 
   test("rename is metadata-only: values travel, time travel keeps each version's names") {
