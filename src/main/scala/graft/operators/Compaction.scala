@@ -227,16 +227,34 @@ object Compaction {
             .mapValues(_.map(_._2)).toSeq.sortBy(_._1.mkString(",")))
         else None
       }
-    def applyDv(df0: org.apache.spark.sql.DataFrame) = {
-      val df = dvGroups.fold(df0) { gs =>
-        gs.foldLeft(df0) { case (acc, (cols, files)) =>
-          val keys = Snapshot.tombstoneKeys(spark, m, cols, files)
-          val cond = cols.map(c => acc(c) <=> keys(c)).reduce(_ && _)
-          acc.join(keys, cond, "left_anti")
-        }
+    // key-tombstone fold inputs per FILE (rel kept so a group can
+    // select the tombstones that APPLY to it under sequence semantics)
+    val keyWithCols: Seq[(String, Seq[String], String)] =
+      if (dvGroups.isEmpty) Nil
+      else keyDel.map { e =>
+        val f = new Path(dd, e.rel).toString
+        (e.rel, e.cols.getOrElse(spark.read.parquet(f).columns.toSeq), f)
       }
-      foldPreds.foldLeft(df)((acc, p) =>
-        acc.filter(!coalesce(expr(p), lit(false))))
+    val foldPredsByRel: Map[String, Seq[String]] =
+      predByFile.filter(_._3).map(t => t._1 -> t._2).toMap
+    // fold exactly `dels` (the group's APPLICABLE tombstones) into a
+    // group read — folding is idempotent next to the read path's own
+    // per-class application, so partially-foldable sets stay sound
+    def applyDv(df0: org.apache.spark.sql.DataFrame,
+                dels: Seq[Snapshot.Entry]) = {
+      val rels = dels.map(_.rel).toSet
+      val df = dvGroups.fold(df0) { _ =>
+        keyWithCols.filter(t => rels(t._1))
+          .groupBy(_._2).view.mapValues(_.map(_._3)).toSeq
+          .sortBy(_._1.mkString(","))
+          .foldLeft(df0) { case (acc, (cols, files)) =>
+            val keys = Snapshot.tombstoneKeys(spark, m, cols, files)
+            val cond = cols.map(c => acc(c) <=> keys(c)).reduce(_ && _)
+            acc.join(keys, cond, "left_anti")
+          }
+      }
+      dels.flatMap(e => foldPredsByRel.getOrElse(e.rel, Nil)).distinct.sorted
+        .foldLeft(df)((acc, p) => acc.filter(!coalesce(expr(p), lit(false))))
     }
     // merge-on-read debt ceiling: past the threshold, widen to a full
     // fold — every data file rewrites and the DV set drops entirely.
@@ -247,16 +265,29 @@ object Compaction {
     val dvFrac = delEntries.map(_.bytes).sum.toDouble /
       math.max(1L, dataEntries.map(_.bytes).sum)
     val forceAll = allFoldable && dvFrac >= foldDeletesAbove
-    val groups = dataEntries.groupBy { e =>
-      val cut = e.rel.lastIndexOf('/')
-      if (cut < 0) "" else e.rel.substring(0, cut)
-    }
+    // SEQUENCE-CLASS grouping (r12): a group may only fold tombstones
+    // that apply to EVERY member, and the rewritten file INHERITS the
+    // min member seq so its applicable set is unchanged — mixing two
+    // classes in one group would either over-delete the exempt
+    // member's rows (fold) or resurrect the other's (no fold). Class
+    // count is 1 on every pre-append-upsert state, so the grouping —
+    // and the whole plan — is byte-identical there.
+    val classed = Snapshot.seqClasses(m, dataEntries)
+    val groups: Seq[(String, Seq[Snapshot.Entry], Seq[Snapshot.Entry])] =
+      classed.flatMap { case (es, dels) =>
+        es.groupBy { e =>
+          val cut = e.rel.lastIndexOf('/')
+          if (cut < 0) "" else e.rel.substring(0, cut)
+        }.toSeq.map { case (dir, entries) => (dir, entries, dels) }
+      }
     var dirs = 0; var compacted = 0; var bytes = 0L
     val kept = scala.collection.mutable.ArrayBuffer.empty[Snapshot.Entry]
     val removedRels = scala.collection.mutable.Set.empty[String]
-    val stage = new Path(root, s"._snap_stage_${System.nanoTime()}")
+    val newEntries0 = scala.collection.mutable.ArrayBuffer.empty[Snapshot.Entry]
+    val stages = scala.collection.mutable.ArrayBuffer.empty[Path]
     try {
-      groups.toSeq.sortBy(_._1).foreach { case (dir, entries) =>
+      groups.sortBy(g => (g._1, g._3.map(_.rel).sorted.mkString(",")))
+        .foreach { case (dir, entries, dels) =>
         val small =
           if (forceAll) entries else entries.filter(_.bytes < targetFileBytes)
         if (small.length < (if (forceAll) 1 else 2)) kept ++= entries
@@ -270,7 +301,7 @@ object Compaction {
           // alias-aware group read: pre-rename files recover their
           // renamed columns; the rewritten output carries CURRENT names
           val df = applyDv(Snapshot.aliasedRead(spark, m.aliases, dataSchema,
-            small.map(e => new Path(dd, e.rel).toString), None))
+            small.map(e => new Path(dd, e.rel).toString), None), dels)
           val nOut = math.max(1L,
             (smallBytes + targetFileBytes - 1) / targetFileBytes).toInt
           val keys = indexBy.filter(df.columns.contains)
@@ -279,15 +310,24 @@ object Compaction {
               df.repartitionByRange(nOut, keys.map(col): _*)
                 .sortWithinPartitions(keys.map(col): _*)
             else df.repartition(nOut)
+          // one stage root per group: two classes of the same dir
+          // would otherwise overwrite each other's staged output
+          val stage = new Path(root, s"._snap_stage_${System.nanoTime()}")
+          stages += stage
           val out = if (dir.isEmpty) stage else new Path(stage, dir)
           laid.write.mode("overwrite").parquet(out.toString)
+          // content-preserving rewrite: inherit the min source seq
+          // (members share the applicable set, so min preserves it)
+          val inheritSeq = small.map(_.seq).min
+          newEntries0 ++= Snapshot.moveIntoPool(fs, stage, dd)
+            .map(_.copy(seq = inheritSeq))
         }
       }
       if (dirs == 0) return Stats(0, m.entries.size, 0, 0L, 0)
       // record key envelopes for the compacted files so merges keep
       // planning from the manifest (r12)
       val newEntries = Snapshot.withKeyEnvs(spark, dd,
-        Snapshot.moveIntoPool(fs, stage, dd), dataSchema,
+        newEntries0.toSeq, dataSchema,
         indexBy.filter(dataSchema.fieldNames.contains))
       // a DV file drops only when EVERY remaining data file was
       // rewritten with ITS fold applied — otherwise kept files still
@@ -303,7 +343,8 @@ object Compaction {
         newEntries, m.schemaDdl, m.partitionBy, keepVersions)
       Stats(dirs, m.entries.size, compacted, bytes, newEntries.size)
     } finally {
-      try fs.delete(stage, true) catch { case _: Throwable => () }
+      stages.foreach(s =>
+        try fs.delete(s, true) catch { case _: Throwable => () })
     }
   }
 

@@ -312,22 +312,19 @@ object PrunedMerge {
     // nothing to prune — the full rewrite costs the same and is atomic
     if (touched.size == listed.size) return None
 
-    // live tombstone keys (snapshot DV compose): one small distinct
-    // read of the version's `_deletes` files, typed to the pk columns
-    val tombKeys: Option[DataFrame] = dvKeyCols.map { cols =>
-      val (_, m, dd) = snapCtx.get
-      Snapshot.tombstoneKeys(spark, m, cols,
-        m.deleteEntries.map(e => new Path(dd, e.rel).toString))
-    }
-
     // apply the op to the touched subset only; schema pinned to the
     // authoritative target schema (single-writer layout — files agree).
     // basePath recovers partition-column values from the dir structure.
     // Active tombstones are anti-joined out of the touched reads FIRST
     // (null-safe per pk component, the readAt contract) — the op must
-    // see the table's logical rows, not the raw file rows.
-    val touchedDf0 =
-      if (touched.isEmpty)
+    // see the table's logical rows, not the raw file rows. SEQUENCE
+    // AWARE (r12): the anti-join runs per [[Snapshot.seqClasses]]
+    // class, so a touched file committed at-or-after a tombstone (a
+    // previous append-shaped upsert's batch) keeps the rows that
+    // tombstone retired elsewhere — one class on every pre-append
+    // state, where the plan is byte-identical to the global anti-join.
+    def rawTouched(paths: Seq[String]): DataFrame =
+      if (paths.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           current.schema)
       else {
@@ -337,11 +334,24 @@ object PrunedMerge {
         val bp = snapCtx.fold(path)(_._3.toString)
         Snapshot.aliasedRead(spark,
           snapCtx.map(_._2.aliases).getOrElse(Nil), current.schema,
-          touched.map(_.path), if (pcols.nonEmpty) Some(bp) else None)
+          paths, if (pcols.nonEmpty) Some(bp) else None)
       }
-    val touchedDf = tombKeys.fold(touchedDf0) { keys =>
-      val cond = keys.columns.map(c => touchedDf0(c) <=> keys(c)).reduce(_ && _)
-      touchedDf0.join(keys, cond, "left_anti")
+    val touchedDf: DataFrame = snapCtx match {
+      case Some((_, m, dd))
+          if dvKeyCols.isDefined && touched.nonEmpty =>
+        val byRel = m.dataEntries.map(e => e.rel -> e).toMap
+        val tEntries = touched.map(e => byRel(relPath(dd, new Path(e.path))))
+        Snapshot.seqClasses(m, tEntries).map { case (es, dels) =>
+          val df0 = rawTouched(es.map(e => new Path(dd, e.rel).toString))
+          if (dels.isEmpty) df0
+          else {
+            val keys = Snapshot.tombstoneKeys(spark, m, dvKeyCols.get,
+              dels.map(e => new Path(dd, e.rel).toString))
+            val cond = keys.columns.map(c => df0(c) <=> keys(c)).reduce(_ && _)
+            df0.join(keys, cond, "left_anti")
+          }
+        }.reduce(_ unionByName _)
+      case _ => rawTouched(touched.map(_.path))
     }
     val merged = WriteOps.applyOp(touchedDf, batch, t)
     // schema-extending op (schema-free update $set): on a SNAPSHOT
@@ -394,40 +404,17 @@ object PrunedMerge {
     // retained manifest lists them.
     snapCtx match {
       case Some((baseV, m, dd)) =>
-        // DV compose: the committed tombstone set = survivors of the
-        // batch's full-pk re-assertions, consolidated into ONE fresh
-        // `_deletes` file (the old DV files stay on disk for retained
-        // generations; refcount vacuum reclaims them). Written BEFORE
-        // the data-file pool move so a failure here leaves the pool
-        // untouched.
-        val dvEntries: Seq[Snapshot.Entry] = (tombKeys, dvKeyCols) match {
-          case (Some(keys), Some(cols)) =>
-            val batchKeys = batch
-              .select(cols.map(c =>
-                col(c).cast(current.schema(c).dataType).as(c)): _*)
-              .distinct()
-            val cond = cols.map(c => keys(c) <=> batchKeys(c)).reduce(_ && _)
-            val survivors = keys.join(batchKeys, cond, "left_anti")
-              .localCheckpoint(true)
-            if (survivors.isEmpty) Nil
-            else {
-              val dvTmp = new Path(path + "._dv_tmp_" + System.nanoTime())
-              try survivors.coalesce(1).write.parquet(dvTmp.toString) catch {
-                case e: Throwable =>
-                  try fs.delete(dvTmp, true) catch { case _: Throwable => () }
-                  try fs.delete(tmp, true) catch { case _: Throwable => () }
-                  throw e
-              }
-              val delDir = new Path(dd, Snapshot.DeletesDirName)
-              fs.mkdirs(delDir)
-              val moved = Snapshot.moveIntoPool(fs, dvTmp, delDir)
-                .map(e => e.copy(rel = s"${Snapshot.DeletesDirName}/${e.rel}",
-                  cols = Some(cols)))
-              fs.delete(dvTmp, true)
-              moved
-            }
-          case _ => Nil
-        }
+        // DV compose under SEQUENCE semantics (r12): the base
+        // tombstone set commits UNCHANGED. The rewritten files carry a
+        // NEW seq, so every base tombstone is exempt for them — their
+        // rows already read through the applicable tombstones above,
+        // and the batch's re-asserted keys live in them legitimately
+        // (the batch-write-wins contract, now expressed by sequence
+        // order instead of the old survivor-consolidation rewrite of
+        // the DV set). Untouched files keep their lower seqs, so the
+        // same tombstones keep applying to them at read. The
+        // merge-on-read debt is unchanged and remains compaction's
+        // (`foldDeletesAbove`) to retire.
         val newEntries0 =
           try Snapshot.moveIntoPool(fs, tmp, dd)
           finally { try fs.delete(tmp, true) catch { case _: Throwable => () } }
@@ -451,22 +438,22 @@ object PrunedMerge {
           if (widens) org.apache.spark.sql.types.StructType(
             merged.schema.fields.map(_.copy(nullable = true))).toDDL
           else m.schemaDdl
-        // OPTIMISTIC commit: removed = the touched files (+ the base's
-        // DV files when composing — replaced by the consolidated
-        // survivor file); a concurrent non-conflicting commit (a
-        // disjoint merge, an append, a DV delete) rebases under the
-        // commit lock, a conflicting one fails loudly
+        // OPTIMISTIC commit: removed = the touched files (the base DV
+        // set commits unchanged — sequence order expresses the
+        // compose); a concurrent non-conflicting commit (a disjoint
+        // merge, an append, a DV delete) rebases under the commit
+        // lock, a conflicting one fails loudly
         // (Snapshot.CommitConflictException) for the caller to re-plan.
-        val removed = touchedRel ++
-          (if (dvKeyCols.isDefined) m.deleteEntries.map(_.rel).toSet
-           else Set.empty[String])
+        val removed = touchedRel
         // baseDeleteRels: a tombstone committed between this merge's
-        // base read and its commit is a CONFLICT, not a compose — it
-        // was not in the touched reads' anti-join, so rebasing it into
-        // the manifest would silently delete keys this merge upserted
-        // (Runner re-plans, re-reading through the new tombstones)
+        // base read and its commit is a CONFLICT, not a compose — the
+        // rewritten files re-assert their SURVIVOR rows at the new
+        // seq, which would exempt them from a delete that (in commit
+        // order) should still apply to them (Runner re-plans — or the
+        // append-shaped rebase absorbs it, which re-asserts only the
+        // batch's own rows)
         Snapshot.commitRebase(fs, hPath, baseV, removed,
-          newEntries ++ dvEntries, outDdl, m.partitionBy, t.keepVersions,
+          newEntries, outDdl, m.partitionBy, t.keepVersions,
           baseDeleteRels = Some(m.deleteEntries.map(_.rel).toSet))
         val totalBytes0 = envelopes.map(_.bytes).sum
         return Some(Stats(envelopes.size, touched.size, totalBytes0,

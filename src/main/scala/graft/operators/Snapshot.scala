@@ -67,6 +67,12 @@ object Snapshot {
   val PredColName = "__pred__"
   private val FormatTag = "graft-snapshot-v1"
 
+  /** Sentinel `seq` of a freshly created [[Entry]]: replaced with the
+    * committed version number inside [[commitLocked]]. Never appears
+    * in a written manifest.
+    */
+  val UnsetSeq: Long = -1L
+
   /** Per-column pk/index-key envelope of one pool file, recorded in
     * the MANIFEST (r12 — the Iceberg manifest-stats analog): `min`/
     * `max` in the integral pruning domain (long value, date days,
@@ -92,10 +98,27 @@ object Snapshot {
     * members written by the engine's sorted writers; None (legacy
     * entries, string-keyed layouts) → the merge planner falls back to
     * the footer sweep.
+    *
+    * `seq` (r12 — the Iceberg data-sequence-number analog) is the
+    * COMMIT SEQUENCE the entry's content is "as of": a tombstone
+    * applies to a data member iff `dataSeq < tombSeq`, so rows
+    * committed at-or-after a delete are EXEMPT from it — which is
+    * what makes an append-only upsert commit (batch file + batch-key
+    * tombstone at the same seq) express "replace these keys" without
+    * rewriting any data file, and keeps a retention predicate
+    * point-in-time (it deletes the rows that existed when it was
+    * committed, not rows inserted later). Fresh entries carry the
+    * [[UnsetSeq]] sentinel and are stamped with the version number at
+    * commit; content-preserving rewrites (compaction) INHERIT the min
+    * source seq so the applicable set is unchanged. Entries read from
+    * manifests that predate the field normalize to the pre-seq global
+    * semantics: data → 0 (oldest), tombstones → Long.MaxValue (apply
+    * to everything).
     */
   final case class Entry(rel: String, bytes: Long,
                          cols: Option[Seq[String]] = None,
-                         envs: Option[Map[String, ColEnv]] = None)
+                         envs: Option[Map[String, ColEnv]] = None,
+                         seq: Long = Snapshot.UnsetSeq)
 
   /** A version's full membership record. `schemaDdl` preserves the
     * LOGICAL column order/types (partitioned reads would otherwise
@@ -171,9 +194,16 @@ object Snapshot {
               (if (v.hasNulls) "1" else "0")
         }.mkString(";"))
         .filter(_.nonEmpty)
-      if (colsStr.isDefined || envStr.isDefined)
+      // fifth tab field (r12): the entry's commit sequence — written
+      // for every stamped entry (empty cols/envs placeholders keep
+      // the positions fixed); readers that predate it ignore trailing
+      // fields, readers of manifests that predate it normalize
+      // ([[manifestAt]]) to the global pre-seq semantics
+      if (colsStr.isDefined || envStr.isDefined || e.seq >= 0)
         sb.append('\t').append(colsStr.getOrElse(""))
-      envStr.foreach(s => sb.append('\t').append(s))
+      if (envStr.isDefined || e.seq >= 0)
+        sb.append('\t').append(envStr.getOrElse(""))
+      if (e.seq >= 0) sb.append('\t').append(e.seq)
       sb.append('\n')
     }
     // EXCLUSIVE create ([[atomicCreate]], not fs.create(overwrite =
@@ -237,11 +267,22 @@ object Snapshot {
             }
           }.toMap).filter(_.nonEmpty)
         else None
+      val isDel = parts(1).startsWith(DeletesDirName + "/")
+      // normalize ON READ: an entry line without the seq field (a
+      // pre-r12 manifest, or one carried from it) gets the effective
+      // seq that reproduces the old GLOBAL tombstone semantics —
+      // data is oldest (0), a tombstone applies to everything
+      // (Long.MaxValue). In-memory entries therefore always carry a
+      // concrete seq; only FRESH entries are ever [[UnsetSeq]].
+      val seq =
+        if (parts.length >= 5 && parts(4).nonEmpty) parts(4).toLong
+        else if (isDel) Long.MaxValue
+        else 0L
       Entry(parts(1), parts(0).toLong,
         if (parts.length >= 3 && parts(2).nonEmpty)
           Some(parts(2).split(",").toSeq)
         else None,
-        envs)
+        envs, seq)
     }.toSeq
     Some(Manifest(lines(1), pcols, entries, commitTs, aliases))
   }
@@ -343,9 +384,44 @@ object Snapshot {
     // re-plannable conflict when the head moved. A PINNED time-travel
     // read keeps the raw loud error (the reader outran retention —
     // the changelog-cursor contract).
-    def body = applyTombstones(spark, root, m,
-      readMembers(spark, root, m, m.dataEntries))
+    def body = tombstonedRead(spark, root, m, m.dataEntries)
     if (at.isEmpty) staleReadAsConflict(fs, root, v)(body) else body
+  }
+
+  /** Partition `entries` into SEQUENCE CLASSES: groups sharing the
+    * same applicable-tombstone set under the seq rule (a tombstone
+    * applies to a data member iff `dataSeq < tombSeq`). Returns
+    * `(class members, applicable delete entries)` pairs in a
+    * deterministic order. Tables without newer-than-tombstone data —
+    * every state the engine produced before append-shaped upsert
+    * commits existed, and every state after a materialize — form ONE
+    * class covering all tombstones, and the classed read collapses to
+    * the exact pre-seq plan.
+    */
+  private[operators] def seqClasses(m: Manifest, entries: Seq[Entry])
+      : Seq[(Seq[Entry], Seq[Entry])] = {
+    val dels = m.deleteEntries
+    entries.groupBy(e => dels.filter(t => e.seq < t.seq).map(_.rel).toSet)
+      .toSeq
+      .sortBy { case (rels, _) => (-rels.size, rels.toSeq.sorted.mkString(",")) }
+      .map { case (rels, es) => (es, dels.filter(t => rels(t.rel))) }
+  }
+
+  /** Read `entries` under manifest `m` with tombstones applied per
+    * SEQUENCE CLASS ([[seqClasses]]): each class anti-joins / filters
+    * only the tombstones that apply to its members, so rows committed
+    * at-or-after a delete (an append-shaped upsert's batch, a
+    * post-predicate insert) are exempt from it. Single class — the
+    * common case — is exactly the old one-branch plan.
+    */
+  private[operators] def tombstonedRead(spark: SparkSession, root: Path,
+                                        m: Manifest,
+                                        entries: Seq[Entry]): DataFrame = {
+    if (m.deleteEntries.isEmpty || entries.isEmpty)
+      return readMembers(spark, root, m, entries)
+    seqClasses(m, entries).map { case (es, dels) =>
+      applyTombstones(spark, root, m, readMembers(spark, root, m, es), dels)
+    }.reduce(_ unionByName _)
   }
 
   /** MERGE-ON-READ: anti-join the version's deletion-vector files
@@ -355,8 +431,7 @@ object Snapshot {
     * pays nothing.
     */
   private def applyTombstones(spark: SparkSession, root: Path, m: Manifest,
-                              df: DataFrame): DataFrame = {
-    val dels = m.deleteEntries
+                              df: DataFrame, dels: Seq[Entry]): DataFrame = {
     if (dels.isEmpty) return df
     val dd = dataDir(root)
     // DV commits may carry DIFFERENT key-column sets (deleteByKeys
@@ -734,10 +809,17 @@ object Snapshot {
     val next = Versioned.list(fs, root).map(_._1).maxOption.getOrElse(0L) + 1
     val vdir = new Path(root, f"_v_$next%020d")
     fs.mkdirs(vdir)
-    // stamp the commit instant INTO the manifest: filesystem mtimes do
-    // not survive a copy/restore of the table, a recorded field does
-    writeManifest(fs, vdir, m.copy(commitTsMillis =
-      Some(System.currentTimeMillis())))
+    // stamp FRESH entries (seq == UnsetSeq) with this commit's
+    // version — the sequence number tombstone applicability compares
+    // on. Carried entries (from a base manifest, or content-preserving
+    // rewrites that inherited their sources' seq) keep theirs.
+    val stamped = m.copy(
+      entries = m.entries.map(e => if (e.seq < 0) e.copy(seq = next) else e),
+      // stamp the commit instant INTO the manifest: filesystem mtimes
+      // do not survive a copy/restore of the table, a recorded field
+      // does
+      commitTsMillis = Some(System.currentTimeMillis()))
+    writeManifest(fs, vdir, stamped)
     // COMMIT POINT: one atomic create — no reader can observe a
     // version whose manifest is not fully written. atomicCreate, not
     // fs.create(overwrite=false): on the local filesystem the latter
@@ -755,7 +837,7 @@ object Snapshot {
     // or torn manifest here un-publishes the version and aborts.
     val ok =
       try manifestAt(fs, vdir).exists(read =>
-        read.entries == m.entries && read.schemaDdl == m.schemaDdl &&
+        read.entries == stamped.entries && read.schemaDdl == m.schemaDdl &&
           read.partitionBy == m.partitionBy)
       catch { case scala.util.control.NonFatal(_) => false }
     if (!ok) {
@@ -1495,38 +1577,54 @@ object Snapshot {
           if (vals.contains(null)) in || col(c).isNull else in
         })
       else None
-    def side(m: Manifest, ownKeys: Option[DataFrame],
-             ownPreds: Set[String]): DataFrame = {
-      val nonshared = readMembers(spark, root, m,
-        m.dataEntries.filterNot(e => shared(e.rel)))
-      def sharedRead() = readMembers(spark, root, m,
-        m.dataEntries.filter(e => shared(e.rel)))
+    // Each side applies its own tombstones PER SEQUENCE CLASS
+    // ([[seqClasses]]): a tombstone anti-joins / filters only the
+    // members it applies to (`dataSeq < tombSeq`), so an append-shaped
+    // upsert's batch rows stay exempt from the very tombstone that
+    // retired their older instances. The restriction superset (union
+    // keys ∨ diff predicates) stays GLOBAL — per-file applicability
+    // only shrinks where visibility can flip, so restricting by the
+    // global superset remains sound. Single class (every pre-append
+    // state) is exactly the old plan.
+    def side(m: Manifest, predRels: Set[String]): DataFrame = {
       def keyMatched(df0: DataFrame, keys: DataFrame) = {
         val df = preConds.fold(df0)(cs => df0.filter(cs.reduce(_ && _)))
         val cond = pk.map(c => df(c) <=> keys(c)).reduce(_ && _)
         df.join(keys, cond, "left_semi")
       }
-      val restricted = (union, diffCond) match {
-        case (None, None) => nonshared
-        case (None, Some(dc)) =>
-          nonshared.unionByName(sharedRead().filter(dc))
-        case (Some(keys), None) =>
-          nonshared.unionByName(keyMatched(sharedRead(), keys))
-        case (Some(keys), Some(dc)) =>
-          // exact, no double-count: diff-pred rows by pushed filter,
-          // the remainder by the key semi-join
-          nonshared
-            .unionByName(sharedRead().filter(dc))
-            .unionByName(keyMatched(sharedRead().filter(!dc), keys))
-      }
-      val afterKeys = ownKeys.fold(restricted) { keys =>
-        val cond = pk.map(c => restricted(c) <=> keys(c)).reduce(_ && _)
-        restricted.join(keys, cond, "left_anti")
-      }
-      ownPreds.toSeq.sorted.foldLeft(afterKeys)((d, p) =>
-        d.filter(!coalesce(expr(p), lit(false))))
+      if (m.dataEntries.isEmpty)
+        return readMembers(spark, root, m, Nil)
+      seqClasses(m, m.dataEntries).map { case (es, dels) =>
+        val (cPred, cKey) = dels.partition(e => predRels(e.rel))
+        val cKeys = tombKeys(m, cKey)
+        val cPreds =
+          if (cPred.isEmpty) Set.empty[String] else predStrings(cPred)
+        val nonshared = readMembers(spark, root, m,
+          es.filterNot(e => shared(e.rel)))
+        def sharedRead() = readMembers(spark, root, m,
+          es.filter(e => shared(e.rel)))
+        val restricted = (union, diffCond) match {
+          case (None, None) => nonshared
+          case (None, Some(dc)) =>
+            nonshared.unionByName(sharedRead().filter(dc))
+          case (Some(keys), None) =>
+            nonshared.unionByName(keyMatched(sharedRead(), keys))
+          case (Some(keys), Some(dc)) =>
+            // exact, no double-count: diff-pred rows by pushed filter,
+            // the remainder by the key semi-join
+            nonshared
+              .unionByName(sharedRead().filter(dc))
+              .unionByName(keyMatched(sharedRead().filter(!dc), keys))
+        }
+        val afterKeys = cKeys.fold(restricted) { keys =>
+          val cond = pk.map(c => restricted(c) <=> keys(c)).reduce(_ && _)
+          restricted.join(keys, cond, "left_anti")
+        }
+        cPreds.toSeq.sorted.foldLeft(afterKeys)((d, p) =>
+          d.filter(!coalesce(expr(p), lit(false))))
+      }.reduce(_ unionByName _)
     }
-    Some((side(a, ta, pa), side(b, tb, pb)))
+    Some((side(a, predA.map(_.rel).toSet), side(b, predB.map(_.rel).toSet)))
   }
 
   def changelog(spark: SparkSession, rootStr: String, fromV: Long, toV: Long,
@@ -1684,6 +1782,20 @@ object Snapshot {
               out += (("warn", "env",
                 s"v$v ${e.rel}: key envelope for unknown column '$k'"))
           })
+          // sequence sanity (r12): a recorded seq must be a version
+          // number no newer than its OWNING manifest's version — a
+          // future seq would silently exempt the member from every
+          // live tombstone. (Long.MaxValue is the legacy-tombstone
+          // normalization and legal on delete entries only.)
+          if (e.seq < 0)
+            out += (("error", "seq",
+              s"v$v ${e.rel}: unstamped commit sequence ${e.seq}"))
+          else if (e.seq > v &&
+                   !(e.seq == Long.MaxValue &&
+                     e.rel.startsWith(DeletesDirName + "/")))
+            out += (("error", "seq",
+              s"v$v ${e.rel}: commit sequence ${e.seq} is newer than " +
+                s"the manifest's own version"))
           if (e.cols.contains(Seq(PredColName)) && onDisk.contains(e.rel)) {
             val bad =
               try readPredicates(spark,

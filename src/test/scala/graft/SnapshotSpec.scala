@@ -504,15 +504,25 @@ class SnapshotSpec extends SparkSpec {
       Seq(Seq(15L, "X"), Seq(50L, "Y"), Seq(200L, "Z")))
     assert(now.filter($"id".isin(10L, 14L, 16L, 19L)).isEmpty,
       "unrelated tombstones must keep applying")
-    // committed DV set = survivors only, consolidated, cols recorded
+    // SEQUENCE semantics (r12): the committed DV set is the BASE
+    // tombstone file UNCHANGED — the rewritten files carry a newer
+    // commit seq, so the tombstone is exempt for them (15's new row
+    // reads through it) while untouched files keep reading under it
     val (_, vdir) = Snapshot.resolveVersion(fs, new Path(p), None)
     val m = Snapshot.manifestAt(fs, vdir).get
     assert(m.deleteEntries.size == 1 &&
       m.deleteEntries.head.cols.contains(Seq("id")))
-    val survivorKeys = spark.read.parquet(new Path(
+    val tombKeys = spark.read.parquet(new Path(
       Snapshot.dataDir(new Path(p)), m.deleteEntries.head.rel).toString)
       .as[Long].collect().toSet
-    assert(survivorKeys == (10L until 20L).toSet - 15L)
+    assert(tombKeys == (10L until 20L).toSet,
+      "the base tombstone commits byte-unchanged under sequence semantics")
+    val tombSeq = m.deleteEntries.head.seq
+    assert(tombSeq == 2L, s"tombstone seq must be its commit version, got $tombSeq")
+    assert(m.dataEntries.exists(_.seq > tombSeq),
+      "rewritten files must carry a newer seq than the tombstone")
+    assert(m.dataEntries.exists(_.seq < tombSeq),
+      "untouched files must keep their older seq")
     // time travel: the pre-merge DV version still reads its own state
     assert(graft.sources.Resolver.readParquet(spark, p, Some(2L)).count() == 90)
     // EQUIVALENCE LAW: ≡ materialize-then-merge on a clone
@@ -563,9 +573,15 @@ class SnapshotSpec extends SparkSpec {
     val now = graft.sources.Resolver.readParquet(spark, p)
     assert(now.count() == 3 &&
       rows(now.filter($"id".isNull).select("txt")) == Seq(Seq("N2")))
+    // sequence semantics: the NULL tombstone commits unchanged — the
+    // re-asserted NULL row lives in a NEWER-seq file the tombstone is
+    // exempt for, which is exactly the null-safe batch-wins contract
+    // the old survivor-consolidation rewrite used to express
     val (_, vdir) = Snapshot.resolveVersion(fs, new Path(p), None)
-    assert(Snapshot.manifestAt(fs, vdir).get.deleteEntries.isEmpty,
-      "the re-asserted NULL tombstone must not survive")
+    val m = Snapshot.manifestAt(fs, vdir).get
+    assert(m.deleteEntries.nonEmpty &&
+      m.dataEntries.exists(_.seq > m.deleteEntries.head.seq),
+      "the NULL tombstone survives; the batch row outranks it by seq")
   }
 
   test("deletion vectors: a PARTIAL-key tombstone still declines the pruned merge") {
@@ -836,9 +852,20 @@ class SnapshotSpec extends SparkSpec {
       Snapshot.Entry("c.parquet", 30L)))
     Snapshot.writeManifest(fs, vdir, m)
     val back = Snapshot.manifestAt(fs, vdir).get
-    assert(back.entries == m.entries)
+    // entries written with the UnsetSeq sentinel have no seq field on
+    // disk — reading normalizes them to the pre-seq GLOBAL semantics
+    // (data = 0, tombstone = Long.MaxValue), the r12 upgrade contract
+    assert(back.entries.map(_.copy(seq = Snapshot.UnsetSeq)) == m.entries)
+    assert(back.entries.find(_.rel == "a.parquet").get.seq == 0L)
+    assert(back.entries.find(_.rel == "_deletes/d.parquet").get.seq ==
+      Long.MaxValue)
     // a legacy line (no env field) parses with envs = None
     assert(back.entries.find(_.rel == "c.parquet").get.envs.isEmpty)
+    // a stamped seq round-trips verbatim
+    val m2 = m.copy(entries = m.entries.map(_.copy(seq = 7L)))
+    val vdir2 = new Path(dir, f"_v_${2L}%020d")
+    Snapshot.writeManifest(fs, vdir2, m2)
+    assert(Snapshot.manifestAt(fs, vdir2).get.entries == m2.entries)
   }
 
   test("sorted snapshot writers RECORD key envelopes; merges PLAN from them (no footer reads)") {
