@@ -313,6 +313,49 @@ object SparkEntry {
       graft.sources.Resolver.readParquet(s, p).orderBy("o_orderkey")
     }),
 
+    // ── [EXT r12] APPEND-SHAPED upsert (the Hudi merge-on-read
+    // deltacommit analog, expressed with commit sequence numbers): the
+    // same delete-then-upsert as q_write_upsert_dv, but committed as
+    // (batch file + batch-key tombstone) at ONE new seq — zero data
+    // files read, rewritten, or removed; O(batch) bytes at any table
+    // size, reads pay the anti-join until compaction folds the debt.
+    // In-query requires prove strict membership preservation (every
+    // pre-commit manifest entry survives) and that the only additions
+    // are one data file + one tombstone at the new commit's seq. Same
+    // oracle as q_write_upsert_dv: both routes must serve the same
+    // logical table. ──────────────────────────────────────────────────
+    "q_write_upsert_append" -> ((s, dir) => {
+      val scratch = scratchDir("graft_upap")
+      val orders = read(s, dir, "orders")
+      val p = s"$scratch/orders_t.parquet"
+      WriteOps.atomicOverwrite(s, orders, p, indexBy = Seq("o_orderkey"),
+        maxRecordsPerFile = math.max(500, orders.count() / 24),
+        commitMode = "snapshot", keepVersions = 3)
+      graft.operators.Snapshot.deleteByKeys(s, p, orders
+        .filter(col("o_orderstatus") === "F" && col("o_orderkey") < 5000)
+        .select("o_orderkey"), keepVersions = 3)
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fsys = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val m0 = graft.operators.Snapshot.manifestAt(fsys,
+        graft.operators.Snapshot.resolveVersion(fsys, hp, None)._2).get
+      val batch = orders.filter(col("o_orderkey") < 1000)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val (v, nKeys) = graft.operators.Snapshot.upsertAppend(s, p, batch,
+        Seq("o_orderkey"), indexBy = Seq("o_orderkey"), keepVersions = 3)
+      require(nKeys == batch.count(), "every batch key must be asserted")
+      val m1 = graft.operators.Snapshot.manifestAt(fsys,
+        graft.operators.Snapshot.resolveVersion(fsys, hp, None)._2).get
+      require(m0.entries.forall(m1.entries.contains),
+        "append-shaped upsert must not touch any existing member")
+      val added = m1.entries.filterNot(m0.entries.contains)
+      require(added.count(!_.rel.startsWith("_deletes/")) == 1 &&
+        added.count(_.rel.startsWith("_deletes/")) == 1 &&
+        added.forall(_.seq == v),
+        s"additions must be one batch file + one tombstone at seq $v, " +
+          s"got ${added.map(e => (e.rel, e.seq))}")
+      graft.sources.Resolver.readParquet(s, p).orderBy("o_orderkey")
+    }),
+
     // ── W2 index (full record replace by pk) ──────────────────────────
     "q_write_index" -> ((s, dir) => {
       val orders = read(s, dir, "orders")
@@ -2036,6 +2079,21 @@ object SparkEntry {
     // doubled price (re-asserted even where tombstoned); other
     // tombstoned keys stay deleted
     "q_write_upsert_dv" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+                o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+         FROM orders WHERE o_orderkey < 1000
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority
+         FROM orders
+         WHERE o_orderkey >= 1000
+           AND NOT (o_orderstatus = 'F' AND o_orderkey < 5000)
+         ORDER BY o_orderkey""",
+    // the append-shaped route serves the SAME logical table as the
+    // rewriting DV-composed merge — the physical difference (zero data
+    // files touched, one batch file + one tombstone at one seq) is
+    // proven by in-query requires
+    "q_write_upsert_append" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
                 o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
          FROM orders WHERE o_orderkey < 1000

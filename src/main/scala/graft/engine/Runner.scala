@@ -112,9 +112,28 @@ object Runner {
           // (merge-on-read). Loud on a non-snapshot layout: silently
           // falling back to a table rewrite would betray the flag's
           // whole point.
-          require(!t.deleteVectors || t.op == graft.spec.WriteOp.Delete,
-            s"--dv applies to -o delete only (got op ${t.op}); dropping " +
-              "it silently would betray the flag")
+          require(!t.deleteVectors || t.op == graft.spec.WriteOp.Delete ||
+              t.op == graft.spec.WriteOp.Upsert,
+            s"--dv applies to -o delete and -o upsert only (got op " +
+              s"${t.op}); dropping it silently would betray the flag")
+          // `-o upsert --dv` (r12): APPEND-SHAPED upsert — commit the
+          // batch file plus a tombstone of its own pks at one seq
+          // (Snapshot.upsertAppend). O(batch) bytes, zero data files
+          // read or rewritten, at any table size; reads pay the
+          // anti-join until compaction folds the debt.
+          val dvUpsert = t.op == graft.spec.WriteOp.Upsert && t.deleteVectors
+          if (dvUpsert) {
+            require(graft.operators.Snapshot.isSnapshotLayout(
+              fs, new org.apache.hadoop.fs.Path(tgtPath)),
+              s"--dv needs a snapshot layout at $tgtPath (write it with " +
+                "--commit snapshot first)")
+            require(t.pk.nonEmpty, "--dv upsert needs --pk")
+            require(t.query.isEmpty && t.fields.isEmpty && t.tmap.isEmpty,
+              "--dv upsert is a blind replace-by-pk append — --tq/--tf/" +
+                "--tmap need the rewriting merge (drop --dv)")
+            graft.operators.Snapshot.upsertAppend(spark, tgtPath, batch,
+              t.pk, t.indexBy, t.maxRecordsPerFile, t.keepVersions)
+          }
           val dv = t.op == graft.spec.WriteOp.Delete && t.deleteVectors
           if (dv) {
             require(graft.operators.Snapshot.isSnapshotLayout(
@@ -190,7 +209,7 @@ object Runner {
             }
             false // unreachable
           }
-          val pruned = dv || mergeWithRetry()
+          val pruned = dv || dvUpsert || mergeWithRetry()
           if (!pruned) {
             // fresh read — a conflicted merge attempt above proves the
             // head can move under us; the full rewrite must apply the

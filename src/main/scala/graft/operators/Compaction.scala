@@ -329,13 +329,22 @@ object Compaction {
       val newEntries = Snapshot.withKeyEnvs(spark, dd,
         newEntries0.toSeq, dataSchema,
         indexBy.filter(dataSchema.fieldNames.contains))
-      // a DV file drops only when EVERY remaining data file was
-      // rewritten with ITS fold applied — otherwise kept files still
-      // need their tombstones at read
-      if (kept.isEmpty) {
-        if (dvGroups.isDefined) removedRels ++= keyDel.map(_.rel)
-        removedRels ++= predByFile.filter(_._3).map(_._1)
-      }
+      // a DV file drops only when every data file it APPLIES to
+      // (dataSeq < dvSeq) was rewritten with its fold applied —
+      // kept files at-or-above the DV's seq were never subject to
+      // it, so they don't pin the debt (an append-shaped upsert's
+      // batch file would otherwise keep every older tombstone alive
+      // until a forced full rewrite). Rewritten groups fold exactly
+      // their class's applicable set, so "rewritten ⇒ folded" holds
+      // per DV; legacy tombstones (seq=MaxValue, apply globally)
+      // still need kept to be empty.
+      val keptMinSeq = kept.map(_.seq).minOption.getOrElse(Long.MaxValue)
+      def droppable(e: Snapshot.Entry): Boolean = keptMinSeq >= e.seq
+      if (dvGroups.isDefined)
+        removedRels ++= keyDel.filter(droppable).map(_.rel)
+      val predEntryByRel = predDel.map(e => e.rel -> e).toMap
+      removedRels ++= predByFile.filter(_._3).map(_._1)
+        .filter(r => droppable(predEntryByRel(r)))
       // OPTIMISTIC commit: a compaction racing an append/disjoint
       // merge rebases (its rewritten files are still head members); a
       // concurrent rewrite of the SAME files is a loud conflict

@@ -450,14 +450,58 @@ object PrunedMerge {
         // rewritten files re-assert their SURVIVOR rows at the new
         // seq, which would exempt them from a delete that (in commit
         // order) should still apply to them (Runner re-plans — or the
-        // append-shaped rebase absorbs it, which re-asserts only the
-        // batch's own rows)
-        Snapshot.commitRebase(fs, hPath, baseV, removed,
-          newEntries, outDdl, m.partitionBy, t.keepVersions,
-          baseDeleteRels = Some(m.deleteEntries.map(_.rel).toSet))
+        // append-shaped rebase below absorbs it, which re-asserts only
+        // the batch's own rows)
+        val appended: Boolean =
+        try {
+          Snapshot.commitRebase(fs, hPath, baseV, removed,
+            newEntries, outDdl, m.partitionBy, t.keepVersions,
+            baseDeleteRels = Some(m.deleteEntries.map(_.rel).toSet))
+          false
+        } catch {
+          case e: Snapshot.CommitConflictException if e.retryableByAppend =>
+            // the planned rewrite is stale against the new head —
+            // reclaim its pooled files, then absorb the conflict
+            // WITHOUT a re-plan when the op is a BLIND replace-by-pk:
+            // [[Snapshot.upsertAppend]] commits (batch file +
+            // batch-key tombstone) at the new seq, which equals the
+            // serial winner-then-batch order a re-plan would compute.
+            // Blind means the committed rows depend on the batch
+            // alone: plain upsert, no --tq row restriction, no --tf
+            // projection, no widening, batch covering the schema, and
+            // per-column either full-overwrite policy or no NULL
+            // batch values (the default upsert keeps the OLD value
+            // under a NULL — that reads the table, so it must re-plan).
+            newEntries.foreach(en =>
+              try fs.delete(new Path(dd, en.rel), false)
+              catch { case _: Throwable => () })
+            val nonPk = current.columns.filterNot(pk.contains).toSeq
+            def blind =
+              t.op == WriteOp.Upsert && t.query.isEmpty &&
+                t.fields.isEmpty && !widens &&
+                batch.columns.toSet == current.columns.toSet &&
+                m.deleteEntries.forall(_.seq != Long.MaxValue) &&
+                (if (t.overwrite.nonEmpty) nonPk.forall(t.overwrite.contains)
+                 else nonPk.isEmpty || batch.filter(
+                   nonPk.map(c => col(c).isNull).reduce(_ || _)).isEmpty)
+            if (!blind) throw e
+            try Snapshot.upsertAppend(spark, path, batch, pk,
+              t.indexBy, t.maxRecordsPerFile, t.keepVersions)
+            catch {
+              // the append route has its own refusals (a schema
+              // widened under us, legacy tombstones committed since
+              // the check) — surface the ORIGINAL conflict so the
+              // caller re-plans instead of dying on the fallback
+              case scala.util.control.NonFatal(e2) =>
+                e.addSuppressed(e2); throw e
+            }
+            true
+        }
         val totalBytes0 = envelopes.map(_.bytes).sum
-        return Some(Stats(envelopes.size, touched.size, totalBytes0,
-          touched.map(_.bytes).sum))
+        return Some(
+          if (appended) Stats(envelopes.size, 0, totalBytes0, 0L)
+          else Stats(envelopes.size, touched.size, totalBytes0,
+            touched.map(_.bytes).sum))
       case None => ()
     }
 

@@ -608,7 +608,15 @@ object Snapshot {
     * re-merge) — retrying the same commit verbatim would lose the
     * winner's update.
     */
-  final case class CommitConflictException(msg: String)
+  /** `retryableByAppend` (r12) marks the two conflict shapes a blind
+    * replace-by-pk batch can absorb WITHOUT a re-plan by committing
+    * through [[upsertAppend]] instead (the result equals the serial
+    * winner-then-batch order a re-plan would compute): a concurrent
+    * rewrite of a shared file, and a concurrent tombstone. Schema /
+    * rename / partition-layout conflicts stay re-plan-only.
+    */
+  final case class CommitConflictException(msg: String,
+                                           retryableByAppend: Boolean = false)
     extends RuntimeException(msg)
 
   /** Run a snapshot-op body whose lazily-executed scans reference the
@@ -907,7 +915,8 @@ object Snapshot {
             s"concurrent commit v$hv rewrote file(s) this change also " +
               s"touches: ${missing.toSeq.sorted.take(5).mkString(", ")}" +
               (if (missing.size > 5) s" (+${missing.size - 5} more)" else "") +
-              " — re-plan against the new head")
+              " — re-plan against the new head",
+            retryableByAppend = true)
         baseDeleteRels.foreach { baseDels =>
           val newTombs = mh.deleteEntries.map(_.rel)
             .filterNot(r => baseDels.contains(r) || removedRels.contains(r))
@@ -917,9 +926,10 @@ object Snapshot {
                 s"this merge did not read: ${newTombs.sorted.take(5)
                   .mkString(", ")}" +
                 (if (newTombs.size > 5) s" (+${newTombs.size - 5} more)" else "") +
-                " — rebasing would apply them to the merge's rewritten " +
-                "rows and silently drop its upserts; re-plan against the " +
-                "new head")
+                " — rebasing would exempt the merge's re-asserted survivor " +
+                "rows from a delete that should still apply to them; " +
+                "re-plan against the new head",
+              retryableByAppend = true)
         }
       }
       // a COLUMN RENAMED concurrently is a conflict for any rebase that
@@ -1158,6 +1168,120 @@ object Snapshot {
     // whatever rows the new head holds — delete-after-X order)
     commitRebase(fs, root, baseV, Set.empty, moved,
       m.schemaDdl, m.partitionBy, keepVersions)
+  }
+
+  /** APPEND-SHAPED UPSERT (r12 — the Hudi merge-on-read deltacommit
+    * analog, expressed with sequence numbers): commit `batch` as a
+    * sorted appended file PLUS a full-pk tombstone of the batch's own
+    * keys, both at the new commit seq. The tombstone retires every
+    * OLDER instance of a batch key (any file with a lower seq,
+    * whoever wrote it); the batch file itself shares the tombstone's
+    * seq and is exempt — so the pair IS "replace these keys", with
+    * **zero data files read or rewritten and zero table scans**: cost
+    * is O(batch) bytes + one manifest, at ANY table size. The classic
+    * write-heavy trade: reads pay a growing anti-join until
+    * [[Compaction]]'s `foldDeletesAbove` debt ceiling (or
+    * [[materializeDeletes]]) retires the tombstones.
+    *
+    * Because it reads nothing, it commits through [[commitRebase]]
+    * with nothing removed and composes with ANY concurrent commit —
+    * including the two shapes that force the rewriting merge to
+    * re-plan (a concurrent rewrite of a shared file, a concurrent
+    * tombstone): the result is the serial (winner, then this batch)
+    * order, which for a blind replace-by-pk upsert is exactly what a
+    * re-plan would compute. [[PrunedMerge]] uses it as its
+    * conflict-absorbing fallback for that reason.
+    *
+    * Soundness needs every batch row ASSERTED at this commit's seq —
+    * batch columns must cover the table schema (no widening here; the
+    * rewriting merge handles ADD COLUMN), and LEGACY tombstones
+    * (pre-sequence manifests, normalized to apply globally) refuse
+    * loudly: they would delete the appended rows too. Returns
+    * (version, batch-key count); an empty batch is a no-op.
+    */
+  def upsertAppend(spark: SparkSession, rootStr: String, batch: DataFrame,
+                   pk: Seq[String], indexBy: Seq[String] = Nil,
+                   maxRecordsPerFile: Long = 0,
+                   keepVersions: Int = 2): (Long, Long) = {
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    sweepStaleStages(fs, root)
+    val (baseV, vdir) = resolveVersion(fs, root, None)
+    val m = manifestAt(fs, vdir).getOrElse(throw new IllegalArgumentException(
+      s"append-shaped upsert needs a snapshot layout at $rootStr"))
+    val names = m.schema.fieldNames.toSeq
+    require(pk.nonEmpty && pk.forall(names.contains),
+      s"append-shaped upsert needs a pk within the schema, got $pk")
+    require(batch.columns.toSet == names.toSet,
+      s"batch columns ${batch.columns.sorted.toSeq} must equal the table " +
+        s"schema ${names.sorted} — the append asserts whole rows")
+    require(m.deleteEntries.forall(_.seq != Long.MaxValue),
+      s"$rootStr carries legacy (pre-sequence) tombstones that apply to " +
+        "every member including an appended batch — materialize deletes " +
+        "first")
+    // one row per pk, picked by the SAME deterministic rule as the
+    // rewriting upsert ([[WriteOps.dedupeByPk]]) — a duplicate-key
+    // batch would otherwise append both rows at the same seq, where
+    // the tombstone retires neither
+    val typed = WriteOps.dedupeByPk(
+      batch.select(names.map(c =>
+        col(c).cast(m.schema(c).dataType).as(c)): _*), pk)
+    val keys = typed.select(pk.map(col): _*).distinct()
+      .localCheckpoint(true)
+    val nKeys = keys.count()
+    if (nKeys == 0) return (baseV, 0L)
+    // batch file, laid out like every other sorted writer so its
+    // manifest envelopes keep future merges planning from metadata
+    val sortKeys = (if (indexBy.nonEmpty) indexBy else pk)
+      .filterNot(m.partitionBy.contains)
+    val laid =
+      if (sortKeys.nonEmpty)
+        typed.repartitionByRange(
+            math.max(1L, math.min(4096L, nKeys / 2000000L)).toInt,
+            sortKeys.map(col).toIndexedSeq: _*)
+          .sortWithinPartitions(sortKeys.map(col).toIndexedSeq: _*)
+      else typed
+    val stage = new Path(root, s"._snap_stage_${System.nanoTime()}")
+    var w = laid.write.mode("overwrite")
+    if (m.partitionBy.nonEmpty) w = w.partitionBy(m.partitionBy: _*)
+    if (maxRecordsPerFile > 0)
+      w = w.option("maxRecordsPerFile", maxRecordsPerFile.toString)
+    try w.parquet(stage.toString) catch {
+      case e: Throwable =>
+        try fs.delete(stage, true) catch { case _: Throwable => () }
+        throw e
+    }
+    val dd = dataDir(root)
+    fs.mkdirs(dd)
+    val dataSchema = StructType(
+      m.schema.fields.filterNot(f => m.partitionBy.contains(f.name)))
+    val dataEntries = withKeyEnvs(spark, dd, moveIntoPool(fs, stage, dd),
+      dataSchema,
+      (sortKeys ++ pk).distinct.filterNot(m.partitionBy.contains))
+    fs.delete(stage, true)
+    // the batch-key tombstone — full pk, so future pruned merges keep
+    // composing with it
+    val dvStage = new Path(root, s"._snap_stage_${System.nanoTime()}")
+    // one tombstone file per ~20M keys: single-writer up to huge
+    // batches, parallel beyond
+    try keys.coalesce(math.max(1L, nKeys / 20000000L).toInt)
+      .write.parquet(dvStage.toString) catch {
+      case e: Throwable =>
+        try fs.delete(dvStage, true) catch { case _: Throwable => () }
+        dataEntries.foreach(en =>
+          try fs.delete(new Path(dd, en.rel), false)
+          catch { case _: Throwable => () })
+        throw e
+    }
+    val delDir = new Path(dd, DeletesDirName)
+    fs.mkdirs(delDir)
+    val delEntries = moveIntoPool(fs, dvStage, delDir)
+      .map(e => e.copy(rel = s"$DeletesDirName/${e.rel}",
+        cols = Some(pk)))
+    fs.delete(dvStage, true)
+    val v = commitRebase(fs, root, baseV, Set.empty,
+      dataEntries ++ delEntries, m.schemaDdl, m.partitionBy, keepVersions)
+    (v, nKeys)
   }
 
   /** COLUMN RENAME as a METADATA-ONLY commit (r12 — the Delta

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Compaction, PrunedMerge, Snapshot, WriteOps}
+import graft.operators.{Compaction, PrunedMerge, Snapshot, Versioned, WriteOps}
 import graft.spec.{DatasetRef, JobSpec, SourceSpec, TargetSpec, WriteOp}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
@@ -582,6 +582,111 @@ class SnapshotSpec extends SparkSpec {
     assert(m.deleteEntries.nonEmpty &&
       m.dataEntries.exists(_.seq > m.deleteEntries.head.seq),
       "the NULL tombstone survives; the batch row outranks it by seq")
+  }
+
+  test("append-shaped upsert: O(batch) commit, batch wins by seq, zero data files touched") {
+    val dir = freshDir("snap_mor")
+    val p = s"$dir/t.parquet"
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "txt")
+    WriteOps.atomicOverwrite(spark, df, p, indexBy = Seq("id"),
+      maxRecordsPerFile = 10, commitMode = "snapshot", keepVersions = 4)
+    Snapshot.deleteByKeys(spark, p, (10L until 20L).toDF("id"), keepVersions = 4)
+    val m0 = Snapshot.manifestAt(fs,
+      Snapshot.resolveVersion(fs, new Path(p), None)._2).get
+    // re-asserts a deleted key (15), replaces a live one (50), inserts
+    // a fresh one (200) — without reading or rewriting ANY data file
+    val batch = Seq((15L, "X"), (50L, "Y"), (200L, "Z")).toDF("id", "txt")
+    val (v, n) = Snapshot.upsertAppend(spark, p, batch, Seq("id"),
+      indexBy = Seq("id"), keepVersions = 4)
+    assert(v == 3L && n == 3L)
+    val now = graft.sources.Resolver.readParquet(spark, p)
+    assert(now.count() == 92)
+    assert(rows(now.filter($"id".isin(15L, 50L, 200L))
+      .select("id", "txt").orderBy("id")) ==
+      Seq(Seq(15L, "X"), Seq(50L, "Y"), Seq(200L, "Z")))
+    assert(now.filter($"id".isin(10L, 14L, 19L)).isEmpty,
+      "unrelated tombstones keep applying")
+    // membership: every base entry still present, exactly one data
+    // file + one tombstone added, both at the new commit's seq
+    val m1 = Snapshot.manifestAt(fs,
+      Snapshot.resolveVersion(fs, new Path(p), None)._2).get
+    assert(m0.entries.forall(e => m1.entries.contains(e)),
+      "an append-shaped upsert must not touch any existing member")
+    val added = m1.entries.filterNot(m0.entries.contains)
+    assert(added.count(!_.rel.startsWith("_deletes/")) == 1)
+    assert(added.count(_.rel.startsWith("_deletes/")) == 1)
+    assert(added.forall(_.seq == v))
+    assert(added.find(_.rel.startsWith("_deletes/")).get.cols
+      .contains(Seq("id")))
+    // the appended file records key envelopes (merges keep planning
+    // from the manifest)
+    assert(added.find(!_.rel.startsWith("_deletes/")).get.envs
+      .exists(_.contains("id")))
+    // time travel: the pre-append version is untouched
+    assert(graft.sources.Resolver.readParquet(spark, p, Some(2L)).count() == 90)
+    assert(Snapshot.fsck(spark, p)
+      .filter(col("severity") === "error").isEmpty)
+    // EQUIVALENCE: ≡ the rewriting pruned merge on a clone
+    val p2 = s"$dir/t2.parquet"
+    WriteOps.atomicOverwrite(spark, df, p2, indexBy = Seq("id"),
+      maxRecordsPerFile = 10, commitMode = "snapshot", keepVersions = 4)
+    Snapshot.deleteByKeys(spark, p2, (10L until 20L).toDF("id"), keepVersions = 4)
+    val t2 = TargetSpec(DatasetRef("parquet", dir, "t2"), op = WriteOp.Upsert,
+      pk = Seq("id"), indexBy = Seq("id"), commitMode = "snapshot")
+    assert(PrunedMerge.merge(spark,
+      graft.sources.Resolver.readParquet(spark, p2), batch, t2, p2).isDefined)
+    assert(sortedRows(graft.sources.Resolver.readParquet(spark, p)) ==
+      sortedRows(graft.sources.Resolver.readParquet(spark, p2)))
+    // compaction retires the whole debt: folds per class, drops DVs
+    val cst = Compaction.compact(spark, p, Seq("id"), 1L << 20, keepVersions = 4)
+    assert(cst.filesCompacted > 0)
+    assert(Snapshot.manifestAt(fs,
+      Snapshot.resolveVersion(fs, new Path(p), None)._2).get
+      .deleteEntries.isEmpty)
+    assert(graft.sources.Resolver.readParquet(spark, p).count() == 92)
+    assert(sortedRows(graft.sources.Resolver.readParquet(spark, p)) ==
+      sortedRows(graft.sources.Resolver.readParquet(spark, p2)))
+  }
+
+  test("append-shaped upsert: dup-key batch dedups like the rewriting upsert; refusals loud") {
+    val dir = freshDir("snap_mor2")
+    val p = s"$dir/t.parquet"
+    import spark.implicits._
+    WriteOps.atomicOverwrite(spark,
+      (0L until 10L).map(i => (i, s"v$i")).toDF("id", "txt"), p,
+      indexBy = Seq("id"), commitMode = "snapshot", keepVersions = 4)
+    // duplicate pk in one batch: deterministic pick (min non-pk sort),
+    // the WriteOps.dedupeByPk rule — never two live rows for one pk
+    Snapshot.upsertAppend(spark, p,
+      Seq((7L, "bbb"), (7L, "aaa")).toDF("id", "txt"), Seq("id"))
+    val now = graft.sources.Resolver.readParquet(spark, p)
+    assert(rows(now.filter($"id" === 7L).select("txt")) == Seq(Seq("aaa")))
+    assert(now.count() == 10)
+    // empty batch: no-op, no commit
+    val (vBefore, _) = Snapshot.resolveVersion(fs, new Path(p), None)
+    val (vAfter, n0) = Snapshot.upsertAppend(spark, p,
+      Seq.empty[(Long, String)].toDF("id", "txt"), Seq("id"))
+    assert(vAfter == vBefore && n0 == 0L)
+    // batch missing a column: loud (the append asserts whole rows)
+    intercept[IllegalArgumentException] {
+      Snapshot.upsertAppend(spark, p, Seq(1L).toDF("id"), Seq("id"))
+    }
+    // LEGACY tombstones (pre-sequence, apply globally) refuse loudly:
+    // they would delete the appended batch too
+    val root = new Path(p)
+    val (hv, hdir) = Snapshot.resolveVersion(fs, root, None)
+    val mh = Snapshot.manifestAt(fs, hdir).get
+    val vdirL = new Path(p, f"_v_${hv + 1}%020d")
+    Snapshot.writeManifest(fs, vdirL, mh.copy(entries =
+      mh.entries :+ Snapshot.Entry("_deletes/legacy.parquet", 1L,
+        cols = Some(Seq("id")))))
+    fs.create(new Path(vdirL, Versioned.Marker), true).close()
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.upsertAppend(spark, p,
+        Seq((1L, "x")).toDF("id", "txt"), Seq("id"))
+    }
+    assert(e.getMessage.contains("legacy"))
   }
 
   test("deletion vectors: a PARTIAL-key tombstone still declines the pruned merge") {
