@@ -221,6 +221,7 @@ object ScaleBench8 {
         s"${results("merge_manifest_stats_plan")}s vs footer sweep " +
         s"${results("merge_footer_sweep_plan")}s — the structural claim is " +
         "0 vs 3000 footer reads per merge (S3: 0 vs 3000 GETs)"
+    writeReport()
     println("SCALE8 done: " + results.map { case (k, v) => s"$k=$v" }.mkString(", "))
   }
 }
