@@ -256,15 +256,6 @@ object Compaction {
       dels.flatMap(e => foldPredsByRel.getOrElse(e.rel, Nil)).distinct.sorted
         .foldLeft(df)((acc, p) => acc.filter(!coalesce(expr(p), lit(false))))
     }
-    // merge-on-read debt ceiling: past the threshold, widen to a full
-    // fold — every data file rewrites and the DV set drops entirely.
-    // Only meaningful when EVERY tombstone can fold (else the
-    // unfoldable remainder keeps the debt anyway).
-    val allFoldable = delEntries.nonEmpty &&
-      (keyDel.isEmpty || dvGroups.isDefined) && predByFile.forall(_._3)
-    val dvFrac = delEntries.map(_.bytes).sum.toDouble /
-      math.max(1L, dataEntries.map(_.bytes).sum)
-    val forceAll = allFoldable && dvFrac >= foldDeletesAbove
     // SEQUENCE-CLASS grouping (r12): a group may only fold tombstones
     // that apply to EVERY member, and the rewritten file INHERITS the
     // min member seq so its applicable set is unchanged — mixing two
@@ -273,6 +264,20 @@ object Compaction {
     // count is 1 on every pre-append-upsert state, so the grouping —
     // and the whole plan — is byte-identical there.
     val classed = Snapshot.seqClasses(m, dataEntries)
+    // merge-on-read debt ceilings: past EITHER threshold, widen to a
+    // full fold — every data file rewrites and the DV set drops
+    // entirely. Bytes (`foldDeletesAbove`) bound anti-join COST; the
+    // class count bounds read-plan WIDTH (each sequence class adds a
+    // union branch with its own tombstone application, so a
+    // many-tiny-appends pattern could grow the plan without ever
+    // tripping the byte ceiling). Only meaningful when EVERY tombstone
+    // can fold (else the unfoldable remainder keeps the debt anyway).
+    val allFoldable = delEntries.nonEmpty &&
+      (keyDel.isEmpty || dvGroups.isDefined) && predByFile.forall(_._3)
+    val dvFrac = delEntries.map(_.bytes).sum.toDouble /
+      math.max(1L, dataEntries.map(_.bytes).sum)
+    val forceAll = allFoldable &&
+      (dvFrac >= foldDeletesAbove || classed.size > MaxSeqClasses)
     val groups: Seq[(String, Seq[Snapshot.Entry], Seq[Snapshot.Entry])] =
       classed.flatMap { case (es, dels) =>
         es.groupBy { e =>
@@ -356,6 +361,16 @@ object Compaction {
         try fs.delete(s, true) catch { case _: Throwable => () })
     }
   }
+
+  /** Read-plan width bound: a snapshot read unions one branch per
+    * sequence class ([[Snapshot.seqClasses]]), so unbounded classes —
+    * many tiny append-shaped upserts between compactions — would grow
+    * every read's plan even while tombstone BYTES stay under
+    * `foldDeletesAbove`. Past this many classes, compaction widens to
+    * the full fold and the table returns to one class. Structural
+    * constant, not a tunable: 8 union branches is already a wide plan.
+    */
+  private val MaxSeqClasses = 8
 
   private def isDataFile(name: String): Boolean =
     !name.startsWith("_") && !name.startsWith(".")

@@ -188,6 +188,44 @@ class CompactionSpec extends SparkSpec {
     assert(again.exists(s => s.filesRewritten < s.filesTotal))
   }
 
+  test("class-count ceiling: many tiny appends force the full fold even under the byte ceiling (r12)") {
+    import graft.operators.Snapshot
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = freshDir("compact_classes")
+    val p = s"$dir/t.parquet"
+    import spark.implicits._
+    // incompressible payload keeps tombstone bytes far below the 0.2
+    // byte ceiling, so ONLY the class trigger can force the fold
+    val base = spark.range(10000).select($"id",
+      sha2(concat(lit("pay"), $"id".cast("string")), 512).as("txt"))
+    WriteOps.atomicOverwrite(spark, base, p, indexBy = Seq("id"),
+      maxRecordsPerFile = 5000, commitMode = "snapshot", keepVersions = 2)
+    // 10 tiny append-shaped upserts → 10 tombstones, 11 seq classes
+    for (b <- 0L until 10L)
+      Snapshot.upsertAppend(spark, p,
+        (0L until 3L).map(i => (b * 3 + i, s"U$b$i")).toDF("id", "txt"),
+        Seq("id"), indexBy = Seq("id"))
+    val m0 = Snapshot.manifestAt(fs,
+      Snapshot.resolveVersion(fs, new Path(p), None)._2).get
+    assert(m0.deleteEntries.size == 10)
+    val dvBytes = m0.deleteEntries.map(_.bytes).sum.toDouble
+    val dataBytes = m0.dataEntries.map(_.bytes).sum.toDouble
+    assert(dvBytes / dataBytes < 0.2,
+      s"fixture must stay under the byte ceiling, got ${dvBytes / dataBytes}")
+    val want = sortedRows(graft.sources.Resolver.readParquet(spark, p))
+    val st = Compaction.compact(spark, p, Seq("id"), 1L << 20,
+      keepVersions = 2) // default byte ceiling — class trigger fires
+    assert(st.filesCompacted > 0)
+    val m1 = Snapshot.manifestAt(fs,
+      Snapshot.resolveVersion(fs, new Path(p), None)._2).get
+    assert(m1.deleteEntries.isEmpty,
+      "class-count ceiling must widen to the full fold and retire the debt")
+    assert(sortedRows(graft.sources.Resolver.readParquet(spark, p)) == want)
+    assert(graft.sources.Resolver.readParquet(spark, p)
+      .filter($"id" === 4L).select("txt").as[String].head() == "U11")
+  }
+
   test("snapshot compaction folds PREDICATE tombstones; partition-col predicates carry (r12)") {
     import graft.operators.Snapshot
     import org.apache.hadoop.fs.Path
