@@ -131,7 +131,21 @@ object Runner {
             require(t.query.isEmpty && t.fields.isEmpty && t.tmap.isEmpty,
               "--dv upsert is a blind replace-by-pk append — --tq/--tf/" +
                 "--tmap need the rewriting merge (drop --dv)")
-            graft.operators.Snapshot.upsertAppend(spark, tgtPath, batch,
+            // the append asserts TABLE-schema rows and refuses
+            // widening — the engine's OWN `_etl_ts` stamp must not
+            // force one on a table that never carried the column. A
+            // user-provided `_etl_ts` is data and is never dropped.
+            val hp = new org.apache.hadoop.fs.Path(tgtPath)
+            val tblCols = graft.operators.Snapshot.manifestAt(fs,
+              graft.operators.Snapshot.resolveVersion(fs, hp, None)._2)
+              .map(_.schema.fieldNames.toSet).getOrElse(Set.empty[String])
+            val stampedByUs =
+              !t.skipTimestamp && !planned.columns.contains("_etl_ts")
+            val aligned =
+              if (stampedByUs && !tblCols.contains("_etl_ts"))
+                batch.drop("_etl_ts")
+              else batch
+            graft.operators.Snapshot.upsertAppend(spark, tgtPath, aligned,
               t.pk, t.indexBy, t.maxRecordsPerFile, t.keepVersions)
           }
           val dv = t.op == graft.spec.WriteOp.Delete && t.deleteVectors

@@ -506,7 +506,7 @@ class SnapshotConcurrencySpec extends SparkSpec {
       def run(): Unit = try {
         for (op <- 0 until 10) {
           rnd.nextInt(10) match {
-            case n if n < 5 => // pruned upsert of a sub-band
+            case n if n < 4 => // pruned upsert of a sub-band
               val ids = subBand(); val tag = s"t$idx-$op-"
               withRetry {
                 val st = PrunedMerge.merge(spark,
@@ -514,6 +514,15 @@ class SnapshotConcurrencySpec extends SparkSpec {
                   ids.map(i => (i, s"$tag$i")).toDF("id", "txt"),
                   soakSpec, p)
                 assert(st.isDefined, "pruned path must engage in the soak")
+              }
+              commits.incrementAndGet()
+              model = model ++ ids.map(i => i -> s"$tag$i")
+            case n if n < 6 => // append-shaped upsert (merge-on-read, r12)
+              val ids = subBand(); val tag = s"a$idx-$op-"
+              withRetry {
+                Snapshot.upsertAppend(spark, p,
+                  ids.map(i => (i, s"$tag$i")).toDF("id", "txt"),
+                  Seq("id"), indexBy = Seq("id"), keepVersions = 3); ()
               }
               commits.incrementAndGet()
               model = model ++ ids.map(i => i -> s"$tag$i")

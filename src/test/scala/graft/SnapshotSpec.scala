@@ -738,6 +738,50 @@ class SnapshotSpec extends SparkSpec {
     assert(graft.sources.Resolver.readParquet(spark, p).count() == 47)
   }
 
+  test("append-shaped upsert: CLI -o upsert --dv end-to-end; refusal matrix loud") {
+    import graft.cli.Main
+    val dir = freshDir("snap_morcli")
+    val p = s"$dir/t.parquet"
+    import spark.implicits._
+    WriteOps.atomicOverwrite(spark,
+      (0L until 50L).map(i => (i, s"v$i")).toDF("id", "txt"), p,
+      indexBy = Seq("id"), commitMode = "snapshot", keepVersions = 3)
+    val m0 = Snapshot.manifestAt(fs,
+      Snapshot.resolveVersion(fs, new Path(p), None)._2).get
+    Seq((3L, "X"), (99L, "Y")).toDF("id", "txt")
+      .write.parquet(s"$dir/batch.parquet")
+    val (job, opts) = Main.parse(Array(
+      "-s", s"parquet/$dir/batch", "-t", s"parquet/$dir/t",
+      "-o", "upsert", "--pk", "id", "--dv", "-y"))
+    Main.execute(spark, job, opts)
+    val now = graft.sources.Resolver.readParquet(spark, p)
+    assert(now.count() == 51)
+    assert(rows(now.filter($"id".isin(3L, 99L)).select("id", "txt")
+      .orderBy("id")) == Seq(Seq(3L, "X"), Seq(99L, "Y")))
+    val m1 = Snapshot.manifestAt(fs,
+      Snapshot.resolveVersion(fs, new Path(p), None)._2).get
+    assert(m0.entries.forall(m1.entries.contains),
+      "the CLI route must commit O(batch): no existing member touched")
+    // --tq would make the result depend on table rows — the blind
+    // append cannot honor it; loud, not silently rewriting
+    val (jq, oq) = Main.parse(Array(
+      "-s", s"parquet/$dir/batch", "-t", s"parquet/$dir/t",
+      "-o", "upsert", "--pk", "id", "--dv", "--tq", "txt__ne=X", "-y"))
+    assert(intercept[IllegalArgumentException] {
+      Main.execute(spark, jq, oq)
+    }.getMessage.contains("--dv"))
+    // non-snapshot layout: loud (the append needs a manifest)
+    WriteOps.atomicOverwrite(spark,
+      (0L until 5L).map(i => (i, s"v$i")).toDF("id", "txt"),
+      s"$dir/plain.parquet", indexBy = Seq("id"))
+    val (jp, op2) = Main.parse(Array(
+      "-s", s"parquet/$dir/batch", "-t", s"parquet/$dir/plain",
+      "-o", "upsert", "--pk", "id", "--dv", "-y"))
+    assert(intercept[IllegalArgumentException] {
+      Main.execute(spark, jp, op2)
+    }.getMessage.contains("snapshot"))
+  }
+
   test("changelogSince: open-ended cursor reads consecutive diffs, keeps intermediate states") {
     val dir = freshDir("snap_clsince")
     val p = s"$dir/t.parquet"
