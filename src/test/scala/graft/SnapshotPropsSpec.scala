@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
 /** Model-based property test of the snapshot protocol: random
   * interleavings of every committing operation — full overwrite,
   * pruned upsert, rewrite delete, DELETION-VECTOR delete, ADD-COLUMN
-  * widening upsert, compaction, materialize-deletes — are replayed
-  * against an in-memory model table. After every step:
+  * widening upsert, compaction, materialize-deletes, APPEND-SHAPED
+  * upsert and PREDICATE delete (r12) — are replayed against an
+  * in-memory model table. After every step:
   *
   *   - the latest read equals the model exactly;
   *   - every RETAINED version still reads as the model archived at
@@ -43,7 +44,7 @@ class SnapshotPropsSpec extends SparkSpec {
     rows(df.orderBy("id"))
 
   test("random op sequences: reads ≡ model, retained versions ≡ archived models, fsck clean") {
-    for (seed <- Seq(7, 21, 63)) runSequence(seed)
+    for (seed <- Seq(7, 21, 63, 88, 134)) runSequence(seed)
   }
 
   private def runSequence(seed: Int): Unit = {
@@ -89,7 +90,7 @@ class SnapshotPropsSpec extends SparkSpec {
     }
 
     for (step <- 1 to 12) {
-      rnd.nextInt(7) match {
+      rnd.nextInt(9) match {
         case 0 => // full overwrite with a fresh table
           model = (0L until (200L + rnd.nextInt(200)))
             .map(i => i -> (s"o$seed-$step-$i",
@@ -138,6 +139,25 @@ class SnapshotPropsSpec extends SparkSpec {
         case 6 => // materialize tombstones (no-op when none)
           Snapshot.materializeDeletes(spark, p, indexBy = Seq("id"),
             keepVersions = 3)
+        case 7 => // append-shaped upsert (r12): replace-by-pk at a new
+          // seq, composing with every tombstone kind this sequence
+          // produces (full-key, partial-key, predicate) via the seq rule
+          val ids = band()
+          val rows = ids.map(i => (i, s"a$seed-${rnd.nextInt(1000)}-$i",
+            if (widened) Some(i % 7) else Option.empty[Long]))
+          val batch =
+            if (widened) rows.toDF("id", "txt", "flag")
+            else rows.map { case (a, b, _) => (a, b) }.toDF("id", "txt")
+          Snapshot.upsertAppend(spark, p, batch, Seq("id"),
+            indexBy = Seq("id"), keepVersions = 3)
+          rows.foreach { case (id, txt, f) => model += id -> (txt, f) }
+        case 8 => // predicate deletion vector (r12): a band delete
+          // committed as the predicate itself
+          val lo = rnd.nextInt(450).toLong
+          val hi = lo + 1 + rnd.nextInt(40)
+          Snapshot.deleteByPredicate(spark, p, s"id >= $lo AND id < $hi",
+            keepVersions = 3)
+          model = model.filter { case (id, _) => id < lo || id >= hi }
       }
       record()
       // 1) latest read ≡ model
