@@ -523,6 +523,54 @@ object SparkEntry {
         .orderBy("o_orderkey", "_change_type")
     }),
 
+    // ── [EXT r12] COLUMN DROP as metadata (completes the rename's
+    // evolution family): drop o_orderpriority metadata-only — zero
+    // data files touched, time travel keeps the pre-drop schema, the
+    // pure-drop changelog step emits zero rows, and post-drop pruned
+    // upserts write the narrowed schema while retained files carry the
+    // extra physical column harmlessly. Re-adding the name refuses
+    // while those files exist (resurrection fence, in-query require).
+    // Oracle: the logical table after drop + upsert. ──────────────────
+    "q_drop_column" -> ((s, dir) => {
+      val scratch = scratchDir("graft_drop")
+      val orders = read(s, dir, "orders")
+      val p = s"$scratch/orders_t.parquet"
+      WriteOps.atomicOverwrite(s, orders, p, indexBy = Seq("o_orderkey"),
+        maxRecordsPerFile = math.max(500, orders.count() / 24),
+        commitMode = "snapshot", keepVersions = 4)
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fsys = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      def dataFiles = graft.operators.Snapshot
+        .listDataFilesRec(fsys, graft.operators.Snapshot.dataDir(hp))
+        .map(_._1.toString).toSet
+      val before = dataFiles
+      graft.operators.Snapshot.dropColumn(s, p, "o_orderpriority",
+        keepVersions = 4)
+      require(dataFiles == before, "drop must touch zero data files")
+      require(graft.sources.Resolver.readParquet(s, p, Some(1L))
+        .columns.contains("o_orderpriority"),
+        "time travel must keep the pre-drop schema")
+      require(graft.operators.Snapshot.changelog(s, p, 1L, 2L,
+        Seq("o_orderkey")).isEmpty,
+        "a pure metadata drop must emit zero change rows")
+      val batch = orders.filter(col("o_orderkey") < 1000)
+        .drop("o_orderpriority")
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val stats = graft.operators.PrunedMerge.merge(
+        s, graft.sources.Resolver.readParquet(s, p), batch,
+        TargetSpec(DatasetRef("parquet", scratch, "orders_t"),
+          op = WriteOp.Upsert, pk = Seq("o_orderkey"),
+          indexBy = Seq("o_orderkey"), commitMode = "snapshot",
+          keepVersions = 4), p)
+      require(stats.exists(st => st.filesRewritten > 0 &&
+        st.filesRewritten < st.filesTotal),
+        s"post-drop merge must still prune files, got $stats")
+      require(scala.util.Try(graft.operators.Snapshot.renameColumn(
+        s, p, "o_orderstatus", "o_orderpriority")).isFailure,
+        "re-adding a dropped name must refuse while retained files carry it")
+      graft.sources.Resolver.readParquet(s, p).orderBy("o_orderkey")
+    }),
+
     // ── [EXT r12] STREAMING change-data-feed consumer: the q_changelog
     // fixture consumed through CdfStream — an AvailableNow micro-batch
     // driver checkpointed on `_commit_version` (offsets = commit
@@ -1945,6 +1993,15 @@ object SparkEntry {
            SELECT o_orderkey + 10000000, o_totalprice, 'insert'
            FROM orders WHERE o_orderkey < 100)
          ORDER BY o_orderkey, _change_type""",
+    // the logical table after the metadata drop + post-drop upsert;
+    // physical claims (zero data files, travel, resurrection fence)
+    // are in-query requires
+    "q_drop_column" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+                CASE WHEN o_orderkey < 1000 THEN o_totalprice * 2
+                     ELSE o_totalprice END AS o_totalprice,
+                o_orderdate
+         FROM orders ORDER BY o_orderkey""",
     // the streamed CDF is q_changelog's v2 rows plus the v3
     // predicate-DV deletes ([2000,3000) at their v2 image)
     "q_cdf_stream" ->

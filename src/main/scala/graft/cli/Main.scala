@@ -70,6 +70,7 @@ object Main {
       zorder: Seq[String] = Nil, // [EXT] Z-order maintenance columns
       materializeDeletes: Boolean = false, // [EXT] fold deletion vectors in
       renameColumn: Option[(String, String)] = None, // [EXT] metadata-only rename
+      dropColumn: Option[String] = None, // [EXT] metadata-only drop
       changelog: Option[(Long, Long)] = None, // [EXT] CDC diff from:to
       changelogPk: Seq[String] = Nil, // [EXT] row identity for --changelog
       cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -109,6 +110,7 @@ object Main {
     var keepVersions = 2; var history = false
     var deleteVectors = false; var materializeDeletes = false
     var renameColumn: Option[(String, String)] = None
+    var dropColumn: Option[String] = None
     var changelog: Option[(Long, Long)] = None
     var vacuumN: Option[Int] = None; var fsck = false
     var zorderCols: Seq[String] = Nil
@@ -234,6 +236,10 @@ object Main {
           case Array(o, n) if o.nonEmpty && n.nonEmpty => Some((o, n))
           case _ => throw CliError("--rename-column needs OLD:NEW")
         }
+      // [EXT] metadata-only column drop (snapshot layouts)
+      case "--drop-column" => once("--drop-column")
+        dropColumn = Some(next("--drop-column")).filter(_.nonEmpty)
+        if (dropColumn.isEmpty) throw CliError("--drop-column needs NAME")
       // [EXT] compaction's merge-on-read debt ceiling: when tombstone
       // bytes exceed this fraction of data bytes, --compact widens to
       // a full fold and drops the DV set (0 = always, 1+ = never)
@@ -482,6 +488,7 @@ object Main {
       history = history, vacuum = vacuumN, fsck = fsck, zorder = zorderCols,
       materializeDeletes = materializeDeletes,
       renameColumn = renameColumn,
+      dropColumn = dropColumn,
       changelog = changelog,
       changelogPk = if (pk.nonEmpty) csv(pk) else csv(opPk)))
   }
@@ -579,6 +586,14 @@ object Main {
       val v = graft.operators.Snapshot.renameColumn(spark, p, o, n,
         job.target.map(_.keepVersions).getOrElse(2))
       println(s"renamed column $o -> $n at $p (version $v, metadata-only)")
+      return
+    }
+    opts.dropColumn.foreach { c => // [EXT] metadata-only drop
+      val p = Resolver.path(job.source.ref)
+      val v = graft.operators.Snapshot.dropColumn(spark, p, c,
+        job.target.map(_.keepVersions).getOrElse(2))
+      println(s"dropped column $c at $p (version $v, metadata-only; " +
+        "re-adding the name is refused while retained files carry it)")
       return
     }
     opts.vacuum.foreach { n => // [EXT] retention trim, no write
@@ -884,6 +899,10 @@ object Main {
       |               via a pushed filter. Both: pk∈batch AND tq.)
       |               --fold-deletes-above F (compaction folds the DV set
       |                 entirely when tombstone bytes exceed F of data bytes)
+      |               --drop-column NAME (metadata-only column drop on a
+      |               snapshot layout: no data file touched, time travel
+      |               keeps pre-drop schemas, re-adding the name refuses
+      |               while retained files still carry it physically)
       |               --rename-column OLD:NEW (metadata-only column
       |               rename on a snapshot layout: no data file touched,
       |               old files recovered via the manifest alias map,

@@ -140,10 +140,20 @@ object Snapshot {
     * its own names. Every alias target is kept CURRENT (a second
     * rename rewrites earlier targets), so the map never chains.
     */
+  /** `dropped` (r12 — COLUMN DROP support): physical column names
+    * retired by [[dropColumn]]. Old pool files still CARRY these
+    * columns physically (a drop is metadata-only); re-introducing one
+    * of the names through a widening commit or a rename target would
+    * silently resurrect the old values out of those files, so every
+    * schema-extending path refuses names in this set. Cleared only by
+    * a full rewrite ([[overwrite]]), whose commit references fresh
+    * files exclusively.
+    */
   final case class Manifest(schemaDdl: String, partitionBy: Seq[String],
                             entries: Seq[Entry],
                             commitTsMillis: Option[Long] = None,
-                            aliases: Seq[(String, String)] = Nil) {
+                            aliases: Seq[(String, String)] = Nil,
+                            dropped: Seq[String] = Nil) {
     def schema: StructType = StructType.fromDDL(schemaDdl)
     def bytes: Long = entries.map(_.bytes).sum
     /** Data members (excludes deletion-vector files). */
@@ -175,6 +185,11 @@ object Snapshot {
     m.aliases.foreach { case (po, ln) =>
       if (!po.exists(":\t\n".contains(_)) && !ln.exists(":\t\n".contains(_)))
         sb.append("#alias=").append(po).append(':').append(ln).append('\n')
+    }
+    // one '#dropped=name' line per retired physical column name
+    m.dropped.foreach { n =>
+      if (!n.exists("\t\n".contains(_)))
+        sb.append("#dropped=").append(n).append('\n')
     }
     m.entries.foreach { e =>
       sb.append(e.bytes).append('\t').append(e.rel)
@@ -249,6 +264,9 @@ object Snapshot {
           case Array(po, ln) => (po, ln)
         }
     }.toSeq
+    val dropped = headers.collect {
+      case h if h.startsWith("#dropped=") => h.stripPrefix("#dropped=")
+    }.toSeq
     val entries = body.map { l =>
       val parts = l.split("\t", -1)
       val envs =
@@ -284,7 +302,7 @@ object Snapshot {
         else None,
         envs, seq)
     }.toSeq
-    Some(Manifest(lines(1), pcols, entries, commitTs, aliases))
+    Some(Manifest(lines(1), pcols, entries, commitTs, aliases, dropped))
   }
 
   /** Committed versions, ascending. */
@@ -946,10 +964,22 @@ object Snapshot {
           s"column(s) renamed concurrently (${renamedUnderUs.mkString(", ")}) " +
             "— re-plan against the new head")
       val outDdl = mergeSchemaDdl(schemaDdl, mh.schemaDdl)
+      // re-introducing a DROPPED name through a widening is refused
+      // PERMANENTLY (IllegalArgumentException, not a re-plannable
+      // conflict): old pool files still carry the column physically,
+      // so reads under the re-added name would resurrect their stale
+      // values instead of serving NULLs
+      val resurrect = (StructType.fromDDL(outDdl).fieldNames.toSet --
+        headFields).intersect(mh.dropped.toSet)
+      require(resurrect.isEmpty,
+        s"column(s) ${resurrect.toSeq.sorted.mkString(", ")} were DROPPED " +
+          "from this table and retained files still carry them physically " +
+          "— re-adding the name would resurrect stale values; use a " +
+          "different name or a full rewrite")
       commitLocked(fs, root,
         Manifest(outDdl, partitionBy,
           mh.entries.filterNot(e => removedRels.contains(e.rel)) ++ added,
-          aliases = mh.aliases),
+          aliases = mh.aliases, dropped = mh.dropped),
         keepVersions)
     }
 
@@ -1298,9 +1328,9 @@ object Snapshot {
     * a target name that exists or was EVER a physical name (reuse
     * would make per-file recovery ambiguous), and renames while a
     * PREDICATE deletion vector is live (its stored SQL references the
-    * old name; materialize first). DROP and RETYPE stay refused
-    * everywhere they always were — rename is the only legal non-
-    * widening evolution. Returns the new version.
+    * old name; materialize first). RETYPE stays refused everywhere it
+    * always was; DROP is its own metadata-only commit ([[dropColumn]]).
+    * Returns the new version.
     */
   def renameColumn(spark: SparkSession, rootStr: String,
                    oldName: String, newName: String,
@@ -1330,6 +1360,10 @@ object Snapshot {
       require(!m.aliases.exists(_._1 == newName),
         s"'$newName' was a previous physical name of this table — reusing " +
           "it would make per-file recovery ambiguous")
+      require(!m.dropped.contains(newName),
+        s"'$newName' was DROPPED from this table and retained files still " +
+          "carry it physically — renaming onto it would resurrect their " +
+          "stale values; use a different name or a full rewrite")
       require(!m.deleteEntries.exists(_.cols.contains(Seq(PredColName))),
         "a PREDICATE deletion vector is live — its stored SQL references " +
           "column names at commit time; --materialize-deletes first")
@@ -1348,7 +1382,75 @@ object Snapshot {
       } :+ (oldName -> newName)
       commitLocked(fs, root,
         Manifest(newSchema.toDDL, m.partitionBy, newEntries,
-          aliases = newAliases), keepVersions)
+          aliases = newAliases, dropped = m.dropped), keepVersions)
+    }
+  }
+
+  /** COLUMN DROP as a METADATA-ONLY commit (r12 — completes the
+    * rename's evolution family). Pool files keep the column physically
+    * forever; the new manifest just excludes it from the schema, and
+    * every read's explicit schema ignores the extra parquet column.
+    * Time travel serves each version under ITS OWN schema (the column
+    * is still there before the drop); the changelog projects
+    * pre-drop versions down to the post-drop shape, so a step whose
+    * only difference was in the dropped column emits zero change rows
+    * — exactly what a reader under the evolved schema observes.
+    *
+    * The name (and every physical name ever aliased to it) is recorded
+    * in [[Manifest.dropped]]: re-adding it through a widening commit
+    * or a rename target refuses LOUDLY, because retained files still
+    * carry the old values and would silently resurrect them. A full
+    * rewrite (fresh files only) legitimately clears the set.
+    *
+    * Refusals: partition columns (the dir layout carries the name),
+    * the last remaining data column, a column named by any live KEY
+    * tombstone's column set (the tombstone could no longer apply —
+    * materialize first), and any live PREDICATE tombstone (its stored
+    * SQL references commit-time names — same rule as rename). RETYPE
+    * stays refused everywhere it always was. Returns the new version.
+    */
+  def dropColumn(spark: SparkSession, rootStr: String, name: String,
+                 keepVersions: Int = 2): Long = {
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(name.nonEmpty && !name.exists(":,;=\t\n".contains(_)),
+      s"column name must serialize through the manifest line format: '$name'")
+    withCommitLock(fs, root) {
+      val (_, vdir) = committed(fs, root).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed versions under $rootStr"))
+      val m = manifestAt(fs, vdir).getOrElse(
+        throw new IllegalArgumentException(
+          s"column drop needs a snapshot layout at $rootStr"))
+      val names = m.schema.fieldNames
+      require(names.contains(name),
+        s"no column '$name' in ${names.mkString(", ")}")
+      require(!m.partitionBy.contains(name),
+        s"'$name' is a partition column — its name is baked into the " +
+          "directory layout; repartition via a full rewrite instead")
+      require(m.schema.fields.exists(f =>
+          f.name != name && !m.partitionBy.contains(f.name)),
+        s"cannot drop the last data column '$name' — the remaining schema " +
+          "would hold only partition values")
+      require(!m.deleteEntries.exists(e =>
+          e.cols.exists(_.contains(name)) && !e.cols.contains(Seq(PredColName))),
+        s"a live key tombstone is keyed on '$name' — dropping the column " +
+          "would orphan the delete; --materialize-deletes first")
+      require(!m.deleteEntries.exists(_.cols.contains(Seq(PredColName))),
+        "a PREDICATE deletion vector is live — its stored SQL references " +
+          "column names at commit time; --materialize-deletes first")
+      val newSchema = StructType(m.schema.fields.filterNot(_.name == name))
+      // strip the dropped key from recorded envelopes (fsck audits
+      // envelope keys against the schema) — still metadata-only
+      val newEntries = m.entries.map(e =>
+        e.copy(envs = e.envs.map(_ - name).filter(_.nonEmpty)))
+      // retire the CURRENT name plus every physical name that ever
+      // aliased to it — files carry one of those physically
+      val retired = name +: m.aliases.collect { case (po, ln) if ln == name => po }
+      commitLocked(fs, root,
+        Manifest(newSchema.toDDL, m.partitionBy, newEntries,
+          aliases = m.aliases.filterNot(_._2 == name),
+          dropped = (m.dropped ++ retired).distinct), keepVersions)
     }
   }
 
@@ -1780,20 +1882,29 @@ object Snapshot {
     // the SAME column — align it via the to-manifest's alias map
     // before the widening check, so the diff compares values (a pure
     // rename between adjacent commits emits zero change rows)
-    val toAliases = manifestAt(fs, resolveVersion(fs, root, Some(toV))._2)
-      .map(_.aliases).getOrElse(Nil)
-    val from0 = toAliases.foldLeft(fromRaw) { case (d, (po, ln)) =>
+    val toManifest = manifestAt(fs, resolveVersion(fs, root, Some(toV))._2)
+    val toAliases = toManifest.map(_.aliases).getOrElse(Nil)
+    val fromAliased = toAliases.foldLeft(fromRaw) { case (d, (po, ln)) =>
       if (d.columns.contains(po) && !d.columns.contains(ln))
         d.withColumnRenamed(po, ln)
       else d
     }
+    // DROP travel (r12): a from-version column the to-manifest records
+    // as DROPPED is projected away before the diff — a step whose only
+    // difference was in the dropped column emits zero change rows,
+    // exactly what a reader under the evolved schema observes (the
+    // mirror of the widening's null-padding below)
+    val toDropped = toManifest.map(_.dropped).getOrElse(Nil).toSet
+    val from0 = fromAliased.columns
+      .filter(c => toDropped.contains(c) && !to.columns.contains(c))
+      .foldLeft(fromAliased)(_ drop _)
     // schema EVOLUTION tolerance: a widened to-version (ADD COLUMN
     // commit) compares against the from-version null-padded to the
     // same shape — the exact rows a from-version reader under the
     // evolved schema would see, so a row whose new column gained a
     // value classifies as an update with a NULL preimage. Anything
-    // that is not a pure widening (drop, retype, reorder) still
-    // refuses loudly.
+    // that is not a pure widening or recorded drop (retype, unrecorded
+    // drop) still refuses loudly.
     val from =
       if (from0.schema == to.schema) from0
       else {
@@ -1899,6 +2010,14 @@ object Snapshot {
           if (names.contains(po))
             out += (("error", "alias",
               s"v$v alias $po→$ln: the physical name is still a live column"))
+        }
+        // a DROPPED name present in the schema means stale values from
+        // retained files are being served as the column (hand-edited
+        // manifest — the commit paths refuse this)
+        m.dropped.filter(names.contains).foreach { d =>
+          out += (("error", "dropped",
+            s"v$v dropped column '$d' is present in the schema — retained " +
+              "files carry stale physical values for it"))
         }
         m.entries.foreach { e =>
           e.envs.foreach(_.keys.foreach { k =>

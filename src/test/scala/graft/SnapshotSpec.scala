@@ -782,6 +782,118 @@ class SnapshotSpec extends SparkSpec {
     }.getMessage.contains("snapshot"))
   }
 
+  test("drop column is metadata-only: reads exclude it, time travel keeps it, changelog crosses it") {
+    val dir = freshDir("snap_drop")
+    val p = s"$dir/t.parquet"
+    import spark.implicits._
+    val df = (0L until 40L).map(i => (i, s"v$i", i * 10)).toDF("id", "txt", "score")
+    WriteOps.atomicOverwrite(spark, df, p, indexBy = Seq("id"),
+      maxRecordsPerFile = 10, commitMode = "snapshot", keepVersions = 6)
+    // v2: a step whose ONLY change is in the soon-dropped column
+    val t = TargetSpec(DatasetRef("parquet", dir, "t"), op = WriteOp.Upsert,
+      pk = Seq("id"), indexBy = Seq("id"), commitMode = "snapshot",
+      keepVersions = 6)
+    assert(PrunedMerge.merge(spark,
+      graft.sources.Resolver.readParquet(spark, p),
+      Seq((5L, "v5", 999L)).toDF("id", "txt", "score"), t, p).isDefined)
+    def dataFiles = Snapshot.listDataFilesRec(fs,
+      Snapshot.dataDir(new Path(p))).map(_._1.toString).toSet
+    val before = dataFiles
+    val v = Snapshot.dropColumn(spark, p, "score", keepVersions = 6)
+    assert(v == 3L && dataFiles == before,
+      "drop must touch zero data files")
+    // reads exclude the column; values intact
+    val now = graft.sources.Resolver.readParquet(spark, p)
+    assert(now.columns.toSeq == Seq("id", "txt") && now.count() == 40)
+    // time travel serves each version's OWN schema
+    val v2 = graft.sources.Resolver.readParquet(spark, p, Some(2L))
+    assert(v2.columns.toSeq == Seq("id", "txt", "score"))
+    assert(rows(v2.filter($"id" === 5L).select("score")) == Seq(Seq(999L)))
+    // changelog ACROSS the drop: the v1→v2 score-only update vanishes
+    // under the evolved schema (zero change rows), v2→v3 is pure drop
+    assert(Snapshot.changelog(spark, p, 1L, 3L, Seq("id")).isEmpty)
+    assert(Snapshot.changelog(spark, p, 2L, 3L, Seq("id")).isEmpty)
+    // post-drop writes work over the narrowed schema; old files carry
+    // the extra physical column harmlessly
+    assert(PrunedMerge.merge(spark,
+      graft.sources.Resolver.readParquet(spark, p),
+      Seq((7L, "DROPPED-ERA")).toDF("id", "txt"), t, p).isDefined)
+    assert(rows(graft.sources.Resolver.readParquet(spark, p)
+      .filter($"id" === 7L).select("txt")) == Seq(Seq("DROPPED-ERA")))
+    assert(Snapshot.fsck(spark, p)
+      .filter(col("severity") === "error").isEmpty)
+    // RESURRECTION refusals: widening a batch with the dropped name is
+    // loud and permanent (old files still carry stale 'score' values)
+    val wide = intercept[IllegalArgumentException] {
+      PrunedMerge.merge(spark,
+        graft.sources.Resolver.readParquet(spark, p),
+        Seq((8L, "x", 1L)).toDF("id", "txt", "score"), t, p)
+    }
+    assert(wide.getMessage.contains("DROPPED"))
+    // ...and rename onto the dropped name is refused the same way
+    val ren = intercept[IllegalArgumentException] {
+      Snapshot.renameColumn(spark, p, "txt", "score", keepVersions = 6)
+    }
+    assert(ren.getMessage.contains("DROPPED"))
+    // a FULL rewrite references fresh files only — the name is free again
+    WriteOps.atomicOverwrite(spark,
+      (0L until 5L).map(i => (i, s"n$i", i + 100)).toDF("id", "txt", "score"),
+      p, indexBy = Seq("id"), commitMode = "snapshot", keepVersions = 6)
+    val mAfter = Snapshot.manifestAt(fs,
+      Snapshot.resolveVersion(fs, new Path(p), None)._2).get
+    assert(mAfter.dropped.isEmpty && mAfter.schema.fieldNames.contains("score"))
+  }
+
+  test("drop column: refusal matrix and rename interaction") {
+    val dir = freshDir("snap_drop2")
+    val p = s"$dir/t.parquet"
+    import spark.implicits._
+    WriteOps.atomicOverwrite(spark,
+      (0L until 20L).map(i => (i, s"v$i", i % 3)).toDF("id", "txt", "band"),
+      p, partitionBy = Seq("band"), indexBy = Seq("id"),
+      commitMode = "snapshot", keepVersions = 4)
+    // partition column: loud
+    assert(intercept[IllegalArgumentException] {
+      Snapshot.dropColumn(spark, p, "band")
+    }.getMessage.contains("partition"))
+    // key tombstone keyed on the column: loud until materialized
+    Snapshot.deleteByKeys(spark, p,
+      Seq((3L, "v3")).toDF("id", "txt"), keepVersions = 4)
+    assert(intercept[IllegalArgumentException] {
+      Snapshot.dropColumn(spark, p, "txt")
+    }.getMessage.contains("tombstone"))
+    Snapshot.materializeDeletes(spark, p, indexBy = Seq("id"), keepVersions = 4)
+    // rename then drop retires BOTH physical names
+    Snapshot.renameColumn(spark, p, "txt", "label", keepVersions = 4)
+    Snapshot.dropColumn(spark, p, "label", keepVersions = 4)
+    val m = Snapshot.manifestAt(fs,
+      Snapshot.resolveVersion(fs, new Path(p), None)._2).get
+    assert(m.dropped.toSet == Set("label", "txt") && m.aliases.isEmpty)
+    assert(graft.sources.Resolver.readParquet(spark, p).columns.toSeq ==
+      Seq("id", "band"))
+    // the RETIRED PHYSICAL name is refused too (old files carry 'txt'
+    // physically — a rename landing on it would serve their stale
+    // values as the renamed column)
+    assert(intercept[IllegalArgumentException] {
+      Snapshot.renameColumn(spark, p, "id", "txt", keepVersions = 4)
+    }.getMessage.contains("DROPPED"))
+    // the last DATA column (band is partition-borne): loud
+    assert(intercept[IllegalArgumentException] {
+      Snapshot.dropColumn(spark, p, "id")
+    }.getMessage.contains("last data column"))
+    // CLI route
+    val dir2 = freshDir("snap_drop_cli")
+    val p2 = s"$dir2/t.parquet"
+    WriteOps.atomicOverwrite(spark,
+      (0L until 5L).map(i => (i, s"v$i", i)).toDF("id", "txt", "n"), p2,
+      indexBy = Seq("id"), commitMode = "snapshot", keepVersions = 3)
+    val (job, opts) = graft.cli.Main.parse(Array(
+      "-s", s"parquet/$dir2/t", "--drop-column", "n", "-y"))
+    graft.cli.Main.execute(spark, job, opts)
+    assert(graft.sources.Resolver.readParquet(spark, p2).columns.toSeq ==
+      Seq("id", "txt"))
+  }
+
   test("changelogSince: open-ended cursor reads consecutive diffs, keeps intermediate states") {
     val dir = freshDir("snap_clsince")
     val p = s"$dir/t.parquet"
@@ -1119,6 +1231,7 @@ class SnapshotSpec extends SparkSpec {
     val bad = m.copy(
       schemaDdl = "renamed_id BIGINT,txt STRING",
       aliases = Seq("id" -> "ghost", "txt" -> "txt"),
+      dropped = Seq("txt"), // present in the schema: resurrection
       entries = m.entries.map(e =>
         if (e.cols.isEmpty)
           e.copy(envs = Some(Map("nope" -> Snapshot.ColEnv(Some(0L), Some(1L), false))))
@@ -1128,8 +1241,8 @@ class SnapshotSpec extends SparkSpec {
     fs.create(new Path(vdir2, graft.operators.Versioned.Marker), false).close()
     val findings = Snapshot.fsck(spark, p)
       .select("issue").as[String].collect().toSet
-    assert(Set("alias", "env", "pred").subsetOf(findings),
-      s"fsck must flag all three r12 classes, got $findings")
+    assert(Set("alias", "env", "pred", "dropped").subsetOf(findings),
+      s"fsck must flag all four r12 classes, got $findings")
   }
 
   // ── column rename via the manifest alias map (r12) ─────────────────
