@@ -57,6 +57,11 @@ class SnapshotPropsSpec extends SparkSpec {
     var model: Model =
       (0L until 400L).map(i => i -> (s"s$seed-$i", Option.empty[Long])).toMap
     var widened = false
+    // set once "flag" is DROPPED: re-adding the name through the
+    // incremental path is refused (resurrection fence) until a full
+    // overwrite clears the dropped set — the fuzz routes around it the
+    // way a user would, and the refusal itself is spec'd in SnapshotSpec
+    var droppedFlag = false
     // fresh-write the initial model
     WriteOps.atomicOverwrite(spark, render(model, widened), p,
       indexBy = Seq("id"), maxRecordsPerFile = 60,
@@ -90,7 +95,7 @@ class SnapshotPropsSpec extends SparkSpec {
     }
 
     for (step <- 1 to 12) {
-      rnd.nextInt(9) match {
+      rnd.nextInt(10) match {
         case 0 => // full overwrite with a fresh table
           model = (0L until (200L + rnd.nextInt(200)))
             .map(i => i -> (s"o$seed-$step-$i",
@@ -98,11 +103,15 @@ class SnapshotPropsSpec extends SparkSpec {
           WriteOps.atomicOverwrite(spark, render(model, widened), p,
             indexBy = Seq("id"), maxRecordsPerFile = 60,
             commitMode = "snapshot", keepVersions = 3)
+          droppedFlag = false // fresh files only: the name is free again
         // once widened, every upsert carries the flag column (a
         // narrower batch against a wider table is the schema-extending
         // fallback matrix's territory, pinned in PrunedMergeSpec)
         case 1 => upsert(band(), withFlag = widened)
-        case 2 => upsert(band(), withFlag = true) // widens on first use
+        case 2 => // widens on first use; after a DROP of "flag" the
+          // incremental re-add would refuse, so stay narrow until a
+          // full overwrite (case 0) legitimately frees the name
+          upsert(band(), withFlag = !droppedFlag)
         case 3 => // rewrite delete (pruned or fallback)
           val ids = band()
           val cur = graft.sources.Resolver.readParquet(spark, p)
@@ -158,6 +167,17 @@ class SnapshotPropsSpec extends SparkSpec {
           Snapshot.deleteByPredicate(spark, p, s"id >= $lo AND id < $hi",
             keepVersions = 3)
           model = model.filter { case (id, _) => id < lo || id >= hi }
+        case 9 => // metadata-only COLUMN DROP of the widened column
+          // (r12): live tombstones are materialized first (drop
+          // refuses over keyed/predicate DVs — the realistic sequence)
+          if (widened) {
+            Snapshot.materializeDeletes(spark, p, indexBy = Seq("id"),
+              keepVersions = 3)
+            Snapshot.dropColumn(spark, p, "flag", keepVersions = 3)
+            widened = false
+            droppedFlag = true
+            model = model.map { case (k, (t, _)) => k -> (t, None) }
+          }
       }
       record()
       // 1) latest read ≡ model
