@@ -180,4 +180,97 @@ object CdfStream {
       }
     }
   }
+
+  /** CDC-maintained MINHASH SIGNATURE INDEX (r12): keep the
+    * incremental-dedup index ([[graft.ext.TextDedup.writeSignatureIndex]])
+    * in sync with a mutating corpus from ONLY its change rows — the
+    * composition a growing 100 TB training corpus needs: GDPR deletes
+    * and document revisions land on the corpus as tombstones/appends,
+    * and the dedup index follows at O(changes) cost, never a corpus
+    * re-scan.
+    *
+    * The index is TWO SNAPSHOT TABLES (`indexPath/shingles.parquet`
+    * pk=id, `indexPath/buckets.parquet` pk=(id, band)), so its own
+    * maintenance uses the same O(batch) lakehouse routes it was built
+    * to serve: removals are DV tombstones
+    * ([[graft.operators.Snapshot.deleteByKeys]]) and assertions are
+    * append-shaped upserts ([[graft.operators.Snapshot.upsertAppend]])
+    * — zero index files rewritten per increment; compaction retires
+    * the debt on its own schedule. Bootstraps by bulk-building from
+    * the corpus AT the cursor seed when the index does not exist yet.
+    *
+    * Replay safety: unlike [[cdfToRollup]]'s signed sums, the
+    * per-increment writes are CONTENT-idempotent (deleting the same
+    * ids and re-asserting the same signature rows converge to the
+    * same logical tables), so at-least-once delivery needs no version
+    * guard. A doc whose update leaves it shorter than one shingle is
+    * REMOVED from the index (it can never match), mirroring the bulk
+    * builder's `size(sh) > 0` filter.
+    *
+    * Law (spec'd): after any commit sequence + drain, both index
+    * tables read ≡ the bulk rebuild from the current corpus, and
+    * [[graft.ext.TextDedup.incrementMatches]] against the maintained
+    * index ≡ against a fresh one.
+    */
+  def cdfToSignatureIndex(spark: SparkSession, tablePath: String,
+                          idCol: String, textCol: String,
+                          indexPath: String, checkpointDir: String,
+                          n: Int = 3, k: Int = 128, bands: Int = 16,
+                          startingVersion: Option[Long] = None,
+                          keepVersions: Int = 2): Int = {
+    import graft.ext.TextDedup
+    import graft.operators.{Snapshot, WriteOps}
+    val shPath = s"$indexPath/shingles.parquet"
+    val bkPath = s"$indexPath/buckets.parquet"
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sfs = new Path(indexPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // bootstrap: bulk-build the index from the corpus at the cursor
+    // seed (the stream then carries it forward incrementally)
+    if (cursor(fs, new Path(checkpointDir)).isEmpty) {
+      val seedV = startingVersion.getOrElse(
+        Snapshot.resolveVersion(fs, root, None)._1)
+      val corpus = graft.sources.Resolver.readParquet(
+        spark, tablePath, Some(seedV))
+      val sh = TextDedup.shingleTable(corpus, idCol, textCol, n)
+        .localCheckpoint(true)
+      WriteOps.atomicOverwrite(spark, sh, shPath, indexBy = Seq("id"),
+        commitMode = "snapshot", keepVersions = keepVersions)
+      WriteOps.atomicOverwrite(spark, TextDedup.bucketTable(sh, k, bands),
+        bkPath, indexBy = Seq("id"), commitMode = "snapshot",
+        keepVersions = keepVersions)
+    }
+    runAvailableNow(spark, tablePath, Seq(idCol), checkpointDir,
+      startingVersion = startingVersion) { (inc, _, _) =>
+      // materialize the increment ONCE: every derived frame (shingle
+      // rows, removal ids, the counts) would otherwise re-execute the
+      // multi-version changelog join it hangs off
+      val touched = inc.filter(
+        col("_change_type").isin("insert", "update_postimage", "delete"))
+        .select(col(idCol), col(textCol), col("_change_type"))
+        .localCheckpoint(true)
+      val asserted = TextDedup.shingleTable(
+        touched.filter(col("_change_type") =!= "delete"),
+        idCol, textCol, n).localCheckpoint(true)
+      // removals: deleted docs, plus touched docs that no longer
+      // produce a shingle (too short to ever match)
+      val removeIds = touched.select(col(idCol).as("id")).distinct()
+        .join(asserted.select("id"), Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      if (removeIds.count() > 0) {
+        Snapshot.deleteByKeys(spark, shPath, removeIds,
+          keepVersions = keepVersions)
+        Snapshot.deleteByKeys(spark, bkPath, removeIds,
+          keepVersions = keepVersions)
+      }
+      if (asserted.count() > 0) {
+        Snapshot.upsertAppend(spark, shPath, asserted, Seq("id"),
+          indexBy = Seq("id"), keepVersions = keepVersions)
+        Snapshot.upsertAppend(spark, bkPath,
+          TextDedup.bucketTable(asserted, k, bands), Seq("id", "band"),
+          indexBy = Seq("id"), keepVersions = keepVersions)
+      }
+    }
+  }
 }

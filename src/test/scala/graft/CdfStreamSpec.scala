@@ -162,4 +162,78 @@ class CdfStreamSpec extends SparkSpec {
     assert(canon(state) == canon(expect),
       "CDC-maintained rollup must equal the recomputed delta")
   }
+
+  test("cdfToSignatureIndex: dedup index maintained from change rows equals the bulk rebuild") {
+    import graft.ext.TextDedup
+    val dir = freshDir("cdf_sigidx")
+    val p = s"$dir/docs.parquet"
+    val ckpt = s"$dir/ckpt"
+    def text(i: Long, tag: String): String =
+      (0 until 20).map(j => s"w$tag${i}x$j").mkString(" ")
+    // seed: 30 docs; 25/26 planted exact dups (same text)
+    val seed = (0L until 30L).map(i =>
+      (i, if (i == 26L) text(25L, "s") else text(i, "s"))).toDF("doc_id", "text")
+    WriteOps.atomicOverwrite(spark, seed, p, indexBy = Seq("doc_id"),
+      maxRecordsPerFile = 8, commitMode = "snapshot", keepVersions = 10)
+    def drain(): Int = CdfStream.cdfToSignatureIndex(spark, p,
+      "doc_id", "text", s"$dir/idx", ckpt, n = 3, k = 32, bands = 8,
+      startingVersion = Some(1L), keepVersions = 8)
+    def maintained() = (
+      graft.sources.Resolver.readParquet(spark, s"$dir/idx/shingles.parquet"),
+      graft.sources.Resolver.readParquet(spark, s"$dir/idx/buckets.parquet"))
+    def lawVsBulk(): Unit = {
+      val corpus = graft.sources.Resolver.readParquet(spark, p)
+      val sh = TextDedup.shingleTable(corpus, "doc_id", "text", 3)
+      val bk = TextDedup.bucketTable(sh, 32, 8)
+      val (msh, mbk) = maintained()
+      // shingle arrays stringified: the row compare is array-blind
+      def c1(df: DataFrame) = canon(df.withColumn("sh",
+        concat_ws(",", col("sh").cast("array<string>"))))
+      assert(c1(msh) == c1(sh), "maintained shingles must equal bulk rebuild")
+      assert(canon(mbk) == canon(bk), "maintained buckets must equal bulk rebuild")
+    }
+    assert(drain() == 0) // bootstrap only: no commits past the seed
+    lawVsBulk()
+    // corpus mutates: DV-delete 0..4, revise 5..9 (7 becomes too short
+    // to ever match — must LEAVE the index), append-insert copies of
+    // 10..14 under fresh ids
+    Snapshot.deleteByKeys(spark, p, (0L until 5L).toDF("doc_id"),
+      keepVersions = 10)
+    Snapshot.upsertAppend(spark, p,
+      (5L until 10L).map(i =>
+        (i, if (i == 7L) "ab" else text(i, "r"))).toDF("doc_id", "text"),
+      Seq("doc_id"), indexBy = Seq("doc_id"), keepVersions = 10)
+    Snapshot.upsertAppend(spark, p,
+      (10L until 15L).map(i => (i + 100L, text(i, "s"))).toDF("doc_id", "text"),
+      Seq("doc_id"), indexBy = Seq("doc_id"), keepVersions = 10)
+    assert(drain() > 0)
+    lawVsBulk()
+    val (msh, _) = maintained()
+    assert(msh.filter(col("id").isin(0L, 1L, 7L)).isEmpty,
+      "deleted and shingle-less docs must leave the index")
+    // incrementMatches against the MAINTAINED index ≡ a fresh one: the
+    // new batch copies current docs (110 = copy of 10's copy, 25/26 dups)
+    val batch = Seq((1000L, text(10L, "s")), (1001L, text(25L, "s")),
+      (1002L, text(3L, "zz"))).toDF("doc_id", "text")
+    val (s1, b1) = maintained()
+    val viaMaintained = TextDedup.incrementMatches(batch, s1, b1,
+      "doc_id", "text", n = 3, threshold = 0.8, k = 32, bands = 8)
+    val corpus = graft.sources.Resolver.readParquet(spark, p)
+    val freshSh = TextDedup.shingleTable(corpus, "doc_id", "text", 3)
+    val viaFresh = TextDedup.incrementMatches(batch, freshSh,
+      TextDedup.bucketTable(freshSh, 32, 8),
+      "doc_id", "text", n = 3, threshold = 0.8, k = 32, bands = 8)
+    assert(canon(viaMaintained) == canon(viaFresh),
+      "flagging through the maintained index must equal a fresh rebuild")
+    assert(rows(viaMaintained.select("id", "dup_of").orderBy("id")) ==
+      Seq(Seq(1000L, 10L), Seq(1001L, 25L)),
+      "exact copies must flag their smallest seen source; novel text must not")
+    // replay idempotence (at-least-once): wipe the cursor and re-drain
+    // the whole history — the index converges to the same content
+    fs.delete(new Path(ckpt), true)
+    assert(drain() > 0)
+    lawVsBulk()
+    // drained stream: zero batches
+    assert(drain() == 0)
+  }
 }
