@@ -313,6 +313,44 @@ object SparkEntry {
       graft.sources.Resolver.readParquet(s, p).orderBy("o_orderkey")
     }),
 
+    // ── [EXT r12-late] incremental upsert THROUGH a live PREDICATE
+    // deletion vector: the q_write_upsert_dv shape, with the delete
+    // committed as the predicate itself. The pruned merge now COMPOSES
+    // (r12-late): touched reads fold the predicate as a pushed filter
+    // per sequence class, the base predicate commits unchanged (the
+    // rewritten files' new seq exempts them — batch write wins), and
+    // untouched files keep reading through it. In-query requires prove
+    // the strict-subset rewrite and the retained predicate; same
+    // oracle as q_write_upsert_dv (the two delete routes must serve
+    // the same logical table). ────────────────────────────────────────
+    "q_write_upsert_dv_pred" -> ((s, dir) => {
+      val scratch = scratchDir("graft_updvp")
+      val orders = read(s, dir, "orders")
+      val p = s"$scratch/orders_t.parquet"
+      WriteOps.atomicOverwrite(s, orders, p, indexBy = Seq("o_orderkey"),
+        maxRecordsPerFile = math.max(500, orders.count() / 24),
+        commitMode = "snapshot", keepVersions = 3)
+      graft.operators.Snapshot.deleteByPredicate(s, p,
+        "o_orderstatus = 'F' AND o_orderkey < 5000", keepVersions = 3)
+      val batch = orders.filter(col("o_orderkey") < 1000)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val stats = graft.operators.PrunedMerge.merge(
+        s, graft.sources.Resolver.readParquet(s, p), batch,
+        TargetSpec(DatasetRef("parquet", scratch, "orders_t"),
+          op = WriteOp.Upsert, pk = Seq("o_orderkey"),
+          indexBy = Seq("o_orderkey"), commitMode = "snapshot"), p)
+      require(stats.exists(st => st.filesRewritten > 0 &&
+        st.filesRewritten < st.filesTotal),
+        s"predicate-composed merge must rewrite a strict file subset, got $stats")
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fsys = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val (_, vdir) = graft.operators.Snapshot.resolveVersion(fsys, hp, None)
+      require(graft.operators.Snapshot.manifestAt(fsys, vdir).get
+        .deleteEntries.nonEmpty,
+        "the base predicate must survive the merge (seq order composes)")
+      graft.sources.Resolver.readParquet(s, p).orderBy("o_orderkey")
+    }),
+
     // ── [EXT r12] APPEND-SHAPED upsert (the Hudi merge-on-read
     // deltacommit analog, expressed with commit sequence numbers): the
     // same delete-then-upsert as q_write_upsert_dv, but committed as
@@ -2193,6 +2231,20 @@ object SparkEntry {
     // doubled price (re-asserted even where tombstoned); other
     // tombstoned keys stay deleted
     "q_write_upsert_dv" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+                o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+         FROM orders WHERE o_orderkey < 1000
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority
+         FROM orders
+         WHERE o_orderkey >= 1000
+           AND NOT (o_orderstatus = 'F' AND o_orderkey < 5000)
+         ORDER BY o_orderkey""",
+    // the predicate-composed merge serves the SAME logical table as
+    // the keys-DV route — the physical difference (strict subset,
+    // retained predicate) is proven by in-query requires
+    "q_write_upsert_dv_pred" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
                 o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
          FROM orders WHERE o_orderkey < 1000

@@ -210,20 +210,47 @@ object PrunedMerge {
     // set to equal the pk — a partial-key tombstone can match rows the
     // batch does not cover inside untouched files, so those decline to
     // the full rewrite (which materializes), as before.
-    val dvKeyCols: Option[Seq[String]] = snapCtx.flatMap { case (_, m, dd) =>
-      val dels = m.deleteEntries
-      if (dels.isEmpty) None
-      else {
-        val pkSet = pk.toSet
-        val ok = dels.forall { e =>
-          val cols = e.cols.getOrElse(
-            spark.read.parquet(new Path(dd, e.rel).toString).columns.toSeq)
-          cols.toSet == pkSet
+    // PREDICATE tombstones (r12) compose too: they fold into the
+    // touched reads as FILTERS (per seq class, below) and the base set
+    // commits unchanged — rewritten files carry a new seq and are
+    // exempt, exactly the batch-write-wins contract; untouched files
+    // keep reading through them. Requires every predicate to analyze
+    // against the DATA schema alone (one referencing a partition
+    // column cannot filter a per-file read that lacks the column →
+    // decline to the materializing full route, as before).
+    val isPredEntry: Snapshot.Entry => Boolean = e =>
+      e.cols.contains(Seq(Snapshot.PredColName))
+    val (dvKeyCols, predsByRel): (Option[Seq[String]], Map[String, Seq[String]]) =
+      snapCtx.map { case (_, m, dd) =>
+        val dels = m.deleteEntries
+        if (dels.isEmpty) (Option.empty[Seq[String]], Map.empty[String, Seq[String]])
+        else {
+          val pkSet = pk.toSet
+          val (predDel, keyDel) = dels.partition(e => isPredEntry(e) ||
+            (e.cols.isEmpty && spark.read.parquet(new Path(dd, e.rel).toString)
+              .columns.sameElements(Array(Snapshot.PredColName))))
+          val ok = keyDel.forall { e =>
+            val cols = e.cols.getOrElse(
+              spark.read.parquet(new Path(dd, e.rel).toString).columns.toSeq)
+            cols.toSet == pkSet
+          }
+          if (!ok) return None
+          val dataSchema = org.apache.spark.sql.types.StructType(
+            current.schema.fields.filterNot(f => pcols.contains(f.name)))
+          val emptyData = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dataSchema)
+          def foldable(p: String): Boolean =
+            try {
+              emptyData.filter(!coalesce(expr(p), lit(false)))
+                .queryExecution.analyzed
+              true
+            } catch { case scala.util.control.NonFatal(_) => false }
+          val byRel = predDel.map(e => e.rel -> Snapshot.readPredicates(spark,
+            Seq(new Path(dd, e.rel).toString))).toMap
+          if (!byRel.values.flatten.forall(foldable)) return None
+          (if (keyDel.isEmpty) None else Some(pk), byRel)
         }
-        if (!ok) return None
-        Some(pk)
-      }
-    }
+      }.getOrElse((None, Map.empty))
 
     // layout walk: flat files for unpartitioned, exactly-`pcols` hive
     // dirs for partitioned; anything else is a foreign layout. On a
@@ -338,18 +365,25 @@ object PrunedMerge {
       }
     val touchedDf: DataFrame = snapCtx match {
       case Some((_, m, dd))
-          if dvKeyCols.isDefined && touched.nonEmpty =>
+          if (dvKeyCols.isDefined || predsByRel.nonEmpty) && touched.nonEmpty =>
         val byRel = m.dataEntries.map(e => e.rel -> e).toMap
         val tEntries = touched.map(e => byRel(relPath(dd, new Path(e.path))))
         Snapshot.seqClasses(m, tEntries).map { case (es, dels) =>
           val df0 = rawTouched(es.map(e => new Path(dd, e.rel).toString))
-          if (dels.isEmpty) df0
-          else {
-            val keys = Snapshot.tombstoneKeys(spark, m, dvKeyCols.get,
-              dels.map(e => new Path(dd, e.rel).toString))
-            val cond = keys.columns.map(c => df0(c) <=> keys(c)).reduce(_ && _)
-            df0.join(keys, cond, "left_anti")
-          }
+          val (pDels, kDels) = dels.partition(e => predsByRel.contains(e.rel))
+          val df1 =
+            if (kDels.isEmpty) df0
+            else {
+              val keys = Snapshot.tombstoneKeys(spark, m, dvKeyCols.get,
+                kDels.map(e => new Path(dd, e.rel).toString))
+              val cond = keys.columns.map(c => df0(c) <=> keys(c)).reduce(_ && _)
+              df0.join(keys, cond, "left_anti")
+            }
+          // predicate tombstones fold as pushed filters (NULL keeps
+          // the row — SQL DELETE semantics, the read path's rule)
+          pDels.flatMap(e => predsByRel(e.rel)).distinct.sorted
+            .foldLeft(df1)((acc, p) =>
+              acc.filter(!coalesce(expr(p), lit(false))))
         }.reduce(_ unionByName _)
       case _ => rawTouched(touched.map(_.path))
     }

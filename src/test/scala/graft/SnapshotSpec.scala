@@ -1484,33 +1484,61 @@ class SnapshotSpec extends SparkSpec {
     ()
   }
 
-  test("live predicate DV declines the pruned merge (full materialize route stays correct)") {
+  test("live predicate DV COMPOSES with the pruned merge (r12); partition-col predicates still decline") {
     import spark.implicits._
     val dir = freshDir("snap_dvpm")
     val p = s"$dir/t.parquet"
     predBase(p)
     Snapshot.deleteByPredicate(spark, p, "grp = 3", keepVersions = 4)
-    val batch = Seq((0L, "NEW", 0)).toDF("id", "txt", "grp")
+    // the batch re-asserts a PREDICATE-MATCHING row (id 0 → grp 3):
+    // the rewritten file's new seq exempts it — batch write wins
+    val batch = Seq((0L, "NEW", 3)).toDF("id", "txt", "grp")
     val t = TargetSpec(DatasetRef("parquet", dir, "t"), op = WriteOp.Upsert,
       pk = Seq("id"), indexBy = Seq("id"), commitMode = "snapshot",
       keepVersions = 4)
-    assert(PrunedMerge.merge(spark,
-      graft.sources.Resolver.readParquet(spark, p), batch, t, p).isEmpty,
-      "a live predicate tombstone must decline the pruned path")
-    // the Runner's fallback (full rewrite) materializes THROUGH the
-    // predicate and applies the upsert
-    batch.write.parquet(s"$dir/b.parquet")
-    graft.engine.Runner.execute(spark, JobSpec(
-      SourceSpec(DatasetRef("parquet", dir, "b")),
-      target = Some(t.copy(skipTimestamp = true))), log = false)
+    val st = PrunedMerge.merge(spark,
+      graft.sources.Resolver.readParquet(spark, p), batch, t, p)
+    assert(st.exists(s0 => s0.filesRewritten > 0 &&
+      s0.filesRewritten < s0.filesTotal),
+      s"the merge must compose through a live data-schema predicate, got $st")
     val now = graft.sources.Resolver.readParquet(spark, p)
-    assert(now.filter($"id" === 0L).select("txt").as[String].collect()
-      .toSeq == Seq("NEW"))
+    assert(rows(now.filter($"id" === 0L).select("txt", "grp")) ==
+      Seq(Seq("NEW", 3)), "the batch's predicate-matching row must win")
     assert(now.filter($"grp" === 3 && $"id" =!= 0L).isEmpty,
-      "materialized route must have applied the predicate")
+      "pre-existing predicate matches stay deleted (touched files fold " +
+        "the filter, untouched files keep reading through the predicate)")
     val m = Snapshot.manifestAt(fs,
       Snapshot.resolveVersion(fs, new Path(p), None)._2).get
-    assert(m.deleteEntries.isEmpty, "full rewrite materializes tombstones")
+    assert(m.deleteEntries.nonEmpty,
+      "the base predicate commits unchanged (seq order expresses the compose)")
+    // ≡ LAW: materialize-then-merge on a clone serves the same table
+    val p2 = s"$dir/t2.parquet"
+    predBase(p2)
+    Snapshot.deleteByPredicate(spark, p2, "grp = 3", keepVersions = 4)
+    Snapshot.materializeDeletes(spark, p2, indexBy = Seq("id"),
+      maxRecordsPerFile = 8, keepVersions = 4)
+    val t2 = t.copy(ref = DatasetRef("parquet", dir, "t2"))
+    assert(PrunedMerge.merge(spark,
+      graft.sources.Resolver.readParquet(spark, p2), batch, t2, p2).isDefined)
+    assert(sortedRows(now) ==
+      sortedRows(graft.sources.Resolver.readParquet(spark, p2)),
+      "composed ≡ materialize-then-merge")
+    // a predicate referencing a PARTITION column cannot fold into a
+    // per-file read that lacks the column — still declines to the
+    // materializing full route
+    val p3 = s"$dir/t3.parquet"
+    WriteOps.atomicOverwrite(spark,
+      (0L until 40L).map(i => (i, s"v$i", (i % 4).toInt)).toDF("id", "txt", "grp"),
+      p3, partitionBy = Seq("grp"), indexBy = Seq("id"),
+      maxRecordsPerFile = 8, commitMode = "snapshot", keepVersions = 4)
+    Snapshot.deleteByPredicate(spark, p3, "grp = 3", keepVersions = 4)
+    val t3 = TargetSpec(DatasetRef("parquet", dir, "t3"), op = WriteOp.Upsert,
+      pk = Seq("id"), indexBy = Seq("id"), commitMode = "snapshot",
+      keepVersions = 4)
+    assert(PrunedMerge.merge(spark,
+      graft.sources.Resolver.readParquet(spark, p3),
+      Seq((1L, "X", 1)).toDF("id", "txt", "grp"), t3, p3).isEmpty,
+      "a partition-column predicate must decline the pruned path")
   }
 
   test("changelog across a predicate-DV commit classifies exactly the matching rows as deletes") {
