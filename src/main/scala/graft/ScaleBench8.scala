@@ -141,6 +141,36 @@ object ScaleBench8 {
       s"both CDC routes must emit ${nRows - cutoff} deletes, got " +
         s"pruned=$nPrunedCl full=$nFullCl")
 
+    // ── 2c) pruned merge THROUGH the live predicate (r12-late): a
+    // banded 10k upsert composes — strict file subset, predicate
+    // retained, correct rows — instead of declining to a 6M rewrite
+    val stPm = timed("pred_composed_merge_10k") {
+      graft.operators.PrunedMerge.merge(spark, readBack(pPred),
+        spark.range(1_000_000L, 1_010_000L)
+          .select($"id".as("doc_id"), lit("M").as("payload")),
+        graft.spec.TargetSpec(graft.spec.DatasetRef("parquet", out, "pred_t"),
+          op = graft.spec.WriteOp.Upsert, pk = Seq("doc_id"),
+          indexBy = Seq("doc_id"), commitMode = "snapshot",
+          keepVersions = 4), pPred)
+        .getOrElse(sys.error("merge must compose through the predicate"))
+    }
+    require(stPm.filesRewritten > 0 &&
+      stPm.filesRewritten <= stPm.filesTotal / 10,
+      s"composed merge must rewrite a small subset, got $stPm")
+    val mPm = graft.operators.Snapshot.manifestAt(fs,
+      graft.operators.Snapshot.resolveVersion(fs, new Path(pPred), None)._2).get
+    require(mPm.deleteEntries.nonEmpty, "predicate survives the merge")
+    require(readBack(pPred).count() == cutoff,
+      "merged rows replace in place; predicate keeps applying elsewhere")
+    require(readBack(pPred).filter($"doc_id" === 1_000_005L)
+      .select("payload").as[String].first() == "M")
+    notes("merge_claim") =
+      f"10k banded upsert THROUGH the live retention predicate: " +
+        f"${stPm.filesRewritten}/${stPm.filesTotal} files = " +
+        f"${100 * stPm.rewrittenFrac}%.1f%% of bytes in " +
+        f"${results("pred_composed_merge_10k")}%.2fs (pre-r12-late: " +
+        "declined to a full 6M-row materializing rewrite)"
+
     // ── 3) compaction debt ceiling folds + drops the predicate ───────
     timed("pred_fold_compact") {
       graft.operators.Compaction.compact(spark, pPred, Seq("doc_id"),
