@@ -171,7 +171,17 @@ object Snapshot {
 
   // ── manifest io (driver-side, O(files) text) ─────────────────────
 
-  private[graft] def writeManifest(fs: FileSystem, vdir: Path, m: Manifest): Unit = {
+  /** Serialize a manifest to its on-disk text. Exposed separately from
+    * [[writeManifest]] so the post-marker commit re-verify can compare
+    * NORMALIZED forms: the line format deliberately drops cols/env
+    * pairs whose names contain the format's separators, so a raw
+    * case-class equality between the stamped manifest and its readback
+    * would fail forever on such names and turn a working
+    * graceful-degradation path into a permanent commit abort (r12
+    * ADVICE). Rendering both sides applies the same lossy filters to
+    * each, so the compare tests exactly "did MY bytes survive".
+    */
+  private[graft] def renderManifest(m: Manifest): String = {
     val sb = new StringBuilder
     sb.append(FormatTag).append('\n')
     sb.append(m.schemaDdl).append('\n')
@@ -221,6 +231,11 @@ object Snapshot {
       if (e.seq >= 0) sb.append('\t').append(e.seq)
       sb.append('\n')
     }
+    sb.toString
+  }
+
+  private[graft] def writeManifest(fs: FileSystem, vdir: Path, m: Manifest): Unit = {
+    val rendered = renderManifest(m)
     // EXCLUSIVE create ([[atomicCreate]], not fs.create(overwrite =
     // false) — the latter is check-then-act on the local filesystem,
     // HADOOP-9361): two writers racing to the same version number (a
@@ -236,7 +251,7 @@ object Snapshot {
         s"manifest already exists at $mp — a concurrent writer defeated " +
           "the commit lock; this commit did NOT land, re-plan and retry")
     val out = fs.create(mp, true)
-    try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(rendered.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
@@ -861,10 +876,15 @@ object Snapshot {
     // parent) would otherwise publish a MARKER-ONLY version — an
     // unreadable head instead of the promised loud failure. A missing
     // or torn manifest here un-publishes the version and aborts.
+    // NORMALIZED compare (r12 ADVICE): the line format drops cols/env
+    // pairs with separator-bearing names, so raw case-class equality
+    // between `stamped` and its readback would fail permanently for
+    // such names. Re-rendering both sides applies the same write-side
+    // filters to each — the compare is "did my bytes survive", not
+    // "is the format lossless".
     val ok =
       try manifestAt(fs, vdir).exists(read =>
-        read.entries == stamped.entries && read.schemaDdl == m.schemaDdl &&
-          read.partitionBy == m.partitionBy)
+        renderManifest(read) == renderManifest(stamped))
       catch { case scala.util.control.NonFatal(_) => false }
     if (!ok) {
       try fs.delete(vdir, true) catch { case scala.util.control.NonFatal(_) => () }
@@ -1682,14 +1702,20 @@ object Snapshot {
     * consumer's view.
     */
   def changelogSince(spark: SparkSession, rootStr: String, sinceV: Long,
-                     pk: Seq[String]): DataFrame = {
+                     pk: Seq[String], untilV: Option[Long] = None): DataFrame = {
     val root = new Path(rootStr)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val vs = committed(fs, root).map(_._1)
     require(vs.contains(sinceV), s"version $sinceV of $root is not " +
       s"retained (have: ${vs.mkString(", ")}) — the changelog cursor " +
       "has fallen behind the vacuum retention; re-sync with a full read")
-    val span = vs.filter(_ >= sinceV)
+    // `untilV` BOUNDS the span at build time (r13): a rate-limited
+    // consumer ([[graft.streaming.CdfStream]]) previously built the
+    // whole-backlog union and post-filtered `_commit_version <= to` —
+    // Catalyst constant-folds that correctly, but each batch still
+    // paid analysis over O(backlog) union branches. Stopping the span
+    // here makes a bounded batch cost O(batch) branches.
+    val span = vs.filter(v => v >= sinceV && untilV.forall(v <= _))
     val steps = span.zip(span.drop(1))
     if (steps.isEmpty)
       return changelog(spark, rootStr, sinceV, sinceV, pk).limit(0)

@@ -163,6 +163,78 @@ class CdfStreamSpec extends SparkSpec {
       "CDC-maintained rollup must equal the recomputed delta")
   }
 
+  test("cdfToRollup: crash after state write + new commits before restart must not double-count") {
+    // The r12 ADVICE crash window: the process dies AFTER the state
+    // write but BEFORE the cursor commit, and NEW table commits land
+    // before restart. The replayed increment then spans
+    // (staleFrom, newHead] with newHead > appliedVersion — an
+    // all-or-nothing final-version guard evaluates false and silently
+    // re-applies the already-applied prefix. The fix (cursor
+    // fast-forward to the state's __cdf_version + per-commit filter)
+    // must keep the state exactly equal to the recompute.
+    val dir = freshDir("cdf_crash")
+    val p = s"$dir/t.parquet"
+    val ckpt = s"$dir/ckpt"
+    seedTable(p)                                              // v1
+    def drain(): Int = CdfStream.cdfToRollup(spark, p, Seq("id"),
+      keys = Seq("grp"), sumCols = Seq("id"),
+      statePath = s"$dir/state.parquet", checkpointDir = s"$dir/ckpt",
+      startingVersion = Some(1L))
+    Snapshot.deleteByKeys(spark, p, Seq(0L, 5L, 10L).toDF("id"),
+      keepVersions = 10)                                      // v2
+    assert(drain() == 1)                                      // state @ v2
+    // simulate the crash: roll the DURABLE cursor back to the seed
+    // (state stays at v2 — exactly "state written, cursor not")
+    val cf = fs.listStatus(new Path(ckpt)).map(_.getPath)
+      .filter(_.getName.startsWith("cursor-")).sortBy(_.getName)
+    cf.drop(1).foreach(f => fs.delete(f, false))
+    assert(CdfStream.cursor(fs, new Path(ckpt)).contains(1L))
+    // new commits land BEFORE the restart
+    Snapshot.deleteByKeys(spark, p, Seq(20L, 21L).toDF("id"),
+      keepVersions = 10)                                      // v3
+    assert(drain() >= 1)                                      // restart
+    val v1 = graft.sources.Resolver.readParquet(spark, p, Some(1L))
+    val head = graft.sources.Resolver.readParquet(spark, p)
+    val expect = head.groupBy("grp")
+      .agg(count(lit(1)).as("h_cnt"), sum("id").as("h_sum"))
+      .join(v1.groupBy("grp")
+        .agg(count(lit(1)).as("b_cnt"), sum("id").as("b_sum")), Seq("grp"), "full_outer")
+      .select(col("grp"),
+        (coalesce(col("h_cnt"), lit(0L)) - coalesce(col("b_cnt"), lit(0L))).as("cnt"),
+        (coalesce(col("h_sum"), lit(0L)) - coalesce(col("b_sum"), lit(0L))).as("sum_id"))
+      .filter(col("cnt") =!= 0L)
+    val state = graft.sources.Resolver.readParquet(spark, s"$dir/state.parquet")
+      .drop("__cdf_version")
+    assert(canon(state) == canon(expect),
+      "replay across the crash window must not double-count")
+    // and the drained stream stays drained
+    assert(drain() == 0)
+  }
+
+  test("spanning drain: one net (from, head] batch equals the per-commit union") {
+    val dir = freshDir("cdf_span")
+    val p = s"$dir/t.parquet"
+    seedTable(p)                                              // v1
+    Snapshot.deleteByKeys(spark, p, Seq(3L).toDF("id"), keepVersions = 10) // v2
+    upsert(p, dir, Seq(3L, 6L), "S")                          // v3: 3 back, 6 revised
+    Snapshot.upsertAppend(spark, p, Seq((99L, "new", 1)).toDF("id", "txt", "grp"),
+      Seq("id"), indexBy = Seq("id"), keepVersions = 10)      // v4
+    Snapshot.deleteByKeys(spark, p, Seq(99L).toDF("id"), keepVersions = 10) // v5
+    var batches = 0
+    var got: Seq[String] = Nil
+    CdfStream.runAvailableNow(spark, p, Seq("id"), s"$dir/ck1",
+      startingVersion = Some(1L), spanningBatches = true) { (inc, _, _) =>
+      batches += 1; got = canon(inc.drop("_commit_version"))
+    }
+    assert(batches == 1, "a spanning drain is ONE batch for the whole backlog")
+    // the net span diff == the direct v1→v5 changelog; churn (99
+    // inserted then deleted within the span) telescopes away
+    val direct = canon(Snapshot.changelog(spark, p, 1L, 5L, Seq("id"))
+      .drop("_commit_version"))
+    assert(got == direct)
+    assert(!got.exists(_.contains("99")), "within-span churn must telescope away")
+  }
+
   test("cdfToSignatureIndex: dedup index maintained from change rows equals the bulk rebuild") {
     import graft.ext.TextDedup
     val dir = freshDir("cdf_sigidx")
