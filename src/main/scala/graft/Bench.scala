@@ -37,25 +37,46 @@ object Bench {
         try spark.sharedState.cacheManager.clearCache()
         catch { case _: Throwable => }
       }
+    // NOISE-ROBUST protocol (r13, verdict #1): same-code totals spanned
+    // 139.6→295.7 s across round-12 runs — host noise (±35-110%,
+    // uniform per-query inflation during stall windows) exceeded the
+    // 2×-vs-baseline bar's margin, making single-shot numbers
+    // unadjudicatable. Each query now runs REPS times in-process and
+    // the reported per-query number is the MEDIAN (min also recorded):
+    // a transient host stall inflates at most one rep, and the median
+    // of three is immune to any single outlier. The headline "value"
+    // is the sum of per-query medians — the number a stall-free
+    // single-pass run would produce.
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption)
+      .filter(_ >= 1).getOrElse(3)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop write materializes EVERY output column (count() would let
-      // Catalyst prune pure projections out of the measurement)
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+      val times = (0 until reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        // noop write materializes EVERY output column (count() would let
+        // Catalyst prune pure projections out of the measurement)
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch {
+            case e: Throwable =>
+              errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+              false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Queries are independent jobs: drop any intra-query persist()
+        // AFTER the timed region so one query's working cache can't
+        // occupy unified memory and starve the next query's execution
+        // side (a real pipeline owns its persist lifecycle; a bench of
+        // 100+ back-to-back queries must do it here).
+        try spark.sharedState.cacheManager.clearCache()
+        catch { case _: Throwable => }
+        if (ok) Some(dt) else None
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Queries are independent jobs: drop any intra-query persist()
-      // AFTER the timed region so one query's working cache can't
-      // occupy unified memory and starve the next query's execution
-      // side (a real pipeline owns its persist lifecycle; a bench of
-      // 100+ back-to-back queries must do it here).
-      try spark.sharedState.cacheManager.clearCache()
-      catch { case _: Throwable => }
-      name -> dt
+      name -> times
     }
     def jstr(s: String): String = {
       val b = new StringBuilder("\"")
@@ -67,15 +88,20 @@ object Bench {
       }
       b.append("\"").toString
     }
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+    val meds = results.collect { case (k, ts) if ts.nonEmpty => k -> median(ts) }
+    val qs = meds.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val mins = results.collect { case (k, ts) if ts.nonEmpty => k -> ts.min }
+    val qmin = mins.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""
       else "," + "\"errors\":" + errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
         .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = if (meds.nonEmpty) meds.map(_._2).sum else 0.0
+    val minTotal = if (mins.nonEmpty) mins.map(_._2).sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$reps","min_total":$minTotal,"queries":$qs,"queries_min":$qmin$errJson,"sf":"$sfDir"}"""
     println(json)
     // The driver captures stdout with a tail that can truncate one long
     // line (BENCH_r04 recorded `parsed: null`) — persist the JSON to a
