@@ -201,37 +201,76 @@ object Snapshot {
       if (!n.exists("\t\n".contains(_)))
         sb.append("#dropped=").append(n).append('\n')
     }
-    m.entries.foreach { e =>
-      sb.append(e.bytes).append('\t').append(e.rel)
-      // third tab field: the DV key-column set — recorded only when
-      // the names round-trip through the line format unambiguously
-      val colsStr = e.cols.filter(cs => cs.nonEmpty &&
-        cs.forall(c => !c.contains(',') && !c.contains('\t') && !c.contains('\n')))
-        .map(_.mkString(","))
-      // fourth tab field (r12): per-column key envelopes,
-      // `name=min,max,nullflag` joined by ';' — readers that predate
-      // the field ignore trailing fields, so the format stays
-      // compatible in both directions
-      val envStr = e.envs.filter(_.nonEmpty)
-        .map(_.toSeq.sortBy(_._1).collect {
-          case (n, v) if !n.exists(";=,\t\n".contains(_)) =>
-            s"$n=${v.min.fold("")(_.toString)},${v.max.fold("")(_.toString)}," +
-              (if (v.hasNulls) "1" else "0")
-        }.mkString(";"))
-        .filter(_.nonEmpty)
-      // fifth tab field (r12): the entry's commit sequence — written
-      // for every stamped entry (empty cols/envs placeholders keep
-      // the positions fixed); readers that predate it ignore trailing
-      // fields, readers of manifests that predate it normalize
-      // ([[manifestAt]]) to the global pre-seq semantics
-      if (colsStr.isDefined || envStr.isDefined || e.seq >= 0)
-        sb.append('\t').append(colsStr.getOrElse(""))
-      if (envStr.isDefined || e.seq >= 0)
-        sb.append('\t').append(envStr.getOrElse(""))
-      if (e.seq >= 0) sb.append('\t').append(e.seq)
-      sb.append('\n')
-    }
+    m.entries.foreach(e => sb.append(renderEntry(e)).append('\n'))
     sb.toString
+  }
+
+  /** One manifest entry line (no trailing newline) — shared by the
+    * full-manifest writer and the delta writer's `+` lines.
+    */
+  private def renderEntry(e: Entry): String = {
+    val sb = new StringBuilder
+    sb.append(e.bytes).append('\t').append(e.rel)
+    // third tab field: the DV key-column set — recorded only when
+    // the names round-trip through the line format unambiguously
+    val colsStr = e.cols.filter(cs => cs.nonEmpty &&
+      cs.forall(c => !c.contains(',') && !c.contains('\t') && !c.contains('\n')))
+      .map(_.mkString(","))
+    // fourth tab field (r12): per-column key envelopes,
+    // `name=min,max,nullflag` joined by ';' — readers that predate
+    // the field ignore trailing fields, so the format stays
+    // compatible in both directions
+    val envStr = e.envs.filter(_.nonEmpty)
+      .map(_.toSeq.sortBy(_._1).collect {
+        case (n, v) if !n.exists(";=,\t\n".contains(_)) =>
+          s"$n=${v.min.fold("")(_.toString)},${v.max.fold("")(_.toString)}," +
+            (if (v.hasNulls) "1" else "0")
+      }.mkString(";"))
+      .filter(_.nonEmpty)
+    // fifth tab field (r12): the entry's commit sequence — written
+    // for every stamped entry (empty cols/envs placeholders keep
+    // the positions fixed); readers that predate it ignore trailing
+    // fields, readers of manifests that predate it normalize
+    // ([[manifestAt]]) to the global pre-seq semantics
+    if (colsStr.isDefined || envStr.isDefined || e.seq >= 0)
+      sb.append('\t').append(colsStr.getOrElse(""))
+    if (envStr.isDefined || e.seq >= 0)
+      sb.append('\t').append(envStr.getOrElse(""))
+    if (e.seq >= 0) sb.append('\t').append(e.seq)
+    sb.toString
+  }
+
+  /** Parse one entry line — the inverse of [[renderEntry]], with the
+    * pre-seq normalization documented there.
+    */
+  private def parseEntry(l: String): Entry = {
+    val parts = l.split("\t", -1)
+    val envs =
+      if (parts.length >= 4 && parts(3).nonEmpty)
+        Some(parts(3).split(";").toSeq.flatMap { kv =>
+          kv.split("=", 2) match {
+            case Array(n, v) => v.split(",", -1) match {
+              case Array(lo, hi, nf) =>
+                Some(n -> ColEnv(
+                  if (lo.isEmpty) None else Some(lo.toLong),
+                  if (hi.isEmpty) None else Some(hi.toLong),
+                  nf == "1"))
+              case _ => None
+            }
+            case _ => None
+          }
+        }.toMap).filter(_.nonEmpty)
+      else None
+    val isDel = parts(1).startsWith(DeletesDirName + "/")
+    val seq =
+      if (parts.length >= 5 && parts(4).nonEmpty) parts(4).toLong
+      else if (isDel) Long.MaxValue
+      else 0L
+    Entry(parts(1), parts(0).toLong,
+      if (parts.length >= 3 && parts(2).nonEmpty)
+        Some(parts(2).split(",").toSeq)
+      else None,
+      envs, seq)
   }
 
   private[graft] def writeManifest(fs: FileSystem, vdir: Path, m: Manifest): Unit = {
@@ -255,16 +294,131 @@ object Snapshot {
     finally out.close()
   }
 
+  /** Test/bench hook: `false` forces every commit to write a full
+    * checkpoint manifest (the pre-r13 monolithic behavior) — the A/B
+    * lever ScaleBench10 prices the delta protocol against.
+    */
+  @volatile var deltaCommitsEnabled: Boolean = true
+
+  /** Commit-time manifest writer (r13): writes a `_MANIFEST_DELTA`
+    * when (a) the previous committed head resolves, (b) the delta
+    * chain stays under [[CheckpointEvery]], and (c) the changed-entry
+    * count is smaller than the membership — else a full checkpoint.
+    * The delta records the base VERSION it was computed against
+    * (`#base=`), so resolution is exact even if an uncommitted stray
+    * version dir sits between: the chain follows recorded pointers,
+    * never "the previous committed version at read time". Headers
+    * (schema, partition-by, aliases, dropped, commit_ts) are carried
+    * IN FULL in every delta — they are O(columns), and it makes each
+    * version's logical schema self-contained.
+    */
+  private def writeManifestOrDelta(fs: FileSystem, root: Path, vdir: Path,
+                                   next: Long, stamped: Manifest): Unit = {
+    val baseOpt =
+      if (!deltaCommitsEnabled) None
+      else committed(fs, root).lastOption.flatMap { case (bv, bdir) =>
+        (try resolveManifest(fs, bdir)
+         catch { case scala.util.control.NonFatal(_) => None })
+          .map { case (bm, depth) => (bv, bm, depth) }
+      }
+    baseOpt match {
+      case Some((bv, bm, depth)) if depth + 1 < CheckpointEvery =>
+        val baseRender = bm.entries.map(e => e.rel -> renderEntry(e)).toMap
+        val newByRel = stamped.entries.map(e => e.rel -> e).toMap
+        // a CHANGED entry (same rel, different metadata — envelope
+        // stamping, seq restamp) is remove+add; the rendered line is
+        // the identity the re-verify compares, so it is the identity
+        // the diff uses too
+        val removed = bm.entries.map(_.rel).filter(r =>
+          !newByRel.contains(r) || renderEntry(newByRel(r)) != baseRender(r))
+        val added = stamped.entries.filter(e =>
+          !baseRender.get(e.rel).contains(renderEntry(e)))
+        if (removed.size + added.size < math.max(stamped.entries.size, 1))
+          writeDelta(fs, vdir, stamped, bv, removed, added)
+        else writeManifest(fs, vdir, stamped)
+      case _ => writeManifest(fs, vdir, stamped)
+    }
+  }
+
+  private def writeDelta(fs: FileSystem, vdir: Path, m: Manifest,
+                         baseV: Long, removed: Seq[String],
+                         added: Seq[Entry]): Unit = {
+    val sb = new StringBuilder
+    sb.append(DeltaTag).append('\n')
+    sb.append(m.schemaDdl).append('\n')
+    sb.append(m.partitionBy.mkString(",")).append('\n')
+    sb.append("#base=").append(baseV).append('\n')
+    m.commitTsMillis.foreach(ts => sb.append("#commit_ts=").append(ts).append('\n'))
+    m.aliases.foreach { case (po, ln) =>
+      if (!po.exists(":\t\n".contains(_)) && !ln.exists(":\t\n".contains(_)))
+        sb.append("#alias=").append(po).append(':').append(ln).append('\n')
+    }
+    m.dropped.foreach { n =>
+      if (!n.exists("\t\n".contains(_)))
+        sb.append("#dropped=").append(n).append('\n')
+    }
+    removed.foreach(r => sb.append('-').append(r).append('\n'))
+    added.foreach(e => sb.append('+').append(renderEntry(e)).append('\n'))
+    // same EXCLUSIVE-create collision arbiter as the full manifest:
+    // two writers racing the same version number must fail loudly
+    // here or at the marker, never silently interleave
+    val dp = new Path(vdir, DeltaName)
+    if (!atomicCreate(fs, dp))
+      throw new java.io.IOException(
+        s"manifest delta already exists at $dp — a concurrent writer " +
+          "defeated the commit lock; this commit did NOT land, re-plan and retry")
+    val out = fs.create(dp, true)
+    try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The base version a DELTA version dir points at; None for a
+    * checkpoint (full `_MANIFEST` present — it shadows any delta) or a
+    * dir with neither file. Light header read, no resolution.
+    */
+  private def deltaBase(fs: FileSystem, vdir: Path): Option[Long] = {
+    if (fs.exists(new Path(vdir, ManifestName))) return None
+    val dp = new Path(vdir, DeltaName)
+    if (!fs.exists(dp)) return None
+    readText(fs, dp).split("\n").collectFirst {
+      case h if h.startsWith("#base=") => h.stripPrefix("#base=").toLong
+    }
+  }
+
+  /** Materialize a resolved manifest as a full checkpoint inside a
+    * LIVE committed version dir (vacuum chain promotion). Written
+    * temp-then-rename: a torn direct write would shadow the dir's
+    * still-valid delta for concurrent readers. Loses gracefully when
+    * a concurrent promoter already renamed — the content is identical
+    * by construction.
+    */
+  private def promoteCheckpoint(fs: FileSystem, vdir: Path, m: Manifest): Unit = {
+    val mp = new Path(vdir, ManifestName)
+    if (fs.exists(mp)) return
+    val tmp = new Path(vdir, s"._promote_${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(renderManifest(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val renamed = try fs.rename(tmp, mp)
+    catch { case scala.util.control.NonFatal(_) => false }
+    if (!renamed)
+      try fs.delete(tmp, false) catch { case scala.util.control.NonFatal(_) => () }
+  }
+
   /** The manifest of a version dir, None when the dir predates the
     * snapshot protocol (a `versioned`-mode data dir).
     */
-  def manifestAt(fs: FileSystem, vdir: Path): Option[Manifest] = {
+  private def readText(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** Parse a FULL (checkpoint) manifest file; None if absent. */
+  private def parseFullManifest(fs: FileSystem, vdir: Path): Option[Manifest] = {
     val mp = new Path(vdir, ManifestName)
     if (!fs.exists(mp)) return None
-    val in = fs.open(mp)
-    val text =
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
+    val text = readText(fs, mp)
     val lines = text.split("\n", -1)
     require(lines.length >= 3 && lines(0) == FormatTag,
       s"unrecognized manifest format in $mp")
@@ -282,43 +436,131 @@ object Snapshot {
     val dropped = headers.collect {
       case h if h.startsWith("#dropped=") => h.stripPrefix("#dropped=")
     }.toSeq
-    val entries = body.map { l =>
-      val parts = l.split("\t", -1)
-      val envs =
-        if (parts.length >= 4 && parts(3).nonEmpty)
-          Some(parts(3).split(";").toSeq.flatMap { kv =>
-            kv.split("=", 2) match {
-              case Array(n, v) => v.split(",", -1) match {
-                case Array(lo, hi, nf) =>
-                  Some(n -> ColEnv(
-                    if (lo.isEmpty) None else Some(lo.toLong),
-                    if (hi.isEmpty) None else Some(hi.toLong),
-                    nf == "1"))
-                case _ => None
-              }
-              case _ => None
-            }
-          }.toMap).filter(_.nonEmpty)
-        else None
-      val isDel = parts(1).startsWith(DeletesDirName + "/")
-      // normalize ON READ: an entry line without the seq field (a
-      // pre-r12 manifest, or one carried from it) gets the effective
-      // seq that reproduces the old GLOBAL tombstone semantics —
-      // data is oldest (0), a tombstone applies to everything
-      // (Long.MaxValue). In-memory entries therefore always carry a
-      // concrete seq; only FRESH entries are ever [[UnsetSeq]].
-      val seq =
-        if (parts.length >= 5 && parts(4).nonEmpty) parts(4).toLong
-        else if (isDel) Long.MaxValue
-        else 0L
-      Entry(parts(1), parts(0).toLong,
-        if (parts.length >= 3 && parts(2).nonEmpty)
-          Some(parts(2).split(",").toSeq)
-        else None,
-        envs, seq)
-    }.toSeq
+    // normalize ON READ: an entry line without the seq field (a
+    // pre-r12 manifest, or one carried from it) gets the effective
+    // seq that reproduces the old GLOBAL tombstone semantics — see
+    // [[parseEntry]].
+    val entries = body.map(parseEntry).toSeq
     Some(Manifest(lines(1), pcols, entries, commitTs, aliases, dropped))
   }
+
+  /** Resolve a version's FULL membership: a checkpoint `_MANIFEST` as
+    * written, or a `_MANIFEST_DELTA` applied over its recorded base's
+    * resolution (r13 — the Delta-log/Iceberg-manifest-list amortization:
+    * a 100 TB table has 10⁵–10⁶ pool files, and rewriting + re-reading
+    * one flat O(files) text per commit made the manifest the metadata
+    * bottleneck; an incremental commit now writes O(changed) bytes).
+    * Committed versions are immutable, so resolutions are served from
+    * a small driver-side cache — the steady-state commit/plan path
+    * reads only the new delta, never the checkpoint.
+    */
+  def manifestAt(fs: FileSystem, vdir: Path): Option[Manifest] =
+    resolveManifest(fs, vdir).map(_._1)
+
+  /** One cached resolution. `backing`/`len`/`mtime`/`markerMtime`
+    * witness validity: committed versions are immutable, but a DROPPED
+    * table recreated at the same path reuses version numbers — the
+    * stat probe (2 × getFileStatus, O(1) vs an O(files) re-parse)
+    * detects the new incarnation and recomputes.
+    */
+  private final case class Resolved(m: Manifest, depth: Int, backing: String,
+                                    len: Long, mtime: Long, markerMtime: Long)
+
+  private def statOrNeg(fs: FileSystem, p: Path): (Long, Long) =
+    try { val s = fs.getFileStatus(p); (s.getLen, s.getModificationTime) }
+    catch { case scala.util.control.NonFatal(_) => (-1L, -1L) }
+
+  /** Resolved manifest + delta-chain depth (0 = checkpoint). */
+  private def resolveManifest(fs: FileSystem, vdir: Path): Option[(Manifest, Int)] = {
+    val key = vdir.toString
+    val hit = resolvedCache.synchronized(Option(resolvedCache.get(key)))
+    hit.foreach { r =>
+      val (l, mt) = statOrNeg(fs, new Path(vdir, r.backing))
+      val (_, mk) = statOrNeg(fs, new Path(vdir, Versioned.Marker))
+      if (l == r.len && mt == r.mtime && mk == r.markerMtime)
+        return Some((r.m, r.depth))
+      else resolvedCache.synchronized(resolvedCache.remove(key))
+    }
+    val full = parseFullManifest(fs, vdir).map((_, 0))
+    val out = full.orElse {
+      val dp = new Path(vdir, DeltaName)
+      if (!fs.exists(dp)) None
+      else {
+        val lines = readText(fs, dp).split("\n", -1)
+        require(lines.length >= 4 && lines(0) == DeltaTag,
+          s"unrecognized manifest delta format in $dp")
+        val pcols = lines(2).split(",").filter(_.nonEmpty).toSeq
+        val rest = lines.drop(3).filter(_.nonEmpty)
+        val headers = rest.filter(_.startsWith("#"))
+        val baseV = headers.collectFirst {
+          case h if h.startsWith("#base=") => h.stripPrefix("#base=").toLong
+        }.getOrElse(throw new IllegalStateException(
+          s"manifest delta $dp carries no #base pointer"))
+        val commitTs = headers.collectFirst {
+          case h if h.startsWith("#commit_ts=") => h.stripPrefix("#commit_ts=").toLong
+        }
+        val aliases = headers.collect {
+          case h if h.startsWith("#alias=") =>
+            h.stripPrefix("#alias=").split(":", 2) match {
+              case Array(po, ln) => (po, ln)
+            }
+        }.toSeq
+        val dropped = headers.collect {
+          case h if h.startsWith("#dropped=") => h.stripPrefix("#dropped=")
+        }.toSeq
+        val removed = rest.collect {
+          case l if l.startsWith("-") => l.stripPrefix("-")
+        }.toSet
+        val added = rest.filter(l => l.nonEmpty && !l.startsWith("#") &&
+          !l.startsWith("-")).map(l => parseEntry(l.stripPrefix("+"))).toSeq
+        val bdir = new Path(vdir.getParent, f"_v_$baseV%020d")
+        val (bm, depth) = resolveManifest(fs, bdir).getOrElse(
+          throw new IllegalStateException(
+            s"manifest delta $dp references base version $baseV whose " +
+              "manifest is gone — the delta chain is broken (vacuum " +
+              "promotion failed?); the table metadata needs repair"))
+        require(depth < 1000, s"manifest delta chain too deep under $vdir")
+        // apply: drop removed rels, append added, restore the CANONICAL
+        // rel-sorted order every delta-era commit stamps ([[commitLocked]])
+        val entries = (bm.entries.filterNot(e => removed.contains(e.rel)) ++ added)
+          .sortBy(_.rel)
+        Some((Manifest(lines(1), pcols, entries, commitTs, aliases, dropped),
+          depth + 1))
+      }
+    }
+    // cache ONLY committed versions: an aborted commit deletes its
+    // vdir and the version number gets reallocated with different
+    // content — marker presence is the immutability witness
+    out.foreach { case (m, depth) =>
+      val (_, mk) = statOrNeg(fs, new Path(vdir, Versioned.Marker))
+      if (mk >= 0) {
+        val backing =
+          if (fs.exists(new Path(vdir, ManifestName))) ManifestName else DeltaName
+        val (l, mt) = statOrNeg(fs, new Path(vdir, backing))
+        resolvedCache.synchronized(
+          resolvedCache.put(key, Resolved(m, depth, backing, l, mt, mk)))
+      }
+    }
+    out
+  }
+
+  private val DeltaName = "_MANIFEST_DELTA"
+  private val DeltaTag = "graft-snapshot-delta-v1"
+  /** Max delta-chain depth before a commit writes a full checkpoint
+    * manifest — bounds resolution to O(CheckpointEvery) small reads
+    * after a cache miss. 16 amortizes a 100k-entry checkpoint to
+    * ~6% of commits while keeping cold-start resolution cheap.
+    */
+  private[graft] val CheckpointEvery = 16
+  /** Resolved manifests of COMMITTED (immutable) versions, LRU-bounded.
+    * At 10⁵–10⁶ entries a resolution is ~10–100 MB of driver text —
+    * the cache is what makes the steady-state commit loop O(delta).
+    */
+  private val resolvedCache =
+    new java.util.LinkedHashMap[String, Resolved](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Resolved]): Boolean = size > 8
+    }
 
   /** Committed versions, ascending. */
   def committed(fs: FileSystem, root: Path): Seq[(Long, Path)] =
@@ -855,12 +1097,21 @@ object Snapshot {
     // on. Carried entries (from a base manifest, or content-preserving
     // rewrites that inherited their sources' seq) keep theirs.
     val stamped = m.copy(
-      entries = m.entries.map(e => if (e.seq < 0) e.copy(seq = next) else e),
+      // CANONICAL rel order (r13): delta resolution reconstructs the
+      // entry list as (base minus removed) ++ added — sorting both the
+      // stamped list and every resolution makes the order a non-fact,
+      // so the post-marker re-verify's byte compare certifies the
+      // delta-apply path at every single commit. rels are unique
+      // within a version (one file, one membership line).
+      entries = m.entries.map(e => if (e.seq < 0) e.copy(seq = next) else e)
+        .sortBy(_.rel),
       // stamp the commit instant INTO the manifest: filesystem mtimes
       // do not survive a copy/restore of the table, a recorded field
       // does
       commitTsMillis = Some(System.currentTimeMillis()))
-    writeManifest(fs, vdir, stamped)
+    require(stamped.entries.map(_.rel).distinct.size == stamped.entries.size,
+      s"duplicate pool rels in commit membership at $vdir")
+    writeManifestOrDelta(fs, root, vdir, next, stamped)
     // COMMIT POINT: one atomic create — no reader can observe a
     // version whose manifest is not fully written. atomicCreate, not
     // fs.create(overwrite=false): on the local filesystem the latter
@@ -888,6 +1139,10 @@ object Snapshot {
       catch { case scala.util.control.NonFatal(_) => false }
     if (!ok) {
       try fs.delete(vdir, true) catch { case scala.util.control.NonFatal(_) => () }
+      // the failed resolution may have been cached under the (briefly
+      // marker-carrying) vdir — version numbers of deleted dirs get
+      // reallocated, so a stale cache row would serve wrong membership
+      resolvedCache.synchronized(resolvedCache.remove(vdir.toString))
       throw CommitConflictException(
         s"commit verification failed at $vdir — the manifest vanished or " +
           "was altered between write and marker (a concurrent writer " +
@@ -1566,8 +1821,44 @@ object Snapshot {
         m.toSeq.flatMap(_.entries.map(_.rel))
       }
       .toSet
+    // PROMOTE before delete (r13): a retained DELTA version whose base
+    // chain passes below the retention cutoff would become unreadable
+    // once the chain's checkpoint dir is deleted. Materialize such a
+    // version's RESOLVED membership as a full checkpoint into its own
+    // (committed, otherwise-immutable) dir first — content-identical
+    // by construction, so concurrent readers see no change. Written
+    // temp-then-rename: the dir is live, a torn direct write would
+    // shadow the still-valid delta.
+    val protect = scala.collection.mutable.Set.empty[Long]
+    kept.sortBy(_._1).foreach { case (_, p, _) =>
+      // walk the base chain to its checkpoint, collecting every hop
+      // below the retention cutoff
+      val escaped = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var cur = p
+      var guard = 0
+      var base = deltaBase(fs, cur)
+      while (base.isDefined && guard < 10000) {
+        guard += 1
+        if (!keep.contains(base.get)) escaped += base.get
+        cur = new Path(root, f"_v_${base.get}%020d")
+        base = deltaBase(fs, cur)
+      }
+      if (escaped.nonEmpty) {
+        val promoted =
+          try manifestAt(fs, p).exists { full =>
+            promoteCheckpoint(fs, p, full)
+            // the checkpoint must be READABLE before its chain dies
+            parseFullManifest(fs, p).isDefined
+          }
+          catch { case scala.util.control.NonFatal(_) => false }
+        // a failed promotion protects the chain this round — the next
+        // vacuum retries; losing retention slack beats an unreadable
+        // retained version
+        if (!promoted) protect ++= escaped
+      }
+    }
     all.foreach { case (n, p, _) =>
-      if (!keep.contains(n)) fs.delete(p, true)
+      if (!keep.contains(n) && !protect.contains(n)) fs.delete(p, true)
     }
     val dd = dataDir(root)
     if (!fs.exists(dd)) return

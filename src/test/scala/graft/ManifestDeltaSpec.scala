@@ -1,0 +1,174 @@
+package graft
+
+import graft.operators.{Snapshot, Versioned, WriteOps}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Delta-manifest protocol (r13): incremental commits write an
+  * O(changed) `_MANIFEST_DELTA` against a recorded base instead of
+  * rewriting the O(files) checkpoint; resolution applies the chain;
+  * every [[Snapshot.CheckpointEvery]]-deep chain re-checkpoints; and
+  * vacuum PROMOTES a retained delta version to a full checkpoint
+  * before its chain's base dirs leave retention. The post-marker
+  * commit re-verify compares rendered resolutions byte-for-byte, so
+  * every green commit in every other suite already certifies the
+  * apply path — this spec pins the on-disk shape and the edges.
+  */
+class ManifestDeltaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def fs =
+    new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def canon(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted.toIndexedSeq
+    df.select(cols.map(col): _*).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+  }
+
+  private def vdirs(p: String): Seq[(Long, Path, Boolean)] =
+    Versioned.list(fs, new Path(p)).sortBy(_._1)
+
+  private def hasFull(vdir: Path) = fs.exists(new Path(vdir, "_MANIFEST"))
+  private def hasDelta(vdir: Path) = fs.exists(new Path(vdir, "_MANIFEST_DELTA"))
+
+  private def seed(p: String, keep: Int = 50): Unit =
+    WriteOps.atomicOverwrite(spark,
+      (0L until 60L).map(i => (i, s"v$i", (i % 5).toInt)).toDF("id", "txt", "grp"),
+      p, indexBy = Seq("id"), maxRecordsPerFile = 10,
+      commitMode = "snapshot", keepVersions = keep)
+
+  test("incremental commits write deltas; the first commit and replaces write checkpoints") {
+    val dir = freshDir("mdelta_shape")
+    val p = s"$dir/t.parquet"
+    seed(p)                                                      // v1: full
+    Snapshot.deleteByKeys(spark, p, Seq(1L).toDF("id"), keepVersions = 50) // v2
+    Snapshot.upsertAppend(spark, p, Seq((100L, "new", 1)).toDF("id", "txt", "grp"),
+      Seq("id"), indexBy = Seq("id"), keepVersions = 50)         // v3
+    val vs = vdirs(p)
+    assert(vs.map(_._1) == Seq(1L, 2L, 3L))
+    assert(hasFull(vs(0)._2) && !hasDelta(vs(0)._2), "first commit is a checkpoint")
+    assert(hasDelta(vs(1)._2) && !hasFull(vs(1)._2), "DV delete commits a delta")
+    assert(hasDelta(vs(2)._2) && !hasFull(vs(2)._2), "append upsert commits a delta")
+    // a REPLACE rewrites everything — the delta would be larger than
+    // the membership, so it checkpoints
+    seed(p)                                                      // v4
+    val v4 = vdirs(p).last
+    assert(hasFull(v4._2) && !hasDelta(v4._2), "full overwrite is a checkpoint")
+    // delta bytes are O(changed): v2 (one tombstone added) is tiny
+    // next to the v1 checkpoint
+    val fullLen = fs.getFileStatus(new Path(vs(0)._2, "_MANIFEST")).getLen
+    val deltaLen = fs.getFileStatus(new Path(vs(1)._2, "_MANIFEST_DELTA")).getLen
+    assert(deltaLen * 3 < fullLen,
+      s"delta ($deltaLen B) must be much smaller than the checkpoint ($fullLen B)")
+  }
+
+  test("reads, time travel and changelog are exact across a delta chain") {
+    val dir = freshDir("mdelta_tt")
+    val p = s"$dir/t.parquet"
+    seed(p)                                                      // v1
+    Snapshot.deleteByKeys(spark, p, Seq(0L, 1L).toDF("id"), keepVersions = 50)
+    Snapshot.upsertAppend(spark, p, Seq((0L, "back", 9)).toDF("id", "txt", "grp"),
+      Seq("id"), indexBy = Seq("id"), keepVersions = 50)
+    Snapshot.deleteByPredicate(spark, p, "grp = 2", keepVersions = 50)
+    val head = graft.sources.Resolver.readParquet(spark, p)
+    assert(head.filter(col("id") === 0L).select("txt").as[String].head() == "back")
+    assert(head.filter(col("id") === 1L).isEmpty)
+    assert(head.filter(col("grp") === 2).isEmpty)
+    // time travel re-reads v1 exactly (chain base)
+    val v1 = graft.sources.Resolver.readParquet(spark, p, Some(1L))
+    assert(v1.count() == 60 && v1.filter(col("id") === 1L).count() == 1)
+    // changelog across the whole chain stays consistent
+    val cl = Snapshot.changelogSince(spark, p, 1L, Seq("id"))
+    assert(cl.filter(col("_change_type") === "delete").count() > 0)
+  }
+
+  test(s"a chain deeper than CheckpointEvery re-checkpoints") {
+    val dir = freshDir("mdelta_ckpt")
+    val p = s"$dir/t.parquet"
+    seed(p)                                                      // v1 full
+    for (i <- 0 until (Snapshot.CheckpointEvery + 2))
+      Snapshot.deleteByKeys(spark, p, Seq(i.toLong).toDF("id"), keepVersions = 50)
+    val vs = vdirs(p)
+    val fulls = vs.filter(v => hasFull(v._2)).map(_._1)
+    assert(fulls.contains(1L))
+    assert(fulls.exists(_ > 1L),
+      s"a checkpoint must appear within CheckpointEvery commits, got fulls=$fulls")
+    // depth between consecutive checkpoints never exceeds the bound
+    val sortedFulls = fulls.sorted
+    sortedFulls.zip(sortedFulls.drop(1)).foreach { case (a, b) =>
+      assert(b - a <= Snapshot.CheckpointEvery) }
+    // and the head still reads correctly
+    assert(graft.sources.Resolver.readParquet(spark, p).count() ==
+      60 - (Snapshot.CheckpointEvery + 2))
+  }
+
+  test("vacuum promotes a retained delta version before its chain leaves retention") {
+    val dir = freshDir("mdelta_promote")
+    val p = s"$dir/t.parquet"
+    // retention 3: the v1 checkpoint will be vacuumed while retained
+    // deltas still chain to it
+    WriteOps.atomicOverwrite(spark,
+      (0L until 60L).map(i => (i, s"v$i", (i % 5).toInt)).toDF("id", "txt", "grp"),
+      p, indexBy = Seq("id"), maxRecordsPerFile = 10,
+      commitMode = "snapshot", keepVersions = 3)                 // v1 full
+    for (i <- 0 until 5)
+      Snapshot.deleteByKeys(spark, p, Seq(i.toLong).toDF("id"), keepVersions = 3)
+    val vs = vdirs(p)
+    assert(vs.map(_._1).min >= 4L, "old versions vacuumed")
+    // the oldest retained version must have been PROMOTED to a full
+    // checkpoint (its recorded base is gone)
+    val oldest = vs.minBy(_._1)
+    assert(hasFull(oldest._2),
+      s"oldest retained v${oldest._1} must be a promoted checkpoint")
+    // every retained version still resolves and reads
+    vs.foreach { case (v, vdir, _) =>
+      assert(Snapshot.manifestAt(fs, vdir).nonEmpty, s"v$v must resolve")
+      assert(graft.sources.Resolver.readParquet(spark, p, Some(v)).count() > 0)
+    }
+    assert(graft.sources.Resolver.readParquet(spark, p).count() == 55)
+    // fsck stays clean on the promoted layout
+    assert(Snapshot.fsck(spark, p).filter(col("severity") === "error").isEmpty)
+  }
+
+  test("a table dropped and recreated at the same path never serves a stale cached manifest") {
+    val dir = freshDir("mdelta_cache")
+    val p = s"$dir/t.parquet"
+    seed(p)
+    Snapshot.deleteByKeys(spark, p, Seq(1L).toDF("id"), keepVersions = 50)
+    // force the resolutions into the cache
+    assert(graft.sources.Resolver.readParquet(spark, p).count() == 59)
+    // DROP the whole table, recreate a DIFFERENT one at the same path
+    fs.delete(new Path(p), true)
+    WriteOps.atomicOverwrite(spark,
+      (0L until 7L).map(i => (i, s"other$i")).toDF("id", "name"),
+      p, indexBy = Seq("id"), commitMode = "snapshot", keepVersions = 50)
+    Snapshot.upsertAppend(spark, p, Seq((9L, "nine")).toDF("id", "name"),
+      Seq("id"), indexBy = Seq("id"), keepVersions = 50)
+    val back = graft.sources.Resolver.readParquet(spark, p)
+    assert(back.columns.toSeq == Seq("id", "name"), "new incarnation's schema")
+    assert(back.count() == 8, "new incarnation's rows, not the cached old table")
+  }
+
+  test("rename and drop-column commits are pure-header deltas") {
+    val dir = freshDir("mdelta_meta")
+    val p = s"$dir/t.parquet"
+    seed(p)
+    Snapshot.renameColumn(spark, p, "txt", "label", keepVersions = 50)
+    val v2 = vdirs(p).last
+    assert(hasDelta(v2._2), "rename commits a delta")
+    val text = {
+      val in = fs.open(new Path(v2._2, "_MANIFEST_DELTA"))
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    assert(!text.split("\n").exists(l => l.startsWith("+") || l.startsWith("-")),
+      "a metadata-only commit carries ZERO entry lines")
+    assert(text.contains("#alias="))
+    assert(graft.sources.Resolver.readParquet(spark, p).columns.contains("label"))
+  }
+}
