@@ -154,7 +154,7 @@ object Snapshot {
                             commitTsMillis: Option[Long] = None,
                             aliases: Seq[(String, String)] = Nil,
                             dropped: Seq[String] = Nil) {
-    def schema: StructType = StructType.fromDDL(schemaDdl)
+    def schema: StructType = Snapshot.parseDdl(schemaDdl)
     def bytes: Long = entries.map(_.bytes).sum
     /** Data members (excludes deletion-vector files). */
     def dataEntries: Seq[Entry] =
@@ -312,8 +312,11 @@ object Snapshot {
     * IN FULL in every delta — they are O(columns), and it makes each
     * version's logical schema self-contained.
     */
+  /** Returns true when a FULL checkpoint was written (the commit
+    * classes whose vacuum also runs the full orphan sweep).
+    */
   private def writeManifestOrDelta(fs: FileSystem, root: Path, vdir: Path,
-                                   next: Long, stamped: Manifest): Unit = {
+                                   next: Long, stamped: Manifest): Boolean = {
     val baseOpt =
       if (!deltaCommitsEnabled) None
       else committed(fs, root).lastOption.flatMap { case (bv, bdir) =>
@@ -323,20 +326,25 @@ object Snapshot {
       }
     baseOpt match {
       case Some((bv, bm, depth)) if depth + 1 < CheckpointEvery =>
-        val baseRender = bm.entries.map(e => e.rel -> renderEntry(e)).toMap
-        val newByRel = stamped.entries.map(e => e.rel -> e).toMap
         // a CHANGED entry (same rel, different metadata — envelope
-        // stamping, seq restamp) is remove+add; the rendered line is
-        // the identity the re-verify compares, so it is the identity
-        // the diff uses too
+        // stamping, seq restamp) is remove+add. Case-class equality is
+        // the diff identity — O(n) comparisons with zero string
+        // building (rendering all 100k base lines per commit was the
+        // difference between an O(delta) and an O(table) commit; see
+        // ScaleBench10). An entry whose exotic cols/env names the
+        // line format drops compares unequal against its normalized
+        // readback and emits a spurious remove+add of the same
+        // rendered line — harmless (the resolution is identical).
+        val baseByRel = bm.entries.map(e => e.rel -> e).toMap
+        val newByRel = stamped.entries.map(e => e.rel -> e).toMap
         val removed = bm.entries.map(_.rel).filter(r =>
-          !newByRel.contains(r) || renderEntry(newByRel(r)) != baseRender(r))
+          !newByRel.get(r).contains(baseByRel(r)))
         val added = stamped.entries.filter(e =>
-          !baseRender.get(e.rel).contains(renderEntry(e)))
-        if (removed.size + added.size < math.max(stamped.entries.size, 1))
-          writeDelta(fs, vdir, stamped, bv, removed, added)
-        else writeManifest(fs, vdir, stamped)
-      case _ => writeManifest(fs, vdir, stamped)
+          !baseByRel.get(e.rel).contains(e))
+        if (removed.size + added.size < math.max(stamped.entries.size, 1)) {
+          writeDelta(fs, vdir, stamped, bv, removed, added); false
+        } else { writeManifest(fs, vdir, stamped); true }
+      case _ => writeManifest(fs, vdir, stamped); true
     }
   }
 
@@ -372,18 +380,25 @@ object Snapshot {
     finally out.close()
   }
 
-  /** The base version a DELTA version dir points at; None for a
-    * checkpoint (full `_MANIFEST` present — it shadows any delta) or a
-    * dir with neither file. Light header read, no resolution.
+  /** The base version a DELTA version dir points at plus its removed
+    * rels; None for a checkpoint (full `_MANIFEST` present — it
+    * shadows any delta) or a dir with neither file. Light read, no
+    * chain resolution.
     */
-  private def deltaBase(fs: FileSystem, vdir: Path): Option[Long] = {
+  private def deltaInfo(fs: FileSystem, vdir: Path): Option[(Long, Seq[String])] = {
     if (fs.exists(new Path(vdir, ManifestName))) return None
     val dp = new Path(vdir, DeltaName)
     if (!fs.exists(dp)) return None
-    readText(fs, dp).split("\n").collectFirst {
+    val lines = readText(fs, dp).split("\n", -1)
+    lines.collectFirst {
       case h if h.startsWith("#base=") => h.stripPrefix("#base=").toLong
-    }
+    }.map(b => (b, lines.collect {
+      case l if l.startsWith("-") => l.stripPrefix("-")
+    }.toSeq))
   }
+
+  private def deltaBase(fs: FileSystem, vdir: Path): Option[Long] =
+    deltaInfo(fs, vdir).map(_._1)
 
   /** Materialize a resolved manifest as a full checkpoint inside a
     * LIVE committed version dir (vacuum chain promotion). Written
@@ -462,86 +477,148 @@ object Snapshot {
     * table recreated at the same path reuses version numbers — the
     * stat probe (2 × getFileStatus, O(1) vs an O(files) re-parse)
     * detects the new incarnation and recomputes.
+    *
+    * The membership lives in a PERSISTENT sorted map (r13): applying a
+    * delta is `tree -- removed ++ added` = O(changed · log n) with
+    * structural sharing against the base's tree, so a chain of cached
+    * resolutions costs one checkpoint plus the deltas — in MEMORY as
+    * well as in time. The `Manifest` (entry Seq in canonical rel
+    * order, which is exactly the TreeMap's iteration order) only
+    * materializes when a READER asks; the steady-state commit loop
+    * never touches it, which is what makes a 100k-entry incremental
+    * commit cost the same as a 3k one (ScaleBench10).
     */
-  private final case class Resolved(m: Manifest, depth: Int, backing: String,
-                                    len: Long, mtime: Long, markerMtime: Long)
+  private final class Resolved(val tree: scala.collection.immutable.TreeMap[String, Entry],
+                               val hdr: Manifest, // entries Nil — header fields only
+                               val depth: Int,
+                               val backing: String, val len: Long,
+                               val mtime: Long, val markerMtime: Long,
+                               val baseV: Option[Long], // delta's #base; None = checkpoint
+                               val weight: Long) { // approx OWN heap: tree.size for a
+                                                   // parse, O(changed) for a chained apply
+    lazy val m: Manifest = hdr.copy(entries = tree.valuesIterator.toVector)
+    def hasRel(r: String): Boolean = tree.contains(r)
+    /** Tombstone members without materializing: `_deletes/` keys form
+      * a contiguous TreeMap range ('0' is the successor of '/').
+      */
+    def deleteRels: Iterator[String] =
+      tree.range(DeletesDirName + "/", DeletesDirName + "0").keysIterator
+  }
+
+  private def treeOf(entries: Seq[Entry]): scala.collection.immutable.TreeMap[String, Entry] =
+    scala.collection.immutable.TreeMap.from(entries.iterator.map(e => e.rel -> e))
+
+  /** Memoized `StructType.fromDDL` — Catalyst's DDL parse costs
+    * ~10-20 ms and the commit path re-parses the SAME table schema on
+    * every incremental commit; the cache turns it into a map hit.
+    * Bounded: distinct schemas per process are few (tables × schema
+    * evolutions), but guard anyway.
+    */
+  private val ddlCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+  private[graft] def parseDdl(ddl: String): StructType = {
+    val hit = ddlCache.get(ddl)
+    if (hit != null) hit
+    else {
+      val st = StructType.fromDDL(ddl)
+      if (ddlCache.size > 512) ddlCache.clear()
+      ddlCache.put(ddl, st)
+      st
+    }
+  }
 
   private def statOrNeg(fs: FileSystem, p: Path): (Long, Long) =
     try { val s = fs.getFileStatus(p); (s.getLen, s.getModificationTime) }
     catch { case scala.util.control.NonFatal(_) => (-1L, -1L) }
 
   /** Resolved manifest + delta-chain depth (0 = checkpoint). */
-  private def resolveManifest(fs: FileSystem, vdir: Path): Option[(Manifest, Int)] = {
+  private def resolveManifest(fs: FileSystem, vdir: Path): Option[(Manifest, Int)] =
+    resolvedFor(fs, vdir).map(r => (r.m, r.depth))
+
+  private def resolvedFor(fs: FileSystem, vdir: Path): Option[Resolved] = {
     val key = vdir.toString
     val hit = resolvedCache.synchronized(Option(resolvedCache.get(key)))
     hit.foreach { r =>
       val (l, mt) = statOrNeg(fs, new Path(vdir, r.backing))
       val (_, mk) = statOrNeg(fs, new Path(vdir, Versioned.Marker))
       if (l == r.len && mt == r.mtime && mk == r.markerMtime)
-        return Some((r.m, r.depth))
+        return Some(r)
       else resolvedCache.synchronized(resolvedCache.remove(key))
     }
-    val full = parseFullManifest(fs, vdir).map((_, 0))
+    val full = parseFullManifest(fs, vdir)
+      .map(fm => (treeOf(fm.entries), fm.copy(entries = Nil), 0,
+        None: Option[Long], fm.entries.size.toLong))
     val out = full.orElse {
       val dp = new Path(vdir, DeltaName)
       if (!fs.exists(dp)) None
       else {
-        val lines = readText(fs, dp).split("\n", -1)
-        require(lines.length >= 4 && lines(0) == DeltaTag,
-          s"unrecognized manifest delta format in $dp")
-        val pcols = lines(2).split(",").filter(_.nonEmpty).toSeq
-        val rest = lines.drop(3).filter(_.nonEmpty)
-        val headers = rest.filter(_.startsWith("#"))
-        val baseV = headers.collectFirst {
-          case h if h.startsWith("#base=") => h.stripPrefix("#base=").toLong
-        }.getOrElse(throw new IllegalStateException(
-          s"manifest delta $dp carries no #base pointer"))
-        val commitTs = headers.collectFirst {
-          case h if h.startsWith("#commit_ts=") => h.stripPrefix("#commit_ts=").toLong
-        }
-        val aliases = headers.collect {
-          case h if h.startsWith("#alias=") =>
-            h.stripPrefix("#alias=").split(":", 2) match {
-              case Array(po, ln) => (po, ln)
-            }
-        }.toSeq
-        val dropped = headers.collect {
-          case h if h.startsWith("#dropped=") => h.stripPrefix("#dropped=")
-        }.toSeq
-        val removed = rest.collect {
-          case l if l.startsWith("-") => l.stripPrefix("-")
-        }.toSet
-        val added = rest.filter(l => l.nonEmpty && !l.startsWith("#") &&
-          !l.startsWith("-")).map(l => parseEntry(l.stripPrefix("+"))).toSeq
-        val bdir = new Path(vdir.getParent, f"_v_$baseV%020d")
-        val (bm, depth) = resolveManifest(fs, bdir).getOrElse(
+        val d = parseDelta(fs, dp)
+        val bdir = new Path(vdir.getParent, f"_v_${d.baseV}%020d")
+        val base = resolvedFor(fs, bdir).getOrElse(
           throw new IllegalStateException(
-            s"manifest delta $dp references base version $baseV whose " +
+            s"manifest delta $dp references base version ${d.baseV} whose " +
               "manifest is gone — the delta chain is broken (vacuum " +
               "promotion failed?); the table metadata needs repair"))
-        require(depth < 1000, s"manifest delta chain too deep under $vdir")
-        // apply: drop removed rels, append added, restore the CANONICAL
-        // rel-sorted order every delta-era commit stamps ([[commitLocked]])
-        val entries = (bm.entries.filterNot(e => removed.contains(e.rel)) ++ added)
-          .sortBy(_.rel)
-        Some((Manifest(lines(1), pcols, entries, commitTs, aliases, dropped),
-          depth + 1))
+        require(base.depth < 1000, s"manifest delta chain too deep under $vdir")
+        // apply: persistent-map delete + insert — O(changed · log n),
+        // sharing structure with the base's tree; the canonical
+        // rel-sorted entry order IS the map's iteration order
+        val tree = d.added.foldLeft(base.tree -- d.removed)((t, e) =>
+          t.updated(e.rel, e))
+        Some((tree, d.hdr, base.depth + 1, Some(d.baseV),
+          (d.removed.size + d.added.size + 1).toLong))
       }
     }
     // cache ONLY committed versions: an aborted commit deletes its
     // vdir and the version number gets reallocated with different
     // content — marker presence is the immutability witness
-    out.foreach { case (m, depth) =>
+    out.map { case (tree, hdr, depth, bv, w) =>
       val (_, mk) = statOrNeg(fs, new Path(vdir, Versioned.Marker))
-      if (mk >= 0) {
-        val backing =
-          if (fs.exists(new Path(vdir, ManifestName))) ManifestName else DeltaName
-        val (l, mt) = statOrNeg(fs, new Path(vdir, backing))
-        resolvedCache.synchronized(
-          resolvedCache.put(key, Resolved(m, depth, backing, l, mt, mk)))
-      }
+      val backing =
+        if (fs.exists(new Path(vdir, ManifestName))) ManifestName else DeltaName
+      val (l, mt) = statOrNeg(fs, new Path(vdir, backing))
+      val r = new Resolved(tree, hdr, depth, backing, l, mt, mk, bv, w)
+      if (mk >= 0) cachePut(key, r)
+      r
     }
-    out
+  }
+
+  /** A parsed `_MANIFEST_DELTA`: full header (a Manifest with entries
+    * Nil) + base pointer + removed rels + added entries.
+    */
+  private final case class ParsedDelta(hdr: Manifest, baseV: Long,
+                                       removed: Set[String], added: Seq[Entry])
+
+  private def parseDelta(fs: FileSystem, dp: Path): ParsedDelta = {
+    val lines = readText(fs, dp).split("\n", -1)
+    require(lines.length >= 4 && lines(0) == DeltaTag,
+      s"unrecognized manifest delta format in $dp")
+    val pcols = lines(2).split(",").filter(_.nonEmpty).toSeq
+    val rest = lines.drop(3).filter(_.nonEmpty)
+    val headers = rest.filter(_.startsWith("#"))
+    val baseV = headers.collectFirst {
+      case h if h.startsWith("#base=") => h.stripPrefix("#base=").toLong
+    }.getOrElse(throw new IllegalStateException(
+      s"manifest delta $dp carries no #base pointer"))
+    val commitTs = headers.collectFirst {
+      case h if h.startsWith("#commit_ts=") => h.stripPrefix("#commit_ts=").toLong
+    }
+    val aliases = headers.collect {
+      case h if h.startsWith("#alias=") =>
+        h.stripPrefix("#alias=").split(":", 2) match {
+          case Array(po, ln) => (po, ln)
+        }
+    }.toSeq
+    val dropped = headers.collect {
+      case h if h.startsWith("#dropped=") => h.stripPrefix("#dropped=")
+    }.toSeq
+    val removed = rest.collect {
+      case l if l.startsWith("-") => l.stripPrefix("-")
+    }.toSet
+    val added = rest.filter(l => l.nonEmpty && !l.startsWith("#") &&
+      !l.startsWith("-")).map(l => parseEntry(l.stripPrefix("+"))).toSeq
+    ParsedDelta(Manifest(lines(1), pcols, Nil, commitTs, aliases, dropped),
+      baseV, removed, added)
   }
 
   private val DeltaName = "_MANIFEST_DELTA"
@@ -557,10 +634,36 @@ object Snapshot {
     * the cache is what makes the steady-state commit loop O(delta).
     */
   private val resolvedCache =
-    new java.util.LinkedHashMap[String, Resolved](32, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Resolved]): Boolean = size > 8
+    new java.util.LinkedHashMap[String, Resolved](64, 0.75f, true)
+
+  /** Insert + WEIGHT-AWARE LRU eviction. A checkpoint parse OWNS its
+    * whole tree (weight = entries); a chained delta apply shares all
+    * but O(changed) nodes with its base (weight = changed). Evicting
+    * by count alone let a handful of independently-parsed 100k-entry
+    * resolutions pin ~0.5 GB of driver heap (GC churn measured as a
+    * 3× commit-time inflation in ScaleBench10's mixed phases); the
+    * weight cap bounds heap while still caching a full
+    * keepVersions-deep delta chain for the vacuum's O(1) probes.
+    */
+  private def cachePut(key: String, r: Resolved): Unit =
+    resolvedCache.synchronized {
+      resolvedCache.put(key, r)
+      val it = resolvedCache.entrySet().iterator()
+      var total = 0L
+      val vals = resolvedCache.values()
+      val vi = vals.iterator()
+      while (vi.hasNext) total += vi.next().weight
+      while ((resolvedCache.size > 24 || total > 1500000L) &&
+             resolvedCache.size > 2 && it.hasNext) {
+        val eldest = it.next()
+        total -= eldest.getValue.weight
+        it.remove()
+      }
     }
+
+  /** Test/bench hook: drop every cached resolution (cold-read timing). */
+  private[graft] def clearResolvedCache(): Unit =
+    resolvedCache.synchronized(resolvedCache.clear())
 
   /** Committed versions, ascending. */
   def committed(fs: FileSystem, root: Path): Seq[(Long, Path)] =
@@ -1083,7 +1186,7 @@ object Snapshot {
     * of a blind full overwrite (the loser's version stays retained
     * history). Incremental writers use [[commitRebase]] instead.
     */
-  private[operators] def commitVersion(fs: FileSystem, root: Path,
+  private[graft] def commitVersion(fs: FileSystem, root: Path,
                                        m: Manifest, keepVersions: Int): Long =
     withCommitLock(fs, root)(commitLocked(fs, root, m, keepVersions))
 
@@ -1111,7 +1214,7 @@ object Snapshot {
       commitTsMillis = Some(System.currentTimeMillis()))
     require(stamped.entries.map(_.rel).distinct.size == stamped.entries.size,
       s"duplicate pool rels in commit membership at $vdir")
-    writeManifestOrDelta(fs, root, vdir, next, stamped)
+    val wroteCheckpoint = writeManifestOrDelta(fs, root, vdir, next, stamped)
     // COMMIT POINT: one atomic create — no reader can observe a
     // version whose manifest is not fully written. atomicCreate, not
     // fs.create(overwrite=false): on the local filesystem the latter
@@ -1133,8 +1236,15 @@ object Snapshot {
     // such names. Re-rendering both sides applies the same write-side
     // filters to each — the compare is "did my bytes survive", not
     // "is the format lossless".
+    // FAST PATH first: case-class equality is O(n) field compares; the
+    // rendered-bytes compare (which needs O(n) string building twice)
+    // only arbitrates the lossy-name corner where the line format
+    // intentionally dropped a separator-bearing cols/env name.
     val ok =
       try manifestAt(fs, vdir).exists(read =>
+        (read.entries == stamped.entries && read.schemaDdl == stamped.schemaDdl &&
+          read.partitionBy == stamped.partitionBy &&
+          read.aliases == stamped.aliases && read.dropped == stamped.dropped) ||
         renderManifest(read) == renderManifest(stamped))
       catch { case scala.util.control.NonFatal(_) => false }
     if (!ok) {
@@ -1149,7 +1259,10 @@ object Snapshot {
           "defeated the commit lock); this commit did NOT land, re-plan " +
           "and retry")
     }
-    vacuum(fs, root, keepVersions)
+    // steady-state (delta) commits vacuum INCREMENTALLY — no pool
+    // listing; checkpoint commits run the full orphan sweep, bounding
+    // crashed-writer garbage to one checkpoint period
+    vacuum(fs, root, keepVersions, fullSweep = wroteCheckpoint)
     next
   }
 
@@ -1192,17 +1305,21 @@ object Snapshot {
       val (hv, hdir) = committed(fs, root).lastOption.getOrElse(
         throw CommitConflictException(
           s"no committed head under $root to rebase onto"))
-      val mh = manifestAt(fs, hdir).getOrElse(
+      // resolve the head WITHOUT materializing its entry list — every
+      // check below reads the header or probes the membership tree,
+      // so an incremental commit against a 10⁶-file table costs
+      // O(changed · log n) driver work, not O(table)
+      val head = resolvedFor(fs, hdir).getOrElse(
         throw CommitConflictException(
           s"head v$hv of $root has no manifest (dir-protocol history) — " +
             "cannot rebase an incremental commit"))
+      val mh = head.hdr
       if (mh.partitionBy != partitionBy)
         throw CommitConflictException(
           s"partition layout changed concurrently: planned ${partitionBy
             .mkString(",")}, head has ${mh.partitionBy.mkString(",")}")
       if (hv != baseVersion) {
-        val headRels = mh.entries.map(_.rel).toSet
-        val missing = removedRels.filterNot(headRels)
+        val missing = removedRels.filterNot(head.hasRel)
         if (missing.nonEmpty)
           throw CommitConflictException(
             s"concurrent commit v$hv rewrote file(s) this change also " +
@@ -1211,8 +1328,9 @@ object Snapshot {
               " — re-plan against the new head",
             retryableByAppend = true)
         baseDeleteRels.foreach { baseDels =>
-          val newTombs = mh.deleteEntries.map(_.rel)
+          val newTombs = head.deleteRels
             .filterNot(r => baseDels.contains(r) || removedRels.contains(r))
+            .toSeq
           if (newTombs.nonEmpty)
             throw CommitConflictException(
               s"concurrent commit(s) up to v$hv added deletion vector(s) " +
@@ -1228,7 +1346,7 @@ object Snapshot {
       // a COLUMN RENAMED concurrently is a conflict for any rebase that
       // still carries the old name: name-based schema merge would
       // re-append the dead physical column next to its renamed self
-      val ourFields = StructType.fromDDL(schemaDdl).fieldNames.toSet
+      val ourFields = parseDdl(schemaDdl).fieldNames.toSet
       val headFields = mh.schema.fieldNames.toSet
       val renamedUnderUs = mh.aliases.collect {
         case (po, ln) if ourFields.contains(po) && !headFields.contains(po) =>
@@ -1244,19 +1362,116 @@ object Snapshot {
       // conflict): old pool files still carry the column physically,
       // so reads under the re-added name would resurrect their stale
       // values instead of serving NULLs
-      val resurrect = (StructType.fromDDL(outDdl).fieldNames.toSet --
+      val resurrect = (parseDdl(outDdl).fieldNames.toSet --
         headFields).intersect(mh.dropped.toSet)
       require(resurrect.isEmpty,
         s"column(s) ${resurrect.toSeq.sorted.mkString(", ")} were DROPPED " +
           "from this table and retained files still carry them physically " +
           "— re-adding the name would resurrect stale values; use a " +
           "different name or a full rewrite")
-      commitLocked(fs, root,
-        Manifest(outDdl, partitionBy,
-          mh.entries.filterNot(e => removedRels.contains(e.rel)) ++ added,
-          aliases = mh.aliases, dropped = mh.dropped),
-        keepVersions)
+      commitDeltaLocked(fs, root, hv, head, removedRels, added, outDdl,
+        partitionBy, keepVersions)
     }
+
+  /** O(changed) commit of an EXPLICIT delta against the resolved head
+    * (r13 — the Delta-log "commit carries actions, not a snapshot"
+    * shape). The caller (under the commit lock) already arbitrated
+    * conflicts; this path stamps + sorts only the ADDED entries,
+    * writes an O(changed) `_MANIFEST_DELTA`, re-verifies by parsing
+    * the delta file back (plus an O(1) stat probe that the base's
+    * backing is untouched — its content was byte-verified at ITS
+    * commit), chains the new resolution off the head's persistent
+    * tree, and vacuums incrementally. Falls back to a full checkpoint
+    * on cadence (CheckpointEvery), when the delta would not be
+    * smaller than the membership, or when delta commits are disabled.
+    */
+  private def commitDeltaLocked(fs: FileSystem, root: Path, headV: Long,
+                                head: Resolved, removedRels: Set[String],
+                                added: Seq[Entry], outDdl: String,
+                                partitionBy: Seq[String],
+                                keepVersions: Int): Long = {
+    val next = Versioned.list(fs, root).map(_._1).maxOption.getOrElse(0L) + 1
+    val vdir = new Path(root, f"_v_$next%020d")
+    val stampedAdded = added.map(e => if (e.seq < 0) e.copy(seq = next) else e)
+      .sortBy(_.rel)
+    // membership invariants at O(changed · log n): every removed rel
+    // is a head member (commitRebase verified this for rebases; verify
+    // unconditionally — deleting a non-member would silently diverge
+    // the tree from the written delta), every added rel is FRESH
+    // (or a same-commit replace of a removed one)
+    val notMembers = removedRels.filterNot(head.hasRel)
+    require(notMembers.isEmpty,
+      s"removed rel(s) not in head membership: ${notMembers.take(5).mkString(", ")}")
+    val dup = stampedAdded.iterator.map(_.rel)
+      .filter(r => head.hasRel(r) && !removedRels.contains(r)).toSeq
+    require(dup.isEmpty,
+      s"duplicate pool rels in commit at $vdir: ${dup.take(5).mkString(", ")}")
+    require(stampedAdded.map(_.rel).distinct.size == stampedAdded.size,
+      s"duplicate rels within the added set at $vdir")
+    val hdr = Manifest(outDdl, partitionBy, Nil,
+      commitTsMillis = Some(System.currentTimeMillis()),
+      aliases = head.hdr.aliases, dropped = head.hdr.dropped)
+    val changed = removedRels.size + stampedAdded.size
+    val useDelta = deltaCommitsEnabled && head.depth + 1 < CheckpointEvery &&
+      changed < math.max(head.tree.size - removedRels.size + stampedAdded.size, 1)
+    val tree = stampedAdded.foldLeft(head.tree -- removedRels)((t, e) =>
+      t.updated(e.rel, e))
+    fs.mkdirs(vdir)
+    if (useDelta)
+      writeDelta(fs, vdir, hdr, headV, removedRels.toSeq.sorted, stampedAdded)
+    else
+      writeManifest(fs, vdir, hdr.copy(entries = tree.valuesIterator.toVector))
+    // COMMIT POINT — same arbiter as [[commitLocked]]
+    require(atomicCreate(fs, new Path(vdir, Versioned.Marker)),
+      s"commit marker collision at $vdir — a concurrent writer defeated " +
+        "the commit lock; this commit did NOT land, re-plan and retry")
+    // RE-VERIFY under the fresh marker. Delta path: the delta file
+    // itself round-trips (O(changed)) AND the base backing file is
+    // stat-identical to the resolution this commit chained from — a
+    // racing holder's vacuum deleting either one un-publishes this
+    // version. Checkpoint path: full readback compare as before.
+    val ok =
+      try {
+        if (useDelta) {
+          val d = parseDelta(fs, new Path(vdir, DeltaName))
+          val (bl, bmt) = statOrNeg(fs,
+            new Path(new Path(root, f"_v_$headV%020d"), head.backing))
+          d.baseV == headV && d.removed == removedRels &&
+            (d.added == stampedAdded ||
+              d.added.map(renderEntry) == stampedAdded.map(renderEntry)) &&
+            d.hdr.schemaDdl == hdr.schemaDdl &&
+            d.hdr.partitionBy == hdr.partitionBy &&
+            d.hdr.aliases == hdr.aliases && d.hdr.dropped == hdr.dropped &&
+            bl == head.len && bmt == head.mtime
+        } else parseFullManifest(fs, vdir).exists { read =>
+          val stamped = hdr.copy(entries = tree.valuesIterator.toVector)
+          (read.entries == stamped.entries && read.schemaDdl == stamped.schemaDdl &&
+            read.partitionBy == stamped.partitionBy &&
+            read.aliases == stamped.aliases && read.dropped == stamped.dropped) ||
+          renderManifest(read) == renderManifest(stamped)
+        }
+      } catch { case scala.util.control.NonFatal(_) => false }
+    if (!ok) {
+      try fs.delete(vdir, true) catch { case scala.util.control.NonFatal(_) => () }
+      resolvedCache.synchronized(resolvedCache.remove(vdir.toString))
+      throw CommitConflictException(
+        s"commit verification failed at $vdir — the manifest vanished or " +
+          "was altered between write and marker (a concurrent writer " +
+          "defeated the commit lock); this commit did NOT land, re-plan " +
+          "and retry")
+    }
+    // chain the new resolution off the head's tree — the next commit's
+    // head lookup is a cache hit with zero manifest reads
+    val (_, mk) = statOrNeg(fs, new Path(vdir, Versioned.Marker))
+    val backing = if (useDelta) DeltaName else ManifestName
+    val (l, mt) = statOrNeg(fs, new Path(vdir, backing))
+    cachePut(vdir.toString,
+      new Resolved(tree, hdr, if (useDelta) head.depth + 1 else 0,
+        backing, l, mt, mk, if (useDelta) Some(headV) else None,
+        if (useDelta) changed + 1L else tree.size.toLong))
+    vacuum(fs, root, keepVersions, fullSweep = !useDelta)
+    next
+  }
 
   /** Merge two evolved-from-a-common-base schemas by name: head
     * fields first, then ours not present in head (both sides only
@@ -1266,8 +1481,8 @@ object Snapshot {
   private def mergeSchemaDdl(ours: String, heads: String): String =
     if (ours == heads) ours
     else {
-      val a = StructType.fromDDL(heads)
-      val b = StructType.fromDDL(ours)
+      val a = parseDdl(heads)
+      val b = parseDdl(ours)
       val clash = b.fields.filter(f =>
         a.fields.exists(g => g.name == f.name && g.dataType != f.dataType))
       if (clash.nonEmpty)
@@ -1805,15 +2020,34 @@ object Snapshot {
     * commit would long have landed. Crash orphans age out and are
     * swept by any later vacuum; `fsck` reports them meanwhile.
     */
-  def vacuum(fs: FileSystem, root: Path, keepVersions: Int): Unit = {
+  /** Retention trim + pool garbage collection. `fullSweep = true` is
+    * the thorough O(pool-listing) refcount walk (standalone `--vacuum`
+    * and every [[CheckpointEvery]]-th commit — the only collector of
+    * crashed-writer ORPHANS, files no manifest ever referenced).
+    * `fullSweep = false` (the steady-state per-commit path, r13) is
+    * INCREMENTAL: deletion candidates are the rels a dropped version
+    * references MINUS its successor's — read straight off the
+    * successor's delta `-` lines when its recorded base is the dropped
+    * version (O(changed), the steady state), else an exact membership
+    * diff — probed against every retained version's memoized rel-set
+    * before deletion. Zero pool listing: at 10⁵–10⁶ files the
+    * per-commit LIST + per-file mtime walk was the dominant
+    * object-store metadata cost left after the manifest went
+    * incremental. A file's death is processed exactly once — when the
+    * last version referencing it leaves retention, that version's
+    * successor diff names it.
+    */
+  def vacuum(fs: FileSystem, root: Path, keepVersions: Int,
+             fullSweep: Boolean = true): Unit = {
     val all = Versioned.list(fs, root)
     val committedDesc = all.filter(_._3).sortBy(-_._1)
     val kept = committedDesc.take(math.max(1, keepVersions))
     val keep = kept.map(_._1).toSet
+    val committedAsc = committedDesc.sortBy(_._1)
     // read dropped versions' manifests BEFORE deleting their dirs —
     // their membership distinguishes dereferenced garbage from a
     // concurrent writer's pending pool additions
-    val droppedRels = all.filterNot(v => keep.contains(v._1))
+    lazy val droppedRels = all.filterNot(v => keep.contains(v._1))
       .flatMap { v =>
         // a crashed writer can leave a torn/empty manifest — treat it
         // as referencing nothing (its files age out as orphans)
@@ -1821,6 +2055,35 @@ object Snapshot {
         m.toSeq.flatMap(_.entries.map(_.rel))
       }
       .toSet
+    // incremental candidates — computed BEFORE any dir deletion; a
+    // None means a prerequisite failed and the full sweep must decide
+    val candidates: Option[Set[String]] =
+      if (fullSweep) None
+      else try {
+        val cands = scala.collection.mutable.Set.empty[String]
+        var ok = true
+        committedAsc.filterNot(v => keep.contains(v._1)).foreach { case (v, p, _) =>
+          committedAsc.find(_._1 > v) match {
+            case Some((_, sp, _)) =>
+              deltaInfo(fs, sp) match {
+                case Some((base, removed)) if base == v => cands ++= removed
+                case _ =>
+                  (manifestAt(fs, p), manifestAt(fs, sp)) match {
+                    case (Some(dm), Some(sm)) =>
+                      val sRels = sm.entries.map(_.rel).toSet
+                      cands ++= dm.entries.map(_.rel).filterNot(sRels)
+                    case _ => ok = false
+                  }
+              }
+            case None => ok = false // dropped version above the head?
+          }
+        }
+        if (ok) Some(cands.toSet) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    // force the dropped-membership read pre-delete on EVERY path that
+    // will run the full sweep below — including the incremental
+    // request whose prerequisites failed (candidates == None)
+    if (candidates.isEmpty) { val _ = droppedRels }
     // PROMOTE before delete (r13): a retained DELTA version whose base
     // chain passes below the retention cutoff would become unreadable
     // once the chain's checkpoint dir is deleted. Materialize such a
@@ -1830,18 +2093,28 @@ object Snapshot {
     // temp-then-rename: the dir is live, a torn direct write would
     // shadow the still-valid delta.
     val protect = scala.collection.mutable.Set.empty[Long]
-    kept.sortBy(_._1).foreach { case (_, p, _) =>
+    val anyDrop = all.exists(v => !keep.contains(v._1))
+    // nothing leaves retention → no chain can lose its base → the
+    // promote walk and every deletion below are no-ops; return before
+    // paying the per-kept-version chain walk (it runs on EVERY commit)
+    if (!anyDrop && !fullSweep) return
+    if (anyDrop) kept.sortBy(_._1).foreach { case (_, p, _) =>
       // walk the base chain to its checkpoint, collecting every hop
-      // below the retention cutoff
+      // below the retention cutoff. Hops are cache-served base
+      // pointers (committed versions all sit in resolvedCache in the
+      // steady state) — zero delta-file reads
+      def baseOf(vp: Path): Option[Long] =
+        try resolvedFor(fs, vp).flatMap(_.baseV)
+        catch { case scala.util.control.NonFatal(_) => deltaBase(fs, vp) }
       val escaped = scala.collection.mutable.ArrayBuffer.empty[Long]
       var cur = p
       var guard = 0
-      var base = deltaBase(fs, cur)
+      var base = baseOf(cur)
       while (base.isDefined && guard < 10000) {
         guard += 1
         if (!keep.contains(base.get)) escaped += base.get
         cur = new Path(root, f"_v_${base.get}%020d")
-        base = deltaBase(fs, cur)
+        base = baseOf(cur)
       }
       if (escaped.nonEmpty) {
         val promoted =
@@ -1862,27 +2135,63 @@ object Snapshot {
     }
     val dd = dataDir(root)
     if (!fs.exists(dd)) return
-    val manifests = kept.map(v => manifestAt(fs, v._2))
-    if (manifests.exists(_.isEmpty)) return // mixed-protocol history
-    val referenced = manifests.flatMap(_.get.entries.map(_.rel)).toSet
-    val now = System.currentTimeMillis()
-    def sweep(p: Path, rel: String, mtime: Long): Unit =
-      if (!referenced.contains(rel) &&
-          (droppedRels.contains(rel) || now - mtime > StageGraceMs))
-        fs.delete(p, false)
-    listDataFilesRecStatus(fs, dd).foreach { s =>
-      sweep(s.getPath, relPath(dd, s.getPath), s.getModificationTime)
+    candidates match {
+      case Some(cands) =>
+        // INCREMENTAL path: delete exactly the dereferenced candidates
+        if (cands.nonEmpty) {
+          val retained = kept.flatMap(v =>
+            try resolvedFor(fs, v._2) catch { case scala.util.control.NonFatal(_) => None })
+          if (retained.size == kept.size) {
+            val dead = cands.filterNot(c => retained.exists(_.hasRel(c)))
+            val parents = scala.collection.mutable.Set.empty[Path]
+            dead.foreach { r =>
+              val fp = new Path(dd, r)
+              try {
+                fs.delete(fp, false)
+                if (fp.getParent != dd) parents += fp.getParent
+              } catch { case scala.util.control.NonFatal(_) => () }
+            }
+            // prune ONLY the partition dirs the deletions may have
+            // emptied (delete(dir, false) fails on non-empty — cheap),
+            // walking up toward the pool root
+            parents.foreach { p0 =>
+              var p = p0
+              var removed = true
+              while (removed && p != dd && p.getParent != null) {
+                removed = try fs.delete(p, false) catch { case _: Throwable => false }
+                p = p.getParent
+              }
+            }
+          }
+          // a failed retained resolution: skip file GC this round — the
+          // next full sweep reconciles; never delete on uncertain refs
+        }
+      case None =>
+        // FULL sweep: complete refcount over a pool listing, with the
+        // stage grace for possibly-live concurrent writers — the only
+        // path that reclaims never-referenced orphans
+        val manifests = kept.map(v => manifestAt(fs, v._2))
+        if (manifests.exists(_.isEmpty)) return // mixed-protocol history
+        val referenced = manifests.flatMap(_.get.entries.map(_.rel)).toSet
+        val now = System.currentTimeMillis()
+        def sweep(p: Path, rel: String, mtime: Long): Unit =
+          if (!referenced.contains(rel) &&
+              (droppedRels.contains(rel) || now - mtime > StageGraceMs))
+            fs.delete(p, false)
+        listDataFilesRecStatus(fs, dd).foreach { s =>
+          sweep(s.getPath, relPath(dd, s.getPath), s.getModificationTime)
+        }
+        // the generic walk skips underscore names — sweep the deletion-
+        // vector subdir explicitly with the same refcount rule
+        val delDir = new Path(dd, DeletesDirName)
+        if (fs.exists(delDir))
+          (try fs.listStatus(delDir) catch { case _: Throwable => Array.empty }).foreach { s =>
+            if (s.isFile)
+              sweep(s.getPath, s"$DeletesDirName/${s.getPath.getName}",
+                s.getModificationTime)
+          }
+        pruneEmptyDirs(fs, dd)
     }
-    // the generic walk skips underscore names — sweep the deletion-
-    // vector subdir explicitly with the same refcount rule
-    val delDir = new Path(dd, DeletesDirName)
-    if (fs.exists(delDir))
-      (try fs.listStatus(delDir) catch { case _: Throwable => Array.empty }).foreach { s =>
-        if (s.isFile)
-          sweep(s.getPath, s"$DeletesDirName/${s.getPath.getName}",
-            s.getModificationTime)
-      }
-    pruneEmptyDirs(fs, dd)
   }
 
   private def listDataFilesRecStatus(fs: FileSystem,

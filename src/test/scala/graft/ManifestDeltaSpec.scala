@@ -171,4 +171,60 @@ class ManifestDeltaSpec extends SparkSpec {
     assert(text.contains("#alias="))
     assert(graft.sources.Resolver.readParquet(spark, p).columns.contains("label"))
   }
+
+  test("incremental vacuum GCs dereferenced files on delta commits; orphans wait for the full sweep") {
+    val dir = freshDir("mdelta_ivac")
+    val root = new Path(s"$dir/t.parquet")
+    val dd = Snapshot.dataDir(root)
+    val ddl = "id BIGINT, txt STRING"
+    def mkFile(rel: String): Unit = {
+      fs.mkdirs(new Path(dd, rel).getParent)
+      fs.create(new Path(dd, rel), true).close()
+    }
+    def exists(rel: String): Boolean = fs.exists(new Path(dd, rel))
+    // mirror the seq stamps commitVersion assigns — resubmitting an
+    // UnsetSeq entry would read as changed and force a checkpoint
+    val stamped = scala.collection.mutable.Map.empty[String, Snapshot.Entry]
+    def commit(rels: Seq[String]): Long = {
+      val m = graft.operators.Snapshot.Manifest(ddl, Nil,
+        rels.map(r => stamped.getOrElse(r, Snapshot.Entry(r, 10L))))
+      val v = Snapshot.commitVersion(fs, root, m, keepVersions = 2)
+      rels.foreach(r =>
+        if (!stamped.contains(r)) stamped(r) = Snapshot.Entry(r, 10L, seq = v))
+      v
+    }
+    val f = (1 to 9).map(i => f"f$i%02d.parquet")
+    f.take(6).foreach(mkFile)                           // f1..f6
+    commit(f.take(6))                                   // v1 (checkpoint)
+    // plant an ORPHAN no manifest ever referenced, aged past the grace
+    mkFile("orphan.parquet")
+    fs.setTimes(new Path(dd, "orphan.parquet"),
+      System.currentTimeMillis() - 20 * 60 * 1000L, -1)
+    mkFile(f(6))                                        // f7
+    commit(f.take(5) :+ f(6))                           // v2: drop f6, add f7
+    assert(hasDelta(vdirs(root.toString).last._2), "v2 must be a delta commit")
+    // v1 still retained (keep=2) — f6 must survive
+    assert(exists(f(5)), "f6 referenced by retained v1")
+    mkFile(f(7))                                        // f8
+    commit(f.take(5) ++ Seq(f(6), f(7)))                // v3: v1 leaves retention
+    val v3 = vdirs(root.toString).last
+    assert(hasDelta(v3._2), "v3 must be a delta commit (incremental vacuum path)")
+    assert(!exists(f(5)), "f6 dereferenced when v1 left retention — incremental GC")
+    (f.take(5) ++ Seq(f(6), f(7))).foreach(r => assert(exists(r), s"live $r"))
+    assert(exists("orphan.parquet"),
+      "incremental vacuum never lists the pool — the orphan waits for the full sweep")
+    // a removal whose version drops LATER: v4 drops f1 (f1 stays — v3
+    // retained); v5 drops v3, whose successor-diff names f1 → GC'd
+    commit(f.slice(1, 5) ++ Seq(f(6), f(7)))            // v4: drop f1
+    assert(exists(f(0)), "f1 referenced by retained v3")
+    mkFile(f(8))                                        // f9
+    commit(f.slice(1, 5) ++ Seq(f(6), f(7), f(8)))      // v5: v3 leaves retention
+    assert(hasDelta(vdirs(root.toString).last._2))
+    assert(!exists(f(0)), "f1 GC'd from v3→v4 successor diff")
+    assert(exists("orphan.parquet"))
+    // the standalone vacuum full-sweeps: the aged orphan is reclaimed
+    Snapshot.vacuumLocked(fs, root, keepVersions = 2)
+    assert(!exists("orphan.parquet"), "full sweep reclaims aged orphans")
+    (f.slice(1, 5) ++ Seq(f(6), f(7), f(8))).foreach(r => assert(exists(r), s"live $r"))
+  }
 }

@@ -1115,8 +1115,12 @@ class SnapshotSpec extends SparkSpec {
     val back = Snapshot.manifestAt(fs, vdir).get
     // entries written with the UnsetSeq sentinel have no seq field on
     // disk — reading normalizes them to the pre-seq GLOBAL semantics
-    // (data = 0, tombstone = Long.MaxValue), the r12 upgrade contract
-    assert(back.entries.map(_.copy(seq = Snapshot.UnsetSeq)) == m.entries)
+    // (data = 0, tombstone = Long.MaxValue), the r12 upgrade contract.
+    // r13: resolutions serve the CANONICAL rel-sorted order regardless
+    // of file order (the persistent-map membership), so the round-trip
+    // is order-insensitive.
+    assert(back.entries.map(_.copy(seq = Snapshot.UnsetSeq)) ==
+      m.entries.sortBy(_.rel))
     assert(back.entries.find(_.rel == "a.parquet").get.seq == 0L)
     assert(back.entries.find(_.rel == "_deletes/d.parquet").get.seq ==
       Long.MaxValue)
@@ -1126,7 +1130,8 @@ class SnapshotSpec extends SparkSpec {
     val m2 = m.copy(entries = m.entries.map(_.copy(seq = 7L)))
     val vdir2 = new Path(dir, f"_v_${2L}%020d")
     Snapshot.writeManifest(fs, vdir2, m2)
-    assert(Snapshot.manifestAt(fs, vdir2).get.entries == m2.entries)
+    assert(Snapshot.manifestAt(fs, vdir2).get.entries ==
+      m2.entries.sortBy(_.rel))
   }
 
   test("sorted snapshot writers RECORD key envelopes; merges PLAN from them (no footer reads)") {
