@@ -49,6 +49,20 @@ object SparkEntry {
   private val BpeMerges: Seq[(String, String)] = Seq(
     "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "e" -> "r", "an" -> "d")
 
+  /** Fixed merge list for `q_bpe_bytes` (byte-level family) — LITERAL
+    * for the same oracle-replay reason as [[BpeMerges]]; training is
+    * law-checked in ByteBpeSpec. `Ġ` is the mapped space byte (0x20 →
+    * U+0120 in the GPT-2 byte alphabet): these merges build the
+    * space-prefixed word tokens byte-level vocabularies are made of.
+    */
+  private val ByteBpeSpace: String =
+    graft.functions.TextExprs.ByteAlphabet.byteToChar(32).toString
+  private val ByteBpeMerges: Seq[(String, String)] = Seq(
+    ByteBpeSpace -> "t", (ByteBpeSpace + "t") -> "a",
+    (ByteBpeSpace + "ta") -> "b", "l" -> "e",
+    (ByteBpeSpace + "tab") -> "le", ByteBpeSpace -> "s",
+    "e" -> "y", (ByteBpeSpace + "s") -> "c")
+
   /** Fixed unigram-LM piece costs (integer micro-nats) for the
     * oracle-replayable Viterbi twin: every word character ([a-z0-9_]
     * after the shared tokenizer) has an explicit cost so the unknown
@@ -1809,6 +1823,21 @@ object SparkEntry {
     "q_bpe_encode" -> ((s, dir) =>
       graft.ext.Bpe.encode(read(s, dir, "documents"), "text", BpeMerges)
         .orderBy(desc("cnt"), asc("token")).limit(40)),
+
+    // BYTE-LEVEL BPE (r13 — GPT-2/cl100k family): pretokens keep their
+    // leading space, symbols are UTF-8 bytes through the byte↔char
+    // bijection, so ANY input round-trips with zero OOV. The in-query
+    // law column proves decode(concat(encode(x))) == x on EVERY doc
+    // (the oracle asserts the same count as a literal 0 — a single
+    // mismatched row breaks the hash match).
+    "q_bpe_bytes" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val bad = docs.agg(sum(when(graft.ext.ByteBpe.roundTrips(
+        col("text"), ByteBpeMerges), 0L).otherwise(1L)).as("bad"))
+      graft.ext.ByteBpe.encode(docs, "text", ByteBpeMerges)
+        .orderBy(desc("cnt"), asc("token")).limit(60)
+        .crossJoin(broadcast(bad))  // one-row law column on every row
+    }),
 
     // ── [EXT r10] Unigram-LM (SentencePiece) tokenizer family ─────────
     // Exact twin: Viterbi segmentation under FIXED integer micro-nat
@@ -4031,6 +4060,10 @@ object SparkEntry {
          fin AS (SELECT unnest(string_split_regex(trim(s), ' +')) AS token FROM m6)
          SELECT token, count(*)::BIGINT AS cnt FROM fin
          GROUP BY 1 ORDER BY cnt DESC, token LIMIT 40""",
+    "q_bpe_bytes" ->                   // byte-level family: full independent replay
+      s"""WITH enc AS (${graft.ext.ByteBpe.duckdbEncodeSql(ByteBpeMerges)})
+          SELECT token, cnt::BIGINT AS cnt, 0::BIGINT AS bad FROM enc
+          ORDER BY cnt DESC, token LIMIT 60""",
     "q_domain_stats" ->                // per-registered-domain curation stats
       """WITH u AS (
            SELECT doc_id, text, lang,

@@ -140,7 +140,7 @@ object Bpe {
     * (`word`, `cnt`) type table — the per-iteration aggregate of
     * [[train]]. Same shape as [[pairCounts]] minus the string split.
     */
-  private def pairCountsFromArray(types: DataFrame, syms: Column): DataFrame = {
+  private[ext] def pairCountsFromArray(types: DataFrame, syms: Column): DataFrame = {
     val m = greatest(size(syms) - 1, lit(0))
     val pairs = zip_with(slice(syms, lit(1), m), slice(syms, lit(2), m),
       (a, b) => struct(a.as("lhs"), b.as("rhs")))

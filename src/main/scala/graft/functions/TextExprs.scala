@@ -615,6 +615,200 @@ object TextExprs {
       copy(child = newChild)
   }
 
+  // ── byte-level BPE (GPT-2 family, r13) ─────────────────────────────
+
+  /** The GPT-2 byte↔unicode alphabet (Radford et al. 2019; the
+    * `bytes_to_unicode` table every byte-level BPE family uses):
+    * printable latin-1 bytes map to themselves, the rest to 256+n in
+    * byte order — a bijection byte ↔ BMP char, so ANY UTF-8 input
+    * round-trips through tokens with no OOV by construction.
+    */
+  object ByteAlphabet {
+    val byteToChar: Array[Char] = {
+      val self = (('!' to '~') ++ ('¡' to '¬') ++ ('®' to 'ÿ')).map(_.toInt).toSet
+      val out = new Array[Char](256)
+      var n = 0
+      var b = 0
+      while (b < 256) {
+        if (self.contains(b)) out(b) = b.toChar
+        else { out(b) = (256 + n).toChar; n += 1 }
+        b += 1
+      }
+      out
+    }
+    /** char → byte inverse (−1 = not in the alphabet). */
+    val charToByte: Array[Int] = {
+      val out = Array.fill(1024)(-1)
+      var b = 0
+      while (b < 256) { out(byteToChar(b).toInt) = b; b += 1 }
+      out
+    }
+    /** UTF-8 bytes of `s`, each mapped to its alphabet char. */
+    def mapString(s: String): String = {
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val cs = new Array[Char](bytes.length)
+      var i = 0
+      while (i < bytes.length) { cs(i) = byteToChar(bytes(i) & 0xFF); i += 1 }
+      new String(cs)
+    }
+    /** Inverse of [[mapString]] — alphabet chars → bytes → UTF-8. A
+      * char outside the alphabet is a caller bug; fail loudly.
+      */
+    def unmapString(s: String): String = {
+      val bytes = new Array[Byte](s.length)
+      var i = 0
+      while (i < s.length) {
+        val b = if (s.charAt(i) < 1024) charToByte(s.charAt(i).toInt) else -1
+        require(b >= 0, s"byte_bpe_decode: char U+${s.charAt(i).toInt}%04X " +
+          "is not in the byte-level alphabet")
+        bytes(i) = b.toByte
+        i += 1
+      }
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    /** GPT-2-FAMILY pretokenizer, RE2-compatible subset: the original
+      * pattern's contraction cases and the `\s+(?!\S)` lookahead are
+      * dropped (RE2 — the DuckDB oracle engine — has no lookahead);
+      * space-prefixed letter/number/punct runs and whitespace runs
+      * are kept. Merges never cross pretoken boundaries, the property
+      * that bounds token length and keeps word identity.
+      */
+    val Pretokenizer = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+  }
+
+  /** Greedy in-order merge application over one word's char spans —
+    * the same cache-local span loop as [[BpeEncodeTokens]], shared by
+    * the byte-level family (which must NOT lowercase or re-tokenize).
+    */
+  private def spanMergeInto(word: String, mA: Array[Array[Char]],
+                            mB: Array[Array[Char]],
+                            out: java.util.ArrayList[UTF8String]): Unit = {
+    val wl = word.length
+    if (wl == 0) return
+    val starts = new Array[Int](wl)
+    val lens = new Array[Int](wl)
+    def spanEq(s: Int, l: Int, pat: Array[Char]): Boolean = {
+      if (l != pat.length) return false
+      var i = 0
+      while (i < l) { if (word.charAt(s + i) != pat(i)) return false; i += 1 }
+      true
+    }
+    var m = 0
+    while (m < wl) { starts(m) = m; lens(m) = 1; m += 1 }
+    var k = 0
+    while (k < mA.length && m > 1) {
+      val a = mA(k); val b = mB(k)
+      if (a.length + b.length <= wl) {
+        var w = 0; var r = 0
+        while (r < m) {
+          if (r + 1 < m && spanEq(starts(r), lens(r), a) &&
+              spanEq(starts(r + 1), lens(r + 1), b)) {
+            starts(w) = starts(r); lens(w) = lens(r) + lens(r + 1)
+            w += 1; r += 2
+          } else {
+            starts(w) = starts(r); lens(w) = lens(r); w += 1; r += 1
+          }
+        }
+        m = w
+      }
+      k += 1
+    }
+    var t = 0
+    while (t < m) {
+      out.add(UTF8String.fromString(
+        word.substring(starts(t), starts(t) + lens(t))))
+      t += 1
+    }
+  }
+
+  /** Byte-mapped pretokens of raw text (NO lowercasing — byte-level
+    * vocabularies are case-bearing): regex pretokenize, then map each
+    * pretoken's UTF-8 bytes through [[ByteAlphabet]]. The train-side
+    * "word" unit.
+    */
+  case class ByteBpePretokens(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "byte_bpe_pretokens"
+    @transient private lazy val pat =
+      java.util.regex.Pattern.compile(ByteAlphabet.Pretokenizer)
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val out = new java.util.ArrayList[UTF8String]()
+      val m = pat.matcher(s)
+      while (m.find())
+        out.add(UTF8String.fromString(ByteAlphabet.mapString(m.group())))
+      new GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Fused byte-level BPE encode: pretokenize + byte-map + apply the
+    * whole merge list per pretoken in one span loop. Token strings
+    * live in the mapped alphabet (decode via [[ByteBpeUnmap]]).
+    */
+  case class ByteBpeTokens(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "byte_bpe_tokens"
+    @transient private lazy val pat =
+      java.util.regex.Pattern.compile(ByteAlphabet.Pretokenizer)
+    @transient private lazy val mA: Array[Array[Char]] =
+      merges.map(_._1.toCharArray).toArray
+    @transient private lazy val mB: Array[Array[Char]] =
+      merges.map(_._2.toCharArray).toArray
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val out = new java.util.ArrayList[UTF8String]()
+      val m = pat.matcher(s)
+      while (m.find())
+        spanMergeInto(ByteAlphabet.mapString(m.group()), mA, mB, out)
+      new GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Span-merge an ALREADY byte-mapped word — the train loop's
+    * re-segmenter (iterates on the frozen pretoken-type table).
+    */
+  case class SpanMergeWord(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "span_merge_word"
+    @transient private lazy val mA: Array[Array[Char]] =
+      merges.map(_._1.toCharArray).toArray
+    @transient private lazy val mB: Array[Array[Char]] =
+      merges.map(_._2.toCharArray).toArray
+    override def nullSafeEval(input: Any): Any = {
+      val out = new java.util.ArrayList[UTF8String]()
+      spanMergeInto(input.asInstanceOf[UTF8String].toString, mA, mB, out)
+      new GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Inverse byte map: a (concatenation of) byte-level token(s) back
+    * to the original UTF-8 string — `unmap(concat(encode(x))) == x`
+    * for ANY input, the no-OOV law.
+    */
+  case class ByteBpeUnmap(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def prettyName: String = "byte_bpe_unmap"
+    override def nullSafeEval(input: Any): Any =
+      UTF8String.fromString(
+        ByteAlphabet.unmapString(input.asInstanceOf[UTF8String].toString))
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ── Column wrappers ────────────────────────────────────────────────
   def textStatsRaw(text: Column, stopwords: Seq[String],
                    markers: Seq[(String, Seq[String])]): Column =
@@ -637,4 +831,12 @@ object TextExprs {
     ExprShim.column(WinnowFps(ExprShim.expression(text), k, w, hexDigits))
   def bpeEncodeTokens(text: Column, merges: Seq[(String, String)]): Column =
     ExprShim.column(BpeEncodeTokens(ExprShim.expression(text), merges))
+  def byteBpePretokens(text: Column): Column =
+    ExprShim.column(ByteBpePretokens(ExprShim.expression(text)))
+  def byteBpeTokens(text: Column, merges: Seq[(String, String)]): Column =
+    ExprShim.column(ByteBpeTokens(ExprShim.expression(text), merges))
+  def spanMergeWord(word: Column, merges: Seq[(String, String)]): Column =
+    ExprShim.column(SpanMergeWord(ExprShim.expression(word), merges))
+  def byteBpeUnmap(tokens: Column): Column =
+    ExprShim.column(ByteBpeUnmap(ExprShim.expression(tokens)))
 }

@@ -616,6 +616,33 @@ object Transformers {
       }
       graft.ext.Bpe.encode(df, args.lift(1).getOrElse("text"), merges)
     }),
+    // byte_bpe_train:numMerges[;text[;minPair]] — learn a BYTE-LEVEL
+    // (GPT-2-family) merge list; replaces the frame with the
+    // (merge_rank, lhs, rhs) table in the mapped byte alphabet
+    "byte_bpe_train" -> (args => df => {
+      require(args.nonEmpty, "byte_bpe_train needs numMerges[;text[;minPair]]")
+      val merges = graft.ext.ByteBpe.train(df,
+        args.lift(1).getOrElse("text"), args.head.toInt,
+        minPairCount = args.lift(2).map(_.toLong).getOrElse(2L))
+      val s = df.sparkSession
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((a, b), i) => (i + 1, a, b) }
+        .toDF("merge_rank", "lhs", "rhs")
+    }),
+    // byte_bpe_encode:merges[;text] — byte-level segment with a fixed
+    // merge list ("Ġ+t,Ġt+a,..." in the mapped alphabet); replaces
+    // the frame with its (token, cnt) vocabulary. Zero OOV on any
+    // UTF-8 by construction.
+    "byte_bpe_encode" -> (args => df => {
+      require(args.nonEmpty, "byte_bpe_encode needs merges(a+b,...)[;text]")
+      val merges = args.head.split(",").toSeq.filter(_.nonEmpty).map { m =>
+        val p = m.split("\\+")
+        require(p.length == 2, s"byte_bpe_encode: bad merge '$m' (want lhs+rhs)")
+        (p(0), p(1))
+      }
+      graft.ext.ByteBpe.encode(df, args.lift(1).getOrElse("text"), merges)
+    }),
     // unigram_train:vocabSize[;text;emIters] — fit a unigram-LM
     // (SentencePiece-family) tokenizer on the frame; replaces it with
     // the (piece, prob) inventory
