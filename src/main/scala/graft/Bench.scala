@@ -54,8 +54,18 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = ordered.map { case (name, fn) =>
-      val times = (0 until reps).flatMap { _ =>
+    // INTERLEAVED passes (r13, second half): reps of one query run a
+    // full suite apart, not back-to-back. The observed failure mode is
+    // a minutes-long degraded host window — consecutive reps all land
+    // inside it and the median learns nothing (r12's inflated
+    // alphabetical band, and the 65%-within-1.15× two-run agreement
+    // the back-to-back protocol measured). With pass interleaving a
+    // window shorter than a whole pass (~5-10 min) can touch at most
+    // ONE rep of any query, which the median discards by construction.
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
+    ordered.foreach { case (name, _) => acc(name) = Vector.empty }
+    (0 until reps).foreach { _ =>
+      ordered.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop write materializes EVERY output column (count() would let
         // Catalyst prune pure projections out of the measurement)
@@ -74,10 +84,10 @@ object Bench {
         // 100+ back-to-back queries must do it here).
         try spark.sharedState.cacheManager.clearCache()
         catch { case _: Throwable => }
-        if (ok) Some(dt) else None
+        if (ok) acc(name) = acc(name) :+ dt
       }
-      name -> times
     }
+    val results = acc.toSeq
     def jstr(s: String): String = {
       val b = new StringBuilder("\"")
       s.foreach {
