@@ -34,6 +34,11 @@ import org.apache.spark.sql.SparkSession
   *      vacuum vs the full O(listing) sweep, and verifies exact GC
   *      (dead files deleted the commit their last referent leaves
   *      retention, live files untouched, orphans left to the sweep).
+  *   6. CDC BACKLOG DRAIN over 100 real commits (the r12 verdict's
+  *      catch-up gate): the consecutive per-commit consumer pays
+  *      O(versions) Spark jobs; the r13 SPANNING drain pays a
+  *      handful, its net rows reconstruct the exact head state from
+  *      the seed snapshot, and wall-clock drops accordingly.
   *
   * Run: sbt -batch 'runMain graft.ScaleBench10'. JSON lands in
   * target/scalebench10.json.
@@ -281,6 +286,100 @@ object ScaleBench10 {
       f"pool listing (${results("vac20k_commit_avg")}%.3fs/commit); idle " +
       f"incremental ${results("vac20k_idle_incremental_x5") / 5}%.4fs vs full " +
       f"sweep ${results("vac20k_idle_fullsweep_x5") / 5}%.4fs over $vacN files"
+
+    // ── 6. CDC backlog drain: 100 commits, spanning vs consecutive ──
+    {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val cdcPath = s"$out/cdc100.parquet"
+      // 100 small-net-change commits via full snapshot versions (one
+      // sequence class, no merge-on-read debt): the drain cost under
+      // test is the CHANGELOG's per-commit vs spanning shape, not the
+      // read-side DV stack 100 uncompacted append-upserts would pile
+      // on top of every step (that debt is compaction's to retire and
+      // is priced in ScaleBench9)
+      timed("cdc100_build_100_commits") {
+        val state = scala.collection.mutable.LinkedHashMap.empty[Long, String]
+        (0L until 1000L).foreach(i => state(i) = s"v0_$i")
+        graft.operators.WriteOps.atomicOverwrite(spark,
+          state.toSeq.toDF("id", "txt"), cdcPath, indexBy = Seq("id"),
+          commitMode = "snapshot", keepVersions = 150)
+        (1 to 100).foreach { c =>
+          (0 until 5).foreach { j =>
+            state(((c * 37L + j * 211L) % 1200L)) = s"v${c}_$j"
+          }
+          graft.operators.WriteOps.atomicOverwrite(spark,
+            state.toSeq.toDF("id", "txt"), cdcPath, indexBy = Seq("id"),
+            commitMode = "snapshot", keepVersions = 150)
+        }
+      }
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      def countJobs[T](f: => T): (Int, T) = {
+        spark.sparkContext.addSparkListener(listener)
+        jobs.set(0)
+        try { val r = f; Thread.sleep(1500); (jobs.get(), r) }
+        finally spark.sparkContext.removeSparkListener(listener)
+      }
+      // the per-commit consumer shape: ONE commit per batch (a
+      // latest-state sink that never needed the granularity still
+      // paid it before the spanning drain existed)
+      var consecRows = 0L
+      val (consecJobs, consecBatches) = countJobs {
+        timed("cdc100_drain_consecutive") {
+          graft.streaming.CdfStream.runAvailableNow(spark, cdcPath, Seq("id"),
+            s"$out/cdc_ckpt_consec", startingVersion = Some(1L),
+            maxVersionsPerBatch = 1) {
+            (inc, _, _) => consecRows += inc.count()
+          }
+        }
+      }
+      // spanning: ONE net (1, head] diff; reconstruct the head from
+      // the seed snapshot + the net rows — the latest-state-sink law
+      val seedState = scala.collection.mutable.Map.empty[Long, String]
+      graft.operators.Snapshot.readAt(spark, cdcPath, Some(1L))
+        .select("id", "txt").collect()
+        .foreach(r => seedState(r.getLong(0)) = r.getString(1))
+      val (spanJobs, spanBatches) = countJobs {
+        timed("cdc100_drain_spanning") {
+          graft.streaming.CdfStream.runAvailableNow(spark, cdcPath, Seq("id"),
+            s"$out/cdc_ckpt_span", startingVersion = Some(1L),
+            spanningBatches = true) { (inc, _, _) =>
+            inc.select(col("_change_type"), col("id"), col("txt")).collect()
+              .foreach { r =>
+                r.getString(0) match {
+                  case "delete" | "update_preimage" => ()
+                  case _ => seedState(r.getLong(1)) = r.getString(2)
+                }
+              }
+          }
+        }
+      }
+      val head = graft.operators.Snapshot.readAt(spark, cdcPath, None)
+        .select("id", "txt").collect().map(r => r.getLong(0) -> r.getString(1))
+        .toMap
+      require(seedState.toMap == head,
+        "spanning net rows must reconstruct the exact head state")
+      require(spanBatches == 1 && consecBatches == 100,
+        s"one spanning batch vs 100 per-commit batches, got " +
+          s"$spanBatches/$consecBatches")
+      results("cdc100_jobs_consecutive") = consecJobs.toDouble
+      results("cdc100_jobs_spanning") = spanJobs.toDouble
+      require(spanJobs <= 15,
+        s"a spanning 100-commit drain must cost a handful of jobs, got $spanJobs")
+      require(spanJobs * 4 < consecJobs,
+        s"spanning must cut job count vs consecutive ($spanJobs vs $consecJobs)")
+      notes("cdc100") = f"100-commit backlog: consecutive drain $consecJobs jobs / " +
+        f"${results("cdc100_drain_consecutive")}%.1fs vs spanning $spanJobs jobs / " +
+        f"${results("cdc100_drain_spanning")}%.1fs; net rows reconstruct head exactly " +
+        f"($consecRows consecutive change rows)"
+      writeReport()
+    }
 
     // closed-form claims
     require(deltaBytes * 20 < monoBytes,
