@@ -48,13 +48,34 @@ object Compaction {
       math.min(par, items.size))
     val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
     try {
+      // task bodies record only NonFatal failures (r13 ADVICE): an
+      // InterruptedException restores the thread's interrupt status,
+      // and fatal VM errors propagate out of fu.get() below as an
+      // ExecutionException instead of being masked by whichever
+      // NonFatal landed in `err` first
       val futs = items.map(it => pool.submit(new Runnable {
         def run(): Unit =
           if (err.get() == null)
             try f(it)
-            catch { case t: Throwable => err.compareAndSet(null, t); () }
+            catch {
+              case ie: InterruptedException =>
+                Thread.currentThread().interrupt()
+                err.compareAndSet(null, ie); ()
+              case scala.util.control.NonFatal(t) =>
+                err.compareAndSet(null, t); ()
+            }
       }))
-      futs.foreach(fu => try { fu.get(); () } catch { case _: Throwable => () })
+      futs.foreach { fu =>
+        try { fu.get(); () }
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            // NonFatal bodies never throw (recorded above) — anything
+            // surfacing here is fatal and must not be swallowed
+            throw e
+          case _: InterruptedException =>
+            Thread.currentThread().interrupt()
+        }
+      }
     } finally pool.shutdown()
     if (err.get() != null) throw err.get()
   }

@@ -181,11 +181,19 @@ object Snapshot {
     * ADVICE). Rendering both sides applies the same lossy filters to
     * each, so the compare tests exactly "did MY bytes survive".
     */
-  private[graft] def renderManifest(m: Manifest): String = {
+  private[graft] def renderManifest(m: Manifest,
+                                    uuid: Option[String] = None): String = {
     val sb = new StringBuilder
     sb.append(FormatTag).append('\n')
     sb.append(m.schemaDdl).append('\n')
     sb.append(m.partitionBy.mkString(",")).append('\n')
+    // per-commit identity witness (r13 ADVICE): NOT part of [[Manifest]]
+    // (two commits of identical membership are the same logical state —
+    // the re-verify compare must not distinguish them); the resolved
+    // cache compares it so a dropped-and-recreated table that reuses a
+    // version number with a same-length manifest in the same mtime
+    // tick can never serve the old incarnation's membership
+    uuid.foreach(u => sb.append("#uuid=").append(u).append('\n'))
     // optional header lines ('#key=value') between the fixed header and
     // the entry list — unknown keys are skipped on read, so the format
     // stays forward-compatible (a v1 reader of this layout never sees
@@ -274,7 +282,8 @@ object Snapshot {
   }
 
   private[graft] def writeManifest(fs: FileSystem, vdir: Path, m: Manifest): Unit = {
-    val rendered = renderManifest(m)
+    val rendered = renderManifest(m,
+      Some(java.util.UUID.randomUUID().toString))
     // EXCLUSIVE create ([[atomicCreate]], not fs.create(overwrite =
     // false) — the latter is check-then-act on the local filesystem,
     // HADOOP-9361): two writers racing to the same version number (a
@@ -355,6 +364,7 @@ object Snapshot {
     sb.append(DeltaTag).append('\n')
     sb.append(m.schemaDdl).append('\n')
     sb.append(m.partitionBy.mkString(",")).append('\n')
+    sb.append("#uuid=").append(java.util.UUID.randomUUID()).append('\n')
     sb.append("#base=").append(baseV).append('\n')
     m.commitTsMillis.foreach(ts => sb.append("#commit_ts=").append(ts).append('\n'))
     m.aliases.foreach { case (po, ln) =>
@@ -412,7 +422,8 @@ object Snapshot {
     if (fs.exists(mp)) return
     val tmp = new Path(vdir, s"._promote_${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
-    try out.write(renderManifest(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(renderManifest(m, Some(java.util.UUID.randomUUID().toString))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val renamed = try fs.rename(tmp, mp)
     catch { case scala.util.control.NonFatal(_) => false }
@@ -494,8 +505,9 @@ object Snapshot {
                                val backing: String, val len: Long,
                                val mtime: Long, val markerMtime: Long,
                                val baseV: Option[Long], // delta's #base; None = checkpoint
-                               val weight: Long) { // approx OWN heap: tree.size for a
-                                                   // parse, O(changed) for a chained apply
+                               val weight: Long, // approx OWN heap: tree.size for a
+                                                 // parse, O(changed) for a chained apply
+                               val uuid: Option[String] = None) { // backing's #uuid header
     lazy val m: Manifest = hdr.copy(entries = tree.valuesIterator.toVector)
     def hasRel(r: String): Boolean = tree.contains(r)
     /** Tombstone members without materializing: `_deletes/` keys form
@@ -531,6 +543,26 @@ object Snapshot {
     try { val s = fs.getFileStatus(p); (s.getLen, s.getModificationTime) }
     catch { case scala.util.control.NonFatal(_) => (-1L, -1L) }
 
+  /** The `#uuid=` commit-identity header of a manifest/delta file, None
+    * for pre-r14 files (or a header beyond the probe window — the
+    * EXTRACTION is the identity on both the cache-fill and the
+    * cache-hit side, so any losiness cancels). One bounded read
+    * (≤64 KiB: the header sits right after the DDL line); the resolved
+    * cache compares it on every hit so stat equality alone
+    * (len + mtime, coarse on some filesystems) can never serve a
+    * dropped-and-recreated table's previous incarnation.
+    */
+  private def readCommitUuid(fs: FileSystem, p: Path): Option[String] =
+    try {
+      val in = fs.open(p)
+      val buf = new Array[Byte](65536)
+      val n = try in.readNBytes(buf, 0, buf.length) finally in.close()
+      new String(buf, 0, math.max(n, 0), java.nio.charset.StandardCharsets.UTF_8)
+        .linesIterator.collectFirst {
+          case l if l.startsWith("#uuid=") => l.stripPrefix("#uuid=")
+        }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Resolved manifest + delta-chain depth (0 = checkpoint). */
   private def resolveManifest(fs: FileSystem, vdir: Path): Option[(Manifest, Int)] =
     resolvedFor(fs, vdir).map(r => (r.m, r.depth))
@@ -541,14 +573,16 @@ object Snapshot {
     hit.foreach { r =>
       val (l, mt) = statOrNeg(fs, new Path(vdir, r.backing))
       val (_, mk) = statOrNeg(fs, new Path(vdir, Versioned.Marker))
-      if (l == r.len && mt == r.mtime && mk == r.markerMtime)
+      if (l == r.len && mt == r.mtime && mk == r.markerMtime &&
+          readCommitUuid(fs, new Path(vdir, r.backing)) == r.uuid)
         return Some(r)
       else resolvedCache.synchronized(resolvedCache.remove(key))
     }
     val full = parseFullManifest(fs, vdir)
       .map(fm => (treeOf(fm.entries), fm.copy(entries = Nil), 0,
         None: Option[Long], fm.entries.size.toLong))
-    val out = full.orElse {
+    def resolveDelta(): Option[(scala.collection.immutable.TreeMap[String, Entry],
+                                Manifest, Int, Option[Long], Long)] = {
       val dp = new Path(vdir, DeltaName)
       if (!fs.exists(dp)) None
       else {
@@ -569,6 +603,29 @@ object Snapshot {
           (d.removed.size + d.added.size + 1).toLong))
       }
     }
+    val out = full.orElse {
+      // a reader resolving a RETAINED delta version can race vacuum's
+      // chain promotion (r13 ADVICE): this thread saw `_MANIFEST`
+      // absent above, then a concurrent vacuum promoted a checkpoint
+      // into this (live, committed) dir and deleted the chain's base
+      // dirs — the base walk throws "delta chain is broken" on a
+      // HEALTHY table. Re-probe THIS dir once for the newly promoted
+      // checkpoint before surfacing the repair error; the promotion is
+      // content-identical to the chain it replaced, and the re-probe
+      // composes recursively (an intermediate hop's failure propagates
+      // up to the retained dir whose promotion satisfies it).
+      try resolveDelta()
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.contains("delta chain") =>
+          parseFullManifest(fs, vdir) match {
+            case Some(fm) =>
+              Some((treeOf(fm.entries), fm.copy(entries = Nil), 0,
+                None, fm.entries.size.toLong))
+            case None => throw e
+          }
+      }
+    }
     // cache ONLY committed versions: an aborted commit deletes its
     // vdir and the version number gets reallocated with different
     // content — marker presence is the immutability witness
@@ -577,7 +634,8 @@ object Snapshot {
       val backing =
         if (fs.exists(new Path(vdir, ManifestName))) ManifestName else DeltaName
       val (l, mt) = statOrNeg(fs, new Path(vdir, backing))
-      val r = new Resolved(tree, hdr, depth, backing, l, mt, mk, bv, w)
+      val r = new Resolved(tree, hdr, depth, backing, l, mt, mk, bv, w,
+        readCommitUuid(fs, new Path(vdir, backing)))
       if (mk >= 0) cachePut(key, r)
       r
     }
@@ -1468,7 +1526,8 @@ object Snapshot {
     cachePut(vdir.toString,
       new Resolved(tree, hdr, if (useDelta) head.depth + 1 else 0,
         backing, l, mt, mk, if (useDelta) Some(headV) else None,
-        if (useDelta) changed + 1L else tree.size.toLong))
+        if (useDelta) changed + 1L else tree.size.toLong,
+        readCommitUuid(fs, new Path(vdir, backing))))
     vacuum(fs, root, keepVersions, fullSweep = !useDelta)
     next
   }

@@ -199,7 +199,12 @@ object CdfStream {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ckpt = new Path(checkpointDir)
     stateVersion(spark, statePath).foreach { applied =>
-      if (cursor(fs, ckpt).exists(_ < applied)) commitCursor(fs, ckpt, applied)
+      // `forall`, not `exists` (r13 ADVICE): a MISSING cursor with
+      // existing state (checkpoint dir lost/recreated, or a crash
+      // before the very first cursor landed) must also fast-forward —
+      // otherwise runAvailableNow would seed from the current head and
+      // the (applied, head] span would silently never reach the rollup.
+      if (cursor(fs, ckpt).forall(_ < applied)) commitCursor(fs, ckpt, applied)
     }
     runAvailableNow(spark, tablePath, pk, checkpointDir,
       startingVersion = startingVersion) { (inc, _, toV) =>
