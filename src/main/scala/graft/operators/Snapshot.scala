@@ -1360,6 +1360,25 @@ object Snapshot {
                                   keepVersions: Int,
                                   baseDeleteRels: Option[Set[String]] = None): Long =
     withCommitLock(fs, root) {
+      val (hv, head, outDdl) = rebaseChecksLocked(fs, root, baseVersion,
+        removedRels, schemaDdl, partitionBy, baseDeleteRels)
+      commitDeltaLocked(fs, root, hv, head, removedRels, added, outDdl,
+        partitionBy, keepVersions)
+    }
+
+  /** The head inspection + conflict arbitration of [[commitRebase]],
+    * factored out (r14) so a COMMIT GROUP ([[commitGroup]]) can check
+    * every participant before its roll-forward point. Must run under
+    * the table's commit lock. Returns (head version, head resolution,
+    * merged schema DDL) for [[commitDeltaLocked]].
+    */
+  private def rebaseChecksLocked(fs: FileSystem, root: Path,
+                                 baseVersion: Long,
+                                 removedRels: Set[String],
+                                 schemaDdl: String,
+                                 partitionBy: Seq[String],
+                                 baseDeleteRels: Option[Set[String]])
+      : (Long, Resolved, String) = {
       val (hv, hdir) = committed(fs, root).lastOption.getOrElse(
         throw CommitConflictException(
           s"no committed head under $root to rebase onto"))
@@ -1427,8 +1446,7 @@ object Snapshot {
           "from this table and retained files still carry them physically " +
           "— re-adding the name would resurrect stale values; use a " +
           "different name or a full rewrite")
-      commitDeltaLocked(fs, root, hv, head, removedRels, added, outDdl,
-        partitionBy, keepVersions)
+      (hv, head, outDdl)
     }
 
   /** O(changed) commit of an EXPLICIT delta against the resolved head
@@ -1552,6 +1570,300 @@ object Snapshot {
         b.fields.filterNot(f => a.fieldNames.contains(f.name))).toDDL
     }
 
+  // ── multi-table commit groups (r14) ──────────────────────────────
+
+  /** One participant of a [[commitGroup]]: an incremental change
+    * (`removedRels` → `added`) planned against `baseV` of `root`, the
+    * same shape [[commitRebase]] takes. Staged pool files must already
+    * be in the table's `_data` pool (the stage* helpers do this).
+    */
+  final case class StagedCommit(root: String, baseV: Long,
+                                removedRels: Set[String],
+                                added: Seq[Entry],
+                                schemaDdl: String,
+                                partitionBy: Seq[String],
+                                keepVersions: Int)
+
+  private val GroupPrefix = "_GROUP_"
+  private val GroupTag = "graft-commit-group-v1"
+  private val GroupEnd = "#end"
+
+  /** Test hook: simulate a crash after committing this many group
+    * participants (−1 = off) — the crash-window proof for the
+    * roll-forward recovery.
+    */
+  @volatile private[graft] var groupCrashAfterParts: Int = -1
+
+  /** ATOMIC MULTI-TABLE COMMIT (r14 — the Iceberg multi-table
+    * transaction shape re-derived over plain storage): land one
+    * incremental commit on EACH participant table such that, across
+    * any crash, either every table eventually reflects its commit or
+    * none does. The motivating consumer is the CDC-maintained dedup
+    * signature index ([[graft.streaming.CdfStream.cdfToSignatureIndex]]),
+    * whose per-increment writes previously paid 4 independent commits
+    * and left a crash window where its two tables diverged.
+    *
+    * Protocol (write-ahead intent + roll-forward):
+    *   1. complete any pending group under `coordDir` ([[recoverGroups]]);
+    *   2. take every participant's commit lock in ROOT-SORTED order
+    *      (deadlock-free against any other group over the same tables);
+    *   3. run the full [[commitRebase]] conflict arbitration for every
+    *      participant FIRST — a conflict aborts with zero commits and
+    *      the intent never written (the "none" branch);
+    *   4. write the GROUP INTENT file — one create-exclusive record of
+    *      every participant's exact delta (removed rels + added entry
+    *      lines + schema), terminated by an end marker so a torn write
+    *      is detectable. THIS IS THE ATOMICITY POINT: once the intent
+    *      is durable, the group WILL land — a crash at any later step
+    *      is completed by [[recoverGroups]] (run by the next group
+    *      commit over the same coordinator, or explicitly at consumer
+    *      startup);
+    *   5. commit each participant via [[commitDeltaLocked]] (the locks
+    *      from step 2 are still held, so the checked heads cannot
+    *      move);
+    *   6. delete the intent.
+    *
+    * Crash windows: before the end marker — no table committed, the
+    * torn intent is age-gated away and staged pool files are swept as
+    * orphans by the next full-sweep vacuum (neither lands); after the
+    * marker — recovery detects per-table applied state by MEMBERSHIP
+    * (all added rels present, removed rels gone — pool rels are
+    * UUID-fresh, so presence is proof) and commits exactly the
+    * unapplied remainder (both land). Readers between the two commits
+    * of a live group observe table A ahead of table B for the
+    * milliseconds the group is in flight — single-table snapshot
+    * isolation is preserved per table, and the consumers this serves
+    * (content-idempotent index maintenance) tolerate the transient
+    * skew by construction; a coordinator-checking read path would buy
+    * cross-table serializability at a per-read coordination cost no
+    * 100 TB scan wants to pay.
+    *
+    * Returns the committed version per participant, in input order.
+    */
+  def commitGroup(conf: org.apache.hadoop.conf.Configuration,
+                  coordDir: String, parts: Seq[StagedCommit]): Seq[Long] = {
+    require(parts.nonEmpty, "empty commit group")
+    require(parts.map(_.root).distinct.size == parts.size,
+      "one participant per table — merge same-table changes into one part")
+    parts.foreach(p => require(p.added.nonEmpty || p.removedRels.nonEmpty,
+      s"degenerate participant for ${p.root}: nothing to commit"))
+    recoverGroups(conf, coordDir)
+    val sorted = parts.sortBy(_.root)
+    val withFs = sorted.map(p =>
+      (p, new Path(p.root).getFileSystem(conf)))
+    val versions = withLocksOrdered(withFs.map { case (p, fs) =>
+      (fs, new Path(p.root)) }) {
+      val checked = withFs.map { case (p, fs) =>
+        val (hv, head, outDdl) = rebaseChecksLocked(fs, new Path(p.root),
+          p.baseV, p.removedRels, p.schemaDdl, p.partitionBy, None)
+        // pre-verify the membership invariants commitDeltaLocked would
+        // enforce — HERE they must fail BEFORE the intent is durable,
+        // so a conflicting group aborts with zero commits
+        val notMembers = p.removedRels.filterNot(head.hasRel)
+        require(notMembers.isEmpty, s"group participant ${p.root}: removed " +
+          s"rel(s) not in head membership: ${notMembers.take(5).mkString(", ")}")
+        val dup = p.added.map(_.rel)
+          .filter(r => head.hasRel(r) && !p.removedRels.contains(r))
+        require(dup.isEmpty, s"group participant ${p.root}: added rel(s) " +
+          s"already members: ${dup.take(5).mkString(", ")}")
+        (p, fs, hv, head, outDdl)
+      }
+      val cpath = new Path(coordDir)
+      val cfs = cpath.getFileSystem(conf)
+      val intent = writeGroupIntent(cfs, cpath, checked.map { case (p, _, hv, _, outDdl) =>
+        p.copy(baseV = hv, schemaDdl = outDdl) })
+      // ── roll-forward point: from here the group lands, crash or not ──
+      val out = checked.zipWithIndex.map { case ((p, fs, hv, head, outDdl), i) =>
+        if (groupCrashAfterParts >= 0 && i >= groupCrashAfterParts)
+          throw new IllegalStateException(
+            s"simulated crash after $i committed group participant(s)")
+        p.root -> commitDeltaLocked(fs, new Path(p.root), hv, head,
+          p.removedRels, p.added, outDdl, p.partitionBy, p.keepVersions)
+      }.toMap
+      try cfs.delete(intent, false)
+      catch { case scala.util.control.NonFatal(_) => () }
+      out
+    }
+    parts.map(p => versions(p.root))
+  }
+
+  /** Complete (or clean) every pending commit-group intent under
+    * `coordDir`. Idempotent and safe to run any time — consumers call
+    * it at startup and every [[commitGroup]] calls it first. Returns
+    * the number of groups resolved (rolled forward or rolled back).
+    *
+    * Per intent: a TORN record (no end marker) proves no participant
+    * committed — intent write strictly precedes every commit — so it
+    * is deleted once older than the stage grace (its staged pool files
+    * age out as orphans). A complete record is re-driven under the
+    * participants' locks: each table is either APPLIED (all added rels
+    * in the head membership, removed rels gone) or is committed now
+    * from the recorded delta. A head that moved past the recorded base
+    * re-arbitrates: pure-add participants (the maintainer's shape —
+    * tombstones and appended batches remove nothing) rebase onto the
+    * new head exactly as their live path would; a removal-bearing
+    * participant whose base moved fails LOUDLY (re-running a stale
+    * rewrite could drop the interleaved winner). If nothing applied
+    * anywhere and a staged file has already been reclaimed, the group
+    * rolls BACK (intent deleted — the "neither" branch); a partially
+    * applied group with missing files is real corruption and errors.
+    */
+  def recoverGroups(conf: org.apache.hadoop.conf.Configuration,
+                    coordDir: String): Int = {
+    val cpath = new Path(coordDir)
+    val cfs = cpath.getFileSystem(conf)
+    if (!cfs.exists(cpath)) return 0
+    var done = 0
+    val intents = (try cfs.listStatus(cpath)
+      catch { case scala.util.control.NonFatal(_) => Array.empty[org.apache.hadoop.fs.FileStatus] })
+      .filter(s => s.isFile && s.getPath.getName.startsWith(GroupPrefix))
+      .sortBy(_.getPath.getName)
+    intents.foreach { st =>
+      parseGroupIntent(cfs, st.getPath) match {
+        case None => // torn: written before any commit — age-gated sweep
+          if (System.currentTimeMillis() - st.getModificationTime > StageGraceMs) {
+            try cfs.delete(st.getPath, false)
+            catch { case scala.util.control.NonFatal(_) => () }
+            done += 1
+          }
+        case Some(parts) =>
+          val withFs = parts.sortBy(_.root).map(p =>
+            (p, new Path(p.root).getFileSystem(conf)))
+          withLocksOrdered(withFs.map { case (p, fs) => (fs, new Path(p.root)) }) {
+            val states = withFs.map { case (p, fs) =>
+              val root = new Path(p.root)
+              val headOpt = committed(fs, root).lastOption.flatMap {
+                case (hv, hdir) => resolvedFor(fs, hdir).map(h => (hv, h))
+              }
+              val applied = headOpt.exists { case (_, h) =>
+                p.added.forall(e => h.hasRel(e.rel)) &&
+                  !p.removedRels.exists(h.hasRel)
+              }
+              val filesOk = applied || p.added.forall(e =>
+                try fs.exists(new Path(dataDir(root), e.rel))
+                catch { case scala.util.control.NonFatal(_) => false })
+              (p, fs, headOpt, applied, filesOk)
+            }
+            if (states.forall(_._4)) () // every participant already landed
+            else if (states.forall(s => !s._4) && states.exists(s => !s._5)) {
+              // nothing landed anywhere and staged files are gone
+              // (orphan-swept): the clean rollback branch — the group
+              // never became visible on any table
+              ()
+            } else {
+              states.filterNot(_._4).foreach { case (p, fs, headOpt, _, filesOk) =>
+                val root = new Path(p.root)
+                require(filesOk, s"commit-group recovery: staged pool " +
+                  s"file(s) of ${p.root} were reclaimed while a sibling " +
+                  "participant already committed — the group can neither " +
+                  "roll forward nor back; rebuild the derived table")
+                val (hv, head) = headOpt.getOrElse(
+                  throw new IllegalStateException(
+                    s"commit-group recovery: no committed head under ${p.root}"))
+                if (hv == p.baseV)
+                  commitDeltaLocked(fs, root, hv, head, p.removedRels,
+                    p.added, p.schemaDdl, p.partitionBy, p.keepVersions)
+                else if (p.removedRels.isEmpty) {
+                  require(head.hdr.partitionBy == p.partitionBy,
+                    s"commit-group recovery: partition layout of ${p.root} " +
+                      "changed under the pending group")
+                  val outDdl = mergeSchemaDdl(p.schemaDdl, head.hdr.schemaDdl)
+                  commitDeltaLocked(fs, root, hv, head, Set.empty, p.added,
+                    outDdl, p.partitionBy, p.keepVersions)
+                } else throw new IllegalStateException(
+                  s"commit-group recovery: the head of ${p.root} moved past " +
+                    s"the recorded base v${p.baseV} and the participant " +
+                    "removes files — re-driving a stale rewrite could drop " +
+                    "the interleaved commit; repair manually")
+              }
+            }
+            try cfs.delete(st.getPath, false)
+            catch { case scala.util.control.NonFatal(_) => () }
+            done += 1
+          }
+      }
+    }
+    done
+  }
+
+  /** Acquire each table's commit lock in the given (pre-sorted) order,
+    * releasing in reverse on the way out.
+    */
+  private def withLocksOrdered[A](locks: Seq[(FileSystem, Path)])(f: => A): A =
+    locks.toList match {
+      case Nil => f
+      case (fs, p) :: tail => withCommitLock(fs, p)(withLocksOrdered(tail)(f))
+    }
+
+  /** Write the group intent create-exclusive; torn writes are
+    * detectable by the missing end marker. Entry lines reuse the
+    * manifest line format with an EXPLICIT raw seq prefix (staged
+    * entries carry the [[UnsetSeq]] sentinel, which the manifest
+    * format deliberately cannot express — parse normalization would
+    * otherwise turn an unstamped tombstone into a legacy
+    * apply-to-everything one).
+    */
+  private def writeGroupIntent(cfs: FileSystem, cpath: Path,
+                               parts: Seq[StagedCommit]): Path = {
+    val sb = new StringBuilder
+    sb.append(GroupTag).append('\n')
+    sb.append("#uuid=").append(java.util.UUID.randomUUID()).append('\n')
+    parts.foreach { p =>
+      sb.append("P\t").append(p.root).append('\t').append(p.baseV)
+        .append('\t').append(p.keepVersions).append('\n')
+      sb.append("S\t").append(p.schemaDdl).append('\n')
+      sb.append("C\t").append(p.partitionBy.mkString(",")).append('\n')
+      p.removedRels.toSeq.sorted.foreach(r =>
+        sb.append("R\t").append(r).append('\n'))
+      p.added.foreach(e => sb.append("A\t").append(e.seq).append('\t')
+        .append(renderEntry(e.copy(seq = UnsetSeq))).append('\n'))
+    }
+    sb.append(GroupEnd).append('\n')
+    cfs.mkdirs(cpath)
+    val ip = new Path(cpath,
+      f"$GroupPrefix${System.currentTimeMillis()}%013d_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    if (!atomicCreate(cfs, ip))
+      throw new java.io.IOException(s"commit-group intent collision at $ip")
+    val out = cfs.create(ip, true)
+    try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    ip
+  }
+
+  /** Parse a group intent; None when torn (no end marker) or
+    * unrecognized.
+    */
+  private def parseGroupIntent(cfs: FileSystem,
+                               ip: Path): Option[Seq[StagedCommit]] =
+    try {
+      val lines = readText(cfs, ip).split("\n", -1)
+      if (lines.isEmpty || lines(0) != GroupTag ||
+          !lines.exists(_ == GroupEnd)) return None
+      val parts = scala.collection.mutable.ArrayBuffer.empty[StagedCommit]
+      lines.takeWhile(_ != GroupEnd).foreach { l =>
+        if (l.startsWith("P\t")) {
+          val Array(_, root, bv, kv) = l.split("\t", 4)
+          parts += StagedCommit(root, bv.toLong, Set.empty, Nil, "", Nil,
+            kv.toInt)
+        } else if (l.startsWith("S\t"))
+          parts(parts.size - 1) = parts.last.copy(
+            schemaDdl = l.substring(2))
+        else if (l.startsWith("C\t"))
+          parts(parts.size - 1) = parts.last.copy(
+            partitionBy = l.substring(2).split(",").filter(_.nonEmpty).toSeq)
+        else if (l.startsWith("R\t"))
+          parts(parts.size - 1) = parts.last.copy(
+            removedRels = parts.last.removedRels + l.substring(2))
+        else if (l.startsWith("A\t")) {
+          val Array(_, seqRaw, rest) = l.split("\t", 3)
+          parts(parts.size - 1) = parts.last.copy(
+            added = parts.last.added :+ parseEntry(rest).copy(seq = seqRaw.toLong))
+        }
+      }
+      if (parts.isEmpty || parts.exists(_.schemaDdl.isEmpty)) None
+      else Some(parts.toSeq)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Full-rewrite commit (the `snapshot` branch of
     * [[WriteOps.atomicOverwrite]]): stage the frame next to the pool,
     * move files in, commit a manifest listing ONLY them. Layout knobs
@@ -1633,6 +1945,27 @@ object Snapshot {
                    keepVersions: Int = 2): (Long, Long) = {
     val root = new Path(rootStr)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (baseV, m, moved, n) = stageDeleteKeys(spark, rootStr, keys)
+    // rebase commit with nothing removed: a DV delete composes with ANY
+    // concurrent commit (the tombstone applies to whatever rows the
+    // new head holds — delete-after-X serialization, the GDPR-correct
+    // order), so racing writers never force this path to fail
+    val v = commitRebase(fs, root, baseV, Set.empty, moved,
+      m.schemaDdl, m.partitionBy, keepVersions)
+    (v, n)
+  }
+
+  /** The staging half of [[deleteByKeys]] (r14): write + pool the
+    * tombstone file WITHOUT committing, so a [[commitGroup]]
+    * participant can batch it with other changes into one commit.
+    * Returns (resolve-time base version, base manifest, pool entries,
+    * distinct key count).
+    */
+  private[graft] def stageDeleteKeys(spark: SparkSession, rootStr: String,
+                                     keys: DataFrame)
+      : (Long, Manifest, Seq[Entry], Long) = {
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     sweepStaleStages(fs, root)
     val (baseV, vdir) = resolveVersion(fs, root, None)
     val m = manifestAt(fs, vdir).getOrElse(throw new IllegalArgumentException(
@@ -1660,13 +1993,7 @@ object Snapshot {
       .map(e => e.copy(rel = s"$DeletesDirName/${e.rel}",
         cols = Some(typed.columns.toSeq)))
     fs.delete(stage, true)
-    // rebase commit with nothing removed: a DV delete composes with ANY
-    // concurrent commit (the tombstone applies to whatever rows the
-    // new head holds — delete-after-X serialization, the GDPR-correct
-    // order), so racing writers never force this path to fail
-    val v = commitRebase(fs, root, baseV, Set.empty, moved,
-      m.schemaDdl, m.partitionBy, keepVersions)
-    (v, n)
+    (baseV, m, moved, n)
   }
 
   /** PREDICATE deletion vector (r12 — the Iceberg equality-delete
@@ -1784,6 +2111,29 @@ object Snapshot {
                    keepVersions: Int = 2): (Long, Long) = {
     val root = new Path(rootStr)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    stageUpsertAppend(spark, rootStr, batch, pk, indexBy,
+      maxRecordsPerFile) match {
+      case None => (resolveVersion(fs, root, None)._1, 0L)
+      case Some((baseV, m, entries, nKeys)) =>
+        val v = commitRebase(fs, root, baseV, Set.empty, entries,
+          m.schemaDdl, m.partitionBy, keepVersions)
+        (v, nKeys)
+    }
+  }
+
+  /** The staging half of [[upsertAppend]] (r14): write + pool the
+    * batch file and its batch-pk tombstone WITHOUT committing, for
+    * [[commitGroup]] batching. None for an empty batch. Returns
+    * (resolve-time base version, base manifest, pool entries — data
+    * then tombstone, batch-key count).
+    */
+  private[graft] def stageUpsertAppend(spark: SparkSession, rootStr: String,
+                                       batch: DataFrame, pk: Seq[String],
+                                       indexBy: Seq[String] = Nil,
+                                       maxRecordsPerFile: Long = 0)
+      : Option[(Long, Manifest, Seq[Entry], Long)] = {
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     sweepStaleStages(fs, root)
     val (baseV, vdir) = resolveVersion(fs, root, None)
     val m = manifestAt(fs, vdir).getOrElse(throw new IllegalArgumentException(
@@ -1808,7 +2158,7 @@ object Snapshot {
     val keys = typed.select(pk.map(col): _*).distinct()
       .localCheckpoint(true)
     val nKeys = keys.count()
-    if (nKeys == 0) return (baseV, 0L)
+    if (nKeys == 0) return None
     // batch file, laid out like every other sorted writer so its
     // manifest envelopes keep future merges planning from metadata
     val sortKeys = (if (indexBy.nonEmpty) indexBy else pk)
@@ -1858,9 +2208,7 @@ object Snapshot {
       .map(e => e.copy(rel = s"$DeletesDirName/${e.rel}",
         cols = Some(pk)))
     fs.delete(dvStage, true)
-    val v = commitRebase(fs, root, baseV, Set.empty,
-      dataEntries ++ delEntries, m.schemaDdl, m.partitionBy, keepVersions)
-    (v, nKeys)
+    Some((baseV, m, dataEntries ++ delEntries, nKeys))
   }
 
   /** COLUMN RENAME as a METADATA-ONLY commit (r12 — the Delta

@@ -294,10 +294,15 @@ object CdfStream {
     import graft.operators.{Snapshot, WriteOps}
     val shPath = s"$indexPath/shingles.parquet"
     val bkPath = s"$indexPath/buckets.parquet"
+    val txnDir = s"$indexPath/_txn"
     val root = new Path(tablePath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val sfs = new Path(indexPath).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(hconf)
+    val sfs = new Path(indexPath).getFileSystem(hconf)
+    // complete any commit group a crashed maintainer left pending —
+    // BEFORE resolving anything, so the tables this run reads/plans
+    // against are the recovered (consistent) state
+    Snapshot.recoverGroups(hconf, txnDir)
     // bootstrap: bulk-build the index from the corpus at the cursor
     // seed, then commit THAT version as the cursor BEFORE starting the
     // stream (r12 ADVICE, medium): resolving the head twice — once for
@@ -348,19 +353,40 @@ object CdfStream {
       val removeIds = touched.select(col(idCol).as("id")).distinct()
         .join(asserted.select("id"), Seq("id"), "left_anti")
         .localCheckpoint(true)
-      if (removeIds.count() > 0) {
-        Snapshot.deleteByKeys(spark, shPath, removeIds,
-          keepVersions = keepVersions)
-        Snapshot.deleteByKeys(spark, bkPath, removeIds,
-          keepVersions = keepVersions)
+      val hasRemovals = removeIds.count() > 0
+      // ONE commit per table through a COMMIT GROUP (r14, verdict): the
+      // increment's removal tombstone, batch file and batch-pk
+      // tombstone are all pure-add pool entries, so they batch into a
+      // single [[Snapshot.StagedCommit]] per table — 2 commits per
+      // increment instead of 4 (half the fixed job/commit overhead
+      // that dominated the gate), and the write-ahead group intent
+      // closes the crash window where shingles and buckets diverged:
+      // a maintainer killed between the two commits rolls FORWARD at
+      // the next startup ([[Snapshot.recoverGroups]] above), so both
+      // tables land or — before the intent is durable — neither does.
+      // Content-idempotent replay remains the outer net behind it.
+      def part(path: String, batch: org.apache.spark.sql.DataFrame,
+               pk: Seq[String]): Option[Snapshot.StagedCommit] = {
+        val del =
+          if (hasRemovals) Some(Snapshot.stageDeleteKeys(spark, path, removeIds))
+          else None
+        val ups = Snapshot.stageUpsertAppend(spark, path, batch, pk,
+          indexBy = Seq("id"))
+        val entries = del.map(_._3).getOrElse(Nil) ++
+          ups.map(_._3).getOrElse(Nil)
+        if (entries.isEmpty) None
+        else {
+          val (bv, m) = ups.map(u => (u._1, u._2))
+            .orElse(del.map(d => (d._1, d._2))).get
+          Some(Snapshot.StagedCommit(path, bv, Set.empty, entries,
+            m.schemaDdl, m.partitionBy, keepVersions))
+        }
       }
-      if (asserted.count() > 0) {
-        Snapshot.upsertAppend(spark, shPath, asserted, Seq("id"),
-          indexBy = Seq("id"), keepVersions = keepVersions)
-        Snapshot.upsertAppend(spark, bkPath,
-          TextDedup.bucketTable(asserted, k, bands), Seq("id", "band"),
-          indexBy = Seq("id"), keepVersions = keepVersions)
-      }
+      val parts = Seq(
+        part(shPath, asserted, Seq("id")),
+        part(bkPath, TextDedup.bucketTable(asserted, k, bands),
+          Seq("id", "band"))).flatten
+      if (parts.nonEmpty) { Snapshot.commitGroup(hconf, txnDir, parts); () }
     }
   }
 }

@@ -308,4 +308,61 @@ class CdfStreamSpec extends SparkSpec {
     // drained stream: zero batches
     assert(drain() == 0)
   }
+
+  test("cdfToSignatureIndex: ONE commit per table per increment; a crash between tables rolls forward at the next drain") {
+    import graft.ext.TextDedup
+    val dir = freshDir("cdf_siggrp")
+    val p = s"$dir/docs.parquet"
+    val ckpt = s"$dir/ckpt"
+    def text(i: Long, tag: String): String =
+      (0 until 20).map(j => s"w$tag${i}x$j").mkString(" ")
+    WriteOps.atomicOverwrite(spark,
+      (0L until 20L).map(i => (i, text(i, "s"))).toDF("doc_id", "text"),
+      p, indexBy = Seq("doc_id"), maxRecordsPerFile = 8,
+      commitMode = "snapshot", keepVersions = 10)
+    def drain(): Int = CdfStream.cdfToSignatureIndex(spark, p,
+      "doc_id", "text", s"$dir/idx", ckpt, n = 3, k = 32, bands = 8,
+      startingVersion = Some(1L), keepVersions = 8)
+    def headV(path: String): Long =
+      Snapshot.resolveVersion(fs, new Path(path), None)._1
+    val (shP, bkP) = (s"$dir/idx/shingles.parquet", s"$dir/idx/buckets.parquet")
+    assert(drain() == 0) // bootstrap
+    val (sh0, bk0) = (headV(shP), headV(bkP))
+    // an increment carrying BOTH removals and assertions lands as ONE
+    // commit per index table (was 4 total before commit groups)
+    Snapshot.deleteByKeys(spark, p, Seq(0L, 1L).toDF("doc_id"), keepVersions = 10)
+    Snapshot.upsertAppend(spark, p,
+      Seq((5L, text(5L, "r"))).toDF("doc_id", "text"), Seq("doc_id"),
+      indexBy = Seq("doc_id"), keepVersions = 10)
+    assert(drain() == 1)
+    assert(headV(shP) == sh0 + 1 && headV(bkP) == bk0 + 1,
+      "each index table must advance by EXACTLY one commit per increment")
+    // crash between the two table commits: shingles advanced, buckets
+    // did not, the group intent is durable
+    Snapshot.deleteByKeys(spark, p, Seq(2L, 3L).toDF("doc_id"), keepVersions = 10)
+    Snapshot.groupCrashAfterParts = 1
+    try intercept[IllegalStateException] { drain() }
+    finally Snapshot.groupCrashAfterParts = -1
+    val behindOk = headV(shP) == sh0 + 2 && headV(bkP) == bk0 + 1 ||
+      headV(shP) == sh0 + 1 && headV(bkP) == bk0 + 2
+    assert(behindOk, s"exactly one table committed before the crash " +
+      s"(sh ${headV(shP) - sh0}, bk ${headV(bkP) - bk0})")
+    // next startup recovers the group FIRST, then re-drains the span
+    // (the cursor never advanced) — both tables converge to the bulk
+    // rebuild of the current corpus
+    assert(drain() >= 1)
+    val corpus = graft.sources.Resolver.readParquet(spark, p)
+    val sh = TextDedup.shingleTable(corpus, "doc_id", "text", 3)
+    val bk = TextDedup.bucketTable(sh, 32, 8)
+    def c1(df: DataFrame) = canon(df.withColumn("sh",
+      concat_ws(",", col("sh").cast("array<string>"))))
+    assert(c1(graft.sources.Resolver.readParquet(spark, shP)) == c1(sh),
+      "post-recovery shingles must equal the bulk rebuild")
+    assert(canon(graft.sources.Resolver.readParquet(spark, bkP)) == canon(bk),
+      "post-recovery buckets must equal the bulk rebuild")
+    // no pending intent remains
+    assert(Snapshot.recoverGroups(spark.sparkContext.hadoopConfiguration,
+      s"$dir/idx/_txn") == 0)
+    assert(drain() == 0)
+  }
 }

@@ -1,0 +1,181 @@
+package graft
+
+import graft.operators.{Snapshot, WriteOps}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-table atomic commit groups (r14): a write-ahead intent makes
+  * a set of single-table incremental commits land all-or-nothing
+  * across crashes — before the intent is durable nothing commits;
+  * after it, [[Snapshot.recoverGroups]] rolls the remainder forward.
+  * The crash points are driven through the
+  * [[Snapshot.groupCrashAfterParts]] hook.
+  */
+class CommitGroupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hconf = spark.sparkContext.hadoopConfiguration
+  private def fs = new Path("/").getFileSystem(hconf)
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def canon(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted.toIndexedSeq
+    df.select(cols.map(col): _*).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+  }
+
+  private def seed(p: String, tag: String): Unit =
+    WriteOps.atomicOverwrite(spark,
+      (0L until 20L).map(i => (i, s"$tag$i")).toDF("id", "txt"),
+      p, indexBy = Seq("id"), commitMode = "snapshot", keepVersions = 10)
+
+  private def headV(p: String): Long =
+    Snapshot.resolveVersion(fs, new Path(p), None)._1
+
+  /** Stage one upsert-append batch per table, return the group parts. */
+  private def stageParts(a: String, b: String,
+                         tag: String): Seq[Snapshot.StagedCommit] =
+    Seq(a, b).map { p =>
+      val Some((bv, m, entries, _)) = Snapshot.stageUpsertAppend(spark, p,
+        Seq((3L, s"$tag-3"), (99L, s"$tag-99")).toDF("id", "txt"), Seq("id"),
+        indexBy = Seq("id")): @unchecked
+      Snapshot.StagedCommit(p, bv, Set.empty, entries, m.schemaDdl,
+        m.partitionBy, 10)
+    }
+
+  test("happy path: one commit per table, intent cleaned, contents land") {
+    val dir = freshDir("cgrp_ok")
+    val (a, b) = (s"$dir/a.parquet", s"$dir/b.parquet")
+    seed(a, "A"); seed(b, "B")
+    val (va0, vb0) = (headV(a), headV(b))
+    val vs = Snapshot.commitGroup(hconf, s"$dir/_txn", stageParts(a, b, "g1"))
+    assert(vs == Seq(va0 + 1, vb0 + 1), "exactly ONE commit per table")
+    assert(graft.sources.Resolver.readParquet(spark, a)
+      .filter(col("id") === 3L).select("txt").as[String].head() == "g1-3")
+    assert(graft.sources.Resolver.readParquet(spark, b)
+      .filter(col("id") === 99L).count() == 1)
+    // intent removed on success
+    assert(!fs.exists(new Path(s"$dir/_txn")) ||
+      fs.listStatus(new Path(s"$dir/_txn")).isEmpty)
+  }
+
+  test("combined delete+assert is ONE commit; removal tombstone and batch compose by seq") {
+    val dir = freshDir("cgrp_one")
+    val p = s"$dir/t.parquet"
+    seed(p, "X")
+    val v0 = headV(p)
+    val (_, dm, delEntries, nDel) = Snapshot.stageDeleteKeys(spark, p,
+      Seq(0L, 1L).toDF("id"))
+    val Some((bv, m, upsEntries, _)) = Snapshot.stageUpsertAppend(spark, p,
+      Seq((1L, "back"), (50L, "new")).toDF("id", "txt"), Seq("id"),
+      indexBy = Seq("id")): @unchecked
+    assert(nDel == 2 && dm.schemaDdl == m.schemaDdl)
+    Snapshot.commitGroup(hconf, s"$dir/_txn", Seq(Snapshot.StagedCommit(
+      p, bv, Set.empty, delEntries ++ upsEntries, m.schemaDdl,
+      m.partitionBy, 10)))
+    assert(headV(p) == v0 + 1, "delete + assert must land as ONE commit")
+    val got = graft.sources.Resolver.readParquet(spark, p)
+    // 0 deleted; 1 deleted then re-asserted by the same-seq batch; 50 new
+    assert(got.filter(col("id") === 0L).isEmpty)
+    assert(rows(got.filter(col("id").isin(1L, 50L)).orderBy("id")
+      .select("txt")) == Seq(Seq("back"), Seq("new")))
+    assert(got.count() == 20L)
+  }
+
+  test("crash BEFORE the intent is durable: neither table commits; torn intent is age-swept") {
+    val dir = freshDir("cgrp_torn")
+    val (a, b) = (s"$dir/a.parquet", s"$dir/b.parquet")
+    seed(a, "A"); seed(b, "B")
+    val (va0, vb0) = (headV(a), headV(b))
+    // a conflicting participant fails the CHECK phase — zero commits,
+    // zero intents
+    val parts = stageParts(a, b, "g1")
+    val bad = parts.head.copy(removedRels = Set("no/such-file.parquet"))
+    intercept[IllegalArgumentException] {
+      Snapshot.commitGroup(hconf, s"$dir/_txn", Seq(bad, parts(1)))
+    }
+    assert(headV(a) == va0 && headV(b) == vb0, "conflict must commit NOTHING")
+    assert(!fs.exists(new Path(s"$dir/_txn")) ||
+      !fs.listStatus(new Path(s"$dir/_txn")).exists(
+        _.getPath.getName.startsWith("_GROUP_")),
+      "the intent must not be written before the checks pass")
+    // a TORN intent (crash mid-write: no end marker) proves no commit
+    // happened; recovery sweeps it once aged and touches no table
+    val txn = new Path(s"$dir/_txn")
+    fs.mkdirs(txn)
+    val torn = new Path(txn, "_GROUP_0000000000000_torn")
+    val out = fs.create(torn, true)
+    out.write("graft-commit-group-v1\nP\tgarbage".getBytes("UTF-8"))
+    out.close()
+    assert(Snapshot.recoverGroups(hconf, s"$dir/_txn") == 0,
+      "a FRESH torn intent is left alone (its writer may be alive)")
+    fs.setTimes(torn, System.currentTimeMillis() - 20 * 60 * 1000L, -1)
+    assert(Snapshot.recoverGroups(hconf, s"$dir/_txn") == 1)
+    assert(!fs.exists(torn) && headV(a) == va0 && headV(b) == vb0,
+      "torn-intent recovery must sweep the record and commit NOTHING")
+  }
+
+  test("crash AFTER the intent, before any commit: recovery lands BOTH") {
+    val dir = freshDir("cgrp_fwd0")
+    val (a, b) = (s"$dir/a.parquet", s"$dir/b.parquet")
+    seed(a, "A"); seed(b, "B")
+    val (va0, vb0) = (headV(a), headV(b))
+    Snapshot.groupCrashAfterParts = 0
+    try intercept[IllegalStateException] {
+      Snapshot.commitGroup(hconf, s"$dir/_txn", stageParts(a, b, "g1"))
+    } finally Snapshot.groupCrashAfterParts = -1
+    assert(headV(a) == va0 && headV(b) == vb0, "crash before commits: nothing yet")
+    assert(Snapshot.recoverGroups(hconf, s"$dir/_txn") == 1)
+    assert(headV(a) == va0 + 1 && headV(b) == vb0 + 1,
+      "roll-forward must land BOTH participants")
+    assert(graft.sources.Resolver.readParquet(spark, a)
+      .filter(col("id") === 99L).count() == 1)
+    assert(graft.sources.Resolver.readParquet(spark, b)
+      .filter(col("id") === 99L).count() == 1)
+  }
+
+  test("crash BETWEEN the two commits: recovery completes exactly the missing one") {
+    val dir = freshDir("cgrp_fwd1")
+    val (a, b) = (s"$dir/a.parquet", s"$dir/b.parquet")
+    seed(a, "A"); seed(b, "B")
+    val (va0, vb0) = (headV(a), headV(b))
+    Snapshot.groupCrashAfterParts = 1
+    try intercept[IllegalStateException] {
+      Snapshot.commitGroup(hconf, s"$dir/_txn", stageParts(a, b, "g1"))
+    } finally Snapshot.groupCrashAfterParts = -1
+    assert(headV(a) == va0 + 1 && headV(b) == vb0,
+      "exactly the first (root-sorted) participant committed")
+    // recovery is IDEMPOTENT and completes only the unapplied table
+    assert(Snapshot.recoverGroups(hconf, s"$dir/_txn") == 1)
+    assert(headV(a) == va0 + 1 && headV(b) == vb0 + 1,
+      "recovery must commit b WITHOUT re-committing a")
+    val upA = graft.sources.Resolver.readParquet(spark, a)
+      .filter(col("id").isin(3L, 99L))
+    val upB = graft.sources.Resolver.readParquet(spark, b)
+      .filter(col("id").isin(3L, 99L))
+    assert(canon(upA) == canon(upB) && upA.count() == 2,
+      "both tables converge to the group's asserted rows")
+    assert(Snapshot.recoverGroups(hconf, s"$dir/_txn") == 0, "nothing pending")
+  }
+
+  test("pure-add recovery rebases over a commit that landed between crash and recovery") {
+    val dir = freshDir("cgrp_rebase")
+    val (a, b) = (s"$dir/a.parquet", s"$dir/b.parquet")
+    seed(a, "A"); seed(b, "B")
+    Snapshot.groupCrashAfterParts = 1
+    try intercept[IllegalStateException] {
+      Snapshot.commitGroup(hconf, s"$dir/_txn", stageParts(a, b, "g1"))
+    } finally Snapshot.groupCrashAfterParts = -1
+    // an unrelated writer commits to the UNAPPLIED table first
+    Snapshot.deleteByKeys(spark, b, Seq(7L).toDF("id"), keepVersions = 10)
+    assert(Snapshot.recoverGroups(hconf, s"$dir/_txn") == 1)
+    val gotB = graft.sources.Resolver.readParquet(spark, b)
+    assert(gotB.filter(col("id") === 99L).count() == 1,
+      "the group's batch must land on the moved head")
+    assert(gotB.filter(col("id") === 7L).isEmpty,
+      "the interleaved delete must survive the rebase")
+  }
+}
