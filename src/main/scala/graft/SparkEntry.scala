@@ -699,6 +699,54 @@ object SparkEntry {
       graft.sources.Resolver.readParquet(s, p).orderBy("o_orderkey")
     }),
 
+    // ── [EXT r14] TYPE-WIDENING evolution (int→long) as a
+    // metadata-only commit: retained narrow files upcast losslessly on
+    // read, a same-table append then holds values only the wide type
+    // can carry, time travel serves each version's OWN type, and the
+    // pure-widen changelog step emits zero change rows. In-query
+    // requires prove the metadata-only + per-version-type laws; the
+    // oracle replays the final logical table. ─────────────────────────
+    "q_retype_widen" -> ((s, dir) => {
+      val scratch = scratchDir("graft_widen")
+      val orders = read(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        .withColumn("o_qty", (col("o_orderkey") % 100).cast("int"))
+      val p = s"$scratch/orders_t.parquet"
+      WriteOps.atomicOverwrite(s, orders, p, indexBy = Seq("o_orderkey"),
+        maxRecordsPerFile = math.max(500, orders.count() / 24),
+        commitMode = "snapshot", keepVersions = 5)               // v1
+      val root = new org.apache.hadoop.fs.Path(p)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      def pool() = graft.operators.Snapshot
+        .listDataFilesRec(fs, graft.operators.Snapshot.dataDir(root))
+        .map(_._1.toString).toSet
+      val pool1 = pool()
+      val v2 = graft.operators.Snapshot.widenColumn(s, p, "o_qty",
+        org.apache.spark.sql.types.LongType, keepVersions = 5)   // v2
+      require(pool() == pool1, "the widen must be METADATA-ONLY")
+      require(graft.sources.Resolver.readParquet(s, p, Some(1L))
+        .schema("o_qty").dataType ==
+          org.apache.spark.sql.types.IntegerType,
+        "time travel must serve v1 under its own (narrow) type")
+      require(graft.operators.Snapshot.changelog(s, p, 1L, v2,
+        Seq("o_orderkey")).isEmpty,
+        "a pure type widen is not a data change")
+      // values only the WIDE type can hold, via O(batch) append-upsert
+      val batch = orders.filter(col("o_orderkey") < 1000)
+        .withColumn("o_qty", col("o_orderkey") + 10000000000L)
+      graft.operators.Snapshot.upsertAppend(s, p, batch, Seq("o_orderkey"),
+        indexBy = Seq("o_orderkey"), keepVersions = 5)           // v3
+      val out = graft.sources.Resolver.readParquet(s, p)
+      require(out.schema("o_qty").dataType ==
+        org.apache.spark.sql.types.LongType, "head serves the wide type")
+      require(graft.operators.Snapshot.changelogSince(s, p, 1L,
+        Seq("o_orderkey")).schema("o_qty").dataType ==
+          org.apache.spark.sql.types.LongType,
+        "the open-ended changelog aligns early steps to the wide type")
+      require(graft.operators.Snapshot.fsck(s, p).isEmpty,
+        "the widened layout must audit clean")
+      out.orderBy("o_orderkey")
+    }),
+
     // ── [EXT r10] CDC across SCHEMA EVOLUTION: v2 is an ADD-COLUMN
     // widening of v1 (plus a price update on a key range). The
     // changelog null-pads the from-side to the evolved shape, so a row
@@ -2206,6 +2254,15 @@ object SparkEntry {
                      ELSE o_totalprice END AS o_totalprice,
                 CASE WHEN o_orderkey < 1000 THEN o_orderkey % 7
                      ELSE NULL END AS o_flag
+         FROM orders ORDER BY o_orderkey""",
+    // type widening: the final table is the seed (o_qty = key % 100,
+    // upcast int→long) with keys < 1000 replaced by the append batch
+    // whose o_qty only fits the WIDE type — the physical
+    // narrow/wide-file mix and per-version types are in-query laws
+    "q_retype_widen" ->
+      """SELECT o_orderkey, o_totalprice,
+                CASE WHEN o_orderkey < 1000 THEN o_orderkey + 10000000000
+                     ELSE o_orderkey % 100 END AS o_qty
          FROM orders ORDER BY o_orderkey""",
     // widening CDC: v1-side o_flag is the NULL pad; only keys < 2000
     // change (price doubled < 1000, flag gained < 2000) — the rest are

@@ -71,6 +71,7 @@ object Main {
       materializeDeletes: Boolean = false, // [EXT] fold deletion vectors in
       renameColumn: Option[(String, String)] = None, // [EXT] metadata-only rename
       dropColumn: Option[String] = None, // [EXT] metadata-only drop
+      widenColumn: Option[(String, String)] = None, // [EXT] metadata-only type widen
       changelog: Option[(Long, Long)] = None, // [EXT] CDC diff from:to
       changelogPk: Seq[String] = Nil, // [EXT] row identity for --changelog
       cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -111,6 +112,7 @@ object Main {
     var deleteVectors = false; var materializeDeletes = false
     var renameColumn: Option[(String, String)] = None
     var dropColumn: Option[String] = None
+    var widenColumn: Option[(String, String)] = None
     var changelog: Option[(Long, Long)] = None
     var vacuumN: Option[Int] = None; var fsck = false
     var zorderCols: Seq[String] = Nil
@@ -240,6 +242,12 @@ object Main {
       case "--drop-column" => once("--drop-column")
         dropColumn = Some(next("--drop-column")).filter(_.nonEmpty)
         if (dropColumn.isEmpty) throw CliError("--drop-column needs NAME")
+      // [EXT] metadata-only lossless type widening: NAME:SQLTYPE
+      case "--widen-column" => once("--widen-column")
+        widenColumn = next("--widen-column").split(":", 2) match {
+          case Array(c, t) if c.nonEmpty && t.nonEmpty => Some((c, t))
+          case _ => throw CliError("--widen-column needs NAME:TYPE (e.g. qty:bigint)")
+        }
       // [EXT] compaction's merge-on-read debt ceiling: when tombstone
       // bytes exceed this fraction of data bytes, --compact widens to
       // a full fold and drops the DV set (0 = always, 1+ = never)
@@ -489,6 +497,7 @@ object Main {
       materializeDeletes = materializeDeletes,
       renameColumn = renameColumn,
       dropColumn = dropColumn,
+      widenColumn = widenColumn,
       changelog = changelog,
       changelogPk = if (pk.nonEmpty) csv(pk) else csv(opPk)))
   }
@@ -594,6 +603,16 @@ object Main {
         job.target.map(_.keepVersions).getOrElse(2))
       println(s"dropped column $c at $p (version $v, metadata-only; " +
         "re-adding the name is refused while retained files carry it)")
+      return
+    }
+    opts.widenColumn.foreach { case (c, t) => // [EXT] metadata-only widen
+      val p = Resolver.path(job.source.ref)
+      val dt = org.apache.spark.sql.types.StructType.fromDDL(s"x ${t}")
+        .fields(0).dataType
+      val v = graft.operators.Snapshot.widenColumn(spark, p, c, dt,
+        job.target.map(_.keepVersions).getOrElse(2))
+      println(s"widened column $c to ${dt.sql} at $p (version $v, " +
+        "metadata-only; retained narrower files upcast losslessly on read)")
       return
     }
     opts.vacuum.foreach { n => // [EXT] retention trim, no write
@@ -903,6 +922,11 @@ object Main {
       |               snapshot layout: no data file touched, time travel
       |               keeps pre-drop schemas, re-adding the name refuses
       |               while retained files still carry it physically)
+      |               --widen-column NAME:TYPE (metadata-only lossless
+      |               type widening on a snapshot layout: byte→short→int
+      |               →long, float→double, int→double, decimal growth;
+      |               no data file touched, old files upcast on read,
+      |               time travel keeps each version's types)
       |               --rename-column OLD:NEW (metadata-only column
       |               rename on a snapshot layout: no data file touched,
       |               old files recovered via the manifest alias map,

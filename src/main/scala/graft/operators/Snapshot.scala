@@ -2351,6 +2351,106 @@ object Snapshot {
     }
   }
 
+  /** Is `from → to` a LOSSLESS type widening — every value of `from`
+    * maps to exactly one `to` value and back (r14, the Delta
+    * type-widening table re-derived)? Admitted: the integral chain
+    * byte→short→int→long; float→double (IEEE exact); byte/short/int→
+    * double (int is 31 bits, double carries 53 — exact; LONG→double is
+    * NOT and refuses); decimal(p,s)→decimal(p',s') when the integer
+    * digits and the scale both never shrink (s'≥s ∧ p'−s'≥p−s). What
+    * makes widening metadata-safe the same way drop/rename are:
+    * retained pool files keep their narrower PHYSICAL type, and the
+    * parquet reader (probe-verified on this Spark) upcasts them
+    * losslessly under the widened read schema — exactly the value the
+    * old type would have produced, so old and new files mix freely.
+    */
+  def isWidening(from: org.apache.spark.sql.types.DataType,
+                 to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def rank(t: DataType): Int = t match {
+      case ByteType => 1; case ShortType => 2; case IntegerType => 3
+      case LongType => 4; case _ => -1
+    }
+    (from, to) match {
+      case (f, t) if rank(f) > 0 && rank(t) > 0 => rank(f) < rank(t)
+      case (FloatType, DoubleType) => true
+      case (f, DoubleType) if rank(f) > 0 && rank(f) <= 3 => true
+      case (f: DecimalType, t: DecimalType) =>
+        val (p1, s1, p2, s2) = (f.precision, f.scale, t.precision, t.scale)
+        (s2 > s1 || p2 > p1) && s2 >= s1 && p2 - s2 >= p1 - s1
+      case _ => false
+    }
+  }
+
+  /** TYPE-WIDENING schema evolution as a METADATA-ONLY commit (r14 —
+    * completes the evolution family next to [[renameColumn]] /
+    * [[dropColumn]]; every other retype stays refused everywhere it
+    * always was). Pool files keep their write-time physical type
+    * forever; the new manifest just records the wider logical type and
+    * every read's explicit schema upcasts the narrower files on scan
+    * ([[aliasedRead]] — native parquet type promotion plus a
+    * belt-and-braces cast). Time travel serves each version under ITS
+    * OWN type; the changelog casts pre-widen versions up to the
+    * post-widen shape, so a step whose only difference is the widening
+    * emits zero change rows; key tombstones keep applying (their
+    * stored narrow keys upcast through the same read path, and
+    * equality is preserved by losslessness). NARROWING and any
+    * non-listed conversion refuse loudly with the admissible table.
+    *
+    * Refusals: partition columns (their values are path strings
+    * re-parsed under the schema type — a mixed-width directory tree is
+    * an audit hazard for external tools), live PREDICATE tombstones
+    * (their stored SQL analyzed against commit-time types — same
+    * conservative rule as rename/drop). Recorded key ENVELOPES survive
+    * an integral→integral widen (same pruning domain); a domain-leaving
+    * widen (int→double, decimal growth) drops the column's envelopes —
+    * planning falls back to the footer sweep for those files.
+    * Returns the new version.
+    */
+  def widenColumn(spark: SparkSession, rootStr: String, name: String,
+                  newType: org.apache.spark.sql.types.DataType,
+                  keepVersions: Int = 2): Long = {
+    import org.apache.spark.sql.types._
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withCommitLock(fs, root) {
+      val (_, vdir) = committed(fs, root).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed versions under $rootStr"))
+      val m = manifestAt(fs, vdir).getOrElse(
+        throw new IllegalArgumentException(
+          s"type widening needs a snapshot layout at $rootStr"))
+      val names = m.schema.fieldNames
+      require(names.contains(name),
+        s"no column '$name' in ${names.mkString(", ")}")
+      val from = m.schema(name).dataType
+      require(isWidening(from, newType),
+        s"'${from.sql} → ${newType.sql}' is not a lossless widening — " +
+          "admitted: byte→short→int→long, float→double, " +
+          "byte/short/int→double, decimal(p,s)→decimal(p',s') with " +
+          "s'≥s and p'−s'≥p−s; anything else needs a full rewrite")
+      require(!m.partitionBy.contains(name),
+        s"'$name' is a partition column — its values are path strings " +
+          "re-parsed under the schema type; repartition via a full " +
+          "rewrite instead")
+      require(!m.deleteEntries.exists(_.cols.contains(Seq(PredColName))),
+        "a PREDICATE deletion vector is live — its stored SQL was " +
+          "analyzed against commit-time types; --materialize-deletes first")
+      val newSchema = StructType(m.schema.fields.map(f =>
+        if (f.name == name) f.copy(dataType = newType) else f))
+      val integralDomain = Seq(ByteType, ShortType, IntegerType, LongType)
+      val keepEnvs = integralDomain.contains(from) &&
+        integralDomain.contains(newType)
+      val newEntries =
+        if (keepEnvs) m.entries
+        else m.entries.map(e =>
+          e.copy(envs = e.envs.map(_ - name).filter(_.nonEmpty)))
+      commitLocked(fs, root,
+        Manifest(newSchema.toDDL, m.partitionBy, newEntries,
+          aliases = m.aliases, dropped = m.dropped), keepVersions)
+    }
+  }
+
   /** Fold accumulated deletion vectors into the data: one full
     * tombstone-applied read committed as a fresh snapshot version
     * (the OPTIMIZE step that re-enables the incremental writers).
@@ -2741,8 +2841,11 @@ object Snapshot {
           d.withColumnRenamed(po, ln)
         else d
       }
+      // cast-to-target covers steps that predate a TYPE WIDENING the
+      // same way null-padding covers pre-ADD-COLUMN steps (no-op cast
+      // for unevolved columns)
       f.select(outSchema.fields.toIndexedSeq.map(g =>
-        if (f.columns.contains(g.name)) col(g.name)
+        if (f.columns.contains(g.name)) col(g.name).cast(g.dataType).as(g.name)
         else lit(null).cast(g.dataType).as(g.name)): _*)
     }.reduce(_ unionAll _)
   }
@@ -2935,21 +3038,25 @@ object Snapshot {
     // commit) compares against the from-version null-padded to the
     // same shape — the exact rows a from-version reader under the
     // evolved schema would see, so a row whose new column gained a
-    // value classifies as an update with a NULL preimage. Anything
-    // that is not a pure widening or recorded drop (retype, unrecorded
-    // drop) still refuses loudly.
+    // value classifies as an update with a NULL preimage. A
+    // TYPE-WIDENED column (r14, [[widenColumn]]) casts up the same way
+    // — the cast is the identical lossless conversion the to-side's
+    // physically-narrow files take on scan, so a pure widen step emits
+    // zero change rows. Anything else (retype, unrecorded drop) still
+    // refuses loudly.
     val from =
       if (from0.schema == to.schema) from0
       else {
         val fNames = from0.columns.toSet
         val widens = from0.schema.fields.forall(f =>
-          to.schema.fields.exists(g => g.name == f.name && g.dataType == f.dataType))
+          to.schema.fields.exists(g => g.name == f.name &&
+            (g.dataType == f.dataType || isWidening(f.dataType, g.dataType))))
         require(widens,
           s"changelog requires the to-version schema to contain every " +
-            s"from-version column unchanged, got ${from0.schema.toDDL} " +
-            s"vs ${to.schema.toDDL}")
+            s"from-version column unchanged or losslessly widened, got " +
+            s"${from0.schema.toDDL} vs ${to.schema.toDDL}")
         from0.select(to.schema.fields.toIndexedSeq.map(g =>
-          if (fNames(g.name)) col(g.name)
+          if (fNames(g.name)) col(g.name).cast(g.dataType).as(g.name)
           else lit(null).cast(g.dataType).as(g.name)): _*)
       }
     val cols = to.columns.toIndexedSeq

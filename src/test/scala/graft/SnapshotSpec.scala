@@ -1597,4 +1597,126 @@ class SnapshotSpec extends SparkSpec {
     assert(poolFiles(p).filterNot(_.startsWith("_deletes/")) == dataBefore)
     assert(Snapshot.fsck(spark, p).isEmpty)
   }
+
+  test("type widening is metadata-only: mixed-width files, per-version types, changelog crosses it") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = freshDir("snap_widen")
+    val p = s"$dir/t.parquet"
+    WriteOps.atomicOverwrite(spark, base(40), p, indexBy = Seq("id"),
+      maxRecordsPerFile = 10, commitMode = "snapshot", keepVersions = 10) // v1
+    val dataBefore = poolFiles(p)
+    // the widen commits NO data file and keeps integral key envelopes
+    val v2 = Snapshot.widenColumn(spark, p, "grp", LongType, keepVersions = 10)
+    assert(poolFiles(p) == dataBefore, "widening must be metadata-only")
+    val head = graft.sources.Resolver.readParquet(spark, p)
+    assert(head.schema("grp").dataType == LongType)
+    assert(sortedRows(head) == sortedRows(base(40)
+      .withColumn("grp", col("grp").cast("long"))),
+      "narrow physical files must upcast losslessly")
+    // time travel serves each version under ITS OWN type
+    val v1read = graft.sources.Resolver.readParquet(spark, p, Some(1L))
+    assert(v1read.schema("grp").dataType == IntegerType)
+    // a value only the WIDE type can hold lands via append-shaped upsert
+    val big = Seq((1000L, "wide", 10000000000L)).toDF("id", "txt", "grp")
+    Snapshot.upsertAppend(spark, p, big, Seq("id"), indexBy = Seq("id"),
+      keepVersions = 10)                                       // v3
+    val mixed = graft.sources.Resolver.readParquet(spark, p)
+    assert(mixed.count() == 41 &&
+      mixed.filter(col("grp") === 10000000000L).count() == 1,
+      "post-widen rows mix with pre-widen narrow files")
+    // the PURE widen step emits zero change rows; the upsert step
+    // classifies normally across the widen
+    assert(Snapshot.changelog(spark, p, 1L, v2, Seq("id")).isEmpty,
+      "a pure type widen is not a data change")
+    val cl = Snapshot.changelog(spark, p, 1L, v2 + 1, Seq("id"))
+    assert(rows(cl.select("id", "_change_type")) == Seq(Seq(1000L, "insert")))
+    assert(cl.schema("grp").dataType == LongType)
+    // open-ended cursor spans the widen: early steps cast up
+    val since = Snapshot.changelogSince(spark, p, 1L, Seq("id"))
+    assert(since.schema("grp").dataType == LongType && since.count() == 1)
+    // integral→integral widen keeps recorded key envelopes (merge
+    // planning stays metadata-only); int→double would drop them
+    val (_, vdir) = Snapshot.resolveVersion(fs, new Path(p), None)
+    val m = Snapshot.manifestAt(fs, vdir).get
+    assert(m.dataEntries.exists(_.envs.exists(_.contains("id"))),
+      "envelopes must survive an integral widen")
+    assert(Snapshot.fsck(spark, p).isEmpty)
+  }
+
+  test("type widening: key tombstones keep applying; refusal matrix is loud") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = freshDir("snap_widenref")
+    val p = s"$dir/t.parquet"
+    WriteOps.atomicOverwrite(spark, base(30), p, indexBy = Seq("id"),
+      maxRecordsPerFile = 10, commitMode = "snapshot", keepVersions = 10)
+    // tombstone keyed on the column ABOUT to widen: stored narrow keys
+    // must keep matching after the upcast (losslessness ⇒ equality)
+    Snapshot.deleteByKeys(spark, p, Seq(3).toDF("grp"), keepVersions = 10)
+    Snapshot.widenColumn(spark, p, "grp", LongType, keepVersions = 10)
+    val got = graft.sources.Resolver.readParquet(spark, p)
+    assert(got.filter(col("grp") === 3L).isEmpty &&
+      got.count() == base(30).filter(col("grp") =!= 3).count(),
+      "a pre-widen tombstone must keep applying to upcast reads")
+    // refusals: narrowing, non-listed conversions, partition columns
+    val eN = intercept[IllegalArgumentException](
+      Snapshot.widenColumn(spark, p, "grp", IntegerType))
+    assert(eN.getMessage.contains("not a lossless widening"))
+    intercept[IllegalArgumentException](
+      Snapshot.widenColumn(spark, p, "txt", LongType))
+    intercept[IllegalArgumentException](
+      Snapshot.widenColumn(spark, p, "id", DoubleType)) // long→double is lossy
+    // live predicate DV: conservative refusal, same as rename/drop
+    // (fresh table — grp here is already widened to long)
+    val p3 = s"$dir/pred.parquet"
+    WriteOps.atomicOverwrite(spark, base(10), p3, indexBy = Seq("id"),
+      commitMode = "snapshot", keepVersions = 10)
+    Snapshot.deleteByPredicate(spark, p3, "grp = 999", keepVersions = 10)
+    val eP = intercept[IllegalArgumentException](
+      Snapshot.widenColumn(spark, p3, "grp", LongType))
+    assert(eP.getMessage.contains("PREDICATE"))
+    // the admissibility table itself
+    assert(Snapshot.isWidening(FloatType, DoubleType))
+    assert(Snapshot.isWidening(IntegerType, DoubleType))
+    assert(Snapshot.isWidening(ByteType, ShortType))
+    assert(Snapshot.isWidening(DecimalType(5, 2), DecimalType(10, 2)))
+    assert(Snapshot.isWidening(DecimalType(5, 2), DecimalType(6, 3)))
+    assert(!Snapshot.isWidening(DecimalType(5, 2), DecimalType(5, 3)),
+      "integer digits must never shrink")
+    assert(!Snapshot.isWidening(LongType, DoubleType) &&
+      !Snapshot.isWidening(DoubleType, FloatType) &&
+      !Snapshot.isWidening(LongType, IntegerType))
+  }
+
+  test("type widening: partition column refused; CLI --widen-column end-to-end") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = freshDir("snap_widencli")
+    val p = s"$dir/t.parquet"
+    WriteOps.atomicOverwrite(spark, base(20), p, partitionBy = Seq("grp"),
+      indexBy = Seq("id"), commitMode = "snapshot", keepVersions = 10)
+    val eP = intercept[IllegalArgumentException](
+      Snapshot.widenColumn(spark, p, "grp", LongType))
+    assert(eP.getMessage.contains("partition column"))
+    // CLI end-to-end on a flat table with an int measure column
+    val p2 = s"$dir/u.parquet"
+    WriteOps.atomicOverwrite(spark,
+      (0 until 20).map(i => (i.toLong, i * 3)).toDF("id", "qty"),
+      p2, indexBy = Seq("id", "qty"), commitMode = "snapshot",
+      keepVersions = 10)
+    val (j, o) = graft.cli.Main.parse(Array(
+      "-s", s"parquet/$dir/u", "--widen-column", "qty:double", "-y"))
+    graft.cli.Main.execute(spark, j, o)
+    val back = graft.sources.Resolver.readParquet(spark, p2)
+    assert(back.schema("qty").dataType == DoubleType)
+    assert(back.agg(sum(col("qty"))).as[Double].head() == (0 until 20).map(_ * 3).sum)
+    // the domain-leaving widen DROPS the column's envelopes (fsck-clean)
+    val (_, vdir) = Snapshot.resolveVersion(fs, new Path(p2), None)
+    val m2 = Snapshot.manifestAt(fs, vdir).get
+    assert(m2.dataEntries.forall(!_.envs.exists(_.contains("qty"))))
+    assert(m2.dataEntries.exists(_.envs.exists(_.contains("id"))),
+      "only the widened column's envelopes drop")
+    assert(Snapshot.fsck(spark, p2).isEmpty)
+  }
 }
