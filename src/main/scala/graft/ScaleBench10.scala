@@ -381,6 +381,94 @@ object ScaleBench10 {
       writeReport()
     }
 
+    // ── 7. RATE-BOUNDED spanning drain at a 1,000-commit backlog (r14
+    // verdict): ceil(backlog/bound) span diffs, each O(bound) union
+    // branches — jobs scale with BATCHES, not commits, and the folded
+    // state is identical however the backlog is sliced (the
+    // composition law CdfStreamSpec proves at toy scale, priced here).
+    {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val cdcPath = s"$out/cdc1k.parquet"
+      val n1k = 1000
+      timed("cdc1k_build_1000_commits") {
+        val state = scala.collection.mutable.LinkedHashMap.empty[Long, String]
+        (0L until 300L).foreach(i => state(i) = s"v0_$i")
+        graft.operators.WriteOps.atomicOverwrite(spark,
+          state.toSeq.toDF("id", "txt"), cdcPath, indexBy = Seq("id"),
+          commitMode = "snapshot", keepVersions = n1k + 50)
+        (1 to n1k).foreach { c =>
+          (0 until 3).foreach { j =>
+            state(((c * 37L + j * 211L) % 400L)) = s"v${c}_$j"
+          }
+          graft.operators.WriteOps.atomicOverwrite(spark,
+            state.toSeq.toDF("id", "txt"), cdcPath, indexBy = Seq("id"),
+            commitMode = "snapshot", keepVersions = n1k + 50)
+        }
+      }
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      def countJobs[T](f: => T): (Int, T) = {
+        spark.sparkContext.addSparkListener(listener)
+        jobs.set(0)
+        try { val r = f; Thread.sleep(1500); (jobs.get(), r) }
+        finally spark.sparkContext.removeSparkListener(listener)
+      }
+      def foldDrain(ckpt: String, bound: Int): (Int, Int, Map[Long, String]) = {
+        val st = scala.collection.mutable.Map.empty[Long, String]
+        graft.operators.Snapshot.readAt(spark, cdcPath, Some(1L))
+          .select("id", "txt").collect()
+          .foreach(r => st(r.getLong(0)) = r.getString(1))
+        val (j, b) = countJobs {
+          graft.streaming.CdfStream.runAvailableNow(spark, cdcPath, Seq("id"),
+            ckpt, startingVersion = Some(1L), maxVersionsPerBatch = bound,
+            spanningBatches = true) { (inc, _, _) =>
+            inc.orderBy("_commit_version")
+              .select(col("_change_type"), col("id"), col("txt")).collect()
+              .foreach { r =>
+                r.getString(0) match {
+                  case "delete" | "update_preimage" => ()
+                  case _ => st(r.getLong(1)) = r.getString(2)
+                }
+              }
+          }
+        }
+        (j, b, st.toMap)
+      }
+      var spanned: (Int, Int, Map[Long, String]) = null
+      timed("cdc1k_drain_spanning_unbounded") {
+        spanned = foldDrain(s"$out/cdc1k_ck_span", 0)
+      }
+      var bounded: (Int, Int, Map[Long, String]) = null
+      timed("cdc1k_drain_spanning_bound100") {
+        bounded = foldDrain(s"$out/cdc1k_ck_b100", 100)
+      }
+      val head1k = graft.operators.Snapshot.readAt(spark, cdcPath, None)
+        .select("id", "txt").collect().map(r => r.getLong(0) -> r.getString(1))
+        .toMap
+      require(spanned._3 == head1k && bounded._3 == head1k,
+        "every slicing must fold to the exact head state")
+      require(spanned._2 == 1 && bounded._2 == 10,
+        s"1 unbounded / ceil(1000/100)=10 bounded batches, got " +
+          s"${spanned._2}/${bounded._2}")
+      results("cdc1k_jobs_spanning") = spanned._1.toDouble
+      results("cdc1k_jobs_bound100") = bounded._1.toDouble
+      require(spanned._1 <= 15 && bounded._1 <= 10 * 15,
+        s"jobs must scale with BATCHES, not the 1000-commit backlog " +
+          s"(${spanned._1} unbounded, ${bounded._1} bounded)")
+      notes("cdc1k") = f"1000-commit backlog: unbounded spanning ${spanned._1} " +
+        f"jobs / ${results("cdc1k_drain_spanning_unbounded")}%.1fs vs " +
+        f"bound-100 ${bounded._1} jobs / " +
+        f"${results("cdc1k_drain_spanning_bound100")}%.1fs (10 batches); " +
+        "both fold to the exact head"
+      writeReport()
+    }
+
     // closed-form claims
     require(deltaBytes * 20 < monoBytes,
       s"delta commits must write <5% of monolithic bytes ($deltaBytes vs $monoBytes)")

@@ -1,0 +1,123 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** READ-SIDE TABLE for snapshot layouts (r14, verdict "What's missing
+  * #4"): `spark.read.format("graft").load(path)` — and
+  * `CREATE TEMPORARY VIEW t USING graft OPTIONS (path '…')` in plain
+  * SQL — serve a snapshot table's RESOLVED state (manifest membership,
+  * deletion vectors, alias/drop/widen evolution, time travel via
+  * options) to any Spark-compatible consumer, with zero knowledge of
+  * the engine's `Resolver`. Writes stay engine-side by design: the
+  * commit protocol (locks, rebase arbitration, commit groups) is not
+  * expressible as a blind `save()`.
+  *
+  * Options:
+  *   - `path` — the table root (also the positional `load(path)` arg);
+  *   - `versionAsOf` — pinned version number (time travel);
+  *   - `timestampAsOf` — epoch millis / `yyyy-MM-dd` / local timestamp,
+  *     resolved to the latest commit at-or-before the instant.
+  *
+  * WHY the stable V1 `RelationProvider` shape and not a DSv2 `Table`:
+  * a DSv2 read needs a `PartitionReaderFactory` that produces rows
+  * partition-locally, which for parquet means either re-implementing
+  * the vectorized parquet reader or shimming Spark's private
+  * `ParquetPartitionReaderFactory`. The V1 relation instead composes
+  * the engine's existing tombstone-aware read as an INNER plan:
+  * `buildScan` receives the outer query's pruned columns and pushed
+  * filters, applies them to that inner DataFrame, and the inner
+  * Catalyst plan pushes them all the way into the native parquet scan
+  * (full codegen, footer pruning, DV anti-joins) — so pushdown
+  * fidelity is identical to the engine's own reads. The cost is one
+  * row conversion at the relation boundary, which is why bulk
+  * engine-side pipelines keep reading through [[Resolver.readParquet]]
+  * (zero-copy native plan); `format("graft")` is the INTEROP surface
+  * for externals tools, ad-hoc SQL and third-party jobs. Spark
+  * re-applies every filter above the scan (the V1 contract allows
+  * false positives), so a partially-translated predicate is always
+  * safe.
+  */
+class GraftDataSource extends RelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val path = parameters.get("path").orElse(parameters.get("paths"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft source needs a path: spark.read.format(\"graft\").load(<table root>)"))
+    val spark = sqlContext.sparkSession
+    val version = (parameters.get("versionAsOf"), parameters.get("timestampAsOf")) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "versionAsOf and timestampAsOf are mutually exclusive")
+      case (Some(v), None) => Some(v.trim.toLong)
+      case (None, Some(ts)) =>
+        val hp = new org.apache.hadoop.fs.Path(path)
+        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        Some(graft.operators.Snapshot.versionAtTimestamp(fs, hp,
+          graft.operators.Snapshot.parseCommitTs(ts)))
+      case _ => None
+    }
+    new GraftRelation(spark, path, version)
+  }
+}
+
+/** One resolved snapshot read as a V1 relation with column-pruning and
+  * filter pushdown into the inner (native parquet) plan.
+  */
+class GraftRelation(@transient val spark: SparkSession, path: String,
+                    at: Option[Long])
+  extends BaseRelation with PrunedFilteredScan {
+
+  /** The engine's own read — manifest membership, DV anti-joins /
+    * pushed predicate tombstones, alias recovery, widened-type upcast.
+    */
+  private lazy val inner: DataFrame = Resolver.readParquet(spark, path, at)
+
+  override def sqlContext: SQLContext = spark.sqlContext
+  override val schema: StructType = inner.schema
+
+  // default unhandledFilters: Spark re-applies everything above the
+  // scan — the translation below is a pure IO reduction, never the
+  // correctness gate
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): RDD[Row] = {
+    val filtered = filters.flatMap(translate).foldLeft(inner)(_ filter _)
+    // zero requiredColumns = a bare count(*): a zero-column projection
+    // still carries the row count through
+    filtered.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
+  }
+
+  /** V1 `sources.Filter` → Column, best-effort: None (skip) for any
+    * shape without an exact translation — Spark's re-application above
+    * the scan keeps partial translation sound.
+    */
+  private def translate(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    // compound shapes translate EXACTLY or not at all: a partial AND
+    // would be sound alone (superset) but UNSOUND under an enclosing
+    // NOT (negating a weaker condition drops valid rows) — and Spark
+    // already splits top-level conjuncts into separate array elements,
+    // so exactness here costs nothing in practice
+    case And(l, r) => for (a <- translate(l); b <- translate(r)) yield a && b
+    case Or(l, r) => for (a <- translate(l); b <- translate(r)) yield a || b
+    case Not(c) => translate(c).map(not)
+    case _ => None
+  }
+}

@@ -235,6 +235,63 @@ class CdfStreamSpec extends SparkSpec {
     assert(!got.exists(_.contains("99")), "within-span churn must telescope away")
   }
 
+  test("spanning composition law: bounded spanning ≡ unbounded spanning ≡ consecutive for a stateless consumer") {
+    // A STATELESS (latest-state) consumer folds increments by pk:
+    // insert/update_postimage asserts the image, delete retracts,
+    // preimages are ignored. The law: however the backlog is batched —
+    // one per-commit diff each (consecutive), one spanning diff per
+    // bounded batch, or ONE spanning diff for everything — the folded
+    // final state is identical, because each (from, to] span diff IS
+    // the net change of the span and folding is associative over
+    // adjacent spans. This is what licenses draining a 1,000-commit
+    // backlog as ceil(1000/bound) jobs instead of 1,000.
+    val dir = freshDir("cdf_complaw")
+    val p = s"$dir/t.parquet"
+    seedTable(p)                                              // v1
+    Snapshot.deleteByKeys(spark, p, Seq(3L, 7L).toDF("id"), keepVersions = 20) // v2
+    upsert(p, dir, Seq(3L, 11L), "A")                         // v3: 3 back
+    Snapshot.upsertAppend(spark, p, Seq((99L, "n", 1)).toDF("id", "txt", "grp"),
+      Seq("id"), indexBy = Seq("id"), keepVersions = 20)      // v4
+    Snapshot.deleteByKeys(spark, p, Seq(99L, 11L).toDF("id"), keepVersions = 20) // v5
+    upsert(p, dir, Seq(0L, 99L), "B")                         // v6: 99 back
+    Snapshot.deleteByPredicate(spark, p, "grp = 4", keepVersions = 20) // v7
+    def fold(spanning: Boolean, bound: Int): (Int, Map[String, String]) = {
+      val state = scala.collection.mutable.Map.empty[String, String]
+      val n = CdfStream.runAvailableNow(spark, p, Seq("id"),
+        s"$dir/ck_${spanning}_$bound", startingVersion = Some(1L),
+        maxVersionsPerBatch = bound, spanningBatches = spanning) { (inc, _, _) =>
+        // fold in commit order WITHIN the increment (consecutive mode
+        // tags rows with their own commit; spanning tags toV)
+        inc.orderBy("_commit_version").collect().foreach { r =>
+          val id = String.valueOf(r.getAs[Any]("id"))
+          r.getAs[String]("_change_type") match {
+            case "insert" | "update_postimage" =>
+              state(id) = String.valueOf(r.getAs[Any]("txt"))
+            case "delete" => state.remove(id); ()
+            case _ => ()
+          }
+        }
+      }
+      (n, state.toMap)
+    }
+    val (nCons, consec) = fold(spanning = false, bound = 1)
+    val (nSpan, spanned) = fold(spanning = true, bound = 0)
+    val (nBnd, bounded) = fold(spanning = true, bound = 2)
+    assert(nCons == 6, s"consecutive = one batch per commit, got $nCons")
+    assert(nSpan == 1, "unbounded spanning = ONE batch for the backlog")
+    assert(nBnd == 3, s"bounded spanning = ceil(6/2) batches, got $nBnd")
+    assert(spanned == consec, "spanning must fold to the consecutive state")
+    assert(bounded == consec, "bounded spanning must fold to the same state")
+    // and the folded state agrees with the head table on every key it holds
+    val head = graft.sources.Resolver.readParquet(spark, p)
+      .select(col("id").cast("string"), col("txt")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    consec.foreach { case (id, txt) =>
+      assert(head.get(id).contains(txt), s"folded $id=$txt vs head ${head.get(id)}")
+    }
+    assert(consec.keySet.intersect(Set("7")).isEmpty, "deleted keys stay out")
+  }
+
   test("cdfToSignatureIndex: dedup index maintained from change rows equals the bulk rebuild") {
     import graft.ext.TextDedup
     val dir = freshDir("cdf_sigidx")
