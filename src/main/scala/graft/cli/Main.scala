@@ -72,6 +72,7 @@ object Main {
       renameColumn: Option[(String, String)] = None, // [EXT] metadata-only rename
       dropColumn: Option[String] = None, // [EXT] metadata-only drop
       widenColumn: Option[(String, String)] = None, // [EXT] metadata-only type widen
+      autoMaintain: Boolean = false, // [EXT] debt-triggered post-write compaction
       changelog: Option[(Long, Long)] = None, // [EXT] CDC diff from:to
       changelogPk: Seq[String] = Nil, // [EXT] row identity for --changelog
       cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -113,6 +114,7 @@ object Main {
     var renameColumn: Option[(String, String)] = None
     var dropColumn: Option[String] = None
     var widenColumn: Option[(String, String)] = None
+    var autoMaintain = false
     var changelog: Option[(Long, Long)] = None
     var vacuumN: Option[Int] = None; var fsck = false
     var zorderCols: Seq[String] = Nil
@@ -242,6 +244,11 @@ object Main {
       case "--drop-column" => once("--drop-column")
         dropColumn = Some(next("--drop-column")).filter(_.nonEmpty)
         if (dropColumn.isEmpty) throw CliError("--drop-column needs NAME")
+      // [EXT] debt-triggered auto-maintenance after the write: when the
+      // new head's debt (tombstone bytes, sequence classes, small
+      // files) crosses a ceiling, compaction runs and stamps a
+      // #note= audit line into its commit (see --history)
+      case "--auto-maintain" => autoMaintain = true
       // [EXT] metadata-only lossless type widening: NAME:SQLTYPE
       case "--widen-column" => once("--widen-column")
         widenColumn = next("--widen-column").split(":", 2) match {
@@ -498,6 +505,7 @@ object Main {
       renameColumn = renameColumn,
       dropColumn = dropColumn,
       widenColumn = widenColumn,
+      autoMaintain = autoMaintain,
       changelog = changelog,
       changelogPk = if (pk.nonEmpty) csv(pk) else csv(opPk)))
   }
@@ -837,6 +845,14 @@ object Main {
             progress = if (opts.silent) None else Some(println(_: String)),
             comment = opts.msg)
           println(s"done: ${r.written} rows written")
+        }
+        if (opts.autoMaintain) job.target.foreach { t =>
+          graft.operators.Maintenance.maybeCompact(spark,
+            Resolver.path(t.ref),
+            graft.operators.Maintenance.Policy(indexBy = t.indexBy,
+              keepVersions = t.keepVersions)).foreach(st =>
+            println(s"auto-maintained: compacted ${st.filesCompacted} " +
+              s"file(s) in ${st.dirsCompacted} dir(s) -> ${st.filesCreated}"))
         }
     }
   }

@@ -112,7 +112,8 @@ object Compaction {
   def compact(spark: SparkSession, path: String, indexBy: Seq[String] = Nil,
               targetFileBytes: Long = 128L << 20,
               keepVersions: Int = 2,
-              foldDeletesAbove: Double = 0.2): Stats = {
+              foldDeletesAbove: Double = 0.2,
+              note: Option[String] = None): Stats = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -123,7 +124,7 @@ object Compaction {
     // generations keep reading their own manifests
     if (Snapshot.isSnapshotLayout(fs, root))
       return compactSnapshot(spark, root, fs, indexBy, targetFileBytes,
-        keepVersions, foldDeletesAbove)
+        keepVersions, foldDeletesAbove, note)
     require(!Versioned.list(fs, root).exists(_._3),
       "compaction of a dir-versioned layout would bypass its commit " +
         "protocol — rewrite through the versioned writer instead")
@@ -211,20 +212,22 @@ object Compaction {
   private def compactSnapshot(spark: SparkSession, root: Path, fs: FileSystem,
                               indexBy: Seq[String], targetFileBytes: Long,
                               keepVersions: Int,
-                              foldDeletesAbove: Double): Stats = {
+                              foldDeletesAbove: Double,
+                              note: Option[String]): Stats = {
     val (baseV, vdir) = Snapshot.resolveVersion(fs, root, None)
     // stale-read fence (r12): group/DV scans execute lazily against
     // this manifest; a racing commit + vacuum reclaiming a planned
     // file converts to a re-plannable conflict (see Snapshot scaladoc)
     Snapshot.staleReadAsConflict(fs, root, baseV)(
       compactSnapshotAt(spark, root, fs, indexBy, targetFileBytes,
-        keepVersions, foldDeletesAbove, baseV, vdir))
+        keepVersions, foldDeletesAbove, baseV, vdir, note))
   }
 
   private def compactSnapshotAt(spark: SparkSession, root: Path, fs: FileSystem,
                                 indexBy: Seq[String], targetFileBytes: Long,
                                 keepVersions: Int, foldDeletesAbove: Double,
-                                baseV: Long, vdir: Path): Stats = {
+                                baseV: Long, vdir: Path,
+                                note: Option[String]): Stats = {
     val m = Snapshot.manifestAt(fs, vdir).get
     val dd = Snapshot.dataDir(root)
     // deletion-vector files are NOT data: never compact them into data
@@ -426,7 +429,7 @@ object Compaction {
       // merge rebases (its rewritten files are still head members); a
       // concurrent rewrite of the SAME files is a loud conflict
       Snapshot.commitRebase(fs, root, baseV, removedRels.toSet,
-        newEntries, m.schemaDdl, m.partitionBy, keepVersions)
+        newEntries, m.schemaDdl, m.partitionBy, keepVersions, note = note)
       Stats(dirs, m.entries.size, compacted, bytes, newEntries.size)
     } finally {
       stages.foreach(s =>

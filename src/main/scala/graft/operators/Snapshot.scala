@@ -149,11 +149,18 @@ object Snapshot {
     * a full rewrite ([[overwrite]]), whose commit references fresh
     * files exclusively.
     */
+  /** `note` (r14 — auto-maintenance audit trail): a free-text line
+    * recorded by the commit that wrote THIS version (never inherited),
+    * surfaced in [[history]]. [[Maintenance]] stamps its trigger
+    * (which debt ceiling fired, the measured debt, the action) so a
+    * table's maintenance decisions are auditable from metadata alone.
+    */
   final case class Manifest(schemaDdl: String, partitionBy: Seq[String],
                             entries: Seq[Entry],
                             commitTsMillis: Option[Long] = None,
                             aliases: Seq[(String, String)] = Nil,
-                            dropped: Seq[String] = Nil) {
+                            dropped: Seq[String] = Nil,
+                            note: Option[String] = None) {
     def schema: StructType = Snapshot.parseDdl(schemaDdl)
     def bytes: Long = entries.map(_.bytes).sum
     /** Data members (excludes deletion-vector files). */
@@ -208,6 +215,10 @@ object Snapshot {
     m.dropped.foreach { n =>
       if (!n.exists("\t\n".contains(_)))
         sb.append("#dropped=").append(n).append('\n')
+    }
+    m.note.foreach { n =>
+      if (!n.exists("\n".contains(_)))
+        sb.append("#note=").append(n).append('\n')
     }
     m.entries.foreach(e => sb.append(renderEntry(e)).append('\n'))
     sb.toString
@@ -375,6 +386,10 @@ object Snapshot {
       if (!n.exists("\t\n".contains(_)))
         sb.append("#dropped=").append(n).append('\n')
     }
+    m.note.foreach { n =>
+      if (!n.exists("\n".contains(_)))
+        sb.append("#note=").append(n).append('\n')
+    }
     removed.foreach(r => sb.append('-').append(r).append('\n'))
     added.foreach(e => sb.append('+').append(renderEntry(e)).append('\n'))
     // same EXCLUSIVE-create collision arbiter as the full manifest:
@@ -462,12 +477,15 @@ object Snapshot {
     val dropped = headers.collect {
       case h if h.startsWith("#dropped=") => h.stripPrefix("#dropped=")
     }.toSeq
+    val note = headers.collectFirst {
+      case h if h.startsWith("#note=") => h.stripPrefix("#note=")
+    }
     // normalize ON READ: an entry line without the seq field (a
     // pre-r12 manifest, or one carried from it) gets the effective
     // seq that reproduces the old GLOBAL tombstone semantics — see
     // [[parseEntry]].
     val entries = body.map(parseEntry).toSeq
-    Some(Manifest(lines(1), pcols, entries, commitTs, aliases, dropped))
+    Some(Manifest(lines(1), pcols, entries, commitTs, aliases, dropped, note))
   }
 
   /** Resolve a version's FULL membership: a checkpoint `_MANIFEST` as
@@ -670,12 +688,15 @@ object Snapshot {
     val dropped = headers.collect {
       case h if h.startsWith("#dropped=") => h.stripPrefix("#dropped=")
     }.toSeq
+    val note = headers.collectFirst {
+      case h if h.startsWith("#note=") => h.stripPrefix("#note=")
+    }
     val removed = rest.collect {
       case l if l.startsWith("-") => l.stripPrefix("-")
     }.toSet
     val added = rest.filter(l => l.nonEmpty && !l.startsWith("#") &&
       !l.startsWith("-")).map(l => parseEntry(l.stripPrefix("+"))).toSeq
-    ParsedDelta(Manifest(lines(1), pcols, Nil, commitTs, aliases, dropped),
+    ParsedDelta(Manifest(lines(1), pcols, Nil, commitTs, aliases, dropped, note),
       baseV, removed, added)
   }
 
@@ -1358,12 +1379,13 @@ object Snapshot {
                                   schemaDdl: String,
                                   partitionBy: Seq[String],
                                   keepVersions: Int,
-                                  baseDeleteRels: Option[Set[String]] = None): Long =
+                                  baseDeleteRels: Option[Set[String]] = None,
+                                  note: Option[String] = None): Long =
     withCommitLock(fs, root) {
       val (hv, head, outDdl) = rebaseChecksLocked(fs, root, baseVersion,
         removedRels, schemaDdl, partitionBy, baseDeleteRels)
       commitDeltaLocked(fs, root, hv, head, removedRels, added, outDdl,
-        partitionBy, keepVersions)
+        partitionBy, keepVersions, note)
     }
 
   /** The head inspection + conflict arbitration of [[commitRebase]],
@@ -1465,7 +1487,8 @@ object Snapshot {
                                 head: Resolved, removedRels: Set[String],
                                 added: Seq[Entry], outDdl: String,
                                 partitionBy: Seq[String],
-                                keepVersions: Int): Long = {
+                                keepVersions: Int,
+                                note: Option[String] = None): Long = {
     val next = Versioned.list(fs, root).map(_._1).maxOption.getOrElse(0L) + 1
     val vdir = new Path(root, f"_v_$next%020d")
     val stampedAdded = added.map(e => if (e.seq < 0) e.copy(seq = next) else e)
@@ -1486,7 +1509,8 @@ object Snapshot {
       s"duplicate rels within the added set at $vdir")
     val hdr = Manifest(outDdl, partitionBy, Nil,
       commitTsMillis = Some(System.currentTimeMillis()),
-      aliases = head.hdr.aliases, dropped = head.hdr.dropped)
+      aliases = head.hdr.aliases, dropped = head.hdr.dropped,
+      note = note) // notes mark THEIR commit only — never inherited
     val changed = removedRels.size + stampedAdded.size
     val useDelta = deltaCommitsEnabled && head.depth + 1 < CheckpointEvery &&
       changed < math.max(head.tree.size - removedRels.size + stampedAdded.size, 1)
@@ -1518,6 +1542,7 @@ object Snapshot {
             d.hdr.schemaDdl == hdr.schemaDdl &&
             d.hdr.partitionBy == hdr.partitionBy &&
             d.hdr.aliases == hdr.aliases && d.hdr.dropped == hdr.dropped &&
+            d.hdr.note == hdr.note &&
             bl == head.len && bmt == head.mtime
         } else parseFullManifest(fs, vdir).exists { read =>
           val stamped = hdr.copy(entries = tree.valuesIterator.toVector)
@@ -2773,8 +2798,9 @@ object Snapshot {
             fs.getFileStatus(new Path(p, Versioned.Marker)).getModificationTime)
         else 0L
       (n, isCommitted, protocol, files, bytes,
-        new java.sql.Timestamp(committedAt))
-    }.toDF("version", "committed", "protocol", "files", "bytes", "committed_at")
+        new java.sql.Timestamp(committedAt), mOpt.flatMap(_.note).orNull)
+    }.toDF("version", "committed", "protocol", "files", "bytes",
+      "committed_at", "note")
   }
 
   /** CDC changelog between two retained snapshots, the Delta
