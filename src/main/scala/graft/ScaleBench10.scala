@@ -469,6 +469,113 @@ object ScaleBench10 {
       writeReport()
     }
 
+    // ── 8. LIST checkpoints at 10⁶ entries (r14 verdict): the
+    // every-CheckpointEvery-th checkpoint was the last O(entries)
+    // driver cost — with `_MANIFEST_LIST` part reuse it goes
+    // O(dirty-parts), so the 1M-entry cadence checkpoint must land
+    // within ~2× of the 100k one (correctness of the layout —
+    // reads/time-travel/changelog/fsck — is ManifestListSpec's job on
+    // real tables; this phase prices the metadata alone).
+    {
+      // one table per scale; `cycle()` drives CheckpointEvery commits
+      // (15 deltas + the cadence checkpoint) and reports the
+      // checkpoint's ms. Cycles INTERLEAVE across the two scales and
+      // the MIN of two cycles per scale is compared — JIT/allocator
+      // warmth is a whole-process ramp, and comparing a maximally-warm
+      // 100k number against a cooler 1M one (or vice versa) measures
+      // the ramp, not the protocol.
+      final class CycleDriver(label: String, n: Int) {
+        val root = new Path(out, label)
+        var mem: Vector[Entry] = (0L until n.toLong).map(entry(_, 1L)).toVector
+        var baseV = Snapshot.commitVersion(fs, root,
+          Manifest(ddl, Nil, mem), keepVersions = 60)
+        var freshSeq = 0L
+        def partNames(v: Long): Set[String] = {
+          val vdir = new Path(root, f"_v_$v%020d")
+          if (!fs.exists(new Path(vdir, "_MANIFEST_LIST"))) Set.empty
+          else {
+            val in = fs.open(new Path(vdir, "_MANIFEST_LIST"))
+            val txt = try new String(in.readAllBytes(), "UTF-8")
+              finally in.close()
+            txt.linesIterator.filter(_.startsWith("P\t"))
+              .map(_.split("\t")(1)).toSet
+          }
+        }
+        val seedParts = partNames(baseV)
+        require(seedParts.nonEmpty, s"$label: seed must be a list checkpoint")
+        def cycle(): (Double, Double, Int, Int) = {
+          val before = partNames(baseV) match {
+            case s if s.nonEmpty => s
+            case _ => seedParts
+          }
+          var ckptMs = -1.0; var ckptV = -1L
+          var deltaMs = 0.0; var deltas = 0
+          for (_ <- 0 until Snapshot.CheckpointEvery) {
+            freshSeq += 2
+            val fresh = Vector(entry(n + freshSeq, Snapshot.UnsetSeq),
+              entry(n + freshSeq + 1, Snapshot.UnsetSeq))
+            val t0 = System.nanoTime()
+            val v = Snapshot.commitRebase(fs, root, baseV,
+              Set(mem(0).rel, mem(1).rel), fresh, ddl, Nil, 60)
+            val ms = (System.nanoTime() - t0) / 1e6
+            if (partNames(v).nonEmpty) { ckptMs = ms; ckptV = v }
+            else { deltaMs += ms; deltas += 1 }
+            baseV = v
+            mem = mem.drop(2) ++ fresh.map(_.copy(seq = v))
+          }
+          require(ckptMs > 0, s"$label: the cadence checkpoint must have fired")
+          val ckParts = partNames(ckptV)
+          val reused = ckParts.intersect(before).size
+          println(f"SCALE10   $label ckpt ${ckptMs}%8.1f ms " +
+            f"(parts ${ckParts.size}, reused $reused), delta avg " +
+            f"${deltaMs / math.max(1, deltas)}%6.1f ms")
+          (ckptMs, deltaMs / math.max(1, deltas), ckParts.size, reused)
+        }
+        def checkExact(): Unit = {
+          Snapshot.clearResolvedCache()
+          val head = Snapshot.manifestAt(fs,
+            Snapshot.resolveVersion(fs, root, None)._2).get
+          require(head.entries.sortBy(_.rel) == mem.sortBy(_.rel),
+            s"$label: cold list+delta resolution must equal the mirror")
+        }
+      }
+      val d100 = new CycleDriver("list100k", 100000)
+      val d1m = new CycleDriver("list1m", 1000000)
+      val (a100, b100, a1m, b1m) = timed("list_cycles_interleaved") {
+        val x = d100.cycle(); val y = d1m.cycle()
+        (x, d100.cycle(), y, d1m.cycle())
+      }
+      val ck100 = math.min(a100._1, b100._1)
+      val ck1m = math.min(a1m._1, b1m._1)
+      val (_, d1mavg, parts1m, reused1m) = b1m
+      d100.checkExact(); d1m.checkExact()
+      // the CONTRAST: what the old O(entries) checkpoint would have
+      // cost at 1M — one driver text render of the full membership
+      val renderT0 = System.nanoTime()
+      val renderLen = Snapshot.renderManifest(
+        Manifest(ddl, Nil, d1m.mem)).length
+      val render1mMs = (System.nanoTime() - renderT0) / 1e6
+      require(renderLen > 0, "render contrast")
+      results("list_ckpt_100k_ms") = math.rint(ck100 * 10) / 10
+      results("list_ckpt_1m_ms") = math.rint(ck1m * 10) / 10
+      results("list_delta_1m_avg_ms") = math.rint(d1mavg * 10) / 10
+      results("text_render_1m_ms") = math.rint(render1mMs * 10) / 10
+      require(reused1m > parts1m / 2,
+        s"a 1M checkpoint must REUSE most parts ($reused1m of $parts1m)")
+      require(ck1m < 2.0 * ck100,
+        f"1M cadence checkpoint (${ck1m}%.0f ms) must be within 2x of " +
+          f"100k (${ck100}%.0f ms) — part rewrite cost is O(dirty·grain), " +
+          "not O(entries)")
+      require(ck1m * 3 < render1mMs,
+        f"the 1M list checkpoint (${ck1m}%.0f ms) must beat even the bare " +
+          f"TEXT RENDER of the old format (${render1mMs}%.0f ms) by 3x+")
+      notes("list1m") = f"cadence checkpoint at 1M entries ${ck1m}%.0f ms vs " +
+        f"100k ${ck100}%.0f ms (${ck1m / ck100}%.2fx; $reused1m/$parts1m parts " +
+        f"reused), old-format 1M text RENDER alone ${render1mMs}%.0f ms; " +
+        f"steady delta at 1M ${d1mavg}%.1f ms"
+      writeReport()
+    }
+
     // closed-form claims
     require(deltaBytes * 20 < monoBytes,
       s"delta commits must write <5% of monolithic bytes ($deltaBytes vs $monoBytes)")

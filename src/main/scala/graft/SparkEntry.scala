@@ -1112,8 +1112,9 @@ object SparkEntry {
       val freshSh = TextDedup.shingleTable(cur, "doc_id", "text", 3)
       val mSh = graft.sources.Resolver.readParquet(s, s"$idx/shingles.parquet")
       // the core law in-query (CdfStreamSpec proves the bucket-table
-      // twin and the replay/restart cases)
-      require(mSh.exceptAll(freshSh).isEmpty && freshSh.exceptAll(mSh).isEmpty,
+      // twin and the replay/restart cases); symmetric difference in
+      // ONE job — the gate is fixed-job-overhead-dominated
+      require(mSh.exceptAll(freshSh).unionAll(freshSh.exceptAll(mSh)).isEmpty,
         "maintained shingles must equal the bulk rebuild")
       val mBk = graft.sources.Resolver.readParquet(s, s"$idx/buckets.parquet")
       val batch = docs.filter(col("doc_id") >= 150 && col("doc_id") < 200)
