@@ -2290,8 +2290,14 @@ object Snapshot {
     * Returns (resolve-time base version, base manifest, pool entries,
     * distinct key count).
     */
+  /** `needCount = false` skips the post-write count job — callers that
+    * already know (or don't report) the key count save one fixed-cost
+    * Spark job per staged tombstone (the CDC maintainer stages two per
+    * increment); returns −1 then.
+    */
   private[graft] def stageDeleteKeys(spark: SparkSession, rootStr: String,
-                                     keys: DataFrame)
+                                     keys: DataFrame,
+                                     needCount: Boolean = true)
       : (Long, Manifest, Seq[Entry], Long) = {
     val root = new Path(rootStr)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2313,7 +2319,7 @@ object Snapshot {
         try fs.delete(stage, true) catch { case _: Throwable => () }
         throw e
     }
-    val n = spark.read.parquet(stage.toString).count()
+    val n = if (needCount) spark.read.parquet(stage.toString).count() else -1L
     val delDir = new Path(dataDir(root), DeletesDirName)
     fs.mkdirs(delDir)
     // record the tombstone's key-column set in the manifest entry so

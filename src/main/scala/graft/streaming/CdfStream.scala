@@ -368,7 +368,8 @@ object CdfStream {
       def part(path: String, batch: org.apache.spark.sql.DataFrame,
                pk: Seq[String]): Option[Snapshot.StagedCommit] = {
         val del =
-          if (hasRemovals) Some(Snapshot.stageDeleteKeys(spark, path, removeIds))
+          if (hasRemovals) Some(Snapshot.stageDeleteKeys(spark, path,
+            removeIds, needCount = false))
           else None
         val ups = Snapshot.stageUpsertAppend(spark, path, batch, pk,
           indexBy = Seq("id"))
