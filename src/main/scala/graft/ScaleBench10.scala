@@ -215,10 +215,19 @@ object ScaleBench10 {
         require(m.exists(_.entries.size == 100000),
           s"retained v$v must resolve to full membership after promotion")
       }
+      // r14: at 100k entries promotion writes a manifest LIST
+      // (O(dirty + parts)), not the O(entries) text render
       val fullsRetained = retained.count { case (_, vdir) =>
-        fs.exists(new Path(vdir, "_MANIFEST")) }
-      notes("promoted_checkpoints_in_retained_5") = fullsRetained.toString
+        fs.exists(new Path(vdir, "_MANIFEST")) ||
+          fs.exists(new Path(vdir, "_MANIFEST_LIST")) }
+      val listPromoted = retained.count { case (_, vdir) =>
+        fs.exists(new Path(vdir, "_MANIFEST_LIST")) &&
+          fs.exists(new Path(vdir, "_MANIFEST_DELTA")) }
+      notes("promoted_checkpoints_in_retained_5") =
+        s"$fullsRetained (of which $listPromoted list-promoted over a live delta)"
       require(fullsRetained >= 1, "vacuum must have promoted a checkpoint")
+      require(listPromoted >= 1,
+        "at 100k entries the promotion must take the O(dirty) LIST form")
     }
 
     // ── 5. INCREMENTAL VACUUM over a real 20k-file pool ─────────────

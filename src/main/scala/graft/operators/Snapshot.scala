@@ -876,7 +876,8 @@ object Snapshot {
   private def writeListCheckpoint(fs: FileSystem, root: Path, vdir: Path,
                                   hdr: Manifest,
                                   tree: scala.collection.immutable.TreeMap[String, Entry],
-                                  prev: Option[(Vector[PartRef], Set[String])])
+                                  prev: Option[(Vector[PartRef], Set[String])],
+                                  viaRename: Boolean = false)
       : (Vector[PartRef], Set[String]) = {
     val pd = partsDir(root)
     fs.mkdirs(pd)
@@ -968,13 +969,28 @@ object Snapshot {
       .append(r.count).append('\t').append(r.len).append('\t')
       .append(r.firstRel).append('\n'))
     val lp = new Path(vdir, ListName)
-    if (!atomicCreate(fs, lp))
-      throw new java.io.IOException(
-        s"manifest list already exists at $lp — a concurrent writer " +
-          "defeated the commit lock; this commit did NOT land, re-plan and retry")
-    val out = fs.create(lp, true)
-    try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    if (viaRename) {
+      // PROMOTION into a LIVE committed dir (vacuum chain promotion):
+      // a torn direct write would shadow the dir's still-valid delta —
+      // stage + rename, losing gracefully to a concurrent promoter
+      // (content identical by construction)
+      val tmp = new Path(vdir, s"._promote_list_${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val renamed = try fs.rename(tmp, lp)
+      catch { case scala.util.control.NonFatal(_) => false }
+      if (!renamed)
+        try fs.delete(tmp, false) catch { case scala.util.control.NonFatal(_) => () }
+    } else {
+      if (!atomicCreate(fs, lp))
+        throw new java.io.IOException(
+          s"manifest list already exists at $lp — a concurrent writer " +
+            "defeated the commit lock; this commit did NOT land, re-plan and retry")
+      val out = fs.create(lp, true)
+      try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     (refs, freshNames.toSet)
   }
   /** Max delta-chain depth before a commit writes a full checkpoint
@@ -2960,10 +2976,33 @@ object Snapshot {
       }
       if (escaped.nonEmpty) {
         val promoted =
-          try manifestAt(fs, p).exists { full =>
-            promoteCheckpoint(fs, p, full)
-            // the checkpoint must be READABLE before its chain dies
-            parseFullManifest(fs, p).isDefined
+          try {
+            // ALREADY promoted (an earlier vacuum's pass — the cached
+            // delta resolution keeps reporting the chain's base
+            // pointers, so the walk re-finds escaped hops every round):
+            // the dir is self-contained, nothing to write
+            if (fs.exists(new Path(p, ManifestName)) ||
+                fs.exists(new Path(p, ListName))) true
+            else resolvedFor(fs, p) match {
+              // LIST promotion (r14): a big retained delta version
+              // whose chain carries part refs promotes as a list —
+              // O(dirty + parts) instead of the O(entries) text
+              // render, which at retention < CheckpointEvery runs on
+              // EVERY commit. Its reused parts stay
+              // refcount-protected: the promoted list itself
+              // references them.
+              case Some(r) if deltaCommitsEnabled && r.parts.isDefined &&
+                  r.tree.size >= ListCheckpointMin =>
+                writeListCheckpoint(fs, root, p, r.hdr, r.tree, r.parts,
+                  viaRename = true)
+                // the checkpoint must be READABLE before its chain dies
+                parseListHeader(fs, p).isDefined
+              case Some(r) =>
+                promoteCheckpoint(fs, p, r.hdr.copy(
+                  entries = r.tree.valuesIterator.toVector))
+                parseFullManifest(fs, p).isDefined
+              case None => false
+            }
           }
           catch { case scala.util.control.NonFatal(_) => false }
         // a failed promotion protects the chain this round — the next

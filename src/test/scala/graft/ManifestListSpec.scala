@@ -136,6 +136,52 @@ class ManifestListSpec extends SparkSpec {
     }
   }
 
+  test("vacuum chain promotion takes the LIST form at scale — low retention stays O(dirty)") {
+    withToyThresholds {
+      val dir = freshDir("mlist_prom")
+      val p = s"$dir/t.parquet"
+      val expect = scala.collection.mutable.Map.empty[Long, String]
+      (0L until 300L).foreach(i => expect(i) = s"v$i")
+      WriteOps.atomicOverwrite(spark, expect.toSeq.toDF("id", "txt"), p,
+        indexBy = Seq("id"), maxRecordsPerFile = 10,
+        commitMode = "snapshot", keepVersions = 3)
+      // retention 3 < CheckpointEvery: the seed checkpoint leaves
+      // retention while retained versions are still deltas — vacuum
+      // must promote, and at list scale the promotion must be the
+      // O(dirty + parts) LIST, not the O(entries) text render
+      (1 to 6).foreach { b =>
+        val id = 1000L + b
+        expect(id) = s"n$b"
+        Snapshot.upsertAppend(spark, p, Seq((id, s"n$b")).toDF("id", "txt"),
+          Seq("id"), indexBy = Seq("id"), keepVersions = 3)
+      }
+      val retained = Snapshot.committed(fs, new Path(p))
+      assert(retained.size == 3)
+      val listPromoted = retained.count { case (_, vdir) =>
+        fs.exists(new Path(vdir, "_MANIFEST_LIST")) &&
+          fs.exists(new Path(vdir, "_MANIFEST_DELTA")) }
+      val textPromoted = retained.count { case (_, vdir) =>
+        fs.exists(new Path(vdir, "_MANIFEST")) }
+      assert(listPromoted >= 1,
+        s"promotion must take the LIST form at list scale " +
+          s"(list $listPromoted, text $textPromoted)")
+      assert(textPromoted == 0, "no O(entries) text render at list scale")
+      // every retained version resolves COLD and content is exact
+      Snapshot.clearResolvedCache()
+      retained.foreach { case (v, _) =>
+        assert(graft.sources.Resolver.readParquet(spark, p, Some(v))
+          .count() >= 300L, s"retained v$v must resolve after promotion")
+      }
+      val got = graft.sources.Resolver.readParquet(spark, p)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == expect.toMap)
+      // dropped versions' parts await the grace-gated full sweep —
+      // legitimate INFO rows; zero ERRORS is the invariant
+      assert(Snapshot.fsck(spark, p)
+        .filter(col("severity") === "error").isEmpty)
+    }
+  }
+
   test("fsck audits the parts pool: missing part is an error, stray part an info") {
     withToyThresholds {
       val dir = freshDir("mlist_fsck")
