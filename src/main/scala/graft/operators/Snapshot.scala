@@ -598,13 +598,33 @@ object Snapshot {
     try { val s = fs.getFileStatus(p); (s.getLen, s.getModificationTime) }
     catch { case scala.util.control.NonFatal(_) => (-1L, -1L) }
 
+  /** Does this filesystem report modification times too coarsely for
+    * `len + mtime` equality to witness file identity? Local/HDFS
+    * mtimes are millisecond-granular: a drop-and-recreate of the same
+    * version path cannot land its new manifest AND its new `_COMMITTED`
+    * marker in the same millisecond buckets as the old ones with equal
+    * lengths (a recreate runs a full write + commit, orders of
+    * magnitude above 1 ms) — so the stat triple alone is a sufficient
+    * cache-identity witness and the hit path stays stat-only (r14
+    * ADVICE: the unconditional uuid re-verify turned every cache hit
+    * into an extra GET). Object stores round last-modified to seconds
+    * (S3: 1 s granularity) where the recreate window is real — those
+    * keep the `#uuid=` content check. Unknown schemes default to
+    * coarse (safe: one bounded extra read, never a stale serve).
+    */
+  private def coarseMtimeFs(fs: FileSystem): Boolean =
+    fs.getScheme match {
+      case "file" | "hdfs" | "viewfs" | "webhdfs" => false
+      case _ => true
+    }
+
   /** The `#uuid=` commit-identity header of a manifest/delta file, None
     * for pre-r14 files (or a header beyond the probe window — the
     * EXTRACTION is the identity on both the cache-fill and the
     * cache-hit side, so any losiness cancels). One bounded read
     * (≤64 KiB: the header sits right after the DDL line); the resolved
-    * cache compares it on every hit so stat equality alone
-    * (len + mtime, coarse on some filesystems) can never serve a
+    * cache compares it on hits against COARSE-mtime filesystems
+    * ([[coarseMtimeFs]]) so stat equality alone can never serve a
     * dropped-and-recreated table's previous incarnation.
     */
   private def readCommitUuid(fs: FileSystem, p: Path): Option[String] =
@@ -618,6 +638,13 @@ object Snapshot {
         }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Test hook: fires when a dir's checkpoint probes (text + list)
+    * both missed, BEFORE the delta-chain walk — the exact instant a
+    * concurrent vacuum's chain promotion can land. Lets specs drive
+    * the promotion race deterministically. No-op in production.
+    */
+  @volatile private[graft] var promotionRaceHook: () => Unit = () => ()
+
   /** Resolved manifest + delta-chain depth (0 = checkpoint). */
   private def resolveManifest(fs: FileSystem, vdir: Path): Option[(Manifest, Int)] =
     resolvedFor(fs, vdir).map(r => (r.m, r.depth))
@@ -629,7 +656,8 @@ object Snapshot {
       val (l, mt) = statOrNeg(fs, new Path(vdir, r.backing))
       val (_, mk) = statOrNeg(fs, new Path(vdir, Versioned.Marker))
       if (l == r.len && mt == r.mtime && mk == r.markerMtime &&
-          readCommitUuid(fs, new Path(vdir, r.backing)) == r.uuid)
+          (!coarseMtimeFs(fs) ||
+            readCommitUuid(fs, new Path(vdir, r.backing)) == r.uuid))
         return Some(r)
       else resolvedCache.synchronized(resolvedCache.remove(key))
     }
@@ -672,6 +700,7 @@ object Snapshot {
       }
     }
     val out = full.orElse(resolveList()).orElse {
+      promotionRaceHook()
       // a reader resolving a RETAINED delta version can race vacuum's
       // chain promotion (r13 ADVICE): this thread saw `_MANIFEST`
       // absent above, then a concurrent vacuum promoted a checkpoint
@@ -681,18 +710,22 @@ object Snapshot {
       // checkpoint before surfacing the repair error; the promotion is
       // content-identical to the chain it replaced, and the re-probe
       // composes recursively (an intermediate hop's failure propagates
-      // up to the retained dir whose promotion satisfies it).
+      // up to the retained dir whose promotion satisfies it). Large
+      // retained chains promote as a `_MANIFEST_LIST` (r14 — the
+      // default at ≥[[ListCheckpointMin]] entries), so the re-probe
+      // checks BOTH checkpoint shapes (r14 ADVICE: the text-only
+      // re-probe rethrew on exactly the tables where list promotion
+      // is the default).
       try resolveDelta()
       catch {
         case e: IllegalStateException
             if e.getMessage != null && e.getMessage.contains("delta chain") =>
-          parseFullManifest(fs, vdir) match {
-            case Some(fm) =>
-              Some((treeOf(fm.entries), fm.copy(entries = Nil), 0,
-                None, fm.entries.size.toLong,
-                None: Option[(Vector[PartRef], Set[String])]))
-            case None => throw e
-          }
+          Some(parseFullManifest(fs, vdir)
+            .map(fm => (treeOf(fm.entries), fm.copy(entries = Nil), 0,
+              None: Option[Long], fm.entries.size.toLong,
+              None: Option[(Vector[PartRef], Set[String])]))
+            .orElse(resolveList())
+            .getOrElse(throw e))
       }
     }
     // cache ONLY committed versions: an aborted commit deletes its

@@ -214,4 +214,54 @@ class ManifestListSpec extends SparkSpec {
       assert(f2.filter(col("severity") === "error").count() >= 2)
     }
   }
+
+  test("a reader racing vacuum's LIST chain promotion re-probes and succeeds") {
+    withToyThresholds {
+      val dir = freshDir("mlist_race")
+      val p = s"$dir/t.parquet"
+      val root = new Path(p)
+      val expect = scala.collection.mutable.Map.empty[Long, String]
+      (0L until 300L).foreach(i => expect(i) = s"v$i")
+      WriteOps.atomicOverwrite(spark, expect.toSeq.toDF("id", "txt"), p,
+        indexBy = Seq("id"), maxRecordsPerFile = 10,
+        commitMode = "snapshot", keepVersions = 10)           // v1: list
+      (1 to 3).foreach { b =>
+        val id = 1000L + b
+        expect(id) = s"n$b"
+        Snapshot.upsertAppend(spark, p, Seq((id, s"n$b")).toDF("id", "txt"),
+          Seq("id"), indexBy = Seq("id"), keepVersions = 10)  // deltas
+      }
+      // the RACE (r14 ADVICE, medium): this reader's text+list probes
+      // of the head dir miss (it is a delta), then a concurrent vacuum
+      // promotes the head's resolved membership as a _MANIFEST_LIST
+      // (the default shape at list scale) and deletes the chain's base
+      // dirs — the delta walk now finds a broken chain on a HEALTHY
+      // table, and the re-probe must recover through the LIST form,
+      // not just the text _MANIFEST
+      Snapshot.clearResolvedCache()
+      @volatile var fired = false
+      Snapshot.promotionRaceHook = () => {
+        if (!fired) {
+          fired = true
+          Snapshot.promotionRaceHook = () => ()
+          Snapshot.vacuum(fs, root, keepVersions = 1)
+          // the racing reader is ANOTHER process: its cache has no
+          // warm base-chain entries the vacuum's own walk left behind
+          Snapshot.clearResolvedCache()
+        }
+      }
+      try {
+        val got = graft.sources.Resolver.readParquet(spark, p)
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(fired, "the race hook must have interleaved the vacuum")
+        assert(got == expect.toMap, "the re-probed read must be exact")
+      } finally Snapshot.promotionRaceHook = () => ()
+      val (_, headDir) = Snapshot.resolveVersion(fs, root, None)
+      assert(fs.exists(new Path(headDir, "_MANIFEST_LIST")) &&
+        !fs.exists(new Path(headDir, "_MANIFEST")),
+        "the interleaved promotion must have taken the LIST form")
+      assert(Snapshot.fsck(spark, p)
+        .filter(col("severity") === "error").isEmpty)
+    }
+  }
 }
