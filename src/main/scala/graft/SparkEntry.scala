@@ -2038,15 +2038,89 @@ object SparkEntry {
         max(col("l_partkey")).cast("long").as("__mx1__"),
         min(col("l_suppkey")).cast("long").as("__mn2__"),
         max(col("l_suppkey")).cast("long").as("__mx2__"))
-      li.crossJoin(broadcast(b))
+      val zed = li.crossJoin(broadcast(b))
         .withColumn("zval", graft.operators.ZOrder.zvalue(
           Seq(col("l_partkey"), col("l_suppkey")),
           Seq(col("__mn1__"), col("__mn2__")),
           Seq(col("__mx1__"), col("__mx2__")), bits = 8))
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey"), col("zval"))
-        .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
+      // in-query law (r15): a Z-ORDERED snapshot layout gives every
+      // file a tight MULTI-column envelope, and a 2-D box query
+      // through `format("graft")` prunes the member set from the
+      // manifest alone — the read-side twin of the write-side
+      // envelope trust
+      val scratch = scratchDir("graft_zread")
+      val zp = s"$scratch/li_z.parquet"
+      graft.operators.Snapshot.overwrite(s, zed, zp,
+        indexBy = Seq("zval"),
+        maxRecordsPerFile = math.max(500L, zed.count() / 24),
+        statsCols = Seq("l_partkey", "l_suppkey"))
+      val t = s.read.format("graft").load(zp)
+      val boxT = t.filter(col("l_partkey").between(100, 160) &&
+        col("l_suppkey").between(20, 40))
+      val boxDirect = zed.filter(col("l_partkey").between(100, 160) &&
+        col("l_suppkey").between(20, 40))
+      require(boxT.count() == boxDirect.count() && boxDirect.count() > 0,
+        "the pruned interop read must equal the direct filter")
+      val (kept, total) = graft.operators.Snapshot.lastSkipPlan
+      require(total >= 16 && kept < total,
+        s"the 2-D box must prune the z-ordered member set " +
+          s"(kept $kept of $total)")
+      zed.orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
         .limit(50)
+    }),
+
+    // ── [EXT] §2.10 read-time manifest-envelope FILE SKIPPING (r15):
+    // a DSL range read of a sorted snapshot table plans only the
+    // members whose recorded key envelopes intersect the range —
+    // zero file I/O in the planner; the exact filters above keep the
+    // result oracle-identical ───────────────────────────────────────
+    "q_read_skip" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val scratch = scratchDir("graft_rskip")
+      val p = s"$scratch/li.parquet"
+      WriteOps.atomicOverwrite(s, li, p, indexBy = Seq("l_orderkey"),
+        maxRecordsPerFile = math.max(500, li.count() / 24),
+        commitMode = "snapshot")
+      val full = graft.sources.Resolver.readParquet(s, p)
+      val frame = graft.engine.Planner.sourceFrame(s, SourceSpec(
+        DatasetRef("parquet", scratch, "li"),
+        query = Seq("l_orderkey__gte" -> "100", "l_orderkey__lte" -> "500",
+          "l_linenumber__lte" -> "3")))
+      // law: the DSL range planned a strict subset of the members,
+      // and the planned files are exactly the scan's input files
+      require(frame.inputFiles.length < full.inputFiles.length,
+        s"envelope skipping must prune the sorted member set " +
+          s"(${frame.inputFiles.length} of ${full.inputFiles.length})")
+      frame.select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ── [EXT] §2.10 r15 twin: hive partition values prune as POINT
+    // envelopes from the manifest rel paths (no dir listing), composed
+    // with a data-column envelope conjunct ───────────────────────────
+    "q_read_skip_part" -> ((s, dir) => {
+      val orders = read(s, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+      val scratch = scratchDir("graft_rskipp")
+      val p = s"$scratch/ord.parquet"
+      WriteOps.atomicOverwrite(s, orders, p, partitionBy = Seq("o_year"),
+        indexBy = Seq("o_orderkey"),
+        maxRecordsPerFile = math.max(200, orders.count() / 48),
+        commitMode = "snapshot")
+      val full = graft.sources.Resolver.readParquet(s, p)
+      val frame = graft.engine.Planner.sourceFrame(s, SourceSpec(
+        DatasetRef("parquet", scratch, "ord"),
+        query = Seq("o_year" -> "1995", "o_orderkey__lt" -> "2000")))
+      require(frame.inputFiles.nonEmpty &&
+        frame.inputFiles.forall(_.contains("o_year=1995")),
+        "partition conjunct must exclude every other partition's members")
+      require(frame.inputFiles.length < full.inputFiles.length,
+        "the composed conjuncts must prune within the partition too")
+      frame.select("o_year", "o_orderkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
     })
   )
 
@@ -4332,7 +4406,22 @@ object SparkEntry {
                     s"(((b1 >> $bb) & 1) << ${2 * bb})",
                     s"(((b2 >> $bb) & 1) << ${2 * bb + 1})")).mkString(" + ")}
                 )::BIGINT AS zval
-         FROM z ORDER BY zval, l_orderkey, l_linenumber LIMIT 50"""
+         FROM z ORDER BY zval, l_orderkey, l_linenumber LIMIT 50""",
+
+    // r15 read-time envelope skipping: the result is the plain range
+    // read (the pruning laws are in-query requires; pruning may never
+    // change WHAT is read, only how many files are opened)
+    "q_read_skip" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem
+         WHERE l_orderkey >= 100 AND l_orderkey <= 500 AND l_linenumber <= 3
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_read_skip_part" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderkey,
+                o_totalprice, o_orderstatus
+         FROM orders
+         WHERE year(o_orderdate) = 1995 AND o_orderkey < 2000
+         ORDER BY o_orderkey"""
   )
 
   /** Differential oracles for the queries whose outputs DuckDB cannot

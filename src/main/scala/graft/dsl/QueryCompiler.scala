@@ -39,6 +39,42 @@ object QueryCompiler {
                                    // number / by commit instant) —
                                    // resolved at scan time
 
+  /** The ENVELOPE-SKIPPABLE subset of a query's predicate pairs (r15):
+    * conjuncts a snapshot read can prune members with from the
+    * manifest's per-file key envelopes, BEFORE any file is opened.
+    * Advisory by contract — [[apply]] still compiles and applies every
+    * predicate exactly above the scan, so a conjunct this translation
+    * drops (ne/nin/regex/…, dotted paths, unsupported types) costs
+    * only pruning opportunity, never correctness. Values stay raw
+    * strings; the read path converts them with the same Catalyst cast
+    * the exact predicate uses.
+    */
+  def skipPreds(query: Seq[(String, String)])
+      : Seq[graft.operators.Snapshot.ReadPred] = {
+    import graft.operators.Snapshot.ReadPred
+    query.collect { case (k, v) if !ControlKeys.contains(k) => (k, v) }
+      .flatMap { case (k, v) =>
+        val (field, op) = splitOp(k)
+        if (field.contains('.')) Nil // nested paths carry no envelope
+        else op match {
+          case "eq" | "gt" | "gte" | "lt" | "lte" =>
+            Seq(ReadPred.Cmp(field, op, v))
+          case "in" =>
+            Seq(ReadPred.In(field, v.split(",").map(_.trim).toSeq))
+          case "between" => v.split(",", 2) match {
+            case Array(lo, hi) => Seq(ReadPred.Cmp(field, "gte", lo.trim),
+              ReadPred.Cmp(field, "lte", hi.trim))
+            case _ => Nil
+          }
+          case "exists" =>
+            if (v == "0" || v.equalsIgnoreCase("false"))
+              Seq(ReadPred.IsNull(field))
+            else Seq(ReadPred.NotNull(field))
+          case _ => Nil
+        }
+      }
+  }
+
   /** Split `field__op` into (field, op); default op is `eq`. */
   def splitOp(key: String): (String, String) = {
     val i = key.lastIndexOf("__")

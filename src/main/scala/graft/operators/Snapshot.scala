@@ -1149,8 +1149,14 @@ object Snapshot {
     * externally-written dataset to snapshot rewrites its data through
     * the same writer.
     */
+  /** `skipping` (r15): advisory pushdown conjuncts — members whose
+    * manifest key envelope provably cannot match are DROPPED from the
+    * plan ([[pruneEntries]]); the caller MUST apply the exact filter
+    * above the returned frame.
+    */
   def readAt(spark: SparkSession, rootStr: String,
-             at: Option[Long] = None): DataFrame = {
+             at: Option[Long] = None,
+             skipping: Seq[ReadPred] = Nil): DataFrame = {
     val root = new Path(rootStr)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (v, vdir) = resolveVersion(fs, root, at)
@@ -1165,8 +1171,196 @@ object Snapshot {
     // re-plannable conflict when the head moved. A PINNED time-travel
     // read keeps the raw loud error (the reader outran retention —
     // the changelog-cursor contract).
-    def body = tombstonedRead(spark, root, m, m.dataEntries)
+    def body = tombstonedRead(spark, root, m,
+      pruneEntries(spark, m, m.dataEntries, skipping))
     if (at.isEmpty) staleReadAsConflict(fs, root, v)(body) else body
+  }
+
+  // ── read-time file skipping (r15) ─────────────────────────────────
+
+  /** One pushdown conjunct a snapshot read may PRUNE MEMBERS with
+    * (r15 — the verdict's last scan-path scale gap: a selective read
+    * of a 100k-file table opened every member's footer although the
+    * manifest already carries per-file key envelopes the merge
+    * planner trusts for writes). A `ReadPred` is advisory: the
+    * caller MUST still apply the exact filter above the returned
+    * frame — skipping is a pure IO reduction (files whose envelope
+    * provably cannot hold a matching row are dropped from the plan),
+    * never the correctness gate. Columns without a recorded envelope,
+    * unsupported types, and unconvertible literals all degrade to
+    * "keep the file".
+    *
+    * `value`s may be raw query-DSL strings or typed literals (the V1
+    * pushdown's `sources.Filter` values) — both convert through
+    * Catalyst's own `Cast` (TRY mode, session timezone), so the
+    * pruning domain agrees EXACTLY with the comparison semantics the
+    * exact filter will apply above the scan.
+    */
+  sealed trait ReadPred { def col: String }
+  object ReadPred {
+    /** op ∈ eq | gt | gte | lt | lte. */
+    final case class Cmp(col: String, op: String, value: Any) extends ReadPred
+    final case class In(col: String, values: Seq[Any]) extends ReadPred
+    final case class IsNull(col: String) extends ReadPred
+    final case class NotNull(col: String) extends ReadPred
+  }
+
+  /** Is `dt` in the envelope pruning domain ([[ColEnv]] is
+    * long-valued: integrals as-is, dates as epoch days, timestamps as
+    * epoch micros — the same domains [[PrunedMerge]] records)?
+    */
+  private def envPrunableType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType => true
+    case _ => false
+  }
+
+  /** Convert one literal to the column's envelope domain via
+    * Catalyst's TRY cast — bit-exact with what the exact filter
+    * compares (same cast, same session timezone), null/unparseable →
+    * None → the conjunct stops constraining (sound: pruning may only
+    * ever drop files that provably hold no match).
+    */
+  private def envDomainValue(spark: SparkSession, dt: org.apache.spark.sql.types.DataType,
+                             v: Any): Option[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
+    try {
+      val lit = Literal(v)
+      val cast =
+        if (lit.dataType == dt) lit
+        else Cast(lit, dt, Option(
+          spark.sessionState.conf.sessionLocalTimeZone), EvalMode.TRY)
+      cast.eval(null) match {
+        case null => None
+        case n: java.lang.Number => Some(n.longValue)
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Can a non-null value inside the envelope satisfy `[lo, hi]`?
+    * `(None, None)` is a KNOWN all-null file (unknown stats are never
+    * manifest-recorded) — no comparison can match.
+    */
+  private def envHasRange(env: ColEnv, lo: Option[Long],
+                          hi: Option[Long]): Boolean =
+    (env.min, env.max) match {
+      case (Some(mn), Some(mx)) => lo.forall(_ <= mx) && hi.forall(_ >= mn)
+      case _ => false
+    }
+
+  /** Hive partition-dir value of `c` from a member's rel path, as a
+    * point envelope. `__HIVE_DEFAULT_PARTITION__` is the null
+    * partition; an absent/unparseable segment → None → keep.
+    */
+  private def partPointEnv(spark: SparkSession, dt: org.apache.spark.sql.types.DataType, rel: String,
+                           c: String): Option[ColEnv] =
+    rel.split('/').collectFirst {
+      case seg if seg.startsWith(c + "=") => seg.substring(c.length + 1)
+    }.flatMap { raw =>
+      val s = unescapeHive(raw)
+      if (s == "__HIVE_DEFAULT_PARTITION__")
+        Some(ColEnv(None, None, hasNulls = true))
+      else envDomainValue(spark, dt, s)
+        .map(d => ColEnv(Some(d), Some(d), hasNulls = false))
+    }
+
+  /** Undo hive's %XX partition-value escaping (digits/'-'/'.' pass
+    * through; timestamps carry escaped ':' and ' ').
+    */
+  private def unescapeHive(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '%' && i + 2 < s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(ch); i += 1 }
+      } else { sb.append(ch); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** MANIFEST-ENVELOPE SCAN PLANNING (r15): the data members of `m`
+    * that may hold a row satisfying EVERY conjunct in `preds` — by
+    * intersecting each conjunct with the member's manifest-recorded
+    * [[ColEnv]] key envelope (or its hive partition-dir point value),
+    * driver-side, O(members × conjuncts), ZERO file I/O. A member
+    * without an envelope for a constrained column is kept; an
+    * unsupported column type or literal disables its conjunct — the
+    * planned set is always a superset of the matching one, so the
+    * exact filter the caller applies above stays the correctness
+    * gate. Delete entries are never pruned here (tombstones apply to
+    * the kept members exactly as to the full set — removing a member
+    * that cannot match removes only rows the filter would drop).
+    */
+  /** Last CONSTRAINED plan's (kept, total) member counts — a
+    * white-box observable for specs and scale benches (surfaces like
+    * `format("graft")` return row RDDs where `inputFiles` can't see
+    * the inner plan). Diagnostic only; never read by the engine.
+    */
+  @volatile private[graft] var lastSkipPlan: (Int, Int) = (0, 0)
+
+  private[graft] def pruneEntries(spark: SparkSession, m: Manifest,
+                                  entries: Seq[Entry],
+                                  preds: Seq[ReadPred]): Seq[Entry] = {
+    if (preds.isEmpty || entries.isEmpty) return entries
+    val tests: Seq[(String, org.apache.spark.sql.types.DataType, ColEnv => Boolean)] = preds.flatMap { p =>
+      // case-insensitive like the query DSL's field resolution; the
+      // envelope map and partition layout carry the schema's casing
+      m.schema.fields.find(_.name.equalsIgnoreCase(p.col)).filter(f =>
+        envPrunableType(f.dataType)).flatMap { f =>
+        val dt = f.dataType
+        def dom(v: Any) = envDomainValue(spark, dt, v)
+        val test: Option[ColEnv => Boolean] = p match {
+          case ReadPred.Cmp(_, "eq", v) =>
+            dom(v).map(x => (e: ColEnv) => envHasRange(e, Some(x), Some(x)))
+          case ReadPred.Cmp(_, "gte", v) =>
+            dom(v).map(x => (e: ColEnv) => envHasRange(e, Some(x), None))
+          case ReadPred.Cmp(_, "lte", v) =>
+            dom(v).map(x => (e: ColEnv) => envHasRange(e, None, Some(x)))
+          case ReadPred.Cmp(_, "gt", v) =>
+            dom(v).collect { case x if x != Long.MaxValue =>
+              (e: ColEnv) => envHasRange(e, Some(x + 1), None) }
+          case ReadPred.Cmp(_, "lt", v) =>
+            dom(v).collect { case x if x != Long.MinValue =>
+              (e: ColEnv) => envHasRange(e, None, Some(x - 1)) }
+          case ReadPred.In(_, vs) if vs.nonEmpty =>
+            val ds = vs.map(dom)
+            // one unconvertible member could still match — the IN
+            // conjunct then constrains nothing
+            if (ds.exists(_.isEmpty)) None
+            else {
+              val xs = ds.flatten
+              Some((e: ColEnv) => xs.exists(x =>
+                envHasRange(e, Some(x), Some(x))))
+            }
+          case ReadPred.IsNull(_) => Some((e: ColEnv) => e.hasNulls)
+          case ReadPred.NotNull(_) =>
+            Some((e: ColEnv) => e.min.isDefined || e.max.isDefined)
+          case _ => None
+        }
+        test.map(t => (f.name, dt, t))
+      }
+    }
+    if (tests.isEmpty) entries
+    else {
+      val kept = entries.filter { e =>
+        tests.forall { case (c, dt, t) =>
+          val env: Option[ColEnv] =
+            if (m.partitionBy.contains(c)) partPointEnv(spark, dt, e.rel, c)
+            else e.envs.flatMap(_.get(c))
+          env.forall(t)
+        }
+      }
+      lastSkipPlan = (kept.size, entries.size)
+      kept
+    }
   }
 
   /** Partition `entries` into SEQUENCE CLASSES: groups sharing the

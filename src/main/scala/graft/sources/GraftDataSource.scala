@@ -87,10 +87,47 @@ class GraftRelation(@transient val spark: SparkSession, path: String,
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
-    val filtered = filters.flatMap(translate).foldLeft(inner)(_ filter _)
+    // r15: the pushed filters ALSO steer manifest-envelope file
+    // skipping — the inner plan is rebuilt over only the members whose
+    // recorded key envelopes may match (a point-read of a 3000-file
+    // table plans O(matching files)); exactness still comes from the
+    // translated filters below plus Spark's re-application above
+    val base =
+      if (filters.isEmpty) inner
+      else Resolver.readParquet(spark, path, at,
+        filters.flatMap(toReadPred).toIndexedSeq)
+    val filtered = filters.flatMap(translate).foldLeft(base)(_ filter _)
     // zero requiredColumns = a bare count(*): a zero-column projection
     // still carries the row count through
     filtered.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
+  }
+
+  /** V1 `sources.Filter` → advisory envelope-skipping conjunct. Only
+    * shapes whose envelope intersection is exact translate; everything
+    * else (Not/Or/strings/…) returns Nil = no pruning from that
+    * conjunct. Spark splits top-level AND into separate array
+    * elements, so per-element translation covers the practical set.
+    */
+  private def toReadPred(f: Filter)
+      : Seq[graft.operators.Snapshot.ReadPred] = {
+    import graft.operators.Snapshot.ReadPred
+    f match {
+      case EqualTo(a, v) if v != null => Seq(ReadPred.Cmp(a, "eq", v))
+      case EqualNullSafe(a, null) => Seq(ReadPred.IsNull(a))
+      case EqualNullSafe(a, v) => Seq(ReadPred.Cmp(a, "eq", v))
+      case GreaterThan(a, v) if v != null => Seq(ReadPred.Cmp(a, "gt", v))
+      case GreaterThanOrEqual(a, v) if v != null =>
+        Seq(ReadPred.Cmp(a, "gte", v))
+      case LessThan(a, v) if v != null => Seq(ReadPred.Cmp(a, "lt", v))
+      case LessThanOrEqual(a, v) if v != null =>
+        Seq(ReadPred.Cmp(a, "lte", v))
+      case In(a, vs) if vs != null && vs.nonEmpty && !vs.contains(null) =>
+        Seq(ReadPred.In(a, vs.toIndexedSeq))
+      case IsNull(a) => Seq(ReadPred.IsNull(a))
+      case IsNotNull(a) => Seq(ReadPred.NotNull(a))
+      case And(l, r) => toReadPred(l) ++ toReadPred(r)
+      case _ => Nil
+    }
   }
 
   /** V1 `sources.Filter` → Column, best-effort: None (skip) for any

@@ -76,7 +76,12 @@ object Resolver {
               hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp,
               graft.operators.Snapshot.parseCommitTs(v))
           })
-        readParquet(spark, p, atV)
+        // r15: the query's prunable conjuncts steer manifest-envelope
+        // file skipping on snapshot layouts; every consumer (Planner
+        // source stage, MergePlanner literal filters) still applies
+        // the compiled predicates exactly above this read
+        readParquet(spark, p, atV,
+          graft.dsl.QueryCompiler.skipPreds(query))
       case "mongodb" | "mongo" | "es" | "elasticsearch" =>
         // S2/S3: real connector pass-through behind the same DatasetRef
         // (reference backends, etl_cli/etl.py:252-257); parquet
@@ -136,15 +141,23 @@ object Resolver {
     * session still fails with the loud PARQUET_TYPE_ILLEGAL error
     * instead of silently yielding long columns.
     */
+  /** `skipping` (r15): advisory envelope-pruning conjuncts, honored
+    * only on snapshot layouts (plain dirs already get parquet
+    * row-group pruning from the pushed exact filters); callers apply
+    * the exact filter above regardless.
+    */
   def readParquet(spark: SparkSession, pathStr: String,
-                  atVersion: Option[Long] = None): DataFrame = {
+                  atVersion: Option[Long] = None,
+                  skipping: Seq[graft.operators.Snapshot.ReadPred] = Nil)
+      : DataFrame = {
     val hp = new org.apache.hadoop.fs.Path(pathStr)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // snapshot layout: membership comes from the committed manifest
     // (shared-pool files — a dir listing would over-read); also the
     // only layouts where `_version` time travel is meaningful
     if (graft.operators.Snapshot.isSnapshotLayout(fs, hp))
-      return graft.operators.Snapshot.readAt(spark, pathStr, atVersion)
+      return graft.operators.Snapshot.readAt(spark, pathStr, atVersion,
+        skipping)
     def readNormalized(p: String): DataFrame = {
       val nanos = nanoTimestampCols(spark, p)
       if (nanos.isEmpty) spark.read.parquet(p)
