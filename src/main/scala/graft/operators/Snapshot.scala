@@ -2159,6 +2159,15 @@ object Snapshot {
   private val GroupPrefix = "_GROUP_"
   private val GroupTag = "graft-commit-group-v1"
   private val GroupEnd = "#end"
+  /** Applied-witness files (r15): `_GAPPLIED_<intentName>_<i>` beside
+    * the intent, one per participant, written the moment its commit
+    * lands. Recovery treats a witnessed participant as APPLIED without
+    * consulting the current head membership — closing the r14 gap
+    * where a stale intent surviving past a later compaction/vacuum
+    * made a committed participant look unapplied (re-commit risk) or
+    * tripped the partial-apply corruption error on a healthy group.
+    */
+  private val WitnessPrefix = "_GAPPLIED_"
 
   /** Test hook: simulate a crash after committing this many group
     * participants (−1 = off) — the crash-window proof for the
@@ -2249,11 +2258,28 @@ object Snapshot {
         if (groupCrashAfterParts >= 0 && i >= groupCrashAfterParts)
           throw new IllegalStateException(
             s"simulated crash after $i committed group participant(s)")
-        p.root -> commitDeltaLocked(fs, new Path(p.root), hv, head,
+        val v = commitDeltaLocked(fs, new Path(p.root), hv, head,
           p.removedRels, p.added, outDdl, p.partitionBy, p.keepVersions)
+        // DURABLE APPLIED WITNESS (r15): recovery must distinguish
+        // "committed, then compacted/vacuumed away" from "never
+        // committed" without trusting the mutable head membership.
+        // Best-effort by design: a lost witness degrades to the
+        // membership heuristic, never to a wrong commit (the residual
+        // window is a crash between the commit and this create, with
+        // a compaction racing in before recovery)
+        writeGroupWitness(cfs, cpath, intent.getName, i, p.root, v)
+        p.root -> v
       }.toMap
+      // crash hook value == parts.size: die after EVERY commit landed
+      // but before the intent is cleaned — the stale-intent window the
+      // witnesses exist for
+      if (groupCrashAfterParts == checked.size)
+        throw new IllegalStateException(
+          s"simulated crash after all ${checked.size} group commits, " +
+            "before intent cleanup")
       try cfs.delete(intent, false)
       catch { case scala.util.control.NonFatal(_) => () }
+      deleteGroupWitnesses(cfs, cpath, intent.getName)
       out
     }
     parts.map(p => versions(p.root))
@@ -2296,9 +2322,17 @@ object Snapshot {
           if (System.currentTimeMillis() - st.getModificationTime > StageGraceMs) {
             try cfs.delete(st.getPath, false)
             catch { case scala.util.control.NonFatal(_) => () }
+            deleteGroupWitnesses(cfs, cpath, st.getPath.getName)
             done += 1
           }
         case Some(parts) =>
+          // durable applied witnesses (r15) rank ABOVE the membership
+          // heuristic: a participant whose commit landed stays applied
+          // even after a later compaction rewrote (or vacuum
+          // reclaimed) every rel the intent recorded — the exact shape
+          // that previously re-committed a stale delta or raised the
+          // partial-apply corruption error on a healthy group
+          val witnessed = readGroupWitnesses(cfs, cpath, st.getPath.getName)
           val withFs = parts.sortBy(_.root).map(p =>
             (p, new Path(p.root).getFileSystem(conf)))
           withLocksOrdered(withFs.map { case (p, fs) => (fs, new Path(p.root)) }) {
@@ -2307,10 +2341,11 @@ object Snapshot {
               val headOpt = committed(fs, root).lastOption.flatMap {
                 case (hv, hdir) => resolvedFor(fs, hdir).map(h => (hv, h))
               }
-              val applied = headOpt.exists { case (_, h) =>
-                p.added.forall(e => h.hasRel(e.rel)) &&
-                  !p.removedRels.exists(h.hasRel)
-              }
+              val applied = witnessed.contains(p.root) ||
+                headOpt.exists { case (_, h) =>
+                  p.added.forall(e => h.hasRel(e.rel)) &&
+                    !p.removedRels.exists(h.hasRel)
+                }
               val filesOk = applied || p.added.forall(e =>
                 try fs.exists(new Path(dataDir(root), e.rel))
                 catch { case scala.util.control.NonFatal(_) => false })
@@ -2351,6 +2386,7 @@ object Snapshot {
             }
             try cfs.delete(st.getPath, false)
             catch { case scala.util.control.NonFatal(_) => () }
+            deleteGroupWitnesses(cfs, cpath, st.getPath.getName)
             done += 1
           }
       }
@@ -2366,6 +2402,44 @@ object Snapshot {
       case Nil => f
       case (fs, p) :: tail => withCommitLock(fs, p)(withLocksOrdered(tail)(f))
     }
+
+  /** One participant's applied witness: `root \t version`, created the
+    * moment its commit lands. Failure is swallowed — the witness only
+    * upgrades recovery's applied-proof from heuristic to durable.
+    */
+  private def writeGroupWitness(cfs: FileSystem, cpath: Path,
+                                intentName: String, i: Int,
+                                root: String, v: Long): Unit =
+    try {
+      val wp = new Path(cpath, s"$WitnessPrefix${intentName}_$i")
+      val out = cfs.create(wp, true)
+      try out.write(s"$root\t$v\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** The witnessed (root → committed version) map of one intent. */
+  private def readGroupWitnesses(cfs: FileSystem, cpath: Path,
+                                 intentName: String): Map[String, Long] =
+    (try cfs.listStatus(cpath)
+     catch { case scala.util.control.NonFatal(_) =>
+       Array.empty[org.apache.hadoop.fs.FileStatus] })
+      .filter(s => s.isFile &&
+        s.getPath.getName.startsWith(s"$WitnessPrefix${intentName}_"))
+      .flatMap { s =>
+        try readText(cfs, s.getPath).trim.split("\t", 2) match {
+          case Array(root, v) => Some(root -> v.toLong)
+          case _ => None
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }.toMap
+
+  private def deleteGroupWitnesses(cfs: FileSystem, cpath: Path,
+                                   intentName: String): Unit =
+    try cfs.listStatus(cpath).foreach { s =>
+      if (s.isFile &&
+          s.getPath.getName.startsWith(s"$WitnessPrefix${intentName}_"))
+        try cfs.delete(s.getPath, false)
+        catch { case scala.util.control.NonFatal(_) => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Write the group intent create-exclusive; torn writes are
     * detectable by the missing end marker. Entry lines reuse the

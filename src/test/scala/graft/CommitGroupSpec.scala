@@ -178,4 +178,79 @@ class CommitGroupSpec extends SparkSpec {
     assert(gotB.filter(col("id") === 7L).isEmpty,
       "the interleaved delete must survive the rebase")
   }
+
+  test("stale intent after ALL commits + compaction/vacuum before recovery: witnesses prove applied") {
+    val dir = freshDir("cgrp_wit")
+    val (a, b) = (s"$dir/a.parquet", s"$dir/b.parquet")
+    seed(a, "A"); seed(b, "B")
+    // crash AFTER both commits land but BEFORE intent cleanup (hook
+    // value == parts.size) — the stale-intent window
+    Snapshot.groupCrashAfterParts = 2
+    try intercept[IllegalStateException] {
+      Snapshot.commitGroup(hconf, s"$dir/_txn", stageParts(a, b, "g1"))
+    } finally Snapshot.groupCrashAfterParts = -1
+    val txn = new Path(s"$dir/_txn")
+    assert(fs.listStatus(txn).exists(_.getPath.getName.startsWith("_GROUP_")),
+      "the intent must have survived the crash")
+    assert(fs.listStatus(txn).count(_.getPath.getName.startsWith("_GAPPLIED_")) == 2,
+      "both participants must carry applied witnesses")
+    // a COMPACTION now rewrites every rel the intent recorded, and a
+    // full vacuum reclaims the old pool files — the r14 membership
+    // heuristic would see both participants 'unapplied' with staged
+    // files gone and roll the group BACK (or re-commit a stale delta)
+    Seq(a, b).foreach { p =>
+      graft.operators.Compaction.compact(spark, p, Seq("id"),
+        targetFileBytes = 1L << 30)
+      val dd = Snapshot.dataDir(new Path(p))
+      fs.listStatus(dd).filter(_.isFile).foreach(s =>
+        fs.setTimes(s.getPath, System.currentTimeMillis() - 20 * 60 * 1000L, -1))
+      Snapshot.vacuumLocked(fs, new Path(p), keepVersions = 1)
+    }
+    val (va, vb) = (headV(a), headV(b))
+    val (ca, cb) = (canon(graft.sources.Resolver.readParquet(spark, a)),
+      canon(graft.sources.Resolver.readParquet(spark, b)))
+    assert(Snapshot.recoverGroups(hconf, s"$dir/_txn") == 1)
+    assert(headV(a) == va && headV(b) == vb,
+      "recovery must NOT re-commit a witnessed participant")
+    assert(canon(graft.sources.Resolver.readParquet(spark, a)) == ca &&
+      canon(graft.sources.Resolver.readParquet(spark, b)) == cb,
+      "content untouched by recovery")
+    assert(ca.exists(_.contains("g1-3")) && cb.exists(_.contains("g1-99")),
+      "the group's rows are present (they committed before the crash)")
+    assert(!fs.exists(txn) || fs.listStatus(txn).isEmpty,
+      "intent and witnesses cleaned")
+  }
+
+  test("crash between commits + compaction of the committed participant: witness keeps it applied, the other lands") {
+    val dir = freshDir("cgrp_wit2")
+    val (a, b) = (s"$dir/a.parquet", s"$dir/b.parquet")
+    seed(a, "A"); seed(b, "B")
+    Snapshot.groupCrashAfterParts = 1
+    try intercept[IllegalStateException] {
+      Snapshot.commitGroup(hconf, s"$dir/_txn", stageParts(a, b, "g1"))
+    } finally Snapshot.groupCrashAfterParts = -1
+    // participants commit in root-sorted order: `a` committed (and is
+    // witnessed), `b` did not
+    val txn = new Path(s"$dir/_txn")
+    assert(fs.listStatus(txn).count(_.getPath.getName.startsWith("_GAPPLIED_")) == 1)
+    // compaction + full vacuum on the COMMITTED one erases both its
+    // intent rels and the old pool files — pre-witness recovery saw
+    // 'A unapplied with files gone' and rolled the whole group back,
+    // silently losing B's pending commit
+    graft.operators.Compaction.compact(spark, a, Seq("id"),
+      targetFileBytes = 1L << 30)
+    val dda = Snapshot.dataDir(new Path(a))
+    fs.listStatus(dda).filter(_.isFile).foreach(s =>
+      fs.setTimes(s.getPath, System.currentTimeMillis() - 20 * 60 * 1000L, -1))
+    Snapshot.vacuumLocked(fs, new Path(a), keepVersions = 1)
+    val va = headV(a)
+    assert(Snapshot.recoverGroups(hconf, s"$dir/_txn") == 1)
+    assert(headV(a) == va, "witnessed participant must not re-commit")
+    val gotB = graft.sources.Resolver.readParquet(spark, b)
+    assert(gotB.filter(col("id") === 99L).count() == 1,
+      "the unapplied participant must roll forward")
+    assert(canon(graft.sources.Resolver.readParquet(spark, a))
+      .exists(_.contains("g1-3")), "a's group rows survive compaction")
+    assert(!fs.exists(txn) || fs.listStatus(txn).isEmpty)
+  }
 }
