@@ -28,7 +28,13 @@ object Bench {
     // unexplained ×2-4 per-query drift on code-identical queries
     // (q_bpe_pairs ×4.7 in-suite vs 1.45× exclusive-warm). Sorted
     // order makes per-query numbers comparable across rounds.
+    // dev filter: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just those
+    // queries (the recorded per-round numbers always run the full set)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1)))
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
       ordered.foreach { case (_, fn) =>

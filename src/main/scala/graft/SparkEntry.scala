@@ -1088,8 +1088,11 @@ object SparkEntry {
       val docs = read(s, dir, "documents").select("doc_id", "text")
         .filter(col("doc_id") < 400)
       val p = s"$scratch/docs.parquet"
+      // maxRecordsPerFile is a CONSTANT at the 400-doc gate window:
+      // max(100, n/16) = 100 for every n ≤ 1600 — the count() job the
+      // expression used to pay bought nothing (r15 job audit)
       WriteOps.atomicOverwrite(s, docs, p, indexBy = Seq("doc_id"),
-        maxRecordsPerFile = math.max(100, docs.count() / 16),
+        maxRecordsPerFile = 100,
         commitMode = "snapshot", keepVersions = 6)
       val idx = s"$scratch/idx"
       def drain() = graft.streaming.CdfStream.cdfToSignatureIndex(

@@ -2156,6 +2156,66 @@ object Snapshot {
                                 partitionBy: Seq[String],
                                 keepVersions: Int)
 
+  /** Stage a FULL-REPLACE of `rootStr` for a COMMIT GROUP (r15): write
+    * + pool the frame with the same layout knobs and manifest key
+    * envelopes as [[overwrite]], but return the staged participant
+    * instead of committing — a multi-table bootstrap (e.g. the CDC
+    * signature index's shingles + buckets) lands atomically through
+    * ONE [[commitGroup]] instead of two independent overwrite+commit
+    * cycles, and a crash can no longer leave one table rebuilt and
+    * its sibling stale. `baseV == -1` marks a FRESH table (first
+    * commit); otherwise `removedRels` carries the staging-time head's
+    * full membership (replace semantics — a head that moves before
+    * the group commits is arbitrated as a conflict under the lock).
+    * NOTE: unlike [[overwrite]], a replace through the group's delta
+    * path merges schemas BY NAME with the head (it cannot clear
+    * aliases/dropped markers) — callers changing a table's shape keep
+    * using [[overwrite]].
+    */
+  private[graft] def stageOverwrite(spark: SparkSession, df: DataFrame,
+                                    rootStr: String,
+                                    partitionBy: Seq[String] = Nil,
+                                    maxRecordsPerFile: Long = 0,
+                                    indexBy: Seq[String] = Nil,
+                                    keepVersions: Int = 2,
+                                    statsCols: Seq[String] = Nil): StagedCommit = {
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    sweepStaleStages(fs, root)
+    val schemaDdl = org.apache.spark.sql.types.StructType(
+      df.schema.fields.map(_.copy(nullable = true))).toDDL
+    val sortKeys = indexBy.filterNot(partitionBy.contains)
+    val laid0 =
+      if (sortKeys.nonEmpty)
+        df.repartitionByRange(sortKeys.map(col).toIndexedSeq: _*)
+          .sortWithinPartitions(sortKeys.map(col).toIndexedSeq: _*)
+      else df
+    val stage = new Path(root, s"._snap_stage_${System.nanoTime()}")
+    var w = laid0.write.mode("overwrite")
+    if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
+    if (maxRecordsPerFile > 0)
+      w = w.option("maxRecordsPerFile", maxRecordsPerFile.toString)
+    try w.parquet(stage.toString) catch {
+      case e: Throwable =>
+        try fs.delete(stage, true) catch { case _: Throwable => () }
+        throw e
+    }
+    val dd = dataDir(root)
+    fs.mkdirs(dd)
+    val entries = withKeyEnvs(spark, dd,
+      moveIntoPool(fs, stage, dd), df.schema,
+      (sortKeys ++ statsCols).distinct.filterNot(partitionBy.contains))
+    fs.delete(stage, true)
+    val (baseV, removed) = committed(fs, root).lastOption match {
+      case Some((hv, hdir)) =>
+        (hv, manifestAt(fs, hdir).map(_.entries.map(_.rel).toSet)
+          .getOrElse(Set.empty[String]))
+      case None => (-1L, Set.empty[String])
+    }
+    StagedCommit(rootStr, baseV, removed, entries, schemaDdl, partitionBy,
+      keepVersions)
+  }
+
   private val GroupPrefix = "_GROUP_"
   private val GroupTag = "graft-commit-group-v1"
   private val GroupEnd = "#end"
@@ -2235,31 +2295,49 @@ object Snapshot {
     val versions = withLocksOrdered(withFs.map { case (p, fs) =>
       (fs, new Path(p.root)) }) {
       val checked = withFs.map { case (p, fs) =>
-        val (hv, head, outDdl) = rebaseChecksLocked(fs, new Path(p.root),
-          p.baseV, p.removedRels, p.schemaDdl, p.partitionBy, None)
-        // pre-verify the membership invariants commitDeltaLocked would
-        // enforce — HERE they must fail BEFORE the intent is durable,
-        // so a conflicting group aborts with zero commits
-        val notMembers = p.removedRels.filterNot(head.hasRel)
-        require(notMembers.isEmpty, s"group participant ${p.root}: removed " +
-          s"rel(s) not in head membership: ${notMembers.take(5).mkString(", ")}")
-        val dup = p.added.map(_.rel)
-          .filter(r => head.hasRel(r) && !p.removedRels.contains(r))
-        require(dup.isEmpty, s"group participant ${p.root}: added rel(s) " +
-          s"already members: ${dup.take(5).mkString(", ")}")
-        (p, fs, hv, head, outDdl)
+        if (p.baseV < 0L) {
+          // FRESH participant (first commit of a new table — the
+          // grouped bootstrap shape): nothing to rebase; a head that
+          // appeared since staging means another writer created the
+          // table — abort with zero commits
+          if (committed(fs, new Path(p.root)).nonEmpty)
+            throw CommitConflictException(
+              s"group participant ${p.root} was staged as a FRESH table " +
+                "but a concurrent writer committed it first — re-plan")
+          require(p.removedRels.isEmpty,
+            s"fresh group participant ${p.root} cannot remove rels")
+          (p, fs, -1L, None: Option[Resolved], p.schemaDdl)
+        } else {
+          val (hv, head, outDdl) = rebaseChecksLocked(fs, new Path(p.root),
+            p.baseV, p.removedRels, p.schemaDdl, p.partitionBy, None)
+          // pre-verify the membership invariants commitDeltaLocked would
+          // enforce — HERE they must fail BEFORE the intent is durable,
+          // so a conflicting group aborts with zero commits
+          val notMembers = p.removedRels.filterNot(head.hasRel)
+          require(notMembers.isEmpty, s"group participant ${p.root}: removed " +
+            s"rel(s) not in head membership: ${notMembers.take(5).mkString(", ")}")
+          val dup = p.added.map(_.rel)
+            .filter(r => head.hasRel(r) && !p.removedRels.contains(r))
+          require(dup.isEmpty, s"group participant ${p.root}: added rel(s) " +
+            s"already members: ${dup.take(5).mkString(", ")}")
+          (p, fs, hv, Some(head): Option[Resolved], outDdl)
+        }
       }
       val cpath = new Path(coordDir)
       val cfs = cpath.getFileSystem(conf)
       val intent = writeGroupIntent(cfs, cpath, checked.map { case (p, _, hv, _, outDdl) =>
         p.copy(baseV = hv, schemaDdl = outDdl) })
       // ── roll-forward point: from here the group lands, crash or not ──
-      val out = checked.zipWithIndex.map { case ((p, fs, hv, head, outDdl), i) =>
+      val out = checked.zipWithIndex.map { case ((p, fs, hv, headOpt, outDdl), i) =>
         if (groupCrashAfterParts >= 0 && i >= groupCrashAfterParts)
           throw new IllegalStateException(
             s"simulated crash after $i committed group participant(s)")
-        val v = commitDeltaLocked(fs, new Path(p.root), hv, head,
-          p.removedRels, p.added, outDdl, p.partitionBy, p.keepVersions)
+        val v = headOpt match {
+          case Some(head) => commitDeltaLocked(fs, new Path(p.root), hv, head,
+            p.removedRels, p.added, outDdl, p.partitionBy, p.keepVersions)
+          case None => commitLocked(fs, new Path(p.root),
+            Manifest(p.schemaDdl, p.partitionBy, p.added), p.keepVersions)
+        }
         // DURABLE APPLIED WITNESS (r15): recovery must distinguish
         // "committed, then compacted/vacuumed away" from "never
         // committed" without trusting the mutable head membership.
@@ -2364,6 +2442,18 @@ object Snapshot {
                   s"file(s) of ${p.root} were reclaimed while a sibling " +
                   "participant already committed — the group can neither " +
                   "roll forward nor back; rebuild the derived table")
+                if (p.baseV < 0L) {
+                  // FRESH participant: first commit of a new table
+                  if (headOpt.isEmpty)
+                    commitLocked(fs, root,
+                      Manifest(p.schemaDdl, p.partitionBy, p.added),
+                      p.keepVersions)
+                  else throw new IllegalStateException(
+                    s"commit-group recovery: ${p.root} was created " +
+                      "concurrently under a pending fresh-table group — " +
+                      "re-driving the recorded first commit could clobber " +
+                      "it; repair manually")
+                } else {
                 val (hv, head) = headOpt.getOrElse(
                   throw new IllegalStateException(
                     s"commit-group recovery: no committed head under ${p.root}"))
@@ -2382,6 +2472,7 @@ object Snapshot {
                     s"the recorded base v${p.baseV} and the participant " +
                     "removes files — re-driving a stale rewrite could drop " +
                     "the interleaved commit; repair manually")
+                }
               }
             }
             try cfs.delete(st.getPath, false)
@@ -2646,6 +2737,58 @@ object Snapshot {
         cols = Some(typed.columns.toSeq)))
     fs.delete(stage, true)
     (baseV, m, moved, n)
+  }
+
+  /** Clone an already-staged key tombstone into ANOTHER table's pool
+    * (r15): the CDC index maintainer deletes the SAME id set from its
+    * two tables every increment — the second table's tombstone is a
+    * driver-side byte copy of the first's pooled files, not a second
+    * Spark write job. Sound only when every key column's type agrees
+    * between the two tables (the staged rows were cast to the source
+    * table's types); returns None otherwise or on any copy failure —
+    * the caller then stages independently. Returns the destination's
+    * (baseV, manifest, cloned delete entries).
+    */
+  private[graft] def cloneDeleteStage(spark: SparkSession, fromRoot: String,
+                                      toRoot: String, entries: Seq[Entry])
+      : Option[(Long, Manifest, Seq[Entry])] = {
+    if (entries.isEmpty) return None
+    val conf = spark.sparkContext.hadoopConfiguration
+    val from = new Path(fromRoot)
+    val to = new Path(toRoot)
+    val fs = to.getFileSystem(conf)
+    val ffs = from.getFileSystem(conf)
+    val (baseV, vdir) = resolveVersion(fs, to, None)
+    val m = manifestAt(fs, vdir).getOrElse(return None)
+    val fm = manifestAt(ffs, resolveVersion(ffs, from, None)._2)
+      .getOrElse(return None)
+    val cols = entries.head.cols.getOrElse(return None)
+    if (!entries.forall(_.cols.contains(cols))) return None
+    val typesAgree = cols.forall(c =>
+      (m.schema.fields.find(_.name == c), fm.schema.fields.find(_.name == c))
+        match {
+          case (Some(a), Some(b)) => a.dataType == b.dataType
+          case _ => false
+        })
+    if (!typesAgree) return None
+    val delDir = new Path(dataDir(to), DeletesDirName)
+    fs.mkdirs(delDir)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Entry]
+    try {
+      entries.foreach { e =>
+        val src = new Path(dataDir(from), e.rel)
+        val dst = new Path(delDir, s"c${System.nanoTime()}-${src.getName}")
+        if (!org.apache.hadoop.fs.FileUtil.copy(ffs, src, fs, dst,
+            false, conf)) throw new java.io.IOException(s"copy $src failed")
+        out += e.copy(rel = s"$DeletesDirName/${dst.getName}")
+      }
+      Some((baseV, m, out.toSeq))
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        out.foreach(e => try fs.delete(new Path(dataDir(to), e.rel), false)
+          catch { case _: Throwable => () })
+        None
+    }
   }
 
   /** PREDICATE deletion vector (r12 — the Iceberg equality-delete

@@ -319,13 +319,24 @@ object CdfStream {
         Snapshot.resolveVersion(fs, root, None)._1)
       val corpus = graft.sources.Resolver.readParquet(
         spark, tablePath, Some(seedV))
-      val sh = TextDedup.shingleTable(corpus, idCol, textCol, n)
-        .localCheckpoint(true)
-      WriteOps.atomicOverwrite(spark, sh, shPath, indexBy = Seq("id"),
-        commitMode = "snapshot", keepVersions = keepVersions)
-      WriteOps.atomicOverwrite(spark, TextDedup.bucketTable(sh, k, bands),
-        bkPath, indexBy = Seq("id"), commitMode = "snapshot",
-        keepVersions = keepVersions)
+      // GROUPED bootstrap (r15, verdict #3): stage both bulk builds
+      // and land them through ONE commit group — one intent, two
+      // commits, one lock scope — instead of two independent
+      // overwrite+commit+vacuum cycles; a crash between the stages
+      // re-bootstraps (nothing committed), a crash inside the group
+      // rolls forward at the next startup. The bucket table derives
+      // from the shingle table's STAGED pool files (a plain parquet
+      // re-read) — no localCheckpoint job, no shingle recompute.
+      val shStaged = Snapshot.stageOverwrite(spark,
+        TextDedup.shingleTable(corpus, idCol, textCol, n), shPath,
+        indexBy = Seq("id"), keepVersions = keepVersions)
+      val shDd = Snapshot.dataDir(new Path(shPath))
+      val shBack = spark.read.parquet(
+        shStaged.added.map(e => new Path(shDd, e.rel).toString): _*)
+      val bkStaged = Snapshot.stageOverwrite(spark,
+        TextDedup.bucketTable(shBack, k, bands), bkPath,
+        indexBy = Seq("id"), keepVersions = keepVersions)
+      Snapshot.commitGroup(hconf, txnDir, Seq(shStaged, bkStaged))
       commitCursor(fs, ckpt, seedV)
     }
     // SPANNING drain (r13): the per-increment writes are
@@ -365,12 +376,25 @@ object CdfStream {
       // the next startup ([[Snapshot.recoverGroups]] above), so both
       // tables land or — before the intent is durable — neither does.
       // Content-idempotent replay remains the outer net behind it.
+      // the SAME id set tombstones both tables: stage the delete ONCE
+      // (one Spark write) and byte-clone the pooled files into the
+      // second table's pool (r15 — driver-side copy, no job); type
+      // mismatch or copy failure falls back to independent staging
+      val delSh =
+        if (hasRemovals) Some(Snapshot.stageDeleteKeys(spark, shPath,
+          removeIds, needCount = false))
+        else None
+      val delBk: Option[(Long, Snapshot.Manifest, Seq[Snapshot.Entry])] =
+        delSh.flatMap(d =>
+          Snapshot.cloneDeleteStage(spark, shPath, bkPath, d._3))
+          .orElse(if (hasRemovals)
+            Some(Snapshot.stageDeleteKeys(spark, bkPath, removeIds,
+              needCount = false)).map(d => (d._1, d._2, d._3))
+          else None)
       def part(path: String, batch: org.apache.spark.sql.DataFrame,
-               pk: Seq[String]): Option[Snapshot.StagedCommit] = {
-        val del =
-          if (hasRemovals) Some(Snapshot.stageDeleteKeys(spark, path,
-            removeIds, needCount = false))
-          else None
+               pk: Seq[String],
+               del: Option[(Long, Snapshot.Manifest, Seq[Snapshot.Entry])])
+          : Option[Snapshot.StagedCommit] = {
         val ups = Snapshot.stageUpsertAppend(spark, path, batch, pk,
           indexBy = Seq("id"))
         val entries = del.map(_._3).getOrElse(Nil) ++
@@ -384,9 +408,10 @@ object CdfStream {
         }
       }
       val parts = Seq(
-        part(shPath, asserted, Seq("id")),
+        part(shPath, asserted, Seq("id"),
+          delSh.map(d => (d._1, d._2, d._3))),
         part(bkPath, TextDedup.bucketTable(asserted, k, bands),
-          Seq("id", "band"))).flatten
+          Seq("id", "band"), delBk)).flatten
       if (parts.nonEmpty) { Snapshot.commitGroup(hconf, txnDir, parts); () }
     }
   }
