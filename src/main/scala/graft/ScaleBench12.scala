@@ -145,6 +145,61 @@ object ScaleBench12 {
     }
     notes("plan_cost") = f"${results("plan_cost_1000x") * 1000 / 1000}%.2f ms/plan over $total members"
 
+    // ── 5) r15 orphan journal: per-commit vacuum cost is FLAT in pool
+    // size (the pre-r15 checkpoint-commit full sweep listed the pool).
+    // Fabricated pools (zero-byte members + a manifest listing them),
+    // 100 journaled crash orphans each — the incremental vacuum must
+    // collect exactly the orphans at the same cost for 20k and 200k
+    // members, while the audit full sweep pays the listing. ─────────
+    def mkPool(n: Int): Path = {
+      val root = new Path(s"$out/pool_$n.parquet")
+      val dd = graft.operators.Snapshot.dataDir(root)
+      fs.mkdirs(dd)
+      val base = java.nio.file.Paths.get(dd.toUri.getPath)
+      val rels = (0 until n).map(i => f"f$i%07d.parquet")
+      rels.foreach(r => java.nio.file.Files.createFile(base.resolve(r)))
+      graft.operators.Snapshot.commitVersion(fs, root,
+        graft.operators.Snapshot.Manifest("id BIGINT",
+          Nil, rels.map(r => graft.operators.Snapshot.Entry(r, 1L))),
+        keepVersions = 2)
+      // 100 journaled crash orphans (a writer that pooled then died)
+      val orphans = (0 until 100).map(i => f"orph$i%04d.parquet")
+      orphans.foreach(r => java.nio.file.Files.createFile(base.resolve(r)))
+      val jd = new Path(root, "_stage_journal")
+      fs.mkdirs(jd)
+      val jp = new Path(jd, s"j0000000000000_crash$n")
+      val o = fs.create(jp, true)
+      o.write((orphans.map("_data/" + _).mkString("\n") + "\n#end\n").getBytes)
+      o.close()
+      fs.setTimes(jp, System.currentTimeMillis() - 20 * 60 * 1000L, -1)
+      root
+    }
+    val p20 = timed("fabricate_pool_20k") { mkPool(20_000) }
+    val p200 = timed("fabricate_pool_200k") { mkPool(200_000) }
+    timed("vacuum_incr_20k") {
+      graft.operators.Snapshot.vacuum(fs, p20, 2, fullSweep = false)
+    }
+    timed("vacuum_incr_200k") {
+      graft.operators.Snapshot.vacuum(fs, p200, 2, fullSweep = false)
+    }
+    Seq(p20, p200).foreach { r =>
+      val dd = graft.operators.Snapshot.dataDir(r)
+      require(!fs.exists(new Path(dd, "orph0000.parquet")),
+        s"journaled orphans must be collected at $r")
+      require(fs.exists(new Path(dd, "f0000000.parquet")),
+        s"referenced members must survive at $r")
+    }
+    timed("vacuum_full_200k") {
+      graft.operators.Snapshot.vacuum(fs, p200, 2, fullSweep = true)
+    }
+    val flat = results("vacuum_incr_200k") /
+      math.max(results("vacuum_incr_20k"), 0.005)
+    notes("vacuum_flat_claim") = f"incr 20k=${results("vacuum_incr_20k")}%.3fs " +
+      f"200k=${results("vacuum_incr_200k")}%.3fs (ratio $flat%.2f, gate <=3 " +
+      f"on sub-10ms absolutes); full audit at 200k=${results("vacuum_full_200k")}%.2fs"
+    require(results("vacuum_incr_200k") < 0.5,
+      "incremental vacuum must stay sub-500ms at 200k pool files")
+
     println("SCALE12 done: " + results.map { case (k, v) => s"$k=$v" }.mkString(" "))
   }
 }

@@ -66,6 +66,7 @@ object Main {
       foldDeletesAbove: Double = 0.2, // [EXT] compaction DV debt ceiling
       history: Boolean = false, // [EXT] snapshot/versioned history listing
       vacuum: Option[Int] = None, // [EXT] trim retention to N generations
+      vacuumFull: Boolean = false, // [EXT] --full: O(pool) audit listing
       fsck: Boolean = false, // [EXT] snapshot-layout integrity audit
       zorder: Seq[String] = Nil, // [EXT] Z-order maintenance columns
       materializeDeletes: Boolean = false, // [EXT] fold deletion vectors in
@@ -116,7 +117,7 @@ object Main {
     var widenColumn: Option[(String, String)] = None
     var autoMaintain = false
     var changelog: Option[(Long, Long)] = None
-    var vacuumN: Option[Int] = None; var fsck = false
+    var vacuumN: Option[Int] = None; var vacuumFull = false; var fsck = false
     var zorderCols: Seq[String] = Nil
     var indexBy = Vector.empty[String]; var skipIndex = false
     var failOnError = envDefault("--fail-on-error").forall(asBool)
@@ -297,6 +298,9 @@ object Main {
         vacuumN = Some(next("--vacuum").toInt)
         if (vacuumN.exists(_ < 1))
           throw CliError(s"--vacuum must keep >= 1 version, got: ${vacuumN.get}")
+      // r15: the audit sweep (full pool listing) moved behind --full;
+      // plain --vacuum matches the per-commit incremental+journal GC
+      case "--full" => vacuumFull = true
       // [EXT] CDC changelog of the source dataset between two retained
       // versions (Delta CDF row shape); requires --pk
       case "--changelog" => once("--changelog")
@@ -500,7 +504,8 @@ object Main {
       showArgs = showArgs, jobRun = jobRun, logLevel = logLevel,
       profile = profile, compact = compactSize,
       foldDeletesAbove = foldDeletesAbove,
-      history = history, vacuum = vacuumN, fsck = fsck, zorder = zorderCols,
+      history = history, vacuum = vacuumN, vacuumFull = vacuumFull,
+      fsck = fsck, zorder = zorderCols,
       materializeDeletes = materializeDeletes,
       renameColumn = renameColumn,
       dropColumn = dropColumn,
@@ -628,9 +633,11 @@ object Main {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       // LOCKED: a standalone vacuum racing a live writer could sweep
       // its manifest-written, marker-pending version dir mid-commit
-      graft.operators.Snapshot.vacuumLocked(fs, p, n)
+      graft.operators.Snapshot.vacuumLocked(fs, p, n,
+        fullSweep = opts.vacuumFull)
       val kept = graft.operators.Snapshot.committed(fs, p).map(_._1)
-      println(s"vacuum: retained versions ${kept.mkString(", ")}")
+      println(s"vacuum${if (opts.vacuumFull) " (full audit sweep)" else ""}: " +
+        s"retained versions ${kept.mkString(", ")}")
       return
     }
     opts.changelog.foreach { case (fromV, toV) => // [EXT] CDC diff

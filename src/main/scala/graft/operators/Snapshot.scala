@@ -915,27 +915,40 @@ object Snapshot {
     val pd = partsDir(root)
     fs.mkdirs(pd)
     val freshNames = scala.collection.mutable.Set.empty[String]
+    // fresh parts are PLANNED (rendered + named) during chunking and
+    // flushed in one batch below — so their names can be stage-
+    // journaled BEFORE any part file exists (r15: crash orphans are
+    // collected from the journal, not an O(pool) listing)
+    val plannedParts = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
     def writePart(entries: Seq[Entry]): PartRef = {
       val name = s"part-${java.util.UUID.randomUUID().toString.replace("-", "")}.txt"
-      val pf = new Path(pd, name)
       val sb = new StringBuilder
       entries.foreach(e => sb.append(renderEntry(e)).append('\n'))
       val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      if (!atomicCreate(fs, pf))
-        throw new java.io.IOException(s"manifest part collision at $pf")
-      // local scheme writes via nio: Hadoop RawLocalFS create() FORKS a
-      // chmod per file (~8 ms of process spawn) — at ~60 dirty parts
-      // per cadence checkpoint that spawn cost, not the render, was the
-      // dominant term
-      if (fs.getScheme == "file")
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(pf.toUri.getPath), bytes)
-      else {
-        val out = fs.create(pf, true)
-        try out.write(bytes) finally out.close()
-      }
+      plannedParts += ((name, bytes))
       freshNames += name
       PartRef(name, entries.size, bytes.length.toLong, entries.head.rel)
+    }
+    def flushPlannedParts(): Unit = {
+      if (plannedParts.isEmpty) return
+      writeStageJournal(fs, root,
+        plannedParts.map(p => s"$PartsDirName/${p._1}").toSeq)
+      plannedParts.foreach { case (name, bytes) =>
+        val pf = new Path(pd, name)
+        if (!atomicCreate(fs, pf))
+          throw new java.io.IOException(s"manifest part collision at $pf")
+        // local scheme writes via nio: Hadoop RawLocalFS create() FORKS a
+        // chmod per file (~8 ms of process spawn) — at ~60 dirty parts
+        // per cadence checkpoint that spawn cost, not the render, was the
+        // dominant term
+        if (fs.getScheme == "file")
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(pf.toUri.getPath), bytes)
+        else {
+          val out = fs.create(pf, true)
+          try out.write(bytes) finally out.close()
+        }
+      }
     }
     def chunked(entries: Seq[Entry]): Seq[PartRef] =
       entries.grouped(TargetPartEntries).map(writePart).toSeq
@@ -979,6 +992,7 @@ object Snapshot {
     require(refs.iterator.map(_.count.toLong).sum == tree.size,
       s"list checkpoint entry count mismatch at $vdir: " +
         s"${refs.map(_.count).sum} vs ${tree.size}")
+    flushPlannedParts()
     val sb = new StringBuilder
     sb.append(ListTag).append('\n')
     sb.append(hdr.schemaDdl).append('\n')
@@ -1544,17 +1558,36 @@ object Snapshot {
     * entries. Names collide only pathologically (Spark part names
     * embed a UUID) — uniquified defensively like [[PrunedMerge]].
     */
+  /** The table root a pool dir belongs to (`_data` → parent;
+    * `_data/_deletes` → grandparent).
+    */
+  private def rootOfPool(dd: Path): Path =
+    if (dd.getName == DataDirName) dd.getParent
+    else if (dd.getParent != null && dd.getParent.getName == DataDirName)
+      dd.getParent.getParent
+    else dd.getParent
+
   private[operators] def moveIntoPool(fs: FileSystem, stage: Path,
                                       dd: Path): Seq[Entry] = {
+    // plan every destination FIRST, then JOURNAL the planned pool
+    // names, then move (r15 — incremental orphan tracking): a crash
+    // mid-move leaves files the journal names, so the per-commit
+    // vacuum collects crash orphans from the journal diff instead of
+    // listing the whole pool (the last O(pool) cost on the commit
+    // path). A torn journal write means no file moved yet — the stage
+    // sweep handles the stage dir, nothing leaks.
+    val root = rootOfPool(dd)
+    val planned = listDataFilesRec(fs, stage).map { case (src, bytes) =>
+      var dest = new Path(dd, relPath(stage, src))
+      if (fs.exists(dest))
+        dest = new Path(dest.getParent, s"s${System.nanoTime()}-${src.getName}")
+      (src, dest, bytes)
+    }
+    if (planned.nonEmpty)
+      writeStageJournal(fs, root, planned.map(p => relPath(root, p._2)))
     val moved = scala.collection.mutable.ArrayBuffer.empty[(Path, Entry)]
     try {
-      listDataFilesRec(fs, stage).map { case (src, bytes) =>
-        val rel = relPath(stage, src)
-        var dest = new Path(dd, rel)
-        if (fs.exists(dest)) {
-          val parent = dest.getParent
-          dest = new Path(parent, s"s${System.nanoTime()}-${src.getName}")
-        }
+      planned.map { case (src, dest, bytes) =>
         fs.mkdirs(dest.getParent)
         if (!fs.rename(src, dest))
           throw new java.io.IOException(s"snapshot commit: cannot move $src")
@@ -1772,8 +1805,9 @@ object Snapshot {
     * marker-pending version dir mid-commit (the exact window the lock
     * closes).
     */
-  def vacuumLocked(fs: FileSystem, root: Path, keepVersions: Int): Unit =
-    withCommitLock(fs, root)(vacuum(fs, root, keepVersions))
+  def vacuumLocked(fs: FileSystem, root: Path, keepVersions: Int,
+                   fullSweep: Boolean = true): Unit =
+    withCommitLock(fs, root)(vacuum(fs, root, keepVersions, fullSweep))
 
   /** Commit a new version whose membership is `entries`, then vacuum
     * to `keepVersions` committed generations (data files refcounted
@@ -1856,10 +1890,12 @@ object Snapshot {
           "defeated the commit lock); this commit did NOT land, re-plan " +
           "and retry")
     }
-    // steady-state (delta) commits vacuum INCREMENTALLY — no pool
-    // listing; checkpoint commits run the full orphan sweep, bounding
-    // crashed-writer garbage to one checkpoint period
-    vacuum(fs, root, keepVersions, fullSweep = wroteCheckpoint)
+    // EVERY commit vacuums incrementally (r15): dereferenced files via
+    // the successor-diff candidates, crash orphans via the stage
+    // journal — no pool listing on any commit class (the pre-r15
+    // checkpoint-commit full sweep paid O(pool) every 16th commit).
+    // The standalone `--vacuum --full` audit keeps the full listing.
+    vacuum(fs, root, keepVersions, fullSweep = false)
     next
   }
 
@@ -2118,7 +2154,8 @@ object Snapshot {
         readCommitUuid(fs, new Path(vdir, backing)),
         if (useDelta) nextParts
         else if (useList) Some((listRefs, Set.empty[String])) else None))
-    vacuum(fs, root, keepVersions, fullSweep = !useDelta)
+    vacuum(fs, root, keepVersions, fullSweep = false) // r15: journal-
+    // driven orphan GC on every commit class; --vacuum --full audits
     next
   }
 
@@ -3394,6 +3431,11 @@ object Snapshot {
     // by construction, so concurrent readers see no change. Written
     // temp-then-rename: the dir is live, a torn direct write would
     // shadow the still-valid delta.
+    // JOURNAL-driven orphan collection (r15) runs on EVERY vacuum,
+    // incremental included: aged stage journals name exactly the pool
+    // files a crashed writer may have left — O(journal entries), no
+    // pool listing; the full sweep below remains the standalone audit
+    sweepStageJournal(fs, root, kept)
     val protect = scala.collection.mutable.Set.empty[Long]
     val anyDrop = all.exists(v => !keep.contains(v._1))
     // nothing leaves retention → no chain can lose its base → the
@@ -3542,6 +3584,105 @@ object Snapshot {
               }
         }
         pruneEmptyDirs(fs, dd)
+    }
+  }
+
+  // ── stage journal (r15 — incremental orphan tracking) ─────────────
+
+  private val JournalDirName = "_stage_journal"
+  private val JournalEnd = "#end"
+
+  /** One journal record per pool-move: the planned pool-relative
+    * names, end-marker terminated, written BEFORE any rename. The
+    * per-commit vacuum reconciles aged journals ([[sweepStageJournal]])
+    * — crash orphans are collected from the journal diff, never from
+    * an O(pool) listing. Write failure is swallowed: an unjournaled
+    * move degrades to the standalone full sweep's coverage.
+    */
+  private def writeStageJournal(fs: FileSystem, root: Path,
+                                rels: Seq[String]): Unit =
+    try {
+      val jd = new Path(root, JournalDirName)
+      fs.mkdirs(jd)
+      val jp = new Path(jd, f"j${System.currentTimeMillis()}%013d_${
+        java.util.UUID.randomUUID().toString.replace("-", "")}")
+      val out = fs.create(jp, true)
+      try out.write((rels.mkString("\n") + s"\n$JournalEnd\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Reconcile aged stage journals against the RETAINED versions:
+    * every journaled pool name is either referenced (its commit
+    * landed — drop just the journal line) or a crash orphan (delete
+    * the file). Runs on EVERY vacuum, incremental included — cost is
+    * O(journals · entries-per-journal), zero listings. Journals
+    * younger than the stage grace may belong to a live in-flight
+    * commit and are left alone; torn journals (no end marker) prove
+    * no move happened and age out as empty. `resolveRetained` failure
+    * ⇒ skip (never delete on uncertain references).
+    */
+  private def sweepStageJournal(fs: FileSystem, root: Path,
+                                kept: Seq[(Long, Path, Boolean)]): Unit = {
+    val jd = new Path(root, JournalDirName)
+    val journals = (try fs.listStatus(jd)
+      catch { case scala.util.control.NonFatal(_) => return })
+      .filter(s => s.isFile && s.getPath.getName.startsWith("j"))
+    if (journals.isEmpty) return
+    val now = System.currentTimeMillis()
+    val aged = journals.filter(now - _.getModificationTime > StageGraceMs)
+    if (aged.isEmpty) return
+    val retained = kept.map { case (_, vdir, _) =>
+      try resolvedFor(fs, vdir) catch { case scala.util.control.NonFatal(_) => None }
+    }
+    if (retained.exists(_.isEmpty)) return // uncertain refs: next round
+    val heads = retained.flatten
+    // live part names, only needed if some journal names a part —
+    // computed lazily over ALL version dirs (markers arbitrate dirs,
+    // not parts; same rule as the full sweep's parts GC)
+    lazy val livePartNames: Option[Set[String]] = {
+      var ok = true
+      val names = Versioned.list(fs, root).flatMap { case (_, vp, _) =>
+        if (!fs.exists(new Path(vp, ListName))) Vector.empty
+        else try parseListHeader(fs, vp).map(_._2.map(_.name))
+          .getOrElse(Vector.empty)
+        catch { case scala.util.control.NonFatal(_) => ok = false; Vector.empty }
+      }.toSet
+      if (ok) Some(names) else None
+    }
+    aged.foreach { st =>
+      (try Some(readText(fs, st.getPath).split("\n", -1).toSeq)
+       catch { case scala.util.control.NonFatal(_) => None }) match {
+        case None => () // unreadable this round: retry next vacuum
+        case Some(lines) =>
+          // TORN (no end marker, journal write itself crashed): the
+          // journal strictly precedes every rename, so nothing moved —
+          // the record is deletable, the stage sweep owns the stage dir
+          val rels =
+            if (lines.contains(JournalEnd))
+              lines.takeWhile(_ != JournalEnd).filter(_.nonEmpty)
+            else Nil
+          var allDecided = true
+          rels.foreach { rel =>
+            val referenced =
+              if (rel.startsWith(DataDirName + "/")) {
+                val poolRel = rel.stripPrefix(DataDirName + "/")
+                heads.exists(_.hasRel(poolRel))
+              } else if (rel.startsWith(PartsDirName + "/")) {
+                livePartNames match {
+                  case Some(names) =>
+                    names.contains(rel.stripPrefix(PartsDirName + "/"))
+                  case None => allDecided = false; true // unreadable refs: keep
+                }
+              } else true // unknown shape: never delete
+            if (!referenced)
+              try fs.delete(new Path(root, rel), false)
+              catch { case scala.util.control.NonFatal(_) => () }
+          }
+          if (allDecided)
+            try fs.delete(st.getPath, false)
+            catch { case scala.util.control.NonFatal(_) => () }
+      }
     }
   }
 

@@ -230,4 +230,99 @@ class ManifestDeltaSpec extends SparkSpec {
     assert(!exists("orphan.parquet"), "full sweep reclaims aged orphans")
     (f.slice(1, 5) ++ Seq(f(6), f(7), f(8))).foreach(r => assert(exists(r), s"live $r"))
   }
+
+  test("journaled crash orphans are collected by the INCREMENTAL per-commit vacuum") {
+    val dir = freshDir("mdelta_journal")
+    val p = s"$dir/t.parquet"
+    val root = new Path(p)
+    seed(p, keep = 3)
+    // a writer stages + pools an upsert batch (which JOURNALS the
+    // planned pool names), then CRASHES before committing — drop the
+    // staged result on the floor
+    val Some((_, _, staged, _)) = Snapshot.stageUpsertAppend(spark, p,
+      Seq((500L, "lost", 0), (501L, "lost2", 1)).toDF("id", "txt", "grp"),
+      Seq("id"), indexBy = Seq("id")): @unchecked
+    val dd = Snapshot.dataDir(root)
+    assert(staged.nonEmpty && staged.forall(e =>
+      fs.exists(new Path(dd, e.rel))), "crash left pooled files")
+    val jd = new Path(root, "_stage_journal")
+    assert(fs.listStatus(jd).nonEmpty, "the move was journaled")
+    // age every journal past the stage grace (the crash is old)
+    fs.listStatus(jd).foreach(s =>
+      fs.setTimes(s.getPath, System.currentTimeMillis() - 20 * 60 * 1000L, -1))
+    // a normal DELTA commit (incremental vacuum — no pool listing)
+    Snapshot.deleteByKeys(spark, p, Seq(1L).toDF("id"), keepVersions = 3)
+    assert(vdirs(p).map(_._2).count(hasDelta) >= 1)
+    staged.foreach(e => assert(!fs.exists(new Path(dd, e.rel)),
+      s"journaled crash orphan ${e.rel} must be collected incrementally"))
+    // every AGED journal is reconciled away (the triggering commit's
+    // own journal is younger than the grace and legitimately remains)
+    assert(fs.listStatus(jd).forall(s =>
+      System.currentTimeMillis() - s.getModificationTime <= 16 * 60 * 1000L),
+      "reconciled (aged) journals are removed")
+    // live data untouched, reads exact
+    assert(graft.sources.Resolver.readParquet(spark, p).count() == 59L)
+    assert(Snapshot.fsck(spark, p).filter(col("severity") === "error").isEmpty)
+  }
+
+  test("journals of COMMITTED writes age out without touching their (referenced) files") {
+    val dir = freshDir("mdelta_jref")
+    val p = s"$dir/t.parquet"
+    val root = new Path(p)
+    seed(p, keep = 3) // the seed's own move is journaled
+    Snapshot.upsertAppend(spark, p,
+      Seq((100L, "new", 2)).toDF("id", "txt", "grp"), Seq("id"),
+      indexBy = Seq("id"), keepVersions = 3)
+    val jd = new Path(root, "_stage_journal")
+    assert(fs.listStatus(jd).nonEmpty)
+    fs.listStatus(jd).foreach(s =>
+      fs.setTimes(s.getPath, System.currentTimeMillis() - 20 * 60 * 1000L, -1))
+    Snapshot.deleteByKeys(spark, p, Seq(2L).toDF("id"), keepVersions = 3)
+    assert(!fs.exists(jd) || fs.listStatus(jd)
+      .forall(s => System.currentTimeMillis() - s.getModificationTime
+        <= 16 * 60 * 1000L),
+      "aged journals of committed writes are reconciled away")
+    assert(graft.sources.Resolver.readParquet(spark, p).count() == 60L,
+      "referenced files survive journal reconciliation")
+    assert(Snapshot.fsck(spark, p).filter(col("severity") === "error").isEmpty)
+  }
+
+  test("journaled orphan manifest-PARTS are collected incrementally; live parts survive") {
+    val dir = freshDir("mdelta_jparts")
+    val p = s"$dir/t.parquet"
+    val root = new Path(p)
+    val (m0, t0) = (Snapshot.ListCheckpointMin, Snapshot.TargetPartEntries)
+    Snapshot.ListCheckpointMin = 8
+    Snapshot.TargetPartEntries = 4
+    try {
+      WriteOps.atomicOverwrite(spark,
+        (0L until 300L).map(i => (i, s"v$i")).toDF("id", "txt"), p,
+        indexBy = Seq("id"), maxRecordsPerFile = 10,
+        commitMode = "snapshot", keepVersions = 3) // v1: LIST checkpoint
+      val pd = new Path(root, "_manifest_parts")
+      val liveParts = fs.listStatus(pd).map(_.getPath.getName).toSet
+      assert(liveParts.nonEmpty)
+      // a crashed list writer: journaled part that never got referenced
+      val orphan = "part-deadcrash.txt"
+      val out = fs.create(new Path(pd, orphan), true)
+      out.write("x\n".getBytes); out.close()
+      val jd = new Path(root, "_stage_journal")
+      fs.mkdirs(jd)
+      val jp = new Path(jd, s"j${System.currentTimeMillis()}_test")
+      val jo = fs.create(jp, true)
+      jo.write(s"_manifest_parts/$orphan\n#end\n".getBytes); jo.close()
+      fs.listStatus(jd).foreach(s =>
+        fs.setTimes(s.getPath, System.currentTimeMillis() - 20 * 60 * 1000L, -1))
+      Snapshot.upsertAppend(spark, p, Seq((900L, "x")).toDF("id", "txt"),
+        Seq("id"), indexBy = Seq("id"), keepVersions = 3) // delta commit
+      assert(!fs.exists(new Path(pd, orphan)),
+        "journaled orphan part collected by the incremental vacuum")
+      assert(liveParts.forall(n => fs.exists(new Path(pd, n))),
+        "parts referenced by retained lists survive")
+      assert(graft.sources.Resolver.readParquet(spark, p).count() == 301L)
+    } finally {
+      Snapshot.ListCheckpointMin = m0
+      Snapshot.TargetPartEntries = t0
+    }
+  }
 }
