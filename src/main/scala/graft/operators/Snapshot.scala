@@ -2392,6 +2392,10 @@ object Snapshot {
         throw new IllegalStateException(
           s"simulated crash after all ${checked.size} group commits, " +
             "before intent cleanup")
+      // advance the coordinator's consistent-read pins — only now,
+      // with every participant committed (readers pinning these
+      // versions can never observe a half-applied group)
+      writeGroupVersions(cfs, cpath, out)
       try cfs.delete(intent, false)
       catch { case scala.util.control.NonFatal(_) => () }
       deleteGroupWitnesses(cfs, cpath, intent.getName)
@@ -2466,11 +2470,18 @@ object Snapshot {
                 catch { case scala.util.control.NonFatal(_) => false })
               (p, fs, headOpt, applied, filesOk)
             }
+            // versions this recovery can PROVE per participant —
+            // witnessed, or committed right here; pins advance only
+            // when every participant's version is known (stale but
+            // consistent beats fresh but skewed)
+            val proven = scala.collection.mutable.Map.empty[String, Long]
+            witnessed.foreach { case (r, v) => proven(r) = v }
             if (states.forall(_._4)) () // every participant already landed
             else if (states.forall(s => !s._4) && states.exists(s => !s._5)) {
               // nothing landed anywhere and staged files are gone
               // (orphan-swept): the clean rollback branch — the group
               // never became visible on any table
+              proven.clear() // nothing applied: the pins must not move
               ()
             } else {
               states.filterNot(_._4).foreach { case (p, fs, headOpt, _, filesOk) =>
@@ -2482,7 +2493,7 @@ object Snapshot {
                 if (p.baseV < 0L) {
                   // FRESH participant: first commit of a new table
                   if (headOpt.isEmpty)
-                    commitLocked(fs, root,
+                    proven(p.root) = commitLocked(fs, root,
                       Manifest(p.schemaDdl, p.partitionBy, p.added),
                       p.keepVersions)
                   else throw new IllegalStateException(
@@ -2495,15 +2506,16 @@ object Snapshot {
                   throw new IllegalStateException(
                     s"commit-group recovery: no committed head under ${p.root}"))
                 if (hv == p.baseV)
-                  commitDeltaLocked(fs, root, hv, head, p.removedRels,
-                    p.added, p.schemaDdl, p.partitionBy, p.keepVersions)
+                  proven(p.root) = commitDeltaLocked(fs, root, hv, head,
+                    p.removedRels, p.added, p.schemaDdl, p.partitionBy,
+                    p.keepVersions)
                 else if (p.removedRels.isEmpty) {
                   require(head.hdr.partitionBy == p.partitionBy,
                     s"commit-group recovery: partition layout of ${p.root} " +
                       "changed under the pending group")
                   val outDdl = mergeSchemaDdl(p.schemaDdl, head.hdr.schemaDdl)
-                  commitDeltaLocked(fs, root, hv, head, Set.empty, p.added,
-                    outDdl, p.partitionBy, p.keepVersions)
+                  proven(p.root) = commitDeltaLocked(fs, root, hv, head,
+                    Set.empty, p.added, outDdl, p.partitionBy, p.keepVersions)
                 } else throw new IllegalStateException(
                   s"commit-group recovery: the head of ${p.root} moved past " +
                     s"the recorded base v${p.baseV} and the participant " +
@@ -2512,6 +2524,12 @@ object Snapshot {
                 }
               }
             }
+            // advance the consistent-read pins iff EVERY participant's
+            // landed version is proven (all witnessed, or witnessed +
+            // re-committed here); heuristic-applied participants leave
+            // the previous — consistent — pins in place
+            if (parts.forall(p => proven.contains(p.root)))
+              writeGroupVersions(cfs, cpath, proven.toMap)
             try cfs.delete(st.getPath, false)
             catch { case scala.util.control.NonFatal(_) => () }
             deleteGroupWitnesses(cfs, cpath, st.getPath.getName)
@@ -2530,6 +2548,79 @@ object Snapshot {
       case Nil => f
       case (fs, p) :: tail => withCommitLock(fs, p)(withLocksOrdered(tail)(f))
     }
+
+  private val GroupVersionsName = "_GROUP_VERSIONS"
+  private val GroupVersionsTag = "graft-group-versions-v1"
+
+  /** Persist the coordinator's LAST-GROUP (table → version) pins
+    * (r15 — BASELINE residual #3): written atomically (temp + rename)
+    * only AFTER every participant committed, merging over earlier
+    * groups' pins for tables this group didn't touch. A reader that
+    * pins each table at its recorded version therefore sees a state
+    * where every group either fully applied or not at all — never the
+    * milliseconds-wide skew between a live group's two commits. A
+    * crash before this write leaves the PREVIOUS pins: stale but
+    * consistent, and the next group (or recovery with full version
+    * knowledge) advances it.
+    */
+  private def writeGroupVersions(cfs: FileSystem, cpath: Path,
+                                 versions: Map[String, Long]): Unit =
+    try {
+      val merged = readGroupVersions(cfs, cpath) ++ versions
+      val sb = new StringBuilder
+      sb.append(GroupVersionsTag).append('\n')
+      merged.toSeq.sortBy(_._1).foreach { case (r, v) =>
+        sb.append(r).append('\t').append(v).append('\n') }
+      sb.append(GroupEnd).append('\n')
+      val tmp = new Path(cpath,
+        s"._gver_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+      val out = cfs.create(tmp, true)
+      try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val dst = new Path(cpath, GroupVersionsName)
+      try cfs.delete(dst, false) catch { case scala.util.control.NonFatal(_) => () }
+      if (!cfs.rename(tmp, dst))
+        try cfs.delete(tmp, false) catch { case scala.util.control.NonFatal(_) => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** The coordinator's recorded (table → version) pins; empty when
+    * absent/torn.
+    */
+  def readGroupVersions(conf: org.apache.hadoop.conf.Configuration,
+                        coordDir: String): Map[String, Long] = {
+    val cpath = new Path(coordDir)
+    readGroupVersions(cpath.getFileSystem(conf), cpath)
+  }
+
+  private def readGroupVersions(cfs: FileSystem,
+                                cpath: Path): Map[String, Long] =
+    try {
+      val lines = readText(cfs, new Path(cpath, GroupVersionsName))
+        .split("\n", -1)
+      if (lines.isEmpty || lines(0) != GroupVersionsTag ||
+          !lines.contains(GroupEnd)) Map.empty
+      else lines.drop(1).takeWhile(_ != GroupEnd).flatMap { l =>
+        l.split("\t", 2) match {
+          case Array(r, v) => v.toLongOption.map(r -> _)
+          case _ => None
+        }
+      }.toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** GROUP-CONSISTENT cross-table read (r15): pin every table the
+    * coordinator tracks at its recorded last-group version — plain
+    * time travel, zero per-read coordination with writers. A reader
+    * between a live group's two commits sees either every table's
+    * pre-state or every table's post-state, never the skew (the pins
+    * only advance AFTER a group fully lands). Requires the maintained
+    * tables' retention to keep the pinned versions (keepVersions ≥ 2,
+    * the default). Returns root → pinned frame; empty if the
+    * coordinator has no recorded pins yet.
+    */
+  def readGroupConsistent(spark: SparkSession,
+                          coordDir: String): Map[String, DataFrame] =
+    readGroupVersions(spark.sparkContext.hadoopConfiguration, coordDir)
+      .map { case (root, v) => root -> readAt(spark, root, Some(v)) }
 
   /** One participant's applied witness: `root \t version`, created the
     * moment its commit lands. Failure is swallowed — the witness only
@@ -2775,6 +2866,74 @@ object Snapshot {
     fs.delete(stage, true)
     (baseV, m, moved, n)
   }
+
+  /** PURE-ADD batch APPEND (r15 — the write-side `format("graft")`
+    * surface): stage, pool (journaled), record key envelopes for the
+    * table's de-facto stats columns (the envelope keys its existing
+    * members carry, so read-time file skipping keeps working on
+    * externally appended files), and commit through the FULL rebase
+    * arbitration. A pure-add commit removes nothing, so it rebases
+    * over any concurrent engine commit — an external append lands
+    * atomically under a racing writer. Refusals are loud: non-snapshot
+    * layouts, column-set mismatch, and legacy (pre-seq) tombstones
+    * (they would anti-join the appended rows; seq-stamped tombstones
+    * exempt the new batch by the sequence rule). Returns the committed
+    * version.
+    */
+  def appendBatch(spark: SparkSession, rootStr: String, batch: DataFrame,
+                  keepVersions: Int = 2,
+                  maxRecordsPerFile: Long = 0): Long = {
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    sweepStaleStages(fs, root)
+    val (baseV, vdir) = resolveVersion(fs, root, None)
+    val m = manifestAt(fs, vdir).getOrElse(throw new IllegalArgumentException(
+      s"append needs a snapshot layout at $rootStr"))
+    val names = m.schema.fieldNames.toSeq
+    require(batch.columns.toSet == names.toSet,
+      s"batch columns ${batch.columns.sorted.toSeq} must equal the table " +
+        s"schema ${names.sorted} — append asserts whole rows")
+    require(m.deleteEntries.forall(_.seq != Long.MaxValue),
+      s"$rootStr carries legacy (pre-sequence) tombstones that would " +
+        "apply to the appended batch — materialize deletes first")
+    val typed = batch.select(names.map(c =>
+      col(c).cast(m.schema(c).dataType).as(c)): _*)
+    val statKeys = m.dataEntries.flatMap(_.envs.toSeq.flatMap(_.keys))
+      .distinct.filterNot(m.partitionBy.contains)
+      .filter(names.contains)
+    val laid =
+      if (statKeys.nonEmpty)
+        typed.sortWithinPartitions(statKeys.map(col).toIndexedSeq: _*)
+      else typed
+    val stage = new Path(root, s"._snap_stage_${System.nanoTime()}")
+    var w = laid.write.mode("overwrite")
+    if (m.partitionBy.nonEmpty) w = w.partitionBy(m.partitionBy: _*)
+    if (maxRecordsPerFile > 0)
+      w = w.option("maxRecordsPerFile", maxRecordsPerFile.toString)
+    try w.parquet(stage.toString) catch {
+      case e: Throwable =>
+        try fs.delete(stage, true) catch { case _: Throwable => () }
+        throw e
+    }
+    val dd = dataDir(root)
+    fs.mkdirs(dd)
+    val dataSchema = StructType(
+      m.schema.fields.filterNot(f => m.partitionBy.contains(f.name)))
+    val entries = withKeyEnvs(spark, dd, moveIntoPool(fs, stage, dd),
+      dataSchema, statKeys)
+    fs.delete(stage, true)
+    if (entries.isEmpty) return baseV // empty batch: nothing to commit
+    appendRaceHook() // test hook: a concurrent engine commit lands HERE
+    commitRebase(fs, root, baseV, Set.empty, entries, m.schemaDdl,
+      m.partitionBy, keepVersions,
+      note = Some("""format("graft") append"""))
+  }
+
+  /** Test hook: fires between [[appendBatch]]'s staging and its
+    * commit — the window where a concurrent engine commit moves the
+    * head past the resolved base, proving the pure-add rebase.
+    */
+  @volatile private[graft] var appendRaceHook: () => Unit = () => ()
 
   /** Clone an already-staged key tombstone into ANOTHER table's pool
     * (r15): the CDC index maintainer deletes the SAME id set from its

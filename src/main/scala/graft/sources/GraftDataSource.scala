@@ -41,9 +41,43 @@ import org.apache.spark.sql.types.StructType
   * false positives), so a partially-translated predicate is always
   * safe.
   */
-class GraftDataSource extends RelationProvider with DataSourceRegister {
+class GraftDataSource extends RelationProvider
+  with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** WRITE side (r15): `df.write.format("graft").mode("append")
+    * .save(path)` routes through [[graft.operators.Snapshot.appendBatch]]
+    * — a PURE-ADD commit under the full rebase arbitration, so an
+    * external append lands atomically even against a racing engine
+    * writer, with manifest key envelopes recorded for the table's
+    * stats columns (read-time file skipping keeps working on the
+    * appended files). Every other SaveMode refuses loudly: overwrite/
+    * replace flows need the engine's retention, schema-replace and
+    * layout decisions — a blind `save()` is the wrong surface for
+    * them.
+    */
+  override def createRelation(sqlContext: SQLContext,
+                              mode: org.apache.spark.sql.SaveMode,
+                              parameters: Map[String, String],
+                              data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    val path = parameters.get("path").orElse(parameters.get("paths"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft sink needs a path: df.write.format(\"graft\").mode(\"append\").save(<table root>)"))
+    require(!parameters.contains("versionAsOf") &&
+      !parameters.contains("timestampAsOf"),
+      "cannot write to a pinned version — time travel is read-only")
+    if (mode != org.apache.spark.sql.SaveMode.Append)
+      throw new UnsupportedOperationException(
+        s"graft sink supports mode(\"append\") only (got $mode): " +
+          "overwrite/upsert/delete flows run engine-side where the " +
+          "commit protocol (retention, schema replace, layout, pruned " +
+          "merges) lives")
+    graft.operators.Snapshot.appendBatch(sqlContext.sparkSession, path,
+      data, keepVersions =
+        parameters.get("keepVersions").map(_.trim.toInt).getOrElse(2))
+    new GraftRelation(sqlContext.sparkSession, path, None)
+  }
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {

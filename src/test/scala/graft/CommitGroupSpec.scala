@@ -57,9 +57,11 @@ class CommitGroupSpec extends SparkSpec {
       .filter(col("id") === 3L).select("txt").as[String].head() == "g1-3")
     assert(graft.sources.Resolver.readParquet(spark, b)
       .filter(col("id") === 99L).count() == 1)
-    // intent removed on success
+    // intent + witnesses removed on success (only the coordinator's
+    // consistent-read pins persist)
     assert(!fs.exists(new Path(s"$dir/_txn")) ||
-      fs.listStatus(new Path(s"$dir/_txn")).isEmpty)
+      fs.listStatus(new Path(s"$dir/_txn"))
+        .forall(_.getPath.getName == "_GROUP_VERSIONS"))
   }
 
   test("combined delete+assert is ONE commit; removal tombstone and batch compose by seq") {
@@ -217,7 +219,8 @@ class CommitGroupSpec extends SparkSpec {
       "content untouched by recovery")
     assert(ca.exists(_.contains("g1-3")) && cb.exists(_.contains("g1-99")),
       "the group's rows are present (they committed before the crash)")
-    assert(!fs.exists(txn) || fs.listStatus(txn).isEmpty,
+    assert(!fs.exists(txn) || fs.listStatus(txn)
+      .forall(_.getPath.getName == "_GROUP_VERSIONS"),
       "intent and witnesses cleaned")
   }
 
@@ -251,6 +254,38 @@ class CommitGroupSpec extends SparkSpec {
       "the unapplied participant must roll forward")
     assert(canon(graft.sources.Resolver.readParquet(spark, a))
       .exists(_.contains("g1-3")), "a's group rows survive compaction")
-    assert(!fs.exists(txn) || fs.listStatus(txn).isEmpty)
+    assert(!fs.exists(txn) || fs.listStatus(txn)
+      .forall(_.getPath.getName == "_GROUP_VERSIONS"))
+  }
+
+  test("readGroupConsistent: a reader between a live group's two commits sees no skew") {
+    val dir = freshDir("cgrp_consist")
+    val (a, b) = (s"$dir/a.parquet", s"$dir/b.parquet")
+    val txn = s"$dir/_txn"
+    seed(a, "A"); seed(b, "B")
+    Snapshot.commitGroup(hconf, txn, stageParts(a, b, "g1"))
+    def tagOf(df: org.apache.spark.sql.DataFrame): String =
+      df.filter(col("id") === 3L).select("txt").as[String].head()
+    val pinned1 = Snapshot.readGroupConsistent(spark, txn)
+    assert(pinned1.keySet == Set(a, b), "pins recorded after g1")
+    assert(tagOf(pinned1(a)) == "g1-3" && tagOf(pinned1(b)) == "g1-3")
+    // g2 crashes BETWEEN its two commits: head of `a` moves to g2
+    // while `b` still serves g1 — raw head reads are SKEWED now
+    Snapshot.groupCrashAfterParts = 1
+    try intercept[IllegalStateException] {
+      Snapshot.commitGroup(hconf, txn, stageParts(a, b, "g2"))
+    } finally Snapshot.groupCrashAfterParts = -1
+    assert(tagOf(graft.sources.Resolver.readParquet(spark, a)) == "g2-3" &&
+      tagOf(graft.sources.Resolver.readParquet(spark, b)) == "g1-3",
+      "raw head reads ARE skewed mid-group (the state the pins hide)")
+    val mid = Snapshot.readGroupConsistent(spark, txn)
+    assert(tagOf(mid(a)) == "g1-3" && tagOf(mid(b)) == "g1-3",
+      "pinned reads see both tables PRE-g2 — never the skew")
+    // recovery rolls g2 forward with full version knowledge (witness
+    // for a, fresh commit for b) and advances the pins
+    assert(Snapshot.recoverGroups(hconf, txn) == 1)
+    val post = Snapshot.readGroupConsistent(spark, txn)
+    assert(tagOf(post(a)) == "g2-3" && tagOf(post(b)) == "g2-3",
+      "pinned reads see both tables POST-g2 after recovery")
   }
 }

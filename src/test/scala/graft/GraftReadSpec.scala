@@ -109,4 +109,70 @@ class GraftReadSpec extends SparkSpec {
     assert(ext.filter(col("id") === -1L).isEmpty)
     spark.sql("DROP VIEW gtv")
   }
+
+  test("write-side append: external save() ≡ engine append, atomic under a racing commit") {
+    val dir = freshDir("gds_append")
+    val (pExt, pEng) = (s"$dir/ext.parquet", s"$dir/eng.parquet")
+    build(pExt); build(pEng)
+    val batch = Seq((200L, "app200", 7L), (201L, "app201", 8L))
+      .toDF("id", "label", "grp")
+    // TWIN: the same batch through the external surface and through
+    // the engine's own pure-add commit
+    batch.write.format("graft").mode("append").save(pExt)
+    Snapshot.appendBatch(spark, pEng, batch, keepVersions = 2)
+    assert(canon(graft.sources.Resolver.readParquet(spark, pExt)) ==
+      canon(graft.sources.Resolver.readParquet(spark, pEng)),
+      "external append ≡ engine-side append")
+    // read-back through BOTH surfaces is identical
+    assert(canon(spark.read.format("graft").load(pExt)) ==
+      canon(graft.sources.Resolver.readParquet(spark, pExt)))
+    // the appended files carry manifest envelopes → read-skipping works
+    val pt = Snapshot.readAt(spark, pExt,
+      skipping = Seq(Snapshot.ReadPred.Cmp("id", "eq", "200")))
+    assert(pt.filter(col("id") === 200L).count() == 1)
+    val (kept, total) = Snapshot.lastSkipPlan
+    assert(kept < total, s"appended file must be envelope-planned ($kept/$total)")
+    // ATOMIC under a RACING engine commit (deterministic via the
+    // append race hook): an engine delete lands between the external
+    // append's staging and its commit — the head moved past the
+    // resolved base, and the pure-add commit must REBASE, losing
+    // neither side
+    val vBefore = Snapshot.resolveVersion(fs, new Path(pExt), None)._1
+    @volatile var raced = false
+    Snapshot.appendRaceHook = () => {
+      if (!raced) {
+        raced = true
+        Snapshot.appendRaceHook = () => ()
+        Snapshot.deleteByKeys(spark, pExt, Seq(3L).toDF("id"),
+          keepVersions = 2)
+        ()
+      }
+    }
+    try Seq((300L, "late", 1L)).toDF("id", "label", "grp")
+      .write.format("graft").mode("append").save(pExt)
+    finally Snapshot.appendRaceHook = () => ()
+    assert(raced, "the race hook must have interleaved the delete")
+    assert(Snapshot.resolveVersion(fs, new Path(pExt), None)._1 ==
+      vBefore + 2, "both commits landed (delete + rebased append)")
+    val after = graft.sources.Resolver.readParquet(spark, pExt)
+    assert(after.filter(col("id") === 3L).isEmpty, "racer's delete kept")
+    assert(after.filter(col("id") === 300L).count() == 1, "append kept")
+    // refusals are loud: every non-append SaveMode, and writes to a
+    // pinned version
+    intercept[UnsupportedOperationException] {
+      batch.write.format("graft").mode("overwrite").save(pExt)
+    }
+    intercept[Exception] {
+      batch.write.format("graft").save(pExt) // ErrorIfExists default
+    }
+    intercept[Exception] {
+      batch.write.format("graft").mode("append")
+        .option("versionAsOf", "1").save(pExt)
+    }
+    // column-set mismatch refuses
+    intercept[Exception] {
+      Seq((1L, "x")).toDF("id", "label").write.format("graft")
+        .mode("append").save(pExt)
+    }
+  }
 }
