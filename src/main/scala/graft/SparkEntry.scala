@@ -2057,13 +2057,20 @@ object SparkEntry {
       val zp = s"$scratch/li_z.parquet"
       graft.operators.Snapshot.overwrite(s, zed, zp,
         indexBy = Seq("zval"),
-        maxRecordsPerFile = math.max(500L, zed.count() / 24),
+        maxRecordsPerFile = math.max(250L, zed.count() / 24),
         statsCols = Seq("l_partkey", "l_suppkey"))
       val t = s.read.format("graft").load(zp)
-      val boxT = t.filter(col("l_partkey").between(100, 160) &&
-        col("l_suppkey").between(20, 40))
-      val boxDirect = zed.filter(col("l_partkey").between(100, 160) &&
-        col("l_suppkey").between(20, 40))
+      // SF-independent 10%×20% box inside the key domains (a fixed box
+      // is empty at sf0.001, where l_suppkey only spans 1..10)
+      val r0 = b.first()
+      val (mn1, mx1, mn2, mx2) =
+        (r0.getLong(0), r0.getLong(1), r0.getLong(2), r0.getLong(3))
+      val (p1, p2) = (mn1 + (mx1 - mn1) / 5, mn1 + (mx1 - mn1) * 3 / 10)
+      val (s1, s2) = (mn2 + (mx2 - mn2) / 5, mn2 + (mx2 - mn2) * 2 / 5)
+      val boxT = t.filter(col("l_partkey").between(p1, p2) &&
+        col("l_suppkey").between(s1, s2))
+      val boxDirect = zed.filter(col("l_partkey").between(p1, p2) &&
+        col("l_suppkey").between(s1, s2))
       require(boxT.count() == boxDirect.count() && boxDirect.count() > 0,
         "the pruned interop read must equal the direct filter")
       val (kept, total) = graft.operators.Snapshot.lastSkipPlan
