@@ -2071,9 +2071,15 @@ object SparkEntry {
         col("l_suppkey").between(s1, s2))
       val boxDirect = zed.filter(col("l_partkey").between(p1, p2) &&
         col("l_suppkey").between(s1, s2))
+      // r16 (ADVICE): reset the diagnostic BEFORE the counted scan and
+      // require it moved — a stale (kept, total) from an earlier query
+      // can no longer validate this law
+      graft.operators.Snapshot.lastSkipPlan = (-1, -1)
       require(boxT.count() == boxDirect.count() && boxDirect.count() > 0,
         "the pruned interop read must equal the direct filter")
       val (kept, total) = graft.operators.Snapshot.lastSkipPlan
+      require(total != -1,
+        "the box read must have exercised the envelope planner")
       require(total >= 16 && kept < total,
         s"the 2-D box must prune the z-ordered member set " +
           s"(kept $kept of $total)")
@@ -2131,6 +2137,32 @@ object SparkEntry {
         "the composed conjuncts must prune within the partition too")
       frame.select("o_year", "o_orderkey", "o_totalprice", "o_orderstatus")
         .orderBy("o_orderkey")
+    }),
+
+    // ── [EXT] §2.10 r16 twin: STRING-keyed read-time file skipping —
+    // truncated byte-bound envelopes (Iceberg truncate-16 analog) let
+    // a hex-digest key range plan O(matching files) from the manifest
+    // alone; the common LLM-corpus shape (URL / md5 doc keys) ────────
+    "q_read_skip_str" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+        .withColumn("k", md5(col("doc_id").cast("string").cast("binary")))
+      val scratch = scratchDir("graft_rskips")
+      val p = s"$scratch/docs.parquet"
+      WriteOps.atomicOverwrite(s, docs, p, indexBy = Seq("k"),
+        maxRecordsPerFile = math.max(20, docs.count() / 24),
+        commitMode = "snapshot")
+      val full = graft.sources.Resolver.readParquet(s, p)
+      val frame = graft.engine.Planner.sourceFrame(s, SourceSpec(
+        DatasetRef("parquet", scratch, "docs"),
+        query = Seq("k__gte" -> "2", "k__lt" -> "4")))
+      // law: the hex-key range planned a strict subset of the members
+      // from the manifest's BYTE envelopes, and those are exactly the
+      // scan's input files
+      require(frame.inputFiles.nonEmpty &&
+        frame.inputFiles.length < full.inputFiles.length / 2,
+        s"string-key envelope skipping must prune the sorted member " +
+          s"set (${frame.inputFiles.length} of ${full.inputFiles.length})")
+      frame.select("doc_id", "k", "lang", "n_chars").orderBy("k")
     })
   )
 
@@ -4431,7 +4463,15 @@ object SparkEntry {
                 o_totalprice, o_orderstatus
          FROM orders
          WHERE year(o_orderdate) = 1995 AND o_orderkey < 2000
-         ORDER BY o_orderkey"""
+         ORDER BY o_orderkey""",
+    // r16 string-key envelope skipping: the result is the plain hex-key
+    // range read (pruning is an in-query require, never the semantics)
+    "q_read_skip_str" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k, lang, n_chars
+         FROM documents
+         WHERE md5(CAST(doc_id AS VARCHAR)) >= '2'
+           AND md5(CAST(doc_id AS VARCHAR)) < '4'
+         ORDER BY k"""
   )
 
   /** Differential oracles for the queries whose outputs DuckDB cannot

@@ -586,8 +586,9 @@ object Main {
       return
     }
     if (opts.fsck) { // [EXT] snapshot-layout integrity audit
+      // --full extends the audit to footer row-count cross-checks
       val issues = graft.operators.Snapshot.fsck(
-        spark, Resolver.path(job.source.ref))
+        spark, Resolver.path(job.source.ref), full = opts.vacuumFull)
       if (issues.isEmpty) println("fsck: clean")
       else issues.show(100, truncate = false)
       return

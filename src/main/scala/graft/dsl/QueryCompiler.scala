@@ -32,7 +32,7 @@ object QueryCompiler {
       group: Seq[String],
       aggs: Seq[(String, String)]) // (func, field)
 
-  private val ControlKeys =
+  private[graft] val ControlKeys =
     Set("_limit", "_sort", "_fields", "_count", "_flat", "_group", "_agg",
         "_url", "_pagination", // _url/_pagination handled by the resolver / no-op
         "_version", "_version_ts") // [EXT] snapshot time travel (by

@@ -21,12 +21,42 @@ object Runner {
     * (reference: `get_source_total`, min rule, etl_cli/base.py:481-499).
     */
   def count(spark: SparkSession, s: SourceSpec,
-            failOnError: Boolean = true): Long = {
-    val raw = Resolver.read(spark, s.ref, failOnError = failOnError)
-    val q = QueryCompiler.compile(raw, s.query)
-    val filtered = q.predicates.foldLeft(raw)(_ filter _)
-    val total = filtered.count()
-    q.limit.fold(total)(l => math.min(l.toLong, total))
+            failOnError: Boolean = true): Long =
+    metadataCountFast(spark, s).getOrElse {
+      val raw = Resolver.read(spark, s.ref, failOnError = failOnError)
+      val q = QueryCompiler.compile(raw, s.query)
+      val filtered = q.predicates.foldLeft(raw)(_ filter _)
+      val total = filtered.count()
+      q.limit.fold(total)(l => math.min(l.toLong, total))
+    }
+
+  /** METADATA-ONLY count (r16): an UNFILTERED `_count` of a parquet
+    * snapshot table sums the manifest's recorded per-file row counts
+    * driver-side — ZERO Spark jobs, the Iceberg/Delta `count(*)` fast
+    * path; the `min(limit, count)` cap (S12/F3) applies on top. None
+    * (→ the exact scan) whenever the semantics could differ: any
+    * field predicate, a non-parquet backend, a non-snapshot layout,
+    * live tombstones, or a legacy manifest without recorded counts.
+    */
+  private def metadataCountFast(spark: SparkSession,
+                                s: SourceSpec): Option[Long] = {
+    if (s.ref.backend != "parquet") return None
+    // control keys only — one field predicate makes the count filtered
+    if (!s.query.forall(kv => QueryCompiler.ControlKeys.contains(kv._1)))
+      return None
+    val p = Resolver.path(s.ref)
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) return None // the scan path owns the error shape
+    val atV = s.query.collectFirst { case ("_version", v) => v.toLong }
+      .orElse(s.query.collectFirst { case ("_version_ts", v) =>
+        graft.operators.Snapshot.versionAtTimestamp(fs, hp,
+          graft.operators.Snapshot.parseCommitTs(v))
+      })
+    graft.operators.Snapshot.metadataCount(spark, p, atV).map { total =>
+      s.query.collectFirst { case ("_limit", v) => v.trim.toInt }
+        .fold(total)(l => math.min(l.toLong, total))
+    }
   }
 
   /** S11 preview: no target → first rows of the planned frame

@@ -107,10 +107,13 @@ object PrunedMerge {
   private val UnknownEnv = CompEnv(None, None, hasNulls = true, known = false)
 
   /** Per-file envelope: one [[CompEnv]] per PRUNABLE pk component (in
-    * `comps` order as passed to the footer sweep).
+    * `comps` order as passed to the footer sweep). `rows` (r16) is
+    * the file's footer row count when the sweep opened the footer —
+    * recorded into manifest entries for metadata-only counts.
     */
   private final case class Envelope(path: String, bytes: Long,
-                                    comps: Array[CompEnv])
+                                    comps: Array[CompEnv],
+                                    rows: Option[Long] = None)
 
   /** Batch-side key summary for one pk component: DISJOINT sorted
     * [lo, hi] ranges in the pruning domain covering every non-null
@@ -452,16 +455,20 @@ object PrunedMerge {
         val newEntries0 =
           try Snapshot.moveIntoPool(fs, tmp, dd)
           finally { try fs.delete(tmp, true) catch { case _: Throwable => () } }
-        // record key envelopes for the NEW files (one footer pass over
-        // the touched fraction, paid here so future merges plan from
-        // the manifest alone); untouched members keep theirs
+        // record key envelopes + row counts for the NEW files (one
+        // footer pass over the touched fraction, paid here so future
+        // merges plan from the manifest alone and metadata counts
+        // keep working); untouched members keep theirs
         val envCols = (comps.collect { case (c, _, _: DataCol) => c } ++
           sortKeys).distinct
-        val envMap = footerKeyEnvs(spark,
+        val statMap = footerKeyStats(spark,
           newEntries0.map(e => (new Path(dd, e.rel).toString, e.bytes)),
           merged.schema, envCols)
-        val newEntries = newEntries0.map(e => e.copy(envs =
-          envMap.get(new Path(dd, e.rel).toString).filter(_.nonEmpty)))
+        val newEntries = newEntries0.map { e =>
+          val st = statMap.get(new Path(dd, e.rel).toString)
+          e.copy(envs = st.map(_._1).filter(_.nonEmpty),
+            rows = st.flatMap(_._2))
+        }
         // scheme-insensitive membership: listStatus returns qualified
         // paths (file:/…) while manifest entries are pool-relative
         val touchedRel = touched.map(e => relPath(dd, new Path(e.path))).toSet
@@ -803,12 +810,13 @@ object PrunedMerge {
     */
   private def readEnvelopes(spark: SparkSession,
                             files: Seq[(String, Long, Array[String])],
-                            comps: Seq[(Domain, CompSource)]): Seq[Envelope] = {
+                            comps: Seq[(Domain, CompSource)],
+                            needRows: Boolean = false): Seq[Envelope] = {
     val compArr = comps.toArray
     if (files.size <= DistributedFooterThreshold)
       files.map { case (p, len, parts) =>
         readOneEnvelope(new Configuration(spark.sparkContext.hadoopConfiguration),
-          p, len, parts, compArr)
+          p, len, parts, compArr, needRows)
       }
     else {
       val confW = new org.apache.spark.SerializableWritable(
@@ -816,7 +824,7 @@ object PrunedMerge {
       val bc = spark.sparkContext.broadcast(confW)
       val slices = math.min(files.size, 256)
       spark.sparkContext.parallelize(files, slices).map { case (p, len, parts) =>
-        readOneEnvelope(bc.value.value, p, len, parts, compArr)
+        readOneEnvelope(bc.value.value, p, len, parts, compArr, needRows)
       }.collect().toSeq
     }
   }
@@ -832,10 +840,12 @@ object PrunedMerge {
     */
   private def readOneEnvelope(conf: Configuration, p: String, len: Long,
                               parts: Array[String],
-                              comps: Array[(Domain, CompSource)]): Envelope = {
+                              comps: Array[(Domain, CompSource)],
+                              needRows: Boolean = false): Envelope = {
     val dataCols = comps.collect { case (_, d: DataCol) => d }
+    var rowCount: Option[Long] = None
     val footer: Map[String, CompEnv] =
-      if (dataCols.isEmpty) Map.empty
+      if (dataCols.isEmpty && !needRows) Map.empty
       else try {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(new Path(p), conf)
@@ -843,6 +853,7 @@ object PrunedMerge {
         try {
           import scala.jdk.CollectionConverters._
           val blocks = reader.getFooter.getBlocks.asScala.toSeq
+          if (needRows) rowCount = Some(blocks.map(_.getRowCount).sum)
           dataCols.map { dc =>
             var mn: Option[Any] = None
             var mx: Option[Any] = None
@@ -881,7 +892,7 @@ object PrunedMerge {
       case (_, dc: DataCol) => footer.getOrElse(dc.name, UnknownEnv)
       case (dom, PartCol(i)) => partCompEnv(dom, parts, i)
     }
-    Envelope(p, len, envs)
+    Envelope(p, len, envs, rowCount)
   }
 
   /** Hive partition-dir value as a point envelope (shared by the
@@ -896,38 +907,55 @@ object PrunedMerge {
     }
   }
 
-  /** Footer-derived per-file key envelopes for MANIFEST recording
-    * (r12): integral-domain (long/date/timestamp) columns only —
-    * [[Snapshot.ColEnv]] is long-valued; string keys keep using the
-    * footer sweep at plan time. One metadata pass over `files`
-    * (distributed above the threshold), paid by the WRITER that just
-    * produced them, so every later merge plans from the manifest line
-    * alone. Unknown/unreadable stats are simply omitted (the planner
-    * falls back to footers when coverage is incomplete).
+  /** Footer-derived per-file key envelopes + row counts for MANIFEST
+    * recording (r12; r16 adds string columns and the row count). One
+    * metadata pass over `files` (distributed above the threshold),
+    * paid by the WRITER that just produced them, so every later merge
+    * plans from the manifest line alone and unfiltered counts come
+    * from metadata. Integral/date/timestamp columns record long
+    * bounds; STRING columns (r16) record truncated byte bounds
+    * ([[Snapshot.BytesBounds]]: ≤16-byte hex prefix min, Iceberg
+    * increment-rule max) — the LLM-corpus common case (URLs, hex doc
+    * keys) stops paying the plan-time footer sweep. Unknown/
+    * unreadable stats are simply omitted (the planner falls back to
+    * footers when coverage is incomplete).
     */
-  private[operators] def footerKeyEnvs(spark: SparkSession,
-                                       files: Seq[(String, Long)],
-                                       schema: StructType,
-                                       cols: Seq[String]): Map[String, Map[String, Snapshot.ColEnv]] = {
+  private[operators] def footerKeyStats(spark: SparkSession,
+                                        files: Seq[(String, Long)],
+                                        schema: StructType,
+                                        cols: Seq[String])
+      : Map[String, (Map[String, Snapshot.ColEnv], Option[Long])] = {
     val comps: Seq[(String, Domain, CompSource)] = cols.distinct.flatMap { c =>
       schema.fields.find(_.name == c).flatMap { f =>
-        pruningDomain(f.dataType) match {
-          case Some(BytesDomain) | None => None
-          case Some(d) => Some((c, d, DataCol(c, statKind(f.dataType))))
-        }
+        pruningDomain(f.dataType)
+          .map(d => (c, d, DataCol(c, statKind(f.dataType))))
       }
     }
-    if (comps.isEmpty || files.isEmpty) return Map.empty
+    if (files.isEmpty) return Map.empty
     readEnvelopes(spark, files.map(f => (f._1, f._2, Array.empty[String])),
-      comps.map(c => (c._2, c._3)))
+      comps.map(c => (c._2, c._3)), needRows = true)
       .map { e =>
-        e.path -> comps.map(_._1).zip(e.comps).collect {
-          case (n, ce) if ce.known =>
+        val envs = comps.map(_._1).zip(e.comps).zip(comps.map(_._2)).collect {
+          case ((n, ce), BytesDomain) if ce.known =>
+            n -> Snapshot.ColEnv(None, None, ce.hasNulls,
+              ce.min.map(b => Snapshot.BytesBounds.lower(b.asInstanceOf[Array[Byte]])),
+              ce.max.flatMap(b => Snapshot.BytesBounds.upper(b.asInstanceOf[Array[Byte]])))
+          case ((n, ce), _) if ce.known =>
             n -> Snapshot.ColEnv(ce.min.map(_.asInstanceOf[Long]),
               ce.max.map(_.asInstanceOf[Long]), ce.hasNulls)
         }.toMap
+        e.path -> (envs, e.rows)
       }.toMap
   }
+
+  /** Envelope-only view of [[footerKeyStats]]. */
+  private[operators] def footerKeyEnvs(spark: SparkSession,
+                                       files: Seq[(String, Long)],
+                                       schema: StructType,
+                                       cols: Seq[String]): Map[String, Map[String, Snapshot.ColEnv]] =
+    footerKeyStats(spark, files, schema, cols).map { case (p, (envs, _)) =>
+      p -> envs
+    }
 
   /** Build the plan envelopes from MANIFEST-recorded stats when every
     * listed data entry covers every data-resident pk component —
@@ -942,9 +970,27 @@ object PrunedMerge {
       val rel = relPath(dd, new Path(p))
       byRel.get(rel).flatMap(_.envs).flatMap { em =>
         val ces = comps.map {
+          case (c, BytesDomain, _: DataCol) =>
+            // r16: hex-decoded truncated byte bounds — widened vs the
+            // footer's exact stats, so pruning stays superset-sound.
+            // An unbounded max (all-0xFF prefix) or a foreign
+            // long-valued envelope degrades to UnknownEnv = touched.
+            em.get(c).map { v =>
+              (v.bmin, v.bmax) match {
+                case (Some(lo), Some(hi)) =>
+                  CompEnv(Some(Snapshot.BytesBounds.unhex(lo)),
+                    Some(Snapshot.BytesBounds.unhex(hi)), v.hasNulls,
+                    known = true)
+                case (None, None) if v.min.isEmpty && v.max.isEmpty =>
+                  CompEnv(None, None, v.hasNulls, known = true) // all-null
+                case _ => UnknownEnv
+              }
+            }
           case (c, _, _: DataCol) =>
-            em.get(c).map(v => CompEnv(v.min.map(x => (x: Any)),
-              v.max.map(x => (x: Any)), v.hasNulls, known = true))
+            em.get(c).map(v =>
+              if (v.bmin.isDefined || v.bmax.isDefined) UnknownEnv
+              else CompEnv(v.min.map(x => (x: Any)),
+                v.max.map(x => (x: Any)), v.hasNulls, known = true))
           case (_, dom, PartCol(i)) => Some(partCompEnv(dom, parts, i))
         }
         if (ces.forall(_.isDefined))

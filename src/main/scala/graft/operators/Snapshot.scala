@@ -83,8 +83,82 @@ object Snapshot {
     * job per merge; the manifest line is free). Pool files are
     * immutable, so an envelope is valid for the file's lifetime.
     */
+  /** `bmin`/`bmax` (r16 — STRING/bytes-domain envelopes, the Iceberg
+    * truncate-16 analog): lowercase-hex encodings of TRUNCATED byte
+    * bounds for string columns. `bmin` is the first ≤16 UTF-8 bytes of
+    * the file's minimum (a prefix is never greater, so it stays a
+    * lower bound); `bmax` is the ≤16-byte prefix of the maximum with
+    * the Iceberg upper-bound increment rule applied when truncation
+    * dropped bytes (rightmost byte < 0xFF bumped, trailing 0xFF bytes
+    * cut) — an upper bound that may be EXCLUSIVE, which every consumer
+    * treats as inclusive (conservative: a file is only ever kept, not
+    * pruned, by the slack). All-0xFF prefixes have no finite upper
+    * bound → `bmax = None` with `bmin` set. Hex preserves unsigned
+    * byte order under plain string comparison (2 chars/byte, '0'<'f'
+    * monotone), so bound tests are `String.compareTo` driver-side. A
+    * ColEnv is EITHER long-valued (`min`/`max`) or bytes-valued
+    * (`bmin`/`bmax`), decided by the column's type at write time;
+    * both-empty with `hasNulls` = provably all-null, either way.
+    */
   final case class ColEnv(min: Option[Long], max: Option[Long],
-                          hasNulls: Boolean)
+                          hasNulls: Boolean,
+                          bmin: Option[String] = None,
+                          bmax: Option[String] = None)
+
+  /** Byte-bound helpers shared by the writer-side recording
+    * ([[PrunedMerge.footerKeyEnvs]]) and the read-side tests
+    * ([[pruneEntries]]).
+    */
+  private[graft] object BytesBounds {
+    val TruncateLen = 16
+    private val HexChars = "0123456789abcdef".toCharArray
+
+    def hex(b: Array[Byte]): String = {
+      val sb = new java.lang.StringBuilder(b.length * 2)
+      var i = 0
+      while (i < b.length) {
+        sb.append(HexChars((b(i) >> 4) & 0xf)).append(HexChars(b(i) & 0xf))
+        i += 1
+      }
+      sb.toString
+    }
+
+    def unhex(s: String): Array[Byte] = {
+      val out = new Array[Byte](s.length / 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) = Integer.parseInt(s.substring(2 * i, 2 * i + 2), 16).toByte
+        i += 1
+      }
+      out
+    }
+
+    /** Truncated LOWER bound: the first ≤[[TruncateLen]] bytes — a
+      * byte-lexicographic prefix is ≤ the original, always defined.
+      */
+    def lower(b: Array[Byte]): String =
+      hex(if (b.length <= TruncateLen) b else java.util.Arrays.copyOf(b, TruncateLen))
+
+    /** Truncated UPPER bound (Iceberg increment rule): exact bytes when
+      * nothing was truncated; otherwise the ≤[[TruncateLen]]-byte
+      * prefix with its rightmost non-0xFF byte incremented and
+      * everything after it dropped (any string extending the original
+      * prefix compares strictly below the incremented one). None when
+      * the whole prefix is 0xFF — no finite bound.
+      */
+    def upper(b: Array[Byte]): Option[String] = {
+      if (b.length <= TruncateLen) return Some(hex(b))
+      val p = java.util.Arrays.copyOf(b, TruncateLen)
+      var i = p.length - 1
+      while (i >= 0 && p(i) == 0xff.toByte) i -= 1
+      if (i < 0) None
+      else Some(hex({
+        val out = java.util.Arrays.copyOf(p, i + 1)
+        out(i) = (out(i) + 1).toByte
+        out
+      }))
+    }
+  }
 
   /** One pool file of a version: path RELATIVE to `_data` (hive
     * partition dirs included), plus its size for metadata-only
@@ -115,10 +189,21 @@ object Snapshot {
     * semantics: data → 0 (oldest), tombstones → Long.MaxValue (apply
     * to everything).
     */
+  /** `rows` (r16 — metadata-only counts, the Iceberg/Delta `count(*)`
+    * fast path): the file's row count, recorded by the writer's
+    * existing footer pass ([[withKeyEnvs]] — the footer is already
+    * open for envelopes, the count is free). An unfiltered `_count`
+    * on a tombstone-free snapshot sums these driver-side with ZERO
+    * Spark jobs ([[metadataCount]]); any entry without it (legacy
+    * manifests) degrades the whole table to the scan, never a wrong
+    * count. `fsck --full` cross-checks recorded counts against the
+    * files.
+    */
   final case class Entry(rel: String, bytes: Long,
                          cols: Option[Seq[String]] = None,
                          envs: Option[Map[String, ColEnv]] = None,
-                         seq: Long = Snapshot.UnsetSeq)
+                         seq: Long = Snapshot.UnsetSeq,
+                         rows: Option[Long] = None)
 
   /** A version's full membership record. `schemaDdl` preserves the
     * LOGICAL column order/types (partitioned reads would otherwise
@@ -238,12 +323,21 @@ object Snapshot {
     // fourth tab field (r12): per-column key envelopes,
     // `name=min,max,nullflag` joined by ';' — readers that predate
     // the field ignore trailing fields, so the format stays
-    // compatible in both directions
+    // compatible in both directions. Bytes-domain envelopes (r16)
+    // render as the 4-comma shape `name=B,hexlo,hexhi,nullflag`: a
+    // pre-r16 reader's 3-field value match fails for exactly that
+    // column and drops ONLY its envelope (graceful degradation to
+    // the footer sweep — the versioning the value shape was designed
+    // for). All-null files keep the domain-neutral `,,1` form.
     val envStr = e.envs.filter(_.nonEmpty)
       .map(_.toSeq.sortBy(_._1).collect {
         case (n, v) if !n.exists(";=,\t\n".contains(_)) =>
-          s"$n=${v.min.fold("")(_.toString)},${v.max.fold("")(_.toString)}," +
-            (if (v.hasNulls) "1" else "0")
+          if (v.bmin.isDefined || v.bmax.isDefined)
+            s"$n=B,${v.bmin.getOrElse("")},${v.bmax.getOrElse("")}," +
+              (if (v.hasNulls) "1" else "0")
+          else
+            s"$n=${v.min.fold("")(_.toString)},${v.max.fold("")(_.toString)}," +
+              (if (v.hasNulls) "1" else "0")
       }.mkString(";"))
       .filter(_.nonEmpty)
     // fifth tab field (r12): the entry's commit sequence — written
@@ -251,11 +345,16 @@ object Snapshot {
     // the positions fixed); readers that predate it ignore trailing
     // fields, readers of manifests that predate it normalize
     // ([[manifestAt]]) to the global pre-seq semantics
-    if (colsStr.isDefined || envStr.isDefined || e.seq >= 0)
+    // sixth tab field (r16): the file's row count (metadata-only
+    // counts); same trailing-field compatibility rule
+    val rowsDef = e.rows.isDefined
+    if (colsStr.isDefined || envStr.isDefined || e.seq >= 0 || rowsDef)
       sb.append('\t').append(colsStr.getOrElse(""))
-    if (envStr.isDefined || e.seq >= 0)
+    if (envStr.isDefined || e.seq >= 0 || rowsDef)
       sb.append('\t').append(envStr.getOrElse(""))
-    if (e.seq >= 0) sb.append('\t').append(e.seq)
+    if (e.seq >= 0 || rowsDef)
+      sb.append('\t').append(if (e.seq >= 0) e.seq.toString else "")
+    if (rowsDef) sb.append('\t').append(e.rows.get)
     sb.toString
   }
 
@@ -274,6 +373,11 @@ object Snapshot {
                   if (lo.isEmpty) None else Some(lo.toLong),
                   if (hi.isEmpty) None else Some(hi.toLong),
                   nf == "1"))
+              // bytes-domain shape (r16): `B,hexlo,hexhi,nullflag`
+              case Array("B", lo, hi, nf) =>
+                Some(n -> ColEnv(None, None, nf == "1",
+                  if (lo.isEmpty) None else Some(lo),
+                  if (hi.isEmpty) None else Some(hi)))
               case _ => None
             }
             case _ => None
@@ -285,11 +389,14 @@ object Snapshot {
       if (parts.length >= 5 && parts(4).nonEmpty) parts(4).toLong
       else if (isDel) Long.MaxValue
       else 0L
+    val rows =
+      if (parts.length >= 6 && parts(5).nonEmpty) Some(parts(5).toLong)
+      else None
     Entry(parts(1), parts(0).toLong,
       if (parts.length >= 3 && parts(2).nonEmpty)
         Some(parts(2).split(",").toSeq)
       else None,
-      envs, seq)
+      envs, seq, rows)
   }
 
   private[graft] def writeManifest(fs: FileSystem, vdir: Path, m: Manifest): Unit = {
@@ -618,6 +725,18 @@ object Snapshot {
       case _ => true
     }
 
+  /** r16 (ADVICE): scheme alone is not proof of millisecond mtimes —
+    * a "file" path can sit on an NFSv3/ext3/overlay mount with
+    * second-granular timestamps, reviving the stale-incarnation serve
+    * the uuid check exists for. The stat-only fast path therefore
+    * additionally requires OBSERVED sub-second precision in the very
+    * mtimes being compared (a coarse mount rounds both to 1000-ms
+    * multiples; a genuine ms filesystem lands there only 1 in 10⁶
+    * stats, which then just pays one bounded uuid read).
+    */
+  private def observedFineMtime(mts: Long*): Boolean =
+    mts.exists(mt => mt > 0 && mt % 1000 != 0)
+
   /** The `#uuid=` commit-identity header of a manifest/delta file, None
     * for pre-r14 files (or a header beyond the probe window — the
     * EXTRACTION is the identity on both the cache-fill and the
@@ -656,7 +775,7 @@ object Snapshot {
       val (l, mt) = statOrNeg(fs, new Path(vdir, r.backing))
       val (_, mk) = statOrNeg(fs, new Path(vdir, Versioned.Marker))
       if (l == r.len && mt == r.mtime && mk == r.markerMtime &&
-          (!coarseMtimeFs(fs) ||
+          ((!coarseMtimeFs(fs) && observedFineMtime(mt, mk)) ||
             readCommitUuid(fs, new Path(vdir, r.backing)) == r.uuid))
         return Some(r)
       else resolvedCache.synchronized(resolvedCache.remove(key))
@@ -1190,6 +1309,29 @@ object Snapshot {
     if (at.isEmpty) staleReadAsConflict(fs, root, v)(body) else body
   }
 
+  /** METADATA-ONLY COUNT (r16 — the Iceberg/Delta `count(*)` fast
+    * path): the table's row count summed from the manifest's recorded
+    * per-file counts, driver-side, ZERO Spark jobs. Defined only when
+    * the semantics are exact from metadata alone: a snapshot layout
+    * whose resolved version has NO live tombstones (DV/predicate
+    * deletes subtract unknown amounts) and whose every data entry
+    * carries a recorded `rows` (legacy manifests degrade the whole
+    * table). Callers with predicates must NOT use this — it counts
+    * the unfiltered table.
+    */
+  def metadataCount(spark: SparkSession, rootStr: String,
+                    at: Option[Long] = None): Option[Long] = {
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!isSnapshotLayout(fs, root)) return None
+    val (_, vdir) = resolveVersion(fs, root, at)
+    val m = manifestAt(fs, vdir).getOrElse(return None)
+    if (m.deleteEntries.nonEmpty) return None
+    val data = m.dataEntries
+    if (data.exists(_.rows.isEmpty)) return None
+    Some(data.iterator.map(_.rows.get).sum)
+  }
+
   // ── read-time file skipping (r15) ─────────────────────────────────
 
   /** One pushdown conjunct a snapshot read may PRUNE MEMBERS with
@@ -1219,15 +1361,18 @@ object Snapshot {
     final case class NotNull(col: String) extends ReadPred
   }
 
-  /** Is `dt` in the envelope pruning domain ([[ColEnv]] is
-    * long-valued: integrals as-is, dates as epoch days, timestamps as
-    * epoch micros — the same domains [[PrunedMerge]] records)?
+  /** Is `dt` in the envelope pruning domain? Long-valued columns
+    * (integrals as-is, dates as epoch days, timestamps as epoch
+    * micros — the same domains [[PrunedMerge]] records) use
+    * `min`/`max`; strings (r16) use the truncated byte bounds
+    * `bmin`/`bmax`.
     */
   private def envPrunableType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
     case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
          org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
          org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType |
-         org.apache.spark.sql.types.TimestampNTZType => true
+         org.apache.spark.sql.types.TimestampNTZType |
+         org.apache.spark.sql.types.StringType => true
     case _ => false
   }
 
@@ -1254,6 +1399,31 @@ object Snapshot {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** String-column literal → full hex encoding of its UTF-8 bytes
+    * (r16): the byte-domain value the truncated bounds compare
+    * against. The literal is NOT truncated — only stored bounds are,
+    * and full-vs-truncated comparisons stay superset-sound
+    * ([[envHasRangeBytes]]). Non-string literals go through the same
+    * TRY cast as the exact filter.
+    */
+  private def envDomainHex(spark: SparkSession, v: Any): Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
+    try {
+      val lit = Literal(v)
+      val cast =
+        if (lit.dataType == org.apache.spark.sql.types.StringType) lit
+        else Cast(lit, org.apache.spark.sql.types.StringType, Option(
+          spark.sessionState.conf.sessionLocalTimeZone), EvalMode.TRY)
+      cast.eval(null) match {
+        case null => None
+        case s: org.apache.spark.unsafe.types.UTF8String =>
+          Some(BytesBounds.hex(s.getBytes))
+        case s => Some(BytesBounds.hex(
+          s.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Can a non-null value inside the envelope satisfy `[lo, hi]`?
     * `(None, None)` is a KNOWN all-null file (unknown stats are never
     * manifest-recorded) — no comparison can match.
@@ -1263,6 +1433,32 @@ object Snapshot {
     (env.min, env.max) match {
       case (Some(mn), Some(mx)) => lo.forall(_ <= mx) && hi.forall(_ >= mn)
       case _ => false
+    }
+
+  /** Bytes-domain twin of [[envHasRange]] over hex-encoded bounds
+    * (r16). The stored `bmin` is a truncated lower bound (≤ actual
+    * min) and `bmax` a possibly-exclusive truncated upper bound
+    * (≥ actual max), so every test here stays a SUPERSET decision:
+    *   - a file survives the lower test when `lo ≤ bmax` (inclusive —
+    *     the exclusive slack only ever keeps a file);
+    *   - the upper test needs `bmin ≤ hi` (or `< hi` when the query
+    *     bound is strict — `bmin ≥ hi` proves every value ≥ hi).
+    * `bmax = None` with `bmin` set = no finite upper bound (all-0xFF
+    * prefix) — the lower test cannot exclude. Both-empty byte bounds:
+    * all-null when the long bounds are empty too (prune on any value
+    * comparison); a foreign long-valued envelope otherwise (keep —
+    * never prune on a domain mismatch).
+    */
+  private def envHasRangeBytes(env: ColEnv, lo: Option[String],
+                               hi: Option[String],
+                               hiStrict: Boolean = false): Boolean =
+    env.bmin match {
+      case Some(mn) =>
+        lo.forall(l => env.bmax.forall(mx => l.compareTo(mx) <= 0)) &&
+          hi.forall(h => if (hiStrict) mn.compareTo(h) < 0
+                         else mn.compareTo(h) <= 0)
+      case None =>
+        env.min.isDefined || env.max.isDefined // foreign domain → keep
     }
 
   /** Hive partition-dir value of `c` from a member's rel path, as a
@@ -1277,7 +1473,12 @@ object Snapshot {
       val s = unescapeHive(raw)
       if (s == "__HIVE_DEFAULT_PARTITION__")
         Some(ColEnv(None, None, hasNulls = true))
-      else envDomainValue(spark, dt, s)
+      else if (dt == org.apache.spark.sql.types.StringType) {
+        // byte-domain point envelope — exact (no truncation needed:
+        // driver-side, one value per member)
+        val h = BytesBounds.hex(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        Some(ColEnv(None, None, hasNulls = false, Some(h), Some(h)))
+      } else envDomainValue(spark, dt, s)
         .map(d => ColEnv(Some(d), Some(d), hasNulls = false))
     }
 
@@ -1330,8 +1531,42 @@ object Snapshot {
       m.schema.fields.find(_.name.equalsIgnoreCase(p.col)).filter(f =>
         envPrunableType(f.dataType)).flatMap { f =>
         val dt = f.dataType
+        val isStr = dt == org.apache.spark.sql.types.StringType
         def dom(v: Any) = envDomainValue(spark, dt, v)
-        val test: Option[ColEnv => Boolean] = p match {
+        def hx(v: Any) = envDomainHex(spark, v)
+        val test: Option[ColEnv => Boolean] =
+          if (isStr) p match {
+            // byte-domain tests (r16): full-hex literal vs truncated
+            // stored bounds — see [[envHasRangeBytes]] for why each
+            // shape stays a superset decision. `gt v` uses the byte
+            // successor v+0x00 (hex + "00"): the least string
+            // strictly above v in unsigned byte order.
+            case ReadPred.Cmp(_, "eq", v) =>
+              hx(v).map(x => (e: ColEnv) => envHasRangeBytes(e, Some(x), Some(x)))
+            case ReadPred.Cmp(_, "gte", v) =>
+              hx(v).map(x => (e: ColEnv) => envHasRangeBytes(e, Some(x), None))
+            case ReadPred.Cmp(_, "lte", v) =>
+              hx(v).map(x => (e: ColEnv) => envHasRangeBytes(e, None, Some(x)))
+            case ReadPred.Cmp(_, "gt", v) =>
+              hx(v).map(x => (e: ColEnv) =>
+                envHasRangeBytes(e, Some(x + "00"), None))
+            case ReadPred.Cmp(_, "lt", v) =>
+              hx(v).map(x => (e: ColEnv) =>
+                envHasRangeBytes(e, None, Some(x), hiStrict = true))
+            case ReadPred.In(_, vs) if vs.nonEmpty =>
+              val ds = vs.map(hx)
+              if (ds.exists(_.isEmpty)) None
+              else {
+                val xs = ds.flatten
+                Some((e: ColEnv) => xs.exists(x =>
+                  envHasRangeBytes(e, Some(x), Some(x))))
+              }
+            case ReadPred.IsNull(_) => Some((e: ColEnv) => e.hasNulls)
+            case ReadPred.NotNull(_) =>
+              Some((e: ColEnv) => e.bmin.isDefined || e.min.isDefined ||
+                e.max.isDefined)
+            case _ => None
+          } else p match {
           case ReadPred.Cmp(_, "eq", v) =>
             dom(v).map(x => (e: ColEnv) => envHasRange(e, Some(x), Some(x)))
           case ReadPred.Cmp(_, "gte", v) =>
@@ -2186,12 +2421,25 @@ object Snapshot {
     * same shape [[commitRebase]] takes. Staged pool files must already
     * be in the table's `_data` pool (the stage* helpers do this).
     */
+  /** `expectV` (r16 — closes the r15 witness residual window): the
+    * participant's EXPECTED committed version, computed at intent
+    * time (deterministic: the locks are held, so the target version
+    * is the table's next number). Recovery treats "version `expectV`
+    * exists committed and its OWN membership carries every added rel"
+    * as applied-proof — robust against a compaction racing in between
+    * the crash and recovery (the head membership loses the rels, the
+    * historical version's manifest never does), and safe against a
+    * foreign commit landing at the same number after the crash (a
+    * foreign commit cannot contain this group's UUID-fresh pool
+    * rels). −1 on pre-r16 intents → witness/heuristic as before.
+    */
   final case class StagedCommit(root: String, baseV: Long,
                                 removedRels: Set[String],
                                 added: Seq[Entry],
                                 schemaDdl: String,
                                 partitionBy: Seq[String],
-                                keepVersions: Int)
+                                keepVersions: Int,
+                                expectV: Long = -1L)
 
   /** Stage a FULL-REPLACE of `rootStr` for a COMMIT GROUP (r15): write
     * + pool the frame with the same layout knobs and manifest key
@@ -2271,6 +2519,12 @@ object Snapshot {
     * roll-forward recovery.
     */
   @volatile private[graft] var groupCrashAfterParts: Int = -1
+
+  /** Test hook (r16): crash AFTER participant `i`'s commit landed but
+    * BEFORE its witness was written — the r15 residual window the
+    * expected-version proof closes. −1 = off.
+    */
+  @volatile private[graft] var groupCrashBeforeWitness: Int = -1
 
   /** ATOMIC MULTI-TABLE COMMIT (r14 — the Iceberg multi-table
     * transaction shape re-derived over plain storage): land one
@@ -2362,8 +2616,14 @@ object Snapshot {
       }
       val cpath = new Path(coordDir)
       val cfs = cpath.getFileSystem(conf)
-      val intent = writeGroupIntent(cfs, cpath, checked.map { case (p, _, hv, _, outDdl) =>
-        p.copy(baseV = hv, schemaDdl = outDdl) })
+      val intent = writeGroupIntent(cfs, cpath, checked.map { case (p, fs, hv, _, outDdl) =>
+        // EXPECTED target version (r16): deterministic under the held
+        // lock — the table's next number at intent time. The commit
+        // below computes the same value; recovery can therefore check
+        // the recorded version's own membership as applied-proof.
+        val expect = Versioned.list(fs, new Path(p.root)).map(_._1)
+          .maxOption.getOrElse(0L) + 1
+        p.copy(baseV = hv, schemaDdl = outDdl, expectV = expect) })
       // ── roll-forward point: from here the group lands, crash or not ──
       val out = checked.zipWithIndex.map { case ((p, fs, hv, headOpt, outDdl), i) =>
         if (groupCrashAfterParts >= 0 && i >= groupCrashAfterParts)
@@ -2379,9 +2639,14 @@ object Snapshot {
         // "committed, then compacted/vacuumed away" from "never
         // committed" without trusting the mutable head membership.
         // Best-effort by design: a lost witness degrades to the
-        // membership heuristic, never to a wrong commit (the residual
-        // window is a crash between the commit and this create, with
-        // a compaction racing in before recovery)
+        // EXPECTED-VERSION membership proof (r16 — the intent records
+        // each participant's deterministic target version, and the
+        // historical version's own manifest keeps the rels through any
+        // later compaction), then to the head-membership heuristic.
+        if (groupCrashBeforeWitness >= 0 && i >= groupCrashBeforeWitness)
+          throw new IllegalStateException(
+            s"simulated crash after participant $i committed, before " +
+              "its witness")
         writeGroupWitness(cfs, cpath, intent.getName, i, p.root, v)
         p.root -> v
       }.toMap
@@ -2455,12 +2720,35 @@ object Snapshot {
           val withFs = parts.sortBy(_.root).map(p =>
             (p, new Path(p.root).getFileSystem(conf)))
           withLocksOrdered(withFs.map { case (p, fs) => (fs, new Path(p.root)) }) {
+            // versions this recovery can PROVE per participant —
+            // witnessed, version-membership-proven (r16), or committed
+            // right here; pins advance only when every participant's
+            // version is known (stale but consistent beats fresh but
+            // skewed)
+            val proven = scala.collection.mutable.Map.empty[String, Long]
+            witnessed.foreach { case (r, v) => proven(r) = v }
             val states = withFs.map { case (p, fs) =>
               val root = new Path(p.root)
               val headOpt = committed(fs, root).lastOption.flatMap {
                 case (hv, hdir) => resolvedFor(fs, hdir).map(h => (hv, h))
               }
-              val applied = witnessed.contains(p.root) ||
+              // r16: the recorded EXPECTED version's own membership is
+              // applied-proof that survives a later compaction/vacuum
+              // rewriting the head (the historical manifest keeps the
+              // rels), and rejects a foreign commit that landed at the
+              // same number after a crash (it cannot carry this
+              // group's UUID-fresh pool rels)
+              val versionApplied = p.expectV >= 1 && {
+                val evdir = new Path(root, f"_v_${p.expectV}%020d")
+                (try fs.exists(new Path(evdir, Versioned.Marker))
+                 catch { case scala.util.control.NonFatal(_) => false }) &&
+                  resolvedFor(fs, evdir).exists(h =>
+                    p.added.forall(e => h.hasRel(e.rel)) &&
+                      !p.removedRels.exists(h.hasRel))
+              }
+              if (versionApplied && !witnessed.contains(p.root))
+                proven(p.root) = p.expectV
+              val applied = witnessed.contains(p.root) || versionApplied ||
                 headOpt.exists { case (_, h) =>
                   p.added.forall(e => h.hasRel(e.rel)) &&
                     !p.removedRels.exists(h.hasRel)
@@ -2470,12 +2758,6 @@ object Snapshot {
                 catch { case scala.util.control.NonFatal(_) => false })
               (p, fs, headOpt, applied, filesOk)
             }
-            // versions this recovery can PROVE per participant —
-            // witnessed, or committed right here; pins advance only
-            // when every participant's version is known (stale but
-            // consistent beats fresh but skewed)
-            val proven = scala.collection.mutable.Map.empty[String, Long]
-            witnessed.foreach { case (r, v) => proven(r) = v }
             if (states.forall(_._4)) () // every participant already landed
             else if (states.forall(s => !s._4) && states.exists(s => !s._5)) {
               // nothing landed anywhere and staged files are gone
@@ -2563,9 +2845,19 @@ object Snapshot {
     * consistent, and the next group (or recovery with full version
     * knowledge) advances it.
     */
+  /** r16 (ADVICE): the read-merge-write runs under the COORDINATOR's
+    * own commit lock — two concurrent groups over disjoint table sets
+    * in one coordDir can no longer interleave and drop each other's
+    * pin advance. Lock ordering is safe: both call sites (commitGroup,
+    * recoverGroups) already hold their participant locks and take the
+    * coordinator lock LAST. The publish prefers an OVERWRITING rename
+    * (FileContext) so readers never observe a missing-pins window;
+    * filesystems without overwrite-rename fall back to
+    * delete-then-rename, which under the lock is the only writer.
+    */
   private def writeGroupVersions(cfs: FileSystem, cpath: Path,
                                  versions: Map[String, Long]): Unit =
-    try {
+    try withCommitLock(cfs, cpath) {
       val merged = readGroupVersions(cfs, cpath) ++ versions
       val sb = new StringBuilder
       sb.append(GroupVersionsTag).append('\n')
@@ -2578,9 +2870,18 @@ object Snapshot {
       try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       val dst = new Path(cpath, GroupVersionsName)
-      try cfs.delete(dst, false) catch { case scala.util.control.NonFatal(_) => () }
-      if (!cfs.rename(tmp, dst))
-        try cfs.delete(tmp, false) catch { case scala.util.control.NonFatal(_) => () }
+      val overwrote =
+        try {
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            cfs.getUri, cfs.getConf)
+          fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          true
+        } catch { case scala.util.control.NonFatal(_) => false }
+      if (!overwrote) {
+        try cfs.delete(dst, false) catch { case scala.util.control.NonFatal(_) => () }
+        if (!cfs.rename(tmp, dst))
+          try cfs.delete(tmp, false) catch { case scala.util.control.NonFatal(_) => () }
+      }
     } catch { case scala.util.control.NonFatal(_) => () }
 
   /** The coordinator's recorded (table → version) pins; empty when
@@ -2676,6 +2977,10 @@ object Snapshot {
     parts.foreach { p =>
       sb.append("P\t").append(p.root).append('\t').append(p.baseV)
         .append('\t').append(p.keepVersions).append('\n')
+      // r16: the participant's expected committed version — own line
+      // (a 5th P-field would corrupt pre-r16 parsers' bounded split)
+      if (p.expectV >= 0)
+        sb.append("V\t").append(p.expectV).append('\n')
       sb.append("S\t").append(p.schemaDdl).append('\n')
       sb.append("C\t").append(p.partitionBy.mkString(",")).append('\n')
       p.removedRels.toSeq.sorted.foreach(r =>
@@ -2710,7 +3015,10 @@ object Snapshot {
           val Array(_, root, bv, kv) = l.split("\t", 4)
           parts += StagedCommit(root, bv.toLong, Set.empty, Nil, "", Nil,
             kv.toInt)
-        } else if (l.startsWith("S\t"))
+        } else if (l.startsWith("V\t"))
+          parts(parts.size - 1) = parts.last.copy(
+            expectV = l.substring(2).toLong)
+        else if (l.startsWith("S\t"))
           parts(parts.size - 1) = parts.last.copy(
             schemaDdl = l.substring(2))
         else if (l.startsWith("C\t"))
@@ -2777,18 +3085,25 @@ object Snapshot {
       keepVersions)
   }
 
-  /** Attach manifest key envelopes ([[ColEnv]]) for `cols` to freshly
-    * pooled DATA entries — one footer pass over the new files, paid by
-    * the writer so merges plan from the manifest alone (r12).
+  /** Attach manifest key envelopes ([[ColEnv]]) for `cols` AND per-file
+    * row counts to freshly pooled DATA entries — one footer pass over
+    * the new files, paid by the writer so merges plan from the
+    * manifest alone (r12) and unfiltered counts come from metadata
+    * (r16; the pass runs even with no stats columns — the row count
+    * alone is worth the footer open, and the files were just written
+    * so the footers are OS-page-warm).
     */
   private[operators] def withKeyEnvs(spark: SparkSession, dd: Path,
                                      entries: Seq[Entry], schema: StructType,
                                      cols: Seq[String]): Seq[Entry] = {
-    if (cols.isEmpty || entries.isEmpty) return entries
-    val envMap = PrunedMerge.footerKeyEnvs(spark,
+    if (entries.isEmpty) return entries
+    val statMap = PrunedMerge.footerKeyStats(spark,
       entries.map(e => (new Path(dd, e.rel).toString, e.bytes)), schema, cols)
-    entries.map(e => e.copy(envs =
-      envMap.get(new Path(dd, e.rel).toString).filter(_.nonEmpty)))
+    entries.map { e =>
+      val st = statMap.get(new Path(dd, e.rel).toString)
+      e.copy(envs = st.map(_._1).filter(_.nonEmpty),
+        rows = st.flatMap(_._2))
+    }
   }
 
   /** DELETION-VECTOR delete (merge-on-read): commit a new version that
@@ -2896,8 +3211,22 @@ object Snapshot {
     require(m.deleteEntries.forall(_.seq != Long.MaxValue),
       s"$rootStr carries legacy (pre-sequence) tombstones that would " +
         "apply to the appended batch — materialize deletes first")
-    val typed = batch.select(names.map(c =>
-      col(c).cast(m.schema(c).dataType).as(c)): _*)
+    // r16 (ADVICE): LOSSLESS casts only — a plain cast silently turns
+    // an unparseable/overflowing value into NULL and commits it,
+    // breaking the documented "append asserts whole rows" contract
+    // (Spark/Delta append fails on incompatible types; so do we)
+    val typed = batch.select(names.map { c =>
+      val src = batch.schema(c).dataType
+      val dst = m.schema(c).dataType
+      if (src == dst) col(c).as(c)
+      else {
+        require(org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(src, dst),
+          s"append column '$c': batch type ${src.sql} does not cast " +
+            s"LOSSLESSLY to table type ${dst.sql} — append asserts whole " +
+            "rows; cast the batch explicitly if the narrowing is intended")
+        col(c).cast(dst).as(c)
+      }
+    }: _*)
     val statKeys = m.dataEntries.flatMap(_.envs.toSeq.flatMap(_.keys))
       .distinct.filterNot(m.partitionBy.contains)
       .filter(names.contains)
@@ -4243,8 +4572,16 @@ object Snapshot {
     *     references — reclaimable space the next vacuum will delete;
     *   - `stray`    (info): an uncommitted `_v_` dir or abandoned
     *     stage from a crashed writer — swept by the next commit.
+    *
+    * `full` (r16) additionally opens every referenced data file's
+    * footer ONCE and cross-checks the manifest-recorded row count
+    * ([[Entry.rows]] — the metadata-count fast path's input) against
+    * the file: a mismatch means [[metadataCount]] would serve a wrong
+    * number (`rows` error). Explicitly O(pool footers) — the same
+    * contract as `--vacuum --full`.
     */
-  def fsck(spark: SparkSession, rootStr: String): DataFrame = {
+  def fsck(spark: SparkSession, rootStr: String,
+           full: Boolean = false): DataFrame = {
     import spark.implicits._
     val root = new Path(rootStr)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -4351,6 +4688,37 @@ object Snapshot {
             bad.foreach(p => out += (("error", "pred",
               s"v$v ${e.rel}: predicate does not analyze against the " +
                 s"version schema: $p")))
+          }
+        }
+      }
+    }
+    if (full) {
+      // rowCount cross-check (r16): each distinct referenced data file
+      // once — pool files are immutable, so one footer open settles
+      // every manifest that lists it
+      val conf = spark.sparkContext.hadoopConfiguration
+      val checked = scala.collection.mutable.Set.empty[String]
+      vs.foreach { case (v, vdir) =>
+        mAt(v, vdir).foreach { m =>
+          m.dataEntries.foreach { e =>
+            e.rows.foreach { rec =>
+              if (checked.add(e.rel) && onDisk.contains(e.rel)) {
+                val actual =
+                  try {
+                    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                      .fromPath(new Path(dd, e.rel), conf)
+                    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+                    try {
+                      import scala.jdk.CollectionConverters._
+                      r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+                    } finally r.close()
+                  } catch { case scala.util.control.NonFatal(_) => -1L }
+                if (actual >= 0 && actual != rec)
+                  out += (("error", "rows",
+                    s"v$v ${e.rel}: manifest rows $rec, footer $actual — " +
+                      "metadata counts would be wrong"))
+              }
+            }
           }
         }
       }

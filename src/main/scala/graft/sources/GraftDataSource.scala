@@ -107,10 +107,27 @@ class GraftRelation(@transient val spark: SparkSession, path: String,
                     at: Option[Long])
   extends BaseRelation with PrunedFilteredScan {
 
+  /** Pinned snapshot version (r16, ADVICE): the head is resolved ONCE
+    * at relation construction and every buildScan reads that same
+    * snapshot — previously the filtered path re-resolved latest per
+    * scan, so a commit landing between two buildScans of one relation
+    * (self-join, repeated actions) silently mixed versions, and a
+    * concurrently changed schema could diverge from the relation's
+    * declared `schema` at runtime. None = not a snapshot layout (a
+    * plain/versioned dir — no version notion to pin).
+    */
+  private val pinnedAt: Option[Long] = at.orElse {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (graft.operators.Snapshot.isSnapshotLayout(fs, hp))
+      Some(graft.operators.Snapshot.resolveVersion(fs, hp, None)._1)
+    else None
+  }
+
   /** The engine's own read — manifest membership, DV anti-joins /
     * pushed predicate tombstones, alias recovery, widened-type upcast.
     */
-  private lazy val inner: DataFrame = Resolver.readParquet(spark, path, at)
+  private lazy val inner: DataFrame = Resolver.readParquet(spark, path, pinnedAt)
 
   override def sqlContext: SQLContext = spark.sqlContext
   override val schema: StructType = inner.schema
@@ -128,7 +145,7 @@ class GraftRelation(@transient val spark: SparkSession, path: String,
     // translated filters below plus Spark's re-application above
     val base =
       if (filters.isEmpty) inner
-      else Resolver.readParquet(spark, path, at,
+      else Resolver.readParquet(spark, path, pinnedAt,
         filters.flatMap(toReadPred).toIndexedSeq)
     val filtered = filters.flatMap(translate).foldLeft(base)(_ filter _)
     // zero requiredColumns = a bare count(*): a zero-column projection

@@ -258,6 +258,47 @@ class CommitGroupSpec extends SparkSpec {
       .forall(_.getPath.getName == "_GROUP_VERSIONS"))
   }
 
+  test("crash between a commit and its WITNESS + compaction before recovery: expected-version proof, no duplicates") {
+    // the r15 residual window: participant a committed, crashed before
+    // the witness create, and a compaction rewrote a's head membership
+    // before recovery ran. Without the intent's recorded EXPECTED
+    // version (r16), the membership heuristic reads a as unapplied and
+    // re-commits the pure-add delta — duplicating its rows.
+    val dir = freshDir("cgrp_expv")
+    val (a, b) = (s"$dir/a.parquet", s"$dir/b.parquet")
+    seed(a, "A"); seed(b, "B")
+    val va0 = headV(a)
+    Snapshot.groupCrashBeforeWitness = 0
+    try intercept[IllegalStateException] {
+      Snapshot.commitGroup(hconf, s"$dir/_txn", stageParts(a, b, "g1"))
+    } finally Snapshot.groupCrashBeforeWitness = -1
+    val txn = new Path(s"$dir/_txn")
+    assert(fs.listStatus(txn)
+      .count(_.getPath.getName.startsWith("_GAPPLIED_")) == 0,
+      "the crash must land BEFORE any witness")
+    assert(headV(a) == va0 + 1 && headV(b) == headV(b),
+      "a committed, b did not")
+    // compaction rewrites a's membership — the added rels leave the
+    // HEAD manifest (the historical _v_ keeps them)
+    graft.operators.Compaction.compact(spark, a, Seq("id"),
+      targetFileBytes = 1L << 30)
+    val va = headV(a)
+    assert(Snapshot.recoverGroups(hconf, s"$dir/_txn") == 1)
+    assert(headV(a) == va,
+      "expected-version proof must keep the committed participant applied")
+    val gotA = graft.sources.Resolver.readParquet(spark, a)
+    assert(gotA.filter(col("id") === 3L).count() == 1,
+      "NO duplicate rows from a re-committed pure-add delta")
+    assert(gotA.filter(col("id") === 3L).select("txt").as[String].head() == "g1-3")
+    val gotB = graft.sources.Resolver.readParquet(spark, b)
+    assert(gotB.filter(col("id") === 99L).count() == 1, "the sibling lands")
+    // pins advanced: recovery PROVED a's version from the intent and
+    // committed b itself — full version knowledge
+    val pins = Snapshot.readGroupVersions(hconf, s"$dir/_txn")
+    assert(pins.get(a).contains(va0 + 1) && pins.contains(b),
+      s"recovery must advance both pins, got $pins")
+  }
+
   test("readGroupConsistent: a reader between a live group's two commits sees no skew") {
     val dir = freshDir("cgrp_consist")
     val (a, b) = (s"$dir/a.parquet", s"$dir/b.parquet")

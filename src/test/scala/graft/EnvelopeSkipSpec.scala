@@ -228,6 +228,182 @@ class EnvelopeSkipSpec extends SparkSpec {
     assert(ne.count() == 99)
   }
 
+  // ── STRING keys (r16): truncated byte bounds ──────────────────────
+
+  private def benv(lo: String, hi: String, nulls: Boolean = false) =
+    Map("k" -> ColEnv(None, None, nulls,
+      Some(Snapshot.BytesBounds.hex(lo.getBytes("UTF-8"))),
+      Some(Snapshot.BytesBounds.hex(hi.getBytes("UTF-8")))))
+
+  test("pruneEntries plans string columns by truncated byte bounds") {
+    val m = Manifest("k STRING, id BIGINT", Nil, Nil)
+    val es = Seq(
+      Entry("a.parquet", 1L, envs = Some(benv("apple", "banana"))),
+      Entry("b.parquet", 1L, envs = Some(benv("cherry", "grape", nulls = true))),
+      Entry("c.parquet", 1L, envs = Some(Map("k" ->
+        ColEnv(None, None, hasNulls = true)))),          // known all-null
+      Entry("d.parquet", 1L),                            // no envelope
+      // unbounded upper (the all-0xFF shape): bmin only
+      Entry("e.parquet", 1L, envs = Some(Map("k" -> ColEnv(None, None, false,
+        Some(Snapshot.BytesBounds.hex("zz".getBytes("UTF-8"))), None)))))
+    def plan(p: ReadPred*): Set[String] =
+      Snapshot.pruneEntries(spark, m, es, p.toSeq).map(_.rel).toSet
+    assert(plan(ReadPred.Cmp("k", "eq", "apricot")) ==
+      Set("a.parquet", "d.parquet"))
+    assert(plan(ReadPred.Cmp("k", "eq", "carrot")) ==
+      Set("d.parquet"))
+    assert(plan(ReadPred.Cmp("k", "gte", "grape")) ==
+      Set("b.parquet", "d.parquet", "e.parquet"))
+    // gt uses the byte successor: 'grape'+0x00 exceeds b's exact max
+    // — strictly-greater correctly drops the file whose max IS the
+    // literal (the long domain's x+1 analog)
+    assert(plan(ReadPred.Cmp("k", "gt", "grape")) ==
+      Set("d.parquet", "e.parquet"))
+    assert(plan(ReadPred.Cmp("k", "gt", "zzz")) ==
+      Set("d.parquet", "e.parquet"))
+    assert(plan(ReadPred.Cmp("k", "lt", "cherry")) ==
+      Set("a.parquet", "d.parquet"))
+    assert(plan(ReadPred.Cmp("k", "lte", "cherry")) ==
+      Set("a.parquet", "b.parquet", "d.parquet"))
+    assert(plan(ReadPred.In("k", Seq("apricot", "fig"))) ==
+      Set("a.parquet", "b.parquet", "d.parquet"))
+    assert(plan(ReadPred.IsNull("k")) ==
+      Set("b.parquet", "c.parquet", "d.parquet"))
+    assert(plan(ReadPred.NotNull("k")) ==
+      Set("a.parquet", "b.parquet", "d.parquet", "e.parquet"))
+    // conjunction across a long and a string column composes
+    assert(plan(ReadPred.Cmp("k", "gte", "cherry"),
+      ReadPred.Cmp("k", "lte", "fig")) == Set("b.parquet", "d.parquet"))
+  }
+
+  test("string falsified envelopes steer the planned file set") {
+    val dir = freshDir("eskip_str_falsified")
+    val p = s"$dir/t.parquet"
+    // hex-digest-shaped keys — the LLM-corpus common case
+    val df = (0 until 100).map(i => (f"doc$i%04d", i.toLong))
+      .toDF("k", "id")
+    WriteOps.atomicOverwrite(spark, df, p, indexBy = Seq("k"),
+      maxRecordsPerFile = 10, commitMode = "snapshot", keepVersions = 4)
+    val root = new Path(p)
+    val (_, vdir) = Snapshot.resolveVersion(fs, root, None)
+    val m = Snapshot.manifestAt(fs, vdir).get
+    assert(m.entries.forall(_.envs.exists(_.get("k").exists(e =>
+      e.bmin.isDefined && e.bmax.isDefined))),
+      s"sorted writer must record BYTE envelopes for the string key: " +
+        s"${m.entries.map(_.envs)}")
+    // the key domain is ≤16 bytes, so recorded bounds are EXACT hex
+    val victim = m.entries.find(_.envs.exists(_.get("k").exists(e =>
+      e.bmin.exists(_ <= Snapshot.BytesBounds.hex("doc0042".getBytes)) &&
+        e.bmax.exists(_ >= Snapshot.BytesBounds.hex("doc0042".getBytes))))).get
+    val lied = benv("zzz0000", "zzz9999")("k")
+    val falsified = m.copy(entries = m.entries.map(e =>
+      if (e.rel == victim.rel) e.copy(envs = Some(Map("k" -> lied))) else e))
+    Snapshot.commitVersion(fs, root, falsified, keepVersions = 4)
+    Snapshot.clearResolvedCache()
+    def files(preds: ReadPred*): Set[String] =
+      Snapshot.readAt(spark, p, skipping = preds.toSeq)
+        .inputFiles.map(f => new Path(f).getName).toSet
+    val at42 = files(ReadPred.Cmp("k", "eq", "doc0042"))
+    assert(!at42.contains(new Path(victim.rel).getName),
+      "the falsified byte envelope must exclude the victim at k=doc0042")
+    assert(files(ReadPred.Cmp("k", "eq", "zzz5555")) ==
+      Set(new Path(victim.rel).getName),
+      "k=zzz5555 must plan exactly the falsified file")
+    // therefore the skipped read misses the row — plan is metadata-born
+    assert(Snapshot.readAt(spark, p,
+        skipping = Seq(ReadPred.Cmp("k", "eq", "doc0042")))
+      .filter(col("k") === "doc0042").count() == 0)
+  }
+
+  test("keys sharing a ≥16-byte prefix truncate without over-pruning") {
+    val dir = freshDir("eskip_str_prefix")
+    val p = s"$dir/t.parquet"
+    // every key extends one 24-byte prefix: all truncated bounds
+    // collapse to the same [prefix16, prefix16+1) window
+    val pre = "https://example.com/very-long/"
+    val df = (0 until 80).map(i => (f"$pre$i%04d", i.toLong)).toDF("k", "id")
+    WriteOps.atomicOverwrite(spark, df, p, indexBy = Seq("k"),
+      maxRecordsPerFile = 10, commitMode = "snapshot", keepVersions = 4)
+    val (_, vdir) = Snapshot.resolveVersion(fs, new Path(p), None)
+    val m = Snapshot.manifestAt(fs, vdir).get
+    val envs = m.dataEntries.flatMap(_.envs.flatMap(_.get("k")))
+    assert(envs.nonEmpty && envs.forall(e =>
+      e.bmin.exists(_.length == Snapshot.BytesBounds.TruncateLen * 2)),
+      "bounds must be truncated to 16 bytes")
+    val full = Snapshot.readAt(spark, p)
+    // a point probe CANNOT distinguish files here — it must keep all
+    // (superset-pruning, never a wrong drop) and stay exact
+    val probe = Snapshot.readAt(spark, p,
+      skipping = Seq(ReadPred.Cmp("k", "eq", s"${pre}0042")))
+    assert(probe.inputFiles.length == full.inputFiles.length,
+      "shared-prefix truncation must not prune (identical envelopes)")
+    assert(rows(probe.filter(col("k") === s"${pre}0042")) ==
+      Seq(Seq(s"${pre}0042", 42L)))
+    // a probe OUTSIDE the shared window still prunes everything
+    val out = Snapshot.readAt(spark, p,
+      skipping = Seq(ReadPred.Cmp("k", "eq", "aaaa")))
+    assert(out.inputFiles.isEmpty,
+      "a key below the shared prefix window must prune every member")
+    // and the DISTINGUISHING case: keys split below the 16-byte mark
+    // prune normally even though each is longer than 16 bytes
+    val p2 = s"$dir/t2.parquet"
+    val df2 = (0 until 80).map { i =>
+      val bucket = ('a' + i / 10).toChar // 8 distinct first bytes
+      (s"$bucket$pre$i%04d", i.toLong)
+    }.toDF("k", "id")
+    WriteOps.atomicOverwrite(spark, df2, p2, indexBy = Seq("k"),
+      maxRecordsPerFile = 10, commitMode = "snapshot", keepVersions = 4)
+    val full2 = Snapshot.readAt(spark, p2)
+    val one2 = Snapshot.readAt(spark, p2,
+      skipping = Seq(ReadPred.Cmp("k", "gte", "c"),
+        ReadPred.Cmp("k", "lt", "d")))
+    assert(one2.inputFiles.length < full2.inputFiles.length / 2,
+      s"first-byte split must prune (${one2.inputFiles.length} of " +
+        s"${full2.inputFiles.length})")
+    assert(sortedRows(one2.filter(col("k") >= "c" && col("k") < "d")) ==
+      sortedRows(full2.filter(col("k") >= "c" && col("k") < "d")))
+  }
+
+  test("string hive partition values prune as byte point envelopes") {
+    val dir = freshDir("eskip_str_part")
+    val p = s"$dir/t.parquet"
+    val df = (0L until 90L).map(i => (i, Seq("en", "de", "fr")(i.toInt % 3),
+      s"v$i")).toDF("id", "lang", "txt")
+    WriteOps.atomicOverwrite(spark, df, p, partitionBy = Seq("lang"),
+      indexBy = Seq("id"), maxRecordsPerFile = 10,
+      commitMode = "snapshot", keepVersions = 4)
+    val full = Snapshot.readAt(spark, p)
+    val de = Snapshot.readAt(spark, p,
+      skipping = Seq(ReadPred.Cmp("lang", "eq", "de")))
+    assert(de.inputFiles.nonEmpty && de.inputFiles.forall(_.contains("lang=de")),
+      "only the matching string partition's members may be planned")
+    assert(sortedRows(de.filter(col("lang") === "de")) ==
+      sortedRows(full.filter(col("lang") === "de")))
+  }
+
+  test("string DSL conjuncts and format(\"graft\") pushdown prune string keys") {
+    val dir = freshDir("eskip_str_surfaces")
+    val p = s"$dir/t.parquet"
+    WriteOps.atomicOverwrite(spark,
+      (0 until 100).map(i => (f"key$i%04d", i.toLong)).toDF("k", "id"), p,
+      indexBy = Seq("k"), maxRecordsPerFile = 10,
+      commitMode = "snapshot", keepVersions = 4)
+    val ref = graft.spec.DatasetRef.parse(s"parquet/$dir/t")
+    val full = graft.sources.Resolver.read(spark, ref)
+    val frame = graft.engine.Planner.sourceFrame(spark, graft.spec.SourceSpec(
+      ref, query = Seq("k__gte" -> "key0031", "k__lte" -> "key0039")))
+    assert(frame.inputFiles.length < full.inputFiles.length / 2,
+      s"DSL string range must prune (${frame.inputFiles.length} of " +
+        s"${full.inputFiles.length})")
+    assert(frame.count() == 9)
+    val t = spark.read.format("graft").load(p)
+    val got = t.filter(col("k") === "key0042").select("k", "id")
+    assert(rows(got) == Seq(Seq("key0042", 42L)))
+    val (kept, total) = Snapshot.lastSkipPlan
+    assert(total == 10 && kept <= 1,
+      s"V1 string pushdown must prune the plan (kept $kept of $total)")
+  }
+
   test("format(\"graft\") pushes its filters into envelope planning") {
     val dir = freshDir("eskip_dsv1")
     val p = s"$dir/t.parquet"

@@ -174,5 +174,22 @@ class GraftReadSpec extends SparkSpec {
       Seq((1L, "x")).toDF("id", "label").write.format("graft")
         .mode("append").save(pExt)
     }
+    // r16 (ADVICE): a LOSSY type mismatch refuses loudly instead of
+    // committing silent NULLs — string grp against the long column
+    val lossy = intercept[Exception] {
+      Seq((400L, "x", "not-a-number")).toDF("id", "label", "grp")
+        .write.format("graft").mode("append").save(pExt)
+    }
+    assert(lossy.getMessage.contains("LOSSLESS"),
+      s"lossy append must name the contract, got: ${lossy.getMessage}")
+    assert(graft.sources.Resolver.readParquet(spark, pExt)
+      .filter(col("id") === 400L).isEmpty, "nothing committed")
+    // an UPCAST (int batch column into the long table column) still lands
+    val up = Seq((500, "up500", 9)).toDF("id", "label", "grp")
+      .select(col("id").cast("int").as("id"), col("label"),
+        col("grp").cast("int").as("grp"))
+    up.write.format("graft").mode("append").save(pExt)
+    assert(graft.sources.Resolver.readParquet(spark, pExt)
+      .filter(col("id") === 500L).count() == 1, "lossless upcast lands")
   }
 }

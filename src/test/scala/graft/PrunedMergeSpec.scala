@@ -135,6 +135,54 @@ class PrunedMergeSpec extends SparkSpec {
     assert(sortedRows(spark.read.parquet(p)) == expected)
   }
 
+  test("string pk on a snapshot table plans from MANIFEST byte envelopes (zero footer reads)") {
+    import graft.operators.Snapshot
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = freshDir("pm_str_manifest")
+    import spark.implicits._
+    val docs = (0 until 2000).map(i => (f"doc_$i%05d", i.toLong)).toDF("id", "v")
+    val p = s"$dir/docs.parquet"
+    WriteOps.atomicOverwrite(spark, docs, p, indexBy = Seq("id"),
+      maxRecordsPerFile = 250, commitMode = "snapshot", keepVersions = 4)
+    val root = new Path(p)
+    val (v, vdir) = Snapshot.resolveVersion(fs, root, None)
+    val m = Snapshot.manifestAt(fs, vdir).get
+    assert(m.dataEntries.forall(_.envs.exists(_.get("id").exists(e =>
+      e.bmin.isDefined && e.bmax.isDefined))),
+      "the sorted writer must record byte envelopes for the string pk")
+    // WHITE-BOX plan-source proof (the r12 long-pk test's string twin):
+    // falsify the envelope of the file holding doc_00007 so it excludes
+    // the batch key — a manifest-planned merge must then MISS the stale
+    // row and land the upsert as a duplicate; a footer-sweep plan would
+    // have rewritten the file (1 row). Deliberate corruption of a
+    // throwaway table.
+    val key = Snapshot.BytesBounds.hex("doc_00007".getBytes("UTF-8"))
+    val lied = m.entries.map(e =>
+      if (e.envs.exists(_.get("id").exists(ce =>
+        ce.bmin.exists(_ <= key) && ce.bmax.exists(_ >= key))))
+        e.copy(envs = Some(Map("id" -> Snapshot.ColEnv(None, None, false,
+          Some(Snapshot.BytesBounds.hex("zzz_0".getBytes)),
+          Some(Snapshot.BytesBounds.hex("zzz_9".getBytes))))))
+      else e)
+    val v2dir = new Path(root, f"_v_${v + 1}%020d")
+    Snapshot.writeManifest(fs, v2dir, m.copy(entries = lied))
+    fs.create(new Path(v2dir, graft.operators.Versioned.Marker), false).close()
+    Snapshot.clearResolvedCache()
+    val t = TargetSpec(DatasetRef("parquet", dir, "docs"),
+      op = WriteOp.Upsert, pk = Seq("id"), indexBy = Seq("id"),
+      commitMode = "snapshot", keepVersions = 4)
+    val st = PrunedMerge.merge(spark,
+      graft.sources.Resolver.readParquet(spark, p),
+      Seq(("doc_00007", -1L)).toDF("id", "v"), t, p)
+    assert(st.isDefined)
+    val dups = graft.sources.Resolver.readParquet(spark, p)
+      .filter(col("id") === "doc_00007").count()
+    assert(dups == 2L,
+      s"string-pk plan must come from the (falsified) MANIFEST byte " +
+        s"envelopes, got $dups row(s) — 1 means it swept footers")
+  }
+
   test("timestamp pk prunes via annotated INT64 micros stats (both tz flavors)") {
     import spark.implicits._
     for (flavor <- Seq("timestamp", "timestamp_ntz")) {

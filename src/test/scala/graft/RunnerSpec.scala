@@ -18,6 +18,53 @@ class RunnerSpec extends SparkSpec {
     assert(Runner.count(spark, noLimit) > 10L)
   }
 
+  test("S12 metadata-only count: unfiltered snapshot _count runs ZERO Spark jobs") {
+    val dir = Files.createTempDirectory("runner_metacount").toString
+    val p = s"$dir/t.parquet"
+    val df = (0L until 1234L).map(i => (i, s"v$i")).toDF("id", "txt")
+    graft.operators.WriteOps.atomicOverwrite(spark, df, p,
+      indexBy = Seq("id"), maxRecordsPerFile = 200,
+      commitMode = "snapshot", keepVersions = 4)
+    val s = SourceSpec(DatasetRef("parquet", dir, "t"))
+    // count jobs fired during Runner.count via a listener
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      assert(Runner.count(spark, s) == 1234L)
+      assert(Runner.count(spark,
+        s.copy(query = Seq("_limit" -> "100"))) == 100L)
+      // the listener bus is async — wait until it has been quiet for
+      // a full second before reading the job count
+      var last = -1; var stable = 0
+      while (stable < 50) {
+        val c = jobs.get()
+        if (c == last) stable += 1 else { stable = 0; last = c }
+        Thread.sleep(20)
+      }
+      assert(jobs.get() == 0,
+        s"metadata count must run zero Spark jobs, saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(l)
+    // a FILTERED count still scans — and agrees with the exact path
+    assert(Runner.count(spark,
+      s.copy(query = Seq("id__lt" -> "100"))) == 100L)
+    // live tombstones disable the fast path but the count stays exact
+    graft.operators.Snapshot.deleteByKeys(spark, p,
+      (0L until 34L).toDF("id"), keepVersions = 4)
+    assert(Runner.count(spark, s) == 1200L)
+    // time travel: the pinned pre-delete version still fast-counts
+    val (v, _) = graft.operators.Snapshot.resolveVersion(
+      new org.apache.hadoop.fs.Path("/").getFileSystem(
+        spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(p), None)
+    assert(Runner.count(spark,
+      s.copy(query = Seq("_version" -> (v - 1).toString))) == 1234L)
+  }
+
   test("O2 auto worker sizing: ceil(total/1000) capped at 100") {
     assert(Runner.autoWorkers(0) == 1)
     assert(Runner.autoWorkers(999) == 1)

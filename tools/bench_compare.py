@@ -1,30 +1,31 @@
 #!/usr/bin/env python3
-"""Cross-run bench comparison — the STANDING adjudication rule (r13/r14).
+"""Cross-run bench comparison — the STANDING adjudication rule
+(r13/r14, r16: min-statistic primary).
 
 Host noise on this box is a GLOBAL per-run window factor: whole-run
 totals swing +/-20-25% between same-code runs while per-query RATIOS
-stay uniform (judge-confirmed on the r13 raw artifacts). Totals are
-therefore not comparable across runs; the robust statistics are
+stay uniform (judge-confirmed on the r13 raw artifacts). The r15
+verdict additionally showed the median-of-medians itself is
+window-dominated at a 1.49x same-code swing, while the PER-QUERY MIN
+across exclusive runs is window-resistant (every r15 flagged
+"regression" collapsed to parity at the min). The standing rule is
+therefore:
 
-  1. the MEDIAN PAIRWISE RATIO of per-query times (new/old) — the
-     window factor cancels in the median, so a value near 1.0 means
-     "same code speed", <1 means faster, regardless of which window
-     each run landed in; and
-  2. WINDOW-NORMALIZED AGREEMENT — divide every new/old ratio by the
-     median ratio (removing the global window), then report the
-     fraction of queries within 1.15x; residual disagreement is
-     genuinely per-query (a regression or a win), not host weather.
+  1. PRIMARY — MIN-vs-MIN: when both records carry `queries_min`
+     (per-query min across that round's exclusive runs), compare
+     those directly and flag only min-vs-min regressions. The min is
+     the best observed code speed; a min that got slower is a real
+     regression, not weather.
+  2. SECONDARY — the r13/r14 median statistics (median pairwise
+     ratio + window-normalized agreement over `queries`), kept for
+     records that predate `queries_min` and as a cross-check.
 
 Usage:
   python3 tools/bench_compare.py OLD.json NEW.json [--threshold 1.15] [--top 8]
 
-Consumes the one-line JSON records graft.Bench emits ({"queries":
-{name: sec, ...}, "stat": ..., "value": ...}). The 'stat' field is
-printed for both sides: comparisons are only like-for-like when the
-stats match (r13 switched the headline from a single-pass total to a
-sum of per-query medians over interleaved reps — see ADVICE r13).
-Exit code 0 always; this is a reporting tool, the judge reads the
-table.
+Consumes the one-line JSON records graft.Bench emits / the driver's
+BENCH_rN.json wrappers. Exit code 0 always; this is a reporting tool,
+the judge reads the table.
 """
 import json
 import sys
@@ -48,7 +49,10 @@ def load(path):
     q = d.get("queries") or {}
     if not q:
         sys.exit(f"{path}: no 'queries' map")
-    return d, {k: float(v) for k, v in q.items() if float(v) > 0}
+    qmin = d.get("queries_min") or None
+    if qmin:
+        qmin = {k: float(v) for k, v in qmin.items() if float(v) > 0}
+    return d, {k: float(v) for k, v in q.items() if float(v) > 0}, qmin
 
 
 def main():
@@ -59,8 +63,53 @@ def main():
         sys.exit(__doc__)
     thr = float(opts.get("threshold", 1.15))
     top = int(opts.get("top", 8))
-    (dold, qold), (dnew, qnew) = load(args[0]), load(args[1])
+    (dold, qold, mold), (dnew, qnew, mnew) = load(args[0]), load(args[1])
 
+    print(f"old: {args[0]}  stat={dold.get('stat', 'single_pass')}  "
+          f"value={dold.get('value', 0):.1f}s  n={len(qold)}")
+    print(f"new: {args[1]}  stat={dnew.get('stat', 'single_pass')}  "
+          f"value={dnew.get('value', 0):.1f}s  n={len(qnew)}")
+    if dold.get("stat") != dnew.get("stat"):
+        print("WARNING: stat fields differ — headline values are NOT "
+              "like-for-like; trust only the per-query comparisons below")
+    print()
+
+    # ── PRIMARY: min-vs-min (r16 standing rule) ──────────────────────
+    if mold and mnew:
+        ms = sorted(set(mold) & set(mnew))
+        mr = {q: mnew[q] / mold[q] for q in ms}
+        mmed = median(mr.values())
+        regs = sorted(((q, r) for q, r in mr.items() if r > thr),
+                      key=lambda kv: -kv[1])[:top]
+        wins = sorted(((q, r) for q, r in mr.items() if r < 1 / thr),
+                      key=lambda kv: kv[1])[:top]
+        agree = sum(1 for r in mr.values() if 1 / thr <= r <= thr)
+        print("PRIMARY (min-vs-min, window-resistant):")
+        print(f"  shared queries        : {len(ms)}")
+        print(f"  median min ratio      : {mmed:.3f}")
+        print(f"  agree within {thr}x    : {agree}/{len(ms)} "
+              f"({100.0 * agree / len(ms):.0f}%)")
+        if regs:
+            print(f"  min-vs-min REGRESSIONS (> {thr}x — these are real):")
+            for q, r in regs:
+                print(f"    {q:<28} x{r:.2f}  "
+                      f"({mold[q]:.2f}s -> {mnew[q]:.2f}s min)")
+        else:
+            print(f"  min-vs-min regressions: none > {thr}x")
+        if wins:
+            print(f"  min-vs-min wins (< {1/thr:.2f}x):")
+            for q, r in wins:
+                print(f"    {q:<28} x{r:.2f}  "
+                      f"({mold[q]:.2f}s -> {mnew[q]:.2f}s min)")
+        print()
+    else:
+        missing = [p for p, m in ((args[0], mold), (args[1], mnew)) if not m]
+        print("PRIMARY (min-vs-min): unavailable — no `queries_min` in "
+              + ", ".join(missing) + "; falling back to the median "
+              "statistics below (pre-r15 record)")
+        print()
+
+    # ── SECONDARY: median-based r13/r14 statistics ───────────────────
     shared = sorted(set(qold) & set(qnew))
     only_old = sorted(set(qold) - set(qnew))
     only_new = sorted(set(qnew) - set(qold))
@@ -72,30 +121,17 @@ def main():
     normalized = {q: r / med for q, r in ratios.items()}
     agree = sum(1 for r in normalized.values() if 1 / thr <= r <= thr)
 
-    print(f"old: {args[0]}  stat={dold.get('stat', 'single_pass')}  "
-          f"value={dold.get('value', 0):.1f}s  n={len(qold)}")
-    print(f"new: {args[1]}  stat={dnew.get('stat', 'single_pass')}  "
-          f"value={dnew.get('value', 0):.1f}s  n={len(qnew)}")
-    if dold.get("stat") != dnew.get("stat"):
-        print("WARNING: stat fields differ — headline values are NOT "
-              "like-for-like; trust only the per-query ratios below")
-    print()
-    print(f"shared queries          : {len(shared)}"
+    print("SECONDARY (median-based, window-sensitive):")
+    print(f"  shared queries          : {len(shared)}"
           + (f"  (+{len(only_new)} new, -{len(only_old)} removed)"
              if only_new or only_old else ""))
-    # between two SINGLE runs the median ratio still carries the two
-    # runs' common window shift (same-code runs land anywhere in
-    # 0.8-1.25); only between median-across-runs records does it read
-    # as code speed. The normalized agreement below is window-free
-    # either way.
-    print(f"median pairwise ratio   : {med:.3f}  "
-          "(window factor x code speed; ~code speed when both sides are "
-          "median-across-runs records)")
-    print(f"window-normalized agree : {agree}/{len(shared)} "
+    print(f"  median pairwise ratio   : {med:.3f}  "
+          "(window factor x code speed)")
+    print(f"  window-normalized agree : {agree}/{len(shared)} "
           f"({100.0 * agree / len(shared):.0f}%) within {thr}x")
     sum_old = sum(qold[q] for q in shared)
     sum_new = sum(qnew[q] for q in shared)
-    print(f"raw shared totals       : {sum_old:.1f}s -> {sum_new:.1f}s "
+    print(f"  raw shared totals       : {sum_old:.1f}s -> {sum_new:.1f}s "
           f"(x{sum_new / sum_old:.2f} — includes the window factor; "
           "NOT the comparison stat)")
 
@@ -103,13 +139,15 @@ def main():
     wins = [(q, r) for q, r in outliers if r < 1 / thr][:top]
     regs = [(q, r) for q, r in reversed(outliers) if r > thr][:top]
     if wins:
-        print(f"\nper-query wins beyond the window (normalized < {1/thr:.2f}x):")
+        print(f"\n  normalized-median wins (< {1/thr:.2f}x — advisory; "
+              "confirm at the min):")
         for q, r in wins:
-            print(f"  {q:<28} x{r:.2f}  ({qold[q]:.2f}s -> {qnew[q]:.2f}s raw)")
+            print(f"    {q:<28} x{r:.2f}  ({qold[q]:.2f}s -> {qnew[q]:.2f}s raw)")
     if regs:
-        print(f"\nper-query regressions beyond the window (normalized > {thr}x):")
+        print(f"\n  normalized-median outliers (> {thr}x — advisory; a "
+              "real regression must ALSO show min-vs-min above):")
         for q, r in regs:
-            print(f"  {q:<28} x{r:.2f}  ({qold[q]:.2f}s -> {qnew[q]:.2f}s raw)")
+            print(f"    {q:<28} x{r:.2f}  ({qold[q]:.2f}s -> {qnew[q]:.2f}s raw)")
     if only_new:
         print(f"\nnew-only queries: {', '.join(only_new)}")
     if only_old:
