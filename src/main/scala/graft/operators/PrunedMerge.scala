@@ -338,7 +338,36 @@ object PrunedMerge {
         m.dataEntries.map(e => e.rel -> e).toMap, comps)
     }.getOrElse(readEnvelopes(spark, listed,
       comps.map { case (_, dom, src) => (dom, src) }))
-    val (touched, untouched) = envelopes.partition(e => isTouched(e, compKeys))
+    val (touchedByKeys, untouchedByKeys) =
+      envelopes.partition(e => isTouched(e, compKeys))
+    // r16 (verdict #7): the `--tq` row restriction prunes as EXTRA
+    // envelope conjuncts for the ROW-PRESERVING keyed ops (update /
+    // delete): a file whose envelope provably holds no tq-satisfying
+    // row has no touchable rows — rewriting it would be bit-identical
+    // work. Excluded for ops with INSERT semantics (upsert/index/
+    // insert/create): they consult GLOBAL key existence, and dropping
+    // a file from the touched read would turn its matched keys into
+    // phantom inserts. Snapshot layouts only (the conjuncts test the
+    // manifest's recorded envelopes, any column, partition points
+    // included — the same planner the read path trusts).
+    val (touched, untouched) = snapCtx match {
+      case Some((_, m, dd))
+          if (t.op == WriteOp.Update || t.op == WriteOp.Delete) &&
+            t.query.nonEmpty && touchedByKeys.nonEmpty =>
+        val preds = graft.dsl.QueryCompiler.skipPreds(t.query)
+        if (preds.isEmpty) (touchedByKeys, untouchedByKeys)
+        else {
+          val byRel = m.dataEntries.map(e => e.rel -> e).toMap
+          val tEntries = touchedByKeys
+            .map(e => byRel(relPath(dd, new Path(e.path))))
+          val keep = Snapshot.pruneEntries(spark, m, tEntries, preds)
+            .map(_.rel).toSet
+          val (a, b) = touchedByKeys
+            .partition(e => keep(relPath(dd, new Path(e.path))))
+          (a, untouchedByKeys ++ b)
+        }
+      case _ => (touchedByKeys, untouchedByKeys)
+    }
     // nothing to prune — the full rewrite costs the same and is atomic
     if (touched.size == listed.size) return None
 

@@ -4120,11 +4120,45 @@ object Snapshot {
     val now = System.currentTimeMillis()
     val aged = journals.filter(now - _.getModificationTime > StageGraceMs)
     if (aged.isEmpty) return
-    val retained = kept.map { case (_, vdir, _) =>
-      try resolvedFor(fs, vdir) catch { case scala.util.control.NonFatal(_) => None }
+    // FLAT-COLD membership probes (r16 — BASELINE r15 residual #2): a
+    // cold sweep against a LIST-checkpointed version answers "is this
+    // rel a member" from the list header + the ONE rel-ranged part
+    // that can contain it (parts are sorted by firstRel), never
+    // materializing the entry list — the 200k-member cold term drops
+    // from the full manifest parse to O(parts + one ~2k-entry part).
+    // Small full manifests and delta chains keep the resolve (cheap at
+    // their size; the resolved cache makes repeats free). Any
+    // undecidable probe keeps the file and retries next round.
+    final class RelProbe(vdir: Path) {
+      private lazy val header: Option[(Manifest, Vector[PartRef])] =
+        try {
+          if (!fs.exists(new Path(vdir, ManifestName)) &&
+              fs.exists(new Path(vdir, ListName)))
+            parseListHeader(fs, vdir)
+          else None
+        } catch { case scala.util.control.NonFatal(_) => None }
+      private lazy val resolved: Option[Resolved] =
+        try resolvedFor(fs, vdir)
+        catch { case scala.util.control.NonFatal(_) => None }
+      private val partRels =
+        scala.collection.mutable.Map.empty[String, Option[Set[String]]]
+      private def relsOfPart(name: String): Option[Set[String]] =
+        partRels.getOrElseUpdate(name,
+          try Some(readText(fs, new Path(partsDir(root), name))
+            .linesIterator.filter(_.nonEmpty)
+            .map(_.split("\t", 3)(1)).toSet)
+          catch { case scala.util.control.NonFatal(_) => None })
+      /** None = undecidable (keep the file). */
+      def has(rel: String): Option[Boolean] = header match {
+        case Some((_, refs)) =>
+          refs.takeWhile(_.firstRel <= rel).lastOption match {
+            case None => Some(false) // below the first part's range
+            case Some(r) => relsOfPart(r.name).map(_.contains(rel))
+          }
+        case None => resolved.map(_.hasRel(rel))
+      }
     }
-    if (retained.exists(_.isEmpty)) return // uncertain refs: next round
-    val heads = retained.flatten
+    val heads = kept.map { case (_, vdir, _) => new RelProbe(vdir) }
     // live part names, only needed if some journal names a part —
     // computed lazily over ALL version dirs (markers arbitrate dirs,
     // not parts; same rule as the full sweep's parts GC)
@@ -4155,7 +4189,9 @@ object Snapshot {
             val referenced =
               if (rel.startsWith(DataDirName + "/")) {
                 val poolRel = rel.stripPrefix(DataDirName + "/")
-                heads.exists(_.hasRel(poolRel))
+                val probes = heads.map(_.has(poolRel))
+                if (probes.exists(_.isEmpty)) { allDecided = false; true }
+                else probes.exists(_.contains(true))
               } else if (rel.startsWith(PartsDirName + "/")) {
                 livePartNames match {
                   case Some(names) =>

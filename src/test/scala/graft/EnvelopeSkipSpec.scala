@@ -228,6 +228,52 @@ class EnvelopeSkipSpec extends SparkSpec {
     assert(ne.count() == 99)
   }
 
+  test("--tq update on a sorted snapshot target rewrites only tq-intersecting files") {
+    import graft.spec.{DatasetRef, TargetSpec, WriteOp}
+    val dir = freshDir("eskip_tq")
+    val p = s"$dir/t.parquet"
+    WriteOps.atomicOverwrite(spark,
+      (0L until 200L).map(i => (i, s"v$i")).toDF("id", "txt"), p,
+      indexBy = Seq("id"), maxRecordsPerFile = 10,
+      commitMode = "snapshot", keepVersions = 4)
+    val before = Snapshot.manifestAt(fs,
+      Snapshot.resolveVersion(fs, new Path(p), None)._2).get
+    // the batch touches EVERY file by key; the --tq restriction is
+    // what must prune the rewrite down to the id<30 band
+    val batch = (0L until 200L).map(i => (i, s"UPD$i")).toDF("id", "txt")
+    val tq = Seq("id__lt" -> "30")
+    val target = graft.sources.Resolver.readParquet(spark, p)
+    val expected = sortedRows(
+      graft.operators.WriteOps.update(target, batch, Seq("id"), tq))
+    val t = TargetSpec(DatasetRef("parquet", dir, "t"), op = WriteOp.Update,
+      pk = Seq("id"), query = tq, indexBy = Seq("id"),
+      commitMode = "snapshot", keepVersions = 4)
+    val st = graft.operators.PrunedMerge.merge(spark, target, batch, t, p)
+    assert(st.isDefined, "the tq-restricted update must take the merge path")
+    assert(st.get.filesRewritten <= 3 && st.get.filesTotal == 20,
+      s"only the tq-intersecting band may be rewritten, got $st")
+    assert(sortedRows(graft.sources.Resolver.readParquet(spark, p)) == expected)
+    // untouched members stay byte-identical BY REFERENCE in the new
+    // manifest (same rel, same bytes)
+    val after = Snapshot.manifestAt(fs,
+      Snapshot.resolveVersion(fs, new Path(p), None)._2).get
+    val beforeByRel = before.dataEntries.map(e => e.rel -> e.bytes).toMap
+    val carried = after.dataEntries.filter(e => beforeByRel.contains(e.rel))
+    assert(carried.size >= 17 &&
+      carried.forall(e => beforeByRel(e.rel) == e.bytes),
+      "tq-disjoint members must carry by reference")
+    // the INSERT-semantics guard: an upsert with the same tq must NOT
+    // tq-prune (a pruned file's matched keys would become phantom
+    // inserts) — result stays exact
+    val target2 = graft.sources.Resolver.readParquet(spark, p)
+    val expected2 = sortedRows(graft.operators.WriteOps.upsert(
+      target2, batch, Seq("id"), tq))
+    val st2 = graft.operators.PrunedMerge.merge(spark, target2, batch,
+      t.copy(op = WriteOp.Upsert), p)
+    assert(sortedRows(graft.sources.Resolver.readParquet(spark, p)) == expected2,
+      s"upsert with tq must stay exact (stats $st2)")
+  }
+
   // ── STRING keys (r16): truncated byte bounds ──────────────────────
 
   private def benv(lo: String, hi: String, nulls: Boolean = false) =
