@@ -1081,6 +1081,15 @@ object SparkEntry {
     "q_dedup_cdc_index" -> ((s, dir) => {
       import graft.ext.TextDedup
       val scratch = scratchDir("graft_cdcidx")
+      // the maintenance pipeline is FIXED-JOB-OVERHEAD dominated (the
+      // r15 JobProbe audit: ~85 sub-100ms jobs); AQE's per-exchange
+      // stage materialization multiplies every tiny action into 2-4
+      // jobs and buys nothing on KB-scale frames — scope it off for
+      // the query (the production setting for metadata-scale
+      // maintenance batches), restore after
+      val aqePrev = s.conf.get("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
       // fixed 400-doc window: the gate proves the MAINTENANCE LAW and
       // the mutation classes, identically at every SF (index SCALE is
       // ScaleBench territory; an unbounded window made this the
@@ -1122,8 +1131,13 @@ object SparkEntry {
       val mBk = graft.sources.Resolver.readParquet(s, s"$idx/buckets.parquet")
       val batch = docs.filter(col("doc_id") >= 150 && col("doc_id") < 200)
         .withColumn("doc_id", col("doc_id") + 2000000L)
+      // materialize the search INSIDE the AQE-off scope (its ~8 tiny
+      // exchange jobs collapse to 2); the returned frame replays the
+      // ≤50 cached rows
       TextDedup.incrementMatches(batch, mSh, mBk, "doc_id", "text",
         n = 3, threshold = 0.8, k = 128, bands = 16).orderBy("id")
+        .localCheckpoint(true)
+      } finally s.conf.set("spark.sql.adaptive.enabled", aqePrev)
     }),
 
     // ── [EXT] §2.10 Bloom-gated incremental EXACT dedup: batch

@@ -2457,6 +2457,28 @@ object Snapshot {
     * aliases/dropped markers) — callers changing a table's shape keep
     * using [[overwrite]].
     */
+  /** Range-lay `df` on `sortKeys` for tight per-file key envelopes.
+    * SMALL frames (plan-stats size estimate ≤ 8 MB — r16, the cdc-gate
+    * job audit) collapse to ONE sorted task: the range partitioner's
+    * separate sampling job disappears and the layout is a single tight
+    * run (`maxRecordsPerFile` still splits it into consecutive
+    * chunks, so file-count-dependent behavior is unchanged). The
+    * estimate only picks the path — an overestimate pays the sampling
+    * job it always paid, an underestimate writes one larger file.
+    */
+  private def sortedLayout(df: DataFrame, sortKeys: Seq[String]): DataFrame =
+    if (sortKeys.isEmpty) df
+    else {
+      val est =
+        try df.queryExecution.optimizedPlan.stats.sizeInBytes
+        catch { case scala.util.control.NonFatal(_) => BigInt(-1) }
+      if (est >= 0 && est <= (8L << 20))
+        df.coalesce(1).sortWithinPartitions(sortKeys.map(col).toIndexedSeq: _*)
+      else
+        df.repartitionByRange(sortKeys.map(col).toIndexedSeq: _*)
+          .sortWithinPartitions(sortKeys.map(col).toIndexedSeq: _*)
+    }
+
   private[graft] def stageOverwrite(spark: SparkSession, df: DataFrame,
                                     rootStr: String,
                                     partitionBy: Seq[String] = Nil,
@@ -2470,11 +2492,7 @@ object Snapshot {
     val schemaDdl = org.apache.spark.sql.types.StructType(
       df.schema.fields.map(_.copy(nullable = true))).toDDL
     val sortKeys = indexBy.filterNot(partitionBy.contains)
-    val laid0 =
-      if (sortKeys.nonEmpty)
-        df.repartitionByRange(sortKeys.map(col).toIndexedSeq: _*)
-          .sortWithinPartitions(sortKeys.map(col).toIndexedSeq: _*)
-      else df
+    val laid0 = sortedLayout(df, sortKeys)
     val stage = new Path(root, s"._snap_stage_${System.nanoTime()}")
     var w = laid0.write.mode("overwrite")
     if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
@@ -3058,11 +3076,7 @@ object Snapshot {
     val schemaDdl = org.apache.spark.sql.types.StructType(
       df.schema.fields.map(_.copy(nullable = true))).toDDL
     val sortKeys = indexBy.filterNot(partitionBy.contains)
-    val laid0 =
-      if (sortKeys.nonEmpty)
-        df.repartitionByRange(sortKeys.map(col).toIndexedSeq: _*)
-          .sortWithinPartitions(sortKeys.map(col).toIndexedSeq: _*)
-      else df
+    val laid0 = sortedLayout(df, sortKeys)
     val stage = new Path(root, s"._snap_stage_${System.nanoTime()}")
     var w = laid0.write.mode("overwrite")
     if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
@@ -3126,6 +3140,7 @@ object Snapshot {
     val root = new Path(rootStr)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (baseV, m, moved, n) = stageDeleteKeys(spark, rootStr, keys)
+    if (moved.isEmpty) return (baseV, 0L) // empty key set: no-op, no commit
     // rebase commit with nothing removed: a DV delete composes with ANY
     // concurrent commit (the tombstone applies to whatever rows the
     // new head holds — delete-after-X serialization, the GDPR-correct
@@ -3141,10 +3156,14 @@ object Snapshot {
     * Returns (resolve-time base version, base manifest, pool entries,
     * distinct key count).
     */
-  /** `needCount = false` skips the post-write count job — callers that
-    * already know (or don't report) the key count save one fixed-cost
-    * Spark job per staged tombstone (the CDC maintainer stages two per
-    * increment); returns −1 then.
+  /** The key count comes from the STAGED files' parquet footers
+    * (r16 — driver-side, zero Spark jobs; the write just produced
+    * them, so the footers are page-warm): the staged rows are the
+    * batch's distinct key tuples, so footer row counts ARE the count.
+    * An EMPTY key set stages nothing (no empty tombstone member ever
+    * enters the pool) and returns Nil entries. `needCount` is kept
+    * for source compatibility; the count is free now, so it is
+    * always returned.
     */
   private[graft] def stageDeleteKeys(spark: SparkSession, rootStr: String,
                                      keys: DataFrame,
@@ -3170,7 +3189,20 @@ object Snapshot {
         try fs.delete(stage, true) catch { case _: Throwable => () }
         throw e
     }
-    val n = if (needCount) spark.read.parquet(stage.toString).count() else -1L
+    // count from the staged footers (driver-side, no job); a footer
+    // that won't read falls back to the one count job it used to pay
+    val staged = listDataFilesRec(fs, stage)
+    val stats = PrunedMerge.footerKeyStats(spark,
+      staged.map(f => (f._1.toString, f._2)), typed.schema, Nil)
+    val rowsOpt = staged.map(f => stats.get(f._1.toString).flatMap(_._2))
+    val n =
+      if (rowsOpt.forall(_.isDefined)) rowsOpt.flatten.sum
+      else spark.read.parquet(stage.toString).count()
+    if (n == 0L) {
+      // an empty key set tombstones nothing — stage no member at all
+      try fs.delete(stage, true) catch { case scala.util.control.NonFatal(_) => () }
+      return (baseV, m, Nil, 0L)
+    }
     val delDir = new Path(dataDir(root), DeletesDirName)
     fs.mkdirs(delDir)
     // record the tombstone's key-column set in the manifest entry so
@@ -3450,7 +3482,8 @@ object Snapshot {
   private[graft] def stageUpsertAppend(spark: SparkSession, rootStr: String,
                                        batch: DataFrame, pk: Seq[String],
                                        indexBy: Seq[String] = Nil,
-                                       maxRecordsPerFile: Long = 0)
+                                       maxRecordsPerFile: Long = 0,
+                                       sizeHint: Option[Long] = None)
       : Option[(Long, Manifest, Seq[Entry], Long)] = {
     val root = new Path(rootStr)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -3475,18 +3508,38 @@ object Snapshot {
     val typed = WriteOps.dedupeByPk(
       batch.select(names.map(c =>
         col(c).cast(m.schema(c).dataType).as(c)): _*), pk)
-    val keys = typed.select(pk.map(col): _*).distinct()
-      .localCheckpoint(true)
-    val nKeys = keys.count()
-    if (nKeys == 0) return None
+    // SMALL-BATCH fold (r16, the cdc-gate job audit): below a plan-
+    // stats size estimate the key count comes from the STAGED batch
+    // file's footer (dedupeByPk makes rows == distinct pks) and the
+    // tombstone derives from that pooled file — the upfront
+    // localCheckpoint + count jobs and the range-sampling pass all
+    // disappear (3 write-class jobs → 2, zero count jobs). Estimates
+    // only pick the PATH: an overestimate pays the old exact-count
+    // route, an underestimate writes one larger file — never a wrong
+    // result. Joins/aggregates estimate high, so only genuinely
+    // materialized small inputs (the maintenance increments) take it.
+    // `sizeHint` overrides the plan estimate — checkpointed inputs
+    // (LogicalRDD) carry no stats, but the CDC maintainer knows its
+    // span's changed bytes from the manifests it already parsed.
+    val sizeEst = sizeHint.map(BigInt(_)).getOrElse(
+      try typed.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case scala.util.control.NonFatal(_) => BigInt(-1) })
+    val small = sizeEst >= 0 && sizeEst <= (256L << 20)
+    val keys =
+      if (small) null
+      else typed.select(pk.map(col): _*).distinct().localCheckpoint(true)
+    val nKeysUp = if (small) -1L else keys.count()
+    if (!small && nKeysUp == 0) return None
     // batch file, laid out like every other sorted writer so its
     // manifest envelopes keep future merges planning from metadata
     val sortKeys = (if (indexBy.nonEmpty) indexBy else pk)
       .filterNot(m.partitionBy.contains)
+    val nParts =
+      if (small) 1
+      else math.max(1L, math.min(4096L, nKeysUp / 2000000L)).toInt
     val laid =
       if (sortKeys.nonEmpty)
-        typed.repartitionByRange(
-            math.max(1L, math.min(4096L, nKeys / 2000000L)).toInt,
+        typed.repartitionByRange(nParts,
             sortKeys.map(col).toIndexedSeq: _*)
           .sortWithinPartitions(sortKeys.map(col).toIndexedSeq: _*)
       else typed
@@ -3508,12 +3561,36 @@ object Snapshot {
       dataSchema,
       (sortKeys ++ pk).distinct.filterNot(m.partitionBy.contains))
     fs.delete(stage, true)
+    val nKeys =
+      if (!small) nKeysUp
+      else {
+        val rs = dataEntries.map(_.rows)
+        if (rs.nonEmpty && rs.forall(_.isDefined)) rs.flatten.sum
+        else if (dataEntries.isEmpty) 0L
+        else spark.read.parquet(
+          dataEntries.map(e => new Path(dd, e.rel).toString): _*).count()
+      }
+    if (nKeys == 0) {
+      dataEntries.foreach(en =>
+        try fs.delete(new Path(dd, en.rel), false) catch { case _: Throwable => () })
+      return None
+    }
     // the batch-key tombstone — full pk, so future pruned merges keep
-    // composing with it
+    // composing with it; the small path reads the keys back out of
+    // the pooled batch file (already distinct by construction)
+    val keySrc =
+      if (small) {
+        // basePath recovers partition-resident pk components; the cast
+        // pins path-inferred types back to the table's
+        val r = if (m.partitionBy.nonEmpty)
+          spark.read.option("basePath", dd.toString) else spark.read
+        r.parquet(dataEntries.map(e => new Path(dd, e.rel).toString): _*)
+          .select(pk.map(c => col(c).cast(m.schema(c).dataType).as(c)): _*)
+      } else keys
     val dvStage = new Path(root, s"._snap_stage_${System.nanoTime()}")
     // one tombstone file per ~20M keys: single-writer up to huge
     // batches, parallel beyond
-    try keys.coalesce(math.max(1L, nKeys / 20000000L).toInt)
+    try keySrc.coalesce(math.max(1L, nKeys / 20000000L).toInt)
       .write.parquet(dvStage.toString) catch {
       case e: Throwable =>
         try fs.delete(dvStage, true) catch { case _: Throwable => () }

@@ -348,7 +348,24 @@ object CdfStream {
     // the final state the law compares against.
     runAvailableNow(spark, tablePath, Seq(idCol), checkpointDir,
       startingVersion = startingVersion,
-      spanningBatches = true) { (inc, _, _) =>
+      spanningBatches = true) { (inc, fromV, toV) =>
+      // size hint for the staged writes (r16): checkpointed frames
+      // carry no plan stats, but the span's CHANGED bytes are in the
+      // manifests the changelog already parsed — added-entry bytes of
+      // the to-version not present in the from-version bound the
+      // increment's data size, so the small-batch staging path (no
+      // count/checkpoint jobs) engages exactly when the increment is
+      // genuinely small
+      val spanBytes: Option[Long] =
+        try {
+          val fromRels = Snapshot.manifestAt(fs,
+            Snapshot.resolveVersion(fs, root, Some(fromV))._2)
+            .map(_.dataEntries.map(_.rel).toSet).getOrElse(Set.empty)
+          Snapshot.manifestAt(fs,
+            Snapshot.resolveVersion(fs, root, Some(toV))._2)
+            .map(_.dataEntries.filterNot(e => fromRels(e.rel))
+              .map(_.bytes).sum)
+        } catch { case scala.util.control.NonFatal(_) => None }
       // materialize the increment ONCE: every derived frame (shingle
       // rows, removal ids, the counts) would otherwise re-execute the
       // multi-version changelog join it hangs off
@@ -360,11 +377,12 @@ object CdfStream {
         touched.filter(col("_change_type") =!= "delete"),
         idCol, textCol, n).localCheckpoint(true)
       // removals: deleted docs, plus touched docs that no longer
-      // produce a shingle (too short to ever match)
+      // produce a shingle (too short to ever match). No checkpoint and
+      // no count job (r16): the frame is consumed exactly once by the
+      // staged tombstone write (its inputs are both checkpointed), and
+      // emptiness comes back from the staged footers for free
       val removeIds = touched.select(col(idCol).as("id")).distinct()
         .join(asserted.select("id"), Seq("id"), "left_anti")
-        .localCheckpoint(true)
-      val hasRemovals = removeIds.count() > 0
       // ONE commit per table through a COMMIT GROUP (r14, verdict): the
       // increment's removal tombstone, batch file and batch-pk
       // tombstone are all pure-add pool entries, so they batch into a
@@ -380,23 +398,20 @@ object CdfStream {
       // (one Spark write) and byte-clone the pooled files into the
       // second table's pool (r15 — driver-side copy, no job); type
       // mismatch or copy failure falls back to independent staging
-      val delSh =
-        if (hasRemovals) Some(Snapshot.stageDeleteKeys(spark, shPath,
-          removeIds, needCount = false))
-        else None
+      val delSh = Some(Snapshot.stageDeleteKeys(spark, shPath, removeIds))
+        .filter(_._3.nonEmpty) // empty key set stages nothing (r16)
       val delBk: Option[(Long, Snapshot.Manifest, Seq[Snapshot.Entry])] =
         delSh.flatMap(d =>
           Snapshot.cloneDeleteStage(spark, shPath, bkPath, d._3))
-          .orElse(if (hasRemovals)
-            Some(Snapshot.stageDeleteKeys(spark, bkPath, removeIds,
-              needCount = false)).map(d => (d._1, d._2, d._3))
-          else None)
+          .orElse(delSh.map(_ =>
+            Snapshot.stageDeleteKeys(spark, bkPath, removeIds))
+            .map(d => (d._1, d._2, d._3)))
       def part(path: String, batch: org.apache.spark.sql.DataFrame,
                pk: Seq[String],
                del: Option[(Long, Snapshot.Manifest, Seq[Snapshot.Entry])])
           : Option[Snapshot.StagedCommit] = {
         val ups = Snapshot.stageUpsertAppend(spark, path, batch, pk,
-          indexBy = Seq("id"))
+          indexBy = Seq("id"), sizeHint = spanBytes)
         val entries = del.map(_._3).getOrElse(Nil) ++
           ups.map(_._3).getOrElse(Nil)
         if (entries.isEmpty) None

@@ -21,8 +21,15 @@ object JobProbe {
     val done = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, String)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
-        jobs.put(j.jobId, (System.nanoTime(),
-          Option(j.properties.getProperty("callSite.short")).getOrElse("?")))
+        jobs.put(j.jobId, (System.nanoTime(), {
+          // engine-frame attribution: first graft line in ANY stage's
+          // call-site details, else the result stage's name
+          val site = j.stageInfos.flatMap(_.details.linesIterator)
+            .find(l => l.contains("graft.") && !l.contains("JobProbe"))
+            .map(_.trim.stripPrefix("at ")).getOrElse(
+              j.stageInfos.lastOption.map(_.name).getOrElse("?"))
+          site
+        }))
       override def onJobEnd(j: SparkListenerJobEnd): Unit = {
         Option(jobs.remove(j.jobId)).foreach { case (t0, site) =>
           done.synchronized {
