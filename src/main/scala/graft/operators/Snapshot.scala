@@ -4810,22 +4810,28 @@ object Snapshot {
       // once — pool files are immutable, so one footer open settles
       // every manifest that lists it
       val conf = spark.sparkContext.hadoopConfiguration
-      val checked = scala.collection.mutable.Set.empty[String]
+      // files are immutable, so ONE footer open per distinct rel
+      // settles every manifest that records a count for it (manifests
+      // can disagree — a tampered record in any retained version is
+      // exactly what this audit exists to catch)
+      val actualCache = scala.collection.mutable.Map.empty[String, Long]
+      def actualRows(rel: String): Long =
+        actualCache.getOrElseUpdate(rel,
+          try {
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new Path(dd, rel), conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try {
+              import scala.jdk.CollectionConverters._
+              r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+            } finally r.close()
+          } catch { case scala.util.control.NonFatal(_) => -1L })
       vs.foreach { case (v, vdir) =>
         mAt(v, vdir).foreach { m =>
           m.dataEntries.foreach { e =>
             e.rows.foreach { rec =>
-              if (checked.add(e.rel) && onDisk.contains(e.rel)) {
-                val actual =
-                  try {
-                    val in = org.apache.parquet.hadoop.util.HadoopInputFile
-                      .fromPath(new Path(dd, e.rel), conf)
-                    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-                    try {
-                      import scala.jdk.CollectionConverters._
-                      r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-                    } finally r.close()
-                  } catch { case scala.util.control.NonFatal(_) => -1L }
+              if (onDisk.contains(e.rel)) {
+                val actual = actualRows(e.rel)
                 if (actual >= 0 && actual != rec)
                   out += (("error", "rows",
                     s"v$v ${e.rel}: manifest rows $rec, footer $actual — " +

@@ -110,6 +110,27 @@ class GraftReadSpec extends SparkSpec {
     spark.sql("DROP VIEW gtv")
   }
 
+  test("a relation PINS its snapshot: repeated scans never mix versions across a concurrent commit") {
+    // r16 (ADVICE): the filtered buildScan path used to re-resolve the
+    // head per scan — a commit landing between two actions on ONE
+    // relation silently mixed versions. The head is now pinned at
+    // relation construction.
+    val dir = freshDir("gds_pin")
+    val p = s"$dir/t.parquet"
+    build(p)
+    val t = spark.read.format("graft").load(p)
+    val c1 = t.filter(col("id") < 1000).count() // filtered → skip path
+    Snapshot.appendBatch(spark, p,
+      Seq((500L, "late", 1L)).toDF("id", "label", "grp"), keepVersions = 10)
+    val c2 = t.filter(col("id") < 1000).count()
+    assert(c1 == c2,
+      s"the SAME relation must keep serving its pinned snapshot ($c1 vs $c2)")
+    assert(t.count() == c1, "unfiltered scans pin identically")
+    // a FRESH relation sees the new head
+    val t2 = spark.read.format("graft").load(p)
+    assert(t2.filter(col("id") < 1000).count() == c1 + 1)
+  }
+
   test("write-side append: external save() ≡ engine append, atomic under a racing commit") {
     val dir = freshDir("gds_append")
     val (pExt, pEng) = (s"$dir/ext.parquet", s"$dir/eng.parquet")

@@ -386,6 +386,33 @@ class SnapshotSpec extends SparkSpec {
     assert(issues.collect { case Seq("error", _, _*) => 1 }.sum == 1)
   }
 
+  test("fsck --full cross-checks recorded row counts against footers") {
+    val dir = freshDir("snap_fsck_rows")
+    val p = s"$dir/t.parquet"
+    WriteOps.atomicOverwrite(spark, base(100), p, commitMode = "snapshot",
+      maxRecordsPerFile = 30, keepVersions = 4)
+    assert(Snapshot.fsck(spark, p, full = true).isEmpty,
+      "honest recorded counts audit clean")
+    // falsify one entry's recorded rows — the metadata-count input
+    val root = new Path(p)
+    val (v, vdir) = Snapshot.resolveVersion(fs, root, None)
+    val m = Snapshot.manifestAt(fs, vdir).get
+    assert(m.dataEntries.forall(_.rows.isDefined),
+      "the writer must record per-file rows")
+    val lied = m.copy(entries = m.entries.zipWithIndex.map { case (e, i) =>
+      if (i == 0) e.copy(rows = e.rows.map(_ + 7)) else e })
+    Snapshot.writeManifest(fs, new Path(root, f"_v_${v + 1}%020d"), lied)
+    fs.create(new Path(new Path(root, f"_v_${v + 1}%020d"),
+      graft.operators.Versioned.Marker), false).close()
+    Snapshot.clearResolvedCache()
+    // the default audit stays metadata-only (no rows check)...
+    assert(!rows(Snapshot.fsck(spark, p)).exists(_(1) == "rows"))
+    // ...the full audit opens footers and reports the lie as an error
+    val full = rows(Snapshot.fsck(spark, p, full = true))
+    assert(full.exists(r => r(0) == "error" && r(1) == "rows"),
+      s"falsified rows must be a 'rows' error, got $full")
+  }
+
   test("expect stage gates data quality with SQL CHECK semantics") {
     import spark.implicits._
     val df = Seq((1, Some(5)), (2, None), (3, Some(-1))).toDF("id", "v")
