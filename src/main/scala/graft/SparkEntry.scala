@@ -1088,7 +1088,11 @@ object SparkEntry {
       // the query (the production setting for metadata-scale
       // maintenance batches), restore after
       val aqePrev = s.conf.get("spark.sql.adaptive.enabled", "true")
+      val shufPrev = s.conf.get("spark.sql.shuffle.partitions", "32")
       s.conf.set("spark.sql.adaptive.enabled", "false")
+      // without AQE's coalescing, static shuffle parallelism must match
+      // the KB-scale frames: one partition, not 32×~40 empty tasks
+      s.conf.set("spark.sql.shuffle.partitions", "1")
       try {
       // fixed 400-doc window: the gate proves the MAINTENANCE LAW and
       // the mutation classes, identically at every SF (index SCALE is
@@ -1137,7 +1141,10 @@ object SparkEntry {
       TextDedup.incrementMatches(batch, mSh, mBk, "doc_id", "text",
         n = 3, threshold = 0.8, k = 128, bands = 16).orderBy("id")
         .localCheckpoint(true)
-      } finally s.conf.set("spark.sql.adaptive.enabled", aqePrev)
+      } finally {
+        s.conf.set("spark.sql.adaptive.enabled", aqePrev)
+        s.conf.set("spark.sql.shuffle.partitions", shufPrev)
+      }
     }),
 
     // ── [EXT] §2.10 Bloom-gated incremental EXACT dedup: batch
