@@ -185,6 +185,11 @@ object RollupOps {
     // persist: the batch aggregate would otherwise re-execute for the
     // key collect, the semi join, the merge, AND PrunedMerge's passes —
     // 4+ batch scans per micro-batch on the hot streaming path
+    // metadata-scale profile (r17): a small micro-batch's fold (semi
+    // join + merge + pruned rewrite) runs AQE-off/1-partition
+    // ([[graft.operators.MaintProfile]]); data-scale batches decline
+    graft.operators.MaintProfile.scoped(spark,
+      graft.operators.MaintProfile.small(batch)) {
     val batchState = summarize(batch, keys, aggs).persist()
     try {
       val core = existing.select(coreCols.map(col): _*)
@@ -223,6 +228,7 @@ object RollupOps {
           op = graft.spec.WriteOp.Upsert, pk = keys, indexBy = keys,
           commitMode = "snapshot", keepVersions = keepVersions), statePath)
     } finally { batchState.unpersist(); () }
+    }
   }
 
   /** Metadata-only UPPER BOUND on a long column's value across the

@@ -11,11 +11,11 @@ import org.apache.spark.sql.functions._
   *     substrings of the word-TYPE table, fit piece probabilities by
   *     EM (E-step = forward–backward expected piece counts over every
   *     segmentation of each word type, corpus-weighted; M-step =
-  *     normalize), then prune to the target vocabulary (keep the
-  *     highest-probability pieces; single characters are never pruned
-  *     so every word stays representable). Pruning by probability is
-  *     the standard simplification of SentencePiece's
-  *     likelihood-loss ranking — stated, not hidden.
+  *     normalize), then prune to the target vocabulary by
+  *     SentencePiece's exact leave-one-out likelihood-loss ranking
+  *     ([[pruneLosses]] — a piece survives for being hard to
+  *     re-segment, not merely for being frequent); single characters
+  *     are never pruned so every word stays representable.
   *   - '''encode''': Viterbi best segmentation per word under
   *     INTEGER piece costs (micro-nats, `round(-ln p × 1e6)`), ties
   *     broken by the lexicographically smallest token sequence — the

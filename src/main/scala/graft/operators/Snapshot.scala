@@ -1612,6 +1612,155 @@ object Snapshot {
     }
   }
 
+  // ── predicate-covered metadata counts (r17) ───────────────────────
+
+  /** Last count plan's (covered, boundary, total) member counts — the
+    * [[lastSkipPlan]] twin for [[metadataCountPlan]]. Diagnostic only.
+    */
+  @volatile private[graft] var lastCountPlan: (Int, Int, Int) = (0, 0, 0)
+
+  /** COVERAGE test: does the member's envelope prove EVERY row
+    * satisfies the conjunct? The dual of [[pruneEntries]]' may-match
+    * test, held to a stricter standard: a covered file's rows are
+    * COUNTED WITHOUT A SCAN ([[metadataCountPlan]]), so each rule is
+    * an exact implication, never advisory. Unknown envelope, type,
+    * op or literal → NOT covered (the boundary scan owns the file).
+    * Value comparisons additionally require a NULL-FREE file — a null
+    * fails every comparison, so one null row breaks full coverage.
+    *
+    * Byte-domain (string) rules under TRUNCATED bounds: `bmin` is a
+    * prefix (≤ actual min) and `bmax` ≥ actual max (possibly the
+    * exclusive increment), so the sound implications invert the keep
+    * tests — lower coverage needs `bmin ≥ lo` (then actual min ≥
+    * bmin ≥ lo), upper coverage needs `bmax ≤ hi` (then actual max ≤
+    * bmax ≤ hi — exclusive slack only strengthens it), and `eq v`
+    * composes both into `bmin ≥ hex(v) ∧ bmax ≤ hex(v)`. `bmax =
+    * None` (no finite bound) can never prove an upper test.
+    */
+  private def covers(spark: SparkSession, dt: org.apache.spark.sql.types.DataType,
+                     p: ReadPred, env: ColEnv): Boolean = {
+    val isStr = dt == org.apache.spark.sql.types.StringType
+    def dom(v: Any) = envDomainValue(spark, dt, v)
+    def hx(v: Any) = envDomainHex(spark, v)
+    def noNulls = !env.hasNulls
+    if (isStr) {
+      def lohi = env.bmin.zip(env.bmax)
+      p match {
+        case ReadPred.Cmp(_, "eq", v) => noNulls && hx(v).exists(x =>
+          lohi.exists { case (mn, mx) =>
+            mn.compareTo(x) >= 0 && mx.compareTo(x) <= 0 })
+        case ReadPred.Cmp(_, "gte", v) => noNulls && hx(v).exists(x =>
+          env.bmin.exists(_.compareTo(x) >= 0))
+        case ReadPred.Cmp(_, "gt", v) => noNulls && hx(v).exists(x =>
+          env.bmin.exists(_.compareTo(x) > 0))
+        case ReadPred.Cmp(_, "lte", v) => noNulls && hx(v).exists(x =>
+          env.bmax.exists(_.compareTo(x) <= 0))
+        case ReadPred.Cmp(_, "lt", v) => noNulls && hx(v).exists(x =>
+          env.bmax.exists(_.compareTo(x) < 0))
+        case ReadPred.In(_, vs) if vs.nonEmpty =>
+          // a point file whose single value is one of the list members
+          noNulls && vs.exists(v => hx(v).exists(x =>
+            lohi.exists { case (mn, mx) =>
+              mn.compareTo(x) >= 0 && mx.compareTo(x) <= 0 }))
+        case ReadPred.IsNull(_) =>
+          // provably all-null: both domains empty, nulls present
+          env.hasNulls && env.min.isEmpty && env.max.isEmpty &&
+            env.bmin.isEmpty && env.bmax.isEmpty
+        case ReadPred.NotNull(_) =>
+          // stats recorded (the envelope exists) and no null counted
+          noNulls && (env.bmin.isDefined || env.min.isDefined)
+        case _ => false
+      }
+    } else p match {
+      case ReadPred.Cmp(_, "eq", v) => noNulls && dom(v).exists(x =>
+        env.min.contains(x) && env.max.contains(x))
+      case ReadPred.Cmp(_, "gte", v) => noNulls && dom(v).exists(x =>
+        env.min.exists(_ >= x))
+      case ReadPred.Cmp(_, "gt", v) => noNulls && dom(v).exists(x =>
+        env.min.exists(_ > x))
+      case ReadPred.Cmp(_, "lte", v) => noNulls && dom(v).exists(x =>
+        env.max.exists(_ <= x))
+      case ReadPred.Cmp(_, "lt", v) => noNulls && dom(v).exists(x =>
+        env.max.exists(_ < x))
+      case ReadPred.In(_, vs) if vs.nonEmpty =>
+        val ds = vs.map(dom)
+        noNulls && ds.forall(_.isDefined) && {
+          val xs = ds.flatten.toSet
+          (env.min, env.max) match {
+            // every integral point of the envelope is a list member;
+            // bounded enumeration — wide envelopes go to the boundary
+            case (Some(mn), Some(mx)) =>
+              mx >= mn && mx - mn < 4096 && (mn to mx).forall(xs.contains)
+            case _ => false
+          }
+        }
+      case ReadPred.IsNull(_) =>
+        env.hasNulls && env.min.isEmpty && env.max.isEmpty &&
+          env.bmin.isEmpty && env.bmax.isEmpty
+      case ReadPred.NotNull(_) =>
+        noNulls && (env.min.isDefined || env.bmin.isDefined)
+      case _ => false
+    }
+  }
+
+  /** PREDICATE-COVERED METADATA COUNT PLAN (r17 — the Iceberg planner's
+    * count shape, extending [[metadataCount]] past the first
+    * predicate): classify the resolved version's data members against
+    * `preds` into
+    *
+    *   - EXTERIOR (envelope provably holds no matching row —
+    *     [[pruneEntries]]' drop set): contribute 0,
+    *   - COVERED (envelope provably satisfies every conjunct on every
+    *     row — [[covers]], with the manifest-recorded row count):
+    *     contribute `Entry.rows` driver-side, zero file I/O,
+    *   - BOUNDARY (everything else, including covered-but-countless
+    *     legacy entries): returned as a frame the caller must filter
+    *     EXACTLY and count — the only Spark jobs of the plan.
+    *
+    * So "count rows where date = yesterday" on a date-laid table sums
+    * manifests for the interior and scans only the two straddling
+    * files. None when metadata counting doesn't apply at all: not a
+    * snapshot layout, no manifest, live tombstones (they subtract
+    * unknown amounts), or a predicate column absent from the schema
+    * (the compiled predicate is degenerate there — null-typed — and
+    * stays with the scan path). Every conjunct in `preds` MUST be the
+    * complete, exact predicate set ([[graft.dsl.QueryCompiler.exactPreds]]);
+    * advisory subsets would overcount.
+    */
+  def metadataCountPlan(spark: SparkSession, rootStr: String,
+                        at: Option[Long], preds: Seq[ReadPred])
+      : Option[(Long, Option[DataFrame])] = {
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!isSnapshotLayout(fs, root)) return None
+    val (_, vdir) = resolveVersion(fs, root, at)
+    val m = manifestAt(fs, vdir).getOrElse(return None)
+    if (m.deleteEntries.nonEmpty) return None
+    if (!preds.forall(p =>
+      m.schema.fields.exists(_.name.equalsIgnoreCase(p.col)))) return None
+    val data = m.dataEntries
+    val kept = pruneEntries(spark, m, data, preds)
+    val (covered, boundary) = kept.partition { e =>
+      // zero-row members are trivially covered; otherwise every
+      // conjunct must be proven on the member's envelope (partition
+      // point values included) AND the row count must be recorded
+      e.rows.contains(0L) || (e.rows.isDefined && preds.forall { p =>
+        val f = m.schema.fields.find(_.name.equalsIgnoreCase(p.col)).get
+        val env: Option[ColEnv] =
+          if (m.partitionBy.contains(f.name))
+            partPointEnv(spark, f.dataType, e.rel, f.name)
+          else e.envs.flatMap(_.get(f.name))
+        env.exists(covers(spark, f.dataType, p, _))
+      })
+    }
+    lastCountPlan = (covered.size, boundary.size, data.size)
+    val coveredRows = covered.iterator.map(_.rows.get).sum
+    val bf =
+      if (boundary.isEmpty) None
+      else Some(tombstonedRead(spark, root, m, boundary))
+    Some((coveredRows, bf))
+  }
+
   /** Partition `entries` into SEQUENCE CLASSES: groups sharing the
     * same applicable-tombstone set under the seq rule (a tombstone
     * applies to a data member iff `dataSeq < tombSeq`). Returns
@@ -2485,7 +2634,11 @@ object Snapshot {
                                     maxRecordsPerFile: Long = 0,
                                     indexBy: Seq[String] = Nil,
                                     keepVersions: Int = 2,
-                                    statsCols: Seq[String] = Nil): StagedCommit = {
+                                    statsCols: Seq[String] = Nil): StagedCommit =
+      // metadata-scale profile (r17): a KB-scale staged write runs with
+      // AQE off + 1-partition shuffles — the job profile the r16 gate
+      // scoped by hand now comes with the entry point
+      MaintProfile.scoped(spark, MaintProfile.small(df)) {
     val root = new Path(rootStr)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     sweepStaleStages(fs, root)
@@ -3067,7 +3220,9 @@ object Snapshot {
                 maxRecordsPerFile: Long = 0,
                 indexBy: Seq[String] = Nil,
                 keepVersions: Int = 2,
-                statsCols: Seq[String] = Nil): Unit = {
+                statsCols: Seq[String] = Nil): Unit =
+      // metadata-scale profile (r17) — see [[MaintProfile]]
+      MaintProfile.scoped(spark, MaintProfile.small(df)) {
     val root = new Path(rootStr)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     sweepStaleStages(fs, root)
@@ -3168,7 +3323,10 @@ object Snapshot {
   private[graft] def stageDeleteKeys(spark: SparkSession, rootStr: String,
                                      keys: DataFrame,
                                      needCount: Boolean = true)
-      : (Long, Manifest, Seq[Entry], Long) = {
+      : (Long, Manifest, Seq[Entry], Long) =
+      // metadata-scale profile (r17): a small key batch's distinct +
+      // write runs AQE-off/1-partition — see [[MaintProfile]]
+      MaintProfile.scoped(spark, MaintProfile.small(keys)) {
     val root = new Path(rootStr)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     sweepStaleStages(fs, root)
@@ -3229,7 +3387,9 @@ object Snapshot {
     */
   def appendBatch(spark: SparkSession, rootStr: String, batch: DataFrame,
                   keepVersions: Int = 2,
-                  maxRecordsPerFile: Long = 0): Long = {
+                  maxRecordsPerFile: Long = 0): Long =
+      // metadata-scale profile (r17) — see [[MaintProfile]]
+      MaintProfile.scoped(spark, MaintProfile.small(batch)) {
     val root = new Path(rootStr)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     sweepStaleStages(fs, root)
@@ -3484,7 +3644,11 @@ object Snapshot {
                                        indexBy: Seq[String] = Nil,
                                        maxRecordsPerFile: Long = 0,
                                        sizeHint: Option[Long] = None)
-      : Option[(Long, Manifest, Seq[Entry], Long)] = {
+      : Option[(Long, Manifest, Seq[Entry], Long)] =
+      // metadata-scale profile (r17): a small batch's dedupe + write
+      // runs AQE-off/1-partition — see [[MaintProfile]]. The hint is
+      // the same one the small-batch staging fold below consumes.
+      MaintProfile.scoped(spark, MaintProfile.small(batch, sizeHint)) {
     val root = new Path(rootStr)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     sweepStaleStages(fs, root)
@@ -4514,8 +4678,14 @@ object Snapshot {
       case (Some(x), Some(y)) => Some(x.unionByName(y).distinct())
       case (x, y) => x.orElse(y)
     }
-    // bounded-key IO prefilter, computed ONCE for both sides
-    val inlined = union.map(_.limit(10001).collect()).getOrElse(Array.empty)
+    // bounded-key IO prefilter, computed ONCE for both sides — under
+    // the metadata-scale profile (r17) when the tombstone bytes are
+    // provably small (the manifests already carry them): this collect
+    // runs at changelog BUILD time, before any consumer's own scope
+    val inlined = MaintProfile.scoped(spark, MaintProfile.smallBytes(
+        Some((keyA ++ keyB).map(_.bytes).sum))) {
+      union.map(_.limit(10001).collect()).getOrElse(Array.empty)
+    }
     val preConds: Option[Seq[org.apache.spark.sql.Column]] =
       if (inlined.nonEmpty && inlined.length <= 10000)
         Some(pk.zipWithIndex.map { case (c, i) =>

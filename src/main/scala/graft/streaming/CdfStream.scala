@@ -208,6 +208,10 @@ object CdfStream {
     }
     runAvailableNow(spark, tablePath, pk, checkpointDir,
       startingVersion = startingVersion) { (inc, _, toV) =>
+      // metadata-scale profile (r17) — small increments fold
+      // AQE-off/1-partition ([[graft.operators.MaintProfile]])
+      graft.operators.MaintProfile.scoped(spark,
+        graft.operators.MaintProfile.small(inc)) {
       val stPath = new Path(statePath)
       val sfs = stPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val prev =
@@ -249,6 +253,7 @@ object CdfStream {
           .withColumn("__cdf_version", lit(toV))
         graft.operators.WriteOps.atomicOverwrite(spark, out, statePath,
           indexBy = keys, commitMode = "rename")
+      }
       }
     }
   }
@@ -319,6 +324,12 @@ object CdfStream {
         Snapshot.resolveVersion(fs, root, None)._1)
       val corpus = graft.sources.Resolver.readParquet(
         spark, tablePath, Some(seedV))
+      // metadata-scale profile (r17): a small corpus bootstrap is a
+      // fixed-job-overhead pipeline — run it AQE-off/1-partition
+      // ([[graft.operators.MaintProfile]]); big corpora keep the
+      // data-scale defaults (the size gate declines)
+      graft.operators.MaintProfile.scoped(spark,
+        graft.operators.MaintProfile.small(corpus)) {
       // GROUPED bootstrap (r15, verdict #3): stage both bulk builds
       // and land them through ONE commit group — one intent, two
       // commits, one lock scope — instead of two independent
@@ -337,6 +348,7 @@ object CdfStream {
         TextDedup.bucketTable(shBack, k, bands), bkPath,
         indexBy = Seq("id"), keepVersions = keepVersions)
       Snapshot.commitGroup(hconf, txnDir, Seq(shStaged, bkStaged))
+      }
       commitCursor(fs, ckpt, seedV)
     }
     // SPANNING drain (r13): the per-increment writes are
@@ -366,6 +378,14 @@ object CdfStream {
             .map(_.dataEntries.filterNot(e => fromRels(e.rel))
               .map(_.bytes).sum)
         } catch { case scala.util.control.NonFatal(_) => None }
+      // metadata-scale profile (r17): a small increment's whole
+      // maintenance pipeline (changelog join, shingle rebuild, staged
+      // tombstones + upserts) runs AQE-off/1-partition — the job
+      // profile the r16 bench gate scoped by hand now comes with the
+      // entry point ([[graft.operators.MaintProfile]]); the nested
+      // staged ops' own scopes collapse under the depth guard
+      graft.operators.MaintProfile.scoped(spark,
+        graft.operators.MaintProfile.small(inc, spanBytes)) {
       // materialize the increment ONCE: every derived frame (shingle
       // rows, removal ids, the counts) would otherwise re-execute the
       // multi-version changelog join it hangs off
@@ -428,6 +448,7 @@ object CdfStream {
         part(bkPath, TextDedup.bucketTable(asserted, k, bands),
           Seq("id", "band"), delBk)).flatten
       if (parts.nonEmpty) { Snapshot.commitGroup(hconf, txnDir, parts); () }
+      }
     }
   }
 }
