@@ -137,6 +137,35 @@ object SparkEntry {
         "l_returnflag" -> "R", "_limit" -> "100"))).toDF("cnt")
     }),
 
+    // ── [EXT] §2.10 r17: PREDICATE-COVERED metadata count — a range
+    // `_count` on a sorted snapshot table sums the manifest's recorded
+    // row counts for envelope-interior files and scans ONLY the
+    // boundary files (the Iceberg planner's count shape); in-query
+    // law: ≤2 boundary members, the rest decided driver-side ─────────
+    "q_count_range" -> ((s, dir) => {
+      import s.implicits._
+      val li = read(s, dir, "lineitem")
+      val scratch = scratchDir("graft_cntrange")
+      val p = s"$scratch/li.parquet"
+      WriteOps.atomicOverwrite(s, li, p, indexBy = Seq("l_orderkey"),
+        maxRecordsPerFile = math.max(500, li.count() / 24),
+        commitMode = "snapshot")
+      // SF-independent range: [100, 60% of the key domain] — interior
+      // files exist at every SF (the oracle replays the same bound)
+      val hi = li.agg(max(col("l_orderkey")).cast("long")).head()
+        .getLong(0) * 6 / 10
+      graft.operators.Snapshot.lastCountPlan = (-1, -1, -1)
+      val n = Runner.count(s, SourceSpec(DatasetRef("parquet", scratch, "li"),
+        query = Seq("l_orderkey__gte" -> "100", "l_orderkey__lte" -> hi.toString)))
+      val (cov, bnd, tot) = graft.operators.Snapshot.lastCountPlan
+      require(tot > 0, "the range count must take the metadata count plan")
+      require(cov > 0 && bnd <= 2,
+        s"a sorted-layout range count must decide interior files from " +
+          s"the manifest and scan only the straddling ones " +
+          s"(covered $cov, boundary $bnd of $tot)")
+      Seq(n).toDF("cnt")
+    }),
+
     // ── J1/J2 merger: left-outer correlated lookup ────────────────────
     "q_merge_left" -> ((s, dir) => Planner.plan(s, JobSpec(
       src(dir, "orders", "_sort" -> "o_orderkey"),
@@ -1081,19 +1110,12 @@ object SparkEntry {
     "q_dedup_cdc_index" -> ((s, dir) => {
       import graft.ext.TextDedup
       val scratch = scratchDir("graft_cdcidx")
-      // the maintenance pipeline is FIXED-JOB-OVERHEAD dominated (the
-      // r15 JobProbe audit: ~85 sub-100ms jobs); AQE's per-exchange
-      // stage materialization multiplies every tiny action into 2-4
-      // jobs and buys nothing on KB-scale frames — scope it off for
-      // the query (the production setting for metadata-scale
-      // maintenance batches), restore after
-      val aqePrev = s.conf.get("spark.sql.adaptive.enabled", "true")
-      val shufPrev = s.conf.get("spark.sql.shuffle.partitions", "32")
-      s.conf.set("spark.sql.adaptive.enabled", "false")
-      // without AQE's coalescing, static shuffle parallelism must match
-      // the KB-scale frames: one partition, not 32×~40 empty tasks
-      s.conf.set("spark.sql.shuffle.partitions", "1")
-      try {
+      // r17 (verdict #1): ZERO conf twiddling here — the maintenance
+      // entry points (atomicOverwrite, deleteByKeys, upsertAppend,
+      // cdfToSignatureIndex) engage the metadata-scale execution
+      // profile THEMSELVES behind [[MaintProfile]]'s plan-size gate,
+      // so a plain API caller gets the same ~32-37-job ledger this
+      // gate measures (MaintProfileSpec proves the parity)
       // fixed 400-doc window: the gate proves the MAINTENANCE LAW and
       // the mutation classes, identically at every SF (index SCALE is
       // ScaleBench territory; an unbounded window made this the
@@ -1124,6 +1146,11 @@ object SparkEntry {
             .withColumn("doc_id", col("doc_id") + 1000000L)),
         Seq("doc_id"), indexBy = Seq("doc_id"), keepVersions = 6)
       require(drain() > 0, "the index must consume the two commits")
+      // the query-side LAW CHECKS and the search are themselves a
+      // metadata-scale workload (KB frames, fixed-job-overhead
+      // dominated) — run them under the engine's PUBLIC profile API
+      // (the productized form of the r16 hand-scoping; no conf.set)
+      graft.operators.MaintProfile.scoped(s) {
       val cur = graft.sources.Resolver.readParquet(s, p)
       val freshSh = TextDedup.shingleTable(cur, "doc_id", "text", 3)
       val mSh = graft.sources.Resolver.readParquet(s, s"$idx/shingles.parquet")
@@ -1135,15 +1162,12 @@ object SparkEntry {
       val mBk = graft.sources.Resolver.readParquet(s, s"$idx/buckets.parquet")
       val batch = docs.filter(col("doc_id") >= 150 && col("doc_id") < 200)
         .withColumn("doc_id", col("doc_id") + 2000000L)
-      // materialize the search INSIDE the AQE-off scope (its ~8 tiny
+      // materialize the search INSIDE the profile scope (its ~8 tiny
       // exchange jobs collapse to 2); the returned frame replays the
       // ≤50 cached rows
       TextDedup.incrementMatches(batch, mSh, mBk, "doc_id", "text",
         n = 3, threshold = 0.8, k = 128, bands = 16).orderBy("id")
         .localCheckpoint(true)
-      } finally {
-        s.conf.set("spark.sql.adaptive.enabled", aqePrev)
-        s.conf.set("spark.sql.shuffle.partitions", shufPrev)
       }
     }),
 
@@ -2205,6 +2229,12 @@ object SparkEntry {
       "SELECT count(*) AS cnt FROM lineitem WHERE l_returnflag = 'R'",
     "q_count_capped" ->
       "SELECT least(100, count(*)) AS cnt FROM lineitem WHERE l_returnflag = 'R'",
+    // r17 predicate-covered metadata count: the value is the plain
+    // range count (the boundary-only-scan law is an in-query require)
+    "q_count_range" ->
+      """SELECT count(*) AS cnt FROM lineitem
+         WHERE l_orderkey >= 100
+           AND l_orderkey <= (SELECT max(l_orderkey) * 6 // 10 FROM lineitem)""",
     "q_merge_left" ->
       """SELECT o.*, c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
          FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey

@@ -75,6 +75,44 @@ object QueryCompiler {
       }
   }
 
+  /** STRICT translation (r17 — predicate-covered metadata counts): the
+    * query's field conjuncts as ReadPreds, or None when ANY field pair
+    * fails to translate. Unlike [[skipPreds]] (advisory — a dropped
+    * conjunct only costs pruning power, the exact filter re-applies
+    * everything), a count decided from metadata has no exact filter
+    * over the COVERED files, so the translated set must be
+    * semantically COMPLETE: every non-control pair must map onto a
+    * ReadPred whose semantics equal the compiled predicate's
+    * (eq/gt/gte/lt/lte/in/between/exists on a top-level field), else
+    * the caller must take the scan path. Empty field set → Some(Nil)
+    * (the unfiltered count).
+    */
+  def exactPreds(query: Seq[(String, String)])
+      : Option[Seq[graft.operators.Snapshot.ReadPred]] = {
+    import graft.operators.Snapshot.ReadPred
+    val fieldPairs = query.filterNot(kv => ControlKeys.contains(kv._1))
+    val translated: Seq[Option[Seq[ReadPred]]] = fieldPairs.map { case (k, v) =>
+      val (field, op) = splitOp(k)
+      if (field.contains('.')) None // nested paths carry no envelope
+      else op match {
+        case "eq" | "gt" | "gte" | "lt" | "lte" =>
+          Some(Seq(ReadPred.Cmp(field, op, v)))
+        case "in" =>
+          Some(Seq(ReadPred.In(field, v.split(",").map(_.trim).toSeq)))
+        case "between" => v.split(",", 2) match {
+          case Array(lo, hi) => Some(Seq(ReadPred.Cmp(field, "gte", lo.trim),
+            ReadPred.Cmp(field, "lte", hi.trim)))
+          case _ => None
+        }
+        case "exists" =>
+          Some(Seq(if (v == "0" || v.equalsIgnoreCase("false"))
+            ReadPred.IsNull(field) else ReadPred.NotNull(field)))
+        case _ => None
+      }
+    }
+    if (translated.exists(_.isEmpty)) None else Some(translated.flatten.flatten)
+  }
+
   /** Split `field__op` into (field, op); default op is `eq`. */
   def splitOp(key: String): (String, String) = {
     val i = key.lastIndexOf("__")

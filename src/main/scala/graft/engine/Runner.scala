@@ -23,40 +23,67 @@ object Runner {
   def count(spark: SparkSession, s: SourceSpec,
             failOnError: Boolean = true): Long =
     metadataCountFast(spark, s).getOrElse {
-      val raw = Resolver.read(spark, s.ref, failOnError = failOnError)
+      // the query rides along (r17, ADVICE): `_version`/`_version_ts`
+      // pins resolve inside Resolver.read, so the exact fallback
+      // counts the SAME snapshot the fast path would have — and the
+      // prunable conjuncts steer envelope file skipping for free
+      val raw = Resolver.read(spark, s.ref, failOnError = failOnError,
+        query = s.query)
       val q = QueryCompiler.compile(raw, s.query)
       val filtered = q.predicates.foldLeft(raw)(_ filter _)
       val total = filtered.count()
       q.limit.fold(total)(l => math.min(l.toLong, total))
     }
 
-  /** METADATA-ONLY count (r16): an UNFILTERED `_count` of a parquet
-    * snapshot table sums the manifest's recorded per-file row counts
-    * driver-side — ZERO Spark jobs, the Iceberg/Delta `count(*)` fast
-    * path; the `min(limit, count)` cap (S12/F3) applies on top. None
-    * (→ the exact scan) whenever the semantics could differ: any
-    * field predicate, a non-parquet backend, a non-snapshot layout,
-    * live tombstones, or a legacy manifest without recorded counts.
+  /** METADATA count (r16; r17 — predicate-covered): a `_count` of a
+    * parquet snapshot table plans from the manifest. Unfiltered →
+    * the recorded per-file row counts sum driver-side, ZERO Spark
+    * jobs (the Iceberg/Delta `count(*)` fast path). Filtered (r17) →
+    * files wholly inside the predicate contribute their recorded
+    * counts, provably-outside files contribute nothing, and ONLY the
+    * boundary files scan — with the full compiled predicate applied
+    * exactly ([[graft.operators.Snapshot.metadataCountPlan]]). The
+    * `min(limit, count)` cap (S12/F3) applies on top. None (→ the
+    * exact scan) whenever metadata can't decide: a predicate that
+    * doesn't translate exactly, a non-parquet backend, a non-snapshot
+    * layout, live tombstones, or an unresolvable version pin (the
+    * scan path owns every error shape, r17 ADVICE).
     */
   private def metadataCountFast(spark: SparkSession,
                                 s: SourceSpec): Option[Long] = {
     if (s.ref.backend != "parquet") return None
-    // control keys only — one field predicate makes the count filtered
-    if (!s.query.forall(kv => QueryCompiler.ControlKeys.contains(kv._1)))
-      return None
+    // EVERY field pair must translate exactly — an advisory subset
+    // would overcount ([[QueryCompiler.exactPreds]] contract)
+    val preds = QueryCompiler.exactPreds(s.query).getOrElse(return None)
     val p = Resolver.path(s.ref)
     val hp = new org.apache.hadoop.fs.Path(p)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hp)) return None // the scan path owns the error shape
-    val atV = s.query.collectFirst { case ("_version", v) => v.toLong }
-      .orElse(s.query.collectFirst { case ("_version_ts", v) =>
-        graft.operators.Snapshot.versionAtTimestamp(fs, hp,
-          graft.operators.Snapshot.parseCommitTs(v))
-      })
-    graft.operators.Snapshot.metadataCount(spark, p, atV).map { total =>
-      s.query.collectFirst { case ("_limit", v) => v.trim.toInt }
-        .fold(total)(l => math.min(l.toLong, total))
+    // a malformed `_version` / out-of-range `_version_ts` must fail
+    // with the scan path's error, not a new fast-path shape (ADVICE)
+    val atV = scala.util.Try {
+      s.query.collectFirst { case ("_version", v) => v.toLong }
+        .orElse(s.query.collectFirst { case ("_version_ts", v) =>
+          graft.operators.Snapshot.versionAtTimestamp(fs, hp,
+            graft.operators.Snapshot.parseCommitTs(v))
+        })
+    } match {
+      case scala.util.Success(v) => v
+      case scala.util.Failure(_) => return None
     }
+    graft.operators.Snapshot.metadataCountPlan(spark, p, atV, preds)
+      .map { case (coveredRows, boundary) =>
+        val boundaryRows = boundary.fold(0L) { df =>
+          // the exact compiled predicates — not the ReadPred
+          // translation — gate the boundary rows, so the two plan
+          // halves can never disagree on semantics
+          QueryCompiler.compile(df, s.query).predicates
+            .foldLeft(df)(_ filter _).count()
+        }
+        val total = coveredRows + boundaryRows
+        s.query.collectFirst { case ("_limit", v) => v.trim.toInt }
+          .fold(total)(l => math.min(l.toLong, total))
+      }
   }
 
   /** S11 preview: no target → first rows of the planned frame

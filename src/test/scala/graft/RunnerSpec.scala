@@ -65,6 +65,140 @@ class RunnerSpec extends SparkSpec {
       s.copy(query = Seq("_version" -> (v - 1).toString))) == 1234L)
   }
 
+  test("r17 predicate-covered metadata count: interior files decided " +
+    "driver-side, boundary files scanned, exact everywhere") {
+    import graft.operators.Snapshot
+    val dir = Files.createTempDirectory("runner_covcount").toString
+    val p = s"$dir/t.parquet"
+    // sorted layout: ids 0..1199 at 200/file → 6 files, tight envelopes
+    val df = (0L until 1200L).map(i => (i, i % 7, s"v$i"))
+      .toDF("id", "grp", "txt")
+    graft.operators.WriteOps.atomicOverwrite(spark, df, p,
+      indexBy = Seq("id"), maxRecordsPerFile = 200,
+      commitMode = "snapshot", keepVersions = 6)
+    val s = SourceSpec(DatasetRef("parquet", dir, "t"))
+    // range straddling 2 files: 4 interior members from the manifest
+    Snapshot.lastCountPlan = (-1, -1, -1)
+    assert(Runner.count(spark,
+      s.copy(query = Seq("id__gte" -> "150", "id__lte" -> "1049"))) == 900L)
+    assert(Snapshot.lastCountPlan == (4, 2, 6),
+      s"expected (covered 4, boundary 2, total 6), " +
+        s"got ${Snapshot.lastCountPlan}")
+    // every exactly-translated op agrees with the closed form
+    val cases = Seq(
+      Seq("id__lt" -> "777") -> 777L,
+      Seq("id__gt" -> "99") -> 1100L,
+      Seq("id__in" -> "5,250,999,1200") -> 3L,
+      Seq("id__between" -> "100,299") -> 200L,
+      Seq("txt__exists" -> "1") -> 1200L,
+      Seq("txt__exists" -> "0") -> 0L,
+      Seq("id__gte" -> "150", "id__lte" -> "1049", "_limit" -> "42") -> 42L)
+    cases.foreach { case (q, want) =>
+      assert(Runner.count(spark, s.copy(query = q)) == want, s"query $q") }
+    // a predicate that does NOT translate exactly scans — and agrees
+    assert(Runner.count(spark,
+      s.copy(query = Seq("txt__startswith" -> "v11"))) ==
+      (0L until 1200L).count(i => s"v$i".startsWith("v11")))
+  }
+
+  test("r17 covered count runs ZERO jobs when no file straddles the " +
+    "predicate (partition point; whole-domain range)") {
+    import graft.operators.Snapshot
+    val dir = Files.createTempDirectory("runner_covzero").toString
+    val p = s"$dir/t.parquet"
+    val df = (0L until 900L).map(i => (i, i % 3, s"v$i"))
+      .toDF("id", "grp", "txt")
+    graft.operators.WriteOps.atomicOverwrite(spark, df, p,
+      partitionBy = Seq("grp"), indexBy = Seq("id"),
+      maxRecordsPerFile = 100, commitMode = "snapshot", keepVersions = 4)
+    val s = SourceSpec(DatasetRef("parquet", dir, "t"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      // partition point: every member of grp=1 is wholly covered by
+      // its partition-dir point envelope — zero boundary, zero jobs
+      assert(Runner.count(spark,
+        s.copy(query = Seq("grp" -> "1"))) == 300L)
+      assert(Snapshot.lastCountPlan._2 == 0)
+      // whole-domain range: all files interior — zero jobs
+      assert(Runner.count(spark,
+        s.copy(query = Seq("id__gte" -> "0", "id__lte" -> "899"))) == 900L)
+      var last = -1; var stable = 0
+      while (stable < 50) {
+        val c = jobs.get()
+        if (c == last) stable += 1 else { stable = 0; last = c }
+        Thread.sleep(20)
+      }
+      assert(jobs.get() == 0,
+        s"fully-covered counts must run zero Spark jobs, saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("r17 count version pins: the scan fallback counts the PINNED " +
+    "version (ADVICE), and version errors keep the scan path's shape") {
+    val dir = Files.createTempDirectory("runner_cntpin").toString
+    val p = s"$dir/t.parquet"
+    val df = (0L until 1200L).map(i => (i, s"v$i")).toDF("id", "txt")
+    graft.operators.WriteOps.atomicOverwrite(spark, df, p,
+      indexBy = Seq("id"), maxRecordsPerFile = 200,
+      commitMode = "snapshot", keepVersions = 6)
+    // v+1: DV-delete 100 rows; v+2: append-upsert 50 fresh ids
+    graft.operators.Snapshot.deleteByKeys(spark, p,
+      (0L until 100L).toDF("id"), keepVersions = 6)
+    graft.operators.Snapshot.upsertAppend(spark, p,
+      (1200L until 1250L).map(i => (i, s"v$i")).toDF("id", "txt"),
+      Seq("id"), indexBy = Seq("id"), keepVersions = 6)
+    val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val (head, _) = graft.operators.Snapshot.resolveVersion(fs,
+      new org.apache.hadoop.fs.Path(p), None)
+    val s = SourceSpec(DatasetRef("parquet", dir, "t"))
+    assert(Runner.count(spark, s) == 1150L) // head, via the scan (tombstones)
+    // the PINNED mid version has live tombstones → fast path declines →
+    // the fallback must count THAT version, not the head (the r16
+    // silent-head bug this pin closes)
+    assert(Runner.count(spark,
+      s.copy(query = Seq("_version" -> (head - 1).toString))) == 1100L)
+    // pre-delete version: tombstone-free, metadata-counted
+    assert(Runner.count(spark,
+      s.copy(query = Seq("_version" -> (head - 2).toString))) == 1200L)
+    // malformed pin / out-of-range ts: loud, from the scan path
+    intercept[Exception] { Runner.count(spark,
+      s.copy(query = Seq("_version" -> "banana"))) }
+    intercept[Exception] { Runner.count(spark,
+      s.copy(query = Seq("_version_ts" -> "1970-01-01 00:00:00"))) }
+  }
+
+  test("r17 covered count on STRING keys: truncated byte-bound " +
+    "envelopes prove interior files") {
+    import graft.operators.Snapshot
+    val dir = Files.createTempDirectory("runner_cntstr").toString
+    val p = s"$dir/t.parquet"
+    val df = (0L until 600L).map(i => (i,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString)).toDF("id", "k")
+    graft.operators.WriteOps.atomicOverwrite(spark, df, p,
+      indexBy = Seq("k"), maxRecordsPerFile = 50,
+      commitMode = "snapshot", keepVersions = 4)
+    val s = SourceSpec(DatasetRef("parquet", dir, "t"))
+    Snapshot.lastCountPlan = (-1, -1, -1)
+    val got = Runner.count(spark,
+      s.copy(query = Seq("k__gte" -> "2", "k__lt" -> "8")))
+    val want = Resolver.readParquet(spark, p)
+      .filter(col("k") >= "2" && col("k") < "8").count()
+    assert(got == want)
+    val (cov, bnd, tot) = Snapshot.lastCountPlan
+    assert(cov > 0 && bnd <= 2 && cov + bnd < tot,
+      s"string range must cover interior files from byte bounds " +
+        s"(covered $cov, boundary $bnd of $tot)")
+  }
+
   test("O2 auto worker sizing: ceil(total/1000) capped at 100") {
     assert(Runner.autoWorkers(0) == 1)
     assert(Runner.autoWorkers(999) == 1)
