@@ -2132,6 +2132,53 @@ object SparkEntry {
         .limit(50)
     }),
 
+    // ── [EXT] §2.10 r17: STRING z-order — a hex-digest key clusters
+    // through its byte-prefix dimension (ZOrder.bytePrefixDim, the
+    // BytesBounds truncation discipline as a Morton dim), so the
+    // layout carries tight bmin/bmax AND min/max envelopes per file
+    // and a 2-D string×long box prunes the member set from the
+    // manifest alone — the URL/md5-keyed LLM-corpus layout the r16
+    // envelopes could read but not cluster ─────────────────────────
+    "q_zorder_str" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+        .withColumn("k", md5(col("doc_id").cast("string").cast("binary")))
+        .select(col("doc_id"), col("k"), col("n_chars"))
+        .withColumn("__kp__", graft.operators.ZOrder.bytePrefixDim(col("k")))
+      val b = docs.agg(
+        min(col("__kp__")).as("__mn1__"), max(col("__kp__")).as("__mx1__"),
+        min(col("doc_id")).cast("long").as("__mn2__"),
+        max(col("doc_id")).cast("long").as("__mx2__"))
+      val zed = docs.crossJoin(broadcast(b))
+        .withColumn("zval", graft.operators.ZOrder.zvalue(
+          Seq(col("__kp__"), col("doc_id")),
+          Seq(col("__mn1__"), col("__mn2__")),
+          Seq(col("__mx1__"), col("__mx2__")), bits = 8))
+        .select(col("doc_id"), col("k"), col("n_chars"), col("zval"))
+      val scratch = scratchDir("graft_zstr")
+      val p = s"$scratch/docs_z.parquet"
+      graft.operators.Snapshot.overwrite(s, zed, p,
+        indexBy = Seq("zval"), maxRecordsPerFile = 20,
+        statsCols = Seq("k", "doc_id"))
+      // in-query law (the q_zorder shape with one STRING dim): a
+      // hex-key range × doc_id range box through the query DSL plans
+      // a strict subset of the z-ordered members from the manifest's
+      // byte-bound + long envelopes, and reads exactly those files
+      val full = graft.sources.Resolver.readParquet(s, p)
+      val frame = graft.engine.Planner.sourceFrame(s, SourceSpec(
+        DatasetRef("parquet", scratch, "docs_z"),
+        query = Seq("k__gte" -> "2", "k__lt" -> "8",
+          "doc_id__between" -> "100,199")))
+      val boxDirect = zed.filter(col("k") >= "2" && col("k") < "8" &&
+        col("doc_id").between(100, 199))
+      require(frame.count() == boxDirect.count() && boxDirect.count() > 0,
+        "the pruned box read must equal the direct filter")
+      require(full.inputFiles.length >= 16 &&
+        frame.inputFiles.length < full.inputFiles.length / 2,
+        s"the string×long box must prune the z-ordered member set " +
+          s"(${frame.inputFiles.length} of ${full.inputFiles.length})")
+      zed.orderBy(col("zval"), col("doc_id")).limit(50)
+    }),
+
     // ── [EXT] §2.10 read-time manifest-envelope FILE SKIPPING (r15):
     // a DSL range read of a sorted snapshot table plans only the
     // members whose recorded key envelopes intersect the range —
@@ -4500,6 +4547,33 @@ object SparkEntry {
                     s"(((b2 >> $bb) & 1) << ${2 * bb + 1})")).mkString(" + ")}
                 )::BIGINT AS zval
          FROM z ORDER BY zval, l_orderkey, l_linenumber LIMIT 50""",
+
+    "q_zorder_str" ->                  // byte-prefix string dim (6 bytes big-endian) × doc_id, 8-bit Morton
+      s"""WITH d AS (
+           SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k, n_chars
+           FROM documents),
+         p AS (
+           SELECT doc_id, k, n_chars,
+                  (ascii(substr(k,1,1))*1099511627776 +
+                   ascii(substr(k,2,1))*4294967296 +
+                   ascii(substr(k,3,1))*16777216 +
+                   ascii(substr(k,4,1))*65536 +
+                   ascii(substr(k,5,1))*256 +
+                   ascii(substr(k,6,1)))::BIGINT AS kp
+           FROM d),
+         b AS (SELECT min(kp) AS mn1, max(kp) AS mx1,
+                      min(doc_id) AS mn2, max(doc_id) AS mx2 FROM p),
+         z AS (
+           SELECT doc_id, k, n_chars,
+                  ((kp - mn1) * 256) // (mx1 - mn1 + 1) AS b1,
+                  ((doc_id::BIGINT - mn2) * 256) // (mx2 - mn2 + 1) AS b2
+           FROM p, b)
+         SELECT doc_id, k, n_chars,
+                (${(0 until 8).flatMap(bb => Seq(
+                    s"(((b1 >> $bb) & 1) << ${2 * bb})",
+                    s"(((b2 >> $bb) & 1) << ${2 * bb + 1})")).mkString(" + ")}
+                )::BIGINT AS zval
+         FROM z ORDER BY zval, doc_id LIMIT 50""",
 
     // r15 read-time envelope skipping: the result is the plain range
     // read (the pruning laws are in-query requires; pruning may never

@@ -54,6 +54,79 @@ class ZOrderSpec extends SparkSpec {
     assert(ZOrder.filesTouched(spark, zPath, "a", 0L, 7L) < zFiles)
   }
 
+  test("bytePrefixDim: first-N-bytes big-endian long, zero-extended, " +
+    "order-preserving (r17)") {
+    val d = Seq("", "a", "ab", "abcdef", "abcdefgh", "b", "zz", "Zz9")
+      .toDF("s")
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").padTo(6, 0.toByte).take(6)
+        .foldLeft(0L)((acc, x) => (acc << 8) | (x & 0xffL))
+    val got = d.withColumn("v", ZOrder.bytePrefixDim(col("s")))
+      .select("s", "v").as[(String, Long)].collect().toSeq
+    got.foreach { case (s, v) =>
+      assert(v == ref(s), s"prefix long of '$s'") }
+    // monotone non-decreasing in unsigned byte order — the truncation
+    // discipline that makes it a sound clustering dimension
+    val sortedByBytes = got.map(_._1).sortBy(_.getBytes("UTF-8").toSeq
+      .map(b => b & 0xff).toIndexedSeq)(
+      Ordering.Implicits.seqOrdering[IndexedSeq, Int])
+    val vs = sortedByBytes.map(ref)
+    assert(vs == vs.sorted, "prefix longs must follow byte order")
+    intercept[IllegalArgumentException] {
+      ZOrder.bytePrefixDim(col("s"), nBytes = 8) }
+  }
+
+  test("z-order on a STRING dim: the snapshot layout records tight " +
+    "byte bounds per file and a hex-key range prunes (r17)") {
+    import graft.operators.Snapshot
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val rows = (0L until 400L).map { i =>
+      val k = md.digest(i.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      (i, k)
+    }
+    val d = rows.toDF("id", "k")
+      .withColumn("__kp__", ZOrder.bytePrefixDim(col("k")))
+    val b = d.agg(min("__kp__"), max("__kp__")).head()
+    val zed = d.withColumn("zval", ZOrder.zvalue(
+        Seq(col("__kp__"), col("id")),
+        Seq(b.getLong(0), 0L), Seq(b.getLong(1), 399L), bits = 8))
+      .select("id", "k", "zval")
+    val tmp = java.nio.file.Files.createTempDirectory("zstr").toString
+    val p = s"$tmp/t.parquet"
+    Snapshot.overwrite(spark, zed, p, indexBy = Seq("zval"),
+      maxRecordsPerFile = 25, statsCols = Seq("k", "id"))
+    val root = new org.apache.hadoop.fs.Path(p)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = Snapshot.manifestAt(fs,
+      Snapshot.resolveVersion(fs, root, None)._2).get
+    val dd = Snapshot.dataDir(root)
+    assert(m.dataEntries.size >= 10)
+    m.dataEntries.foreach { e =>
+      val env = e.envs.flatMap(_.get("k"))
+      assert(env.exists(v => v.bmin.isDefined && v.bmax.isDefined),
+        s"entry ${e.rel} must carry byte bounds on the string dim")
+      // bound soundness against the file's actual rows
+      val kv = spark.read.parquet(new org.apache.hadoop.fs.Path(dd, e.rel)
+        .toString).agg(min(col("k")), max(col("k"))).head()
+      def hx(s: String) = s.getBytes("UTF-8").map(x => f"$x%02x").mkString
+      val (bmin, bmax) = (env.get.bmin.get, env.get.bmax.get)
+      assert(bmin <= hx(kv.getString(0)) && hx(kv.getString(1)) <= bmax,
+        s"bounds of ${e.rel} must bracket the file's actual min/max")
+    }
+    // the clustered string dim prunes a range read from the manifest
+    Snapshot.lastSkipPlan = (-1, -1)
+    val got = Snapshot.readAt(spark, p, skipping = Seq(
+        Snapshot.ReadPred.Cmp("k", "gte", "2"),
+        Snapshot.ReadPred.Cmp("k", "lt", "4")))
+      .filter(col("k") >= "2" && col("k") < "4").count()
+    val want = rows.count { case (_, k) => k >= "2" && k < "4" }
+    assert(got == want.toLong)
+    val (kept, total) = Snapshot.lastSkipPlan
+    assert(total == m.dataEntries.size && kept < total,
+      s"string range must prune the z-ordered members (kept $kept of $total)")
+  }
+
   test("zvalue guards: key width and bounds") {
     intercept[IllegalArgumentException] {
       ZOrder.zvalue(Seq(col("x"), col("y")), Seq(0L, 0L), Seq(1L, 1L), bits = 32)

@@ -20,8 +20,22 @@ therefore:
      ratio + window-normalized agreement over `queries`), kept for
      records that predate `queries_min` and as a cross-check.
 
+Window-parity calibration (r17, widened per the r16 verdict): the
+residual cross-round window factor that survives even the min
+statistic is estimated from the BYTE-UNCHANGED queries — pass
+`--touched=q_a,q_b,...` (the queries whose code the new round
+modified, computable from the round's git diff); the parity factor is
+then the MEDIAN min-ratio over the remaining shared queries with
+old-min ≥ 1 s (sub-second mins are scheduler-jitter-dominated). This
+replaces the single hand-picked `q_changelog` row the r15/r16
+adjudications leaned on, which itself drifted 1.39→1.59 s across two
+byte-identical rounds. With no `--touched`, every ≥ 1 s shared query
+calibrates (a lower bound on code improvements: if the new round made
+untouched-adjacent queries faster, the factor absorbs it).
+
 Usage:
-  python3 tools/bench_compare.py OLD.json NEW.json [--threshold 1.15] [--top 8]
+  python3 tools/bench_compare.py OLD.json NEW.json [--threshold 1.15]
+      [--top 8] [--touched=q_a,q_b,...]
 
 Consumes the one-line JSON records graft.Bench emits / the driver's
 BENCH_rN.json wrappers. Exit code 0 always; this is a reporting tool,
