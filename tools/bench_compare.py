@@ -88,11 +88,19 @@ def main():
               "like-for-like; trust only the per-query comparisons below")
     print()
 
+    touched = set(filter(None,
+        str(opts.get("touched", "")).split(","))) if opts.get("touched") else set()
+
     # ── PRIMARY: min-vs-min (r16 standing rule) ──────────────────────
     if mold and mnew:
         ms = sorted(set(mold) & set(mnew))
         mr = {q: mnew[q] / mold[q] for q in ms}
         mmed = median(mr.values())
+        # ── window parity (r17 rule): calibrate on the BYTE-UNCHANGED
+        # queries with old-min >= 1 s (sub-second mins are jitter-
+        # dominated), not a single hand-picked row ──────────────────
+        calib = [q for q in ms if q not in touched and mold[q] >= 1.0]
+        parity = median(mnew[q] / mold[q] for q in calib) if calib else None
         regs = sorted(((q, r) for q, r in mr.items() if r > thr),
                       key=lambda kv: -kv[1])[:top]
         wins = sorted(((q, r) for q, r in mr.items() if r < 1 / thr),
@@ -101,6 +109,21 @@ def main():
         print("PRIMARY (min-vs-min, window-resistant):")
         print(f"  shared queries        : {len(ms)}")
         print(f"  median min ratio      : {mmed:.3f}")
+        if parity is not None:
+            src = (f"{len(calib)} unchanged >=1s queries"
+                   if touched else f"all {len(calib)} >=1s shared queries "
+                   "(no --touched given — a LOWER bound on improvement)")
+            print(f"  window parity (r17)   : {parity:.3f}  [median "
+                  f"min-ratio over {src}]")
+            tot_old = sum(mold[q] for q in ms)
+            tot_new = sum(mnew[q] for q in ms)
+            print(f"  parity-normalized     : {tot_old:.1f}s -> "
+                  f"{tot_new / parity:.1f}s combined min "
+                  f"(raw {tot_new:.1f}s / parity {parity:.3f})")
+            if touched:
+                for q in sorted(touched & set(ms)):
+                    print(f"    touched {q:<22} x{mr[q] / parity:.2f} "
+                          f"at parity  ({mold[q]:.2f}s -> {mnew[q]:.2f}s raw)")
         print(f"  agree within {thr}x    : {agree}/{len(ms)} "
               f"({100.0 * agree / len(ms):.0f}%)")
         if regs:
