@@ -225,6 +225,41 @@ object ScaleBench12 {
     }
     notes("metadata_count") = f"${results("metadata_count")}%.3fs driver-side"
 
+    // ── 4d) r17 (verdict #4): the V1 `format("graft")` interop
+    // boundary tax, measured at 6M — the same FULL materialization
+    // (every row, every column folded into one aggregate) through the
+    // engine read vs the external V1 relation. The V1 path documents
+    // a per-row boundary conversion (PrunedFilteredScan returns Row);
+    // this prices it: ≥1.5× would demand the DSv2 Table, below that
+    // the trade (one battle-tested inner plan, pushed filters steering
+    // member pruning) stands and the number goes to BASELINE.md. ─────
+    def fullMat(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg((sum(length($"payload")) + sum($"doc_id")).cast("long"))
+        .head().getLong(0)
+    def minOf3(name: String)(f: => Long): Long = {
+      var check = 0L
+      var best = Double.MaxValue
+      (1 to 3).foreach { _ =>
+        val t0 = System.nanoTime()
+        check = f
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      results(name) = math.rint(best * 100) / 100
+      println(f"SCALE12 $name%-32s ${best}%8.2f s (min of 3)")
+      writeReport()
+      check
+    }
+    val engFull = minOf3("interop_engine_full") {
+      fullMat(graft.sources.Resolver.readParquet(spark, p)) }
+    val v1Full = minOf3("interop_v1_full") {
+      fullMat(spark.read.format("graft").load(p)) }
+    require(v1Full == engFull, "both surfaces must materialize the same rows")
+    val tax = results("interop_v1_full") /
+      math.max(results("interop_engine_full"), 0.01)
+    notes("interop_v1_tax") = f"x$tax%.2f at 6M full materialization " +
+      f"(v1 ${results("interop_v1_full")}%.2fs vs engine " +
+      f"${results("interop_engine_full")}%.2fs; decision bar: ≥1.5x → DSv2)"
+
     // ── 5) r15 orphan journal: per-commit vacuum cost is FLAT in pool
     // size (the pre-r15 checkpoint-commit full sweep listed the pool).
     // Fabricated pools (zero-byte members + a manifest listing them),
@@ -282,9 +317,15 @@ object ScaleBench12 {
     notes("vacuum_flat_claim") = f"COLD incr 20k=${results("vacuum_incr_20k_cold")}%.3fs " +
       f"200k=${results("vacuum_incr_200k_cold")}%.3fs (ratio $flat%.2f, gate <=3 " +
       f"on small absolutes); full audit at 200k=${results("vacuum_full_200k")}%.2fs"
-    require(results("vacuum_incr_200k_cold") < 0.15,
-      "COLD incremental vacuum must stay sub-150ms at 200k pool files " +
-        "(r16: part-scoped probes, no full manifest parse)")
+    // r17 (ADVICE): the FLATNESS ratio is the gate — an absolute
+    // wall-clock bound on a box whose same-code runs swing 20-25%
+    // fails healthy runs on weather. The absolute stays as a generous
+    // backstop against a silent return of the full-manifest parse
+    // (which costs seconds at 200k, not fractions).
+    require(flat <= 3.0 || results("vacuum_incr_200k_cold") < 0.5,
+      f"COLD incremental vacuum must be flat in pool size: 20k=" +
+        f"${results("vacuum_incr_20k_cold")}%.3fs 200k=" +
+        f"${results("vacuum_incr_200k_cold")}%.3fs (ratio $flat%.2f)")
 
     println("SCALE12 done: " + results.map { case (k, v) => s"$k=$v" }.mkString(" "))
   }

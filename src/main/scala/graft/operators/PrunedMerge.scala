@@ -350,7 +350,7 @@ object PrunedMerge {
     // phantom inserts. Snapshot layouts only (the conjuncts test the
     // manifest's recorded envelopes, any column, partition points
     // included — the same planner the read path trusts).
-    val (touched, untouched) = snapCtx match {
+    val (touched0, untouched0) = snapCtx match {
       case Some((_, m, dd))
           if (t.op == WriteOp.Update || t.op == WriteOp.Delete) &&
             t.query.nonEmpty && touchedByKeys.nonEmpty =>
@@ -368,6 +368,42 @@ object PrunedMerge {
         }
       case _ => (touchedByKeys, untouchedByKeys)
     }
+    // r17 (verdict #7): `--tq` file pruning extends to UPSERT — of the
+    // insert-class ops it is the only one whose semantics consume the
+    // tq at all ([[WriteOps.applyOp]]: index/insert/create take no
+    // tq), and its two halves decompose soundly over a tq-excluded
+    // file f (envelope-proven to hold no tq-satisfying row):
+    //   - update half: f's rows are untouchable, so rewriting f would
+    //     be bit-identical — carry it BY REFERENCE (the r16
+    //     row-preserving argument verbatim);
+    //   - insert half: f's KEYS must stay in the existence domain, or
+    //     a batch key whose only live row sits in f would re-insert
+    //     as a duplicate — the r16 phantom-insert risk. They ride as
+    //     a pk-only tombstone-applied read ([[WriteOps.insert]]'s
+    //     `extraExistingKeys`); Catalyst prunes that scan to the pk
+    //     columns, so the excluded files cost key IO, not row IO.
+    // A DV-tombstoned key in f correctly does NOT veto (its row is
+    // dead — the batch row must insert), which is why the extra-keys
+    // read goes through the same sequence-classed tombstone plan as
+    // the touched read.
+    val (touched, untouched, upsertExcluded) = snapCtx match {
+      case Some((_, m, dd))
+          if t.op == WriteOp.Upsert && t.query.nonEmpty && touched0.nonEmpty =>
+        val preds = graft.dsl.QueryCompiler.skipPreds(t.query)
+        if (preds.isEmpty) (touched0, untouched0, Nil)
+        else {
+          val byRel = m.dataEntries.map(e => e.rel -> e).toMap
+          val tEntries = touched0
+            .map(e => byRel(relPath(dd, new Path(e.path))))
+          val keep = Snapshot.pruneEntries(spark, m, tEntries, preds)
+            .map(_.rel).toSet
+          val (a, b) = touched0
+            .partition(e => keep(relPath(dd, new Path(e.path))))
+          (a, untouched0 ++ b, b)
+        }
+      case _ => (touched0, untouched0, Nil)
+    }
+    locally { val _ = untouched } // membership is manifest-carried
     // nothing to prune — the full rewrite costs the same and is atomic
     if (touched.size == listed.size) return None
 
@@ -395,11 +431,11 @@ object PrunedMerge {
           snapCtx.map(_._2.aliases).getOrElse(Nil), current.schema,
           paths, if (pcols.nonEmpty) Some(bp) else None)
       }
-    val touchedDf: DataFrame = snapCtx match {
+    def tombstonedOf(sel: Seq[Envelope]): DataFrame = snapCtx match {
       case Some((_, m, dd))
-          if (dvKeyCols.isDefined || predsByRel.nonEmpty) && touched.nonEmpty =>
+          if (dvKeyCols.isDefined || predsByRel.nonEmpty) && sel.nonEmpty =>
         val byRel = m.dataEntries.map(e => e.rel -> e).toMap
-        val tEntries = touched.map(e => byRel(relPath(dd, new Path(e.path))))
+        val tEntries = sel.map(e => byRel(relPath(dd, new Path(e.path))))
         Snapshot.seqClasses(m, tEntries).map { case (es, dels) =>
           val df0 = rawTouched(es.map(e => new Path(dd, e.rel).toString))
           val (pDels, kDels) = dels.partition(e => predsByRel.contains(e.rel))
@@ -417,9 +453,18 @@ object PrunedMerge {
             .foldLeft(df1)((acc, p) =>
               acc.filter(!coalesce(expr(p), lit(false))))
         }.reduce(_ unionByName _)
-      case _ => rawTouched(touched.map(_.path))
+      case _ => rawTouched(sel.map(_.path))
     }
-    val merged = WriteOps.applyOp(touchedDf, batch, t)
+    val touchedDf: DataFrame = tombstonedOf(touched)
+    // r17: the tq-excluded upsert files' LIVE keys (same sequence-
+    // classed tombstone plan as the touched read — a DV-dead key must
+    // not veto its re-insert) join the insert half's existence domain;
+    // Catalyst prunes their scan to the pk columns
+    val upsertExtraKeys: Option[DataFrame] =
+      if (upsertExcluded.isEmpty) None
+      else Some(tombstonedOf(upsertExcluded)
+        .select(comps.map { case (c, _, _) => col(c) }: _*))
+    val merged = WriteOps.applyOp(touchedDf, batch, t, upsertExtraKeys)
     // schema-extending op (schema-free update $set): on a SNAPSHOT
     // layout the op widens the MANIFEST schema instead of forcing a
     // full rewrite — untouched files serve the new columns as nulls

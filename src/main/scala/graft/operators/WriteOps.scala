@@ -93,10 +93,19 @@ object WriteOps {
 
   /** W6/W7 insert = create + skip-if-exists on pk (reference compiles
     * insert to create + target.skip_by, etl_cli/etl.py:208-210).
+    * `extraExistingKeys` (r17) widens the EXISTENCE domain past the
+    * `target` frame without adding rows to the output — the pruned
+    * merge's tq-excluded upsert files carry by reference but their pk
+    * keys must still veto inserts (Catalyst column-prunes their scan
+    * to the pk set; the existence check needs keys, not full rows).
     */
-  def insert(target: DataFrame, src: DataFrame, pk: Seq[String]): DataFrame = {
+  def insert(target: DataFrame, src: DataFrame, pk: Seq[String],
+             extraExistingKeys: Option[DataFrame] = None): DataFrame = {
     val s = renameSrc(dedupeByPk(align(src, target), pk))
-    val fresh = s.join(target.select(pk.map(col).toIndexedSeq: _*),
+    val existing = extraExistingKeys.foldLeft(
+      target.select(pk.map(col).toIndexedSeq: _*))((t, e) =>
+      t.unionByName(e.select(pk.map(col).toIndexedSeq: _*)))
+    val fresh = s.join(existing,
         pk.map(k => col(SPrefix + k) <=> col(k)).reduce(_ && _), "left_anti")
       .select(target.columns.toSeq.map(c => col(SPrefix + c).as(c)).toIndexedSeq: _*)
     target.unionByName(fresh)
@@ -133,11 +142,17 @@ object WriteOps {
       .unionByName(untouchable, allowMissingColumns = true)
   }
 
-  /** W4 upsert: update where matched, insert where not. */
+  /** W4 upsert: update where matched, insert where not.
+    * `extraExistingKeys` — see [[insert]] (r17): keys that exist in
+    * the table but outside `target`'s rows still suppress the insert
+    * half (their rows are provably outside `tq`, so the update half
+    * cannot touch them either — exactly the by-reference carry).
+    */
   def upsert(target: DataFrame, src: DataFrame, pk: Seq[String],
-             tq: Seq[(String, String)] = Nil, overwrite: Seq[String] = Nil): DataFrame = {
+             tq: Seq[(String, String)] = Nil, overwrite: Seq[String] = Nil,
+             extraExistingKeys: Option[DataFrame] = None): DataFrame = {
     val updated = update(target, src, pk, tq, overwrite)
-    insert(updated, src, pk)
+    insert(updated, src, pk, extraExistingKeys)
   }
 
   /** W2 index: keyed overwrite — the ES "write with doc id = pk" idiom:
@@ -160,7 +175,8 @@ object WriteOps {
   /** Dispatch on the op. `--tf` projection (W8) applies to the batch
     * before the op; `_etl_ts` stamping (W10) happens at write time.
     */
-  def applyOp(target: DataFrame, src: DataFrame, spec: TargetSpec): DataFrame = {
+  def applyOp(target: DataFrame, src: DataFrame, spec: TargetSpec,
+              upsertExtraKeys: Option[DataFrame] = None): DataFrame = {
     val pk = if (spec.pk.nonEmpty) spec.pk else spec.skipBy
     require(pk.nonEmpty || spec.op == WriteOp.Create,
       s"op ${spec.op.name} requires a pk (--pk / -o op:pk)")
@@ -177,7 +193,8 @@ object WriteOps {
       case WriteOp.Insert => insert(target, batch, pk)
       case WriteOp.Index  => index(target, batch, pk)
       case WriteOp.Update => update(target, batch, pk, spec.query, spec.overwrite)
-      case WriteOp.Upsert => upsert(target, batch, pk, spec.query, spec.overwrite)
+      case WriteOp.Upsert =>
+        upsert(target, batch, pk, spec.query, spec.overwrite, upsertExtraKeys)
       case WriteOp.Delete => delete(target, batch, pk, spec.query)
     })
   }

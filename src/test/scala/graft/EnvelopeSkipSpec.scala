@@ -262,9 +262,10 @@ class EnvelopeSkipSpec extends SparkSpec {
     assert(carried.size >= 17 &&
       carried.forall(e => beforeByRel(e.rel) == e.bytes),
       "tq-disjoint members must carry by reference")
-    // the INSERT-semantics guard: an upsert with the same tq must NOT
-    // tq-prune (a pruned file's matched keys would become phantom
-    // inserts) — result stays exact
+    // r17: an upsert with the same tq ALSO prunes (the excluded
+    // files' keys ride pk-only into the insert half's existence
+    // domain, so no matched key becomes a phantom insert) — the
+    // result stays exact AND the rewrite stays banded
     val target2 = graft.sources.Resolver.readParquet(spark, p)
     val expected2 = sortedRows(graft.operators.WriteOps.upsert(
       target2, batch, Seq("id"), tq))
@@ -272,6 +273,61 @@ class EnvelopeSkipSpec extends SparkSpec {
       t.copy(op = WriteOp.Upsert), p)
     assert(sortedRows(graft.sources.Resolver.readParquet(spark, p)) == expected2,
       s"upsert with tq must stay exact (stats $st2)")
+    assert(st2.exists(_.filesRewritten <= 3),
+      s"r17: the tq-restricted upsert must rewrite only the " +
+        s"tq-intersecting band, got $st2")
+  }
+
+  test("--tq upsert (r17): excluded files carry by reference, their " +
+    "LIVE keys veto inserts, DV-dead keys do not") {
+    import graft.spec.{DatasetRef, TargetSpec, WriteOp}
+    val dir = freshDir("eskip_tqup")
+    val p = s"$dir/t.parquet"
+    WriteOps.atomicOverwrite(spark,
+      (0L until 200L).map(i => (i, s"v$i")).toDF("id", "txt"), p,
+      indexBy = Seq("id"), maxRecordsPerFile = 10,
+      commitMode = "snapshot", keepVersions = 4)
+    // a DV-tombstoned key in a tq-EXCLUDED file: its dead row must
+    // not veto the batch's re-insert of the same key
+    Snapshot.deleteByKeys(spark, p, Seq(150L).toDF("id"), keepVersions = 4)
+    val before = Snapshot.manifestAt(fs,
+      Snapshot.resolveVersion(fs, new Path(p), None)._2).get
+    val batch = (
+      (0L until 5L).map(i => (i, s"UPD$i")) ++      // tq band: update
+      (100L until 105L).map(i => (i, s"NO$i")) ++   // live outside tq: no-op
+      Seq((150L, "BACK150"),                        // DV-dead: re-insert
+        (900L, "NEW900"), (901L, "NEW901"))         // fresh: insert
+    ).toDF("id", "txt")
+    val tq = Seq("id__lt" -> "30")
+    val target = graft.sources.Resolver.readParquet(spark, p)
+    val expected = sortedRows(
+      graft.operators.WriteOps.upsert(target, batch, Seq("id"), tq))
+    val t = TargetSpec(DatasetRef("parquet", dir, "t"), op = WriteOp.Upsert,
+      pk = Seq("id"), query = tq, indexBy = Seq("id"),
+      commitMode = "snapshot", keepVersions = 4)
+    val st = graft.operators.PrunedMerge.merge(spark, target, batch, t, p)
+    assert(st.isDefined, "the tq-restricted upsert must take the merge path")
+    assert(st.get.filesRewritten <= 3,
+      s"only the tq band may rewrite; excluded files cost key IO, not " +
+        s"row IO — got $st")
+    val got = sortedRows(graft.sources.Resolver.readParquet(spark, p))
+    assert(got == expected, "pruned upsert must equal the full-frame op")
+    // the semantics spelled out: outside-tq keys untouched AND not
+    // duplicated; the tombstoned key re-inserted; fresh keys inserted
+    val after = graft.sources.Resolver.readParquet(spark, p)
+    assert(rows(after.filter(col("id") === 100L)) == Seq(Seq(100L, "v100")))
+    assert(after.filter(col("id") === 100L).count() == 1L)
+    assert(rows(after.filter(col("id") === 150L)) == Seq(Seq(150L, "BACK150")))
+    assert(rows(after.filter(col("id") === 900L)) == Seq(Seq(900L, "NEW900")))
+    assert(rows(after.filter(col("id") === 2L)) == Seq(Seq(2L, "UPD2")))
+    // excluded members carried by reference (same rel, same bytes)
+    val afterM = Snapshot.manifestAt(fs,
+      Snapshot.resolveVersion(fs, new Path(p), None)._2).get
+    val beforeByRel = before.dataEntries.map(e => e.rel -> e.bytes).toMap
+    val carried = afterM.dataEntries.filter(e => beforeByRel.contains(e.rel))
+    assert(carried.size >= 17 &&
+      carried.forall(e => beforeByRel(e.rel) == e.bytes),
+      "tq-excluded members must carry by reference")
   }
 
   // ── STRING keys (r16): truncated byte bounds ──────────────────────
