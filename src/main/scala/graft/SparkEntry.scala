@@ -166,6 +166,30 @@ object SparkEntry {
       Seq(n).toDF("cnt")
     }),
 
+    // ── [EXT] §2.10 r17: METADATA-ONLY aggregates — `_agg min/max/
+    // count` on a tombstone-free snapshot answers from the manifest
+    // envelopes (long AND timestamp domains here) as a LOCAL one-row
+    // relation, zero Spark jobs; in-query law: the optimized plan IS
+    // a LocalRelation (no scan node at all) ──────────────────────────
+    "q_agg_metadata" -> ((s, dir) => {
+      val orders = read(s, dir, "orders")
+      val scratch = scratchDir("graft_aggmeta")
+      val p = s"$scratch/ord.parquet"
+      graft.operators.Snapshot.overwrite(s, orders, p,
+        indexBy = Seq("o_orderkey"),
+        maxRecordsPerFile = math.max(200, orders.count() / 24),
+        statsCols = Seq("o_orderdate"))
+      val frame = graft.engine.Planner.sourceFrame(s, SourceSpec(
+        DatasetRef("parquet", scratch, "ord"),
+        query = Seq("_agg" -> ("min:o_orderkey,max:o_orderkey," +
+          "min:o_orderdate,max:o_orderdate,count"))))
+      require(frame.queryExecution.optimizedPlan.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+        "the metadata aggregate must plan as a LOCAL relation — " +
+          "no scan node, zero jobs")
+      frame
+    }),
+
     // ── J1/J2 merger: left-outer correlated lookup ────────────────────
     "q_merge_left" -> ((s, dir) => Planner.plan(s, JobSpec(
       src(dir, "orders", "_sort" -> "o_orderkey"),
@@ -2282,6 +2306,15 @@ object SparkEntry {
       """SELECT count(*) AS cnt FROM lineitem
          WHERE l_orderkey >= 100
            AND l_orderkey <= (SELECT max(l_orderkey) * 6 // 10 FROM lineitem)""",
+    // r17 metadata aggregates: the values are the plain aggregates
+    // (the zero-scan LocalRelation law is an in-query require)
+    "q_agg_metadata" ->
+      """SELECT min(o_orderkey) AS min_o_orderkey,
+                max(o_orderkey) AS max_o_orderkey,
+                min(o_orderdate) AS min_o_orderdate,
+                max(o_orderdate) AS max_o_orderdate,
+                count(*) AS count_all
+         FROM orders""",
     "q_merge_left" ->
       """SELECT o.*, c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
          FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey

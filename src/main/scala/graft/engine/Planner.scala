@@ -21,7 +21,8 @@ object Planner {
     * etl_cli/etl.py:135-146).
     */
   def sourceFrame(spark: SparkSession, s: SourceSpec,
-                  failOnError: Boolean = true): DataFrame = {
+                  failOnError: Boolean = true): DataFrame =
+      metadataAggFast(spark, s).getOrElse {
     val raw = Resolver.read(spark, s.ref, failOnError = failOnError,
       query = s.query) // connector backends push the filters server-side
     // `_fields` projects AFTER the post-read transformers so it can
@@ -35,6 +36,59 @@ object Planner {
       .map(_.trim).filter(_.nonEmpty)
     if (fields.nonEmpty) QueryCompiler.project(transformed, fields)
     else transformed
+  }
+
+  /** METADATA-ONLY aggregate fast path (r17 — the Iceberg aggregate-
+    * pushdown shape, [[graft.operators.Snapshot.metadataAgg]]): an
+    * unfiltered `_agg min:k,max:k,count` on a tombstone-free snapshot
+    * table answers as a LOCAL one-row relation — ZERO Spark jobs, the
+    * [[graft.engine.Runner.count]] twin for the aggregate DSL. Applies
+    * only when the whole query is the aggregate (plus `_limit` /
+    * version pins — anything else, a predicate, `_group`, a sort,
+    * post-read transformers, composes with the scan instead), every
+    * requested aggregate is metadata-decidable, and the version pin
+    * resolves (failures keep the scan path's error shape).
+    */
+  private def metadataAggFast(spark: SparkSession,
+                              s: SourceSpec): Option[DataFrame] = {
+    if (s.ref.backend != "parquet" || s.postRead.nonEmpty) return None
+    val allowed = Set("_agg", "_limit", "_version", "_version_ts")
+    if (!s.query.forall(kv => allowed.contains(kv._1))) return None
+    // the same `_agg` gathering/splitting as QueryCompiler.compile
+    val aggs = s.query.collect { case ("_agg", v) => v }
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .map { a =>
+        a.split(":", 2) match {
+          case Array(f, fld) => (f.trim, fld.trim)
+          case Array(f)      => (f.trim, "*")
+        }
+      }
+    if (aggs.isEmpty) return None
+    val p = Resolver.path(s.ref)
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) return None
+    val atV = scala.util.Try {
+      s.query.collectFirst { case ("_version", v) => v.toLong }
+        .orElse(s.query.collectFirst { case ("_version_ts", v) =>
+          graft.operators.Snapshot.versionAtTimestamp(fs, hp,
+            graft.operators.Snapshot.parseCommitTs(v))
+        })
+    } match {
+      case scala.util.Success(v) => v
+      case scala.util.Failure(_) => return None
+    }
+    graft.operators.Snapshot.metadataAgg(spark, p, atV, aggs).map { vals =>
+      val schema = org.apache.spark.sql.types.StructType(vals.map {
+        case (n, _, dt) =>
+          org.apache.spark.sql.types.StructField(n, dt, nullable = true)
+      })
+      val df = spark.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row(vals.map(_._2): _*)), schema)
+      s.query.collectFirst { case ("_limit", v) => v.trim.toInt }
+        .fold(df)(df.limit)
+    }
   }
 
   /** Merger stage: resolve the merger dataset, apply its post-read

@@ -76,9 +76,13 @@ object Runner {
         val boundaryRows = boundary.fold(0L) { df =>
           // the exact compiled predicates — not the ReadPred
           // translation — gate the boundary rows, so the two plan
-          // halves can never disagree on semantics
-          QueryCompiler.compile(df, s.query).predicates
-            .foldLeft(df)(_ filter _).count()
+          // halves can never disagree on semantics; a 1-2-file
+          // boundary count is metadata-scale work (MaintProfile)
+          graft.operators.MaintProfile.scoped(spark,
+            graft.operators.MaintProfile.small(df)) {
+            QueryCompiler.compile(df, s.query).predicates
+              .foldLeft(df)(_ filter _).count()
+          }
         }
         val total = coveredRows + boundaryRows
         s.query.collectFirst { case ("_limit", v) => v.trim.toInt }

@@ -1703,6 +1703,101 @@ object Snapshot {
     }
   }
 
+  /** METADATA-ONLY MIN/MAX/COUNT aggregates (r17 — the Iceberg
+    * planner's aggregate pushdown shape, completing [[metadataCount]]):
+    * an unfiltered `_agg min:k,max:k,count` over a tombstone-free
+    * snapshot answers from the manifest envelopes alone — min = min of
+    * recorded per-file minima, max dually, count = the recorded row
+    * sum — ZERO Spark jobs, exact. Defined ONLY where exactness holds:
+    *
+    *   - min/max: LONG-domain columns (integrals, dates, timestamps —
+    *     parquet footer stats are exact there; STRING bounds are
+    *     truncated, so strings decline), every data entry carrying the
+    *     column's envelope (or a partition point value); all-null
+    *     files skip, an all-null column yields SQL's null;
+    *   - count(*): every entry's rows recorded;
+    *   - count(f): additionally no file may hold a null in f (the
+    *     envelopes record a has-nulls flag, not a null count).
+    *
+    * Any other aggregate, a missing envelope, live tombstones, or a
+    * TimestampNTZ column (its external row type differs) → None, the
+    * scan owns the query. Returns (output column name, driver value,
+    * result type) per requested aggregate, in request order — the
+    * exact names/types [[graft.dsl.QueryCompiler.aggregate]] would
+    * produce.
+    */
+  def metadataAgg(spark: SparkSession, rootStr: String, at: Option[Long],
+                  aggs: Seq[(String, String)])
+      : Option[Seq[(String, Any, org.apache.spark.sql.types.DataType)]] = {
+    import org.apache.spark.sql.types._
+    if (aggs.isEmpty) return None
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!isSnapshotLayout(fs, root)) return None
+    val (_, vdir) = resolveVersion(fs, root, at)
+    val m = manifestAt(fs, vdir).getOrElse(return None)
+    if (m.deleteEntries.nonEmpty) return None
+    val data = m.dataEntries
+    def field(f: String): Option[StructField] =
+      m.schema.fields.find(_.name.equalsIgnoreCase(f))
+    def envOf(f: StructField, e: Entry): Option[ColEnv] =
+      if (m.partitionBy.contains(f.name))
+        partPointEnv(spark, f.dataType, e.rel, f.name)
+      else e.envs.flatMap(_.get(f.name))
+    def longDomain(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType |
+           DateType | TimestampType | TimestampNTZType => true
+      case _ => false // string bounds truncate — inexact
+    }
+    def fromDomain(dt: DataType, v: Long): Any = dt match {
+      case ByteType => v.toByte
+      case ShortType => v.toShort
+      case IntegerType => v.toInt
+      case LongType => v
+      case DateType =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v))
+      case TimestampType =>
+        val ts = new java.sql.Timestamp(Math.floorDiv(v, 1000000L) * 1000L)
+        ts.setNanos((Math.floorMod(v, 1000000L) * 1000L).toInt)
+        ts
+      case TimestampNTZType => // domain = epoch micros, wall-clock
+        java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(v, 1000000L),
+          (Math.floorMod(v, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+      case _ => null // unreachable under longDomain
+    }
+    val allRows: Option[Long] =
+      if (data.exists(_.rows.isEmpty)) None
+      else Some(data.iterator.map(_.rows.get).sum)
+    val out = aggs.map {
+      case ("count", "*") =>
+        allRows.map(n => ("count_all", n: Any, LongType: DataType))
+      case ("count", f) =>
+        field(f).flatMap { sf =>
+          val envs = data.map(envOf(sf, _))
+          if (allRows.isEmpty || envs.exists(_.isEmpty) ||
+              envs.exists(_.exists(_.hasNulls))) None
+          else Some((s"count_$f", allRows.get: Any, LongType: DataType))
+        }
+      case (fn @ ("min" | "max"), f) =>
+        field(f).filter(sf => longDomain(sf.dataType)).flatMap { sf =>
+          val envs = data.map(envOf(sf, _))
+          if (envs.exists(_.isEmpty)) None
+          else {
+            val vals = envs.flatten
+              .flatMap(e => if (fn == "min") e.min else e.max)
+            val v: Any =
+              if (vals.isEmpty) null // zero rows / all-null column
+              else fromDomain(sf.dataType,
+                if (fn == "min") vals.min else vals.max)
+            Some((s"${fn}_$f", v, sf.dataType))
+          }
+        }
+      case _ => None
+    }
+    if (out.exists(_.isEmpty)) None else Some(out.flatten)
+  }
+
   /** PREDICATE-COVERED METADATA COUNT PLAN (r17 — the Iceberg planner's
     * count shape, extending [[metadataCount]] past the first
     * predicate): classify the resolved version's data members against

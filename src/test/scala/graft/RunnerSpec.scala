@@ -174,6 +174,52 @@ class RunnerSpec extends SparkSpec {
       s.copy(query = Seq("_version_ts" -> "1970-01-01 00:00:00"))) }
   }
 
+  test("r17 metadata aggregates: min/max/count answer from the " +
+    "manifest as a LOCAL relation; undecidable shapes scan, exact") {
+    import graft.engine.Planner
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val dir = Files.createTempDirectory("runner_metaagg").toString
+    val p = s"$dir/t.parquet"
+    val df = (0L until 1200L)
+      .map(i => (i, if (i % 5 == 0) null else s"v$i")).toDF("id", "txt")
+    graft.operators.WriteOps.atomicOverwrite(spark, df, p,
+      indexBy = Seq("id"), maxRecordsPerFile = 200,
+      commitMode = "snapshot", keepVersions = 6)
+    def q(qs: (String, String)*) = Planner.sourceFrame(spark,
+      SourceSpec(DatasetRef("parquet", dir, "t"), query = qs))
+    def isLocal(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.optimizedPlan.isInstanceOf[LocalRelation]
+    val fast = q("_agg" -> "min:id,max:id,count")
+    assert(isLocal(fast), "decidable aggregate must plan locally")
+    assert(fast.collect().map(_.toSeq).toSeq == Seq(Seq(0L, 1199L, 1200L)))
+    // count of a NULLABLE field is not envelope-decidable → scan, exact
+    val cntTxt = q("_agg" -> "count:txt")
+    assert(!isLocal(cntTxt))
+    assert(cntTxt.head().getLong(0) == 960L)
+    // string min/max: truncated bounds are inexact → scan, exact
+    val sMin = q("_agg" -> "min:txt")
+    assert(!isLocal(sMin))
+    assert(sMin.head().getString(0) == "v1") // v0 is null (0 % 5 == 0)
+    // live tombstones decline the fast path; the scan stays exact and
+    // a PINNED pre-delete version fast-answers again
+    graft.operators.Snapshot.deleteByKeys(spark, p,
+      (0L until 100L).toDF("id"), keepVersions = 6)
+    val afterDel = q("_agg" -> "min:id,count")
+    assert(!isLocal(afterDel))
+    assert(afterDel.collect().map(_.toSeq).toSeq == Seq(Seq(100L, 1100L)))
+    val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val (head, _) = graft.operators.Snapshot.resolveVersion(fs,
+      new org.apache.hadoop.fs.Path(p), None)
+    val pinned = q("_agg" -> "min:id,count",
+      "_version" -> (head - 1).toString)
+    assert(isLocal(pinned))
+    assert(pinned.collect().map(_.toSeq).toSeq == Seq(Seq(0L, 1200L)))
+    // a predicate, a group, or a sort composes with the scan instead
+    assert(!isLocal(q("_agg" -> "min:id", "id__gte" -> "7")))
+    assert(!isLocal(q("_agg" -> "min:id", "_group" -> "txt")))
+  }
+
   test("r17 covered count on STRING keys: truncated byte-bound " +
     "envelopes prove interior files") {
     import graft.operators.Snapshot
