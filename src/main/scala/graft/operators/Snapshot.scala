@@ -2709,14 +2709,18 @@ object Snapshot {
     * chunks, so file-count-dependent behavior is unchanged). The
     * estimate only picks the path — an overestimate pays the sampling
     * job it always paid, an underestimate writes one larger file.
+    * PARTITIONED writes never take the one-task path (r17): a single
+    * dynamic-partition writer serializes every hive dir through one
+    * task — the parallel range layout is the right shape at any size.
     */
-  private def sortedLayout(df: DataFrame, sortKeys: Seq[String]): DataFrame =
+  private def sortedLayout(df: DataFrame, sortKeys: Seq[String],
+                           partitioned: Boolean = false): DataFrame =
     if (sortKeys.isEmpty) df
     else {
       val est =
         try df.queryExecution.optimizedPlan.stats.sizeInBytes
         catch { case scala.util.control.NonFatal(_) => BigInt(-1) }
-      if (est >= 0 && est <= (8L << 20))
+      if (!partitioned && est >= 0 && est <= (8L << 20))
         df.coalesce(1).sortWithinPartitions(sortKeys.map(col).toIndexedSeq: _*)
       else
         df.repartitionByRange(sortKeys.map(col).toIndexedSeq: _*)
@@ -2732,15 +2736,18 @@ object Snapshot {
                                     statsCols: Seq[String] = Nil): StagedCommit =
       // metadata-scale profile (r17): a KB-scale staged write runs with
       // AQE off + 1-partition shuffles — the job profile the r16 gate
-      // scoped by hand now comes with the entry point
-      MaintProfile.scoped(spark, MaintProfile.small(df)) {
+      // scoped by hand now comes with the entry point. PARTITIONED
+      // writes never engage: 1-partition shuffles would pin the
+      // dynamic-partition write to one task
+      MaintProfile.scoped(spark,
+        MaintProfile.small(df) && partitionBy.isEmpty) {
     val root = new Path(rootStr)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     sweepStaleStages(fs, root)
     val schemaDdl = org.apache.spark.sql.types.StructType(
       df.schema.fields.map(_.copy(nullable = true))).toDDL
     val sortKeys = indexBy.filterNot(partitionBy.contains)
-    val laid0 = sortedLayout(df, sortKeys)
+    val laid0 = sortedLayout(df, sortKeys, partitionBy.nonEmpty)
     val stage = new Path(root, s"._snap_stage_${System.nanoTime()}")
     var w = laid0.write.mode("overwrite")
     if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
@@ -3316,8 +3323,10 @@ object Snapshot {
                 indexBy: Seq[String] = Nil,
                 keepVersions: Int = 2,
                 statsCols: Seq[String] = Nil): Unit =
-      // metadata-scale profile (r17) — see [[MaintProfile]]
-      MaintProfile.scoped(spark, MaintProfile.small(df)) {
+      // metadata-scale profile (r17) — see [[MaintProfile]];
+      // partitioned writes never engage (one-task pin)
+      MaintProfile.scoped(spark,
+        MaintProfile.small(df) && partitionBy.isEmpty) {
     val root = new Path(rootStr)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     sweepStaleStages(fs, root)
@@ -3326,7 +3335,7 @@ object Snapshot {
     val schemaDdl = org.apache.spark.sql.types.StructType(
       df.schema.fields.map(_.copy(nullable = true))).toDDL
     val sortKeys = indexBy.filterNot(partitionBy.contains)
-    val laid0 = sortedLayout(df, sortKeys)
+    val laid0 = sortedLayout(df, sortKeys, partitionBy.nonEmpty)
     val stage = new Path(root, s"._snap_stage_${System.nanoTime()}")
     var w = laid0.write.mode("overwrite")
     if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
