@@ -1719,9 +1719,14 @@ object Snapshot {
     *   - count(f): additionally no file may hold a null in f (the
     *     envelopes record a has-nulls flag, not a null count).
     *
-    * Any other aggregate, a missing envelope, live tombstones, or a
-    * TimestampNTZ column (its external row type differs) → None, the
-    * scan owns the query. Returns (output column name, driver value,
+    * Any other aggregate, a missing envelope, or live tombstones →
+    * None, the scan owns the query. TimestampNTZ columns fast-path
+    * like TimestampType — same epoch-micros envelope domain — but
+    * their EXTERNAL row value is a `java.time.LocalDateTime`
+    * (wall-clock, no zone), which [[fromDomain]] reconstructs at UTC
+    * exactly as the write-side domain conversion recorded it
+    * (validated by the RunnerSpec NTZ round-trip case, r18 ADVICE).
+    * Returns (output column name, driver value,
     * result type) per requested aggregate, in request order — the
     * exact names/types [[graft.dsl.QueryCompiler.aggregate]] would
     * produce.

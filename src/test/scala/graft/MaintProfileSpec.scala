@@ -88,13 +88,7 @@ class MaintProfileSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(l)
     try {
       if (wrapped) MaintProfile.scoped(spark)(body()) else body()
-      // async listener bus: wait until quiet for a full second
-      var last = -1; var stable = 0
-      while (stable < 50) {
-        val c = jobs.get()
-        if (c == last) stable += 1 else { stable = 0; last = c }
-        Thread.sleep(20)
-      }
+      awaitQuiet(() => jobs.get())
       names.toArray(Array.empty[String]).toSeq
     } finally spark.sparkContext.removeSparkListener(l)
   }

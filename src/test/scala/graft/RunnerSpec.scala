@@ -38,14 +38,7 @@ class RunnerSpec extends SparkSpec {
       assert(Runner.count(spark, s) == 1234L)
       assert(Runner.count(spark,
         s.copy(query = Seq("_limit" -> "100"))) == 100L)
-      // the listener bus is async — wait until it has been quiet for
-      // a full second before reading the job count
-      var last = -1; var stable = 0
-      while (stable < 50) {
-        val c = jobs.get()
-        if (c == last) stable += 1 else { stable = 0; last = c }
-        Thread.sleep(20)
-      }
+      awaitQuiet(() => jobs.get())
       assert(jobs.get() == 0,
         s"metadata count must run zero Spark jobs, saw ${jobs.get()}")
     } finally spark.sparkContext.removeSparkListener(l)
@@ -128,12 +121,7 @@ class RunnerSpec extends SparkSpec {
       // whole-domain range: all files interior — zero jobs
       assert(Runner.count(spark,
         s.copy(query = Seq("id__gte" -> "0", "id__lte" -> "899"))) == 900L)
-      var last = -1; var stable = 0
-      while (stable < 50) {
-        val c = jobs.get()
-        if (c == last) stable += 1 else { stable = 0; last = c }
-        Thread.sleep(20)
-      }
+      awaitQuiet(() => jobs.get())
       assert(jobs.get() == 0,
         s"fully-covered counts must run zero Spark jobs, saw ${jobs.get()}")
     } finally spark.sparkContext.removeSparkListener(l)
@@ -218,6 +206,41 @@ class RunnerSpec extends SparkSpec {
     // a predicate, a group, or a sort composes with the scan instead
     assert(!isLocal(q("_agg" -> "min:id", "id__gte" -> "7")))
     assert(!isLocal(q("_agg" -> "min:id", "_group" -> "txt")))
+  }
+
+  test("r18 ADVICE: TimestampNTZ metadata min/max fast-paths and " +
+    "round-trips the wall-clock external value exactly") {
+    import graft.engine.Planner
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import java.time.LocalDateTime
+    val dir = Files.createTempDirectory("runner_metantz").toString
+    val p = s"$dir/t.parquet"
+    val base = LocalDateTime.of(2021, 3, 14, 9, 26, 53, 589793000)
+    val df = (0 until 500)
+      .map(i => (i.toLong, base.plusMinutes(i))).toDF("id", "ts")
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    graft.operators.WriteOps.atomicOverwrite(spark, df, p,
+      indexBy = Seq("ts"), maxRecordsPerFile = 100,
+      commitMode = "snapshot", keepVersions = 4)
+    val fast = Planner.sourceFrame(spark, SourceSpec(
+      DatasetRef("parquet", dir, "t"),
+      query = Seq("_agg" -> "min:ts,max:ts,count")))
+    assert(fast.queryExecution.optimizedPlan.isInstanceOf[LocalRelation],
+      "NTZ min/max must answer from the manifest")
+    val row = fast.head()
+    // the fast path's EXTERNAL values: the exact wall-clock instants
+    // written, nanos truncated to micros (the parquet/domain unit)
+    assert(row.getAs[LocalDateTime]("min_ts") ==
+      base.withNano(589793000 / 1000 * 1000))
+    assert(row.getAs[LocalDateTime]("max_ts") ==
+      base.plusMinutes(499).withNano(589793000 / 1000 * 1000))
+    assert(row.getAs[Long]("count_all") == 500L)
+    // and they equal the scan's answer bit-for-bit
+    val scan = Resolver.readParquet(spark, p)
+      .agg(min(col("ts")), max(col("ts"))).head()
+    assert(row.getAs[LocalDateTime]("min_ts") == scan.get(0))
+    assert(row.getAs[LocalDateTime]("max_ts") == scan.get(1))
   }
 
   test("r17 covered count on STRING keys: truncated byte-bound " +

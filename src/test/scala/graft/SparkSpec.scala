@@ -10,6 +10,25 @@ trait SparkSpec extends AnyFunSuite {
     graft.sources.Resolver.readParquet(spark, s"/root/testdata/sf0.001/$name.parquet")
   def rows(df: DataFrame): Seq[Seq[Any]] =
     df.collect().toSeq.map(_.toSeq)
+
+  /** Wait until `count` has been stable for a full second — the async
+    * listener-bus drain the zero-jobs proofs need — but BOUNDED
+    * (ADVICE r17): a bus that never quiesces (a background stream, a
+    * replaying listener) fails the test loudly after `timeoutMs`
+    * instead of hanging the build with no diagnostic.
+    */
+  def awaitQuiet(count: () => Int, timeoutMs: Long = 30000L): Unit = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var last = -1; var stable = 0
+    while (stable < 50) {
+      if (System.nanoTime() > deadline)
+        fail(s"listener bus did not quiesce within ${timeoutMs} ms " +
+          s"(count still moving, last=$last)")
+      val c = count()
+      if (c == last) stable += 1 else { stable = 0; last = c }
+      Thread.sleep(20)
+    }
+  }
 }
 
 object SparkSpec {
