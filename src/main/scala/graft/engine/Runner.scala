@@ -71,18 +71,22 @@ object Runner {
       case scala.util.Success(v) => v
       case scala.util.Failure(_) => return None
     }
-    graft.operators.Snapshot.metadataCountPlan(spark, p, atV, preds)
+    // the whole plan — including the boundary frame — builds on the
+    // maintenance TWIN session (r18 ADVICE: a count is a query-path
+    // API, not a single-writer maintenance call, so it must never
+    // mutate the caller's session confs the way `scoped` does; the
+    // twin has the metadata-scale profile pinned, which a count is
+    // insensitive to even when the boundary is large — a count's one
+    // exchange carries a single row per task regardless)
+    val maint = graft.operators.MaintProfile.sessionFor(spark)
+    graft.operators.Snapshot.metadataCountPlan(maint, p, atV, preds)
       .map { case (coveredRows, boundary) =>
         val boundaryRows = boundary.fold(0L) { df =>
           // the exact compiled predicates — not the ReadPred
           // translation — gate the boundary rows, so the two plan
-          // halves can never disagree on semantics; a 1-2-file
-          // boundary count is metadata-scale work (MaintProfile)
-          graft.operators.MaintProfile.scoped(spark,
-            graft.operators.MaintProfile.small(df)) {
-            QueryCompiler.compile(df, s.query).predicates
-              .foldLeft(df)(_ filter _).count()
-          }
+          // halves can never disagree on semantics
+          QueryCompiler.compile(df, s.query).predicates
+            .foldLeft(df)(_ filter _).count()
         }
         val total = coveredRows + boundaryRows
         s.query.collectFirst { case ("_limit", v) => v.trim.toInt }

@@ -37,7 +37,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * interactive session should hand maintenance its own
   * `spark.newSession()` (confs are session-scoped, the context is
   * shared). Re-entrancy is depth-guarded per thread, so nested entry
-  * points (a drain invoking staged commits) set/restore exactly once.
+  * points (a drain invoking staged commits) set/restore exactly once,
+  * and (r18 ADVICE) a JVM-global holder serializes cross-thread entry:
+  * a second thread arriving while the profile is held runs UNENGAGED
+  * (the data-scale defaults — the safe side) instead of racing the
+  * save/restore into a permanent conf leak.
+  *
+  * READ paths must not mutate session confs at all (r18 ADVICE — a
+  * `_count` is not a single-writer maintenance call): [[isolated]]
+  * hands them a cached maintenance TWIN of the caller's session —
+  * same SparkContext and warehouse, own SQLConf with the profile
+  * pinned — so boundary scans plan under the profile while the
+  * caller's session never changes. Semantics-bearing confs (time
+  * zone, ANSI mode, case sensitivity) are mirrored from the caller on
+  * every handoff, so a timestamp literal parses identically on both.
   */
 object MaintProfile {
 
@@ -80,6 +93,12 @@ object MaintProfile {
     */
   def scoped[T](spark: SparkSession, engage: Boolean = true)(body: => T): T = {
     if (!engage || depth.get > 0) return body
+    // JVM-global ownership (r18 ADVICE): two threads interleaving the
+    // save/restore could capture each other's profile values and leak
+    // them into the session permanently. One holder at a time; a
+    // losing thread runs unengaged — never a wrong result, only the
+    // data-scale job profile it always had.
+    if (!holder.compareAndSet(null, Thread.currentThread())) return body
     val aqePrev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     val shufPrev = spark.conf.get("spark.sql.shuffle.partitions", "200")
     depth.set(1)
@@ -90,6 +109,54 @@ object MaintProfile {
       depth.set(0)
       spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
       spark.conf.set("spark.sql.shuffle.partitions", shufPrev)
+      holder.set(null)
     }
   }
+
+  private val holder =
+    new java.util.concurrent.atomic.AtomicReference[Thread](null)
+
+  /** Confs that change QUERY SEMANTICS (literal parsing, name
+    * resolution), mirrored caller → twin on every [[isolated]] handoff
+    * so a predicate compiles identically on either session.
+    */
+  private val SemanticConfs = Seq("spark.sql.session.timeZone",
+    "spark.sql.ansi.enabled", "spark.sql.caseSensitive")
+
+  /** One maintenance TWIN per caller session (lazily created, cached
+    * for the caller session's lifetime — sessions are few and
+    * long-lived here, so the map stays tiny). The twin shares the
+    * SparkContext and catalog state but owns its SQLConf, with the
+    * metadata-scale profile pinned once at creation.
+    */
+  private val twins =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  /** The metadata-scale twin of `spark` — for READ-path callers
+    * ([[graft.engine.Runner.count]] boundary scans, covered-aggregate
+    * boundary merges) that want the profile's job shape WITHOUT
+    * touching the caller's session confs (r18 ADVICE). The returned
+    * session never has its profile confs changed, so concurrent use
+    * from many reader threads is safe.
+    */
+  def sessionFor(spark: SparkSession): SparkSession = {
+    val twin = twins.computeIfAbsent(spark, { s: SparkSession =>
+      val t = s.newSession()
+      t.conf.set("spark.sql.adaptive.enabled", "false")
+      t.conf.set("spark.sql.shuffle.partitions", "1")
+      t
+    })
+    SemanticConfs.foreach { k =>
+      spark.conf.getOption(k).foreach { v =>
+        if (!twin.conf.getOption(k).contains(v)) twin.conf.set(k, v)
+      }
+    }
+    twin
+  }
+
+  /** Run `body` against the maintenance twin — the shared-session-safe
+    * alternative to [[scoped]] for anything on a query path.
+    */
+  def isolated[T](spark: SparkSession)(body: SparkSession => T): T =
+    body(sessionFor(spark))
 }

@@ -39,6 +39,67 @@ class MaintProfileSpec extends SparkSpec {
     MaintProfile.scoped(spark, engage = false) { assert(confPair == before) }
   }
 
+  test("r18 ADVICE: isolated hands read paths a maintenance TWIN — " +
+    "profile pinned on the twin, caller confs untouched, semantic " +
+    "confs mirrored") {
+    val before = confPair
+    val twin = MaintProfile.sessionFor(spark)
+    assert(twin ne spark, "the twin is its own session")
+    assert(twin.sparkContext eq spark.sparkContext, "same context")
+    assert(twin.conf.get("spark.sql.adaptive.enabled") == "false" &&
+      twin.conf.get("spark.sql.shuffle.partitions") == "1")
+    assert(confPair == before, "caller confs never move")
+    // the twin is cached — repeated read-path calls don't rebuild a
+    // SessionState each time
+    assert(MaintProfile.sessionFor(spark) eq twin)
+    // a semantics-bearing conf set on the CALLER after twin creation
+    // mirrors on the next handoff, so literals parse identically
+    val tzBefore = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      assert(MaintProfile.sessionFor(spark)
+        .conf.get("spark.sql.session.timeZone") == "America/New_York")
+    } finally spark.conf.set("spark.sql.session.timeZone", tzBefore)
+    MaintProfile.isolated(spark) { m =>
+      assert(m eq twin)
+      // a query on the CALLER planned mid-isolated-call keeps the
+      // caller's job profile — the interference scoped() documents
+      // for shared sessions does not exist on this path
+      assert(confPair == before)
+    }
+    assert(confPair == before)
+  }
+
+  test("r18 ADVICE: concurrent scoped entries cannot interleave the " +
+    "save/restore — one holder at a time, the loser runs unengaged, " +
+    "no conf leak after both exit") {
+    val before = confPair
+    val held = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holderDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val t = new Thread(() => {
+      MaintProfile.scoped(spark) {
+        held.countDown()
+        release.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      }
+      holderDone.set(true)
+    })
+    t.start()
+    assert(held.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    // a second thread's scoped entry while the profile is held must
+    // neither block nor race the restore: it runs its body and
+    // returns promptly (unengaged), leaving the holder's scope intact
+    var loserRan = false
+    MaintProfile.scoped(spark) { loserRan = true }
+    assert(loserRan)
+    assert(confPair == ("false", "1"),
+      "the holder's profile must survive the loser's exit")
+    release.countDown()
+    t.join(30000)
+    assert(holderDone.get, "holder thread must have completed")
+    assert(confPair == before, "confs restore exactly once, no leak")
+  }
+
   test("the size gate: small plans engage, data-scale plans decline, " +
     "a hint overrides the estimate") {
     val tiny = Seq((1L, "a"), (2L, "b")).toDF("id", "txt")
