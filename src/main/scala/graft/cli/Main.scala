@@ -672,22 +672,56 @@ object Main {
       val missing = opts.zorder.filterNot(df0.columns.contains)
       if (missing.nonEmpty)
         throw CliError(s"--zorder columns not in dataset: ${missing.mkString(",")}")
-      import org.apache.spark.sql.functions.col
-      val (mins, maxs) = graft.operators.ZOrder.bounds(df0, opts.zorder)
+      import org.apache.spark.sql.functions.{col, unix_date, unix_micros}
+      import org.apache.spark.sql.types._
+      // typed dimensions (r18, verdict #1): integral/date/timestamp
+      // columns enter the Morton key through their long domain; STRING
+      // columns through the first-6-byte big-endian prefix
+      // (ZOrder.bytePrefixDim — the same truncation discipline the
+      // manifest's byte-bound envelopes record, so a URL/hex-key
+      // layout clusters AND prunes on the clustered dim); anything
+      // else is a CliError, not an NPE out of a NULL-producing cast
+      val fieldType = df0.schema.fields.map(f => f.name -> f.dataType).toMap
+      val rawDims: Seq[org.apache.spark.sql.Column] = opts.zorder.map { c =>
+        fieldType(c) match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            col(c).cast("long")
+          case DateType => unix_date(col(c)).cast("long")
+          case TimestampType => unix_micros(col(c))
+          case TimestampNTZType => // session-zone reinterpretation is
+            unix_micros(col(c).cast("timestamp")) // monotone — fine for a layout key
+          case StringType => graft.operators.ZOrder.bytePrefixDim(col(c))
+          case dt => throw CliError("--zorder supports integral, date, " +
+            s"timestamp and string columns; '$c' is ${dt.simpleString}")
+        }
+      }
+      val bits = math.max(1, math.min(16, 63 / rawDims.size))
+      val bnds = graft.operators.ZOrder.boundsOf(df0, rawDims)
+      val dims = opts.zorder.indices.map { i =>
+        val (mnO, mxO) = bnds(i)
+        val mn = mnO.getOrElse(throw CliError(
+          s"--zorder column '${opts.zorder(i)}' has no non-null values " +
+            "(empty dataset or all-NULL column) — nothing to cluster on"))
+        graft.operators.ZOrder.safeDim(rawDims(i), mn, mxO.get, bits)
+      }
       val nFiles = math.max(1, df0.inputFiles.length)
       val laid = df0
         .withColumn("__z__", graft.operators.ZOrder.zvalue(
-          opts.zorder.map(col), mins, maxs))
+          dims.map(_._1), dims.map(_._2), dims.map(_._3), bits))
         .repartitionByRange(nFiles, col("__z__"))
         .sortWithinPartitions("__z__")
         .drop("__z__")
       // the commit protocol does the rest: snapshot layouts get an
       // atomic new version (prior generations readable), plain dirs
       // the rename swap — the z-partitioning survives atomicOverwrite
-      // because its index layout is a no-op for empty indexBy
+      // because its index layout is a no-op for empty indexBy, and
+      // statsCols (r18) makes the snapshot commit record per-file
+      // envelopes for every clustered column (long AND truncated-byte
+      // string bounds), so read-time manifest skipping engages on the
+      // exact layout this command builds for it
       graft.operators.WriteOps.atomicOverwrite(spark, laid, p,
         maxRecordsPerFile = t.maxRecordsPerFile, commitMode = t.commitMode,
-        keepVersions = t.keepVersions)
+        keepVersions = t.keepVersions, statsCols = opts.zorder)
       println(s"zorder: re-clustered ${t.ref.uri} on " +
         s"${opts.zorder.mkString(",")} into $nFiles file(s)")
       return

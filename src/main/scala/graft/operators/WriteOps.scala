@@ -374,13 +374,22 @@ object WriteOps {
       "versioned"
     else commitMode
 
+  /** `statsCols` (r18): extra columns to record manifest envelopes for
+    * on snapshot commits, for callers that PRE-LAID the frame
+    * themselves and pass `indexBy = Nil` to avoid a second sort — the
+    * CLI z-order path, whose clustered columns would otherwise commit
+    * with no envelopes and read-time manifest skipping could never
+    * engage on the layout built for it. Ignored for non-snapshot
+    * modes (plain parquet reads prune from footers directly).
+    */
   def atomicOverwrite(spark: SparkSession, df: DataFrame, path: String,
                       partitionBy: Seq[String] = Nil,
                       maxRecordsPerFile: Long = 0,
                       format: String = "parquet",
                       indexBy: Seq[String] = Nil,
                       commitMode: String = "rename",
-                      keepVersions: Int = 2): Unit = {
+                      keepVersions: Int = 2,
+                      statsCols: Seq[String] = Nil): Unit = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val laid = indexLayout(df, indexBy)
@@ -422,7 +431,8 @@ object WriteOps {
         require(format == "parquet",
           s"snapshot commit protocol supports parquet targets, got $format")
         Snapshot.overwrite(spark, laid, path, partitionBy,
-          maxRecordsPerFile, Nil, keepVersions, statsCols = indexBy)
+          maxRecordsPerFile, Nil, keepVersions,
+          statsCols = (indexBy ++ statsCols).distinct)
       case "versioned" => // object-store-atomic commit
         fs.mkdirs(hPath)
         val before = Versioned.list(fs, hPath)

@@ -92,13 +92,56 @@ object ZOrder {
     zvalue(dims, mins.map(lit(_).cast("long")), maxs.map(lit(_).cast("long")), bits)
   }
 
-  /** Exact per-dimension min/max in one aggregate pass. */
+  /** Exact per-dimension min/max in one aggregate pass. Loud on a
+    * dimension with no usable values (r18 — this used to surface as an
+    * opaque NPE from `getLong` on the NULL a failed cast produced).
+    */
   def bounds(df: DataFrame, cols: Seq[String]): (Seq[Long], Seq[Long]) = {
-    val aggs = cols.flatMap(c =>
-      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val bs = boundsOf(df, cols.map(col))
+    cols.zip(bs).foreach { case (c, (mn, mx)) =>
+      require(mn.isDefined && mx.isDefined,
+        s"z-order column '$c' has no non-null long-domain values " +
+          "(empty dataset, all-NULL column, or a non-castable type)")
+    }
+    (bs.map(_._1.get), bs.map(_._2.get))
+  }
+
+  /** Exact min/max of already-long-valued dimension EXPRESSIONS in one
+    * aggregate pass; None where a dimension has no non-null value
+    * (empty dataset or all-NULL column) — the caller owns the error
+    * shape (the CLI raises a CliError, not an NPE).
+    */
+  def boundsOf(df: DataFrame, dims: Seq[Column])
+      : Seq[(Option[Long], Option[Long])] = {
+    require(dims.nonEmpty, "boundsOf needs at least one dimension")
+    val aggs = dims.flatMap(d => Seq(min(d).cast("long"), max(d).cast("long")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    (cols.indices.map(i => row.getLong(2 * i)),
-      cols.indices.map(i => row.getLong(2 * i + 1)))
+    dims.indices.map { i =>
+      (if (row.isNullAt(2 * i)) None else Some(row.getLong(2 * i)),
+        if (row.isNullAt(2 * i + 1)) None else Some(row.getLong(2 * i + 1)))
+    }
+  }
+
+  /** Overflow-safe z-dimension (r18): [[zvalue]]'s bucket arithmetic
+    * computes `(x − min) · 2^bits` in Long, so a dimension spanning
+    * more than ~2^(63−bits) — timestamp micros, [[bytePrefixDim]]
+    * prefixes, full-range longs — would overflow the key arithmetic.
+    * Pre-shift such dimensions right (arithmetic shift BEFORE any
+    * subtraction, so no intermediate can overflow under ANSI
+    * arithmetic) just far enough that the product always fits.
+    * Ordering is preserved (`>>` is monotone on signed longs); only
+    * the lowest k bits of resolution are spent, which the bucket
+    * quantization was about to discard anyway. Returns the adjusted
+    * (dimension, min, max) to hand to [[zvalue]]; narrow dimensions
+    * pass through untouched.
+    */
+  def safeDim(c: Column, mn: Long, mx: Long, bits: Int): (Column, Long, Long) = {
+    require(mx >= mn, s"max $mx < min $mn")
+    require(bits > 0 && bits < 47, s"bits out of range: $bits")
+    val span = BigInt(mx) - BigInt(mn)
+    val k = math.max(0, span.bitLength + 1 - (63 - bits))
+    if (k == 0) (c.cast("long"), mn, mx)
+    else (shiftright(c.cast("long"), k), mn >> k, mx >> k)
   }
 
   /** Rewrite `df` as `numFiles` parquet files clustered on the Morton

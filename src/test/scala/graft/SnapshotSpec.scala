@@ -365,6 +365,70 @@ class SnapshotSpec extends SparkSpec {
       s"z-order must improve b-pruning: $touchedAfter vs $touchedBefore")
   }
 
+  test("r18 --zorder on a STRING column: byte-prefix clustering, " +
+    "recorded envelopes, manifest skipping through the DSL; bad " +
+    "columns are CliError, not NPE") {
+    import graft.cli.Main
+    val dir = freshDir("snap_zostr")
+    val p = s"$dir/t.parquet"
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // hex-digest-shaped keys (the URL/md5 use case), scattered layout:
+    // initial sort on v only, so k-ranges touch ~every file
+    val df = (0 until 20000).map { i =>
+      (f"${scala.util.hashing.MurmurHash3.stringHash(i.toString)}%08x",
+        rnd.nextInt(1 << 14).toLong, rnd.nextDouble())
+    }.toDF("k", "v", "x")
+    WriteOps.atomicOverwrite(spark, df, p, indexBy = Seq("v"),
+      maxRecordsPerFile = 1250, commitMode = "snapshot")
+    val expected = sortedRows(graft.sources.Resolver.readParquet(spark, p))
+    val (job, opts) = Main.parse(Array(
+      "-t", s"parquet/$dir/t", "--zorder", "k,v",
+      "--max-records-per-file", "1250", "-y"))
+    Main.execute(spark, job, opts)
+    // new version committed, content identical, history readable
+    assert(Snapshot.committed(fs, new Path(p)).map(_._1) == Seq(1L, 2L))
+    assert(sortedRows(graft.sources.Resolver.readParquet(spark, p)) == expected)
+    // the commit RECORDS envelopes for both clustered columns — the
+    // r17 gap: a CLI-z-ordered table previously carried none, so the
+    // read-time skipping the layout exists for could never engage
+    val m = Snapshot.manifestAt(fs,
+      Snapshot.resolveVersion(fs, new Path(p), None)._2).get
+    assert(m.dataEntries.nonEmpty && m.dataEntries.forall { e =>
+      e.envs.exists(env => env.get("k").exists(_.bmin.isDefined) &&
+        env.get("v").exists(_.min.isDefined))
+    }, "every member must carry byte bounds for k and long bounds for v")
+    // a string-range DSL read of the CLI-z-ordered table plans a
+    // STRICT member subset (the q_zorder_str law through the CLI
+    // surface) and stays exact
+    val full = graft.sources.Resolver.readParquet(spark, p)
+    val frame = graft.engine.Planner.sourceFrame(spark,
+      graft.spec.SourceSpec(graft.spec.DatasetRef("parquet", dir, "t"),
+        query = Seq("k__gte" -> "4", "k__lt" -> "8")))
+    assert(frame.count() ==
+      full.filter(col("k") >= "4" && col("k") < "8").count())
+    assert(frame.count() > 0)
+    assert(frame.inputFiles.length < full.inputFiles.length,
+      s"string-range read must prune the z-ordered member set " +
+        s"(${frame.inputFiles.length} of ${full.inputFiles.length})")
+    // unsupported column type → CliError with the type named
+    val (jBad, oBad) = Main.parse(Array(
+      "-t", s"parquet/$dir/t", "--zorder", "x", "-y"))
+    val eBad = intercept[Exception](Main.execute(spark, jBad, oBad))
+    assert(eBad.getMessage.contains("--zorder supports") &&
+      eBad.getMessage.contains("double"), eBad.getMessage)
+    // all-NULL clustered column → CliError naming the column
+    val pn = s"$dir/n.parquet"
+    WriteOps.atomicOverwrite(spark,
+      df.withColumn("nul", org.apache.spark.sql.functions.lit(null)
+        .cast("string")), pn, maxRecordsPerFile = 5000,
+      commitMode = "snapshot")
+    val (jNul, oNul) = Main.parse(Array(
+      "-t", s"parquet/$dir/n", "--zorder", "nul", "-y"))
+    val eNul = intercept[Exception](Main.execute(spark, jNul, oNul))
+    assert(eNul.getMessage.contains("no non-null"), eNul.getMessage)
+  }
+
   test("fsck: clean layout is empty; planted corruption classes are reported") {
     val dir = freshDir("snap_fsck")
     val p = s"$dir/t.parquet"

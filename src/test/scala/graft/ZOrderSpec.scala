@@ -76,6 +76,39 @@ class ZOrderSpec extends SparkSpec {
       ZOrder.bytePrefixDim(col("s"), nBytes = 8) }
   }
 
+  test("r18 safeDim: wide dimensions pre-shift so the key arithmetic " +
+    "never overflows; order preserved; narrow dims pass through") {
+    // narrow: untouched
+    val (c0, m0, x0) = ZOrder.safeDim(col("v"), 0L, 1000L, 16)
+    assert((m0, x0) == (0L, 1000L))
+    assert(c0.toString == col("v").cast("long").toString)
+    // wide: a micros-scale span with 16-bit buckets would multiply a
+    // ~2^50 difference by 2^16 — safeDim shifts first
+    val mn = 1600000000000000L; val mx = mn + (1L << 50)
+    val (c1, m1, x1) = ZOrder.safeDim(col("v"), mn, mx, 16)
+    assert(m1 == (mn >> 5) && x1 == (mx >> 5),
+      s"span 2^50 with 16-bit buckets needs a 5-bit shift, got ($m1,$x1)")
+    // end-to-end: zvalue over the shifted dim computes without
+    // overflow and stays monotone in the source column
+    val vals = Seq(mn, mn + 12345L, mn + (1L << 30), mn + (1L << 49), mx)
+    val d = vals.toDF("v")
+    val z = d.withColumn("z",
+        ZOrder.zvalue(Seq(c1), Seq(m1), Seq(x1), bits = 16))
+      .orderBy("v").select("z").as[Long].collect().toSeq
+    assert(z == z.sorted && z.distinct.size >= 3,
+      s"z keys must be monotone in v: $z")
+    // full-range long span (bitLength 64+1) still yields a legal shift
+    val (_, m2, x2) = ZOrder.safeDim(col("v"), Long.MinValue,
+      Long.MaxValue, 16)
+    assert(x2 - m2 >= 0 && x2 - m2 < (1L << 47))
+    // bounds: an all-NULL column is a loud error now, not an NPE
+    val nul = Seq((1L, null: String), (2L, null: String)).toDF("id", "s")
+    val e = intercept[IllegalArgumentException](
+      ZOrder.bounds(nul.select(col("id"),
+        ZOrder.bytePrefixDim(col("s")).as("s")), Seq("s")))
+    assert(e.getMessage.contains("no non-null"))
+  }
+
   test("z-order on a STRING dim: the snapshot layout records tight " +
     "byte bounds per file and a hex-key range prunes (r17)") {
     import graft.operators.Snapshot
