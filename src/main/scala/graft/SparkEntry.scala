@@ -190,6 +190,34 @@ object SparkEntry {
       frame
     }),
 
+    // ── [EXT] §2.10 r18: PER-GROUP metadata aggregates — `_group` by
+    // a PARTITION column answers "rows per year" from partition point
+    // values + recorded rows/envelopes driver-side (the Iceberg
+    // `partitions` metadata-table shape, verdict #2), no scan at all;
+    // in-query law: every leaf of the optimized plan is a LOCAL
+    // relation (the only node above it is the `_sort`) ───────────────
+    "q_group_metadata" -> ((s, dir) => {
+      val orders = read(s, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+      val scratch = scratchDir("graft_gmeta")
+      val p = s"$scratch/ord.parquet"
+      WriteOps.atomicOverwrite(s, orders, p, partitionBy = Seq("o_year"),
+        indexBy = Seq("o_orderkey"),
+        maxRecordsPerFile = math.max(200, orders.count() / 48),
+        commitMode = "snapshot", statsCols = Seq("o_orderdate"))
+      val frame = graft.engine.Planner.sourceFrame(s, SourceSpec(
+        DatasetRef("parquet", scratch, "ord"),
+        query = Seq("_group" -> "o_year",
+          "_agg" -> "count,min:o_orderdate,max:o_orderdate",
+          "_sort" -> "o_year")))
+      require(frame.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+        "the grouped metadata aggregate must read no files — every " +
+          "leaf a LOCAL relation")
+      frame
+    }),
+
     // ── J1/J2 merger: left-outer correlated lookup ────────────────────
     "q_merge_left" -> ((s, dir) => Planner.plan(s, JobSpec(
       src(dir, "orders", "_sort" -> "o_orderkey"),
@@ -2315,6 +2343,15 @@ object SparkEntry {
                 max(o_orderdate) AS max_o_orderdate,
                 count(*) AS count_all
          FROM orders""",
+    // r18 per-group metadata aggregates: the values are the plain
+    // GROUP BY (the no-scan LocalRelation-leaves law is an in-query
+    // require)
+    "q_group_metadata" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                count(*) AS count_all,
+                min(o_orderdate) AS min_o_orderdate,
+                max(o_orderdate) AS max_o_orderdate
+         FROM orders GROUP BY 1 ORDER BY 1""",
     "q_merge_left" ->
       """SELECT o.*, c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
          FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey

@@ -41,29 +41,41 @@ object Planner {
   /** METADATA-ONLY aggregate fast path (r17 — the Iceberg aggregate-
     * pushdown shape, [[graft.operators.Snapshot.metadataAgg]]): an
     * unfiltered `_agg min:k,max:k,count` on a tombstone-free snapshot
-    * table answers as a LOCAL one-row relation — ZERO Spark jobs, the
-    * [[graft.engine.Runner.count]] twin for the aggregate DSL. Applies
-    * only when the whole query is the aggregate (plus `_limit` /
-    * version pins — anything else, a predicate, `_group`, a sort,
-    * post-read transformers, composes with the scan instead), every
-    * requested aggregate is metadata-decidable, and the version pin
-    * resolves (failures keep the scan path's error shape).
+    * table answers as a LOCAL relation — ZERO Spark jobs, the
+    * [[graft.engine.Runner.count]] twin for the aggregate DSL. r18
+    * widens the shape two ways:
+    *
+    *   - `_group` by PARTITION columns answers per group from
+    *     partition point values + recorded rows/envelopes
+    *     ([[graft.operators.Snapshot.metadataGroupAgg]] — the Iceberg
+    *     `partitions` metadata-table shape, verdict #2);
+    *   - `_sort`/`_limit` compose ON the local relation (the scan
+    *     path's application order is filter → agg → sort → limit, and
+    *     there is nothing to filter here).
+    *
+    * Everything else — a predicate, a non-partition group key, a
+    * post-read transformer, an aggregate outside min/max/count —
+    * composes with the scan instead; version-pin failures keep the
+    * scan path's error shape.
     */
   private def metadataAggFast(spark: SparkSession,
                               s: SourceSpec): Option[DataFrame] = {
     if (s.ref.backend != "parquet" || s.postRead.nonEmpty) return None
-    val allowed = Set("_agg", "_limit", "_version", "_version_ts")
+    val allowed = Set("_agg", "_group", "_sort", "_limit",
+      "_version", "_version_ts")
     if (!s.query.forall(kv => allowed.contains(kv._1))) return None
-    // the same `_agg` gathering/splitting as QueryCompiler.compile
-    val aggs = s.query.collect { case ("_agg", v) => v }
-      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-      .map { a =>
-        a.split(":", 2) match {
-          case Array(f, fld) => (f.trim, fld.trim)
-          case Array(f)      => (f.trim, "*")
-        }
+    // the same `_agg`/`_group` gathering/splitting as QueryCompiler
+    def gather(k: String): Seq[String] =
+      s.query.collect { case (`k`, v) => v }
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val aggs = gather("_agg").map { a =>
+      a.split(":", 2) match {
+        case Array(f, fld) => (f.trim, fld.trim)
+        case Array(f)      => (f.trim, "*")
       }
+    }
     if (aggs.isEmpty) return None
+    val groups = gather("_group")
     val p = Resolver.path(s.ref)
     val hp = new org.apache.hadoop.fs.Path(p)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -78,16 +90,32 @@ object Planner {
       case scala.util.Success(v) => v
       case scala.util.Failure(_) => return None
     }
-    graft.operators.Snapshot.metadataAgg(spark, p, atV, aggs).map { vals =>
-      val schema = org.apache.spark.sql.types.StructType(vals.map {
-        case (n, _, dt) =>
-          org.apache.spark.sql.types.StructField(n, dt, nullable = true)
-      })
-      val df = spark.createDataFrame(
-        java.util.Collections.singletonList(
-          org.apache.spark.sql.Row(vals.map(_._2): _*)), schema)
+    val base: Option[DataFrame] =
+      if (groups.nonEmpty)
+        graft.operators.Snapshot.metadataGroupAgg(spark, p, atV, groups, aggs)
+          .map { case (fields, rws) =>
+            spark.createDataFrame(
+              java.util.Arrays.asList(rws.map(r =>
+                org.apache.spark.sql.Row(r: _*)): _*),
+              org.apache.spark.sql.types.StructType(fields))
+          }
+      else
+        graft.operators.Snapshot.metadataAgg(spark, p, atV, aggs).map { vals =>
+          val schema = org.apache.spark.sql.types.StructType(vals.map {
+            case (n, _, dt) =>
+              org.apache.spark.sql.types.StructField(n, dt, nullable = true)
+          })
+          spark.createDataFrame(
+            java.util.Collections.singletonList(
+              org.apache.spark.sql.Row(vals.map(_._2): _*)), schema)
+        }
+    base.map { df =>
+      val sort = gather("_sort")
+      val sorted =
+        if (sort.isEmpty) df
+        else df.orderBy(QueryCompiler.sortColumns(sort).toIndexedSeq: _*)
       s.query.collectFirst { case ("_limit", v) => v.trim.toInt }
-        .fold(df)(df.limit)
+        .fold(sorted)(sorted.limit)
     }
   }
 

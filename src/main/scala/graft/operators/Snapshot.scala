@@ -1742,19 +1742,32 @@ object Snapshot {
     val (_, vdir) = resolveVersion(fs, root, at)
     val m = manifestAt(fs, vdir).getOrElse(return None)
     if (m.deleteEntries.nonEmpty) return None
-    val data = m.dataEntries
-    def field(f: String): Option[StructField] =
-      m.schema.fields.find(_.name.equalsIgnoreCase(f))
-    def envOf(f: StructField, e: Entry): Option[ColEnv] =
-      if (m.partitionBy.contains(f.name))
-        partPointEnv(spark, f.dataType, e.rel, f.name)
-      else e.envs.flatMap(_.get(f.name))
-    def longDomain(dt: DataType): Boolean = dt match {
+    foldMetaAggs(spark, m, m.dataEntries, aggs)
+  }
+
+  /** The LONG-domain column types — parquet footer stats are exact
+    * there; STRING bounds truncate, so strings never fold into a
+    * metadata aggregate. Shared by the scalar, grouped and
+    * predicate-covered folds.
+    */
+  private[operators] def longDomain(
+      dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
       case ByteType | ShortType | IntegerType | LongType |
            DateType | TimestampType | TimestampNTZType => true
-      case _ => false // string bounds truncate — inexact
+      case _ => false
     }
-    def fromDomain(dt: DataType, v: Long): Any = dt match {
+  }
+
+  /** Envelope domain long → the column's EXTERNAL row value (the
+    * inverse of the write-side domain conversion; NTZ reconstructs
+    * the wall-clock at UTC, validated by the RunnerSpec round-trip).
+    */
+  private[operators] def fromDomain(
+      dt: org.apache.spark.sql.types.DataType, v: Long): Any = {
+    import org.apache.spark.sql.types._
+    dt match {
       case ByteType => v.toByte
       case ShortType => v.toShort
       case IntegerType => v.toInt
@@ -1771,22 +1784,41 @@ object Snapshot {
           java.time.ZoneOffset.UTC)
       case _ => null // unreachable under longDomain
     }
+  }
+
+  /** Fold `aggs` over `entries`' recorded envelopes/rows alone —
+    * [[metadataAgg]]'s exactness rules, factored so the scalar
+    * (entries = the whole version), grouped (entries = one partition
+    * group) and predicate-covered (entries = the covered set) paths
+    * share one implementation. None when ANY aggregate is not
+    * metadata-decidable over THESE entries.
+    */
+  private def foldMetaAggs(spark: SparkSession, m: Manifest,
+                           entries: Seq[Entry], aggs: Seq[(String, String)])
+      : Option[Seq[(String, Any, org.apache.spark.sql.types.DataType)]] = {
+    import org.apache.spark.sql.types._
+    def field(f: String): Option[StructField] =
+      m.schema.fields.find(_.name.equalsIgnoreCase(f))
+    def envOf(f: StructField, e: Entry): Option[ColEnv] =
+      if (m.partitionBy.contains(f.name))
+        partPointEnv(spark, f.dataType, e.rel, f.name)
+      else e.envs.flatMap(_.get(f.name))
     val allRows: Option[Long] =
-      if (data.exists(_.rows.isEmpty)) None
-      else Some(data.iterator.map(_.rows.get).sum)
+      if (entries.exists(_.rows.isEmpty)) None
+      else Some(entries.iterator.map(_.rows.get).sum)
     val out = aggs.map {
       case ("count", "*") =>
         allRows.map(n => ("count_all", n: Any, LongType: DataType))
       case ("count", f) =>
         field(f).flatMap { sf =>
-          val envs = data.map(envOf(sf, _))
+          val envs = entries.map(envOf(sf, _))
           if (allRows.isEmpty || envs.exists(_.isEmpty) ||
               envs.exists(_.exists(_.hasNulls))) None
           else Some((s"count_$f", allRows.get: Any, LongType: DataType))
         }
       case (fn @ ("min" | "max"), f) =>
         field(f).filter(sf => longDomain(sf.dataType)).flatMap { sf =>
-          val envs = data.map(envOf(sf, _))
+          val envs = entries.map(envOf(sf, _))
           if (envs.exists(_.isEmpty)) None
           else {
             val vals = envs.flatten
@@ -1801,6 +1833,97 @@ object Snapshot {
       case _ => None
     }
     if (out.exists(_.isEmpty)) None else Some(out.flatten)
+  }
+
+  /** Hive partition-dir value of `c` from a member's rel path as the
+    * column's EXTERNAL value — the group key [[metadataGroupAgg]]
+    * emits. Some(null) is the `__HIVE_DEFAULT_PARTITION__` null
+    * partition; None = no parseable segment, the caller declines.
+    */
+  private def partValue(spark: SparkSession,
+                        dt: org.apache.spark.sql.types.DataType,
+                        rel: String, c: String): Option[Any] =
+    rel.split('/').collectFirst {
+      case seg if seg.startsWith(c + "=") => seg.substring(c.length + 1)
+    }.flatMap { raw =>
+      val s = unescapeHive(raw)
+      if (s == "__HIVE_DEFAULT_PARTITION__") Some(null)
+      else if (dt == org.apache.spark.sql.types.StringType) Some(s)
+      else envDomainValue(spark, dt, s).map(fromDomain(dt, _))
+    }
+
+  /** PER-GROUP METADATA AGGREGATES (r18 — the Iceberg `partitions`
+    * metadata-table shape, completing [[metadataAgg]]): a `_group` by
+    * PARTITION columns with `_agg min/max/count` answers from the
+    * manifest alone. Each member's hive rel-path segment IS its
+    * group's exact point value, so members group driver-side and the
+    * recorded rows/envelopes fold per group ([[foldMetaAggs]]) —
+    * ZERO Spark jobs for the "rows per day" triage query on a
+    * date-partitioned table.
+    *
+    * Declines (None — the scan owns the query) on: a group column
+    * that is not a partition column (data-column groups need the
+    * rows), a group column typed outside the exact domains
+    * ([[longDomain]] + string — a string partition value is exact,
+    * no truncation applies to a single driver-side value), a member
+    * without a parseable segment for a group column, a member without
+    * a recorded row count (zero-row groups must DROP, which needs the
+    * counts), live tombstones, or any aggregate not decidable per
+    * group under [[metadataAgg]]'s rules. Groups whose members sum to
+    * zero rows are dropped — a row-level GROUP BY emits no group for
+    * them.
+    *
+    * Returns (fields, rows) in exactly the shape
+    * [[graft.dsl.QueryCompiler.aggregate]] would produce: group
+    * columns first (schema names and types), then the `<fn>_<field>`
+    * outputs; row order unspecified — the caller applies `_sort`.
+    */
+  def metadataGroupAgg(spark: SparkSession, rootStr: String,
+                       at: Option[Long], group: Seq[String],
+                       aggs: Seq[(String, String)])
+      : Option[(Seq[org.apache.spark.sql.types.StructField],
+                Seq[Seq[Any]])] = {
+    import org.apache.spark.sql.types._
+    if (group.isEmpty || aggs.isEmpty) return None
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!isSnapshotLayout(fs, root)) return None
+    val (_, vdir) = resolveVersion(fs, root, at)
+    val m = manifestAt(fs, vdir).getOrElse(return None)
+    if (m.deleteEntries.nonEmpty) return None
+    if (m.dataEntries.exists(_.rows.isEmpty)) return None
+    val gf: Seq[StructField] = group.map { g =>
+      m.schema.fields.find(_.name.equalsIgnoreCase(g)).getOrElse(return None)
+    }
+    if (!gf.forall(f => m.partitionBy.exists(_.equalsIgnoreCase(f.name))))
+      return None
+    if (!gf.forall(f => longDomain(f.dataType) || f.dataType == StringType))
+      return None
+    val keyed: Seq[(Seq[Any], Entry)] = m.dataEntries.map { e =>
+      val key = gf.map { f =>
+        partValue(spark, f.dataType, e.rel, f.name) match {
+          case Some(v) => v
+          case None => return None
+        }
+      }
+      (key, e)
+    }
+    val folded = keyed.groupBy(_._1).toSeq.map { case (key, es) =>
+      foldMetaAggs(spark, m, es.map(_._2), aggs) match {
+        case Some(vals) => (key, es.map(_._2), vals)
+        case None => return None
+      }
+    }
+    val aggFields = foldMetaAggs(spark, m, Nil, aggs)
+      .getOrElse(return None) // also covers the empty-table schema
+      .map { case (n, _, dt) => StructField(n, dt, nullable = true) }
+    val fields =
+      gf.map(f => StructField(f.name, f.dataType, nullable = true)) ++
+        aggFields
+    val rows = folded
+      .filter { case (_, es, _) => es.exists(e => e.rows.exists(_ > 0L)) }
+      .map { case (key, _, vals) => key ++ vals.map(_._2) }
+    Some((fields, rows))
   }
 
   /** PREDICATE-COVERED METADATA COUNT PLAN (r17 — the Iceberg planner's

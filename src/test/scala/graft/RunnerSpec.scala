@@ -243,6 +243,72 @@ class RunnerSpec extends SparkSpec {
     assert(row.getAs[LocalDateTime]("max_ts") == scan.get(1))
   }
 
+  test("r18 per-group metadata aggregates: partition-value GROUP BY " +
+    "answers from the manifest with ZERO jobs — null partition " +
+    "included; non-partition groups and tombstones decline, exact") {
+    import graft.engine.Planner
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val dir = Files.createTempDirectory("runner_gmeta").toString
+    val p = s"$dir/t.parquet"
+    val df = (0L until 900L)
+      .map(i => (i, if (i % 10 == 0) null else s"g${i % 3}", i % 7))
+      .toDF("id", "grp", "sub")
+    graft.operators.WriteOps.atomicOverwrite(spark, df, p,
+      partitionBy = Seq("grp"), indexBy = Seq("id"),
+      maxRecordsPerFile = 100, commitMode = "snapshot", keepVersions = 4)
+    def q(qs: (String, String)*) = Planner.sourceFrame(spark,
+      SourceSpec(DatasetRef("parquet", dir, "t"), query = qs))
+    def isLocal(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.optimizedPlan.isInstanceOf[LocalRelation]
+    val expect = df.groupBy("grp")
+      .agg(count(lit(1)).as("count_all"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+      .collect().map(_.toSeq).toSet
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val grouped = q("_group" -> "grp",
+        "_agg" -> "count,min:id,max:id")
+      assert(isLocal(grouped), "partition-group aggregate must be local")
+      assert(grouped.columns.toSeq ==
+        Seq("grp", "count_all", "min_id", "max_id"))
+      assert(grouped.collect().map(_.toSeq).toSet == expect,
+        "grouped metadata fold must equal the scan's GROUP BY — " +
+          "null partition group included")
+      awaitQuiet(() => jobs.get())
+      assert(jobs.get() == 0,
+        s"grouped metadata aggregate must run zero jobs, saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(l)
+    // `_sort`/`_limit` compose on the local relation and stay exact
+    val sorted = q("_group" -> "grp", "_agg" -> "count",
+      "_sort" -> "-count_all", "_limit" -> "2")
+    assert(sorted.collect().map(_.getAs[Long]("count_all")).toSeq ==
+      expect.toSeq.map(_(1).asInstanceOf[Long]).sorted.reverse.take(2))
+    // a NON-partition group key needs the rows → scan, exact
+    val bySub = q("_group" -> "sub", "_agg" -> "count")
+    assert(!isLocal(bySub))
+    assert(bySub.collect().map(_.toSeq).toSet ==
+      df.groupBy("sub").agg(count(lit(1)).as("count_all"))
+        .collect().map(_.toSeq).toSet)
+    // live tombstones decline; the pinned pre-delete version fast-paths
+    graft.operators.Snapshot.deleteByKeys(spark, p,
+      (0L until 30L).toDF("id"), keepVersions = 4)
+    assert(!isLocal(q("_group" -> "grp", "_agg" -> "count")))
+    val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val (head, _) = graft.operators.Snapshot.resolveVersion(fs,
+      new org.apache.hadoop.fs.Path(p), None)
+    val pinned = q("_group" -> "grp", "_agg" -> "count,min:id,max:id",
+      "_version" -> (head - 1).toString)
+    assert(isLocal(pinned))
+    assert(pinned.collect().map(_.toSeq).toSet == expect)
+  }
+
   test("r17 covered count on STRING keys: truncated byte-bound " +
     "envelopes prove interior files") {
     import graft.operators.Snapshot
