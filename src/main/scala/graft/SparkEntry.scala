@@ -218,6 +218,38 @@ object SparkEntry {
       frame
     }),
 
+    // ── [EXT] §2.10 r18: PREDICATE-COVERED metadata aggregates —
+    // `_agg min/max/count` under a key range folds covered members'
+    // recorded envelopes driver-side and scans ONLY the straddling
+    // files, merging in the envelope domain (covers ∘ metadataAgg,
+    // verdict #3); in-query law: ≤2 boundary members, the rest
+    // decided from the manifest ──────────────────────────────────────
+    "q_agg_range" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val scratch = scratchDir("graft_aggrange")
+      val p = s"$scratch/li.parquet"
+      WriteOps.atomicOverwrite(s, li, p, indexBy = Seq("l_orderkey"),
+        maxRecordsPerFile = math.max(500, li.count() / 24),
+        commitMode = "snapshot", statsCols = Seq("l_shipdate"))
+      // the same SF-independent range as q_count_range (the oracle
+      // replays the bound)
+      val hi = li.agg(max(col("l_orderkey")).cast("long")).head()
+        .getLong(0) * 6 / 10
+      graft.operators.Snapshot.lastAggPlan = (-1, -1, -1)
+      val frame = graft.engine.Planner.sourceFrame(s, SourceSpec(
+        DatasetRef("parquet", scratch, "li"),
+        query = Seq("l_orderkey__gte" -> "100",
+          "l_orderkey__lte" -> hi.toString,
+          "_agg" -> "min:l_shipdate,max:l_shipdate,count")))
+      val (cov, bnd, tot) = graft.operators.Snapshot.lastAggPlan
+      require(tot > 0, "the range aggregate must take the covered plan")
+      require(cov > 0 && bnd <= 2,
+        s"a sorted-layout range aggregate must fold interior files " +
+          s"from the manifest and scan only the straddling ones " +
+          s"(covered $cov, boundary $bnd of $tot)")
+      frame
+    }),
+
     // ── J1/J2 merger: left-outer correlated lookup ────────────────────
     "q_merge_left" -> ((s, dir) => Planner.plan(s, JobSpec(
       src(dir, "orders", "_sort" -> "o_orderkey"),
@@ -2352,6 +2384,16 @@ object SparkEntry {
                 min(o_orderdate) AS min_o_orderdate,
                 max(o_orderdate) AS max_o_orderdate
          FROM orders GROUP BY 1 ORDER BY 1""",
+    // r18 predicate-covered metadata aggregates: the values are the
+    // plain filtered aggregates (the ≤2-boundary law is an in-query
+    // require)
+    "q_agg_range" ->
+      """SELECT min(l_shipdate) AS min_l_shipdate,
+                max(l_shipdate) AS max_l_shipdate,
+                count(*) AS count_all
+         FROM lineitem
+         WHERE l_orderkey >= 100
+           AND l_orderkey <= (SELECT max(l_orderkey) * 6 // 10 FROM lineitem)""",
     "q_merge_left" ->
       """SELECT o.*, c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
          FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey

@@ -63,7 +63,12 @@ object Planner {
     if (s.ref.backend != "parquet" || s.postRead.nonEmpty) return None
     val allowed = Set("_agg", "_group", "_sort", "_limit",
       "_version", "_version_ts")
-    if (!s.query.forall(kv => allowed.contains(kv._1))) return None
+    // control keys outside the allowed set (`_fields`, `_flat`, …)
+    // decline; FIELD pairs are fine IF they translate exactly — the
+    // r18 predicate-covered path below owns them
+    if (!s.query.forall(kv => allowed.contains(kv._1) ||
+        !QueryCompiler.ControlKeys.contains(kv._1))) return None
+    val preds = QueryCompiler.exactPreds(s.query).getOrElse(return None)
     // the same `_agg`/`_group` gathering/splitting as QueryCompiler
     def gather(k: String): Seq[String] =
       s.query.collect { case (`k`, v) => v }
@@ -90,25 +95,35 @@ object Planner {
       case scala.util.Success(v) => v
       case scala.util.Failure(_) => return None
     }
+    def oneRow(vals: Seq[(String, Any,
+        org.apache.spark.sql.types.DataType)]): DataFrame = {
+      val schema = org.apache.spark.sql.types.StructType(vals.map {
+        case (n, _, dt) =>
+          org.apache.spark.sql.types.StructField(n, dt, nullable = true)
+      })
+      spark.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row(vals.map(_._2): _*)), schema)
+    }
     val base: Option[DataFrame] =
-      if (groups.nonEmpty)
-        graft.operators.Snapshot.metadataGroupAgg(spark, p, atV, groups, aggs)
+      if (groups.nonEmpty) {
+        if (preds.nonEmpty) None // grouped + filtered stays with the scan
+        else graft.operators.Snapshot
+          .metadataGroupAgg(spark, p, atV, groups, aggs)
           .map { case (fields, rws) =>
             spark.createDataFrame(
               java.util.Arrays.asList(rws.map(r =>
                 org.apache.spark.sql.Row(r: _*)): _*),
               org.apache.spark.sql.types.StructType(fields))
           }
+      } else if (preds.isEmpty)
+        graft.operators.Snapshot.metadataAgg(spark, p, atV, aggs).map(oneRow)
       else
-        graft.operators.Snapshot.metadataAgg(spark, p, atV, aggs).map { vals =>
-          val schema = org.apache.spark.sql.types.StructType(vals.map {
-            case (n, _, dt) =>
-              org.apache.spark.sql.types.StructField(n, dt, nullable = true)
-          })
-          spark.createDataFrame(
-            java.util.Collections.singletonList(
-              org.apache.spark.sql.Row(vals.map(_._2): _*)), schema)
-        }
+        // r18 predicate-covered aggregates (verdict #3): covered
+        // members fold driver-side, only boundary members scan — on
+        // the maintenance twin, so the read path touches no session
+        // confs; the one-row result builds on the CALLER's session
+        coveredAgg(spark, s, p, atV, preds, aggs).map(oneRow)
     base.map { df =>
       val sort = gather("_sort")
       val sorted =
@@ -116,6 +131,54 @@ object Planner {
         else df.orderBy(QueryCompiler.sortColumns(sort).toIndexedSeq: _*)
       s.query.collectFirst { case ("_limit", v) => v.trim.toInt }
         .fold(sorted)(sorted.limit)
+    }
+  }
+
+  /** Merge [[graft.operators.Snapshot.metadataAggPlan]]'s covered
+    * partials with the boundary scan's aggregates, if any. The
+    * boundary frame filters under the COMPILED predicates — the same
+    * exact semantics the scan path applies, so the two plan halves
+    * can never disagree — and aggregates through
+    * [[QueryCompiler.aggregate]], so output names and types match the
+    * scan path by construction; the merge happens in the envelope's
+    * long domain ([[graft.operators.Snapshot.toDomain]]).
+    */
+  private def coveredAgg(spark: SparkSession, s: SourceSpec, p: String,
+                         atV: Option[Long],
+                         preds: Seq[graft.operators.Snapshot.ReadPred],
+                         aggs: Seq[(String, String)])
+      : Option[Seq[(String, Any, org.apache.spark.sql.types.DataType)]] = {
+    import graft.operators.Snapshot
+    // boundary scans build and run on the maintenance twin (r18
+    // ADVICE: never mutate the caller's confs from a query path); a
+    // global aggregate is profile-insensitive — one row per task
+    // through its single exchange
+    val maint = graft.operators.MaintProfile.sessionFor(spark)
+    Snapshot.metadataAggPlan(maint, p, atV, preds, aggs).map {
+      case (partials, boundaryOpt) =>
+        val brow = boundaryOpt.map { bdf =>
+          val filtered = QueryCompiler.compile(bdf, s.query).predicates
+            .foldLeft(bdf)(_ filter _)
+          QueryCompiler.aggregate(filtered, Nil, aggs).head()
+        }
+        partials.zipWithIndex.map { case (pt, i) =>
+          val bv = brow.flatMap(r =>
+            if (r.isNullAt(i)) None else Some(r.get(i)))
+          val v: Any = pt.fn match {
+            case "count" | "countf" =>
+              pt.covered.getOrElse(0L) +
+                bv.map(_.asInstanceOf[Long]).getOrElse(0L)
+            case fn =>
+              val bd = bv.map(Snapshot.toDomain(pt.dt, _))
+              val merged = (pt.covered, bd) match {
+                case (Some(a), Some(b)) =>
+                  Some(if (fn == "min") math.min(a, b) else math.max(a, b))
+                case (a, b) => a.orElse(b)
+              }
+              merged.map(Snapshot.fromDomain(pt.dt, _)).orNull
+          }
+          (pt.name, v, pt.dt)
+        }
     }
   }
 

@@ -1764,7 +1764,7 @@ object Snapshot {
     * inverse of the write-side domain conversion; NTZ reconstructs
     * the wall-clock at UTC, validated by the RunnerSpec round-trip).
     */
-  private[operators] def fromDomain(
+  private[graft] def fromDomain(
       dt: org.apache.spark.sql.types.DataType, v: Long): Any = {
     import org.apache.spark.sql.types._
     dt match {
@@ -1963,25 +1963,163 @@ object Snapshot {
       m.schema.fields.exists(_.name.equalsIgnoreCase(p.col)))) return None
     val data = m.dataEntries
     val kept = pruneEntries(spark, m, data, preds)
-    val (covered, boundary) = kept.partition { e =>
-      // zero-row members are trivially covered; otherwise every
-      // conjunct must be proven on the member's envelope (partition
-      // point values included) AND the row count must be recorded
-      e.rows.contains(0L) || (e.rows.isDefined && preds.forall { p =>
-        val f = m.schema.fields.find(_.name.equalsIgnoreCase(p.col)).get
-        val env: Option[ColEnv] =
-          if (m.partitionBy.contains(f.name))
-            partPointEnv(spark, f.dataType, e.rel, f.name)
-          else e.envs.flatMap(_.get(f.name))
-        env.exists(covers(spark, f.dataType, p, _))
-      })
-    }
+    val (covered, boundary) = kept.partition(predsCovered(spark, m, _, preds))
     lastCountPlan = (covered.size, boundary.size, data.size)
     val coveredRows = covered.iterator.map(_.rows.get).sum
     val bf =
       if (boundary.isEmpty) None
       else Some(tombstonedRead(spark, root, m, boundary))
     Some((coveredRows, bf))
+  }
+
+  /** Is EVERY row of `e` proven to satisfy every conjunct? Zero-row
+    * members are trivially covered; otherwise each conjunct must be
+    * proven on the member's envelope (partition point values included,
+    * [[covers]]) AND the row count must be recorded. Shared by the
+    * covered count and covered aggregate plans.
+    */
+  private def predsCovered(spark: SparkSession, m: Manifest, e: Entry,
+                           preds: Seq[ReadPred]): Boolean =
+    e.rows.contains(0L) || (e.rows.isDefined && preds.forall { p =>
+      val f = m.schema.fields.find(_.name.equalsIgnoreCase(p.col)).get
+      val env: Option[ColEnv] =
+        if (m.partitionBy.contains(f.name))
+          partPointEnv(spark, f.dataType, e.rel, f.name)
+        else e.envs.flatMap(_.get(f.name))
+      env.exists(covers(spark, f.dataType, p, _))
+    })
+
+  /** External row value → the envelope's long domain — the inverse of
+    * [[fromDomain]], tolerant of BOTH external-type families (java.sql
+    * and java.time, whichever `spark.sql.datetime.java8API.enabled`
+    * hands back), so a boundary scan's aggregate merges exactly with
+    * a covered envelope fold.
+    */
+  private[graft] def toDomain(dt: org.apache.spark.sql.types.DataType,
+                              v: Any): Long = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    import org.apache.spark.sql.types._
+    (dt, v) match {
+      case (ByteType | ShortType | IntegerType | LongType,
+            n: java.lang.Number) => n.longValue
+      case (DateType, d: java.sql.Date) => DateTimeUtils.fromJavaDate(d).toLong
+      case (DateType, d: java.time.LocalDate) => d.toEpochDay
+      case (TimestampType, t: java.sql.Timestamp) =>
+        DateTimeUtils.fromJavaTimestamp(t)
+      case (TimestampType, t: java.time.Instant) =>
+        DateTimeUtils.instantToMicros(t)
+      case (TimestampNTZType, t: java.time.LocalDateTime) =>
+        DateTimeUtils.localDateTimeToMicros(t)
+      case _ => throw new IllegalArgumentException(
+        s"no envelope domain for ${dt.simpleString} value " +
+          s"${Option(v).map(_.getClass.getName).getOrElse("null")}")
+    }
+  }
+
+  /** One aggregate's covered-side partial ([[metadataAggPlan]]):
+    * `fn` ∈ count|countf|min|max, `dt` the OUTPUT type, `covered` the
+    * fold over covered members alone — counts as Some(sum) (0 when
+    * nothing is covered), min/max as the envelope extreme in the long
+    * domain (None when no covered member carries a value).
+    */
+  final case class AggPartial(name: String, fn: String,
+                              dt: org.apache.spark.sql.types.DataType,
+                              covered: Option[Long])
+
+  /** Last covered-aggregate plan's (covered, boundary, total) member
+    * counts — the [[lastCountPlan]] twin for [[metadataAggPlan]].
+    * Diagnostic only.
+    */
+  @volatile private[graft] var lastAggPlan: (Int, Int, Int) = (0, 0, 0)
+
+  /** PREDICATE-COVERED METADATA AGGREGATES (r18, verdict #3 — the
+    * natural composition of [[covers]] with [[metadataAgg]]):
+    * `_agg min/max/count` under an exactly-translated predicate
+    * classifies members exactly like [[metadataCountPlan]] —
+    * exterior members drop, COVERED members fold their recorded
+    * envelopes/rows driver-side, and only BOUNDARY members return as
+    * a frame the caller must filter exactly, aggregate, and merge
+    * with the covered partials ([[AggPartial]]). So
+    * "min/max(ship_date) where orderkey in [a,b]" on a sorted table
+    * scans two straddling files instead of the range.
+    *
+    * A member that satisfies the predicates but lacks what an
+    * aggregate needs (an envelope for the agg column; null-freedom
+    * for `count(f)`) is DEMOTED to the boundary scan rather than
+    * declining the whole plan — coverage degrades file by file, never
+    * correctness. Global declines (None → the scan owns the query):
+    * non-snapshot layout, live tombstones, a predicate or aggregate
+    * column missing from the schema, min/max outside the long domains
+    * (string bounds truncate), or an aggregate outside min/max/count.
+    */
+  def metadataAggPlan(spark: SparkSession, rootStr: String,
+                      at: Option[Long], preds: Seq[ReadPred],
+                      aggs: Seq[(String, String)])
+      : Option[(Seq[AggPartial], Option[DataFrame])] = {
+    import org.apache.spark.sql.types._
+    if (aggs.isEmpty || preds.isEmpty) return None
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!isSnapshotLayout(fs, root)) return None
+    val (_, vdir) = resolveVersion(fs, root, at)
+    val m = manifestAt(fs, vdir).getOrElse(return None)
+    if (m.deleteEntries.nonEmpty) return None
+    if (!preds.forall(p =>
+      m.schema.fields.exists(_.name.equalsIgnoreCase(p.col)))) return None
+    def field(f: String): Option[StructField] =
+      m.schema.fields.find(_.name.equalsIgnoreCase(f))
+    def envOf(f: StructField, e: Entry): Option[ColEnv] =
+      if (m.partitionBy.contains(f.name))
+        partPointEnv(spark, f.dataType, e.rel, f.name)
+      else e.envs.flatMap(_.get(f.name))
+    // global decidability of each aggregate's SHAPE (per-member
+    // conditions demote to the boundary instead)
+    final case class Shape(name: String, fn: String,
+                           sf: Option[StructField], dt: DataType)
+    val shapes: Seq[Shape] = aggs.map {
+      case ("count", "*") => Shape("count_all", "count", None, LongType)
+      case ("count", f) => field(f) match {
+        case Some(sf) => Shape(s"count_$f", "countf", Some(sf), LongType)
+        case None => return None
+      }
+      case (fn @ ("min" | "max"), f) => field(f) match {
+        case Some(sf) if longDomain(sf.dataType) =>
+          Shape(s"${fn}_$f", fn, Some(sf), sf.dataType)
+        case _ => return None
+      }
+      case _ => return None
+    }
+    val data = m.dataEntries
+    val kept = pruneEntries(spark, m, data, preds)
+    val (covered, boundary) = kept.partition { e =>
+      predsCovered(spark, m, e, preds) &&
+        (e.rows.contains(0L) || shapes.forall { sh =>
+          sh.fn match {
+            case "count"  => true // rows recorded by predsCovered
+            case "countf" => envOf(sh.sf.get, e).exists(!_.hasNulls)
+            case _        => envOf(sh.sf.get, e).isDefined
+          }
+        })
+    }
+    lastAggPlan = (covered.size, boundary.size, data.size)
+    val liveCovered = covered.filter(_.rows.exists(_ > 0L))
+    val partials = shapes.map { sh =>
+      sh.fn match {
+        case "count" | "countf" =>
+          AggPartial(sh.name, sh.fn, sh.dt,
+            Some(liveCovered.iterator.map(_.rows.get).sum))
+        case fn =>
+          val vals = liveCovered.flatMap(envOf(sh.sf.get, _))
+            .flatMap(e => if (fn == "min") e.min else e.max)
+          AggPartial(sh.name, fn, sh.dt,
+            if (vals.isEmpty) None
+            else Some(if (fn == "min") vals.min else vals.max))
+      }
+    }
+    val bf =
+      if (boundary.isEmpty) None
+      else Some(tombstonedRead(spark, root, m, boundary))
+    Some((partials, bf))
   }
 
   /** Partition `entries` into SEQUENCE CLASSES: groups sharing the

@@ -203,9 +203,80 @@ class RunnerSpec extends SparkSpec {
       "_version" -> (head - 1).toString)
     assert(isLocal(pinned))
     assert(pinned.collect().map(_.toSeq).toSeq == Seq(Seq(0L, 1200L)))
-    // a predicate, a group, or a sort composes with the scan instead
+    // with LIVE tombstones a predicate still composes with the scan
+    // (the r18 covered-aggregate plan declines — tombstones subtract
+    // unknown amounts); so does a non-partition group key
     assert(!isLocal(q("_agg" -> "min:id", "id__gte" -> "7")))
     assert(!isLocal(q("_agg" -> "min:id", "_group" -> "txt")))
+  }
+
+  test("r18 predicate-covered metadata aggregates: covered envelopes " +
+    "fold driver-side, only boundary files scan, merges exact; " +
+    "demotion per member, zero jobs when fully covered") {
+    import graft.engine.Planner
+    import graft.operators.Snapshot
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val dir = Files.createTempDirectory("runner_covagg").toString
+    val p = s"$dir/t.parquet"
+    val d0 = java.time.LocalDate.of(2020, 1, 1)
+    val df = (0L until 1200L)
+      .map(i => (i, java.sql.Date.valueOf(d0.plusDays(i / 40)),
+        if (i % 5 == 0) null else s"v$i"))
+      .toDF("id", "d", "txt")
+    graft.operators.WriteOps.atomicOverwrite(spark, df, p,
+      indexBy = Seq("id"), maxRecordsPerFile = 200,
+      commitMode = "snapshot", keepVersions = 4,
+      statsCols = Seq("d"))
+    def q(qs: (String, String)*) = Planner.sourceFrame(spark,
+      SourceSpec(DatasetRef("parquet", dir, "t"), query = qs))
+    def isLocal(x: org.apache.spark.sql.DataFrame) =
+      x.queryExecution.optimizedPlan.isInstanceOf[LocalRelation]
+    // range straddling two files: 4 covered members fold, 2 scan
+    Snapshot.lastAggPlan = (-1, -1, -1)
+    val f = q("_agg" -> "min:d,max:d,count",
+      "id__gte" -> "150", "id__lte" -> "1049")
+    assert(isLocal(f), "covered aggregate must end as a local relation")
+    val want = df.filter(col("id") >= 150 && col("id") <= 1049)
+      .agg(min(col("d")), max(col("d")), count(lit(1))).head()
+    assert(f.head().toSeq == want.toSeq,
+      s"merged (covered fold + boundary scan) must equal the scan: " +
+        s"${f.head().toSeq} vs ${want.toSeq}")
+    assert(Snapshot.lastAggPlan == (4, 2, 6),
+      s"expected (covered 4, boundary 2, total 6), " +
+        s"got ${Snapshot.lastAggPlan}")
+    // count(f) on a column with nulls and NO recorded envelope:
+    // every kept member DEMOTES to the boundary — exact, not declined
+    Snapshot.lastAggPlan = (-1, -1, -1)
+    val ct = q("_agg" -> "count:txt", "id__lt" -> "500")
+    assert(ct.head().getLong(0) ==
+      df.filter(col("id") < 500).agg(count(col("txt"))).head().getLong(0))
+    assert(Snapshot.lastAggPlan._1 == 0 && Snapshot.lastAggPlan._2 > 0,
+      s"txt has no envelope — all kept members must scan, " +
+        s"got ${Snapshot.lastAggPlan}")
+    // a fully-covered range runs ZERO jobs
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val z = q("_agg" -> "min:id,max:id,count",
+        "id__gte" -> "0", "id__lte" -> "1199")
+      assert(z.head().toSeq == Seq(0L, 1199L, 1200L))
+      awaitQuiet(() => jobs.get())
+      assert(jobs.get() == 0,
+        s"fully-covered aggregate must run zero jobs, saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(l)
+    // an EMPTY range: count 0, min/max SQL-null — the scan's answer
+    val e = q("_agg" -> "min:d,count", "id__gt" -> "5000")
+    assert(e.head().isNullAt(0) && e.head().getLong(1) == 0L)
+    // min/max of a STRING column declines the whole plan → scan, exact
+    val sm = q("_agg" -> "min:txt", "id__gte" -> "7")
+    assert(!isLocal(sm))
+    assert(sm.head().getString(0) ==
+      df.filter(col("id") >= 7).agg(min(col("txt"))).head().getString(0))
   }
 
   test("r18 ADVICE: TimestampNTZ metadata min/max fast-paths and " +
