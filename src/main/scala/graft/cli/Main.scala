@@ -739,6 +739,19 @@ object Main {
       return
     }
     if (opts.count) {
+      if (opts.dry) { // r18 (verdict #7): surface the count-plan
+        // provenance — which members the manifest decides vs scans —
+        // without running anything
+        Runner.countPlan(spark, job.source) match {
+          case Some((cov, bnd, tot, rows)) =>
+            println(s"count plan: $tot member file(s) — $cov covered " +
+              s"($rows rows decided from the manifest), $bnd boundary " +
+              s"file(s) to scan, ${tot - cov - bnd} excluded")
+          case None =>
+            println("count plan: exact scan (metadata count not applicable)")
+        }
+        return
+      }
       println(Runner.count(spark, job.source, job.effectiveFailOnError))
       return
     }
@@ -1015,6 +1028,8 @@ object Main {
       |               difference between the filtered source and OTHER_DS)
       |transformers   --str CHAIN   (chain: name:arg1;arg2,name2,...)
       |run            --workers N  --contid ID  --dry  --drop  --count
+      |               (--dry --count: print the metadata count plan's
+      |               covered/boundary/total member split, run nothing)
       |               --cron EXPR (recorded in the job spec/log for an
       |               external scheduler; no in-engine timer)
       |               --no-count (skip the pre-run source total)

@@ -49,18 +49,24 @@ object Runner {
     * layout, live tombstones, or an unresolvable version pin (the
     * scan path owns every error shape, r17 ADVICE).
     */
-  private def metadataCountFast(spark: SparkSession,
-                                s: SourceSpec): Option[Long] = {
+  /** The covered count plan's shared prelude: (path, resolved version
+    * pin, exactly-translated predicates), or None when the fast path
+    * cannot apply — non-parquet backend, an untranslatable predicate
+    * (EVERY field pair must translate exactly; an advisory subset
+    * would overcount — [[QueryCompiler.exactPreds]] contract), a
+    * missing path, or a version pin that fails to resolve (a
+    * malformed `_version` / out-of-range `_version_ts` must fail with
+    * the SCAN path's error, not a new fast-path shape — r17 ADVICE).
+    */
+  private def metadataCountInputs(spark: SparkSession, s: SourceSpec)
+      : Option[(String, Option[Long],
+                Seq[graft.operators.Snapshot.ReadPred])] = {
     if (s.ref.backend != "parquet") return None
-    // EVERY field pair must translate exactly — an advisory subset
-    // would overcount ([[QueryCompiler.exactPreds]] contract)
     val preds = QueryCompiler.exactPreds(s.query).getOrElse(return None)
     val p = Resolver.path(s.ref)
     val hp = new org.apache.hadoop.fs.Path(p)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hp)) return None // the scan path owns the error shape
-    // a malformed `_version` / out-of-range `_version_ts` must fail
-    // with the scan path's error, not a new fast-path shape (ADVICE)
     val atV = scala.util.Try {
       s.query.collectFirst { case ("_version", v) => v.toLong }
         .orElse(s.query.collectFirst { case ("_version_ts", v) =>
@@ -71,6 +77,31 @@ object Runner {
       case scala.util.Success(v) => v
       case scala.util.Failure(_) => return None
     }
+    Some((p, atV, preds))
+  }
+
+  /** DRY-RUN provenance for a `_count` (r18, verdict #7): the covered
+    * count plan's (covered, boundary, total, coveredRows) member
+    * split WITHOUT running the boundary scan — what `--dry --count`
+    * prints so a user sees "covered 58 files, scanning 2" before
+    * paying for anything. None = the count would take the exact scan
+    * path. Plan classification is driver-side metadata work; no Spark
+    * job runs.
+    */
+  def countPlan(spark: SparkSession, s: SourceSpec)
+      : Option[(Int, Int, Int, Long)] = {
+    val (p, atV, preds) = metadataCountInputs(spark, s).getOrElse(return None)
+    val maint = graft.operators.MaintProfile.sessionFor(spark)
+    graft.operators.Snapshot.metadataCountPlan(maint, p, atV, preds)
+      .map { case (coveredRows, _) =>
+        val (c, b, t) = graft.operators.Snapshot.lastCountPlan
+        (c, b, t, coveredRows)
+      }
+  }
+
+  private def metadataCountFast(spark: SparkSession,
+                                s: SourceSpec): Option[Long] = {
+    val (p, atV, preds) = metadataCountInputs(spark, s).getOrElse(return None)
     // the whole plan — including the boundary frame — builds on the
     // maintenance TWIN session (r18 ADVICE: a count is a query-path
     // API, not a single-writer maintenance call, so it must never

@@ -279,6 +279,47 @@ class RunnerSpec extends SparkSpec {
       df.filter(col("id") >= 7).agg(min(col("txt"))).head().getString(0))
   }
 
+  test("r18 countPlan (--dry provenance): the covered/boundary/total " +
+    "split without execution — zero jobs; scan shapes report None") {
+    val dir = Files.createTempDirectory("runner_dryplan").toString
+    val p = s"$dir/t.parquet"
+    val df = (0L until 1200L).map(i => (i, s"v$i")).toDF("id", "txt")
+    graft.operators.WriteOps.atomicOverwrite(spark, df, p,
+      indexBy = Seq("id"), maxRecordsPerFile = 200,
+      commitMode = "snapshot", keepVersions = 4)
+    val s = SourceSpec(DatasetRef("parquet", dir, "t"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      assert(Runner.countPlan(spark, s.copy(query =
+        Seq("id__gte" -> "150", "id__lte" -> "1049")))
+        .contains((4, 2, 6, 800L)),
+        "4 covered files of 200 rows, 2 straddling, 6 total")
+      // a predicate that does not translate exactly → scan path → None
+      assert(Runner.countPlan(spark, s.copy(query =
+        Seq("txt__startswith" -> "v1"))).isEmpty)
+      // a plain (non-snapshot) parquet dir → None
+      val plainDir = Files.createTempDirectory("runner_dryplain").toString
+      df.write.parquet(s"$plainDir/t.parquet")
+      assert(Runner.countPlan(spark,
+        SourceSpec(DatasetRef("parquet", plainDir, "t"))).isEmpty)
+      awaitQuiet(() => jobs.get())
+      // the plain-dir write above runs jobs; the PLAN calls must not
+      // add any beyond it
+      val afterWrite = jobs.get()
+      Runner.countPlan(spark, s.copy(query =
+        Seq("id__gte" -> "0", "id__lte" -> "99")))
+      awaitQuiet(() => jobs.get())
+      assert(jobs.get() == afterWrite,
+        "countPlan must classify members without running a job")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("r18 ADVICE: TimestampNTZ metadata min/max fast-paths and " +
     "round-trips the wall-clock external value exactly") {
     import graft.engine.Planner
