@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** r18 optimization probe (guide §1/§7): per-query JOB/STAGE/TASK
+  * counts and wall time under the bench's exact session shape. The
+  * bench suite at sf0.1 is overhead-bound (the data is MBs), so the
+  * first derivative of a query's seconds is its scheduled-work count,
+  * not its byte throughput — this prints exactly that, per query:
+  *
+  *   OPTPROBE <name> <sec> jobs=<n> stages=<n> tasks=<n> shuffleMB=<n>
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... sbt 'runMain graft.tools.OptProbe q_a q_b'
+  * (each query runs twice; the SECOND run is reported — steady state,
+  * same as the bench's warm protocol).
+  */
+object OptProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    @volatile var jobs = 0
+    @volatile var stages = 0
+    @volatile var tasks = 0
+    @volatile var shuffleBytes = 0L
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        synchronized { jobs += 1 }
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        synchronized {
+          stages += 1
+          val m = s.stageInfo.taskMetrics
+          if (m != null) shuffleBytes += m.shuffleWriteMetrics.bytesWritten
+        }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        synchronized { tasks += 1 }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    for (name <- args) {
+      val fn = graft.SparkEntry.queries(name)
+      // pass 1: warm (codegen/JIT/page cache) — not reported
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"$name warm: $e") }
+      try spark.sharedState.cacheManager.clearCache()
+      catch { case _: Throwable => }
+      // drain listener events from the warm pass before counting
+      Thread.sleep(400)
+      synchronized { jobs = 0; stages = 0; tasks = 0; shuffleBytes = 0L }
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"$name run: $e") }
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(400)
+      println(f"OPTPROBE $name $dt%.2f s jobs=$jobs stages=$stages " +
+        f"tasks=$tasks shuffleMB=${shuffleBytes / 1e6}%.1f")
+      try spark.sharedState.cacheManager.clearCache()
+      catch { case _: Throwable => }
+    }
+    spark.stop()
+  }
+}
