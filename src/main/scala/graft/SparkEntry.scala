@@ -42,6 +42,70 @@ object SparkEntry {
   private def read(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Resolver.readParquet(s, s"$dir/$name.parquet")
 
+  /** Exact row count of a plain parquet file/dir from its footers —
+    * driver-side metadata, zero Spark jobs (r18, guide §5: the bench
+    * fixtures paid a full count JOB per seeded table just to size
+    * `maxRecordsPerFile`). Footer record counts are exact for
+    * committed parquet, so every derived value (`maxRecordsPerFile`,
+    * law comparisons against the source total) is bit-identical to
+    * what `df.count()` returned. Fixture sizing only — engine query
+    * paths keep their own metadata plane ([[graft.engine.Runner.count]]).
+    */
+  private def pathRows(s: SparkSession, path: String): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = s.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.map(_.getPath)
+          .filter(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      else Seq(p)
+    files.map { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+  private def rowsOf(s: SparkSession, dir: String, name: String): Long =
+    pathRows(s, s"$dir/$name.parquet")
+
+  /** Exact max of a required int64 column from parquet footer
+    * statistics — driver-side, zero jobs (footer min/max is exact for
+    * long columns; same value `agg(max(col))` computed with a full
+    * scan job). Used for the SF-independent range bounds the covered
+    * count/aggregate gates derive from the key domain. Loud when any
+    * row group lacks the statistic — silence would change the bound.
+    */
+  private def colMaxLong(s: SparkSession, path: String, column: String): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = s.sparkContext.hadoopConfiguration
+    val r = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf))
+    try {
+      val maxes = r.getFooter.getBlocks.asScala.flatMap { b =>
+        b.getColumns.asScala
+          .find(_.getPath.toDotString == column)
+          .map { c =>
+            val st = c.getStatistics
+            require(st != null && st.hasNonNullValue,
+              s"no footer max statistic for $column in $path")
+            st.genericGetMax match {
+              case l: java.lang.Long => l.longValue
+              case i: java.lang.Integer => i.longValue
+              case other => throw new IllegalArgumentException(
+                s"$column footer stat is ${other.getClass.getName}, not long")
+            }
+          }
+      }
+      require(maxes.nonEmpty, s"no row groups with $column in $path")
+      maxes.max
+    } finally r.close()
+  }
+
   /** Fixed merge list for `q_bpe_encode` (a LITERAL parameter, not a
     * trained artifact, so the DuckDB oracle can replay the identical
     * replace chain; training itself is law-checked in ExtSpec).
@@ -145,15 +209,16 @@ object SparkEntry {
     "q_count_range" -> ((s, dir) => {
       import s.implicits._
       val li = read(s, dir, "lineitem")
+      val nLi = rowsOf(s, dir, "lineitem") // footer metadata, no job
       val scratch = scratchDir("graft_cntrange")
       val p = s"$scratch/li.parquet"
       WriteOps.atomicOverwrite(s, li, p, indexBy = Seq("l_orderkey"),
-        maxRecordsPerFile = math.max(500, li.count() / 24),
-        commitMode = "snapshot")
+        maxRecordsPerFile = math.max(500, nLi / 24),
+        commitMode = "snapshot", rowsHint = Some(nLi))
       // SF-independent range: [100, 60% of the key domain] — interior
-      // files exist at every SF (the oracle replays the same bound)
-      val hi = li.agg(max(col("l_orderkey")).cast("long")).head()
-        .getLong(0) * 6 / 10
+      // files exist at every SF (the oracle replays the same bound);
+      // footer max stats are exact for int64, same value the agg read
+      val hi = colMaxLong(s, s"$dir/lineitem.parquet", "l_orderkey") * 6 / 10
       graft.operators.Snapshot.lastCountPlan = (-1, -1, -1)
       val n = Runner.count(s, SourceSpec(DatasetRef("parquet", scratch, "li"),
         query = Seq("l_orderkey__gte" -> "100", "l_orderkey__lte" -> hi.toString)))
@@ -173,12 +238,13 @@ object SparkEntry {
     // a LocalRelation (no scan node at all) ──────────────────────────
     "q_agg_metadata" -> ((s, dir) => {
       val orders = read(s, dir, "orders")
+      val nOrd = rowsOf(s, dir, "orders") // footer metadata, no job
       val scratch = scratchDir("graft_aggmeta")
       val p = s"$scratch/ord.parquet"
       graft.operators.Snapshot.overwrite(s, orders, p,
         indexBy = Seq("o_orderkey"),
-        maxRecordsPerFile = math.max(200, orders.count() / 24),
-        statsCols = Seq("o_orderdate"))
+        maxRecordsPerFile = math.max(200, nOrd / 24),
+        statsCols = Seq("o_orderdate"), rowsHint = Some(nOrd))
       val frame = graft.engine.Planner.sourceFrame(s, SourceSpec(
         DatasetRef("parquet", scratch, "ord"),
         query = Seq("_agg" -> ("min:o_orderkey,max:o_orderkey," +
@@ -203,7 +269,7 @@ object SparkEntry {
       val p = s"$scratch/ord.parquet"
       WriteOps.atomicOverwrite(s, orders, p, partitionBy = Seq("o_year"),
         indexBy = Seq("o_orderkey"),
-        maxRecordsPerFile = math.max(200, orders.count() / 48),
+        maxRecordsPerFile = math.max(200, rowsOf(s, dir, "orders") / 48),
         commitMode = "snapshot", statsCols = Seq("o_orderdate"))
       val frame = graft.engine.Planner.sourceFrame(s, SourceSpec(
         DatasetRef("parquet", scratch, "ord"),
@@ -226,15 +292,16 @@ object SparkEntry {
     // decided from the manifest ──────────────────────────────────────
     "q_agg_range" -> ((s, dir) => {
       val li = read(s, dir, "lineitem")
+      val nLi = rowsOf(s, dir, "lineitem") // footer metadata, no job
       val scratch = scratchDir("graft_aggrange")
       val p = s"$scratch/li.parquet"
       WriteOps.atomicOverwrite(s, li, p, indexBy = Seq("l_orderkey"),
-        maxRecordsPerFile = math.max(500, li.count() / 24),
-        commitMode = "snapshot", statsCols = Seq("l_shipdate"))
+        maxRecordsPerFile = math.max(500, nLi / 24),
+        commitMode = "snapshot", statsCols = Seq("l_shipdate"),
+        rowsHint = Some(nLi))
       // the same SF-independent range as q_count_range (the oracle
-      // replays the bound)
-      val hi = li.agg(max(col("l_orderkey")).cast("long")).head()
-        .getLong(0) * 6 / 10
+      // replays the bound); footer max stats are exact for int64
+      val hi = colMaxLong(s, s"$dir/lineitem.parquet", "l_orderkey") * 6 / 10
       graft.operators.Snapshot.lastAggPlan = (-1, -1, -1)
       val frame = graft.engine.Planner.sourceFrame(s, SourceSpec(
         DatasetRef("parquet", scratch, "li"),
@@ -339,10 +406,11 @@ object SparkEntry {
     "q_delete_dv" -> ((s, dir) => {
       val scratch = scratchDir("graft_dv")
       val orders = read(s, dir, "orders")
+      val nOrd = rowsOf(s, dir, "orders") // footer metadata, no job
       val p = s"$scratch/orders_t.parquet"
       WriteOps.atomicOverwrite(s, orders, p, indexBy = Seq("o_orderkey"),
-        maxRecordsPerFile = math.max(500, orders.count() / 24),
-        commitMode = "snapshot", keepVersions = 3)
+        maxRecordsPerFile = math.max(500, nOrd / 24),
+        commitMode = "snapshot", keepVersions = 3, rowsHint = Some(nOrd))
       val hp = new org.apache.hadoop.fs.Path(p)
       val fsys = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
       def dataFiles = graft.operators.Snapshot
@@ -356,7 +424,7 @@ object SparkEntry {
       require(dataFiles == before,
         "DV delete must not write or remove any data file")
       require(graft.sources.Resolver.readParquet(s, p, Some(1L)).count() ==
-        orders.count(), "v1 must time-travel intact through the DV commit")
+        nOrd, "v1 must time-travel intact through the DV commit")
       graft.sources.Resolver.readParquet(s, p).orderBy("o_orderkey")
     }),
 
@@ -372,10 +440,12 @@ object SparkEntry {
     "q_delete_dv_pred" -> ((s, dir) => {
       val scratch = scratchDir("graft_dvp")
       val orders = read(s, dir, "orders")
-      val mrpf = math.max(500, orders.count() / 24)
+      val nOrd = rowsOf(s, dir, "orders") // footer metadata, no job
+      val mrpf = math.max(500, nOrd / 24)
       val p = s"$scratch/orders_t.parquet"
       WriteOps.atomicOverwrite(s, orders, p, indexBy = Seq("o_orderkey"),
-        maxRecordsPerFile = mrpf, commitMode = "snapshot", keepVersions = 3)
+        maxRecordsPerFile = mrpf, commitMode = "snapshot", keepVersions = 3,
+        rowsHint = Some(nOrd))
       val hp = new org.apache.hadoop.fs.Path(p)
       val fsys = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
       def dataFiles = graft.operators.Snapshot
@@ -387,11 +457,12 @@ object SparkEntry {
       require(dataFiles == before,
         "predicate-DV delete must not write or remove any data file")
       require(graft.sources.Resolver.readParquet(s, p, Some(1L)).count() ==
-        orders.count(), "v1 must time-travel intact through the DV commit")
+        nOrd, "v1 must time-travel intact through the DV commit")
       // LAW: predicate-DV ≡ keys-DV on the materialized key set
       val twin = s"$scratch/orders_k.parquet"
       WriteOps.atomicOverwrite(s, orders, twin, indexBy = Seq("o_orderkey"),
-        maxRecordsPerFile = mrpf, commitMode = "snapshot", keepVersions = 3)
+        maxRecordsPerFile = mrpf, commitMode = "snapshot", keepVersions = 3,
+        rowsHint = Some(nOrd))
       graft.operators.Snapshot.deleteByKeys(s, twin,
         orders.filter(expr(pred)).select("o_orderkey"), keepVersions = 3)
       val byPred = graft.sources.Resolver.readParquet(s, p)
@@ -413,10 +484,11 @@ object SparkEntry {
     "q_write_upsert_dv" -> ((s, dir) => {
       val scratch = scratchDir("graft_updv")
       val orders = read(s, dir, "orders")
+      val nOrd = rowsOf(s, dir, "orders") // footer metadata, no job
       val p = s"$scratch/orders_t.parquet"
       WriteOps.atomicOverwrite(s, orders, p, indexBy = Seq("o_orderkey"),
-        maxRecordsPerFile = math.max(500, orders.count() / 24),
-        commitMode = "snapshot", keepVersions = 3)
+        maxRecordsPerFile = math.max(500, nOrd / 24),
+        commitMode = "snapshot", keepVersions = 3, rowsHint = Some(nOrd))
       val keys = orders
         .filter(col("o_orderstatus") === "F" && col("o_orderkey") < 5000)
         .select("o_orderkey")
@@ -453,10 +525,11 @@ object SparkEntry {
     "q_write_upsert_dv_pred" -> ((s, dir) => {
       val scratch = scratchDir("graft_updvp")
       val orders = read(s, dir, "orders")
+      val nOrd = rowsOf(s, dir, "orders") // footer metadata, no job
       val p = s"$scratch/orders_t.parquet"
       WriteOps.atomicOverwrite(s, orders, p, indexBy = Seq("o_orderkey"),
-        maxRecordsPerFile = math.max(500, orders.count() / 24),
-        commitMode = "snapshot", keepVersions = 3)
+        maxRecordsPerFile = math.max(500, nOrd / 24),
+        commitMode = "snapshot", keepVersions = 3, rowsHint = Some(nOrd))
       graft.operators.Snapshot.deleteByPredicate(s, p,
         "o_orderstatus = 'F' AND o_orderkey < 5000", keepVersions = 3)
       val batch = orders.filter(col("o_orderkey") < 1000)
@@ -492,10 +565,11 @@ object SparkEntry {
     "q_write_upsert_append" -> ((s, dir) => {
       val scratch = scratchDir("graft_upap")
       val orders = read(s, dir, "orders")
+      val nOrd = rowsOf(s, dir, "orders") // footer metadata, no job
       val p = s"$scratch/orders_t.parquet"
       WriteOps.atomicOverwrite(s, orders, p, indexBy = Seq("o_orderkey"),
-        maxRecordsPerFile = math.max(500, orders.count() / 24),
-        commitMode = "snapshot", keepVersions = 3)
+        maxRecordsPerFile = math.max(500, nOrd / 24),
+        commitMode = "snapshot", keepVersions = 3, rowsHint = Some(nOrd))
       graft.operators.Snapshot.deleteByKeys(s, p, orders
         .filter(col("o_orderstatus") === "F" && col("o_orderkey") < 5000)
         .select("o_orderkey"), keepVersions = 3)
@@ -538,9 +612,10 @@ object SparkEntry {
     "q_write_upsert_pruned" -> ((s, dir) => {
       val scratch = scratchDir("graft_pm")
       val orders = read(s, dir, "orders")
+      val nOrd = rowsOf(s, dir, "orders") // footer metadata, no job
       val p = s"$scratch/orders_t.parquet"
       WriteOps.atomicOverwrite(s, orders, p, indexBy = Seq("o_orderkey"),
-        maxRecordsPerFile = math.max(500, orders.count() / 24))
+        maxRecordsPerFile = math.max(500, nOrd / 24), rowsHint = Some(nOrd))
       val batch = orders.filter(col("o_orderkey") < 1000)
         .withColumn("o_totalprice", col("o_totalprice") * 2)
       val stats = graft.operators.PrunedMerge.merge(
@@ -565,7 +640,7 @@ object SparkEntry {
       val p = s"$scratch/orders_t.parquet"
       WriteOps.atomicOverwrite(s, orders, p, partitionBy = Seq("o_orderstatus"),
         indexBy = Seq("o_orderkey"),
-        maxRecordsPerFile = math.max(500, orders.count() / 24))
+        maxRecordsPerFile = math.max(500, rowsOf(s, dir, "orders") / 24))
       val batch = orders.filter(col("o_orderkey") < 1000)
         .withColumn("o_totalprice", col("o_totalprice") * 2)
       val stats = graft.operators.PrunedMerge.merge(
@@ -588,10 +663,11 @@ object SparkEntry {
     "q_time_travel" -> ((s, dir) => {
       val scratch = scratchDir("graft_tt")
       val orders = read(s, dir, "orders")
+      val nOrd = rowsOf(s, dir, "orders") // footer metadata, no job
       val p = s"$scratch/orders_t.parquet"
       WriteOps.atomicOverwrite(s, orders, p, indexBy = Seq("o_orderkey"),
-        maxRecordsPerFile = math.max(500, orders.count() / 24),
-        commitMode = "snapshot")
+        maxRecordsPerFile = math.max(500, nOrd / 24),
+        commitMode = "snapshot", rowsHint = Some(nOrd))
       val batch = orders.filter(col("o_orderkey") < 1000)
         .withColumn("o_totalprice", col("o_totalprice") * 2)
       val stats = graft.operators.PrunedMerge.merge(
@@ -699,10 +775,11 @@ object SparkEntry {
     "q_drop_column" -> ((s, dir) => {
       val scratch = scratchDir("graft_drop")
       val orders = read(s, dir, "orders")
+      val nOrd = rowsOf(s, dir, "orders") // footer metadata, no job
       val p = s"$scratch/orders_t.parquet"
       WriteOps.atomicOverwrite(s, orders, p, indexBy = Seq("o_orderkey"),
-        maxRecordsPerFile = math.max(500, orders.count() / 24),
-        commitMode = "snapshot", keepVersions = 4)
+        maxRecordsPerFile = math.max(500, nOrd / 24),
+        commitMode = "snapshot", keepVersions = 4, rowsHint = Some(nOrd))
       val hp = new org.apache.hadoop.fs.Path(p)
       val fsys = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
       def dataFiles = graft.operators.Snapshot
@@ -794,10 +871,11 @@ object SparkEntry {
     "q_write_upsert_evolve" -> ((s, dir) => {
       val scratch = scratchDir("graft_evo")
       val orders = read(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      val nOrd = rowsOf(s, dir, "orders") // footer metadata, no job
       val p = s"$scratch/orders_t.parquet"
       WriteOps.atomicOverwrite(s, orders, p, indexBy = Seq("o_orderkey"),
-        maxRecordsPerFile = math.max(500, orders.count() / 24),
-        commitMode = "snapshot")
+        maxRecordsPerFile = math.max(500, nOrd / 24),
+        commitMode = "snapshot", rowsHint = Some(nOrd))
       val batch = orders.filter(col("o_orderkey") < 1000)
         .withColumn("o_totalprice", col("o_totalprice") * 2)
         .withColumn("o_flag", col("o_orderkey") % 7)
@@ -823,10 +901,12 @@ object SparkEntry {
       val scratch = scratchDir("graft_widen")
       val orders = read(s, dir, "orders").select("o_orderkey", "o_totalprice")
         .withColumn("o_qty", (col("o_orderkey") % 100).cast("int"))
+      val nOrd = rowsOf(s, dir, "orders") // footer metadata, no job
       val p = s"$scratch/orders_t.parquet"
       WriteOps.atomicOverwrite(s, orders, p, indexBy = Seq("o_orderkey"),
-        maxRecordsPerFile = math.max(500, orders.count() / 24),
-        commitMode = "snapshot", keepVersions = 5)               // v1
+        maxRecordsPerFile = math.max(500, nOrd / 24),
+        commitMode = "snapshot", keepVersions = 5,
+        rowsHint = Some(nOrd))                                   // v1
       val root = new org.apache.hadoop.fs.Path(p)
       val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
       def pool() = graft.operators.Snapshot
@@ -883,7 +963,7 @@ object SparkEntry {
       val v1r = graft.sources.Resolver.readParquet(s, p, Some(1L))
       require(v1r.columns.toSeq == Seq("o_orderkey", "o_totalprice"),
         s"time travel across evolution must keep v1's schema, got ${v1r.columns.toSeq}")
-      require(v1r.count() == orders.count(),
+      require(v1r.count() == rowsOf(s, dir, "orders"),
         "time travel across evolution must return the full v1 table")
       graft.operators.Snapshot.changelog(s, p, 1L, 2L, Seq("o_orderkey"))
         .orderBy("o_orderkey", "_change_type")
@@ -924,7 +1004,8 @@ object SparkEntry {
       read(s, dir, "orders").filter(col("o_orderkey") % 10 === 0)
         .coalesce(4).write.parquet(s"$scratch/orders_fp.parquet")
       val ref = ds(scratch, "orders_fp")
-      val n = s.read.parquet(s"$scratch/orders_fp.parquet").count()
+      // footer metadata of the just-written subset — no count job
+      val n = pathRows(s, s"$scratch/orders_fp.parquet")
       val cap = math.ceil(n * 0.4).toLong
       val job = JobSpec(
         SourceSpec(ref, Seq("_limit" -> cap.toString),
@@ -2184,10 +2265,12 @@ object SparkEntry {
       // envelope trust
       val scratch = scratchDir("graft_zread")
       val zp = s"$scratch/li_z.parquet"
+      // zed is a 1:1 projection of lineitem — footer rows, no count job
+      val nLi = rowsOf(s, dir, "lineitem")
       graft.operators.Snapshot.overwrite(s, zed, zp,
         indexBy = Seq("zval"),
-        maxRecordsPerFile = math.max(250L, zed.count() / 24),
-        statsCols = Seq("l_partkey", "l_suppkey"))
+        maxRecordsPerFile = math.max(250L, nLi / 24),
+        statsCols = Seq("l_partkey", "l_suppkey"), rowsHint = Some(nLi))
       val t = s.read.format("graft").load(zp)
       // SF-independent 10%×20% box inside the key domains (a fixed box
       // is empty at sf0.001, where l_suppkey only spans 1..10)
@@ -2204,7 +2287,8 @@ object SparkEntry {
       // require it moved — a stale (kept, total) from an earlier query
       // can no longer validate this law
       graft.operators.Snapshot.lastSkipPlan = (-1, -1)
-      require(boxT.count() == boxDirect.count() && boxDirect.count() > 0,
+      val nBox = boxDirect.count() // one job, compared twice below
+      require(boxT.count() == nBox && nBox > 0,
         "the pruned interop read must equal the direct filter")
       val (kept, total) = graft.operators.Snapshot.lastSkipPlan
       require(total != -1,
@@ -2242,7 +2326,11 @@ object SparkEntry {
       val p = s"$scratch/docs_z.parquet"
       graft.operators.Snapshot.overwrite(s, zed, p,
         indexBy = Seq("zval"), maxRecordsPerFile = 20,
-        statsCols = Seq("k", "doc_id"))
+        statsCols = Seq("k", "doc_id"),
+        // zed is a 1:1 projection of documents — footer rows, no job;
+        // the hint parallelizes the deliberately fragmented 250-file
+        // layout (one task wrote them serially: 2.7 s at sf0.1)
+        rowsHint = Some(rowsOf(s, dir, "documents")))
       // in-query law (the q_zorder shape with one STRING dim): a
       // hex-key range × doc_id range box through the query DSL plans
       // a strict subset of the z-ordered members from the manifest's
@@ -2254,7 +2342,8 @@ object SparkEntry {
           "doc_id__between" -> "100,199")))
       val boxDirect = zed.filter(col("k") >= "2" && col("k") < "8" &&
         col("doc_id").between(100, 199))
-      require(frame.count() == boxDirect.count() && boxDirect.count() > 0,
+      val nBox = boxDirect.count() // one job, compared twice below
+      require(frame.count() == nBox && nBox > 0,
         "the pruned box read must equal the direct filter")
       require(full.inputFiles.length >= 16 &&
         frame.inputFiles.length < full.inputFiles.length / 2,
@@ -2270,11 +2359,12 @@ object SparkEntry {
     // result oracle-identical ───────────────────────────────────────
     "q_read_skip" -> ((s, dir) => {
       val li = read(s, dir, "lineitem")
+      val nLi = rowsOf(s, dir, "lineitem") // footer metadata, no job
       val scratch = scratchDir("graft_rskip")
       val p = s"$scratch/li.parquet"
       WriteOps.atomicOverwrite(s, li, p, indexBy = Seq("l_orderkey"),
-        maxRecordsPerFile = math.max(500, li.count() / 24),
-        commitMode = "snapshot")
+        maxRecordsPerFile = math.max(500, nLi / 24),
+        commitMode = "snapshot", rowsHint = Some(nLi))
       val full = graft.sources.Resolver.readParquet(s, p)
       val frame = graft.engine.Planner.sourceFrame(s, SourceSpec(
         DatasetRef("parquet", scratch, "li"),
@@ -2300,7 +2390,7 @@ object SparkEntry {
       val p = s"$scratch/ord.parquet"
       WriteOps.atomicOverwrite(s, orders, p, partitionBy = Seq("o_year"),
         indexBy = Seq("o_orderkey"),
-        maxRecordsPerFile = math.max(200, orders.count() / 48),
+        maxRecordsPerFile = math.max(200, rowsOf(s, dir, "orders") / 48),
         commitMode = "snapshot")
       val full = graft.sources.Resolver.readParquet(s, p)
       val frame = graft.engine.Planner.sourceFrame(s, SourceSpec(
@@ -2322,11 +2412,12 @@ object SparkEntry {
     "q_read_skip_str" -> ((s, dir) => {
       val docs = read(s, dir, "documents")
         .withColumn("k", md5(col("doc_id").cast("string").cast("binary")))
+      val nDocs = rowsOf(s, dir, "documents") // footer metadata, no job
       val scratch = scratchDir("graft_rskips")
       val p = s"$scratch/docs.parquet"
       WriteOps.atomicOverwrite(s, docs, p, indexBy = Seq("k"),
-        maxRecordsPerFile = math.max(20, docs.count() / 24),
-        commitMode = "snapshot")
+        maxRecordsPerFile = math.max(20, nDocs / 24),
+        commitMode = "snapshot", rowsHint = Some(nDocs))
       val full = graft.sources.Resolver.readParquet(s, p)
       val frame = graft.engine.Planner.sourceFrame(s, SourceSpec(
         DatasetRef("parquet", scratch, "docs"),

@@ -480,9 +480,17 @@ object Runner {
     val uid = job.contid.getOrElse(java.util.UUID.randomUUID().toString)
     var last = -1L; var unchanged = 0; var iters = 0; var written = 0L
     var done = false
+    // sticky mark probe (r18): the _contid column can only APPEAR
+    // (every iteration's write stamps it), so once seen — or once we
+    // have written a stamped batch ourselves — the per-iteration
+    // schema read it cost is pure overhead
+    var marked = false
     while (!done && iters < maxIter) {
-      val hasMark = selfUpdate &&
-        Resolver.read(spark, job.source.ref).columns.contains("_contid")
+      val hasMark = selfUpdate && (marked || {
+        marked = Resolver.read(spark, job.source.ref)
+          .columns.contains("_contid")
+        marked
+      })
       val contFilter: Seq[(String, String)] =
         if (hasMark) Seq("_contid__nsne" -> uid) else Nil
       val stamp: Seq[TransformStage] =
@@ -498,6 +506,7 @@ object Runner {
         if (unchanged >= 2) done = true
         else {
           written += execute(spark, effJob, log = false).written
+          marked = true // the write just stamped _contid
           iters += 1
         }
       }

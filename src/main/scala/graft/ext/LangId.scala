@@ -126,9 +126,20 @@ object LangId {
     // agg) aggregates ONCE and every leg reads the cached |langs|·|V|
     // rows back columnar. Without this the training pipeline re-ran ~3×
     // (measured 38.6 s at sf0.1; ~3 s persisted).
-    val m = if (cacheIntermediates)
-      model.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else model
+    val m = if (cacheIntermediates) {
+      val mm =
+        model.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Materialize ONCE before the legs fan out (r18): the totals /
+      // vocab / scored legs build as CONCURRENT broadcast-exchange
+      // futures, and on a cold cache each of them re-ran the whole
+      // train pipeline (block-level locking only dedups per partition
+      // AFTER a computation started — the probe showed 3×0.3-0.6 s
+      // racing futures). One count fills this cache — and the gram
+      // stream's, when the model derives from the persisted self-scoring
+      // pass — so every leg reads the cached |langs|·|V| rows columnar.
+      mm.count()
+      mm
+    } else model
     // per-lang totals and the gram-vocabulary size: |langs|+1 tiny
     // frames, broadcast — never collected
     val totals = m.groupBy("lang")

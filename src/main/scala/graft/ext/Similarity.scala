@@ -142,7 +142,16 @@ object Similarity {
     require(!over,
       s"cosinePairs is brute O(n²) and the corpus exceeds $maxRows rows: " +
         "use lshPairs (bucketed, scale-safe) or raise maxRows deliberately")
+    // r18 (guide §2.6): the stream side of the nested-loop join
+    // otherwise inherits the scan's partitioning — a small corpus is
+    // ONE file, so every O(n²) cosine ran in a single task (measured
+    // 0.8 s of the 2.1 s query at sf0.1 with 31 cores idle). A cheap
+    // round-robin repartition of the n streamed rows spreads the pair
+    // work across the cores; the pair set and every sim value are
+    // unchanged (same expression, same inputs, order-free output).
+    val spark = df.sparkSession
     val a = df.select(col(id).as("id_a"), col(vec).as("va"))
+      .repartition(spark.sparkContext.defaultParallelism)
     val b = df.select(col(id).as("id_b"), col(vec).as("vb"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("sim", cosine(col("va"), col("vb")))
@@ -306,8 +315,16 @@ object Similarity {
                id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     val chunks = maxHamming + 1
     val width = planes / chunks
+    // r18: persist the (id, sketch) table — the hyperplane sketch
+    // (planes dot products per vector) is the expensive leg and the
+    // blocked self-join evaluates its input once per side. 16 bytes a
+    // row, so even a billion-vector corpus spills gracefully at
+    // MEMORY_AND_DISK; output unchanged (deterministic sketch). CACHE
+    // CONTRACT as [[graft.ext.LangId]]: caller owns the lifecycle
+    // (Bench/Verify/QBench clear the cache manager per query).
     val sk = df.select(col(id).as("id"),
       hyperplaneSketch(col(vec), planes).as("sk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // separate chunk exprs (multi-reference) keep the sketch staged —
     // a transform-over-sequence would let CollapseProject inline the
     // whole sketch into the lambda, recomputing it per chunk

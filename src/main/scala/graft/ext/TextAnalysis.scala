@@ -689,8 +689,18 @@ object TextAnalysis {
   def lmScore(train: DataFrame, target: DataFrame,
               idCol: String = "doc_id", textCol: String = "text",
               addK: Double = 0.5, minCount: Long = 1L): DataFrame =
-    lmScoreWith(lmModel(train, idCol, textCol, minCount), target,
-      idCol, textCol, addK)
+    // r18: the model feeds TWO consumers inside lmScoreWith — the
+    // (N, V) driver fold and the token join — so the train-and-score
+    // convenience persists it; the driver fold runs first (blocking)
+    // and fills the cache, the join reads it back columnar. The
+    // vocab-sized table is tiny; same caller-owned cache contract as
+    // [[LangId]] (the harness clears the cache manager per query).
+    // The deployment shape (train once, score many) persists the
+    // model to PARQUET instead — [[lmModel]]'s scaladoc.
+    lmScoreWith(
+      lmModel(train, idCol, textCol, minCount)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      target, idCol, textCol, addK)
 
   /** The trained model of [[lmScore]]: the kept (token, cnt) unigram
     * table. Persist it once (it's just a DataFrame — write it as
@@ -774,8 +784,16 @@ object TextAnalysis {
                minCount: Long = 1L, addK: Double = 0.5): DataFrame = {
     val v = train.select(explode(TextDedup.tokens(col(textCol))).as("t"))
       .agg(countDistinct(col("t"))).head().getLong(0)
-    lmScore2With(lmModel2(train, idCol, textCol, minCount), v, target,
-      idCol, textCol, addK)
+    // r18: the bigram table feeds TWO consumers inside lmScore2With
+    // (the scored join and the derived context table) — each re-ran
+    // the corpus bigram explode+agg. Persist + materialize once
+    // (eagerly: the two consumers build as concurrent join legs, and
+    // a cold cache makes both recompute); vocab-sized, tiny. Same
+    // caller-owned cache contract as [[lmScore]].
+    val m2 = lmModel2(train, idCol, textCol, minCount)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    m2.count()
+    lmScore2With(m2, v, target, idCol, textCol, addK)
   }
 
   /** Score `target` against a trained (STATIC) [[lmModel]]. The model
@@ -836,7 +854,14 @@ object TextAnalysis {
                         addK: Double = 0.5, minCount: Long = 1L,
                         buckets: Int = 3): DataFrame = {
     require(buckets >= 2, s"perplexityBuckets: need >= 2 buckets, got $buckets")
+    // r18: the scored frame feeds the percentile aggregate (a
+    // broadcast leg) AND the labeled output — each evaluation re-ran
+    // the whole unigram-LM pipeline. One doc-sized row per document,
+    // so persist + materialize once; same caller-owned cache contract
+    // as [[lmScore]].
     val scored = lmScore(train, target, idCol, textCol, addK, minCount)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scored.count()
     val ps = (1 until buckets).map(_.toDouble / buckets)
     val th = scored.agg(
       percentile(col("cross_entropy"), typedLit(ps)).as("__th__"))

@@ -2980,8 +2980,24 @@ object Snapshot {
     * task — the parallel range layout is the right shape at any size.
     */
   private def sortedLayout(df: DataFrame, sortKeys: Seq[String],
-                           partitioned: Boolean = false): DataFrame =
+                           partitioned: Boolean = false,
+                           explicitParts: Option[Int] = None): DataFrame =
     if (sortKeys.isEmpty) df
+    else if (explicitParts.exists(_ > 1))
+      // r18 (guide §2.6/§6): a MANY-FILE write — the caller knows the
+      // row count and `maxRecordsPerFile` will split the output into
+      // explicitParts-or-more files. The one-task path below would
+      // write them all SERIALLY (measured 1.0 s per 24-file seed,
+      // 2.7 s for a 250-file layout at sf0.1); an explicit range
+      // partition count spreads file creation across the executor
+      // cores while keeping the layout contract — ranges are disjoint
+      // and consecutive, so per-file key envelopes stay tight and
+      // non-overlapping exactly as the one-task run's chunks were.
+      // The explicit count also makes the layout independent of
+      // `spark.sql.shuffle.partitions`, so it parallelizes even under
+      // the MaintProfile's 1-partition profile.
+      df.repartitionByRange(explicitParts.get, sortKeys.map(col).toIndexedSeq: _*)
+        .sortWithinPartitions(sortKeys.map(col).toIndexedSeq: _*)
     else {
       val est =
         try df.queryExecution.optimizedPlan.stats.sizeInBytes
@@ -2992,6 +3008,32 @@ object Snapshot {
         df.repartitionByRange(sortKeys.map(col).toIndexedSeq: _*)
           .sortWithinPartitions(sortKeys.map(col).toIndexedSeq: _*)
     }
+
+  /** Range-partition count for a MANY-FILE write, or None to keep the
+    * status-quo layout decision. Some(n) only when the caller supplied
+    * the batch row count AND `maxRecordsPerFile` implies at least
+    * [[ManyFileThreshold]] output files: n = min(expected files,
+    * defaultParallelism) — each task writes ~1 file (more when files
+    * exceed cores), instead of one task writing every file serially.
+    * Scale-adaptive by construction: the cap follows the session's
+    * core count, never a constant.
+    */
+  private[operators] def manyFileParts(spark: SparkSession,
+                                       rowsHint: Option[Long],
+                                       maxRecordsPerFile: Long): Option[Int] =
+    rowsHint match {
+      case Some(rows) if maxRecordsPerFile > 0 && rows > 0 =>
+        val files = ((rows + maxRecordsPerFile - 1) / maxRecordsPerFile).toInt
+        if (files >= ManyFileThreshold)
+          Some(math.min(files, spark.sparkContext.defaultParallelism))
+        else None
+      case _ => None
+    }
+
+  /** Below this expected file count a one-task write stays cheaper
+    * than the range sampler job the parallel layout pays.
+    */
+  private[operators] val ManyFileThreshold = 8
 
   private[graft] def stageOverwrite(spark: SparkSession, df: DataFrame,
                                     rootStr: String,
@@ -3588,7 +3630,8 @@ object Snapshot {
                 maxRecordsPerFile: Long = 0,
                 indexBy: Seq[String] = Nil,
                 keepVersions: Int = 2,
-                statsCols: Seq[String] = Nil): Unit =
+                statsCols: Seq[String] = Nil,
+                rowsHint: Option[Long] = None): Unit =
       // metadata-scale profile (r17) — see [[MaintProfile]];
       // partitioned writes never engage (one-task pin)
       MaintProfile.scoped(spark,
@@ -3601,7 +3644,8 @@ object Snapshot {
     val schemaDdl = org.apache.spark.sql.types.StructType(
       df.schema.fields.map(_.copy(nullable = true))).toDDL
     val sortKeys = indexBy.filterNot(partitionBy.contains)
-    val laid0 = sortedLayout(df, sortKeys, partitionBy.nonEmpty)
+    val laid0 = sortedLayout(df, sortKeys, partitionBy.nonEmpty,
+      manyFileParts(spark, rowsHint, maxRecordsPerFile))
     val stage = new Path(root, s"._snap_stage_${System.nanoTime()}")
     var w = laid0.write.mode("overwrite")
     if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)

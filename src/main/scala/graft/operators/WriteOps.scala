@@ -206,10 +206,22 @@ object WriteOps {
     * scan time. The Spark-native equivalent of a b-tree on a lake.
     * Shared by the full-rewrite and partition-scoped writers.
     */
-  private def indexLayout(df: DataFrame, indexBy: Seq[String]): DataFrame =
+  private def indexLayout(df: DataFrame, indexBy: Seq[String],
+                          explicitParts: Option[Int] = None): DataFrame =
     if (indexBy.isEmpty) df
-    else df.repartitionByRange(indexBy.map(col).toIndexedSeq: _*)
-      .sortWithinPartitions(indexBy.map(col).toIndexedSeq: _*)
+    else explicitParts match {
+      // r18: a known many-file write gets an explicit range-partition
+      // count (see [[Snapshot.manyFileParts]]) so file creation
+      // parallelizes and the count no longer rides
+      // spark.sql.shuffle.partitions (1 under the MaintProfile, which
+      // serialized every file of a small seed through one task)
+      case Some(n) if n > 1 =>
+        df.repartitionByRange(n, indexBy.map(col).toIndexedSeq: _*)
+          .sortWithinPartitions(indexBy.map(col).toIndexedSeq: _*)
+      case _ =>
+        df.repartitionByRange(indexBy.map(col).toIndexedSeq: _*)
+          .sortWithinPartitions(indexBy.map(col).toIndexedSeq: _*)
+    }
 
   /** Partition-scoped rewrite for partitioned targets: instead of
     * rewriting the whole dataset, overwrite ONLY the hive partitions
@@ -389,10 +401,16 @@ object WriteOps {
                       indexBy: Seq[String] = Nil,
                       commitMode: String = "rename",
                       keepVersions: Int = 2,
-                      statsCols: Seq[String] = Nil): Unit = {
+                      statsCols: Seq[String] = Nil,
+                      rowsHint: Option[Long] = None): Unit = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val laid = indexLayout(df, indexBy)
+    // r18: callers that know the batch row count let a many-file
+    // layout (maxRecordsPerFile splitting into >= ManyFileThreshold
+    // files) parallelize file creation instead of writing every file
+    // through one task — see [[Snapshot.manyFileParts]]
+    val laid = indexLayout(df, indexBy,
+      Snapshot.manyFileParts(spark, rowsHint, maxRecordsPerFile))
     def writeTo(dir: org.apache.hadoop.fs.Path): Unit = {
       var w = laid.write.mode("overwrite")
       if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
