@@ -854,14 +854,14 @@ object TextAnalysis {
                         addK: Double = 0.5, minCount: Long = 1L,
                         buckets: Int = 3): DataFrame = {
     require(buckets >= 2, s"perplexityBuckets: need >= 2 buckets, got $buckets")
-    // r18: the scored frame feeds the percentile aggregate (a
-    // broadcast leg) AND the labeled output — each evaluation re-ran
-    // the whole unigram-LM pipeline. One doc-sized row per document,
-    // so persist + materialize once; same caller-owned cache contract
-    // as [[lmScore]].
+    // r18 NOTE (measured, left alone): persisting `scored` here LOSES
+    // ~0.3-0.5 s at sf0.1 — the two consumers (percentile broadcast
+    // leg, labeled output) already overlap in wall time, the
+    // percentile leg prunes to ONE column when it recomputes (the
+    // cache materializes every column), and an eager count serializes
+    // a full extra evaluation. The double evaluation is the cheaper
+    // shape; the model it re-scores with IS persisted ([[lmScore]]).
     val scored = lmScore(train, target, idCol, textCol, addK, minCount)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    scored.count()
     val ps = (1 until buckets).map(_.toDouble / buckets)
     val th = scored.agg(
       percentile(col("cross_entropy"), typedLit(ps)).as("__th__"))
