@@ -467,8 +467,11 @@ object SparkEntry {
         orders.filter(expr(pred)).select("o_orderkey"), keepVersions = 3)
       val byPred = graft.sources.Resolver.readParquet(s, p)
       val byKeys = graft.sources.Resolver.readParquet(s, twin)
-      require(byPred.exceptAll(byKeys).isEmpty &&
-        byKeys.exceptAll(byPred).isEmpty,
+      // symmetric difference in ONE job (the q_dedup_cdc_index law
+      // shape, r18) — two separate isEmpty actions each re-scanned
+      // both tables
+      require(byPred.exceptAll(byKeys)
+        .unionAll(byKeys.exceptAll(byPred)).isEmpty,
         "predicate-DV and keys-DV must serve identical logical tables")
       byPred.orderBy("o_orderkey")
     }),
