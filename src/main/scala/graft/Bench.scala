@@ -10,6 +10,9 @@ object Bench {
       // write standard annotated INT64 micros (not deprecated INT96) so
       // parquet footers carry usable timestamp stats for pruned merges
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // fork-free local FS (r19): no per-file chmod spawn, no .crc
+      // sidecars — see graft.sources.FastLocalFs; inert off-local
+      .config("spark.hadoop.fs.file.impl", "graft.sources.FastLocalFs")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

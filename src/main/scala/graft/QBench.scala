@@ -6,6 +6,9 @@ object QBench {
       .config("spark.sql.shuffle.partitions","32")// write standard annotated INT64 micros (not deprecated INT96) so
 // parquet footers carry usable timestamp stats for pruned merges
 .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // fork-free local FS (r19): no per-file chmod spawn, no .crc
+      // sidecars — see graft.sources.FastLocalFs; inert off-local
+      .config("spark.hadoop.fs.file.impl", "graft.sources.FastLocalFs")
 .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()

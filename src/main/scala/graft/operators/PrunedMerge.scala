@@ -887,11 +887,15 @@ object PrunedMerge {
                             comps: Seq[(Domain, CompSource)],
                             needRows: Boolean = false): Seq[Envelope] = {
     val compArr = comps.toArray
-    if (files.size <= DistributedFooterThreshold)
+    if (files.size <= DistributedFooterThreshold) {
+      // ONE conf for the whole sweep (r19): the per-file copy made
+      // every footer read re-parse the hadoop XML resources (~5 ms
+      // of Configuration$Parser per file in the gap-time profile)
+      val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
       files.map { case (p, len, parts) =>
-        readOneEnvelope(new Configuration(spark.sparkContext.hadoopConfiguration),
-          p, len, parts, compArr, needRows)
+        readOneEnvelope(conf, p, len, parts, compArr, needRows)
       }
+    }
     else {
       val confW = new org.apache.spark.SerializableWritable(
         spark.sparkContext.hadoopConfiguration)

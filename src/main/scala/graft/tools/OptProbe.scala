@@ -23,27 +23,44 @@ object OptProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // fork-free local FS (r19): no per-file chmod spawn, no .crc
+      // sidecars — see graft.sources.FastLocalFs; inert off-local
+      .config("spark.hadoop.fs.file.impl", "graft.sources.FastLocalFs")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    @volatile var jobs = 0
-    @volatile var stages = 0
-    @volatile var tasks = 0
-    @volatile var shuffleBytes = 0L
+    // one lock shared by the listener callbacks and main's reset/read
+    // (r19, ADVICE: the callbacks previously synchronized on the
+    // listener instance while main synchronized on OptProbe — two
+    // monitors, so resets raced in-flight events)
+    val lock = new Object
+    var jobs = 0
+    var stages = 0
+    var tasks = 0
+    var taskTimeMs = 0L
+    var shuffleBytes = 0L
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
-        synchronized { jobs += 1 }
+        lock.synchronized { jobs += 1 }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
-        synchronized {
+        lock.synchronized {
           stages += 1
           val m = s.stageInfo.taskMetrics
           if (m != null) shuffleBytes += m.shuffleWriteMetrics.bytesWritten
         }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-        synchronized { tasks += 1 }
+        lock.synchronized {
+          tasks += 1
+          if (t.taskInfo != null) taskTimeMs += t.taskInfo.duration
+        }
     }
     spark.sparkContext.addSparkListener(listener)
+    // deterministic drain: waitUntilEmpty replaces the 400 ms sleep
+    // (late bus events otherwise bleed warm-pass counts into the run)
+    def drain(): Unit =
+      try org.apache.spark.sql.graftshim.ExprShim.drainListenerBus(spark, 10000)
+      catch { case _: Throwable => Thread.sleep(400) }
 
     for (name <- args) {
       val fn = graft.SparkEntry.queries(name)
@@ -53,15 +70,17 @@ object OptProbe {
       try spark.sharedState.cacheManager.clearCache()
       catch { case _: Throwable => }
       // drain listener events from the warm pass before counting
-      Thread.sleep(400)
-      synchronized { jobs = 0; stages = 0; tasks = 0; shuffleBytes = 0L }
+      drain()
+      lock.synchronized { jobs = 0; stages = 0; tasks = 0; taskTimeMs = 0L; shuffleBytes = 0L }
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"$name run: $e") }
       val dt = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(400)
-      println(f"OPTPROBE $name $dt%.2f s jobs=$jobs stages=$stages " +
-        f"tasks=$tasks shuffleMB=${shuffleBytes / 1e6}%.1f")
+      drain()
+      lock.synchronized {
+        println(f"OPTPROBE $name $dt%.2f s jobs=$jobs stages=$stages " +
+          f"tasks=$tasks taskTimeMs=$taskTimeMs shuffleMB=${shuffleBytes / 1e6}%.1f")
+      }
       try spark.sharedState.cacheManager.clearCache()
       catch { case _: Throwable => }
     }

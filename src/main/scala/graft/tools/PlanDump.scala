@@ -23,6 +23,9 @@ object PlanDump {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // fork-free local FS (r19): no per-file chmod spawn, no .crc
+      // sidecars — see graft.sources.FastLocalFs; inert off-local
+      .config("spark.hadoop.fs.file.impl", "graft.sources.FastLocalFs")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

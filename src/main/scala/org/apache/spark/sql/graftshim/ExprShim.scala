@@ -25,4 +25,12 @@ object ExprShim {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         "graft.functions", name),
       builder)
+
+  /** Deterministic listener-bus drain for the dev probes (r19, ADVICE:
+    * replaces Thread.sleep guesses). `listenerBus` is private[spark],
+    * hence the shim. Throws TimeoutException if events keep queueing.
+    */
+  def drainListenerBus(spark: org.apache.spark.sql.SparkSession,
+                       timeoutMs: Long): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
 }

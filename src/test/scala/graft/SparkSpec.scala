@@ -43,6 +43,9 @@ object SparkSpec {
       // write standard annotated INT64 micros (not deprecated INT96) so
       // parquet footers carry usable timestamp stats for pruned merges
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // fork-free local FS (r19) — the whole suite runs against the
+      // same `file://` implementation the entry points ship with
+      .config("spark.hadoop.fs.file.impl", "graft.sources.FastLocalFs")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
