@@ -192,9 +192,13 @@ object Runner {
           // `written` = rows processed from the source batch this run —
           // NOT the post-op target total (an upsert of 10 rows into a
           // 1M table writes 10, and loop/fan-out sums must not
-          // re-count the whole table each iteration). Counting the
-          // staged parquet is a footer-metadata read.
-          val written = batch.count()
+          // re-count the whole table each iteration). r19: the count
+          // comes straight from the staged files' parquet footers —
+          // driver-side, zero jobs, page-warm (the write just produced
+          // them); bit-identical to the count job it replaces, which
+          // remains the fallback for an unreadable footer.
+          val written = graft.operators.Snapshot
+            .footerRowCount(spark, stagePath).getOrElse(batch.count())
           // Keyed writes into an existing parquet target take the
           // FILE-PRUNED merge when footer envelopes allow it — only
           // pk-intersecting files are rewritten (at 100 TB a small
@@ -480,10 +484,16 @@ object Runner {
     val uid = job.contid.getOrElse(java.util.UUID.randomUUID().toString)
     var last = -1L; var unchanged = 0; var iters = 0; var written = 0L
     var done = false
-    // sticky mark probe (r18): the _contid column can only APPEAR
-    // (every iteration's write stamps it), so once seen — or once we
-    // have written a stamped batch ourselves — the per-iteration
-    // schema read it cost is pure overhead
+    // sticky mark probe (r18, narrowed r19 per ADVICE): once the
+    // _contid column has been SEEN in the target's schema it can only
+    // persist (the loop's own writes keep stamping it), so the
+    // per-iteration schema read stops after the first sighting. The
+    // r18 version also set the flag right after our own write — but a
+    // `_fields` projection or frame-replacing transform stage can drop
+    // the stamp from the written frame, and filtering `_contid__nsne`
+    // against a markless table throws. Read-side stickiness keeps the
+    // win (≤1 schema read per iteration until seen, then zero) without
+    // assuming anything about what the write persisted.
     var marked = false
     while (!done && iters < maxIter) {
       val hasMark = selfUpdate && (marked || {
@@ -506,7 +516,6 @@ object Runner {
         if (unchanged >= 2) done = true
         else {
           written += execute(spark, effJob, log = false).written
-          marked = true // the write just stamped _contid
           iters += 1
         }
       }

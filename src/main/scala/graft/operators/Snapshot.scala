@@ -5469,6 +5469,25 @@ object Snapshot {
 
   // ── shared fs helpers (also used by PrunedMerge/Compaction) ──────
 
+  /** Exact row count of a just-written parquet dir from its footers
+    * alone — driver-side, ZERO Spark jobs (r19: the Runner's
+    * staged-batch bookkeeping count was a scan job per keyed write /
+    * per fixpoint iteration; the footers were written milliseconds ago
+    * and are page-warm). None when any footer refuses to read — the
+    * caller falls back to the count job it used to pay.
+    */
+  private[graft] def footerRowCount(spark: SparkSession,
+                                    dir: Path): Option[Long] = {
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = listDataFilesRec(fs, dir)
+    if (files.isEmpty) return None
+    val stats = PrunedMerge.footerKeyStats(spark,
+      files.map(f => (f._1.toString, f._2)),
+      new org.apache.spark.sql.types.StructType(), Nil)
+    val rows = files.map(f => stats.get(f._1.toString).flatMap(_._2))
+    if (rows.forall(_.isDefined)) Some(rows.flatten.sum) else None
+  }
+
   private[graft] def listDataFilesRec(fs: FileSystem,
                                       root: Path): Seq[(Path, Long)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Path, Long)]

@@ -99,11 +99,24 @@ object WriteOps {
     * keys must still veto inserts (Catalyst column-prunes their scan
     * to the pk set; the existence check needs keys, not full rows).
     */
+  /** `existingKeysFrom` (r19): an alternative frame to source the
+    * existence-key set from, when the caller can PROVE its pk multiset
+    * equals `target`'s through a cheaper plan. [[upsert]] passes its
+    * original pre-update target here: update is row-preserving on pk
+    * (left-outer against a pk-deduped batch overlays values only), so
+    * keys(updated) ≡ keys(target) — but Catalyst cannot know that, and
+    * pruning the existence leg to `updated.select(pk)` still dragged
+    * the whole update join (a second broadcast build + full-target
+    * probe) into every upsert plan. With the original target the leg
+    * collapses to a pk-column scan.
+    */
   def insert(target: DataFrame, src: DataFrame, pk: Seq[String],
-             extraExistingKeys: Option[DataFrame] = None): DataFrame = {
+             extraExistingKeys: Option[DataFrame] = None,
+             existingKeysFrom: Option[DataFrame] = None): DataFrame = {
     val s = renameSrc(dedupeByPk(align(src, target), pk))
     val existing = extraExistingKeys.foldLeft(
-      target.select(pk.map(col).toIndexedSeq: _*))((t, e) =>
+      existingKeysFrom.getOrElse(target)
+        .select(pk.map(col).toIndexedSeq: _*))((t, e) =>
       t.unionByName(e.select(pk.map(col).toIndexedSeq: _*)))
     val fresh = s.join(existing,
         pk.map(k => col(SPrefix + k) <=> col(k)).reduce(_ && _), "left_anti")
@@ -152,7 +165,11 @@ object WriteOps {
              tq: Seq[(String, String)] = Nil, overwrite: Seq[String] = Nil,
              extraExistingKeys: Option[DataFrame] = None): DataFrame = {
     val updated = update(target, src, pk, tq, overwrite)
-    insert(updated, src, pk, extraExistingKeys)
+    // existence keys from the ORIGINAL target (r19): update is
+    // row-preserving on pk, so the key set is identical and the
+    // existence leg skips re-evaluating the update join (see [[insert]])
+    insert(updated, src, pk, extraExistingKeys,
+      existingKeysFrom = Some(target))
   }
 
   /** W2 index: keyed overwrite — the ES "write with doc id = pk" idiom:
