@@ -64,7 +64,7 @@ object SparkEntry {
             !f.getName.startsWith("_") && !f.getName.startsWith("."))
       else Seq(p)
     files.map { f =>
-      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      val r = graft.operators.Footers.open(conf, f)
       try r.getRecordCount finally r.close()
     }.sum
   }
@@ -79,12 +79,10 @@ object SparkEntry {
     * row group lacks the statistic — silence would change the bound.
     */
   private def colMaxLong(s: SparkSession, path: String, column: String): Long = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
     import scala.jdk.CollectionConverters._
     val conf = s.sparkContext.hadoopConfiguration
-    val r = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf))
+    val r = graft.operators.Footers.open(conf,
+      new org.apache.hadoop.fs.Path(path))
     try {
       val maxes = r.getFooter.getBlocks.asScala.flatMap { b =>
         b.getColumns.asScala

@@ -264,9 +264,8 @@ object RollupOps {
     def oneFile(conf: org.apache.hadoop.conf.Configuration,
                 p: String): Option[Long] = {
       val reader =
-        try org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(p), conf))
+        try graft.operators.Footers.open(conf,
+          new org.apache.hadoop.fs.Path(p))
         catch { case scala.util.control.NonFatal(_) => return None }
       try {
         import scala.jdk.CollectionConverters._

@@ -925,9 +925,9 @@ object PrunedMerge {
     val footer: Map[String, CompEnv] =
       if (dataCols.isEmpty && !needRows) Map.empty
       else try {
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(new Path(p), conf)
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        // Footers.open threads `conf` through the read options — the
+        // no-options overload re-parses hadoop's default XML per open
+        val reader = Footers.open(conf, new Path(p))
         try {
           import scala.jdk.CollectionConverters._
           val blocks = reader.getFooter.getBlocks.asScala.toSeq

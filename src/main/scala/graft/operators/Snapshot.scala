@@ -5402,9 +5402,7 @@ object Snapshot {
       def actualRows(rel: String): Long =
         actualCache.getOrElseUpdate(rel,
           try {
-            val in = org.apache.parquet.hadoop.util.HadoopInputFile
-              .fromPath(new Path(dd, rel), conf)
-            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            val r = Footers.open(conf, new Path(dd, rel))
             try {
               import scala.jdk.CollectionConverters._
               r.getFooter.getBlocks.asScala.map(_.getRowCount).sum

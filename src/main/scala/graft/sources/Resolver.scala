@@ -225,7 +225,7 @@ object Resolver {
           .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
       else Some(p)
     file.toSeq.flatMap { f =>
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      val reader = graft.operators.Footers.open(conf, f)
       try {
         reader.getFooter.getFileMetaData.getSchema.getFields.asScala.toSeq.collect {
           case t if t.getLogicalTypeAnnotation != null &&
