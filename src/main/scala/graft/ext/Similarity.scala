@@ -138,8 +138,8 @@ object Similarity {
                   maxRows: Long = CosinePairsDefaultMaxRows): DataFrame = {
     // bounded guard: scan at most maxRows+1 rows, never the full plan
     val cap = math.min(maxRows, Int.MaxValue - 1L).toInt
-    val over = df.select(col(id)).limit(cap + 1).count() > cap
-    require(!over,
+    val n = df.select(col(id)).limit(cap + 1).count()
+    require(n <= cap,
       s"cosinePairs is brute O(n²) and the corpus exceeds $maxRows rows: " +
         "use lshPairs (bucketed, scale-safe) or raise maxRows deliberately")
     // r18 (guide §2.6): the stream side of the nested-loop join
@@ -149,9 +149,20 @@ object Similarity {
     // round-robin repartition of the n streamed rows spreads the pair
     // work across the cores; the pair set and every sim value are
     // unchanged (same expression, same inputs, order-free output).
+    // r19: the partition count follows the PAIR count, not the core
+    // count — fanning ~2M cheap cosines into 32 tasks quadrupled the
+    // summed task time at sf0.1 (per-task overhead dominating µs of
+    // work; the driver's 8-vs-32-core scaling data showed the same
+    // inversion). ~250k pairs per task amortizes the fixed cost while
+    // keeping the critical path short, and the cap still saturates
+    // every core once the corpus is big enough for parallelism to
+    // matter; the guard count above already knows n.
     val spark = df.sparkSession
+    val pairParts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      n * n / 2 / 250000L + 1L)).toInt
     val a = df.select(col(id).as("id_a"), col(vec).as("va"))
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(pairParts)
     val b = df.select(col(id).as("id_b"), col(vec).as("vb"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("sim", cosine(col("va"), col("vb")))
