@@ -2227,12 +2227,40 @@ object Snapshot {
   /** The distinct predicate strings of a set of predicate-DV files,
     * sorted for plan determinism. Driver-side: each file holds a
     * handful of strings.
+    *
+    * Memoized per (path, length) like [[parseDdl]]'s ddlCache (r19):
+    * pool members are immutable (unique part names per commit; vacuum
+    * deletes, never rewrites), and multi-drain consumers — the CDF
+    * stream, repeated pruned merges against the same head — re-read
+    * the SAME tombstone files once per increment, a collect job each
+    * for a handful of strings. The length witness costs one local
+    * stat; a re-created path of different size misses and re-reads.
     */
+  private val predCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[String]]()
   private[operators] def readPredicates(spark: SparkSession,
-                                        files: Seq[String]): Seq[String] =
-    spark.read.parquet(files: _*)
-      .select(PredColName).distinct().collect()
-      .map(_.getString(0)).sorted.toSeq
+                                        files: Seq[String]): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val perFile = files.map { f =>
+      val len =
+        try new Path(f).getFileSystem(conf).getFileStatus(new Path(f)).getLen
+        catch { case scala.util.control.NonFatal(_) => -1L }
+      val key = (f, len)
+      val hit = if (len >= 0) predCache.get(key) else null
+      if (hit != null) hit
+      else {
+        val vals = spark.read.parquet(f)
+          .select(PredColName).distinct().collect()
+          .map(_.getString(0)).toSeq
+        if (len >= 0) {
+          if (predCache.size > 512) predCache.clear()
+          predCache.put(key, vals)
+        }
+        vals
+      }
+    }
+    perFile.flatten.distinct.sorted
+  }
 
   /** Scan a subset of one manifest's members, normalized to the
     * manifest's logical schema. The membership-restriction primitive
