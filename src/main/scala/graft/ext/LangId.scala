@@ -103,8 +103,15 @@ object LangId {
                 cacheIntermediates: Boolean = true): DataFrame = {
     // the gram stream feeds two legs (the per-doc total and the model
     // join) — persist so the normalize+explode pass over the corpus
-    // runs once; lifecycle per the scaladoc cache contract above
+    // runs once; lifecycle per the scaladoc cache contract above.
+    // The doc-keyed repartition (r19, same rationale as
+    // TextDedup.winnowFingerprints) spreads the normalize+explode over
+    // every core — a small corpus scans as ONE parquet split, and
+    // without the spread the whole gram pass AND every downstream
+    // cached-partition consumer ran single-task (probe: 1.17 s serial
+    // of a 3.9 s wall at sf0.1).
     val grams0 = target
+      .repartition(col(idCol))
       .select(col(idCol), normalize(col(textCol), cap).as("__s__"))
       .select(col(idCol), explode_outer(gramsOfNorm(col("__s__"), n)).as("gram"))
     val grams = if (cacheIntermediates)
@@ -210,7 +217,9 @@ object LangId {
                     addK: Double = 1.0,
                     cacheIntermediates: Boolean = true): DataFrame =
     if (train0 eq target) {
+      // doc-keyed repartition: see the scoreWith gram-stream comment
       val grams0 = target
+        .repartition(col(idCol))
         .select(col(idCol), col(langCol).as("__lang0__"),
           normalize(col(textCol), cap).as("__s__"))
         .select(col(idCol), col("__lang0__"),
