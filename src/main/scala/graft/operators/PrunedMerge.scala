@@ -303,14 +303,24 @@ object PrunedMerge {
     val keyCols = comps.map { case (c, _, _) =>
       col(c).cast(current.schema(c).dataType).as(c) }
     val distinctKeys = batch.select(keyCols: _*).distinct()
-    val nKeys = distinctKeys.count()
+    // ONE bounded collect (r19): take maxBatchKeys+1 rows — the exact
+    // key set when the batch fits, the over-cap signal when it does
+    // not. The previous count()-then-collect() pair recomputed the
+    // whole distinct shuffle twice to learn one bit.
+    val keyCap = math.min(maxBatchKeys, Int.MaxValue - 2L).toInt
+    val rawRows = distinctKeys.limit(keyCap + 1).collect()
     // an empty batch touches nothing under every keyed op — the merge
     // is a no-op and the target stays byte-identical
-    if (nKeys == 0)
+    if (rawRows.isEmpty)
       return Some(Stats(listed.size, 0, listed.map(_._2).sum, 0))
+    // exact below the cap (the collected rows ARE the key set); the
+    // over-cap path pays the count job it always needed — there it
+    // sizes the output file fan-out for many-files'-worth batches
+    lazy val nKeys: Long =
+      if (rawRows.length <= keyCap) rawRows.length.toLong
+      else distinctKeys.count()
     val compKeys: Array[CompKeys] =
-      if (nKeys <= maxBatchKeys) {
-        val rawRows = distinctKeys.collect()
+      if (rawRows.length <= keyCap) {
         comps.zipWithIndex.map { case ((_, dom, _), i) =>
           val vs = rawRows.map(_.get(i))
           val pts = dom.sortKeys(vs.filter(_ != null).map(dom.toDomain))
