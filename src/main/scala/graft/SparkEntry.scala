@@ -71,6 +71,27 @@ object SparkEntry {
   private def rowsOf(s: SparkSession, dir: String, name: String): Long =
     pathRows(s, s"$dir/$name.parquet")
 
+  /** Byte-identical clone of a committed snapshot-layout table —
+    * FIXTURE seeding only (r19, verdict #4): the q_delete_dv_pred twin
+    * law compares LOGICAL tables, so seeding the second table by file
+    * copy of the first's committed layout proves the same law at half
+    * the seed cost. Valid because the layout is rel-path-addressed
+    * (manifest entries, markers, pool files — nothing records the
+    * root), so a recursive copy IS a committed table.
+    */
+  private def cloneSnapshot(s: SparkSession, srcPath: String,
+                            dstPath: String): Unit = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = s.sparkContext.hadoopConfiguration
+    val src = new Path(srcPath)
+    val dst = new Path(dstPath)
+    val fs = src.getFileSystem(conf)
+    require(fs.exists(src), s"cloneSnapshot: missing source $srcPath")
+    if (fs.exists(dst)) fs.delete(dst, true)
+    require(FileUtil.copy(fs, src, fs, dst, false, conf),
+      s"cloneSnapshot: copy $srcPath -> $dstPath failed")
+  }
+
   /** Exact max of a required int64 column from parquet footer
     * statistics — driver-side, zero jobs (footer min/max is exact for
     * long columns; same value `agg(max(col))` computed with a full
@@ -450,6 +471,12 @@ object SparkEntry {
         .listDataFilesRec(fsys, graft.operators.Snapshot.dataDir(hp))
         .map(_._1.toString).toSet
       val before = dataFiles
+      // LAW twin seeded by byte-identical clone of the PRISTINE v1
+      // layout (r19, verdict #4): the law compares the two tables'
+      // LOGICAL content after independent DV commits — a second full
+      // sorted seed write proved nothing the copy does not
+      val twin = s"$scratch/orders_k.parquet"
+      cloneSnapshot(s, p, twin)
       val pred = "o_orderstatus = 'F' AND o_orderkey < 5000"
       graft.operators.Snapshot.deleteByPredicate(s, p, pred, keepVersions = 3)
       require(dataFiles == before,
@@ -457,10 +484,6 @@ object SparkEntry {
       require(graft.sources.Resolver.readParquet(s, p, Some(1L)).count() ==
         nOrd, "v1 must time-travel intact through the DV commit")
       // LAW: predicate-DV ≡ keys-DV on the materialized key set
-      val twin = s"$scratch/orders_k.parquet"
-      WriteOps.atomicOverwrite(s, orders, twin, indexBy = Seq("o_orderkey"),
-        maxRecordsPerFile = mrpf, commitMode = "snapshot", keepVersions = 3,
-        rowsHint = Some(nOrd))
       graft.operators.Snapshot.deleteByKeys(s, twin,
         orders.filter(expr(pred)).select("o_orderkey"), keepVersions = 3)
       val byPred = graft.sources.Resolver.readParquet(s, p)

@@ -50,6 +50,7 @@ object StageProbe {
     // frame of every running task thread every 4 ms — the CPU
     // attribution view when task metrics alone cannot explain the time
     val stackHist = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val exemplar = new java.util.concurrent.ConcurrentHashMap[String, String]()
     @volatile var samplingOn = false
     val sampler = new Thread(() => {
       while (true) {
@@ -69,8 +70,14 @@ object StageProbe {
                 c.contains("Broadcast") || c.contains("HashedRelation")
               }.orElse(st.headOption)
               interesting.foreach { f =>
-                stackHist.merge(
-                  s"${f.getClassName}.${f.getMethodName}", 1, (a, b) => a + b)
+                val key = s"${f.getClassName}.${f.getMethodName}"
+                stackHist.merge(key, 1, (a, b) => a + b)
+                // one exemplar full stack per zip/inflater frame — the
+                // histogram alone cannot say WHO opened the stream
+                if (key.contains("zip") || key.contains("Inflater"))
+                  exemplar.putIfAbsent(key,
+                    st.take(18).map(x => s"    ${x.getClassName}.${x.getMethodName}:${x.getLineNumber}")
+                      .mkString("\n"))
               }
             }
           }
@@ -104,6 +111,9 @@ object StageProbe {
     import scala.jdk.CollectionConverters._
     stackHist.asScala.toSeq.sortBy(-_._2.intValue).take(25).foreach {
       case (k, n) => println(f"${n.intValue}%6d  $k")
+    }
+    exemplar.asScala.foreach { case (k, st) =>
+      println(s"== exemplar stack for $k ==\n$st")
     }
     spark.stop()
   }
