@@ -26,6 +26,9 @@ object OptProbe {
       // fork-free local FS (r19): no per-file chmod spawn, no .crc
       // sidecars — see graft.sources.FastLocalFs; inert off-local
       .config("spark.hadoop.fs.file.impl", "graft.sources.FastLocalFs")
+      // RAM-backed shuffle dir when headroom allows (r19) — see
+      // graft.sources.LocalDirs for the scale story and overrides
+      .config(graft.sources.LocalDirs.confMap)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

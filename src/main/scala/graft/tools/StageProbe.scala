@@ -19,6 +19,9 @@ object StageProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.hadoop.fs.file.impl", "graft.sources.FastLocalFs")
+      // RAM-backed shuffle dir when headroom allows (r19) — see
+      // graft.sources.LocalDirs for the scale story and overrides
+      .config(graft.sources.LocalDirs.confMap)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val lock = new Object
