@@ -342,15 +342,36 @@ object Similarity {
     val chunkCols = (0 until chunks).map { j =>
       shiftright(col("sk"), j * width).bitwiseAND(lit((1L << width) - 1))
     }
-    val blocked = sk.select(col("id"), posexplode(array(chunkCols: _*)))
+    val blocked = sk.select(col("id"), col("sk"),
+        posexplode(array(chunkCols: _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ck")
-    // candidate dedup shuffles (id_a, id_b) ONLY — attaching the
-    // embedding payloads before distinct() multiplies the shuffle by
-    // the vector width; they join back for the exact verify
+    // FIRST-COLLISION dedup (r19, guide §2.4 remove shuffles outright):
+    // a pair agreeing on k chunks used to surface k times and pay a
+    // full (id_a, id_b) distinct() exchange. Each blocked row now
+    // carries its sketch, and the join keeps a collision only at the
+    // pair's LOWEST agreeing chunk — every candidate pair survives
+    // exactly once, so the distinct() exchange disappears while the
+    // candidate SET is bit-identical: pairs agreeing on >= 1 chunk.
+    // The guard is pure shift/mask arithmetic (overflow-free under
+    // ANSI, constant size in the chunk count — a statically unrolled
+    // per-chunk OR measured 10x slower at chunks=64, generated method
+    // too large to JIT): fold each w-wide field of d = x.sk XOR y.sk
+    // onto its LOW bit (z), so field j of d is all-zero (chunk j
+    // agrees) iff bit j*w of ~z is set; the pair is kept iff no agree
+    // bit sits below position chunk*w.
+    val zFold = (0 until width)
+      .map(i => s"shiftright(__d__, $i)").mkString(" | ")
+    val lowPattern = (0 until chunks).map(j => 1L << (j * width))
+      .reduce(_ | _)
+    val keepFirst =
+      if (chunks <= 1) lit(true)
+      else expr(s"((~($zFold)) & ${lowPattern}L & " +
+        s"~shiftleft(-1L, chunk * $width)) = 0")
     val cand = blocked.as("x").join(blocked.as("y"), Seq("chunk", "ck"))
       .filter(col("x.id") < col("y.id"))
+      .withColumn("__d__", col("x.sk").bitwiseXOR(col("y.sk")))
+      .filter(keepFirst)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
     val vecs = df.select(col(id).as("id"), col(vec).as("v"))
     cand
       .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
